@@ -1,0 +1,73 @@
+"""Benchmark runner — the driver's per-round feedback loop.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with a cheap full-scan action
+(``count`` on the final plan) so measured time is plan execution, not
+driver-side row transfer. A warmup query first amortizes JVM/codegen
+startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from server_spark import registry  # noqa: E402
+from server_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the reference's spine + one per operator family.
+HEADLINE = [
+    "a1_miniauction_collapse",
+    "a2_price_stats_median",
+    "a4_owner_volumes",
+    "j4_owners_by_items",
+    "o1_multisort_page",
+    "o3_top10_expensive",
+    "o4_topn_per_group",
+]
+
+
+def main() -> None:
+    spark = get_spark("server-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in sorted(qs) if n not in HEADLINE
+    ]
+
+    # Warmup: run the first headline query once, discard timing.
+    qs[names[0]](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

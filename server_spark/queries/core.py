@@ -1,0 +1,452 @@
+"""Core relational queries: scans, filters, the mini-auction collapse,
+price stats, owner aggregations, sorts and pagination (SURVEY.md §2.1,
+§2.2, §2.4, §2.6 — operators S1, P1–P4, A1–A5, J4, O1–O3, F4).
+
+Each function is the Spark half of a dialect pair; the DuckDB half
+lives in the ``register`` call next to it. Both run over the canonical
+``auctions`` projection of ``lineitem`` (sources/synthetic.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from server_spark import tables
+from server_spark.operators import auctions as ops
+from server_spark.parity import r4, r4sql, round_doubles
+from server_spark.registry import auctions_sql, register
+from server_spark.sources.synthetic import auctions
+
+# Filter constants shared by the Spark and SQL dialects. Chosen to
+# exist at every scale factor (suppliers ≥10, parts ≥200 at sf0.001).
+OWNER_SET = (1, 2, 3)
+ITEM_SET = (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)
+
+# Deterministic total order for sorted/paginated auction queries: the
+# full collapse key is unique per mini-auction row (SURVEY.md §4.3.2).
+_MINI_ORDER_SQL = "buyout_per DESC, item, owner, buyout, quantity, time_left"
+
+
+def _mini_order() -> list:
+    return [
+        F.col("buyout_per").desc(),
+        F.col("item").asc(),
+        F.col("owner").asc(),
+        F.col("buyout").asc(),
+        F.col("quantity").asc(),
+        F.col("time_left").asc(),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# S1 / P1 — scan + projection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s1_scan_project",
+    auctions_sql("SELECT auc, item, owner, buyout, quantity FROM auctions"),
+    doc="S1/P1 — parquet scan with column pruning into the auction shape.",
+    tags=("scan",),
+)
+def s1_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return auctions(spark, sf_dir).select("auc", "item", "owner", "buyout", "quantity")
+
+
+# ---------------------------------------------------------------------------
+# P2 / P3 / P4 — predicate filters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p2_filter_owners",
+    auctions_sql(
+        f"SELECT * FROM auctions WHERE owner IN {OWNER_SET}"
+    ),
+    doc="P2 — FilterByOwnerNames: owner ∈ requested set.",
+    tags=("filter",),
+)
+def p2_filter_owners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.filter_by_owners(auctions(spark, sf_dir), OWNER_SET)
+
+
+@register(
+    "p3_filter_items",
+    auctions_sql(f"SELECT * FROM auctions WHERE item IN {ITEM_SET}"),
+    doc="P3 — FilterByItemIds: item ∈ requested set.",
+    tags=("filter",),
+)
+def p3_filter_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.filter_by_items(auctions(spark, sf_dir), ITEM_SET)
+
+
+@register(
+    "p4_positive_buyout",
+    auctions_sql(
+        "SELECT auc, item, buyout, quantity FROM auctions WHERE buyout > 0"
+    ),
+    doc="P4 — zero-buyout exclusion feeding price stats.",
+    tags=("filter",),
+)
+def p4_positive_buyout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        auctions(spark, sf_dir)
+        .filter(F.col("buyout") > 0)
+        .select("auc", "item", "buyout", "quantity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — mini-auction collapse (the signature operator)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_miniauction_collapse",
+    auctions_sql(
+        """
+        SELECT
+            item, owner, buyout, quantity, time_left,
+            array_to_string(list_sort(list(auc)), ',') AS auc_ids,
+            COUNT(*) AS auc_count
+        FROM auctions
+        GROUP BY item, owner, buyout, quantity, time_left
+        """
+    ),
+    doc="A1 — NewMiniAuctionList collapse: group by the full auction "
+    "value key, collect the collapsed auction ids (canonical sorted "
+    "string form for oracle comparison) and count.",
+    tags=("agg",),
+)
+def a1_miniauction_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return auctions(spark, sf_dir).groupBy(*ops.COLLAPSE_KEYS).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("auc")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("auc_ids"),
+        F.count("*").alias("auc_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — per-item price stats with exact median
+# ---------------------------------------------------------------------------
+# Median parity note: Spark's `median()` and DuckDB's `MEDIAN()` both
+# interpolate, but with formulas that differ in the last ulp
+# (lo + 0.5*(hi-lo) vs (lo+hi)/2) — enough to flip a round-half
+# boundary. For the oracle pair we therefore spell out the SAME exact
+# median on both sides: rank within the group, average the middle one
+# or two raw values (the Go reference's sort-and-middle, SURVEY.md
+# §2.10 D1). The production library fn (ops.price_stats) keeps the
+# single-shuffle `median()` / `approx_percentile` forms.
+
+_A2_SQL = auctions_sql(
+    """,
+    priced AS (
+        SELECT item, buyout / quantity AS per, quantity
+        FROM auctions WHERE buyout > 0
+    ),
+    ranked AS (
+        SELECT item, per,
+               ROW_NUMBER() OVER (PARTITION BY item ORDER BY per) AS rn,
+               COUNT(*)    OVER (PARTITION BY item)               AS n
+        FROM priced
+    ),
+    med AS (
+        SELECT item, AVG(per) AS median_raw
+        FROM ranked
+        WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        GROUP BY item
+    ),
+    stats AS (
+        SELECT
+            item,
+            {MIN} AS min_buyout_per,
+            {MAX} AS max_buyout_per,
+            {AVG} AS average_buyout_per,
+            {VOL} AS volume
+        FROM priced
+        GROUP BY item
+    )
+    SELECT
+        stats.item, min_buyout_per, max_buyout_per, average_buyout_per,
+        {MED} AS median_buyout_per, volume
+    FROM stats JOIN med ON stats.item = med.item
+    """.format(
+        MIN=r4sql("MIN(per)"),
+        MAX=r4sql("MAX(per)"),
+        AVG=r4sql("AVG(per)"),
+        VOL=r4sql("SUM(quantity)"),
+        MED=r4sql("median_raw"),
+    )
+)
+
+
+@register(
+    "a2_price_stats_median",
+    _A2_SQL,
+    doc="A2 — NewPriceList: per-item min/max/avg/exact-median "
+    "buyout-per-unit + volume, zero-buyout rows excluded.",
+    tags=("agg",),
+)
+def a2_price_stats_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    priced = (
+        auctions(spark, sf_dir)
+        .filter(F.col("buyout") > 0)
+        .select("item", (F.col("buyout") / F.col("quantity")).alias("per"), "quantity")
+    )
+    w = Window.partitionBy("item")
+    ranked = priced.select(
+        "item",
+        "per",
+        F.row_number().over(w.orderBy("per")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        .groupBy("item")
+        .agg(r4(F.avg("per")).alias("median_buyout_per"))
+    )
+    stats = priced.groupBy("item").agg(
+        r4(F.min("per")).alias("min_buyout_per"),
+        r4(F.max("per")).alias("max_buyout_per"),
+        r4(F.avg("per")).alias("average_buyout_per"),
+        r4(F.sum("quantity")).alias("volume"),
+    )
+    return stats.join(med, "item").select(
+        "item",
+        "min_buyout_per",
+        "max_buyout_per",
+        "average_buyout_per",
+        "median_buyout_per",
+        "volume",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 / A4 / A5 — owner aggregations and snapshot totals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a3_distinct_owners",
+    auctions_sql("SELECT DISTINCT owner FROM auctions"),
+    doc="A3 — distinct owners for a realm.",
+    tags=("agg",),
+)
+def a3_distinct_owners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.distinct_owners(auctions(spark, sf_dir))
+
+
+@register(
+    "a4_owner_volumes",
+    auctions_sql(
+        """
+        SELECT
+            owner,
+            COUNT(*) AS auction_count,
+            {GB} AS gross_buyout,
+            {TQ} AS total_quantity
+        FROM auctions
+        GROUP BY owner
+        """.format(GB=r4sql("SUM(buyout)"), TQ=r4sql("SUM(quantity)"))
+    ),
+    doc="A4 — per-owner auction count and gross volumes.",
+    tags=("agg",),
+)
+def a4_owner_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round_doubles(
+        ops.owner_volumes(auctions(spark, sf_dir)), "gross_buyout", "total_quantity"
+    )
+
+
+@register(
+    "a5_snapshot_totals",
+    auctions_sql(
+        """
+        SELECT
+            time_left,
+            COUNT(*) AS total_auctions,
+            {TQ} AS total_quantity,
+            COUNT(DISTINCT owner) AS owner_count
+        FROM auctions
+        GROUP BY time_left
+        """.format(TQ=r4sql("SUM(quantity)"))
+    ),
+    doc="A5 — snapshot totals per grouping (totalAuctions, "
+    "totalQuantity, ownerCount).",
+    tags=("agg",),
+)
+def a5_snapshot_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round_doubles(
+        ops.snapshot_totals(auctions(spark, sf_dir)), "total_quantity"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — owners-by-items (semi-join + agg)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j4_owners_by_items",
+    auctions_sql(
+        f"""
+        SELECT
+            owner,
+            COUNT(*) AS auction_count,
+            {{TQ}} AS total_quantity
+        FROM auctions
+        WHERE item IN {ITEM_SET}
+        GROUP BY owner
+        """.format(TQ=r4sql("SUM(quantity)"))
+    ),
+    doc="J4 — ownersQueryByItems: broadcast left-semi join on the item "
+    "set, then per-owner volumes.",
+    tags=("join", "agg"),
+)
+def j4_owners_by_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    item_ids = spark.createDataFrame([(i,) for i in ITEM_SET], "item long")
+    return round_doubles(
+        ops.owners_by_items(auctions(spark, sf_dir), item_ids), "total_quantity"
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1 / O2 / O3 — multi-key sort, pagination, top-k
+# ---------------------------------------------------------------------------
+
+
+def _collapsed_with_per(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mini = auctions(spark, sf_dir).groupBy(*ops.COLLAPSE_KEYS).agg(
+        F.count("*").alias("auc_count")
+    )
+    return mini.withColumn("buyout_per", F.col("buyout") / F.col("quantity"))
+
+
+_MINI_SQL_BODY = """
+    mini AS (
+        SELECT item, owner, buyout, quantity, time_left,
+               COUNT(*) AS auc_count,
+               buyout / quantity AS buyout_per
+        FROM auctions
+        GROUP BY item, owner, buyout, quantity, time_left
+    )
+"""
+
+
+@register(
+    "o1_multisort_page",
+    auctions_sql(
+        f""",
+        {_MINI_SQL_BODY}
+        SELECT * FROM mini
+        ORDER BY {_MINI_ORDER_SQL}
+        LIMIT 50
+        """
+    ),
+    doc="O1+O2 — mini-auctions sorted by buyout_per desc with the full "
+    "unique tiebreak, first page of 50 (the flagship read path's sort).",
+    tags=("sort",),
+)
+def o1_multisort_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.paginate(_collapsed_with_per(spark, sf_dir), _mini_order(), 0, 50)
+
+
+@register(
+    "o2_paginate_deep",
+    auctions_sql(
+        f""",
+        {_MINI_SQL_BODY}
+        SELECT * FROM mini
+        ORDER BY {_MINI_ORDER_SQL}
+        LIMIT 40 OFFSET 120
+        """
+    ),
+    doc="O2 — Limit(count=40, page=3): deterministic deep pagination "
+    "via row_number over a total order.",
+    tags=("sort",),
+)
+def o2_paginate_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.paginate(_collapsed_with_per(spark, sf_dir), _mini_order(), 3, 40)
+
+
+@register(
+    "o3_top10_expensive",
+    auctions_sql(
+        """
+        SELECT auc, item, owner, buyout
+        FROM auctions
+        ORDER BY buyout DESC, auc
+        LIMIT 10
+        """
+    ),
+    doc="O3 — top-10 truncation with unique tiebreak (auc); Spark "
+    "plans this as TakeOrderedAndProject (no full sort).",
+    tags=("sort",),
+)
+def o3_top10_expensive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        auctions(spark, sf_dir)
+        .select("auc", "item", "owner", "buyout")
+        .orderBy(F.col("buyout").desc(), F.col("auc").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "o4_topn_per_group",
+    auctions_sql(
+        """
+        SELECT time_left, owner, total_quantity, rnk FROM (
+            SELECT
+                time_left, owner,
+                {TQ} AS total_quantity,
+                ROW_NUMBER() OVER (
+                    PARTITION BY time_left
+                    ORDER BY {TQ} DESC, owner
+                ) AS rnk
+            FROM auctions
+            GROUP BY time_left, owner
+        ) WHERE rnk <= 5
+        """.format(TQ=r4sql("SUM(quantity)"))
+    ),
+    doc="O4 — top-5 sellers per snapshot group: window rank over a "
+    "grouped aggregate, per-group top-k.",
+    tags=("sort", "window"),
+)
+def o4_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vols = auctions(spark, sf_dir).groupBy("time_left", "owner").agg(
+        r4(F.sum("quantity")).alias("total_quantity")
+    )
+    w = Window.partitionBy("time_left").orderBy(
+        F.col("total_quantity").desc(), F.col("owner").asc()
+    )
+    return vols.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
+# ---------------------------------------------------------------------------
+# Flagship entry — the live-auctions read path end-to-end (§3.1/§7.1)
+# ---------------------------------------------------------------------------
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship read path on synthetic data: auction
+    fact ⋈ broadcast item dim → price stats (A2) → enrich with item
+    name (J1) → order by volume, paginated top page (O1/O2).
+    """
+    stats = ops.price_stats(auctions(spark, sf_dir))
+    items = tables.load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("item"),
+        F.col("p_name").alias("item_name"),
+        F.col("p_brand").alias("item_brand"),
+    )
+    enriched = stats.join(F.broadcast(items), "item", "inner")
+    order = [F.col("volume").desc(), F.col("item").asc()]
+    return ops.paginate(enriched, order, 0, 25)

@@ -1,0 +1,84 @@
+"""Query registry: name → (Spark callable, DuckDB oracle SQL).
+
+This is the driver contract surface (``__spark_entry__`` re-exports
+it). Every operator from SURVEY.md §2 that we claim as done has an
+entry here; oracle SQL is ``None`` only for genuinely
+non-SQL-expressible ops (the driver then records a rows-only check).
+
+Dialect-parity rules applied throughout (SURVEY.md §5.2):
+- every computed column aliased identically in both dialects;
+- double-typed aggregates wrapped in ``round(x, 4)`` on BOTH sides so
+  order-dependent float summation cannot flip the value hash;
+- arrays crossing the oracle boundary serialized to a canonical
+  comma-joined string (sorted first);
+- LIMIT queries always ordered by a total order with unique tiebreak.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from server_spark.sources.synthetic import AUCTIONS_SQL_CTE
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = Query(name, fn, oracle, doc or (fn.__doc__ or ""), tags)
+        return fn
+
+    return deco
+
+
+def auctions_sql(body: str) -> str:
+    """Wrap an oracle SQL body with the canonical auctions CTE."""
+    return f"WITH {AUCTIONS_SQL_CTE} {body}"
+
+
+def queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import every module that registers queries (import side effect)."""
+    global _LOADED
+    if _LOADED:
+        return
+    # Imports deferred to avoid import cycles at package import time.
+    from server_spark.queries import (  # noqa: F401
+        core,
+        extensions,
+        joins_sets,
+        timeseries,
+    )
+
+    _LOADED = True

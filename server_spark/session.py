@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+The reference runs a single Go process with a goroutine worker pool
+(SURVEY.md §3.2); our unit of parallelism is the Spark task. Local
+testing uses ``local[N]`` but every setting below is chosen to also be
+the right default on a 1000-executor cluster reading 100 TB:
+
+- AQE on: runtime coalescing of shuffle partitions, dynamic
+  broadcast-join conversion, skew-join splitting — replaces every
+  hand-rolled sizing decision the reference made.
+- ``spark.sql.session.timeZone=UTC``: the reference keys everything by
+  unix seconds (UTC); keeping the session in UTC makes timestamp
+  semantics identical between Spark and the DuckDB oracle.
+- Arrow enabled: all pandas_udf paths (fuzzy rank, cosine top-k,
+  multimodal decode) move data in Arrow batches, never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "server_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-appropriate defaults.
+
+    On a real cluster ``master`` comes from the environment; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER_URL"):
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()

@@ -1,0 +1,53 @@
+"""Adapters from the driver's synthetic TPC-H-ish tables onto the
+reference's domain shapes (FIXTURES.md §3 mapping).
+
+The reference's fact relation is the raw auction row
+(`app/pkg/blizzard/auction.go` [M]); the harness stand-in is
+``lineitem``. The mapping lives HERE ONCE, in two dialect-identical
+forms — a DataFrame projection and a SQL CTE — so every query and its
+DuckDB oracle see the exact same relation:
+
+    auc       := l_orderkey * 10 + l_linenumber   (unique row id)
+    item      := l_partkey
+    owner     := l_suppkey
+    buyout    := l_extendedprice
+    quantity  := l_quantity
+    time_left := l_returnflag   (small string enum, like VERY_LONG…)
+    dump_ts   := l_shipdate     (snapshot timestamp analog)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from server_spark import tables
+
+# SQL form of the same projection, for DuckDB oracle CTEs.
+AUCTIONS_SQL_CTE = """
+auctions AS (
+    SELECT
+        l_orderkey * 10 + l_linenumber AS auc,
+        l_partkey                      AS item,
+        l_suppkey                      AS owner,
+        l_extendedprice                AS buyout,
+        l_quantity                     AS quantity,
+        l_returnflag                   AS time_left,
+        l_shipdate                     AS dump_ts
+    FROM lineitem
+)
+"""
+
+
+def auctions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load ``lineitem`` projected into the canonical auction shape."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("auc"),
+        F.col("l_partkey").alias("item"),
+        F.col("l_suppkey").alias("owner"),
+        F.col("l_extendedprice").alias("buyout"),
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_returnflag").alias("time_left"),
+        F.col("l_shipdate").alias("dump_ts"),
+    )

@@ -1,0 +1,40 @@
+"""Table loaders.
+
+One narrow waist for every read, mirroring how the reference funnels
+all storage access through `app/pkg/database/*.go` [M]. Passing the
+explicit schema to the parquet reader (a) documents the contract,
+(b) fails fast on drift, and (c) lets Catalyst prune columns /
+push predicates into the scan — check with ``df.explain("formatted")``
+that `ReadSchema` only lists what the query projects.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from server_spark.schemas import TABLE_SCHEMAS
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLE_NAMES = tuple(TABLE_SCHEMAS)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table as a DataFrame with its fixed schema."""
+    if name not in TABLE_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_SCHEMAS)}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (mirrors the DuckDB oracle's
+    pre-registered views) so SQL-form queries can run verbatim."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,76 @@
+"""Golden-fixture tests for the sotah spine, mirroring the reference's
+test style (SURVEY.md §5.1): tiny hand-built auction dumps with
+hand-computed expected collapse/stats values."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from server_spark.operators import auctions as ops
+from server_spark.queries.core import flagship
+from server_spark.schemas import AUCTION
+from server_spark.sources.synthetic import auctions
+
+
+def _dump(spark):
+    """A hand-built auction dump: 5 raw auctions, two collapse groups
+    for (item=1, owner=a) and singletons elsewhere; one zero-buyout."""
+    rows = [
+        # auc, item, owner, realm, bid, buyout, qty, time_left, region, slug, ts
+        (101, 1, "a", "r1", 90, 100, 2, "LONG", "eu", "s1", None),
+        (102, 1, "a", "r1", 80, 100, 2, "LONG", "eu", "s1", None),
+        (103, 1, "b", "r1", 50, 300, 3, "LONG", "eu", "s1", None),
+        (104, 2, "a", "r1", 10, 0, 1, "SHORT", "eu", "s1", None),
+        (105, 2, "b", "r1", 10, 500, 5, "SHORT", "eu", "s1", None),
+    ]
+    return spark.createDataFrame(rows, AUCTION)
+
+
+def test_a1_collapse_golden(spark):
+    got = {
+        (r["item"], r["owner"], r["buyout"]): (r["auc_list"], r["auc_count"])
+        for r in ops.collapse_mini_auctions(_dump(spark)).collect()
+    }
+    assert got[(1, "a", 100)] == ([101, 102], 2)
+    assert got[(1, "b", 300)] == ([103], 1)
+    assert len(got) == 4
+
+
+def test_a2_price_stats_golden(spark):
+    stats = {r["item"]: r for r in ops.price_stats(_dump(spark)).collect()}
+    # item 1: per-unit prices [50, 50, 100] → min 50, max 100, avg 66.6667,
+    # median 50, volume 7. Zero-buyout auc 104 excluded from item 2.
+    assert stats[1]["min_buyout_per"] == 50.0
+    assert stats[1]["max_buyout_per"] == 100.0
+    assert abs(stats[1]["average_buyout_per"] - 200 / 3) < 1e-9
+    assert stats[1]["median_buyout_per"] == 50.0
+    assert stats[1]["volume"] == 7.0
+    assert stats[2]["volume"] == 5.0  # only auc 105
+    assert stats[2]["median_buyout_per"] == 100.0
+
+
+def test_pagination_deterministic(spark, sf_dir):
+    df = auctions(spark, sf_dir).select("auc", "buyout")
+    order = [F.col("buyout").desc(), F.col("auc").asc()]
+    page0 = [r["auc"] for r in ops.paginate(df, order, 0, 10).collect()]
+    page0_again = [r["auc"] for r in ops.paginate(df, order, 0, 10).collect()]
+    page1 = [r["auc"] for r in ops.paginate(df, order, 1, 10).collect()]
+    assert page0 == page0_again
+    assert len(page0) == 10 and len(page1) == 10
+    assert not set(page0) & set(page1)
+
+
+def test_flagship_entry(spark, sf_dir):
+    out = flagship(spark, sf_dir)
+    rows = out.collect()
+    assert 0 < len(rows) <= 25
+    assert "item_name" in out.columns and "median_buyout_per" in out.columns
+
+
+def test_registry_contract():
+    import __spark_entry__ as e
+
+    qs, sqls = e.queries(), e.oracle_sql()
+    assert len(qs) >= 10
+    for name in sqls:
+        assert name in qs
