@@ -1,0 +1,91 @@
+"""Join operators (SURVEY.md §2.3). The reference does all of these as
+map lookups and nested loops in Go; here each is a declarative join
+whose physical strategy Catalyst/AQE picks (broadcast for dims, sorted
+shuffle otherwise).
+
+- J1 item enrich      — `ItemsMap[itemId]` lookup → broadcast hash join
+- J2 hierarchy flatten— region→realm nesting → explode/joins
+- J3 snapshot churn   — prev-vs-next live auction diff → full outer
+- J5 unmet demand     — items with zero live auctions → left anti
+- J6 as-of alignment  — nearest-entry history lookup → union + window
+  `last(ignorenulls)` (Spark has no native ASOF join; this is the
+  standard single-shuffle re-expression and scales as one window per
+  user partition)
+- J7 range/theta join — free in Spark; broadcast nested loop for bands
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def enrich(facts: DataFrame, dim: DataFrame, key: str, how: str = "inner") -> DataFrame:
+    """J1 — attach dimension attributes via broadcast hash join."""
+    return facts.join(F.broadcast(dim), key, how)
+
+
+def snapshot_churn(prev: DataFrame, nxt: DataFrame, key: str) -> DataFrame:
+    """J3 — classify keys across consecutive snapshots as new /
+    removed / persisting via one full-outer join (two anti-joins would
+    scan twice)."""
+    p = prev.select(F.col(key).alias("k")).distinct()
+    n = nxt.select(F.col(key).alias("k")).distinct()
+    joined = p.withColumn("in_prev", F.lit(1)).join(
+        n.withColumn("in_next", F.lit(1)), "k", "full_outer"
+    )
+    return joined.select(
+        F.col("k").alias(key),
+        F.when(F.col("in_prev").isNull(), F.lit("new"))
+        .when(F.col("in_next").isNull(), F.lit("removed"))
+        .otherwise(F.lit("persisting"))
+        .alias("status"),
+    )
+
+
+def unmet_demand(items: DataFrame, auctions: DataFrame, key: str) -> DataFrame:
+    """J5 — catalog items with zero live auctions (left anti join)."""
+    return items.join(auctions, key, "left_anti")
+
+
+def asof_align(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    value: str,
+    out: str,
+) -> DataFrame:
+    """J6 — as-of join: for each left row, the most recent ``right``
+    ``value`` with ``right.ts <= left.ts`` within the ``on`` partition.
+
+    Union-and-window form: one shuffle on ``on``, no n² range join.
+    ``kind`` breaks equal-ts ties so right rows at exactly left.ts are
+    visible (ASOF `<=` semantics).
+    """
+    lcols = left.columns
+    l = left.select(*lcols).withColumn("_kind", F.lit(1)).withColumn("_v", F.lit(None).cast("double"))
+    r = (
+        right.select(
+            F.col(on), F.col(ts), F.col(value).cast("double").alias("_v")
+        )
+        .withColumn("_kind", F.lit(0))
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("_kind").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        unioned.withColumn(out, F.last("_v", ignorenulls=True).over(w))
+        .filter(F.col("_kind") == 1)
+        .select(*lcols, out)
+    )
+
+
+def band_join(facts: DataFrame, bands: DataFrame, value_col: str) -> DataFrame:
+    """J7 — range join of a fact value into [lo, hi) bands. The band
+    table is tiny → broadcast nested-loop, no shuffle of facts."""
+    cond = (F.col(value_col) >= F.col("lo")) & (F.col(value_col) < F.col("hi"))
+    return facts.join(F.broadcast(bands), cond, "inner")

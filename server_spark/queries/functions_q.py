@@ -1,0 +1,188 @@
+"""Scalar-function and search queries (SURVEY.md §2.8 F1–F10, O3/W5).
+
+The reference's search path (`app/pkg/database/` items/owners query
+[M]) lowercases names, substring-filters, ranks with a fuzzy matcher,
+and truncates to 10. Here: F1 normalization, F2 substring candidate
+filter, F3 levenshtein ranking (the oracle-checkable score; exact
+RankMatchFold parity lives in functions/text.py as a pandas_udf,
+rows-only), F6 time codecs, F8 JSON extraction, F10 array ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from server_spark import tables
+from server_spark.parity import r4sql
+from server_spark.registry import auctions_sql, register
+
+SEARCH_SUBSTR = "wid"       # substring query against part names
+SEARCH_FUZZY = "old widget"  # fuzzy query string
+
+
+@register(
+    "f1_normalize_names",
+    """
+    SELECT p_partkey AS item, LOWER(TRIM(p_name)) AS normalized_name
+    FROM part
+    """,
+    doc="F1 — item-name normalization (the NormalizedName the "
+    "reference precomputes for search).",
+    tags=("function", "search"),
+)
+def f1_normalize_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("item"),
+        F.lower(F.trim(F.col("p_name"))).alias("normalized_name"),
+    )
+
+
+@register(
+    "f2_substring_search",
+    f"""
+    SELECT p_partkey AS item, p_name AS item_name
+    FROM part
+    WHERE contains(LOWER(p_name), '{SEARCH_SUBSTR}')
+    """,
+    doc="F2 — substring candidate filter (strings.Contains on "
+    "lowercased names).",
+    tags=("function", "search"),
+)
+def f2_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tables.load(spark, sf_dir, "part")
+        .filter(F.lower(F.col("p_name")).contains(SEARCH_SUBSTR))
+        .select(F.col("p_partkey").alias("item"), F.col("p_name").alias("item_name"))
+    )
+
+
+@register(
+    "f3_levenshtein_rank",
+    f"""
+    SELECT p_partkey AS item, p_name AS item_name,
+           levenshtein(LOWER(p_name), '{SEARCH_FUZZY}') AS rank
+    FROM part
+    ORDER BY rank, item
+    LIMIT 10
+    """,
+    doc="F3/O3/W5 — fuzzy search ranking: levenshtein distance on "
+    "normalized names, top-10 with unique tiebreak (the "
+    "RankMatchFold-shaped query; exact Go-library parity is the "
+    "pandas_udf in functions/text.py).",
+    tags=("function", "search"),
+)
+def f3_levenshtein_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = tables.load(spark, sf_dir, "part")
+    return (
+        part.select(
+            F.col("p_partkey").alias("item"),
+            F.col("p_name").alias("item_name"),
+            F.levenshtein(F.lower(F.col("p_name")), F.lit(SEARCH_FUZZY)).alias(
+                "rank"
+            ),
+        )
+        .orderBy(F.col("rank").asc(), F.col("item").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "f6_time_codecs",
+    """
+    SELECT event_id,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS unix_s,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day
+    FROM events
+    """,
+    doc="F6 — unix-ts ↔ time codecs: epoch seconds, day truncation, "
+    "hour extraction (the Bolt key codec surface).",
+    tags=("function", "timeseries"),
+)
+def f6_time_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("unix_s"),
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        F.hour("ts").cast("long").alias("hour_of_day"),
+    )
+
+
+@register(
+    "f8_json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    doc="F8 — JSON decode of the props payload (the encoding/json "
+    "surface; from_json/get_json_object on the Spark side).",
+    tags=("function", "json"),
+)
+def f8_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@register(
+    "f8b_json_agg",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           COUNT(*) AS n,
+           {V} AS avg_value
+    FROM events
+    GROUP BY 1
+    """.format(V=r4sql("AVG(value)")),
+    doc="F8 — aggregate over a JSON-extracted key (decode feeding a "
+    "relational plan; stays in whole-stage codegen, no Python UDF).",
+    tags=("function", "json"),
+)
+def f8b_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.parity import r4
+
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("long").alias("k"), "value"
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), r4(F.avg("value")).alias("avg_value"))
+    )
+
+
+@register(
+    "f10_array_ops",
+    auctions_sql(
+        """
+        SELECT owner,
+               array_to_string(list_sort(list(DISTINCT item)), ',') AS item_ids,
+               CAST(len(list(DISTINCT item)) AS INT) AS n_items,
+               CAST(list_sort(list(DISTINCT item))[1] AS BIGINT) AS first_item
+        FROM auctions
+        GROUP BY owner
+        """
+    ),
+    doc="F10 — array ops on collected lists: collect_set, sort, size, "
+    "element access (the aucList manipulation surface).",
+    tags=("function", "array"),
+)
+def f10_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.sources.synthetic import auctions
+
+    arr = F.array_sort(F.collect_set("item"))
+    return (
+        auctions(spark, sf_dir)
+        .groupBy("owner")
+        .agg(
+            F.array_join(
+                F.transform(arr, lambda x: x.cast("string")), ","
+            ).alias("item_ids"),
+            F.size(arr).alias("n_items"),
+            F.element_at(arr, 1).alias("first_item"),
+        )
+    )

@@ -1,2 +1,394 @@
-"""Join and set-operation queries (SURVEY.md §2.3, §2.7) — filled in
-milestone 1."""
+"""Join and set-operation queries (SURVEY.md §2.3 J1–J7, §2.7 U1–U4,
+§2.4 A6/A8/A9).
+
+Snapshot-shaped queries use the ``events`` table (FIXTURES.md §3): a
+"snapshot" is one UTC day of events; day-over-day active-user churn
+mirrors the reference's prev-vs-next live-auction diff
+(`app/pkg/state/state_liveauctions.go` intake [M]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from server_spark import tables
+from server_spark.operators import joins
+from server_spark.parity import r4, r4sql
+from server_spark.registry import auctions_sql, register
+from server_spark.sources.synthetic import auctions
+
+# Two adjacent "snapshots" for churn/set-op queries (events span
+# 2024-01-01 .. 2024-01-30 at every sf).
+DAY_A = "2024-01-10"
+DAY_B = "2024-01-11"
+
+
+def _day_users(spark: SparkSession, sf_dir: str, day: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.to_date("ts") == F.lit(day).cast("date"))
+        .select("user_id")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — dimension enrich (broadcast hash join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_item_enrich",
+    auctions_sql(
+        """
+        SELECT auc, item, owner, buyout, p_name AS item_name,
+               p_brand AS item_brand, p_retailprice AS retail_price
+        FROM auctions JOIN part ON item = p_partkey
+        """
+    ),
+    doc="J1 — ItemsMap[itemId] lookup as a broadcast hash join of the "
+    "auction fact against the item dimension.",
+    tags=("join",),
+)
+def j1_item_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = tables.load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("item"),
+        F.col("p_name").alias("item_name"),
+        F.col("p_brand").alias("item_brand"),
+        F.col("p_retailprice").alias("retail_price"),
+    )
+    return joins.enrich(
+        auctions(spark, sf_dir).select("auc", "item", "owner", "buyout"), dim, "item"
+    ).select(
+        "auc", "item", "owner", "buyout", "item_name", "item_brand", "retail_price"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — hierarchy flatten (region → nation → customer)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j2_region_hierarchy",
+    """
+    SELECT r_name AS region_name, n_name AS nation_name,
+           COUNT(c_custkey) AS customer_count,
+           {AB} AS total_acctbal
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    LEFT JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY r_name, n_name
+    """.format(AB=r4sql("COALESCE(SUM(c_acctbal), 0)")),
+    doc="J2 — region→realm hierarchy flatten: two-level dimension join "
+    "rolled up per (region, nation); both dims broadcast.",
+    tags=("join",),
+)
+def j2_region_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = tables.load(spark, sf_dir, "region")
+    nation = tables.load(spark, sf_dir, "nation")
+    customer = tables.load(spark, sf_dir, "customer")
+    return (
+        region.join(
+            F.broadcast(nation),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .join(customer, customer.c_nationkey == nation.n_nationkey, "left")
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.count("c_custkey").alias("customer_count"),
+            r4(F.coalesce(F.sum("c_acctbal"), F.lit(0))).alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — snapshot churn (full outer diff of adjacent days)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j3_snapshot_churn",
+    f"""
+    WITH prev AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE CAST(ts AS DATE) = DATE '{DAY_A}'
+    ),
+    next AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE CAST(ts AS DATE) = DATE '{DAY_B}'
+    )
+    SELECT
+        COALESCE(prev.user_id, next.user_id) AS user_id,
+        CASE WHEN prev.user_id IS NULL THEN 'new'
+             WHEN next.user_id IS NULL THEN 'removed'
+             ELSE 'persisting' END AS status
+    FROM prev FULL OUTER JOIN next ON prev.user_id = next.user_id
+    """,
+    doc="J3 — prev-vs-next snapshot diff: one full-outer join "
+    "classifying ids as new/removed/persisting (live-auctions intake "
+    "churn).",
+    tags=("join", "churn"),
+)
+def j3_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.snapshot_churn(
+        _day_users(spark, sf_dir, DAY_A),
+        _day_users(spark, sf_dir, DAY_B),
+        "user_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — unmet demand (anti join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j5_unmet_demand",
+    auctions_sql(
+        """
+        SELECT p_partkey AS item, p_name AS item_name
+        FROM part
+        ANTI JOIN (SELECT item FROM auctions WHERE owner <= 10) a
+            ON p_partkey = a.item
+        """
+    ),
+    doc="J5 — unmet demand: catalog items with zero live auctions from "
+    "the first ten owners (left anti join).",
+    tags=("join",),
+)
+def j5_unmet_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = tables.load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("item"), F.col("p_name").alias("item_name")
+    )
+    offered = auctions(spark, sf_dir).filter(F.col("owner") <= 10).select("item")
+    return joins.unmet_demand(items, offered, "item")
+
+
+# ---------------------------------------------------------------------------
+# J6 — as-of alignment (history nearest-entry lookup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j6_asof_align",
+    """
+    SELECT c.event_id, c.user_id, c.ts,
+           p.value AS last_purchase_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+    doc="J6 — as-of join: each click aligned to the user's most recent "
+    "purchase value at or before it. Spark form: union + "
+    "last(ignorenulls) window, one shuffle (SURVEY.md §2.3 J6); DuckDB "
+    "form: native ASOF JOIN.",
+    tags=("join", "asof"),
+)
+def j6_asof_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return joins.asof_align(
+        clicks, purchases, on="user_id", ts="ts", value="value",
+        out="last_purchase_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7 — range/band join (theta join demo)
+# ---------------------------------------------------------------------------
+
+_BANDS = [("low", 0.0, 10000.0), ("mid", 10000.0, 40000.0), ("high", 40000.0, 1e18)]
+_BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
+
+
+@register(
+    "j7_band_join",
+    auctions_sql(
+        f""",
+        bands(band, lo, hi) AS (VALUES {_BANDS_SQL})
+        SELECT band, COUNT(*) AS n_auctions, {r4sql("SUM(quantity)")} AS total_quantity
+        FROM auctions JOIN bands ON buyout >= lo AND buyout < hi
+        GROUP BY band
+        """
+    ),
+    doc="J7 — theta/range join: facts banded into price ranges via a "
+    "broadcast nested-loop join against an inline band table.",
+    tags=("join",),
+)
+def j7_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return (
+        joins.band_join(auctions(spark, sf_dir), bands, "buyout")
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_auctions"),
+            r4(F.sum("quantity")).alias("total_quantity"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1–U4 — set operations (new / removed / persisting / union)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u1_new_users",
+    f"""
+    SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '{DAY_B}'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '{DAY_A}'
+    """,
+    doc="U1 — new ids: next-snapshot EXCEPT previous.",
+    tags=("setop",),
+)
+def u1_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _day_users(spark, sf_dir, DAY_B).exceptAll(
+        _day_users(spark, sf_dir, DAY_A)
+    )
+
+
+@register(
+    "u2_removed_users",
+    f"""
+    SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '{DAY_A}'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '{DAY_B}'
+    """,
+    doc="U2 — removed ids: previous EXCEPT next.",
+    tags=("setop",),
+)
+def u2_removed_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _day_users(spark, sf_dir, DAY_A).exceptAll(
+        _day_users(spark, sf_dir, DAY_B)
+    )
+
+
+@register(
+    "u3_persisting_users",
+    f"""
+    SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '{DAY_A}'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '{DAY_B}'
+    """,
+    doc="U3 — persisting ids: previous INTERSECT next.",
+    tags=("setop",),
+)
+def u3_persisting_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _day_users(spark, sf_dir, DAY_A).intersect(
+        _day_users(spark, sf_dir, DAY_B)
+    )
+
+
+@register(
+    "u4_nation_union",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="U4 — distinct union of key sets across two relations.",
+    tags=("setop",),
+)
+def u4_nation_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables.load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = tables.load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+# ---------------------------------------------------------------------------
+# A6 / A8 — rollup and cube (regional rollups; free in Spark)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a6_region_rollup",
+    """
+    SELECT r_name AS region_name, n_name AS nation_name,
+           COUNT(c_custkey) AS customer_count,
+           {AB} AS total_acctbal
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """.format(AB=r4sql("COALESCE(SUM(c_acctbal), 0)")),
+    doc="A6 — regional rollup: region/nation/grand-total levels in one "
+    "pass (GROUPING SETS; partial aggregation reused across levels).",
+    tags=("agg", "rollup"),
+)
+def a6_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = tables.load(spark, sf_dir, "region")
+    nation = tables.load(spark, sf_dir, "nation")
+    customer = tables.load(spark, sf_dir, "customer")
+    return (
+        region.join(F.broadcast(nation), nation.n_regionkey == region.r_regionkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            "c_custkey",
+            "c_acctbal",
+        )
+        .rollup("region_name", "nation_name")
+        .agg(
+            F.count("c_custkey").alias("customer_count"),
+            r4(F.coalesce(F.sum("c_acctbal"), F.lit(0))).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "a8_flag_status_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           {Q} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """.format(Q=r4sql("SUM(l_quantity)")),
+    doc="A8 — cube over (returnflag, linestatus): all grouping-set "
+    "combinations in one aggregation.",
+    tags=("agg", "rollup"),
+)
+def a8_flag_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        r4(F.sum("l_quantity")).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — approx distinct (scale-path variant; sketches differ per engine
+# so the oracle checks the EXACT count while Spark also reports approx)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a9_approx_distinct_owners",
+    None,  # HLL sketches differ between engines → rows-only check
+    doc="A9 — approx_count_distinct of owners per snapshot group: the "
+    "100 TB path for A3 (no exact distinct shuffle). Rows-only: HLL "
+    "estimates are engine-specific.",
+    tags=("agg", "approx"),
+)
+def a9_approx_distinct_owners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        auctions(spark, sf_dir)
+        .groupBy("time_left")
+        .agg(F.approx_count_distinct("owner", 0.01).alias("approx_owner_count"))
+    )

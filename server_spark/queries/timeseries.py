@@ -1,2 +1,295 @@
-"""Window / time-series / streaming-shaped queries (SURVEY.md §2.5,
-§2.9) — filled in milestone 2."""
+"""Window / time-series / streaming-shaped queries over ``events``
+(SURVEY.md §2.5 W1–W4, §2.9 T2/T3/T4/T7, §2.2 P5/P7).
+
+The ``events`` stream stands in for the reference's pricelist/token
+histories: ``ts`` is the snapshot timestamp, ``event_type`` the
+series key, ``value`` the price analog (FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from server_spark import tables
+from server_spark.operators import timeseries as ts_ops
+from server_spark.parity import r4, r4sql
+from server_spark.registry import register
+
+RANGE_LO, RANGE_HI = "2024-01-05", "2024-01-15"
+RETENTION_CUTOFF = "2024-01-20"
+SESSION_GAP_MIN = 30
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# P5 / P7(T7) — time-range and retention predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p5_time_range",
+    f"""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '{RANGE_LO}' AND ts < TIMESTAMP '{RANGE_HI}'
+    """,
+    doc="P5 — history query bounded by lower/upper ts (Bolt cursor "
+    "range seek → parquet predicate pushdown / partition pruning).",
+    tags=("filter", "timeseries"),
+)
+def p5_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .filter(
+            (F.col("ts") >= F.lit(RANGE_LO).cast("timestamp"))
+            & (F.col("ts") < F.lit(RANGE_HI).cast("timestamp"))
+        )
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+@register(
+    "t7_retention_prune",
+    f"""
+    SELECT event_id, ts, user_id, event_type
+    FROM events WHERE ts >= TIMESTAMP '{RETENTION_CUTOFF}'
+    """,
+    doc="T7 — RetentionLimit pruning: keep only entries newer than the "
+    "cutoff; at scale this is a partition drop, not a scan.",
+    tags=("filter", "timeseries"),
+)
+def t7_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts_ops.retention_filter(
+        _events(spark, sf_dir), "ts", F.lit(RETENTION_CUTOFF).cast("timestamp")
+    ).select("event_id", "ts", "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# W1/T3 — tumbling buckets; W2 — bounded history series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_hourly_bucket",
+    """
+    SELECT event_type,
+           date_trunc('hour', ts) AS bucket_ts,
+           COUNT(*) AS n,
+           {AVG} AS avg_value,
+           {SUM} AS sum_value
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """.format(AVG=r4sql("AVG(value)"), SUM=r4sql("SUM(value)")),
+    doc="W1/T3 — tumbling hourly window per series: one stats row per "
+    "(event_type, hour), the pricelist-history snapshot cadence.",
+    tags=("window", "timeseries"),
+)
+def w1_hourly_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    ).agg(
+        F.count("*").alias("n"),
+        r4(F.avg("value")).alias("avg_value"),
+        r4(F.sum("value")).alias("sum_value"),
+    )
+
+
+@register(
+    "w2_history_series",
+    f"""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+           COUNT(*) AS n,
+           {r4sql("MIN(value)")} AS min_value,
+           {r4sql("MAX(value)")} AS max_value,
+           {r4sql("AVG(value)")} AS avg_value
+    FROM events
+    WHERE ts >= TIMESTAMP '{RANGE_LO}' AND ts < TIMESTAMP '{RANGE_HI}'
+      AND event_type IN ('click', 'purchase')
+    GROUP BY event_type, date_trunc('day', ts)
+    """,
+    doc="W2 — per-item history series for an item set + ts range "
+    "(the priceListHistory query shape).",
+    tags=("window", "timeseries"),
+)
+def w2_history_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(
+        (F.col("ts") >= F.lit(RANGE_LO).cast("timestamp"))
+        & (F.col("ts") < F.lit(RANGE_HI).cast("timestamp"))
+        & F.col("event_type").isin("click", "purchase")
+    )
+    return ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("bucket_ts")
+    ).agg(
+        F.count("*").alias("n"),
+        r4(F.min("value")).alias("min_value"),
+        r4(F.max("value")).alias("max_value"),
+        r4(F.avg("value")).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 / W4 — analytic windows over the daily series
+# ---------------------------------------------------------------------------
+
+_DAILY_SQL = """
+    daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+               {AVG} AS avg_value
+        FROM events
+        GROUP BY event_type, date_trunc('day', ts)
+    )
+""".format(AVG=r4sql("AVG(value)"))
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("bucket_ts")
+    ).agg(r4(F.avg("value")).alias("avg_value"))
+
+
+@register(
+    "w3_lag_delta",
+    f"""
+    WITH {_DAILY_SQL}
+    SELECT event_type, bucket_ts, avg_value,
+           LAG(avg_value) OVER w AS prev_value,
+           {r4sql("avg_value - LAG(avg_value) OVER w")} AS delta
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+    """,
+    doc="W3 — day-over-day price delta per series: lag window over the "
+    "bucketed aggregate (partitioned by series key — no global sort).",
+    tags=("window", "timeseries"),
+)
+def w3_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("event_type").orderBy("bucket_ts")
+    prev = F.lag("avg_value").over(w)
+    return (
+        _daily(spark, sf_dir)
+        .withColumn("prev_value", prev)
+        .withColumn("delta", r4(F.col("avg_value") - prev))
+    )
+
+
+@register(
+    "w4_moving_avg",
+    f"""
+    WITH {_DAILY_SQL}
+    SELECT event_type, bucket_ts, avg_value,
+           {r4sql('''AVG(avg_value) OVER (
+                PARTITION BY event_type ORDER BY bucket_ts
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)''')} AS moving_avg
+    FROM daily
+    """,
+    doc="W4 — trailing 7-day moving average per series (frame-spec "
+    "window over the daily aggregate).",
+    tags=("window", "timeseries"),
+)
+def w4_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(-6, 0)
+    )
+    return _daily(spark, sf_dir).withColumn(
+        "moving_avg", r4(F.avg("avg_value").over(w))
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2 — watermark dedup (batch form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t2_watermark_dedup",
+    """
+    SELECT event_id, user_id, event_type, ts FROM (
+        SELECT event_id, user_id, event_type, ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type, date_trunc('day', ts)
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="T2 — watermark dedup, batch form: first event per (user, "
+    "type, day), survivor chosen by deterministic order (the "
+    "lastModified-skip semantics; never dropDuplicates).",
+    tags=("dedup", "timeseries"),
+)
+def t2_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    return ts_ops.watermark_dedup(
+        ev,
+        keys=["user_id", "event_type", "day"],
+        order=[F.col("ts").asc(), F.col("event_id").asc()],
+    ).select("event_id", "user_id", "event_type", "ts")
+
+
+# ---------------------------------------------------------------------------
+# T4 — session windows (gaps-and-islands, dialect-identical)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t4_session_gaps",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         > {SESSION_GAP_MIN} * 60 * 1000000
+                    OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    doc="T4 — session windows (30-min inactivity gap) via "
+    "gaps-and-islands: lag + cumulative sum, partitioned per user. "
+    "Microsecond-exact gap arithmetic on both engines.",
+    tags=("window", "timeseries", "session"),
+)
+def t4_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts"))
+    ).over(w)
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    numbered = ev.withColumn(
+        "session_id",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )

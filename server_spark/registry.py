@@ -77,6 +77,7 @@ def _ensure_loaded() -> None:
     from server_spark.queries import (  # noqa: F401
         core,
         extensions,
+        functions_q,
         joins_sets,
         timeseries,
     )

@@ -92,6 +92,21 @@ LINEITEM = T.StructType(
     ]
 )
 
+# events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+# rejects as TimestampType; we read the raw int64 nanos and convert to
+# a microsecond timestamp in tables.load (floor division, matching
+# DuckDB's ns→µs truncation so oracle comparisons agree).
+EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
 EVENTS = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

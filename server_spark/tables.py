@@ -13,8 +13,9 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from server_spark.schemas import TABLE_SCHEMAS
+from server_spark.schemas import EVENTS_RAW, TABLE_SCHEMAS
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -26,6 +27,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_SCHEMAS)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS): read the raw int64 and floor
+        # to µs (`div` keeps it in exact integer arithmetic — a double
+        # division would lose precision above 2^53).
+        return (
+            spark.read.schema(EVENTS_RAW)
+            .parquet(path)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
     return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
 
 

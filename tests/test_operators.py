@@ -1,0 +1,84 @@
+"""Golden tests for join/time-series operators on hand-built frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from server_spark.operators import joins, timeseries as ts_ops
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_snapshot_churn_golden(spark):
+    prev = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    nxt = spark.createDataFrame([(2,), (3,), (4,)], "id long")
+    got = {r["id"]: r["status"] for r in joins.snapshot_churn(prev, nxt, "id").collect()}
+    assert got == {1: "removed", 2: "persisting", 3: "persisting", 4: "new"}
+
+
+def test_asof_align_golden(spark):
+    clicks = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T10:00:00")),
+            (2, 10, _ts("2024-01-01T12:00:00")),
+            (3, 20, _ts("2024-01-01T09:00:00")),  # before any purchase
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    purchases = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T09:30:00"), 5.0),
+            (10, _ts("2024-01-01T11:00:00"), 7.0),
+            (20, _ts("2024-01-01T10:00:00"), 9.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        r["event_id"]: r["last_purchase_value"]
+        for r in joins.asof_align(
+            clicks, purchases, on="user_id", ts="ts", value="value", out="last_purchase_value"
+        ).collect()
+    }
+    assert got == {1: 5.0, 2: 7.0, 3: None}
+
+
+def test_sessionize_golden(spark):
+    rows = [
+        # user 1: two sessions (gap of 45 min between event 2 and 3)
+        (1, 1, _ts("2024-01-01T10:00:00")),
+        (2, 1, _ts("2024-01-01T10:10:00")),
+        (3, 1, _ts("2024-01-01T10:55:00")),
+        # user 2: one session
+        (4, 2, _ts("2024-01-01T08:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = ts_ops.sessionize(df, "user_id", "ts", gap_minutes=30).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(by_user[1]) == [1, 2]
+    assert by_user[2] == [1]
+
+
+def test_watermark_dedup_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 5), (3, "b", 7)],
+        "event_id long, k string, v long",
+    )
+    out = ts_ops.watermark_dedup(
+        df, keys=["k"], order=[F.col("event_id").asc()]
+    ).collect()
+    assert {r["event_id"] for r in out} == {1, 3}
+
+
+def test_band_join_golden(spark):
+    facts = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 50.0)], "id long, v double")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("high", 10.0, 100.0)], "band string, lo double, hi double"
+    )
+    got = {r["id"]: r["band"] for r in joins.band_join(facts, bands, "v").collect()}
+    assert got == {1: "low", 2: "high", 3: "high"}
