@@ -14,10 +14,20 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Make the repo importable no matter where the driver launched from.
+# Make the repo importable no matter where the driver launched from —
+# both in this process and (via PYTHONPATH, if the SparkSession isn't
+# up yet) in Spark's Python workers.
+import os  # noqa: E402
+
 _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
+if _REPO not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = (
+        _REPO + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else _REPO
+    )
 
 from server_spark import registry  # noqa: E402
 

@@ -1,0 +1,118 @@
+"""SimHash near-duplicate fingerprinting (EXT).
+
+64-bit SimHash: hash each token to 64 bits, sum signed bit
+contributions across tokens, take the sign per bit. Near-dups have
+small Hamming distance between fingerprints. Everything stays in
+JVM built-ins: xxhash64 for token hashes, bit arithmetic via shifts —
+no Python UDF, so at 100 TB this is a pure narrow map over documents
+followed by (optionally) a banded self-join on fingerprint prefixes.
+
+Engine-specific hash (Spark xxhash64) → rows-only for the oracle;
+semantics asserted in unit tests (identical docs → identical
+fingerprint; near-identical docs → small Hamming distance).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def simhash64(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One (id, simhash) row per document."""
+    tokens = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    # per (doc, bit): contribution ±1 depending on the token-hash bit
+    contribs = tokens.select(
+        id_col,
+        *[
+            (
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+                .alias(f"b{i}")
+            )
+            for i in range(64)
+        ],
+    )
+    sums = contribs.groupBy(id_col).agg(
+        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(64)]
+    )
+    fingerprint = reduce(
+        lambda acc, i: acc.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i)).otherwise(0)
+            if i < 63
+            # bit 63 would overflow a signed long via (1<<63); use shiftleft
+            else F.when(F.col("b63") > 0, F.shiftleft(F.lit(1).cast("long"), 63)).otherwise(0)
+        ),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    return sums.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def hamming_pairs(
+    fingerprints: DataFrame, max_distance: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Pairs within Hamming distance. Exact form is a self cross-join —
+    fine at test scale; the scale path bands the 64 bits into k chunks
+    (near-dups within d bits must share ≥1 of d+1 chunks exactly) and
+    equi-joins per chunk."""
+    a = fingerprints.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("ha"))
+    b = fingerprints.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_distance)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def banded_hamming_pairs(
+    fingerprints: DataFrame, max_distance: int, n_bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scale path: band the 64-bit fingerprint into ``n_bands`` chunks;
+    any pair within ``max_distance < n_bands`` Hamming bits must agree
+    exactly on at least one chunk (pigeonhole), so candidates come from
+    ``n_bands`` equi-joins instead of a cross-join."""
+    width = 64 // n_bands
+    banded = fingerprints.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select(id_col, "simhash", "bc.band", "bc.chunk")
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("ha"), "band", "chunk"
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("hb"), "band", "chunk"
+    )
+    cands = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_distance)
+        .select("doc_a", "doc_b", "hamming")
+    )

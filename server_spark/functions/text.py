@@ -1,0 +1,74 @@
+"""Fuzzy-match ranking (D2 — SURVEY.md §2.10).
+
+The reference ranks search matches with `renstrom/fuzzysearch`'s
+`RankMatchFold` [H]: case-folded subsequence match, ranked by a
+Levenshtein-style distance; non-matches rank -1. The oracle-checked
+search query uses plain `levenshtein` (f3_levenshtein_rank); this
+module provides the exact-semantics variant as an Arrow-batched
+pandas_udf (rows-only check) for users who need reference parity.
+
+Public-knowledge semantics implemented here (fuzzysearch is MIT, the
+algorithm is textbook): rank = Levenshtein distance between the
+needle and the matched source, computed only when the needle is a
+(case-folded) subsequence of the source; else -1.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def rank_match_fold(needle: str) -> Column:
+    """Column factory: pandas_udf ranking a string column against a
+    fixed needle with RankMatchFold semantics.
+
+    All helpers live INSIDE the udf so cloudpickle ships them by value
+    (Spark Python workers may not have ``server_spark`` importable —
+    the driver contract allows arbitrary launch cwd).
+    """
+    n = needle.lower()
+
+    @pandas_udf("long")
+    def _rank(source: pd.Series) -> pd.Series:
+        def is_subsequence(needle_s: str, hay: str) -> bool:
+            it = iter(hay)
+            return all(c in it for c in needle_s)
+
+        def levenshtein(a: str, b: str) -> int:
+            if len(a) < len(b):
+                a, b = b, a
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                    )
+                prev = cur
+            return prev[-1]
+
+        def one(s: str) -> int:
+            if s is None:
+                return -1
+            low = s.lower()
+            if not is_subsequence(n, low):
+                return -1
+            return levenshtein(n, low)
+
+        return source.map(one).astype("int64")
+
+    return _rank
+
+
+def fuzzy_search(df, col: str, needle: str, k: int = 10):
+    """Reference search path with exact fuzzy semantics: rank all
+    candidates, keep matches, top-k by (rank, value)."""
+    ranked = df.withColumn("rank", rank_match_fold(needle)(F.col(col)))
+    return (
+        ranked.filter(F.col("rank") >= 0)
+        .orderBy(F.col("rank").asc(), F.col(col).asc())
+        .limit(k)
+    )

@@ -1,2 +1,404 @@
 """EXT queries: dedup, similarity search, text analysis, multimodal
-(SURVEY.md §2 EXT rows) — filled in milestone 3."""
+(SURVEY.md §2 EXT rows, §7.4) — the training-data-pipeline surface
+over ``documents`` and ``embeddings``.
+
+Engine-specific hashing (MinHash, SimHash, LSH planes) and pandas_udf
+paths are rows-only; everything else carries a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from server_spark import tables
+from server_spark.dedup import exact as ex
+from server_spark.dedup import minhash as mh
+from server_spark.dedup import ngram as ng
+from server_spark.dedup import simhash as sh
+from server_spark.parity import r4, r4sql
+from server_spark.registry import register
+from server_spark.similarity import cosine as cos
+from server_spark.textstats import analysis as tx
+
+N_QUERY_VECS = 5          # query set for top-k similarity
+TOPK = 10
+NEARDUP_COS = 0.35        # embedding near-dup threshold (max ≈ 0.51)
+JACCARD_MIN = 0.2         # n-gram near-dup threshold
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# x1 — exact dedup (hash groupBy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x1_exact_dedup",
+    r"""
+    SELECT sha256(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g'))
+               AS content_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="EXT x1 — exact dedup: sha256 of normalized text, one group "
+    "per distinct content, deterministic canonical survivor (min id).",
+    tags=("ext", "dedup"),
+)
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ex.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x2 — n-gram Jaccard near-dup (exact inverted-index form)
+# ---------------------------------------------------------------------------
+
+_X2_SQL = rf"""
+    WITH w AS (
+        SELECT doc_id,
+               generate_subscripts(string_split_regex(LOWER(TRIM(text)), '\s+'), 1) AS pos,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS word
+        FROM documents
+    ),
+    sh0 AS (
+        SELECT doc_id,
+               word || ' ' || LEAD(word, 1) OVER win || ' ' || LEAD(word, 2) OVER win AS shingle,
+               LEAD(word, 2) OVER win AS last2
+        FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE last2 IS NOT NULL),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_MIN}
+"""
+
+
+@register(
+    "x2_ngram_jaccard",
+    _X2_SQL,
+    doc="EXT x2 — word-3-gram Jaccard near-dup pairs via the inverted "
+    "shingle index (exact form; MinHash banding is the scale path).",
+    tags=("ext", "dedup"),
+)
+def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ng.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=JACCARD_MIN)
+
+
+# ---------------------------------------------------------------------------
+# x3 — brute-force cosine top-k (similarity search baseline)
+# ---------------------------------------------------------------------------
+
+_EE_SQL = """
+    ee AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ee GROUP BY vec_id)
+"""
+
+_X3_SQL = f"""
+    WITH {_EE_SQL},
+    q AS (SELECT vec_id, i, v FROM ee WHERE vec_id < {N_QUERY_VECS}),
+    dots AS (
+        SELECT q.vec_id AS qid, e.vec_id AS vid, SUM(q.v * e.v) AS dot
+        FROM q JOIN ee e USING (i)
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT qid AS query_id, vid AS vec_id,
+               {r4sql("dot / (nq.nrm * ne.nrm)")} AS score
+        FROM dots
+        JOIN norms nq ON qid = nq.vec_id
+        JOIN norms ne ON vid = ne.vec_id
+        WHERE qid <> vid
+    )
+    SELECT query_id, vec_id, score, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, vec_id
+        ) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TOPK}
+"""
+
+
+@register(
+    "x3_cosine_topk",
+    _X3_SQL,
+    doc="EXT x3 — brute-force cosine top-k per query vector: zip_with/"
+    "aggregate dot products (JVM, no UDF), per-query window ranking on "
+    "canonically-rounded scores with vec_id tiebreak.",
+    tags=("ext", "similarity"),
+)
+def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cos.brute_force_topk(emb, queries, k=TOPK)
+
+
+# ---------------------------------------------------------------------------
+# x10 — embedding-cosine near-dup pairs
+# ---------------------------------------------------------------------------
+
+_X10_SQL = f"""
+    WITH {_EE_SQL},
+    dots AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
+        FROM ee a JOIN ee b USING (i)
+        WHERE a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT vec_a, vec_b, {r4sql("dot / (na.nrm * nb.nrm)")} AS score
+        FROM dots
+        JOIN norms na ON vec_a = na.vec_id
+        JOIN norms nb ON vec_b = nb.vec_id
+    )
+    SELECT vec_a, vec_b, score FROM scored WHERE score >= {NEARDUP_COS}
+"""
+
+
+@register(
+    "x10_embedding_neardup",
+    _X10_SQL,
+    doc="EXT x10 — embedding-cosine near-duplicate pairs above "
+    "threshold, computed as a block-matrix self-product (numpy matmul "
+    "per block pair inside mapInPandas; no O(N²) row explosion).",
+    tags=("ext", "dedup", "similarity"),
+)
+def x10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cos.neardup_pairs_blocked(_emb(spark, sf_dir), threshold=NEARDUP_COS)
+
+
+# ---------------------------------------------------------------------------
+# x4 — text quality metrics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x4_text_quality",
+    r"""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_m,
+           len(string_split_regex(LOWER(TRIM(text)), '\s+')) AS n_tokens,
+           CAST(LENGTH(regexp_replace(text, '[^\s]', '', 'g'))
+                AS DOUBLE) / LENGTH(text) AS space_ratio,
+           CAST(LENGTH(regexp_replace(LOWER(text), '[^a-z]', '', 'g'))
+                AS DOUBLE) / LENGTH(text) AS alpha_ratio
+    FROM documents
+    """,
+    doc="EXT x4 — per-document quality features (length, token count, "
+    "whitespace/alpha ratios): C4/Gopher-style pre-filters as pure "
+    "narrow maps.",
+    tags=("ext", "textstats"),
+)
+def x4_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_space = F.length(F.regexp_replace(t, r"[^\s]", ""))
+    n_alpha = F.length(F.regexp_replace(F.lower(t), r"[^a-z]", ""))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        tx.token_count().alias("n_tokens"),
+        (n_space.cast("double") / n_chars).alias("space_ratio"),
+        (n_alpha.cast("double") / n_chars).alias("alpha_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x5 — language-ID heuristic
+# ---------------------------------------------------------------------------
+
+_MARKER_SQL = {
+    lang: ", ".join(f"'{m}'" for m in markers)
+    for lang, markers in tx.LANG_MARKERS.items()
+}
+
+_X5_SQL = rf"""
+    WITH c AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                   x -> x IN ({_MARKER_SQL['de']}))) AS c_de,
+               len(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                   x -> x IN ({_MARKER_SQL['en']}))) AS c_en,
+               len(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                   x -> x IN ({_MARKER_SQL['es']}))) AS c_es,
+               len(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                   x -> x IN ({_MARKER_SQL['fr']}))) AS c_fr
+        FROM documents
+    )
+    SELECT doc_id, lang AS tagged_lang,
+           CASE WHEN GREATEST(c_de, c_en, c_es, c_fr) <= 0 THEN 'und'
+                WHEN c_de = GREATEST(c_de, c_en, c_es, c_fr) THEN 'de'
+                WHEN c_en = GREATEST(c_de, c_en, c_es, c_fr) THEN 'en'
+                WHEN c_es = GREATEST(c_de, c_en, c_es, c_fr) THEN 'es'
+                ELSE 'fr' END AS guessed_lang
+    FROM c
+"""
+
+
+@register(
+    "x5_langid_heuristic",
+    _X5_SQL,
+    doc="EXT x5 — stopword-vote language ID (n-gram-heuristic class); "
+    "deterministic alphabetical tie-break, 'und' when no markers hit.",
+    tags=("ext", "textstats"),
+)
+def x5_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("lang").alias("tagged_lang"),
+        tx.langid_heuristic().alias("guessed_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x6 — document fingerprint; x7 — token counting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x6_doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g'))
+               AS fingerprint
+    FROM documents
+    """,
+    doc="EXT x6 — content fingerprint (md5 of normalized text); the "
+    "SimHash variant is x9 (rows-only).",
+    tags=("ext", "textstats"),
+)
+def x6_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", tx.fingerprint().alias("fingerprint"))
+
+
+@register(
+    "x7_token_counts",
+    rf"""
+    SELECT doc_id,
+           len(string_split_regex(LOWER(TRIM(text)), '\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(LOWER(text), '{tx.TOKEN_REGEX}'))
+               AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="EXT x7 — token counting: whitespace tokens and BPE-ish "
+    "pre-tokenizer regex tokens per document.",
+    tags=("ext", "textstats"),
+)
+def x7_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        tx.token_count().alias("n_ws_tokens"),
+        tx.bpe_token_count().alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only EXT operators (engine-specific hashing / UDF paths)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x8_minhash_neardup",
+    None,  # Spark ML MinHashLSH hashing is engine-specific
+    doc="EXT x8 — MinHash LSH near-dup candidates (the 100 TB dedup "
+    "path: universal-hash signatures in one hash-agg, banding → "
+    "equi-join). Rows-only; validated against exact Jaccard in tests.",
+    tags=("ext", "dedup", "rows-only"),
+)
+def x8_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mh.minhash_candidates(
+        _docs(spark, sf_dir), n=3, num_hashes=32, n_bands=8, min_est=0.25
+    ).select("doc_a", "doc_b", r4("jaccard_est").alias("jaccard_est"))
+
+
+@register(
+    "x9_simhash_fingerprint",
+    None,  # xxhash64 is Spark-specific
+    doc="EXT x9 — 64-bit SimHash fingerprints (JVM bit arithmetic, no "
+    "UDF); banded Hamming join is the near-dup scale path.",
+    tags=("ext", "dedup", "rows-only"),
+)
+def x9_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sh.simhash64(_docs(spark, sf_dir))
+
+
+def _seeded_tables(
+    n_tables: int = 8, n_planes: int = 3, dim: int = 64, seed: int = 7
+) -> list[list[list[float]]]:
+    """Independent hyperplane sets for multi-table LSH (fixed seed so
+    results are reproducible run-to-run)."""
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+
+@register(
+    "x11_lsh_cosine_topk",
+    None,  # plane choice is engine-side state
+    doc="EXT x11 — LSH-bucketed approximate top-k (random hyperplane "
+    "signatures → bucket equi-join): the ANN scale path for x3.",
+    tags=("ext", "similarity", "rows-only"),
+)
+def x11_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cos.lsh_topk(emb, queries, _seeded_tables(), k=TOPK, dim=64)
+
+
+@register(
+    "x12_multimodal_meta",
+    None,  # mapInPandas decode stub
+    doc="EXT x12 — multimodal binary-column plumbing: Arrow-batched "
+    "mapInPandas metadata/decode extraction (decode stubbed; schema, "
+    "batching and partitioning real).",
+    tags=("ext", "multimodal", "rows-only"),
+)
+def x12_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.multimodal.binary import extract_media_meta, synthetic_media
+
+    return extract_media_meta(synthetic_media(_docs(spark, sf_dir)))
+
+
+@register(
+    "f3b_fuzzy_rank_udf",
+    None,  # pandas_udf re-implementation of RankMatchFold
+    doc="D2 — exact RankMatchFold fuzzy search parity (subsequence "
+    "gate + Levenshtein rank) as an Arrow-batched pandas_udf.",
+    tags=("ext", "search", "rows-only"),
+)
+def f3b_fuzzy_rank_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.functions.text import fuzzy_search
+
+    part = tables.load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("item"), F.col("p_name").alias("item_name")
+    )
+    return fuzzy_search(part, "item_name", "widget", k=10)

@@ -1,0 +1,313 @@
+"""Similarity search over embedding columns (EXT).
+
+Brute-force cosine top-k is the correctness baseline: dot products via
+`zip_with` + `aggregate` (JVM higher-order functions, Arrow-free, no
+Python in the hot path), ranking via per-query windows. The scale path
+is random-hyperplane LSH bucketing: sign-bit signatures turn the
+all-pairs search into an equi-join on buckets, probing only collision
+candidates — at 1B vectors the cross product is infeasible, the
+bucketed join is a shuffle on (bucket) with tunable recall via
+signature bits / probe tables.
+
+Scores are ranked on canonically-rounded values with vec_id tiebreaks
+so result sets are deterministic and engine-comparable (parity.r4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from server_spark.parity import r4
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    """Σ aᵢ·bᵢ in double, sequential fold (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: str | Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def dot_fixed(a: str | Column, b: str | Column, dim: int) -> Column:
+    """Σ aᵢ·bᵢ as an unrolled ``dim``-term expression. Unlike the
+    `aggregate` fold (interpreted per element), this stays inside
+    whole-stage codegen — ~20× faster on all-pairs scoring. Left-assoc
+    addition in index order ⇒ bit-identical to the sequential fold and
+    to the oracle's ordered SUM."""
+    terms = [
+        F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
+        for i in range(dim)
+    ]
+    s = terms[0]
+    for t in terms[1:]:
+        s = s + t
+    return s
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k neighbors per query vector by cosine, excluding self.
+
+    The query set is small → broadcast; the corpus is scanned once
+    with its norms computed once (not once per query); rank on
+    (rounded score desc, vec_id) for determinism.
+    """
+    corpus = embeddings.select(
+        F.col(id_col), F.col(vec_col), norm(vec_col).alias("_cn")
+    )
+    qs = queries.select(
+        F.col(qid_col), F.col(qvec_col), norm(qvec_col).alias("_qn")
+    )
+    scored = corpus.crossJoin(F.broadcast(qs)).select(
+        F.col(qid_col),
+        F.col(id_col),
+        r4(
+            dot(vec_col, qvec_col) / (F.col("_cn") * F.col("_qn"))
+        ).alias("score"),
+    )
+    scored = scored.filter(F.col(qid_col) != F.col(id_col))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(qid_col, id_col, "score", "rnk")
+    )
+
+
+def neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, score ≥ t).
+
+    Norms are computed ONCE per vector before the pair join (the naive
+    per-pair cosine recomputes both norms for every pair — 3× the
+    flops); with ``dim`` given, the dot product is the unrolled codegen
+    form. All-pairs is the exact baseline; LSH bucketing (lsh_topk's
+    signature machinery) is the scale path.
+    """
+    base = embeddings.select(
+        F.col(id_col), F.col(vec_col), norm(vec_col).alias("nrm")
+    )
+    a = base.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    d = dot_fixed("ea", "eb", dim) if dim else dot("ea", "eb")
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            r4(d / (F.col("na") * F.col("nb"))).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def neardup_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine near-dup via BLOCK MATRIX product — the scale
+    form of ``neardup_pairs``.
+
+    Vectors are packed into ``n_blocks`` groups; the (i ≤ j) block-pair
+    grid is a tiny self-join of packed rows; each grid cell is scored
+    as one numpy matmul inside mapInPandas (Arrow-batched, executor-
+    side — the driver never sees a vector). Shuffle volume is
+    n_blocks× the corpus (each block joins n_blocks/2 partners), and
+    per-task memory is two blocks — pick n_blocks so a block fits
+    comfortably (e.g. ≤256 MB). Row-explosion of the naive pair join
+    (O(N²) rows of array copies) never materializes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        (F.col(id_col) % n_blocks).alias("blk"),
+    )
+    packed = e.groupBy("blk").agg(
+        F.collect_list(F.struct("id", "vec")).alias("rows")
+    )
+    a = packed.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
+    b = packed.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    grid = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+
+    def score(batches):
+        for pdf in batches:
+            out_a, out_b, out_s = [], [], []
+            for _, row in pdf.iterrows():
+                ids_a = np.array([r["id"] for r in row["rows_a"]], dtype=np.int64)
+                mat_a = np.array([r["vec"] for r in row["rows_a"]], dtype=np.float64)
+                ids_b = np.array([r["id"] for r in row["rows_b"]], dtype=np.int64)
+                mat_b = np.array([r["vec"] for r in row["rows_b"]], dtype=np.float64)
+                na = np.linalg.norm(mat_a, axis=1)
+                nb = np.linalg.norm(mat_b, axis=1)
+                s = (mat_a @ mat_b.T) / np.outer(na, nb)
+                # canonical rounding (parity.r4 analog); boundary-exact
+                # divergence from the decimal-snap form is measure-zero
+                # for continuous scores
+                s = np.round(np.round(s, 10), 4)
+                if row["blk_a"] == row["blk_b"]:
+                    # diagonal cell: each unordered pair appears twice
+                    mask = ids_a[:, None] < ids_b[None, :]
+                else:
+                    # off-diagonal cell: every (a, b) is a distinct
+                    # unordered pair; normalize to (min, max)
+                    mask = np.ones((len(ids_a), len(ids_b)), dtype=bool)
+                ia, ib = np.nonzero((s >= threshold) & mask)
+                pa, pb = ids_a[ia], ids_b[ib]
+                out_a.append(np.minimum(pa, pb))
+                out_b.append(np.maximum(pa, pb))
+                out_s.append(s[ia, ib])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.concatenate(out_a),
+                        "vec_b": np.concatenate(out_b),
+                        "score": np.concatenate(out_s),
+                    }
+                )
+
+    return grid.mapInPandas(score, "vec_a long, vec_b long, score double")
+
+
+def hyperplane_signature(
+    vec_col: str | Column, planes: list[list[float]]
+) -> Column:
+    """LSH bucket id: sign bits of projections onto random hyperplanes
+    packed into a long. Pure JVM expression — a narrow map at any scale."""
+    bits = []
+    for i, p in enumerate(planes):
+        # unrolled codegen sum (see dot_fixed) — the fold form leaves
+        # whole-stage codegen and is ~20× slower per signature
+        terms = [
+            F.element_at(vec_col, j + 1).cast("double") * F.lit(float(x))
+            for j, x in enumerate(p)
+        ]
+        proj = terms[0]
+        for t in terms[1:]:
+            proj = proj + t
+        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out.cast("long")
+
+
+def _with_signatures(
+    df: DataFrame, vec_col: str, tables: list[list[list[float]]], out: str
+) -> DataFrame:
+    """Append an array column of per-table LSH bucket ids, computed as
+    one numpy matmul over all tables' planes per Arrow batch (a narrow
+    map — scan-speed at any corpus size)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    planes = [np.array(t, dtype=np.float64) for t in tables]
+    weights = [1 << np.arange(p.shape[0], dtype=np.int64) for p in planes]
+    schema = T.StructType(list(df.schema) + [T.StructField(out, T.ArrayType(T.LongType()))])
+
+    def gen(batches):
+        for pdf in batches:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            sigs = [((mat @ p.T) >= 0) @ w for p, w in zip(planes, weights)]
+            pdf = pdf.copy()
+            pdf[out] = list(np.stack(sigs, axis=1)) if sigs else [[]] * len(pdf)
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    tables: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k with multi-table LSH: a corpus vector is a
+    candidate if it collides with the query in ANY table, then
+    candidates are re-ranked by exact cosine.
+
+    Signatures: one numpy pass (mapInPandas). Candidate generation:
+    explode (table, bucket) and equi-join — no cross product ever
+    materializes. The recall/cost dial at corpus scale: more tables →
+    higher recall; more planes per table → smaller buckets.
+    """
+    e = _with_signatures(
+        embeddings.select(id_col, vec_col).withColumn("_nrm", norm(vec_col)),
+        vec_col, tables, "_sig",
+    ).select(
+        id_col, vec_col, "_nrm",
+        F.posexplode("_sig").alias("_tbl", "_bucket"),
+    )
+    q = _with_signatures(
+        queries.select(qid_col, qvec_col).withColumn("_qn", norm(qvec_col)),
+        qvec_col, tables, "_sig",
+    ).select(
+        qid_col, qvec_col, "_qn",
+        F.posexplode("_sig").alias("_tbl", "_bucket"),
+    )
+    cand = (
+        e.join(F.broadcast(q), ["_tbl", "_bucket"])
+        .filter(F.col(qid_col) != F.col(id_col))
+        .dropDuplicates([qid_col, id_col])
+    )
+    d = dot_fixed(vec_col, qvec_col, dim) if dim else dot(vec_col, qvec_col)
+    scored = cand.select(
+        F.col(qid_col),
+        F.col(id_col),
+        r4(d / (F.col("_nrm") * F.col("_qn"))).alias("score"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(qid_col, id_col, "score", "rnk")
+    )
