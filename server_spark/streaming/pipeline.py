@@ -1,0 +1,165 @@
+"""Structured Streaming forms of the reference's polling intake
+(SURVEY.md §2.9). The reference ticks a poller, checks lastModified,
+downloads dumps, recomputes aggregates (`state_collector.go` [M]);
+the streaming re-expression is:
+
+    file source (new dump files appear)           = T1 trigger
+    withWatermark + dropDuplicates on dump key    = T2 watermark dedup
+    window(dump_ts, 1h) price aggregation         = T3 tumbling agg
+    transformWithStateInPandas / applyInPandas-
+    WithState per-item price state                = T5 stateful churn
+
+Batch jobs remain the primary orchestration (BASELINE.json); these
+pipelines prove the same operators run incrementally with checkpoints
+— on a cluster you'd point the source at the landing bucket and the
+sink at the gold table, and the medallion becomes continuous.
+
+Scale notes: the file source lists incrementally (maxFilesPerTrigger
+bounds batch size); state stores are keyed by (region, realm, item) —
+high cardinality, uniformly spread, RocksDB state backend at scale;
+watermark bounds state growth for both dedup and windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from server_spark.schemas import AUCTION
+
+
+def read_auction_stream(
+    spark: SparkSession, input_dir: str, max_files: int = 10
+) -> DataFrame:
+    """T1 — incremental dump ingestion: each parquet file landing in
+    ``input_dir`` is one realm dump (the lastModified poll becomes
+    file-arrival semantics)."""
+    return (
+        spark.readStream.schema(AUCTION)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_dir)
+    )
+
+
+def dedup_dumps(stream: DataFrame, late: str = "2 hours") -> DataFrame:
+    """T2 — watermark dedup: a dump re-delivered (the reference's
+    `lastModified <= stored` skip) is dropped; watermark bounds the
+    dedup state."""
+    return stream.withWatermark("dump_ts", late).dropDuplicates(
+        ["region", "realm_slug", "dump_ts", "auc"]
+    )
+
+
+def hourly_price_stream(stream: DataFrame, late: str | None = None) -> DataFrame:
+    """T3 — tumbling-window per-item price aggregation: the streaming
+    form of the pricelist-history append (gold layer, incremental).
+
+    A watermark is REQUIRED for the append-mode window agg; pass
+    ``late`` to set one here, or leave None when the input is already
+    watermarked (e.g. composed after ``dedup_dumps`` — Spark disallows
+    redefining a watermark mid-pipeline).
+    """
+    per = F.col("buyout") / F.col("quantity")
+    base = stream.filter(F.col("buyout") > 0)
+    if late is not None:
+        base = base.withWatermark("dump_ts", late)
+    return (
+        base.groupBy(
+            F.window("dump_ts", "1 hour").alias("win"),
+            "region",
+            "realm_slug",
+            "item",
+        )
+        .agg(
+            F.min(per).alias("min_buyout_per"),
+            F.max(per).alias("max_buyout_per"),
+            F.avg(per).alias("average_buyout_per"),
+            F.sum("quantity").alias("volume"),
+        )
+        .select(
+            F.col("win.start").alias("bucket_ts"),
+            "region", "realm_slug", "item",
+            "min_buyout_per", "max_buyout_per", "average_buyout_per", "volume",
+        )
+    )
+
+
+def price_delta_stateful(stream: DataFrame) -> DataFrame:
+    """T5 — custom stateful operator: per (region, realm, item), track
+    the last observed average price across micro-batches and emit the
+    delta vs the previous snapshot (the reference's prev-vs-next churn
+    state, kept in the streaming state store instead of Bolt).
+
+    Implemented with applyInPandasWithState; state = (last_avg,).
+    All logic is defined inside the closure (workers must not need
+    server_spark importable).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "region string, realm_slug string, item long, dump_ts timestamp, "
+        "avg_buyout_per double, prev_avg double, delta double"
+    )
+    state_schema = "last_avg double"
+
+    # NB: Spark disallows applyInPandasWithState AFTER a streaming
+    # aggregation, so the per-snapshot averaging happens inside the
+    # stateful function (each group's rows per micro-batch are one
+    # realm-item's auctions — small by construction).
+    base = (
+        stream.filter(F.col("buyout") > 0)
+        .withWatermark("dump_ts", "2 hours")
+        .select(
+            "region", "realm_slug", "item", "dump_ts",
+            (F.col("buyout") / F.col("quantity")).alias("per"),
+        )
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs))
+        snaps = (
+            rows.groupby("dump_ts", as_index=False)["per"].mean()
+            .sort_values("dump_ts")
+        )
+        last = state.get[0] if state.exists else None
+        out = []
+        for r in snaps.itertuples():
+            prev = last
+            delta = None if prev is None else r.per - prev
+            out.append((key[0], key[1], key[2], r.dump_ts, r.per, prev, delta))
+            last = r.per
+        state.update((float(last),))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "region", "realm_slug", "item", "dump_ts",
+                "avg_buyout_per", "prev_avg", "delta",
+            ],
+        )
+
+    return base.groupBy("region", "realm_slug", "item").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str, mode: str = "append"
+):
+    """Drain all currently-available input (availableNow trigger) into
+    a parquet sink with exactly-once checkpointing; returns the query
+    (caller awaits termination). This is the batch-boundary-friendly
+    way to run a continuous pipeline N times a day."""
+    return (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,97 @@
+"""End-to-end medallion pipeline test: synthetic realm dumps →
+bronze → silver → gold (prices + churn) → retention prune."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from server_spark.plans import medallion as med
+from server_spark.schemas import AUCTION
+
+
+def _dumps(spark):
+    """Two realms × two snapshots; realm r1 has overlapping auc sets
+    across snapshots (churn), realm r2 one snapshot only."""
+    t0 = dt.datetime(2024, 1, 1, 10)
+    t1 = dt.datetime(2024, 1, 1, 11)
+    rows = [
+        # auc, item, owner, realm, bid, buyout, qty, tl, region, slug, ts
+        (1, 100, "a", "r1", 9, 100, 1, "LONG", "eu", "r1", t0),
+        (2, 100, "a", "r1", 9, 100, 1, "LONG", "eu", "r1", t0),
+        (3, 200, "b", "r1", 9, 600, 2, "LONG", "eu", "r1", t0),
+        # snapshot t1: auc 1 persists, 2/3 removed, 4 new
+        (1, 100, "a", "r1", 9, 100, 1, "LONG", "eu", "r1", t1),
+        (4, 200, "b", "r1", 9, 900, 3, "LONG", "eu", "r1", t1),
+        # other realm
+        (10, 100, "c", "r2", 9, 500, 5, "SHORT", "us", "r2", t0),
+        # zero-buyout excluded from gold stats
+        (11, 300, "c", "r2", 9, 0, 1, "SHORT", "us", "r2", t0),
+    ]
+    return spark.createDataFrame(rows, AUCTION)
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("medallion"))
+    paths = med.run_all(spark, _dumps(spark), root)
+    return paths
+
+
+def test_bronze_partition_layout(spark, pipeline):
+    bronze = spark.read.parquet(pipeline.bronze)
+    assert bronze.count() == 7
+    # partition columns survive and prune
+    one = bronze.filter(
+        (F.col("region") == "eu") & (F.col("realm_slug") == "r1")
+    )
+    assert one.count() == 5
+
+
+def test_silver_collapse(spark, pipeline):
+    silver = spark.read.parquet(pipeline.silver)
+    key = silver.filter(
+        (F.col("item") == 100)
+        & (F.col("dump_ts") == dt.datetime(2024, 1, 1, 10))
+        & (F.col("region") == "eu")
+    ).collect()
+    assert len(key) == 1 and key[0]["auc_list"] == [1, 2] and key[0]["auc_count"] == 2
+
+
+def test_gold_prices(spark, pipeline):
+    gold = spark.read.parquet(pipeline.gold_prices)
+    r2 = {r["item"]: r for r in gold.filter(F.col("realm_slug") == "r2").collect()}
+    assert set(r2) == {100}  # zero-buyout item 300 excluded
+    assert r2[100]["volume"] == 5
+    assert r2[100]["median_buyout_per"] == 100.0
+
+
+def test_gold_churn(spark, pipeline):
+    churn = spark.read.parquet(pipeline.gold_churn)
+    rows = churn.collect()
+    # only realm r1 has a consecutive snapshot pair
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_new"], r["n_removed"], r["n_persisting"]) == (1, 2, 1)
+
+
+def test_idempotent_rerun(spark, pipeline):
+    """Re-running silver must not duplicate data (dynamic partition
+    overwrite replaces, never appends)."""
+    before = spark.read.parquet(pipeline.silver).count()
+    med.build_silver(spark, pipeline)
+    after = spark.read.parquet(pipeline.silver).count()
+    assert before == after
+
+
+def test_retention_prune(spark, pipeline):
+    before = spark.read.parquet(pipeline.gold_prices).count()
+    med.prune_retention(spark, pipeline, "2024-01-01")  # keeps all
+    pruned = spark.read.parquet(pipeline.gold_prices + "_pruned")
+    assert pruned.count() == before
+    # a future cutoff drops every partition (nothing left to write)
+    gold = spark.read.parquet(pipeline.gold_prices)
+    kept = gold.filter(F.col("dump_date") >= F.lit("2024-06-01").cast("date"))
+    assert kept.count() == 0
