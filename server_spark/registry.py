@@ -75,6 +75,7 @@ def _ensure_loaded() -> None:
         return
     # Imports deferred to avoid import cycles at package import time.
     from server_spark.queries import (  # noqa: F401
+        codecs,
         core,
         extensions,
         functions_q,
