@@ -80,6 +80,7 @@ def _ensure_loaded() -> None:
         extensions,
         functions_q,
         joins_sets,
+        nested,
         timeseries,
     )
 

@@ -7,13 +7,23 @@ The reference's fact relation is the raw auction row
 forms — a DataFrame projection and a SQL CTE — so every query and its
 DuckDB oracle see the exact same relation:
 
-    auc       := l_orderkey * 10 + l_linenumber   (unique row id)
+    auc       := md5 row id (see below)            (unique row id)
     item      := l_partkey
     owner     := l_suppkey
     buyout    := l_extendedprice
     quantity  := l_quantity
     time_left := l_returnflag   (small string enum, like VERY_LONG…)
     dump_ts   := l_shipdate     (snapshot timestamp analog)
+
+The synthetic lineitem has NO unique natural key — (l_orderkey,
+l_linenumber) repeats (11785 duplicate pairs at sf0.01), so the
+obvious ``orderkey*10+linenumber`` id silently collides. ``auc`` is
+therefore an md5 over (orderkey, linenumber, partkey, suppkey,
+price-cents), verified unique at every sf. Price cents go through a
+DECIMAL(18,2) snap before the integer cast because Spark truncates
+double→bigint while DuckDB rounds (parity.py §rounding); every md5
+input is integer-or-string typed so both engines render identical
+concat strings.
 """
 
 from __future__ import annotations
@@ -27,7 +37,10 @@ from server_spark import tables
 AUCTIONS_SQL_CTE = """
 auctions AS (
     SELECT
-        l_orderkey * 10 + l_linenumber AS auc,
+        md5(concat_ws('|',
+            l_orderkey, l_linenumber, l_partkey, l_suppkey,
+            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        ))                             AS auc,
         l_partkey                      AS item,
         l_suppkey                      AS owner,
         l_extendedprice                AS buyout,
@@ -42,8 +55,21 @@ auctions AS (
 def auctions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load ``lineitem`` projected into the canonical auction shape."""
     li = tables.load(spark, sf_dir, "lineitem")
+    cents = (
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    )
+    row_id = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_partkey").cast("string"),
+            F.col("l_suppkey").cast("string"),
+            cents.cast("string"),
+        )
+    )
     return li.select(
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("auc"),
+        row_id.alias("auc"),
         F.col("l_partkey").alias("item"),
         F.col("l_suppkey").alias("owner"),
         F.col("l_extendedprice").alias("buyout"),

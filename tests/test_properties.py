@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) for the invariants the operators
+must hold on ANY input, mirroring SURVEY.md §5's strategy beyond
+golden fixtures."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from server_spark.operators import auctions as ops
+
+AUCTION_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=10**6),        # auc (may repeat)
+        st.integers(min_value=1, max_value=20),           # item
+        st.sampled_from(["a", "b", "c"]),                 # owner
+        st.integers(min_value=0, max_value=10**5),        # buyout
+        st.integers(min_value=1, max_value=50),           # quantity
+        st.sampled_from(["SHORT", "LONG"]),               # time_left
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "auc long, item long, owner string, buyout long, quantity long, time_left string"
+    )
+
+
+@given(rows=AUCTION_ROWS)
+@_SETTINGS
+def test_collapse_conserves_rows(spark, rows):
+    """A1: Σ auc_count over mini-auctions == raw row count, and every
+    collapsed list's length equals its count."""
+    mini = ops.collapse_mini_auctions(_df(spark, rows)).collect()
+    assert sum(r["auc_count"] for r in mini) == len(rows)
+    assert all(len(r["auc_list"]) == r["auc_count"] for r in mini)
+
+
+@given(rows=AUCTION_ROWS)
+@_SETTINGS
+def test_price_stats_bounds(spark, rows):
+    """A2: min ≤ median ≤ max, avg within [min, max], volume equals
+    the positive-buyout quantity sum per item."""
+    df = _df(spark, rows)
+    stats = ops.price_stats(df).collect()
+    expected_vol = {
+        r["item"]: r["v"]
+        for r in df.filter("buyout > 0")
+        .groupBy("item")
+        .agg(F.sum("quantity").alias("v"))
+        .collect()
+    }
+    for r in stats:
+        assert r["min_buyout_per"] <= r["median_buyout_per"] <= r["max_buyout_per"]
+        assert r["min_buyout_per"] <= r["average_buyout_per"] <= r["max_buyout_per"]
+        assert r["volume"] == expected_vol[r["item"]]
+
+
+@given(rows=AUCTION_ROWS, count=st.integers(min_value=1, max_value=7))
+@_SETTINGS
+def test_pagination_partitions_the_stream(spark, rows, count):
+    """O2: pages are disjoint and their union is the full relation."""
+    df = _df(spark, rows).withColumn(
+        "rowkey", F.concat_ws("#", "auc", "item", "owner", "buyout", "quantity", "time_left")
+    )
+    # make rows unique so set comparison is exact
+    df = df.dropDuplicates(["rowkey"])
+    total = df.count()
+    order = [F.col("buyout").desc(), F.col("rowkey").asc()]
+    seen: list[str] = []
+    page = 0
+    while len(seen) < total:
+        got = [r["rowkey"] for r in ops.paginate(df, order, page, count).collect()]
+        if not got:
+            break
+        assert not set(got) & set(seen), "pages overlap"
+        seen.extend(got)
+        page += 1
+    assert len(seen) == total, "pages do not cover the relation"
