@@ -193,6 +193,10 @@ _A2_SQL = auctions_sql(
     tags=("agg",),
 )
 def a2_price_stats_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-shuffle plan: the rank window partitions by item, and the
+    # follow-up groupBy(item) reuses that hash partitioning (no second
+    # exchange, no self-join). The median is avg() over only the
+    # middle-ranked row(s) — avg ignores the CASE's nulls.
     priced = (
         auctions(spark, sf_dir)
         .filter(F.col("buyout") > 0)
@@ -202,30 +206,19 @@ def a2_price_stats_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = priced.select(
         "item",
         "per",
+        "quantity",
         F.row_number().over(w.orderBy("per")).alias("rn"),
         F.count("*").over(w).alias("n"),
     )
-    med = (
-        ranked.filter(
-            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
-            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
-        )
-        .groupBy("item")
-        .agg(r4(F.avg("per")).alias("median_buyout_per"))
+    is_mid = (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (
+        F.col("rn") == F.floor((F.col("n") + 2) / 2)
     )
-    stats = priced.groupBy("item").agg(
+    return ranked.groupBy("item").agg(
         r4(F.min("per")).alias("min_buyout_per"),
         r4(F.max("per")).alias("max_buyout_per"),
         r4(F.avg("per")).alias("average_buyout_per"),
+        r4(F.avg(F.when(is_mid, F.col("per")))).alias("median_buyout_per"),
         r4(F.sum("quantity")).alias("volume"),
-    )
-    return stats.join(med, "item").select(
-        "item",
-        "min_buyout_per",
-        "max_buyout_per",
-        "average_buyout_per",
-        "median_buyout_per",
-        "volume",
     )
 
 

@@ -389,6 +389,40 @@ def x12_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x13_udtf_chunks",
+    None,  # Python UDTF — engine-side table function
+    doc="D7 — Python UDTF (Spark 3.5+/4 table function): split each "
+    "document into fixed 10-word chunks with positions, the "
+    "context-window chunking step of a training-data pipeline. "
+    "Rows-only; chunk reassembly asserted in tests.",
+    tags=("ext", "udtf", "rows-only"),
+)
+def x13_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string, n_words int")
+    class ChunkDoc:
+        # self-contained: workers may not have server_spark importable
+        def eval(self, text: str, width: int):
+            if text is None:
+                return
+            words = text.split()
+            for i in range(0, len(words), width):
+                chunk = words[i : i + width]
+                yield i // width, " ".join(chunk), len(chunk)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    _docs(spark, sf_dir).createOrReplaceTempView("_docs_for_chunking")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_words
+        FROM _docs_for_chunking d,
+             LATERAL chunk_doc(d.text, 10) c
+        """
+    )
+
+
+@register(
     "f3b_fuzzy_rank_udf",
     None,  # pandas_udf re-implementation of RankMatchFold
     doc="D2 — exact RankMatchFold fuzzy search parity (subsequence "

@@ -142,3 +142,23 @@ def test_fuzzy_rank_semantics(spark):
     assert "Old Widget" in got
     assert "golden gadget" not in got  # 'wi' missing
     assert got["Old Widget"] == 4  # levenshtein('widget', 'old widget')
+
+
+def test_udtf_chunks_reassemble(spark):
+    """x13: concatenating a doc's chunks in order must reproduce the
+    whitespace-normalized document."""
+    from server_spark.queries.extensions import x13_udtf_chunks
+
+    out = x13_udtf_chunks(spark, "/root/testdata/sf0.001")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sample = {r["doc_id"]: r["text"] for r in docs.limit(5).collect()}
+    chunks = (
+        out.filter(F.col("doc_id").isin(list(sample)))
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    by_doc: dict[int, list[str]] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_text"])
+    for doc_id, text in sample.items():
+        assert " ".join(by_doc[doc_id]) == " ".join(text.split())
