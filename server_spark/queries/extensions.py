@@ -375,6 +375,24 @@ def x11_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x14_ivf_topk",
+    None,  # KMeans quantizer is engine-side model state
+    doc="EXT x14 — IVF approximate top-k: KMeans coarse quantizer "
+    "(Spark ML), cluster-assigned corpus, n_probe nearest-centroid "
+    "search with exact cosine rerank (the FAISS nlist/nprobe pattern).",
+    tags=("ext", "similarity", "rows-only"),
+)
+def x14_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.similarity.ivf import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, queries, k=TOPK, n_clusters=16, n_probe=4)
+
+
+@register(
     "x12_multimodal_meta",
     None,  # mapInPandas decode stub
     doc="EXT x12 — multimodal binary-column plumbing: Arrow-batched "

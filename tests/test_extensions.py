@@ -162,3 +162,20 @@ def test_udtf_chunks_reassemble(spark):
         by_doc.setdefault(r["doc_id"], []).append(r["chunk_text"])
     for doc_id, text in sample.items():
         assert " ".join(by_doc[doc_id]) == " ".join(text.split())
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    """x14: IVF with nprobe=4/16 must recover a solid share of the
+    exact top-10 and never invent out-of-corpus ids."""
+    from server_spark.similarity.ivf import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in cos.brute_force_topk(emb, queries, k=10).collect()}
+    approx = ivf_topk(emb, queries, k=10, n_clusters=16, n_probe=4).collect()
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    corpus_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert all(v in corpus_ids for _, v in approx_set)
+    assert len(exact & approx_set) >= len(exact) // 3
