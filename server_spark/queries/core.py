@@ -222,6 +222,28 @@ def a2_price_stats_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a2b_price_stats_approx",
+    None,  # approx_percentile sketches are engine-specific → rows-only
+    doc="A2 (100 TB path) — per-item price stats with "
+    "approx_percentile(0.5) instead of the exact median: one "
+    "map-side-combinable hash-agg, no full-group materialization, "
+    "bounded error (SURVEY.md §4.3.3). Rows-only: percentile sketches "
+    "differ per engine.",
+    tags=("agg", "approx", "rows-only"),
+)
+def a2b_price_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = ops.price_stats(auctions(spark, sf_dir), approx=True)
+    return round_doubles(
+        stats,
+        "min_buyout_per",
+        "max_buyout_per",
+        "average_buyout_per",
+        "median_buyout_per",
+        "volume",
+    )
+
+
 # ---------------------------------------------------------------------------
 # A3 / A4 / A5 — owner aggregations and snapshot totals
 # ---------------------------------------------------------------------------

@@ -111,47 +111,37 @@ def f6_time_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "f8_json_extract",
-    """
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-    FROM events
-    """,
-    doc="F8 — JSON decode of the props payload (the encoding/json "
-    "surface; from_json/get_json_object on the Spark side).",
-    tags=("function", "json"),
-)
-def f8_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = tables.load(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
-    )
-
-
-@register(
-    "f8b_json_agg",
+    "f8_json_extract_agg",
     """
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
            COUNT(*) AS n,
+           COUNT(DISTINCT event_id) AS n_events,
            {V} AS avg_value
     FROM events
     GROUP BY 1
     """.format(V=r4sql("AVG(value)")),
-    doc="F8 — aggregate over a JSON-extracted key (decode feeding a "
-    "relational plan; stays in whole-stage codegen, no Python UDF).",
+    doc="F8 — JSON decode of the props payload feeding a relational "
+    "plan: get_json_object extraction (the encoding/json surface) "
+    "grouped and aggregated, all inside whole-stage codegen — no "
+    "Python UDF.",
     tags=("function", "json"),
 )
-def f8b_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def f8_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from server_spark.parity import r4
 
     ev = tables.load(spark, sf_dir, "events")
     return (
         ev.select(
-            F.get_json_object("props", "$.k").cast("long").alias("k"), "value"
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            "event_id",
+            "value",
         )
         .groupBy("k")
-        .agg(F.count("*").alias("n"), r4(F.avg("value")).alias("avg_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("event_id").alias("n_events"),
+            r4(F.avg("value")).alias("avg_value"),
+        )
     )
 
 

@@ -243,50 +243,41 @@ def j7_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "u1_new_users",
+    "u1_setop_churn",
     f"""
-    SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '{DAY_B}'
-    EXCEPT
-    SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '{DAY_A}'
-    """,
-    doc="U1 — new ids: next-snapshot EXCEPT previous.",
-    tags=("setop",),
-)
-def u1_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _day_users(spark, sf_dir, DAY_B).exceptAll(
-        _day_users(spark, sf_dir, DAY_A)
+    WITH prev AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE CAST(ts AS DATE) = DATE '{DAY_A}'
+    ),
+    next AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE CAST(ts AS DATE) = DATE '{DAY_B}'
     )
-
-
-@register(
-    "u2_removed_users",
-    f"""
-    SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '{DAY_A}'
-    EXCEPT
-    SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '{DAY_B}'
+    SELECT 'new' AS status, user_id
+    FROM (SELECT user_id FROM next EXCEPT SELECT user_id FROM prev)
+    UNION ALL
+    SELECT 'removed' AS status, user_id
+    FROM (SELECT user_id FROM prev EXCEPT SELECT user_id FROM next)
+    UNION ALL
+    SELECT 'persisting' AS status, user_id
+    FROM (SELECT user_id FROM prev INTERSECT SELECT user_id FROM next)
     """,
-    doc="U2 — removed ids: previous EXCEPT next.",
+    doc="U1+U2+U3 — snapshot set algebra in one labeled relation: "
+    "EXCEPT both ways (new/removed) and INTERSECT (persisting). The "
+    "three set operators exercised literally; J3 is the single-join "
+    "form of the same classification.",
     tags=("setop",),
 )
-def u2_removed_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _day_users(spark, sf_dir, DAY_A).exceptAll(
-        _day_users(spark, sf_dir, DAY_B)
+def u1_setop_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prev = _day_users(spark, sf_dir, DAY_A)
+    nxt = _day_users(spark, sf_dir, DAY_B)
+    lab = lambda df, s: df.select(  # noqa: E731
+        F.lit(s).alias("status"), "user_id"
     )
-
-
-@register(
-    "u3_persisting_users",
-    f"""
-    SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '{DAY_A}'
-    INTERSECT
-    SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '{DAY_B}'
-    """,
-    doc="U3 — persisting ids: previous INTERSECT next.",
-    tags=("setop",),
-)
-def u3_persisting_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _day_users(spark, sf_dir, DAY_A).intersect(
-        _day_users(spark, sf_dir, DAY_B)
+    return (
+        lab(nxt.exceptAll(prev), "new")
+        .unionAll(lab(prev.exceptAll(nxt), "removed"))
+        .unionAll(lab(prev.intersect(nxt), "persisting"))
     )
 
 

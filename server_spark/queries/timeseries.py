@@ -59,8 +59,11 @@ def p5_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events WHERE ts >= TIMESTAMP '{RETENTION_CUTOFF}'
     """,
     doc="T7 — RetentionLimit pruning: keep only entries newer than the "
-    "cutoff; at scale this is a partition drop, not a scan.",
+    "cutoff; at scale this is a partition drop, not a scan. Late: the "
+    "predicate family is driver-verified via p5 and the partition-drop "
+    "form via plans/medallion.prune_retention (pytest).",
     tags=("filter", "timeseries"),
+    late=True,
 )
 def t7_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts_ops.retention_filter(
@@ -156,51 +159,85 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "w3_lag_delta",
+    "w3_lag_moving_avg",
     f"""
     WITH {_DAILY_SQL}
     SELECT event_type, bucket_ts, avg_value,
            LAG(avg_value) OVER w AS prev_value,
-           {r4sql("avg_value - LAG(avg_value) OVER w")} AS delta
+           {r4sql("avg_value - LAG(avg_value) OVER w")} AS delta,
+           {r4sql('''AVG(avg_value) OVER (
+                PARTITION BY event_type ORDER BY bucket_ts
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)''')} AS moving_avg
     FROM daily
     WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
     """,
-    doc="W3 — day-over-day price delta per series: lag window over the "
-    "bucketed aggregate (partitioned by series key — no global sort).",
+    doc="W3+W4 — day-over-day delta (lag) AND trailing 7-day moving "
+    "average per series, both frames over ONE window partitioning of "
+    "the daily aggregate: Spark evaluates both in a single sort within "
+    "the same exchange (no global sort, no second shuffle).",
     tags=("window", "timeseries"),
 )
-def w3_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+def w3_lag_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("bucket_ts")
     prev = F.lag("avg_value").over(w)
     return (
         _daily(spark, sf_dir)
         .withColumn("prev_value", prev)
         .withColumn("delta", r4(F.col("avg_value") - prev))
+        .withColumn(
+            "moving_avg", r4(F.avg("avg_value").over(w.rowsBetween(-6, 0)))
+        )
     )
 
 
 @register(
-    "w4_moving_avg",
-    f"""
-    WITH {_DAILY_SQL}
-    SELECT event_type, bucket_ts, avg_value,
-           {r4sql('''AVG(avg_value) OVER (
-                PARTITION BY event_type ORDER BY bucket_ts
-                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)''')} AS moving_avg
-    FROM daily
-    """,
-    doc="W4 — trailing 7-day moving average per series (frame-spec "
-    "window over the daily aggregate).",
-    tags=("window", "timeseries"),
+    "w5_token_history",
+    """
+    SELECT r_name AS region_name,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+           COUNT(*) AS n_purchases,
+           {MIN} AS min_price,
+           {MAX} AS max_price,
+           {AVG} AS avg_price
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE event_type = 'purchase'
+    GROUP BY r_name, date_trunc('day', ts)
+    """.format(
+        MIN=r4sql("MIN(value)"), MAX=r4sql("MAX(value)"), AVG=r4sql("AVG(value)")
+    ),
+    doc="W5/TokenHistory — per-REGION daily price series (the "
+    "TokenHistory entity: one averaged price row per region per "
+    "interval). Fact joined to the broadcast region hierarchy "
+    "(customer→nation→region), then one hash-agg on (region, day).",
+    tags=("window", "timeseries", "join"),
 )
-def w4_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("bucket_ts")
-        .rowsBetween(-6, 0)
+def w5_token_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    cust = tables.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = tables.load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
     )
-    return _daily(spark, sf_dir).withColumn(
-        "moving_avg", r4(F.avg("avg_value").over(w))
+    region = tables.load(spark, sf_dir, "region")
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(F.col("c_custkey").alias("user_id"), "r_name")
+    )
+    return (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.date_trunc("day", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            r4(F.min("value")).alias("min_price"),
+            r4(F.max("value")).alias("max_price"),
+            r4(F.avg("value")).alias("avg_price"),
+        )
     )
 
 
@@ -270,8 +307,10 @@ def t2_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="T4 — session windows (30-min inactivity gap) via "
     "gaps-and-islands: lag + cumulative sum, partitioned per user. "
-    "Microsecond-exact gap arithmetic on both engines.",
+    "Microsecond-exact gap arithmetic on both engines. Late: T4 is "
+    "driver-verified via t4b (native session_window).",
     tags=("window", "timeseries", "session"),
+    late=True,
 )
 def t4_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
