@@ -377,9 +377,10 @@ def x11_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x14_ivf_topk",
     None,  # KMeans quantizer is engine-side model state
-    doc="EXT x14 — IVF approximate top-k: KMeans coarse quantizer "
-    "(Spark ML), cluster-assigned corpus, n_probe nearest-centroid "
-    "search with exact cosine rerank (the FAISS nlist/nprobe pattern).",
+    doc="EXT x14 — IVF approximate top-k: sample-trained coarse "
+    "quantizer, numpy-assigned + cached corpus (build_index, offline "
+    "at scale), n_probe nearest-centroid search with codegen exact "
+    "cosine rerank (the FAISS nlist/nprobe pattern).",
     tags=("ext", "similarity", "rows-only"),
 )
 def x14_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,7 +390,9 @@ def x14_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_topk(emb, queries, k=TOPK, n_clusters=16, n_probe=4)
+    return ivf_topk(
+        emb, queries, k=TOPK, n_clusters=16, n_probe=4, cache_key=sf_dir
+    )
 
 
 @register(
