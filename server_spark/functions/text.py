@@ -63,10 +63,35 @@ def rank_match_fold(needle: str) -> Column:
     return _rank
 
 
+def subsequence_like_pattern(needle: str) -> str:
+    """The case-folded subsequence test as a SQL LIKE pattern:
+    ``widget`` → ``%w%i%d%g%e%t%``. LIKE wildcards in the needle are
+    escaped (default ``\\`` escape char)."""
+    chars = [
+        c.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+        for c in needle.lower()
+    ]
+    return "%" + "%".join(chars) + "%"
+
+
 def fuzzy_search(df, col: str, needle: str, k: int = 10):
-    """Reference search path with exact fuzzy semantics: rank all
-    candidates, keep matches, top-k by (rank, value)."""
-    ranked = df.withColumn("rank", rank_match_fold(needle)(F.col(col)))
+    """Reference search path with exact fuzzy semantics: rank
+    candidates, keep matches, top-k by (rank, value).
+
+    The Python rank only ever runs on rows that already pass a pure
+    JVM candidate gate — the subsequence condition expressed as a
+    LIKE pattern plus a length bound — which is exactly the udf's own
+    match predicate (for ASCII needles), so results are identical
+    while the Arrow batches carry orders of magnitude fewer rows at
+    catalog scale. The udf's subsequence check stays as the authority:
+    a gate false-positive still ranks -1 and is filtered.
+    """
+    gate = F.lower(F.col(col)).like(subsequence_like_pattern(needle)) & (
+        F.length(col) >= F.lit(len(needle))
+    )
+    ranked = df.filter(gate).withColumn(
+        "rank", rank_match_fold(needle)(F.col(col))
+    )
     return (
         ranked.filter(F.col("rank") >= 0)
         .orderBy(F.col("rank").asc(), F.col(col).asc())

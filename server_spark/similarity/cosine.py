@@ -137,27 +137,46 @@ def neardup_pairs(
     )
 
 
+def derive_n_blocks(n_rows: int, rows_per_block: int) -> int:
+    """Blocks needed so no packed block exceeds ``rows_per_block``
+    vectors (id-hash packing is uniform, so block size concentrates
+    tightly around n_rows / n_blocks)."""
+    import math
+
+    return max(1, math.ceil(max(n_rows, 1) / rows_per_block))
+
+
 def neardup_pairs_blocked(
     embeddings: DataFrame,
     threshold: float,
-    n_blocks: int = 8,
+    rows_per_block: int = 4096,
+    n_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All-pairs cosine near-dup via BLOCK MATRIX product — the scale
     form of ``neardup_pairs``.
 
-    Vectors are packed into ``n_blocks`` groups; the (i ≤ j) block-pair
-    grid is a tiny self-join of packed rows; each grid cell is scored
-    as one numpy matmul inside mapInPandas (Arrow-batched, executor-
-    side — the driver never sees a vector). Shuffle volume is
-    n_blocks× the corpus (each block joins n_blocks/2 partners), and
-    per-task memory is two blocks — pick n_blocks so a block fits
-    comfortably (e.g. ≤256 MB). Row-explosion of the naive pair join
-    (O(N²) rows of array copies) never materializes.
+    Vectors are packed into blocks of ≤ ``rows_per_block`` rows; the
+    (i ≤ j) block-pair grid is a tiny self-join of packed rows; each
+    grid cell is scored as one numpy matmul inside mapInPandas
+    (Arrow-batched, executor-side — the driver never sees a vector).
+    Shuffle volume is n_blocks× the corpus (each block joins
+    n_blocks/2 partners) and per-task memory is two blocks.
+
+    The block COUNT is derived from the corpus count (one cheap
+    metadata-ish job) so block SIZE stays constant as the corpus
+    grows: at 4096 rows × 64 float dims a packed block is ~2 MB, far
+    under both the 2 GiB Spark row cap and executor memory, whether
+    the corpus is 2k or 2B vectors. ``n_blocks`` can still be forced
+    for tests. Row-explosion of the naive pair join (O(N²) rows of
+    array copies) never materializes.
     """
     import numpy as np
     import pandas as pd
+
+    if n_blocks is None:
+        n_blocks = derive_n_blocks(embeddings.count(), rows_per_block)
 
     e = embeddings.select(
         F.col(id_col).alias("id"),
@@ -182,10 +201,12 @@ def neardup_pairs_blocked(
                 na = np.linalg.norm(mat_a, axis=1)
                 nb = np.linalg.norm(mat_b, axis=1)
                 s = (mat_a @ mat_b.T) / np.outer(na, nb)
-                # canonical rounding (parity.r4 analog); boundary-exact
-                # divergence from the decimal-snap form is measure-zero
-                # for continuous scores
-                s = np.round(np.round(s, 10), 4)
+                # canonical rounding: 1e-10 snap, then decimal HALF_UP
+                # to 4 places — the exact numpy replica of parity.r4
+                # (np.round alone is half-EVEN and can flip a boundary
+                # score vs the oracle)
+                s = np.round(s, 10)
+                s = np.sign(s) * np.floor(np.abs(s) * 1e4 + 0.5) / 1e4
                 if row["blk_a"] == row["blk_b"]:
                     # diagonal cell: each unordered pair appears twice
                     mask = ids_a[:, None] < ids_b[None, :]

@@ -179,3 +179,29 @@ def test_ivf_topk_recall(spark, sf_dir):
     corpus_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
     assert all(v in corpus_ids for _, v in approx_set)
     assert len(exact & approx_set) >= len(exact) // 3
+
+
+def test_neardup_blocked_bounded_blocks(spark, sf_dir):
+    """x10: block COUNT derives from corpus count so block SIZE stays
+    constant as the corpus grows, and small forced blocks reproduce
+    the exact all-pairs result (same pairs, same canonical scores)."""
+    from server_spark.similarity.cosine import derive_n_blocks
+
+    # doubling the corpus doubles the blocks, not the block size
+    assert derive_n_blocks(1000, 250) == 4
+    assert derive_n_blocks(2000, 250) == 8
+    assert derive_n_blocks(2001, 250) == 9
+    assert derive_n_blocks(0, 250) == 1
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["vec_a"], r["vec_b"], r["score"])
+        for r in cos.neardup_pairs(emb, 0.35, dim=64).collect()
+    }
+    blocked = {
+        (r["vec_a"], r["vec_b"], r["score"])
+        for r in cos.neardup_pairs_blocked(
+            emb, 0.35, rows_per_block=100
+        ).collect()
+    }
+    assert blocked == exact
