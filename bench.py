@@ -5,10 +5,11 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is materialized with a cheap full-scan action
-(``count`` on the final plan) so measured time is plan execution, not
-driver-side row transfer. A warmup query first amortizes JVM/codegen
-startup out of the numbers.
+Each query is materialized by aggregating ``xxhash64`` over EVERY
+output column — unlike ``count()``, Catalyst cannot prune the
+projection, so narrow-map queries are timed with their full
+expression cost, while the driver still receives a single row. A
+warmup query first amortizes JVM/codegen startup out of the numbers.
 """
 
 from __future__ import annotations
@@ -38,6 +39,15 @@ HEADLINE = [
 ]
 
 
+def _materialize(df) -> None:
+    """Force full evaluation of every output column (no pruning)."""
+    from pyspark.sql import functions as F
+
+    df.select(F.xxhash64(*df.columns).alias("_h")).agg(
+        F.count("_h"), F.expr("bit_xor(_h)")
+    ).collect()
+
+
 def main() -> None:
     spark = get_spark("server-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -47,12 +57,12 @@ def main() -> None:
     ]
 
     # Warmup: run the first headline query once, discard timing.
-    qs[names[0]](spark, SF_DIR).count()
+    _materialize(qs[names[0]](spark, SF_DIR))
 
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).count()
+        _materialize(qs[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -57,7 +57,10 @@ def j2b_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH flagged AS (
         SELECT user_id, ts,
-               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+               -- >= : session_window merges only gaps STRICTLY inside
+               -- the 30-min horizon (window end is exclusive), so an
+               -- exactly-30:00 gap starts a new session on both sides
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
                     OR LAG(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
@@ -77,9 +80,8 @@ def j2b_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id, session_id
     """,
     doc="T4 — Spark's NATIVE session_window (30-min gap) in batch "
-    "mode; oracle is the gaps-and-islands equivalent. Session start "
-    "identifies the session (gap-equality edge cases are measure-zero "
-    "at µs precision).",
+    "mode; oracle is the gaps-and-islands equivalent with the same "
+    "exclusive-end merge rule (gap >= 30min splits on both engines).",
     tags=("window", "session"),
 )
 def t4b_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:

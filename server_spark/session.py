@@ -35,6 +35,22 @@ def get_spark(
     default to ``local[$SPARK_GRAFT_CPUS]``.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    # Driver memory must be fixed BEFORE the JVM gateway launches —
+    # setting spark.driver.memory through the builder is a silent
+    # no-op once pyspark has spawned the JVM. If we're first (no
+    # gateway yet), inject it into PYSPARK_SUBMIT_ARGS, the only
+    # channel the gateway launcher reads in local mode.
+    from pyspark import SparkContext
+
+    if SparkContext._gateway is None:
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        submit = os.environ.get("PYSPARK_SUBMIT_ARGS", "pyspark-shell")
+        if "--driver-memory" not in submit:
+            os.environ["PYSPARK_SUBMIT_ARGS"] = (
+                f"--driver-memory {mem} " + submit
+            )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
@@ -47,7 +63,6 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
     if master:
