@@ -52,6 +52,10 @@ class MedallionPaths:
     def gold_churn(self) -> str:
         return os.path.join(self.root, "gold", "churn")
 
+    @property
+    def manifest(self) -> str:
+        return os.path.join(self.root, "manifest", "ingested_dumps")
+
 
 def _dynamic_overwrite(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -74,6 +78,55 @@ def ingest_bronze(
         .partitionBy("region", "realm_slug", "dump_date")
         .parquet(paths.bronze)
     )
+
+
+def load_manifest(spark: SparkSession, paths: MedallionPaths) -> DataFrame:
+    """The ingested-dump log (AuctionManifest analog, SURVEY.md §1.1):
+    one row per archived dump key. Empty-but-typed when nothing has
+    been ingested yet."""
+    try:
+        return spark.read.parquet(paths.manifest)
+    except Exception:
+        return spark.createDataFrame(
+            [],
+            "region string, realm_slug string, dump_ts timestamp, "
+            "n_rows long",
+        )
+
+
+def ingest_bronze_incremental(
+    spark: SparkSession, raw: DataFrame, paths: MedallionPaths
+) -> int:
+    """S5 + T2 (batch) — manifest-gated idempotent intake: a
+    re-delivered dump is SKIPPED before any work happens, the way the
+    reference consults its AuctionManifest's lastModified before
+    downloading/processing a dump.
+
+    Mechanics: distinct dump keys from the incoming batch are
+    anti-joined against the manifest (the manifest is dumps-count
+    sized — tiny — so the anti-join broadcasts); only rows of unseen
+    dumps are APPENDED to bronze, then the manifest records the new
+    keys. Append (not dynamic overwrite) is safe exactly BECAUSE the
+    manifest guarantees each dump key lands once. Returns the number
+    of newly ingested dump keys. Single-writer intake assumed (the
+    reference serializes intake per region the same way)."""
+    keys = ["region", "realm_slug", "dump_ts"]
+    seen = load_manifest(spark, paths).select(*keys)
+    incoming = raw.groupBy(*keys).agg(F.count("*").alias("n_rows"))
+    new_keys = incoming.join(F.broadcast(seen), keys, "left_anti").cache()
+    n_new = new_keys.count()
+    if n_new == 0:
+        return 0
+    fresh = raw.join(F.broadcast(new_keys.select(*keys)), keys, "left_semi")
+    (
+        fresh.withColumn("dump_date", F.to_date("dump_ts"))
+        .repartition("region", "realm_slug", "dump_date")
+        .write.mode("append")
+        .partitionBy("region", "realm_slug", "dump_date")
+        .parquet(paths.bronze)
+    )
+    new_keys.write.mode("append").parquet(paths.manifest)
+    return n_new
 
 
 def build_silver(spark: SparkSession, paths: MedallionPaths) -> None:
