@@ -1,0 +1,106 @@
+"""Connected components over near-duplicate pair edges (EXT).
+
+Pair generators (n-gram Jaccard, MinHash LSH, SimHash, embedding
+cosine) emit EDGES; an actual dedup pipeline must then resolve
+CLUSTERS — if A~B and B~C, then {A,B,C} keep one survivor even though
+(A,C) was never emitted as a pair. That resolution is connected
+components, computed here as distributed min-label propagation:
+
+    label(n) ← min(label(n), min over neighbors m of label(m))
+
+iterated to fixpoint. Each round is one join + one aggregation on the
+symmetrized edge list; rounds needed = graph diameter, and near-dup
+clusters are near-cliques (diameter 2–3), so a handful of rounds
+closes 100 TB-scale graphs too — this is the textbook map-reduce CC
+(the simplified form of Hash-to-Min, Vassilvitskii et al.).
+
+Scale notes:
+- ``localCheckpoint`` truncates the iterative plan each round —
+  without it Catalyst re-derives an exponentially deeper lineage.
+- The convergence probe is one count() per round on the CHANGED set
+  only (cheap, early-exits the loop); ``max_iter`` hard-bounds work.
+- Edges-only: documents with no dup edge are singleton components and
+  never enter the computation (at 100 TB the edge set is orders of
+  magnitude smaller than the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component id is
+    the minimum node id of the cluster (deterministic survivor)."""
+    # Materialize the (possibly expensive) pair plan ONCE — the
+    # symmetrizing union references it twice and would otherwise
+    # recompute the whole upstream per branch. Pair generators emit
+    # unique (a < b) edges, so the symmetrized list is duplicate-free
+    # without a distinct shuffle; min-agg tolerates dupes anyway.
+    e = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("nbr")
+    ).localCheckpoint()
+    sym = e.unionAll(e.select(F.col("nbr").alias("node"), F.col("node").alias("nbr")))
+
+    # Init folds the first propagation round in: label = min(self,
+    # neighbors) straight off the edge list (one agg, no join).
+    labels = (
+        sym.groupBy("node")
+        .agg(F.min("nbr").alias("_mn"))
+        .select("node", F.least("node", "_mn").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.select(F.col("node").alias("n"), "nbr")
+            .join(
+                labels.select(F.col("node").alias("_ln"), "component"),
+                F.col("nbr") == F.col("_ln"),
+            )
+            .groupBy("n")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.n, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("_chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    return labels
+
+
+def resolve_clusters(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """One row per dup CLUSTER: canonical survivor (min id), member
+    count, sorted member list (canonical string form for comparison)."""
+    comp = connected_components(edges, src, dst, max_iter)
+    return comp.groupBy("component").agg(
+        F.min("node").alias("canonical_doc_id"),
+        F.count("*").alias("n_members"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("node")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("member_ids"),
+    )

@@ -318,6 +318,169 @@ def x7_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x15 — near-dup cluster resolution (connected components over pairs)
+# ---------------------------------------------------------------------------
+
+_X15_SQL = rf"""
+    WITH RECURSIVE w AS (
+        SELECT doc_id,
+               generate_subscripts(string_split_regex(LOWER(TRIM(text)), '\s+'), 1) AS pos,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS word
+        FROM documents
+    ),
+    sh0 AS (
+        SELECT doc_id,
+               word || ' ' || LEAD(word, 1) OVER win || ' ' || LEAD(word, 2) OVER win AS shingle,
+               LEAD(word, 2) OVER win AS last2
+        FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE last2 IS NOT NULL),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+              >= {JACCARD_MIN}
+    ),
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT reach.node, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT component AS canonical_doc_id,
+           COUNT(*) AS n_members,
+           array_to_string(list_sort(list(node)), ',') AS member_ids
+    FROM comp GROUP BY component
+"""
+
+
+@register(
+    "x15_neardup_components",
+    _X15_SQL,
+    doc="EXT x15 — dup-cluster RESOLUTION: connected components over "
+    "the n-gram-Jaccard pair edges (A~B, B~C ⇒ one cluster {A,B,C}), "
+    "via distributed min-label propagation with checkpointed rounds; "
+    "oracle is the recursive-CTE transitive closure. One canonical "
+    "survivor + member list per cluster.",
+    tags=("ext", "dedup", "components"),
+    late=True,
+)
+def x15_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.dedup.components import resolve_clusters
+
+    edges = ng.jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=JACCARD_MIN
+    ).select("doc_a", "doc_b")
+    return resolve_clusters(edges).select(
+        "canonical_doc_id", "n_members", "member_ids"
+    )
+
+
+# ---------------------------------------------------------------------------
+# x17 — deterministic hash split; x18 — quality filter pipeline
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x17_hash_split",
+    """
+    SELECT doc_id,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hash_bucket,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                     THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                     THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="EXT x17 — deterministic train/val/test split: md5-prefix "
+    "bucketing (~80/10/10 via lexicographic hex thresholds). Pure "
+    "narrow map, reproducible across engines/runs/cluster sizes — the "
+    "property a training pipeline needs from a split (no sampling "
+    "state, membership is a function of the id alone).",
+    tags=("ext", "split"),
+    late=True,
+)
+def x17_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        h2.alias("hash_bucket"),
+        F.when(h2 < "cd", "train")
+        .when(h2 < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "x18_quality_filter",
+    r"""
+    WITH m AS (
+        SELECT doc_id,
+               len(string_split_regex(LOWER(TRIM(text)), '\s+')) AS n_tokens,
+               CAST(LENGTH(regexp_replace(LOWER(text), '[^a-z]', '', 'g'))
+                    AS DOUBLE) / LENGTH(text) AS alpha_ratio
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, alpha_ratio,
+           CASE WHEN n_tokens < 10 THEN 'too_short'
+                WHEN n_tokens > 5000 THEN 'too_long'
+                WHEN alpha_ratio < 0.55 THEN 'low_alpha'
+                ELSE 'keep' END AS verdict,
+           (n_tokens >= 10 AND n_tokens <= 5000 AND alpha_ratio >= 0.55)
+               AS keep
+    FROM m
+    """,
+    doc="EXT x18 — C4/Gopher-style quality FILTER pipeline: the x4 "
+    "metrics composed into a keep/drop verdict with the first failed "
+    "rule as the reason — the actual gate a pretraining corpus build "
+    "applies, as one codegen narrow map.",
+    tags=("ext", "textstats", "filter"),
+    late=True,
+)
+def x18_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("text")
+    n_tokens = tx.token_count()
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.lower(t), r"[^a-z]", "")).cast("double")
+        / F.length(t)
+    )
+    m = _docs(spark, sf_dir).select(
+        "doc_id", n_tokens.alias("n_tokens"), alpha_ratio.alias("alpha_ratio")
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "alpha_ratio",
+        F.when(F.col("n_tokens") < 10, "too_short")
+        .when(F.col("n_tokens") > 5000, "too_long")
+        .when(F.col("alpha_ratio") < 0.55, "low_alpha")
+        .otherwise("keep")
+        .alias("verdict"),
+        (
+            (F.col("n_tokens") >= 10)
+            & (F.col("n_tokens") <= 5000)
+            & (F.col("alpha_ratio") >= 0.55)
+        ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rows-only EXT operators (engine-specific hashing / UDF paths)
 # ---------------------------------------------------------------------------
 

@@ -205,3 +205,20 @@ def test_neardup_blocked_bounded_blocks(spark, sf_dir):
         ).collect()
     }
     assert blocked == exact
+
+
+def test_connected_components_chain(spark):
+    """x15 operator: a chain a-b-c-d collapses into one component even
+    though (a,d) was never an edge; disjoint pair stays separate."""
+    from server_spark.dedup.components import connected_components, resolve_clusters
+
+    edges = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (10, 11)], "doc_a long, doc_b long"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    clusters = {
+        r["canonical_doc_id"]: (r["n_members"], r["member_ids"])
+        for r in resolve_clusters(edges).collect()
+    }
+    assert clusters == {1: (4, "1,2,3,4"), 10: (2, "10,11")}
