@@ -120,13 +120,10 @@ def p4_positive_buyout(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg",),
 )
 def a1_miniauction_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # auc is already a string id — array_join directly (no per-element
+    # cast pass over the collected lists)
     return auctions(spark, sf_dir).groupBy(*ops.COLLAPSE_KEYS).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list("auc")), lambda x: x.cast("string")
-            ),
-            ",",
-        ).alias("auc_ids"),
+        F.array_join(F.array_sort(F.collect_list("auc")), ",").alias("auc_ids"),
         F.count("*").alias("auc_count"),
     )
 

@@ -481,6 +481,93 @@ def x18_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x19 — deterministic stratified sample; x20 — sequence packing
+# ---------------------------------------------------------------------------
+
+STRATUM_N = 50        # docs kept per language stratum
+PACK_BUDGET = 2048    # token budget per packed training sequence
+
+
+@register(
+    "x19_stratified_sample",
+    f"""
+    SELECT doc_id, lang, rn FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= {STRATUM_N}
+    """,
+    doc="EXT x19 — stratified sampling, hash-rank form: first N per "
+    "language by md5 order. Unlike rng sampling this is reproducible "
+    "across engines, runs and cluster sizes, composes with "
+    "incremental data (a doc's rank only changes if earlier-hashed "
+    "docs arrive), and is one window per stratum — no sampling state.",
+    tags=("ext", "sample"),
+    late=True,
+)
+def x19_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= STRATUM_N)
+    )
+
+
+@register(
+    "x20_sequence_packing",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+               len(string_split_regex(LOWER(TRIM(text)), '\s+')) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST((SUM(n_tokens) OVER w - n_tokens) // {PACK_BUDGET} AS BIGINT)
+               AS pack_id,
+           CAST((SUM(n_tokens) OVER w - n_tokens) % {PACK_BUDGET} AS BIGINT)
+               AS pack_offset
+    FROM toks
+    WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+    doc="EXT x20 — sequence PACKING: greedy concat of documents into "
+    "~token-budget training sequences via a running token count "
+    "(pack id = starting offset ÷ budget). Sharded by an md5 prefix "
+    "so the window never needs a global sort — each shard packs "
+    "independently, which is exactly how a distributed packer runs at "
+    "100 TB (pack within partitions, never across).",
+    tags=("ext", "packing"),
+    late=True,
+)
+def x20_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
+        tx.token_count().alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return toks.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(start / PACK_BUDGET).cast("long").alias("pack_id"),
+        (start % PACK_BUDGET).cast("long").alias("pack_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rows-only EXT operators (engine-specific hashing / UDF paths)
 # ---------------------------------------------------------------------------
 

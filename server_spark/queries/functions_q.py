@@ -164,11 +164,16 @@ def f8_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def f10_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from server_spark.sources.synthetic import auctions
 
-    arr = F.array_sort(F.collect_set("item"))
+    # ONE collect_set aggregate, array ops as a post-projection — the
+    # single-shuffle intent is explicit in the plan (Catalyst dedupes
+    # repeated aggregates anyway, but this doesn't rely on it).
+    arr = F.array_sort(F.col("_items"))
     return (
         auctions(spark, sf_dir)
         .groupBy("owner")
-        .agg(
+        .agg(F.collect_set("item").alias("_items"))
+        .select(
+            "owner",
             F.array_join(
                 F.transform(arr, lambda x: x.cast("string")), ","
             ).alias("item_ids"),

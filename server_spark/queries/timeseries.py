@@ -42,13 +42,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("filter", "timeseries"),
 )
 def p5_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _events(spark, sf_dir)
-        .filter(
-            (F.col("ts") >= F.lit(RANGE_LO).cast("timestamp"))
-            & (F.col("ts") < F.lit(RANGE_HI).cast("timestamp"))
-        )
-        .select("event_id", "ts", "user_id", "event_type", "value")
+    # range predicate applied to the RAW int64 ns column so it reaches
+    # the parquet scan (tables.load_events_range); a filter on the
+    # converted timestamp would never push down
+    return tables.load_events_range(spark, sf_dir, RANGE_LO, RANGE_HI).select(
+        "event_id", "ts", "user_id", "event_type", "value"
     )
 
 
@@ -66,9 +64,10 @@ def p5_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     late=True,
 )
 def t7_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ts_ops.retention_filter(
-        _events(spark, sf_dir), "ts", F.lit(RETENTION_CUTOFF).cast("timestamp")
-    ).select("event_id", "ts", "user_id", "event_type")
+    # cutoff pushed to the scan as a raw int64 bound (see p5)
+    return tables.load_events_range(spark, sf_dir, lo=RETENTION_CUTOFF).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -121,10 +120,8 @@ def w1_hourly_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "timeseries"),
 )
 def w2_history_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir).filter(
-        (F.col("ts") >= F.lit(RANGE_LO).cast("timestamp"))
-        & (F.col("ts") < F.lit(RANGE_HI).cast("timestamp"))
-        & F.col("event_type").isin("click", "purchase")
+    ev = tables.load_events_range(spark, sf_dir, RANGE_LO, RANGE_HI).filter(
+        F.col("event_type").isin("click", "purchase")
     )
     return ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("bucket_ts")

@@ -39,6 +39,42 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
 
 
+def load_events_range(
+    spark: SparkSession,
+    sf_dir: str,
+    lo: str | None = None,
+    hi: str | None = None,
+) -> DataFrame:
+    """Events with a time-range predicate PUSHED TO THE PARQUET SCAN.
+
+    ``ts`` is physically int64 nanos (Spark's vectorized reader cannot
+    map TIMESTAMP(NANOS) to TimestampType), so a filter on the
+    converted timestamp column sits above an expression and never
+    reaches the scan. Filtering the RAW int64 column first is
+    pushable — `PushedFilters: [GreaterThanOrEqual(ts, …)]` — which at
+    100 TB is the difference between reading one date range's row
+    groups and scanning the table. Bounds are UTC ISO strings,
+    lo-inclusive / hi-exclusive, matching the oracle's
+    ``ts >= TIMESTAMP lo AND ts < TIMESTAMP hi``.
+    """
+    from datetime import datetime, timezone
+
+    def _ns(s: str) -> int:
+        dt = datetime.fromisoformat(s)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp()) * 1_000_000_000
+
+    raw = spark.read.schema(EVENTS_RAW).parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    if lo is not None:
+        raw = raw.filter(F.col("ts") >= F.lit(_ns(lo)))
+    if hi is not None:
+        raw = raw.filter(F.col("ts") < F.lit(_ns(hi)))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -1,0 +1,88 @@
+"""Plan-shape regression tests: the scale properties this engine
+promises (SCALE.md) asserted against the actual Catalyst physical
+plans, so a refactor that silently adds a shuffle, breaks column
+pruning, or un-pushes a predicate fails CI — not a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from server_spark import registry
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = registry.queries()
+
+    def plan(name: str, mode: str = "simple") -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            qs[name](spark, "/root/testdata/sf0.001").explain(mode)
+        return buf.getvalue()
+
+    return plan
+
+
+def test_a2_median_single_shuffle(plans):
+    """The exact-median stats plan must keep ONE hash exchange — the
+    window and the follow-up groupBy share the same partitioning."""
+    p = plans("a2_price_stats_median")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_o3_topk_no_global_sort(plans):
+    """LIMIT-with-order plans as TakeOrderedAndProject (per-partition
+    top-k + merge), never a full sort + exchange."""
+    p = plans("o3_top10_expensive")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Exchange hashpartitioning") == 0
+
+
+def test_j1_enrich_broadcasts_dimension(plans):
+    """Dimension enrich is a broadcast hash join with zero shuffles."""
+    p = plans("j1_item_enrich")
+    assert "BroadcastHashJoin" in p
+    assert p.count("Exchange hashpartitioning") == 0
+
+
+def test_j4_semi_join_pruned_scan(plans):
+    """Owners-by-items: broadcast semi join, one agg shuffle, and the
+    fact scan reads ONLY the three columns the query needs (the md5
+    row-id and everything else pruned at the parquet footer)."""
+    p = plans("j4_owners_by_items")
+    assert "BroadcastHashJoin" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    f = plans("j4_owners_by_items", "formatted")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", f)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(",") if c)
+    assert cols == ["l_partkey", "l_quantity", "l_suppkey"]
+
+
+def test_w3_both_frames_one_window(plans):
+    """Lag delta + moving average evaluate in ONE Window node over one
+    sort — adding a frame must not add a shuffle."""
+    p = plans("w3_lag_moving_avg")
+    assert p.count("Exchange hashpartitioning") == 2  # agg + window re-key
+    assert p.count("Window") == 1
+
+
+def test_p5_time_range_pushed_to_scan(plans):
+    """The ts range filter must reach the parquet scan as raw int64
+    bounds (ts is physically TIMESTAMP(NANOS) → filters on the
+    converted column are not pushable)."""
+    f = plans("p5_time_range", "formatted")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", f)
+    pushed = m.group(1)
+    assert "GreaterThanOrEqual(ts" in pushed
+    assert "LessThan(ts" in pushed
+
+
+def test_t7_retention_pushed_to_scan(plans):
+    f = plans("t7_retention_prune", "formatted")
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", f).group(1)
+    assert "GreaterThanOrEqual(ts" in pushed
