@@ -84,6 +84,41 @@ def asof_align(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the (big, skewed) ``left`` spreads
+    each join key over ``n_salts`` shuffle partitions; ``right`` is
+    replicated n_salts× so every salted partition still finds its
+    match. Result rows are identical to ``left.join(right, key, how)``.
+
+    When to reach for this instead of trusting AQE's skew-join split:
+    AQE only splits SortMergeJoin partitions it can re-plan (not
+    joins feeding aggregates it has fused, not stream-static joins),
+    and a single monster key still serializes within one task's
+    build side. Salting moves the fix into the logical plan. Cost:
+    right side shuffles n_salts× its size — use for big-big joins
+    with a skewed left; for small right sides just broadcast.
+
+    The salt only affects row DISTRIBUTION, never matching — any
+    per-row value works; a uniform int avoids hashing whole rows.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salted_l = left.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    )
+    salts = F.explode(
+        F.array(*[F.lit(i) for i in range(n_salts)])
+    ).alias("_salt")
+    salted_r = right.select("*", salts)
+    return salted_l.join(salted_r, [key, "_salt"], how).drop("_salt")
+
+
 def band_join(facts: DataFrame, bands: DataFrame, value_col: str) -> DataFrame:
     """J7 — range join of a fact value into [lo, hi) bands. The band
     table is tiny → broadcast nested-loop, no shuffle of facts."""

@@ -82,3 +82,26 @@ def test_band_join_golden(spark):
     )
     got = {r["id"]: r["band"] for r in joins.band_join(facts, bands, "v").collect()}
     assert got == {1: "low", 2: "high", 3: "high"}
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting redistributes rows but must never change the result:
+    compare against the plain join on a deliberately skewed key."""
+    from server_spark.operators.joins import salted_join
+
+    # 90% of left rows share key 1 (the monster key)
+    left = spark.createDataFrame(
+        [(1 if i % 10 else 2, i) for i in range(1000)], "k int, payload int"
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (2, "cold"), (3, "unmatched")], "k int, label string"
+    )
+    plain = {(r["k"], r["payload"], r["label"])
+             for r in left.join(right, "k").collect()}
+    salted = {(r["k"], r["payload"], r["label"])
+              for r in salted_join(left, right, "k", n_salts=8).collect()}
+    assert salted == plain
+    # left join keeps unmatched left rows exactly once
+    lplain = left.join(right, "k", "left")
+    lsalted = salted_join(left, right, "k", n_salts=8, how="left")
+    assert lsalted.count() == lplain.count() == 1000
