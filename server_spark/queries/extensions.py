@@ -568,6 +568,133 @@ def x20_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x21 — the corpus-build pipeline END-TO-END (compose x18→x1→x15→x17)
+# ---------------------------------------------------------------------------
+
+_X21_SQL = rf"""
+    WITH RECURSIVE kept AS (
+        SELECT doc_id, text FROM documents
+        WHERE len(string_split_regex(LOWER(TRIM(text)), '\s+')) BETWEEN 10 AND 5000
+          AND CAST(LENGTH(regexp_replace(LOWER(text), '[^a-z]', '', 'g'))
+                   AS DOUBLE) / LENGTH(text) >= 0.55
+    ),
+    exact AS (
+        SELECT MIN(doc_id) AS doc_id, ANY_VALUE(text) AS text
+        FROM (SELECT doc_id, text,
+                     sha256(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS h
+              FROM kept)
+        GROUP BY h
+    ),
+    w AS (
+        SELECT doc_id,
+               generate_subscripts(string_split_regex(LOWER(TRIM(text)), '\s+'), 1) AS pos,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS word
+        FROM exact
+    ),
+    sh0 AS (
+        SELECT doc_id,
+               word || ' ' || LEAD(word, 1) OVER win || ' ' || LEAD(word, 2) OVER win AS shingle,
+               LEAD(word, 2) OVER win AS last2
+        FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE last2 IS NOT NULL),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+              >= {JACCARD_MIN}
+    ),
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT reach.node, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    survivors AS (
+        SELECT e.doc_id FROM exact e
+        LEFT JOIN comp ON e.doc_id = comp.node
+        WHERE comp.node IS NULL OR comp.component = e.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                     THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                     THEN 'val'
+                ELSE 'test' END AS split
+    FROM survivors
+"""
+
+
+@register(
+    "x21_corpus_build",
+    _X21_SQL,
+    doc="EXT x21 — the pretraining corpus build END-TO-END in one "
+    "declarative plan: quality gate (x18 rules) → exact dedup "
+    "survivors (x1) → near-dup CLUSTER resolution keeping one doc "
+    "per cluster (x2 pairs + x15 components) → deterministic hash "
+    "split (x17). Every stage reuses the already-verified operator; "
+    "the oracle is the same composition in SQL (recursive CTE for "
+    "the components).",
+    tags=("ext", "dedup", "pipeline"),
+    late=True,
+)
+def x21_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.dedup.components import connected_components
+
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    n_tokens = tx.token_count()
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.lower(t), r"[^a-z]", "")).cast("double")
+        / F.length(t)
+    )
+    kept = docs.filter(
+        n_tokens.between(10, 5000) & (alpha_ratio >= 0.55)
+    ).select("doc_id", "text")
+
+    # exact dedup: keep the min doc per content hash (carry text
+    # forward for shingling)
+    exact = (
+        kept.select("doc_id", "text", ex.text_hash().alias("h"))
+        .groupBy("h")
+        .agg(F.min_by("doc_id", "doc_id").alias("doc_id"),
+             F.min_by("text", "doc_id").alias("text"))
+        .select("doc_id", "text")
+    )
+
+    edges = ng.jaccard_pairs(exact, n=3, threshold=JACCARD_MIN).select(
+        "doc_a", "doc_b"
+    )
+    comp = connected_components(edges)
+    survivors = (
+        exact.join(comp, exact.doc_id == comp.node, "left")
+        .filter(F.col("node").isNull() | (F.col("component") == F.col("doc_id")))
+        .select("doc_id")
+    )
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return survivors.select(
+        "doc_id",
+        F.when(h2 < "cd", "train")
+        .when(h2 < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rows-only EXT operators (engine-specific hashing / UDF paths)
 # ---------------------------------------------------------------------------
 

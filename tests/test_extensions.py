@@ -222,3 +222,40 @@ def test_connected_components_chain(spark):
         for r in resolve_clusters(edges).collect()
     }
     assert clusters == {1: (4, "1,2,3,4"), 10: (2, "10,11")}
+
+
+def test_hash_split_proportions_and_determinism(spark):
+    """x17: md5 bucketing lands near 80/10/10 and is a pure function
+    of the id (two runs identical)."""
+    from server_spark.queries.extensions import x17_hash_split
+
+    sf = "/root/testdata/sf0.01"
+    a = x17_hash_split(spark, sf).collect()
+    b = x17_hash_split(spark, sf).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    n = len(a)
+    frac = {s: sum(1 for r in a if r["split"] == s) / n
+            for s in ("train", "val", "test")}
+    assert 0.72 <= frac["train"] <= 0.88
+    assert 0.04 <= frac["val"] <= 0.16
+    assert 0.04 <= frac["test"] <= 0.16
+
+
+def test_sequence_packing_invariants(spark):
+    """x20: within each shard, pack ids/offsets are exactly the
+    running-token-count layout: start = pack_id*budget + offset,
+    starts increase by n_tokens in doc order, offsets stay < budget."""
+    from server_spark.queries.extensions import PACK_BUDGET, x20_sequence_packing
+
+    rows = x20_sequence_packing(spark, "/root/testdata/sf0.01").collect()
+    by_shard: dict[str, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) == 16
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        running = 0
+        for r in shard_rows:
+            assert 0 <= r["pack_offset"] < PACK_BUDGET
+            assert r["pack_id"] * PACK_BUDGET + r["pack_offset"] == running
+            running += r["n_tokens"]
