@@ -146,6 +146,35 @@ def f8_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f11_map_access",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys
+    FROM events
+    """,
+    doc="F11 — MapType access: props parsed into a real "
+    "map<string,long> (from_json), then key lookup, cardinality and "
+    "sorted key enumeration — the typed-map surface the reference's "
+    "ItemsMap/realm maps expose (SURVEY.md §1 map-vs-row note: "
+    "long-table joins remain the RELATIONAL form; this is the "
+    "column-typed form).",
+    tags=("function", "map"),
+    late=True,
+)
+def f11_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        m["k"].alias("k_value"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
+    )
+
+
+@register(
     "f10_array_ops",
     auctions_sql(
         """

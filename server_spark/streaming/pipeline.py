@@ -148,6 +148,35 @@ def price_delta_stateful(stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_ingest_with_manifest(
+    spark: SparkSession, input_dir: str, paths, checkpoint_dir: str
+):
+    """T1 + AuctionManifest — the full intake loop: file-arrival
+    trigger, then each micro-batch lands through the manifest-gated
+    bronze ingest (plans/medallion.ingest_bronze_incremental).
+
+    Two independent idempotency layers, deliberately: the checkpoint
+    dedupes FILES within this query's lifetime, the manifest dedupes
+    DUMP KEYS forever — so a wiped checkpoint, a second pipeline, or a
+    manual backfill replaying the same dumps still cannot double-land
+    them. foreachBatch runs on the driver; the ingest itself is the
+    same batch plan the medallion uses.
+    """
+    from server_spark.plans.medallion import ingest_bronze_incremental
+
+    stream = read_auction_stream(spark, input_dir)
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        ingest_bronze_incremental(batch_df.sparkSession, batch_df, paths)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_parquet(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str, mode: str = "append"
 ):

@@ -92,3 +92,36 @@ def test_stateful_price_delta(spark, tmp_path):
     assert [r["avg_buyout_per"] for r in rows] == [100.0, 150.0]
     assert rows[0]["prev_avg"] is None and rows[0]["delta"] is None
     assert rows[1]["prev_avg"] == 100.0 and rows[1]["delta"] == 50.0
+
+
+def test_stream_ingest_manifest_idempotent(spark, tmp_path):
+    """foreachBatch + manifest intake: the stream lands dumps into
+    bronze once; replaying the same files with a WIPED checkpoint (the
+    checkpoint can no longer dedupe) still cannot double-land them —
+    the manifest gate holds."""
+    import shutil
+
+    from server_spark.plans.medallion import MedallionPaths, load_manifest
+
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    paths = MedallionPaths(str(tmp_path / "lake"))
+    os.makedirs(input_dir, exist_ok=True)
+
+    t0 = dt.datetime(2024, 1, 1, 10, 30)
+    t1 = dt.datetime(2024, 1, 1, 11, 30)
+    _write_dump(spark, input_dir, "d0", t0, [(1, 100, 100, 1), (2, 100, 300, 1)])
+    _write_dump(spark, input_dir, "d1", t1, [(3, 200, 500, 2)])
+
+    q = sp.stream_ingest_with_manifest(spark, input_dir, paths, ckpt)
+    q.awaitTermination()
+    assert spark.read.parquet(paths.bronze).count() == 3
+    assert load_manifest(spark, paths).count() == 2  # two dump keys
+
+    # checkpoint wiped → the file source replays EVERYTHING; bronze
+    # must not grow
+    shutil.rmtree(ckpt)
+    q = sp.stream_ingest_with_manifest(spark, input_dir, paths, ckpt)
+    q.awaitTermination()
+    assert spark.read.parquet(paths.bronze).count() == 3
+    assert load_manifest(spark, paths).count() == 2
