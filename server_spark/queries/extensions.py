@@ -695,6 +695,235 @@ def x21_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x9b — SimHash with a CROSS-ENGINE hash (md5) → fully oracle-checked
+# ---------------------------------------------------------------------------
+# x9 keeps xxhash64 (fastest JVM path, rows-only); this variant derives
+# the 64 token-hash bits from the first 16 md5 hex chars, which both
+# engines compute identically — so the ENTIRE SimHash semantics
+# (tokenize → hash → signed bit vote → sign) is value-verified against
+# DuckDB, not just property-tested. Fingerprint emitted as a 64-char
+# bitstring (no signed-long edge cases in the comparison).
+
+_HEX = "0123456789abcdef"
+
+_X9B_CHARS_SQL = ", ".join(
+    f"strpos('{_HEX}', substr(md5(tok), {j + 1}, 1)) - 1 AS c{j}"
+    for j in range(16)
+)
+_X9B_SUMS_SQL = ", ".join(
+    f"SUM(2 * ((c{i // 4} >> {3 - i % 4}) & 1) - 1) AS s{i}" for i in range(64)
+)
+_X9B_BITS_SQL = ", ".join(
+    f"CASE WHEN s{i} > 0 THEN '1' ELSE '0' END" for i in range(64)
+)
+
+_X9B_SQL = rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS tok
+        FROM documents
+    ),
+    chars AS (SELECT doc_id, {_X9B_CHARS_SQL} FROM toks),
+    sums AS (SELECT doc_id, {_X9B_SUMS_SQL} FROM chars GROUP BY doc_id)
+    SELECT doc_id, concat({_X9B_BITS_SQL}) AS fingerprint_bits FROM sums
+"""
+
+
+@register(
+    "x9b_simhash_oracle",
+    _X9B_SQL,
+    doc="EXT x9b — SimHash with engine-portable md5 bit derivation: "
+    "tokenize → 64 hash bits per token → signed bit vote → sign, "
+    "value-checked end-to-end against the oracle (x9 is the faster "
+    "xxhash64 production form of the same plan shape: one explode, "
+    "one 64-way sum-agg shuffle).",
+    tags=("ext", "dedup", "textstats"),
+    late=True,
+)
+def x9b_simhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    md5 = F.md5("tok")
+    chars = toks.select(
+        "doc_id",
+        *[
+            F.conv(F.substring(md5, j + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"c{j}")
+            for j in range(16)
+        ],
+    )
+    sums = chars.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                2 * F.shiftright(F.col(f"c{i // 4}"), 3 - i % 4).bitwiseAND(1) - 1
+            ).alias(f"s{i}")
+            for i in range(64)
+        ]
+    )
+    bits = [
+        F.when(F.col(f"s{i}") > 0, "1").otherwise("0") for i in range(64)
+    ]
+    return sums.select("doc_id", F.concat(*bits).alias("fingerprint_bits"))
+
+
+# ---------------------------------------------------------------------------
+# x8b — MinHash+LSH with CROSS-ENGINE hashing → fully oracle-checked
+# ---------------------------------------------------------------------------
+# x8 keeps xxhash64 signatures (fast JVM path, rows-only); here the
+# shingle is mapped to an integer via its md5 prefix and pushed through
+# seeded universal hashes (a·v+b mod p) — pure integer arithmetic both
+# engines evaluate identically, so signatures, banding, candidate
+# pairs AND the jaccard estimate are all value-verified.
+
+_MH_P = 4_000_037          # prime modulus; a·v+b stays < 2^63
+_MH_NUM, _MH_BANDS = 32, 8  # 32 hashes = 8 bands × 4 rows
+_MH_ROWS = _MH_NUM // _MH_BANDS
+_MH_MIN_EST = 0.25
+
+_mh_rng = random.Random(1234)
+_MH_AB = [
+    (_mh_rng.randrange(1, _MH_P), _mh_rng.randrange(0, _MH_P))
+    for _ in range(_MH_NUM)
+]
+
+# md5-prefix → integer mod p: Σ hex_char_j · 16^(7-j), then % p.
+# 8 hex chars = 32 bits — collision odds are negligible for shingle
+# universes and it halves the per-shingle character arithmetic.
+_X8B_V_SQL = "(" + " + ".join(
+    f"(strpos('{_HEX}', substr(md5(shingle), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+    for j in range(8)
+) + f") % {_MH_P}"
+
+_X8B_SIGS_SQL = ", ".join(
+    f"MIN(({a} * v + {b}) % {_MH_P}) AS sig{i}"
+    for i, (a, b) in enumerate(_MH_AB)
+)
+_X8B_BANDS_SQL = ", ".join(
+    "concat_ws('|', "
+    + ", ".join(f"sig{band * _MH_ROWS + r}" for r in range(_MH_ROWS))
+    + f") AS band{band}"
+    for band in range(_MH_BANDS)
+)
+_X8B_MATCHES_SQL = " + ".join(
+    f"CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END" for i in range(_MH_NUM)
+)
+
+_X8B_SQL = rf"""
+    WITH w AS (
+        SELECT doc_id,
+               generate_subscripts(string_split_regex(LOWER(TRIM(text)), '\s+'), 1) AS pos,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS word
+        FROM documents
+    ),
+    sh0 AS (
+        SELECT doc_id,
+               word || ' ' || LEAD(word, 1) OVER win || ' ' || LEAD(word, 2) OVER win AS shingle,
+               LEAD(word, 2) OVER win AS last2
+        FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE last2 IS NOT NULL),
+    vals AS (SELECT doc_id, {_X8B_V_SQL} AS v FROM sh),
+    sigs AS (SELECT doc_id, {_X8B_SIGS_SQL} FROM vals GROUP BY doc_id),
+    bands AS (SELECT doc_id, {_X8B_BANDS_SQL} FROM sigs),
+    kv AS (
+        SELECT doc_id, band_idx, band_key FROM bands
+        UNPIVOT (band_key FOR band_idx IN ({", ".join(f"band{b}" for b in range(_MH_BANDS))}))
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM kv x JOIN kv y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           {{EST}} AS jaccard_est
+    FROM cand
+    JOIN sigs a ON doc_a = a.doc_id
+    JOIN sigs b ON doc_b = b.doc_id
+    WHERE CAST(({_X8B_MATCHES_SQL}) AS DOUBLE) / {_MH_NUM} >= {_MH_MIN_EST}
+""".format(EST=r4sql(f"CAST(({_X8B_MATCHES_SQL}) AS DOUBLE) / {_MH_NUM}"))
+
+
+@register(
+    "x8b_minhash_oracle",
+    _X8B_SQL,
+    doc="EXT x8b — MinHash+LSH with engine-portable hashing: shingle "
+    "→ md5-derived integer → 32 seeded universal hashes in ONE "
+    "min-agg shuffle, 8-band×4-row banding, candidates via band-key "
+    "equi-join (never all-pairs), estimate = matching signature "
+    "fraction. Every stage value-verified against the oracle; x8 is "
+    "the xxhash64 production twin of the same plan.",
+    tags=("ext", "dedup"),
+    late=True,
+)
+def x8b_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingles = ng.word_shingles(_docs(spark, sf_dir), n=3)
+    md5 = F.md5("shingle")
+    v_terms = [
+        (F.conv(F.substring(md5, j + 1, 1), 16, 10).cast("long"))
+        * (16 ** (7 - j))
+        for j in range(8)
+    ]
+    v = sum(v_terms[1:], v_terms[0]) % _MH_P
+    vals = shingles.select("doc_id", v.alias("v"))
+    # ONE min-agg shuffle for all 32 signatures, packed into an array
+    # so downstream carries a single column instead of 32
+    sigs = vals.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.min((F.lit(a) * F.col("v") + F.lit(b)) % _MH_P)
+                for a, b in _MH_AB
+            ]
+        ).alias("sig")
+    )
+    # explode band keys, CARRYING the signature array — candidates and
+    # their match counts come out of one equi-join (no second pass
+    # re-joining signatures per side)
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band_idx"),
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.slice("sig", band * _MH_ROWS + 1, _MH_ROWS),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("band_key"),
+        )
+        for band in range(_MH_BANDS)
+    ]
+    kv = sigs.select(
+        "doc_id", "sig", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "sig", "b.band_idx", "b.band_key")
+    x = kv.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
+        "band_idx", "band_key",
+    )
+    y = kv.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
+        "band_idx", "band_key",
+    )
+    cand = (
+        x.join(y, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda p, q: p == q), lambda m: m
+        )
+    )
+    est = matches.cast("double") / _MH_NUM
+    return (
+        cand.select("doc_a", "doc_b", r4(est).alias("jaccard_est"))
+        .filter(F.col("jaccard_est") >= _MH_MIN_EST)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rows-only EXT operators (engine-specific hashing / UDF paths)
 # ---------------------------------------------------------------------------
 

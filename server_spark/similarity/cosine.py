@@ -137,13 +137,18 @@ def neardup_pairs(
     )
 
 
-def derive_n_blocks(n_rows: int, rows_per_block: int) -> int:
+def derive_n_blocks(
+    n_rows: int, rows_per_block: int, min_blocks: int = 8
+) -> int:
     """Blocks needed so no packed block exceeds ``rows_per_block``
     vectors (id-hash packing is uniform, so block size concentrates
-    tightly around n_rows / n_blocks)."""
+    tightly around n_rows / n_blocks). ``min_blocks`` floors the
+    count so the (i ≤ j) cell grid keeps every core busy on small
+    corpora — memory bounds pick the ceiling, parallelism the floor
+    (8 blocks → 36 cells)."""
     import math
 
-    return max(1, math.ceil(max(n_rows, 1) / rows_per_block))
+    return max(min_blocks, math.ceil(max(n_rows, 1) / rows_per_block))
 
 
 def neardup_pairs_blocked(

@@ -188,10 +188,12 @@ def test_neardup_blocked_bounded_blocks(spark, sf_dir):
     from server_spark.similarity.cosine import derive_n_blocks
 
     # doubling the corpus doubles the blocks, not the block size
-    assert derive_n_blocks(1000, 250) == 4
-    assert derive_n_blocks(2000, 250) == 8
+    assert derive_n_blocks(1_000_000, 4096) == 245
+    assert derive_n_blocks(2_000_000, 4096) == 489
+    # parallelism floor on small corpora; memory ceiling still binds
+    assert derive_n_blocks(1000, 250) == 8
     assert derive_n_blocks(2001, 250) == 9
-    assert derive_n_blocks(0, 250) == 1
+    assert derive_n_blocks(0, 250) == 8
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = {
