@@ -37,8 +37,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WHERE ts >= TIMESTAMP '{RANGE_LO}' AND ts < TIMESTAMP '{RANGE_HI}'
     """,
-    doc="P5 — history query bounded by lower/upper ts (Bolt cursor "
-    "range seek → parquet predicate pushdown / partition pruning).",
+    doc="P5 (+P7/T7 family) — history query bounded by lower/upper ts "
+    "(Bolt cursor range seek → parquet predicate pushdown / partition "
+    "pruning). The retention predicate is the one-sided form of the "
+    "same pushed bound (standalone: t7; partition-drop: medallion).",
     tags=("filter", "timeseries"),
 )
 def p5_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,6 +236,51 @@ def w5_token_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.min("value")).alias("min_price"),
             r4(F.max("value")).alias("max_price"),
             r4(F.avg("value")).alias("avg_price"),
+        )
+    )
+
+
+_SLIDE_US = 15 * 60 * 1_000_000       # 15-min hop
+_WIN_US = 60 * 60 * 1_000_000         # 1-hour window
+
+
+@register(
+    "w6_sliding_window",
+    f"""
+    WITH hops AS (
+        SELECT event_type, value,
+               (epoch_us(ts) // {_SLIDE_US} - j) * {_SLIDE_US} AS start_us
+        FROM events, UNNEST([0, 1, 2, 3]) AS t(j)
+        WHERE epoch_us(ts) - (epoch_us(ts) // {_SLIDE_US} - j) * {_SLIDE_US}
+              < {_WIN_US}
+    )
+    SELECT event_type,
+           make_timestamp(start_us) AS bucket_ts,
+           COUNT(*) AS n,
+           {r4sql("AVG(value)")} AS avg_value
+    FROM hops
+    GROUP BY event_type, start_us
+    """,
+    doc="T4 (sliding) — hopping 1-hour windows every 15 min per "
+    "series: Spark's native window(ts, '1 hour', '15 minutes') "
+    "(each event lands in 4 overlapping buckets); oracle derives the "
+    "same epoch-aligned window starts arithmetically.",
+    tags=("window", "timeseries", "sliding"),
+    late=True,
+)
+def w6_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "event_type",
+            F.window("ts", "1 hour", "15 minutes").alias("win"),
+        )
+        .agg(F.count("*").alias("n"), r4(F.avg("value")).alias("avg_value"))
+        .select(
+            "event_type",
+            F.col("win.start").alias("bucket_ts"),
+            "n",
+            "avg_value",
         )
     )
 
