@@ -74,6 +74,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else SF_DIR,
+                # r2+: full-column xxhash64 materialization (r1 used
+                # count(), which let Catalyst prune timed expressions —
+                # totals are not comparable across that change)
+                "materializer": "xxhash64-all-columns",
             }
         )
     )

@@ -95,3 +95,35 @@ def test_retention_prune(spark, pipeline):
     gold = spark.read.parquet(pipeline.gold_prices)
     kept = gold.filter(F.col("dump_date") >= F.lit("2024-06-01").cast("date"))
     assert kept.count() == 0
+
+
+def test_compaction_rewrites_fragmented_partitions(spark, tmp_path):
+    """Many small appended files per partition collapse to a few
+    target-sized files with identical data; already-compact partitions
+    are untouched."""
+    from pyspark.sql import functions as F
+
+    from server_spark.plans.maintenance import (
+        compact_partitions,
+        partition_file_stats,
+    )
+
+    root = str(tmp_path / "frag")
+    base = spark.range(2000).select(
+        (F.col("id") % 2).alias("region"), F.col("id").alias("v")
+    )
+    # 10 appends × 3 files each → ~30 small files per partition
+    for _ in range(10):
+        base.repartition(3).write.mode("append").partitionBy("region").parquet(root)
+
+    before = partition_file_stats(root)
+    assert all(n >= 10 for n, _ in before.values())
+    checksum = spark.read.parquet(root).agg(F.sum("v")).collect()[0][0]
+
+    n = compact_partitions(spark, root, target_bytes=1 << 30, min_files=4)
+    assert n == 2  # both region partitions rewritten
+    after = partition_file_stats(root)
+    assert all(n_files == 1 for n_files, _ in after.values())
+    assert spark.read.parquet(root).agg(F.sum("v")).collect()[0][0] == checksum
+    # idempotent: nothing left to compact
+    assert compact_partitions(spark, root, target_bytes=1 << 30, min_files=4) == 0
