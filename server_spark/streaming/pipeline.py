@@ -84,6 +84,27 @@ def hourly_price_stream(stream: DataFrame, late: str | None = None) -> DataFrame
     )
 
 
+def session_stream(
+    stream: DataFrame, gap: str = "30 minutes", late: str = "1 hour"
+) -> DataFrame:
+    """T4 (streaming) — per-owner activity sessions over the dump
+    stream via the NATIVE session_window: a session closes (and, in
+    append mode, emits) once the watermark passes its gap-extended
+    end. State is one open session per (owner) key, bounded by the
+    watermark — the streaming twin of the batch t4b query."""
+    return (
+        stream.withWatermark("dump_ts", late)
+        .groupBy("owner", F.session_window("dump_ts", gap).alias("sw"))
+        .agg(F.count("*").alias("n_auctions"))
+        .select(
+            "owner",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_auctions",
+        )
+    )
+
+
 def price_delta_stateful(stream: DataFrame) -> DataFrame:
     """T5 — custom stateful operator: per (region, realm, item), track
     the last observed average price across micro-batches and emit the

@@ -125,3 +125,38 @@ def test_stream_ingest_manifest_idempotent(spark, tmp_path):
     q.awaitTermination()
     assert spark.read.parquet(paths.bronze).count() == 3
     assert load_manifest(spark, paths).count() == 2
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """T4 streaming: events within the gap merge into one session that
+    emits once the watermark passes; a later burst stays open."""
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir, exist_ok=True)
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    t1 = dt.datetime(2024, 1, 1, 10, 10)  # same session (gap 30m)
+    _write_dump(spark, input_dir, "d0", t0, [(1, 100, 100, 1)])
+    _write_dump(spark, input_dir, "d1", t1, [(2, 100, 300, 1)])
+
+    stream = sp.session_stream(
+        sp.read_auction_stream(spark, input_dir), gap="30 minutes", late="0 seconds"
+    )
+    q = sp.run_to_parquet(stream, out_dir, ckpt)
+    q.awaitTermination()
+
+    # a much later dump advances the watermark past the first
+    # session's end → it closes and emits on the resumed run
+    t2 = dt.datetime(2024, 1, 1, 13, 0)
+    _write_dump(spark, input_dir, "d2", t2, [(3, 100, 500, 1)])
+    q2 = sp.run_to_parquet(stream, out_dir, ckpt)
+    q2.awaitTermination()
+
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["owner"] == "o"
+    assert r["session_start"] == t0
+    assert r["session_end"] == dt.datetime(2024, 1, 1, 10, 40)  # t1 + gap
+    assert r["n_auctions"] == 2
