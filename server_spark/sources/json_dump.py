@@ -56,6 +56,29 @@ RAW_DUMP = T.StructType(
 )
 
 
+def read_realm_status(spark: SparkSession, path: str):
+    """Parse realm-status documents (schemas.REALM_STATUS — the
+    region→realms→connected_realms nesting of
+    `app/pkg/blizzard/status.go` [M]) into one flat row per
+    (region, realm, connected realm): the two-level explode J2's
+    hierarchy queries start from. Realms with no connected list keep
+    one row (null connection) so the realm itself never drops out."""
+    from server_spark.schemas import REALM_STATUS
+
+    doc = spark.read.schema(REALM_STATUS).option("multiLine", "true").json(path)
+    realms = doc.select(
+        "region", "last_modified", F.explode("realms").alias("realm")
+    )
+    return realms.select(
+        "region",
+        F.col("realm.slug").alias("realm_slug"),
+        F.col("realm.name").alias("realm_name"),
+        F.col("realm.timezone").alias("timezone"),
+        F.explode_outer("realm.connected_realms").alias("connected_realm"),
+        "last_modified",
+    )
+
+
 def read_auction_dump(
     spark: SparkSession,
     path: str,

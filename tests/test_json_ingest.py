@@ -112,3 +112,59 @@ def test_manifest_idempotent_ingest(spark, dump_dir, tmp_path):
         for r in bronze.groupBy("realm_slug").agg(F.count("*").alias("n")).collect()
     }
     assert per_realm == {"earthen-ring": 80, "stormrage": 25}
+
+
+def test_malformed_dump_degrades_to_nulls(spark, tmp_path):
+    """PERMISSIVE parse with the explicit schema: a corrupt dump file
+    yields no auction rows (never an exception mid-pipeline), and a
+    dump with one malformed auction element keeps the well-formed
+    ones — nulls surface in known columns for a data-quality gate."""
+    d = tmp_path / "bad"
+    d.mkdir()
+    with gzip.open(d / "corrupt.json.gz", "wt") as f:
+        f.write('{"this is not: valid json')
+    df = read_auction_dump(spark, str(d / "corrupt.json.gz"), "us", "2024-01-10 03:00:00")
+    assert df.count() == 0
+
+    doc = _dump_doc("earthen-ring", 2, 1)
+    doc["auctions"][1]["quantity"] = "not-a-number"
+    with gzip.open(d / "partial.json.gz", "wt") as f:
+        json.dump(doc, f)
+    rows = read_auction_dump(
+        spark, str(d / "partial.json.gz"), "us", "2024-01-10 03:00:00"
+    ).collect()
+    assert len(rows) == 2
+    by_auc = {r["auc"]: r for r in rows}
+    assert by_auc[1]["quantity"] == 1
+    assert by_auc[2]["quantity"] is None  # malformed field → null, row kept
+
+
+def test_realm_status_nested_parse(spark, tmp_path):
+    """S3/J2 — realm-status document: two-level nesting flattens to
+    one row per (region, realm, connected realm); realms without
+    connections survive with a null."""
+    from server_spark.sources.json_dump import read_realm_status
+
+    doc = {
+        "region": "us",
+        "realms": [
+            {"slug": "earthen-ring", "name": "Earthen Ring",
+             "timezone": "America/New_York",
+             "connected_realms": ["earthen-ring", "stormrage"]},
+            {"slug": "lonely", "name": "Lonely", "timezone": "UTC",
+             "connected_realms": []},
+        ],
+        "last_modified": "2024-01-10T03:00:00Z",
+    }
+    p = tmp_path / "status.json.gz"
+    with gzip.open(p, "wt") as f:
+        json.dump(doc, f)
+    rows = read_realm_status(spark, str(p)).collect()
+    assert len(rows) == 3
+    by = {(r["realm_slug"], r["connected_realm"]) for r in rows}
+    assert by == {
+        ("earthen-ring", "earthen-ring"),
+        ("earthen-ring", "stormrage"),
+        ("lonely", None),
+    }
+    assert all(r["region"] == "us" for r in rows)
