@@ -261,3 +261,31 @@ def test_sequence_packing_invariants(spark):
             assert 0 <= r["pack_offset"] < PACK_BUDGET
             assert r["pack_id"] * PACK_BUDGET + r["pack_offset"] == running
             running += r["n_tokens"]
+
+
+def test_ivf_index_persistence_roundtrip(spark, sf_dir, tmp_path, monkeypatch):
+    """x14: the persisted index (centroids sidecar + assignment
+    parquet) reloads in a fresh cache and yields identical search
+    results to the freshly built index."""
+    import tempfile
+
+    from server_spark.similarity import ivf
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    ivf._INDEX_CACHE.clear()
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    first = sorted(
+        map(tuple, ivf.ivf_topk(emb, queries, k=5, cache_key="t").collect())
+    )
+    assert (tmp_path / "server_spark_ivf").exists()
+
+    ivf._INDEX_CACHE.clear()  # force the disk-load path
+    second = sorted(
+        map(tuple, ivf.ivf_topk(emb, queries, k=5, cache_key="t").collect())
+    )
+    assert first == second
+    ivf._INDEX_CACHE.clear()
