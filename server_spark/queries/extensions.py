@@ -924,6 +924,180 @@ def x8b_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x23 — vocabulary build; x24 — cross-source contamination
+# ---------------------------------------------------------------------------
+
+VOCAB_K = 100
+
+
+@register(
+    "x23_vocab_topk",
+    rf"""
+    WITH toks AS (
+        SELECT UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token,
+               doc_id
+        FROM documents
+    ),
+    counts AS (
+        SELECT token,
+               COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM toks GROUP BY token
+    )
+    SELECT token, n_occurrences, n_docs, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY n_occurrences DESC, token
+        ) AS rnk
+        FROM counts
+    ) WHERE rnk <= {VOCAB_K}
+    """,
+    doc="EXT x23 — vocabulary build: corpus-wide token frequencies "
+    "(occurrences + document frequency) with deterministic top-K — "
+    "the tokenizer-training / stopword-derivation pass. One explode + "
+    "one hash-agg; the top-K is a TakeOrdered, never a global sort.",
+    tags=("ext", "textstats", "vocab"),
+    late=True,
+)
+def x23_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return counts.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= VOCAB_K
+    )
+
+
+@register(
+    "x24_cross_source_contamination",
+    rf"""
+    WITH w AS (
+        SELECT doc_id, source,
+               generate_subscripts(string_split_regex(LOWER(TRIM(text)), '\s+'), 1) AS pos,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS word
+        FROM documents
+    ),
+    sh0 AS (
+        SELECT doc_id, source,
+               word || ' ' || LEAD(word, 1) OVER win || ' ' || LEAD(word, 2) OVER win AS shingle,
+               LEAD(word, 2) OVER win AS last2
+        FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    srcsh AS (
+        SELECT DISTINCT source, shingle FROM sh0 WHERE last2 IS NOT NULL
+    ),
+    src_sizes AS (SELECT source, COUNT(*) AS n_sh FROM srcsh GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared,
+           {{OV}} AS overlap_a
+    FROM srcsh a
+    JOIN srcsh b ON a.shingle = b.shingle AND a.source < b.source
+    JOIN src_sizes sa ON a.source = sa.source
+    GROUP BY a.source, b.source, sa.n_sh
+    """.format(OV=r4sql("CAST(COUNT(*) AS DOUBLE) / sa.n_sh")),
+    doc="EXT x24 — cross-source CONTAMINATION check: for every source "
+    "pair, how many distinct word-3-grams they share and what "
+    "fraction of the first source's shingles that is — the standard "
+    "train/eval leakage scan (n-gram overlap between splits). Shape: "
+    "distinct (source, shingle) sets then an inverted-index join on "
+    "shingle — source count is tiny, shingle sets are the scale.",
+    tags=("ext", "dedup", "contamination"),
+    late=True,
+)
+def x24_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    sh = ng.word_shingles(docs, n=3)
+    srcsh = (
+        sh.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    sizes = srcsh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a = srcsh.select(F.col("source").alias("source_a"), "shingle")
+    b = srcsh.select(F.col("source").alias("source_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return shared.join(
+        F.broadcast(sizes.withColumnsRenamed({"source": "source_a"})), "source_a"
+    ).select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        r4(F.col("n_shared").cast("double") / F.col("n_sh")).alias("overlap_a"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x22 — int8 scalar quantization of embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x22_embedding_quantize",
+    """
+    WITH scaled AS (
+        SELECT vec_id,
+               GREATEST(list_max(list_transform(embedding,
+                   x -> ABS(CAST(x AS DOUBLE)))) / 127, 1e-12) AS scale
+        FROM embeddings
+    )
+    SELECT e.vec_id,
+           {SC} AS scale,
+           array_to_string(list_transform(embedding,
+               x -> CAST(CASE WHEN x < 0
+                    THEN -FLOOR(ABS(CAST(x AS DOUBLE)) / scale + 0.5)
+                    ELSE  FLOOR(ABS(CAST(x AS DOUBLE)) / scale + 0.5)
+                    END AS INT)), ',')
+               AS q_values
+    FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
+    """.format(SC=r4sql("scale")),
+    doc="EXT x22 — int8 scalar quantization: per-vector absmax scale, "
+    "elements snapped to [-127,127] (the 4× memory shrink an ANN "
+    "index applies before SIMD scoring). Pure narrow map — "
+    "higher-order array functions, no shuffle, no UDF. Round "
+    "half-away-from-zero spelled as sign·floor(|x|/scale + 0.5): "
+    "pure IEEE double arithmetic, bit-identical across engines "
+    "(decimal-cast rounding would double-round at the boundary).",
+    tags=("ext", "similarity", "quantize"),
+    late=True,
+)
+def x22_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    scale = F.greatest(
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+        / 127,
+        F.lit(1e-12),
+    )
+    # internal name ≠ output alias: the select below re-aliases the
+    # ROUNDED value as "scale", and lateral column-alias resolution
+    # would otherwise bind the lambda's reference to that rounded
+    # sibling instead of the child column
+    with_scale = emb.select("vec_id", "embedding", scale.alias("_scale"))
+
+    def _q(x):
+        mag = F.floor(F.abs(x.cast("double")) / F.col("_scale") + 0.5)
+        return F.when(x < 0, -mag).otherwise(mag).cast("int")
+
+    q = F.transform("embedding", _q)
+    return with_scale.select(
+        "vec_id",
+        r4("_scale").alias("scale"),
+        F.array_join(F.transform(q, lambda v: v.cast("string")), ",").alias(
+            "q_values"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rows-only EXT operators (engine-specific hashing / UDF paths)
 # ---------------------------------------------------------------------------
 
