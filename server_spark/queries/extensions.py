@@ -1098,6 +1098,79 @@ def x22_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x25 — intra-document repetition ratio (Gopher-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x25_repetition_ratio",
+    rf"""
+    WITH w AS (
+        SELECT doc_id,
+               generate_subscripts(string_split_regex(LOWER(TRIM(text)), '\s+'), 1) AS pos,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS word
+        FROM documents
+    ),
+    sh0 AS (
+        SELECT doc_id,
+               word || ' ' || LEAD(word, 1) OVER win || ' ' || LEAD(word, 2) OVER win AS shingle,
+               LEAD(word, 2) OVER win AS last2
+        FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (SELECT doc_id, shingle FROM sh0 WHERE last2 IS NOT NULL),
+    per_doc AS (
+        SELECT doc_id,
+               COUNT(*) AS n_shingles,
+               COUNT(DISTINCT shingle) AS n_distinct
+        FROM sh GROUP BY doc_id
+    )
+    SELECT doc_id, n_shingles, n_distinct,
+           {r4sql("1.0 - CAST(n_distinct AS DOUBLE) / n_shingles")}
+               AS repetition_ratio
+    FROM per_doc
+    """,
+    doc="EXT x25 — intra-document repetition: fraction of word-3-gram "
+    "occurrences that are repeats (1 − distinct/total), the Gopher "
+    "duplicate-n-gram quality rule that catches boilerplate and "
+    "degenerate loops. One explode + one two-level agg per doc; "
+    "composes into the x18/x21 gate as another keep/drop rule.",
+    tags=("ext", "textstats", "quality"),
+    late=True,
+)
+def x25_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos", "word"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        words.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "word", F.lead("word", 1).over(w), F.lead("word", 2).over(w)
+            ).alias("shingle"),
+            F.lead("word", 2).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "shingle")
+    )
+    per_doc = sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.countDistinct("shingle").alias("n_distinct"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_distinct",
+        r4(
+            1.0 - F.col("n_distinct").cast("double") / F.col("n_shingles")
+        ).alias("repetition_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rows-only EXT operators (engine-specific hashing / UDF paths)
 # ---------------------------------------------------------------------------
 
