@@ -22,6 +22,7 @@ from server_spark.parity import r4, r4sql
 from server_spark.registry import register
 from server_spark.similarity import cosine as cos
 from server_spark.textstats import analysis as tx
+from server_spark.textstats import pii
 
 N_QUERY_VECS = 5          # query set for top-k similarity
 TOPK = 10
@@ -1167,6 +1168,219 @@ def x25_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(
             1.0 - F.col("n_distinct").cast("double") / F.col("n_shingles")
         ).alias("repetition_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x26 — PII scrub (email / phone / IPv4 detection + redaction)
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus is PII-free, so the query plants deterministic
+# PII derived from doc_id — identically in both engines — and then
+# detects/redacts it with the generic scrubber. The scrubber itself
+# (textstats/pii.py) takes ANY text column.
+_X26_AUG_SQL = r"""text
+        || CASE WHEN doc_id % 3 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE '' END
+        || CASE WHEN doc_id % 5 = 0
+                THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                     || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                     || '.' || CAST(doc_id % 250 AS VARCHAR)
+                     || '.' || CAST(doc_id % 100 AS VARCHAR)
+                ELSE '' END"""
+
+
+@register(
+    "x26_pii_scrub",
+    rf"""
+    WITH aug AS (
+        SELECT doc_id, {_X26_AUG_SQL} AS t
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT doc_id, t,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                   '{pii.EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{pii.IPV4_RE}', '<IP>', 'g'),
+                   '{pii.PHONE_RE}', '<PHONE>', 'g') AS clean
+        FROM aug
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{pii.EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(t, '{pii.IPV4_RE}')) AS n_ips,
+           len(regexp_extract_all(t, '{pii.PHONE_RE}')) AS n_phones,
+           CAST(LENGTH(t) - LENGTH(clean) AS BIGINT) AS n_chars_delta,
+           md5(clean) AS clean_hash
+    FROM scrubbed
+    """,
+    doc="EXT x26 — PII detection + redaction (C4-style scrub): emails, "
+    "phone numbers, IPv4 addresses matched with Java/RE2-portable "
+    "patterns, redacted to <TYPE> tokens in a fixed order. Pure "
+    "narrow map (regexp built-ins, whole-stage codegen, no shuffle) — "
+    "at 100 TB this runs at scan speed. The corpus is synthetic and "
+    "PII-free, so deterministic doc_id-derived PII is planted "
+    "identically in both engines before scrubbing.",
+    tags=("ext", "textstats", "pii"),
+    late=True,
+)
+def x26_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 200).cast("string"),
+                F.lit("."),
+                (did % 250).cast("string"),
+                F.lit("."),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    with_aug = _docs(spark, sf_dir).select("doc_id", aug.alias("t"))
+    clean = pii.scrub("t")
+    return with_aug.select(
+        "doc_id",
+        pii.match_count("t", pii.EMAIL_RE).alias("n_emails"),
+        pii.match_count("t", pii.IPV4_RE).alias("n_ips"),
+        pii.match_count("t", pii.PHONE_RE).alias("n_phones"),
+        (F.length("t") - F.length(clean)).cast("long").alias("n_chars_delta"),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x27 — embedding-norm outlier trim (histogram-cumulative percentile)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x27_norm_outlier_trim",
+    rf"""
+    WITH norms AS (
+        SELECT vec_id,
+               {r4sql("sqrt(list_sum(list_transform(embedding,"
+                      " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")}
+                   AS l2_norm
+        FROM embeddings
+    ),
+    hist AS (SELECT l2_norm, COUNT(*) AS n_vecs FROM norms GROUP BY 1),
+    cum AS (
+        SELECT l2_norm, n_vecs,
+               SUM(n_vecs) OVER (ORDER BY l2_norm) AS cum
+        FROM hist
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM norms)
+    SELECT v.vec_id, v.l2_norm,
+           (c.cum * 100 > t.n_total
+            AND (c.cum - c.n_vecs) * 100 < t.n_total * 99) AS kept
+    FROM norms v
+    JOIN cum c ON v.l2_norm = c.l2_norm
+    CROSS JOIN tot t
+    """,
+    doc="EXT x27 — embedding outlier trim: drop the bottom/top 1% of "
+    "vectors by L2 norm (degenerate / exploding embeddings poison "
+    "ANN indexes and contrastive training). Exact percentiles via "
+    "the scalable histogram-cumulative shape: the global window runs "
+    "over DISTINCT ROUNDED norms (cardinality bounded by the value "
+    "range × 1e4, not the corpus), per-vector work is one hash-agg "
+    "plus a broadcast join back. Norms use the codegen-unrolled "
+    "dot_fixed, not the interpreted fold. A norm group is dropped "
+    "only if it lies ENTIRELY inside a tail (straddling groups are "
+    "kept), so the rule is pure integer arithmetic — no float "
+    "threshold to flip between engines — and a constant-norm corpus "
+    "drops nothing.",
+    tags=("ext", "similarity", "quality"),
+    late=True,
+)
+def x27_norm_outlier_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cos.norm_trim_flags(_emb(spark, sf_dir), dim=cos.EMB_DIM)
+
+
+# ---------------------------------------------------------------------------
+# x28 — source mixing budget (per-source token allocation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x28_source_mix_budget",
+    rf"""
+    WITH per_source AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split_regex(LOWER(TRIM(text)), '\s+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               COUNT(*) AS n_sources
+        FROM per_source
+    )
+    SELECT s.source, s.n_docs, s.n_tokens,
+           {r4sql("LEAST(CAST(2.0 AS DOUBLE),"
+                  " (CAST(t.total_tokens AS DOUBLE) / t.n_sources)"
+                  " / s.n_tokens)")} AS mix_weight,
+           CAST(FLOOR(LEAST(CAST(2.0 AS DOUBLE),
+                    (CAST(t.total_tokens AS DOUBLE) / t.n_sources)
+                    / s.n_tokens) * s.n_tokens) AS BIGINT)
+               AS budget_tokens
+    FROM per_source s CROSS JOIN tot t
+    """,
+    doc="EXT x28 — dataset mixing: allocate a per-source token budget "
+    "toward a uniform target share, capping oversampling at 2 "
+    "epochs (the standard mixture-reweighting step before corpus "
+    "assembly; pairs with the x19 stratified sampler that realizes "
+    "the rates). One hash-agg over the corpus + a broadcast scalar "
+    "join — the weight math runs on a few rows. The budget is "
+    "floor(weight × tokens) in pure IEEE double arithmetic, "
+    "identical across engines.",
+    tags=("ext", "textstats", "sampling"),
+    late=True,
+)
+def x28_source_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_source = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(tx.token_count()).alias("n_tokens"),
+        )
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    j = per_source.crossJoin(F.broadcast(tot))
+    target = F.col("total_tokens").cast("double") / F.col("n_sources")
+    weight = F.least(F.lit(2.0), target / F.col("n_tokens"))
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        r4(weight).alias("mix_weight"),
+        F.floor(weight * F.col("n_tokens")).cast("long").alias("budget_tokens"),
     )
 
 

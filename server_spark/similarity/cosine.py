@@ -20,6 +20,10 @@ from pyspark.sql import functions as F
 
 from server_spark.parity import r4
 
+# Dimensionality of the synthetic `embeddings.embedding` column
+# (TESTDATA.md); callers that score other corpora pass dim explicitly.
+EMB_DIM = 64
+
 
 def dot(a: str | Column, b: str | Column) -> Column:
     """Σ aᵢ·bᵢ in double, sequential fold (deterministic order)."""
@@ -336,4 +340,47 @@ def lsh_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(qid_col, id_col, "score", "rnk")
+    )
+
+
+def norm_trim_flags(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    low_pct: int = 1,
+    high_pct: int = 1,
+) -> DataFrame:
+    """Flag L2-norm outliers: (id, l2_norm, kept) where ``kept`` is
+    False for vectors whose (4-decimal-rounded) norm group lies
+    ENTIRELY inside the bottom ``low_pct``% / top ``high_pct``% of
+    the corpus by rank. Straddling groups are kept, so a
+    constant-norm corpus drops nothing.
+
+    Scale shape: one hash-agg to a norm histogram, a cumulative
+    window over DISTINCT ROUNDED norms only (cardinality bounded by
+    the value range × 1e4, never the corpus), then a broadcast join
+    back — no all-rows single-partition window.
+    """
+    norms = emb.select(
+        F.col(id_col), r4(F.sqrt(dot_fixed(vec_col, vec_col, dim))).alias("l2_norm")
+    )
+    hist = norms.groupBy("l2_norm").agg(F.count("*").alias("n_vecs"))
+    w = Window.orderBy("l2_norm").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("n_vecs").over(w))
+    tot = norms.agg(F.count("*").alias("n_total"))
+    flagged = cum.crossJoin(F.broadcast(tot)).select(
+        "l2_norm",
+        (
+            (F.col("cum") * 100 > F.col("n_total") * F.lit(low_pct))
+            & (
+                (F.col("cum") - F.col("n_vecs")) * 100
+                < F.col("n_total") * F.lit(100 - high_pct)
+            )
+        ).alias("kept"),
+    )
+    return norms.join(F.broadcast(flagged), "l2_norm").select(
+        id_col, "l2_norm", "kept"
     )

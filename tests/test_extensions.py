@@ -289,3 +289,56 @@ def test_ivf_index_persistence_roundtrip(spark, sf_dir, tmp_path, monkeypatch):
     )
     assert first == second
     ivf._INDEX_CACHE.clear()
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from server_spark.textstats import pii
+
+    rows = [
+        (1, "mail me at a.user+x@sub.example.org thanks"),
+        (2, "server at 192.168.0.1 and 10.0.0.255 up"),
+        (3, "call 555-123-4567 now"),
+        (4, "clean text with no pii at all"),
+        (5, "mixed b@c.io 1.2.3.4 555-000-1111"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            pii.match_count("t", pii.EMAIL_RE).alias("e"),
+            pii.match_count("t", pii.IPV4_RE).alias("i"),
+            pii.match_count("t", pii.PHONE_RE).alias("p"),
+            pii.scrub("t").alias("clean"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["i"], out[1]["p"]) == (1, 0, 0)
+    assert (out[2]["e"], out[2]["i"], out[2]["p"]) == (0, 2, 0)
+    assert (out[3]["e"], out[3]["i"], out[3]["p"]) == (0, 0, 1)
+    assert (out[4]["e"], out[4]["i"], out[4]["p"]) == (0, 0, 0)
+    assert out[1]["clean"] == "mail me at <EMAIL> thanks"
+    assert out[2]["clean"] == "server at <IP> and <IP> up"
+    assert out[3]["clean"] == "call <PHONE> now"
+    assert out[4]["clean"] == "clean text with no pii at all"
+    assert out[5]["clean"] == "mixed <EMAIL> <IP> <PHONE>"
+
+
+def test_norm_outlier_trim_ladder_and_constant(spark):
+    """norm_trim_flags on a 1..100 norm ladder drops exactly the two
+    tail values; on a constant-norm corpus (the straddling-group
+    case) it drops nothing."""
+    ladder = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(1, 101)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = cos.norm_trim_flags(ladder, dim=2).collect()
+    dropped = sorted(r["vec_id"] for r in rows if not r["kept"])
+    assert dropped == [1, 100]
+
+    const = spark.createDataFrame(
+        [(i, [3.0, 4.0]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    crows = cos.norm_trim_flags(const, dim=2).collect()
+    assert all(r["kept"] for r in crows)
+    assert all(r["l2_norm"] == 5.0 for r in crows)
