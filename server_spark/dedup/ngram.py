@@ -49,7 +49,12 @@ def jaccard_pairs(
     ``candidates``: optional (doc_a, doc_b) pre-filter (e.g. from
     MinHash LSH) to avoid the full inverted-index self-join.
     """
-    sh = word_shingles(docs, n, id_col)
+    # The shingle relation feeds BOTH self-join branches AND the two
+    # size lookups — four references, and Catalyst plans zero
+    # ReusedExchange across them (verified on the executed plan), so
+    # without materialization the explode+window pipeline (and its
+    # whole upstream, e.g. x21's quality+dedup stages) runs 4×.
+    sh = word_shingles(docs, n, id_col).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")

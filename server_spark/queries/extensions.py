@@ -668,12 +668,16 @@ def x21_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # exact dedup: keep the min doc per content hash (carry text
     # forward for shingling)
+    # Materialized once: referenced by the shingle pipeline (via
+    # jaccard_pairs) AND the survivors join — recomputing the
+    # quality+dedup aggregation per branch doubles the heavy work.
     exact = (
         kept.select("doc_id", "text", ex.text_hash().alias("h"))
         .groupBy("h")
         .agg(F.min_by("doc_id", "doc_id").alias("doc_id"),
              F.min_by("text", "doc_id").alias("text"))
         .select("doc_id", "text")
+        .localCheckpoint()
     )
 
     edges = ng.jaccard_pairs(exact, n=3, threshold=JACCARD_MIN).select(
@@ -1013,10 +1017,13 @@ def x23_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x24_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
     sh = ng.word_shingles(docs, n=3)
+    # Three references (both join branches + sizes), zero exchange
+    # reuse → materialize the distinct (source, shingle) set once.
     srcsh = (
         sh.join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "shingle")
         .distinct()
+        .localCheckpoint()
     )
     sizes = srcsh.groupBy("source").agg(F.count("*").alias("n_sh"))
     a = srcsh.select(F.col("source").alias("source_a"), "shingle")
