@@ -72,7 +72,12 @@ def minhash_candidates(
     become candidates; the estimate is the fraction of agreeing
     signature components."""
     rows_per_band = num_hashes // n_bands
-    sig = minhash_signatures(docs, n=n, num_hashes=num_hashes, seed=seed, id_col=id_col)
+    # The signature relation feeds both banded join branches AND both
+    # per-side signature lookups (4 references, no exchange reuse) —
+    # materialize the shingle+min-agg pipeline once.
+    sig = minhash_signatures(
+        docs, n=n, num_hashes=num_hashes, seed=seed, id_col=id_col
+    ).localCheckpoint()
 
     band_entries = F.array(
         *[

@@ -900,9 +900,13 @@ def x8b_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for band in range(_MH_BANDS)
     ]
-    kv = sigs.select(
-        "doc_id", "sig", F.explode(F.array(*band_structs)).alias("b")
-    ).select("doc_id", "sig", "b.band_idx", "b.band_key")
+    # Both self-join branches reference this — materialize so the
+    # md5-per-shingle + min-agg pipeline runs once, not twice.
+    kv = (
+        sigs.select("doc_id", "sig", F.explode(F.array(*band_structs)).alias("b"))
+        .select("doc_id", "sig", "b.band_idx", "b.band_key")
+        .localCheckpoint()
+    )
     x = kv.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
         "band_idx", "band_key",
