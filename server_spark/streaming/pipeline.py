@@ -198,6 +198,53 @@ def stream_ingest_with_manifest(
     )
 
 
+def auction_lifetime_stream(
+    posts: DataFrame,
+    removals: DataFrame,
+    within_hours: int = 2,
+) -> DataFrame:
+    """Stream-stream interval join: each posted auction matched to the
+    removal event that ends it, yielding time-to-sale rows.
+
+    Both sides carry a watermark of ``within_hours`` and the join
+    condition bounds ``removed_ts`` to [posted_ts, posted_ts + bound],
+    so Spark can expire buffered state on BOTH sides once the
+    watermark passes the interval — state stays O(in-flight auctions)
+    instead of growing with the stream (the requirement for any
+    stream-stream join at 100 TB/day ingest). Inner join + append
+    mode: a row emits as soon as both events have arrived and can
+    never be retracted.
+
+    ``posts`` needs (auc, item, buyout, dump_ts); ``removals`` needs
+    (auc, removed_ts) — e.g. the anti-join output of consecutive
+    snapshot diffs landed as its own event stream.
+    """
+    bound = f"{within_hours} hours"
+    p = posts.select(
+        "auc", "item", "buyout", F.col("dump_ts").alias("posted_ts")
+    ).withWatermark("posted_ts", bound)
+    r = removals.select(
+        F.col("auc").alias("r_auc"), "removed_ts"
+    ).withWatermark("removed_ts", bound)
+    joined = p.join(
+        r,
+        F.expr(
+            f"auc = r_auc AND removed_ts >= posted_ts "
+            f"AND removed_ts <= posted_ts + INTERVAL {within_hours} HOURS"
+        ),
+    )
+    return joined.select(
+        "auc",
+        "item",
+        "buyout",
+        "posted_ts",
+        "removed_ts",
+        (
+            F.col("removed_ts").cast("long") - F.col("posted_ts").cast("long")
+        ).alias("seconds_listed"),
+    )
+
+
 def run_to_parquet(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str, mode: str = "append"
 ):

@@ -160,3 +160,38 @@ def test_streaming_session_window(spark, tmp_path):
     assert r["session_start"] == t0
     assert r["session_end"] == dt.datetime(2024, 1, 1, 10, 40)  # t1 + gap
     assert r["n_auctions"] == 2
+
+
+def test_stream_stream_lifetime_join(spark, tmp_path):
+    """Posts x removals interval join: a removal within the 2h bound
+    emits a time-to-sale row; one beyond the bound never joins."""
+    posts_dir = str(tmp_path / "posts")
+    rm_dir = str(tmp_path / "rm")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    _write_dump(
+        spark, posts_dir, "d0", t0,
+        [(1, 100, 500, 1), (2, 100, 900, 1), (3, 200, 700, 1)],
+    )
+    removals = spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(minutes=30)),   # sold within bound
+            (2, t0 + dt.timedelta(hours=5)),      # beyond 2h: no join
+            (3, t0 - dt.timedelta(minutes=5)),    # before posting: no join
+        ],
+        "auc long, removed_ts timestamp",
+    )
+    removals.coalesce(1).write.mode("append").parquet(rm_dir)
+
+    posts = sp.read_auction_stream(spark, posts_dir)
+    rm_stream = (
+        spark.readStream.schema("auc long, removed_ts timestamp").parquet(rm_dir)
+    )
+    joined = sp.auction_lifetime_stream(posts, rm_stream, within_hours=2)
+    q = sp.run_to_parquet(joined, out_dir, ckpt)
+    q.awaitTermination()
+
+    rows = spark.read.parquet(out_dir).collect()
+    assert [(r["auc"], r["seconds_listed"]) for r in rows] == [(1, 1800)]
