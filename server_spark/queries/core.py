@@ -444,6 +444,163 @@ def o4_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A10/A11 — pivot / unpivot; W7 — full window-rank family
+# ---------------------------------------------------------------------------
+
+_TL_VALUES = ("A", "N", "R")  # l_returnflag enum → time_left
+
+
+def _pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        auctions(spark, sf_dir)
+        .groupBy("item")
+        .pivot("time_left", list(_TL_VALUES))
+        .agg(F.sum("buyout").alias("sum_buyout"), F.sum(F.lit(1)).alias("n"))
+    )
+    # canonical lowercase names + r4 on the double sums, so the wide
+    # schema is explicit rather than pivot-generated
+    cols = [F.col("item")]
+    for v in _TL_VALUES:
+        lv = v.lower()
+        cols.append(r4(F.col(f"{v}_sum_buyout")).alias(f"{lv}_sum_buyout"))
+        cols.append(F.col(f"{v}_n").cast("long").alias(f"{lv}_n"))
+    return wide.select(*cols)
+
+
+def _a10_oracle_cols() -> str:
+    parts = []
+    for v in _TL_VALUES:
+        flag_sum = r4sql(f"SUM(CASE WHEN time_left = '{v}' THEN buyout END)")
+        parts.append(f"{flag_sum} AS {v.lower()}_sum_buyout")
+        parts.append(
+            f"CAST(SUM(CASE WHEN time_left = '{v}' THEN 1 END) AS BIGINT)"
+            f" AS {v.lower()}_n"
+        )
+    return ",\n           ".join(parts)
+
+
+@register(
+    "a10_pivot_timeleft",
+    auctions_sql(
+        f"""
+    SELECT item,
+           {_a10_oracle_cols()}
+    FROM auctions GROUP BY item
+    """
+    ),
+    doc="A10 — pivot: per-item buyout totals and row counts spread "
+    "across the time_left enum as columns (groupBy().pivot() with an "
+    "EXPLICIT value list — without one Spark must pre-scan for "
+    "distinct pivot values, an extra job; with one the pivot is a "
+    "single hash-agg, same shuffle as the plain groupBy). Absent "
+    "(item, flag) combos are NULL in both engines (SUM over an empty "
+    "set), not zero.",
+    tags=("core", "agg", "pivot"),
+    late=True,
+)
+def a10_pivot_timeleft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pivot_wide(spark, sf_dir)
+
+
+def _a11_oracle_arms() -> str:
+    arms = []
+    for v in _TL_VALUES:
+        flag_sum = r4sql(f"SUM(CASE WHEN time_left = '{v}' THEN buyout END)")
+        arms.append(
+            f"        SELECT item, '{v.lower()}' AS time_left_key,\n"
+            f"               {flag_sum} AS sum_buyout\n"
+            f"        FROM auctions GROUP BY item"
+        )
+    return "\n        UNION ALL\n".join(arms)
+
+
+@register(
+    "a11_unpivot_roundtrip",
+    auctions_sql(
+        f"""
+    SELECT * FROM (
+{_a11_oracle_arms()}
+    ) WHERE sum_buyout IS NOT NULL
+    """
+    ),
+    doc="A11 — unpivot/melt: the A10 wide table folded back to long "
+    "(item, time_left_key, sum_buyout) rows via DataFrame.unpivot — "
+    "ids stay, value columns become rows, NULL cells dropped (the "
+    "unpivot default in both engines' semantics here). Pivot → "
+    "unpivot roundtrips to the plain GROUP BY, which is exactly what "
+    "the oracle computes.",
+    tags=("core", "agg", "pivot"),
+    late=True,
+)
+def a11_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = _pivot_wide(spark, sf_dir)
+    long = wide.unpivot(
+        ["item"],
+        [f"{v.lower()}_sum_buyout" for v in _TL_VALUES],
+        "time_left_key",
+        "sum_buyout",
+    )
+    return long.filter(F.col("sum_buyout").isNotNull()).select(
+        "item",
+        F.replace(
+            F.col("time_left_key"), F.lit("_sum_buyout"), F.lit("")
+        ).alias("time_left_key"),
+        "sum_buyout",
+    )
+
+
+_W7_PCT = r4sql("PERCENT_RANK() OVER (ORDER BY n_auctions DESC)")
+_W7_CUME = r4sql("CUME_DIST() OVER (ORDER BY n_auctions DESC)")
+
+
+@register(
+    "w7_rank_family",
+    auctions_sql(
+        f""",
+    vols AS (
+        SELECT owner, COUNT(*) AS n_auctions FROM auctions GROUP BY owner
+    )
+    SELECT owner, n_auctions,
+           RANK() OVER (ORDER BY n_auctions DESC) AS rnk,
+           DENSE_RANK() OVER (ORDER BY n_auctions DESC) AS drnk,
+           {_W7_PCT} AS pct_rank,
+           {_W7_CUME} AS cume,
+           NTILE(4) OVER (ORDER BY n_auctions DESC, owner) AS quartile
+    FROM vols
+    """
+    ),
+    doc="W7 — the full ranking-function surface in one query: rank / "
+    "dense_rank / percent_rank / cume_dist over a tied ordering "
+    "(auction counts repeat, so rank ≠ dense_rank), plus ntile over "
+    "a UNIQUE ordering — ntile buckets depend on row order within "
+    "ties, so determinism requires the owner tiebreak. The window is "
+    "global but runs over the 100-row POST-AGGREGATION owner relation "
+    "(W5-style: aggregate first, rank the small result), never the "
+    "fact table. percent_rank/cume_dist are exact rationals rounded "
+    "r4 on both sides.",
+    tags=("window", "rank"),
+    late=True,
+)
+def w7_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vols = (
+        auctions(spark, sf_dir)
+        .groupBy("owner")
+        .agg(F.count("*").alias("n_auctions"))
+    )
+    w = Window.orderBy(F.col("n_auctions").desc())
+    wu = Window.orderBy(F.col("n_auctions").desc(), F.col("owner").asc())
+    return vols.select(
+        "owner",
+        "n_auctions",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        r4(F.percent_rank().over(w)).alias("pct_rank"),
+        r4(F.cume_dist().over(w)).alias("cume"),
+        F.ntile(4).over(wu).alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship entry — the live-auctions read path end-to-end (§3.1/§7.1)
 # ---------------------------------------------------------------------------
 
