@@ -444,6 +444,77 @@ def o4_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A2c — exact multi-quantile (rank selection, no interpolation)
+# ---------------------------------------------------------------------------
+
+_QUANTILES = (25, 50, 75, 95)
+
+_A2C_QCOLS_SQL = ",\n           ".join(
+    f"MAX(CASE WHEN rn = CAST(CEIL({q / 100} * n) AS BIGINT)"
+    f" THEN per END) AS p{q}"
+    for q in _QUANTILES
+)
+
+_A2C_SQL = auctions_sql(
+    f""",
+    priced AS (
+        SELECT item, {r4sql("buyout / quantity")} AS per
+        FROM auctions WHERE buyout > 0
+    ),
+    ranked AS (
+        SELECT item, per,
+               ROW_NUMBER() OVER (PARTITION BY item ORDER BY per) AS rn,
+               COUNT(*)    OVER (PARTITION BY item)               AS n
+        FROM priced
+    )
+    SELECT item,
+           {_A2C_QCOLS_SQL}
+    FROM ranked GROUP BY item
+    """
+)
+
+
+@register(
+    "a2c_price_quantiles",
+    _A2C_SQL,
+    doc="A2c — exact p25/p50/p75/p95 per item by RANK SELECTION (the "
+    "element at row ceil(q·n), lower-rank rule, no interpolation): "
+    "every output is a raw data value, so there is no float-"
+    "arithmetic divergence for the oracle to trip on, and ties in "
+    "`per` are harmless (any tie at the rank has the same value). "
+    "Same single-shuffle shape as a2: the rank window and the "
+    "groupBy reuse one hash partitioning on item. The approx "
+    "counterpart at 100 TB is a2b's approx_percentile.",
+    tags=("agg", "quantile"),
+    late=True,
+)
+def a2c_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    priced = (
+        auctions(spark, sf_dir)
+        .filter(F.col("buyout") > 0)
+        .select("item", r4(F.col("buyout") / F.col("quantity")).alias("per"))
+    )
+    w = Window.partitionBy("item").orderBy("per")
+    ranked = priced.select(
+        "item",
+        "per",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("item")).alias("n"),
+    )
+    qcols = [
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.ceil(F.lit(q / 100) * F.col("n")).cast("long"),
+                F.col("per"),
+            )
+        ).alias(f"p{q}")
+        for q in _QUANTILES
+    ]
+    return ranked.groupBy("item").agg(*qcols)
+
+
+# ---------------------------------------------------------------------------
 # A10/A11 — pivot / unpivot; W7 — full window-rank family
 # ---------------------------------------------------------------------------
 

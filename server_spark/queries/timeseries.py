@@ -376,3 +376,81 @@ def t4_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T8 — funnel conversion (ordered event-sequence match)
+# ---------------------------------------------------------------------------
+
+FUNNEL_WINDOW_MIN = 10
+
+
+@register(
+    "t8_funnel_conversion",
+    f"""
+    WITH nxt AS (
+        SELECT user_id, event_type,
+               epoch_us(ts) AS ts_us,
+               MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_click_us
+        FROM events
+    ),
+    views AS (
+        SELECT user_id,
+               COUNT(*) AS n_views,
+               COUNT(CASE WHEN next_click_us
+                          <= ts_us + {FUNNEL_WINDOW_MIN} * 60 * 1000000
+                     THEN 1 END) AS n_converted
+        FROM nxt WHERE event_type = 'view'
+        GROUP BY user_id
+    )
+    SELECT user_id, n_views, n_converted,
+           {{RATE}} AS conversion_rate
+    FROM views
+    """.format(RATE=r4sql("CAST(n_converted AS DOUBLE) / n_views")),
+    doc="T8 — funnel: for every 'view', was there a 'click' by the "
+    "same user within 10 minutes? The sequence match is ONE window "
+    "pass per user (earliest following click via min-over-following "
+    "frame, microsecond-exact) — no self-join of the event table "
+    "against itself, so the plan stays a single shuffle on user_id "
+    "regardless of funnel depth or corpus size. The MATCH_RECOGNIZE "
+    "analog for the two-step case.",
+    tags=("window", "timeseries", "funnel"),
+    late=True,
+)
+def t8_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    click_us = F.when(
+        F.col("event_type") == "click", F.unix_micros(F.col("ts"))
+    )
+    nxt = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.min(click_us).over(w).alias("next_click_us"),
+    )
+    views = nxt.filter(F.col("event_type") == "view")
+    bound_us = FUNNEL_WINDOW_MIN * 60 * 1_000_000
+    per_user = views.groupBy("user_id").agg(
+        F.count("*").alias("n_views"),
+        F.count(
+            F.when(
+                F.col("next_click_us") <= F.col("ts_us") + bound_us, F.lit(1)
+            )
+        ).alias("n_converted"),
+    )
+    return per_user.select(
+        "user_id",
+        "n_views",
+        "n_converted",
+        r4(F.col("n_converted").cast("double") / F.col("n_views")).alias(
+            "conversion_rate"
+        ),
+    )
