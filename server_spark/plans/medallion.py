@@ -129,6 +129,18 @@ def ingest_bronze_incremental(
     return n_new
 
 
+def read_bronze(spark: SparkSession, paths: MedallionPaths) -> DataFrame:
+    """Bronze scan with schema evolution: dumps gain columns over time
+    (the reference's API added fields like pet ids mid-life), and an
+    appended layer must surface the UNION schema with nulls for files
+    written before the column existed — that's parquet ``mergeSchema``.
+    Cost note for 100 TB: mergeSchema reads every file footer at
+    planning time; production keeps the evolving schema in a catalog
+    instead and passes it explicitly — the union-with-nulls semantics
+    this function provides is the contract either way."""
+    return spark.read.option("mergeSchema", "true").parquet(paths.bronze)
+
+
 def build_silver(spark: SparkSession, paths: MedallionPaths) -> None:
     """S6/A1 — collapse bronze into mini-auctions per realm snapshot.
 
@@ -136,7 +148,7 @@ def build_silver(spark: SparkSession, paths: MedallionPaths) -> None:
     layout matches bronze so serving reads prune identically.
     """
     _dynamic_overwrite(spark)
-    bronze = spark.read.parquet(paths.bronze)
+    bronze = read_bronze(spark, paths)
     mini = (
         bronze.groupBy(
             "region", "realm_slug", "dump_date", "dump_ts", *ops.COLLAPSE_KEYS

@@ -127,3 +127,35 @@ def test_compaction_rewrites_fragmented_partitions(spark, tmp_path):
     assert spark.read.parquet(root).agg(F.sum("v")).collect()[0][0] == checksum
     # idempotent: nothing left to compact
     assert compact_partitions(spark, root, target_bytes=1 << 30, min_files=4) == 0
+
+
+def test_schema_evolution_new_dump_column(spark, tmp_path):
+    """A later dump carrying a NEW column appends cleanly; the bronze
+    scan surfaces the union schema (nulls for pre-existing files) and
+    silver still builds."""
+    root = str(tmp_path / "evo")
+    paths = med.MedallionPaths(root)
+
+    t0 = dt.datetime(2024, 2, 1, 10)
+    old = spark.createDataFrame(
+        [(1, 100, "a", "r1", 9, 100, 1, "LONG", "eu", "r1", t0)], AUCTION
+    )
+    assert med.ingest_bronze_incremental(spark, old, paths) == 1
+
+    # the API grew a column (e.g. battle-pet breed id on pet auctions)
+    t1 = dt.datetime(2024, 2, 1, 11)
+    new = spark.createDataFrame(
+        [(2, 100, "a", "r1", 9, 150, 1, "LONG", "eu", "r1", t1, 55)],
+        AUCTION.add("pet_breed_id", "long"),
+    )
+    assert med.ingest_bronze_incremental(spark, new, paths) == 1
+
+    bronze = med.read_bronze(spark, paths)
+    assert "pet_breed_id" in bronze.columns
+    by_auc = {r["auc"]: r for r in bronze.collect()}
+    assert by_auc[1]["pet_breed_id"] is None
+    assert by_auc[2]["pet_breed_id"] == 55
+
+    med.build_silver(spark, paths)
+    silver = spark.read.parquet(paths.silver)
+    assert silver.count() == 2
