@@ -454,3 +454,73 @@ def t8_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conversion_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# W8 — daily OHLC candlesticks (first/last_value window family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w8_ohlc_daily",
+    f"""
+    WITH seq AS (
+        SELECT event_type,
+               CAST(ts AS DATE) AS day,
+               value,
+               FIRST_VALUE(value) OVER w AS open,
+               LAST_VALUE(value) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS close
+        FROM events
+        WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+                     ORDER BY ts, event_id)
+    )
+    SELECT event_type, day,
+           {{O}} AS open, {{H}} AS high, {{L}} AS low, {{C}} AS close,
+           COUNT(*) AS n_events
+    FROM seq
+    GROUP BY event_type, day
+    """.format(
+        O=r4sql("MAX(open)"),
+        H=r4sql("MAX(value)"),
+        L=r4sql("MIN(value)"),
+        C=r4sql("MAX(close)"),
+    ),
+    doc="W8 — daily OHLC per series: open/close via first_value / "
+    "last_value over a DETERMINISTIC (ts, event_id) order — "
+    "last_value needs the explicit unbounded-following frame (the "
+    "default frame ends at CURRENT ROW, a classic silent-wrong-answer "
+    "trap) — high/low/count from the follow-up agg. The window and "
+    "the groupBy share one hash partitioning on (series, day): single "
+    "shuffle. The token/price-history candlestick view a reference "
+    "user would chart.",
+    tags=("window", "timeseries"),
+    late=True,
+)
+def w8_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "day",
+        "value",
+        F.first("value").over(w).alias("open"),
+        F.last("value")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("close"),
+    )
+    return seq.groupBy("event_type", "day").agg(
+        r4(F.max("open")).alias("open"),
+        r4(F.max("value")).alias("high"),
+        r4(F.min("value")).alias("low"),
+        r4(F.max("close")).alias("close"),
+        F.count("*").alias("n_events"),
+    )
