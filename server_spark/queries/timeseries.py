@@ -524,3 +524,52 @@ def w8_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.max("close")).alias("close"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T9 — cohort retention matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t9_cohort_retention",
+    """
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    firsts AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.day) AS INT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM active a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    doc="T9 — cohort retention: users grouped by first-seen day, "
+    "counted on each later active day (the owner/user retention view "
+    "an operator reads weekly). Distinct-activity set → per-user min "
+    "→ join the cohort map back — the fact table is touched once; "
+    "COUNT(*) suffices after the DISTINCT (no count-distinct shuffle "
+    "per cell). The broadcast hint fits while one-row-per-user fits "
+    "in memory (owners here ≈ thousands); at web-scale user counts "
+    "drop the hint — both sides are already keyed on user_id and AQE "
+    "picks the shuffle join.",
+    tags=("timeseries", "cohort"),
+    late=True,
+)
+def t9_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    active = (
+        _events(spark, sf_dir)
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    firsts = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        active.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
