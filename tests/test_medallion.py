@@ -144,9 +144,14 @@ def test_schema_evolution_new_dump_column(spark, tmp_path):
 
     # the API grew a column (e.g. battle-pet breed id on pet auctions)
     t1 = dt.datetime(2024, 2, 1, 11)
+    from pyspark.sql import types as T
+
+    # copy — StructType.add mutates the shared schema in place
+    evolved = T.StructType(
+        [*AUCTION.fields, T.StructField("pet_breed_id", T.LongType())]
+    )
     new = spark.createDataFrame(
-        [(2, 100, "a", "r1", 9, 150, 1, "LONG", "eu", "r1", t1, 55)],
-        AUCTION.add("pet_breed_id", "long"),
+        [(2, 100, "a", "r1", 9, 150, 1, "LONG", "eu", "r1", t1, 55)], evolved
     )
     assert med.ingest_bronze_incremental(spark, new, paths) == 1
 
