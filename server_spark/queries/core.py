@@ -562,10 +562,11 @@ def _a10_oracle_cols() -> str:
     doc="A10 — pivot: per-item buyout totals and row counts spread "
     "across the time_left enum as columns (groupBy().pivot() with an "
     "EXPLICIT value list — without one Spark must pre-scan for "
-    "distinct pivot values, an extra job; with one the pivot is a "
-    "single hash-agg, same shuffle as the plain groupBy). Absent "
-    "(item, flag) combos are NULL in both engines (SUM over an empty "
-    "set), not zero.",
+    "distinct pivot values, a whole extra job over the fact table; "
+    "with one the pivot plans as a two-level hash-agg: pre-agg on "
+    "(item, flag), then pivotfirst on item). Absent (item, flag) "
+    "combos are NULL in both engines (SUM over an empty set), not "
+    "zero.",
     tags=("core", "agg", "pivot"),
     late=True,
 )

@@ -86,3 +86,42 @@ def test_t7_retention_pushed_to_scan(plans):
     f = plans("t7_retention_prune", "formatted")
     pushed = re.search(r"PushedFilters: \[([^\]]*)\]", f).group(1)
     assert "GreaterThanOrEqual(ts" in pushed
+
+
+def test_a2c_quantiles_single_shuffle(plans):
+    """Rank-selection quantiles reuse the a2 shape: rank window and
+    groupBy share one hash partitioning on item."""
+    p = plans("a2c_price_quantiles")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_t8_funnel_single_shuffle_no_self_join(plans):
+    """The sequence match is one window pass per user: a single
+    exchange and no join of events against events."""
+    p = plans("t8_funnel_conversion")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+
+
+def test_w8_ohlc_single_shuffle(plans):
+    """first/last_value windows and the OHLC agg share the
+    (series, day) partitioning."""
+    p = plans("w8_ohlc_daily")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_a10_pivot_two_level_agg_no_prescan(plans):
+    """Pivot with an explicit value list plans as the two-level
+    hash-agg — (item, flag) pre-agg then pivotfirst on item — with
+    exactly those two exchanges and NO distinct-value pre-scan job
+    (the plan contains pivotfirst directly, no separate collect)."""
+    p = plans("a10_pivot_timeleft")
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "pivotfirst" in p
+
+
+def test_x27_norm_trim_broadcasts_flags(plans):
+    """The outlier trim joins per-vector norms to the histogram flags
+    by broadcast — no shuffle of the corpus for the join."""
+    p = plans("x27_norm_outlier_trim")
+    assert "BroadcastHashJoin" in p
