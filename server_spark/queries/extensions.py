@@ -1049,6 +1049,77 @@ def x24_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
+# x29 — eval-set decontamination (doc-level drop-list)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x29_eval_decontaminate",
+    r"""
+    WITH w AS (
+        SELECT doc_id, source,
+               generate_subscripts(string_split_regex(LOWER(TRIM(text)), '\s+'), 1) AS pos,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS word
+        FROM documents
+    ),
+    sh0 AS (
+        SELECT doc_id, source,
+               word || ' ' || LEAD(word, 1) OVER win || ' ' || LEAD(word, 2) OVER win AS shingle,
+               LEAD(word, 2) OVER win AS last2
+        FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, source, shingle
+        FROM sh0 WHERE last2 IS NOT NULL
+    ),
+    ev AS (SELECT MIN(source) AS ev_src FROM documents),
+    eval_sh AS (
+        SELECT DISTINCT shingle FROM sh, ev WHERE sh.source = ev.ev_src
+    )
+    SELECT s.doc_id, COUNT(*) AS n_eval_shingles
+    FROM sh s, ev
+    WHERE s.source <> ev.ev_src
+      AND s.shingle IN (SELECT shingle FROM eval_sh)
+    GROUP BY s.doc_id
+    """,
+    doc="EXT x29 — eval decontamination: the DROP-LIST of training "
+    "documents sharing any word-3-gram with the held-out eval source "
+    "(the GPT-3-style n-gram scrub; production uses 8–13-grams, same "
+    "plan). Complements x24: that reports source-pair overlap "
+    "aggregates, this names the individual training docs to remove. "
+    "Scale shape: the eval shingle set is tiny relative to the "
+    "corpus → broadcast to the training shingles, one hash-agg per "
+    "doc — never a corpus self-join. Counts are per distinct "
+    "(doc, shingle), so the shingle-dedup in both dialects makes "
+    "COUNT(*) ≡ COUNT(DISTINCT shingle).",
+    tags=("ext", "dedup", "contamination"),
+    late=True,
+)
+def x29_eval_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    ev = docs.agg(F.min("source").alias("ev_src"))
+    # shingles referenced by BOTH the eval and training branches —
+    # materialize once (same no-ReusedExchange issue as x21/x24)
+    sh = (
+        ng.word_shingles(docs, n=3)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .crossJoin(F.broadcast(ev))
+        .localCheckpoint()
+    )
+    eval_sh = (
+        sh.filter(F.col("source") == F.col("ev_src"))
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("source") != F.col("ev_src"))
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_eval_shingles"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # x22 — int8 scalar quantization of embeddings
 # ---------------------------------------------------------------------------
 
