@@ -125,3 +125,40 @@ def test_x27_norm_trim_broadcasts_flags(plans):
     by broadcast — no shuffle of the corpus for the join."""
     p = plans("x27_norm_outlier_trim")
     assert "BroadcastHashJoin" in p
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
+    """Two tables bucketed on the join key with equal bucket counts
+    join with ZERO exchanges — the write-time shuffle is reused."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from server_spark.plans import bucketing as bk
+
+    prev = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        F.col("l_orderkey").alias("auc"), F.col("l_extendedprice").alias("buyout")
+    )
+    nxt = prev.withColumn("buyout", F.col("buyout") * 1.1)
+    bk.write_bucketed(prev, "snap_prev", "auc")
+    bk.write_bucketed(nxt, "snap_next", "auc")
+    # disable broadcast: at test scale the planner would broadcast the
+    # tiny side (and skip bucketed scans); the 100 TB scenario this
+    # guards is fact-to-fact where broadcast is impossible
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bk.colocated_join(spark, "snap_prev", "snap_next", "auc")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("simple")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "Bucketed: true" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS snap_prev")
+        spark.sql("DROP TABLE IF EXISTS snap_next")
