@@ -87,3 +87,77 @@ def test_pagination_partitions_the_stream(spark, rows, count):
         seen.extend(got)
         page += 1
     assert len(seen) == total, "pages do not cover the relation"
+
+
+PII_FRAGMENTS = st.lists(
+    st.sampled_from(
+        [
+            "plain words here",
+            "alice.smith+tag@mail.example.org",
+            "10.42.7.200",
+            "555-867-5309",
+            "v1.2.3",            # version string — not an IP (3 octets)
+            "1.2.3.4.5",         # 5 octets — first four match as an IP
+            "a@b",               # not an email (no TLD)
+            "123-45-678",        # not a phone (wrong arity)
+        ]
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(frags=PII_FRAGMENTS)
+@_SETTINGS
+def test_pii_scrub_idempotent_and_count_consistent(spark, frags):
+    """x26 invariants on ANY fragment mix: scrubbing twice equals
+    scrubbing once (redaction tokens are never re-matched), and the
+    scrubbed text contains exactly as many placeholders of each type
+    as the counter reported."""
+    from server_spark.textstats import pii
+
+    text = " ".join(frags)
+    df = spark.createDataFrame([(text,)], "t string")
+    row = df.select(
+        pii.scrub("t").alias("once"),
+        pii.scrub(pii.scrub("t")).alias("twice"),
+        pii.match_count("t", pii.EMAIL_RE).alias("e"),
+        pii.match_count("t", pii.IPV4_RE).alias("i"),
+        pii.match_count("t", pii.PHONE_RE).alias("p"),
+    ).collect()[0]
+    assert row["once"] == row["twice"]
+    assert row["once"].count("<EMAIL>") == row["e"]
+    assert row["once"].count("<IP>") == row["i"]
+    assert row["once"].count("<PHONE>") == row["p"]
+
+
+NORM_LADDERS = st.lists(
+    st.floats(min_value=0.5, max_value=50.0, allow_nan=False, width=32),
+    min_size=5,
+    max_size=80,
+)
+
+
+@given(norms=NORM_LADDERS)
+@_SETTINGS
+def test_norm_trim_drops_only_tails(spark, norms):
+    """x27 invariants on ANY norm distribution: dropped vectors are a
+    contiguous prefix/suffix of the sorted norm ladder (never interior
+    values), and whole-group semantics keep every straddler."""
+    from server_spark.similarity import cosine as cos
+
+    rows = [(i, [float(v), 0.0]) for i, v in enumerate(norms)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cos.norm_trim_flags(df, dim=2).collect()
+    by_norm = sorted(out, key=lambda r: (r["l2_norm"], r["vec_id"]))
+    kept_flags = [r["kept"] for r in by_norm]
+    # all drops are at the edges: flags look like F...F T...T F...F
+    if True in kept_flags:
+        first_t = kept_flags.index(True)
+        last_t = len(kept_flags) - 1 - kept_flags[::-1].index(True)
+        assert all(kept_flags[first_t : last_t + 1])
+        # same rounded norm ⇒ same verdict (whole-group rule)
+        verdict = {}
+        for r in by_norm:
+            verdict.setdefault(r["l2_norm"], r["kept"])
+            assert verdict[r["l2_norm"]] == r["kept"]
