@@ -515,6 +515,54 @@ def a2c_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A12 — fixed-width price histogram
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH = 500
+_HIST_MAX_BIN = 19  # last bin is open-ended
+
+
+@register(
+    "a12_price_histogram",
+    auctions_sql(
+        f"""
+    SELECT LEAST(CAST(FLOOR((buyout / quantity) / {_HIST_WIDTH}) AS BIGINT),
+                 {_HIST_MAX_BIN}) AS bin_id,
+           COUNT(*) AS n_auctions,
+           {r4sql("MIN(buyout / quantity)")} AS min_per,
+           {r4sql("MAX(buyout / quantity)")} AS max_per
+    FROM auctions WHERE buyout > 0
+    GROUP BY 1
+    """
+    ),
+    doc="A12 — market price histogram: buyout-per-unit bucketed into "
+    "fixed-width bins (last bin open-ended) — the price-distribution "
+    "chart a marketplace UI renders. Bin ids are floor(x/width) in "
+    "pure IEEE double arithmetic, identical across engines, so the "
+    "group keys themselves are exact. One map-side-combined hash-agg "
+    "over ≤21 groups: at 100 TB the shuffle carries a few dozen rows "
+    "per task.",
+    tags=("agg", "histogram"),
+    late=True,
+)
+def a12_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = F.col("buyout") / F.col("quantity")
+    bin_id = F.least(
+        F.floor(per / _HIST_WIDTH).cast("long"), F.lit(_HIST_MAX_BIN)
+    )
+    return (
+        auctions(spark, sf_dir)
+        .filter(F.col("buyout") > 0)
+        .groupBy(bin_id.alias("bin_id"))
+        .agg(
+            F.count("*").alias("n_auctions"),
+            r4(F.min(per)).alias("min_per"),
+            r4(F.max(per)).alias("max_per"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # A10/A11 — pivot / unpivot; W7 — full window-rank family
 # ---------------------------------------------------------------------------
 

@@ -1606,3 +1606,88 @@ def f3b_fuzzy_rank_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("item"), F.col("p_name").alias("item_name")
     )
     return fuzzy_search(part, "item_name", "widget", k=10)
+
+
+# ---------------------------------------------------------------------------
+# x30 — TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+TFIDF_K = 5
+
+
+@register(
+    "x30_tfidf_topterms",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+        FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS dfq FROM pairs GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT p.doc_id, p.token, p.tf,
+               {r4sql("p.tf * (LN((1.0 + n.n_docs) / (1.0 + d.dfq)) + 1.0)")}
+                   AS tfidf
+        FROM pairs p JOIN dfreq d ON p.token = d.token CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, tfidf, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token
+        ) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TFIDF_K}
+    """,
+    doc="EXT x30 — TF-IDF: smooth-idf (sklearn form, ln((1+N)/(1+df)) "
+    "+ 1) term weights, top-5 terms per document with the rounded-"
+    "score + token tiebreak rank (ranking on rounded values keeps "
+    "the result engine-stable even if ln() differs in the last ulp). "
+    "The doc-frequency table derives from the (doc, token) pair agg — "
+    "one explode feeds everything, the pair relation is materialized "
+    "once and the df side broadcasts (vocab-sized).",
+    tags=("ext", "textstats", "tfidf"),
+    late=True,
+)
+def x30_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    # referenced by the scoring join AND the doc-frequency agg
+    pairs = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    dfreq = pairs.groupBy("token").agg(F.count("*").alias("dfq"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        pairs.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            r4(
+                F.col("tf")
+                * (
+                    F.log(
+                        (1.0 + F.col("n_docs")) / (1.0 + F.col("dfq"))
+                    )
+                    + 1.0
+                )
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_K)
+        .select("doc_id", "token", "tf", "tfidf", "rnk")
+    )
