@@ -573,3 +573,93 @@ def t9_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# T10 — 7-day rolling active users; A13 — time-hierarchy rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t10_rolling_active_users",
+    """
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    grid AS (SELECT DISTINCT day FROM active)
+    SELECT g.day, COUNT(DISTINCT a.user_id) AS mau7
+    FROM grid g
+    JOIN active a ON a.day BETWEEN g.day - 6 AND g.day
+    GROUP BY g.day
+    """,
+    doc="T10 — 7-day rolling distinct actives per day (the MAU/WAU "
+    "series). COUNT(DISTINCT) OVER a sliding frame isn't a window "
+    "both engines support, so the portable-AND-scalable form is a "
+    "band join of the (user, day) DISTINCT activity set against the "
+    "tiny day grid (broadcast) + one count-distinct agg: the fact "
+    "table is touched once; join fan-out is ≤7× the activity set, "
+    "not the event stream. The HLL-sketch rollup (a9 machinery) is "
+    "the approximate path when exactness can be traded away.",
+    tags=("timeseries", "window"),
+    late=True,
+)
+def t10_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    active = (
+        _events(spark, sf_dir)
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    grid = active.select("day").distinct().withColumnRenamed("day", "g_day")
+    joined = active.join(
+        F.broadcast(grid),
+        (F.col("day") >= F.date_sub(F.col("g_day"), 6))
+        & (F.col("day") <= F.col("g_day")),
+    )
+    return (
+        joined.groupBy(F.col("g_day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("mau7"))
+    )
+
+
+@register(
+    "a13_time_rollup",
+    """
+    SELECT CAST(YEAR(ts) AS INT) AS yr,
+           CAST(MONTH(ts) AS INT) AS mo,
+           CAST(GROUPING(YEAR(ts)) AS INT) AS g_yr,
+           CAST(GROUPING(MONTH(ts)) AS INT) AS g_mo,
+           COUNT(*) AS n_events,
+           {V} AS total_value
+    FROM events
+    GROUP BY ROLLUP (YEAR(ts), MONTH(ts))
+    """.format(V=r4sql("SUM(value)")),
+    doc="A13 — time-hierarchy rollup: (year, month) subtotals plus "
+    "the grand total in ONE pass via GROUP BY ROLLUP — the reporting "
+    "rollup a dashboard reads, without scanning the facts once per "
+    "grain. GROUPING() flags disambiguate the subtotal rows from "
+    "genuine NULL keys. Complements a8's CUBE over the status "
+    "dimensions.",
+    tags=("agg", "rollup"),
+    late=True,
+)
+def a13_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        F.year("ts").alias("yr_"), F.month("ts").alias("mo_"), "value"
+    )
+    return (
+        ev.rollup("yr_", "mo_")
+        .agg(
+            F.grouping("yr_").cast("int").alias("g_yr"),
+            F.grouping("mo_").cast("int").alias("g_mo"),
+            F.count("*").alias("n_events"),
+            r4(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            F.col("yr_").cast("int").alias("yr"),
+            F.col("mo_").cast("int").alias("mo"),
+            "g_yr",
+            "g_mo",
+            "n_events",
+            "total_value",
+        )
+    )
