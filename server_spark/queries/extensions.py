@@ -1691,3 +1691,68 @@ def x30_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_K)
         .select("doc_id", "token", "tf", "tfidf", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# x31 — length-bucketed inference batching (padding-waste minimizer)
+# ---------------------------------------------------------------------------
+
+BATCH_SIZE = 32
+
+
+@register(
+    "x31_length_batching",
+    rf"""
+    WITH lens AS (
+        SELECT doc_id,
+               len(string_split_regex(LOWER(TRIM(text)), '\s+')) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens,
+               ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS rn
+        FROM lens
+    )
+    SELECT CAST((rn - 1) // {BATCH_SIZE} AS BIGINT) AS batch_id,
+           COUNT(*) AS n_docs,
+           MAX(n_tokens) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+               AS padded_waste
+    FROM ranked
+    GROUP BY 1
+    """,
+    doc="EXT x31 — dynamic batching for inference/training: documents "
+    "sorted by token length and cut into fixed-size batches, so each "
+    "batch pads only to ITS OWN max length — `padded_waste` counts "
+    "the pad tokens a length-sorted batch still spends (vs. the "
+    "corpus-max padding of naive batching). The rank is a global "
+    "total order: at 100 TB this is a range-partitioned sort (Spark "
+    "plans exactly that for orderBy — sampled range exchange, no "
+    "single-partition window needed when composed as sortWithinPartitions "
+    "after repartitionByRange; the demo uses the window form at "
+    "registry scale).",
+    tags=("ext", "textstats", "batching"),
+    late=True,
+)
+def x31_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lens = _docs(spark, sf_dir).select(
+        "doc_id", tx.token_count().alias("n_tokens")
+    )
+    w = Window.orderBy("n_tokens", "doc_id")
+    ranked = lens.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(
+            ((F.col("rn") - 1) / BATCH_SIZE)
+            .cast("long")
+            .alias("batch_id")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            (F.count("*") * F.max("n_tokens") - F.sum("n_tokens")).alias(
+                "padded_waste"
+            ),
+        )
+    )
