@@ -1756,3 +1756,74 @@ def x31_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x32 — quality-aware dedup survivorship
+# ---------------------------------------------------------------------------
+
+_X32_SQL = (
+    _X15_SQL.rsplit("SELECT component AS canonical_doc_id", 1)[0]
+    + r""",
+    lens AS (
+        SELECT doc_id,
+               len(string_split_regex(LOWER(TRIM(text)), '\s+')) AS n_tokens
+        FROM documents
+    ),
+    memb AS (
+        SELECT c.component, c.node, l.n_tokens
+        FROM comp c JOIN lens l ON c.node = l.doc_id
+    ),
+    best AS (SELECT component, MAX(n_tokens) AS mt FROM memb GROUP BY component)
+    SELECT m.component AS cluster_id,
+           MIN(CASE WHEN m.n_tokens = b.mt THEN m.node END) AS survivor_doc_id,
+           COUNT(*) AS n_members,
+           b.mt AS survivor_tokens
+    FROM memb m JOIN best b ON m.component = b.component
+    GROUP BY m.component, b.mt
+"""
+)
+
+
+@register(
+    "x32_cluster_survivors_quality",
+    _X32_SQL,
+    doc="EXT x32 — quality-aware survivorship: within each near-dup "
+    "cluster (x15's connected components) keep the HIGHEST-QUALITY "
+    "member — here the longest by token count, min doc_id on ties — "
+    "instead of x15/x21's min-id rule; production dedup keeps the "
+    "best copy, not the lexicographically first. Portable two-step "
+    "argmax (per-cluster max, then min-id among the maximal), both "
+    "aggs over the tiny membership table.",
+    tags=("ext", "dedup", "pipeline"),
+    late=True,
+)
+def x32_cluster_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.dedup.components import connected_components
+
+    docs = _docs(spark, sf_dir)
+    edges = ng.jaccard_pairs(docs, n=3, threshold=JACCARD_MIN).select(
+        "doc_a", "doc_b"
+    )
+    comp = connected_components(edges)
+    lens = docs.select("doc_id", tx.token_count().alias("n_tokens"))
+    memb = comp.join(lens, comp.node == lens.doc_id).select(
+        "component", "node", "n_tokens"
+    )
+    best = memb.groupBy("component").agg(F.max("n_tokens").alias("mt"))
+    return (
+        memb.join(F.broadcast(best), "component")
+        .groupBy("component", "mt")
+        .agg(
+            F.min(
+                F.when(F.col("n_tokens") == F.col("mt"), F.col("node"))
+            ).alias("survivor_doc_id"),
+            F.count("*").alias("n_members"),
+        )
+        .select(
+            F.col("component").alias("cluster_id"),
+            "survivor_doc_id",
+            "n_members",
+            F.col("mt").alias("survivor_tokens"),
+        )
+    )
