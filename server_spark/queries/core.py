@@ -515,6 +515,89 @@ def a2c_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A14 — bargain finder (fact vs its group's exact median)
+# ---------------------------------------------------------------------------
+
+_BARGAIN_FRAC = 0.5
+
+
+@register(
+    "a14_bargain_finder",
+    auctions_sql(
+        f""",
+    priced AS (
+        SELECT auc, item, buyout / quantity AS per
+        FROM auctions WHERE buyout > 0
+    ),
+    ranked AS (
+        SELECT item, per,
+               ROW_NUMBER() OVER (PARTITION BY item ORDER BY per) AS rn,
+               COUNT(*)    OVER (PARTITION BY item)               AS n
+        FROM priced
+    ),
+    med AS (
+        SELECT item, AVG(per) AS median_per
+        FROM ranked
+        WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        GROUP BY item
+    )
+    SELECT p.auc, p.item,
+           {r4sql("p.per")} AS buyout_per,
+           {r4sql("m.median_per")} AS median_per,
+           {r4sql("p.per / m.median_per")} AS price_ratio
+    FROM priced p JOIN med m ON p.item = m.item
+    WHERE p.per / m.median_per < {_BARGAIN_FRAC}
+    ORDER BY {r4sql("p.per / m.median_per")} ASC, p.auc ASC
+    LIMIT 20
+    """
+    ),
+    doc="A14 — bargain finder: live auctions priced below half their "
+    "item's EXACT median — the flip-scanner feature a reference user "
+    "runs constantly. Composition: the a2 single-shuffle median "
+    "(window + groupBy on one partitioning) broadcast back onto the "
+    "fact, ratio filter, deterministic top-20 (rounded ratio + auc "
+    "tiebreak). The fact table is scanned once per side of the "
+    "composition; at scale the median table is items-sized → "
+    "broadcast, and the top-20 is a TakeOrdered, not a global sort.",
+    tags=("agg", "join", "serving"),
+    late=True,
+)
+def a14_bargain_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    priced = (
+        auctions(spark, sf_dir)
+        .filter(F.col("buyout") > 0)
+        .select("auc", "item", (F.col("buyout") / F.col("quantity")).alias("per"))
+    )
+    w = Window.partitionBy("item")
+    ranked = priced.select(
+        "item",
+        "per",
+        F.row_number().over(w.orderBy("per")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    is_mid = (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (
+        F.col("rn") == F.floor((F.col("n") + 2) / 2)
+    )
+    med = ranked.groupBy("item").agg(
+        F.avg(F.when(is_mid, F.col("per"))).alias("median_per")
+    )
+    ratio = F.col("per") / F.col("median_per")
+    return (
+        priced.join(F.broadcast(med), "item")
+        .filter(ratio < _BARGAIN_FRAC)
+        .select(
+            "auc",
+            "item",
+            r4("per").alias("buyout_per"),
+            r4("median_per").alias("median_per"),
+            r4(ratio).alias("price_ratio"),
+        )
+        .orderBy(F.col("price_ratio").asc(), F.col("auc").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # A12 — fixed-width price histogram
 # ---------------------------------------------------------------------------
 
