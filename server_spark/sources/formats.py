@@ -67,3 +67,33 @@ def read_orc(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.orc(path)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str = "gzip") -> None:
+    """Gzip JSON-lines export — the reference serves gzip JSON
+    payloads, and JSONL is the interchange format downstream tokenizer
+    / training-data consumers ingest. Timestamps ISO-8601 like the
+    CSV path."""
+    (
+        df.write.mode("overwrite")
+        .option("compression", compression)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        .json(path)
+    )
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType = AUCTION
+) -> DataFrame:
+    """Schema-enforced JSONL intake with the same corrupt-record
+    quarantine as CSV."""
+    full = T.StructType(
+        [*schema.fields, T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        .json(path)
+    )

@@ -211,3 +211,32 @@ def test_csv_and_orc_roundtrip(spark, tmp_path):
     formats.write_orc(df, orc_dir)
     back_orc = formats.read_orc(spark, orc_dir)
     assert sorted(map(tuple, back_orc.collect())) == sorted(map(tuple, rows))
+
+
+def test_jsonl_roundtrip_gzip(spark, tmp_path):
+    """Gzip JSONL roundtrips the auction schema; a malformed line is
+    quarantined not fatal."""
+    import datetime as dt
+    import glob
+
+    from server_spark.schemas import AUCTION
+    from server_spark.sources import formats
+
+    ts = dt.datetime(2024, 3, 2, 8, 15, 0)
+    df = spark.createDataFrame(
+        [(7, 300, "own", "r2", 10, 2500, 3, "MEDIUM", "us", "r2", ts)], AUCTION
+    )
+    out = str(tmp_path / "jsonl")
+    formats.write_jsonl(df, out)
+    assert glob.glob(out + "/*.json.gz")  # actually compressed files
+    back = formats.read_jsonl(spark, out)
+    rows = back.collect()
+    assert len(rows) == 1
+    assert rows[0]["auc"] == 7 and rows[0]["dump_ts"] == ts
+    assert rows[0][formats.CORRUPT_COL] is None
+
+    bad = tmp_path / "jsonl_bad"
+    bad.mkdir()
+    (bad / "part.json").write_text('{"auc": "notanint", "item": }\n')
+    q = formats.read_jsonl(spark, str(bad)).collect()
+    assert len(q) == 1 and q[0][formats.CORRUPT_COL] is not None
