@@ -663,3 +663,91 @@ def a13_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T11 — robust anomaly detection (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+MAD_K = 3.0
+
+
+@register(
+    "t11_price_anomaly",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, SUM(value) AS v
+        FROM events GROUP BY 1
+    ),
+    r1 AS (
+        SELECT day, v,
+               ROW_NUMBER() OVER (ORDER BY v, day) AS rn,
+               COUNT(*) OVER () AS n
+        FROM daily
+    ),
+    med AS (
+        SELECT AVG(v) AS med FROM r1
+        WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    ),
+    dev AS (
+        SELECT day, v, ABS(v - m.med) AS adev, m.med
+        FROM daily, med m
+    ),
+    r2 AS (
+        SELECT day, v, adev, med,
+               ROW_NUMBER() OVER (ORDER BY adev, day) AS rn,
+               COUNT(*) OVER () AS n
+        FROM dev
+    ),
+    mad AS (
+        SELECT AVG(adev) AS mad FROM r2
+        WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    )
+    SELECT d.day, {V} AS v, {DEV} AS abs_dev,
+           d.adev > {K} * m.mad AS is_anomaly
+    FROM dev d, mad m
+    """.format(V=r4sql("d.v"), DEV=r4sql("d.adev"), K=MAD_K),
+    doc="T11 — robust market-anomaly watch: daily value totals flagged "
+    "when |v − median| exceeds 3× the MEDIAN ABSOLUTE DEVIATION — "
+    "median/MAD instead of mean/σ so one manipulated day cannot mask "
+    "itself by inflating the baseline (and no order-dependent float "
+    "sums for the oracle to diverge on: both medians are exact "
+    "rank-selected raw values). The rank windows run over the "
+    "DAY-level relation (365 rows/year at any corpus scale), never "
+    "the event stream; the scalar med/MAD broadcast back via cross "
+    "join.",
+    tags=("timeseries", "anomaly"),
+    late=True,
+)
+def t11_price_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum("value").alias("v"))
+    )
+
+    def exact_median(df: DataFrame, col: str) -> DataFrame:
+        w = Window.orderBy(F.col(col), F.col("day"))
+        r = df.select(
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(
+                Window.partitionBy(F.lit(1))
+            ).alias("n"),
+        )
+        mid = (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (
+            F.col("rn") == F.floor((F.col("n") + 2) / 2)
+        )
+        return r.filter(mid).agg(F.avg(col).alias("_m"))
+
+    med = exact_median(daily, "v").withColumnRenamed("_m", "med")
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "day", "v", F.abs(F.col("v") - F.col("med")).alias("adev")
+    )
+    mad = exact_median(dev, "adev").withColumnRenamed("_m", "mad")
+    return dev.crossJoin(F.broadcast(mad)).select(
+        "day",
+        r4("v").alias("v"),
+        r4("adev").alias("abs_dev"),
+        (F.col("adev") > MAD_K * F.col("mad")).alias("is_anomaly"),
+    )
