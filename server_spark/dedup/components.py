@@ -82,6 +82,17 @@ def connected_components(
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter means some chain is > max_iter hops from
+        # its min id; returning the partial labels would silently keep
+        # or drop the WRONG documents downstream (x21 corpus build,
+        # x32 survivor pick). Near-dup clusters are near-cliques
+        # (diameter 2–3), so this never fires in practice and the
+        # guard is free.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds ({changed} labels still changing); raise max_iter"
+        )
     return labels
 
 

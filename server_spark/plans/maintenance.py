@@ -10,12 +10,18 @@ Scale notes:
   index is consulted first and partitions already at target are left
   untouched (never a full-table rewrite).
 - Each partition rewrite is read → repartition(ceil(bytes/target)) →
-  write-to-sibling + atomic swap, so readers never observe a partial
-  partition (the swap is a rename; on object stores you'd use a
-  Delta/Iceberg OPTIMIZE with a commit protocol instead — this is the
-  raw-parquet analog).
+  write-to-scratch + two-rename swap. Scratch dirs are dot-prefixed
+  (``.compact_tmp__*``) so Spark's file index never lists them as
+  data or parses them as partition values. The swap itself is
+  SINGLE-WRITER / NO-CONCURRENT-READER: between the two renames a
+  reader can observe a missing partition, and a crash there needs the
+  entry-time recovery sweep (stale scratch dirs are finished or
+  removed on the next run). True reader-safe compaction needs a
+  commit protocol — Delta/Iceberg OPTIMIZE; this is the raw-parquet
+  analog for maintenance windows.
 - Compaction is idempotent and safe to re-run: a compacted partition
-  no longer qualifies as fragmented.
+  no longer qualifies as fragmented, and interrupted runs are healed
+  on entry.
 """
 
 from __future__ import annotations
@@ -42,6 +48,45 @@ def partition_file_stats(root: str) -> dict[str, tuple[int, int]]:
     return stats
 
 
+_TMP_PREFIX = ".compact_tmp__"
+_OLD_PREFIX = ".compact_old__"
+
+
+def _scratch(part_dir: str, prefix: str) -> str:
+    """Scratch sibling of ``part_dir`` with a dot-prefixed basename —
+    Spark's file index skips dot/underscore-leading names, so readers
+    never list scratch data or parse it as a partition value."""
+    head, base = os.path.split(part_dir)
+    return os.path.join(head, prefix + base)
+
+
+def _heal_interrupted(root: str) -> None:
+    """Recover from a crash mid-swap (idempotent, run on entry).
+
+    Crash points and their fix:
+    - before the first rename: stale tmp (partial or complete) →
+      remove; live partition untouched.
+    - between the renames: partition dir missing, old complete →
+      remove tmp, rename old back (compaction simply redoes it).
+    - after the second rename: partition is compacted, old remains →
+      remove old.
+    """
+    for dirpath, dirnames, _files in os.walk(root):
+        for d in list(dirnames):
+            if d.startswith(_TMP_PREFIX):
+                shutil.rmtree(os.path.join(dirpath, d))
+                dirnames.remove(d)
+        for d in list(dirnames):
+            if d.startswith(_OLD_PREFIX):
+                old = os.path.join(dirpath, d)
+                live = os.path.join(dirpath, d[len(_OLD_PREFIX):])
+                if os.path.exists(live):
+                    shutil.rmtree(old)
+                else:
+                    os.rename(old, live)
+                dirnames.remove(d)
+
+
 def compact_partitions(
     spark: SparkSession,
     root: str,
@@ -49,7 +94,12 @@ def compact_partitions(
     min_files: int = 4,
 ) -> int:
     """Rewrite every leaf partition holding ≥ ``min_files`` data files
-    into ceil(bytes/target) files. Returns partitions rewritten."""
+    into ceil(bytes/target) files. Returns partitions rewritten.
+
+    Single-writer; concurrent readers may see a partition vanish for
+    the instant between the two swap renames (see module docstring).
+    """
+    _heal_interrupted(root)
     rewritten = 0
     for part_dir, (n_files, total) in partition_file_stats(root).items():
         if n_files < min_files:
@@ -58,9 +108,9 @@ def compact_partitions(
         if n_out >= n_files:
             continue
         df = spark.read.parquet(part_dir)
-        tmp = part_dir + "__compacting"
+        tmp = _scratch(part_dir, _TMP_PREFIX)
         df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-        old = part_dir + "__old"
+        old = _scratch(part_dir, _OLD_PREFIX)
         os.rename(part_dir, old)
         os.rename(tmp, part_dir)
         shutil.rmtree(old)

@@ -790,8 +790,12 @@ def w7_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("owner")
         .agg(F.count("*").alias("n_auctions"))
     )
-    w = Window.orderBy(F.col("n_auctions").desc())
-    wu = Window.orderBy(F.col("n_auctions").desc(), F.col("owner").asc())
+    # lit(1) partition: bounded-relation global windows (100-row
+    # post-agg owner relation, see docstring) — keeps WindowExec's
+    # no-partition warning reserved for genuinely unbounded windows.
+    one = Window.partitionBy(F.lit(1))
+    w = one.orderBy(F.col("n_auctions").desc())
+    wu = one.orderBy(F.col("n_auctions").desc(), F.col("owner").asc())
     return vols.select(
         "owner",
         "n_auctions",

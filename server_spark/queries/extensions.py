@@ -963,7 +963,9 @@ VOCAB_K = 100
     doc="EXT x23 — vocabulary build: corpus-wide token frequencies "
     "(occurrences + document frequency) with deterministic top-K — "
     "the tokenizer-training / stopword-derivation pass. One explode + "
-    "one hash-agg; the top-K is a TakeOrdered, never a global sort.",
+    "one hash-agg; the top-K is orderBy().limit(K) which plans as "
+    "TakeOrderedAndProject (per-partition heaps, never a global "
+    "sort); the rank window runs AFTER the limit, over K rows only.",
     tags=("ext", "textstats", "vocab"),
     late=True,
 )
@@ -976,9 +978,14 @@ def x23_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
-    return counts.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= VOCAB_K
+    order = [F.col("n_occurrences").desc(), F.col("token")]
+    top = counts.orderBy(*order).limit(VOCAB_K)
+    # rnk derived post-limit: this window sorts VOCAB_K rows, not the
+    # vocabulary — the full-relation order is settled by TakeOrdered.
+    return top.withColumn(
+        "rnk",
+        # lit(1): bounded window (K rows post-limit), not a data sort
+        F.row_number().over(Window.partitionBy(F.lit(1)).orderBy(*order)),
     )
 
 
@@ -1726,21 +1733,22 @@ BATCH_SIZE = 32
     "sorted by token length and cut into fixed-size batches, so each "
     "batch pads only to ITS OWN max length — `padded_waste` counts "
     "the pad tokens a length-sorted batch still spends (vs. the "
-    "corpus-max padding of naive batching). The rank is a global "
-    "total order: at 100 TB this is a range-partitioned sort (Spark "
-    "plans exactly that for orderBy — sampled range exchange, no "
-    "single-partition window needed when composed as sortWithinPartitions "
-    "after repartitionByRange; the demo uses the window form at "
-    "registry scale).",
+    "corpus-max padding of naive batching). The global rank uses "
+    "operators/ranking.global_row_number — range-partition by "
+    "(n_tokens, doc_id), rank locally, shift by per-partition prefix "
+    "counts — so no stage ever sorts more than one range slice (the "
+    "naive ROW_NUMBER-over-everything window would funnel 100 TB "
+    "through one task).",
     tags=("ext", "textstats", "batching"),
     late=True,
 )
 def x31_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.operators.ranking import global_row_number
+
     lens = _docs(spark, sf_dir).select(
         "doc_id", tx.token_count().alias("n_tokens")
     )
-    w = Window.orderBy("n_tokens", "doc_id")
-    ranked = lens.withColumn("rn", F.row_number().over(w))
+    ranked = global_row_number(lens, ["n_tokens", "doc_id"], out_col="rn")
     return (
         ranked.groupBy(
             ((F.col("rn") - 1) / BATCH_SIZE)

@@ -727,13 +727,21 @@ def t11_price_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def exact_median(df: DataFrame, col: str) -> DataFrame:
-        w = Window.orderBy(F.col(col), F.col("day"))
+        # partitionBy(lit(1)) on BOTH windows: semantically these are
+        # global windows, but they run over the DAY-level relation
+        # (365 rows/year regardless of event volume — see docstring),
+        # so the single partition is bounded by calendar days, not
+        # data. The explicit partition key documents that and silences
+        # WindowExec's "No Partition Defined" warning, which at scale
+        # would otherwise be indistinguishable from a pathological
+        # full-data global window in the logs.
+        one = Window.partitionBy(F.lit(1))
         r = df.select(
             F.col(col),
-            F.row_number().over(w).alias("rn"),
-            F.count("*").over(
-                Window.partitionBy(F.lit(1))
-            ).alias("n"),
+            F.row_number()
+            .over(one.orderBy(F.col(col), F.col("day")))
+            .alias("rn"),
+            F.count("*").over(one).alias("n"),
         )
         mid = (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (
             F.col("rn") == F.floor((F.col("n") + 2) / 2)

@@ -366,8 +366,13 @@ def norm_trim_flags(
         F.col(id_col), r4(F.sqrt(dot_fixed(vec_col, vec_col, dim))).alias("l2_norm")
     )
     hist = norms.groupBy("l2_norm").agg(F.count("*").alias("n_vecs"))
-    w = Window.orderBy("l2_norm").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # lit(1) partition: bounded-relation global window (distinct
+    # rounded norms, never the corpus) — silences the WindowExec
+    # no-partition warning so logs at scale only flag real ones.
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("l2_norm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = hist.withColumn("cum", F.sum("n_vecs").over(w))
     tot = norms.agg(F.count("*").alias("n_total"))

@@ -57,13 +57,21 @@ def load_events_range(
     lo-inclusive / hi-exclusive, matching the oracle's
     ``ts >= TIMESTAMP lo AND ts < TIMESTAMP hi``.
     """
+    import calendar
     from datetime import datetime, timezone
 
     def _ns(s: str) -> int:
         dt = datetime.fromisoformat(s)
-        if dt.tzinfo is None:
-            dt = dt.replace(tzinfo=timezone.utc)
-        return int(dt.timestamp()) * 1_000_000_000
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(timezone.utc)
+        # Exact integer nanos: float .timestamp() loses precision far
+        # from epoch, int() truncates sub-seconds (widening the pushed
+        # range vs the oracle's bound) and truncates pre-1970 values
+        # toward zero instead of flooring.
+        return (
+            calendar.timegm(dt.timetuple()) * 1_000_000_000
+            + dt.microsecond * 1_000
+        )
 
     raw = spark.read.schema(EVENTS_RAW).parquet(
         os.path.join(sf_dir, "events.parquet")
