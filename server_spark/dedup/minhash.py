@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from server_spark.dedup.ngram import word_shingles
@@ -120,6 +120,187 @@ def minhash_candidates(
         )
         .filter(F.col("jaccard_est") >= min_est)
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable (md5-derived) MinHash — the ORACLE-CHECKABLE family.
+# xxhash64 above is the fast production path but is Spark-specific;
+# deriving the shingle's integer value from its md5 prefix gives
+# bit-identical signatures in any engine with md5 (DuckDB, Trino, …),
+# so LSH-gated pipelines can be value-verified end-to-end. Both sides
+# of every builder below (Spark Column / SQL text) are generated from
+# the same constants to stay in lockstep.
+# ---------------------------------------------------------------------------
+
+# Prime modulus for the universal-hash family; small enough that
+# a·v+b stays well under 2^63 for 32-bit a and v.
+MD5_P = 4_000_037
+_HEX = "0123456789abcdef"
+
+
+def md5_coeffs(k: int = 32, seed: int = 1234) -> list[tuple[int, int]]:
+    """Seeded (a, b) pairs for h_i(v) = (a·v + b) mod MD5_P."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MD5_P), rng.randrange(0, MD5_P)) for _ in range(k)
+    ]
+
+
+def md5_value(col) -> Column:
+    """md5-prefix → integer mod MD5_P: Σ hex_char_j · 16^(7−j). Eight
+    hex chars = 32 bits — collision odds are negligible for shingle
+    universes and it halves the per-shingle character arithmetic."""
+    md5 = F.md5(col)
+    terms = [
+        (F.conv(F.substring(md5, j + 1, 1), 16, 10).cast("long"))
+        * (16 ** (7 - j))
+        for j in range(8)
+    ]
+    return sum(terms[1:], terms[0]) % MD5_P
+
+
+def md5_value_sql(col: str) -> str:
+    """DuckDB twin of :func:`md5_value` (identical arithmetic)."""
+    return "(" + " + ".join(
+        f"(strpos('{_HEX}', substr(md5({col}), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    ) + f") % {MD5_P}"
+
+
+def md5_signatures(
+    shingles: DataFrame,
+    coeffs: list[tuple[int, int]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sig array) — ONE min-agg shuffle for all k signatures,
+    packed into a single array column."""
+    vals = shingles.select(F.col(id_col), md5_value("shingle").alias("v"))
+    return vals.groupBy(id_col).agg(
+        F.array(
+            *[
+                F.min((F.lit(a) * F.col("v") + F.lit(b)) % MD5_P)
+                for a, b in coeffs
+            ]
+        ).alias("sig")
+    )
+
+
+def md5_sigs_sql(coeffs: list[tuple[int, int]]) -> str:
+    """SQL select-list computing sig0..sig{k-1} from a CTE exposing
+    (doc_id, v)."""
+    return ", ".join(
+        f"MIN(({a} * v + {b}) % {MD5_P}) AS sig{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+
+
+def md5_banded_candidates(
+    shingles: DataFrame,
+    coeffs: list[tuple[int, int]],
+    n_bands: int,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs (doc_a < doc_b) from md5-minhash banding.
+
+    rows_per_band = k // n_bands; choose the shape from the target
+    Jaccard threshold via P(candidate) = 1 − (1 − s^r)^b — at the
+    pipelines' t = 0.2 this needs r = 1 (b = k) for recall ≥ 99.9%;
+    at production thresholds (t ≥ 0.7) r = 4 halves candidate volume.
+
+    ``max_bucket`` drops band buckets larger than the cap before the
+    self-join — the standard guard against hot buckets (a bucket of m
+    docs yields m² candidate rows; a cap bounds the join's worst key
+    while losing only pairs that other, finer buckets still surface).
+    Skew beyond the cap is AQE skew-join territory — see
+    operators/joins.salted_join for the manual salting alternative.
+    """
+    k = len(coeffs)
+    rows = k // n_bands
+    sig = md5_signatures(shingles, coeffs, id_col)
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.slice("sig", b * rows + 1, rows),
+                        lambda x: x.cast("string"),
+                    ),
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    # Both self-join branches reference this — materialize so the
+    # md5-per-shingle + min-agg pipeline runs once, not twice.
+    kv = (
+        sig.select(F.col(id_col), F.explode(band_entries).alias("be"))
+        .select(id_col, "be.band_idx", "be.band_key")
+        .localCheckpoint()
+    )
+    if max_bucket is not None:
+        sizes = kv.groupBy("band_idx", "band_key").agg(
+            F.count("*").alias("_bn")
+        )
+        kv = kv.join(
+            sizes.filter(F.col("_bn") <= max_bucket).drop("_bn"),
+            ["band_idx", "band_key"],
+            "left_semi",
+        )
+    x = kv.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
+    y = kv.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")
+    return (
+        x.join(y, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def md5_banded_candidates_sql(
+    coeffs: list[tuple[int, int]],
+    n_bands: int,
+    sh_cte: str = "sh",
+    max_bucket: int | None = None,
+) -> str:
+    """CTE chain ``vals, sigs, bands, kv, cand`` mirroring
+    :func:`md5_banded_candidates` over a shingle CTE named ``sh_cte``
+    with columns (doc_id, shingle). Ends with ``cand(doc_a, doc_b)``."""
+    k = len(coeffs)
+    rows = k // n_bands
+    bands_sql = ", ".join(
+        "concat_ws('|', "
+        + ", ".join(f"sig{b * rows + r}" for r in range(rows))
+        + f") AS band{b}"
+        for b in range(n_bands)
+    )
+    band_cols = ", ".join(f"band{b}" for b in range(n_bands))
+    bucket_gate = (
+        f"""
+    bsizes AS (
+        SELECT band_idx, band_key FROM kv
+        GROUP BY 1, 2 HAVING COUNT(*) <= {max_bucket}
+    ),
+    kvg AS (SELECT kv.* FROM kv JOIN bsizes USING (band_idx, band_key)),"""
+        if max_bucket is not None
+        else "\n    kvg AS (SELECT * FROM kv),"
+    )
+    return f"""
+    vals AS (SELECT doc_id, {md5_value_sql('shingle')} AS v FROM {sh_cte}),
+    sigs AS (SELECT doc_id, {md5_sigs_sql(coeffs)} FROM vals GROUP BY doc_id),
+    bands AS (SELECT doc_id, {bands_sql} FROM sigs),
+    kv AS (
+        SELECT doc_id, band_idx, band_key FROM bands
+        UNPIVOT (band_key FOR band_idx IN ({band_cols}))
+    ),{bucket_gate}
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM kvg x JOIN kvg y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+    )"""
 
 
 def shingle_vectors(

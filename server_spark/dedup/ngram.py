@@ -46,9 +46,21 @@ def jaccard_pairs(
 ) -> DataFrame:
     """All document pairs (a < b) with shingle-Jaccard ≥ threshold.
 
-    ``candidates``: optional (doc_a, doc_b) pre-filter (e.g. from
-    MinHash LSH) to avoid the full inverted-index self-join.
+    Without ``candidates``: the exact inverted-index self-join (only
+    viable when no shingle is hot — the join is quadratic in posting-
+    list length). With ``candidates`` (doc_a, doc_b), e.g. MinHash LSH
+    banding: VERIFICATION ONLY — each candidate pair's exact Jaccard
+    from an array intersection of the two shingle sets; the shingle
+    self-join never happens, so a hot shingle costs nothing beyond
+    its docs' set sizes. That bucket-then-verify composition is the
+    100 TB shape.
     """
+    if candidates is not None:
+        # verification path references the shingle relation once — no
+        # materialization needed
+        return jaccard_verify(
+            word_shingles(docs, n, id_col), candidates, threshold, id_col
+        )
     # The shingle relation feeds BOTH self-join branches AND the two
     # size lookups — four references, and Catalyst plans zero
     # ReusedExchange across them (verified on the executed plan), so
@@ -65,11 +77,57 @@ def jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
     scored = (
         inter.join(sizes.withColumnsRenamed({id_col: "doc_a", "n_sh": "sh_a"}), "doc_a")
         .join(sizes.withColumnsRenamed({id_col: "doc_b", "n_sh": "sh_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("sh_a") + F.col("sh_b") - F.col("n_common")),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "n_common", "jaccard"
+    )
+
+
+def jaccard_verify(
+    shingles: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard for the given candidate pairs only.
+
+    Shape: per-doc shingle SETS (one agg), then two equi-joins keying
+    the candidate list to each side's set, then a JVM array_intersect
+    per pair — two narrow shuffles, no self-join, cost linear in
+    Σ |set_a| + |set_b| over candidates. Pairs sharing no shingle get
+    jaccard 0 and fall out of any positive threshold.
+    """
+    sets = shingles.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("sh_set"),
+        F.count("*").alias("n_sh"),
+    )
+    scored = (
+        candidates.select("doc_a", "doc_b")
+        .join(
+            sets.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("sh_set").alias("set_a"),
+                F.col("n_sh").alias("sh_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("sh_set").alias("set_b"),
+                F.col("n_sh").alias("sh_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")))
         .withColumn(
             "jaccard",
             F.col("n_common")

@@ -1,0 +1,47 @@
+"""Shared plumbing for the EXT query families (SURVEY.md §2 EXT rows,
+§7.4): table loaders, thresholds, and the word-shingle SQL fragment
+every dedup/contamination oracle reuses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from server_spark import tables
+
+N_QUERY_VECS = 5          # query set for top-k similarity
+TOPK = 10
+NEARDUP_COS = 0.35        # embedding near-dup threshold (max ≈ 0.51)
+JACCARD_MIN = 0.2         # n-gram near-dup threshold
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "embeddings")
+
+
+def shingle_ctes(
+    src: str = "documents", carry: str = "", distinct: bool = True
+) -> str:
+    """CTE chain ``w, sh0, sh`` producing word-3-gram shingles per
+    doc from a relation ``src`` with (doc_id, text[, carry]) — the
+    DuckDB twin of dedup/ngram.word_shingles. ``carry`` propagates
+    extra columns (e.g. ``source``) through to ``sh``."""
+    cols = "doc_id" + (f", {carry}" if carry else "")
+    dedup = "DISTINCT " if distinct else ""
+    return rf"""w AS (
+        SELECT {cols},
+               generate_subscripts(string_split_regex(LOWER(TRIM(text)), '\s+'), 1) AS pos,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS word
+        FROM {src}
+    ),
+    sh0 AS (
+        SELECT {cols},
+               word || ' ' || LEAD(word, 1) OVER win || ' ' || LEAD(word, 2) OVER win AS shingle,
+               LEAD(word, 2) OVER win AS last2
+        FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (SELECT {dedup}{cols}, shingle FROM sh0 WHERE last2 IS NOT NULL)"""

@@ -1,0 +1,658 @@
+"""EXT dedup family: exact dedup, n-gram Jaccard, MinHash/SimHash
+(fast + oracle-portable twins), LSH-gated cluster resolution, the
+end-to-end corpus build, and contamination scans (SURVEY.md §2 EXT
+rows D4–D5, §7.4).
+
+The cluster pipelines (x15/x21/x32) generate their dup-graph edges
+with the 100 TB shape: md5-minhash banded LSH candidates → exact
+Jaccard VERIFICATION of candidates only (array intersection per
+pair) — never the inverted-index shingle self-join, whose cost is
+quadratic in hot-shingle frequency (a stopword-ish 3-gram shared by
+10⁶ docs would emit 10¹² join rows). x2 remains the declared
+exact-join baseline at registry scale. md5-derived hashing makes the
+candidate set bit-identical in DuckDB, so the gated pipelines stay
+value-verified end-to-end; band shape is b=32, r=1 (recall ≥ 99.9%
+at the t=0.2 threshold via 1−(1−s)^32).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from server_spark.dedup import exact as ex
+from server_spark.dedup import minhash as mh
+from server_spark.dedup import ngram as ng
+from server_spark.dedup import simhash as sh
+from server_spark.parity import r4, r4sql
+from server_spark.queries.ext_common import JACCARD_MIN, _docs, shingle_ctes
+from server_spark.registry import register
+from server_spark.textstats import analysis as tx
+
+# ---------------------------------------------------------------------------
+# x1 — exact dedup (hash groupBy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x1_exact_dedup",
+    r"""
+    SELECT sha256(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g'))
+               AS content_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="EXT x1 — exact dedup: sha256 of normalized text, one group "
+    "per distinct content, deterministic canonical survivor (min id).",
+    tags=("ext", "dedup"),
+)
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ex.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x2 — n-gram Jaccard near-dup (exact inverted-index form)
+# ---------------------------------------------------------------------------
+
+_X2_SQL = rf"""
+    WITH {shingle_ctes()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_MIN}
+"""
+
+
+@register(
+    "x2_ngram_jaccard",
+    _X2_SQL,
+    doc="EXT x2 — word-3-gram Jaccard near-dup pairs via the inverted "
+    "shingle index (exact form; MinHash banding is the scale path).",
+    tags=("ext", "dedup"),
+)
+def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ng.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=JACCARD_MIN)
+
+
+# ---------------------------------------------------------------------------
+# LSH gate shared by the cluster pipelines (x15 / x21 / x32):
+# md5-minhash banded candidates → exact verification. Constants shared
+# between the Spark path and every oracle so both engines compute the
+# identical candidate (and therefore edge) set.
+# ---------------------------------------------------------------------------
+
+_MH_NUM, _MH_BANDS = 32, 8  # x8b production shape: 8 bands × 4 rows
+_MH_ROWS = _MH_NUM // _MH_BANDS
+_MH_MIN_EST = 0.25
+_MH_AB = mh.md5_coeffs(_MH_NUM, seed=1234)
+
+_GATE_BANDS = _MH_NUM       # gate shape: 32 bands × 1 row (t = 0.2)
+
+
+def _gated_edges(shingles: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) dup edges: banded LSH candidates, exact-verified.
+
+    ``shingles`` should be materialized by the caller — it feeds both
+    the signature aggregation and the verification sets.
+    """
+    cands = mh.md5_banded_candidates(shingles, _MH_AB, n_bands=_GATE_BANDS)
+    return ng.jaccard_verify(shingles, cands, threshold=JACCARD_MIN).select(
+        "doc_a", "doc_b"
+    )
+
+
+def _gated_pairs_sql(sh_cte: str = "sh") -> str:
+    """CTE chain ``vals..cand, inter, pairs`` over a shingle CTE:
+    the oracle twin of :func:`_gated_edges` (md5-minhash candidates,
+    then exact Jaccard of candidates only)."""
+    return f"""{mh.md5_banded_candidates_sql(_MH_AB, _GATE_BANDS, sh_cte=sh_cte)},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM {sh_cte} GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN {sh_cte} a ON a.doc_id = c.doc_a
+        JOIN {sh_cte} b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+              >= {JACCARD_MIN}
+    )"""
+
+
+_COMPONENTS_SQL = """
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT reach.node, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)"""
+
+
+# ---------------------------------------------------------------------------
+# x15 — near-dup cluster resolution (connected components over the
+# LSH-gated, exact-verified pair edges)
+# ---------------------------------------------------------------------------
+
+_X15_SQL = rf"""
+    WITH RECURSIVE {shingle_ctes()},
+    {_gated_pairs_sql()},
+    {_COMPONENTS_SQL}
+    SELECT component AS canonical_doc_id,
+           COUNT(*) AS n_members,
+           array_to_string(list_sort(list(node)), ',') AS member_ids
+    FROM comp GROUP BY component
+"""
+
+
+@register(
+    "x15_neardup_components",
+    _X15_SQL,
+    doc="EXT x15 — dup-cluster RESOLUTION: connected components over "
+    "near-dup edges (A~B, B~C ⇒ one cluster {A,B,C}) via distributed "
+    "min-label propagation with checkpointed rounds. Edges are "
+    "LSH-GATED: md5-minhash banded candidates exact-verified by "
+    "array-intersect Jaccard — no shingle self-join anywhere in the "
+    "plan (the hot-shingle quadratic blowup of the exact form). "
+    "Oracle recomputes the identical candidate set (md5 is engine-"
+    "portable) + the recursive-CTE transitive closure.",
+    tags=("ext", "dedup", "components"),
+    late=True,
+)
+def x15_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.dedup.components import resolve_clusters
+
+    # shingles feed signatures AND verification — materialize once
+    shingles = ng.word_shingles(_docs(spark, sf_dir), n=3).localCheckpoint()
+    return resolve_clusters(_gated_edges(shingles)).select(
+        "canonical_doc_id", "n_members", "member_ids"
+    )
+
+
+# ---------------------------------------------------------------------------
+# x21 — the corpus-build pipeline END-TO-END (compose x18→x1→x15→x17)
+# ---------------------------------------------------------------------------
+
+_X21_SQL = rf"""
+    WITH RECURSIVE kept AS (
+        SELECT doc_id, text FROM documents
+        WHERE len(string_split_regex(LOWER(TRIM(text)), '\s+')) BETWEEN 10 AND 5000
+          AND CAST(LENGTH(regexp_replace(LOWER(text), '[^a-z]', '', 'g'))
+                   AS DOUBLE) / LENGTH(text) >= 0.55
+    ),
+    exact AS (
+        SELECT MIN(doc_id) AS doc_id, ANY_VALUE(text) AS text
+        FROM (SELECT doc_id, text,
+                     sha256(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS h
+              FROM kept)
+        GROUP BY h
+    ),
+    {shingle_ctes(src="exact")},
+    {_gated_pairs_sql()},
+    {_COMPONENTS_SQL},
+    survivors AS (
+        SELECT e.doc_id FROM exact e
+        LEFT JOIN comp ON e.doc_id = comp.node
+        WHERE comp.node IS NULL OR comp.component = e.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                     THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                     THEN 'val'
+                ELSE 'test' END AS split
+    FROM survivors
+"""
+
+
+@register(
+    "x21_corpus_build",
+    _X21_SQL,
+    doc="EXT x21 — the pretraining corpus build END-TO-END in one "
+    "declarative plan: quality gate (x18 rules) → exact dedup "
+    "survivors (x1) → LSH-gated near-dup CLUSTER resolution keeping "
+    "one doc per cluster (x15's banded-candidates → exact-verify "
+    "edges, no shingle self-join) → deterministic hash split (x17). "
+    "Every stage reuses the already-verified operator; the oracle is "
+    "the same composition in SQL (md5-portable candidates + recursive "
+    "CTE for the components).",
+    tags=("ext", "dedup", "pipeline"),
+    late=True,
+)
+def x21_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.dedup.components import connected_components
+
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    n_tokens = tx.token_count()
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.lower(t), r"[^a-z]", "")).cast("double")
+        / F.length(t)
+    )
+    kept = docs.filter(
+        n_tokens.between(10, 5000) & (alpha_ratio >= 0.55)
+    ).select("doc_id", "text")
+
+    # exact dedup: keep the min doc per content hash (carry text
+    # forward for shingling)
+    # Materialized once: referenced by the shingle pipeline AND the
+    # survivors join — recomputing the quality+dedup aggregation per
+    # branch doubles the heavy work.
+    exact = (
+        kept.select("doc_id", "text", ex.text_hash().alias("h"))
+        .groupBy("h")
+        .agg(F.min_by("doc_id", "doc_id").alias("doc_id"),
+             F.min_by("text", "doc_id").alias("text"))
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+
+    shingles = ng.word_shingles(exact, n=3).localCheckpoint()
+    comp = connected_components(_gated_edges(shingles))
+    survivors = (
+        exact.join(comp, exact.doc_id == comp.node, "left")
+        .filter(F.col("node").isNull() | (F.col("component") == F.col("doc_id")))
+        .select("doc_id")
+    )
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return survivors.select(
+        "doc_id",
+        F.when(h2 < "cd", "train")
+        .when(h2 < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x32 — quality-aware dedup survivorship (same gated edges as x15)
+# ---------------------------------------------------------------------------
+
+_X32_SQL = (
+    _X15_SQL.rsplit("SELECT component AS canonical_doc_id", 1)[0]
+    + r""",
+    lens AS (
+        SELECT doc_id,
+               len(string_split_regex(LOWER(TRIM(text)), '\s+')) AS n_tokens
+        FROM documents
+    ),
+    memb AS (
+        SELECT c.component, c.node, l.n_tokens
+        FROM comp c JOIN lens l ON c.node = l.doc_id
+    ),
+    best AS (SELECT component, MAX(n_tokens) AS mt FROM memb GROUP BY component)
+    SELECT m.component AS cluster_id,
+           MIN(CASE WHEN m.n_tokens = b.mt THEN m.node END) AS survivor_doc_id,
+           COUNT(*) AS n_members,
+           b.mt AS survivor_tokens
+    FROM memb m JOIN best b ON m.component = b.component
+    GROUP BY m.component, b.mt
+"""
+)
+
+
+@register(
+    "x32_cluster_survivors_quality",
+    _X32_SQL,
+    doc="EXT x32 — quality-aware survivorship: within each near-dup "
+    "cluster (x15's LSH-gated connected components) keep the "
+    "HIGHEST-QUALITY member — here the longest by token count, min "
+    "doc_id on ties — instead of x15/x21's min-id rule; production "
+    "dedup keeps the best copy, not the lexicographically first. "
+    "Portable two-step argmax (per-cluster max, then min-id among "
+    "the maximal), both aggs over the tiny membership table.",
+    tags=("ext", "dedup", "pipeline"),
+    late=True,
+)
+def x32_cluster_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.dedup.components import connected_components
+
+    docs = _docs(spark, sf_dir)
+    shingles = ng.word_shingles(docs, n=3).localCheckpoint()
+    comp = connected_components(_gated_edges(shingles))
+    lens = docs.select("doc_id", tx.token_count().alias("n_tokens"))
+    memb = comp.join(lens, comp.node == lens.doc_id).select(
+        "component", "node", "n_tokens"
+    )
+    best = memb.groupBy("component").agg(F.max("n_tokens").alias("mt"))
+    return (
+        memb.join(F.broadcast(best), "component")
+        .groupBy("component", "mt")
+        .agg(
+            F.min(
+                F.when(F.col("n_tokens") == F.col("mt"), F.col("node"))
+            ).alias("survivor_doc_id"),
+            F.count("*").alias("n_members"),
+        )
+        .select(
+            F.col("component").alias("cluster_id"),
+            "survivor_doc_id",
+            "n_members",
+            F.col("mt").alias("survivor_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x9b — SimHash with a CROSS-ENGINE hash (md5) → fully oracle-checked
+# ---------------------------------------------------------------------------
+# x9 keeps xxhash64 (fastest JVM path, rows-only); this variant derives
+# the 64 token-hash bits from the first 16 md5 hex chars, which both
+# engines compute identically — so the ENTIRE SimHash semantics
+# (tokenize → hash → signed bit vote → sign) is value-verified against
+# DuckDB, not just property-tested. Fingerprint emitted as a 64-char
+# bitstring (no signed-long edge cases in the comparison).
+
+_HEX = "0123456789abcdef"
+
+_X9B_CHARS_SQL = ", ".join(
+    f"strpos('{_HEX}', substr(md5(tok), {j + 1}, 1)) - 1 AS c{j}"
+    for j in range(16)
+)
+_X9B_SUMS_SQL = ", ".join(
+    f"SUM(2 * ((c{i // 4} >> {3 - i % 4}) & 1) - 1) AS s{i}" for i in range(64)
+)
+_X9B_BITS_SQL = ", ".join(
+    f"CASE WHEN s{i} > 0 THEN '1' ELSE '0' END" for i in range(64)
+)
+
+_X9B_SQL = rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS tok
+        FROM documents
+    ),
+    chars AS (SELECT doc_id, {_X9B_CHARS_SQL} FROM toks),
+    sums AS (SELECT doc_id, {_X9B_SUMS_SQL} FROM chars GROUP BY doc_id)
+    SELECT doc_id, concat({_X9B_BITS_SQL}) AS fingerprint_bits FROM sums
+"""
+
+
+@register(
+    "x9b_simhash_oracle",
+    _X9B_SQL,
+    doc="EXT x9b — SimHash with engine-portable md5 bit derivation: "
+    "tokenize → 64 hash bits per token → signed bit vote → sign, "
+    "value-checked end-to-end against the oracle (x9 is the faster "
+    "xxhash64 production form of the same plan shape: one explode, "
+    "one 64-way sum-agg shuffle).",
+    tags=("ext", "dedup", "textstats"),
+    late=True,
+)
+def x9b_simhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    md5 = F.md5("tok")
+    chars = toks.select(
+        "doc_id",
+        *[
+            F.conv(F.substring(md5, j + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"c{j}")
+            for j in range(16)
+        ],
+    )
+    sums = chars.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                2 * F.shiftright(F.col(f"c{i // 4}"), 3 - i % 4).bitwiseAND(1)
+                - 1
+            ).alias(f"s{i}")
+            for i in range(64)
+        ]
+    )
+    bits = [
+        F.when(F.col(f"s{i}") > 0, "1").otherwise("0") for i in range(64)
+    ]
+    return sums.select("doc_id", F.concat(*bits).alias("fingerprint_bits"))
+
+
+# ---------------------------------------------------------------------------
+# x8b — MinHash+LSH with CROSS-ENGINE (md5) hashing → oracle-checked
+# ---------------------------------------------------------------------------
+
+_X8B_MATCHES_SQL = " + ".join(
+    f"CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END" for i in range(_MH_NUM)
+)
+
+_X8B_SQL = rf"""
+    WITH {shingle_ctes()},
+    {mh.md5_banded_candidates_sql(_MH_AB, _MH_BANDS)}
+    SELECT doc_a, doc_b,
+           {r4sql(f"CAST(({_X8B_MATCHES_SQL}) AS DOUBLE) / {_MH_NUM}")} AS jaccard_est
+    FROM cand
+    JOIN sigs a ON doc_a = a.doc_id
+    JOIN sigs b ON doc_b = b.doc_id
+    WHERE CAST(({_X8B_MATCHES_SQL}) AS DOUBLE) / {_MH_NUM} >= {_MH_MIN_EST}
+"""
+
+
+@register(
+    "x8b_minhash_oracle",
+    _X8B_SQL,
+    doc="EXT x8b — MinHash+LSH with engine-portable hashing: shingle "
+    "→ md5-derived integer → 32 seeded universal hashes in ONE "
+    "min-agg shuffle, 8-band×4-row banding, candidates via band-key "
+    "equi-join (never all-pairs), estimate = matching signature "
+    "fraction. Every stage value-verified against the oracle; x8 is "
+    "the xxhash64 production twin of the same plan.",
+    tags=("ext", "dedup"),
+    late=True,
+)
+def x8b_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingles = ng.word_shingles(_docs(spark, sf_dir), n=3)
+    # ONE min-agg shuffle for all 32 signatures, packed into an array
+    # so downstream carries a single column instead of 32.
+    # Both the banded self-join branches and the per-side signature
+    # lookups reference this — materialize once.
+    sigs = mh.md5_signatures(shingles, _MH_AB).localCheckpoint()
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band_idx"),
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.slice("sig", band * _MH_ROWS + 1, _MH_ROWS),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("band_key"),
+        )
+        for band in range(_MH_BANDS)
+    ]
+    # explode band keys CARRYING the signature array — candidates and
+    # their match counts come out of one equi-join (no second pass
+    # re-joining signatures per side)
+    kv = (
+        sigs.select("doc_id", "sig", F.explode(F.array(*band_structs)).alias("b"))
+        .select("doc_id", "sig", "b.band_idx", "b.band_key")
+    )
+    x = kv.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
+        "band_idx", "band_key",
+    )
+    y = kv.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
+        "band_idx", "band_key",
+    )
+    cand = (
+        x.join(y, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda p, q: p == q), lambda m: m
+        )
+    )
+    est = matches.cast("double") / _MH_NUM
+    return (
+        cand.select("doc_a", "doc_b", r4(est).alias("jaccard_est"))
+        .filter(F.col("jaccard_est") >= _MH_MIN_EST)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x24 — cross-source contamination
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x24_cross_source_contamination",
+    rf"""
+    WITH {shingle_ctes(carry="source", distinct=False)},
+    srcsh AS (
+        SELECT DISTINCT source, shingle FROM sh
+    ),
+    src_sizes AS (SELECT source, COUNT(*) AS n_sh FROM srcsh GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared,
+           {r4sql("CAST(COUNT(*) AS DOUBLE) / sa.n_sh")} AS overlap_a
+    FROM srcsh a
+    JOIN srcsh b ON a.shingle = b.shingle AND a.source < b.source
+    JOIN src_sizes sa ON a.source = sa.source
+    GROUP BY a.source, b.source, sa.n_sh
+    """,
+    doc="EXT x24 — cross-source CONTAMINATION check: for every source "
+    "pair, how many distinct word-3-grams they share and what "
+    "fraction of the first source's shingles that is — the standard "
+    "train/eval leakage scan (n-gram overlap between splits). Shape: "
+    "distinct (source, shingle) sets then an inverted-index join on "
+    "shingle — source count is tiny, shingle sets are the scale.",
+    tags=("ext", "dedup", "contamination"),
+    late=True,
+)
+def x24_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    shingles = ng.word_shingles(docs, n=3)
+    # Three references (both join branches + sizes), zero exchange
+    # reuse → materialize the distinct (source, shingle) set once.
+    srcsh = (
+        shingles.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = srcsh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a = srcsh.select(F.col("source").alias("source_a"), "shingle")
+    b = srcsh.select(F.col("source").alias("source_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return shared.join(
+        F.broadcast(sizes.withColumnsRenamed({"source": "source_a"})), "source_a"
+    ).select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        r4(F.col("n_shared").cast("double") / F.col("n_sh")).alias("overlap_a"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x29 — eval-set decontamination (doc-level drop-list)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x29_eval_decontaminate",
+    rf"""
+    WITH {shingle_ctes(carry="source")},
+    ev AS (SELECT MIN(source) AS ev_src FROM documents),
+    eval_sh AS (
+        SELECT DISTINCT shingle FROM sh, ev WHERE sh.source = ev.ev_src
+    )
+    SELECT s.doc_id, COUNT(*) AS n_eval_shingles
+    FROM sh s, ev
+    WHERE s.source <> ev.ev_src
+      AND s.shingle IN (SELECT shingle FROM eval_sh)
+    GROUP BY s.doc_id
+    """,
+    doc="EXT x29 — eval decontamination: the DROP-LIST of training "
+    "documents sharing any word-3-gram with the held-out eval source "
+    "(the GPT-3-style n-gram scrub; production uses 8–13-grams, same "
+    "plan). Complements x24: that reports source-pair overlap "
+    "aggregates, this names the individual training docs to remove. "
+    "Scale shape: the eval shingle set is tiny relative to the "
+    "corpus → broadcast to the training shingles, one hash-agg per "
+    "doc — never a corpus self-join. Counts are per distinct "
+    "(doc, shingle), so the shingle-dedup in both dialects makes "
+    "COUNT(*) ≡ COUNT(DISTINCT shingle).",
+    tags=("ext", "dedup", "contamination"),
+    late=True,
+)
+def x29_eval_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    ev = docs.agg(F.min("source").alias("ev_src"))
+    # shingles referenced by BOTH the eval and training branches —
+    # materialize once (same no-ReusedExchange issue as x21/x24)
+    shingles = (
+        ng.word_shingles(docs, n=3)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .crossJoin(F.broadcast(ev))
+        .localCheckpoint()
+    )
+    eval_sh = (
+        shingles.filter(F.col("source") == F.col("ev_src"))
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        shingles.filter(F.col("source") != F.col("ev_src"))
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_eval_shingles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only dedup operators (engine-specific hashing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x8_minhash_neardup",
+    None,  # xxhash64 minhash is engine-specific
+    doc="EXT x8 — MinHash LSH near-dup candidates (the 100 TB dedup "
+    "path: universal-hash signatures in one hash-agg, banding → "
+    "equi-join). Rows-only; validated against exact Jaccard in tests.",
+    tags=("ext", "dedup", "rows-only"),
+)
+def x8_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mh.minhash_candidates(
+        _docs(spark, sf_dir), n=3, num_hashes=32, n_bands=8, min_est=0.25
+    ).select("doc_a", "doc_b", r4("jaccard_est").alias("jaccard_est"))
+
+
+@register(
+    "x9_simhash_fingerprint",
+    None,  # xxhash64 is Spark-specific
+    doc="EXT x9 — 64-bit SimHash fingerprints (JVM bit arithmetic, no "
+    "UDF); banded Hamming join is the near-dup scale path.",
+    tags=("ext", "dedup", "rows-only"),
+)
+def x9_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sh.simhash64(_docs(spark, sf_dir))

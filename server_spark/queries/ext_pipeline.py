@@ -1,0 +1,392 @@
+"""EXT pipeline family: splits, quality gates, sampling, packing,
+mixing, batching, multimodal plumbing, UDTF chunking (SURVEY.md §7.4
+— the corpus-assembly steps around the dedup/text operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from server_spark import tables
+from server_spark.parity import r4, r4sql
+from server_spark.queries.ext_common import _docs
+from server_spark.registry import register
+from server_spark.textstats import analysis as tx
+
+# ---------------------------------------------------------------------------
+# x17 — deterministic hash split; x18 — quality filter pipeline
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x17_hash_split",
+    """
+    SELECT doc_id,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hash_bucket,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                     THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                     THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="EXT x17 — deterministic train/val/test split: md5-prefix "
+    "bucketing (~80/10/10 via lexicographic hex thresholds). Pure "
+    "narrow map, reproducible across engines/runs/cluster sizes — the "
+    "property a training pipeline needs from a split (no sampling "
+    "state, membership is a function of the id alone).",
+    tags=("ext", "split"),
+    late=True,
+)
+def x17_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        h2.alias("hash_bucket"),
+        F.when(h2 < "cd", "train")
+        .when(h2 < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "x18_quality_filter",
+    r"""
+    WITH m AS (
+        SELECT doc_id,
+               len(string_split_regex(LOWER(TRIM(text)), '\s+')) AS n_tokens,
+               CAST(LENGTH(regexp_replace(LOWER(text), '[^a-z]', '', 'g'))
+                    AS DOUBLE) / LENGTH(text) AS alpha_ratio
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, alpha_ratio,
+           CASE WHEN n_tokens < 10 THEN 'too_short'
+                WHEN n_tokens > 5000 THEN 'too_long'
+                WHEN alpha_ratio < 0.55 THEN 'low_alpha'
+                ELSE 'keep' END AS verdict,
+           (n_tokens >= 10 AND n_tokens <= 5000 AND alpha_ratio >= 0.55)
+               AS keep
+    FROM m
+    """,
+    doc="EXT x18 — C4/Gopher-style quality FILTER pipeline: the x4 "
+    "metrics composed into a keep/drop verdict with the first failed "
+    "rule as the reason — the actual gate a pretraining corpus build "
+    "applies, as one codegen narrow map.",
+    tags=("ext", "textstats", "filter"),
+    late=True,
+)
+def x18_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("text")
+    n_tokens = tx.token_count()
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.lower(t), r"[^a-z]", "")).cast("double")
+        / F.length(t)
+    )
+    m = _docs(spark, sf_dir).select(
+        "doc_id", n_tokens.alias("n_tokens"), alpha_ratio.alias("alpha_ratio")
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "alpha_ratio",
+        F.when(F.col("n_tokens") < 10, "too_short")
+        .when(F.col("n_tokens") > 5000, "too_long")
+        .when(F.col("alpha_ratio") < 0.55, "low_alpha")
+        .otherwise("keep")
+        .alias("verdict"),
+        (
+            (F.col("n_tokens") >= 10)
+            & (F.col("n_tokens") <= 5000)
+            & (F.col("alpha_ratio") >= 0.55)
+        ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x19 — deterministic stratified sample; x20 — sequence packing
+# ---------------------------------------------------------------------------
+
+STRATUM_N = 50        # docs kept per language stratum
+PACK_BUDGET = 2048    # token budget per packed training sequence
+
+
+@register(
+    "x19_stratified_sample",
+    f"""
+    SELECT doc_id, lang, rn FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= {STRATUM_N}
+    """,
+    doc="EXT x19 — stratified sampling, hash-rank form: first N per "
+    "language by md5 order. Unlike rng sampling this is reproducible "
+    "across engines, runs and cluster sizes, composes with "
+    "incremental data (a doc's rank only changes if earlier-hashed "
+    "docs arrive), and is one window per stratum — no sampling state.",
+    tags=("ext", "sample"),
+    late=True,
+)
+def x19_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= STRATUM_N)
+    )
+
+
+@register(
+    "x20_sequence_packing",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+               len(string_split_regex(LOWER(TRIM(text)), '\s+')) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST((SUM(n_tokens) OVER w - n_tokens) // {PACK_BUDGET} AS BIGINT)
+               AS pack_id,
+           CAST((SUM(n_tokens) OVER w - n_tokens) % {PACK_BUDGET} AS BIGINT)
+               AS pack_offset
+    FROM toks
+    WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+    doc="EXT x20 — sequence PACKING: greedy concat of documents into "
+    "~token-budget training sequences via a running token count "
+    "(pack id = starting offset ÷ budget). Sharded by an md5 prefix "
+    "so the window never needs a global sort — each shard packs "
+    "independently, which is exactly how a distributed packer runs at "
+    "100 TB (pack within partitions, never across).",
+    tags=("ext", "packing"),
+    late=True,
+)
+def x20_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
+        tx.token_count().alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return toks.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(start / PACK_BUDGET).cast("long").alias("pack_id"),
+        (start % PACK_BUDGET).cast("long").alias("pack_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x28 — source mixing budget (per-source token allocation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x28_source_mix_budget",
+    rf"""
+    WITH per_source AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split_regex(LOWER(TRIM(text)), '\s+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               COUNT(*) AS n_sources
+        FROM per_source
+    )
+    SELECT s.source, s.n_docs, s.n_tokens,
+           {r4sql("LEAST(CAST(2.0 AS DOUBLE),"
+                  " (CAST(t.total_tokens AS DOUBLE) / t.n_sources)"
+                  " / s.n_tokens)")} AS mix_weight,
+           CAST(FLOOR(LEAST(CAST(2.0 AS DOUBLE),
+                    (CAST(t.total_tokens AS DOUBLE) / t.n_sources)
+                    / s.n_tokens) * s.n_tokens) AS BIGINT)
+               AS budget_tokens
+    FROM per_source s CROSS JOIN tot t
+    """,
+    doc="EXT x28 — dataset mixing: allocate a per-source token budget "
+    "toward a uniform target share, capping oversampling at 2 "
+    "epochs (the standard mixture-reweighting step before corpus "
+    "assembly; pairs with the x19 stratified sampler that realizes "
+    "the rates). One hash-agg over the corpus + a broadcast scalar "
+    "join — the weight math runs on a few rows. The budget is "
+    "floor(weight × tokens) in pure IEEE double arithmetic, "
+    "identical across engines.",
+    tags=("ext", "textstats", "sampling"),
+    late=True,
+)
+def x28_source_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_source = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(tx.token_count()).alias("n_tokens"),
+        )
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    j = per_source.crossJoin(F.broadcast(tot))
+    target = F.col("total_tokens").cast("double") / F.col("n_sources")
+    weight = F.least(F.lit(2.0), target / F.col("n_tokens"))
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        r4(weight).alias("mix_weight"),
+        F.floor(weight * F.col("n_tokens")).cast("long").alias("budget_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x31 — length-bucketed inference batching (padding-waste minimizer)
+# ---------------------------------------------------------------------------
+
+BATCH_SIZE = 32
+
+
+@register(
+    "x31_length_batching",
+    rf"""
+    WITH lens AS (
+        SELECT doc_id,
+               len(string_split_regex(LOWER(TRIM(text)), '\s+')) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens,
+               ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS rn
+        FROM lens
+    )
+    SELECT CAST((rn - 1) // {BATCH_SIZE} AS BIGINT) AS batch_id,
+           COUNT(*) AS n_docs,
+           MAX(n_tokens) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+               AS padded_waste
+    FROM ranked
+    GROUP BY 1
+    """,
+    doc="EXT x31 — dynamic batching for inference/training: documents "
+    "sorted by token length and cut into fixed-size batches, so each "
+    "batch pads only to ITS OWN max length — `padded_waste` counts "
+    "the pad tokens a length-sorted batch still spends (vs. the "
+    "corpus-max padding of naive batching). The global rank uses "
+    "operators/ranking.global_row_number — range-partition by "
+    "(n_tokens, doc_id), rank locally, shift by per-partition prefix "
+    "counts — so no stage ever sorts more than one range slice (the "
+    "naive ROW_NUMBER-over-everything window would funnel 100 TB "
+    "through one task).",
+    tags=("ext", "textstats", "batching"),
+    late=True,
+)
+def x31_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.operators.ranking import global_row_number
+
+    lens = _docs(spark, sf_dir).select(
+        "doc_id", tx.token_count().alias("n_tokens")
+    )
+    ranked = global_row_number(lens, ["n_tokens", "doc_id"], out_col="rn")
+    return (
+        ranked.groupBy(
+            ((F.col("rn") - 1) / BATCH_SIZE)
+            .cast("long")
+            .alias("batch_id")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            (F.count("*") * F.max("n_tokens") - F.sum("n_tokens")).alias(
+                "padded_waste"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only pipeline operators (UDF / UDTF / multimodal paths)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x12_multimodal_meta",
+    None,  # mapInPandas decode stub
+    doc="EXT x12 — multimodal binary-column plumbing: Arrow-batched "
+    "mapInPandas metadata/decode extraction (decode stubbed; schema, "
+    "batching and partitioning real).",
+    tags=("ext", "multimodal", "rows-only"),
+)
+def x12_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.multimodal.binary import extract_media_meta, synthetic_media
+
+    return extract_media_meta(synthetic_media(_docs(spark, sf_dir)))
+
+
+@register(
+    "x13_udtf_chunks",
+    None,  # Python UDTF — engine-side table function
+    doc="D7 — Python UDTF (Spark 3.5+/4 table function): split each "
+    "document into fixed 10-word chunks with positions, the "
+    "context-window chunking step of a training-data pipeline. "
+    "Rows-only; chunk reassembly asserted in tests.",
+    tags=("ext", "udtf", "rows-only"),
+)
+def x13_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string, n_words int")
+    class ChunkDoc:
+        # self-contained: workers may not have server_spark importable
+        def eval(self, text: str, width: int):
+            if text is None:
+                return
+            words = text.split()
+            for i in range(0, len(words), width):
+                chunk = words[i : i + width]
+                yield i // width, " ".join(chunk), len(chunk)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    _docs(spark, sf_dir).createOrReplaceTempView("_docs_for_chunking")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_words
+        FROM _docs_for_chunking d,
+             LATERAL chunk_doc(d.text, 10) c
+        """
+    )
+
+
+@register(
+    "f3b_fuzzy_rank_udf",
+    None,  # pandas_udf re-implementation of RankMatchFold
+    doc="D2 — exact RankMatchFold fuzzy search parity (subsequence "
+    "gate + Levenshtein rank) as an Arrow-batched pandas_udf.",
+    tags=("ext", "search", "rows-only"),
+)
+def f3b_fuzzy_rank_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.functions.text import fuzzy_search
+
+    part = tables.load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("item"), F.col("p_name").alias("item_name")
+    )
+    return fuzzy_search(part, "item_name", "widget", k=10)

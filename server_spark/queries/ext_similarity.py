@@ -1,0 +1,269 @@
+"""EXT similarity family: brute/blocked/LSH/IVF vector search and
+embedding hygiene (SURVEY.md §2 EXT rows D6, §7.4).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from server_spark.parity import r4, r4sql
+from server_spark.queries.ext_common import (
+    N_QUERY_VECS,
+    NEARDUP_COS,
+    TOPK,
+    _emb,
+)
+from server_spark.registry import register
+from server_spark.similarity import cosine as cos
+
+# ---------------------------------------------------------------------------
+# x3 — brute-force cosine top-k (similarity search baseline)
+# ---------------------------------------------------------------------------
+
+_EE_SQL = """
+    ee AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ee GROUP BY vec_id)
+"""
+
+_X3_SQL = f"""
+    WITH {_EE_SQL},
+    q AS (SELECT vec_id, i, v FROM ee WHERE vec_id < {N_QUERY_VECS}),
+    dots AS (
+        SELECT q.vec_id AS qid, e.vec_id AS vid, SUM(q.v * e.v) AS dot
+        FROM q JOIN ee e USING (i)
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT qid AS query_id, vid AS vec_id,
+               {r4sql("dot / (nq.nrm * ne.nrm)")} AS score
+        FROM dots
+        JOIN norms nq ON qid = nq.vec_id
+        JOIN norms ne ON vid = ne.vec_id
+        WHERE qid <> vid
+    )
+    SELECT query_id, vec_id, score, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, vec_id
+        ) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TOPK}
+"""
+
+
+@register(
+    "x3_cosine_topk",
+    _X3_SQL,
+    doc="EXT x3 — brute-force cosine top-k per query vector: zip_with/"
+    "aggregate dot products (JVM, no UDF), per-query window ranking on "
+    "canonically-rounded scores with vec_id tiebreak.",
+    tags=("ext", "similarity"),
+)
+def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cos.brute_force_topk(emb, queries, k=TOPK)
+
+
+# ---------------------------------------------------------------------------
+# x10 — embedding-cosine near-dup pairs
+# ---------------------------------------------------------------------------
+
+_X10_SQL = f"""
+    WITH {_EE_SQL},
+    dots AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
+        FROM ee a JOIN ee b USING (i)
+        WHERE a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT vec_a, vec_b, {r4sql("dot / (na.nrm * nb.nrm)")} AS score
+        FROM dots
+        JOIN norms na ON vec_a = na.vec_id
+        JOIN norms nb ON vec_b = nb.vec_id
+    )
+    SELECT vec_a, vec_b, score FROM scored WHERE score >= {NEARDUP_COS}
+"""
+
+
+@register(
+    "x10_embedding_neardup",
+    _X10_SQL,
+    doc="EXT x10 — embedding-cosine near-duplicate pairs above "
+    "threshold, computed as a block-matrix self-product (numpy matmul "
+    "per block pair inside mapInPandas; no O(N²) row explosion).",
+    tags=("ext", "dedup", "similarity"),
+)
+def x10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cos.neardup_pairs_blocked(_emb(spark, sf_dir), threshold=NEARDUP_COS)
+
+
+# ---------------------------------------------------------------------------
+# x22 — int8 scalar quantization of embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x22_embedding_quantize",
+    """
+    WITH scaled AS (
+        SELECT vec_id,
+               GREATEST(list_max(list_transform(embedding,
+                   x -> ABS(CAST(x AS DOUBLE)))) / 127, 1e-12) AS scale
+        FROM embeddings
+    )
+    SELECT e.vec_id,
+           {SC} AS scale,
+           array_to_string(list_transform(embedding,
+               x -> CAST(CASE WHEN x < 0
+                    THEN -FLOOR(ABS(CAST(x AS DOUBLE)) / scale + 0.5)
+                    ELSE  FLOOR(ABS(CAST(x AS DOUBLE)) / scale + 0.5)
+                    END AS INT)), ',')
+               AS q_values
+    FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
+    """.format(SC=r4sql("scale")),
+    doc="EXT x22 — int8 scalar quantization: per-vector absmax scale, "
+    "elements snapped to [-127,127] (the 4× memory shrink an ANN "
+    "index applies before SIMD scoring). Pure narrow map — "
+    "higher-order array functions, no shuffle, no UDF. Round "
+    "half-away-from-zero spelled as sign·floor(|x|/scale + 0.5): "
+    "pure IEEE double arithmetic, bit-identical across engines "
+    "(decimal-cast rounding would double-round at the boundary).",
+    tags=("ext", "similarity", "quantize"),
+    late=True,
+)
+def x22_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    scale = F.greatest(
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+        / 127,
+        F.lit(1e-12),
+    )
+    # internal name ≠ output alias: the select below re-aliases the
+    # ROUNDED value as "scale", and lateral column-alias resolution
+    # would otherwise bind the lambda's reference to that rounded
+    # sibling instead of the child column
+    with_scale = emb.select("vec_id", "embedding", scale.alias("_scale"))
+
+    def _q(x):
+        mag = F.floor(F.abs(x.cast("double")) / F.col("_scale") + 0.5)
+        return F.when(x < 0, -mag).otherwise(mag).cast("int")
+
+    q = F.transform("embedding", _q)
+    return with_scale.select(
+        "vec_id",
+        r4("_scale").alias("scale"),
+        F.array_join(F.transform(q, lambda v: v.cast("string")), ",").alias(
+            "q_values"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x27 — embedding-norm outlier trim (histogram-cumulative percentile)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x27_norm_outlier_trim",
+    rf"""
+    WITH norms AS (
+        SELECT vec_id,
+               {r4sql("sqrt(list_sum(list_transform(embedding,"
+                      " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")}
+                   AS l2_norm
+        FROM embeddings
+    ),
+    hist AS (SELECT l2_norm, COUNT(*) AS n_vecs FROM norms GROUP BY 1),
+    cum AS (
+        SELECT l2_norm, n_vecs,
+               SUM(n_vecs) OVER (ORDER BY l2_norm) AS cum
+        FROM hist
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM norms)
+    SELECT v.vec_id, v.l2_norm,
+           (c.cum * 100 > t.n_total
+            AND (c.cum - c.n_vecs) * 100 < t.n_total * 99) AS kept
+    FROM norms v
+    JOIN cum c ON v.l2_norm = c.l2_norm
+    CROSS JOIN tot t
+    """,
+    doc="EXT x27 — embedding outlier trim: drop the bottom/top 1% of "
+    "vectors by L2 norm (degenerate / exploding embeddings poison "
+    "ANN indexes and contrastive training). Exact percentiles via "
+    "the scalable histogram-cumulative shape: the global window runs "
+    "over DISTINCT ROUNDED norms (cardinality bounded by the value "
+    "range × 1e4, not the corpus), per-vector work is one hash-agg "
+    "plus a broadcast join back. Norms use the codegen-unrolled "
+    "dot_fixed, not the interpreted fold. A norm group is dropped "
+    "only if it lies ENTIRELY inside a tail (straddling groups are "
+    "kept), so the rule is pure integer arithmetic — no float "
+    "threshold to flip between engines — and a constant-norm corpus "
+    "drops nothing.",
+    tags=("ext", "similarity", "quality"),
+    late=True,
+)
+def x27_norm_outlier_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cos.norm_trim_flags(_emb(spark, sf_dir), dim=cos.EMB_DIM)
+
+
+# ---------------------------------------------------------------------------
+# Rows-only ANN operators (engine-side model / plane state)
+# ---------------------------------------------------------------------------
+
+
+def _seeded_tables(
+    n_tables: int = 8, n_planes: int = 3, dim: int = 64, seed: int = 7
+) -> list[list[list[float]]]:
+    """Independent hyperplane sets for multi-table LSH (fixed seed so
+    results are reproducible run-to-run)."""
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+
+@register(
+    "x11_lsh_cosine_topk",
+    None,  # plane choice is engine-side state
+    doc="EXT x11 — LSH-bucketed approximate top-k (random hyperplane "
+    "signatures → bucket equi-join): the ANN scale path for x3.",
+    tags=("ext", "similarity", "rows-only"),
+)
+def x11_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cos.lsh_topk(emb, queries, _seeded_tables(), k=TOPK, dim=64)
+
+
+@register(
+    "x14_ivf_topk",
+    None,  # KMeans quantizer is engine-side model state
+    doc="EXT x14 — IVF approximate top-k: sample-trained coarse "
+    "quantizer, numpy-assigned + cached corpus (build_index, offline "
+    "at scale), n_probe nearest-centroid search with codegen exact "
+    "cosine rerank (the FAISS nlist/nprobe pattern).",
+    tags=("ext", "similarity", "rows-only"),
+)
+def x14_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.similarity.ivf import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(
+        emb, queries, k=TOPK, n_clusters=16, n_probe=4, cache_key=sf_dir
+    )

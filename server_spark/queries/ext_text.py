@@ -1,0 +1,441 @@
+"""EXT text-analysis family: quality metrics, language ID,
+fingerprinting, token counting, vocabulary, repetition, PII scrub,
+TF-IDF (SURVEY.md §2 row D4, §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from server_spark.parity import r4, r4sql
+from server_spark.queries.ext_common import _docs, shingle_ctes
+from server_spark.registry import register
+from server_spark.textstats import analysis as tx
+from server_spark.textstats import pii
+
+# ---------------------------------------------------------------------------
+# x4 — text quality metrics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x4_text_quality",
+    r"""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_m,
+           len(string_split_regex(LOWER(TRIM(text)), '\s+')) AS n_tokens,
+           CAST(LENGTH(regexp_replace(text, '[^\s]', '', 'g'))
+                AS DOUBLE) / LENGTH(text) AS space_ratio,
+           CAST(LENGTH(regexp_replace(LOWER(text), '[^a-z]', '', 'g'))
+                AS DOUBLE) / LENGTH(text) AS alpha_ratio
+    FROM documents
+    """,
+    doc="EXT x4 — per-document quality features (length, token count, "
+    "whitespace/alpha ratios): C4/Gopher-style pre-filters as pure "
+    "narrow maps.",
+    tags=("ext", "textstats"),
+)
+def x4_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_space = F.length(F.regexp_replace(t, r"[^\s]", ""))
+    n_alpha = F.length(F.regexp_replace(F.lower(t), r"[^a-z]", ""))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        tx.token_count().alias("n_tokens"),
+        (n_space.cast("double") / n_chars).alias("space_ratio"),
+        (n_alpha.cast("double") / n_chars).alias("alpha_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x5 — language-ID heuristic
+# ---------------------------------------------------------------------------
+
+_MARKER_SQL = {
+    lang: ", ".join(f"'{m}'" for m in markers)
+    for lang, markers in tx.LANG_MARKERS.items()
+}
+
+_X5_SQL = rf"""
+    WITH c AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                   x -> x IN ({_MARKER_SQL['de']}))) AS c_de,
+               len(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                   x -> x IN ({_MARKER_SQL['en']}))) AS c_en,
+               len(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                   x -> x IN ({_MARKER_SQL['es']}))) AS c_es,
+               len(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                   x -> x IN ({_MARKER_SQL['fr']}))) AS c_fr
+        FROM documents
+    )
+    SELECT doc_id, lang AS tagged_lang,
+           CASE WHEN GREATEST(c_de, c_en, c_es, c_fr) <= 0 THEN 'und'
+                WHEN c_de = GREATEST(c_de, c_en, c_es, c_fr) THEN 'de'
+                WHEN c_en = GREATEST(c_de, c_en, c_es, c_fr) THEN 'en'
+                WHEN c_es = GREATEST(c_de, c_en, c_es, c_fr) THEN 'es'
+                ELSE 'fr' END AS guessed_lang
+    FROM c
+"""
+
+
+@register(
+    "x5_langid_heuristic",
+    _X5_SQL,
+    doc="EXT x5 — stopword-vote language ID (n-gram-heuristic class); "
+    "deterministic alphabetical tie-break, 'und' when no markers hit.",
+    tags=("ext", "textstats"),
+)
+def x5_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("lang").alias("tagged_lang"),
+        tx.langid_heuristic().alias("guessed_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x6 — document fingerprint; x7 — token counting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x6_doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g'))
+               AS fingerprint
+    FROM documents
+    """,
+    doc="EXT x6 — content fingerprint (md5 of normalized text); the "
+    "SimHash variant is x9 (rows-only).",
+    tags=("ext", "textstats"),
+)
+def x6_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", tx.fingerprint().alias("fingerprint"))
+
+
+@register(
+    "x7_token_counts",
+    rf"""
+    SELECT doc_id,
+           len(string_split_regex(LOWER(TRIM(text)), '\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(LOWER(text), '{tx.TOKEN_REGEX}'))
+               AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="EXT x7 — token counting: whitespace tokens and BPE-ish "
+    "pre-tokenizer regex tokens per document.",
+    tags=("ext", "textstats"),
+)
+def x7_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        tx.token_count().alias("n_ws_tokens"),
+        tx.bpe_token_count().alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x23 — vocabulary build (top-K token frequencies)
+# ---------------------------------------------------------------------------
+
+VOCAB_K = 100
+
+
+@register(
+    "x23_vocab_topk",
+    rf"""
+    WITH toks AS (
+        SELECT UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token,
+               doc_id
+        FROM documents
+    ),
+    counts AS (
+        SELECT token,
+               COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM toks GROUP BY token
+    )
+    SELECT token, n_occurrences, n_docs, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY n_occurrences DESC, token
+        ) AS rnk
+        FROM counts
+    ) WHERE rnk <= {VOCAB_K}
+    """,
+    doc="EXT x23 — vocabulary build: corpus-wide token frequencies "
+    "(occurrences + document frequency) with deterministic top-K — "
+    "the tokenizer-training / stopword-derivation pass. One explode + "
+    "one hash-agg; the top-K is orderBy().limit(K) which plans as "
+    "TakeOrderedAndProject (per-partition heaps, never a global "
+    "sort); the rank window runs AFTER the limit, over K rows only.",
+    tags=("ext", "textstats", "vocab"),
+    late=True,
+)
+def x23_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    order = [F.col("n_occurrences").desc(), F.col("token")]
+    top = counts.orderBy(*order).limit(VOCAB_K)
+    # rnk derived post-limit: this window sorts VOCAB_K rows, not the
+    # vocabulary — the full-relation order is settled by TakeOrdered.
+    return top.withColumn(
+        "rnk",
+        # lit(1): bounded window (K rows post-limit), not a data sort
+        F.row_number().over(Window.partitionBy(F.lit(1)).orderBy(*order)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x25 — intra-document repetition ratio (Gopher-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x25_repetition_ratio",
+    rf"""
+    WITH {shingle_ctes(distinct=False)},
+    per_doc AS (
+        SELECT doc_id,
+               COUNT(*) AS n_shingles,
+               COUNT(DISTINCT shingle) AS n_distinct
+        FROM sh GROUP BY doc_id
+    )
+    SELECT doc_id, n_shingles, n_distinct,
+           {r4sql("1.0 - CAST(n_distinct AS DOUBLE) / n_shingles")}
+               AS repetition_ratio
+    FROM per_doc
+    """,
+    doc="EXT x25 — intra-document repetition: fraction of word-3-gram "
+    "occurrences that are repeats (1 − distinct/total), the Gopher "
+    "duplicate-n-gram quality rule that catches boilerplate and "
+    "degenerate loops. One explode + one two-level agg per doc; "
+    "composes into the x18/x21 gate as another keep/drop rule.",
+    tags=("ext", "textstats", "quality"),
+    late=True,
+)
+def x25_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos", "word"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    shingled = (
+        words.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "word", F.lead("word", 1).over(w), F.lead("word", 2).over(w)
+            ).alias("shingle"),
+            F.lead("word", 2).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "shingle")
+    )
+    per_doc = shingled.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.countDistinct("shingle").alias("n_distinct"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_distinct",
+        r4(
+            1.0 - F.col("n_distinct").cast("double") / F.col("n_shingles")
+        ).alias("repetition_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x26 — PII scrub (email / phone / IPv4 detection + redaction)
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus is PII-free, so the query plants deterministic
+# PII derived from doc_id — identically in both engines — and then
+# detects/redacts it with the generic scrubber. The scrubber itself
+# (textstats/pii.py) takes ANY text column.
+_X26_AUG_SQL = r"""text
+        || CASE WHEN doc_id % 3 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE '' END
+        || CASE WHEN doc_id % 5 = 0
+                THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                     || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                     || '.' || CAST(doc_id % 250 AS VARCHAR)
+                     || '.' || CAST(doc_id % 100 AS VARCHAR)
+                ELSE '' END"""
+
+
+@register(
+    "x26_pii_scrub",
+    rf"""
+    WITH aug AS (
+        SELECT doc_id, {_X26_AUG_SQL} AS t
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT doc_id, t,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                   '{pii.EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{pii.IPV4_RE}', '<IP>', 'g'),
+                   '{pii.PHONE_RE}', '<PHONE>', 'g') AS clean
+        FROM aug
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{pii.EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(t, '{pii.IPV4_RE}')) AS n_ips,
+           len(regexp_extract_all(t, '{pii.PHONE_RE}')) AS n_phones,
+           CAST(LENGTH(t) - LENGTH(clean) AS BIGINT) AS n_chars_delta,
+           md5(clean) AS clean_hash
+    FROM scrubbed
+    """,
+    doc="EXT x26 — PII detection + redaction (C4-style scrub): emails, "
+    "phone numbers, IPv4 addresses matched with Java/RE2-portable "
+    "patterns, redacted to <TYPE> tokens in a fixed order. Pure "
+    "narrow map (regexp built-ins, whole-stage codegen, no shuffle) — "
+    "at 100 TB this runs at scan speed. The corpus is synthetic and "
+    "PII-free, so deterministic doc_id-derived PII is planted "
+    "identically in both engines before scrubbing.",
+    tags=("ext", "textstats", "pii"),
+    late=True,
+)
+def x26_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 200).cast("string"),
+                F.lit("."),
+                (did % 250).cast("string"),
+                F.lit("."),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    with_aug = _docs(spark, sf_dir).select("doc_id", aug.alias("t"))
+    clean = pii.scrub("t")
+    return with_aug.select(
+        "doc_id",
+        pii.match_count("t", pii.EMAIL_RE).alias("n_emails"),
+        pii.match_count("t", pii.IPV4_RE).alias("n_ips"),
+        pii.match_count("t", pii.PHONE_RE).alias("n_phones"),
+        (F.length("t") - F.length(clean)).cast("long").alias("n_chars_delta"),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x30 — TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+TFIDF_K = 5
+
+
+@register(
+    "x30_tfidf_topterms",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+        FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS dfq FROM pairs GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT p.doc_id, p.token, p.tf,
+               {r4sql("p.tf * (LN((1.0 + n.n_docs) / (1.0 + d.dfq)) + 1.0)")}
+                   AS tfidf
+        FROM pairs p JOIN dfreq d ON p.token = d.token CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, tfidf, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token
+        ) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TFIDF_K}
+    """,
+    doc="EXT x30 — TF-IDF: smooth-idf (sklearn form, ln((1+N)/(1+df)) "
+    "+ 1) term weights, top-5 terms per document with the rounded-"
+    "score + token tiebreak rank (ranking on rounded values keeps "
+    "the result engine-stable even if ln() differs in the last ulp). "
+    "The doc-frequency table derives from the (doc, token) pair agg — "
+    "one explode feeds everything, the pair relation is materialized "
+    "once and the df side broadcasts (vocab-sized).",
+    tags=("ext", "textstats", "tfidf"),
+    late=True,
+)
+def x30_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    # referenced by the scoring join AND the doc-frequency agg
+    pairs = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    dfreq = pairs.groupBy("token").agg(F.count("*").alias("dfq"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        pairs.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            r4(
+                F.col("tf")
+                * (
+                    F.log(
+                        (1.0 + F.col("n_docs")) / (1.0 + F.col("dfq"))
+                    )
+                    + 1.0
+                )
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_K)
+        .select("doc_id", "token", "tf", "tfidf", "rnk")
+    )

@@ -1,0 +1,80 @@
+"""LSH-gated dedup edge generation: recall vs the exact baseline and
+the hot-bucket cap (the scale guards behind x15/x21/x32).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from server_spark.dedup import minhash as mh
+from server_spark.dedup import ngram as ng
+from server_spark.queries.ext_common import JACCARD_MIN
+from server_spark.queries.ext_dedup import _gated_edges
+
+
+def test_gated_edges_match_exact_baseline(spark, sf_dir):
+    """b=32, r=1 banding at t=0.2 has per-pair recall ≥ 99.9%
+    (1−(1−s)^32); on the fixed corpus + fixed hash family the gated,
+    exact-verified edge set equals the exact inverted-index pairs
+    bit-for-bit (and is a subset by construction)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ng.jaccard_pairs(docs, n=3, threshold=JACCARD_MIN).collect()
+    }
+    shingles = ng.word_shingles(docs, n=3).localCheckpoint()
+    gated = {
+        (r["doc_a"], r["doc_b"]) for r in _gated_edges(shingles).collect()
+    }
+    assert gated == exact
+    assert len(exact) > 0
+
+
+def test_jaccard_verify_scores_match_exact(spark, sf_dir):
+    """The array-intersect verification path must produce the same
+    (pair, n_common, jaccard) rows as the inverted-index join when fed
+    the full candidate set."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    exact = {
+        (r["doc_a"], r["doc_b"], r["n_common"], round(r["jaccard"], 9))
+        for r in ng.jaccard_pairs(docs, n=3, threshold=0.05).collect()
+    }
+    ids = docs.select(F.col("doc_id"))
+    all_pairs = (
+        ids.select(F.col("doc_id").alias("doc_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("doc_b")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    verified = {
+        (r["doc_a"], r["doc_b"], r["n_common"], round(r["jaccard"], 9))
+        for r in ng.jaccard_pairs(
+            docs, n=3, threshold=0.05, candidates=all_pairs
+        ).collect()
+    }
+    assert verified == exact
+
+
+def test_hot_bucket_cap_bounds_candidates(spark):
+    """A clique of identical docs floods every band bucket; the
+    max_bucket cap must drop those buckets (bounding the self-join's
+    worst key) while leaving small buckets untouched. This is why the
+    pipelines run EXACT dedup before the gated near-dup pass — an
+    uncapped exact-dup clique of size m costs m² candidate rows."""
+    rows = [(i, "the same exact document body repeated verbatim " * 5)
+            for i in range(40)]
+    rows += [(100 + i, f"distinct text number {i} with unique words "
+              f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}")
+             for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    shingles = ng.word_shingles(docs, n=3).localCheckpoint()
+    coeffs = mh.md5_coeffs(8, seed=1234)
+
+    uncapped = mh.md5_banded_candidates(shingles, coeffs, n_bands=8)
+    assert uncapped.count() >= 40 * 39 // 2  # the clique alone is m²/2
+
+    capped = mh.md5_banded_candidates(
+        shingles, coeffs, n_bands=8, max_bucket=10
+    )
+    capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    # every clique bucket (size 40) is dropped; distinct docs unaffected
+    assert all(a >= 100 or b >= 100 for a, b in capped_pairs)

@@ -162,3 +162,61 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS snap_prev")
         spark.sql("DROP TABLE IF EXISTS snap_next")
+
+
+def test_gated_dedup_no_shingle_self_join(plans):
+    """x15/x21/x32 must generate dup edges through the LSH gate: no
+    exchange keyed on the shingle column anywhere in the plan (the
+    exact inverted-index self-join — x2's declared baseline shape —
+    is quadratic in hot-shingle frequency and must not appear in the
+    cluster pipelines)."""
+    join_on_shingle = re.compile(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[shingle"
+    )
+    assert join_on_shingle.search(plans("x2_ngram_jaccard"))
+    for name in (
+        "x15_neardup_components",
+        "x21_corpus_build",
+        "x32_cluster_survivors_quality",
+    ):
+        assert not join_on_shingle.search(plans(name)), name
+
+
+def test_aqe_skew_join_split_engages(spark):
+    """AQE's skew-join handling must engage on a pathological hot key
+    (the backstop for skew the salted_join/max_bucket guards don't
+    cover). Forced thresholds make the 5k-row hot partition qualify;
+    the executed adaptive plan must mark the join skew=true."""
+    from pyspark.sql import functions as F
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.shuffle.partitions": "4",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(5000).select(
+            F.when(F.col("id") % 100 == 0, F.col("id")).otherwise(F.lit(0))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        right = spark.range(50).select(
+            F.col("id").alias("k"), F.lit("dim").alias("label")
+        )
+        joined = left.join(right, "k")
+        # collect() executes joined's own QueryExecution, so its AQE
+        # plan is final and reflects the runtime skew split
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
