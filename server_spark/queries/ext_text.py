@@ -439,3 +439,105 @@ def x30_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_K)
         .select("doc_id", "token", "tf", "tfidf", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# x33 — corpus-LM quality score (average unigram log-probability)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x33_unigram_logprob",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+        FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    n AS (SELECT COUNT(*) AS total FROM toks)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           {r4sql("AVG(LN(CAST(f.cnt AS DOUBLE) / n.total))")} AS avg_logprob
+    FROM toks t JOIN freq f ON t.token = f.token CROSS JOIN n
+    GROUP BY t.doc_id
+    """,
+    doc="EXT x33 — corpus-LM quality score: each document's average "
+    "unigram log-probability under the corpus's own token "
+    "distribution — the cheap proxy for perplexity-based quality "
+    "filtering (a KenLM gate's unigram limit): gibberish and "
+    "vocabulary-flooding docs score far below fluent text. No "
+    "smoothing needed — every scored token exists in the corpus by "
+    "construction. Shape: one explode feeds both the frequency table "
+    "and the scoring join; the vocab side is Zipf-bounded and "
+    "broadcast (at extreme corpus scale it becomes a shuffle join — "
+    "same plan, no rewrite).",
+    tags=("ext", "textstats", "quality"),
+    late=True,
+)
+def x33_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    ).localCheckpoint()  # feeds freq, total AND the scoring join
+    freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("total"))
+    return (
+        toks.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            r4(
+                F.avg(F.log(F.col("cnt").cast("double") / F.col("total")))
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x34 — n-gram novelty (fraction of a doc's shingles unique to it)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x34_ngram_novelty",
+    rf"""
+    WITH {shingle_ctes()},
+    with_df AS (
+        SELECT doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+           {r4sql("CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)"
+                  " / COUNT(*)")} AS novelty_ratio
+    FROM with_df
+    GROUP BY doc_id
+    """,
+    doc="EXT x34 — n-gram NOVELTY: per document, the fraction of its "
+    "word-3-grams that appear in NO other document — the inverse of "
+    "boilerplate/template share (complements x25, which measures "
+    "repetition WITHIN a doc). Shingles are distinct per doc, so "
+    "document frequency is a plain count per shingle — computed with "
+    "a window over the shingle partition (one shuffle), then one "
+    "hash-agg per doc; no join back and never a self-join.",
+    tags=("ext", "textstats", "quality"),
+    late=True,
+)
+def x34_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.dedup import ngram as ng
+
+    sh = ng.word_shingles(_docs(spark, sf_dir), n=3)
+    with_df = sh.withColumn(
+        "df", F.count("*").over(Window.partitionBy("shingle"))
+    )
+    uniq = F.sum((F.col("df") == 1).cast("int"))
+    return with_df.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        uniq.cast("long").alias("n_unique"),
+        r4(uniq.cast("double") / F.count("*")).alias("novelty_ratio"),
+    )

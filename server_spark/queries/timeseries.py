@@ -759,3 +759,94 @@ def t11_price_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4("adev").alias("abs_dev"),
         (F.col("adev") > MAD_K * F.col("mad")).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T12 — calendar gap backfill (dense series + last-observation carry)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t12_gap_backfill",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               COUNT(*) AS n_events,
+               CAST(SUM(value) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+    types AS (SELECT DISTINCT event_type FROM daily),
+    grid AS (
+        SELECT t.event_type, UNNEST(generate_series(b.lo, b.hi,
+               INTERVAL 1 DAY))::DATE AS day
+        FROM types t CROSS JOIN bounds b
+    ),
+    dense AS (
+        SELECT g.event_type, g.day,
+               COALESCE(d.n_events, 0) AS n_events,
+               d.total,
+               d.total IS NULL AS is_gap
+        FROM grid g LEFT JOIN daily d
+          ON g.event_type = d.event_type AND g.day = d.day
+    )
+    SELECT event_type, day, n_events, is_gap,
+           {LOCF} AS total_locf
+    FROM dense
+    """.format(
+        LOCF=r4sql(
+            "LAST_VALUE(total IGNORE NULLS) OVER ("
+            "PARTITION BY event_type ORDER BY day "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+    ),
+    doc="T12 — calendar gap BACKFILL: densify each event_type's daily "
+    "series onto the full min→max day grid (sequence explode — the "
+    "generate_series analog), flag the missing days, and fill their "
+    "totals by last-observation-carried-forward (the standard "
+    "history-table repair before charting/joins; the reference's "
+    "pricelist histories have the same hole-filling need when a "
+    "realm misses a dump). Scale shape: the grid is types × days "
+    "(tiny — built from a broadcast min/max scalar), the per-day agg "
+    "is one shuffle of the fact table, the LOCF window partitions by "
+    "type over day-level rows.",
+    tags=("timeseries", "backfill"),
+    late=True,
+)
+def t12_gap_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").cast("double").alias("total"),
+        )
+        .localCheckpoint()  # feeds bounds, types AND the dense join
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    types = daily.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    dense = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "total",
+        F.col("total").isNull().alias("is_gap"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return dense.select(
+        "event_type",
+        "day",
+        "n_events",
+        "is_gap",
+        r4(F.last("total", ignorenulls=True).over(w)).alias("total_locf"),
+    )
