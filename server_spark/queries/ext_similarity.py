@@ -267,3 +267,70 @@ def x14_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, queries, k=TOPK, n_clusters=16, n_probe=4, cache_key=sf_dir
     )
+
+
+# ---------------------------------------------------------------------------
+# x35 — cluster-coherence outliers (cosine to the label centroid)
+# ---------------------------------------------------------------------------
+
+CENTROID_COS_MIN = 0.5
+
+
+@register(
+    "x35_centroid_outliers",
+    rf"""
+    WITH ee AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    cent AS (SELECT label, i, AVG(v) AS c FROM ee GROUP BY 1, 2),
+    dots AS (
+        SELECT e.vec_id, e.label,
+               SUM(e.v * c.c) AS dot,
+               SQRT(SUM(e.v * e.v)) AS nv,
+               SQRT(SUM(c.c * c.c)) AS nc
+        FROM ee e JOIN cent c ON e.label = c.label AND e.i = c.i
+        GROUP BY 1, 2
+    )
+    SELECT vec_id, label,
+           {r4sql("dot / (nv * nc)")} AS cos_centroid,
+           {r4sql("dot / (nv * nc)")} < {CENTROID_COS_MIN} AS is_outlier
+    FROM dots
+    """,
+    doc="EXT x35 — cluster-coherence check (the SemDeDup/embedding-"
+    "hygiene primitive): cosine of every vector to its label's "
+    "CENTROID; vectors far from their own cluster center are "
+    "mislabeled or degenerate and get flagged. Shape: centroids via "
+    "64 avg-aggregations in ONE groupBy (no per-dimension explode on "
+    "the Spark side), broadcast back (labels are few), cosine as the "
+    "codegen-unrolled dot. The outlier flag compares the ROUNDED "
+    "cosine so the boolean cannot flip between engines at the "
+    "threshold boundary.",
+    tags=("ext", "similarity", "quality"),
+    late=True,
+)
+def x35_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = cos.EMB_DIM
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").alias("e")
+    )
+    cent = emb.groupBy("label").agg(
+        F.array(
+            *[
+                F.avg(F.element_at("e", i + 1).cast("double"))
+                for i in range(dim)
+            ]
+        ).alias("c")
+    )
+    joined = emb.join(F.broadcast(cent), "label")
+    dot = cos.dot_fixed("e", "c", dim)
+    nv = F.sqrt(cos.dot_fixed("e", "e", dim))
+    nc = F.sqrt(cos.dot_fixed("c", "c", dim))
+    cosine = r4(dot / (nv * nc))
+    return joined.select(
+        "vec_id",
+        "label",
+        cosine.alias("cos_centroid"),
+        (cosine < CENTROID_COS_MIN).alias("is_outlier"),
+    )
