@@ -164,3 +164,48 @@ def test_schema_evolution_new_dump_column(spark, tmp_path):
     med.build_silver(spark, paths)
     silver = spark.read.parquet(paths.silver)
     assert silver.count() == 2
+
+
+def test_compaction_heals_interrupted_swap(spark, tmp_path):
+    """Crash recovery: stale dot-prefixed scratch dirs from an
+    interrupted run are resolved on entry — a leftover tmp is
+    discarded, a leftover old with no live partition is restored —
+    and Spark never lists scratch contents as data."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from server_spark.plans.maintenance import (
+        _OLD_PREFIX,
+        _TMP_PREFIX,
+        compact_partitions,
+    )
+
+    root = str(tmp_path / "frag")
+    base = spark.range(1000).select(
+        (F.col("id") % 2).alias("region"), F.col("id").alias("v")
+    )
+    for _ in range(5):
+        base.repartition(2).write.mode("append").partitionBy("region").parquet(root)
+    checksum = spark.read.parquet(root).agg(F.sum("v")).collect()[0][0]
+
+    part0 = os.path.join(root, "region=0")
+    # crash point A: tmp written, swap not started → tmp must be
+    # discarded; live partition untouched
+    shutil.copytree(part0, os.path.join(root, _TMP_PREFIX + "region=0"))
+    # crash point B: first rename done (partition moved to old),
+    # second rename never happened → old must be restored
+    part1 = os.path.join(root, "region=1")
+    os.rename(part1, os.path.join(root, _OLD_PREFIX + "region=1"))
+
+    # scratch dirs are invisible to the reader (dot-prefixed), so the
+    # crashed state reads as "partition 1 missing", never as dupes
+    visible = spark.read.parquet(root).agg(F.sum("v")).collect()[0][0]
+    assert visible < checksum
+
+    compact_partitions(spark, root, target_bytes=1 << 30, min_files=4)
+    assert not any(
+        d.startswith((_TMP_PREFIX, _OLD_PREFIX)) for d in os.listdir(root)
+    )
+    assert spark.read.parquet(root).agg(F.sum("v")).collect()[0][0] == checksum
