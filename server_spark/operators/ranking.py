@@ -46,9 +46,12 @@ def global_row_number(
     # has one row per partition; the unpartitioned window here is a
     # deliberate tiny-relation sort, not a data-volume sort.
     counts = staged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    from server_spark.operators.windows import pinned_single_group
+
     w_off = (
-        # lit(1): bounded window (one row per partition), not a data sort
-        Window.partitionBy(F.lit(1))
+        # pinned single group: bounded window (one row per partition),
+        # not a data sort
+        Window.partitionBy(pinned_single_group("_pid"))
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -790,10 +790,12 @@ def w7_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("owner")
         .agg(F.count("*").alias("n_auctions"))
     )
-    # lit(1) partition: bounded-relation global windows (100-row
+    # pinned single group: bounded-relation global windows (100-row
     # post-agg owner relation, see docstring) — keeps WindowExec's
     # no-partition warning reserved for genuinely unbounded windows.
-    one = Window.partitionBy(F.lit(1))
+    from server_spark.operators.windows import pinned_single_group
+
+    one = Window.partitionBy(pinned_single_group("n_auctions"))
     w = one.orderBy(F.col("n_auctions").desc())
     wu = one.orderBy(F.col("n_auctions").desc(), F.col("owner").asc())
     return vols.select(

@@ -189,10 +189,16 @@ def x23_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(*order).limit(VOCAB_K)
     # rnk derived post-limit: this window sorts VOCAB_K rows, not the
     # vocabulary — the full-relation order is settled by TakeOrdered.
+    from server_spark.operators.windows import pinned_single_group
+
     return top.withColumn(
         "rnk",
-        # lit(1): bounded window (K rows post-limit), not a data sort
-        F.row_number().over(Window.partitionBy(F.lit(1)).orderBy(*order)),
+        # pinned single group: bounded window (K rows post-limit),
+        # not a data sort
+        F.row_number().over(
+            Window.partitionBy(pinned_single_group("n_occurrences"))
+            .orderBy(*order)
+        ),
     )
 
 

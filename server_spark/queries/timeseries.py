@@ -727,15 +727,18 @@ def t11_price_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def exact_median(df: DataFrame, col: str) -> DataFrame:
-        # partitionBy(lit(1)) on BOTH windows: semantically these are
-        # global windows, but they run over the DAY-level relation
+        # pinned single-group key on BOTH windows: semantically these
+        # are global windows, but they run over the DAY-level relation
         # (365 rows/year regardless of event volume — see docstring),
         # so the single partition is bounded by calendar days, not
-        # data. The explicit partition key documents that and silences
+        # data. The non-foldable key documents that and silences
         # WindowExec's "No Partition Defined" warning, which at scale
         # would otherwise be indistinguishable from a pathological
-        # full-data global window in the logs.
-        one = Window.partitionBy(F.lit(1))
+        # full-data global window in the logs (lit(1) gets folded
+        # away — see operators/windows.pinned_single_group).
+        from server_spark.operators.windows import pinned_single_group
+
+        one = Window.partitionBy(pinned_single_group(col))
         r = df.select(
             F.col(col),
             F.row_number()

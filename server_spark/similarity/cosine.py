@@ -366,11 +366,13 @@ def norm_trim_flags(
         F.col(id_col), r4(F.sqrt(dot_fixed(vec_col, vec_col, dim))).alias("l2_norm")
     )
     hist = norms.groupBy("l2_norm").agg(F.count("*").alias("n_vecs"))
-    # lit(1) partition: bounded-relation global window (distinct
+    # pinned single group: bounded-relation global window (distinct
     # rounded norms, never the corpus) — silences the WindowExec
     # no-partition warning so logs at scale only flag real ones.
+    from server_spark.operators.windows import pinned_single_group
+
     w = (
-        Window.partitionBy(F.lit(1))
+        Window.partitionBy(pinned_single_group("l2_norm"))
         .orderBy("l2_norm")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
