@@ -390,3 +390,69 @@ def f3b_fuzzy_rank_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("item"), F.col("p_name").alias("item_name")
     )
     return fuzzy_search(part, "item_name", "widget", k=10)
+
+
+# ---------------------------------------------------------------------------
+# x37 — sliding-window chunker (width + stride, oracle-checked)
+# ---------------------------------------------------------------------------
+
+CHUNK_W, CHUNK_S = 10, 5  # width 10 words, stride 5 (50% overlap)
+
+
+@register(
+    "x37_sliding_chunks",
+    rf"""
+    WITH w AS (
+        SELECT doc_id,
+               string_split_regex(LOWER(TRIM(text)), '\s+') AS words
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, words,
+               UNNEST(generate_series(0,
+                   GREATEST(len(words) - 1, 0), {CHUNK_S})) AS start
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(start / {CHUNK_S} AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(words, start + 1, start + {CHUNK_W}), ' ')
+               AS chunk_text,
+           LEAST({CHUNK_W}, len(words) - start) AS n_words
+    FROM starts
+    """,
+    doc="EXT x37 — sliding-window CHUNKER with overlap: width-10 "
+    "stride-5 word windows per document (the context-window split "
+    "with 50% overlap that RAG/pretraining pipelines apply; x13 is "
+    "the UDTF form of the non-overlapping case — this one is pure "
+    "builtins and therefore fully value-verified). Narrow map + one "
+    "explode of the start offsets; the words array is projected once "
+    "(lambda-CSE rule).",
+    tags=("ext", "chunking"),
+    late=True,
+)
+def x37_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words"),
+    )
+    starts = words.select(
+        "doc_id",
+        "words",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("words") - 1, F.lit(0)),
+                F.lit(CHUNK_S),
+            )
+        ).alias("start"),
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("start") / CHUNK_S).cast("long").alias("chunk_idx"),
+        F.array_join(
+            F.slice("words", F.col("start") + 1, F.lit(CHUNK_W)), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(CHUNK_W), F.size("words") - F.col("start")).alias(
+            "n_words"
+        ),
+    )

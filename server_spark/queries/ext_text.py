@@ -547,3 +547,86 @@ def x34_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         uniq.cast("long").alias("n_unique"),
         r4(uniq.cast("double") / F.count("*")).alias("novelty_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x36 — tokenizer ENCODE (vocab-id sequences with UNK)
+# ---------------------------------------------------------------------------
+
+ENCODE_VOCAB = 200  # id space: 1..ENCODE_VOCAB by corpus frequency, 0 = UNK
+
+
+@register(
+    "x36_tokenizer_encode",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               generate_subscripts(string_split_regex(LOWER(TRIM(text)), '\s+'), 1) AS pos,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT token, COUNT(*) AS n_occ FROM toks GROUP BY token
+    ),
+    vocab AS (
+        SELECT token, ROW_NUMBER() OVER (ORDER BY n_occ DESC, token) AS tok_id
+        FROM counts
+        ORDER BY n_occ DESC, token
+        LIMIT {ENCODE_VOCAB}
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unk,
+           array_to_string(list(COALESCE(v.tok_id, 0) ORDER BY t.pos), ',')
+               AS ids_csv
+    FROM toks t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+    """,
+    doc="EXT x36 — tokenizer ENCODE: map every document to its "
+    "vocab-id sequence (ids by corpus frequency rank, 0 = UNK for "
+    "out-of-vocab) — the apply step after the x23 vocabulary build, "
+    "i.e. what turns cleaned text into model-ready token ids. Shape: "
+    "one posexplode, the vocab is a TakeOrdered top-K broadcast to "
+    "the token stream, sequences reassembled with an order-preserving "
+    "sorted collect (canonical csv for the oracle comparison).",
+    tags=("ext", "textstats", "tokenize"),
+    late=True,
+)
+def x36_tokenizer_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.operators.windows import pinned_single_group
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos", "token"
+        ),
+    ).localCheckpoint()  # feeds the vocab build AND the encode join
+    counts = toks.groupBy("token").agg(F.count("*").alias("n_occ"))
+    order = [F.col("n_occ").desc(), F.col("token")]
+    vocab = (
+        counts.orderBy(*order)
+        .limit(ENCODE_VOCAB)
+        .withColumn(
+            "tok_id",
+            # bounded window: ENCODE_VOCAB rows post-limit
+            F.row_number().over(
+                Window.partitionBy(pinned_single_group("n_occ")).orderBy(*order)
+            ),
+        )
+        .select("token", "tok_id")
+    )
+    encoded = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce("tok_id", F.lit(0)).alias("tok_id")
+    )
+    return encoded.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum((F.col("tok_id") == 0).cast("int")).cast("long").alias("n_unk"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok_id"))),
+                lambda s: s["tok_id"].cast("string"),
+            ),
+            ",",
+        ).alias("ids_csv"),
+    )
