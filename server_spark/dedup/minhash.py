@@ -135,7 +135,6 @@ def minhash_candidates(
 # Prime modulus for the universal-hash family; small enough that
 # a·v+b stays well under 2^63 for 32-bit a and v.
 MD5_P = 4_000_037
-_HEX = "0123456789abcdef"
 
 
 def md5_coeffs(k: int = 32, seed: int = 1234) -> list[tuple[int, int]]:

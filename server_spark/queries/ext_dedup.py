@@ -379,14 +379,19 @@ def x32_cluster_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame
 # DuckDB, not just property-tested. Fingerprint emitted as a 64-char
 # bitstring (no signed-long edge cases in the comparison).
 
-_HEX = "0123456789abcdef"
+# The 64 hash bits come from the first 16 md5 hex chars, parsed as
+# TWO 32-bit ints (hi = chars 1-8 → bits 0..31, lo = chars 9-16 →
+# bits 32..63) — bit-identical to per-character digit extraction,
+# with 2 base-16 parses per token instead of 16.
 
-_X9B_CHARS_SQL = ", ".join(
-    f"strpos('{_HEX}', substr(md5(tok), {j + 1}, 1)) - 1 AS c{j}"
-    for j in range(16)
-)
+
+def _x9b_bit_sql(i: int) -> str:
+    src, sh = ("hi", 31 - i) if i < 32 else ("lo", 63 - i)
+    return f"(({src} >> {sh}) & 1)"
+
+
 _X9B_SUMS_SQL = ", ".join(
-    f"SUM(2 * ((c{i // 4} >> {3 - i % 4}) & 1) - 1) AS s{i}" for i in range(64)
+    f"SUM(2 * {_x9b_bit_sql(i)} - 1) AS s{i}" for i in range(64)
 )
 _X9B_BITS_SQL = ", ".join(
     f"CASE WHEN s{i} > 0 THEN '1' ELSE '0' END" for i in range(64)
@@ -398,8 +403,13 @@ _X9B_SQL = rf"""
                UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS tok
         FROM documents
     ),
-    chars AS (SELECT doc_id, {_X9B_CHARS_SQL} FROM toks),
-    sums AS (SELECT doc_id, {_X9B_SUMS_SQL} FROM chars GROUP BY doc_id)
+    halves AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+               ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+        FROM toks
+    ),
+    sums AS (SELECT doc_id, {_X9B_SUMS_SQL} FROM halves GROUP BY doc_id)
     SELECT doc_id, concat({_X9B_BITS_SQL}) AS fingerprint_bits FROM sums
 """
 
@@ -421,23 +431,18 @@ def x9b_simhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
     )
     md5 = F.md5("tok")
-    chars = toks.select(
+    halves = toks.select(
         "doc_id",
-        *[
-            F.conv(F.substring(md5, j + 1, 1), 16, 10)
-            .cast("int")
-            .alias(f"c{j}")
-            for j in range(16)
-        ],
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("lo"),
     )
-    sums = chars.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                2 * F.shiftright(F.col(f"c{i // 4}"), 3 - i % 4).bitwiseAND(1)
-                - 1
-            ).alias(f"s{i}")
-            for i in range(64)
-        ]
+
+    def bit(i: int):
+        src, sh = ("hi", 31 - i) if i < 32 else ("lo", 63 - i)
+        return F.shiftright(F.col(src), sh).bitwiseAND(1)
+
+    sums = halves.groupBy("doc_id").agg(
+        *[F.sum(2 * bit(i) - 1).alias(f"s{i}") for i in range(64)]
     )
     bits = [
         F.when(F.col(f"s{i}") > 0, "1").otherwise("0") for i in range(64)
