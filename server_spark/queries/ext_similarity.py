@@ -323,11 +323,13 @@ def x35_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("c")
     )
+    # centroid norm depends only on the label — compute it once per
+    # centroid row, not per corpus vector
+    cent = cent.withColumn("nc", F.sqrt(cos.dot_fixed("c", "c", dim)))
     joined = emb.join(F.broadcast(cent), "label")
     dot = cos.dot_fixed("e", "c", dim)
     nv = F.sqrt(cos.dot_fixed("e", "e", dim))
-    nc = F.sqrt(cos.dot_fixed("c", "c", dim))
-    cosine = r4(dot / (nv * nc))
+    cosine = r4(dot / (nv * F.col("nc")))
     return joined.select(
         "vec_id",
         "label",
