@@ -242,6 +242,39 @@ def md5_sigs_sql(coeffs: list[tuple[int, int]]) -> str:
     )
 
 
+def banded_keys(
+    sig: DataFrame, k: int, n_bands: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band_idx, band_key) rows from an (id, sig array) relation.
+    r = k // n_bands; r = 1 keys are the raw longs (posexplode),
+    r > 1 keys concatenate the band's components."""
+    rows = k // n_bands
+    if rows == 1:
+        # r=1 fast path: band key IS the signature component — long
+        # join keys via posexplode, no struct/string assembly
+        return sig.select(
+            F.col(id_col), F.posexplode("sig").alias("band_idx", "band_key")
+        )
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.slice("sig", b * rows + 1, rows),
+                        lambda x: x.cast("string"),
+                    ),
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(band_entries).alias("be")).select(
+        id_col, "be.band_idx", "be.band_key"
+    )
+
+
 def md5_banded_candidates(
     shingles: DataFrame | None,
     coeffs: list[tuple[int, int]],
@@ -272,7 +305,6 @@ def md5_banded_candidates(
     operators/joins.salted_join for the manual salting alternative.
     """
     k = len(coeffs)
-    rows = k // n_bands
     if val_arrays is not None:
         # array-native path: signatures as narrow array folds — no
         # aggregation shuffle at all
@@ -283,31 +315,7 @@ def md5_banded_candidates(
         if vals is None:
             vals = md5_vals(shingles, id_col)
         sig = md5_signatures_from_vals(vals, coeffs, id_col)
-    if rows == 1:
-        # r=1 fast path: band key IS the signature component — long
-        # join keys via posexplode, no struct/string assembly
-        kv = sig.select(
-            F.col(id_col), F.posexplode("sig").alias("band_idx", "band_key")
-        )
-    else:
-        band_entries = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band_idx"),
-                    F.concat_ws(
-                        "|",
-                        F.transform(
-                            F.slice("sig", b * rows + 1, rows),
-                            lambda x: x.cast("string"),
-                        ),
-                    ).alias("band_key"),
-                )
-                for b in range(n_bands)
-            ]
-        )
-        kv = sig.select(F.col(id_col), F.explode(band_entries).alias("be")).select(
-            id_col, "be.band_idx", "be.band_key"
-        )
+    kv = banded_keys(sig, k, n_bands, id_col)
     buckets = kv.groupBy("band_idx", "band_key").agg(
         F.collect_list(id_col).alias("_ids")
     )
@@ -349,6 +357,33 @@ def md5_banded_candidates_sql(
     """CTE chain ``vals, sigs, bands, kv, cand`` mirroring
     :func:`md5_banded_candidates` over a shingle CTE named ``sh_cte``
     with columns (doc_id, shingle). Ends with ``cand(doc_a, doc_b)``."""
+    bucket_gate = (
+        f"""
+    bsizes AS (
+        SELECT band_idx, band_key FROM kv
+        GROUP BY 1, 2 HAVING COUNT(*) <= {max_bucket}
+    ),
+    kvg AS (SELECT kv.* FROM kv JOIN bsizes USING (band_idx, band_key)),"""
+        if max_bucket is not None
+        else "\n    kvg AS (SELECT * FROM kv),"
+    )
+    return f"""{md5_kv_sql(coeffs, n_bands, sh_cte=sh_cte)}{bucket_gate}
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM kvg x JOIN kvg y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+    )"""
+
+
+def md5_kv_sql(
+    coeffs: list[tuple[int, int]],
+    n_bands: int,
+    sh_cte: str = "sh",
+) -> str:
+    """CTE chain ``vals, sigs, [bands,] kv`` over a shingle CTE —
+    the banded-key half of the candidate builder, reusable for
+    asymmetric (batch × base) candidate joins."""
     k = len(coeffs)
     rows = k // n_bands
     if rows == 1:
@@ -374,25 +409,9 @@ def md5_banded_candidates_sql(
         SELECT doc_id, band_idx, band_key FROM bands
         UNPIVOT (band_key FOR band_idx IN ({band_cols}))
     ),"""
-    bucket_gate = (
-        f"""
-    bsizes AS (
-        SELECT band_idx, band_key FROM kv
-        GROUP BY 1, 2 HAVING COUNT(*) <= {max_bucket}
-    ),
-    kvg AS (SELECT kv.* FROM kv JOIN bsizes USING (band_idx, band_key)),"""
-        if max_bucket is not None
-        else "\n    kvg AS (SELECT * FROM kv),"
-    )
     return f"""
     vals AS (SELECT doc_id, {md5_value_sql('shingle')} AS v FROM {sh_cte}),
-    sigs AS (SELECT doc_id, {md5_sigs_sql(coeffs)} FROM vals GROUP BY doc_id),{kv_sql}{bucket_gate}
-    cand AS (
-        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        FROM kvg x JOIN kvg y
-          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-         AND x.doc_id < y.doc_id
-    )"""
+    sigs AS (SELECT doc_id, {md5_sigs_sql(coeffs)} FROM vals GROUP BY doc_id),{kv_sql}"""
 
 
 def shingle_vectors(

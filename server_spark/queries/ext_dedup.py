@@ -678,3 +678,145 @@ def x8_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x9_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.simhash64(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x38 — INCREMENTAL dedup: a new batch against the standing corpus
+# ---------------------------------------------------------------------------
+
+# Deterministic increment split: every 10th doc is "arriving", the
+# rest is the standing corpus.
+_X38_BATCH = "doc_id % 10 = 0"
+_X38_BASE = "doc_id % 10 <> 0"
+
+
+@register(
+    "x38_incremental_dedup",
+    rf"""
+    WITH {shingle_ctes()},
+    hx AS (
+        SELECT doc_id,
+               sha256(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS h
+        FROM documents
+    ),
+    exact AS (
+        SELECT nb.doc_id, MIN(bs.doc_id) AS exact_base
+        FROM hx nb JOIN hx bs ON nb.h = bs.h
+        WHERE nb.{_X38_BATCH} AND bs.{_X38_BASE}
+        GROUP BY nb.doc_id
+    ),
+    {mh.md5_kv_sql(_MH_AB, _MH_BANDS)}
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM kv x JOIN kv y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+        WHERE x.{_X38_BATCH} AND y.{_X38_BASE}
+    ),
+    sizes AS (SELECT doc_id, COUNT(DISTINCT v) AS n_sh FROM vals GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(DISTINCT a.v) AS n_common
+        FROM cand c
+        JOIN vals a ON a.doc_id = c.doc_a
+        JOIN vals b ON b.doc_id = c.doc_b AND b.v = a.v
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT doc_a, doc_b,
+               CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+                   AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+              >= {_GATE_JACCARD}
+    ),
+    near_best AS (SELECT doc_a, MAX(jaccard) AS bj FROM scored GROUP BY doc_a),
+    near_pick AS (
+        SELECT s.doc_a, n.bj, MIN(s.doc_b) AS near_base
+        FROM scored s JOIN near_best n
+          ON s.doc_a = n.doc_a AND s.jaccard = n.bj
+        GROUP BY 1, 2
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.exact_base IS NOT NULL THEN 'exact_dup'
+                WHEN p.near_base IS NOT NULL THEN 'near_dup'
+                ELSE 'unique' END AS verdict,
+           COALESCE(e.exact_base, p.near_base) AS matched_base,
+           CASE WHEN e.exact_base IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+                ELSE {r4sql("p.bj")} END AS best_jaccard
+    FROM documents d
+    LEFT JOIN exact e ON d.doc_id = e.doc_id
+    LEFT JOIN near_pick p ON d.doc_id = p.doc_a
+    WHERE d.{_X38_BATCH}
+    """,
+    doc="EXT x38 — INCREMENTAL dedup: classify an arriving batch "
+    "(every 10th doc) against the STANDING corpus as exact_dup "
+    "(normalized-hash match, min base id), near_dup (md5-minhash "
+    "banded candidates batch×base, exact-verified at the 0.7 "
+    "production threshold, argmax-Jaccard base with min-id tiebreak "
+    "— Jaccard is an exact integer ratio, so the argmax is "
+    "engine-stable), or unique. This is the asymmetric shape real "
+    "ingestion needs: the batch side is small, candidates only ever "
+    "pair batch×base (never base×base), so per-increment cost scales "
+    "with the increment — the standing corpus is touched once for "
+    "signatures it would cache/persist in production.",
+    tags=("ext", "dedup", "incremental"),
+    late=True,
+)
+def x38_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    is_batch = F.col("doc_id") % 10 == 0
+
+    hx = docs.select("doc_id", ex.text_hash().alias("h"))
+    exact_m = (
+        hx.filter(is_batch)
+        .join(
+            hx.filter(~is_batch).select(
+                F.col("doc_id").alias("base_id"), "h"
+            ),
+            "h",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("base_id").alias("exact_base"))
+    )
+
+    vsets = mh.md5_val_arrays(docs, n=3).localCheckpoint()
+    sig = vsets.select("doc_id", mh.md5_sig_array("vs", _MH_AB).alias("sig"))
+    kv = mh.banded_keys(sig, _MH_NUM, _MH_BANDS).localCheckpoint()
+    cand = (
+        kv.filter(is_batch)
+        .select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+        .join(
+            kv.filter(~is_batch).select(
+                F.col("doc_id").alias("doc_b"), "band_idx", "band_key"
+            ),
+            ["band_idx", "band_key"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    scored = ng.jaccard_verify_arrays(vsets, cand, threshold=_GATE_JACCARD)
+    near_best = scored.groupBy("doc_a").agg(F.max("jaccard").alias("bj"))
+    near_pick = (
+        scored.join(near_best, "doc_a")
+        .filter(F.col("jaccard") == F.col("bj"))
+        .groupBy("doc_a", "bj")
+        .agg(F.min("doc_b").alias("near_base"))
+    )
+    return (
+        docs.filter(is_batch)
+        .select("doc_id")
+        .join(exact_m, "doc_id", "left")
+        .join(near_pick.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_base").isNotNull(), "exact_dup")
+            .when(F.col("near_base").isNotNull(), "near_dup")
+            .otherwise("unique")
+            .alias("verdict"),
+            F.coalesce("exact_base", "near_base").alias("matched_base"),
+            F.when(F.col("exact_base").isNotNull(), F.lit(1.0))
+            .otherwise(r4("bj"))
+            .alias("best_jaccard"),
+        )
+    )
