@@ -260,3 +260,52 @@ def run_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    base_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming twin of x38: classify ARRIVING documents against the
+    standing corpus as exact_dup / unique as they land.
+
+    The base corpus is reduced to its normalized-content hash set ONCE
+    (a static relation; at scale a maintained bronze-side table) and
+    joined into every micro-batch — a stream-static broadcast hash
+    join, no state store needed because the corpus side is the state.
+    The near-dup path (banded minhash candidates, x38's batch×base
+    shape) runs the same way in foreachBatch in production; kept to
+    the exact tier here so the streaming test stays sub-second.
+    """
+    from server_spark.dedup import exact as ex
+
+    base_hashes = (
+        base_docs.select(ex.text_hash().alias("h"))
+        .distinct()
+        .withColumn("_in_base", F.lit(1))
+    )
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(input_dir)
+    )
+    classified = (
+        stream.withColumn("h", ex.text_hash())
+        .join(F.broadcast(base_hashes), "h", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_in_base").isNotNull(), "exact_dup")
+            .otherwise("unique")
+            .alias("verdict"),
+        )
+    )
+    return (
+        classified.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -195,3 +195,59 @@ def test_stream_stream_lifetime_join(spark, tmp_path):
 
     rows = spark.read.parquet(out_dir).collect()
     assert [(r["auc"], r["seconds_listed"]) for r in rows] == [(1, 1800)]
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """Arriving docs are classified against the standing corpus by a
+    stream-static broadcast join — duplicates of base content flag
+    exact_dup, fresh content flags unique, across micro-batches."""
+    import json as _json
+
+    from server_spark.streaming.pipeline import incremental_dedup_stream
+
+    base = spark.createDataFrame(
+        [(i, f"standing corpus document number {i} body") for i in range(20)],
+        "doc_id long, text string",
+    )
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    # batch 1: two dups of base docs (normalized-equal text), one new
+    (inp / "b1.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"doc_id": 100, "text": "standing corpus document number 3 body"},
+                {"doc_id": 101, "text": "  Standing Corpus Document Number 7 Body  "},
+                {"doc_id": 102, "text": "genuinely new content alpha"},
+            ]
+        )
+    )
+    # batch 2 (separate file → separate micro-batch): one more of each
+    (inp / "b2.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"doc_id": 103, "text": "standing corpus document number 11 body"},
+                {"doc_id": 104, "text": "genuinely new content beta"},
+            ]
+        )
+    )
+    q = incremental_dedup_stream(
+        spark,
+        str(inp),
+        base,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {
+        100: "exact_dup",
+        101: "exact_dup",  # normalization: case + whitespace folded
+        102: "unique",
+        103: "exact_dup",
+        104: "unique",
+    }
