@@ -828,3 +828,69 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = stats.join(F.broadcast(items), "item", "inner")
     order = [F.col("volume").desc(), F.col("item").asc()]
     return ops.paginate(enriched, order, 0, 25)
+
+
+# ---------------------------------------------------------------------------
+# A15 — market depth (cumulative supply curve per item)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a15_market_depth",
+    auctions_sql(
+        """
+    , levels AS (
+        SELECT item, {UP} AS unit_price,
+               CAST(SUM(quantity) AS BIGINT) AS qty,
+               SUM(buyout) AS cost
+        FROM auctions
+        WHERE quantity > 0 AND buyout > 0
+        GROUP BY 1, 2
+    )
+    SELECT item, unit_price, qty,
+           CAST(SUM(qty) OVER w AS BIGINT) AS cum_qty,
+           {CC} AS cum_cost
+    FROM levels
+    WINDOW w AS (PARTITION BY item ORDER BY unit_price
+                 ROWS UNBOUNDED PRECEDING)
+    """.format(
+            UP=r4sql("buyout / quantity"),
+            CC=r4sql("SUM(cost) OVER w"),
+        )
+    ),
+    doc="A15 — market DEPTH: each item's cumulative supply curve — at "
+    "every distinct (rounded) unit price, how many units are listed "
+    "at-or-below it and what buying all of them costs. The 'how much "
+    "can I buy for X gold' ladder an auction-house buyer/sniper "
+    "works from (complements a14's bargain flags). One hash-agg per "
+    "(item, price level) then a per-item cumulative window — price "
+    "levels are grouped on the ROUNDED unit price so the window frame "
+    "order (and therefore the running sums) is engine-stable.",
+    tags=("agg", "window", "auctions"),
+    late=True,
+)
+def a15_market_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    levels = (
+        auctions(spark, sf_dir)
+        .filter((F.col("quantity") > 0) & (F.col("buyout") > 0))
+        .groupBy(
+            "item",
+            r4(F.col("buyout") / F.col("quantity")).alias("unit_price"),
+        )
+        .agg(
+            F.sum("quantity").cast("bigint").alias("qty"),
+            F.sum("buyout").alias("cost"),
+        )
+    )
+    w = (
+        Window.partitionBy("item")
+        .orderBy("unit_price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return levels.select(
+        "item",
+        "unit_price",
+        "qty",
+        F.sum("qty").over(w).cast("bigint").alias("cum_qty"),
+        r4(F.sum("cost").over(w)).alias("cum_cost"),
+    )

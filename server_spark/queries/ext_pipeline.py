@@ -456,3 +456,87 @@ def x37_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_words"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# x39 — realize the mixing budget (deterministic weighted sampling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x39_mix_realize",
+    rf"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(SUM(len(string_split_regex(LOWER(TRIM(text)), '\s+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               COUNT(*) AS n_sources
+        FROM per_source
+    ),
+    wts AS (
+        SELECT s.source,
+               LEAST(CAST(2.0 AS DOUBLE),
+                     (CAST(t.total_tokens AS DOUBLE) / t.n_sources)
+                     / s.n_tokens) AS w
+        FROM per_source s CROSS JOIN tot t
+    ),
+    picked AS (
+        SELECT d.doc_id, d.source,
+               CAST(FLOOR(w.w) AS BIGINT)
+               + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 1000000 AS DOUBLE) / 1000000
+                           < w.w - FLOOR(w.w)
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM documents d JOIN wts w ON d.source = w.source
+    )
+    SELECT doc_id, source, n_copies
+    FROM picked WHERE n_copies >= 1
+    """,
+    doc="EXT x39 — REALIZE the x28 mixing budget: per-source weight w "
+    "(uniform-target, 2-epoch cap) becomes per-document copy counts — "
+    "floor(w) whole epochs plus one more iff the doc's md5-uniform "
+    "draw falls under the fractional remainder. Deterministic "
+    "hash-Bernoulli (same property as the x19 sampler: reproducible "
+    "across engines/runs/cluster sizes, no sampling state), and the "
+    "u < frac comparison is between doubles computed by identical "
+    "arithmetic on both sides. One agg + broadcast weights + narrow "
+    "map; pairs with x20's packer downstream.",
+    tags=("ext", "sampling"),
+    late=True,
+)
+def x39_mix_realize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    per_source = docs.groupBy("source").agg(
+        F.sum(tx.token_count()).alias("n_tokens")
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    target = F.col("total_tokens").cast("double") / F.col("n_sources")
+    wts = (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.least(F.lit(2.0), target / F.col("n_tokens")).alias("w"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 1_000_000
+    ).cast("double") / 1_000_000
+    frac = F.col("w") - F.floor("w")
+    n_copies = (F.floor("w").cast("bigint")
+                + F.when(u < frac, 1).otherwise(0))
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(wts), "source")
+        .select("doc_id", "source", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") >= 1)
+    )
