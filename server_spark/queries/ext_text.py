@@ -528,19 +528,23 @@ def x33_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "word-3-grams that appear in NO other document — the inverse of "
     "boilerplate/template share (complements x25, which measures "
     "repetition WITHIN a doc). Shingles are distinct per doc, so "
-    "document frequency is a plain count per shingle — computed with "
-    "a window over the shingle partition (one shuffle), then one "
-    "hash-agg per doc; no join back and never a self-join.",
+    "document frequency is a plain count per shingle. Shape: df via "
+    "groupBy(shingle) then a join back — deliberately NOT a window "
+    "over the shingle partition: a hot shingle would funnel into one "
+    "unsplittable window task, while AQE's skew handling CAN split a "
+    "skewed join (the oracle keeps the window form; identical "
+    "values). The map-side combine also shrinks the df relation "
+    "before it shuffles.",
     tags=("ext", "textstats", "quality"),
     late=True,
 )
 def x34_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from server_spark.dedup import ngram as ng
 
-    sh = ng.word_shingles(_docs(spark, sf_dir), n=3)
-    with_df = sh.withColumn(
-        "df", F.count("*").over(Window.partitionBy("shingle"))
-    )
+    # referenced by the df aggregation AND the join back
+    sh = ng.word_shingles(_docs(spark, sf_dir), n=3).localCheckpoint()
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    with_df = sh.join(dfreq, "shingle")
     uniq = F.sum((F.col("df") == 1).cast("int"))
     return with_df.groupBy("doc_id").agg(
         F.count("*").alias("n_shingles"),
