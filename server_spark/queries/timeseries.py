@@ -853,3 +853,52 @@ def t12_gap_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_gap",
         r4(F.last("total", ignorenulls=True).over(w)).alias("total_locf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T13 — cumulative distinct users (audience growth curve)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t13_cumulative_uniques",
+    """
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (SELECT day, COUNT(*) AS n_new FROM firsts GROUP BY day)
+    SELECT day, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_uniques
+    FROM daily
+    """,
+    doc="T13 — audience growth: per day, how many users appear for "
+    "the FIRST time and the cumulative distinct-user count to date. "
+    "The naive form (COUNT(DISTINCT) over an expanding window) "
+    "rescans history per day; this is the scale shape — first-seen "
+    "day per user (one agg), new-user counts per day, then a "
+    "cumulative sum over the BOUNDED day-level relation (pinned "
+    "single-group window).",
+    tags=("timeseries", "window"),
+    late=True,
+)
+def t13_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.operators.windows import pinned_single_group
+
+    firsts = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("day"))
+    )
+    daily = firsts.groupBy("day").agg(F.count("*").alias("n_new"))
+    w = (
+        Window.partitionBy(pinned_single_group("n_new"))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "day",
+        "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("cum_uniques"),
+    )
