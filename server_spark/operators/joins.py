@@ -55,30 +55,39 @@ def asof_align(
     ts: str,
     value: str,
     out: str,
+    direction: str = "backward",
 ) -> DataFrame:
-    """J6 — as-of join: for each left row, the most recent ``right``
-    ``value`` with ``right.ts <= left.ts`` within the ``on`` partition.
+    """J6 — as-of join: for each left row, the nearest ``right``
+    ``value`` within the ``on`` partition — the most recent with
+    ``right.ts <= left.ts`` (``backward``, the default) or the next
+    with ``right.ts >= left.ts`` (``forward``).
 
     Union-and-window form: one shuffle on ``on``, no n² range join.
     ``kind`` breaks equal-ts ties so right rows at exactly left.ts are
-    visible (ASOF `<=` semantics).
+    visible in BOTH directions (ASOF `<=` / `>=` semantics).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     lcols = left.columns
+    # backward: rights sort BEFORE lefts at equal ts and the frame
+    # looks back — forward: rights sort AFTER lefts and it looks ahead
     l = left.select(*lcols).withColumn("_kind", F.lit(1)).withColumn("_v", F.lit(None).cast("double"))
     r = (
         right.select(
             F.col(on), F.col(ts), F.col(value).cast("double").alias("_v")
         )
-        .withColumn("_kind", F.lit(0))
+        .withColumn("_kind", F.lit(0 if direction == "backward" else 2))
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col(ts).asc(), F.col("_kind").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    base = Window.partitionBy(on).orderBy(F.col(ts).asc(), F.col("_kind").asc())
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, 0)
+        picked = F.last("_v", ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(0, Window.unboundedFollowing)
+        picked = F.first("_v", ignorenulls=True).over(w)
     return (
-        unioned.withColumn(out, F.last("_v", ignorenulls=True).over(w))
+        unioned.withColumn(out, picked)
         .filter(F.col("_kind") == 1)
         .select(*lcols, out)
     )

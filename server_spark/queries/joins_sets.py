@@ -203,6 +203,37 @@ def j6_asof_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j6b_asof_forward",
+    """
+    SELECT c.event_id, c.user_id, c.ts,
+           p.value AS next_purchase_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND p.ts >= c.ts
+    """,
+    doc="J6b — FORWARD as-of join: each click aligned to the user's "
+    "NEXT purchase value at or after it (the time-to-conversion "
+    "lookup; j6 is the backward form). Same single-shuffle "
+    "union+window shape with the frame looking ahead "
+    "(first ignorenulls over [current, unbounded following]).",
+    tags=("join", "asof"),
+    late=True,
+)
+def j6b_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return joins.asof_align(
+        clicks, purchases, on="user_id", ts="ts", value="value",
+        out="next_purchase_value", direction="forward",
+    )
+
+
 # ---------------------------------------------------------------------------
 # J7 — range/band join (theta join demo)
 # ---------------------------------------------------------------------------
