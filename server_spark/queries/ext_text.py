@@ -634,3 +634,180 @@ def x36_tokenizer_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("ids_csv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x40 — the MASTER quality gate (all signals composed, one verdict)
+# ---------------------------------------------------------------------------
+
+REP_MAX = 0.2       # x25 rule: >20% repeated 3-gram occurrences
+LP_TAIL_PCT = 5     # drop the bottom 5% by corpus-LM score
+
+
+@register(
+    "x40_quality_master",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+        FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    nt AS (SELECT COUNT(*) AS total FROM toks),
+    lp AS (
+        SELECT t.doc_id,
+               {r4sql("AVG(LN(CAST(f.cnt AS DOUBLE) / nt.total))")}
+                   AS avg_logprob
+        FROM toks t JOIN freq f ON t.token = f.token CROSS JOIN nt
+        GROUP BY t.doc_id
+    ),
+    hist AS (SELECT avg_logprob, COUNT(*) AS n FROM lp GROUP BY 1),
+    cum AS (
+        SELECT avg_logprob, n, SUM(n) OVER (ORDER BY avg_logprob) AS c
+        FROM hist
+    ),
+    ntot AS (SELECT COUNT(*) AS n_docs FROM lp),
+    {shingle_ctes(distinct=False)},
+    rep AS (
+        SELECT doc_id,
+               COUNT(*) AS n_sh,
+               COUNT(DISTINCT shingle) AS n_di
+        FROM sh GROUP BY doc_id
+    ),
+    m AS (
+        SELECT d.doc_id,
+               len(string_split_regex(LOWER(TRIM(d.text)), '\s+')) AS n_tokens,
+               CAST(LENGTH(regexp_replace(LOWER(d.text), '[^a-z]', '', 'g'))
+                    AS DOUBLE) / LENGTH(d.text) AS alpha_ratio,
+               COALESCE({r4sql("1.0 - CAST(r.n_di AS DOUBLE) / r.n_sh")}, 0.0)
+                   AS repetition_ratio,
+               l.avg_logprob,
+               (c.c * 100 <= t.n_docs * {LP_TAIL_PCT}) AS in_lp_tail
+        FROM documents d
+        LEFT JOIN rep r ON d.doc_id = r.doc_id
+        JOIN lp l ON d.doc_id = l.doc_id
+        JOIN cum c ON l.avg_logprob = c.avg_logprob
+        CROSS JOIN ntot t
+    )
+    SELECT doc_id, n_tokens, repetition_ratio, avg_logprob,
+           CASE WHEN n_tokens < 10 THEN 'too_short'
+                WHEN n_tokens > 5000 THEN 'too_long'
+                WHEN alpha_ratio < 0.55 THEN 'low_alpha'
+                WHEN repetition_ratio > {REP_MAX} THEN 'repetitive'
+                WHEN in_lp_tail THEN 'low_logprob'
+                ELSE 'keep' END AS verdict,
+           (n_tokens >= 10 AND n_tokens <= 5000 AND alpha_ratio >= 0.55
+            AND repetition_ratio <= {REP_MAX} AND NOT in_lp_tail) AS keep
+    FROM m
+    """,
+    doc="EXT x40 — the MASTER quality gate: every quality signal "
+    "composed into one verdict per document — length + alpha rules "
+    "(x18), duplicate-3-gram repetition (x25), and a RELATIVE "
+    "corpus-LM floor (x33's score, bottom-5% dropped via the x27 "
+    "histogram-cumulative percentile: the cutoff is exact integer "
+    "arithmetic over distinct ROUNDED scores, a group is dropped "
+    "only if entirely inside the tail). First failed rule is the "
+    "verdict. Spark shape: repetition is a pure NARROW map (gram "
+    "array vs array_distinct — no explode at all); the LM score is "
+    "one explode + broadcast vocab join; the tail rule broadcasts "
+    "the rounded-score histogram back.",
+    tags=("ext", "textstats", "quality", "pipeline"),
+    late=True,
+)
+def x40_quality_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.dedup.ngram import split_words
+
+    docs = _docs(spark, sf_dir)
+
+    # corpus-LM score (x33 shape)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    ).localCheckpoint()
+    freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("total"))
+    lp = (
+        toks.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            r4(
+                F.avg(F.log(F.col("cnt").cast("double") / F.col("total")))
+            ).alias("avg_logprob")
+        )
+        .localCheckpoint()  # feeds the histogram AND the doc join
+    )
+    hist = lp.groupBy("avg_logprob").agg(F.count("*").alias("n"))
+    from server_spark.operators.windows import pinned_single_group
+
+    wcum = (
+        Window.partitionBy(pinned_single_group("n"))
+        .orderBy("avg_logprob")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "avg_logprob", F.sum("n").over(wcum).alias("c")
+    )
+    ntot = lp.agg(F.count("*").alias("n_docs"))
+
+    # narrow-map metrics: tokens, alpha, repetition (gram array vs
+    # its distinct form — no explode)
+    words = docs.select("doc_id", "text", split_words("text").alias("_w"))
+    n = F.size("_w")
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at("_w", (i + j + 1).cast("int")) for j in range(3)],
+            ),
+        ),
+    ).otherwise(F.slice(F.col("_w"), 1, 0))
+    metrics = words.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (
+            F.length(F.regexp_replace(F.lower("text"), r"[^a-z]", "")).cast(
+                "double"
+            )
+            / F.length("text")
+        ).alias("alpha_ratio"),
+        F.coalesce(
+            r4(
+                1.0
+                - F.size(F.array_distinct(grams)).cast("double")
+                / F.size(grams)
+            ),
+            F.lit(0.0),
+        ).alias("repetition_ratio"),
+    )
+
+    m = (
+        metrics.join(lp, "doc_id")
+        .join(F.broadcast(cum), "avg_logprob")
+        .crossJoin(F.broadcast(ntot))
+        .withColumn(
+            "in_lp_tail", F.col("c") * 100 <= F.col("n_docs") * LP_TAIL_PCT
+        )
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "repetition_ratio",
+        "avg_logprob",
+        F.when(F.col("n_tokens") < 10, "too_short")
+        .when(F.col("n_tokens") > 5000, "too_long")
+        .when(F.col("alpha_ratio") < 0.55, "low_alpha")
+        .when(F.col("repetition_ratio") > REP_MAX, "repetitive")
+        .when(F.col("in_lp_tail"), "low_logprob")
+        .otherwise("keep")
+        .alias("verdict"),
+        (
+            (F.col("n_tokens") >= 10)
+            & (F.col("n_tokens") <= 5000)
+            & (F.col("alpha_ratio") >= 0.55)
+            & (F.col("repetition_ratio") <= REP_MAX)
+            & ~F.col("in_lp_tail")
+        ).alias("keep"),
+    )
