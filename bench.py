@@ -75,21 +75,36 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_time",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else SF_DIR,
-                # r2+: full-column xxhash64 materialization (r1 used
-                # count(), which let Catalyst prune timed expressions —
-                # totals are not comparable across that change)
-                "materializer": "xxhash64-all-columns",
-            }
-        )
+    # The driver stores only the TAIL (~2 KB) of stdout; a JSON line
+    # carrying all ~106 per-query timings (~4 KB) gets its head cut
+    # and fails to parse (observed: BENCH_r02.json "parsed": null).
+    # Emit a compact line — headline set + the slowest queries, well
+    # under the capture window — and write the full per-query map to
+    # BENCH_FULL.json beside this script for inspection.
+    full = {
+        "metric": "total_query_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": timings,
+        "sf": float(sf) if sf else SF_DIR,
+        # r2+: full-column xxhash64 materialization (r1 used count(),
+        # which let Catalyst prune timed expressions — totals are not
+        # comparable across that change)
+        "materializer": "xxhash64-all-columns",
+    }
+    (Path(__file__).resolve().parent / "BENCH_FULL.json").write_text(
+        json.dumps(full, indent=1) + "\n"
     )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:12]
+    )
+    compact = dict(full)
+    compact["queries"] = {
+        n: timings[n] for n in HEADLINE if n in timings
+    } | slowest
+    compact["queries_note"] = "headline+12 slowest; full map in BENCH_FULL.json"
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
