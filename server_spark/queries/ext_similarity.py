@@ -336,3 +336,122 @@ def x35_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine.alias("cos_centroid"),
         (cosine < CENTROID_COS_MIN).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x41 — semantic dedup (cluster-pruned pairwise cosine, SemDeDup shape)
+# ---------------------------------------------------------------------------
+
+K_SEED_CLUSTERS = 8
+
+_X41_SQL = rf"""
+    WITH n AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               SQRT(list_inner_product(
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT vec_id AS seed_id, v AS sv, nrm AS snrm
+        FROM n ORDER BY vec_id LIMIT {K_SEED_CLUSTERS}
+    ),
+    scored AS (
+        SELECT n.vec_id, s.seed_id,
+               {r4sql("list_inner_product(n.v, s.sv) / (n.nrm * s.snrm)")}
+                   AS cosv
+        FROM n CROSS JOIN seeds s
+    ),
+    assign AS (
+        SELECT vec_id, seed_id AS cluster_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cosv DESC, seed_id) AS rn
+            FROM scored) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {r4sql("list_inner_product(na.v, nb.v) / (na.nrm * nb.nrm)")}
+                   AS score
+        FROM assign a
+        JOIN assign b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        JOIN n na ON a.vec_id = na.vec_id
+        JOIN n nb ON b.vec_id = nb.vec_id
+    )
+    SELECT cluster_id, vec_a, vec_b, score
+    FROM pairs WHERE score >= {NEARDUP_COS}
+"""
+
+
+@register(
+    "x41_semantic_dedup",
+    _X41_SQL,
+    doc="EXT x41 — semantic dedup, the SemDeDup shape (Abbas et al. "
+    "2023): cluster the embedding space, then score pairwise cosine "
+    "ONLY within a cluster, turning the O(N²) all-pairs scan into "
+    "Σ|cluster|². Demo-sized determinism: the 8 lowest-vec_id vectors "
+    "act as fixed seed centroids (k-means iteration is engine-side "
+    "state an oracle can't replay), assignment is argmax cosine on "
+    "CANONICALLY-ROUNDED scores with seed_id tiebreak so both engines "
+    "pick identical clusters. Shape: seeds broadcast (K rows) against "
+    "the corpus — one narrow scored map, one 8-row window per vec — "
+    "then the pair join keys on cluster_id. At 100 TB, K grows ~√N "
+    "(clusters stay bounded ⇒ the per-cluster self-join stays "
+    "bounded) and the within-cluster scoring drops into the blocked "
+    "numpy matmul kernel (cosine.neardup_pairs_blocked); with few "
+    "clusters the cluster_id join key is skewed — salted_join is the "
+    "mitigation (see j8).",
+    tags=("ext", "similarity", "dedup"),
+    late=True,
+)
+def x41_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    dim = cos.EMB_DIM
+    n = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.sqrt(cos.dot_fixed("embedding", "embedding", dim)).alias("nrm"),
+    )
+    seeds = (
+        n.orderBy("vec_id")
+        .limit(K_SEED_CLUSTERS)
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("v").alias("sv"),
+            F.col("nrm").alias("snrm"),
+        )
+    )
+    scored = n.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "seed_id",
+        r4(
+            cos.dot_fixed("v", "sv", dim) / (F.col("nrm") * F.col("snrm"))
+        ).alias("cosv"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosv").desc(), "seed_id")
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cluster_id"))
+    )
+    na = assign.join(n, "vec_id")
+    a = na.select(
+        "cluster_id",
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = na.select(
+        "cluster_id",
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    pairs = a.join(b, "cluster_id").filter(F.col("vec_a") < F.col("vec_b"))
+    score = r4(
+        cos.dot_fixed("va", "vb", dim) / (F.col("nrm_a") * F.col("nrm_b"))
+    )
+    return pairs.select(
+        "cluster_id", "vec_a", "vec_b", score.alias("score")
+    ).filter(F.col("score") >= NEARDUP_COS)

@@ -414,3 +414,49 @@ def a9_approx_distinct_owners(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("time_left")
         .agg(F.approx_count_distinct("owner", 0.01).alias("approx_owner_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# J8 — skew-resistant salted join (registered demo of operators/joins.
+# salted_join; results are provably identical to the plain join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j8_salted_skew_join",
+    rf"""
+    WITH ts AS (
+        SELECT event_type, AVG(value) AS type_mean
+        FROM events GROUP BY 1
+    )
+    SELECT e.user_id, e.event_type,
+           COUNT(*) AS n_events,
+           {r4sql("AVG(e.value - ts.type_mean)")} AS mean_dev
+    FROM events e JOIN ts USING (event_type)
+    GROUP BY 1, 2
+    """,
+    doc="J8 — the skew-mitigation join as a first-class registered "
+    "query: the events fact joins its per-type mean back on "
+    "event_type, a 5-value key. A plain shuffle join puts each key in "
+    "ONE task — 5 tasks do all the work no matter how many executors "
+    "exist. operators/joins.salted_join spreads every key over 16 "
+    "salted shuffle partitions (dim side replicated 16×), so the "
+    "oracle — a plain SQL join — proves salting changes row "
+    "DISTRIBUTION only, never results. At 100 TB this is the "
+    "big-big/hot-key fallback when the small side is too large to "
+    "broadcast and AQE can't re-plan the skewed exchange.",
+    tags=("join", "skew"),
+    late=True,
+)
+def j8_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    type_stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("type_mean")
+    )
+    joined = joins.salted_join(ev, type_stats, "event_type", n_salts=16)
+    return joined.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_events"),
+        r4(F.avg(F.col("value") - F.col("type_mean"))).alias("mean_dev"),
+    )
