@@ -220,3 +220,45 @@ def test_aqe_skew_join_split_engages(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_engages(spark, tmp_path_factory):
+    """A date-partitioned fact joined to a dim filtered on a NON-join
+    column must scan only the partitions the dim survives — Spark's
+    dynamic partition pruning injects the dim's date set into the
+    fact scan's PartitionFilters at runtime. This is the 100 TB
+    contract for medallion layouts: a dashboard query joining a
+    curated day-list never touches the other ~3650 day directories."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from server_spark import tables
+
+    root = str(tmp_path_factory.mktemp("dpp")) + "/events_by_day"
+    ev = tables.load(spark, "/root/testdata/sf0.001", "events")
+    ev.withColumn("event_date", F.to_date("ts")).write.partitionBy(
+        "event_date"
+    ).mode("overwrite").parquet(root)
+
+    fact = spark.read.parquet(root)
+    # dim: every date tagged, only 2 marked "keep" — the static
+    # optimizer cannot see which dates survive, so pruning must be
+    # dynamic (runtime subquery over the broadcast side)
+    dates = [r[0] for r in fact.select("event_date").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(d, "keep" if i < 2 else "drop") for i, d in enumerate(sorted(dates))],
+        "event_date date, tag string",
+    )
+    joined = fact.join(dim.filter(F.col("tag") == "keep"), "event_date")
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the pruned join is still correct
+    keep = {d for i, d in enumerate(sorted(dates)) if i < 2}
+    expect = ev.filter(F.to_date("ts").isin(list(keep))).count()
+    assert joined.count() == expect
