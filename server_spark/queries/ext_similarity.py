@@ -11,10 +11,13 @@ from pyspark.sql import functions as F
 
 from server_spark.parity import r4, r4sql
 from server_spark.queries.ext_common import (
+    JACCARD_MIN,
     N_QUERY_VECS,
     NEARDUP_COS,
     TOPK,
+    _docs,
     _emb,
+    shingle_ctes,
 )
 from server_spark.registry import register
 from server_spark.similarity import cosine as cos
@@ -455,3 +458,129 @@ def x41_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "cluster_id", "vec_a", "vec_b", score.alias("score")
     ).filter(F.col("score") >= NEARDUP_COS)
+
+
+# ---------------------------------------------------------------------------
+# x42 — cross-modal dup adjudication (embedding recall × lexical
+# precision; doc_id and vec_id are aligned in the corpus)
+# ---------------------------------------------------------------------------
+
+_X42_SQL = rf"""
+    WITH {_EE_SQL},
+    dots AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
+        FROM ee a JOIN ee b USING (i)
+        WHERE a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    ),
+    cpairs AS (
+        SELECT vec_a AS doc_a, vec_b AS doc_b,
+               {r4sql("dot / (na.nrm * nb.nrm)")} AS cos_score
+        FROM dots
+        JOIN norms na ON vec_a = na.vec_id
+        JOIN norms nb ON vec_b = nb.vec_id
+        WHERE {r4sql("dot / (na.nrm * nb.nrm)")} >= {NEARDUP_COS}
+    ),
+    {shingle_ctes()},
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    hashes AS (
+        SELECT doc_id,
+               sha256(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS h
+        FROM documents
+    ),
+    common AS (
+        SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+        FROM cpairs p
+        JOIN sh sa ON sa.doc_id = p.doc_a
+        JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.cos_score,
+           COALESCE(c.n_common, 0) AS n_common,
+           {r4sql("COALESCE(c.n_common, 0)"
+                  " / (ca.n_sh + cb.n_sh - COALESCE(c.n_common, 0))")}
+               AS jaccard,
+           ha.h = hb.h AS is_exact,
+           (ha.h = hb.h OR
+            CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+              / (ca.n_sh + cb.n_sh - COALESCE(c.n_common, 0))
+              >= {JACCARD_MIN}) AS confirmed
+    FROM cpairs p
+    LEFT JOIN common c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+    JOIN counts ca ON p.doc_a = ca.doc_id
+    JOIN counts cb ON p.doc_b = cb.doc_id
+    JOIN hashes ha ON p.doc_a = ha.doc_id
+    JOIN hashes hb ON p.doc_b = hb.doc_id
+"""
+
+
+@register(
+    "x42_crossmodal_dup_check",
+    _X42_SQL,
+    doc="EXT x42 — cross-modal dup adjudication: embedding-cosine "
+    "candidate pairs (high recall, blocked numpy matmul — x10's "
+    "kernel) re-scored with LEXICAL signals on the aligned documents "
+    "— exact normalized-hash equality and word-3-gram Jaccard — into "
+    "a confirmed flag. This is the production arbitration step "
+    "between 'embeddings say near-dup' and 'the text agrees': "
+    "semantic-only dedup deletes paraphrases a curator may want to "
+    "keep, lexical-only misses them; the composition surfaces both "
+    "signals per pair. Shape: the pair list (small, post-threshold) "
+    "joins the per-doc shingle-set arrays and hashes — corpus-side "
+    "work is two narrow maps + one hash-agg; the pairwise "
+    "array_intersect runs only on candidates, never all pairs. "
+    "Booleans derive from integer/rational arithmetic (identical "
+    "across engines), never from rounded floats.",
+    tags=("ext", "similarity", "dedup"),
+    late=True,
+)
+def x42_crossmodal_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.dedup import exact as ex
+    from server_spark.dedup import ngram as ng
+
+    pairs = cos.neardup_pairs_blocked(
+        _emb(spark, sf_dir), threshold=NEARDUP_COS
+    ).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.col("score").alias("cos_score"),
+    )
+    # split projected in its own select (lambda-CSE pitfall, SCALE.md)
+    words = _docs(spark, sf_dir).select(
+        "doc_id", ng.split_words("text").alias("w"), ex.text_hash("text").alias("h")
+    )
+    sets = words.select(
+        "doc_id",
+        ng.shingle_array("w").alias("sh_set"),
+        "h",
+    ).withColumn("n_sh", F.size("sh_set"))
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_set").alias("set_a"),
+        F.col("n_sh").alias("sh_a"),
+        F.col("h").alias("h_a"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_set").alias("set_b"),
+        F.col("n_sh").alias("sh_b"),
+        F.col("h").alias("h_b"),
+    )
+    j = pairs.join(a, "doc_a").join(b, "doc_b").withColumn(
+        "n_common", F.size(F.array_intersect("set_a", "set_b"))
+    )
+    jac_exact = F.col("n_common") / (
+        F.col("sh_a") + F.col("sh_b") - F.col("n_common")
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "cos_score",
+        "n_common",
+        r4(jac_exact).alias("jaccard"),
+        (F.col("h_a") == F.col("h_b")).alias("is_exact"),
+        (
+            (F.col("h_a") == F.col("h_b"))
+            | (jac_exact >= F.lit(JACCARD_MIN))
+        ).alias("confirmed"),
+    )
