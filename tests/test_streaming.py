@@ -251,3 +251,55 @@ def test_streaming_incremental_dedup(spark, tmp_path):
         103: "exact_dup",
         104: "unique",
     }
+
+
+def test_late_data_dropped_after_watermark(spark, tmp_path):
+    """T6: an event stamped OLDER than the advanced watermark is
+    dropped — the already-emitted window neither re-emits nor mutates
+    (its state was evicted), and the late row opens no new window.
+    This pins the late-data policy the pipeline docstring promises."""
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir, exist_ok=True)
+
+    stream = sp.hourly_price_stream(
+        sp.dedup_dumps(sp.read_auction_stream(spark, input_dir), late="0 seconds")
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 30)
+    _write_dump(spark, input_dir, "d0", t0, [(1, 100, 100, 1)])
+    sp.run_to_parquet(stream, out_dir, ckpt).awaitTermination()
+
+    # advance the watermark to 12:15 → the 10:00 bucket closes and
+    # emits with volume 1
+    t1 = dt.datetime(2024, 1, 1, 12, 15)
+    _write_dump(spark, input_dir, "d1", t1, [(2, 100, 500, 5)])
+    sp.run_to_parquet(stream, out_dir, ckpt).awaitTermination()
+
+    rows = {r["bucket_ts"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert list(rows) == [dt.datetime(2024, 1, 1, 10)]
+    assert rows[dt.datetime(2024, 1, 1, 10)]["volume"] == 1
+
+    # LATE arrival: stamped 10:45, far behind the 12:15 watermark —
+    # its window already emitted, so the row must be discarded
+    t_late = dt.datetime(2024, 1, 1, 10, 45)
+    _write_dump(spark, input_dir, "d2", t_late, [(3, 100, 700, 7)])
+    sp.run_to_parquet(stream, out_dir, ckpt).awaitTermination()
+
+    rows = {r["bucket_ts"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert list(rows) == [dt.datetime(2024, 1, 1, 10)]
+    assert rows[dt.datetime(2024, 1, 1, 10)]["volume"] == 1  # unchanged
+
+    # sanity: on-time traffic still flows — a 14:05 dump closes the
+    # 12:00 bucket with ONLY the on-time row
+    t2 = dt.datetime(2024, 1, 1, 14, 5)
+    _write_dump(spark, input_dir, "d3", t2, [(4, 100, 900, 9)])
+    sp.run_to_parquet(stream, out_dir, ckpt).awaitTermination()
+
+    rows = {r["bucket_ts"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert set(rows) == {
+        dt.datetime(2024, 1, 1, 10),
+        dt.datetime(2024, 1, 1, 12),
+    }
+    assert rows[dt.datetime(2024, 1, 1, 12)]["volume"] == 5
