@@ -92,10 +92,10 @@ LINEITEM = T.StructType(
     ]
 )
 
-# events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-# rejects as TimestampType; we read the raw int64 nanos and convert to
-# a microsecond timestamp in tables.load (floor division, matching
-# DuckDB's ns→µs truncation so oracle comparisons agree).
+# Legacy raw shape for events when the harness parquet encoded ts as
+# int64 TIMESTAMP(NANOS) (rounds 1-2). The current testdata is native
+# timestamp[us]; tables.events_ts_kind sniffs the footer and picks the
+# right reader, so both encodings keep working.
 EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

@@ -240,6 +240,90 @@ def neardup_pairs_blocked(
     return grid.mapInPandas(score, "vec_a long, vec_b long, score double")
 
 
+def neardup_pairs_blocked_grouped(
+    embeddings: DataFrame,
+    threshold: float,
+    group_col: str,
+    rows_per_block: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-group all-pairs cosine near-dup via block matmul — the
+    SemDeDup inner loop at scale (pairs are scored ONLY inside a
+    ``group_col`` cluster; cross-group pairs never exist).
+
+    Per-group block counts derive from per-GROUP sizes (one hash-agg,
+    broadcast back), so a skewed cluster gets more blocks instead of
+    one oversized task: per-task memory stays two ≤``rows_per_block``
+    blocks no matter how unbalanced the clustering. The cell grid
+    equi-joins on the group id, so the shuffle key is (group), never
+    a handful of hot literals, and the pair volume is Σ|cluster|² —
+    the entire point of clustering before scoring. Output carries the
+    group id as ``cluster_id``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sizes = embeddings.groupBy(group_col).agg(F.count("*").alias("_gn"))
+    nb = F.greatest(
+        F.lit(1), F.ceil(F.col("_gn") / F.lit(rows_per_block))
+    ).cast("long")
+    e = embeddings.join(F.broadcast(sizes), group_col).select(
+        F.col(group_col).cast("long").alias("grp"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.col(id_col), nb).alias("blk"),
+    )
+    packed = e.groupBy("grp", "blk").agg(
+        F.collect_list(F.struct("id", "vec")).alias("rows")
+    )
+    a = packed.select(
+        "grp", F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a")
+    )
+    b = packed.select(
+        "grp", F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b")
+    )
+    grid = a.join(b, "grp").filter(F.col("blk_a") <= F.col("blk_b"))
+
+    def score(batches):
+        for pdf in batches:
+            out_g, out_a, out_b, out_s = [], [], [], []
+            for _, row in pdf.iterrows():
+                ids_a = np.array([r["id"] for r in row["rows_a"]], dtype=np.int64)
+                mat_a = np.array([r["vec"] for r in row["rows_a"]], dtype=np.float64)
+                ids_b = np.array([r["id"] for r in row["rows_b"]], dtype=np.int64)
+                mat_b = np.array([r["vec"] for r in row["rows_b"]], dtype=np.float64)
+                na = np.linalg.norm(mat_a, axis=1)
+                nb_ = np.linalg.norm(mat_b, axis=1)
+                s = (mat_a @ mat_b.T) / np.outer(na, nb_)
+                # canonical rounding — numpy replica of parity.r4
+                s = np.round(s, 10)
+                s = np.sign(s) * np.floor(np.abs(s) * 1e4 + 0.5) / 1e4
+                if row["blk_a"] == row["blk_b"]:
+                    mask = ids_a[:, None] < ids_b[None, :]
+                else:
+                    mask = np.ones((len(ids_a), len(ids_b)), dtype=bool)
+                ia, ib = np.nonzero((s >= threshold) & mask)
+                pa, pb = ids_a[ia], ids_b[ib]
+                out_g.append(np.full(len(ia), row["grp"], dtype=np.int64))
+                out_a.append(np.minimum(pa, pb))
+                out_b.append(np.maximum(pa, pb))
+                out_s.append(s[ia, ib])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "cluster_id": np.concatenate(out_g),
+                        "vec_a": np.concatenate(out_a),
+                        "vec_b": np.concatenate(out_b),
+                        "score": np.concatenate(out_s),
+                    }
+                )
+
+    return grid.mapInPandas(
+        score, "cluster_id long, vec_a long, vec_b long, score double"
+    )
+
+
 def hyperplane_signature(
     vec_col: str | Column, planes: list[list[float]]
 ) -> Column:

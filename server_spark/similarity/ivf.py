@@ -262,8 +262,9 @@ def cached_index(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_assign: int = 2,
 ) -> IvfIndex:
-    key = (cache_key, n_clusters, seed, id_col, vec_col)
+    key = (cache_key, n_clusters, seed, id_col, vec_col, n_assign)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
 
@@ -283,7 +284,9 @@ def cached_index(
     except Exception:
         pass  # unreadable/partial index → rebuild below
 
-    index = build_index(embeddings, n_clusters, seed, id_col, vec_col)
+    index = build_index(
+        embeddings, n_clusters, seed, id_col, vec_col, n_assign=n_assign
+    )
     try:
         tmp = f"{path}.tmp.{os.getpid()}"
         index.assigned.write.mode("overwrite").parquet(

@@ -6,20 +6,70 @@ explicit schema to the parquet reader (a) documents the contract,
 (b) fails fast on drift, and (c) lets Catalyst prune columns /
 push predicates into the scan — check with ``df.explain("formatted")``
 that `ReadSchema` only lists what the query projects.
+
+The ``events.ts`` column has drifted between physical parquet types
+across harness versions (int64 TIMESTAMP(NANOS) in earlier rounds,
+``timestamp[us]`` now). We read the footer ONCE per path (cached) and
+branch, so either encoding yields identical TimestampType output and
+any third encoding raises immediately with the footer type in the
+message instead of silently producing 1970-era garbage.
 """
 
 from __future__ import annotations
 
 import os
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from server_spark.schemas import EVENTS_RAW, TABLE_SCHEMAS
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 TABLE_NAMES = tuple(TABLE_SCHEMAS)
+
+# path -> "timestamp" | "int64_ns", resolved from the parquet footer.
+_EVENTS_TS_KIND: dict[str, str] = {}
+
+
+def events_ts_kind(spark: SparkSession, path: str) -> str:
+    """Physical encoding of events.ts, from the parquet footer (cached).
+
+    Footer-sniffing is a driver-side metadata read (no data scan), so
+    the cost is one footer fetch per distinct path per process. This is
+    the data-contract guard the r3 drift showed we need: an unexpected
+    physical type raises here, naming the type, rather than flowing
+    1970-collapsed timestamps into 24 downstream queries.
+    """
+    kind = _EVENTS_TS_KIND.get(path)
+    if kind is None:
+        ts_type = spark.read.parquet(path).schema["ts"].dataType
+        if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+            kind = "timestamp"
+        elif isinstance(ts_type, T.LongType):
+            kind = "int64_ns"
+        else:
+            raise TypeError(
+                f"events.ts at {path} has unsupported physical type "
+                f"{ts_type}; expected timestamp[us/ns] or int64 nanos"
+            )
+        _EVENTS_TS_KIND[path] = kind
+    return kind
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    if events_ts_kind(spark, path) == "timestamp":
+        return spark.read.schema(TABLE_SCHEMAS["events"]).parquet(path)
+    # Legacy int64 TIMESTAMP(NANOS): read raw and floor to µs (`div`
+    # keeps exact integer arithmetic; double division loses precision
+    # above 2^53). Matches DuckDB's ns→µs truncation.
+    return (
+        spark.read.schema(EVENTS_RAW)
+        .parquet(path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -28,15 +78,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_SCHEMAS)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS): read the raw int64 and floor
-        # to µs (`div` keeps it in exact integer arithmetic — a double
-        # division would lose precision above 2^53).
-        return (
-            spark.read.schema(EVENTS_RAW)
-            .parquet(path)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        return _load_events(spark, path)
     return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
+
+
+def _utc(s: str) -> datetime:
+    dt = datetime.fromisoformat(s)
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
 
 
 def load_events_range(
@@ -47,35 +97,40 @@ def load_events_range(
 ) -> DataFrame:
     """Events with a time-range predicate PUSHED TO THE PARQUET SCAN.
 
-    ``ts`` is physically int64 nanos (Spark's vectorized reader cannot
-    map TIMESTAMP(NANOS) to TimestampType), so a filter on the
-    converted timestamp column sits above an expression and never
-    reaches the scan. Filtering the RAW int64 column first is
+    Bounds are UTC ISO strings, lo-inclusive / hi-exclusive, matching
+    the oracle's ``ts >= TIMESTAMP lo AND ts < TIMESTAMP hi``. With the
+    native ``timestamp[us]`` encoding the comparison is directly
     pushable — `PushedFilters: [GreaterThanOrEqual(ts, …)]` — which at
     100 TB is the difference between reading one date range's row
-    groups and scanning the table. Bounds are UTC ISO strings,
-    lo-inclusive / hi-exclusive, matching the oracle's
-    ``ts >= TIMESTAMP lo AND ts < TIMESTAMP hi``.
+    groups and scanning the table. For the legacy int64-nanos encoding
+    we filter the RAW int64 column (also pushable) before converting,
+    because a filter above a conversion expression never reaches the
+    scan.
     """
+    path = os.path.join(sf_dir, "events.parquet")
+    if events_ts_kind(spark, path) == "timestamp":
+        df = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(path)
+        if lo is not None:
+            df = df.filter(F.col("ts") >= F.lit(_utc(lo)))
+        if hi is not None:
+            df = df.filter(F.col("ts") < F.lit(_utc(hi)))
+        return df
+
     import calendar
-    from datetime import datetime, timezone
 
     def _ns(s: str) -> int:
         dt = datetime.fromisoformat(s)
         if dt.tzinfo is not None:
             dt = dt.astimezone(timezone.utc)
         # Exact integer nanos: float .timestamp() loses precision far
-        # from epoch, int() truncates sub-seconds (widening the pushed
-        # range vs the oracle's bound) and truncates pre-1970 values
-        # toward zero instead of flooring.
+        # from epoch; int() truncates sub-seconds (widening the pushed
+        # range vs the oracle's bound).
         return (
             calendar.timegm(dt.timetuple()) * 1_000_000_000
             + dt.microsecond * 1_000
         )
 
-    raw = spark.read.schema(EVENTS_RAW).parquet(
-        os.path.join(sf_dir, "events.parquet")
-    )
+    raw = spark.read.schema(EVENTS_RAW).parquet(path)
     if lo is not None:
         raw = raw.filter(F.col("ts") >= F.lit(_ns(lo)))
     if hi is not None:

@@ -1,0 +1,64 @@
+"""Data-contract drift guards for the harness parquet.
+
+Round 3 shipped 24 red queries because events.ts silently changed
+physical type (int64 TIMESTAMP(NANOS) -> timestamp[us]) between
+sandboxes and the fixed-schema reader reinterpreted micros as nanos,
+collapsing 45 days of 2024 data into ~65 minutes of January 1970.
+These tests make the NEXT drift an immediate named failure instead of
+0-row query outputs with err=null.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from server_spark import tables
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_ORACLE])
+def test_events_ts_physical_type_is_supported(spark, sf_dir):
+    """The footer sniffer must classify ts (raises TypeError on drift)."""
+    kind = tables.events_ts_kind(spark, f"{sf_dir}/events.parquet")
+    assert kind in ("timestamp", "int64_ns")
+
+
+def test_events_ts_values_are_modern(spark):
+    """Whatever the physical encoding, decoded ts must land in the
+    synthetic data's real range (2024-era), not epoch-adjacent — the
+    exact signature of the r3 micros-as-nanos bug."""
+    ev = tables.load(spark, SF_SMOKE, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    assert lo >= datetime.datetime(2020, 1, 1), f"min ts {lo} is epoch-era"
+    assert hi < datetime.datetime(2100, 1, 1), f"max ts {hi} is absurd"
+    # and the data spans days, not the collapsed ~65 minutes of the bug
+    assert (hi - lo) > datetime.timedelta(days=1)
+
+
+def test_events_range_pushdown_survives(spark):
+    """Range bounds must reach the parquet scan as PushedFilters for
+    the current encoding (scan pruning is the 100 TB contract)."""
+    df = tables.load_events_range(
+        spark, SF_SMOKE, "2024-01-05", "2024-01-06"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(ts" in plan
+    assert "LessThan(ts" in plan
+
+
+def test_events_range_matches_oracle_bounds(spark):
+    """lo-inclusive / hi-exclusive semantics against a DuckDB twin."""
+    import duckdb
+
+    got = tables.load_events_range(
+        spark, SF_SMOKE, "2024-01-05", "2024-01-06"
+    ).count()
+    want = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMOKE}/events.parquet' "
+        "WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'"
+    ).fetchone()[0]
+    assert got == want

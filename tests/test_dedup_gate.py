@@ -84,3 +84,33 @@ def test_hot_bucket_cap_bounds_candidates(spark):
     capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
     # every clique bucket (size 40) is dropped; distinct docs unaffected
     assert all(a >= 100 or b >= 100 for a, b in capped_pairs)
+
+
+# ---------------------------------------------------------------------------
+# x41b — semantic-dedup scale path: precision exact, recall pinned
+# ---------------------------------------------------------------------------
+
+
+def test_x41b_precision_and_recall_vs_exact(spark, sf_dir):
+    """Every x41b pair must be a true near-dup with the exact score
+    (within-cluster scoring is exact cosine ⇒ precision 1.0), and the
+    clustering must recover most of the exact all-pairs result
+    (SemDeDup misses only cross-cluster pairs)."""
+    from server_spark.queries.ext_common import NEARDUP_COS, _emb
+    from server_spark.queries.ext_similarity import x41b_semantic_dedup_scaled
+    from server_spark.similarity import cosine as cos
+
+    exact = {
+        (r.vec_a, r.vec_b): r.score
+        for r in cos.neardup_pairs_blocked(
+            _emb(spark, sf_dir), threshold=NEARDUP_COS
+        ).collect()
+    }
+    got = x41b_semantic_dedup_scaled(spark, sf_dir).collect()
+    # no pair may be reported twice (n_assign=1 ⇒ one cluster each)
+    assert len({(r.vec_a, r.vec_b) for r in got}) == len(got)
+    for r in got:
+        assert (r.vec_a, r.vec_b) in exact, "x41b invented a pair"
+        assert abs(exact[(r.vec_a, r.vec_b)] - r.score) < 1e-9
+    recall = len(got) / max(len(exact), 1)
+    assert recall >= 0.7, f"semantic-cluster recall too low: {recall:.2f}"
