@@ -811,3 +811,89 @@ def x40_quality_master(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~F.col("in_lp_tail")
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x43 — cross-document repeated-span inventory (exact-substring dedup)
+# ---------------------------------------------------------------------------
+
+SPAN_WORDS = 6   # span granularity; Lee et al. use 50 BPE tokens — 6
+#                  words keeps spans meaningful on the short synthetic
+#                  docs while exercising the identical plan shape
+SPAN_MIN_DOCS = 2
+
+
+@register(
+    "x43_repeated_spans",
+    rf"""
+    WITH w AS (
+        SELECT doc_id,
+               generate_subscripts(string_split_regex(LOWER(TRIM(text)), '\s+'), 1) AS pos,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS word
+        FROM documents
+    ),
+    sp0 AS (
+        SELECT doc_id, pos,
+               word || ' ' || LEAD(word,1) OVER win || ' ' || LEAD(word,2) OVER win
+                    || ' ' || LEAD(word,3) OVER win || ' ' || LEAD(word,4) OVER win
+                    || ' ' || LEAD(word,5) OVER win AS span,
+               LEAD(word,5) OVER win AS lastw
+        FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sp AS (SELECT doc_id, span FROM sp0 WHERE lastw IS NOT NULL),
+    inv AS (
+        SELECT span, COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_occurrences, MIN(doc_id) AS first_doc_id
+        FROM sp GROUP BY span
+    )
+    SELECT span, n_docs, n_occurrences, first_doc_id
+    FROM inv WHERE n_docs >= {SPAN_MIN_DOCS}
+    """,
+    doc="EXT x43 — cross-document repeated-span INVENTORY, the removal-"
+    "target list of exact-substring dedup (Lee et al. 2022, "
+    "'Deduplicating Training Data Makes Language Models Better'): "
+    "every word-6-gram span occurring in >= 2 distinct documents, with "
+    "its document frequency, total occurrences, and the canonical "
+    "first document. Distinct from x25 (within-doc repetition "
+    "aggregate) and x34 (per-doc novelty aggregate): this outputs the "
+    "SPANS themselves — the artifact a scrub pass consumes to cut "
+    "duplicated text while keeping one occurrence. Shape: one "
+    "per-doc-partitioned window builds rolling spans (no self-join), "
+    "one groupBy(span) with map-side combine builds the inventory; "
+    "the >= 2-doc filter drops the long unique tail BEFORE any further "
+    "join. At 100 TB the group key becomes a span hash (xxhash64) so "
+    "the shuffle carries 8 bytes instead of the text, and the "
+    "suffix-array construction of the paper is approximated by "
+    "exactly this rolling-k-gram pass — integer/string outputs only, "
+    "no float rounding to disagree on.",
+    tags=("ext", "textstats", "dedup"),
+    late=True,
+)
+def x43_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos", "word"
+        ),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("word")] + [
+        F.lead("word", i).over(win) for i in range(1, SPAN_WORDS)
+    ]
+    spans = (
+        words.select(
+            "doc_id",
+            F.concat_ws(" ", *leads).alias("span"),
+            F.lead("word", SPAN_WORDS - 1).over(win).alias("_lastw"),
+        )
+        .filter(F.col("_lastw").isNotNull())
+        .select("doc_id", "span")
+    )
+    inv = spans.groupBy("span").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_occurrences"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
+    return inv.filter(F.col("n_docs") >= SPAN_MIN_DOCS).select(
+        "span", "n_docs", "n_occurrences", "first_doc_id"
+    )
