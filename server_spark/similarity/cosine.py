@@ -192,9 +192,12 @@ def neardup_pairs_blocked(
         F.col(vec_col).alias("vec"),
         (F.col(id_col) % n_blocks).alias("blk"),
     )
+    # packed feeds BOTH sides of the grid self-join — materialize once
+    # (Catalyst does not ReusedExchange across the branches; without
+    # this the pack agg runs twice)
     packed = e.groupBy("blk").agg(
         F.collect_list(F.struct("id", "vec")).alias("rows")
-    )
+    ).localCheckpoint()
     a = packed.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
     b = packed.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
     grid = a.join(b, F.col("blk_a") <= F.col("blk_b"))
@@ -274,9 +277,12 @@ def neardup_pairs_blocked_grouped(
         F.col(vec_col).alias("vec"),
         F.pmod(F.col(id_col), nb).alias("blk"),
     )
+    # packed feeds BOTH sides of the grid self-join — materialize once
+    # (see neardup_pairs_blocked; the whole clustering upstream would
+    # otherwise run twice)
     packed = e.groupBy("grp", "blk").agg(
         F.collect_list(F.struct("id", "vec")).alias("rows")
-    )
+    ).localCheckpoint()
     a = packed.select(
         "grp", F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a")
     )
