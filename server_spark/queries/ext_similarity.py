@@ -326,13 +326,18 @@ def x35_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("c")
     )
-    # centroid norm depends only on the label — compute it once per
-    # centroid row, not per corpus vector
+    # norms computed ONCE per row on each side BEFORE the join: besides
+    # not recomputing per output column, this keeps the final
+    # projection down to ONE unrolled dot — TWO dot_fixed trees in a
+    # single projection overflow the codegen method-size limit and the
+    # whole stage runs interpreted (measured 3× slower; the same
+    # pitfall SCALE.md records for many-plane LSH projections).
     cent = cent.withColumn("nc", F.sqrt(cos.dot_fixed("c", "c", dim)))
-    joined = emb.join(F.broadcast(cent), "label")
-    dot = cos.dot_fixed("e", "c", dim)
-    nv = F.sqrt(cos.dot_fixed("e", "e", dim))
-    cosine = r4(dot / (nv * F.col("nc")))
+    with_nv = emb.withColumn("nv", F.sqrt(cos.dot_fixed("e", "e", dim)))
+    joined = with_nv.join(F.broadcast(cent), "label")
+    cosine = r4(
+        cos.dot_fixed("e", "c", dim) / (F.col("nv") * F.col("nc"))
+    )
     return joined.select(
         "vec_id",
         "label",
