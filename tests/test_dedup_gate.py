@@ -114,3 +114,50 @@ def test_x41b_precision_and_recall_vs_exact(spark, sf_dir):
         assert abs(exact[(r.vec_a, r.vec_b)] - r.score) < 1e-9
     recall = len(got) / max(len(exact), 1)
     assert recall >= 0.7, f"semantic-cluster recall too low: {recall:.2f}"
+
+
+def test_grouped_blocked_kernel_splits_groups(spark, sf_dir):
+    """Force rows_per_block below the cluster size so every group spans
+    several blocks: the grid's diagonal/off-diagonal masking must still
+    produce each within-group pair exactly once, and never a
+    cross-group pair."""
+    from pyspark.sql import functions as F
+
+    from server_spark.queries.ext_common import _emb
+    from server_spark.similarity import cosine as cos
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "grp", (F.col("vec_id") % 3).cast("int")
+    )
+    got = {
+        (r.cluster_id, r.vec_a, r.vec_b): r.score
+        for r in cos.neardup_pairs_blocked_grouped(
+            emb, threshold=0.2, group_col="grp", rows_per_block=40
+        ).collect()
+    }
+    # naive per-group reference via the exact pair join
+    base = emb.select("vec_id", "embedding", "grp")
+    a = base.select(
+        F.col("grp"), F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = base.select(
+        F.col("grp"), F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+    )
+    from server_spark.parity import r4
+
+    want = {
+        (r.grp, r.vec_a, r.vec_b): r.score
+        for r in a.join(b, "grp")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "grp", "vec_a", "vec_b",
+            r4(cos.cosine("ea", "eb")).alias("score"),
+        )
+        .filter(F.col("score") >= 0.2)
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, s in got.items():
+        assert abs(s - want[k]) < 1e-9
