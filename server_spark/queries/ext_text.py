@@ -897,3 +897,150 @@ def x43_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inv.filter(F.col("n_docs") >= SPAN_MIN_DOCS).select(
         "span", "n_docs", "n_occurrences", "first_doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# x44 — repeated-span SCRUB (the exact-substring dedup transform)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x44_span_scrub",
+    rf"""
+    WITH w AS (
+        SELECT doc_id,
+               generate_subscripts(string_split_regex(LOWER(TRIM(text)), '\s+'), 1) AS pos,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS word
+        FROM documents
+    ),
+    sp0 AS (
+        SELECT doc_id, pos,
+               word || ' ' || LEAD(word,1) OVER win || ' ' || LEAD(word,2) OVER win
+                    || ' ' || LEAD(word,3) OVER win || ' ' || LEAD(word,4) OVER win
+                    || ' ' || LEAD(word,5) OVER win AS span,
+               LEAD(word,5) OVER win AS lastw
+        FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sp AS (SELECT doc_id, pos, span FROM sp0 WHERE lastw IS NOT NULL),
+    inv AS (SELECT span FROM sp GROUP BY span
+            HAVING COUNT(DISTINCT doc_id) >= {SPAN_MIN_DOCS}),
+    occ AS (
+        SELECT s.doc_id, s.pos,
+               ROW_NUMBER() OVER (PARTITION BY s.span ORDER BY s.doc_id, s.pos) AS rn
+        FROM sp s JOIN inv USING (span)
+    ),
+    cov AS (
+        SELECT DISTINCT occ.doc_id, occ.pos + t.d AS cpos
+        FROM occ CROSS JOIN (FROM range({SPAN_WORDS}) r(d)) t
+        WHERE occ.rn > 1
+    ),
+    kept AS (
+        SELECT w.doc_id, w.pos, w.word
+        FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.cpos
+        WHERE cov.cpos IS NULL
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               md5(string_agg(word, ' ' ORDER BY pos)) AS clean_hash
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           len(string_split_regex(LOWER(TRIM(d.text)), '\s+')) AS n_words,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           CAST(len(string_split_regex(LOWER(TRIM(d.text)), '\s+'))
+                - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.clean_hash, md5('')) AS clean_hash
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="EXT x44 — repeated-span SCRUB, the transform that CONSUMES "
+    "x43's inventory (Lee et al. 2022 exact-substring dedup applied): "
+    "every occurrence of a cross-doc repeated word-6-gram except the "
+    "canonical first (min doc_id, pos — a deterministic total order) "
+    "has its word positions marked covered; overlapping spans union "
+    "naturally via position-covering; uncovered words reassemble in "
+    "order (x36's array_sort(collect_list(struct)) idiom) into the "
+    "scrubbed text, reported as md5 + kept/removed counts per doc. "
+    "Shape: spans from one per-doc window; the canonicalization "
+    "window partitions by SPAN (each span's occurrence list is tiny); "
+    "covered positions are a bounded x6 sequence-explode of "
+    "non-canonical occurrences; the scrub itself is one anti-join on "
+    "(doc_id, pos) + one per-doc reassembly agg. Integer/hash outputs "
+    "only — no float rounding to disagree on.",
+    tags=("ext", "textstats", "dedup"),
+    late=True,
+)
+def x44_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos", "word"
+        ),
+    ).localCheckpoint()  # feeds span build AND the kept anti-join
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("word")] + [
+        F.lead("word", i).over(win) for i in range(1, SPAN_WORDS)
+    ]
+    sp = (
+        words.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *leads).alias("span"),
+            F.lead("word", SPAN_WORDS - 1).over(win).alias("_lastw"),
+        )
+        .filter(F.col("_lastw").isNotNull())
+        .select("doc_id", "pos", "span")
+        .localCheckpoint()  # feeds the inventory AND the occ join
+    )
+    inv = (
+        sp.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= SPAN_MIN_DOCS)
+        .select("span")
+    )
+    wspan = Window.partitionBy("span").orderBy("doc_id", "pos")
+    occ = sp.join(inv, "span").withColumn("rn", F.row_number().over(wspan))
+    # distinct aliases: cov shares lineage with words, and ambiguous
+    # self-join attributes are a silent-wrong-result hazard
+    cov = (
+        occ.filter(F.col("rn") > 1)
+        .select(
+            F.col("doc_id").alias("cov_doc"),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + SPAN_WORDS - 1)
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    kept = words.join(
+        cov,
+        (words["doc_id"] == cov["cov_doc"]) & (words["pos"] == cov["cpos"]),
+        "left_anti",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            )
+        ).alias("clean_hash"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "n_words"
+        ),
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_words") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce("clean_hash", F.md5(F.lit(""))).alias("clean_hash"),
+    )
