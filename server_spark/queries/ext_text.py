@@ -870,25 +870,29 @@ SPAN_MIN_DOCS = 2
     late=True,
 )
 def x43_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # span generation is a pure NARROW map over the split array (x40's
+    # gram idiom) — the oracle keeps the window form (identical
+    # values), but the Spark plan has NO doc_id shuffle before the
+    # inventory groupBy: the text is already one row, so rolling spans
+    # never need a window
     words = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
-            "pos", "word"
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("_w")
+    )
+    n = F.size("_w")
+    span_arr = F.when(
+        n >= SPAN_WORDS,
+        F.transform(
+            F.sequence(F.lit(0), n - SPAN_WORDS),
+            lambda i: F.concat_ws(
+                " ",
+                *[
+                    F.element_at("_w", (i + j + 1).cast("int"))
+                    for j in range(SPAN_WORDS)
+                ],
+            ),
         ),
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.col("word")] + [
-        F.lead("word", i).over(win) for i in range(1, SPAN_WORDS)
-    ]
-    spans = (
-        words.select(
-            "doc_id",
-            F.concat_ws(" ", *leads).alias("span"),
-            F.lead("word", SPAN_WORDS - 1).over(win).alias("_lastw"),
-        )
-        .filter(F.col("_lastw").isNotNull())
-        .select("doc_id", "span")
-    )
+    ).otherwise(F.slice(F.col("_w"), 1, 0))
+    spans = words.select("doc_id", F.explode(span_arr).alias("span"))
     inv = spans.groupBy("span").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count("*").alias("n_occurrences"),
@@ -971,25 +975,37 @@ def x43_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x44_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    words = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
-            "pos", "word"
+    # split once in its own projection (lambda-CSE pitfall, SCALE.md)
+    with_arr = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("_w")
+    )
+    words = with_arr.select(
+        "doc_id", F.posexplode("_w").alias("pos0", "word")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "word"
+    )
+    # rolling spans as a pure NARROW map over the split array (x40's
+    # gram idiom): no doc_id window/shuffle — the text is one row
+    n = F.size("_w")
+    span_arr = F.when(
+        n >= SPAN_WORDS,
+        F.transform(
+            F.sequence(F.lit(0), n - SPAN_WORDS),
+            lambda i: F.struct(
+                (i + 1).cast("int").alias("pos"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at("_w", (i + j + 1).cast("int"))
+                        for j in range(SPAN_WORDS)
+                    ],
+                ).alias("span"),
+            ),
         ),
-    ).localCheckpoint()  # feeds span build AND the kept anti-join
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.col("word")] + [
-        F.lead("word", i).over(win) for i in range(1, SPAN_WORDS)
-    ]
+    ).otherwise(F.array().cast("array<struct<pos:int,span:string>>"))
     sp = (
-        words.select(
-            "doc_id",
-            "pos",
-            F.concat_ws(" ", *leads).alias("span"),
-            F.lead("word", SPAN_WORDS - 1).over(win).alias("_lastw"),
-        )
-        .filter(F.col("_lastw").isNotNull())
-        .select("doc_id", "pos", "span")
+        with_arr.select("doc_id", F.explode(span_arr).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.span").alias("span"))
         .localCheckpoint()  # feeds the inventory AND the occ join
     )
     inv = (
