@@ -231,34 +231,38 @@ def x23_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     late=True,
 )
 def x25_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pure NARROW map (x40's repetition idiom): the non-distinct gram
+    # array and its array_distinct give total/distinct counts with no
+    # explode, no window, no groupBy — the whole query is scan-speed.
+    # The oracle keeps the dialect-portable explode+LEAD+groupBy form
+    # (identical values).
+    from server_spark.dedup.ngram import split_words
+
     words = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
-            "pos", "word"
+        "doc_id", split_words("text").alias("_w")
+    )
+    n = F.size("_w")
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at("_w", (i + j + 1).cast("int")) for j in range(3)],
+            ),
         ),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    shingled = (
-        words.select(
-            "doc_id",
-            F.concat_ws(
-                " ", "word", F.lead("word", 1).over(w), F.lead("word", 2).over(w)
-            ).alias("shingle"),
-            F.lead("word", 2).over(w).alias("_last"),
-        )
-        .filter(F.col("_last").isNotNull())
-        .select("doc_id", "shingle")
-    )
-    per_doc = shingled.groupBy("doc_id").agg(
-        F.count("*").alias("n_shingles"),
-        F.countDistinct("shingle").alias("n_distinct"),
-    )
-    return per_doc.select(
+    ).otherwise(F.slice(F.col("_w"), 1, 0))
+    m = words.select(
         "doc_id",
-        "n_shingles",
-        "n_distinct",
+        F.size(grams).alias("_ns"),
+        F.size(F.array_distinct(grams)).alias("_nd"),
+    ).filter(F.col("_ns") > 0)
+    return m.select(
+        "doc_id",
+        F.col("_ns").cast("long").alias("n_shingles"),
+        F.col("_nd").cast("long").alias("n_distinct"),
         r4(
-            1.0 - F.col("n_distinct").cast("double") / F.col("n_shingles")
+            1.0 - F.col("_nd").cast("double") / F.col("_ns")
         ).alias("repetition_ratio"),
     )
 
