@@ -1,0 +1,179 @@
+"""Exact-substring (repeated-span) dedup over a document corpus (EXT).
+
+The two halves of Lee et al. 2022 ("Deduplicating Training Data Makes
+Language Models Better") re-expressed in DataFrame ops at word-k-gram
+granularity:
+
+1. :func:`repeated_span_inventory` — every rolling word-k-gram span
+   occurring in >= ``min_docs`` distinct documents, with document
+   frequency, total occurrences, and the canonical first document.
+   This is the REMOVAL-TARGET LIST a scrub pass consumes.
+2. :func:`span_scrub` — the TRANSFORM: every occurrence of a repeated
+   span except the canonical first (min (doc_id, pos) — a
+   deterministic total order) has its word positions marked covered;
+   overlapping spans union naturally via position-covering; uncovered
+   words reassemble in order into the scrubbed text.
+
+Scale shape: span generation is a pure NARROW map over the split
+array (the text is already one row — no per-doc window, no shuffle);
+the inventory is one groupBy(span) with map-side combine; the
+canonicalization window partitions by SPAN (each span's occurrence
+list is tiny); the scrub is one anti-join on (doc_id, pos) plus one
+per-doc reassembly agg. At 100 TB the span group key becomes
+xxhash64(span) so the shuffle carries 8 bytes per occurrence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from server_spark.dedup.ngram import split_words
+
+SPAN_WORDS = 6
+SPAN_MIN_DOCS = 2
+
+
+def _span_structs(words_col: str, n: int):
+    """Array of (pos, span) structs: rolling word-n-grams with their
+    1-based start positions, built by indexed assembly over a
+    PROJECTED words-array column (lambda-CSE pitfall — see
+    ngram.shingle_array)."""
+    w = F.col(words_col)
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.struct(
+                (i + 1).cast("int").alias("pos"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(w, (i + j + 1).cast("int"))
+                        for j in range(n)
+                    ],
+                ).alias("span"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,span:string>>"))
+
+
+def span_positions(
+    docs: DataFrame,
+    n: int = SPAN_WORDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, pos, span) rows — one per rolling word-n-gram occurrence."""
+    with_arr = docs.select(
+        F.col(id_col), split_words(text_col).alias("_w")
+    )
+    return with_arr.select(
+        F.col(id_col), F.explode(_span_structs("_w", n)).alias("s")
+    ).select(
+        F.col(id_col),
+        F.col("s.pos").alias("pos"),
+        F.col("s.span").alias("span"),
+    )
+
+
+def repeated_span_inventory(
+    docs: DataFrame,
+    n: int = SPAN_WORDS,
+    min_docs: int = SPAN_MIN_DOCS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(span, n_docs, n_occurrences, first_doc_id) for every span in
+    >= ``min_docs`` distinct documents."""
+    sp = span_positions(docs, n, id_col, text_col)
+    inv = sp.groupBy("span").agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.count("*").alias("n_occurrences"),
+        F.min(id_col).alias("first_doc_id"),
+    )
+    return inv.filter(F.col("n_docs") >= min_docs).select(
+        "span", "n_docs", "n_occurrences", "first_doc_id"
+    )
+
+
+def span_scrub(
+    docs: DataFrame,
+    n: int = SPAN_WORDS,
+    min_docs: int = SPAN_MIN_DOCS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_words, n_kept, n_removed, clean_hash) per document after
+    removing every non-canonical occurrence of each repeated span.
+    ``clean_hash`` is md5 of the space-joined kept words (md5('') for
+    a fully-scrubbed doc)."""
+    with_arr = docs.select(
+        F.col(id_col), split_words(text_col).alias("_w")
+    )
+    words = with_arr.select(
+        F.col(id_col), F.posexplode("_w").alias("pos0", "word")
+    ).select(
+        F.col(id_col), (F.col("pos0") + 1).cast("int").alias("pos"), "word"
+    )
+    sp = (
+        with_arr.select(
+            F.col(id_col), F.explode(_span_structs("_w", n)).alias("s")
+        )
+        .select(
+            F.col(id_col),
+            F.col("s.pos").alias("pos"),
+            F.col("s.span").alias("span"),
+        )
+        .localCheckpoint()  # feeds the inventory AND the occ join
+    )
+    inv = (
+        sp.groupBy("span")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("span")
+    )
+    wspan = Window.partitionBy("span").orderBy(id_col, "pos")
+    occ = sp.join(inv, "span").withColumn("rn", F.row_number().over(wspan))
+    # distinct aliases: cov shares lineage with words, and ambiguous
+    # self-join attributes are a silent-wrong-result hazard
+    cov = (
+        occ.filter(F.col("rn") > 1)
+        .select(
+            F.col(id_col).alias("cov_doc"),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + n - 1)
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    kept = words.join(
+        cov,
+        (words[id_col] == cov["cov_doc"]) & (words["pos"] == cov["cpos"]),
+        "left_anti",
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            )
+        ).alias("clean_hash"),
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(split_words(text_col)).alias("n_words"),
+    )
+    return base.join(agg, id_col, "left").select(
+        F.col(id_col),
+        "n_words",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_words") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce("clean_hash", F.md5(F.lit(""))).alias("clean_hash"),
+    )

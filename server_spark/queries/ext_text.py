@@ -821,10 +821,10 @@ def x40_quality_master(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x43 — cross-document repeated-span inventory (exact-substring dedup)
 # ---------------------------------------------------------------------------
 
-SPAN_WORDS = 6   # span granularity; Lee et al. use 50 BPE tokens — 6
-#                  words keeps spans meaningful on the short synthetic
-#                  docs while exercising the identical plan shape
-SPAN_MIN_DOCS = 2
+# span granularity: Lee et al. use 50 BPE tokens; 6 words keeps spans
+# meaningful on the short synthetic docs while exercising the
+# identical plan shape. Single source of truth: dedup/spans.py.
+from server_spark.dedup.spans import SPAN_MIN_DOCS, SPAN_WORDS  # noqa: E402
 
 
 @register(
@@ -874,36 +874,14 @@ SPAN_MIN_DOCS = 2
     late=True,
 )
 def x43_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # span generation is a pure NARROW map over the split array (x40's
-    # gram idiom) — the oracle keeps the window form (identical
-    # values), but the Spark plan has NO doc_id shuffle before the
-    # inventory groupBy: the text is already one row, so rolling spans
-    # never need a window
-    words = _docs(spark, sf_dir).select(
-        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("_w")
-    )
-    n = F.size("_w")
-    span_arr = F.when(
-        n >= SPAN_WORDS,
-        F.transform(
-            F.sequence(F.lit(0), n - SPAN_WORDS),
-            lambda i: F.concat_ws(
-                " ",
-                *[
-                    F.element_at("_w", (i + j + 1).cast("int"))
-                    for j in range(SPAN_WORDS)
-                ],
-            ),
-        ),
-    ).otherwise(F.slice(F.col("_w"), 1, 0))
-    spans = words.select("doc_id", F.explode(span_arr).alias("span"))
-    inv = spans.groupBy("span").agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.count("*").alias("n_occurrences"),
-        F.min("doc_id").alias("first_doc_id"),
-    )
-    return inv.filter(F.col("n_docs") >= SPAN_MIN_DOCS).select(
-        "span", "n_docs", "n_occurrences", "first_doc_id"
+    # library op (dedup/spans.py): span generation is a pure NARROW
+    # map over the split array — the oracle keeps the window form
+    # (identical values), but the Spark plan has NO doc_id shuffle
+    # before the inventory groupBy
+    from server_spark.dedup.spans import repeated_span_inventory
+
+    return repeated_span_inventory(
+        _docs(spark, sf_dir), n=SPAN_WORDS, min_docs=SPAN_MIN_DOCS
     )
 
 
@@ -978,89 +956,10 @@ def x43_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     late=True,
 )
 def x44_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    # split once in its own projection (lambda-CSE pitfall, SCALE.md)
-    with_arr = docs.select(
-        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("_w")
-    )
-    words = with_arr.select(
-        "doc_id", F.posexplode("_w").alias("pos0", "word")
-    ).select(
-        "doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "word"
-    )
-    # rolling spans as a pure NARROW map over the split array (x40's
-    # gram idiom): no doc_id window/shuffle — the text is one row
-    n = F.size("_w")
-    span_arr = F.when(
-        n >= SPAN_WORDS,
-        F.transform(
-            F.sequence(F.lit(0), n - SPAN_WORDS),
-            lambda i: F.struct(
-                (i + 1).cast("int").alias("pos"),
-                F.concat_ws(
-                    " ",
-                    *[
-                        F.element_at("_w", (i + j + 1).cast("int"))
-                        for j in range(SPAN_WORDS)
-                    ],
-                ).alias("span"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,span:string>>"))
-    sp = (
-        with_arr.select("doc_id", F.explode(span_arr).alias("s"))
-        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.span").alias("span"))
-        .localCheckpoint()  # feeds the inventory AND the occ join
-    )
-    inv = (
-        sp.groupBy("span")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= SPAN_MIN_DOCS)
-        .select("span")
-    )
-    wspan = Window.partitionBy("span").orderBy("doc_id", "pos")
-    occ = sp.join(inv, "span").withColumn("rn", F.row_number().over(wspan))
-    # distinct aliases: cov shares lineage with words, and ambiguous
-    # self-join attributes are a silent-wrong-result hazard
-    cov = (
-        occ.filter(F.col("rn") > 1)
-        .select(
-            F.col("doc_id").alias("cov_doc"),
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + SPAN_WORDS - 1)
-            ).alias("cpos"),
-        )
-        .distinct()
-    )
-    kept = words.join(
-        cov,
-        (words["doc_id"] == cov["cov_doc"]) & (words["pos"] == cov["cpos"]),
-        "left_anti",
-    )
-    agg = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                    lambda s: s["word"],
-                ),
-                " ",
-            )
-        ).alias("clean_hash"),
-    )
-    base = docs.select(
-        "doc_id",
-        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
-            "n_words"
-        ),
-    )
-    return base.join(agg, "doc_id", "left").select(
-        "doc_id",
-        "n_words",
-        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        (F.col("n_words") - F.coalesce("n_kept", F.lit(0)))
-        .cast("long")
-        .alias("n_removed"),
-        F.coalesce("clean_hash", F.md5(F.lit(""))).alias("clean_hash"),
+    # library op (dedup/spans.py); property-tested against a brute-
+    # force reference in tests/test_properties.py
+    from server_spark.dedup.spans import span_scrub
+
+    return span_scrub(
+        _docs(spark, sf_dir), n=SPAN_WORDS, min_docs=SPAN_MIN_DOCS
     )

@@ -161,3 +161,64 @@ def test_norm_trim_drops_only_tails(spark, norms):
         for r in by_norm:
             verdict.setdefault(r["l2_norm"], r["kept"])
             assert verdict[r["l2_norm"]] == r["kept"]
+
+
+# ---------------------------------------------------------------------------
+# x44 — span scrub vs a brute-force reference on arbitrary corpora
+# ---------------------------------------------------------------------------
+
+# tiny vocab + short docs force heavy span collisions, including the
+# overlapping-span and fully-scrubbed-doc edge cases
+SPAN_DOCS = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=14),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _scrub_reference(texts: list[list[str]], k: int, min_docs: int):
+    """Brute-force span scrub: canonical first occurrence of every
+    cross-doc repeated k-gram kept, all other occurrences' positions
+    covered (1-based)."""
+    from collections import defaultdict
+
+    by_span = defaultdict(list)
+    for d, ws in enumerate(texts):
+        for i in range(len(ws) - k + 1):
+            by_span[" ".join(ws[i : i + k])].append((d, i + 1))
+    covered = defaultdict(set)
+    for occ in by_span.values():
+        if len({d for d, _ in occ}) >= min_docs:
+            for d, p in sorted(occ)[1:]:
+                covered[d].update(range(p, p + k))
+    out = {}
+    for d, ws in enumerate(texts):
+        kept = [w for i, w in enumerate(ws, start=1) if i not in covered[d]]
+        out[d] = (len(ws), len(kept), " ".join(kept))
+    return out
+
+
+@given(texts=SPAN_DOCS)
+@_SETTINGS
+def test_span_scrub_matches_bruteforce(spark, texts):
+    import hashlib
+
+    from server_spark.dedup.spans import span_scrub
+
+    k, min_docs = 3, 2  # small k so short random docs produce spans
+    docs = spark.createDataFrame(
+        [(d, " ".join(ws)) for d, ws in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_kept, r.clean_hash)
+        for r in span_scrub(docs, n=k, min_docs=min_docs).collect()
+    }
+    want = _scrub_reference(texts, k, min_docs)
+    assert set(got) == set(want)
+    for d, (nw, nk, clean) in want.items():
+        gw, gk, gh = got[d]
+        assert (gw, gk) == (nw, nk), f"doc {d}: counts differ"
+        assert gh == hashlib.md5(clean.encode()).hexdigest(), (
+            f"doc {d}: scrubbed text differs (want {clean!r})"
+        )
