@@ -62,3 +62,39 @@ def test_events_range_matches_oracle_bounds(spark):
         "WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'"
     ).fetchone()[0]
     assert got == want
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_ORACLE])
+def test_all_table_footers_match_declared_schemas(spark, sf_dir):
+    """Every table's parquet footer must carry exactly the declared
+    field names and types. Two sanctioned exceptions: events.ts may be
+    int64-nanos or timestamp (the footer sniffer branches), and any
+    timestamp column may be NTZ in the footer while declared LTZ —
+    value-identical ONLY because the session pins UTC, so that pin is
+    asserted here too. Everything else drifting is the r3 failure
+    mode: a fixed-schema read over a changed footer nulls out or
+    reinterprets silently; this test names the drift instead."""
+    from pyspark.sql import types as T
+
+    from server_spark.schemas import TABLE_SCHEMAS
+
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    ts_types = (T.TimestampType, T.TimestampNTZType)
+    for name, declared in TABLE_SCHEMAS.items():
+        footer = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+        assert [f.name for f in footer] == [f.name for f in declared], (
+            f"{name}: field names drifted: {footer.fieldNames()}"
+        )
+        for df_field, decl in zip(footer, declared):
+            if name == "events" and df_field.name == "ts":
+                continue  # int64-nanos and timestamp both sanctioned
+            if isinstance(decl.dataType, ts_types):
+                assert isinstance(df_field.dataType, ts_types), (
+                    f"{name}.{df_field.name}: footer {df_field.dataType} "
+                    f"is not a timestamp"
+                )
+                continue
+            assert df_field.dataType == decl.dataType, (
+                f"{name}.{df_field.name}: footer {df_field.dataType} "
+                f"!= declared {decl.dataType}"
+            )
