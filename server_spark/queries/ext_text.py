@@ -231,38 +231,41 @@ def x23_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     late=True,
 )
 def x25_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Pure NARROW map (x40's repetition idiom): the non-distinct gram
-    # array and its array_distinct give total/distinct counts with no
-    # explode, no window, no groupBy — the whole query is scan-speed.
-    # The oracle keeps the dialect-portable explode+LEAD+groupBy form
-    # (identical values).
-    from server_spark.dedup.ngram import split_words
-
+    # MEASURED (round 4): the posexplode+LEAD window form below is the
+    # fast shape for a non-distinct shingle STREAM. The array-builder
+    # idiom (x40/ngram.shingle_array) is right when the consumer is an
+    # array op (size/array_distinct/array_intersect) — but explode of
+    # an inline-built gram array re-evaluates the builder per output
+    # element in this engine build (10s vs 1s at sf0.1, isolated in
+    # SCALE.md "generator re-evaluation"), so streams keep the window.
     words = _docs(spark, sf_dir).select(
-        "doc_id", split_words("text").alias("_w")
-    )
-    n = F.size("_w")
-    grams = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(0), n - 3),
-            lambda i: F.concat_ws(
-                " ",
-                *[F.element_at("_w", (i + j + 1).cast("int")) for j in range(3)],
-            ),
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos", "word"
         ),
-    ).otherwise(F.slice(F.col("_w"), 1, 0))
-    m = words.select(
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    shingled = (
+        words.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "word", F.lead("word", 1).over(w), F.lead("word", 2).over(w)
+            ).alias("shingle"),
+            F.lead("word", 2).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "shingle")
+    )
+    per_doc = shingled.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.countDistinct("shingle").alias("n_distinct"),
+    )
+    return per_doc.select(
         "doc_id",
-        F.size(grams).alias("_ns"),
-        F.size(F.array_distinct(grams)).alias("_nd"),
-    ).filter(F.col("_ns") > 0)
-    return m.select(
-        "doc_id",
-        F.col("_ns").cast("long").alias("n_shingles"),
-        F.col("_nd").cast("long").alias("n_distinct"),
+        "n_shingles",
+        "n_distinct",
         r4(
-            1.0 - F.col("_nd").cast("double") / F.col("_ns")
+            1.0 - F.col("n_distinct").cast("double") / F.col("n_shingles")
         ).alias("repetition_ratio"),
     )
 
