@@ -262,3 +262,22 @@ def test_dynamic_partition_pruning_engages(spark, tmp_path_factory):
     keep = {d for i, d in enumerate(sorted(dates)) if i < 2}
     expect = ev.filter(F.to_date("ts").isin(list(keep))).count()
     assert joined.count() == expect
+
+
+def test_x43_span_build_has_no_predata_shuffle(plans):
+    """Span generation is a narrow map over the split array: the ONLY
+    hash exchange in x43's plan is the inventory groupBy(span) — no
+    doc_id window/shuffle exists upstream of it, and the scan reads
+    only (doc_id, text)."""
+    p = plans("x43_repeated_spans")
+    # exactly the two exchanges of the countDistinct expansion:
+    # partial agg keyed (span, doc_id), then final keyed (span) —
+    # both with map-side combine; nothing else shuffles
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "Window" not in p
+    f = plans("x43_repeated_spans", "formatted")
+    import re as _re
+
+    m = _re.search(r"ReadSchema: struct<([^>]*)>", f)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(",") if c)
+    assert cols == ["doc_id", "text"]
