@@ -177,3 +177,106 @@ def span_scrub(
         .alias("n_removed"),
         F.coalesce("clean_hash", F.md5(F.lit(""))).alias("clean_hash"),
     )
+
+
+def incremental_span_scrub(
+    base: DataFrame,
+    batch: DataFrame,
+    n: int = SPAN_WORDS,
+    min_docs: int = SPAN_MIN_DOCS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Scrub an ARRIVING batch against a STANDING corpus — the
+    incremental form of :func:`span_scrub` (mirrors x38's asymmetric
+    batch×base shape: per-increment cost scales with the batch, never
+    the corpus).
+
+    Rules: a batch span occurrence whose span already exists in the
+    base is covered unconditionally (the base holds the canonical
+    copy); spans NOT in the base but repeated across >= ``min_docs``
+    batch docs keep their canonical first batch occurrence. Output has
+    :func:`span_scrub`'s schema, for the batch docs only.
+
+    At 100 TB the base inventory is a maintained DISTINCT-span table
+    (the x43 artifact); the batch joins it on span — an equi-join
+    whose shuffle carries the batch side, with the inventory bucketed
+    by span hash.
+    """
+    base_inv = (
+        span_positions(base, n, id_col, text_col).select("span").distinct()
+    )
+    with_arr = batch.select(
+        F.col(id_col), split_words(text_col).alias("_w")
+    )
+    words = with_arr.select(
+        F.col(id_col), F.posexplode("_w").alias("pos0", "word")
+    ).select(
+        F.col(id_col), (F.col("pos0") + 1).cast("int").alias("pos"), "word"
+    )
+    sp = (
+        with_arr.select(
+            F.col(id_col), F.explode(_span_structs("_w", n)).alias("s")
+        )
+        .select(
+            F.col(id_col),
+            F.col("s.pos").alias("pos"),
+            F.col("s.span").alias("span"),
+        )
+        .localCheckpoint()  # feeds the base join AND the batch-repeat path
+    )
+    hit_base = sp.join(base_inv, "span", "left_semi").select(id_col, "pos")
+    fresh = sp.join(base_inv, "span", "left_anti")
+    fresh_inv = (
+        fresh.groupBy("span")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("span")
+    )
+    wspan = Window.partitionBy("span").orderBy(id_col, "pos")
+    batch_rep = (
+        fresh.join(fresh_inv, "span")
+        .withColumn("rn", F.row_number().over(wspan))
+        .filter(F.col("rn") > 1)
+        .select(id_col, "pos")
+    )
+    cov = (
+        hit_base.unionByName(batch_rep)
+        .select(
+            F.col(id_col).alias("cov_doc"),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + n - 1)
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    kept = words.join(
+        cov,
+        (words[id_col] == cov["cov_doc"]) & (words["pos"] == cov["cpos"]),
+        "left_anti",
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            )
+        ).alias("clean_hash"),
+    )
+    out = batch.select(
+        F.col(id_col),
+        F.size(split_words(text_col)).alias("n_words"),
+    )
+    return out.join(agg, id_col, "left").select(
+        F.col(id_col),
+        "n_words",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_words") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce("clean_hash", F.md5(F.lit(""))).alias("clean_hash"),
+    )

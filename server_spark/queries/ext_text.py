@@ -966,3 +966,102 @@ def x44_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_scrub(
         _docs(spark, sf_dir), n=SPAN_WORDS, min_docs=SPAN_MIN_DOCS
     )
+
+
+# ---------------------------------------------------------------------------
+# x45 — incremental span scrub (arriving batch vs standing corpus)
+# ---------------------------------------------------------------------------
+
+
+def _span_cte_sql(src: str, p: str) -> str:
+    """CTE chain ``{p}w, {p}sp0, {p}sp`` building (doc_id, pos, span)
+    word-6-gram rows from relation ``src`` — oracle twin of
+    dedup/spans.span_positions."""
+    return rf"""{p}w AS (
+        SELECT doc_id,
+               generate_subscripts(string_split_regex(LOWER(TRIM(text)), '\s+'), 1) AS pos,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS word
+        FROM {src}
+    ),
+    {p}sp0 AS (
+        SELECT doc_id, pos,
+               word || ' ' || LEAD(word,1) OVER win || ' ' || LEAD(word,2) OVER win
+                    || ' ' || LEAD(word,3) OVER win || ' ' || LEAD(word,4) OVER win
+                    || ' ' || LEAD(word,5) OVER win AS span,
+               LEAD(word,5) OVER win AS lastw
+        FROM {p}w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    {p}sp AS (SELECT doc_id, pos, span FROM {p}sp0 WHERE lastw IS NOT NULL)"""
+
+
+@register(
+    "x45_incremental_span_scrub",
+    rf"""
+    WITH based AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    batchd AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+    {_span_cte_sql("based", "base_")},
+    {_span_cte_sql("batchd", "b_")},
+    base_inv AS (SELECT DISTINCT span FROM base_sp),
+    hit AS (SELECT s.doc_id, s.pos FROM b_sp s JOIN base_inv i ON s.span = i.span),
+    fresh AS (
+        SELECT s.doc_id, s.pos, s.span
+        FROM b_sp s LEFT JOIN base_inv i ON s.span = i.span
+        WHERE i.span IS NULL
+    ),
+    fresh_inv AS (
+        SELECT span FROM fresh GROUP BY span
+        HAVING COUNT(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+    ),
+    rep AS (
+        SELECT doc_id, pos FROM (
+            SELECT f.doc_id, f.pos,
+                   ROW_NUMBER() OVER (PARTITION BY f.span ORDER BY f.doc_id, f.pos) AS rn
+            FROM fresh f JOIN fresh_inv v ON f.span = v.span
+        ) WHERE rn > 1
+    ),
+    cov0 AS (SELECT doc_id, pos FROM hit UNION ALL SELECT doc_id, pos FROM rep),
+    cov AS (
+        SELECT DISTINCT doc_id, pos + t.d AS cpos
+        FROM cov0 CROSS JOIN (FROM range({SPAN_WORDS}) r(d)) t
+    ),
+    kept AS (
+        SELECT w.doc_id, w.pos, w.word
+        FROM b_w w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.cpos
+        WHERE cov.cpos IS NULL
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               md5(string_agg(word, ' ' ORDER BY pos)) AS clean_hash
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           len(string_split_regex(LOWER(TRIM(d.text)), '\s+')) AS n_words,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           CAST(len(string_split_regex(LOWER(TRIM(d.text)), '\s+'))
+                - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.clean_hash, md5('')) AS clean_hash
+    FROM batchd d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+    doc="EXT x45 — INCREMENTAL span scrub: the arriving batch (odd "
+    "doc_ids as the demo split) scrubbed against the STANDING corpus "
+    "(even doc_ids) — x44's production steady-state, mirroring x38's "
+    "asymmetric batch×base shape. A batch occurrence of a span the "
+    "base already holds is covered unconditionally (the base is "
+    "canonical); batch-only spans repeated across >= 2 batch docs "
+    "keep their canonical first batch occurrence. Per-increment cost "
+    "scales with the BATCH: batch spans equi-join the maintained "
+    "distinct-span inventory (the x43 artifact at scale), never "
+    "rescanning the corpus; everything downstream is x44's covering "
+    "anti-join + ordered reassembly.",
+    tags=("ext", "textstats", "dedup", "incremental"),
+    late=True,
+)
+def x45_incremental_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.dedup.spans import incremental_span_scrub
+
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_span_scrub(
+        base, batch, n=SPAN_WORDS, min_docs=SPAN_MIN_DOCS
+    )

@@ -222,3 +222,67 @@ def test_span_scrub_matches_bruteforce(spark, texts):
         assert gh == hashlib.md5(clean.encode()).hexdigest(), (
             f"doc {d}: scrubbed text differs (want {clean!r})"
         )
+
+
+def _incremental_reference(texts: list[list[str]], k: int, min_docs: int):
+    """Brute-force incremental scrub: even doc ids are the standing
+    base, odd ids the batch; base spans are always canonical."""
+    from collections import defaultdict
+
+    base_spans = set()
+    for d, ws in enumerate(texts):
+        if d % 2 == 0:
+            for i in range(len(ws) - k + 1):
+                base_spans.add(" ".join(ws[i : i + k]))
+    fresh = defaultdict(list)
+    covered = defaultdict(set)
+    for d, ws in enumerate(texts):
+        if d % 2 == 1:
+            for i in range(len(ws) - k + 1):
+                s = " ".join(ws[i : i + k])
+                if s in base_spans:
+                    covered[d].update(range(i + 1, i + 1 + k))
+                else:
+                    fresh[s].append((d, i + 1))
+    for occ in fresh.values():
+        if len({d for d, _ in occ}) >= min_docs:
+            for d, p in sorted(occ)[1:]:
+                covered[d].update(range(p, p + k))
+    out = {}
+    for d, ws in enumerate(texts):
+        if d % 2 == 1:
+            kept = [w for i, w in enumerate(ws, start=1) if i not in covered[d]]
+            out[d] = (len(ws), len(kept), " ".join(kept))
+    return out
+
+
+@given(texts=SPAN_DOCS)
+@_SETTINGS
+def test_incremental_span_scrub_matches_bruteforce(spark, texts):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from server_spark.dedup.spans import incremental_span_scrub
+
+    k, min_docs = 3, 2
+    docs = spark.createDataFrame(
+        [(d, " ".join(ws)) for d, ws in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    got = {
+        r.doc_id: (r.n_words, r.n_kept, r.clean_hash)
+        for r in incremental_span_scrub(
+            base, batch, n=k, min_docs=min_docs
+        ).collect()
+    }
+    want = _incremental_reference(texts, k, min_docs)
+    assert set(got) == set(want)
+    for d, (nw, nk, clean) in want.items():
+        gw, gk, gh = got[d]
+        assert (gw, gk) == (nw, nk), f"doc {d}: counts differ"
+        assert gh == hashlib.md5(clean.encode()).hexdigest(), (
+            f"doc {d}: scrubbed text differs (want {clean!r})"
+        )
