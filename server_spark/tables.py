@@ -22,7 +22,6 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from server_spark.schemas import EVENTS_RAW, TABLE_SCHEMAS
 
@@ -45,10 +44,31 @@ def events_ts_kind(spark: SparkSession, path: str) -> str:
     """
     kind = _EVENTS_TS_KIND.get(path)
     if kind is None:
-        ts_type = spark.read.parquet(path).schema["ts"].dataType
-        if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        # Sniff with pyarrow, NOT spark.read.parquet: Spark 4.1's schema
+        # inference raises PARQUET_TYPE_ILLEGAL outright on int64
+        # TIMESTAMP(NANOS) footers, which would make the legacy branch
+        # unreachable exactly when it's needed. pyarrow reads any footer.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pfile = path
+        if os.path.isdir(path):
+            parts = sorted(
+                f
+                for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            if not parts:
+                raise FileNotFoundError(f"no parquet part files under {path}")
+            pfile = os.path.join(path, parts[0])
+        ts_type = pq.read_schema(pfile).field("ts").type
+        if pa.types.is_timestamp(ts_type) and ts_type.unit != "ns":
             kind = "timestamp"
-        elif isinstance(ts_type, T.LongType):
+        elif pa.types.is_int64(ts_type) or (
+            pa.types.is_timestamp(ts_type) and ts_type.unit == "ns"
+        ):
+            # Plain int64 nanos OR TIMESTAMP(NANOS) logical type: Spark
+            # can't infer either as a timestamp; read raw long + convert.
             kind = "int64_ns"
         else:
             raise TypeError(

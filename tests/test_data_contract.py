@@ -98,3 +98,68 @@ def test_all_table_footers_match_declared_schemas(spark, sf_dir):
                 f"{name}.{df_field.name}: footer {df_field.dataType} "
                 f"!= declared {decl.dataType}"
             )
+
+
+def _write_nanos_events(tmpdir: str, logical: str) -> str:
+    """Write a tiny events.parquet whose ts column is int64 nanos —
+    either as parquet logical TIMESTAMP(NANOS) (what the early-round
+    harness emitted; Spark 4.1 schema inference raises
+    PARQUET_TYPE_ILLEGAL on it) or as a plain int64 column. Exercises
+    the legacy reader branch that the live testdata no longer covers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = datetime.datetime(2024, 1, 5, 12, 0, 0)
+    ns = [
+        int((base + datetime.timedelta(days=d)).timestamp() * 1e9) + 123
+        for d in range(4)
+    ]
+    ts_arr = (
+        pa.array(ns, pa.timestamp("ns"))
+        if logical == "timestamp_ns"
+        else pa.array(ns, pa.int64())
+    )
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": ts_arr,
+            "user_id": pa.array([10, 11, 10, 12], pa.int64()),
+            "event_type": pa.array(["a", "b", "a", "c"], pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+            "props": pa.array(["{}"] * 4, pa.string()),
+        }
+    )
+    path = f"{tmpdir}/events.parquet"
+    pq.write_table(tbl, path, version="2.6", store_schema=False)
+    return path
+
+
+@pytest.mark.parametrize("logical", ["timestamp_ns", "int64"])
+def test_nanos_footer_classified_and_loaded(spark, tmp_path, logical):
+    """The pyarrow footer sniff must classify both nanos encodings as
+    int64_ns (spark.read-based sniffing dies with PARQUET_TYPE_ILLEGAL
+    on TIMESTAMP(NANOS)), and the legacy branch must decode to real
+    2024-era timestamps with sub-second precision floored to micros."""
+    _write_nanos_events(str(tmp_path), logical)
+    assert (
+        tables.events_ts_kind(spark, f"{tmp_path}/events.parquet")
+        == "int64_ns"
+    )
+    ev = tables.load(spark, str(tmp_path), "events")
+    rows = ev.orderBy("event_id").collect()
+    assert rows[0]["ts"] == datetime.datetime(2024, 1, 5, 12, 0, 0)
+    assert (rows[-1]["ts"] - rows[0]["ts"]) == datetime.timedelta(days=3)
+
+
+@pytest.mark.parametrize("logical", ["timestamp_ns", "int64"])
+def test_nanos_range_filter_matches_semantics(spark, tmp_path, logical):
+    """load_events_range on the legacy branch filters the RAW int64
+    column (pushable) with lo-inclusive / hi-exclusive semantics."""
+    _write_nanos_events(str(tmp_path), logical)
+    df = tables.load_events_range(
+        spark, str(tmp_path), "2024-01-06", "2024-01-08"
+    )
+    got = sorted(r["event_id"] for r in df.collect())
+    assert got == [2, 3]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
