@@ -338,12 +338,15 @@ def x35_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine = r4(
         cos.dot_fixed("e", "c", dim) / (F.col("nv") * F.col("nc"))
     )
+    # TWO projections on purpose: referencing `cosine` twice in one
+    # select duplicates the whole 64-term dot + decimal-round tree in
+    # the generated code (the r4 bench showed this as 2.6 s -> 4.7 s).
+    # CollapseProject leaves the split alone because the producer
+    # expression is non-cheap and referenced twice, so the flag reads
+    # the already-computed column.
     return joined.select(
-        "vec_id",
-        "label",
-        cosine.alias("cos_centroid"),
-        (cosine < CENTROID_COS_MIN).alias("is_outlier"),
-    )
+        "vec_id", "label", cosine.alias("cos_centroid")
+    ).withColumn("is_outlier", F.col("cos_centroid") < CENTROID_COS_MIN)
 
 
 # ---------------------------------------------------------------------------

@@ -300,8 +300,15 @@ def j7_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def u1_setop_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prev = _day_users(spark, sf_dir, DAY_A)
-    nxt = _day_users(spark, sf_dir, DAY_B)
+    # The three set-op branches each consume BOTH day-slices; without a
+    # materialization barrier the plan re-scans and re-distincts events
+    # six times (r4 plan audit: 6 scans / 6 shuffles for a 0.8 s query
+    # that should cost 0.3 s). localCheckpoint truncates the lineage so
+    # each slice is scanned+deduped once and the EXCEPT/INTERSECT
+    # branches read the materialized blocks. At cluster scale the same
+    # shape holds with `.persist()` + a shared scan.
+    prev = _day_users(spark, sf_dir, DAY_A).localCheckpoint(eager=True)
+    nxt = _day_users(spark, sf_dir, DAY_B).localCheckpoint(eager=True)
     lab = lambda df, s: df.select(  # noqa: E731
         F.lit(s).alias("status"), "user_id"
     )

@@ -214,10 +214,10 @@ def neardup_pairs_blocked(
                 nb = np.linalg.norm(mat_b, axis=1)
                 s = (mat_a @ mat_b.T) / np.outer(na, nb)
                 # canonical rounding: 1e-10 snap, then decimal HALF_UP
-                # to 4 places — the exact numpy replica of parity.r4
-                # (np.round alone is half-EVEN and can flip a boundary
-                # score vs the oracle)
-                s = np.round(s, 10)
+                # to 4 places — the exact numpy replica of parity.r4.
+                # Both steps HALF_UP: np.round is half-to-even and can
+                # disagree with the DECIMAL(38,10) cast at a midpoint.
+                s = np.sign(s) * np.floor(np.abs(s) * 1e10 + 0.5) / 1e10
                 s = np.sign(s) * np.floor(np.abs(s) * 1e4 + 0.5) / 1e4
                 if row["blk_a"] == row["blk_b"]:
                     # diagonal cell: each unordered pair appears twice
@@ -275,7 +275,11 @@ def neardup_pairs_blocked_grouped(
         F.col(group_col).cast("long").alias("grp"),
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        F.pmod(F.col(id_col), nb).alias("blk"),
+        # hash before pmod: raw ids can correlate with the modulus
+        # (parity/stride patterns leave residues empty and double real
+        # block sizes, worst case one block per group), which would void
+        # the two-blocks-in-memory bound below. xxhash64 decorrelates.
+        F.pmod(F.xxhash64(F.col(id_col)), nb).alias("blk"),
     )
     # packed feeds BOTH sides of the grid self-join — materialize once
     # (see neardup_pairs_blocked; the whole clustering upstream would
@@ -302,8 +306,13 @@ def neardup_pairs_blocked_grouped(
                 na = np.linalg.norm(mat_a, axis=1)
                 nb_ = np.linalg.norm(mat_b, axis=1)
                 s = (mat_a @ mat_b.T) / np.outer(na, nb_)
-                # canonical rounding — numpy replica of parity.r4
-                s = np.round(s, 10)
+                # canonical rounding — numpy replica of parity.r4. Both
+                # steps use explicit HALF_UP (sign*floor(abs*k+0.5)/k):
+                # np.round is round-half-to-even on the binary double,
+                # which can disagree with the DECIMAL(38,10) HALF_UP
+                # cast exactly at a midpoint and flip threshold
+                # inclusion vs the oracle.
+                s = np.sign(s) * np.floor(np.abs(s) * 1e10 + 0.5) / 1e10
                 s = np.sign(s) * np.floor(np.abs(s) * 1e4 + 0.5) / 1e4
                 if row["blk_a"] == row["blk_b"]:
                     mask = ids_a[:, None] < ids_b[None, :]

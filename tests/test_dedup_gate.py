@@ -107,7 +107,9 @@ def test_x41b_precision_and_recall_vs_exact(spark, sf_dir):
         ).collect()
     }
     got = x41b_semantic_dedup_scaled(spark, sf_dir).collect()
-    # no pair may be reported twice (n_assign=1 ⇒ one cluster each)
+    # no pair may be reported twice: n_assign=3 boundary replication
+    # can score a pair in several clusters, but x41b's post-threshold
+    # groupBy(vec_a, vec_b) dedups before returning
     assert len({(r.vec_a, r.vec_b) for r in got}) == len(got)
     for r in got:
         assert (r.vec_a, r.vec_b) in exact, "x41b invented a pair"
