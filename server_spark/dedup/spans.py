@@ -97,17 +97,17 @@ def repeated_span_inventory(
     )
 
 
-def span_scrub(
+def _words_and_cov(
     docs: DataFrame,
-    n: int = SPAN_WORDS,
-    min_docs: int = SPAN_MIN_DOCS,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """(id, n_words, n_kept, n_removed, clean_hash) per document after
-    removing every non-canonical occurrence of each repeated span.
-    ``clean_hash`` is md5 of the space-joined kept words (md5('') for
-    a fully-scrubbed doc)."""
+    n: int,
+    min_docs: int,
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared guts of the scrub family: (words, cov) where ``words`` is
+    one (id, pos, word) row per word and ``cov`` is the DISTINCT set of
+    (cov_doc, cpos) word positions covered by a NON-CANONICAL
+    occurrence of a cross-doc repeated span — i.e. the removal set."""
     with_arr = docs.select(
         F.col(id_col), split_words(text_col).alias("_w")
     )
@@ -147,6 +147,21 @@ def span_scrub(
         )
         .distinct()
     )
+    return words, cov
+
+
+def span_scrub(
+    docs: DataFrame,
+    n: int = SPAN_WORDS,
+    min_docs: int = SPAN_MIN_DOCS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_words, n_kept, n_removed, clean_hash) per document after
+    removing every non-canonical occurrence of each repeated span.
+    ``clean_hash`` is md5 of the space-joined kept words (md5('') for
+    a fully-scrubbed doc)."""
+    words, cov = _words_and_cov(docs, n, min_docs, id_col, text_col)
     kept = words.join(
         cov,
         (words[id_col] == cov["cov_doc"]) & (words["pos"] == cov["cpos"]),
@@ -176,6 +191,68 @@ def span_scrub(
         .cast("long")
         .alias("n_removed"),
         F.coalesce("clean_hash", F.md5(F.lit(""))).alias("clean_hash"),
+    )
+
+
+def maximal_removed_spans(
+    docs: DataFrame,
+    n: int = SPAN_WORDS,
+    min_docs: int = SPAN_MIN_DOCS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document MAXIMAL removal spans: runs of consecutive covered
+    word positions merged into one interval (gaps-and-islands over
+    ``pos``), with the span text reassembled.
+
+    This closes the Lee et al. 2022 fidelity gap the word-k-gram
+    approximation leaves open: a long repeated region appears as many
+    overlapping k-gram hits, which :func:`span_scrub` already removes
+    as a unit via position covering, but the k-gram inventory reports
+    them as independent n-word spans. Here adjacent/overlapping hits
+    merge into ONE maximal span per doc — the paper's removal unit —
+    with its true length surfaced.
+
+    Shape: covered positions are the scrub's own removal set; islands
+    come from one window partitioned by DOC (pos - row_number is
+    constant within a run); one groupBy(doc, island) reassembles. All
+    keys are high-cardinality (doc_id), so the shuffle scales with
+    corpus size, never with a hot literal.
+
+    Invariant vs the scrub (property-tested): per doc,
+    Σ span_len == span_scrub().n_removed.
+    """
+    words, cov = _words_and_cov(docs, n, min_docs, id_col, text_col)
+    wdoc = Window.partitionBy("cov_doc").orderBy("cpos")
+    isl = cov.withColumn(
+        "isl", F.col("cpos") - F.row_number().over(wdoc)
+    )
+    covw = isl.join(
+        words,
+        (isl["cov_doc"] == words[id_col]) & (isl["cpos"] == words["pos"]),
+    ).select("cov_doc", "cpos", "isl", "word")
+    return (
+        covw.groupBy("cov_doc", "isl")
+        .agg(
+            F.min("cpos").alias("span_start"),
+            F.max("cpos").alias("span_end"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("cpos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("span_text"),
+        )
+        .select(
+            F.col("cov_doc").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_len"),
+            "span_text",
+        )
     )
 
 

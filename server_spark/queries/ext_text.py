@@ -1065,3 +1065,77 @@ def x45_incremental_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_span_scrub(
         base, batch, n=SPAN_WORDS, min_docs=SPAN_MIN_DOCS
     )
+
+
+# ---------------------------------------------------------------------------
+# x46 — maximal removed spans (gaps-and-islands merge of the scrub set)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x46_maximal_removed_spans",
+    rf"""
+    WITH w AS (
+        SELECT doc_id,
+               generate_subscripts(string_split_regex(LOWER(TRIM(text)), '\s+'), 1) AS pos,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS word
+        FROM documents
+    ),
+    sp0 AS (
+        SELECT doc_id, pos,
+               word || ' ' || LEAD(word,1) OVER win || ' ' || LEAD(word,2) OVER win
+                    || ' ' || LEAD(word,3) OVER win || ' ' || LEAD(word,4) OVER win
+                    || ' ' || LEAD(word,5) OVER win AS span,
+               LEAD(word,5) OVER win AS lastw
+        FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sp AS (SELECT doc_id, pos, span FROM sp0 WHERE lastw IS NOT NULL),
+    inv AS (SELECT span FROM sp GROUP BY span
+            HAVING COUNT(DISTINCT doc_id) >= {SPAN_MIN_DOCS}),
+    occ AS (
+        SELECT s.doc_id, s.pos,
+               ROW_NUMBER() OVER (PARTITION BY s.span ORDER BY s.doc_id, s.pos) AS rn
+        FROM sp s JOIN inv USING (span)
+    ),
+    cov AS (
+        SELECT DISTINCT occ.doc_id, occ.pos + t.d AS cpos
+        FROM occ CROSS JOIN (FROM range({SPAN_WORDS}) r(d)) t
+        WHERE occ.rn > 1
+    ),
+    isl AS (
+        SELECT doc_id, cpos,
+               cpos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cpos) AS grp
+        FROM cov
+    ),
+    islw AS (
+        SELECT i.doc_id, i.cpos, i.grp, w.word
+        FROM isl i JOIN w ON w.doc_id = i.doc_id AND w.pos = i.cpos
+    )
+    SELECT doc_id,
+           MIN(cpos) AS span_start,
+           MAX(cpos) AS span_end,
+           CAST(MAX(cpos) - MIN(cpos) + 1 AS BIGINT) AS span_len,
+           string_agg(word, ' ' ORDER BY cpos) AS span_text
+    FROM islw GROUP BY doc_id, grp
+    """,
+    doc="EXT x46 — MAXIMAL removed spans: x44's covered-position set "
+    "merged into per-doc maximal intervals by gaps-and-islands "
+    "(pos - row_number is constant within a run), with the true span "
+    "length and reassembled text surfaced. This is the Lee et al. "
+    "2022 removal UNIT: a long repeated region that the word-6-gram "
+    "inventory reports as many overlapping hits comes out as ONE "
+    "span whose length is no longer quantized to 6. Invariant vs "
+    "x44 (property-tested): per doc, SUM(span_len) == n_removed. "
+    "Shape: the islands window partitions by doc_id "
+    "(high-cardinality), the reassembly is one groupBy(doc, island) "
+    "with the x36 array_sort(collect_list(struct)) idiom; nothing "
+    "here shuffles on a hot key.",
+    tags=("ext", "textstats", "dedup"),
+    late=True,
+)
+def x46_maximal_removed_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.dedup.spans import maximal_removed_spans
+
+    return maximal_removed_spans(
+        _docs(spark, sf_dir), n=SPAN_WORDS, min_docs=SPAN_MIN_DOCS
+    )

@@ -224,6 +224,61 @@ def test_span_scrub_matches_bruteforce(spark, texts):
         )
 
 
+@given(texts=SPAN_DOCS)
+@_SETTINGS
+def test_maximal_spans_match_bruteforce(spark, texts):
+    """x46 semantics: maximal islands of the brute-force covered set,
+    with text reassembled, and the x44 invariant
+    per-doc Σ span_len == n_removed."""
+    from collections import defaultdict
+
+    from server_spark.dedup.spans import maximal_removed_spans, span_scrub
+
+    k, min_docs = 3, 2
+    docs = spark.createDataFrame(
+        [(d, " ".join(ws)) for d, ws in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.doc_id, r.span_start, r.span_end, r.span_len, r.span_text)
+        for r in maximal_removed_spans(docs, n=k, min_docs=min_docs).collect()
+    ]
+    # brute-force: covered position sets -> maximal runs
+    by_span = defaultdict(list)
+    for d, ws in enumerate(texts):
+        for i in range(len(ws) - k + 1):
+            by_span[" ".join(ws[i : i + k])].append((d, i + 1))
+    covered = defaultdict(set)
+    for occ in by_span.values():
+        if len({d for d, _ in occ}) >= min_docs:
+            for d, p in sorted(occ)[1:]:
+                covered[d].update(range(p, p + k))
+    want = []
+    for d, ws in enumerate(texts):
+        pos = sorted(covered[d])
+        runs, start = [], None
+        for i, p in enumerate(pos):
+            if start is None:
+                start = p
+            if i + 1 == len(pos) or pos[i + 1] != p + 1:
+                runs.append((start, p))
+                start = None
+        for lo, hi in runs:
+            want.append(
+                (d, lo, hi, hi - lo + 1, " ".join(ws[lo - 1 : hi]))
+            )
+    assert sorted(got) == sorted(want)
+    removed = {
+        r.doc_id: r.n_removed
+        for r in span_scrub(docs, n=k, min_docs=min_docs).collect()
+    }
+    per_doc = defaultdict(int)
+    for d, _, _, ln, _ in got:
+        per_doc[d] += ln
+    for d, n_rem in removed.items():
+        assert per_doc.get(d, 0) == n_rem, f"doc {d}: Σspan_len != n_removed"
+
+
 def _incremental_reference(texts: list[list[str]], k: int, min_docs: int):
     """Brute-force incremental scrub: even doc ids are the standing
     base, odd ids the batch; base spans are always canonical."""
