@@ -23,11 +23,15 @@ def split_words(text_col: str | Column = "text") -> Column:
     return F.split(F.lower(F.trim(col)), r"\s+")
 
 
-def shingle_array(words_col: str | Column, n: int = 3) -> Column:
-    """DISTINCT word n-gram shingles from a WORDS-ARRAY column — a
-    pure narrow map (indexed n-gram assembly → array_distinct), no
-    explode, no window, no shuffle. Docs shorter than n words yield
-    an empty array.
+def shingle_array(
+    words_col: str | Column, n: int = 3, distinct: bool = True
+) -> Column:
+    """Word n-gram shingles from a WORDS-ARRAY column — a pure narrow
+    map (indexed n-gram assembly, → array_distinct when ``distinct``),
+    no explode, no window, no shuffle. Docs shorter than n words yield
+    an empty array. ``distinct=False`` keeps the full occurrence
+    stream (one gram per start position), for consumers that count
+    repeats (x25).
 
     ``words_col`` MUST be a projected column (split_words in its own
     select), not an inline split expression: the lambda below
@@ -46,7 +50,7 @@ def shingle_array(words_col: str | Column, n: int = 3) -> Column:
             ),
         ),
     ).otherwise(F.slice(words, 1, 0))  # typed empty array<string>
-    return F.array_distinct(grams)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def word_shingles(

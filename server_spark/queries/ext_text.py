@@ -231,30 +231,23 @@ def x23_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     late=True,
 )
 def x25_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # MEASURED (round 4): the posexplode+LEAD window form below is the
-    # fast shape for a non-distinct shingle STREAM. The array-builder
-    # idiom (x40/ngram.shingle_array) is right when the consumer is an
-    # array op (size/array_distinct/array_intersect) — but explode of
-    # an inline-built gram array re-evaluates the builder per output
-    # element in this engine build (10s vs 1s at sf0.1, isolated in
-    # SCALE.md "generator re-evaluation"), so streams keep the window.
-    words = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
-            "pos", "word"
-        ),
+    # MEASURED (round 5, SCALE.md): narrow-map gram build over a
+    # PROJECTED words column + explode is 0.85 s at sf0.1 — the round-4
+    # "10 s generator re-evaluation" pathology was specific to a
+    # builder referencing the INLINE split (lambda-CSE); with `_w`
+    # projected first the explode is healthy, no barrier needed. This
+    # form drops the posexplode+LEAD window's per-doc sort AND its
+    # full word-stream shuffle: the only shuffle left is the groupBy's
+    # partially-aggregated (doc_id, shingle) stream — the better
+    # 100 TB shape.
+    from server_spark.dedup.ngram import shingle_array, split_words
+
+    arr = _docs(spark, sf_dir).select(
+        "doc_id", split_words("text").alias("_w")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    shingled = (
-        words.select(
-            "doc_id",
-            F.concat_ws(
-                " ", "word", F.lead("word", 1).over(w), F.lead("word", 2).over(w)
-            ).alias("shingle"),
-            F.lead("word", 2).over(w).alias("_last"),
-        )
-        .filter(F.col("_last").isNotNull())
-        .select("doc_id", "shingle")
+    shingled = arr.select(
+        "doc_id",
+        F.explode(shingle_array("_w", 3, distinct=False)).alias("shingle"),
     )
     per_doc = shingled.groupBy("doc_id").agg(
         F.count("*").alias("n_shingles"),
