@@ -241,6 +241,61 @@ def a2b_price_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a2d_price_stats_decimal",
+    None,  # decimal money path — value-compared to a2 in pytest instead
+    doc="A2 (exact-money path) — the same per-item stats computed in "
+    "DECIMAL(18,4) end-to-end (SURVEY §1.2: at 100 TB, summing "
+    "billions of money values in binary doubles accumulates ulp "
+    "error; decimal arithmetic is exact and associative, so partial "
+    "aggregation is order-independent). per-unit price is the decimal "
+    "quotient HALF_UP at scale 4; min/max/avg/median/volume all stay "
+    "decimal. Rows-only registry entry; "
+    "tests/test_core.py::test_a2_decimal_twin_no_drift value-checks "
+    "it against the double path at sf0.01.",
+    tags=("agg", "decimal", "rows-only"),
+    late=True,
+)
+def a2d_price_stats_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    priced = (
+        auctions(spark, sf_dir)
+        .filter(F.col("buyout") > 0)
+        .select(
+            "item",
+            # per-unit price carries scale 8 through the pipeline (a
+            # scale-4 per would round BEFORE averaging and diverge from
+            # the double path by a visible grid step); final stats land
+            # on the (18,4) money grid
+            (
+                F.col("buyout").cast("decimal(18,8)")
+                / F.col("quantity").cast("decimal(18,8)")
+            )
+            .cast("decimal(18,8)")  # HALF_UP at scale 8
+            .alias("per"),
+            F.col("quantity").cast("decimal(18,4)").alias("quantity"),
+        )
+    )
+    w = Window.partitionBy("item")
+    ranked = priced.select(
+        "item",
+        "per",
+        "quantity",
+        F.row_number().over(w.orderBy("per")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    is_mid = (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (
+        F.col("rn") == F.floor((F.col("n") + 2) / 2)
+    )
+    d = lambda c: c.cast("decimal(18,4)")  # noqa: E731
+    return ranked.groupBy("item").agg(
+        d(F.min("per")).alias("min_buyout_per"),
+        d(F.max("per")).alias("max_buyout_per"),
+        d(F.avg("per")).alias("average_buyout_per"),
+        d(F.avg(F.when(is_mid, F.col("per")))).alias("median_buyout_per"),
+        d(F.sum("quantity")).alias("volume"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A3 / A4 / A5 — owner aggregations and snapshot totals
 # ---------------------------------------------------------------------------

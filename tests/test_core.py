@@ -74,3 +74,40 @@ def test_registry_contract():
     assert len(qs) >= 10
     for name in sqls:
         assert name in qs
+
+
+def test_a2_decimal_twin_no_drift(spark):
+    """SURVEY §1.2 money-path promise: the DECIMAL(18,4) twin of a2
+    must agree with the double path on every per-item stat at sf0.01 —
+    i.e. the double pipeline's accumulated float error stays below the
+    4-decimal money grid at this scale (at 100 TB the decimal path is
+    the one whose partial aggregation is exactly associative)."""
+    from decimal import Decimal
+
+    from server_spark.queries.core import (
+        a2_price_stats_median,
+        a2d_price_stats_decimal,
+    )
+    from tests.conftest import SF_ORACLE
+
+    sf = SF_ORACLE
+    dbl = {r["item"]: r for r in a2_price_stats_median(spark, sf).collect()}
+    dec = {r["item"]: r for r in a2d_price_stats_decimal(spark, sf).collect()}
+    assert set(dbl) == set(dec)
+    cols = [
+        "min_buyout_per",
+        "max_buyout_per",
+        "average_buyout_per",
+        "median_buyout_per",
+        "volume",
+    ]
+    worst = Decimal(0)
+    for item, dr in dbl.items():
+        er = dec[item]
+        for c in cols:
+            d = abs(Decimal(repr(dr[c])) - er[c])
+            worst = max(worst, d)
+            assert d == 0, (
+                f"item {item} {c}: double {dr[c]} != decimal {er[c]}"
+            )
+    assert worst == 0
