@@ -641,3 +641,34 @@ def x42_crossmodal_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (jac_exact >= F.lit(JACCARD_MIN))
         ).alias("confirmed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x47 — product-quantization ADC top-k (compressed-corpus ANN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x47_pq_adc_topk",
+    None,  # PQ codebooks are engine-side model state (like x14's KMeans)
+    doc="EXT x47 — product-quantization ANN (Jégou et al. 2011, the "
+    "FAISS PQm family): per-subspace codebooks trained on a bounded "
+    "sample, the corpus encoded once into m uint8 codes + exact "
+    "reconstruction norm (binary column, 64× smaller than the raw "
+    "vectors — at 100 TB the ADC scan reads a ~1.6 TB code table "
+    "instead of the embeddings), queries scored EXACT-side via m×ksub "
+    "lookup tables with per-partition partial top-k bounding the "
+    "shuffle at partitions×k rows. Rows-only: scores are approximate "
+    "by construction; recall vs the exact brute force is pinned in "
+    "tests/test_pq.py.",
+    tags=("ext", "similarity", "rows-only"),
+    late=True,
+)
+def x47_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.similarity.pq import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_topk(emb, queries, k=TOPK, cache_key=sf_dir)

@@ -1,0 +1,243 @@
+"""Product quantization (PQ) for the embedding column (EXT).
+
+The standard compression for billion-scale ANN (Jégou et al. 2011,
+"Product Quantization for Nearest Neighbor Search"; the FAISS ``PQm``
+index family): split each d-dim vector into ``m`` subvectors, learn a
+``ksub``-entry codebook per subspace (KMeans on a BOUNDED sample, like
+the IVF coarse quantizer), and store each vector as ``m`` uint8 codes.
+At 64-dim float64 that is 512 bytes → 8 bytes per vector (64×); a
+100 TB embedding corpus becomes a ~1.6 TB code table that a linear
+ADC scan reads instead of the raw vectors.
+
+Split of responsibilities, mirroring ``ivf.py``:
+
+1. **train_pq (offline)** — per-subspace KMeans on a bounded training
+   collect (model state: m × ksub × d/m floats, never corpus-sized).
+2. **encode_pq (one narrow pass)** — mapInPandas over the corpus:
+   per-subspace nearest-centroid codes packed into a ``binary`` column
+   plus the reconstruction norm (Σ per-subspace centroid norms² —
+   exact for the concatenated reconstruction, so cosine needs no
+   second corpus pass).
+3. **adc_topk (per query batch)** — asymmetric distance computation:
+   each query builds an m×ksub lookup table of subspace dot products
+   (query stays EXACT, only the corpus side is quantized); scoring a
+   code is m table gathers + a sum, vectorized in numpy. Per-partition
+   partial top-k bounds the shuffle at partitions×k rows per query;
+   one window takes the global top-k.
+
+The query batch is collected driver-side and broadcast — bounded by
+definition (it is a serving batch, not the corpus), the same posture
+as the LSH hyperplane tables. Scores are approximate (quantized
+corpus side) → registry entry is rows-only; recall is pinned by
+tests/test_pq.py against the exact brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from server_spark.similarity.ivf import MAX_TRAIN_SAMPLE, _kmeans_fit
+
+PQ_M = 8        # subspaces (64-dim → 8-dim subvectors)
+PQ_KSUB = 256   # codebook entries per subspace (uint8 codes)
+
+
+def train_pq(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """(m, ksub', dsub) codebooks from a bounded training sample.
+    ksub' = min(ksub, sample size): tiny corpora get degenerate but
+    valid codebooks (every vector its own code)."""
+    train = np.array(
+        [
+            row[0]
+            for row in embeddings.select(vec_col)
+            .limit(MAX_TRAIN_SAMPLE)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    n, dim = train.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    k = min(ksub, n)
+    return np.stack(
+        [
+            _kmeans_fit(train[:, j * dsub : (j + 1) * dsub], k, seed + j)
+            for j in range(m)
+        ]
+    )
+
+
+def encode_pq(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes binary[m], _rnrm double) — one Arrow-batched narrow
+    pass; ``_rnrm`` is the exact reconstruction norm (subspaces are an
+    orthogonal decomposition, so |recon|² = Σ_j |c_j[code_j]|²)."""
+    m, ksub, dsub = codebooks.shape
+    # flatten closure state: (m, ksub, dsub) and per-entry sq-norms
+    cb = codebooks.copy()
+    cb_sq = (codebooks * codebooks).sum(axis=2)  # (m, ksub)
+    schema = T.StructType(
+        [
+            embeddings.schema[id_col],
+            T.StructField("codes", T.BinaryType()),
+            T.StructField("_rnrm", T.DoubleType()),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(mat) == 0:
+                continue
+            n = mat.shape[0]
+            codes = np.empty((n, m), dtype=np.uint8)
+            rsq = np.zeros(n)
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                cbj = cb[j]
+                d2 = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ cbj.T)
+                    + cb_sq[j][None, :]
+                )
+                cj = d2.argmin(axis=1)
+                codes[:, j] = cj
+                rsq += cb_sq[j][cj]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "codes": [c.tobytes() for c in codes],
+                    "_rnrm": np.sqrt(rsq),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
+def adc_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate cosine top-k by ADC over the code table.
+
+    cos ≈ (Σ_j LUT_j[code_j]) / (|q| · |recon|): the query side is
+    exact, the corpus side is its reconstruction. Emits
+    (query_id, vec_id, score_adc, rnk), rnk ≤ k per query."""
+    m, ksub, dsub = codebooks.shape
+    cb = codebooks
+    qrows = queries.select(qid_col, qvec_col).collect()  # bounded batch
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qmat, axis=1)
+    # (nq, m, ksub) dot-product lookup tables, built once per batch
+    luts = np.stack(
+        [
+            qmat[:, j * dsub : (j + 1) * dsub] @ cb[j].T
+            for j in range(m)
+        ],
+        axis=1,
+    )
+    spark = encoded.sparkSession
+    b = spark.sparkContext.broadcast((qids, qn, luts))
+    schema = (
+        f"{qid_col} long, {id_col} long, score_adc double"
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        bqids, bqn, bluts = b.value
+        nq = len(bqids)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["codes"]), dtype=np.uint8
+            ).reshape(n, m)
+            rnrm = pdf["_rnrm"].values
+            ids = pdf[id_col].values
+            out_q, out_i, out_s = [], [], []
+            for qi in range(nq):
+                lut = bluts[qi]  # (m, ksub)
+                dots = lut[np.arange(m)[None, :], codes].sum(axis=1)
+                denom = bqn[qi] * np.where(rnrm > 0, rnrm, np.inf)
+                s = dots / denom
+                mask = ids != bqids[qi]
+                # partial top-k inside the partition bounds the shuffle
+                cand = np.nonzero(mask)[0]
+                if len(cand) > k:
+                    cand = cand[np.argpartition(-s[cand], k)[:k]]
+                out_q.append(np.full(len(cand), bqids[qi], dtype=np.int64))
+                out_i.append(ids[cand].astype(np.int64))
+                out_s.append(s[cand])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        qid_col: np.concatenate(out_q),
+                        id_col: np.concatenate(out_i),
+                        "score_adc": np.concatenate(out_s),
+                    }
+                )
+
+    partial = encoded.mapInPandas(score, schema)
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("score_adc"), F.col(id_col)
+    )
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(qid_col, id_col, F.round("score_adc", 6).alias("score_adc"), "rnk")
+    )
+
+
+_PQ_CACHE: dict = {}
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    seed: int = 7,
+    cache_key: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """Train + encode (cached per corpus, the offline step) + ADC."""
+    key = (cache_key, m, ksub, seed, id_col, vec_col)
+    hit = _PQ_CACHE.get(key) if cache_key else None
+    if hit is None:
+        codebooks = train_pq(embeddings, m, ksub, seed, vec_col)
+        encoded = encode_pq(embeddings, codebooks, id_col, vec_col).cache()
+        hit = (codebooks, encoded)
+        if cache_key:
+            _PQ_CACHE[key] = hit
+    codebooks, encoded = hit
+    return adc_topk(
+        encoded, queries, codebooks, k, id_col, qid_col, qvec_col
+    )

@@ -1,0 +1,99 @@
+"""Product-quantization (x47) correctness: codes, reconstruction,
+and recall vs the exact brute force. The ADC scores are approximate
+by construction (quantized corpus side), so there is no DuckDB twin —
+these tests ARE the correctness gate (same posture as IVF/LSH)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from server_spark.queries.ext_common import N_QUERY_VECS, TOPK, _emb
+from server_spark.similarity import cosine as cos
+from server_spark.similarity.pq import (
+    PQ_M,
+    adc_topk,
+    encode_pq,
+    pq_topk,
+    train_pq,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return _emb(spark, SF_SMOKE).cache()
+
+
+@pytest.fixture(scope="module")
+def codebooks(emb):
+    return train_pq(emb)
+
+
+def test_codebook_shape_and_determinism(emb, codebooks):
+    m, ksub, dsub = codebooks.shape
+    assert m == PQ_M and dsub == 64 // PQ_M
+    assert ksub <= 256
+    again = train_pq(emb)
+    assert np.array_equal(codebooks, again), "training must be seeded"
+
+
+def test_codes_are_m_bytes_and_norm_exact(emb, codebooks):
+    enc = encode_pq(emb, codebooks)
+    rows = enc.limit(50).collect()
+    assert rows and all(len(r["codes"]) == PQ_M for r in rows)
+    # _rnrm must equal the reconstruction's true norm
+    m, ksub, dsub = codebooks.shape
+    for r in rows[:10]:
+        code = np.frombuffer(r["codes"], dtype=np.uint8)
+        recon = np.concatenate([codebooks[j][code[j]] for j in range(m)])
+        assert abs(np.linalg.norm(recon) - r["_rnrm"]) < 1e-9
+
+
+def test_reconstruction_preserves_direction(emb, codebooks):
+    """Mean cosine between vector and its reconstruction stays high —
+    the quantizer is lossy but direction-preserving (what cosine ANN
+    needs)."""
+    m, ksub, dsub = codebooks.shape
+    enc = {r["vec_id"]: r for r in encode_pq(emb, codebooks).collect()}
+    cosines = []
+    for r in emb.select("vec_id", "embedding").limit(200).collect():
+        v = np.array(r["embedding"], dtype=np.float64)
+        code = np.frombuffer(enc[r["vec_id"]]["codes"], dtype=np.uint8)
+        recon = np.concatenate([codebooks[j][code[j]] for j in range(m)])
+        denom = np.linalg.norm(v) * np.linalg.norm(recon)
+        if denom > 0:
+            cosines.append(float(v @ recon) / denom)
+    assert np.mean(cosines) >= 0.95, f"mean recon cosine {np.mean(cosines):.3f}"
+
+
+def test_adc_recall_vs_bruteforce(spark, emb, codebooks):
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cos.brute_force_topk(emb, queries, k=TOPK).collect()
+    }
+    got_rows = pq_topk(emb, queries, k=TOPK, cache_key=None).collect()
+    got = {(r["query_id"], r["vec_id"]) for r in got_rows}
+    # schema sanity: k rows per query, rnk dense from 1
+    per_q = {}
+    for r in got_rows:
+        per_q.setdefault(r["query_id"], []).append(r["rnk"])
+    assert all(sorted(v) == list(range(1, TOPK + 1)) for v in per_q.values())
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.6, f"PQ recall@{TOPK} too low: {recall:.2f}"
+
+
+def test_adc_self_excluded_and_scores_bounded(spark, emb, codebooks):
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    enc = encode_pq(emb, codebooks)
+    out = adc_topk(enc, queries, codebooks, k=5).collect()
+    assert all(r["query_id"] != r["vec_id"] for r in out)
+    assert all(-1.2 <= r["score_adc"] <= 1.2 for r in out)
