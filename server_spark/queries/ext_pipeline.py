@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from server_spark import tables
 from server_spark.parity import r4, r4sql
 from server_spark.queries.ext_common import _docs
-from server_spark.registry import register
+from server_spark.registry import auctions_sql, register
 from server_spark.textstats import analysis as tx
 
 # ---------------------------------------------------------------------------
@@ -539,4 +539,82 @@ def x39_mix_realize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(wts), "source")
         .select("doc_id", "source", n_copies.alias("n_copies"))
         .filter(F.col("n_copies") >= 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x48 — key-skew profiler (the shuffle-health diagnostic)
+# ---------------------------------------------------------------------------
+
+SKEW_TOP = 50
+
+
+@register(
+    "x48_key_skew_profile",
+    auctions_sql(
+        f"""
+    , per AS (SELECT item, COUNT(*) AS n_rows FROM auctions GROUP BY item),
+    tot AS (
+        SELECT SUM(n_rows) AS total, AVG(n_rows) AS avg_n, MAX(n_rows) AS max_n
+        FROM per
+    )
+    SELECT item, n_rows,
+           {{SHARE}} AS share,
+           {{SKEW}} AS skew_factor,
+           rnk
+    FROM (
+        SELECT item, n_rows,
+               ROW_NUMBER() OVER (ORDER BY n_rows DESC, item) AS rnk
+        FROM per
+    ) ranked CROSS JOIN tot
+    WHERE rnk <= {SKEW_TOP}
+    """
+    ).format(
+        SHARE=r4sql("CAST(n_rows AS DOUBLE) / total"),
+        SKEW=r4sql("CAST(max_n AS DOUBLE) / avg_n"),
+    ),
+    doc="EXT x48 — key-skew profiler: per-key row counts, corpus "
+    "share, and the global max/avg skew factor for the top hot keys "
+    "of a prospective shuffle key. This is the diagnostic that decides "
+    "salting / AQE-skew-join settings BEFORE a 100 TB shuffle ships: "
+    "one hash-agg over the key (map-side combinable), a broadcast of "
+    "the 3-number global stats back onto the ranked top slice — "
+    "per-key work never materializes more than the distinct-key "
+    "count, and the output is bounded at SKEW_TOP rows.",
+    tags=("ext", "pipeline", "diagnostic"),
+    late=True,
+)
+def x48_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.sources.synthetic import auctions
+
+    per = (
+        auctions(spark, sf_dir)
+        .groupBy("item")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    tot = per.agg(
+        F.sum("n_rows").alias("total"),
+        F.avg("n_rows").alias("avg_n"),
+        F.max("n_rows").alias("max_n"),
+    )
+    # orderBy+limit plans as TakeOrderedAndProject (distributed
+    # partial top-N per partition, tiny final merge) — no global
+    # single-partition window ever sees the full distinct-key set;
+    # the rank window then runs over only the SKEW_TOP-row slice.
+    top = per.orderBy(F.desc("n_rows"), F.col("item")).limit(SKEW_TOP)
+    ranked = top.select(
+        "item",
+        "n_rows",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_rows"), F.col("item")))
+        .alias("rnk"),
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "item",
+        "n_rows",
+        r4(F.col("n_rows").cast("double") / F.col("total")).alias("share"),
+        r4(F.col("max_n").cast("double") / F.col("avg_n")).alias(
+            "skew_factor"
+        ),
+        "rnk",
     )

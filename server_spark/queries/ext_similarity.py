@@ -672,3 +672,34 @@ def x47_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return pq_topk(emb, queries, k=TOPK, cache_key=sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# x49 — IVFPQ: coarse-quantizer-gated ADC (the billion-scale ANN shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x49_ivfpq_topk",
+    None,  # both quantizers are engine-side model state
+    doc="EXT x49 — IVFPQ (Jégou et al. 2011 §V; FAISS IVFx,PQm): the "
+    "x14 coarse quantizer bounds WHICH codes each query reads "
+    "(n_probe inverted lists via the cluster equi-join), the x47 "
+    "product quantizer bounds their SIZE (m bytes + one norm per "
+    "candidate). Per query ~corpus×n_probe/n_clusters candidates, "
+    "each scored by m LUT gathers — at 1B vectors a query touches "
+    "~2 MB of codes instead of 2 GB of floats. Rows-only; recall "
+    "pinned in tests/test_pq.py.",
+    tags=("ext", "similarity", "rows-only"),
+    late=True,
+)
+def x49_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.similarity.pq import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivfpq_topk(
+        emb, queries, k=TOPK, n_clusters=16, n_probe=4, cache_key=sf_dir
+    )

@@ -212,7 +212,140 @@ def adc_topk(
     )
 
 
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    seed: int = 7,
+    cache_key: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-gated ADC: the FAISS IVFPQ composition. Queries probe their
+    ``n_probe`` nearest inverted lists (coarse quantizer), and only
+    the candidates from those lists are ADC-scored against the PQ
+    codes — per query ~corpus × n_probe/n_clusters code reads, each m
+    byte gathers. This is the production billion-scale shape: the
+    coarse index bounds WHICH codes are read, PQ bounds their SIZE;
+    neither the raw vectors nor the full code table is touched at
+    query time.
+
+    Candidates reach the scorer through the same equi-join on cluster
+    id as the exact-rerank IVF search, so the shuffle key is the
+    cluster assignment, and boundary-replicated vectors (n_assign) are
+    deduped per (query, id) before scoring."""
+    from server_spark.similarity.ivf import _query_probes, cached_index
+
+    idx = cached_index(
+        embeddings,
+        cache_key=cache_key or "ivfpq-anon",
+        n_clusters=n_clusters,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    codebooks, encoded = _pq_encoded(
+        embeddings, m, ksub, seed, cache_key, id_col, vec_col
+    )
+    probes = _query_probes(idx, queries, n_probe, qvec_col).select(
+        qid_col, "_qn", "cluster"
+    )
+    cand = (
+        idx.assigned.select(id_col, "cluster")
+        .join(F.broadcast(probes), "cluster")
+        .filter(F.col(qid_col) != F.col(id_col))
+        .dropDuplicates([qid_col, id_col])
+        .join(encoded, id_col)
+        .select(qid_col, id_col, "_qn", "codes", "_rnrm")
+    )
+    mm, kk, dsub = codebooks.shape
+    cb = codebooks
+    qrows = queries.select(qid_col, qvec_col).collect()  # bounded batch
+    luts = {
+        int(r[0]): np.stack(
+            [
+                np.asarray(r[1], dtype=np.float64)[j * dsub : (j + 1) * dsub]
+                @ cb[j].T
+                for j in range(mm)
+            ]
+        )
+        for r in qrows
+    }
+    b = embeddings.sparkSession.sparkContext.broadcast(luts)
+    schema = f"{qid_col} long, {id_col} long, score_adc double"
+
+    def score(batches):
+        import pandas as pd
+
+        blut = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_q, out_i, out_s = [], [], []
+            for qid, grp in pdf.groupby(qid_col):
+                lut = blut[int(qid)]
+                n = len(grp)
+                codes = np.frombuffer(
+                    b"".join(grp["codes"]), dtype=np.uint8
+                ).reshape(n, mm)
+                dots = lut[np.arange(mm)[None, :], codes].sum(axis=1)
+                rnrm = grp["_rnrm"].values
+                qn = grp["_qn"].values
+                s = dots / (qn * np.where(rnrm > 0, rnrm, np.inf))
+                out_q.append(np.full(n, qid, dtype=np.int64))
+                out_i.append(grp[id_col].values.astype(np.int64))
+                out_s.append(s)
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        qid_col: np.concatenate(out_q),
+                        id_col: np.concatenate(out_i),
+                        "score_adc": np.concatenate(out_s),
+                    }
+                )
+
+    scored = cand.mapInPandas(score, schema)
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("score_adc"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            qid_col, id_col, F.round("score_adc", 6).alias("score_adc"), "rnk"
+        )
+    )
+
+
 _PQ_CACHE: dict = {}
+
+
+def _pq_encoded(
+    embeddings: DataFrame,
+    m: int,
+    ksub: int,
+    seed: int,
+    cache_key: str | None,
+    id_col: str,
+    vec_col: str,
+):
+    """(codebooks, encoded-and-cached corpus) with per-corpus reuse —
+    the offline step shared by pq_topk and ivfpq_topk."""
+    key = (cache_key, m, ksub, seed, id_col, vec_col)
+    hit = _PQ_CACHE.get(key) if cache_key else None
+    if hit is None:
+        codebooks = train_pq(embeddings, m, ksub, seed, vec_col)
+        encoded = encode_pq(embeddings, codebooks, id_col, vec_col).cache()
+        hit = (codebooks, encoded)
+        if cache_key:
+            _PQ_CACHE[key] = hit
+    return hit
 
 
 def pq_topk(
@@ -229,15 +362,9 @@ def pq_topk(
     qvec_col: str = "query_vec",
 ) -> DataFrame:
     """Train + encode (cached per corpus, the offline step) + ADC."""
-    key = (cache_key, m, ksub, seed, id_col, vec_col)
-    hit = _PQ_CACHE.get(key) if cache_key else None
-    if hit is None:
-        codebooks = train_pq(embeddings, m, ksub, seed, vec_col)
-        encoded = encode_pq(embeddings, codebooks, id_col, vec_col).cache()
-        hit = (codebooks, encoded)
-        if cache_key:
-            _PQ_CACHE[key] = hit
-    codebooks, encoded = hit
+    codebooks, encoded = _pq_encoded(
+        embeddings, m, ksub, seed, cache_key, id_col, vec_col
+    )
     return adc_topk(
         encoded, queries, codebooks, k, id_col, qid_col, qvec_col
     )

@@ -97,3 +97,28 @@ def test_adc_self_excluded_and_scores_bounded(spark, emb, codebooks):
     out = adc_topk(enc, queries, codebooks, k=5).collect()
     assert all(r["query_id"] != r["vec_id"] for r in out)
     assert all(-1.2 <= r["score_adc"] <= 1.2 for r in out)
+
+
+def test_ivfpq_recall_vs_bruteforce(spark, emb):
+    """x49: IVF gating composed with ADC scoring — recall floor is
+    IVF's (the candidate gate dominates; PQ only reorders within it),
+    and no out-of-corpus or self ids appear."""
+    from server_spark.similarity.pq import ivfpq_topk
+
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cos.brute_force_topk(emb, queries, k=TOPK).collect()
+    }
+    got = ivfpq_topk(
+        emb, queries, k=TOPK, n_clusters=16, n_probe=4, cache_key=None
+    ).collect()
+    got_set = {(r["query_id"], r["vec_id"]) for r in got}
+    corpus = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert all(v in corpus for _, v in got_set)
+    assert all(q != v for q, v in got_set)
+    recall = len(got_set & exact) / len(exact)
+    assert recall >= 0.33, f"IVFPQ recall@{TOPK} too low: {recall:.2f}"
