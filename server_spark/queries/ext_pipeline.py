@@ -618,3 +618,68 @@ def x48_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "rnk",
     )
+
+
+# ---------------------------------------------------------------------------
+# x50 — weighted sample (Efraimidis–Spirakis, deterministic)
+# ---------------------------------------------------------------------------
+
+WSAMPLE_N = 100
+
+
+@register(
+    "x50_weighted_sample",
+    f"""
+    WITH u AS (
+        SELECT doc_id, lang, n_chars,
+               GREATEST(
+                   CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) AS DOUBLE) / 4294967296.0,
+                   1e-12) AS uval
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, rnk FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (
+                   ORDER BY LN(uval) / n_chars DESC, doc_id
+               ) AS rnk
+        FROM u
+    ) WHERE rnk <= {WSAMPLE_N}
+    """,
+    doc="EXT x50 — weighted sampling without replacement "
+    "(Efraimidis–Spirakis 2006): key_i = u_i^(1/w_i), keep the top N "
+    "keys — inclusion probability proportional to weight (n_chars "
+    "here: a curriculum that favors longer documents). The uniform is "
+    "DERIVED from md5(doc_id) (first 8 hex chars / 2^32), so the "
+    "sample is reproducible across engines, runs and cluster sizes — "
+    "x19's determinism property extended to weighted draws, no "
+    "sampling state, membership a function of (id, weight) alone. "
+    "Equivalent ordering ln(u)/w descending avoids u^(1/w) underflow "
+    "for large weights. Output is integer-only (ids, weights, ranks): "
+    "the ln-keys never cross the oracle boundary, so libm last-ulp "
+    "differences cannot flip the hash. Scale shape: orderBy+limit "
+    "plans as TakeOrderedAndProject (per-partition partial top-N); "
+    "the rank window runs over the N-row slice only.",
+    tags=("ext", "sample"),
+    late=True,
+)
+def x50_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = F.greatest(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        / F.lit(4294967296.0),
+        F.lit(1e-12),
+    )
+    keyed = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "n_chars", (F.log(u) / F.col("n_chars")).alias("_k")
+    )
+    top = keyed.orderBy(F.desc("_k"), F.col("doc_id")).limit(WSAMPLE_N)
+    return top.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.row_number()
+        .over(Window.orderBy(F.desc("_k"), F.col("doc_id")))
+        .alias("rnk"),
+    )

@@ -342,3 +342,28 @@ def test_norm_outlier_trim_ladder_and_constant(spark):
     crows = cos.norm_trim_flags(const, dim=2).collect()
     assert all(r["kept"] for r in crows)
     assert all(r["l2_norm"] == 5.0 for r in crows)
+
+
+def test_weighted_sample_favors_heavy_docs(spark, sf_dir):
+    """x50: inclusion probability ∝ n_chars — the sampled docs'
+    mean weight must exceed the corpus mean (longer docs
+    overrepresented), and the sample is exactly WSAMPLE_N ranked
+    rows, deterministic across runs."""
+    from server_spark.queries.ext_pipeline import (
+        WSAMPLE_N,
+        x50_weighted_sample,
+    )
+
+    out1 = x50_weighted_sample(spark, sf_dir).collect()
+    out2 = x50_weighted_sample(spark, sf_dir).collect()
+    assert [r["doc_id"] for r in out1] == [r["doc_id"] for r in out2]
+    assert sorted(r["rnk"] for r in out1) == list(range(1, WSAMPLE_N + 1))
+    corpus_mean = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    sample_mean = sum(r["n_chars"] for r in out1) / len(out1)
+    assert sample_mean > corpus_mean, (
+        f"sample mean {sample_mean:.0f} <= corpus mean {corpus_mean:.0f}"
+    )
