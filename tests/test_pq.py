@@ -100,9 +100,9 @@ def test_adc_self_excluded_and_scores_bounded(spark, emb, codebooks):
 
 
 def test_ivfpq_recall_vs_bruteforce(spark, emb):
-    """x49: IVF gating composed with ADC scoring — recall floor is
-    IVF's (the candidate gate dominates; PQ only reorders within it),
-    and no out-of-corpus or self ids appear."""
+    """x49: IVF gating composed with RESIDUAL ADC scoring — recall
+    approaches the IVF gate's exact-rerank ceiling, and no
+    out-of-corpus or self ids appear."""
     from server_spark.similarity.pq import ivfpq_topk
 
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
@@ -121,4 +121,6 @@ def test_ivfpq_recall_vs_bruteforce(spark, emb):
     assert all(v in corpus for _, v in got_set)
     assert all(q != v for q, v in got_set)
     recall = len(got_set & exact) / len(exact)
-    assert recall >= 0.33, f"IVFPQ recall@{TOPK} too low: {recall:.2f}"
+    # residual encoding holds ~0.56-0.62 at both test SFs (global-code
+    # gating measured 0.44 at sf0.01); floor set below run wobble
+    assert recall >= 0.45, f"IVFPQ recall@{TOPK} too low: {recall:.2f}"
