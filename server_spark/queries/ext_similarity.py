@@ -706,3 +706,42 @@ def x49_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         emb, queries, k=TOPK, n_clusters=16, n_probe=4, cache_key=sf_dir
     )
+
+
+# ---------------------------------------------------------------------------
+# x51 — incremental index maintenance (assign arriving batch + drift)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x51_incremental_index_assign",
+    None,  # quantizer is engine-side model state
+    doc="EXT x51 — incremental ANN index maintenance: an ARRIVING "
+    "embedding batch (odd vec_ids as the demo split) assigned to the "
+    "STANDING index built on the base corpus (even vec_ids) — the "
+    "FAISS add-after-train step as a narrow Arrow pass, the x38/x45 "
+    "incremental posture applied to index upkeep. Output rows union "
+    "straight into the inverted-list table; d2_ratio (assigned "
+    "distance² over the base corpus's mean build distortion — a "
+    "build-time stat at scale, recomputed here for the demo) is the "
+    "REBUILD TRIGGER: a batch median ≫1 means the quantizer no "
+    "longer fits the data. Per-increment cost scales with the batch; "
+    "the corpus is never rescanned at scale. Rows-only; assignment "
+    "optimality and drift semantics pinned in tests/test_pq.py.",
+    tags=("ext", "similarity", "incremental", "rows-only"),
+    late=True,
+)
+def x51_incremental_index_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.similarity.ivf import assign_batch, build_index
+
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = build_index(base, n_clusters=16, cache=False, n_assign=1)
+    base_d2 = assign_batch(idx, base).agg(F.avg("_d2")).first()[0]
+    out = assign_batch(idx, batch)
+    return out.select(
+        "vec_id",
+        "cluster",
+        r4(F.col("_d2") / F.lit(max(base_d2, 1e-12))).alias("d2_ratio"),
+    )

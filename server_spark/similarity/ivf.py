@@ -329,3 +329,59 @@ def ivf_topk(
             embeddings, n_clusters, seed, id_col, vec_col, cache=False
         )
     return search(index, queries, k=k, n_probe=n_probe, qid_col=qid_col, qvec_col=qvec_col)
+
+
+def assign_batch(
+    index: IvfIndex,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign an ARRIVING batch to the STANDING index — the
+    maintenance half of a served ANN index (FAISS `add` after
+    `train`): centroids stay FIXED, each new vector gets its inverted
+    list + norm in one Arrow-batched narrow pass, and the output
+    unions straight into ``index.assigned`` (same schema). Alongside
+    the assignment, ``d2_ratio`` = (distance² to the assigned
+    centroid) / (mean distance² of the BUILD corpus) is the drift
+    signal: a batch whose median ratio drifts ≫1 no longer matches
+    the trained quantizer and should trigger a rebuild — the
+    incremental posture of x38/x45 applied to index maintenance.
+    Per-increment cost scales with the batch; the corpus is never
+    rescanned."""
+    cents = index.centroids
+    cT, csq = cents.T, (cents * cents).sum(axis=1)
+    schema = T.StructType(
+        [
+            batch.schema[id_col],
+            batch.schema[vec_col],
+            T.StructField("_nrm", T.DoubleType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("_d2", T.DoubleType()),
+        ]
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(mat) == 0:
+                continue
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None] - 2.0 * (mat @ cT) + csq[None, :]
+            )
+            best = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    vec_col: pdf[vec_col].values,
+                    "_nrm": np.linalg.norm(mat, axis=1),
+                    "cluster": best.astype(np.int32),
+                    "_d2": np.maximum(
+                        d2[np.arange(len(best)), best], 0.0
+                    ),
+                }
+            )
+
+    return batch.select(id_col, vec_col).mapInPandas(assign, schema)

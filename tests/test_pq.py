@@ -124,3 +124,35 @@ def test_ivfpq_recall_vs_bruteforce(spark, emb):
     # residual encoding holds ~0.56-0.62 at both test SFs (global-code
     # gating measured 0.44 at sf0.01); floor set below run wobble
     assert recall >= 0.45, f"IVFPQ recall@{TOPK} too low: {recall:.2f}"
+
+
+def test_incremental_assign_optimal_and_drift(spark, emb):
+    """x51: every batch vector lands in its true nearest centroid
+    (numpy cross-check), the output unions into the standing
+    inverted-list table, and the drift ratio is ~1 for
+    same-distribution data."""
+    from server_spark.similarity.ivf import assign_batch, build_index
+
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = build_index(base, n_clusters=8, cache=False, n_assign=1)
+    out = assign_batch(idx, batch).collect()
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in batch.collect()
+    }
+    for r in out[:100]:
+        v = vecs[r["vec_id"]]
+        d2 = ((idx.centroids - v) ** 2).sum(axis=1)
+        assert r["cluster"] == int(d2.argmin())
+        assert abs(r["_d2"] - d2.min()) < 1e-9
+        assert abs(r["_nrm"] - np.linalg.norm(v)) < 1e-9
+    # same-distribution batch → mean distortion ratio near 1
+    base_d2 = np.mean([r["_d2"] for r in assign_batch(idx, base).collect()])
+    batch_d2 = np.mean([r["_d2"] for r in out])
+    assert 0.5 < batch_d2 / base_d2 < 2.0
+    # assignment schema unions into the standing inverted lists
+    merged = idx.assigned.unionByName(
+        assign_batch(idx, batch).drop("_d2")
+    )
+    assert merged.count() == idx.assigned.count() + len(out)
