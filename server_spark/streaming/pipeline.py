@@ -309,3 +309,51 @@ def incremental_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def index_assign_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index,
+    out_dir: str,
+    checkpoint_dir: str,
+    base_mean_d2: float,
+):
+    """Streaming twin of x51: ARRIVING embedding batches assigned to
+    the STANDING ANN index as they land — continuous index
+    maintenance. The quantizer (centroids) is model state captured in
+    the closure, exactly the stream-static posture of
+    :func:`incremental_dedup_stream` (the corpus-side state is the
+    index; no state store). Each micro-batch appends inverted-list
+    rows plus its drift ratio, so the rebuild trigger becomes a
+    monitorable column in the sink instead of an offline check.
+
+    JSON-source note: embeddings arrive as ``array<double>`` — at
+    scale the landing files are parquet and the schema is the
+    embeddings contract; JSON keeps the streaming test hermetic.
+    """
+    from server_spark.similarity.ivf import assign_batch
+
+    stream = (
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", 1)
+        .json(input_dir)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        out = assign_batch(index, batch_df).select(
+            "vec_id",
+            "cluster",
+            "_nrm",
+            (F.col("_d2") / F.lit(max(base_mean_d2, 1e-12))).alias(
+                "d2_ratio"
+            ),
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

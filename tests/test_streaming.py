@@ -303,3 +303,59 @@ def test_late_data_dropped_after_watermark(spark, tmp_path):
         dt.datetime(2024, 1, 1, 12),
     }
     assert rows[dt.datetime(2024, 1, 1, 12)]["volume"] == 5
+
+
+def test_streaming_index_assign(spark, tmp_path):
+    """x51 streaming twin: embedding batches landing as files are
+    assigned to the standing index continuously; assignments match
+    the batch operator and the drift column is populated."""
+    import json as _json
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from server_spark.queries.ext_common import _emb
+    from server_spark.similarity.ivf import assign_batch, build_index
+    from server_spark.streaming.pipeline import index_assign_stream
+    from tests.conftest import SF_SMOKE
+
+    emb = _emb(spark, SF_SMOKE)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    idx = build_index(base, n_clusters=8, cache=False, n_assign=1)
+    base_d2 = assign_batch(idx, base).agg(F.avg("_d2")).first()[0]
+
+    arriving = emb.filter(F.col("vec_id") % 2 == 1).limit(40).collect()
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, half in enumerate((arriving[:20], arriving[20:])):
+        with open(in_dir / f"batch{i}.json", "w") as f:
+            for r in half:
+                f.write(
+                    _json.dumps(
+                        {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+                    )
+                    + "\n"
+                )
+    q = index_assign_stream(
+        spark,
+        str(in_dir),
+        idx,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        base_d2,
+    )
+    q.awaitTermination(120)
+    got = {
+        r["vec_id"]: r for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert len(got) == 40
+    want = {
+        r["vec_id"]: r
+        for r in assign_batch(
+            idx, emb.filter(F.col("vec_id") % 2 == 1).limit(40)
+        ).collect()
+    }
+    for vid, w in want.items():
+        assert got[vid]["cluster"] == w["cluster"]
+        assert got[vid]["d2_ratio"] >= 0
+    assert np.isfinite([r["d2_ratio"] for r in got.values()]).all()
