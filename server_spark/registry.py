@@ -147,6 +147,7 @@ def _ensure_loaded() -> None:
         joins_sets,
         nested,
         timeseries,
+        warehouse,
     )
 
     _LOADED = True

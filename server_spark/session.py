@@ -63,6 +63,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Runtime row-level bloom filters: when a shuffle join's
+        # creation side carries a selective filter but is too big to
+        # broadcast (the 100 TB dim-slice case, j10), inject a bloom
+        # filter on the application side's join key so non-matching
+        # fact rows are dropped before the shuffle. Local runs rarely
+        # trigger it (the filtered dim broadcasts instead, strictly
+        # better); the injection itself is plan-tested with
+        # cluster-shaped thresholds in tests/test_plans.py.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     if master:

@@ -111,3 +111,25 @@ def test_a2_decimal_twin_no_drift(spark):
                 f"item {item} {c}: double {dr[c]} != decimal {er[c]}"
             )
     assert worst == 0
+
+
+def test_j9_scd2_invariants(spark, sf_dir):
+    """SCD2 contract: per user exactly one open (is_current) row;
+    validity intervals tile exactly (version k's effective_to equals
+    version k+1's effective_from); consecutive versions never carry
+    the same state (else they should have collapsed)."""
+    from server_spark.queries.warehouse import j9_scd2_user_state
+
+    rows = j9_scd2_user_state(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, hist in by_user.items():
+        hist.sort(key=lambda r: r.version)
+        assert [r.version for r in hist] == list(range(1, len(hist) + 1))
+        assert sum(r.is_current for r in hist) == 1
+        assert hist[-1].is_current and hist[-1].effective_to is None
+        for a, b in zip(hist, hist[1:]):
+            assert a.effective_to == b.effective_from, user
+            assert a.state != b.state, user

@@ -20,6 +20,12 @@ def test_full_registry_parity_smoke_scale(spark, sf_dir):
         spark, sf_dir, verbose=False
     )
     assert not failed, "; ".join(f"{n}: {why[:200]}" for n, why in failed)
-    # every oracle-backed query must actually have been compared
+    # every oracle-backed query must actually have been compared, and
+    # the rows-only set must be exactly the queries registered without
+    # an oracle — a query silently falling out of hash comparison
+    # (e.g. an oracle string dropped in a refactor) shows up here.
+    from server_spark.registry import REGISTRY
+
+    no_oracle = {n for n, q in REGISTRY.items() if q.oracle is None}
     assert len(passed) >= 80
-    assert len(rows_only) <= 10
+    assert set(rows_only) == no_oracle

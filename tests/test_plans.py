@@ -281,3 +281,56 @@ def test_x43_span_build_has_no_predata_shuffle(plans):
     m = _re.search(r"ReadSchema: struct<([^>]*)>", f)
     cols = sorted(c.split(":")[0] for c in m.group(1).split(",") if c)
     assert cols == ["doc_id", "text"]
+
+
+def test_j9_scd2_single_shuffle(plans):
+    """Both SCD2 windows partition by user_id, so the change-capture
+    lag and the versioning row_number/lead share ONE hash exchange."""
+    p = plans("j9_scd2_user_state")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    """j10's cluster shape: when the filtered dimension cannot
+    broadcast, the optimizer must inject a runtime bloom filter
+    (bloom_filter_agg on the dim slice, might_contain guarding the
+    fact scan) so non-matching fact rows drop before the shuffle.
+    Local runs broadcast instead (strictly better), so this test
+    forces the cluster thresholds: broadcast off, application-side
+    scan threshold zero."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from server_spark import tables
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        sf = "/root/testdata/sf0.001"
+        ev = tables.load(spark, sf, "events").select("user_id", "value")
+        cust = (
+            tables.load(spark, sf, "customer")
+            .filter(F.col("c_acctbal") > 6000)
+            .select("c_custkey", "c_name")
+        )
+        joined = ev.join(cust, ev.user_id == cust.c_custkey)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
