@@ -745,3 +745,35 @@ def x51_incremental_index_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster",
         r4(F.col("_d2") / F.lit(max(base_d2, 1e-12))).alias("d2_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x52 — IVFPQ + exact refine re-rank (FAISS IVFx,PQm + RFlat)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x52_ivfpq_refine_topk",
+    None,  # quantizers are engine-side model state
+    doc="EXT x52 — the serving-grade ANN composition: x49's IVFPQ "
+    "produces a k×4 quantized shortlist, then ONLY those ids are "
+    "re-scored exactly against their raw vectors (broadcast the "
+    "shortlist into one gated corpus scan, codegen-unrolled dot). "
+    "Recall recovers from the code approximation (measured ~0.62) to "
+    "the IVF gate's exact-rerank ceiling (~0.70 at sf0.01) while the "
+    "corpus-sized pass still reads 8-byte codes, not 512-byte "
+    "vectors. Rows-only; recall pinned in tests/test_pq.py.",
+    tags=("ext", "similarity", "rows-only"),
+    late=True,
+)
+def x52_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.similarity.pq import ivfpq_refine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivfpq_refine_topk(
+        emb, queries, k=TOPK, refine=4, n_clusters=16, n_probe=4,
+        cache_key=sf_dir,
+    )

@@ -468,3 +468,78 @@ def pq_topk(
     return adc_topk(
         encoded, queries, codebooks, k, id_col, qid_col, qvec_col
     )
+
+
+def ivfpq_refine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    refine: int = 4,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    seed: int = 7,
+    cache_key: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """IVFPQ + exact re-rank (the FAISS ``IVFx,PQm + RFlat`` refine
+    stage): the quantized ADC pass returns a ``k×refine`` shortlist,
+    then ONLY those ids are re-scored against their raw vectors.
+    Recall recovers to the IVF gate's exact-rerank ceiling — the PQ
+    approximation error now only has to keep true neighbors inside
+    the shortlist, not rank them — while the corpus-sized work stays
+    in the 8-byte code domain.
+
+    100 TB shape: the shortlist is n_q × k×refine rows (thousands) —
+    broadcast it against the raw-vector table, so the refine pass is
+    ONE gated scan of the corpus with zero corpus-side shuffle; the
+    exact dot runs codegen-unrolled on shortlist-sized input.
+    """
+    from server_spark.parity import r4
+    from server_spark.similarity.cosine import dot_fixed, norm
+
+    shortlist = ivfpq_topk(
+        embeddings,
+        queries,
+        k=k * refine,
+        n_clusters=n_clusters,
+        n_probe=n_probe,
+        m=m,
+        ksub=ksub,
+        seed=seed,
+        cache_key=cache_key,
+        id_col=id_col,
+        vec_col=vec_col,
+        qid_col=qid_col,
+        qvec_col=qvec_col,
+    ).select(qid_col, id_col)
+
+    qn = queries.select(
+        qid_col, qvec_col, norm(qvec_col).alias("_qn")
+    )
+    dim = len(queries.select(qvec_col).head()[0])
+    cand = (
+        embeddings.select(id_col, vec_col)
+        .join(F.broadcast(shortlist), id_col)
+        .join(F.broadcast(qn), qid_col)
+    )
+    scored = cand.select(
+        F.col(qid_col),
+        F.col(id_col),
+        r4(
+            dot_fixed(vec_col, qvec_col, dim)
+            / (norm(vec_col) * F.col("_qn"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("score"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(qid_col, id_col, "score", "rnk")
+    )

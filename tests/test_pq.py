@@ -156,3 +156,34 @@ def test_incremental_assign_optimal_and_drift(spark, emb):
         assign_batch(idx, batch).drop("_d2")
     )
     assert merged.count() == idx.assigned.count() + len(out)
+
+
+def test_ivfpq_refine_recovers_gate_ceiling(spark, emb):
+    """x52: exact re-rank of the ADC shortlist must (a) beat the pure
+    ADC ranking's recall, (b) match the IVF gate's exact-rerank
+    recall — PQ error can only lose candidates that fall OUT of the
+    k×refine shortlist, and with refine=4 none do on this corpus."""
+    from server_spark.similarity.ivf import build_index, search
+    from server_spark.similarity.pq import ivfpq_refine_topk, ivfpq_topk
+
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cos.brute_force_topk(emb, queries, k=TOPK).collect()
+    }
+
+    def recall(df):
+        got = {(r["query_id"], r["vec_id"]) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    kw = dict(k=TOPK, n_clusters=16, n_probe=4, cache_key=None)
+    r_adc = recall(ivfpq_topk(emb, queries, **kw))
+    r_ref = recall(ivfpq_refine_topk(emb, queries, refine=4, **kw))
+    # same gate, exact scoring of everything the gate admits
+    idx = build_index(emb, n_clusters=16, cache=False)
+    r_gate = recall(search(idx, queries, k=TOPK, n_probe=4))
+    assert r_ref >= r_adc, (r_ref, r_adc)
+    assert r_ref >= r_gate - 0.02, (r_ref, r_gate)
