@@ -248,3 +248,54 @@ def test_compact_small_files(spark, tmp_path):
     # second run is a no-op
     stats2 = compact_small_files(spark, tdir, target_bytes=64 * 1024 * 1024)
     assert stats2["compacted_partitions"] == 0
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order vs linear sort on lineitem(l_orderkey, l_partkey) —
+    two UNcorrelated keys (l_suppkey is partkey-correlated in TPC-H
+    and would collapse the Z-space onto diagonals): the Z-layout must
+    let footer-stats pruning skip files for a range predicate on
+    EITHER dimension, while a linear sort only prunes its own sort
+    column and reads every file for the other. Bounds reflect the
+    honest Z tradeoff at 32 files (x split one level finer than y
+    under bit interleaving, plus sampled range-boundary straddle)."""
+    from server_spark.plans import layout
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    n_files = 32
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    layout.write_zordered(li, zpath, "l_orderkey", "l_partkey", n_files)
+    (
+        li.repartitionByRange(n_files, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.parquet(lpath)
+    )
+
+    ze = layout.file_envelopes(zpath, "l_orderkey", "l_partkey")
+    le = layout.file_envelopes(lpath, "l_orderkey", "l_partkey")
+    assert len(ze) == n_files and len(le) == n_files
+
+    # 10%-wide range predicate on each dimension separately
+    xmax = max(e["x_max"] for e in ze)
+    ymax = max(e["y_max"] for e in ze)
+    x_rng = (0.45 * xmax, 0.55 * xmax)
+    y_rng = (0.45 * ymax, 0.55 * ymax)
+
+    # linear layout: near-perfect on its sort column, reads ALL files
+    # for the other dimension
+    assert layout.files_surviving(le, x_range=x_rng) <= 6
+    assert layout.files_surviving(le, y_range=y_rng) == n_files
+    # z-order: prunes on BOTH single dimensions (measured 8 and 19 of
+    # 32; deterministic given fixed input and partitioning)
+    z_x = layout.files_surviving(ze, x_range=x_rng)
+    z_y = layout.files_surviving(ze, y_range=y_rng)
+    assert z_x <= 12, z_x
+    assert z_y <= 24, z_y
+    # and the conjunction prunes hardest (measured 5 of 32)
+    z_both = layout.files_surviving(ze, x_range=x_rng, y_range=y_rng)
+    assert z_both <= min(z_x, z_y) and z_both <= 8, z_both
+    # layout must not change the data
+    assert spark.read.parquet(zpath).count() == li.count()
