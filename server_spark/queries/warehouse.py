@@ -142,3 +142,97 @@ def j10_runtime_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.sum("value")).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# U5 — CDC merge apply (MERGE INTO semantics over plain tables)
+# ---------------------------------------------------------------------------
+
+_MERGE_DAY_BASE = "2024-01-10"
+_MERGE_DAY_CHG = "2024-01-11"
+
+
+def _last_state_of_day(spark: SparkSession, sf_dir: str, day: str) -> DataFrame:
+    """Each user's final (state, value) on ``day`` — one window keyed
+    by user over the single day's slice (partition-prunable at scale)."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.filter(F.to_date("ts") == F.lit(day).cast("date"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.col("event_type").alias("state"),
+                F.col("value").alias("value"))
+    )
+
+
+@register(
+    "u5_cdc_merge",
+    f"""
+    WITH base AS (
+      SELECT user_id, event_type AS state, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events WHERE CAST(ts AS DATE) = DATE '{_MERGE_DAY_BASE}'
+      ) WHERE rn = 1
+    ), chg AS (
+      SELECT user_id, event_type AS state, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events WHERE CAST(ts AS DATE) = DATE '{_MERGE_DAY_CHG}'
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+           COALESCE(c.state, b.state) AS state,
+           {r4sql('COALESCE(c.value, b.value)')} AS value,
+           CASE WHEN b.user_id IS NULL THEN 'inserted'
+                WHEN c.user_id IS NULL THEN 'kept'
+                ELSE 'updated' END AS merge_action
+    FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+    WHERE NOT (c.user_id IS NOT NULL AND c.state = 'error')
+    """,
+    doc="U5 — MERGE INTO semantics over plain tables (the Delta/"
+    "Iceberg upsert primitive, reference's snapshot-overwrite intake "
+    "re-expressed as CDC apply): day-B's per-user last event is the "
+    "changeset; matched rows update, unmatched insert, and a "
+    "terminal 'error' state deletes. ONE full-outer join keyed on "
+    "user_id — both sides are same-keyed window outputs, so the join "
+    "reuses their shuffle partitioning; at 100 TB the base side is "
+    "the standing table and the changeset is increment-sized, which "
+    "AQE turns into a broadcast or bloom-gated join (j10 posture).",
+    tags=("setop", "cdc", "merge"),
+    late=True,
+)
+def u5_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _last_state_of_day(spark, sf_dir, _MERGE_DAY_BASE).alias("b")
+    chg = _last_state_of_day(spark, sf_dir, _MERGE_DAY_CHG).alias("c")
+    merged = base.join(
+        chg, F.col("b.user_id") == F.col("c.user_id"), "full_outer"
+    )
+    return (
+        merged.filter(
+            ~(
+                F.col("c.user_id").isNotNull()
+                & (F.col("c.state") == "error")
+            )
+        )
+        .select(
+            F.coalesce(F.col("b.user_id"), F.col("c.user_id")).alias(
+                "user_id"
+            ),
+            F.coalesce(F.col("c.state"), F.col("b.state")).alias("state"),
+            r4(F.coalesce(F.col("c.value"), F.col("b.value"))).alias(
+                "value"
+            ),
+            F.when(F.col("b.user_id").isNull(), "inserted")
+            .when(F.col("c.user_id").isNull(), "kept")
+            .otherwise("updated")
+            .alias("merge_action"),
+        )
+    )
