@@ -902,3 +902,54 @@ def t13_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.sum("n_new").over(w).cast("bigint").alias("cum_uniques"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T14 — tiered retention downsampling (hypertable continuous-aggregate shape)
+# ---------------------------------------------------------------------------
+
+_T14_CUTOFF = "2024-01-24"  # recent tier boundary (events span Jan 1-30)
+
+
+@register(
+    "t14_downsample_tiers",
+    """
+    SELECT tier, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {V} AS total_value
+    FROM (
+      SELECT CASE WHEN ts >= TIMESTAMP '{CUT} 00:00:00'
+                  THEN 'hour' ELSE 'day' END AS tier,
+             CASE WHEN ts >= TIMESTAMP '{CUT} 00:00:00'
+                  THEN date_trunc('hour', ts)
+                  ELSE date_trunc('day', ts) END AS bucket,
+             value
+      FROM events
+    )
+    GROUP BY tier, bucket
+    """.format(V=r4sql("SUM(value)"), CUT=_T14_CUTOFF),
+    doc="T14 — tiered retention downsampling (TimescaleDB continuous "
+    "aggregate / retention policy shape): recent data keeps hourly "
+    "resolution, older data is rolled to daily. The tier split is a "
+    "CASE inside the projection, so the whole thing is ONE scan and "
+    "ONE hash-agg shuffle — not a union of two filtered scans. At "
+    "100 TB this runs incrementally: the hourly tier appends from "
+    "the stream, the daily tier is written once when a day crosses "
+    "the cutoff, and the raw slice older than both tiers is dropped "
+    "by t7's retention predicate (partition drop, not delete).",
+    tags=("timeseries", "downsample"),
+    late=True,
+)
+def t14_downsample_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cut = F.lit(_T14_CUTOFF + " 00:00:00").cast("timestamp")
+    ev = _events(spark, sf_dir).select(
+        F.when(F.col("ts") >= cut, "hour").otherwise("day").alias("tier"),
+        F.when(
+            F.col("ts") >= cut, F.date_trunc("hour", "ts")
+        ).otherwise(F.date_trunc("day", "ts")).alias("bucket"),
+        "value",
+    )
+    return ev.groupBy("tier", "bucket").agg(
+        F.count("*").alias("n_events"),
+        r4(F.sum("value")).alias("total_value"),
+    )

@@ -334,3 +334,11 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_t14_downsample_single_scan_single_shuffle(plans):
+    """The tier split is a projection CASE, not a union of filtered
+    scans: one parquet scan, one hash-agg exchange."""
+    p = plans("t14_downsample_tiers")
+    assert p.count("Scan parquet") == 1
+    assert p.count("Exchange hashpartitioning") == 1
