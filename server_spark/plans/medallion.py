@@ -85,12 +85,15 @@ def load_manifest(spark: SparkSession, paths: MedallionPaths) -> DataFrame:
     one row per archived dump key. Empty-but-typed when nothing has
     been ingested yet."""
     try:
-        return spark.read.parquet(paths.manifest)
+        m = spark.read.parquet(paths.manifest)
+        if "batch_id" not in m.columns:  # pre-versioning manifests
+            m = m.withColumn("batch_id", F.lit(0).cast("long"))
+        return m
     except Exception:
         return spark.createDataFrame(
             [],
             "region string, realm_slug string, dump_ts timestamp, "
-            "n_rows long",
+            "n_rows long, batch_id long",
         )
 
 
@@ -111,7 +114,8 @@ def ingest_bronze_incremental(
     of newly ingested dump keys. Single-writer intake assumed (the
     reference serializes intake per region the same way)."""
     keys = ["region", "realm_slug", "dump_ts"]
-    seen = load_manifest(spark, paths).select(*keys)
+    manifest = load_manifest(spark, paths)
+    seen = manifest.select(*keys)
     incoming = raw.groupBy(*keys).agg(F.count("*").alias("n_rows"))
     new_keys = incoming.join(F.broadcast(seen), keys, "left_anti").cache()
     n_new = new_keys.count()
@@ -125,7 +129,18 @@ def ingest_bronze_incremental(
         .partitionBy("region", "realm_slug", "dump_date")
         .parquet(paths.bronze)
     )
-    new_keys.write.mode("append").parquet(paths.manifest)
+    # monotonic ingest version: every dump key committed by this call
+    # shares one batch_id — the manifest doubles as a commit log, so
+    # readers get snapshot-AS-OF semantics (read_bronze_asof) from
+    # plain parquet. max() is a tiny agg over the dumps-count-sized
+    # manifest; single-writer intake (assumed above) makes it safe.
+    prev = manifest.agg(F.max("batch_id")).first()[0]
+    batch_id = (prev if prev is not None else 0) + 1
+    (
+        new_keys.withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .write.mode("append")
+        .parquet(paths.manifest)
+    )
     return n_new
 
 
@@ -139,6 +154,38 @@ def read_bronze(spark: SparkSession, paths: MedallionPaths) -> DataFrame:
     instead and passes it explicitly — the union-with-nulls semantics
     this function provides is the contract either way."""
     return spark.read.option("mergeSchema", "true").parquet(paths.bronze)
+
+
+def read_bronze_asof(
+    spark: SparkSession, paths: MedallionPaths, version: int
+) -> DataFrame:
+    """Snapshot-AS-OF read: bronze rows whose dump key was committed
+    at ``batch_id <= version`` — poor-man's time travel over plain
+    parquet, the Delta/Iceberg ``VERSION AS OF`` semantics scoped to
+    the manifest commit log. The manifest slice is dumps-count sized,
+    so the gate is a broadcast semi-join; with bronze partitioned by
+    the dump key's date the semi-join's keys prune partitions too.
+    Readers pinned to a version are isolated from concurrent appends:
+    later batches only ADD dump keys, never rewrite them."""
+    keys = ["region", "realm_slug", "dump_ts"]
+    asof = (
+        load_manifest(spark, paths)
+        .filter(F.col("batch_id") <= version)
+        .select(*keys)
+    )
+    return read_bronze(spark, paths).join(F.broadcast(asof), keys, "left_semi")
+
+
+def manifest_versions(spark: SparkSession, paths: MedallionPaths) -> list[int]:
+    """Committed batch ids, ascending — the table's version history."""
+    return [
+        r[0]
+        for r in load_manifest(spark, paths)
+        .select("batch_id")
+        .distinct()
+        .orderBy("batch_id")
+        .collect()
+    ]
 
 
 def build_silver(spark: SparkSession, paths: MedallionPaths) -> None:

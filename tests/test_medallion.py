@@ -299,3 +299,37 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert z_both <= min(z_x, z_y) and z_both <= 8, z_both
     # layout must not change the data
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_bronze_time_travel_asof(spark, tmp_path):
+    """Manifest batch versioning: each incremental ingest commits one
+    batch_id; read_bronze_asof(v) reproduces the exact table state
+    after batch v, re-delivery doesn't mint a version, and new
+    versions never change an old snapshot."""
+    import datetime as dt
+
+    from server_spark.plans import medallion as med
+
+    paths = med.MedallionPaths(str(tmp_path / "lake"))
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+
+    def dump(ts, aucs):
+        return spark.createDataFrame(
+            [("eu", "r1", ts, a, 100, 500, 1) for a in aucs],
+            "region string, realm_slug string, dump_ts timestamp, "
+            "auc long, item long, buyout long, quantity long",
+        )
+
+    d1 = dump(t0, [1, 2])
+    d2 = dump(t0 + dt.timedelta(hours=1), [3])
+    assert med.ingest_bronze_incremental(spark, d1, paths) == 1
+    assert med.ingest_bronze_incremental(spark, d1, paths) == 0  # redelivery
+    assert med.ingest_bronze_incremental(spark, d2, paths) == 1
+    assert med.manifest_versions(spark, paths) == [1, 2]
+
+    v1 = med.read_bronze_asof(spark, paths, 1)
+    v2 = med.read_bronze_asof(spark, paths, 2)
+    assert sorted(r["auc"] for r in v1.collect()) == [1, 2]
+    assert sorted(r["auc"] for r in v2.collect()) == [1, 2, 3]
+    # current read == latest version
+    assert med.read_bronze(spark, paths).count() == v2.count()
