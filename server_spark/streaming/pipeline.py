@@ -357,3 +357,84 @@ def index_assign_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def price_delta_tws(stream: DataFrame) -> DataFrame:
+    """T5, modern form — the same per-(region, realm, item) prev-vs-
+    next delta as ``price_delta_stateful``, on Spark 4's
+    ``transformWithStateInPandas`` (StatefulProcessor + typed state
+    handles). Worth carrying both: the new API runs on the RocksDB
+    state-store provider (required; set on the session before
+    starting), supports state schema evolution and multiple typed
+    state variables per key, and is where Spark's stateful roadmap
+    lives — applyInPandasWithState is the maintenance twin.
+
+    Runtime deps: the RocksDB state-store provider AND the protobuf
+    package (the API's Python↔JVM state server wire format). The
+    test skips where protobuf isn't installed; this container
+    doesn't ship it, so the applyInPandasWithState form remains the
+    exercised production path here.
+
+    The processor class is defined INSIDE the closure so workers never
+    need server_spark importable (same pickling posture as the
+    pandas_udf queries)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = (
+        "region string, realm_slug string, item long, dump_ts timestamp, "
+        "avg_buyout_per double, prev_avg double, delta double"
+    )
+
+    class PriceDelta(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last_avg", "last_avg double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            batch = pd.concat(list(rows))
+            snaps = (
+                batch.groupby("dump_ts", as_index=False)["per"].mean()
+                .sort_values("dump_ts")
+            )
+            got = self._last.get()
+            last = got[0] if got is not None else None
+            out = []
+            for r in snaps.itertuples():
+                prev = last
+                delta = None if prev is None else r.per - prev
+                out.append(
+                    (key[0], key[1], key[2], r.dump_ts, r.per, prev, delta)
+                )
+                last = r.per
+            self._last.update((float(last),))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "region", "realm_slug", "item", "dump_ts",
+                    "avg_buyout_per", "prev_avg", "delta",
+                ],
+            )
+
+        def close(self) -> None:
+            pass
+
+    base = (
+        stream.filter(F.col("buyout") > 0)
+        .withWatermark("dump_ts", "2 hours")
+        .select(
+            "region", "realm_slug", "item", "dump_ts",
+            (F.col("buyout") / F.col("quantity")).alias("per"),
+        )
+    )
+    return base.groupBy(
+        "region", "realm_slug", "item"
+    ).transformWithStateInPandas(
+        statefulProcessor=PriceDelta(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="none",
+    )

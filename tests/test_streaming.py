@@ -359,3 +359,53 @@ def test_streaming_index_assign(spark, tmp_path):
         assert got[vid]["cluster"] == w["cluster"]
         assert got[vid]["d2_ratio"] >= 0
     assert np.isfinite([r["d2_ratio"] for r in got.values()]).all()
+
+
+def test_stateful_price_delta_tws(spark, tmp_path):
+    """transformWithStateInPandas twin of the applyInPandasWithState
+    delta: identical output on the same two snapshots. Requires the
+    RocksDB state-store provider (conf restored after the run) AND
+    protobuf — the new API's Python state server speaks protobuf to
+    the JVM; this container doesn't ship it (no installs allowed), so
+    the test skips where the import fails, exactly like the media
+    decode stubs."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state server needs protobuf; "
+        "not shipped in this container",
+    )
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir, exist_ok=True)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        t0 = dt.datetime(2024, 1, 1, 10)
+        t1 = dt.datetime(2024, 1, 1, 11)
+        _write_dump(spark, input_dir, "d0", t0, [(1, 100, 100, 1)])
+        _write_dump(spark, input_dir, "d1", t1, [(2, 100, 150, 1)])
+
+        stream = sp.price_delta_tws(sp.read_auction_stream(spark, input_dir))
+        q = sp.run_to_parquet(stream, out_dir, ckpt, mode="append")
+        q.awaitTermination()
+
+        rows = sorted(
+            spark.read.parquet(out_dir).collect(), key=lambda r: r["dump_ts"]
+        )
+        assert [r["avg_buyout_per"] for r in rows] == [100.0, 150.0]
+        assert rows[0]["prev_avg"] is None and rows[0]["delta"] is None
+        assert rows[1]["prev_avg"] == 100.0 and rows[1]["delta"] == 50.0
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
