@@ -73,6 +73,16 @@ def main() -> None:
         t0 = time.perf_counter()
         _materialize(qs[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Session hygiene between queries: queries that persist/
+        # localCheckpoint intermediates (corpus builds, span scrubs,
+        # component iterations) leave blocks pinned in the unified
+        # memory region; later queries then run with a shrunken
+        # execution pool and their in-bench numbers inflate 2-3x vs
+        # isolation (r5 measured x40 4.19 s in-bench vs 1.51 s
+        # isolated). Dropping cached blocks between queries times
+        # each query on a clean executor, like the driver's isolated
+        # correctness runs. Disk-cached index state is unaffected.
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # The driver stores only the TAIL (~2 KB) of stdout; a JSON line
