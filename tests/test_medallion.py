@@ -333,3 +333,70 @@ def test_bronze_time_travel_asof(spark, tmp_path):
     assert sorted(r["auc"] for r in v2.collect()) == [1, 2, 3]
     # current read == latest version
     assert med.read_bronze(spark, paths).count() == v2.count()
+
+
+def test_incremental_view_maintenance(spark, tmp_path):
+    """Manifest-scoped refresh: after a second batch lands on a NEW
+    date, incremental silver+gold rebuild ONLY the affected partition
+    — untouched partitions keep their exact files — and the result
+    equals a full rebuild."""
+    import datetime as dt
+    import os
+
+    from server_spark.plans import medallion as med
+
+    paths = med.MedallionPaths(str(tmp_path / "lake"))
+
+    def dump(ts, aucs, buyout=100):
+        return spark.createDataFrame(
+            [
+                (a, 100, "o", "r1", 9, buyout, 1, "LONG", "eu", "r1", ts)
+                for a in aucs
+            ],
+            AUCTION,
+        )
+
+    t1 = dt.datetime(2024, 1, 1, 10)
+    t2 = dt.datetime(2024, 1, 2, 10)
+    assert med.ingest_bronze_incremental(spark, dump(t1, [1, 2]), paths) == 1
+    med.build_silver(spark, paths)
+    med.build_gold_prices(spark, paths)
+
+    def part_files(root, date):
+        d = os.path.join(
+            root, "region=eu", "realm_slug=r1", f"dump_date={date}"
+        )
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    day1_silver = part_files(paths.silver, "2024-01-01")
+    day1_gold = part_files(paths.gold_prices, "2024-01-01")
+
+    # batch 2 lands on a new date; refresh since version 1
+    assert med.ingest_bronze_incremental(spark, dump(t2, [3], 250), paths) == 1
+    assert med.build_silver_incremental(spark, paths, since_version=1) == 1
+    assert med.build_gold_prices_incremental(spark, paths, since_version=1) == 1
+
+    # day-1 partitions: byte-for-byte the same files
+    assert part_files(paths.silver, "2024-01-01") == day1_silver
+    assert part_files(paths.gold_prices, "2024-01-01") == day1_gold
+
+    # and the incremental result equals a full rebuild
+    inc_gold = {
+        (r["dump_date"], r["item"]): r["median_buyout_per"]
+        for r in spark.read.parquet(paths.gold_prices).collect()
+    }
+    med.build_silver(spark, paths)
+    med.build_gold_prices(spark, paths)
+    full_gold = {
+        (r["dump_date"], r["item"]): r["median_buyout_per"]
+        for r in spark.read.parquet(paths.gold_prices).collect()
+    }
+    assert inc_gold == full_gold
+    assert len(inc_gold) == 2
+
+    # nothing new → no-op
+    assert med.build_silver_incremental(spark, paths, since_version=2) == 0
