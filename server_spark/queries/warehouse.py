@@ -236,3 +236,84 @@ def u5_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("merge_action"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X53 — data-quality expectations report (deequ/dbt-test shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x53_data_expectations",
+    """
+    WITH s AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(DISTINCT event_id) AS dup_event_id,
+             SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user,
+             SUM(CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END)
+               AS bad_value,
+             SUM(CASE WHEN ts > TIMESTAMP '2024-12-31 00:00:00' THEN 1
+                 ELSE 0 END) AS future_ts
+      FROM events
+    ), o AS (
+      SELECT COUNT(*) AS orphans
+      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      WHERE c.c_custkey IS NULL
+    )
+    SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM (
+      SELECT 'unique_event_id' AS check_name, dup_event_id AS n_violations
+        FROM s
+      UNION ALL SELECT 'no_null_user', null_user FROM s
+      UNION ALL SELECT 'value_non_negative', bad_value FROM s
+      UNION ALL SELECT 'no_future_ts', future_ts FROM s
+      UNION ALL SELECT 'user_in_customer', orphans FROM o
+    )
+    """,
+    doc="EXT x53 — table-health expectations (the Deequ/dbt-test "
+    "shape, the reference's intake sanity checks as a declarative "
+    "report): uniqueness, null, domain, and freshness checks fold "
+    "into ONE aggregate over the fact (stack() fans the scalar row "
+    "out to per-check rows); referential integrity is one broadcast "
+    "anti-join. Two scans total, both column-pruned. At 100 TB the "
+    "agg runs map-side partial; the report is constant-sized and "
+    "cheap enough to gate every ingest batch with.",
+    tags=("ext", "quality", "expectations"),
+    late=True,
+)
+def x53_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    stats = ev.agg(
+        (F.count("*") - F.countDistinct("event_id")).alias("dup_event_id"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("null_user"),
+        F.sum(
+            (F.col("value").isNull() | (F.col("value") < 0)).cast("long")
+        ).alias("bad_value"),
+        F.sum(
+            (F.col("ts") > F.lit("2024-12-31 00:00:00").cast("timestamp"))
+            .cast("long")
+        ).alias("future_ts"),
+    )
+    checks = stats.select(
+        F.expr(
+            "stack(4, 'unique_event_id', dup_event_id, "
+            "'no_null_user', null_user, "
+            "'value_non_negative', bad_value, "
+            "'no_future_ts', future_ts) AS (check_name, n_violations)"
+        )
+    )
+    cust = tables.load(spark, sf_dir, "customer").select("c_custkey")
+    orphans = (
+        ev.select("user_id")
+        .join(F.broadcast(cust), ev.user_id == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.lit("user_in_customer").alias("check_name"), "n_violations")
+    )
+    return checks.unionAll(orphans).select(
+        "check_name",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )

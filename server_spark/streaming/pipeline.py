@@ -438,3 +438,19 @@ def price_delta_tws(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+def enrich_stream_with_items(
+    stream: DataFrame, items: DataFrame
+) -> DataFrame:
+    """Stream-static join: each micro-batch of auction events is
+    enriched against the item dimension — Spark's answer to Flink's
+    broadcast-state pattern. The static side is re-resolved per
+    micro-batch (a dim table updated between batches is picked up
+    automatically — no restart), it never buffers in the state store,
+    and with a dim under the broadcast threshold each batch plans a
+    broadcast hash join: zero streaming state, zero shuffle of the
+    stream side.
+
+    ``items`` needs (item, item_name); extra columns pass through."""
+    return stream.join(F.broadcast(items), "item", "left")

@@ -409,3 +409,28 @@ def test_stateful_price_delta_tws(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, saved)
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    """Stream-static dimension join: every streamed auction row picks
+    up its item name from the static dim; unmatched items survive as
+    nulls (left join, no dropped facts)."""
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir, exist_ok=True)
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    _write_dump(spark, input_dir, "d0", t0, [(1, 100, 500, 1), (2, 999, 700, 1)])
+    items = spark.createDataFrame(
+        [(100, "iron ore")], "item long, item_name string"
+    )
+
+    enriched = sp.enrich_stream_with_items(
+        sp.read_auction_stream(spark, input_dir), items
+    )
+    q = sp.run_to_parquet(enriched, out_dir, ckpt)
+    q.awaitTermination()
+
+    rows = {r["auc"]: r["item_name"] for r in spark.read.parquet(out_dir).collect()}
+    assert rows == {1: "iron ore", 2: None}
