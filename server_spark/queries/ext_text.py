@@ -1132,3 +1132,43 @@ def x46_maximal_removed_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_removed_spans(
         _docs(spark, sf_dir), n=SPAN_WORDS, min_docs=SPAN_MIN_DOCS
     )
+
+
+# ---------------------------------------------------------------------------
+# x54 — BPE vocabulary induction (distributed tokenizer training)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x54_bpe_merges",
+    None,  # iterative algorithm with a driver-side merge loop — no SQL twin
+    doc="EXT x54 — BPE tokenizer training (Sennrich et al. 2016) in "
+    "the shape that scales: ONE corpus pass builds the word-type "
+    "frequency table (explode + hash-agg, Zipf-bounded ≈vocab-sized "
+    "at any corpus size), then each merge iteration shuffles only "
+    "that table — pair counts via zip_with over the symbol arrays "
+    "(JVM-side), best pair via TakeOrderedAndProject(1) with "
+    "lexicographic tiebreak (deterministic), merge application as "
+    "one Arrow pass, localCheckpoint lineage truncation every 4 "
+    "rounds (the components-loop discipline). The registered entry "
+    "uses train_bpe_fast: same corpus pass, merge loop over the "
+    "COLLECTED Zipf-bounded type table (MAX_VOCAB_TYPES cap, the "
+    "KMeans bounded-collect posture) — the HuggingFace-tokenizers "
+    "split; the fully-distributed loop remains for vocabularies "
+    "beyond driver memory. Both pinned against an in-test reference "
+    "implementation and asserted equal (tests/test_bpe.py).",
+    tags=("ext", "textstats", "tokenizer", "rows-only"),
+    late=True,
+)
+def x54_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.textstats.bpe import train_bpe_fast
+
+    merges = train_bpe_fast(_docs(spark, sf_dir), n_merges=12)
+    return spark.createDataFrame(
+        [
+            (i + 1, left, right, left + right, n)
+            for i, (left, right, n) in enumerate(merges)
+        ],
+        "merge_rank int, left string, right string, merged string, "
+        "pair_count long",
+    )

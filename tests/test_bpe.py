@@ -1,0 +1,94 @@
+"""Distributed BPE trainer vs an in-test reference implementation
+(Sennrich et al. 2016 semantics: greedy left-to-right merge of the
+globally most frequent adjacent pair, lexicographic tiebreak)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from server_spark.textstats import bpe
+
+
+def _ref_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Reference single-machine BPE over a word-frequency dict."""
+    vocab = {
+        tuple(list(w) + [bpe.END_MARK]): f for w, f in word_freqs.items()
+    }
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), n = best
+        if n < 2:
+            break
+        merges.append((l, r, n))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new_vocab[tuple(res)] = new_vocab.get(tuple(res), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+CORPUS = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def _corpus_df(spark):
+    rows = []
+    doc_id = 0
+    for w, f in CORPUS.items():
+        for _ in range(f):
+            rows.append((doc_id, w))
+            doc_id += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bpe_matches_reference(spark):
+    docs = _corpus_df(spark)
+    got = bpe.train_bpe(docs, n_merges=10)
+    want = _ref_bpe(CORPUS, 10)
+    assert got == want
+    # sanity on the classic example: 'es' then 'est' merge first
+    assert got[0][:2] == ("e", "s") and got[1][:2] == ("es", "t")
+
+
+def test_bpe_encode_roundtrip(spark):
+    docs = _corpus_df(spark)
+    merges = bpe.train_bpe(docs, n_merges=10)
+    enc = bpe.encode_with_merges(docs, merges)
+    rows = {r["doc_id"]: r for r in enc.collect()}
+    # every 'newest' doc encodes identically, tokens rebuild the word
+    newest = [r for r in rows.values() if "est" in "".join(r["tokens"])]
+    assert newest
+    for r in rows.values():
+        joined = "".join(r["tokens"]).replace(bpe.END_MARK, "")
+        assert joined in CORPUS
+        assert r["n_tokens"] == len(r["tokens"])
+
+
+def test_bpe_word_freqs_is_single_agg(spark):
+    """The corpus-sized pass is one explode + one hash-agg."""
+    docs = _corpus_df(spark)
+    plan = bpe.word_freqs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_bpe_fast_equals_distributed(spark):
+    docs = _corpus_df(spark)
+    assert bpe.train_bpe_fast(docs, n_merges=10) == bpe.train_bpe(
+        docs, n_merges=10
+    )
