@@ -10,11 +10,12 @@ rows-only), F6 time codecs, F8 JSON extraction, F10 array ops.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from server_spark import tables
-from server_spark.parity import r4sql
+from server_spark.parity import r4, r4sql
 from server_spark.registry import auctions_sql, register
 
 SEARCH_SUBSTR = "wid"       # substring query against part names
@@ -209,4 +210,62 @@ def f10_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(arr).alias("n_items"),
             F.element_at(arr, 1).alias("first_item"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F12 — grouped-aggregate pandas UDF (true UDAF)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f12_geomean_udaf",
+    auctions_sql(
+        """
+    SELECT owner,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {G} AS geo_mean_buyout
+    FROM auctions
+    WHERE buyout > 0
+    GROUP BY owner
+    """.replace("{G}", r4sql("EXP(AVG(LN(CAST(buyout AS DOUBLE))))"))
+    ),
+    doc="F12 — the UDAF slot of the UDF family (D-rows): per-owner "
+    "geometric-mean buyout as a GROUPED_AGG pandas_udf — Arrow-"
+    "batched per group, the Spark-Python form of a custom aggregate "
+    "(scalar pandas_udf = D2/f3b, UDTF = D7/x13 complete the "
+    "trio). Numerically via mean-of-logs (no overflow), and the "
+    "oracle runs the identical EXP(AVG(LN)) so both engines share "
+    "one summation contract. At scale GROUPED_AGG skips the "
+    "partial-agg path (full shuffle of group rows) — fine for "
+    "bounded groups; a built-in composition is preferred where one "
+    "exists (this one exists: exp(avg(ln)) — the UDF is the "
+    "demonstration of the slot, not the recommended plan).",
+    tags=("function", "udaf", "pandas"),
+    late=True,
+)
+def f12_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: with ``from __future__ import annotations`` in force the
+    # hints are strings; pandas_udf resolves them via the function's
+    # module globals — hence the module-level pandas import.
+    @pandas_udf("double")
+    def geo_mean(buyout: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(buyout.astype("float64")).mean()))
+
+    # a GROUPED_AGG UDF cannot share an agg with built-in aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count is a second UDAF
+    @pandas_udf("long")
+    def n_rows(buyout: pd.Series) -> int:
+        return len(buyout)
+
+    from server_spark.sources.synthetic import auctions
+
+    aucs = auctions(spark, sf_dir).filter(F.col("buyout") > 0)
+    return aucs.groupBy("owner").agg(
+        n_rows("buyout").alias("n"),
+        r4(geo_mean("buyout")).alias("geo_mean_buyout"),
     )

@@ -317,3 +317,37 @@ def x53_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_violations").cast("long").alias("n_violations"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S10 — SQL front end (same statement, both engines)
+# ---------------------------------------------------------------------------
+
+_S10_SQL = """
+    SELECT n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {REV} AS total_revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+""".format(REV=r4sql("SUM(o_totalprice)"))
+
+
+@register(
+    "s10_sql_frontend",
+    _S10_SQL,
+    doc="S10 — the SQL front door: the engine's surface is not only "
+    "the DataFrame API — views registered in the session catalog and "
+    "ONE ANSI statement (literally the same string the DuckDB oracle "
+    "runs, including the r4 canonical rounding, which is valid in "
+    "both dialects) go through spark.sql into the identical Catalyst "
+    "plan a DataFrame build would produce: joins broadcast, "
+    "aggregates go partial/final, pruning reaches the scans.",
+    tags=("scan", "sql"),
+    late=True,
+)
+def s10_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "customer", "nation"):
+        tables.load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_S10_SQL)
