@@ -34,6 +34,35 @@ from server_spark.registry import register
 # ---------------------------------------------------------------------------
 
 
+def scd2_history(ev: DataFrame) -> DataFrame:
+    """The SCD2 transform on any (user_id, event_type, ts, event_id)
+    relation — separated from the table load so property tests can
+    drive it with arbitrary event streams."""
+    w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_state", F.lag("event_type").over(w_ev))
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("prev_state") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("effective_from"),
+            F.col("event_id").alias("chg_seq"),
+        )
+    )
+    w_ver = Window.partitionBy("user_id").orderBy("effective_from", "chg_seq")
+    return changes.select(
+        "user_id",
+        F.row_number().over(w_ver).cast("long").alias("version"),
+        "state",
+        "effective_from",
+        F.lead("effective_from").over(w_ver).alias("effective_to"),
+        F.lead("effective_from").over(w_ver).isNull().alias("is_current"),
+    )
+
+
 @register(
     "j9_scd2_user_state",
     """
@@ -70,31 +99,10 @@ from server_spark.registry import register
     late=True,
 )
 def j9_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = tables.load(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
-    )
-    w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = (
-        ev.withColumn("prev_state", F.lag("event_type").over(w_ev))
-        .filter(
-            F.col("prev_state").isNull()
-            | (F.col("prev_state") != F.col("event_type"))
+    return scd2_history(
+        tables.load(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts", "event_id"
         )
-        .select(
-            "user_id",
-            F.col("event_type").alias("state"),
-            F.col("ts").alias("effective_from"),
-            F.col("event_id").alias("chg_seq"),
-        )
-    )
-    w_ver = Window.partitionBy("user_id").orderBy("effective_from", "chg_seq")
-    return changes.select(
-        "user_id",
-        F.row_number().over(w_ver).cast("long").alias("version"),
-        "state",
-        "effective_from",
-        F.lead("effective_from").over(w_ver).alias("effective_to"),
-        F.lead("effective_from").over(w_ver).isNull().alias("is_current"),
     )
 
 
@@ -168,6 +176,39 @@ def _last_state_of_day(spark: SparkSession, sf_dir: str, day: str) -> DataFrame:
     )
 
 
+def cdc_merge(base: DataFrame, chg: DataFrame) -> DataFrame:
+    """MERGE INTO semantics over (user_id, state, value) relations —
+    separated from the day-slice derivation so property tests can
+    drive it with arbitrary base/changeset pairs. A changeset row
+    with state='error' deletes its key."""
+    base = base.alias("b")
+    chg = chg.alias("c")
+    merged = base.join(
+        chg, F.col("b.user_id") == F.col("c.user_id"), "full_outer"
+    )
+    return (
+        merged.filter(
+            ~(
+                F.col("c.user_id").isNotNull()
+                & (F.col("c.state") == "error")
+            )
+        )
+        .select(
+            F.coalesce(F.col("b.user_id"), F.col("c.user_id")).alias(
+                "user_id"
+            ),
+            F.coalesce(F.col("c.state"), F.col("b.state")).alias("state"),
+            r4(F.coalesce(F.col("c.value"), F.col("b.value"))).alias(
+                "value"
+            ),
+            F.when(F.col("b.user_id").isNull(), "inserted")
+            .when(F.col("c.user_id").isNull(), "kept")
+            .otherwise("updated")
+            .alias("merge_action"),
+        )
+    )
+
+
 @register(
     "u5_cdc_merge",
     f"""
@@ -210,31 +251,9 @@ def _last_state_of_day(spark: SparkSession, sf_dir: str, day: str) -> DataFrame:
     late=True,
 )
 def u5_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = _last_state_of_day(spark, sf_dir, _MERGE_DAY_BASE).alias("b")
-    chg = _last_state_of_day(spark, sf_dir, _MERGE_DAY_CHG).alias("c")
-    merged = base.join(
-        chg, F.col("b.user_id") == F.col("c.user_id"), "full_outer"
-    )
-    return (
-        merged.filter(
-            ~(
-                F.col("c.user_id").isNotNull()
-                & (F.col("c.state") == "error")
-            )
-        )
-        .select(
-            F.coalesce(F.col("b.user_id"), F.col("c.user_id")).alias(
-                "user_id"
-            ),
-            F.coalesce(F.col("c.state"), F.col("b.state")).alias("state"),
-            r4(F.coalesce(F.col("c.value"), F.col("b.value"))).alias(
-                "value"
-            ),
-            F.when(F.col("b.user_id").isNull(), "inserted")
-            .when(F.col("c.user_id").isNull(), "kept")
-            .otherwise("updated")
-            .alias("merge_action"),
-        )
+    return cdc_merge(
+        _last_state_of_day(spark, sf_dir, _MERGE_DAY_BASE),
+        _last_state_of_day(spark, sf_dir, _MERGE_DAY_CHG),
     )
 
 

@@ -341,3 +341,117 @@ def test_incremental_span_scrub_matches_bruteforce(spark, texts):
         assert gh == hashlib.md5(clean.encode()).hexdigest(), (
             f"doc {d}: scrubbed text differs (want {clean!r})"
         )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 + CDC merge vs pure-Python references (warehouse.py)
+# ---------------------------------------------------------------------------
+
+EVENT_STREAMS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),        # user_id
+        st.sampled_from(["view", "click", "buy"]),    # event_type/state
+        st.integers(min_value=0, max_value=20),       # ts offset (hours)
+        st.floats(min_value=0, max_value=100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _events_df(spark, rows):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1)
+    data = [
+        (i, u, s, t0 + dt.timedelta(hours=h), v)
+        for i, (u, s, h, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double",
+    )
+
+
+@given(rows=EVENT_STREAMS)
+@_SETTINGS
+def test_scd2_matches_bruteforce(spark, rows):
+    """scd2_history == a literal single-machine SCD2 build: sort each
+    user's events by (ts, event_id), collapse equal-state runs, tile
+    the validity intervals."""
+    from server_spark.queries.warehouse import scd2_history
+
+    got = {
+        (r.user_id, r.version): (
+            r.state, r.effective_from, r.effective_to, r.is_current
+        )
+        for r in scd2_history(
+            _events_df(spark, rows).select(
+                "user_id", "event_type", "ts", "event_id"
+            )
+        ).collect()
+    }
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1)
+    by_user: dict[int, list] = {}
+    for i, (u, s, h, _v) in enumerate(rows):
+        by_user.setdefault(u, []).append((t0 + dt.timedelta(hours=h), i, s))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        changes = [
+            (ts, s) for k, (ts, _i, s) in enumerate(evs)
+            if k == 0 or evs[k - 1][2] != s
+        ]
+        for v, (ts, s) in enumerate(changes, start=1):
+            nxt = changes[v][0] if v < len(changes) else None
+            want[(u, v)] = (s, ts, nxt, nxt is None)
+    assert got == want
+
+
+@given(rows=EVENT_STREAMS)
+@_SETTINGS
+def test_cdc_merge_matches_bruteforce(spark, rows):
+    """cdc_merge == dict-semantics upsert/delete: changeset wins on
+    matched keys, 'error' state deletes, everything else persists."""
+    from server_spark.queries.warehouse import cdc_merge
+
+    half = max(1, len(rows) // 2)
+    base_rows = [
+        (u, s, float(round(v, 4))) for (u, s, _h, v) in rows[:half]
+    ]
+    chg_rows = [
+        # reuse states; map 'buy' to the delete marker for coverage
+        (u, "error" if s == "buy" else s, float(round(v, 4)))
+        for (u, s, _h, v) in rows[half:]
+    ]
+    # one row per key on each side (the transform's contract)
+    base = {u: (s, v) for u, s, v in base_rows}
+    chg = {u: (s, v) for u, s, v in chg_rows}
+
+    def df(d):
+        return spark.createDataFrame(
+            [(u, s, v) for u, (s, v) in d.items()],
+            "user_id long, state string, value double",
+        )
+
+    got = {
+        r.user_id: (r.state, round(r.value, 4), r.merge_action)
+        for r in cdc_merge(df(base), df(chg)).collect()
+    }
+
+    want = {}
+    for u, (s, v) in base.items():
+        if u in chg:
+            cs, cv = chg[u]
+            if cs != "error":
+                want[u] = (cs, round(cv, 4), "updated")
+        else:
+            want[u] = (s, round(v, 4), "kept")
+    for u, (cs, cv) in chg.items():
+        if u not in base and cs != "error":
+            want[u] = (cs, round(cv, 4), "inserted")
+    assert got == want
