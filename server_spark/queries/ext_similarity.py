@@ -738,7 +738,9 @@ def x51_incremental_index_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.filter(F.col("vec_id") % 2 == 0)
     batch = emb.filter(F.col("vec_id") % 2 == 1)
     idx = build_index(base, n_clusters=16, cache=False, n_assign=1)
-    base_d2 = assign_batch(idx, base).agg(F.avg("_d2")).first()[0]
+    base_d2 = (
+        assign_batch(idx, base).agg(F.avg("_d2")).first()[0] or 1e-12
+    )  # empty base corpus → no distortion stat; avoid None math
     out = assign_batch(idx, batch)
     return out.select(
         "vec_id",

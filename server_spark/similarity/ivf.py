@@ -126,7 +126,14 @@ def build_index(
         ],
         dtype=np.float64,
     )
-    centroids = _kmeans_fit(train, n_clusters, seed)
+    # Empty corpus → empty index (0 centroids, empty assignment with
+    # the right schema): every downstream search composes to an empty
+    # result through the normal lazy plan instead of a numpy axis
+    # error at build time.
+    if train.size == 0:
+        centroids = np.zeros((0, 0))
+    else:
+        centroids = _kmeans_fit(train, n_clusters, seed)
 
     csq = (centroids * centroids).sum(axis=1)
     cT = centroids.T
@@ -162,7 +169,7 @@ def build_index(
     assigned = embeddings.select(id_col, vec_col).mapInPandas(assign, schema)
     if cache:
         assigned = assigned.cache()
-    dim = len(centroids[0])
+    dim = centroids.shape[1] if len(centroids) else 0
     return IvfIndex(centroids, assigned, dim, id_col, vec_col)
 
 
@@ -182,6 +189,12 @@ def _query_probes(
             T.StructField("_probes", T.ArrayType(T.IntegerType())),
         ]
     )
+
+    if len(centroids) == 0:  # empty index → no probes, empty search
+        empty = queries.sparkSession.createDataFrame([], schema)
+        return empty.select(
+            *queries.columns, "_qn", F.explode("_probes").alias("cluster")
+        )
 
     def probes(batches):
         for pdf in batches:
@@ -212,6 +225,10 @@ def search(
     """Approximate top-k: equi-join the probed clusters, exact-cosine
     rerank ONLY the candidates (codegen-unrolled dot, build-time corpus
     norms — no interpreted fold, no norm recomputation)."""
+    if index.dim == 0:  # empty index → empty result, schema stable
+        return queries.sparkSession.createDataFrame(
+            [], f"{qid_col} long, {index.id_col} long, score double, rnk int"
+        )
     probes = _query_probes(index, queries, n_probe, qvec_col)
     cand = (
         index.assigned.join(F.broadcast(probes), "cluster")
@@ -277,7 +294,11 @@ def cached_index(
             centroids = np.load(cent_file)
             assigned = spark.read.parquet(assigned_dir).cache()
             index = IvfIndex(
-                centroids, assigned, len(centroids[0]), id_col, vec_col
+                centroids,
+                assigned,
+                centroids.shape[1] if len(centroids) else 0,
+                id_col,
+                vec_col,
             )
             _INDEX_CACHE[key] = index
             return index
@@ -360,6 +381,8 @@ def assign_batch(
             T.StructField("_d2", T.DoubleType()),
         ]
     )
+    if len(cents) == 0:  # empty index → nothing to assign to
+        return batch.sparkSession.createDataFrame([], schema)
 
     def assign(batches):
         import pandas as pd

@@ -64,6 +64,8 @@ def train_pq(
         ],
         dtype=np.float64,
     )
+    if train.size == 0:  # empty corpus → empty codebooks; ADC over
+        return np.zeros((m, 0, 0))  # an empty code table stays empty
     n, dim = train.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -147,6 +149,10 @@ def adc_topk(
     m, ksub, dsub = codebooks.shape
     cb = codebooks
     qrows = queries.select(qid_col, qvec_col).collect()  # bounded batch
+    if not qrows:  # no queries (e.g. empty corpus slice) → empty result
+        return encoded.sparkSession.createDataFrame(
+            [], f"{qid_col} long, {id_col} long, score_adc double, rnk int"
+        )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
     qn = np.linalg.norm(qmat, axis=1)
@@ -263,13 +269,18 @@ def _ivfpq_encoded(idx, m: int, ksub: int, seed: int, cache_key, id_col):
     res = np.array(
         [np.asarray(r[0], dtype=np.float64) - cents[r[1]] for r in rows]
     )
-    k_eff = min(ksub, len(res))
-    codebooks = np.stack(
-        [
-            _kmeans_fit(res[:, j * dsub : (j + 1) * dsub], k_eff, seed + j)
-            for j in range(m)
-        ]
-    )
+    if res.size == 0:  # empty corpus → empty residual codebooks
+        codebooks = np.zeros((m, 0, max(dsub, 0)))
+    else:
+        k_eff = min(ksub, len(res))
+        codebooks = np.stack(
+            [
+                _kmeans_fit(
+                    res[:, j * dsub : (j + 1) * dsub], k_eff, seed + j
+                )
+                for j in range(m)
+            ]
+        )
     cb = codebooks
     cb_sq = (codebooks * codebooks).sum(axis=2)
     schema = T.StructType(
@@ -560,7 +571,12 @@ def ivfpq_refine_topk(
     qn = queries.select(
         qid_col, qvec_col, norm(qvec_col).alias("_qn")
     )
-    dim = len(queries.select(qvec_col).head()[0])
+    q0 = queries.select(qvec_col).head()
+    if q0 is None:  # no queries (e.g. empty corpus) → empty result
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{qid_col} long, {id_col} long, score double, rnk int"
+        )
+    dim = len(q0[0])
     cand = (
         embeddings.select(id_col, vec_col)
         .join(F.broadcast(shortlist), id_col)
