@@ -66,17 +66,34 @@ def extract_media_meta(
             }
 
         for pdf in it:
-            metas = [decode_one(bytes(b)) for b in pdf[bin_col]]
+            # Missing/corrupt payloads are QUARANTINED, not crashed on:
+            # they surface as format='missing' rows with null metadata
+            # so a downstream filter can route them — the behavior a
+            # real decoder needs for truncated files.
+            metas, shas, nbytes = [], [], []
+            for b in pdf[bin_col]:
+                if b is None:
+                    metas.append(
+                        {"format": "missing", "width": None, "height": None}
+                    )
+                    shas.append(None)
+                    nbytes.append(None)
+                else:
+                    metas.append(decode_one(bytes(b)))
+                    shas.append(_hashlib.sha256(bytes(b)).hexdigest())
+                    nbytes.append(len(b))
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
-                    "n_bytes": pdf[bin_col].map(len).astype("int64"),
-                    "content_sha": [
-                        _hashlib.sha256(bytes(b)).hexdigest() for b in pdf[bin_col]
-                    ],
+                    "n_bytes": pd.array(nbytes, dtype="Int64"),
+                    "content_sha": shas,
                     "format": [m["format"] for m in metas],
-                    "width": pd.array([m["width"] for m in metas], dtype="int32"),
-                    "height": pd.array([m["height"] for m in metas], dtype="int32"),
+                    "width": pd.array(
+                        [m["width"] for m in metas], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [m["height"] for m in metas], dtype="Int32"
+                    ),
                 }
             )
 

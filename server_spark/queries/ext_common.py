@@ -6,6 +6,7 @@ every dedup/contamination oracle reuses.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from server_spark import tables
 
@@ -20,7 +21,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tables.load(spark, sf_dir, "embeddings")
+    # Ingest-hygiene contract: a NULL vector has no similarity
+    # semantics and would poison every numpy batch downstream — drop
+    # at the loader (one pushed-down IS NOT NULL), the same posture
+    # as the reference's decode-or-skip intake.
+    return tables.load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
 
 
 def shingle_ctes(
