@@ -1172,3 +1172,55 @@ def x54_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_rank int, left string, right string, merged string, "
         "pair_count long",
     )
+
+
+# ---------------------------------------------------------------------------
+# x55 — dataset card (one-pass corpus composition report)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x55_dataset_card",
+    """
+    SELECT COALESCE(source, '<all>') AS source,
+           COALESCE(lang, '<all>') AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           {A} AS avg_chars,
+           CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_short_docs
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (source), ())
+    """.format(A=r4sql("AVG(n_chars)")),
+    doc="EXT x55 — the dataset card: corpus composition by (source, "
+    "lang) with source and grand-total rollups in ONE grouping-sets "
+    "hash-agg over a pruned 3-column scan — the per-mixture report "
+    "every training run records (docs, characters, short-doc counts "
+    "per slice). At 100 TB this is a single partial-aggregated "
+    "shuffle; the output is mixture-cardinality-sized.",
+    tags=("ext", "textstats", "report"),
+    late=True,
+)
+def x55_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("source", "lang", "n_chars")
+    return (
+        d.groupingSets(
+            [["source", "lang"], ["source"], []], "source", "lang"
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            r4(F.avg("n_chars")).alias("avg_chars"),
+            F.sum((F.col("n_chars") < 100).cast("long"))
+            .cast("long")
+            .alias("n_short_docs"),
+        )
+        .select(
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            "n_docs",
+            "total_chars",
+            "avg_chars",
+            "n_short_docs",
+        )
+    )
