@@ -342,3 +342,32 @@ def test_t14_downsample_single_scan_single_shuffle(plans):
     p = plans("t14_downsample_tiers")
     assert p.count("Scan parquet") == 1
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_x55_dataset_card_one_agg_pruned_scan(plans):
+    """Grouping-sets rollup is ONE expanded hash-agg over a 3-column
+    scan — no union of per-grain scans."""
+    p = plans("x55_dataset_card")
+    assert p.count("Scan parquet") == 1
+    f = plans("x55_dataset_card", "formatted")
+    import re as _re
+
+    m = _re.search(r"ReadSchema: struct<([^>]*)>", f)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(",") if c)
+    assert cols == ["lang", "n_chars", "source"]
+
+
+def test_u5_merge_reuses_window_partitioning(plans):
+    """Both merge inputs window over user_id; the full-outer join
+    reuses their hash partitioning — exactly 2 exchanges (one per
+    side), none added for the join itself."""
+    p = plans("u5_cdc_merge")
+    assert p.count("Exchange hashpartitioning") == 2
+
+
+def test_x53_expectations_two_pruned_scans(plans):
+    """Aggregate checks fold into one scan; referential integrity is
+    the second — nothing else reads the fact."""
+    p = plans("x53_data_expectations")
+    assert p.count("Scan parquet") == 3  # events x2 + customer dim
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" not in p
