@@ -1,0 +1,137 @@
+"""Request-shaped serving façade — the reference's NATS query subjects
+as parameterized Python entry points (SURVEY.md §3 lifecycle).
+
+The registry (`server_spark/queries/`) proves each OPERATOR correct
+against the oracle with pinned constants; this module is the surface a
+CALLER uses: every function mirrors one of the reference's
+request/reply subjects (`app/pkg/state/state_*.go` handlers [M]) and
+composes the same operator building blocks (`operators/auctions.py`)
+with caller-supplied parameters. A user of the reference switches by
+mapping each NATS subject to the function of the same shape:
+
+    subject auctions        → query_auctions(AuctionsRequest)
+    subject price-list      → price_list(item_ids)
+    subject price-list-history → price_list_history(item_ids, ts range)
+    subject owners-query    → owners_query(substring)
+    subject items-query     → items_query(fuzzy string)
+
+All functions return lazy DataFrames — the serving layer decides how
+to materialize (collect for a reply payload, write for an export).
+Filters land before aggregation so Catalyst pushes them into the
+scan; pagination keeps the deterministic total order the operator
+layer guarantees.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from server_spark import tables
+from server_spark.operators import auctions as ops
+from server_spark.sources.synthetic import auctions
+
+
+@dataclass
+class AuctionsRequest:
+    """The reference's auctions request: filters + sort + page."""
+
+    owner_filters: Sequence[str] = field(default_factory=tuple)
+    item_filters: Sequence[int] = field(default_factory=tuple)
+    sort_kind: str = "buyout"
+    sort_descending: bool = True
+    page: int = 0
+    count: int = 25
+
+
+def query_auctions(
+    spark: SparkSession, sf_dir: str, req: AuctionsRequest
+) -> DataFrame:
+    """Filtered + collapsed + sorted + paginated live auctions (the
+    S1/P2/P3/A1/O1/O2 composition behind the auctions subject)."""
+    live = auctions(spark, sf_dir)
+    if req.owner_filters:
+        live = ops.filter_by_owners(live, req.owner_filters)
+    if req.item_filters:
+        live = ops.filter_by_items(live, req.item_filters)
+    collapsed = ops.collapse_mini_auctions(live)
+    order = ops.sort_columns(req.sort_kind, req.sort_descending)
+    return ops.paginate(collapsed, order, req.page, req.count)
+
+
+def price_list(
+    spark: SparkSession, sf_dir: str, item_ids: Sequence[int]
+) -> DataFrame:
+    """Per-item price stats for a requested item set (A2 behind the
+    price-list subject). The item filter lands before the aggregate,
+    so only the requested items' rows leave the scan."""
+    live = ops.filter_by_items(auctions(spark, sf_dir), item_ids)
+    return ops.price_stats(live)
+
+
+def price_list_history(
+    spark: SparkSession,
+    sf_dir: str,
+    item_ids: Sequence[int],
+    lower_ts: str,
+    upper_ts: str,
+) -> DataFrame:
+    """Per-item daily price series over a time range (W2 behind the
+    price-list-history subject), driven off the events table the way
+    the reference reads its pricelist-history buckets."""
+    ev = tables.load(spark, sf_dir, "events")
+    slice_ = ev.filter(
+        (F.col("ts") >= F.lit(lower_ts).cast("timestamp"))
+        & (F.col("ts") < F.lit(upper_ts).cast("timestamp"))
+        & F.col("user_id").isin(list(item_ids))
+    )
+    return (
+        slice_.groupBy(
+            F.col("user_id").alias("item"),
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .agg(
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.avg("value").alias("avg_value"),
+            F.count("*").alias("n_points"),
+        )
+        .orderBy("item", "day")
+    )
+
+
+def owners_query(
+    spark: SparkSession, sf_dir: str, query: str, limit: int = 10
+) -> DataFrame:
+    """Substring owner search (F2 behind the owners-query subject):
+    case-insensitive containment, deterministic rank."""
+    owners = ops.distinct_owners(auctions(spark, sf_dir))
+    # the canonical shape's owner is the numeric supplier key — the
+    # substring match runs over its string form (the reference
+    # matches owner NAMES; same operator, different rendering)
+    rendered = owners.select(
+        F.col("owner"), F.col("owner").cast("string").alias("_o")
+    )
+    hits = rendered.filter(F.col("_o").contains(query.lower()))
+    return (
+        hits.orderBy(F.length("_o"), "owner").select("owner").limit(limit)
+    )
+
+
+def items_query(
+    spark: SparkSession, sf_dir: str, query: str, limit: int = 10
+) -> DataFrame:
+    """Fuzzy item-name search (F3 behind the items-query subject):
+    levenshtein rank with the subsequence gate, deterministic ties."""
+    items = tables.load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("item"),
+        F.col("p_name").alias("item_name"),
+    )
+    q = query.lower()
+    scored = items.withColumn(
+        "distance", F.levenshtein(F.lower("item_name"), F.lit(q))
+    )
+    return scored.orderBy("distance", "item").limit(limit)
