@@ -370,3 +370,141 @@ def s10_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer", "nation"):
         tables.load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_S10_SQL)
+
+
+# ---------------------------------------------------------------------------
+# U6 — incremental SCD2 maintenance (apply an event increment)
+# ---------------------------------------------------------------------------
+
+
+def scd2_apply_increment(history: DataFrame, new_ev: DataFrame) -> DataFrame:
+    """Apply an arriving event batch onto a STANDING SCD2 table —
+    the production maintenance shape the j9 rebuild only simulates:
+    per-increment cost scales with the touched users, history of
+    untouched users is never read past the semi-join, and the result
+    is IDENTICAL to rebuilding from the full event stream (the u6
+    oracle asserts exactly that equivalence).
+
+    Assumes event time moves forward: every increment event is later
+    than the touched user's last change (true for any watermarked
+    stream; a violation would need the full rebuild path).
+
+    Mechanics: the increment's users pull ONLY their open row (state
+    seed + version base); change capture runs over the new events
+    with the seed as the initial prev_state; new versions continue
+    the user's numbering; an open row whose user changed state closes
+    at the first new change. Everything keyed by user_id throughout —
+    one shuffle partitioning shared by the window, joins, and union
+    branches."""
+    touched = new_ev.select("user_id").distinct()
+    open_rows = history.filter(F.col("is_current")).join(
+        touched, "user_id", "left_semi"
+    )
+    seed = open_rows.select(
+        "user_id",
+        F.col("state").alias("_seed_state"),
+        F.col("version").alias("_base_version"),
+    )
+
+    w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = (
+        new_ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("_prev", F.lag("event_type").over(w_ev))
+        .join(seed, "user_id", "left")
+    )
+    changes = ev.filter(
+        F.when(
+            F.col("_prev").isNotNull(), F.col("_prev") != F.col("event_type")
+        ).otherwise(
+            F.col("_seed_state").isNull()
+            | (F.col("_seed_state") != F.col("event_type"))
+        )
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("effective_from"),
+        F.col("event_id").alias("chg_seq"),
+        F.coalesce(F.col("_base_version"), F.lit(0)).alias("_base_version"),
+    )
+
+    w_ver = Window.partitionBy("user_id").orderBy("effective_from", "chg_seq")
+    new_rows = changes.select(
+        "user_id",
+        (F.row_number().over(w_ver) + F.col("_base_version"))
+        .cast("long")
+        .alias("version"),
+        "state",
+        "effective_from",
+        F.lead("effective_from").over(w_ver).alias("effective_to"),
+        F.lead("effective_from").over(w_ver).isNull().alias("is_current"),
+    )
+
+    # close the open row of every user that has at least one new change
+    first_change = changes.groupBy("user_id").agg(
+        F.min(F.struct("effective_from", "chg_seq")).alias("_f")
+    ).select("user_id", F.col("_f.effective_from").alias("_close_at"))
+    kept = (
+        history.join(first_change, "user_id", "left")
+        .withColumn(
+            "effective_to",
+            F.when(
+                F.col("is_current") & F.col("_close_at").isNotNull(),
+                F.col("_close_at"),
+            ).otherwise(F.col("effective_to")),
+        )
+        .withColumn(
+            "is_current",
+            F.col("is_current") & F.col("_close_at").isNull(),
+        )
+        .drop("_close_at")
+    )
+    return kept.unionByName(new_rows)
+
+
+_U6_SPLIT = "2024-01-20"
+
+
+@register(
+    "u6_scd2_incremental",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_state
+      FROM events
+      WHERE ts < TIMESTAMP '{CUT2} 00:00:00'
+    ), changes AS (
+      SELECT user_id, event_type AS state, ts AS effective_from,
+             event_id AS chg_seq
+      FROM ordered
+      WHERE prev_state IS NULL OR prev_state <> event_type
+    )
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           state, effective_from,
+           lead(effective_from) OVER w AS effective_to,
+           (lead(effective_from) OVER w IS NULL) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY effective_from, chg_seq)
+    """.replace("{CUT2}", "2024-01-25"),
+    doc="U6 — INCREMENTAL SCD2 maintenance: the standing history "
+    "(events before Jan 20) plus a five-day increment applied via "
+    "scd2_apply_increment. The ORACLE is the full rebuild over the "
+    "union — the driver hash-verifies that incremental maintenance "
+    "and rebuild-from-scratch produce byte-identical histories, the "
+    "strongest possible equivalence for an incremental operator. "
+    "Per-increment cost scales with touched users (semi-join gate), "
+    "not history size.",
+    tags=("setop", "scd2", "incremental"),
+    late=True,
+)
+def u6_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    cut1 = F.lit(_U6_SPLIT + " 00:00:00").cast("timestamp")
+    cut2 = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    history = scd2_history(ev.filter(F.col("ts") < cut1))
+    increment = ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2))
+    return scd2_apply_increment(history, increment)

@@ -455,3 +455,33 @@ def test_cdc_merge_matches_bruteforce(spark, rows):
         if u not in base and cs != "error":
             want[u] = (cs, round(cv, 4), "inserted")
     assert got == want
+
+
+@given(rows=EVENT_STREAMS, split=st.integers(min_value=1, max_value=19))
+@_SETTINGS
+def test_scd2_incremental_equals_rebuild(spark, rows, split):
+    """scd2_apply_increment(history(≤t), events(>t)) must equal
+    scd2_history(all events) for ANY stream and ANY time split —
+    the invariant the u6 oracle pins on real data, here on
+    adversarial ones. (Ties across the split are impossible by
+    construction: the split is between integer hour offsets.)"""
+    from server_spark.queries.warehouse import (
+        scd2_apply_increment,
+        scd2_history,
+    )
+
+    ev = _events_df(spark, rows).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    import datetime as dt
+
+    cut = dt.datetime(2024, 3, 1) + dt.timedelta(hours=split, minutes=30)
+    history = scd2_history(ev.filter(F.col("ts") < F.lit(cut)))
+    inc = ev.filter(F.col("ts") >= F.lit(cut))
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert canon(scd2_apply_increment(history, inc)) == canon(
+        scd2_history(ev)
+    )
