@@ -404,3 +404,62 @@ def test_incremental_view_maintenance(spark, tmp_path):
 
     # nothing new → no-op
     assert med.build_silver_incremental(spark, paths, since_version=2) == 0
+
+
+def test_streaming_intake_feeds_incremental_maintenance(spark, tmp_path):
+    """The continuous-medallion loop end to end: files land → the
+    streaming manifest-gated intake commits them as manifest versions
+    → incremental silver/gold refresh exactly the affected partitions
+    → the result equals a full batch rebuild. This is the composed
+    contract of T1 intake + the manifest commit log + incremental
+    view maintenance."""
+    import datetime as dt
+    import os
+
+    from server_spark.plans import medallion as med
+    from server_spark.streaming import pipeline as sp_mod
+
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    paths = med.MedallionPaths(str(tmp_path / "lake"))
+    os.makedirs(input_dir, exist_ok=True)
+
+    def land(name, ts, rows):
+        data = [
+            (auc, item, "o", "r1", 9, buyout, qty, "LONG", "eu", "r1", ts)
+            for auc, item, buyout, qty in rows
+        ]
+        spark.createDataFrame(data, AUCTION).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+
+    t1 = dt.datetime(2024, 1, 1, 10)
+    land("d0", t1, [(1, 100, 100, 1), (2, 100, 300, 1)])
+    sp_mod.stream_ingest_with_manifest(
+        spark, input_dir, paths, ckpt
+    ).awaitTermination()
+    assert med.manifest_versions(spark, paths) == [1]
+    med.build_silver(spark, paths)
+    med.build_gold_prices(spark, paths)
+
+    # day 2 lands through the SAME stream; refresh incrementally
+    t2 = dt.datetime(2024, 1, 2, 10)
+    land("d1", t2, [(3, 100, 500, 1)])
+    sp_mod.stream_ingest_with_manifest(
+        spark, input_dir, paths, ckpt
+    ).awaitTermination()
+    assert med.manifest_versions(spark, paths) == [1, 2]
+    assert med.build_silver_incremental(spark, paths, since_version=1) == 1
+    assert med.build_gold_prices_incremental(spark, paths, since_version=1) == 1
+
+    inc = {
+        (r["dump_date"], r["item"]): (r["volume"], r["median_buyout_per"])
+        for r in spark.read.parquet(paths.gold_prices).collect()
+    }
+    med.build_silver(spark, paths)
+    med.build_gold_prices(spark, paths)
+    full = {
+        (r["dump_date"], r["item"]): (r["volume"], r["median_buyout_per"])
+        for r in spark.read.parquet(paths.gold_prices).collect()
+    }
+    assert inc == full and len(inc) == 2
