@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from server_spark import tables
 from server_spark.operators import timeseries as ts_ops
 from server_spark.parity import r4, r4sql
-from server_spark.registry import register
+from server_spark.registry import auctions_sql, register
 
 RANGE_LO, RANGE_HI = "2024-01-05", "2024-01-15"
 RETENTION_CUTOFF = "2024-01-20"
@@ -953,3 +953,48 @@ def t14_downsample_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         r4(F.sum("value")).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W9 — ratio-to-report (share-of-market within group)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w9_share_of_market",
+    auctions_sql(
+        """
+    SELECT item, owner,
+           CAST(SUM(quantity) AS BIGINT) AS volume,
+           {S} AS market_share
+    FROM (
+      SELECT item, owner, quantity,
+             SUM(quantity) OVER (PARTITION BY item) AS item_total
+      FROM auctions
+    )
+    GROUP BY item, owner, item_total
+    """.format(
+            S=r4sql("SUM(quantity) / CAST(item_total AS DOUBLE)")
+        )
+    ),
+    doc="W9 — ratio-to-report: each owner's share of an item's "
+    "market (per-owner volume over the item's windowed total). The "
+    "window and the groupBy share the item partitioning; the window "
+    "side needs no ORDER BY, so it plans as an unsorted full-frame "
+    "aggregate — one shuffle for both steps.",
+    tags=("window", "ratio"),
+    late=True,
+)
+def w9_share_of_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.sources.synthetic import auctions
+
+    w = Window.partitionBy("item")
+    base = auctions(spark, sf_dir).select(
+        "item", "owner", "quantity"
+    ).withColumn("item_total", F.sum("quantity").over(w))
+    return base.groupBy("item", "owner", "item_total").agg(
+        F.sum("quantity").cast("long").alias("volume"),
+        r4(
+            F.sum("quantity") / F.col("item_total").cast("double")
+        ).alias("market_share"),
+    ).drop("item_total")

@@ -371,3 +371,19 @@ def test_x53_expectations_two_pruned_scans(plans):
     p = plans("x53_data_expectations")
     assert p.count("Scan parquet") == 3  # events x2 + customer dim
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" not in p
+
+
+def test_w9_share_one_shuffle(plans):
+    """The unsorted full-frame window and the follow-up groupBy share
+    the item partitioning — one hash exchange total."""
+    p = plans("w9_share_of_market")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_u6_incremental_scd2_semi_join_gate(plans):
+    """The increment's users gate the history read: a LeftSemi join
+    appears (touched-users gate) and no full cartesian/broadcast-
+    nested-loop forms."""
+    p = plans("u6_scd2_incremental")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
