@@ -949,3 +949,45 @@ def a15_market_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").over(w).cast("bigint").alias("cum_qty"),
         r4(F.sum("cost").over(w)).alias("cum_cost"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A16 — VWAP (volume-weighted average price)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a16_vwap",
+    auctions_sql(
+        """
+    SELECT item,
+           CAST(SUM(quantity) AS BIGINT) AS volume,
+           {V} AS vwap,
+           {A} AS unweighted_avg
+    FROM auctions WHERE buyout > 0
+    GROUP BY item
+    """.format(
+            V=r4sql("SUM(CAST(buyout AS DOUBLE)) / SUM(quantity)"),
+            A=r4sql("AVG(CAST(buyout AS DOUBLE) / quantity)"),
+        )
+    ),
+    doc="A16 — VWAP: the volume-weighted average unit price per item "
+    "(Σ buyout / Σ quantity) beside the unweighted per-listing mean "
+    "— the pair every market UI shows, and deliberately different "
+    "numbers when big lots price differently than singles. One "
+    "partial-aggregated shuffle; both ratios are post-aggregation "
+    "arithmetic, so the map side combines plain sums.",
+    tags=("agg", "vwap"),
+    late=True,
+)
+def a16_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    live = auctions(spark, sf_dir).filter(F.col("buyout") > 0)
+    return live.groupBy("item").agg(
+        F.sum("quantity").cast("long").alias("volume"),
+        r4(
+            F.sum(F.col("buyout").cast("double")) / F.sum("quantity")
+        ).alias("vwap"),
+        r4(
+            F.avg(F.col("buyout").cast("double") / F.col("quantity"))
+        ).alias("unweighted_avg"),
+    )
