@@ -65,13 +65,18 @@ def median_drift(base: dict[str, float], fresh: dict[str, float]) -> float:
     sandbox whose effective speed moves between rounds (observed: a
     uniform 1.23x inflation r4->r5 across unrelated queries); a real
     plan regression moves ONE query, drift moves ALL of them. The
-    median is robust to the handful of genuine regressions."""
+    median is robust to the handful of genuine regressions.
+
+    Absolute floor: queries under 0.3 s (either side) are excluded —
+    their ratios are dominated by fixed per-query overhead, and as the
+    registry grows with sub-second queries they would otherwise swamp
+    the median and dilute the drift estimate."""
     import statistics
 
     ratios = [
         fresh[n] / b
         for n, b in base.items()
-        if n in fresh and b >= 0.2 and fresh[n] > 0
+        if n in fresh and b >= 0.3 and fresh[n] >= 0.3
     ]
     return statistics.median(ratios) if ratios else 1.0
 

@@ -14,6 +14,10 @@ mapping each NATS subject to the function of the same shape:
     subject price-list-history → price_list_history(item_ids, ts range)
     subject owners-query    → owners_query(substring)
     subject items-query     → items_query(fuzzy string)
+    subject status          → realm_status(region)
+    subject mod-dates       → realm_modification_dates(region?)
+    subject token-history   → token_history(region)
+    subject unmet-demand    → unmet_demand_list(owner_cap, limit)
 
 All functions return lazy DataFrames — the serving layer decides how
 to materialize (collect for a reply payload, write for an export).
@@ -135,3 +139,106 @@ def items_query(
         "distance", F.levenshtein(F.lower("item_name"), F.lit(q))
     )
     return scored.orderBy("distance", "item").limit(limit)
+
+
+def _realm_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region→realm hierarchy (region table → nation table), the
+    broadcast dimension behind the status/mod-dates/token subjects."""
+    nation = tables.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("realm_id"),
+        F.col("n_name").alias("realm_name"),
+        F.col("n_regionkey").alias("_rk"),
+    )
+    region = tables.load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("_rk"),
+        F.col("r_name").alias("region_name"),
+    )
+    return nation.join(F.broadcast(region), "_rk").drop("_rk")
+
+
+def realm_status(
+    spark: SparkSession, sf_dir: str, region_name: str
+) -> DataFrame:
+    """The status subject: the connected-realm list for one region
+    (the reference replies with the realm roster + metadata; J2's
+    hierarchy flatten, filtered to the requested region). The region
+    predicate lands on the broadcast dim scan."""
+    return (
+        _realm_dim(spark, sf_dir)
+        .filter(F.col("region_name") == region_name)
+        .select("region_name", "realm_id", "realm_name")
+        .orderBy("realm_id")
+    )
+
+
+def realm_modification_dates(
+    spark: SparkSession, sf_dir: str, region_name: str | None = None
+) -> DataFrame:
+    """The modification-dates subject: per-realm newest/oldest activity
+    timestamps — the reference tracks per-realm dump downloaded/live
+    times and serves them so callers can poll for staleness (S2's
+    watermark, grouped per realm instead of one global max). One
+    hash-agg keyed by realm; the region filter (when given) rides the
+    broadcast dim."""
+    ev = tables.load(spark, sf_dir, "events")
+    cust = tables.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_nationkey").alias("realm_id"),
+    )
+    dim = cust.join(
+        F.broadcast(_realm_dim(spark, sf_dir)), "realm_id"
+    )
+    if region_name is not None:
+        dim = dim.filter(F.col("region_name") == region_name)
+    return (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy("region_name", "realm_id", "realm_name")
+        .agg(
+            F.max("ts").alias("last_modified"),
+            F.min("ts").alias("first_seen"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("region_name", "realm_id")
+    )
+
+
+def token_history(
+    spark: SparkSession, sf_dir: str, region_name: str
+) -> DataFrame:
+    """The token-history subject: one region's daily token price
+    series — exactly the W5 TokenHistory operator with the region
+    predicate applied. The filter is on a grouping key, so Catalyst
+    pushes it below the aggregate into the dimension scan; the served
+    form IS the proven operator, parameterized."""
+    from server_spark.queries.timeseries import w5_token_history
+
+    return w5_token_history(spark, sf_dir).filter(
+        F.col("region_name") == region_name
+    )
+
+
+def unmet_demand_list(
+    spark: SparkSession,
+    sf_dir: str,
+    owner_cap: int = 10,
+    limit: int = 100,
+) -> DataFrame:
+    """The unmet-demand subject: catalog items with zero live auctions
+    from the watched owner set (J5's anti join), served as a
+    deterministic, bounded list (distributed top-k, not a global
+    sort)."""
+    from server_spark.operators import joins
+
+    items = tables.load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("item"), F.col("p_name").alias("item_name")
+    )
+    offered = (
+        auctions(spark, sf_dir)
+        .filter(F.col("owner") <= owner_cap)
+        .select("item")
+    )
+    return (
+        joins.unmet_demand(items, offered, "item")
+        .orderBy("item")
+        .limit(limit)
+    )

@@ -1,0 +1,73 @@
+"""Materialization barrier with a reliable-checkpoint option.
+
+Several multi-consumer pipelines (dedup corpus build, connected
+components, BPE training, span inventories) need to cut lineage and
+materialize an intermediate exactly once.  Locally the cheapest form is
+``DataFrame.localCheckpoint()`` — blocks live on executor local disk /
+memory and the plan is truncated.  But localCheckpoint is documented as
+NOT fault-tolerant: on a real cluster, losing the executor that holds a
+block invalidates the checkpoint and fails the job (no lineage left to
+recompute from).  On a 1000-executor run over 100 TB that is a real
+availability risk for any job longer than a few minutes.
+
+``barrier(df)`` is the single switch point:
+
+- default: ``localCheckpoint`` (fast, local-disk, fine for local[32]
+  benches and short jobs);
+- when the session has a durable checkpoint directory configured via
+  :func:`enable_reliable_barriers` (or the ``SPARK_GRAFT_CHECKPOINT_DIR``
+  environment variable at session build), it routes through reliable
+  ``DataFrame.checkpoint()`` — blocks are written to the (HDFS/S3)
+  checkpoint dir and survive executor loss.
+
+Every operator-layer lineage-cut in the repo goes through this helper,
+so flipping one session-level setting changes the fault-tolerance
+posture of the whole engine without touching operator code.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Session-conf key consulted on every barrier() call.  "true" means the
+# checkpoint dir has been set and reliable checkpoints are wanted.
+RELIABLE_CONF = "spark.server_spark.reliableBarrier"
+
+
+def enable_reliable_barriers(spark: SparkSession, checkpoint_dir: str) -> None:
+    """Route all subsequent :func:`barrier` calls through reliable
+    ``checkpoint()`` into ``checkpoint_dir`` (an HDFS/S3/local-FS path
+    that survives executor loss)."""
+    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    spark.conf.set(RELIABLE_CONF, "true")
+
+
+def disable_reliable_barriers(spark: SparkSession) -> None:
+    """Revert :func:`barrier` to localCheckpoint (the local default)."""
+    spark.conf.set(RELIABLE_CONF, "false")
+
+
+def reliable_enabled(spark: SparkSession) -> bool:
+    return spark.conf.get(RELIABLE_CONF, "false") == "true"
+
+
+def barrier(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize ``df`` once and truncate its lineage.
+
+    Reliable ``checkpoint()`` when :func:`enable_reliable_barriers` has
+    been called on this session (or ``SPARK_GRAFT_CHECKPOINT_DIR`` was
+    exported before session build), else ``localCheckpoint()``.
+    """
+    spark = df.sparkSession
+    if reliable_enabled(spark):
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+def _maybe_enable_from_env(spark: SparkSession) -> None:
+    """Called by the session factory: honor SPARK_GRAFT_CHECKPOINT_DIR."""
+    ckdir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckdir and not reliable_enabled(spark):
+        enable_reliable_barriers(spark, ckdir)

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from server_spark.barrier import barrier
+
 
 def connected_components(
     edges: DataFrame,
@@ -45,7 +47,7 @@ def connected_components(
     # without a distinct shuffle; min-agg tolerates dupes anyway.
     e = edges.select(
         F.col(src).alias("node"), F.col(dst).alias("nbr")
-    ).localCheckpoint()
+    ).transform(barrier)
     sym = e.unionAll(e.select(F.col("nbr").alias("node"), F.col("node").alias("nbr")))
 
     # Init folds the first propagation round in: label = min(self,
@@ -54,7 +56,7 @@ def connected_components(
         sym.groupBy("node")
         .agg(F.min("nbr").alias("_mn"))
         .select("node", F.least("node", "_mn").alias("component"))
-        .localCheckpoint()
+        .transform(barrier)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -76,7 +78,7 @@ def connected_components(
                 ).alias("component"),
                 (F.col("nbr_component") < F.col("component")).alias("_chg"),
             )
-            .localCheckpoint()
+            .transform(barrier)
         )
         changed = new_labels.filter(F.col("_chg")).count()
         labels = new_labels.drop("_chg")

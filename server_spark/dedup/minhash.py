@@ -22,6 +22,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from server_spark.barrier import barrier
+
 from server_spark.dedup.ngram import word_shingles
 
 # Universal-hash family h(u) = (a·u + b) mod P over 32-bit shingle
@@ -77,7 +79,7 @@ def minhash_candidates(
     # materialize the shingle+min-agg pipeline once.
     sig = minhash_signatures(
         docs, n=n, num_hashes=num_hashes, seed=seed, id_col=id_col
-    ).localCheckpoint()
+    ).transform(barrier)
 
     band_entries = F.array(
         *[

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from server_spark.barrier import barrier
+
 
 def split_words(text_col: str | Column = "text") -> Column:
     """Lowercased whitespace word array of a text column."""
@@ -98,7 +100,7 @@ def jaccard_pairs(
     # ReusedExchange across them (verified on the executed plan), so
     # without materialization the explode+window pipeline (and its
     # whole upstream, e.g. x21's quality+dedup stages) runs 4×.
-    sh = word_shingles(docs, n, id_col).localCheckpoint()
+    sh = word_shingles(docs, n, id_col).transform(barrier)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
@@ -194,7 +196,7 @@ def jaccard_verify(
     # collect_set aggregation once
     sets = shingles.groupBy(id_col).agg(
         F.collect_set(token_col).alias("sh_set"),
-    ).withColumn("n_sh", F.size("sh_set")).localCheckpoint()
+    ).withColumn("n_sh", F.size("sh_set")).transform(barrier)
     scored = (
         candidates.select("doc_a", "doc_b")
         .join(

@@ -110,9 +110,12 @@ def ingest_bronze_incremental(
     sized — tiny — so the anti-join broadcasts); only rows of unseen
     dumps are APPENDED to bronze, then the manifest records the new
     keys. Append (not dynamic overwrite) is safe exactly BECAUSE the
-    manifest guarantees each dump key lands once. Returns the number
-    of newly ingested dump keys. Single-writer intake assumed (the
-    reference serializes intake per region the same way)."""
+    manifest guarantees each dump key lands once; a second,
+    partition-pruned gate against bronze itself makes RETRIES after a
+    crash between the bronze append and the manifest commit idempotent
+    too (see inline comment). Returns the number of newly ingested
+    dump keys. Single-writer intake assumed (the reference serializes
+    intake per region the same way)."""
     keys = ["region", "realm_slug", "dump_ts"]
     manifest = load_manifest(spark, paths)
     seen = manifest.select(*keys)
@@ -121,7 +124,31 @@ def ingest_bronze_incremental(
     n_new = new_keys.count()
     if n_new == 0:
         return 0
-    fresh = raw.join(F.broadcast(new_keys.select(*keys)), keys, "left_semi")
+    # Crash-window recovery: bronze is appended BEFORE the manifest
+    # commit, so a crash between the two leaves bronze rows with no
+    # manifest entry. A retry would pass the manifest gate above and
+    # append the same dump's rows AGAIN. Close the window by also
+    # gating against bronze itself — pruned to the increment's
+    # (dump_date) partitions, so the extra scan costs with the batch,
+    # not the table. Orphaned keys (in bronze, missing from the
+    # manifest) skip the append but still get their manifest entry
+    # below, completing the interrupted commit.
+    try:
+        days = [r[0] for r in new_keys.select(
+            F.to_date("dump_ts").alias("d")).distinct().collect()]
+        bronze_keys = (
+            spark.read.parquet(paths.bronze)
+            .filter(F.col("dump_date").isin(days))
+            .select(*keys)
+            .distinct()
+        )
+        append_keys = (
+            new_keys.join(F.broadcast(bronze_keys), keys, "left_anti").cache()
+        )
+        append_keys.count()
+    except Exception:  # first ingest: bronze doesn't exist yet
+        append_keys = new_keys
+    fresh = raw.join(F.broadcast(append_keys.select(*keys)), keys, "left_semi")
     (
         fresh.withColumn("dump_date", F.to_date("dump_ts"))
         .repartition("region", "realm_slug", "dump_date")

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from server_spark.barrier import barrier
+
 from server_spark.dedup import exact as ex
 from server_spark.dedup import minhash as mh
 from server_spark.dedup import ngram as ng
@@ -121,7 +123,7 @@ def _gated_edges(docs: DataFrame) -> DataFrame:
     token-set relation is the single shared materialization (feeds
     the signature/banding branch and both verify joins).
     """
-    vsets = mh.md5_val_arrays(docs, n=3).localCheckpoint()
+    vsets = mh.md5_val_arrays(docs, n=3).transform(barrier)
     cands = mh.md5_banded_candidates(
         None, _MH_AB, n_bands=_GATE_BANDS, val_arrays=vsets
     )
@@ -282,7 +284,7 @@ def x21_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min_by("doc_id", "doc_id").alias("doc_id"),
              F.min_by("text", "doc_id").alias("text"))
         .select("doc_id", "text")
-        .localCheckpoint()
+        .transform(barrier)
     )
 
     comp = connected_components(_gated_edges(exact))
@@ -488,7 +490,7 @@ def x8b_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so downstream carries a single column instead of 32.
     # Both the banded self-join branches and the per-side signature
     # lookups reference this — materialize once.
-    sigs = mh.md5_signatures(shingles, _MH_AB).localCheckpoint()
+    sigs = mh.md5_signatures(shingles, _MH_AB).transform(barrier)
     band_structs = [
         F.struct(
             F.lit(band).alias("band_idx"),
@@ -573,7 +575,7 @@ def x24_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFram
         shingles.join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "shingle")
         .distinct()
-        .localCheckpoint()
+        .transform(barrier)
     )
     sizes = srcsh.groupBy("source").agg(F.count("*").alias("n_sh"))
     a = srcsh.select(F.col("source").alias("source_a"), "shingle")
@@ -635,7 +637,7 @@ def x29_eval_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ng.word_shingles(docs, n=3)
         .join(docs.select("doc_id", "source"), "doc_id")
         .crossJoin(F.broadcast(ev))
-        .localCheckpoint()
+        .transform(barrier)
     )
     eval_sh = (
         shingles.filter(F.col("source") == F.col("ev_src"))
@@ -780,9 +782,9 @@ def x38_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("base_id").alias("exact_base"))
     )
 
-    vsets = mh.md5_val_arrays(docs, n=3).localCheckpoint()
+    vsets = mh.md5_val_arrays(docs, n=3).transform(barrier)
     sig = vsets.select("doc_id", mh.md5_sig_array("vs", _MH_AB).alias("sig"))
-    kv = mh.banded_keys(sig, _MH_NUM, _MH_BANDS).localCheckpoint()
+    kv = mh.banded_keys(sig, _MH_NUM, _MH_BANDS).transform(barrier)
     cand = (
         kv.filter(is_batch)
         .select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")

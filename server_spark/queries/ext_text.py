@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from server_spark.barrier import barrier
+
 from server_spark.parity import r4, r4sql
 from server_spark.queries.ext_common import _docs, shingle_ctes
 from server_spark.registry import register
@@ -415,7 +417,7 @@ def x30_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         toks.groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint()
+        .transform(barrier)
     )
     dfreq = pairs.groupBy("token").agg(F.count("*").alias("dfq"))
     n = docs.agg(F.count("*").alias("n_docs"))
@@ -485,7 +487,7 @@ def x33_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs(spark, sf_dir).select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
-    ).localCheckpoint()  # feeds freq, total AND the scoring join
+    ).transform(barrier)  # feeds freq, total AND the scoring join
     freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     total = toks.agg(F.count("*").alias("total"))
     return (
@@ -542,7 +544,7 @@ def x34_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from server_spark.dedup import ngram as ng
 
     # referenced by the df aggregation AND the join back
-    sh = ng.word_shingles(_docs(spark, sf_dir), n=3).localCheckpoint()
+    sh = ng.word_shingles(_docs(spark, sf_dir), n=3).transform(barrier)
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     with_df = sh.join(dfreq, "shingle")
     uniq = F.sum((F.col("df") == 1).cast("int"))
@@ -605,7 +607,7 @@ def x36_tokenizer_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
             "pos", "token"
         ),
-    ).localCheckpoint()  # feeds the vocab build AND the encode join
+    ).transform(barrier)  # feeds the vocab build AND the encode join
     counts = toks.groupBy("token").agg(F.count("*").alias("n_occ"))
     order = [F.col("n_occ").desc(), F.col("token")]
     vocab = (
@@ -723,7 +725,7 @@ def x40_quality_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
-    ).localCheckpoint()
+    ).transform(barrier)
     freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     total = toks.agg(F.count("*").alias("total"))
     lp = (
@@ -735,7 +737,7 @@ def x40_quality_master(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg(F.log(F.col("cnt").cast("double") / F.col("total")))
             ).alias("avg_logprob")
         )
-        .localCheckpoint()  # feeds the histogram AND the doc join
+        .transform(barrier)  # feeds the histogram AND the doc join
     )
     hist = lp.groupBy("avg_logprob").agg(F.count("*").alias("n"))
     from server_spark.operators.windows import pinned_single_group

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from server_spark.barrier import barrier
+
 from server_spark import tables
 from server_spark.operators import joins
 from server_spark.parity import r4, r4sql
@@ -307,8 +309,8 @@ def u1_setop_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each slice is scanned+deduped once and the EXCEPT/INTERSECT
     # branches read the materialized blocks. At cluster scale the same
     # shape holds with `.persist()` + a shared scan.
-    prev = _day_users(spark, sf_dir, DAY_A).localCheckpoint(eager=True)
-    nxt = _day_users(spark, sf_dir, DAY_B).localCheckpoint(eager=True)
+    prev = _day_users(spark, sf_dir, DAY_A).transform(barrier)
+    nxt = _day_users(spark, sf_dir, DAY_B).transform(barrier)
     lab = lambda df, s: df.select(  # noqa: E731
         F.lit(s).alias("status"), "user_id"
     )

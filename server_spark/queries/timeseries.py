@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from server_spark.barrier import barrier
+
 from server_spark import tables
 from server_spark.operators import timeseries as ts_ops
 from server_spark.parity import r4, r4sql
@@ -824,7 +826,7 @@ def t12_gap_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum("value").cast("double").alias("total"),
         )
-        .localCheckpoint()  # feeds bounds, types AND the dense join
+        .transform(barrier)  # feeds bounds, types AND the dense join
     )
     bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     types = daily.select("event_type").distinct()

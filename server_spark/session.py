@@ -78,4 +78,12 @@ def get_spark(
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER_URL"):
         builder = builder.master(f"local[{cpus}]")
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+
+    # Honor SPARK_GRAFT_CHECKPOINT_DIR: when set, every barrier() in
+    # the operator layer becomes a reliable checkpoint into that dir
+    # (survives executor loss) instead of a localCheckpoint.
+    from server_spark.barrier import _maybe_enable_from_env
+
+    _maybe_enable_from_env(spark)
+    return spark

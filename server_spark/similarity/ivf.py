@@ -42,6 +42,28 @@ from server_spark.similarity.cosine import dot_fixed
 MAX_TRAIN_SAMPLE = 65536
 
 
+def bounded_training_sample(
+    df: DataFrame, cols: list[str], n: int, key_cols: list[str] | None = None
+):
+    """Deterministic, ingestion-order-independent bounded sample.
+
+    ``limit(n)`` reads partitions in order, so a corpus whose layout is
+    correlated with content (time-partitioned ingest, sorted exports)
+    hands the quantizer a biased training matrix. Ordering by
+    ``xxhash64`` of a key first gives a uniform pseudo-random draw that
+    is still deterministic, and ``orderBy().limit(n)`` compiles to
+    TakeOrderedAndProject — per-partition top-n + one driver merge, NO
+    full sort shuffle — so the cost stays one scan regardless of corpus
+    size. Returns a DataFrame of ``cols`` to ``.collect()``."""
+    key = [F.col(c) for c in (key_cols or cols)]
+    return (
+        df.select(*{*cols, *(key_cols or cols)})
+        .orderBy(F.xxhash64(*key).asc())
+        .limit(n)
+        .select(*cols)
+    )
+
+
 @dataclass
 class IvfIndex:
     """Model state (centroids) + the cluster-assigned corpus."""
@@ -51,6 +73,7 @@ class IvfIndex:
     dim: int
     id_col: str
     vec_col: str
+    n_assign: int = 2      # boundary-replication factor of `assigned`
 
 
 def _kmeans_fit(
@@ -114,15 +137,15 @@ def build_index(
     most of it for n× storage — the standard remedy when the corpus
     has weak cluster structure. Storage/recall dial alongside
     n_probe."""
-    # Bounded training collect in ONE job (no count() pre-pass). limit
-    # reads partitions in order — at real scale pass a shuffled /
-    # pre-sampled frame if ingestion order is correlated with content.
+    # Bounded training collect in ONE job (no count() pre-pass),
+    # hash-ordered so ingestion-order-correlated layouts don't bias
+    # the quantizer (see bounded_training_sample).
     train = np.array(
         [
             row[0]
-            for row in embeddings.select(vec_col)
-            .limit(MAX_TRAIN_SAMPLE)
-            .collect()
+            for row in bounded_training_sample(
+                embeddings, [vec_col], MAX_TRAIN_SAMPLE, key_cols=[id_col]
+            ).collect()
         ],
         dtype=np.float64,
     )
@@ -170,7 +193,7 @@ def build_index(
     if cache:
         assigned = assigned.cache()
     dim = centroids.shape[1] if len(centroids) else 0
-    return IvfIndex(centroids, assigned, dim, id_col, vec_col)
+    return IvfIndex(centroids, assigned, dim, id_col, vec_col, n_assign)
 
 
 def _query_probes(
@@ -281,7 +304,10 @@ def cached_index(
     vec_col: str = "embedding",
     n_assign: int = 2,
 ) -> IvfIndex:
-    key = (cache_key, n_clusters, seed, id_col, vec_col, n_assign)
+    # "hsamp2": sampler-version tag — the hash-ordered training sample
+    # changed the centroids for a given corpus, so older persisted
+    # indexes (keyed without the tag) must not be reloaded.
+    key = (cache_key, n_clusters, seed, id_col, vec_col, n_assign, "hsamp2")
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
 
@@ -299,6 +325,7 @@ def cached_index(
                 centroids.shape[1] if len(centroids) else 0,
                 id_col,
                 vec_col,
+                n_assign,
             )
             _INDEX_CACHE[key] = index
             return index

@@ -39,7 +39,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from server_spark.similarity.ivf import MAX_TRAIN_SAMPLE, _kmeans_fit
+from server_spark.similarity.ivf import (
+    MAX_TRAIN_SAMPLE,
+    _kmeans_fit,
+    bounded_training_sample,
+)
 
 PQ_M = 8        # subspaces (64-dim → 8-dim subvectors)
 PQ_KSUB = 256   # codebook entries per subspace (uint8 codes)
@@ -58,9 +62,9 @@ def train_pq(
     train = np.array(
         [
             row[0]
-            for row in embeddings.select(vec_col)
-            .limit(MAX_TRAIN_SAMPLE)
-            .collect()
+            for row in bounded_training_sample(
+                embeddings, [vec_col], MAX_TRAIN_SAMPLE
+            ).collect()
         ],
         dtype=np.float64,
     )
@@ -229,7 +233,30 @@ def _ivfpq_encoded(idx, m: int, ksub: int, seed: int, cache_key, id_col):
     is one code row; returns (codebooks, encoded DF of
     (id, cluster, codes, _nrm)) with the TRUE vector norm carried so
     the cosine denominator stays exact."""
-    key = (cache_key, m, ksub, seed, id_col, "residual")
+    # Key by the FULL index identity, not just the PQ params: the
+    # residual codes are computed against THIS index's centroid array,
+    # so two ivfpq calls sharing a cache_key but differing in
+    # n_clusters / vec_col / n_assign must not share codes (a reload
+    # would index a different centroid array — wrong scores or
+    # IndexError). A digest of the centroids pins the exact quantizer;
+    # n_assign additionally pins the replication factor of the encoded
+    # inverted lists.
+    import hashlib
+
+    cent_digest = hashlib.sha1(
+        np.ascontiguousarray(idx.centroids).tobytes()
+    ).hexdigest()[:16]
+    key = (
+        cache_key,
+        m,
+        ksub,
+        seed,
+        id_col,
+        idx.vec_col,
+        idx.n_assign,
+        cent_digest,
+        "residual",
+    )
     hit = _IVFPQ_CACHE.get(key) if cache_key else None
     if hit is not None:
         return hit
@@ -260,12 +287,15 @@ def _ivfpq_encoded(idx, m: int, ksub: int, seed: int, cache_key, id_col):
     cents = idx.centroids
     dim = idx.dim
     dsub = dim // m
-    # bounded residual training sample from the assigned lists
-    rows = (
-        idx.assigned.select(idx.vec_col, "cluster")
-        .limit(MAX_TRAIN_SAMPLE)
-        .collect()
-    )
+    # bounded residual training sample from the assigned lists,
+    # hash-ordered by (id, cluster) so list/ingest order doesn't bias
+    # the residual codebooks
+    rows = bounded_training_sample(
+        idx.assigned,
+        [idx.vec_col, "cluster"],
+        MAX_TRAIN_SAMPLE,
+        key_cols=[idx.id_col, "cluster"],
+    ).collect()
     res = np.array(
         [np.asarray(r[0], dtype=np.float64) - cents[r[1]] for r in rows]
     )

@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from server_spark.barrier import barrier
+
 END_MARK = "</w>"
 CHECKPOINT_EVERY = 4
 
@@ -49,13 +51,26 @@ def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _codepoint_chars(words):
+    """Split a word into CODE POINTS. The JVM's ``split(word, '')``
+    splits on UTF-16 code units, so non-BMP text (emoji, rare CJK)
+    would yield surrogate halves and the distributed trainer would
+    learn merges the Python-side ``list(word)`` paths
+    (train_bpe_fast, encode_with_merges) can never produce. Python
+    strings are code-point sequences, so ``list`` is exactly right;
+    the UDF runs over the Zipf-bounded word-TYPE table, not the
+    corpus."""
+    return words.map(list)
+
+
 def _initial_symbols(freqs: DataFrame) -> DataFrame:
-    """word → array of single-char symbols + end-of-word marker."""
+    """word → array of single-codepoint symbols + end-of-word marker."""
     return freqs.select(
         "word",
         "freq",
         F.concat(
-            F.split(F.col("word"), ""), F.array(F.lit(END_MARK))
+            _codepoint_chars(F.col("word")), F.array(F.lit(END_MARK))
         ).alias("syms"),
     )
 
@@ -66,7 +81,7 @@ def train_bpe(
     """Learn ``n_merges`` merge rules; returns them in rank order as
     (left, right, weighted_pair_count). Deterministic: ties on count
     break lexicographically, exactly reproducible across runs."""
-    cur = _initial_symbols(word_freqs(docs, text_col)).localCheckpoint()
+    cur = _initial_symbols(word_freqs(docs, text_col)).transform(barrier)
     merges: list[tuple[str, str, int]] = []
     merge_schema = T.StructType(
         [
@@ -127,7 +142,7 @@ def train_bpe(
 
         cur = cur.mapInPandas(apply_merge, merge_schema)
         if (it + 1) % CHECKPOINT_EVERY == 0:
-            cur = cur.localCheckpoint()
+            cur = cur.transform(barrier)
     return merges
 
 

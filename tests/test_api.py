@@ -78,3 +78,100 @@ def test_owner_and_item_search(spark, sf_dir):
     assert len(items) == 5
     dists = [r["distance"] for r in items]
     assert dists == sorted(dists)
+
+
+def test_realm_status_lists_region_roster(spark, sf_dir):
+    """status subject ≡ the hierarchy dim filtered to one region."""
+    from pyspark.sql import functions as F
+
+    from server_spark import tables
+
+    rows = api.realm_status(spark, sf_dir, "EUROPE").collect()
+    assert rows and all(r["region_name"] == "EUROPE" for r in rows)
+    # equivalence to the direct join
+    nation = tables.load(spark, sf_dir, "nation")
+    region = tables.load(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    want = sorted(
+        r["n_nationkey"]
+        for r in nation.join(
+            region, nation.n_regionkey == region.r_regionkey
+        ).collect()
+    )
+    assert [r["realm_id"] for r in rows] == want
+
+
+def test_realm_modification_dates_watermarks(spark, sf_dir):
+    """mod-dates subject: per-realm max(ts) equals the direct
+    group-by, and the region parameter restricts the roster."""
+    from pyspark.sql import functions as F
+
+    from server_spark import tables
+
+    got = {
+        r["realm_id"]: r["last_modified"]
+        for r in api.realm_modification_dates(spark, sf_dir).collect()
+    }
+    ev = tables.load(spark, sf_dir, "events")
+    cust = tables.load(spark, sf_dir, "customer")
+    want = {
+        r["c_nationkey"]: r["m"]
+        for r in ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.max("ts").alias("m"))
+        .collect()
+    }
+    assert got == want and got
+    eu = api.realm_modification_dates(spark, sf_dir, "EUROPE").collect()
+    assert eu and {r["region_name"] for r in eu} == {"EUROPE"}
+    assert set(r["realm_id"] for r in eu) < set(got)
+
+
+def test_token_history_is_parameterized_w5(spark, sf_dir):
+    """token-history subject ≡ the proven W5 operator sliced to the
+    region, and the region predicate reaches below the aggregate."""
+    import contextlib
+    import io
+
+    from server_spark.queries.timeseries import w5_token_history
+
+    got = api.token_history(spark, sf_dir, "ASIA")
+    rows = got.collect()
+    assert rows and {r["region_name"] for r in rows} == {"ASIA"}
+    want = [
+        r
+        for r in w5_token_history(spark, sf_dir).collect()
+        if r["region_name"] == "ASIA"
+    ]
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, want))
+    # the filter must be pushed below the aggregate (no post-agg Filter
+    # over the full region set): the region dim scan happens under a
+    # broadcast join, and the physical plan carries the literal into
+    # the scan side, not only above the HashAggregate
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "ASIA" in plan.split("HashAggregate")[-1] or "PushedFilters" in plan
+
+
+def test_unmet_demand_list_matches_j5(spark, sf_dir):
+    """unmet-demand subject ≡ J5 with default params, bounded +
+    deterministic."""
+    from server_spark.queries.joins_sets import j5_unmet_demand
+
+    rows = api.unmet_demand_list(spark, sf_dir, owner_cap=10, limit=50).collect()
+    want = sorted(r["item"] for r in j5_unmet_demand(spark, sf_dir).collect())[
+        :50
+    ]
+    assert [r["item"] for r in rows] == want and len(rows) <= 50
+    # with no watched owners every catalog item is unmet: the list is
+    # non-empty and bounded by the limit
+    all_unmet = api.unmet_demand_list(
+        spark, sf_dir, owner_cap=-1, limit=50
+    ).collect()
+    assert len(all_unmet) == 50
+    assert [r["item"] for r in all_unmet] == sorted(
+        r["item"] for r in all_unmet
+    )

@@ -92,3 +92,31 @@ def test_bpe_fast_equals_distributed(spark):
     assert bpe.train_bpe_fast(docs, n_merges=10) == bpe.train_bpe(
         docs, n_merges=10
     )
+
+
+def test_bpe_nonbmp_codepoints(spark):
+    """Regression (r5 advice): the distributed trainer must split
+    words into CODE POINTS, not UTF-16 code units. With emoji (non-BMP)
+    input, a code-unit split learns merges over surrogate halves and
+    diverges from the Python-side paths."""
+    corpus = {"😀😀cat": 5, "😀cat": 3, "naïve": 4, "日本語テスト": 2}
+    rows = []
+    doc_id = 0
+    for w, f in corpus.items():
+        for _ in range(f):
+            rows.append((doc_id, w))
+            doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    dist = bpe.train_bpe(docs, n_merges=8)
+    fast = bpe.train_bpe_fast(docs, n_merges=8)
+    assert dist == fast
+    # no merge symbol may contain a lone surrogate half
+    for l, r, _ in dist:
+        for sym in (l, r):
+            assert not any(0xD800 <= ord(c) <= 0xDFFF for c in sym), sym
+    # encode round-trips the non-BMP words exactly
+    enc = bpe.encode_with_merges(docs, dist)
+    for row in enc.collect():
+        joined = "".join(row["tokens"]).replace(bpe.END_MARK, "")
+        assert joined in corpus

@@ -463,3 +463,49 @@ def test_streaming_intake_feeds_incremental_maintenance(spark, tmp_path):
         for r in spark.read.parquet(paths.gold_prices).collect()
     }
     assert inc == full and len(inc) == 2
+
+
+def test_crash_between_bronze_and_manifest_is_recoverable(spark, tmp_path):
+    """Regression (r5 advice): bronze is appended before the manifest
+    commit. Simulate a crash in that window — bronze holds a dump's
+    rows but the manifest never recorded it — then retry the ingest.
+    The retry must NOT double the bronze rows, and must complete the
+    interrupted commit (manifest gains the key)."""
+    import datetime as dt
+
+    from server_spark.plans import medallion as med
+
+    paths = med.MedallionPaths(str(tmp_path / "lake"))
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+
+    def dump(ts, aucs):
+        return spark.createDataFrame(
+            [("eu", "r1", ts, a, 100, 500, 1) for a in aucs],
+            "region string, realm_slug string, dump_ts timestamp, "
+            "auc long, item long, buyout long, quantity long",
+        )
+
+    d1 = dump(t0, [1, 2])
+    # simulate the crash: bronze append happened, manifest write didn't
+    (
+        d1.withColumn("dump_date", F.to_date("dump_ts"))
+        .write.mode("append")
+        .partitionBy("region", "realm_slug", "dump_date")
+        .parquet(paths.bronze)
+    )
+    assert med.load_manifest(spark, paths).count() == 0  # crash state
+
+    # retry the same dump through the normal path
+    assert med.ingest_bronze_incremental(spark, d1, paths) == 1
+    bronze = spark.read.parquet(paths.bronze)
+    assert bronze.count() == 2, "orphaned rows must not be re-appended"
+    assert med.load_manifest(spark, paths).count() == 1
+
+    # a THIRD delivery is now a plain redelivery: fully skipped
+    assert med.ingest_bronze_incremental(spark, d1, paths) == 0
+    assert spark.read.parquet(paths.bronze).count() == 2
+
+    # and a genuinely new dump on the same date still lands once
+    d2 = dump(t0 + dt.timedelta(hours=1), [3])
+    assert med.ingest_bronze_incremental(spark, d2, paths) == 1
+    assert spark.read.parquet(paths.bronze).count() == 3

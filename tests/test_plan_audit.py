@@ -1,0 +1,98 @@
+"""SCALE.md §"Verified plan properties" asserted live, by name.
+
+SCALE.md pins a table of plan properties the 100 TB design depends on
+(pushed filters, broadcast dimensions, distributed top-k, window group
+limits, pruned scans). The per-query tests in test_plans.py cover many
+of them individually; this file is the table itself as a data-driven
+audit, so a refactor that un-broadcasts j1 or de-prunes a scan fails
+with the QUERY'S NAME in the pytest output — the automation the r5
+verdict asked for (scripts/plan_audit.py stays the offline, full-
+registry report writer).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from server_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+# query -> (must-contain substrings, must-NOT-contain substrings),
+# evaluated against the FORMATTED physical plan. One row per SCALE.md
+# "Verified plan properties" entry.
+PINNED: dict[str, tuple[list[str], list[str]]] = {
+    # filters reach the parquet scan
+    "p2_filter_owners": (["PushedFilters: ["], []),
+    "p5_time_range": (["PushedFilters: ["], []),
+    "f2_substring_search": (["PushedFilters: ["], []),
+    # dimension / scalar broadcasts — and no shuffle for the pure enrich
+    "j1_item_enrich": (["BroadcastHashJoin"], ["Exchange hashpartitioning"]),
+    "j4_owners_by_items": (["BroadcastHashJoin"], ["SortMergeJoin"]),
+    # a2 is a pure window+agg: exactly one shuffle, no join at all
+    # (single-shuffle property pinned in test_plans.py)
+    # pagination rewrites to distributed top-k, never a global sort
+    "o1_multisort_page": (["TakeOrderedAndProject"], []),
+    "o2_paginate_deep": (["TakeOrderedAndProject"], []),
+    "o3_top10_expensive": (
+        ["TakeOrderedAndProject"],
+        ["Exchange hashpartitioning"],
+    ),
+    # per-group top-N pushes the rank filter below the window
+    "o4_topn_per_group": (["WindowGroupLimit"], []),
+}
+
+# Registry-wide hygiene over the same audited set: never a
+# row-at-a-time Python UDF node, never an unbounded cartesian product.
+FORBIDDEN_EVERYWHERE = ["BatchEvalPython", "CartesianProduct"]
+
+
+@pytest.fixture(scope="module")
+def fplan(spark):
+    qs = registry.queries()
+
+    def plan(name: str) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            qs[name](spark, SF).explain("formatted")
+        return buf.getvalue()
+
+    return plan
+
+
+@pytest.mark.parametrize("name", sorted(PINNED))
+def test_pinned_plan_property(fplan, name):
+    must, must_not = PINNED[name]
+    p = fplan(name)
+    for s in must:
+        assert s in p, f"{name}: expected {s!r} in physical plan"
+    for s in must_not:
+        assert s not in p, f"{name}: forbidden {s!r} appeared in plan"
+    for s in FORBIDDEN_EVERYWHERE:
+        assert s not in p, f"{name}: forbidden {s!r} appeared in plan"
+
+
+def test_pushed_filters_nonempty(fplan):
+    """The pushdown rows must show an actual predicate, not an empty
+    PushedFilters list."""
+    for name in ("p2_filter_owners", "p5_time_range", "f2_substring_search"):
+        p = fplan(name)
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+        assert any(s.strip() for s in pushed), f"{name}: empty pushdown"
+
+
+def test_scans_prune_columns(fplan):
+    """"All scans ReadSchema-pruned": the audited queries project a
+    strict subset of their tables' columns, so no scan may read a
+    full-width auctions/lineitem row (17 columns)."""
+    for name in sorted(PINNED):
+        p = fplan(name)
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", p):
+            cols = [c for c in m.group(1).split(",") if c.strip()]
+            assert len(cols) <= 8, (
+                f"{name}: scan reads {len(cols)} columns — pruning lost"
+            )

@@ -187,3 +187,28 @@ def test_ivfpq_refine_recovers_gate_ceiling(spark, emb):
     r_gate = recall(search(idx, queries, k=TOPK, n_probe=4))
     assert r_ref >= r_adc, (r_ref, r_adc)
     assert r_ref >= r_gate - 0.02, (r_ref, r_gate)
+
+
+def test_ivfpq_cache_keyed_by_index_identity(spark, emb):
+    """Regression (r5 advice): two ivfpq calls sharing a cache_key but
+    differing in n_clusters must NOT share encoded codes — the codes
+    index that specific quantizer's centroid array. Before the fix the
+    second call could reload the first call's codes and score against
+    the wrong centroids (or IndexError)."""
+    from server_spark.similarity.pq import ivfpq_topk
+
+    qs = (
+        emb.limit(3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    a = ivfpq_topk(emb, qs, k=5, n_clusters=16, cache_key="t_keyid")
+    b = ivfpq_topk(emb, qs, k=5, n_clusters=4, cache_key="t_keyid")
+    ra, rb = a.collect(), b.collect()
+    assert len(ra) > 0 and len(rb) > 0
+    # both runs must be self-consistent: rnk 1..k per query, scores in [-1, 1]
+    for rows in (ra, rb):
+        for r in rows:
+            assert -1.000001 <= r["score_adc"] <= 1.000001
