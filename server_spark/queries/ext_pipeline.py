@@ -683,3 +683,74 @@ def x50_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.desc("_k"), F.col("doc_id")))
         .alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x56 — blocked entity resolution (fuzzy record linkage)
+# ---------------------------------------------------------------------------
+
+_ER_PROBE_CAP = 100   # probe set: catalog entries under this key
+_ER_MAX_DIST = 12     # edit-distance acceptance threshold
+_ER_TOPK = 3
+
+
+@register(
+    "x56_entity_resolution",
+    f"""
+    WITH names AS (
+        SELECT p_partkey AS key, LOWER(p_name) AS name,
+               SPLIT_PART(LOWER(p_name), ' ', 1) AS block
+        FROM part
+    ), probes AS (
+        SELECT key AS probe_key, name AS probe_name, block
+        FROM names WHERE key <= {_ER_PROBE_CAP}
+    ), cand AS (
+        SELECT p.probe_key, n.key AS match_key,
+               LEVENSHTEIN(p.probe_name, n.name) AS dist
+        FROM probes p JOIN names n USING (block)
+        WHERE n.key <> p.probe_key
+          AND LEVENSHTEIN(p.probe_name, n.name) <= {_ER_MAX_DIST}
+    )
+    SELECT probe_key, match_key, dist,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY probe_key ORDER BY dist, match_key
+           ) AS INT) AS rnk
+    FROM cand
+    QUALIFY rnk <= {_ER_TOPK}
+    """,
+    doc="x56 — entity resolution: link probe records to their "
+    "nearest catalog names by edit distance, BLOCKED on the first "
+    "name token so the pair space is per-block (Σ|block|²), never "
+    "the full cross product — the standard record-linkage shape "
+    "(block → compare → rank). The probe side broadcasts; per-probe "
+    "top-k is a WindowGroupLimit, not a global sort. Same family as "
+    "F3's fuzzy rank but set-to-set instead of one query string.",
+    tags=("ext", "fuzzy", "join"),
+    late=True,
+)
+def x56_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = tables.load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("key"),
+        F.lower("p_name").alias("name"),
+        F.split(F.lower("p_name"), " ")[0].alias("block"),
+    )
+    probes = names.filter(F.col("key") <= _ER_PROBE_CAP).select(
+        F.col("key").alias("probe_key"),
+        F.col("name").alias("probe_name"),
+        "block",
+    )
+    cand = (
+        names.join(F.broadcast(probes), "block")
+        .filter(F.col("key") != F.col("probe_key"))
+        .select(
+            "probe_key",
+            F.col("key").alias("match_key"),
+            F.levenshtein("probe_name", "name").alias("dist"),
+        )
+        .filter(F.col("dist") <= _ER_MAX_DIST)
+    )
+    w = Window.partitionBy("probe_key").orderBy("dist", "match_key")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ER_TOPK)
+    )

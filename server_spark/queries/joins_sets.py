@@ -469,3 +469,62 @@ def j8_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         r4(F.avg(F.col("value") - F.col("type_mean"))).alias("mean_dev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# U7 — multiset (bag) set operations: EXCEPT ALL / INTERSECT ALL
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u7_bag_setops",
+    f"""
+    WITH a AS (
+        SELECT user_id, event_type FROM events
+        WHERE CAST(ts AS DATE) = DATE '{DAY_A}'
+    ), b AS (
+        SELECT user_id, event_type FROM events
+        WHERE CAST(ts AS DATE) = DATE '{DAY_B}'
+    ), ex AS (
+        SELECT * FROM a EXCEPT ALL SELECT * FROM b
+    ), ia AS (
+        SELECT * FROM a INTERSECT ALL SELECT * FROM b
+    )
+    SELECT 'except_all' AS op, event_type, COUNT(*) AS n
+    FROM ex GROUP BY event_type
+    UNION ALL
+    SELECT 'intersect_all' AS op, event_type, COUNT(*) AS n
+    FROM ia GROUP BY event_type
+    """,
+    doc="U7 — bag semantics for the churn set ops: EXCEPT ALL keeps "
+    "surplus MULTIPLICITY (a user who clicked 3x on day A and 1x on "
+    "day B contributes 2 rows), INTERSECT ALL the shared floor — the "
+    "distinct-set forms (U1-U3) can't express per-occurrence deltas. "
+    "Spark plans both as one aggregate computing per-key counts on "
+    "each side + a generate replaying min/surplus counts — no row-by-"
+    "row matching join.",
+    tags=("setop", "bag"),
+    late=True,
+)
+def u7_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+
+    def day(d: str) -> DataFrame:
+        return ev.filter(F.col("ts").cast("date") == d).select(
+            "user_id", "event_type"
+        )
+
+    a, b = day(DAY_A), day(DAY_B)
+    ex = (
+        a.exceptAll(b)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "event_type", "n")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "event_type", "n")
+    )
+    return ex.unionByName(ia)

@@ -1000,3 +1000,130 @@ def w9_share_of_market(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("quantity") / F.col("item_total").cast("double")
         ).alias("market_share"),
     ).drop("item_total")
+
+
+# ---------------------------------------------------------------------------
+# W10 — exponentially weighted moving average (bounded lookback)
+# ---------------------------------------------------------------------------
+
+_EWMA_DECAY = 0.7   # (1 - alpha): weight on the k-th prior row is 0.7^k
+_EWMA_LOOKBACK = 9  # rows before the current one in the frame
+
+
+@register(
+    "w10_ewma_price",
+    f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               {r4sql("AVG(value)")} AS avg_value
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), s AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY day) AS rn
+        FROM daily
+    )
+    SELECT t.event_type, t.day, t.avg_value,
+           {r4sql(f"SUM(p.avg_value * POWER({_EWMA_DECAY}, t.rn - p.rn)) / SUM(POWER({_EWMA_DECAY}, t.rn - p.rn))")} AS ewma
+    FROM s t JOIN s p
+      ON p.event_type = t.event_type
+     AND p.rn BETWEEN t.rn - {_EWMA_LOOKBACK} AND t.rn
+    GROUP BY t.event_type, t.day, t.avg_value
+    """,
+    doc="W10 — EWMA price smoothing: per-series daily averages "
+    "smoothed with exponential weights over a bounded 10-row "
+    "lookback (the reference smooths price histories for display; "
+    "bounded frames keep the weights finite and the state O(1)). "
+    "Spark: collect the window frame (frame-ordered), weight via "
+    "transform+zip_with, fold with aggregate — all JVM expressions, "
+    "one shuffle shared by the daily agg and the window. Oracle: the "
+    "same normalized weighted sum via a row-number band self-join.",
+    tags=("window", "timeseries", "ewma"),
+    late=True,
+)
+def w10_ewma_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(r4(F.avg("value")).alias("avg_value"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-_EWMA_LOOKBACK, 0)
+    )
+    frame = F.collect_list("avg_value").over(w)  # frame order = day asc
+    # weight element i (0-based, oldest first) by decay^(size-1-i)
+    weights = F.transform(
+        F.sequence(F.lit(1), F.size(frame)),
+        lambda i: F.pow(F.lit(_EWMA_DECAY), F.size(frame) - i),
+    )
+    wsum = F.aggregate(
+        F.zip_with(frame, weights, lambda x, wt: x * wt),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = F.aggregate(weights, F.lit(0.0), lambda acc, v: acc + v)
+    return daily.select(
+        "event_type",
+        "day",
+        "avg_value",
+        r4(wsum / nrm).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T15 — interval join (the stream-stream join, batch form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t15_interval_join",
+    f"""
+    SELECT c.event_id, c.user_id, c.ts,
+           COUNT(p.event_id) AS n_prior_purchases,
+           {r4sql("COALESCE(SUM(p.value), 0)")} AS prior_purchase_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+    LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts - INTERVAL 1 HOUR
+     AND p.ts < c.ts
+    GROUP BY c.event_id, c.user_id, c.ts
+    """,
+    doc="T15 — interval join: each click aggregated against the same "
+    "user's purchases in the preceding hour — the BATCH twin of a "
+    "watermarked stream-stream join (Structured Streaming's canonical "
+    "join shape; streaming form in streaming/pipeline.py). Plans as "
+    "an equi-join on user_id with the time band as a post-join "
+    "predicate — NOT a cartesian product; at 100 TB both sides "
+    "shuffle once on user_id and AQE handles hot users. Differs from "
+    "J6 (as-of = nearest single row) in aggregating ALL rows in the "
+    "interval.",
+    tags=("join", "timeseries", "interval"),
+    late=True,
+)
+def t15_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("p_ts") < F.col("ts")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id", "ts").agg(
+        F.count("p_id").alias("n_prior_purchases"),
+        r4(F.coalesce(F.sum("p_value"), F.lit(0.0))).alias(
+            "prior_purchase_value"
+        ),
+    )

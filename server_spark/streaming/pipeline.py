@@ -454,3 +454,54 @@ def enrich_stream_with_items(
 
     ``items`` needs (item, item_name); extra columns pass through."""
     return stream.join(F.broadcast(items), "item", "left")
+
+
+def attribution_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within_hours: int = 1,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join FOLLOWED BY a windowed aggregate —
+    two chained stateful operators (Spark 3.5+ multi-stateful
+    pipelines): purchases are attributed to the same user's click in
+    the preceding ``within_hours``, then attributed revenue rolls up
+    per tumbling ``bucket`` on the purchase time. Batch twin:
+    t15_interval_join (queries/timeseries.py).
+
+    Both inputs carry watermarks, so join state expires once the
+    watermark passes the interval AND the downstream window state
+    closes one watermark later — end-to-end state stays
+    O(in-flight interval + open buckets). Append mode: a bucket emits
+    once, when the watermark passes its end.
+
+    ``clicks`` needs (user_id, ts); ``purchases`` needs
+    (user_id, ts, value).
+    """
+    bound = f"{within_hours} hours"
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    ).withWatermark("click_ts", bound)
+    p = purchases.select(
+        "user_id", F.col("ts").alias("p_ts"), "value"
+    ).withWatermark("p_ts", bound)
+    attributed = p.join(
+        c,
+        F.expr(
+            f"user_id = c_user AND p_ts >= click_ts "
+            f"AND p_ts <= click_ts + INTERVAL {within_hours} HOURS"
+        ),
+        "left_semi",  # attribution test: was there a qualifying click?
+    )
+    return (
+        attributed.groupBy(F.window("p_ts", bucket))
+        .agg(
+            F.count("*").alias("n_attributed"),
+            F.sum("value").alias("attributed_value"),
+        )
+        .select(
+            F.col("window.start").alias("bucket_ts"),
+            "n_attributed",
+            "attributed_value",
+        )
+    )

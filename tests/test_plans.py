@@ -387,3 +387,29 @@ def test_u6_incremental_scd2_semi_join_gate(plans):
     p = plans("u6_scd2_incremental")
     assert "LeftSemi" in p
     assert "CartesianProduct" not in p
+
+
+def test_t15_interval_join_not_cartesian(plans):
+    """The interval join must plan as an equi-join on user_id with the
+    time band as a join-condition residual — never a cartesian/nested-
+    loop product over clicks × purchases."""
+    p = plans("t15_interval_join")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_x56_entity_resolution_blocked_topk(plans):
+    """Record linkage stays blocked: the probe side broadcasts into the
+    block join (no all-pairs), and the per-probe top-k is a
+    WindowGroupLimit, not a rank-then-filter over a global sort."""
+    p = plans("x56_entity_resolution")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "WindowGroupLimit" in p
+
+
+def test_u7_bag_setops_no_join(plans):
+    """EXCEPT ALL / INTERSECT ALL plan as count-replay aggregates —
+    no row-matching join anywhere."""
+    p = plans("u7_bag_setops")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p

@@ -434,3 +434,61 @@ def test_stream_static_enrich(spark, tmp_path):
 
     rows = {r["auc"]: r["item_name"] for r in spark.read.parquet(out_dir).collect()}
     assert rows == {1: "iron ore", 2: None}
+
+
+def test_attribution_chained_stateful(spark, tmp_path):
+    """Interval join + windowed aggregate chained in ONE streaming
+    query (multi-stateful pipeline): purchases inside the attribution
+    window of a click count toward their hour bucket; purchases with
+    no qualifying click (too early / other user) do not."""
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    far = t0 + dt.timedelta(days=2)
+    # the GLOBAL watermark is min over both inputs, so BOTH streams
+    # need a far-future row for the closed buckets to flush (append
+    # mode emits a bucket only once the watermark passes its end)
+    clicks = spark.createDataFrame(
+        [(1, t0), (2, t0 + dt.timedelta(hours=3)), (8, far)],
+        "user_id long, ts timestamp",
+    )
+    buys = spark.createDataFrame(
+        [
+            # u1 buys 30 min after the click → attributed to 10:00 bucket
+            (1, t0 + dt.timedelta(minutes=30), 100.0),
+            # u1 buys 2h later (outside 1h window) → NOT attributed
+            (1, t0 + dt.timedelta(hours=2), 40.0),
+            # u2 buys before any click → NOT attributed
+            (2, t0 + dt.timedelta(hours=1), 70.0),
+            # u2 buys 10 min after the 13:00 click → attributed to 13:00
+            (2, t0 + dt.timedelta(hours=3, minutes=10), 30.0),
+            # watermark-advancing purchase with no matching click (u9):
+            # never attributed, its bucket never materializes
+            (9, far, 1.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    clicks.coalesce(1).write.mode("append").parquet(clicks_dir)
+    buys.coalesce(1).write.mode("append").parquet(buys_dir)
+
+    c_stream = spark.readStream.schema("user_id long, ts timestamp").parquet(
+        clicks_dir
+    )
+    b_stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(buys_dir)
+    agg = sp.attribution_stream(c_stream, b_stream, within_hours=1)
+    q = sp.run_to_parquet(agg, out_dir, ckpt)
+    q.awaitTermination()
+
+    got = {
+        r["bucket_ts"]: (r["n_attributed"], r["attributed_value"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        t0: (1, 100.0),
+        t0 + dt.timedelta(hours=3): (1, 30.0),
+    }
