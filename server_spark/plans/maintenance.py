@@ -116,3 +116,52 @@ def compact_partitions(
         shutil.rmtree(old)
         rewritten += 1
     return rewritten
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketches (incremental COUNT(DISTINCT) upkeep)
+# ---------------------------------------------------------------------------
+#
+# COUNT(DISTINCT) is the one common aggregate that is NOT incrementally
+# maintainable from per-batch counts — distinct sets don't add. The
+# standard warehouse remedy is a MERGEABLE sketch column: each refresh
+# builds an HLL sketch per group over only the NEW batch, unions it
+# into the stored sketch (associative + commutative, so refresh order
+# and partitioning never change the result), and the estimate is read
+# off the merged sketch. At 100 TB this turns "rescan all history per
+# dashboard refresh" into "union one batch's sketches" — the
+# Datasketches pattern Spark 3.5+ exposes natively (hll_sketch_agg /
+# hll_union_agg / hll_sketch_estimate, all JVM aggregates).
+
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def distinct_sketches(
+    df: DataFrame, keys: list[str], value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-key HLL sketch of ``value_col`` — the stored, mergeable
+    state (binary column ``sketch``). One map-combined hash-agg."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch")
+    )
+
+
+def merge_distinct_sketches(
+    base: DataFrame, batch: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Fold a new batch's sketch table into the standing one —
+    the incremental refresh step. Cost scales with GROUPS, not rows
+    of history."""
+    return (
+        base.unionByName(batch)
+        .groupBy(*keys)
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+    )
+
+
+def estimate_distinct(sketches: DataFrame, keys: list[str]) -> DataFrame:
+    """Read the per-key estimate off the sketch column."""
+    return sketches.select(
+        *keys, F.hll_sketch_estimate("sketch").alias("distinct_est")
+    )

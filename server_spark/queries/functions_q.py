@@ -269,3 +269,48 @@ def f12_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows("buyout").alias("n"),
         r4(geo_mean("buyout")).alias("geo_mean_buyout"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F13 — VARIANT semi-structured payloads (parse once, typed access)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f13_variant_payload",
+    f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+               AS k_bucket,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT) AS k_min,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT) AS k_max,
+           {r4sql("SUM(value)")} AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="F13 — the VARIANT path for semi-structured payloads: "
+    "parse_json once into Spark's binary VARIANT encoding, then "
+    "typed variant_get accesses (no re-parse per field, unlike "
+    "get_json_object which re-reads the string each call — the "
+    "reason VARIANT is the 100 TB semi-structured format: shredded "
+    "binary storage + O(1) typed field access). Relational plan "
+    "downstream is a plain hash-agg. Oracle: DuckDB JSON extraction "
+    "of the same fields.",
+    tags=("function", "json", "variant"),
+    late=True,
+)
+def f13_variant_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.parse_json("props").alias("v"), "value"
+    ).select(
+        F.variant_get("v", "$.k", "bigint").alias("k"), "value"
+    )
+    return parsed.groupBy((F.col("k") % 10).alias("k_bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("k").cast("long").alias("k_min"),
+        F.max("k").cast("long").alias("k_max"),
+        r4(F.sum("value")).alias("total_value"),
+    )

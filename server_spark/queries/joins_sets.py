@@ -528,3 +528,39 @@ def u7_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("intersect_all").alias("op"), "event_type", "n")
     )
     return ex.unionByName(ia)
+
+
+# ---------------------------------------------------------------------------
+# A17 — mergeable distinct sketches (incremental COUNT(DISTINCT))
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a17_sketch_distinct_owners",
+    None,  # HLL sketch binaries are engine-specific — rows-only; the
+    # estimate/merge invariants are pinned by tests/test_medallion.py
+    doc="A17 — distinct owners per time_left tier read off MERGEABLE "
+    "HLL sketches: daily partial sketches (the stored refresh state) "
+    "unioned per tier, estimate taken from the merged sketch. The "
+    "incremental form of A3/A9: a refresh unions ONE day's sketches "
+    "instead of rescanning history — union is associative, so batch "
+    "order and partitioning can't change the answer (asserted exactly "
+    "in tests). Datasketches HLL via Spark-native hll_sketch_agg / "
+    "hll_union_agg — all JVM aggregates, two map-combined shuffles.",
+    tags=("agg", "sketch", "rows-only", "incremental"),
+    late=True,
+)
+def a17_sketch_distinct_owners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.plans.maintenance import (
+        distinct_sketches,
+        estimate_distinct,
+    )
+
+    live = auctions(spark, sf_dir).withColumn(
+        "day", F.to_date("dump_ts")
+    )
+    partials = distinct_sketches(live, ["time_left", "day"], "owner")
+    merged = partials.groupBy("time_left").agg(
+        F.hll_union_agg("sketch").alias("sketch")
+    )
+    return estimate_distinct(merged, ["time_left"]).orderBy("time_left")

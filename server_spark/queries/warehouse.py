@@ -508,3 +508,86 @@ def u6_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = scd2_history(ev.filter(F.col("ts") < cut1))
     increment = ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2))
     return scd2_apply_increment(history, increment)
+
+
+# ---------------------------------------------------------------------------
+# J11 — point-in-time (SCD2 interval) lookup join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j11_scd2_lookup",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_state
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type AS state, ts AS effective_from,
+             event_id AS chg_seq
+      FROM ordered
+      WHERE prev_state IS NULL OR prev_state <> event_type
+    ), dim AS (
+      SELECT user_id, state, effective_from,
+             lead(effective_from) OVER (
+               PARTITION BY user_id ORDER BY effective_from, chg_seq
+             ) AS effective_to
+      FROM changes
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           d.state AS state_at_purchase,
+           {r4sql("p.value")} AS value
+    FROM (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+    JOIN dim d
+      ON d.user_id = p.user_id
+     AND p.ts >= d.effective_from
+     AND (d.effective_to IS NULL OR p.ts < d.effective_to)
+    """,
+    doc="J11 — point-in-time lookup against the J9 SCD2 dimension: "
+    "each purchase is tagged with the user's state VALID AT ITS "
+    "TIMESTAMP ([effective_from, effective_to) interval containment) "
+    "— the canonical warehouse pattern for joining facts to a "
+    "versioned dimension without leaking future attribute values. "
+    "Plans as an equi-join on user_id with the interval test as a "
+    "residual (no cartesian); versions-per-user is small, so the "
+    "residual scans a handful of rows per match. When fact and "
+    "dimension derive from the SAME stream, the J6 union+window "
+    "as-of form does it in one shuffle — this form is for an "
+    "independently maintained SCD2 table.",
+    tags=("join", "scd2", "asof"),
+    late=True,
+)
+def j11_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = scd2_history(
+        tables.load(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts", "event_id"
+        )
+    ).select(
+        F.col("user_id").alias("d_user"),
+        "state",
+        "effective_from",
+        "effective_to",
+    )
+    purchases = (
+        tables.load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    return purchases.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts") >= F.col("effective_from"))
+        & (
+            F.col("effective_to").isNull()
+            | (F.col("ts") < F.col("effective_to"))
+        ),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("state").alias("state_at_purchase"),
+        r4(F.col("value")).alias("value"),
+    )

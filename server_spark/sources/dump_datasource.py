@@ -1,0 +1,143 @@
+"""`auction_dump` — a Spark 4 Python DataSource for raw dump files.
+
+`sources/json_dump.py` parses dumps through Spark's JSON reader; this
+module exposes the same wire format as a PLUGGABLE source
+(`spark.read.format("auction_dump").load(dir)`), the Spark-4 Python
+DataSource API surface a connector author would use for a format
+Spark can't read natively (the reference's ingest client is exactly
+such a bespoke reader: per-realm gzip JSON documents fetched from an
+HTTP API).
+
+Scale shape encoded in the source itself:
+
+- **One InputPartition per dump file.** Gzip is not splittable, and a
+  dump is one whole-document JSON — so the correct parallelism unit
+  IS the file (thousands of per-realm dumps → thousands of tasks),
+  matching the note in json_dump.py. Spark schedules the partitions
+  across executors; no driver-side parsing.
+- **Explicit schema, never inferred** — malformed documents surface
+  as nulls in known columns.
+- Files are parsed with the stdlib (json + gzip) inside the executor
+  task: no collect, memory bounded by one dump document.
+
+This source exists for format plugability (and is exercised by
+tests/test_dump_datasource.py); the production intake path still
+rewrites everything to partitioned parquet immediately
+(plans/medallion.ingest_bronze) — nothing downstream re-reads JSON.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+
+from pyspark.sql import types as T
+
+try:  # Python DataSource API: PySpark >= 4.0
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    HAS_DATASOURCE_API = True
+except ImportError:  # pragma: no cover — older runtimes
+    HAS_DATASOURCE_API = False
+
+    class DataSource:  # type: ignore[no-redef]
+        pass
+
+    class DataSourceReader:  # type: ignore[no-redef]
+        pass
+
+    class InputPartition:  # type: ignore[no-redef]
+        def __init__(self, value):
+            self.value = value
+
+
+# Canonical output schema: the snake_case wire row + per-file metadata.
+DUMP_SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("auc", T.LongType()),
+        T.StructField("item", T.LongType()),
+        T.StructField("owner", T.StringType()),
+        T.StructField("owner_realm", T.StringType()),
+        T.StructField("bid", T.LongType()),
+        T.StructField("buyout", T.LongType()),
+        T.StructField("quantity", T.LongType()),
+        T.StructField("time_left", T.StringType()),
+        T.StructField("realm_slug", T.StringType()),
+        T.StructField("source_file", T.StringType()),
+    ]
+)
+
+
+class _DumpPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class AuctionDumpReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("auction_dump: 'path' option is required")
+
+    def partitions(self):
+        pats = ("*.json", "*.json.gz")
+        files = sorted(
+            f
+            for pat in pats
+            for f in glob.glob(os.path.join(self.path, pat))
+        )
+        if os.path.isfile(self.path):
+            files = [self.path]
+        # one gzip whole-document JSON = one task: the file IS the
+        # correct split unit (non-splittable codec, per-realm cadence)
+        return [_DumpPartition(f) for f in files]
+
+    def read(self, partition):
+        opener = gzip.open if partition.path.endswith(".gz") else open
+        with opener(partition.path, "rt", encoding="utf-8") as fh:
+            try:
+                doc = json.load(fh)
+            except (json.JSONDecodeError, UnicodeDecodeError):
+                return  # malformed dump: zero rows, surfaced by counts
+        realms = doc.get("realms") or []
+        slug = realms[0].get("slug") if realms else None
+        fname = os.path.basename(partition.path)
+        for a in doc.get("auctions") or []:
+            yield (
+                a.get("auc"),
+                a.get("item"),
+                a.get("owner"),
+                a.get("ownerRealm"),
+                a.get("bid"),
+                a.get("buyout"),
+                a.get("quantity"),
+                a.get("timeLeft"),
+                slug,
+                fname,
+            )
+
+
+class AuctionDumpDataSource(DataSource):
+    """`spark.read.format("auction_dump").load(dir)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "auction_dump"
+
+    def schema(self):
+        return DUMP_SOURCE_SCHEMA
+
+    def reader(self, schema):
+        return AuctionDumpReader(self.options)
+
+
+def register(spark) -> None:
+    """Register the source on a session (idempotent)."""
+    if HAS_DATASOURCE_API:
+        spark.dataSource.register(AuctionDumpDataSource)

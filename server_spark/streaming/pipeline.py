@@ -505,3 +505,41 @@ def attribution_stream(
             "attributed_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# State store backend
+# ---------------------------------------------------------------------------
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark, changelog: bool = True) -> None:
+    """Switch stateful streaming queries on this session to the
+    RocksDB state store (takes effect for queries STARTED afterwards).
+
+    The default HDFS-backed provider keeps every state row on the
+    executor JVM heap — fine for the test-scale key spaces here, but
+    at production cardinality (~10⁷ open (region, realm, item) keys ×
+    windows, SCALE.md §Streaming) state must spill: RocksDB keeps it
+    on native memory + local disk with incremental snapshots.
+    ``changelog`` enables changelog checkpointing — per-batch uploads
+    ship only the delta instead of re-snapshotting the full store,
+    the difference between O(state) and O(updates) per commit on a
+    long-running 100 TB/day intake."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+        ".enabled",
+        "true" if changelog else "false",
+    )
+
+
+def use_default_state(spark) -> None:
+    """Revert to the HDFS-backed (JVM heap) provider."""
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

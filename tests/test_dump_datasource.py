@@ -1,0 +1,76 @@
+"""Spark 4 Python DataSource for raw auction dumps: per-file
+partitions, gzip + plain JSON, malformed-document tolerance, and
+equivalence with the JSON-reader path (sources/json_dump.py)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+import pytest
+
+from server_spark.sources import dump_datasource as ds
+
+pytestmark = pytest.mark.skipif(
+    not ds.HAS_DATASOURCE_API, reason="Python DataSource API absent"
+)
+
+DOC1 = {
+    "realms": [{"name": "Realm One", "slug": "r1"}],
+    "auctions": [
+        {"auc": 1, "item": 100, "owner": "a", "ownerRealm": "R1",
+         "bid": 10, "buyout": 500, "quantity": 1, "timeLeft": "LONG"},
+        {"auc": 2, "item": 101, "owner": "b", "ownerRealm": "R1",
+         "bid": 0, "buyout": 900, "quantity": 2, "timeLeft": "SHORT"},
+    ],
+}
+DOC2 = {
+    "realms": [{"name": "Realm Two", "slug": "r2"}],
+    "auctions": [
+        {"auc": 3, "item": 100, "owner": "c", "ownerRealm": "R2",
+         "bid": 5, "buyout": 700, "quantity": 1, "timeLeft": "LONG"},
+    ],
+}
+
+
+@pytest.fixture
+def dump_dir(tmp_path):
+    (tmp_path / "d1.json").write_text(json.dumps(DOC1))
+    with gzip.open(tmp_path / "d2.json.gz", "wt") as fh:
+        json.dump(DOC2, fh)
+    (tmp_path / "broken.json").write_text("{not json")
+    return str(tmp_path)
+
+
+def test_reads_plain_and_gzip_per_file_partitions(spark, dump_dir):
+    ds.register(spark)
+    df = spark.read.format("auction_dump").load(dump_dir)
+    rows = sorted(df.collect(), key=lambda r: r["auc"])
+    assert [r["auc"] for r in rows] == [1, 2, 3]
+    assert rows[0]["realm_slug"] == "r1" and rows[2]["realm_slug"] == "r2"
+    assert rows[2]["source_file"] == "d2.json.gz"
+    # the malformed file contributes zero rows, not a crash
+    assert df.count() == 3
+    # one partition per file (gzip is unsplittable; the file is the task)
+    reader = ds.AuctionDumpReader({"path": dump_dir})
+    assert len(reader.partitions()) == 3
+
+
+def test_matches_json_reader_path(spark, tmp_path):
+    """Same rows as the Spark-JSON parsing path for a well-formed dump."""
+    from server_spark.sources.json_dump import read_auction_dump
+
+    p = tmp_path / "dump.json"
+    p.write_text(json.dumps(DOC1))
+    ds.register(spark)
+    got = {
+        (r["auc"], r["item"], r["owner"], r["buyout"], r["time_left"])
+        for r in spark.read.format("auction_dump").load(str(p)).collect()
+    }
+    want = {
+        (r["auc"], r["item"], r["owner"], r["buyout"], r["time_left"])
+        for r in read_auction_dump(
+            spark, str(p), region="eu", dump_ts="2024-01-01 00:00:00"
+        ).collect()
+    }
+    assert got == want and len(got) == 2

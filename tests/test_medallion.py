@@ -509,3 +509,50 @@ def test_crash_between_bronze_and_manifest_is_recoverable(spark, tmp_path):
     d2 = dump(t0 + dt.timedelta(hours=1), [3])
     assert med.ingest_bronze_incremental(spark, d2, paths) == 1
     assert spark.read.parquet(paths.bronze).count() == 3
+
+
+def test_mergeable_distinct_sketches(spark, sf_dir):
+    """HLL sketch maintenance invariants: (1) the merged estimate is
+    within HLL error of the exact distinct count; (2) incremental
+    merge over arbitrary batch splits produces EXACTLY the same
+    estimate as a one-shot build (associativity — the property that
+    makes the refresh correct regardless of batch order)."""
+    from pyspark.sql import functions as F
+
+    from server_spark.plans import maintenance as mt
+    from server_spark.sources.synthetic import auctions
+
+    live = auctions(spark, sf_dir).withColumn("day", F.to_date("dump_ts"))
+
+    # one-shot build per tier
+    full = {
+        r["time_left"]: r["distinct_est"]
+        for r in mt.estimate_distinct(
+            mt.distinct_sketches(live, ["time_left"], "owner"),
+            ["time_left"],
+        ).collect()
+    }
+    exact = {
+        r["time_left"]: r["n"]
+        for r in live.groupBy("time_left")
+        .agg(F.countDistinct("owner").alias("n"))
+        .collect()
+    }
+    assert set(full) == set(exact)
+    for k in exact:
+        assert abs(full[k] - exact[k]) / exact[k] < 0.05, (k, full[k], exact[k])
+
+    # incremental: split by day parity into two "refresh batches",
+    # sketch each independently, merge — estimates must be identical
+    a = live.filter(F.dayofmonth("day") % 2 == 0)
+    b = live.filter(F.dayofmonth("day") % 2 == 1)
+    merged = mt.merge_distinct_sketches(
+        mt.distinct_sketches(a, ["time_left"], "owner"),
+        mt.distinct_sketches(b, ["time_left"], "owner"),
+        ["time_left"],
+    )
+    inc = {
+        r["time_left"]: r["distinct_est"]
+        for r in mt.estimate_distinct(merged, ["time_left"]).collect()
+    }
+    assert inc == full

@@ -413,3 +413,18 @@ def test_u7_bag_setops_no_join(plans):
     no row-matching join anywhere."""
     p = plans("u7_bag_setops")
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_j11_scd2_lookup_equijoin_residual(plans):
+    """Point-in-time lookup must keep user_id as the equi key with the
+    interval test as residual — never degenerate to a nested-loop
+    over purchases × versions."""
+    p = plans("j11_scd2_lookup")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_f13_variant_no_python(plans):
+    """VARIANT parse + typed access stays in JVM expressions."""
+    p = plans("f13_variant_payload")
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in p
