@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from server_spark.parity import r4, r4sql
@@ -778,4 +778,85 @@ def x52_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_refine_topk(
         emb, queries, k=TOPK, refine=4, n_clusters=16, n_probe=4,
         cache_key=sf_dir,
+    )
+
+
+# ---------------------------------------------------------------------------
+# x59 — hard-negative mining (nearest neighbors of a DIFFERENT class)
+# ---------------------------------------------------------------------------
+
+_X59_SQL = f"""
+    WITH {_EE_SQL},
+    q AS (SELECT vec_id, i, v FROM ee WHERE vec_id < {N_QUERY_VECS}),
+    dots AS (
+        SELECT q.vec_id AS qid, e.vec_id AS vid, SUM(q.v * e.v) AS dot
+        FROM q JOIN ee e USING (i)
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT qid AS query_id, vid AS vec_id,
+               {r4sql("dot / (nq.nrm * ne.nrm)")} AS score
+        FROM dots
+        JOIN norms nq ON qid = nq.vec_id
+        JOIN norms ne ON vid = ne.vec_id
+        JOIN embeddings lq ON qid = lq.vec_id
+        JOIN embeddings lv ON vid = lv.vec_id
+        WHERE qid <> vid AND lq.label <> lv.label
+    )
+    SELECT query_id, vec_id, score, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, vec_id
+        ) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TOPK}
+"""
+
+
+@register(
+    "x59_hard_negatives",
+    _X59_SQL,
+    doc="EXT x59 — hard-negative mining for retrieval/contrastive "
+    "training: per anchor, the top-k most similar vectors with a "
+    "DIFFERENT label — maximally confusing negatives, the standard "
+    "curriculum for dense retrievers (DPR/Contriever practice). Same "
+    "broadcast-queries one-corpus-scan shape as x3 with the label "
+    "inequality applied BEFORE ranking (a post-rank filter would "
+    "under-fill k); at scale the brute scan swaps for the IVF/LSH "
+    "gate unchanged.",
+    tags=("ext", "similarity", "training"),
+    late=True,
+)
+def x59_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.similarity.cosine import dot, norm
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(
+        "vec_id", "embedding", "label", norm("embedding").alias("_cn")
+    )
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("q_label"),
+        norm("embedding").alias("_qn"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(qs))
+        .filter(
+            (F.col("query_id") != F.col("vec_id"))
+            & (F.col("q_label") != F.col("label"))
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            r4(
+                dot("embedding", "query_vec") / (F.col("_cn") * F.col("_qn"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
     )

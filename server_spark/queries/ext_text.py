@@ -1226,3 +1226,114 @@ def x55_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_short_docs",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x58 — DSIR-style importance resampling (target-vs-raw unigram ratio)
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET = ("src1", "src2", "src3")   # the "high-quality domain"
+_DSIR_N = 200
+
+
+@register(
+    "x58_dsir_importance",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+        FROM documents
+    ),
+    raw AS (SELECT token, COUNT(*) AS rc FROM toks GROUP BY token),
+    rtot AS (SELECT COUNT(*) AS rt FROM toks),
+    vocab AS (SELECT COUNT(*) AS v FROM raw),
+    tgt AS (
+        SELECT token, COUNT(*) AS tc FROM toks
+        WHERE source IN {_DSIR_TARGET} GROUP BY token
+    ),
+    ttot AS (
+        SELECT COUNT(*) AS tt FROM toks WHERE source IN {_DSIR_TARGET}
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               {r4sql("AVG(LN((COALESCE(g.tc, 0) + 1.0) / (ttot.tt + vocab.v)) - LN(CAST(r.rc AS DOUBLE) / rtot.rt))")}
+                   AS importance
+        FROM toks t
+        JOIN raw r USING (token)
+        LEFT JOIN tgt g USING (token)
+        CROSS JOIN rtot CROSS JOIN ttot CROSS JOIN vocab
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, importance,
+           CAST(ROW_NUMBER() OVER (ORDER BY importance DESC, doc_id)
+               AS INT) AS rnk
+    FROM scored
+    ORDER BY importance DESC, doc_id
+    LIMIT {_DSIR_N}
+    """,
+    doc="EXT x58 — DSIR-shaped data selection (Xie et al. 2023, "
+    "importance resampling): per-document importance = mean unigram "
+    "log-ratio between a TARGET domain's token distribution "
+    "(add-one smoothed — raw-only tokens must not blow up the log) "
+    "and the raw corpus distribution; the top-N by importance is the "
+    "selected pretraining subset. The deterministic top-N stands in "
+    "for the paper's Gumbel resample so the oracle can replay it "
+    "exactly. Shape: ONE token explode feeds both frequency tables "
+    "and the scoring join (barrier); vocab sides are Zipf-bounded "
+    "broadcasts; the final select is TakeOrdered over doc-count "
+    "rows, ranked after the limit on the 4-decimal-rounded value so "
+    "both engines rank identical numbers.",
+    tags=("ext", "sample", "quality"),
+    late=True,
+)
+def x58_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.operators.windows import pinned_single_group
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("token"),
+    ).transform(barrier)  # feeds raw freq, target freq AND the join
+    raw = toks.groupBy("token").agg(F.count("*").alias("rc"))
+    rtot = toks.agg(F.count("*").alias("rt"))
+    vocab = raw.agg(F.count("*").alias("v"))
+    in_target = F.col("source").isin(*_DSIR_TARGET)
+    tgt = (
+        toks.filter(in_target)
+        .groupBy("token")
+        .agg(F.count("*").alias("tc"))
+    )
+    ttot = toks.filter(in_target).agg(F.count("*").alias("tt"))
+    scored = (
+        toks.join(F.broadcast(raw), "token")
+        .join(F.broadcast(tgt), "token", "left")
+        .crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(ttot))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            r4(
+                F.avg(
+                    F.log(
+                        (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("tt") + F.col("v"))
+                    )
+                    - F.log(F.col("rc").cast("double") / F.col("rt"))
+                )
+            ).alias("importance")
+        )
+    )
+    top = scored.orderBy(F.desc("importance"), "doc_id").limit(_DSIR_N)
+    return top.select(
+        "doc_id",
+        "importance",
+        F.row_number()
+        .over(
+            Window.partitionBy(pinned_single_group("doc_id")).orderBy(
+                F.desc("importance"), "doc_id"
+            )
+        )
+        .alias("rnk"),
+    )

@@ -74,3 +74,41 @@ def test_matches_json_reader_path(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 2
+
+
+def test_streaming_poll_loop(spark, tmp_path):
+    """The streaming face of the source: batch 1 consumes the files
+    present at start; a file that lands later is picked up by a
+    resumed run from the SAME checkpoint (offset log), and already-
+    consumed dumps are not re-emitted — the reference's poll loop
+    with exactly-once offsets."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (in_dir / "d1.json").write_text(json.dumps(DOC1))
+
+    ds.register(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("auction_dump")
+            .load(str(in_dir))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            r["auc"] for r in spark.read.parquet(out_dir).collect()
+        )
+
+    assert drain() == [1, 2]
+    # new dump arrives; resume from checkpoint → only the new rows add
+    with gzip.open(in_dir / "d2.json.gz", "wt") as fh:
+        json.dump(DOC2, fh)
+    assert drain() == [1, 2, 3]
+    # replay with nothing new: no duplicates
+    assert drain() == [1, 2, 3]

@@ -428,3 +428,20 @@ def test_f13_variant_no_python(plans):
     p = plans("f13_variant_payload")
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert node not in p
+
+
+def test_x58_dsir_takeordered_broadcast_vocab(plans):
+    """DSIR selection: the top-N is a distributed TakeOrdered over the
+    per-doc scores, and the frequency/total sides ride broadcasts —
+    no sort-merge join against the token relation."""
+    p = plans("x58_dsir_importance")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_x59_hard_negatives_rank_shape(plans):
+    """Hard-negative mining keeps x3's shape: broadcast query set,
+    one corpus scan, per-anchor WindowGroupLimit rank."""
+    p = plans("x59_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p
