@@ -3,11 +3,14 @@ item-icon blobs, `app/pkg/resolver/resolver_itemicons.go` [L]).
 
 Images/audio/video are opaque ``BinaryType`` columns plus typed
 metadata. The Spark-side plumbing — schema, Arrow batching, partition
-sizing — is real and tested; the actual media decode is STUBBED
-(``decode_stub``) because no media libraries exist in this container.
-Swap ``_decode_one`` for PIL/torchaudio/etc. in production; the
-mapInPandas contract (batch in → batch out, bounded memory per batch)
-is exactly what a real decoder needs.
+sizing, one-to-many frame explosion — is real and tested. Container
+HEADER parsing (format sniff + pixel dimensions for PNG/JPEG/GIF/BMP,
+RIFF/WAVE detection) is ALSO real, in pure stdlib: dimensions live in
+the first bytes of the container, no codec needed. Only the pixel
+DECODE itself (and real resampling) is stubbed — that genuinely needs
+PIL/libjpeg, absent from this container; ``resize_media`` /
+``sample_frames`` keep the exact mapInPandas contract a real decoder
+drops into (batch in → batch out, bounded memory per batch).
 
 Scale notes: binary payloads make rows wide — keep
 ``spark.sql.files.maxPartitionBytes`` low enough that a task's Arrow
@@ -38,11 +41,65 @@ MEDIA_META = T.StructType(
 )
 
 
+def _sniff_header(b: bytes) -> dict:
+    """Pure-stdlib container sniff: format + dimensions from the
+    HEADER bytes (every mainstream image container stores dims in its
+    first chunk — parsing them needs no codec). Unknown/truncated
+    containers come back as format='unknown' with null dims, the
+    quarantine signal. Defined at module level for unit tests; the
+    Spark closure carries its own copy by value (worker cwd may not
+    import server_spark)."""
+    n = len(b)
+    if n >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        return {
+            "format": "png",
+            "width": int.from_bytes(b[16:20], "big"),
+            "height": int.from_bytes(b[20:24], "big"),
+        }
+    if n >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return {
+            "format": "gif",
+            "width": int.from_bytes(b[6:8], "little"),
+            "height": int.from_bytes(b[8:10], "little"),
+        }
+    if n >= 26 and b[:2] == b"BM":
+        return {
+            "format": "bmp",
+            "width": int.from_bytes(b[18:22], "little", signed=True),
+            "height": abs(int.from_bytes(b[22:26], "little", signed=True)),
+        }
+    if n >= 4 and b[:2] == b"\xff\xd8":
+        # JPEG: walk the marker stream to the first SOF frame header
+        sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+        i = 2
+        while i + 9 <= n:
+            if b[i] != 0xFF:
+                break  # corrupt marker stream
+            marker = b[i + 1]
+            if marker in sof:
+                return {
+                    "format": "jpeg",
+                    "height": int.from_bytes(b[i + 5:i + 7], "big"),
+                    "width": int.from_bytes(b[i + 7:i + 9], "big"),
+                }
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone marker, no length field
+            else:
+                i += 2 + int.from_bytes(b[i + 2:i + 4], "big")
+        return {"format": "jpeg", "width": None, "height": None}
+    if n >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return {"format": "wav", "width": None, "height": None}
+    return {"format": "unknown", "width": None, "height": None}
+
+
 def extract_media_meta(
     df: DataFrame, id_col: str = "media_id", bin_col: str = "payload"
 ) -> DataFrame:
-    """Decode/feature-extract over a binary column via mapInPandas:
-    Arrow-batched, bounded-memory, schema-typed output.
+    """Metadata extraction over a binary column via mapInPandas:
+    Arrow-batched, bounded-memory, schema-typed output. Format and
+    pixel dimensions are REAL (header parse, `_sniff_header`); only
+    pixel decode would need a codec library.
 
     NB: every helper is DEFINED INSIDE the closure so cloudpickle ships
     the whole thing by value — Spark's Python workers must not need
@@ -53,23 +110,57 @@ def extract_media_meta(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
 
-        def decode_one(payload: bytes) -> dict:
-            # STUB decoder: a real implementation parses the container
-            # header (PNG/JPEG/WAV/...) and decodes; this deterministic
-            # fake derives pseudo-dimensions from the content hash so
-            # tests have stable expectations without media libs.
-            sha = _hashlib.sha256(payload).hexdigest()
-            return {
-                "format": "stub",
-                "width": int(sha[:4], 16) % 1920,
-                "height": int(sha[4:8], 16) % 1080,
-            }
+        def sniff(b: bytes) -> dict:
+            n = len(b)
+            if n >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+                return {
+                    "format": "png",
+                    "width": int.from_bytes(b[16:20], "big"),
+                    "height": int.from_bytes(b[20:24], "big"),
+                }
+            if n >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+                return {
+                    "format": "gif",
+                    "width": int.from_bytes(b[6:8], "little"),
+                    "height": int.from_bytes(b[8:10], "little"),
+                }
+            if n >= 26 and b[:2] == b"BM":
+                return {
+                    "format": "bmp",
+                    "width": int.from_bytes(b[18:22], "little", signed=True),
+                    "height": abs(
+                        int.from_bytes(b[22:26], "little", signed=True)
+                    ),
+                }
+            if n >= 4 and b[:2] == b"\xff\xd8":
+                sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+                i = 2
+                while i + 9 <= n:
+                    if b[i] != 0xFF:
+                        break
+                    marker = b[i + 1]
+                    if marker in sof:
+                        return {
+                            "format": "jpeg",
+                            "height": int.from_bytes(b[i + 5:i + 7], "big"),
+                            "width": int.from_bytes(b[i + 7:i + 9], "big"),
+                        }
+                    if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                        i += 2
+                    else:
+                        i += 2 + int.from_bytes(b[i + 2:i + 4], "big")
+                return {"format": "jpeg", "width": None, "height": None}
+            if n >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                return {"format": "wav", "width": None, "height": None}
+            return {"format": "unknown", "width": None, "height": None}
 
         for pdf in it:
-            # Missing/corrupt payloads are QUARANTINED, not crashed on:
-            # they surface as format='missing' rows with null metadata
-            # so a downstream filter can route them — the behavior a
-            # real decoder needs for truncated files.
+            # Missing payloads are QUARANTINED, not crashed on: they
+            # surface as format='missing' rows with null metadata so a
+            # downstream filter can route them — same for corrupt
+            # containers ('unknown'), the behavior a real decoder
+            # needs for truncated files.
             metas, shas, nbytes = [], [], []
             for b in pdf[bin_col]:
                 if b is None:
@@ -79,9 +170,10 @@ def extract_media_meta(
                     shas.append(None)
                     nbytes.append(None)
                 else:
-                    metas.append(decode_one(bytes(b)))
-                    shas.append(_hashlib.sha256(bytes(b)).hexdigest())
-                    nbytes.append(len(b))
+                    bb = bytes(b)
+                    metas.append(sniff(bb))
+                    shas.append(_hashlib.sha256(bb).hexdigest())
+                    nbytes.append(len(bb))
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
@@ -98,6 +190,101 @@ def extract_media_meta(
             )
 
     return df.mapInPandas(batches, schema=MEDIA_META)
+
+
+RESIZED = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("thumb", T.BinaryType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    out_width: int = 64,
+    out_height: int = 64,
+    id_col: str = "media_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Thumbnail/resize pass: the exact Arrow contract a real
+    resampler drops into (batch in → batch of fixed-size thumbnails
+    out, memory bounded by batch × thumb size). The resample itself is
+    STUBBED — no codec libs here — as a deterministic byte fold of the
+    payload into out_width×out_height bytes, so output SIZE, schema,
+    and determinism are all real and testable."""
+    target = out_width * out_height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fold(b: bytes, n: int) -> bytes:
+            # deterministic stand-in: cycle + XOR-fold payload to n bytes
+            if not b:
+                return bytes(n)
+            out = bytearray(n)
+            for i, byte in enumerate(b):
+                out[i % n] ^= byte
+            return bytes(out)
+
+        for pdf in it:
+            keep = pdf[pdf[bin_col].notna()]
+            yield pd.DataFrame(
+                {
+                    "media_id": keep[id_col].astype("int64"),
+                    "thumb": [
+                        fold(bytes(b), target) for b in keep[bin_col]
+                    ],
+                    "out_width": out_width,
+                    "out_height": out_height,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZED)
+
+
+FRAMES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_size: int = 1024,
+    every_n: int = 10,
+    id_col: str = "media_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling: one-to-many explosion of a video-ish payload
+    into every Nth fixed-size frame — the real Spark shape of a video
+    pipeline (row explodes into frames INSIDE the Arrow batch, output
+    rows ≈ input_bytes / (frame_size × every_n), memory bounded by
+    one payload). The 'container parse' is stubbed as fixed-size
+    chunking; a real demuxer replaces the chunker, the explosion
+    plumbing stays."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nos, frames = [], [], []
+            for mid, b in zip(pdf[id_col], pdf[bin_col]):
+                if b is None:
+                    continue
+                bb = bytes(b)
+                for k, off in enumerate(
+                    range(0, len(bb), frame_size * every_n)
+                ):
+                    ids.append(int(mid))
+                    nos.append(k)
+                    frames.append(bb[off:off + frame_size])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": nos, "frame": frames}
+            )
+
+    return df.mapInPandas(batches, schema=FRAMES)
 
 
 def synthetic_media(docs: DataFrame) -> DataFrame:

@@ -754,3 +754,38 @@ def x56_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _ER_TOPK)
     )
+
+
+@register(
+    "x60_media_resize",
+    None,  # binary thumbnails — engine-side stub resample, rows-only
+    doc="EXT x60 — multimodal resize/thumbnail pass: Arrow-batched "
+    "mapInPandas producing fixed-size thumbnails per media row "
+    "(resample stubbed — no codec libs in this container; batch "
+    "shape, output sizing, null quarantine and determinism real and "
+    "tested in tests/test_binaryfile.py).",
+    tags=("ext", "multimodal", "rows-only"),
+    late=True,
+)
+def x60_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.multimodal.binary import resize_media, synthetic_media
+
+    return resize_media(synthetic_media(_docs(spark, sf_dir)), 16, 16)
+
+
+@register(
+    "x61_frame_sample",
+    None,  # one-to-many binary explosion — rows-only
+    doc="EXT x61 — multimodal frame sampling: every Nth fixed-size "
+    "frame chunk per payload, exploded INSIDE the Arrow batch "
+    "(demux stubbed as fixed-size chunking; the one-to-many "
+    "explosion plumbing a video pipeline needs is real).",
+    tags=("ext", "multimodal", "rows-only"),
+    late=True,
+)
+def x61_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.multimodal.binary import sample_frames, synthetic_media
+
+    return sample_frames(
+        synthetic_media(_docs(spark, sf_dir)), frame_size=64, every_n=4
+    )

@@ -124,11 +124,13 @@ def test_multimodal_plumbing(spark):
     meta = extract_media_meta(synthetic_media(docs)).collect()
     assert len(meta) == 4
     by_id = {r["media_id"]: r for r in meta}
-    # identical payloads → identical sha and stub dimensions
+    # identical payloads → identical sha
     assert by_id[1]["content_sha"] == by_id[2]["content_sha"]
-    assert by_id[1]["width"] == by_id[2]["width"]
     assert by_id[1]["n_bytes"] == len(DOCS[0][1].encode())
-    assert all(0 <= r["width"] < 1920 and 0 <= r["height"] < 1080 for r in meta)
+    # text bytes are not a media container: quarantined as unknown,
+    # dimensions null (real header parsing since r6 — dims only for
+    # actual PNG/JPEG/GIF/BMP headers, tested in test_binaryfile.py)
+    assert all(r["format"] == "unknown" and r["width"] is None for r in meta)
 
 
 def test_fuzzy_rank_semantics(spark):
