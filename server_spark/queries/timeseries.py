@@ -1127,3 +1127,50 @@ def t15_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prior_purchase_value"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# W11 — rolling median (order-statistic over a bounded frame)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w11_rolling_median",
+    f"""
+    SELECT event_id, event_type, ts,
+           {r4sql("MEDIAN(value) OVER (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)")}
+               AS rolling_median
+    FROM events
+    """,
+    doc="W11 — rolling median: the robust smoother for spiky price "
+    "series (t11's anomaly gate uses mean±σ, which outliers drag; "
+    "the frame median doesn't). Spark has no order-statistic window "
+    "aggregate, so the 7-row frame is collected, sorted and indexed "
+    "with JVM array functions — O(frame log frame) per row over a "
+    "constant frame, state bounded by the frame; oracle = DuckDB's "
+    "native windowed MEDIAN (both interpolate even counts as the "
+    "mean of the middles).",
+    tags=("window", "timeseries", "robust"),
+    late=True,
+)
+def w11_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    med = (
+        F.element_at(arr, ((n + 1) / 2).cast("int"))
+        + F.element_at(arr, (n / 2 + 1).cast("int"))
+    ) / 2
+    # collect_list drops nulls (same as MEDIAN's null handling) — an
+    # all-null frame leaves an empty array, whose median is NULL, not
+    # an element_at(0) error
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        "ts",
+        r4(F.when(n > 0, med)).alias("rolling_median"),
+    )

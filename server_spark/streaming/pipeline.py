@@ -543,3 +543,70 @@ def use_rocksdb_state(spark, changelog: bool = True) -> None:
 def use_default_state(spark) -> None:
     """Revert to the HDFS-backed (JVM heap) provider."""
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def listing_expiry_stream(stream: DataFrame, ttl_hours: int = 2) -> DataFrame:
+    """T16 — TIMEOUT-driven stateful emission: an auction that stops
+    appearing in dumps is declared EXPIRED-UNSOLD once the event-time
+    watermark passes its last sighting + ``ttl_hours`` — the
+    reference's timeLeft expiry, detected by ABSENCE of data. Unlike
+    every other stateful operator here (which emit on arriving rows),
+    this one emits on ``state.hasTimedOut``: per-key state carries
+    (first_seen, last_seen, item, buyout), each sighting pushes the
+    timeout timestamp forward, and only the watermark — never a row —
+    produces output. State stays O(live listings): every key either
+    refreshes or times out and is removed.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ttl_ms = ttl_hours * 3600 * 1000
+    out_schema = (
+        "auc long, item long, buyout long, "
+        "first_seen timestamp, last_seen timestamp"
+    )
+    state_schema = (
+        "first_seen timestamp, last_seen timestamp, item long, buyout long"
+    )
+    base = stream.withWatermark("dump_ts", "0 seconds").select(
+        "auc", "item", "buyout", "dump_ts"
+    )
+
+    def update(key, pdfs, state, _ttl_ms=ttl_ms):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            first_seen, last_seen, item, buyout = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], item, buyout, first_seen, last_seen)],
+                columns=[
+                    "auc", "item", "buyout", "first_seen", "last_seen"
+                ],
+            )
+            return
+        rows = pd.concat(list(pdfs))
+        lo, hi = rows["dump_ts"].min(), rows["dump_ts"].max()
+        if state.exists:
+            first_seen, last_seen, item, buyout = state.get
+            lo = min(lo, first_seen)
+            hi = max(hi, last_seen)
+        else:
+            item = int(rows["item"].iloc[0])
+            buyout = int(rows["buyout"].iloc[0])
+        state.update((lo, hi, item, buyout))
+        # expiry clock restarts at the LAST sighting
+        # naive timestamps are UTC wall time (session tz pinned to
+        # UTC); localize explicitly so epoch math never sees the host tz
+        state.setTimeoutTimestamp(
+            int(pd.Timestamp(hi, tz="UTC").timestamp() * 1000) + _ttl_ms
+        )
+        return
+        yield  # pragma: no cover — makes this a generator
+
+    return base.groupBy("auc").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -534,3 +534,51 @@ def test_rocksdb_state_store_backend(spark, tmp_path):
     assert any(
         f.endswith(".zip") or f.endswith(".changelog") for f in state_files
     ), state_files
+
+
+def test_listing_expiry_timeout_emission(spark, tmp_path):
+    """T16: output is produced by STATE TIMEOUT, not by data. Auction 1
+    is re-listed and stays live (no emission); auction 2 disappears and
+    expires once the watermark passes last_seen + ttl; the expiry row
+    carries its true (first_seen, last_seen) span."""
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    t1 = t0 + dt.timedelta(hours=1)
+    _write_dump(spark, input_dir, "d0", t0, [(1, 100, 500, 1), (2, 200, 900, 1)])
+    # auction 1 re-listed at t1; auction 2 gone
+    _write_dump(spark, input_dir, "d1", t1, [(1, 100, 500, 1)])
+
+    stream = sp.listing_expiry_stream(
+        sp.read_auction_stream(spark, input_dir, max_files=1), ttl_hours=2
+    )
+    q = sp.run_to_parquet(stream, out_dir, ckpt)
+    q.awaitTermination()
+
+    def read_out():
+        try:
+            return {r["auc"]: r for r in spark.read.parquet(out_dir).collect()}
+        except Exception:  # noqa: BLE001 — no output files yet
+            return {}
+
+    # watermark is only at t1: nothing has expired yet
+    assert read_out() == {}
+
+    # a much later dump pushes the watermark past t0 + 2h → auction 2
+    # times out; auctions 1 (last seen t1, ttl to t1+2h < watermark)
+    # also expires unless re-listed — list it again to keep it live
+    t2 = t0 + dt.timedelta(hours=6)
+    _write_dump(spark, input_dir, "d2", t2, [(1, 100, 500, 1), (9, 300, 100, 1)])
+    q = sp.run_to_parquet(stream, out_dir, ckpt)
+    q.awaitTermination()
+
+    out = read_out()
+    assert 2 in out, "vanished auction must expire via timeout"
+    assert out[2]["first_seen"] == t0 and out[2]["last_seen"] == t0
+    assert out[2]["item"] == 200 and out[2]["buyout"] == 900
+    # auction 1 had fresh data in the same batch (re-listed at t2):
+    # its timeout moved to t2+ttl, so it must NOT appear; auction 9 is
+    # newly seen and live
+    assert 1 not in out and 9 not in out
