@@ -165,3 +165,75 @@ def estimate_distinct(sketches: DataFrame, keys: list[str]) -> DataFrame:
     return sketches.select(
         *keys, F.hll_sketch_estimate("sketch").alias("distinct_est")
     )
+
+
+def refresh_owner_sketch_gold(spark, paths) -> int:
+    """Incrementally maintain a gold table of per-(region, realm)
+    DISTINCT-OWNER sketches from the medallion commit log.
+
+    Each call folds only the manifest batches committed since the
+    last refresh: their bronze rows (pruned via the dump-key semi
+    join) are sketched per (region, realm_slug) and hll-unioned into
+    the stored sketch table — the incremental COUNT(DISTINCT) upkeep
+    the raw gold rebuild can't do. A sidecar `_watermark` file records
+    the folded batch id; rewriting the small sketch table wholesale is
+    fine (it is groups-sized, not history-sized). Returns the number
+    of batches folded (0 = already current).
+
+    Union associativity (asserted in tests) makes this refresh
+    order-independent: any split of the history into refreshes yields
+    the hash-identical sketch table a one-shot build produces.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F  # local: matches module style
+
+    from server_spark.plans.medallion import load_manifest
+
+    gold_dir = os.path.join(paths.root, "gold", "owner_sketches")
+    wm_file = os.path.join(gold_dir, "_watermark")
+    keys = ["region", "realm_slug"]
+
+    manifest = load_manifest(spark, paths)
+    last = 0
+    if os.path.exists(wm_file):
+        with open(wm_file) as fh:
+            last = _json.load(fh)["batch_id"]
+    new_keys = manifest.filter(F.col("batch_id") > last)
+    n_batches = new_keys.select("batch_id").distinct().count()
+    if n_batches == 0:
+        return 0
+    hi = new_keys.agg(F.max("batch_id")).first()[0]
+
+    fresh_rows = spark.read.parquet(paths.bronze).join(
+        F.broadcast(new_keys.select("region", "realm_slug", "dump_ts")),
+        ["region", "realm_slug", "dump_ts"],
+        "left_semi",
+    )
+    batch_sketches = distinct_sketches(fresh_rows, keys, "owner")
+
+    data_dir = os.path.join(gold_dir, "sketches")
+    try:
+        standing = spark.read.parquet(data_dir)
+        merged = merge_distinct_sketches(standing, batch_sketches, keys)
+    except Exception:  # first refresh: no standing table yet
+        merged = batch_sketches
+    # groups-sized table: rewrite via temp + swap (readers never see a
+    # half-written table)
+    tmp = f"{data_dir}.tmp.{os.getpid()}"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if os.path.exists(data_dir):
+        shutil.rmtree(data_dir)
+    os.replace(tmp, data_dir)
+    os.makedirs(gold_dir, exist_ok=True)
+    with open(wm_file, "w") as fh:
+        _json.dump({"batch_id": int(hi)}, fh)
+    return n_batches
+
+
+def read_owner_sketch_gold(spark, paths):
+    """Current per-(region, realm) distinct-owner estimates."""
+    data_dir = os.path.join(paths.root, "gold", "owner_sketches", "sketches")
+    return estimate_distinct(
+        spark.read.parquet(data_dir), ["region", "realm_slug"]
+    )

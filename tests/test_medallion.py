@@ -556,3 +556,53 @@ def test_mergeable_distinct_sketches(spark, sf_dir):
         for r in mt.estimate_distinct(merged, ["time_left"]).collect()
     }
     assert inc == full
+
+
+def test_incremental_owner_sketch_gold(spark, tmp_path):
+    """Sketch-gold maintenance: refreshes fold ONLY new manifest
+    batches, a no-op refresh does nothing, and the incrementally
+    maintained estimates equal a one-shot build over the same bronze
+    (union associativity end-to-end) AND the exact distinct count."""
+    import datetime as dt
+
+    from server_spark.plans import maintenance as mt
+    from server_spark.plans import medallion as med
+
+    def dump(ts, owners, realm="r1"):
+        return spark.createDataFrame(
+            [("eu", realm, ts, i, 100, 500, 1, o)
+             for i, o in enumerate(owners)],
+            "region string, realm_slug string, dump_ts timestamp, "
+            "auc long, item long, buyout long, quantity long, owner string",
+        )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    t1 = t0 + dt.timedelta(hours=1)
+
+    # incrementally maintained lake
+    inc = med.MedallionPaths(str(tmp_path / "inc"))
+    assert med.ingest_bronze_incremental(spark, dump(t0, ["a", "b"]), inc) == 1
+    assert mt.refresh_owner_sketch_gold(spark, inc) == 1
+    assert mt.refresh_owner_sketch_gold(spark, inc) == 0  # already current
+    assert med.ingest_bronze_incremental(
+        spark, dump(t1, ["b", "c", "d"]), inc
+    ) == 1
+    assert mt.refresh_owner_sketch_gold(spark, inc) == 1
+
+    # one-shot lake over the same data
+    full = med.MedallionPaths(str(tmp_path / "full"))
+    assert med.ingest_bronze_incremental(spark, dump(t0, ["a", "b"]), full) == 1
+    assert med.ingest_bronze_incremental(
+        spark, dump(t1, ["b", "c", "d"]), full
+    ) == 1
+    assert mt.refresh_owner_sketch_gold(spark, full) == 2  # both batches
+
+    got = {
+        (r["region"], r["realm_slug"]): r["distinct_est"]
+        for r in mt.read_owner_sketch_gold(spark, inc).collect()
+    }
+    want = {
+        (r["region"], r["realm_slug"]): r["distinct_est"]
+        for r in mt.read_owner_sketch_gold(spark, full).collect()
+    }
+    assert got == want == {("eu", "r1"): 4}  # exact at this tiny scale
