@@ -168,3 +168,45 @@ def snapshot_totals(auctions: DataFrame) -> DataFrame:
         F.sum("quantity").alias("total_quantity"),
         F.countDistinct("owner").alias("owner_count"),
     )
+
+
+def paginate_keyset(
+    df: DataFrame,
+    sort_kind: str,
+    descending: bool,
+    count: int,
+    after: dict | None = None,
+) -> DataFrame:
+    """O2 at serving scale — KEYSET pagination: instead of ranking
+    rows 1..N and slicing (whose cost grows with page depth — window
+    `paginate` scans top (page+1)*count rows), the caller passes the
+    LAST ROW of the previous page (`after` = {sort key, item, owner,
+    buyout}) and the next page is `WHERE row > after ORDER BY ...
+    LIMIT count` — a pushable range predicate + TakeOrderedAndProject,
+    O(count) work per page at ANY depth. This is the cursor the
+    reference effectively had for free in Bolt's ordered B-tree
+    `Seek`; `sort_columns`' unique tiebreaker (item, owner, buyout)
+    makes the cursor total, so pages never skip or repeat rows."""
+    key = SORT_KINDS[sort_kind]
+    order = sort_columns(sort_kind, descending)
+    if after is not None:
+        pk = F.col(key)
+        a = F.lit(after[key])
+        primary_past = pk < a if descending else pk > a
+        pred = (
+            primary_past
+            | ((pk == a) & (F.col("item") > F.lit(after["item"])))
+            | (
+                (pk == a)
+                & (F.col("item") == F.lit(after["item"]))
+                & (F.col("owner") > F.lit(after["owner"]))
+            )
+            | (
+                (pk == a)
+                & (F.col("item") == F.lit(after["item"]))
+                & (F.col("owner") == F.lit(after["owner"]))
+                & (F.col("buyout") > F.lit(after["buyout"]))
+            )
+        )
+        df = df.filter(pred)
+    return df.orderBy(*order).limit(count)

@@ -1337,3 +1337,109 @@ def x58_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x62 — interpolated bigram LM score (perplexity proxy, order-aware)
+# ---------------------------------------------------------------------------
+
+_X62_LAMBDA = 0.7  # bigram weight; 1-λ backs off to the unigram
+
+
+@register(
+    "x62_bigram_logprob",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, pos, token FROM (
+            SELECT doc_id,
+                   generate_subscripts(l, 1) AS pos,
+                   UNNEST(l) AS token
+            FROM (SELECT doc_id,
+                         string_split_regex(LOWER(TRIM(text)), '\s+') AS l
+                  FROM documents)
+        ) WHERE token <> ''
+    ),
+    big AS (
+        SELECT doc_id, w1, w2 FROM (
+            SELECT doc_id, token AS w1,
+                   LEAD(token) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM toks
+        ) WHERE w2 IS NOT NULL
+    ),
+    uni AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    tot AS (SELECT COUNT(*) AS t FROM toks),
+    bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2)
+    SELECT big.doc_id, COUNT(*) AS n_bigrams,
+           {r4sql(f"AVG(LN({_X62_LAMBDA} * bc.c2 / u1.c + {1 - _X62_LAMBDA} * u2.c / tot.t))")}
+               AS avg_bigram_logprob
+    FROM big
+    JOIN bc USING (w1, w2)
+    JOIN uni u1 ON big.w1 = u1.token
+    JOIN uni u2 ON big.w2 = u2.token
+    CROSS JOIN tot
+    GROUP BY big.doc_id
+    """,
+    doc="EXT x62 — ORDER-AWARE LM quality score: each document's mean "
+    "log-probability under an interpolated bigram model trained on "
+    "the corpus itself (λ·P(w2|w1) + (1-λ)·P(w2) — Jelinek-Mercer "
+    "smoothing, the next step beyond x33's unigram score toward a "
+    "KenLM-style perplexity gate: shuffled text keeps its unigram "
+    "score but collapses here). Shape: one posexplode feeds the "
+    "bigram window (one doc-keyed shuffle), both count tables are "
+    "Zipf-bounded broadcasts, scoring is one hash-agg.",
+    tags=("ext", "textstats", "quality"),
+    late=True,
+)
+def x62_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("pos", "token"),
+        )
+        .filter(F.col("token") != "")
+        .transform(barrier)  # feeds unigrams, total AND the bigram window
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.select(
+            "doc_id",
+            F.col("token").alias("w1"),
+            F.lead("token").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .transform(barrier)  # feeds bigram counts AND the scoring join
+    )
+    uni = toks.groupBy("token").agg(F.count("*").alias("c"))
+    tot = toks.agg(F.count("*").alias("t"))
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    lam = _X62_LAMBDA
+    return (
+        big.join(F.broadcast(bc), ["w1", "w2"])
+        .join(
+            F.broadcast(uni.select(F.col("token").alias("w1"),
+                                   F.col("c").alias("c_w1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("token").alias("w2"),
+                                   F.col("c").alias("c_w2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            r4(
+                F.avg(
+                    F.log(
+                        lam * F.col("c2") / F.col("c_w1")
+                        + (1 - lam) * F.col("c_w2") / F.col("t")
+                    )
+                )
+            ).alias("avg_bigram_logprob"),
+        )
+    )

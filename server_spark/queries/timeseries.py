@@ -1174,3 +1174,106 @@ def w11_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         r4(F.when(n > 0, med)).alias("rolling_median"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T17 — gap interpolation (linear resample onto the daily grid)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t17_linear_interpolate",
+    f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               {r4sql("AVG(value)")} AS avg_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+    types AS (SELECT DISTINCT event_type FROM daily),
+    grid AS (
+        SELECT t.event_type, UNNEST(generate_series(b.lo, b.hi,
+               INTERVAL 1 DAY))::DATE AS day
+        FROM types t CROSS JOIN bounds b
+    ),
+    dense AS (
+        SELECT g.event_type, g.day, d.avg_value,
+               LAST_VALUE(d.avg_value IGNORE NULLS) OVER w_prev AS pv,
+               LAST_VALUE(CASE WHEN d.avg_value IS NOT NULL THEN g.day END
+                   IGNORE NULLS) OVER w_prev AS pd,
+               FIRST_VALUE(d.avg_value IGNORE NULLS) OVER w_next AS nv,
+               FIRST_VALUE(CASE WHEN d.avg_value IS NOT NULL THEN g.day END
+                   IGNORE NULLS) OVER w_next AS nd
+        FROM grid g LEFT JOIN daily d USING (event_type, day)
+        WINDOW w_prev AS (PARTITION BY g.event_type ORDER BY g.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (PARTITION BY g.event_type ORDER BY g.day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, day,
+           (avg_value IS NULL) AS interpolated,
+           {r4sql("CASE WHEN avg_value IS NOT NULL THEN avg_value WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv ELSE pv + (nv - pv) * (day - pd) / (nd - pd) END")}
+               AS value_filled
+    FROM dense
+    """,
+    doc="T17 — LINEAR interpolation onto the dense daily grid: gap "
+    "days get the straight line between their surrounding "
+    "observations (t12 fills gaps with zero/flags; a charting or "
+    "model-feature consumer wants the interpolated level instead). "
+    "Leading/trailing gaps clamp to the nearest observation. Shape: "
+    "the daily agg and both ignore-nulls windows share the "
+    "event_type partitioning; the grid is series×days — tiny.",
+    tags=("timeseries", "interpolate", "window"),
+    late=True,
+)
+def t17_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(r4(F.avg("value")).alias("avg_value"))
+    )
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi")).alias("day"),
+        )
+    )
+    dense = grid.join(daily, ["event_type", "day"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("avg_value").isNotNull(), F.col("day"))
+    pv = F.last("avg_value", ignorenulls=True).over(w_prev)
+    pd_ = F.last(obs_day, ignorenulls=True).over(w_prev)
+    nv = F.first("avg_value", ignorenulls=True).over(w_next)
+    nd = F.first(obs_day, ignorenulls=True).over(w_next)
+    filled = (
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(
+            pv
+            + (nv - pv)
+            * F.datediff(F.col("day"), pd_)
+            / F.datediff(nd, pd_)
+        )
+    )
+    return dense.select(
+        "event_type",
+        "day",
+        F.col("avg_value").isNull().alias("interpolated"),
+        r4(filled).alias("value_filled"),
+    )

@@ -175,3 +175,37 @@ def test_unmet_demand_list_matches_j5(spark, sf_dir):
     assert [r["item"] for r in all_unmet] == sorted(
         r["item"] for r in all_unmet
     )
+
+
+def test_keyset_pagination_matches_window_slices(spark, sf_dir):
+    """Keyset pages reproduce the window-slice pages exactly at any
+    depth, and the plan is a TakeOrderedAndProject with NO rank
+    window — O(count) per page instead of O(page*count)."""
+    import contextlib
+    import io
+
+    from server_spark.operators import auctions as ops
+    from server_spark.sources.synthetic import auctions as load
+
+    collapsed = ops.collapse_mini_auctions(load(spark, sf_dir)).cache()
+    order = ops.sort_columns("buyout", True)
+
+    after = None
+    for page in range(3):
+        want = ops.paginate(collapsed, order, page, 7).collect()
+        got_df = ops.paginate_keyset(collapsed, "buyout", True, 7, after)
+        got = got_df.collect()
+        key = lambda r: (r["buyout"], r["item"], r["owner"])
+        assert [key(r) for r in got] == [key(r) for r in want], f"page {page}"
+        last = got[-1]
+        after = {
+            "buyout": last["buyout"], "item": last["item"],
+            "owner": last["owner"],
+        }
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got_df.explain()
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+    assert "row_number" not in plan

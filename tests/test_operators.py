@@ -105,3 +105,31 @@ def test_salted_join_matches_plain_join(spark):
     lplain = left.join(right, "k", "left")
     lsalted = salted_join(left, right, "k", n_salts=8, how="left")
     assert lsalted.count() == lplain.count() == 1000
+
+
+def test_u7_bag_identity(spark, sf_dir):
+    """Multiset algebra: |A ∖ B| + |A ∩ B| = |A| per group (EXCEPT ALL
+    keeps surplus multiplicity, INTERSECT ALL the shared floor)."""
+    from pyspark.sql import functions as F
+
+    from server_spark import tables
+    from server_spark.queries.joins_sets import DAY_A, u7_bag_setops
+
+    rows = u7_bag_setops(spark, sf_dir).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["event_type"], {})[r["op"]] = r["n"]
+    a_sizes = {
+        r["event_type"]: r["n"]
+        for r in tables.load(spark, sf_dir, "events")
+        .filter(F.col("ts").cast("date") == DAY_A)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by
+    for et, ops_ in by.items():
+        assert (
+            ops_.get("except_all", 0) + ops_.get("intersect_all", 0)
+            == a_sizes[et]
+        ), et

@@ -445,3 +445,13 @@ def test_x59_hard_negatives_rank_shape(plans):
     p = plans("x59_hard_negatives")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "WindowGroupLimit" in p
+
+
+def test_w10_w11_windows_share_series_partitioning(plans):
+    """EWMA and rolling median both partition their window by the
+    series key — never a constant — and carry no Python nodes."""
+    for name in ("w10_ewma_price", "w11_rolling_median"):
+        p = plans(name)
+        for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+            assert node not in p, name
+        assert "CartesianProduct" not in p, name
