@@ -485,3 +485,100 @@ def test_scd2_incremental_equals_rebuild(spark, rows, split):
     assert canon(scd2_apply_increment(history, inc)) == canon(
         scd2_history(ev)
     )
+
+
+@given(rows=AUCTION_ROWS, count=st.integers(min_value=1, max_value=9))
+@_SETTINGS
+def test_keyset_pagination_never_skips_or_repeats(spark, rows, count):
+    """Keyset cursor over arbitrary data: walking pages to exhaustion
+    yields every collapsed row exactly once, in the total order —
+    no skips, no repeats, regardless of duplicate sort keys."""
+    collapsed = ops.collapse_mini_auctions(_df(spark, rows)).cache()
+    total = collapsed.count()
+    seen, after = [], None
+    for _ in range(total // count + 2):
+        page = ops.paginate_keyset(
+            collapsed, "buyout", True, count, after
+        ).collect()
+        if not page:
+            break
+        seen.extend(
+            (r["buyout"], r["item"], r["owner"]) for r in page
+        )
+        last = page[-1]
+        after = {
+            "buyout": last["buyout"], "item": last["item"],
+            "owner": last["owner"],
+        }
+    assert len(seen) == total
+    assert len(set(seen)) == len(seen) or sorted(seen) == sorted(
+        set(seen)
+    )  # duplicates only if genuinely identical (item,owner,buyout) rows
+    # full order check against a single sorted scan
+    want = [
+        (r["buyout"], r["item"], r["owner"])
+        for r in collapsed.orderBy(
+            *ops.sort_columns("buyout", True)
+        ).collect()
+    ]
+    assert seen == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=1,
+        max_size=12,
+    )
+)
+@_SETTINGS
+def test_rolling_median_and_ewma_invariants(spark, vals):
+    """w10/w11 math on arbitrary series: a CONSTANT series is a fixed
+    point of both smoothers, and each smoothed value stays inside the
+    min/max of its frame."""
+    import datetime as dt
+
+    from server_spark.queries.timeseries import (
+        w10_ewma_price,
+        w11_rolling_median,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(days=i), "purchase", float(v), 1, "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, event_type string, value double, "
+        "user_id long, props string",
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        # match the harness's physical encoding (timestamp[us]) — the
+        # loader's footer guard rejects INT96 by design
+        prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        try:
+            df.write.parquet(os.path.join(td, "events.parquet"))
+        finally:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+        med = sorted(
+            w11_rolling_median(spark, td).collect(), key=lambda r: r["ts"]
+        )
+        ew = sorted(
+            w10_ewma_price(spark, td).collect(), key=lambda r: r["day"]
+        )
+    for i, r in enumerate(med):
+        frame = vals[max(0, i - 6): i + 1]
+        assert min(frame) - 1e-4 <= r["rolling_median"] <= max(frame) + 1e-4
+    for i, r in enumerate(ew):
+        frame = vals[max(0, i - 9): i + 1]
+        assert min(frame) - 1e-4 <= r["ewma"] <= max(frame) + 1e-4
+    if len(set(vals)) == 1:
+        assert all(abs(r["rolling_median"] - vals[0]) < 1e-4 for r in med)
+        assert all(abs(r["ewma"] - vals[0]) < 1e-4 for r in ew)
