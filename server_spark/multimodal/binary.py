@@ -93,6 +93,26 @@ def _sniff_header(b: bytes) -> dict:
     return {"format": "unknown", "width": None, "height": None}
 
 
+# Source text of the sniffer, captured at import time on the driver.
+# Executor closures exec THIS string to materialize their copy, so
+# there is exactly ONE implementation — the r6 hand-maintained closure
+# duplicate (which could silently drift) is gone. The string is plain
+# data, so cloudpickle ships it by value and workers never need
+# ``server_spark`` importable.
+import inspect as _inspect  # noqa: E402
+
+_SNIFF_SRC = _inspect.getsource(_sniff_header)
+
+
+def _sniff_from_source(src: str):
+    """Materialize the sniffer from its source text (the executor-side
+    path). Module-level so tests can assert the exec round-trip agrees
+    with the direct function on a fixture corpus."""
+    ns: dict = {}
+    exec(src, ns)
+    return ns["_sniff_header"]
+
+
 def extract_media_meta(
     df: DataFrame, id_col: str = "media_id", bin_col: str = "payload"
 ) -> DataFrame:
@@ -101,59 +121,21 @@ def extract_media_meta(
     pixel dimensions are REAL (header parse, `_sniff_header`); only
     pixel decode would need a codec library.
 
-    NB: every helper is DEFINED INSIDE the closure so cloudpickle ships
-    the whole thing by value — Spark's Python workers must not need
-    ``server_spark`` importable (the driver contract allows arbitrary
-    launch cwd, so the package may be absent from worker sys.path).
+    NB: the closure carries the sniffer as SOURCE TEXT (`_SNIFF_SRC`,
+    exec'd per task) so cloudpickle ships everything by value — Spark's
+    Python workers must not need ``server_spark`` importable (the
+    driver contract allows arbitrary launch cwd, so the package may be
+    absent from worker sys.path) — while the logic exists exactly once
+    at module level (no hand-maintained duplicate to drift).
     """
+    sniff_src = _SNIFF_SRC  # local: captured by value in the closure
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
 
-        def sniff(b: bytes) -> dict:
-            n = len(b)
-            if n >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
-                return {
-                    "format": "png",
-                    "width": int.from_bytes(b[16:20], "big"),
-                    "height": int.from_bytes(b[20:24], "big"),
-                }
-            if n >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
-                return {
-                    "format": "gif",
-                    "width": int.from_bytes(b[6:8], "little"),
-                    "height": int.from_bytes(b[8:10], "little"),
-                }
-            if n >= 26 and b[:2] == b"BM":
-                return {
-                    "format": "bmp",
-                    "width": int.from_bytes(b[18:22], "little", signed=True),
-                    "height": abs(
-                        int.from_bytes(b[22:26], "little", signed=True)
-                    ),
-                }
-            if n >= 4 and b[:2] == b"\xff\xd8":
-                sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
-                i = 2
-                while i + 9 <= n:
-                    if b[i] != 0xFF:
-                        break
-                    marker = b[i + 1]
-                    if marker in sof:
-                        return {
-                            "format": "jpeg",
-                            "height": int.from_bytes(b[i + 5:i + 7], "big"),
-                            "width": int.from_bytes(b[i + 7:i + 9], "big"),
-                        }
-                    if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                        i += 2
-                    else:
-                        i += 2 + int.from_bytes(b[i + 2:i + 4], "big")
-                return {"format": "jpeg", "width": None, "height": None}
-            if n >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                return {"format": "wav", "width": None, "height": None}
-            return {"format": "unknown", "width": None, "height": None}
+        ns: dict = {}
+        exec(sniff_src, ns)
+        sniff = ns["_sniff_header"]
 
         for pdf in it:
             # Missing payloads are QUARANTINED, not crashed on: they

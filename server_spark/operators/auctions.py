@@ -103,13 +103,27 @@ def filter_by_items(df: DataFrame, item_ids: Sequence[int]) -> DataFrame:
     return df.filter(F.col("item").isin(list(item_ids)))
 
 
+def _cursor_key(sort_kind: str, descending: bool) -> list[tuple[str, bool]]:
+    """The (column, descending) sequence that makes the (sort_kind,
+    direction) order TOTAL over collapsed mini-auctions: the primary
+    sort column followed by every remaining collapse key ascending.
+    COLLAPSE_KEYS is the groupBy key of `collapse_mini_auctions`, so
+    the suffix is unique per row — no two mini-auctions can tie on all
+    of (item, owner, buyout, quantity, time_left)."""
+    key = SORT_KINDS[sort_kind]
+    return [(key, descending)] + [(k, False) for k in COLLAPSE_KEYS if k != key]
+
+
 def sort_columns(sort_kind: str, descending: bool) -> list[Column]:
     """O1 — translate the reference's (sort_kind, direction) enum into
-    sort columns, always suffixed with a unique-ish tiebreaker so the
-    total order (and thus pagination) is deterministic."""
-    key = SORT_KINDS[sort_kind]
-    primary = F.col(key).desc() if descending else F.col(key).asc()
-    return [primary, F.col("item").asc(), F.col("owner").asc(), F.col("buyout").asc()]
+    sort columns, always suffixed with the full remaining collapse key
+    so the order (and thus pagination) is a deterministic TOTAL order
+    — quantity and time_left included, since collapsed rows can tie on
+    (item, owner, buyout) alone."""
+    return [
+        F.col(name).desc() if desc else F.col(name).asc()
+        for name, desc in _cursor_key(sort_kind, descending)
+    ]
 
 
 def paginate(
@@ -180,33 +194,28 @@ def paginate_keyset(
     """O2 at serving scale — KEYSET pagination: instead of ranking
     rows 1..N and slicing (whose cost grows with page depth — window
     `paginate` scans top (page+1)*count rows), the caller passes the
-    LAST ROW of the previous page (`after` = {sort key, item, owner,
-    buyout}) and the next page is `WHERE row > after ORDER BY ...
-    LIMIT count` — a pushable range predicate + TakeOrderedAndProject,
-    O(count) work per page at ANY depth. This is the cursor the
-    reference effectively had for free in Bolt's ordered B-tree
-    `Seek`; `sort_columns`' unique tiebreaker (item, owner, buyout)
-    makes the cursor total, so pages never skip or repeat rows."""
-    key = SORT_KINDS[sort_kind]
-    order = sort_columns(sort_kind, descending)
+    LAST ROW of the previous page (`after` = the primary sort column
+    plus ALL collapse keys) and the next page is `WHERE row > after
+    ORDER BY ... LIMIT count` — a pushable range predicate +
+    TakeOrderedAndProject, O(count) work per page at ANY depth. This
+    is the cursor the reference effectively had for free in Bolt's
+    ordered B-tree `Seek`. The cursor tuple is `_cursor_key`'s full
+    sequence — primary followed by every remaining COLLAPSE_KEY — which
+    is unique per collapsed row, so the lexicographic strictly-after
+    predicate is a genuine total-order cut: pages never skip or repeat
+    rows, even when rows tie on (item, owner, buyout) but differ in
+    quantity or time_left."""
+    cursor = _cursor_key(sort_kind, descending)
     if after is not None:
-        pk = F.col(key)
-        a = F.lit(after[key])
-        primary_past = pk < a if descending else pk > a
-        pred = (
-            primary_past
-            | ((pk == a) & (F.col("item") > F.lit(after["item"])))
-            | (
-                (pk == a)
-                & (F.col("item") == F.lit(after["item"]))
-                & (F.col("owner") > F.lit(after["owner"]))
-            )
-            | (
-                (pk == a)
-                & (F.col("item") == F.lit(after["item"]))
-                & (F.col("owner") == F.lit(after["owner"]))
-                & (F.col("buyout") > F.lit(after["buyout"]))
-            )
-        )
+        # Lexicographic "strictly after the cursor row": OR over
+        # prefixes — equal on cols[0..i-1] AND strictly past on cols[i].
+        pred = None
+        eq = F.lit(True)
+        for name, desc in cursor:
+            col, a = F.col(name), F.lit(after[name])
+            step = (col < a) if desc else (col > a)
+            clause = eq & step
+            pred = clause if pred is None else (pred | clause)
+            eq = eq & (col == a)
         df = df.filter(pred)
-    return df.orderBy(*order).limit(count)
+    return df.orderBy(*sort_columns(sort_kind, descending)).limit(count)

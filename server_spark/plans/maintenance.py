@@ -213,18 +213,35 @@ def refresh_owner_sketch_gold(spark, paths) -> int:
     batch_sketches = distinct_sketches(fresh_rows, keys, "owner")
 
     data_dir = os.path.join(gold_dir, "sketches")
-    try:
+    aside = f"{data_dir}.old"
+    # Heal a crash that happened between the two swap renames below:
+    # the standing table was set aside but its replacement never
+    # landed — restore it rather than treating this as a first refresh.
+    if os.path.exists(aside):
+        if os.path.exists(data_dir):
+            shutil.rmtree(aside)
+        else:
+            os.rename(aside, data_dir)
+    # "First refresh" is ONLY the table not existing. Any read failure
+    # on an existing table (corrupt file, transient IO) must propagate
+    # loudly — swallowing it here would overwrite the sketch table with
+    # just this batch and silently discard all folded history.
+    if os.path.exists(data_dir):
         standing = spark.read.parquet(data_dir)
         merged = merge_distinct_sketches(standing, batch_sketches, keys)
-    except Exception:  # first refresh: no standing table yet
+    else:
         merged = batch_sketches
-    # groups-sized table: rewrite via temp + swap (readers never see a
-    # half-written table)
+    # groups-sized table: rewrite via temp + two-rename swap. The old
+    # table is set ASIDE (not deleted) before the replacement lands, so
+    # a crash anywhere leaves either the old or the new table
+    # recoverable — never neither.
     tmp = f"{data_dir}.tmp.{os.getpid()}"
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     if os.path.exists(data_dir):
-        shutil.rmtree(data_dir)
+        os.rename(data_dir, aside)
     os.replace(tmp, data_dir)
+    if os.path.exists(aside):
+        shutil.rmtree(aside)
     os.makedirs(gold_dir, exist_ok=True)
     with open(wm_file, "w") as fh:
         _json.dump({"batch_id": int(hi)}, fh)

@@ -133,7 +133,11 @@ def ingest_bronze_incremental(
     # not the table. Orphaned keys (in bronze, missing from the
     # manifest) skip the append but still get their manifest entry
     # below, completing the interrupted commit.
-    try:
+    # "First ingest" is ONLY bronze not existing on disk; any other
+    # failure (transient IO, corrupt footer) must propagate — an
+    # except-all here would silently disable the gate and reopen the
+    # duplicate-append window it exists to close.
+    if os.path.exists(paths.bronze):
         days = [r[0] for r in new_keys.select(
             F.to_date("dump_ts").alias("d")).distinct().collect()]
         bronze_keys = (
@@ -146,7 +150,7 @@ def ingest_bronze_incremental(
             new_keys.join(F.broadcast(bronze_keys), keys, "left_anti").cache()
         )
         append_keys.count()
-    except Exception:  # first ingest: bronze doesn't exist yet
+    else:
         append_keys = new_keys
     fresh = raw.join(F.broadcast(append_keys.select(*keys)), keys, "left_semi")
     (

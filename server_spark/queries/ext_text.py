@@ -477,9 +477,12 @@ def x30_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vocabulary-flooding docs score far below fluent text. No "
     "smoothing needed — every scored token exists in the corpus by "
     "construction. Shape: one explode feeds both the frequency table "
-    "and the scoring join; the vocab side is Zipf-bounded and "
-    "broadcast (at extreme corpus scale it becomes a shuffle join — "
-    "same plan, no rewrite).",
+    "and the scoring join; the UNIGRAM vocab grows as Heaps' law "
+    "(~N^0.5, sublinear) so broadcasting it is deliberate — it spares "
+    "the giant token stream a shuffle. Unlike x62's bigram TYPE table "
+    "(near-linear growth, hint removed there), this hint survives "
+    "100×; if vocab ever approached the broadcast limit the fix is "
+    "the same: drop the hint and let AQE choose.",
     tags=("ext", "textstats", "quality"),
     late=True,
 )
@@ -1386,8 +1389,12 @@ _X62_LAMBDA = 0.7  # bigram weight; 1-λ backs off to the unigram
     "smoothing, the next step beyond x33's unigram score toward a "
     "KenLM-style perplexity gate: shuffled text keeps its unigram "
     "score but collapses here). Shape: one posexplode feeds the "
-    "bigram window (one doc-keyed shuffle), both count tables are "
-    "Zipf-bounded broadcasts, scoring is one hash-agg.",
+    "bigram window (one doc-keyed shuffle); the UNIGRAM vocab is "
+    "Heaps-law-bounded and broadcast, but bigram TYPE counts grow "
+    "near-linearly with corpus size, so the bigram join carries NO "
+    "forced broadcast hint — AQE broadcasts it while it fits and "
+    "falls back to a shuffle join at scale instead of OOMing "
+    "executors; scoring is one hash-agg.",
     tags=("ext", "textstats", "quality"),
     late=True,
 )
@@ -1417,8 +1424,14 @@ def x62_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = toks.agg(F.count("*").alias("t"))
     bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     lam = _X62_LAMBDA
+    # NB: no broadcast hint on `bc` — bigram TYPES are near-linear in
+    # corpus size (unlike the Heaps-bounded unigram vocab), so a forced
+    # broadcast OOMs executors at 100×; with no hint AQE broadcasts it
+    # only while it's actually under the threshold. `big ⋈ bc` shares
+    # the (w1, w2) key with bc's own groupBy, so the shuffle-join path
+    # reuses the exchange on the bc side.
     return (
-        big.join(F.broadcast(bc), ["w1", "w2"])
+        big.join(bc, ["w1", "w2"])
         .join(
             F.broadcast(uni.select(F.col("token").alias("w1"),
                                    F.col("c").alias("c_w1"))),

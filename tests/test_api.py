@@ -195,13 +195,10 @@ def test_keyset_pagination_matches_window_slices(spark, sf_dir):
         want = ops.paginate(collapsed, order, page, 7).collect()
         got_df = ops.paginate_keyset(collapsed, "buyout", True, 7, after)
         got = got_df.collect()
-        key = lambda r: (r["buyout"], r["item"], r["owner"])
+        key = lambda r: tuple(r[k] for k in ("buyout", *ops.COLLAPSE_KEYS))
         assert [key(r) for r in got] == [key(r) for r in want], f"page {page}"
         last = got[-1]
-        after = {
-            "buyout": last["buyout"], "item": last["item"],
-            "owner": last["owner"],
-        }
+        after = {k: last[k] for k in ("buyout", *ops.COLLAPSE_KEYS)}
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):

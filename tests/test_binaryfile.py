@@ -99,6 +99,32 @@ def test_header_sniff_real_dimensions(spark):
     assert meta[7]["format"] == "missing" and meta[7]["n_bytes"] is None
 
 
+def test_sniff_source_roundtrip_matches_direct():
+    """The executor closure materializes the sniffer by exec'ing
+    `_SNIFF_SRC` (captured from the one module-level implementation) —
+    assert the exec round-trip agrees with the direct function on a
+    fixture corpus covering every container branch, so any breakage of
+    the source-capture machinery fails CI (r6 ADVICE: the old
+    hand-duplicated closure copy could silently drift)."""
+    from server_spark.multimodal.binary import (
+        _SNIFF_SRC,
+        _sniff_from_source,
+        _sniff_header,
+    )
+
+    execd = _sniff_from_source(_SNIFF_SRC)
+    corpus = [
+        _png(640, 480), _png(1, 1),
+        _jpeg(320, 240), b"\xff\xd8\xff\xe0\x00\x04ab",  # JPEG, no SOF
+        _gif(99, 44), _bmp(12, 34),
+        b"RIFF\x00\x00\x00\x00WAVEfmt ",
+        b"\x89PNG\r\n\x1a",  # truncated magic
+        b"", b"\x00" * 32,
+    ]
+    for payload in corpus:
+        assert execd(payload) == _sniff_header(payload), payload[:12]
+
+
 def test_resize_and_frame_sample_plumbing(spark):
     """Resize: fixed-size deterministic thumbnails, nulls dropped.
     Frame sampling: every Nth fixed-size chunk, one-to-many inside

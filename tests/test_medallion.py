@@ -606,3 +606,56 @@ def test_incremental_owner_sketch_gold(spark, tmp_path):
         for r in mt.read_owner_sketch_gold(spark, full).collect()
     }
     assert got == want == {("eu", "r1"): 4}  # exact at this tiny scale
+
+
+def test_owner_sketch_gold_crash_and_corruption_safety(spark, tmp_path):
+    """r6 ADVICE hardening: (1) a crash between the swap renames (table
+    set aside, replacement never landed) is healed on the next refresh
+    — no history loss; (2) a CORRUPT standing table raises instead of
+    being silently treated as 'first refresh' and overwritten."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from server_spark.plans import maintenance as mt
+    from server_spark.plans import medallion as med
+
+    def dump(ts, owners):
+        return spark.createDataFrame(
+            [("eu", "r1", ts, i, 100, 500, 1, o)
+             for i, o in enumerate(owners)],
+            "region string, realm_slug string, dump_ts timestamp, "
+            "auc long, item long, buyout long, quantity long, owner string",
+        )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    t1 = t0 + dt.timedelta(hours=1)
+    paths = med.MedallionPaths(str(tmp_path / "lake"))
+    med.ingest_bronze_incremental(spark, dump(t0, ["a", "b"]), paths)
+    assert mt.refresh_owner_sketch_gold(spark, paths) == 1
+
+    data_dir = os.path.join(paths.root, "gold", "owner_sketches", "sketches")
+    # (1) simulate a crash between os.rename(data_dir, aside) and
+    # os.replace(tmp, data_dir): the standing table sits at .old only.
+    os.rename(data_dir, data_dir + ".old")
+    med.ingest_bronze_incremental(spark, dump(t1, ["b", "c", "d"]), paths)
+    assert mt.refresh_owner_sketch_gold(spark, paths) == 1  # healed + folded
+    got = {
+        (r["region"], r["realm_slug"]): r["distinct_est"]
+        for r in mt.read_owner_sketch_gold(spark, paths).collect()
+    }
+    assert got == {("eu", "r1"): 4}  # t0's owners were NOT discarded
+    assert not os.path.exists(data_dir + ".old")
+
+    # (2) corrupt the standing table: refresh must raise, not reset.
+    t2 = t0 + dt.timedelta(hours=2)
+    med.ingest_bronze_incremental(spark, dump(t2, ["e"]), paths)
+    for f in os.listdir(data_dir):
+        if f.endswith(".parquet"):
+            with open(os.path.join(data_dir, f), "wb") as fh:
+                fh.write(b"not parquet")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        mt.refresh_owner_sketch_gold(spark, paths)
+    shutil.rmtree(paths.root)

@@ -15,7 +15,10 @@ AUCTION_ROWS = st.lists(
         st.integers(min_value=1, max_value=10**6),        # auc (may repeat)
         st.integers(min_value=1, max_value=20),           # item
         st.sampled_from(["a", "b", "c"]),                 # owner
-        st.integers(min_value=0, max_value=10**5),        # buyout
+        # Tiny buyout domain so (item, owner, buyout) collisions with
+        # differing quantity/time_left are ROUTINELY generated — the
+        # exact shape that exposed the r6 keyset-cursor skip bug.
+        st.integers(min_value=0, max_value=3),            # buyout
         st.integers(min_value=1, max_value=50),           # quantity
         st.sampled_from(["SHORT", "LONG"]),               # time_left
     ),
@@ -495,6 +498,7 @@ def test_keyset_pagination_never_skips_or_repeats(spark, rows, count):
     no skips, no repeats, regardless of duplicate sort keys."""
     collapsed = ops.collapse_mini_auctions(_df(spark, rows)).cache()
     total = collapsed.count()
+    key = lambda r: tuple(r[k] for k in ("buyout", *ops.COLLAPSE_KEYS))
     seen, after = [], None
     for _ in range(total // count + 2):
         page = ops.paginate_keyset(
@@ -502,26 +506,45 @@ def test_keyset_pagination_never_skips_or_repeats(spark, rows, count):
         ).collect()
         if not page:
             break
-        seen.extend(
-            (r["buyout"], r["item"], r["owner"]) for r in page
-        )
+        seen.extend(key(r) for r in page)
         last = page[-1]
-        after = {
-            "buyout": last["buyout"], "item": last["item"],
-            "owner": last["owner"],
-        }
+        after = {k: last[k] for k in ("buyout", *ops.COLLAPSE_KEYS)}
     assert len(seen) == total
-    assert len(set(seen)) == len(seen) or sorted(seen) == sorted(
-        set(seen)
-    )  # duplicates only if genuinely identical (item,owner,buyout) rows
+    # the full collapse key is unique per collapsed row → no repeats
+    assert len(set(seen)) == len(seen)
     # full order check against a single sorted scan
     want = [
-        (r["buyout"], r["item"], r["owner"])
+        key(r)
         for r in collapsed.orderBy(
             *ops.sort_columns("buyout", True)
         ).collect()
     ]
     assert seen == want
+
+
+def test_keyset_cursor_collision_regression(spark):
+    """r6 ADVICE regression: two raw auctions sharing (item, owner,
+    buyout) but differing in quantity collapse to TWO mini-auctions;
+    the keyset walk must return both (the r6 cursor, keyed on only
+    (sort, item, owner, buyout), skipped the second one)."""
+    rows = [
+        (1, 5, "a", 100, 1, "SHORT"),
+        (2, 5, "a", 100, 2, "SHORT"),   # ties on item/owner/buyout
+        (3, 5, "a", 100, 1, "LONG"),    # ties except time_left
+        (4, 9, "b", 100, 1, "SHORT"),
+    ]
+    collapsed = ops.collapse_mini_auctions(_df(spark, rows)).cache()
+    assert collapsed.count() == 4
+    seen, after = [], None
+    for _ in range(10):
+        page = ops.paginate_keyset(collapsed, "buyout", True, 1, after).collect()
+        if not page:
+            break
+        last = page[-1]
+        seen.append(tuple(last[k] for k in ops.COLLAPSE_KEYS))
+        after = {k: last[k] for k in ("buyout", *ops.COLLAPSE_KEYS)}
+    assert len(seen) == 4, f"keyset walk skipped rows: {seen}"
+    assert len(set(seen)) == 4
 
 
 @given(
