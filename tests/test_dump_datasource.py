@@ -76,12 +76,15 @@ def test_matches_json_reader_path(spark, tmp_path):
     assert got == want and len(got) == 2
 
 
-def test_streaming_poll_loop(spark, tmp_path):
+@pytest.mark.parametrize("simple", [False, True], ids=["partitioned", "simple"])
+def test_streaming_poll_loop(spark, tmp_path, simple):
     """The streaming face of the source: batch 1 consumes the files
     present at start; a file that lands later is picked up by a
     resumed run from the SAME checkpoint (offset log), and already-
     consumed dumps are not re-emitted — the reference's poll loop
-    with exactly-once offsets."""
+    with exactly-once offsets. Run against BOTH faces: the default
+    partition-planned executor-side reader and the opt-in
+    driver-prefetch simple harness (option simple=true)."""
     in_dir = tmp_path / "in"
     in_dir.mkdir()
     out_dir = str(tmp_path / "out")
@@ -91,9 +94,11 @@ def test_streaming_poll_loop(spark, tmp_path):
     ds.register(spark)
 
     def drain():
+        reader = spark.readStream.format("auction_dump")
+        if simple:
+            reader = reader.option("simple", "true")
         q = (
-            spark.readStream.format("auction_dump")
-            .load(str(in_dir))
+            reader.load(str(in_dir))
             .writeStream.format("parquet")
             .option("path", out_dir)
             .option("checkpointLocation", ckpt)
@@ -112,3 +117,31 @@ def test_streaming_poll_loop(spark, tmp_path):
     assert drain() == [1, 2, 3]
     # replay with nothing new: no duplicates
     assert drain() == [1, 2, 3]
+
+
+def test_partitioned_stream_plans_per_file_partitions(tmp_path):
+    """The partition planner is a pure function of the offset pair:
+    one InputPartition per NEW file, none when the offsets agree —
+    the driver never touches payload bytes (listing only)."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "d1.json").write_text(json.dumps(DOC1))
+    with gzip.open(in_dir / "d2.json.gz", "wt") as fh:
+        json.dump(DOC2, fh)
+
+    r = ds.AuctionDumpPartitionedStreamReader({"path": str(in_dir)})
+    assert r.initialOffset() == {"files": []}
+    end = r.latestOffset()
+    assert end == {"files": ["d1.json", "d2.json.gz"]}
+    parts = r.partitions(r.initialOffset(), end)
+    assert sorted(p.path.rsplit("/", 1)[-1] for p in parts) == [
+        "d1.json", "d2.json.gz",
+    ]
+    # replaying a committed range is deterministic (exactly-once)
+    again = r.partitions({"files": []}, end)
+    assert [p.path for p in again] == [p.path for p in parts]
+    # caught-up: identical offsets plan zero partitions
+    assert r.partitions(end, end) == []
+    # executor-side read parses one file per partition
+    got = sorted(row[0] for p in parts for row in r.read(p))
+    assert got == [1, 2, 3]
