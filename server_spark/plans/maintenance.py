@@ -254,3 +254,178 @@ def read_owner_sketch_gold(spark, paths):
     return estimate_distinct(
         spark.read.parquet(data_dir), ["region", "realm_slug"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental churn gold (J3/U1–U3 maintained off the manifest commit log)
+# ---------------------------------------------------------------------------
+
+
+def refresh_churn_gold(spark, paths) -> int:
+    """Incrementally maintain the snapshot-churn gold table
+    (new/removed/persisting auction counts per consecutive snapshot
+    pair — J3/U1–U3), folding ONLY the pairs that involve a dump key
+    committed since the last refresh. The one-shot form
+    (`medallion.build_gold_churn`) re-pairs and re-joins the WHOLE
+    silver history every run; this refresh reads silver for just the
+    increment's snapshots and their timeline predecessors/successors.
+
+    Mechanics (same watermark pattern as `refresh_owner_sketch_gold`):
+    - The manifest commit log (dumps-count sized, tiny) yields each
+      realm's snapshot TIMELINE; a pair is AFFECTED iff its current or
+      its previous snapshot arrived after the watermark — so a
+      late-arriving middle snapshot also re-pairs its successor, whose
+      old (succ, old_prev) row is replaced by (succ, new).
+    - Silver is scanned only for the snapshots those pairs touch
+      (broadcast semi-join on the partition columns → DPP prune).
+    - The output is partitioned by dump_date and only the affected
+      dates' partitions are dynamically overwritten, carrying over
+      their untouched rows — write cost scales with the increment,
+      never the table.
+
+    Requires silver current for the involved snapshots (run
+    `build_silver_incremental` first). Returns the number of pairs
+    recomputed (0 = already current, a no-op on disk). Incremental ==
+    one-shot equality is asserted end-to-end in tests.
+    """
+    import json as _json
+
+    from pyspark.sql import Window
+
+    from server_spark.plans.medallion import load_manifest
+
+    gold_dir = os.path.join(paths.root, "gold", "churn_incr")
+    wm_file = os.path.join(gold_dir, "_watermark")
+    data_dir = os.path.join(gold_dir, "data")
+
+    manifest = load_manifest(spark, paths)
+    last = 0
+    if os.path.exists(wm_file):
+        with open(wm_file) as fh:
+            last = _json.load(fh)["batch_id"]
+    hi = manifest.agg(F.max("batch_id")).first()[0]
+    if hi is None or hi <= last:
+        return 0
+
+    # Realm timelines from the manifest alone; a pair is affected iff
+    # either endpoint is new.
+    w = Window.partitionBy("region", "realm_slug").orderBy("dump_ts")
+    timeline = manifest.select(
+        "region", "realm_slug", "dump_ts", "batch_id"
+    ).withColumn("prev_ts", F.lag("dump_ts").over(w)).withColumn(
+        "prev_batch", F.lag("batch_id").over(w)
+    )
+    pairs = timeline.filter(
+        F.col("prev_ts").isNotNull()
+        & ((F.col("batch_id") > last) | (F.col("prev_batch") > last))
+    ).select("region", "realm_slug", "dump_ts", "prev_ts").cache()
+    n_pairs = pairs.count()
+    if n_pairs == 0:  # e.g. the very first dump of a fresh lake
+        os.makedirs(gold_dir, exist_ok=True)
+        with open(wm_file, "w") as fh:
+            _json.dump({"batch_id": int(hi)}, fh)
+        return 0
+
+    # Snapshots the affected pairs touch, as (partition-col) keys for
+    # the pruned silver scan.
+    involved = (
+        pairs.select("region", "realm_slug", "dump_ts")
+        .unionByName(
+            pairs.select(
+                "region", "realm_slug", F.col("prev_ts").alias("dump_ts")
+            )
+        )
+        .distinct()
+        .withColumn("dump_date", F.to_date("dump_ts"))
+    )
+    aucs = (
+        spark.read.parquet(paths.silver)
+        .join(
+            F.broadcast(involved),
+            ["region", "realm_slug", "dump_date", "dump_ts"],
+            "left_semi",
+        )
+        .select(
+            "region", "realm_slug", "dump_ts",
+            F.explode("auc_list").alias("auc"),
+        )
+    )
+    cur = aucs.join(
+        F.broadcast(pairs), ["region", "realm_slug", "dump_ts"]
+    ).select(
+        "region", "realm_slug", "dump_ts", "prev_ts", "auc",
+        F.lit(1).alias("in_cur"),
+    )
+    prev = (
+        aucs.select(
+            "region", "realm_slug", F.col("dump_ts").alias("prev_ts"), "auc"
+        )
+        .join(F.broadcast(pairs), ["region", "realm_slug", "prev_ts"])
+        .select(
+            "region", "realm_slug", "dump_ts", "prev_ts", "auc",
+            F.lit(1).alias("in_prev"),
+        )
+    )
+    recomputed = (
+        cur.join(
+            prev,
+            ["region", "realm_slug", "dump_ts", "prev_ts", "auc"],
+            "full_outer",
+        )
+        .groupBy("region", "realm_slug", "dump_ts")
+        .agg(
+            F.count(F.when(F.col("in_prev").isNull(), 1)).alias("n_new"),
+            F.count(F.when(F.col("in_cur").isNull(), 1)).alias("n_removed"),
+            F.count(
+                F.when(
+                    F.col("in_cur").isNotNull() & F.col("in_prev").isNotNull(),
+                    1,
+                )
+            ).alias("n_persisting"),
+        )
+        .withColumn("dump_date", F.to_date("dump_ts"))
+    )
+
+    # Rewrite ONLY the affected dump_date partitions, carrying over
+    # their rows whose pair didn't change (anti-join on the churn key).
+    out = recomputed
+    if os.path.exists(data_dir):
+        dates = recomputed.select("dump_date").distinct()
+        keep = (
+            spark.read.parquet(data_dir)
+            .join(F.broadcast(dates), "dump_date", "left_semi")
+            .join(
+                F.broadcast(
+                    recomputed.select("region", "realm_slug", "dump_ts")
+                ),
+                ["region", "realm_slug", "dump_ts"],
+                "left_anti",
+            )
+        )
+        out = keep.unionByName(recomputed)
+    mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            out.repartition("dump_date")
+            .write.mode("overwrite")
+            .partitionBy("dump_date")
+            .parquet(data_dir)
+        )
+    finally:
+        if mode is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+    os.makedirs(gold_dir, exist_ok=True)
+    with open(wm_file, "w") as fh:
+        _json.dump({"batch_id": int(hi)}, fh)
+    return n_pairs
+
+
+def read_churn_gold(spark, paths):
+    """Current churn rows (one per non-first snapshot of each realm),
+    in the one-shot builder's column shape."""
+    data_dir = os.path.join(paths.root, "gold", "churn_incr", "data")
+    return spark.read.parquet(data_dir).select(
+        "region", "realm_slug", "dump_ts", "n_new", "n_removed",
+        "n_persisting",
+    )

@@ -659,3 +659,84 @@ def test_owner_sketch_gold_crash_and_corruption_safety(spark, tmp_path):
     with _pytest.raises(Exception):
         mt.refresh_owner_sketch_gold(spark, paths)
     shutil.rmtree(paths.root)
+
+
+def test_incremental_churn_gold(spark, tmp_path):
+    """refresh_churn_gold folds only the NEW consecutive dump pairs:
+    (1) incremental == one-shot build_gold_churn after every refresh,
+    (2) a current table is an idempotent no-op (0 pairs, no write),
+    (3) a LATE-arriving middle snapshot re-pairs its successor, and
+    (4) untouched dump_date partitions keep their exact files."""
+    import os as _os
+
+    from server_spark.plans import maintenance as mt
+
+    paths = med.MedallionPaths(str(tmp_path / "lake"))
+
+    def dump(ts, aucs):
+        return spark.createDataFrame(
+            [(a, 100, "o", "r1", 9, 100, 1, "LONG", "eu", "r1", ts)
+             for a in aucs],
+            AUCTION,
+        )
+
+    def oneshot():
+        med.build_silver(spark, paths)
+        med.build_gold_churn(spark, paths)
+        return {
+            (r["region"], r["realm_slug"], r["dump_ts"]):
+                (r["n_new"], r["n_removed"], r["n_persisting"])
+            for r in spark.read.parquet(paths.gold_churn).collect()
+        }
+
+    def incremental():
+        return {
+            (r["region"], r["realm_slug"], r["dump_ts"]):
+                (r["n_new"], r["n_removed"], r["n_persisting"])
+            for r in mt.read_churn_gold(spark, paths).collect()
+        }
+
+    t1 = dt.datetime(2024, 1, 1, 10)
+    t2 = dt.datetime(2024, 1, 2, 10)
+    t3 = dt.datetime(2024, 1, 3, 10)
+    t_mid = dt.datetime(2024, 1, 2, 22)  # lands LATE, between t2 and t3
+
+    # first dump: no pair yet — refresh is a 0 but advances the mark
+    assert med.ingest_bronze_incremental(spark, dump(t1, [1, 2, 3]), paths) == 1
+    med.build_silver(spark, paths)
+    assert mt.refresh_churn_gold(spark, paths) == 0
+
+    # second dump: one new pair (t2, t1)
+    assert med.ingest_bronze_incremental(spark, dump(t2, [1, 4]), paths) == 1
+    med.build_silver(spark, paths)
+    assert mt.refresh_churn_gold(spark, paths) == 1
+    assert incremental() == oneshot() == {
+        ("eu", "r1", t2): (1, 2, 1)  # 4 new; 2,3 removed; 1 persists
+    }
+    # idempotent no-op
+    assert mt.refresh_churn_gold(spark, paths) == 0
+
+    # third dump: pair (t3, t2) only — day-2's partition untouched
+    assert med.ingest_bronze_incremental(spark, dump(t3, [4, 5]), paths) == 1
+    med.build_silver(spark, paths)
+    churn_dir = _os.path.join(paths.root, "gold", "churn_incr", "data")
+    day2 = _os.path.join(churn_dir, "dump_date=2024-01-02")
+    before = sorted(
+        (f, _os.path.getmtime(_os.path.join(day2, f)))
+        for f in _os.listdir(day2) if f.endswith(".parquet")
+    )
+    assert mt.refresh_churn_gold(spark, paths) == 1
+    assert incremental() == oneshot()
+    assert sorted(
+        (f, _os.path.getmtime(_os.path.join(day2, f)))
+        for f in _os.listdir(day2) if f.endswith(".parquet")
+    ) == before
+
+    # LATE middle snapshot between t2 and t3: affected pairs are
+    # (t_mid, t2) AND (t3, t_mid) — t3's old row must be replaced.
+    assert med.ingest_bronze_incremental(spark, dump(t_mid, [4, 9]), paths) == 1
+    med.build_silver(spark, paths)
+    assert mt.refresh_churn_gold(spark, paths) == 2
+    want = oneshot()
+    assert incremental() == want
+    assert want[("eu", "r1", t3)] == (1, 1, 1)  # 5 new; 9 removed; 4 stays
