@@ -444,6 +444,53 @@ def o2_paginate_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.paginate(_collapsed_with_per(spark, sf_dir), _mini_order(), 3, 40)
 
 
+# O5: the keyset form of O2 — the cursor is a literal row (it need not
+# exist; it's a total-order CUT), so the page is deterministic at any
+# scale factor and the oracle can spell the same lexicographic
+# predicate. Cursor near the buyout_per median so the page is
+# non-trivial at every SF.
+_O5_CURSOR = {
+    "buyout_per": 2000.0,
+    "item": 1000,
+    "owner": 50,
+    "buyout": 50000.0,
+    "quantity": 25.0,
+    "time_left": "N",
+}
+
+
+@register(
+    "o5_keyset_page",
+    auctions_sql(
+        f""",
+        {_MINI_SQL_BODY}
+        SELECT * FROM mini
+        WHERE buyout_per < 2000.0
+           OR (buyout_per = 2000.0 AND (item > 1000
+           OR (item = 1000 AND (owner > 50
+           OR (owner = 50 AND (buyout > 50000.0
+           OR (buyout = 50000.0 AND (quantity > 25.0
+           OR (quantity = 25.0 AND time_left > 'N')))))))))
+        ORDER BY {_MINI_ORDER_SQL}
+        LIMIT 40
+        """
+    ),
+    doc="O2 at serving scale — KEYSET pagination: the page after a "
+    "cursor row is a lexicographic strictly-after predicate + "
+    "TakeOrderedAndProject, O(count) work at ANY page depth (the "
+    "window form o2 scans top (page+1)*count rows). The cursor spans "
+    "the FULL collapse key, so the cut is a genuine total order — "
+    "pages never skip or repeat even when rows tie on the sort key.",
+    tags=("sort",),
+    late=True,
+)
+def o5_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.paginate_keyset(
+        _collapsed_with_per(spark, sf_dir), "buyout_per", True, 40,
+        after=_O5_CURSOR,
+    )
+
+
 @register(
     "o3_top10_expensive",
     auctions_sql(

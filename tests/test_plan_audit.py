@@ -42,6 +42,8 @@ PINNED: dict[str, tuple[list[str], list[str]]] = {
         ["TakeOrderedAndProject"],
         ["Exchange hashpartitioning"],
     ),
+    # keyset page: distributed top-k after the cursor cut, no rank window
+    "o5_keyset_page": (["TakeOrderedAndProject"], ["row_number"]),
     # per-group top-N pushes the rank filter below the window
     "o4_topn_per_group": (["WindowGroupLimit"], []),
 }
@@ -74,6 +76,41 @@ def test_pinned_plan_property(fplan, name):
         assert s not in p, f"{name}: forbidden {s!r} appeared in plan"
     for s in FORBIDDEN_EVERYWHERE:
         assert s not in p, f"{name}: forbidden {s!r} appeared in plan"
+
+
+def test_x62_bigram_join_falls_back_to_shuffle(spark):
+    """r7 scale fix evidenced live: the x62 bigram-count join carries
+    NO forced broadcast hint, so when the bigram table outgrows the
+    broadcast threshold the planner takes a shuffle join instead of
+    OOMing executors — while the Heaps-bounded unigram sides stay
+    hinted broadcasts regardless of threshold. Simulate 100× by
+    disabling the auto-broadcast threshold and check both properties
+    on the same plan."""
+    import contextlib
+    import io
+
+    from server_spark.queries.ext_text import x62_bigram_logprob
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            x62_bigram_logprob(spark, SF).explain("formatted")
+        p = buf.getvalue()
+        # bigram side: no hint -> threshold-driven -> shuffle join here
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, (
+            "bigram join did not fall back to a shuffle join"
+        )
+        # unigram/total sides: explicit hints survive the threshold
+        assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, (
+            "hinted unigram/total broadcasts disappeared"
+        )
+        # and the fallback plan still computes the right answer
+        rows = x62_bigram_logprob(spark, SF).limit(5).collect()
+        assert rows and all(r["avg_bigram_logprob"] < 0 for r in rows)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
 
 
 def test_pushed_filters_nonempty(fplan):
