@@ -421,6 +421,147 @@ def refresh_churn_gold(spark, paths) -> int:
     return n_pairs
 
 
+# ---------------------------------------------------------------------------
+# Mergeable percentile sketches (incremental MEDIAN upkeep)
+# ---------------------------------------------------------------------------
+#
+# Exact percentiles are the OTHER common statistic (besides distinct
+# counts) that per-batch results can't fold: medians don't add. The
+# mergeable state here is a LOG-BUCKET HISTOGRAM per group: bucket
+# b = floor(ln(1+v)/w) for fixed width w, so counts merge by plain
+# addition (associative + commutative, refresh-order independent) and
+# any percentile reads off the bucket CDF with bounded RELATIVE error
+# (≤ e^w - 1 ≈ w per side — w=0.05 → ~5%). The same idea as DDSketch
+# (Masson et al., VLDB'19): relative-error-bounded, fully mergeable,
+# fixed footprint (bucket count grows with the VALUE RANGE's log, not
+# with rows). At 100 TB this turns "rescan history to refresh the
+# median dashboard" into "add one batch's bucket counts".
+
+_HIST_W = 0.05  # log-bucket width: ~5% relative error per side
+
+
+def _bucket(value_col, w: float = _HIST_W):
+    return F.floor(F.log1p(value_col) / F.lit(w)).cast("int")
+
+
+def price_histograms(
+    df: DataFrame, keys: list[str], value_col, w: float = _HIST_W
+) -> DataFrame:
+    """Per-key log-bucket counts of ``value_col`` — the stored,
+    mergeable state (rows of keys + bucket + cnt). One map-combined
+    hash-agg; ``value_col`` may be a Column expression."""
+    return (
+        df.select(*keys, _bucket(value_col, w).alias("bucket"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def merge_price_histograms(
+    base: DataFrame, batch: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Fold a batch's histogram into the standing one: counts ADD.
+    Cost scales with groups × occupied buckets, never with history."""
+    return (
+        base.unionByName(batch)
+        .groupBy(*keys, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def estimate_percentile(
+    hists: DataFrame, keys: list[str], q: float, w: float = _HIST_W
+) -> DataFrame:
+    """Per-key percentile estimate off the bucket CDF: the first
+    bucket whose cumulative count reaches q·total, read back as the
+    bucket's log-midpoint. Relative error ≤ e^w − 1. One window over
+    each group's (few) buckets."""
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(*keys).orderBy("bucket")
+    tot = Window.partitionBy(*keys)
+    ranked = hists.withColumn("cum", F.sum("cnt").over(win)).withColumn(
+        "total", F.sum("cnt").over(tot)
+    )
+    hit = ranked.filter(
+        F.col("cum") >= F.lit(q) * F.col("total")
+    ).groupBy(*keys).agg(F.min("bucket").alias("bucket"))
+    mid = F.expm1((F.col("bucket") + 0.5) * F.lit(w))
+    return hit.select(*keys, mid.alias(f"p{int(q * 100)}_est"))
+
+
+def refresh_price_hist_gold(spark, paths) -> int:
+    """Incrementally maintain per-(region, realm, item) BUYOUT-PER-UNIT
+    histograms from the medallion commit log — the mergeable-median
+    twin of `refresh_owner_sketch_gold` (same watermark sidecar, same
+    aside-swap durability): each refresh buckets ONLY the new manifest
+    batches' bronze rows and adds the counts into the standing table.
+    Returns batches folded (0 = current). Incremental == one-shot is
+    exact on the bucket counts (addition is associative), asserted in
+    tests along with the ≤5% relative-error bound on the median."""
+    import json as _json
+
+    from server_spark.plans.medallion import load_manifest
+
+    gold_dir = os.path.join(paths.root, "gold", "price_hist")
+    wm_file = os.path.join(gold_dir, "_watermark")
+    data_dir = os.path.join(gold_dir, "hist")
+    aside = f"{data_dir}.old"
+    keys = ["region", "realm_slug", "item"]
+
+    manifest = load_manifest(spark, paths)
+    last = 0
+    if os.path.exists(wm_file):
+        with open(wm_file) as fh:
+            last = _json.load(fh)["batch_id"]
+    new_keys = manifest.filter(F.col("batch_id") > last)
+    n_batches = new_keys.select("batch_id").distinct().count()
+    if n_batches == 0:
+        return 0
+    hi = new_keys.agg(F.max("batch_id")).first()[0]
+
+    fresh = spark.read.parquet(paths.bronze).join(
+        F.broadcast(new_keys.select("region", "realm_slug", "dump_ts")),
+        ["region", "realm_slug", "dump_ts"],
+        "left_semi",
+    ).filter(F.col("buyout") > 0)  # A2's zero-buyout exclusion
+    batch_hist = price_histograms(
+        fresh, keys, F.col("buyout") / F.col("quantity")
+    )
+
+    if os.path.exists(aside):  # heal a crash between the swap renames
+        if os.path.exists(data_dir):
+            shutil.rmtree(aside)
+        else:
+            os.rename(aside, data_dir)
+    if os.path.exists(data_dir):
+        merged = merge_price_histograms(
+            spark.read.parquet(data_dir), batch_hist, keys
+        )
+    else:
+        merged = batch_hist
+    tmp = f"{data_dir}.tmp.{os.getpid()}"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if os.path.exists(data_dir):
+        os.rename(data_dir, aside)
+    os.replace(tmp, data_dir)
+    if os.path.exists(aside):
+        shutil.rmtree(aside)
+    os.makedirs(gold_dir, exist_ok=True)
+    with open(wm_file, "w") as fh:
+        _json.dump({"batch_id": int(hi)}, fh)
+    return n_batches
+
+
+def read_price_median_gold(spark, paths):
+    """Current per-(region, realm, item) median buyout-per-unit
+    estimates off the standing histogram (≤ ~5% relative error)."""
+    data_dir = os.path.join(paths.root, "gold", "price_hist", "hist")
+    return estimate_percentile(
+        spark.read.parquet(data_dir), ["region", "realm_slug", "item"], 0.5
+    )
+
+
 def read_churn_gold(spark, paths):
     """Current churn rows (one per non-first snapshot of each realm),
     in the one-shot builder's column shape."""

@@ -740,3 +740,62 @@ def test_incremental_churn_gold(spark, tmp_path):
     want = oneshot()
     assert incremental() == want
     assert want[("eu", "r1", t3)] == (1, 1, 1)  # 5 new; 9 removed; 4 stays
+
+
+def test_incremental_price_histogram_gold(spark, tmp_path):
+    """Mergeable-percentile gold: (1) incrementally folded bucket
+    counts are EXACTLY a one-shot build's (addition is associative),
+    (2) the median estimate is within the sketch's documented ≤~5%
+    relative-error bound of the true median, (3) a current table is an
+    idempotent no-op."""
+    import math
+    import os as _os
+
+    from server_spark.plans import maintenance as mt
+
+    def dump(ts, prices, realm="r1"):
+        # one auction per (buyout=price, quantity=1) → buyout_per=price
+        return spark.createDataFrame(
+            [("eu", realm, ts, i, 7, float(p), 1.0, "o")
+             for i, p in enumerate(prices)],
+            "region string, realm_slug string, dump_ts timestamp, "
+            "auc long, item long, buyout double, quantity double, "
+            "owner string",
+        )
+
+    t1 = dt.datetime(2024, 1, 1, 10)
+    t2 = dt.datetime(2024, 1, 2, 10)
+    batch1 = [100.0, 200.0, 300.0, 400.0, 0.0]  # 0 excluded (A2 rule)
+    batch2 = [500.0, 600.0, 700.0]
+
+    # incremental lake: fold two batches separately
+    inc = med.MedallionPaths(str(tmp_path / "inc"))
+    assert med.ingest_bronze_incremental(spark, dump(t1, batch1), inc) == 1
+    assert mt.refresh_price_hist_gold(spark, inc) == 1
+    assert mt.refresh_price_hist_gold(spark, inc) == 0  # no-op
+    assert med.ingest_bronze_incremental(spark, dump(t2, batch2), inc) == 1
+    assert mt.refresh_price_hist_gold(spark, inc) == 1
+
+    # one-shot lake over the same data
+    full = med.MedallionPaths(str(tmp_path / "full"))
+    assert med.ingest_bronze_incremental(spark, dump(t1, batch1), full) == 1
+    assert med.ingest_bronze_incremental(spark, dump(t2, batch2), full) == 1
+    assert mt.refresh_price_hist_gold(spark, full) == 2
+
+    def buckets(paths):
+        d = _os.path.join(paths.root, "gold", "price_hist", "hist")
+        return {
+            (r["region"], r["realm_slug"], r["item"], r["bucket"]): r["cnt"]
+            for r in spark.read.parquet(d).collect()
+        }
+
+    assert buckets(inc) == buckets(full)
+    assert sum(buckets(inc).values()) == 7  # zero-buyout row excluded
+
+    # median estimate within the relative-error bound of the exact
+    # median of [100..700] = 400
+    est = mt.read_price_median_gold(spark, inc).collect()
+    assert len(est) == 1
+    got = est[0]["p50_est"]
+    bound = math.exp(mt._HIST_W) - 1 + 1e-9
+    assert abs(got - 400.0) / 400.0 <= bound, got
