@@ -1456,3 +1456,130 @@ def x62_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_bigram_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x63 — per-source KL divergence vs the corpus (mixture diagnostic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x63_source_kl_divergence",
+    rf"""
+    WITH toks AS (
+        SELECT source,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+        FROM documents
+    ),
+    src AS (
+        SELECT source, token, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ),
+    srctot AS (SELECT source, SUM(c) AS t FROM src GROUP BY 1),
+    corp AS (SELECT token, SUM(c) AS cc FROM src GROUP BY 1),
+    corptot AS (SELECT SUM(cc) AS ct FROM corp)
+    SELECT src.source,
+           CAST(MAX(srctot.t) AS BIGINT) AS n_tokens,
+           {r4sql("SUM((src.c * 1.0 / srctot.t) * LN((src.c * 1.0 / srctot.t) / (corp.cc * 1.0 / corptot.ct)))")}
+               AS kl_bits
+    FROM src
+    JOIN srctot USING (source)
+    JOIN corp USING (token)
+    CROSS JOIN corptot
+    GROUP BY src.source
+    """,
+    doc="EXT x63 — per-SOURCE unigram KL divergence against the whole "
+    "corpus: KL(P_source ‖ P_corpus), the domain-shift diagnostic a "
+    "mixture tuner reads before reweighting sources (a source with "
+    "near-zero KL adds little diversity; a high-KL source shifts the "
+    "blend — the measurement behind DoReMi-style reweighting). No "
+    "smoothing needed: every source token exists in the corpus by "
+    "construction. Shape: one explode → per-(source, token) counts, "
+    "then a token-keyed join of two Heaps-bounded tables and one "
+    "hash-agg per source; corpus totals are scalar broadcasts.",
+    tags=("ext", "textstats", "mixing"),
+    late=True,
+)
+def x63_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+        .transform(barrier)  # feeds source totals, corpus counts AND scoring
+    )
+    srctot = src.groupBy("source").agg(F.sum("c").alias("t"))
+    corp = src.groupBy("token").agg(F.sum("c").alias("cc"))
+    corptot = corp.agg(F.sum("cc").alias("ct"))
+    p = F.col("c") / F.col("t")
+    q = F.col("cc") / F.col("ct")
+    return (
+        src.join(F.broadcast(srctot), "source")
+        .join(F.broadcast(corp), "token")
+        .crossJoin(F.broadcast(corptot))
+        .groupBy("source")
+        .agg(
+            F.max("t").cast("bigint").alias("n_tokens"),
+            r4(F.sum(p * F.log(p / q))).alias("kl_bits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x64 — compression-ratio quality proxy (zlib bits-per-byte)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x64_compression_ratio",
+    None,  # rows-only: no SQL engine exposes deterministic zlib
+    doc="EXT x64 — per-document COMPRESSION RATIO (zlib level 6, "
+    "compressed/raw bytes): the classic cheap quality/repetition "
+    "signal — boilerplate and template spam compress far below "
+    "fluent prose, gibberish barely compresses at all (used as a "
+    "Gopher/FineWeb-style pre-filter and dedup triage). Shape: one "
+    "Arrow-batched mapInPandas narrow map, zero shuffles; zlib is "
+    "deterministic for a fixed level so the column is reproducible "
+    "(pinned by unit test against direct zlib calls). All helpers "
+    "closure-local — workers never import server_spark.",
+    tags=("ext", "textstats", "quality", "rows-only"),
+    late=True,
+)
+def x64_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("compression_ratio", T.DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in it:
+            raw = [t.encode("utf-8") if t is not None else b"" for t in pdf["text"]]
+            n = [len(b) for b in raw]
+            ratio = [
+                round(len(zlib.compress(b, 6)) / len(b), 4) if b else None
+                for b in raw
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": pd.array(n, dtype="Int64"),
+                    "compression_ratio": pd.array(ratio, dtype="Float64"),
+                }
+            )
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        batches, schema=schema
+    )

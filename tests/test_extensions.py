@@ -369,3 +369,47 @@ def test_weighted_sample_favors_heavy_docs(spark, sf_dir):
     assert sample_mean > corpus_mean, (
         f"sample mean {sample_mean:.0f} <= corpus mean {corpus_mean:.0f}"
     )
+
+
+def test_x64_compression_ratio_pins_zlib_and_separates_quality(spark, sf_dir):
+    """x64: (1) the distributed column equals direct zlib on the same
+    text (deterministic, level pinned), (2) the signal separates
+    repetitive boilerplate from high-entropy text — the property the
+    quality pre-filter relies on."""
+    import zlib
+
+    from server_spark.queries.ext_text import x64_compression_ratio
+
+    got = {r["doc_id"]: r for r in x64_compression_ratio(spark, sf_dir).collect()}
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(20)
+        .collect()
+    )
+    assert docs
+    for d in docs:
+        raw = d["text"].encode("utf-8")
+        want = round(len(zlib.compress(raw, 6)) / len(raw), 4)
+        assert got[d["doc_id"]]["compression_ratio"] == want
+        assert got[d["doc_id"]]["n_bytes"] == len(raw)
+
+    # separation property on synthetic extremes
+    import random
+
+    rng = random.Random(7)
+    rep = "spam " * 400
+    noisy = "".join(chr(rng.randint(33, 126)) for _ in range(2000))
+    df = spark.createDataFrame(
+        [(1, rep), (2, noisy)], "doc_id long, text string"
+    )
+    from unittest import mock
+
+    with mock.patch(
+        "server_spark.queries.ext_text._docs", return_value=df
+    ):
+        out = {
+            r["doc_id"]: r["compression_ratio"]
+            for r in x64_compression_ratio(spark, "ignored").collect()
+        }
+    assert out[1] < 0.05 < 0.5 < out[2]
