@@ -860,3 +860,93 @@ def x59_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# x65 — MMR-diversified top-k (retrieval with redundancy penalty)
+# ---------------------------------------------------------------------------
+
+MMR_M = 30       # candidate pool per query (relevance top-M)
+MMR_K = 10       # diversified results per query
+MMR_LAMBDA = 0.7  # relevance weight; 1-λ penalizes redundancy
+
+
+@register(
+    "x65_mmr_diverse_topk",
+    None,  # rows-only: greedy argmax selection isn't ANSI-SQL
+    doc="EXT x65 — MAXIMAL MARGINAL RELEVANCE retrieval: per query, "
+    "greedy-select k results maximizing λ·sim(q,d) − (1−λ)·max_{s∈S} "
+    "sim(d,s) — the standard redundancy-penalized re-rank (Carbonell "
+    "& Goldstein '98) a retrieval-augmented data pipeline applies so "
+    "near-duplicate neighbors don't crowd out coverage. Scale shape: "
+    "stage 1 is the existing broadcast-queries one-corpus-scan top-M "
+    "(swap in the IVF/PQ gate unchanged at 100 TB); stage 2 re-ranks "
+    "WITHIN each query's M-row candidate group via applyInPandas — "
+    "M×M pairwise work is a constant per group, groups shuffle once "
+    "by query_id. Deterministic: ties break on vec_id, scores "
+    "4-decimal-canonical; pinned against an in-test reference "
+    "implementation.",
+    tags=("ext", "similarity", "rows-only"),
+    late=True,
+)
+def x65_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    cands = cos.brute_force_topk(emb, queries, k=MMR_M).select(
+        "query_id", "vec_id"
+    )
+    # candidate rows with their vectors: the candidate set is
+    # queries×M (tiny) → broadcast it onto the one corpus scan, then
+    # attach the query vector the same way.
+    pool = (
+        emb.join(F.broadcast(cands), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "vec_id", "embedding", "query_vec")
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("relevance", T.DoubleType()),
+            T.StructField("mmr_rank", T.IntegerType()),
+        ]
+    )
+    lam, k_out = MMR_LAMBDA, MMR_K
+
+    def mmr(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.asarray([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
+        q = np.asarray(pdf["query_vec"].iloc[0], dtype="float64")
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        rel = np.round(Vn @ (q / np.linalg.norm(q)), 4)
+        S = np.round(Vn @ Vn.T, 4)  # candidate-candidate similarity
+        n = len(pdf)
+        chosen: list[int] = []
+        free = list(range(n))
+        while free and len(chosen) < k_out:
+            if chosen:
+                red = S[np.ix_(free, chosen)].max(axis=1)
+            else:
+                red = np.zeros(len(free))
+            marginal = lam * rel[free] - (1 - lam) * red
+            # first max wins → ties break on the vec_id sort order
+            chosen.append(free.pop(int(np.argmax(marginal))))
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "vec_id": pdf["vec_id"].iloc[np.asarray(chosen)].to_numpy(),
+                "relevance": rel[chosen],
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype="int32"),
+            }
+        )
+
+    return pool.groupBy("query_id").applyInPandas(mmr, schema=schema)

@@ -413,3 +413,82 @@ def test_x64_compression_ratio_pins_zlib_and_separates_quality(spark, sf_dir):
             for r in x64_compression_ratio(spark, "ignored").collect()
         }
     assert out[1] < 0.05 < 0.5 < out[2]
+
+
+def test_x65_mmr_matches_reference_and_diversifies(spark, sf_dir):
+    """x65: (1) the distributed greedy selection equals a plain-Python
+    reference MMR on the same candidate pool, per query; (2) rank 1 is
+    the most relevant candidate; (3) the MMR set is no more redundant
+    than the plain relevance top-k (mean pairwise cosine ≤)."""
+    import numpy as np
+
+    from server_spark.queries.ext_similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_M,
+        N_QUERY_VECS,
+        _emb,
+        x65_mmr_diverse_topk,
+    )
+    from server_spark.similarity import cosine as cos
+
+    got = x65_mmr_diverse_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["mmr_rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert len(by_q) == N_QUERY_VECS
+    assert all(len(v) == MMR_K for v in by_q.values())
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    cands = cos.brute_force_topk(emb, queries, k=MMR_M)
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype="float64")
+        for r in emb.join(
+            F.broadcast(cands.select("vec_id").distinct()), "vec_id"
+        ).collect()
+    }
+    qvecs = {
+        r["query_id"]: np.asarray(r["query_vec"], dtype="float64")
+        for r in queries.collect()
+    }
+    pool = {}
+    for r in cands.collect():
+        pool.setdefault(r["query_id"], []).append(r["vec_id"])
+
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    for qid, ids in pool.items():
+        ids = sorted(ids)
+        U = {i: unit(vecs[i]) for i in ids}
+        qe = unit(qvecs[qid])
+        rel = {i: round(float(U[i] @ qe), 4) for i in ids}
+        chosen, free = [], list(ids)
+        while free and len(chosen) < MMR_K:
+            best, best_m = None, None
+            for i in free:
+                red = max(
+                    (round(float(U[i] @ U[s]), 4) for s in chosen),
+                    default=0.0,
+                )
+                m = MMR_LAMBDA * rel[i] - (1 - MMR_LAMBDA) * red
+                if best_m is None or m > best_m:
+                    best, best_m = i, m
+            chosen.append(best)
+            free.remove(best)
+        assert by_q[qid] == chosen, f"query {qid} diverged from reference"
+        # rank 1 = pure relevance winner (no redundancy term yet)
+        assert rel[chosen[0]] == max(rel.values())
+        # diversity: MMR set no more redundant than relevance top-k
+        topk = sorted(ids, key=lambda i: (-rel[i], i))[:MMR_K]
+
+        def mean_pairwise(ss):
+            return float(
+                np.mean([U[a] @ U[b] for a in ss for b in ss if a < b])
+            )
+
+        assert mean_pairwise(chosen) <= mean_pairwise(topk) + 1e-9
