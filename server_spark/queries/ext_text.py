@@ -1583,3 +1583,72 @@ def x64_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
         batches, schema=schema
     )
+
+
+# ---------------------------------------------------------------------------
+# x66 — curriculum binning (difficulty quartiles + deterministic shuffle)
+# ---------------------------------------------------------------------------
+
+_X66_BUCKETS = 4
+
+
+@register(
+    "x66_curriculum_bins",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+        FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    n AS (SELECT COUNT(*) AS total FROM toks),
+    scored AS (
+        SELECT t.doc_id,
+               {r4sql("AVG(LN(CAST(f.cnt AS DOUBLE) / n.total))")} AS avg_logprob
+        FROM toks t JOIN freq f ON t.token = f.token CROSS JOIN n
+        GROUP BY t.doc_id
+    ),
+    binned AS (
+        SELECT doc_id, avg_logprob,
+               NTILE({_X66_BUCKETS}) OVER (
+                   ORDER BY avg_logprob DESC, doc_id
+               ) AS curriculum_bucket
+        FROM scored
+    )
+    SELECT doc_id, avg_logprob, curriculum_bucket,
+           ROW_NUMBER() OVER (
+               PARTITION BY curriculum_bucket
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS shuffle_rank
+    FROM binned
+    """,
+    doc="EXT x66 — CURRICULUM BINNING: documents quartiled easy→hard "
+    "by the x33 corpus-LM difficulty proxy (bucket 1 = most fluent), "
+    "with a DETERMINISTIC pseudo-shuffle inside each bucket (order by "
+    "md5(doc_id) — reproducible epoch order with no RNG state, the "
+    "same hash-ordering trick as the x17 splits). The staged-training "
+    "data-ordering step after quality filtering. Shape: x33's scoring "
+    "plan, then NTILE over the bounded doc-score relation and one "
+    "bucket-keyed window.",
+    tags=("ext", "textstats", "mixing"),
+    late=True,
+)
+def x66_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.operators.windows import pinned_single_group
+
+    scored = x33_unigram_logprob(spark, sf_dir).select(
+        "doc_id", "avg_logprob"
+    )
+    ntile_w = Window.partitionBy(pinned_single_group("doc_id")).orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id").asc()
+    )
+    binned = scored.withColumn(
+        "curriculum_bucket", F.ntile(_X66_BUCKETS).over(ntile_w)
+    )
+    shuffle_w = Window.partitionBy("curriculum_bucket").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return binned.select(
+        "doc_id", "avg_logprob", "curriculum_bucket",
+        F.row_number().over(shuffle_w).alias("shuffle_rank"),
+    )
