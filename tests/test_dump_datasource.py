@@ -145,3 +145,10 @@ def test_partitioned_stream_plans_per_file_partitions(tmp_path):
     # executor-side read parses one file per partition
     got = sorted(row[0] for p in parts for row in r.read(p))
     assert got == [1, 2, 3]
+    # OUT-OF-ORDER arrival: a file sorting BEFORE already-consumed
+    # names still gets planned — the offset is a consumed-file SET
+    # diff, not a lexicographic high-watermark.
+    (in_dir / "a0.json").write_text(json.dumps(DOC1))
+    end2 = r.latestOffset()
+    late = r.partitions(end, end2)
+    assert [p.path.rsplit("/", 1)[-1] for p in late] == ["a0.json"]
