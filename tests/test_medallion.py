@@ -464,6 +464,37 @@ def test_streaming_intake_feeds_incremental_maintenance(spark, tmp_path):
     }
     assert inc == full and len(inc) == 2
 
+    # ... and the OTHER incremental golds fold off the same commit
+    # log: churn (consecutive snapshot pairs), distinct-owner HLL
+    # sketches, and the mergeable price histogram — the full
+    # continuous-lake surface from one streamed intake.
+    from server_spark.plans import maintenance as mt
+
+    assert mt.refresh_churn_gold(spark, paths) == 1  # pair (t2, t1)
+    churn = {
+        (r["region"], r["realm_slug"], r["dump_ts"]):
+            (r["n_new"], r["n_removed"], r["n_persisting"])
+        for r in mt.read_churn_gold(spark, paths).collect()
+    }
+    assert churn == {("eu", "r1", t2): (1, 2, 0)}  # 3 new; 1,2 gone
+    assert mt.refresh_owner_sketch_gold(spark, paths) == 2
+    owners = {
+        (r["region"], r["realm_slug"]): r["distinct_est"]
+        for r in mt.read_owner_sketch_gold(spark, paths).collect()
+    }
+    assert owners == {("eu", "r1"): 1}  # single owner "o"
+    assert mt.refresh_price_hist_gold(spark, paths) == 2
+    medians = {
+        r["item"]: r["p50_est"]
+        for r in mt.read_price_median_gold(spark, paths).collect()
+    }
+    assert set(medians) == {100}
+    assert abs(medians[100] - 300.0) / 300.0 < 0.06  # exact median 300
+    # all three are idempotent no-ops once current
+    assert mt.refresh_churn_gold(spark, paths) == 0
+    assert mt.refresh_owner_sketch_gold(spark, paths) == 0
+    assert mt.refresh_price_hist_gold(spark, paths) == 0
+
 
 def test_crash_between_bronze_and_manifest_is_recoverable(spark, tmp_path):
     """Regression (r5 advice): bronze is appended before the manifest
