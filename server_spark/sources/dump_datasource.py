@@ -41,8 +41,10 @@ try:  # Python DataSource API: PySpark >= 4.0
         DataSource,
         DataSourceReader,
         DataSourceStreamReader,
+        DataSourceWriter,
         InputPartition,
         SimpleDataSourceStreamReader,
+        WriterCommitMessage,
     )
 
     HAS_DATASOURCE_API = True
@@ -59,6 +61,12 @@ except ImportError:  # pragma: no cover — older runtimes
         pass
 
     class SimpleDataSourceStreamReader:  # type: ignore[no-redef]
+        pass
+
+    class DataSourceWriter:  # type: ignore[no-redef]
+        pass
+
+    class WriterCommitMessage:  # type: ignore[no-redef]
         pass
 
     class InputPartition:  # type: ignore[no-redef]
@@ -263,6 +271,94 @@ class AuctionDumpPartitionedStreamReader(
         pass  # offsets live in Spark's checkpoint; nothing external to ack
 
 
+class _DumpCommit(WriterCommitMessage):
+    """Staged files produced by one write task (picklable payload)."""
+
+    def __init__(self, staged: list[str]):
+        self.staged = staged
+
+
+class AuctionDumpWriter(DataSourceWriter if HAS_DATASOURCE_API else object):
+    """`df.write.format("auction_dump").save(dir)` — EXPORT back to the
+    reference's wire format: one gzip whole-document JSON per
+    (realm_slug, task), with the camelCase auction keys the batch
+    reader parses, so `read(write(df))` roundtrips exactly.
+
+    Two-phase commit: each task writes dot-prefixed STAGED files (the
+    reader's glob never matches leading-dot names, so concurrent
+    readers can't observe partial output) and returns their names as
+    its commit message; the driver's `commit` renames all staged files
+    into place only after every task succeeded (clearing prior dumps
+    first under overwrite), and `abort` removes the strays. For the
+    canonical one-dump-per-realm layout, repartition by realm_slug
+    before writing — multiple files per realm are also valid wire form
+    (the reader treats each file as an independent dump document)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("auction_dump: 'path' option is required")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        by_realm: dict = {}
+        for row in iterator:
+            by_realm.setdefault(row["realm_slug"], []).append(
+                {
+                    "auc": row["auc"],
+                    "item": row["item"],
+                    "owner": row["owner"],
+                    "ownerRealm": row["owner_realm"],
+                    "bid": row["bid"],
+                    "buyout": row["buyout"],
+                    "quantity": row["quantity"],
+                    "timeLeft": row["time_left"],
+                }
+            )
+        staged = []
+        task = uuid.uuid4().hex[:12]
+        for slug, aucs in by_realm.items():
+            name = f".staged-{task}-{slug}.json.gz"
+            doc = {"realms": [{"slug": slug}], "auctions": aucs}
+            with gzip.open(
+                os.path.join(self.path, name), "wt", encoding="utf-8"
+            ) as fh:
+                json.dump(doc, fh)
+            staged.append(name)
+        return _DumpCommit(staged)
+
+    def commit(self, messages):
+        if self.overwrite:
+            for pat in ("*.json", "*.json.gz"):
+                for f in glob.glob(os.path.join(self.path, pat)):
+                    os.remove(f)
+        for m in messages:
+            if m is None:
+                continue
+            for name in m.staged:
+                os.replace(
+                    os.path.join(self.path, name),
+                    os.path.join(self.path, name[len(".staged-"):]),
+                )
+
+    def abort(self, messages):
+        for m in messages:
+            if m is None:
+                continue
+            for name in m.staged:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except FileNotFoundError:
+                    pass
+
+
+def _writer(self, schema, overwrite: bool):
+    return AuctionDumpWriter(self.options, overwrite)
+
+
 def _stream_reader(self, schema):
     # Spark prefers streamReader() when implemented; opt back into the
     # driver-prefetch simple harness with .option("simple", "true")
@@ -281,3 +377,4 @@ def _simple_stream_reader(self, schema):
 
 AuctionDumpDataSource.streamReader = _stream_reader
 AuctionDumpDataSource.simpleStreamReader = _simple_stream_reader
+AuctionDumpDataSource.writer = _writer

@@ -152,3 +152,53 @@ def test_partitioned_stream_plans_per_file_partitions(tmp_path):
     end2 = r.latestOffset()
     late = r.partitions(end, end2)
     assert [p.path.rsplit("/", 1)[-1] for p in late] == ["a0.json"]
+
+
+def test_writer_roundtrips_wire_format(spark, tmp_path):
+    """The writer exports the reference's gzip-JSON wire format:
+    read(write(df)) reproduces the rows exactly (camelCase keys and
+    all), one document per (realm, task), append vs overwrite
+    honored, and staged dot-files are never visible to the reader."""
+    out = str(tmp_path / "dumps")
+    ds.register(spark)
+
+    rows = [
+        (1, 100, "a", "R1", 10, 500, 1, "LONG", "r1"),
+        (2, 101, "b", "R1", 0, 900, 2, "SHORT", "r1"),
+        (3, 100, "c", "R2", 5, 700, 1, "LONG", "r2"),
+    ]
+    schema = (
+        "auc long, item long, owner string, owner_realm string, "
+        "bid long, buyout long, quantity long, time_left string, "
+        "realm_slug string"
+    )
+    df = spark.createDataFrame(rows, schema).repartition("realm_slug")
+    df.write.format("auction_dump").option("path", out).mode(
+        "append"
+    ).save()
+
+    back = spark.read.format("auction_dump").load(out)
+    key = (
+        "auc", "item", "owner", "owner_realm", "bid", "buyout",
+        "quantity", "time_left", "realm_slug",
+    )
+    assert {tuple(r[k] for k in key) for r in back.collect()} == set(rows)
+    # one gzip document per realm after repartition(realm_slug)
+    import os as _os
+
+    files = sorted(f for f in _os.listdir(out) if not f.startswith("."))
+    assert len(files) == 2 and all(f.endswith(".json.gz") for f in files)
+
+    # append adds; overwrite replaces
+    extra = spark.createDataFrame(
+        [(9, 300, "z", "R1", 1, 50, 1, "LONG", "r1")], schema
+    )
+    extra.write.format("auction_dump").option("path", out).mode(
+        "append"
+    ).save()
+    assert spark.read.format("auction_dump").load(out).count() == 4
+    extra.write.format("auction_dump").option("path", out).mode(
+        "overwrite"
+    ).save()
+    got = spark.read.format("auction_dump").load(out).collect()
+    assert [r["auc"] for r in got] == [9]
