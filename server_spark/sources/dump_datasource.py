@@ -355,8 +355,70 @@ class AuctionDumpWriter(DataSourceWriter if HAS_DATASOURCE_API else object):
                     pass
 
 
+try:
+    from pyspark.sql.datasource import DataSourceStreamWriter
+except ImportError:  # pragma: no cover — older runtimes
+    class DataSourceStreamWriter:  # type: ignore[no-redef]
+        pass
+
+
+class AuctionDumpStreamWriter(
+    DataSourceStreamWriter if HAS_DATASOURCE_API else object
+):
+    """`df.writeStream.format("auction_dump")` — continuous EXPORT to
+    the wire format, one gzip document per (realm, task) per
+    micro-batch. Exactly-once by EPOCH NAMING: committed files are
+    `batch-<epoch>-<task>-<realm>.json.gz`, so a replayed epoch (crash
+    between sink commit and checkpoint write) first clears that
+    epoch's previous files and re-lands them — idempotent without a
+    transaction log. Tasks stage dot-prefixed files; the driver's
+    per-epoch commit renames them into place only after all tasks
+    succeeded (same two-phase shape as the batch writer)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("auction_dump: 'path' option is required")
+
+    def write(self, iterator):
+        # identical task-side staging as the batch face
+        return AuctionDumpWriter({"path": self.path}, overwrite=False).write(
+            iterator
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        # replayed epoch: drop its previous output before re-landing
+        for f in glob.glob(os.path.join(self.path, f"batch-{batchId}-*")):
+            os.remove(f)
+        for m in messages:
+            if m is None:
+                continue
+            for name in m.staged:
+                os.replace(
+                    os.path.join(self.path, name),
+                    os.path.join(
+                        self.path,
+                        f"batch-{batchId}-{name[len('.staged-'):]}",
+                    ),
+                )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for name in m.staged:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except FileNotFoundError:
+                    pass
+
+
 def _writer(self, schema, overwrite: bool):
     return AuctionDumpWriter(self.options, overwrite)
+
+
+def _stream_writer(self, schema, overwrite: bool):
+    return AuctionDumpStreamWriter(self.options)
 
 
 def _stream_reader(self, schema):
@@ -378,3 +440,4 @@ def _simple_stream_reader(self, schema):
 AuctionDumpDataSource.streamReader = _stream_reader
 AuctionDumpDataSource.simpleStreamReader = _simple_stream_reader
 AuctionDumpDataSource.writer = _writer
+AuctionDumpDataSource.streamWriter = _stream_writer

@@ -202,3 +202,52 @@ def test_writer_roundtrips_wire_format(spark, tmp_path):
     ).save()
     got = spark.read.format("auction_dump").load(out).collect()
     assert [r["auc"] for r in got] == [9]
+
+
+def test_stream_writer_epoch_idempotent(spark, tmp_path):
+    """Streaming export: rows flow through a writeStream into the wire
+    format; a REPLAYED epoch (fresh checkpoint, same input) replaces
+    its previous files instead of duplicating them — the epoch-named
+    exactly-once contract."""
+    import os as _os
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "dumps")
+    schema = (
+        "auc long, item long, owner string, owner_realm string, "
+        "bid long, buyout long, quantity long, time_left string, "
+        "realm_slug string"
+    )
+    spark.createDataFrame(
+        [
+            (1, 100, "a", "R1", 10, 500, 1, "LONG", "r1"),
+            (2, 101, "b", "R2", 0, 900, 2, "SHORT", "r2"),
+        ],
+        schema,
+    ).write.parquet(src)
+    ds.register(spark)
+
+    def run(ckpt):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("auction_dump")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    back = spark.read.format("auction_dump").load(out)
+    assert sorted(r["auc"] for r in back.collect()) == [1, 2]
+    files1 = sorted(
+        f for f in _os.listdir(out) if not f.startswith(".")
+    )
+    assert all(f.startswith("batch-0-") for f in files1)
+
+    # replay epoch 0 from a fresh checkpoint: files replaced, not added
+    run("ckpt2")
+    back2 = spark.read.format("auction_dump").load(out)
+    assert sorted(r["auc"] for r in back2.collect()) == [1, 2]
