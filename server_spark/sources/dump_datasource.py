@@ -116,10 +116,16 @@ class AuctionDumpReader(DataSourceReader):
         if os.path.isfile(self.path):
             files = [self.path]
         # one gzip whole-document JSON = one task: the file IS the
-        # correct split unit (non-splittable codec, per-realm cadence)
-        return [_DumpPartition(f) for f in files]
+        # correct split unit (non-splittable codec, per-realm cadence).
+        # An EMPTY directory still needs one (sentinel) partition —
+        # with a bare [], Spark runs a task with partition=None and
+        # the read crashes instead of yielding zero rows (caught by
+        # the write→read property test on the empty frame).
+        return [_DumpPartition(f) for f in files] or [_DumpPartition(None)]
 
     def read(self, partition):
+        if partition is None or partition.path is None:
+            return  # sentinel for an empty directory: zero rows
         opener = gzip.open if partition.path.endswith(".gz") else open
         with opener(partition.path, "rt", encoding="utf-8") as fh:
             try:

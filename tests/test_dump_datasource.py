@@ -251,3 +251,62 @@ def test_stream_writer_epoch_idempotent(spark, tmp_path):
     run("ckpt2")
     back2 = spark.read.format("auction_dump").load(out)
     assert sorted(r["auc"] for r in back2.collect()) == [1, 2]
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WIRE_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=10**9),            # auc
+        st.integers(min_value=1, max_value=10**6),            # item
+        st.one_of(st.none(), st.text(
+            alphabet=st.characters(
+                whitelist_categories=("L", "N"), max_codepoint=0x24F
+            ),
+            min_size=1, max_size=12,
+        )),                                                    # owner
+        st.one_of(st.none(), st.sampled_from(["R1", "R2"])),   # owner_realm
+        st.integers(min_value=0, max_value=10**9),             # bid
+        st.integers(min_value=0, max_value=10**9),             # buyout
+        st.integers(min_value=1, max_value=200),               # quantity
+        st.sampled_from(["SHORT", "MEDIUM", "LONG", "VERY_LONG"]),
+        st.sampled_from(["r1", "r2", "realm-three"]),          # realm_slug
+    ),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=_WIRE_ROWS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow, HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_dump_writer_roundtrip_property(spark, tmp_path_factory, rows):
+    """write→read over the wire format is the identity for ARBITRARY
+    auction rows — unicode owners, null owner/ownerRealm, empty
+    frames; duplicate-free by auc so set comparison is exact."""
+    out = str(tmp_path_factory.mktemp("wire"))
+    ds.register(spark)
+    schema = (
+        "auc long, item long, owner string, owner_realm string, "
+        "bid long, buyout long, quantity long, time_left string, "
+        "realm_slug string"
+    )
+    df = spark.createDataFrame(rows, schema) if rows else (
+        spark.createDataFrame([], schema)
+    )
+    df.write.format("auction_dump").option("path", out).mode(
+        "overwrite"
+    ).save()
+    back = spark.read.format("auction_dump").load(out)
+    key = (
+        "auc", "item", "owner", "owner_realm", "bid", "buyout",
+        "quantity", "time_left", "realm_slug",
+    )
+    assert {tuple(r[k] for k in key) for r in back.collect()} == set(rows)
