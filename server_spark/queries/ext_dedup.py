@@ -822,3 +822,93 @@ def x38_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("best_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x67 — winnowing fingerprints (MOSS local document fingerprinting)
+# ---------------------------------------------------------------------------
+
+_WINNOW_W = 4  # guarantee window: any match ≥ w+k-1 words shares a print
+
+
+@register(
+    "x67_winnowing_fingerprints",
+    rf"""
+    WITH w AS (
+        SELECT doc_id,
+               generate_subscripts(string_split_regex(LOWER(TRIM(text)), '\s+'), 1) AS pos,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS word
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, pos,
+               word || ' ' || LEAD(word, 1) OVER win || ' ' || LEAD(word, 2) OVER win AS shingle,
+               LEAD(word, 2) OVER win AS last2
+        FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        FROM g WHERE last2 IS NOT NULL
+    ),
+    winmin AS (
+        SELECT doc_id, rn,
+               MIN(h) OVER (
+                   PARTITION BY doc_id ORDER BY rn
+                   ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW
+               ) AS wmin
+        FROM sh
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_windows,
+           COUNT(DISTINCT wmin) AS n_fingerprints,
+           {r4sql("COUNT(DISTINCT wmin) * 1.0 / COUNT(*)")} AS density
+    FROM winmin
+    WHERE rn >= {_WINNOW_W}
+    GROUP BY doc_id
+    """,
+    doc="EXT x67 — WINNOWING (Schleimer/Wilkerson/Aiken, MOSS): per "
+    f"document, the minimum k-gram hash of every {_WINNOW_W}-gram "
+    "sliding window is selected as a fingerprint — the local "
+    "fingerprinting scheme with the GUARANTEE that any shared run of "
+    "≥ w+k−1 words between two documents shares at least one print "
+    "(what random MinHash sampling cannot promise), at expected "
+    "density 2/(w+1). The per-doc print-set summary feeds the same "
+    "banded candidate machinery as x8. Shape: one positioned-shingle "
+    "explode, a rolling MIN over each doc's hash stream (doc-keyed "
+    "window, no shuffle beyond the explode's), one hash-agg; hashes "
+    "are md5-derived so the oracle replays them exactly (xxhash64 is "
+    "the drop-in production twin).",
+    tags=("ext", "dedup"),
+    late=True,
+)
+def x67_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    grams = _docs(spark, sf_dir).select(
+        "doc_id", ng.split_words("text").alias("_words")
+    ).select(
+        "doc_id",
+        F.posexplode(
+            ng.shingle_array("_words", 3, distinct=False)
+        ).alias("pos", "shingle"),
+    )
+    hashed = grams.select(
+        "doc_id",
+        (F.col("pos") + 1).alias("rn"),  # posexplode is 0-based
+        mh.md5_value(F.col("shingle")).alias("h"),
+    )
+    roll = Window.partitionBy("doc_id").orderBy("rn").rowsBetween(
+        -(_WINNOW_W - 1), 0
+    )
+    winmin = hashed.withColumn("wmin", F.min("h").over(roll))
+    return (
+        winmin.filter(F.col("rn") >= _WINNOW_W)  # full windows only
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.countDistinct("wmin").alias("n_fingerprints"),
+            r4(F.countDistinct("wmin") / F.count("*")).alias("density"),
+        )
+    )

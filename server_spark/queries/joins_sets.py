@@ -564,3 +564,96 @@ def a17_sketch_distinct_owners(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_union_agg("sketch").alias("sketch")
     )
     return estimate_distinct(merged, ["time_left"]).orderBy("time_left")
+
+
+# ---------------------------------------------------------------------------
+# A18 — item affinity (market-basket co-occurrence with lift)
+# ---------------------------------------------------------------------------
+
+_A18_MAX_ITEM = 40   # frequent-itemset gate: catalog subset first
+_A18_TOP = 50
+
+
+@register(
+    "a18_item_affinity",
+    auctions_sql(
+        f""",
+        base AS (
+            SELECT DISTINCT owner, item FROM auctions
+            WHERE item <= {_A18_MAX_ITEM}
+        ),
+        n AS (SELECT COUNT(DISTINCT owner) AS n_owners FROM base),
+        per_item AS (SELECT item, COUNT(*) AS cnt FROM base GROUP BY item),
+        pairs AS (
+            SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS both_cnt
+            FROM base a JOIN base b
+              ON a.owner = b.owner AND a.item < b.item
+            GROUP BY 1, 2
+        )
+        SELECT item_a, item_b, both_cnt,
+               {r4sql("both_cnt * 1.0 / n.n_owners")} AS support,
+               {r4sql("both_cnt * 1.0 / pa.cnt")} AS confidence,
+               {r4sql("both_cnt * 1.0 * n.n_owners / (pa.cnt * pb.cnt)")} AS lift
+        FROM pairs
+        JOIN per_item pa ON item_a = pa.item
+        JOIN per_item pb ON item_b = pb.item
+        CROSS JOIN n
+        ORDER BY lift DESC, item_a, item_b
+        LIMIT {_A18_TOP}
+        """
+    ),
+    doc="A18 (EXT analytics) — MARKET-BASKET affinity over the live "
+    "snapshot: item pairs co-offered by the same owner, scored with "
+    "support / confidence / lift (association-rule mining's first "
+    "pass — 'sellers of X also stock Y'). Scale shape: the "
+    "frequent-itemset gate (catalog subset / min-support) lands "
+    "BEFORE the owner-keyed self-join, so per-owner pair explosion "
+    "is bounded by the gated item count, never the raw basket size; "
+    "the join shuffles once on owner, counts are one hash-agg, the "
+    "result is a distributed top-k on lift.",
+    tags=("join", "agg"),
+    late=True,
+)
+def a18_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        auctions(spark, sf_dir)
+        .filter(F.col("item") <= _A18_MAX_ITEM)
+        .select("owner", "item")
+        .distinct()
+        .transform(barrier)  # feeds totals, per-item counts AND the pair join
+    )
+    n = base.agg(F.countDistinct("owner").alias("n_owners"))
+    per_item = base.groupBy("item").agg(F.count("*").alias("cnt"))
+    a = base.select(F.col("owner"), F.col("item").alias("item_a"))
+    b = base.select(F.col("owner"), F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "owner")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("both_cnt"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(per_item.select(F.col("item").alias("item_a"),
+                                        F.col("cnt").alias("cnt_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(per_item.select(F.col("item").alias("item_b"),
+                                        F.col("cnt").alias("cnt_b"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a", "item_b", "both_cnt",
+            r4(F.col("both_cnt") / F.col("n_owners")).alias("support"),
+            r4(F.col("both_cnt") / F.col("cnt_a")).alias("confidence"),
+            r4(
+                F.col("both_cnt") * F.col("n_owners")
+                / (F.col("cnt_a") * F.col("cnt_b"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), "item_a", "item_b"
+    ).limit(_A18_TOP)
