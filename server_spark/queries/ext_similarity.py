@@ -950,3 +950,150 @@ def x65_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return pool.groupBy("query_id").applyInPandas(mmr, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# x68 — reciprocal-rank fusion (hybrid semantic + lexical retrieval)
+# ---------------------------------------------------------------------------
+
+RRF_K = 60      # the standard dampening constant (Cormack et al. '09)
+RRF_POOL = 20   # per-signal candidate depth before fusion
+RRF_TOP = 10
+
+_X68_SQL = rf"""
+    WITH ee AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ee GROUP BY vec_id),
+    q AS (SELECT vec_id, i, v FROM ee WHERE vec_id < {N_QUERY_VECS}),
+    dots AS (
+        SELECT q.vec_id AS qid, e.vec_id AS vid, SUM(q.v * e.v) AS dot
+        FROM q JOIN ee e USING (i)
+        GROUP BY 1, 2
+    ),
+    sem AS (
+        SELECT qid AS query_id, vid AS doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY {r4sql("dot / (nq.nrm * ne.nrm)")} DESC, vid
+               ) AS rnk
+        FROM dots
+        JOIN norms nq ON qid = nq.vec_id
+        JOIN norms ne ON vid = ne.vec_id
+        WHERE qid <> vid
+    ),
+    semt AS (SELECT * FROM sem WHERE rnk <= {RRF_POOL}),
+    w AS (
+        SELECT doc_id,
+               generate_subscripts(string_split_regex(LOWER(TRIM(text)), '\s+'), 1) AS pos,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS word
+        FROM documents
+    ),
+    sh0 AS (
+        SELECT doc_id,
+               word || ' ' || LEAD(word, 1) OVER win || ' ' || LEAD(word, 2) OVER win AS shingle,
+               LEAD(word, 2) OVER win AS last2
+        FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE last2 IS NOT NULL),
+    qs AS (SELECT doc_id AS query_id, shingle FROM sh
+           WHERE doc_id < {N_QUERY_VECS}),
+    overlap AS (
+        SELECT qs.query_id, sh.doc_id, COUNT(*) AS shared
+        FROM qs JOIN sh USING (shingle)
+        WHERE sh.doc_id <> qs.query_id
+        GROUP BY 1, 2
+    ),
+    lex AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY shared DESC, doc_id
+               ) AS rnk
+        FROM overlap
+    ),
+    lext AS (SELECT * FROM lex WHERE rnk <= {RRF_POOL}),
+    fused AS (
+        SELECT COALESCE(s.query_id, l.query_id) AS query_id,
+               COALESCE(s.doc_id, l.doc_id) AS doc_id,
+               (CASE WHEN s.rnk IS NULL THEN 0.0
+                     ELSE 1.0 / ({RRF_K} + s.rnk) END
+                + CASE WHEN l.rnk IS NULL THEN 0.0
+                       ELSE 1.0 / ({RRF_K} + l.rnk) END) AS rrf
+        FROM semt s
+        FULL OUTER JOIN lext l
+          ON s.query_id = l.query_id AND s.doc_id = l.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, rnk FROM (
+        SELECT query_id, doc_id, {r4sql("rrf")} AS rrf_score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY rrf DESC, doc_id
+               ) AS rnk
+        FROM fused
+    ) WHERE rnk <= {RRF_TOP}
+"""
+
+
+@register(
+    "x68_rrf_hybrid_retrieval",
+    _X68_SQL,
+    doc="EXT x68 — RECIPROCAL-RANK FUSION: each query doc retrieves "
+    "two candidate lists — embedding cosine (semantic) and word-3-gram "
+    "overlap (lexical, the BM25 stand-in) — fused by Σ 1/(60+rank), "
+    "the standard score-free hybrid-search combiner (robust to "
+    "incomparable score scales, which is exactly why RAG stacks use "
+    "it over score mixing). Shape: the semantic side is x3's "
+    "broadcast-queries one-corpus-scan; the lexical side joins the "
+    "tiny query shingle set to the inverted shingle index (query side "
+    "broadcast, never all-pairs); fusion is a full-outer join of two "
+    "queries×pool relations (bounded) and one window per query.",
+    tags=("ext", "similarity"),
+    late=True,
+)
+def x68_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.dedup import ngram as ng
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    sem = cos.brute_force_topk(emb, queries, k=RRF_POOL).select(
+        "query_id", F.col("vec_id").alias("doc_id"), F.col("rnk").alias("sem_rnk")
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = ng.word_shingles(docs, n=3)
+    qs = sh.filter(F.col("doc_id") < N_QUERY_VECS).select(
+        F.col("doc_id").alias("query_id"), "shingle"
+    )
+    overlap = (
+        sh.join(F.broadcast(qs), "shingle")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    lex_w = Window.partitionBy("query_id").orderBy(
+        F.col("shared").desc(), F.col("doc_id").asc()
+    )
+    lex = (
+        overlap.withColumn("lex_rnk", F.row_number().over(lex_w))
+        .filter(F.col("lex_rnk") <= RRF_POOL)
+        .select("query_id", "doc_id", "lex_rnk")
+    )
+
+    term = lambda c: F.when(
+        F.col(c).isNull(), F.lit(0.0)
+    ).otherwise(F.lit(1.0) / (F.lit(RRF_K) + F.col(c)))
+    fused = sem.join(lex, ["query_id", "doc_id"], "full_outer").select(
+        "query_id", "doc_id",
+        (term("sem_rnk") + term("lex_rnk")).alias("rrf"),
+    )
+    fuse_w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(fuse_w))
+        .filter(F.col("rnk") <= RRF_TOP)
+        .select("query_id", "doc_id", r4(F.col("rrf")).alias("rrf_score"), "rnk")
+    )
