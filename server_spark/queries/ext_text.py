@@ -1652,3 +1652,124 @@ def x66_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "avg_logprob", "curriculum_bucket",
         F.row_number().over(shuffle_w).alias("shuffle_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x69 — BM25 retrieval (the lexical ranking function)
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_NQ = 5    # query docs: doc_id < _BM25_NQ (the x3/x68 convention)
+_BM25_TOP = 10
+
+_X69_SQL = rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl * 1.0) AS avgdl FROM dl
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    qt AS (
+        SELECT doc_id AS query_id, token
+        FROM tf WHERE doc_id < {_BM25_NQ}
+    ),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               SUM(
+                   LN((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * tf.tf * ({_BM25_K1} + 1.0)
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                      + {_BM25_B} * dl.dl / stats.avgdl))
+               ) AS bm25
+        FROM qt
+        JOIN tf USING (token)
+        JOIN df USING (token)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        WHERE tf.doc_id <> qt.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, bm25_score, rnk FROM (
+        SELECT query_id, doc_id, {r4sql("bm25")} AS bm25_score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {r4sql("bm25")} DESC, doc_id
+               ) AS rnk
+        FROM scored
+    ) WHERE rnk <= {_BM25_TOP}
+"""
+
+
+@register(
+    "x69_bm25_retrieval",
+    _X69_SQL,
+    doc="EXT x69 — BM25 (Okapi, Lucene idf form): the canonical "
+    "lexical ranking function — tf saturation (k1) and doc-length "
+    "normalization (b) over inverse document frequency — scored for "
+    "each query doc's token set against the corpus, top-10 per query. "
+    "The real form of x68's lexical leg and the standard sparse side "
+    "of hybrid RAG retrieval. Shape: postings = per-(doc, token) tf "
+    "(one hash-agg off the explode), query token sets and the "
+    "Heaps-bounded df table broadcast onto the postings join, doc "
+    "lengths join on doc, corpus stats a scalar broadcast; one "
+    "hash-agg per (query, doc) then a bounded per-query window. "
+    "Ranks on the 4-decimal canonical score so both engines order "
+    "identically.",
+    tags=("ext", "textstats", "similarity"),
+    late=True,
+)
+def x69_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "token"
+        ),
+    ).transform(barrier)  # feeds tf, dl (and through tf: df, qt)
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").alias("tf")
+    ).transform(barrier)  # feeds df, the query sets AND the postings join
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+    qt = tf.filter(F.col("doc_id") < _BM25_NQ).select(
+        F.col("doc_id").alias("query_id"), "token"
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term = (
+        idf
+        * F.col("tf") * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "token")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(df_t), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(term).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        r4(F.col("bm25")).desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _BM25_TOP)
+        .select(
+            "query_id", "doc_id", r4(F.col("bm25")).alias("bm25_score"), "rnk"
+        )
+    )
