@@ -9,6 +9,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from server_spark.barrier import barrier
 from server_spark.parity import r4, r4sql
 from server_spark.queries.ext_common import (
     JACCARD_MIN,
@@ -1096,4 +1097,240 @@ def x68_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rnk", F.row_number().over(fuse_w))
         .filter(F.col("rnk") <= RRF_TOP)
         .select("query_id", "doc_id", r4(F.col("rrf")).alias("rrf_score"), "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x70 — retrieval evaluation: nDCG@10 of the lexical list under
+#        semantic gains, per query
+# ---------------------------------------------------------------------------
+
+_X70_K = 10
+
+_X70_SQL = rf"""
+    WITH ee AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ee GROUP BY vec_id),
+    q AS (SELECT vec_id, i, v FROM ee WHERE vec_id < {N_QUERY_VECS}),
+    dots AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS doc_id, SUM(q.v * e.v) AS dot
+        FROM q JOIN ee e USING (i)
+        GROUP BY 1, 2
+    ),
+    gains AS (
+        SELECT query_id, doc_id,
+               {r4sql("(dot / (nq.nrm * ne.nrm) + 1.0) / 2.0")} AS gain
+        FROM dots
+        JOIN norms nq ON query_id = nq.vec_id
+        JOIN norms ne ON doc_id = ne.vec_id
+        WHERE query_id <> doc_id
+    ),
+    toks AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    qt AS (SELECT doc_id AS query_id, token FROM tf
+           WHERE doc_id < {N_QUERY_VECS}),
+    overlap AS (
+        SELECT qt.query_id, tf.doc_id, SUM(tf.tf) AS w
+        FROM qt JOIN tf USING (token)
+        WHERE tf.doc_id <> qt.query_id
+        GROUP BY 1, 2
+    ),
+    lex AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY w DESC, doc_id
+               ) AS rnk
+        FROM overlap
+    ),
+    dcg AS (
+        SELECT l.query_id,
+               SUM(g.gain / (LN(l.rnk + 1.0) / LN(2.0))) AS dcg
+        FROM lex l JOIN gains g USING (query_id, doc_id)
+        WHERE l.rnk <= {_X70_K}
+        GROUP BY 1
+    ),
+    ideal AS (
+        SELECT query_id,
+               SUM(gain / (LN(rnk + 1.0) / LN(2.0))) AS idcg
+        FROM (
+            SELECT query_id, gain,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY gain DESC, doc_id
+                   ) AS rnk
+            FROM gains
+        ) WHERE rnk <= {_X70_K}
+        GROUP BY 1
+    )
+    SELECT dcg.query_id, {r4sql("dcg.dcg / ideal.idcg")} AS ndcg10
+    FROM dcg JOIN ideal USING (query_id)
+"""
+
+
+@register(
+    "x70_ndcg_lexical_vs_semantic",
+    _X70_SQL,
+    doc="EXT x70 — RETRIEVAL EVALUATION: nDCG@10 of each query's "
+    "LEXICAL ranking (token-overlap weight, the BM25-family ordering) "
+    "under SEMANTIC gains (cosine shifted to [0,1]) — 'how much of "
+    "the embedding-judged value does cheap lexical retrieval "
+    "recover?', the measurement that decides whether a RAG stack "
+    "needs the dense leg at all. DCG discounts by log2(rank+1); the "
+    "ideal ranking is the gain-sorted top-10. Shape: both legs reuse "
+    "the bounded broadcast-queries shapes; the evaluation itself "
+    "joins two queries×k relations — negligible. Gains are "
+    "4-decimal-canonical so both engines agree on the ideal order.",
+    tags=("ext", "similarity", "eval"),
+    late=True,
+)
+def x70_ndcg_lexical_vs_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.similarity.cosine import dot, norm
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        norm("embedding").alias("_qn"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("doc_id"), "embedding", norm("embedding").alias("_cn")
+    )
+    gains = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id", "doc_id",
+            r4(
+                (dot("embedding", "query_vec") / (F.col("_cn") * F.col("_qn"))
+                 + 1.0) / 2.0
+            ).alias("gain"),
+        )
+        .transform(barrier)  # feeds the lexical DCG join AND the ideal list
+    )
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    qt = tf.filter(F.col("doc_id") < N_QUERY_VECS).select(
+        F.col("doc_id").alias("query_id"), "token"
+    )
+    overlap = (
+        tf.join(F.broadcast(qt), "token")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tf").alias("w"))
+    )
+    lex_w = Window.partitionBy("query_id").orderBy(
+        F.col("w").desc(), F.col("doc_id").asc()
+    )
+    lex = overlap.withColumn("rnk", F.row_number().over(lex_w)).filter(
+        F.col("rnk") <= _X70_K
+    )
+
+    disc = F.log(F.col("rnk") + 1.0) / F.log(F.lit(2.0))
+    dcg = (
+        lex.join(gains, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.sum(F.col("gain") / disc).alias("dcg"))
+    )
+    ideal_w = Window.partitionBy("query_id").orderBy(
+        F.col("gain").desc(), F.col("doc_id").asc()
+    )
+    ideal = (
+        gains.withColumn("rnk", F.row_number().over(ideal_w))
+        .filter(F.col("rnk") <= _X70_K)
+        .groupBy("query_id")
+        .agg(F.sum(F.col("gain") / disc).alias("idcg"))
+    )
+    return dcg.join(ideal, "query_id").select(
+        "query_id", r4(F.col("dcg") / F.col("idcg")).alias("ndcg10")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x71 — embedding quality eval: label precision@k of cosine neighbors
+# ---------------------------------------------------------------------------
+
+_X71_K = 10
+
+_X71_SQL = f"""
+    WITH {_EE_SQL},
+    q AS (SELECT vec_id, i, v FROM ee WHERE vec_id < {N_QUERY_VECS}),
+    dots AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS doc_id, SUM(q.v * e.v) AS dot
+        FROM q JOIN ee e USING (i)
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {r4sql("dot / (nq.nrm * ne.nrm)")} DESC, doc_id
+               ) AS rnk
+        FROM dots
+        JOIN norms nq ON query_id = nq.vec_id
+        JOIN norms ne ON doc_id = ne.vec_id
+        WHERE query_id <> doc_id
+    )
+    SELECT r.query_id,
+           ql.label AS query_label,
+           CAST(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_same_label,
+           {r4sql(f"SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) * 1.0 / {_X71_K}")}
+               AS label_precision_at_k
+    FROM ranked r
+    JOIN embeddings ql ON r.query_id = ql.vec_id
+    JOIN embeddings nl ON r.doc_id = nl.vec_id
+    WHERE r.rnk <= {_X71_K}
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "x71_label_precision_at_k",
+    _X71_SQL,
+    doc="EXT x71 — EMBEDDING-QUALITY EVAL: label precision@k — the "
+    "fraction of each query's cosine top-k sharing the query's label "
+    "(the standard intrinsic check that an embedding space clusters "
+    "its classes; the acceptance metric before trusting x41-style "
+    "semantic dedup or x59 hard negatives). Shape: x3's "
+    "broadcast-queries one-corpus-scan ranking, then two tiny label "
+    "joins and one hash-agg per query.",
+    tags=("ext", "similarity", "eval"),
+    late=True,
+)
+def x71_label_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ranked = cos.brute_force_topk(emb, queries, k=_X71_K).select(
+        "query_id", F.col("vec_id").alias("doc_id")
+    )
+    labels = emb.select("vec_id", "label")
+    same = (F.col("nl") == F.col("ql")).cast("int")
+    return (
+        ranked.join(
+            F.broadcast(labels.select(F.col("vec_id").alias("query_id"),
+                                      F.col("label").alias("ql"))),
+            "query_id",
+        )
+        .join(
+            labels.select(F.col("vec_id").alias("doc_id"),
+                          F.col("label").alias("nl")),
+            "doc_id",
+        )
+        .groupBy("query_id", F.col("ql").alias("query_label"))
+        .agg(
+            F.sum(same).cast("bigint").alias("n_same_label"),
+            r4(F.sum(same) / F.lit(_X71_K)).alias("label_precision_at_k"),
+        )
     )
