@@ -1277,3 +1277,92 @@ def t17_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("avg_value").isNull().alias("interpolated"),
         r4(filled).alias("value_filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T18 — funnel conversion (ordered step reachability per user)
+# ---------------------------------------------------------------------------
+
+_FUNNEL = ("signup", "view", "click", "purchase")
+
+
+@register(
+    "t18_funnel_conversion",
+    rf"""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = '{_FUNNEL[0]}' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = '{_FUNNEL[1]}' AND e.ts > s1.t GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts > s2.t GROUP BY 1
+    ),
+    s4 AS (
+        SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        JOIN s3 ON e.user_id = s3.user_id
+        WHERE e.event_type = '{_FUNNEL[3]}' AND e.ts > s3.t GROUP BY 1
+    ),
+    counts AS (
+        SELECT 1 AS step, '{_FUNNEL[0]}' AS step_name,
+               (SELECT COUNT(*) FROM s1) AS n_users
+        UNION ALL SELECT 2, '{_FUNNEL[1]}', (SELECT COUNT(*) FROM s2)
+        UNION ALL SELECT 3, '{_FUNNEL[2]}', (SELECT COUNT(*) FROM s3)
+        UNION ALL SELECT 4, '{_FUNNEL[3]}', (SELECT COUNT(*) FROM s4)
+    )
+    SELECT step, step_name, CAST(n_users AS BIGINT) AS n_users,
+           {r4sql("n_users * 1.0 / FIRST_VALUE(n_users) OVER (ORDER BY step)")}
+               AS conversion
+    FROM counts
+    ORDER BY step
+    """,
+    doc="T18 (EXT analytics) — FUNNEL: users reaching each ORDERED "
+    "step signup → view → click → purchase, each step's earliest "
+    "qualifying event strictly after the previous step's (the product "
+    "analytics primitive; same per-user ordered-sequence machinery as "
+    "the reference's intake-state progressions). Shape: four "
+    "user-keyed min-aggs, each joined to the shrinking previous-step "
+    "relation — co-partitioned on user_id throughout, so AQE reuses "
+    "the exchange; the output is four rows.",
+    tags=("ext", "window", "agg"),
+    late=True,
+)
+def t18_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+
+    def step(prev: DataFrame | None, etype: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(
+                prev.select("user_id", F.col("t").alias("_pt")), "user_id"
+            ).filter(F.col("ts") > F.col("_pt"))
+        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    reached, prev = [], None
+    for etype in _FUNNEL:
+        prev = step(prev, etype)
+        reached.append(prev)
+
+    rows = None
+    for i, (etype, df) in enumerate(zip(_FUNNEL, reached), start=1):
+        one = df.agg(F.count("*").alias("n_users")).select(
+            F.lit(i).alias("step"),
+            F.lit(etype).alias("step_name"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    from server_spark.operators.windows import pinned_single_group
+
+    w = Window.partitionBy(pinned_single_group("step")).orderBy("step")
+    return (
+        rows.withColumn(
+            "conversion",
+            r4(F.col("n_users") / F.first("n_users").over(w)),
+        )
+        .orderBy("step")
+    )
