@@ -1366,3 +1366,76 @@ def t18_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step")
     )
+
+
+# ---------------------------------------------------------------------------
+# T19 — cohort retention matrix (weekly)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t19_cohort_retention",
+    rf"""
+    WITH firsts AS (
+        SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    cohort_size AS (
+        SELECT cohort_week, COUNT(*) AS n_cohort FROM firsts GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(DATE_DIFF('week', f.cohort_week,
+                              DATE_TRUNC('week', e.ts)) AS INT) AS week_offset
+        FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT a.cohort_week, a.week_offset,
+           COUNT(*) AS n_active,
+           {r4sql("COUNT(*) * 1.0 / cs.n_cohort")} AS retention
+    FROM activity a JOIN cohort_size cs USING (cohort_week)
+    GROUP BY a.cohort_week, a.week_offset, cs.n_cohort
+    ORDER BY a.cohort_week, a.week_offset
+    """,
+    doc="T19 (EXT analytics) — COHORT RETENTION: users grouped by the "
+    "week of their first event; for each (cohort, weeks-since) cell, "
+    "the share of the cohort active that week — the standard "
+    "engagement-decay matrix (the reference's per-realm 'still "
+    "uploading N weeks after first dump' view is this exact shape). "
+    "Shape: one user-keyed min-agg for cohorts, a broadcast-back "
+    "join, one distinct + hash-agg per cell; weeks via date_trunc so "
+    "both engines bucket identically (Monday-start ISO weeks).",
+    tags=("ext", "window", "agg"),
+    late=True,
+)
+def t19_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        # cast to DATE: Spark date_trunc yields a timestamp, DuckDB a
+        # date — the oracle compares the date form
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    ).transform(barrier)  # feeds cohort sizes AND the activity join
+    cohort_size = firsts.groupBy("cohort_week").agg(
+        F.count("*").alias("n_cohort")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")),
+                           F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(cohort_size), "cohort_week")
+        .select(
+            "cohort_week", "week_offset", "n_active",
+            r4(F.col("n_active") / F.col("n_cohort")).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
