@@ -1038,3 +1038,78 @@ def a16_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.col("buyout").cast("double") / F.col("quantity"))
         ).alias("unweighted_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A19 — Pareto / ABC classification (revenue concentration)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a19_abc_classification",
+    auctions_sql(
+        f""",
+        rev AS (
+            SELECT item, CAST(SUM(buyout) AS DOUBLE) AS revenue
+            FROM auctions GROUP BY item
+        ),
+        cum AS (
+            SELECT item, revenue,
+                   SUM(revenue) OVER (
+                       ORDER BY revenue DESC, item
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) / SUM(revenue) OVER () AS cshare
+            FROM rev
+        )
+        SELECT item, {r4sql("revenue")} AS revenue,
+               {r4sql("cshare")} AS cum_share,
+               CASE WHEN {r4sql("cshare")} <= 0.8 THEN 'A'
+                    WHEN {r4sql("cshare")} <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM cum
+        ORDER BY cum_share, item
+        """
+    ),
+    doc="A19 (EXT analytics) — PARETO/ABC: items ranked by gross "
+    "buyout, classified by cumulative revenue share (A ≤ 80%, "
+    "B ≤ 95%, C = tail) — the concentration analysis behind 'which "
+    "20% of items carry the market' (and, for a pipeline, which "
+    "sources carry the token budget). Shape: one hash-agg to "
+    "item-revenue (items-sized, bounded), then a single-partition "
+    "cumulative window over that SMALL relation — the window runs "
+    "over groups, never rows, so the global order is safe at scale. "
+    "Class boundaries compare the 4-decimal canonical share so both "
+    "engines cut identically.",
+    tags=("agg", "window"),
+    late=True,
+)
+def a19_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.operators.windows import pinned_single_group
+
+    rev = (
+        auctions(spark, sf_dir)
+        .groupBy("item")
+        .agg(F.sum("buyout").cast("double").alias("revenue"))
+    )
+    one = pinned_single_group("item")
+    cum_w = (
+        Window.partitionBy(one)
+        .orderBy(F.col("revenue").desc(), F.col("item").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy(one)
+    cshare = r4(F.sum("revenue").over(cum_w) / F.sum("revenue").over(tot_w))
+    return (
+        rev.select(
+            "item",
+            r4(F.col("revenue")).alias("revenue"),
+            cshare.alias("cum_share"),
+        )
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum_share") <= 0.8, "A")
+            .when(F.col("cum_share") <= 0.95, "B")
+            .otherwise("C"),
+        )
+        .orderBy("cum_share", "item")
+    )

@@ -1439,3 +1439,79 @@ def t19_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# T20 — rolling z-score anomaly flags (series monitoring)
+# ---------------------------------------------------------------------------
+
+_T20_WIN = 14   # trailing days in the reference window
+_T20_Z = 2.0    # |z| threshold
+
+
+@register(
+    "t20_zscore_anomalies",
+    rf"""
+    WITH daily AS (
+        SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+               SUM(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, day, v,
+               AVG(v) OVER w AS mu,
+               COUNT(*) OVER w AS n,
+               STDDEV_SAMP(v) OVER w AS sd
+        FROM daily
+        WINDOW w AS (
+            PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN {_T20_WIN} PRECEDING AND 1 PRECEDING
+        )
+    )
+    SELECT event_type, day, {r4sql("v")} AS v,
+           {r4sql("(v - mu) / sd")} AS zscore,
+           ABS(v - mu) > {_T20_Z} * sd AS is_anomaly
+    FROM scored
+    WHERE n >= {_T20_WIN} AND sd > 0
+    ORDER BY event_type, day
+    """,
+    doc="T20 (EXT analytics) — ROLLING Z-SCORE anomaly flags: each "
+    "day's series value scored against the TRAILING 14-day window's "
+    "mean/stddev (window excludes the current row, so an anomaly "
+    "can't mask itself) — the standard monitoring primitive for the "
+    "reference's per-realm intake volumes (a realm whose dump size "
+    "jumps 2σ is the page-the-operator signal). Shape: one daily "
+    "hash-agg, one series-keyed window pass; the anomaly flag derives "
+    "from raw-double comparison on both engines, never from rounded "
+    "values.",
+    tags=("ext", "window"),
+    late=True,
+)
+def t20_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.sum("value").alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-_T20_WIN, -1)
+    )
+    scored = daily.select(
+        "event_type", "day", "v",
+        F.avg("v").over(w).alias("mu"),
+        F.count("*").over(w).alias("n"),
+        F.stddev_samp("v").over(w).alias("sd"),
+    )
+    return (
+        scored.filter((F.col("n") >= _T20_WIN) & (F.col("sd") > 0))
+        .select(
+            "event_type", "day", r4(F.col("v")).alias("v"),
+            r4((F.col("v") - F.col("mu")) / F.col("sd")).alias("zscore"),
+            (F.abs(F.col("v") - F.col("mu")) > _T20_Z * F.col("sd")).alias(
+                "is_anomaly"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
