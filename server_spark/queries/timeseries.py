@@ -1359,10 +1359,13 @@ def t18_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from server_spark.operators.windows import pinned_single_group
 
     w = Window.partitionBy(pinned_single_group("step")).orderBy("step")
+    top = F.first("n_users").over(w)
     return (
         rows.withColumn(
+            # empty-funnel guard: 0 users at step 1 → NULL conversion
+            # (ANSI mode would otherwise raise DIVIDE_BY_ZERO)
             "conversion",
-            r4(F.col("n_users") / F.first("n_users").over(w)),
+            F.when(top > 0, r4(F.col("n_users") / top)),
         )
         .orderBy("step")
     )
