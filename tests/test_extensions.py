@@ -492,3 +492,61 @@ def test_x65_mmr_matches_reference_and_diversifies(spark, sf_dir):
             )
 
         assert mean_pairwise(chosen) <= mean_pairwise(topk) + 1e-9
+
+
+def _ref_winnow(words, k=3, w=4):
+    """Plain-Python reference winnowing: md5-derived k-gram hashes,
+    min per full w-window — the fingerprint SET (matches x67's
+    arithmetic exactly)."""
+    import hashlib
+
+    grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+    ]
+    return {min(hs[i - w + 1:i + 1]) for i in range(w - 1, len(hs))}
+
+
+def test_x67_winnowing_guarantee_and_reference_equality(spark):
+    """x67: (1) per-doc fingerprint counts equal a plain-Python
+    reference winnowing, (2) the MOSS guarantee holds — two docs
+    sharing a run of ≥ w+k−1 words share at least one fingerprint,
+    (3) docs with no shared k-gram share none."""
+    import random
+
+    from unittest import mock
+
+    from server_spark.queries.ext_dedup import (
+        _WINNOW_W,
+        x67_winnowing_fingerprints,
+    )
+
+    rng = random.Random(11)
+    shared = [f"run{i}" for i in range(_WINNOW_W + 3 - 1 + 2)]  # > w+k-1
+    doc_a = [f"a{rng.randint(0, 50)}" for _ in range(30)] + shared + [
+        f"a{rng.randint(51, 99)}" for _ in range(20)
+    ]
+    doc_b = [f"b{rng.randint(0, 50)}" for _ in range(15)] + shared + [
+        f"b{rng.randint(51, 99)}" for _ in range(35)
+    ]
+    doc_c = [f"c{i}" for i in range(60)]  # shares nothing
+    df = spark.createDataFrame(
+        [(1, " ".join(doc_a)), (2, " ".join(doc_b)), (3, " ".join(doc_c))],
+        "doc_id long, text string",
+    )
+    with mock.patch(
+        "server_spark.queries.ext_dedup._docs", return_value=df
+    ):
+        got = {
+            r["doc_id"]: r
+            for r in x67_winnowing_fingerprints(spark, "ignored").collect()
+        }
+
+    prints = {1: _ref_winnow(doc_a), 2: _ref_winnow(doc_b), 3: _ref_winnow(doc_c)}
+    for did, words in ((1, doc_a), (2, doc_b), (3, doc_c)):
+        assert got[did]["n_fingerprints"] == len(prints[did]), did
+        n_grams = len(words) - 3 + 1
+        assert got[did]["n_windows"] == n_grams - _WINNOW_W + 1
+    # the guarantee: the planted shared run forces a shared print
+    assert prints[1] & prints[2], "shared run produced no shared print"
+    assert not (prints[1] & prints[3]) and not (prints[2] & prints[3])
