@@ -56,6 +56,20 @@ def _subjects(spark, sf_dir):
                 count=25,
             ),
         ),
+        # the deep-scroll path: cursor mode (O(count) at any depth)
+        "auctions_cursor": lambda i: api.query_auctions(
+            spark, sf_dir,
+            api.AuctionsRequest(
+                item_filters=(1 + i % 5, 8, 13),
+                sort_kind="buyout",
+                count=25,
+                after={
+                    "buyout": 50000.0 - 1000.0 * (i % 7),
+                    "item": 8, "owner": 50, "quantity": 25.0,
+                    "time_left": "N",
+                },
+            ),
+        ),
         "price_list": lambda i: api.price_list(
             spark, sf_dir, (1 + i % 7, 21, 34, 55)
         ),

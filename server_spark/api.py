@@ -41,7 +41,13 @@ from server_spark.sources.synthetic import auctions
 
 @dataclass
 class AuctionsRequest:
-    """The reference's auctions request: filters + sort + page."""
+    """The reference's auctions request: filters + sort + page.
+
+    ``after`` switches pagination to the KEYSET cursor (the last row
+    of the previous page as a dict over the sort key + collapse keys):
+    O(count) work at any depth instead of the rank-window's
+    O(page·count) — the serving path for deep scrolls. ``page`` is
+    ignored when ``after`` is set (a cursor IS the position)."""
 
     owner_filters: Sequence[str] = field(default_factory=tuple)
     item_filters: Sequence[int] = field(default_factory=tuple)
@@ -49,6 +55,7 @@ class AuctionsRequest:
     sort_descending: bool = True
     page: int = 0
     count: int = 25
+    after: dict | None = None
 
 
 def query_auctions(
@@ -62,8 +69,21 @@ def query_auctions(
     if req.item_filters:
         live = ops.filter_by_items(live, req.item_filters)
     collapsed = ops.collapse_mini_auctions(live)
+    if req.after is not None:
+        return ops.paginate_keyset(
+            collapsed, req.sort_kind, req.sort_descending, req.count,
+            after=req.after,
+        )
     order = ops.sort_columns(req.sort_kind, req.sort_descending)
     return ops.paginate(collapsed, order, req.page, req.count)
+
+
+def cursor_of(req: AuctionsRequest, last_row) -> dict:
+    """Build the next page's ``after`` cursor from a returned row —
+    the primary sort column plus every collapse key (the total-order
+    tuple `paginate_keyset` requires)."""
+    key = ops.SORT_KINDS[req.sort_kind]
+    return {k: last_row[k] for k in dict.fromkeys((key, *ops.COLLAPSE_KEYS))}
 
 
 def price_list(

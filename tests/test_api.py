@@ -289,3 +289,25 @@ def test_query_auctions_params_agree_with_keyset(spark, sf_dir, req):
     # pages never overlap (full collapse key is unique per row)
     assert len(set(seen)) == len(seen)
     collapsed.unpersist()
+
+
+def test_query_auctions_cursor_mode_matches_offset_pages(spark, sf_dir):
+    """The façade's keyset mode: walking with `after` cursors built by
+    api.cursor_of reproduces the offset pages exactly — the O(count)
+    deep-scroll serving path behind the same request shape."""
+    base = dict(item_filters=(1, 2, 3, 5, 8), sort_kind="quantity",
+                sort_descending=True, count=9)
+    after = None
+    for page in range(3):
+        want = api.query_auctions(
+            spark, sf_dir, api.AuctionsRequest(page=page, **base)
+        ).collect()
+        req = api.AuctionsRequest(after=after, **base)
+        got = api.query_auctions(spark, sf_dir, req).collect()
+        key = lambda r: tuple(
+            r[k] for k in ("quantity", *ops.COLLAPSE_KEYS)
+        )
+        assert [key(r) for r in got] == [key(r) for r in want], f"page {page}"
+        if not got:
+            break
+        after = api.cursor_of(req, got[-1])
