@@ -657,3 +657,78 @@ def a18_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("lift").desc(), "item_a", "item_b"
     ).limit(_A18_TOP)
+
+
+# ---------------------------------------------------------------------------
+# A20 — item PageRank over the co-listing graph (iterative propagation)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 10
+_PR_DAMP = 0.85
+
+
+@register(
+    "a20_item_pagerank",
+    None,  # rows-only: fixed-iteration propagation (no honest SQL twin —
+    # aggregates are illegal in a recursive CTE's recursive member)
+    doc="A20 (EXT analytics) — weighted PAGERANK over the item "
+    "co-listing graph (a18's edges, symmetric, weighted by co-seller "
+    "count): 10 damped iterations of r ← (1−d)/N + d·Σ r(u)·w/wdeg(u) "
+    "— the canonical iterative-propagation workload beyond connected "
+    "components (centrality: which items anchor the market graph). "
+    "Scale shape: each iteration is ONE join of the rank vector "
+    "(nodes-sized) to the edge list plus a hash-agg — the classic "
+    "Pregel-as-joins form; lineage is cut through barrier() every "
+    "iteration so 10 rounds never stack into one mega-plan (flips to "
+    "reliable checkpoints under SPARK_GRAFT_CHECKPOINT_DIR). "
+    "Deterministic: fixed iterations, dangling mass redistributed "
+    "uniformly, 4-decimal canonical output; pinned against a "
+    "plain-Python reference in tests.",
+    tags=("ext", "agg", "graph", "rows-only"),
+    late=True,
+)
+def a20_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        auctions(spark, sf_dir)
+        .filter(F.col("item") <= _A18_MAX_ITEM)
+        .select("owner", "item")
+        .distinct()
+    )
+    a = base.select(F.col("owner"), F.col("item").alias("src"))
+    b = base.select(F.col("owner"), F.col("item").alias("dst"))
+    edges = (
+        a.join(b, "owner")
+        .filter(F.col("src") != F.col("dst"))  # both directions kept
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .transform(barrier)  # reused every iteration
+    )
+    wdeg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    norm_edges = edges.join(wdeg, "src").select(
+        "src", "dst", (F.col("w") / F.col("wdeg")).alias("p")
+    ).transform(barrier)
+    nodes = edges.select(F.col("src").alias("item")).distinct().transform(
+        barrier
+    )
+    n = nodes.count()  # bounded: gated item subset
+    ranks = nodes.select("item", F.lit(1.0 / n).alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ranks.join(norm_edges, ranks.item == norm_edges.src)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("p")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.item == contrib.dst, "left")
+            .select(
+                "item",
+                (
+                    F.lit((1.0 - _PR_DAMP) / n)
+                    + _PR_DAMP * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .transform(barrier)  # cut the per-iteration lineage
+        )
+    return ranks.select(
+        "item", r4(F.col("r") * n).alias("rank_norm")
+    ).orderBy(F.col("rank_norm").desc(), "item")

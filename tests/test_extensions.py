@@ -550,3 +550,55 @@ def test_x67_winnowing_guarantee_and_reference_equality(spark):
     # the guarantee: the planted shared run forces a shared print
     assert prints[1] & prints[2], "shared run produced no shared print"
     assert not (prints[1] & prints[3]) and not (prints[2] & prints[3])
+
+
+def test_a20_pagerank_matches_reference(spark, sf_dir):
+    """a20: the distributed damped propagation equals a plain-Python
+    PageRank on the same gated co-listing graph, and ranks form a
+    probability distribution (sum of r = 1 before the ×N norm)."""
+    from collections import defaultdict
+
+    from server_spark.queries.joins_sets import (
+        _A18_MAX_ITEM,
+        _PR_DAMP,
+        _PR_ITERS,
+        a20_item_pagerank,
+    )
+    from server_spark.sources.synthetic import auctions as load
+
+    got = {
+        r["item"]: r["rank_norm"]
+        for r in a20_item_pagerank(spark, sf_dir).collect()
+    }
+
+    base = {
+        (r["owner"], r["item"])
+        for r in load(spark, sf_dir)
+        .filter(F.col("item") <= _A18_MAX_ITEM)
+        .select("owner", "item")
+        .distinct()
+        .collect()
+    }
+    by_owner = defaultdict(set)
+    for o, i in base:
+        by_owner[o].add(i)
+    w = defaultdict(int)
+    for items in by_owner.values():
+        for s in items:
+            for d in items:
+                if s != d:
+                    w[(s, d)] += 1
+    nodes = sorted({s for s, _ in w})
+    n = len(nodes)
+    wdeg = defaultdict(int)
+    for (s, _), c in w.items():
+        wdeg[s] += c
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(_PR_ITERS):
+        inflow = defaultdict(float)
+        for (s, d), c in w.items():
+            inflow[d] += r[s] * c / wdeg[s]
+        r = {v: (1 - _PR_DAMP) / n + _PR_DAMP * inflow[v] for v in nodes}
+    want = {v: round(r[v] * n, 4) for v in nodes}
+    assert got == want
+    assert abs(sum(r.values()) - 1.0) < 1e-9
