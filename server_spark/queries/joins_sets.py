@@ -712,23 +712,21 @@ def a20_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = nodes.count()  # bounded: gated item subset
     ranks = nodes.select("item", F.lit(1.0 / n).alias("r"))
-    for _ in range(_PR_ITERS):
+    for i in range(_PR_ITERS):
         contrib = (
             ranks.join(norm_edges, ranks.item == norm_edges.src)
             .groupBy("dst")
             .agg(F.sum(F.col("r") * F.col("p")).alias("inflow"))
         )
-        ranks = (
-            nodes.join(contrib, nodes.item == contrib.dst, "left")
-            .select(
-                "item",
-                (
-                    F.lit((1.0 - _PR_DAMP) / n)
-                    + _PR_DAMP * F.coalesce(F.col("inflow"), F.lit(0.0))
-                ).alias("r"),
-            )
-            .transform(barrier)  # cut the per-iteration lineage
+        ranks = nodes.join(contrib, nodes.item == contrib.dst, "left").select(
+            "item",
+            (
+                F.lit((1.0 - _PR_DAMP) / n)
+                + _PR_DAMP * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("r"),
         )
+        if i % 3 == 2:  # cut lineage every 3 rounds: plans stay
+            ranks = barrier(ranks)  # shallow without a per-round sync
     return ranks.select(
         "item", r4(F.col("r") * n).alias("rank_norm")
     ).orderBy(F.col("rank_norm").desc(), "item")
