@@ -711,6 +711,10 @@ def a20_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         barrier
     )
     n = nodes.count()  # bounded: gated item subset
+    if n == 0:  # empty graph (fresh deployment / over-pruned slice)
+        return nodes.select(
+            "item", F.lit(None).cast("double").alias("rank_norm")
+        )
     ranks = nodes.select("item", F.lit(1.0 / n).alias("r"))
     for i in range(_PR_ITERS):
         contrib = (
