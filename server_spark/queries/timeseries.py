@@ -1518,3 +1518,151 @@ def t20_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# T21 — last-touch attribution (single window pass, no as-of join)
+# ---------------------------------------------------------------------------
+
+_T21_CHANNELS = ("click", "view")
+_T21_WINDOW_US = 7 * 86400 * 1_000_000  # 7-day lookback, microseconds
+
+
+@register(
+    "t21_last_touch_attribution",
+    rf"""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CASE WHEN event_type IN {_T21_CHANNELS}
+                    THEN event_type END AS ch_type,
+               CASE WHEN event_type IN {_T21_CHANNELS}
+                    THEN ts END AS ch_ts
+        FROM events
+    ),
+    attrib AS (
+        SELECT event_type, value, ts,
+               LAST_VALUE(ch_type IGNORE NULLS) OVER w AS last_ch_type,
+               LAST_VALUE(ch_ts IGNORE NULLS) OVER w AS last_ch_ts
+        FROM tagged
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        )
+    )
+    SELECT COALESCE(
+               CASE WHEN epoch_us(ts) - epoch_us(last_ch_ts)
+                         <= {_T21_WINDOW_US}
+                    THEN last_ch_type END,
+               'direct') AS channel,
+           COUNT(*) AS conversions,
+           {r4sql("SUM(value)")} AS attributed_value
+    FROM attrib
+    WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="T21 (EXT analytics) — LAST-TOUCH ATTRIBUTION: every purchase "
+    "is credited to the same user's most recent click/view within a "
+    "7-day lookback, else 'direct' — the standard marketing-analytics "
+    "join, computed WITHOUT a join: one user-keyed window pass with "
+    "last(..., ignorenulls) carries the latest channel row forward, "
+    "so the plan is a single sort within one exchange (the as-of-join "
+    "form j6 shuffles twice and merges; this shape wins whenever "
+    "touches and conversions live in the SAME stream). Scale: the "
+    "window key is user_id (high cardinality, no skew); the final "
+    "rollup is a 3-row hash-agg.",
+    tags=("ext", "window", "attribution"),
+    late=True,
+)
+def t21_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    is_ch = F.col("event_type").isin(*_T21_CHANNELS)
+    tagged = ev.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.when(is_ch, F.col("event_type")).alias("ch_type"),
+        F.when(is_ch, F.col("ts")).alias("ch_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attrib = tagged.select(
+        "event_type", "value", "ts",
+        F.last("ch_type", ignorenulls=True).over(w).alias("last_ch_type"),
+        F.last("ch_ts", ignorenulls=True).over(w).alias("last_ch_ts"),
+    )
+    in_window = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_ch_ts"))
+    ) <= _T21_WINDOW_US
+    return (
+        attrib.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(in_window, F.col("last_ch_type")), F.lit("direct")
+            ).alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("conversions"),
+            r4(F.sum("value")).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T22 — event-type Markov transition matrix (next-step behavior model)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t22_markov_transitions",
+    rf"""
+    WITH steps AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, next_type, COUNT(*) AS transitions
+        FROM steps WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT event_type, next_type, transitions,
+           {r4sql("transitions * 1.0 / SUM(transitions) "
+                  "OVER (PARTITION BY event_type)")} AS p
+    FROM counts
+    ORDER BY event_type, next_type
+    """,
+    doc="T22 (EXT analytics) — first-order MARKOV TRANSITION MATRIX "
+    "over per-user event sequences: P(next event type | current), the "
+    "behavior model behind next-action prediction and funnel-dropoff "
+    "simulation. Shape: one user-keyed lead() window pass, one "
+    "25-cell hash-agg, and a tiny partition-total window for the row "
+    "normalization — nothing driver-side, the transition matrix stays "
+    "a DataFrame (at 100 TB the lead() sort rides the same user-keyed "
+    "exchange every sessionization query already pays).",
+    tags=("ext", "window", "markov"),
+    late=True,
+)
+def t22_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    counts = (
+        steps.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("transitions"))
+    )
+    wt = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type", "next_type", "transitions",
+        r4(
+            F.col("transitions") * 1.0 / F.sum("transitions").over(wt)
+        ).alias("p"),
+    ).orderBy("event_type", "next_type")
