@@ -734,3 +734,162 @@ def a20_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "item", r4(F.col("r") * n).alias("rank_norm")
     ).orderBy(F.col("rank_norm").desc(), "item")
+
+
+# ---------------------------------------------------------------------------
+# A21 — triangle counting / clustering coefficient over the co-listing graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a21_triangle_count",
+    auctions_sql(
+        f""",
+        base AS (
+            SELECT DISTINCT owner, item FROM auctions
+            WHERE item <= {_A18_MAX_ITEM}
+        ),
+        edges AS (
+            SELECT DISTINCT a.item AS s, b.item AS t
+            FROM base a JOIN base b
+              ON a.owner = b.owner AND a.item < b.item
+        ),
+        tris AS (
+            SELECT e1.s AS a, e1.t AS b, e2.t AS c
+            FROM edges e1
+            JOIN edges e2 ON e1.t = e2.s
+            JOIN edges e3 ON e3.s = e1.s AND e3.t = e2.t
+        ),
+        node_tri AS (
+            SELECT item, COUNT(*) AS triangles FROM (
+                SELECT a AS item FROM tris
+                UNION ALL SELECT b AS item FROM tris
+                UNION ALL SELECT c AS item FROM tris
+            ) GROUP BY 1
+        ),
+        deg AS (
+            SELECT item, COUNT(*) AS degree FROM (
+                SELECT s AS item FROM edges
+                UNION ALL SELECT t AS item FROM edges
+            ) GROUP BY 1
+        )
+        SELECT d.item AS item, d.degree AS degree,
+               COALESCE(nt.triangles, 0) AS triangles,
+               {r4sql("CASE WHEN d.degree >= 2 THEN "
+                      "2.0 * COALESCE(nt.triangles, 0) "
+                      "/ (d.degree * (d.degree - 1)) ELSE 0.0 END")}
+                   AS clustering_coeff
+        FROM deg d LEFT JOIN node_tri nt ON d.item = nt.item
+        ORDER BY item
+        """
+    ),
+    doc="A21 (EXT analytics) — TRIANGLE COUNTING + local clustering "
+    "coefficient over the item co-listing graph (a18's edges, "
+    "undirected, deduplicated s<t): per node, how many of its "
+    "neighbor pairs are themselves connected — the graph-cohesion "
+    "metric behind community detection and spam-subgraph flags, and "
+    "(with a20's PageRank and x15's connected components) the third "
+    "canonical graph workload, expressed as pure relational algebra: "
+    "triangle enumeration is the classic two-hop equi-join "
+    "edges⋈edges⋈edges with the a<b<c orientation making each "
+    "triangle appear EXACTLY once (no division by 6). Scale shape: "
+    "the frequent-itemset gate bounds the edge list before any join; "
+    "at web scale the same plan runs with the standard "
+    "degree-ordered orientation (orient edges low-degree→high) which "
+    "bounds the two-hop fan-out by the arboricity — the join/agg "
+    "skeleton is unchanged.",
+    tags=("ext", "join", "graph"),
+    late=True,
+)
+def a21_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        auctions(spark, sf_dir)
+        .filter(F.col("item") <= _A18_MAX_ITEM)
+        .select("owner", "item")
+        .distinct()
+    )
+    a = base.select(F.col("owner"), F.col("item").alias("s"))
+    b = base.select(F.col("owner"), F.col("item").alias("t"))
+    edges = (
+        a.join(b, "owner")
+        .filter(F.col("s") < F.col("t"))
+        .select("s", "t")
+        .distinct()
+        .transform(barrier)  # reused 5x below: 3 triangle legs + 2 degrees
+    )
+    e1 = edges.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = edges.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    e3 = edges.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    node_tri = (
+        tris.select(F.col("a").alias("item"))
+        .unionByName(tris.select(F.col("b").alias("item")))
+        .unionByName(tris.select(F.col("c").alias("item")))
+        .groupBy("item")
+        .agg(F.count("*").alias("triangles"))
+    )
+    deg = (
+        edges.select(F.col("s").alias("item"))
+        .unionByName(edges.select(F.col("t").alias("item")))
+        .groupBy("item")
+        .agg(F.count("*").alias("degree"))
+    )
+    joined = deg.join(node_tri, "item", "left").select(
+        "item", "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+    )
+    return joined.select(
+        "item", "degree", "triangles",
+        r4(
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * F.col("triangles")
+                / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(0.0)
+        ).alias("clustering_coeff"),
+    ).orderBy("item")
+
+
+# ---------------------------------------------------------------------------
+# A22 — EXACT mergeable distinct counts via bitmap aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a22_bitmap_distinct",
+    auctions_sql(
+        """
+        SELECT time_left, COUNT(DISTINCT item) AS distinct_items
+        FROM auctions GROUP BY 1 ORDER BY 1
+        """
+    ),
+    doc="A22 — EXACT distinct items per time_left tier via BITMAP "
+    "aggregates (bitmap_bucket_number / bitmap_bit_position / "
+    "bitmap_construct_agg / bitmap_count — the Doris/ClickHouse "
+    "roaring-bitmap pattern on Spark-native functions): integer keys "
+    "land as bits in fixed 32k-bit buckets, per-(group, bucket) "
+    "bitmaps OR-merge associatively, the final count sums popcounts. "
+    "Fills the gap between A3 (exact COUNT DISTINCT — full shuffle "
+    "of distinct values every refresh) and A9/A17 (HLL — mergeable "
+    "but approximate): bitmaps are BOTH exact and mergeable, so an "
+    "incremental gold can store per-day bitmap partials and fold new "
+    "days without rescanning history, at exact-answer fidelity. "
+    "Scale: state is O(key-range/8 bytes) worst case but dense keys "
+    "compress to ~1 bit/key — the standard exact-distinct engine "
+    "for bounded-integer id spaces (items, user ids); arbitrary "
+    "strings stay on HLL (a17).",
+    tags=("agg", "bitmap", "incremental"),
+    late=True,
+)
+def a22_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    live = auctions(spark, sf_dir).select("time_left", "item")
+    partials = live.groupBy(
+        "time_left", F.bitmap_bucket_number("item").alias("bkt")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("item")).alias("bm")
+    )
+    return (
+        partials.groupBy("time_left")
+        .agg(F.sum(F.bitmap_count("bm")).alias("distinct_items"))
+        .orderBy("time_left")
+    )
