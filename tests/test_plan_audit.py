@@ -46,6 +46,13 @@ PINNED: dict[str, tuple[list[str], list[str]]] = {
     "o5_keyset_page": (["TakeOrderedAndProject"], ["row_number"]),
     # per-group top-N pushes the rank filter below the window
     "o4_topn_per_group": (["WindowGroupLimit"], []),
+    # bloom pre-join: the exact verify stays a SHUFFLE semi join (the
+    # 100 TB regime the query documents — dim not broadcast), with the
+    # bloom word-probe filter present on the fact side before it
+    "j12_bloom_prejoin": (
+        ["ShuffledHashJoin", "LeftSemi", "bloom_words"],
+        ["SortMergeJoin"],
+    ),
 }
 
 # Registry-wide hygiene over the same audited set: never a
