@@ -1773,3 +1773,111 @@ def x69_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "doc_id", r4(F.col("bm25")).alias("bm25_score"), "rnk"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x73 — heavy hitters: mergeable Misra-Gries summaries + exact verify
+# ---------------------------------------------------------------------------
+
+_X73_CAP = 499      # summary capacity k: undercount bound is N/(k+1)
+_X73_FRAC = 0.005   # report tokens with corpus share >= 0.5%
+
+
+@register(
+    "x73_heavy_hitters",
+    rf"""
+    WITH toks AS (
+        SELECT UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+        FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT token, COUNT(*) AS n_occurrences,
+           {r4sql("COUNT(*) * 1.0 / (SELECT n FROM tot)")} AS share
+    FROM toks
+    GROUP BY token
+    HAVING COUNT(*) >= {_X73_FRAC} * (SELECT n FROM tot)
+    ORDER BY n_occurrences DESC, token
+    """,
+    doc="EXT x73 — HEAVY HITTERS via mergeable MISRA-GRIES summaries "
+    "(Agarwal et al., Mergeable Summaries, PODS'12): each partition "
+    "folds its token stream into a k=499-counter summary (vectorized "
+    "batch add + truncate: subtract the (k+1)-th largest count, drop "
+    "non-positives — the MG merge step, so the whole pass is "
+    "value_counts + pandas arithmetic, never a per-token Python "
+    "loop), summaries merge by plain summed counts, and every token "
+    "with true share >= 0.5% is GUARANTEED to survive because the "
+    "total undercount is at most N/(k+1) = 0.2%·N < the 0.3%·N "
+    "margin. The guaranteed-superset candidate set (<=499/partition, "
+    "~dozens after merge) is then EXACT-counted in a second "
+    "candidate-gated scan, so the result provably equals the full "
+    "GROUP BY ... HAVING oracle while the wide shuffle moves only "
+    "candidate rows. This is the 100 TB shape for 'top tokens / hot "
+    "keys / trending items': the first scan shuffles k rows per "
+    "partition instead of the full type table (x23's vocab build "
+    "shuffles every distinct token; fine for vocab, wasteful when "
+    "only the >=0.5% head is wanted).",
+    tags=("ext", "textstats", "sketch"),
+    late=True,
+)
+def x73_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("token")
+        )
+        .transform(barrier)  # reused: summary scan + exact verify scan
+    )
+
+    cap = _X73_CAP
+
+    def mg_summaries(batches):
+        # Defined fully inside the closure: pickles by value, so the
+        # Python worker never needs server_spark importable (the
+        # foreign-cwd driver contract).
+        import pandas as pd
+
+        state = pd.Series(dtype="int64")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            state = state.add(pdf["token"].value_counts(), fill_value=0)
+            if len(state) > cap:
+                # MG merge-truncate: subtract the (cap+1)-th largest
+                # count from everything, drop the non-positive tail.
+                pivot = state.nlargest(cap + 1).iloc[-1]
+                state = state - pivot
+                state = state[state > 0]
+        yield pd.DataFrame(
+            {"token": state.index, "est": state.astype("int64").values}
+        )
+
+    summaries = toks.mapInPandas(mg_summaries, schema="token string, est long")
+    merged = summaries.groupBy("token").agg(F.sum("est").alias("est"))
+
+    tot = toks.agg(F.count("*").alias("n"))
+    # Candidate gate: true >= FRAC*N implies est >= FRAC*N - N/(cap+1).
+    candidates = (
+        merged.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("est")
+            >= _X73_FRAC * F.col("n") - F.col("n") / (cap + 1.0)
+        )
+        .select("token")
+    )
+
+    exact = (
+        toks.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_occurrences") >= _X73_FRAC * F.col("n"))
+        .select(
+            "token", "n_occurrences",
+            r4(F.col("n_occurrences") * 1.0 / F.col("n")).alias("share"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "token")
+    )
