@@ -1881,3 +1881,135 @@ def x73_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_occurrences").desc(), "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# x74 — PMI co-occurrence (word-association mining, word2vec preprocessing)
+# ---------------------------------------------------------------------------
+
+_X74_W = 2        # skip-gram window: offsets 1..2
+_X74_MIN = 5      # min pair occurrences
+_X74_TOP = 100
+
+
+@register(
+    "x74_pmi_cooccurrence",
+    rf"""
+    WITH docs_l AS (
+        SELECT doc_id,
+               string_split_regex(LOWER(TRIM(text)), '\s+') AS l
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, unnest(l) AS tok,
+               generate_subscripts(l, 1) AS pos
+        FROM docs_l
+    ),
+    n_tok AS (SELECT COUNT(*) AS n FROM toks),
+    uni AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+    raw_pairs AS (
+        SELECT LEAST(a.tok, b.tok) AS tok_a,
+               GREATEST(a.tok, b.tok) AS tok_b
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id
+         AND b.pos - a.pos BETWEEN 1 AND {_X74_W}
+        WHERE a.tok <> b.tok
+    ),
+    np AS (SELECT COUNT(*) AS n_pairs FROM raw_pairs),
+    pairs AS (
+        SELECT tok_a, tok_b, COUNT(*) AS pair_cnt
+        FROM raw_pairs GROUP BY 1, 2
+    )
+    SELECT tok_a, tok_b, pair_cnt,
+           {r4sql("LN((pair_cnt * 1.0 / (SELECT n_pairs FROM np)) / "
+                  "((ua.cnt * 1.0 / (SELECT n FROM n_tok)) * "
+                  "(ub.cnt * 1.0 / (SELECT n FROM n_tok))))")} AS pmi
+    FROM pairs
+    JOIN uni ua ON tok_a = ua.tok
+    JOIN uni ub ON tok_b = ub.tok
+    WHERE pair_cnt >= {_X74_MIN}
+    ORDER BY pmi DESC, tok_a, tok_b
+    LIMIT {_X74_TOP}
+    """,
+    doc="EXT x74 — PMI CO-OCCURRENCE mining: token pairs within a "
+    "±2 skip-gram window scored by pointwise mutual information "
+    "ln(P(a,b)/(P(a)P(b))) — the word-association statistic behind "
+    "word2vec's preprocessing, collocation extraction, and "
+    "phrase-vocabulary induction (Mikolov et al.'s phrase pass). "
+    "Scale shape: pair generation is LINEAR array surgery, never a "
+    "positional self-join — for each offset d the token list zips "
+    "with itself shifted d (slice + arrays_zip + explode, all "
+    "codegen), so a doc of length L emits exactly (L-1)+(L-2) rows; "
+    "the unigram side is a Heaps-law-bounded vocab broadcast (same "
+    "growth argument as x33/x69 — bigram-sized tables must NOT be "
+    "force-broadcast, x62's lesson, and the pair table here is only "
+    "ever grouped, not broadcast). The DuckDB oracle uses the "
+    "quadratic positional self-join form — correct at oracle SF, "
+    "exactly the plan the Spark side is engineered to avoid.",
+    tags=("ext", "textstats", "association"),
+    late=True,
+)
+def x74_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("l"),
+    )
+    toks = docs.select(F.explode("l").alias("tok")).transform(barrier)
+
+    shifted = []
+    for off in range(1, _X74_W + 1):
+        pairs_off = (
+            docs.filter(F.size("l") > off)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.expr(f"slice(l, 1, size(l) - {off})"),
+                        F.expr(f"slice(l, {off + 1}, size(l) - {off})"),
+                    )
+                ).alias("z")
+            )
+            .select(
+                F.col("z")["0"].alias("tok_x"),
+                F.col("z")["1"].alias("tok_y"),
+            )
+        )
+        shifted.append(pairs_off)
+    raw = shifted[0]
+    for extra in shifted[1:]:
+        raw = raw.unionByName(extra)
+    raw_pairs = raw.filter(F.col("tok_x") != F.col("tok_y")).select(
+        F.least("tok_x", "tok_y").alias("tok_a"),
+        F.greatest("tok_x", "tok_y").alias("tok_b"),
+    ).transform(barrier)
+
+    n_tok = toks.agg(F.count("*").alias("n"))
+    n_pairs = raw_pairs.agg(F.count("*").alias("n_pairs"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    pairs = raw_pairs.groupBy("tok_a", "tok_b").agg(
+        F.count("*").alias("pair_cnt")
+    )
+
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("cnt").alias("cnt_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("cnt").alias("cnt_b"))
+    scored = (
+        pairs.filter(F.col("pair_cnt") >= _X74_MIN)
+        .join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "tok_a", "tok_b", "pair_cnt",
+            r4(
+                F.log(
+                    (F.col("pair_cnt") * 1.0 / F.col("n_pairs"))
+                    / (
+                        (F.col("cnt_a") * 1.0 / F.col("n"))
+                        * (F.col("cnt_b") * 1.0 / F.col("n"))
+                    )
+                )
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "tok_a", "tok_b"
+    ).limit(_X74_TOP)
