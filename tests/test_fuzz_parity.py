@@ -1,0 +1,131 @@
+"""Differential fuzzing: ONE SQL string, TWO engines.
+
+The per-query oracle pairs in the registry are hand-written twins; this
+harness closes the complementary gap — randomly generated queries over
+the shared ANSI subset (filters x group keys x aggregates x HAVING),
+executed verbatim by BOTH Spark SQL and DuckDB and compared row-by-row.
+A disagreement here means an engine-semantics assumption (null
+handling, integer division, timestamp comparison, distinct-agg
+rewrite, rounding) broke somewhere other than the queries we happened
+to write — exactly the class of bug hand-picked twins can't catch.
+
+Grammar constraints keep the strings dialect-portable:
+- integer literals only (float literal printing differs);
+- doubles cross the boundary through the same DECIMAL(38,10)->round(4)
+  canonicalization every registry oracle uses (parity.r4sql);
+- GROUP BY / ORDER BY by ordinal (alias resolution rules differ);
+- every query orders by its full group key, so row order is total.
+
+Seeds are FIXED: failures reproduce by seed number, and the corpus of
+30 shapes is stable across runs (hypothesis-style shrinking is not
+needed — the generator is small enough to read).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+
+from server_spark import tables
+from server_spark.parity import r4sql
+
+SF = "/root/testdata/sf0.001"
+EVENTS_PARQUET = f"{SF}/events.parquet"
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+AGG_POOL = (
+    "COUNT(*) AS n",
+    "COUNT(DISTINCT user_id) AS du",
+    f"{r4sql('SUM(value)')} AS sv",
+    f"{r4sql('AVG(value)')} AS av",
+    f"{r4sql('MIN(value)')} AS mn",
+    f"{r4sql('MAX(value)')} AS mx",
+)
+
+KEY_POOL = ("event_type", "user_id % 7", "CAST(ts AS DATE)")
+
+
+def _atom(rng: random.Random) -> str:
+    kind = rng.choice(("user", "value", "type", "ts"))
+    if kind == "user":
+        op = rng.choice(("<", "<=", ">", ">=", "="))
+        return f"user_id {op} {rng.randint(0, 60)}"
+    if kind == "value":
+        return f"value {rng.choice(('<', '>'))} {rng.randint(1, 100)}"
+    if kind == "type":
+        picked = rng.sample(EVENT_TYPES, rng.randint(1, 3))
+        quoted = ", ".join(f"'{t}'" for t in sorted(picked))
+        return f"event_type IN ({quoted})"
+    day = rng.randint(2, 28)
+    op = rng.choice(("<", ">="))
+    return f"ts {op} TIMESTAMP '2024-01-{day:02d} 00:00:00'"
+
+
+def gen_sql(seed: int) -> str:
+    rng = random.Random(seed)
+    atoms = [_atom(rng) for _ in range(rng.randint(1, 3))]
+    glue = f" {rng.choice(('AND', 'OR'))} "
+    where = glue.join(f"({a})" for a in atoms)
+    keys = rng.sample(KEY_POOL, rng.randint(0, 2))
+    aggs = rng.sample(AGG_POOL, rng.randint(1, 3))
+    select = [f"{k} AS k{i}" for i, k in enumerate(keys)] + list(aggs)
+    sql = f"SELECT {', '.join(select)} FROM events WHERE {where}"
+    if keys:
+        ordinals = ", ".join(str(i + 1) for i in range(len(keys)))
+        sql += f" GROUP BY {ordinals}"
+        if rng.random() < 0.4:
+            sql += f" HAVING COUNT(*) >= {rng.randint(2, 5)}"
+        sql += f" ORDER BY {ordinals}"
+    return sql
+
+
+def _canon(rows) -> list[tuple]:
+    out = []
+    for row in rows:
+        out.append(
+            tuple(
+                float(v) if isinstance(v, float) else v for v in row
+            )
+        )
+    return out
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    ev = tables.load(spark, SF, "events")
+    ev.createOrReplaceTempView("events")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS "
+        f"SELECT * FROM read_parquet('{EVENTS_PARQUET}')"
+    )
+    yield spark, con
+    spark.catalog.dropTempView("events")
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_fuzz_sql_agrees(engines, seed):
+    spark, con = engines
+    sql = gen_sql(seed)
+    got = _canon([tuple(r) for r in spark.sql(sql).collect()])
+    want = _canon(con.execute(sql).fetchall())
+    assert len(got) == len(want), f"row count diverged for: {sql}"
+    for g, w in zip(got, want):
+        assert len(g) == len(w), sql
+        for gv, wv in zip(g, w):
+            if isinstance(gv, float) or isinstance(wv, float):
+                ok = (
+                    (gv is None and wv is None)
+                    or (
+                        gv is not None
+                        and wv is not None
+                        and math.isclose(gv, wv, rel_tol=1e-12, abs_tol=1e-9)
+                    )
+                )
+                assert ok, f"float diverged ({gv!r} vs {wv!r}) for: {sql}"
+            else:
+                assert gv == wv, f"value diverged ({gv!r} vs {wv!r}): {sql}"
