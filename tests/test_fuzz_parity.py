@@ -129,3 +129,148 @@ def test_fuzz_sql_agrees(engines, seed):
                 assert ok, f"float diverged ({gv!r} vs {wv!r}) for: {sql}"
             else:
                 assert gv == wv, f"value diverged ({gv!r} vs {wv!r}): {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Window-function grammar: frames, ranking, offsets — ordered by a
+# unique key so both engines produce identical row orders.
+# ---------------------------------------------------------------------------
+
+WIN_PART = ("event_type", "user_id % 5")
+WIN_FUNCS = (
+    "ROW_NUMBER() OVER w AS rn",
+    "RANK() OVER w AS rk",
+    "LAG(user_id) OVER w AS lg",
+    "LEAD(user_id, 2) OVER w AS ld",
+    "{r4}SUM(value) OVER w{r4c} AS ws",
+    "{r4}AVG(value) OVER w{r4c} AS wa",
+)
+WIN_FRAMES = (
+    "",
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    " ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING",
+    " ROWS BETWEEN 1 FOLLOWING AND 4 FOLLOWING",
+)
+
+
+def gen_window_sql(seed: int) -> str:
+    rng = random.Random(10_000 + seed)
+    part = rng.choice(WIN_PART)
+    frame = rng.choice(WIN_FRAMES)
+    funcs = rng.sample(WIN_FUNCS, rng.randint(1, 3))
+    if frame:
+        # a frame clause is invalid under RANK/ROW_NUMBER/LAG/LEAD
+        funcs = [f for f in funcs if "{r4}" in f] or [
+            "{r4}SUM(value) OVER w{r4c} AS ws"
+        ]
+    rendered = []
+    for f in funcs:
+        if "{r4}" in f:
+            inner = f.replace("{r4}", "").split(" AS ")
+            expr, alias = inner[0].replace("{r4c}", ""), inner[1]
+            rendered.append(f"{r4sql(expr)} AS {alias}")
+        else:
+            rendered.append(f)
+    where = _atom(rng)
+    return (
+        f"SELECT event_id, {', '.join(rendered)} FROM events "
+        f"WHERE ({where}) "
+        f"WINDOW w AS (PARTITION BY {part} ORDER BY ts, event_id{frame}) "
+        f"ORDER BY event_id"
+    )
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_window_sql_agrees(engines, seed):
+    spark, con = engines
+    sql = gen_window_sql(seed)
+    got = _canon([tuple(r) for r in spark.sql(sql).collect()])
+    want = _canon(con.execute(sql).fetchall())
+    assert len(got) == len(want), f"row count diverged for: {sql}"
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if isinstance(gv, float) or isinstance(wv, float):
+                ok = (gv is None) == (wv is None) and (
+                    gv is None
+                    or math.isclose(gv, wv, rel_tol=1e-12, abs_tol=1e-9)
+                )
+                assert ok, f"float diverged ({gv!r} vs {wv!r}) for: {sql}"
+            else:
+                assert gv == wv, f"value diverged ({gv!r} vs {wv!r}): {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Join grammar over the SHARED auctions CTE (the exact SQL string the
+# registry oracles use runs verbatim on Spark too) joined to part.
+# ---------------------------------------------------------------------------
+
+
+def gen_join_sql(seed: int) -> str:
+    from server_spark.registry import auctions_sql
+
+    rng = random.Random(20_000 + seed)
+    how = rng.choice(("JOIN", "LEFT JOIN"))
+    dim_filter = rng.choice(
+        ("p_size <= 20", "p_partkey % 3 = 0", "p_retailprice > 1200")
+    )
+    fact_filter = rng.choice(
+        ("quantity > 10", "buyout > 2000", "time_left IN ('A', 'N')")
+    )
+    agg = rng.choice(
+        (
+            "COUNT(*) AS n",
+            "COUNT(p_name) AS matched",
+            f"{r4sql('SUM(quantity)')} AS sq",
+        )
+    )
+    return auctions_sql(
+        f"""
+        SELECT time_left, {agg}
+        FROM auctions {how}
+             (SELECT p_partkey, p_name FROM part WHERE {dim_filter}) d
+             ON auctions.item = d.p_partkey
+        WHERE {fact_filter}
+        GROUP BY 1 ORDER BY 1
+        """
+    )
+
+
+@pytest.fixture(scope="module")
+def join_engines(spark):
+    for t in ("lineitem", "part"):
+        tables.load(spark, SF, t).createOrReplaceTempView(t)
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet')"
+        )
+    yield spark, con
+    for t in ("lineitem", "part"):
+        spark.catalog.dropTempView(t)
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_join_sql_agrees(join_engines, seed):
+    spark, con = join_engines
+    sql = gen_join_sql(seed)
+    got = _canon([tuple(r) for r in spark.sql(sql).collect()])
+    want = _canon(con.execute(sql).fetchall())
+    assert got == want or _float_rows_close(got, want), (
+        f"diverged for: {sql}\nspark={got}\nduck={want}"
+    )
+
+
+def _float_rows_close(a: list[tuple], b: list[tuple]) -> bool:
+    if len(a) != len(b):
+        return False
+    for ra, rb in zip(a, b):
+        if len(ra) != len(rb):
+            return False
+        for va, vb in zip(ra, rb):
+            if isinstance(va, float) and isinstance(vb, float):
+                if not math.isclose(va, vb, rel_tol=1e-12, abs_tol=1e-9):
+                    return False
+            elif va != vb:
+                return False
+    return True
