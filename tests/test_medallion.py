@@ -830,3 +830,52 @@ def test_incremental_price_histogram_gold(spark, tmp_path):
     got = est[0]["p50_est"]
     bound = math.exp(mt._HIST_W) - 1 + 1e-9
     assert abs(got - 400.0) / 400.0 <= bound, got
+
+
+def test_incremental_item_bitmap_gold(spark, tmp_path):
+    """Bitmap-gold maintenance (exact-distinct twin of the sketch
+    gold): refreshes fold ONLY new manifest batches, a no-op refresh
+    does nothing, and the incrementally maintained counts equal BOTH a
+    one-shot build and the exact COUNT(DISTINCT) — bitmaps are exact,
+    so no at-this-scale caveat."""
+    import datetime as dt
+
+    from server_spark.plans import maintenance as mt
+    from server_spark.plans import medallion as med
+
+    def dump(ts, items, realm="r1"):
+        return spark.createDataFrame(
+            [("eu", realm, ts, i, it, 500, 1, "own")
+             for i, it in enumerate(items)],
+            "region string, realm_slug string, dump_ts timestamp, "
+            "auc long, item long, buyout long, quantity long, owner string",
+        )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    t1 = t0 + dt.timedelta(hours=1)
+    # items straddle a 32k bitmap bucket boundary on purpose
+    batch0 = [100, 200, 32768 + 5]
+    batch1 = [200, 300, 32768 + 5, 65536 + 7]
+
+    inc = med.MedallionPaths(str(tmp_path / "inc"))
+    assert med.ingest_bronze_incremental(spark, dump(t0, batch0), inc) == 1
+    assert mt.refresh_item_bitmap_gold(spark, inc) == 1
+    assert mt.refresh_item_bitmap_gold(spark, inc) == 0  # already current
+    assert med.ingest_bronze_incremental(spark, dump(t1, batch1), inc) == 1
+    assert mt.refresh_item_bitmap_gold(spark, inc) == 1
+
+    full = med.MedallionPaths(str(tmp_path / "full"))
+    assert med.ingest_bronze_incremental(spark, dump(t0, batch0), full) == 1
+    assert med.ingest_bronze_incremental(spark, dump(t1, batch1), full) == 1
+    assert mt.refresh_item_bitmap_gold(spark, full) == 2
+
+    got = {
+        (r["region"], r["realm_slug"]): r["distinct_exact"]
+        for r in mt.read_item_bitmap_gold(spark, inc).collect()
+    }
+    want = {
+        (r["region"], r["realm_slug"]): r["distinct_exact"]
+        for r in mt.read_item_bitmap_gold(spark, full).collect()
+    }
+    exact = len(set(batch0) | set(batch1))
+    assert got == want == {("eu", "r1"): exact}  # == 6, exactly
