@@ -610,3 +610,76 @@ def listing_expiry_stream(stream: DataFrame, ttl_hours: int = 2) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def hot_items_stream(
+    stream: DataFrame, cap: int = 64, min_share: float = 0.05
+) -> DataFrame:
+    """Streaming HOT-KEY monitor: per (region, realm), a bounded
+    Misra-Gries summary of item listing frequencies maintained across
+    micro-batches — the streaming twin of x73's batch heavy-hitters
+    (same merge-truncate arithmetic, same N/(cap+1) undercount bound,
+    Agarwal et al. PODS'12). Each batch folds its item counts into the
+    O(cap) state and emits the items whose estimated share of ALL
+    rows seen so far exceeds ``min_share`` — the ops signal for "one
+    item is flooding this realm's dumps" (market manipulation / bot
+    listing storms) at O(cap) state per realm, where exact per-item
+    counts would grow state with the catalog.
+
+    State = (items array, counts array, total long); all logic inside
+    the closure (workers must not need server_spark importable).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "region string, realm_slug string, item long, est long, "
+        "n_seen long, max_undercount long"
+    )
+    state_schema = "items array<long>, counts array<long>, total long"
+
+    def update(key, pdfs, state, _cap=cap, _share=min_share):
+        import pandas as pd
+
+        counter: dict[int, int] = {}
+        total = 0
+        if state.exists:
+            items, counts, total = state.get
+            counter = dict(zip(items, counts))
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            total += len(pdf)
+            for item, n in pdf["item"].value_counts().items():
+                counter[item] = counter.get(item, 0) + int(n)
+            if len(counter) > _cap:
+                # MG merge-truncate: subtract the (cap+1)-th largest
+                # count everywhere, drop the non-positive tail.
+                pivot = sorted(counter.values(), reverse=True)[_cap]
+                counter = {
+                    k: v - pivot for k, v in counter.items() if v > pivot
+                }
+        state.update(
+            (list(counter), [int(v) for v in counter.values()], int(total))
+        )
+        bound = total // (_cap + 1)
+        hot = [
+            (key[0], key[1], int(it), int(est), int(total), int(bound))
+            for it, est in sorted(counter.items())
+            if est >= _share * total
+        ]
+        yield pd.DataFrame(
+            hot,
+            columns=[
+                "region", "realm_slug", "item", "est", "n_seen",
+                "max_undercount",
+            ],
+        )
+
+    base = stream.select("region", "realm_slug", "item")
+    return base.groupBy("region", "realm_slug").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

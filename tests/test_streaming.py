@@ -582,3 +582,45 @@ def test_listing_expiry_timeout_emission(spark, tmp_path):
     # its timeout moved to t2+ttl, so it must NOT appear; auction 9 is
     # newly seen and live
     assert 1 not in out and 9 not in out
+
+
+def test_streaming_hot_items(spark, tmp_path):
+    """hot_items_stream: the MG state folds across micro-batches, the
+    flooding item is flagged with an estimate inside the documented
+    undercount bound, and cold items stay silent."""
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir, exist_ok=True)
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    # batch 1: item 7 listed 30x, items 100..119 once each (50 rows)
+    rows0 = [(i, 7, 100, 1) for i in range(30)]
+    rows0 += [(100 + i, 100 + i, 100, 1) for i in range(20)]
+    _write_dump(spark, input_dir, "d0", t0, rows0)
+
+    stream = sp.hot_items_stream(
+        sp.read_auction_stream(spark, input_dir), cap=8, min_share=0.25
+    )
+    q = sp.run_to_parquet(stream, out_dir, ckpt, mode="append")
+    q.awaitTermination()
+
+    # batch 2 (resume from checkpoint): item 7 floods again
+    t1 = dt.datetime(2024, 1, 1, 11)
+    rows1 = [(1000 + i, 7, 100, 1) for i in range(25)]
+    rows1 += [(2000 + i, 300 + i, 100, 1) for i in range(25)]
+    _write_dump(spark, input_dir, "d1", t1, rows1)
+    q2 = sp.run_to_parquet(stream, out_dir, ckpt, mode="append")
+    q2.awaitTermination()
+
+    out = spark.read.parquet(out_dir).collect()
+    flagged = sorted({r["item"] for r in out})
+    assert flagged == [7]  # only the flooding item, both rounds
+    final = max(
+        (r for r in out if r["item"] == 7), key=lambda r: r["n_seen"]
+    )
+    # true count 55 of 100 rows; MG undercounts by at most N/(cap+1)
+    assert final["n_seen"] == 100
+    assert final["est"] <= 55
+    assert final["est"] >= 55 - final["max_undercount"]
+    assert final["est"] >= 0.25 * final["n_seen"]
