@@ -912,3 +912,88 @@ def x67_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.countDistinct("wmin") / F.count("*")).alias("density"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x75 — asymmetric shingle CONTAINMENT (quote/embedding detection)
+# ---------------------------------------------------------------------------
+
+_X75_MIN_CONTAIN = 0.8
+_X75_MIN_SH = 5
+
+
+@register(
+    "x75_containment_pairs",
+    rf"""
+    WITH {shingle_ctes()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_sub, b.doc_id AS doc_super,
+               COUNT(*) AS n_common
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_sub, doc_super, n_common, sa.n_sh AS n_sub,
+           {r4sql("CAST(n_common AS DOUBLE) / sa.n_sh")} AS containment,
+           {r4sql("CAST(n_common AS DOUBLE) / "
+                  "(sa.n_sh + sb.n_sh - n_common)")} AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_sub = sa.doc_id
+    JOIN sizes sb ON doc_super = sb.doc_id
+    WHERE sa.n_sh >= {_X75_MIN_SH}
+      AND CAST(n_common AS DOUBLE) / sa.n_sh >= {_X75_MIN_CONTAIN}
+    ORDER BY containment DESC, doc_sub, doc_super
+    """,
+    doc="EXT x75 — asymmetric shingle CONTAINMENT |A∩B|/|A| (Broder's "
+    "second resemblance measure): directed pairs where ≥80% of the "
+    "smaller document's word-3-grams appear in another document — the "
+    "quote/embedding/boilerplate-wrapper detector that symmetric "
+    "Jaccard (x2) structurally MISSES: a 100-word article pasted into "
+    "a 10k-word page has containment 1.0 but Jaccard ≈ 0.01, far "
+    "under any near-dup threshold, yet it is exactly the duplication "
+    "a training corpus must catch (the Lee et al. span scrub x43-x46 "
+    "attacks the same failure at substring granularity; this is the "
+    "set-level form). Shape: same inverted shingle index as x2 — one "
+    "equi-join on shingle, one hash-agg — with the directed a≠b pair "
+    "orientation; at 100 TB the identical MinHash band gate (x8) "
+    "pre-filters candidates, and hot boilerplate shingles hit the "
+    "same hot-bucket cap the x21 pipeline already applies.",
+    tags=("ext", "dedup"),
+    late=True,
+)
+def x75_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingles = ng.word_shingles(_docs(spark, sf_dir), n=3).transform(barrier)
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shingles.select(F.col("doc_id").alias("doc_sub"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("doc_super"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_sub") != F.col("doc_super"))
+        .groupBy("doc_sub", "doc_super")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_sub"), F.col("n_sh").alias("n_sub")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_super"), F.col("n_sh").alias("n_sup")
+    )
+    contain = F.col("n_common").cast("double") / F.col("n_sub")
+    return (
+        inter.join(F.broadcast(sa), "doc_sub")
+        .join(F.broadcast(sb), "doc_super")
+        .filter(
+            (F.col("n_sub") >= _X75_MIN_SH)
+            & (contain >= _X75_MIN_CONTAIN)
+        )
+        .select(
+            "doc_sub", "doc_super", "n_common", "n_sub",
+            r4(contain).alias("containment"),
+            r4(
+                F.col("n_common").cast("double")
+                / (F.col("n_sub") + F.col("n_sup") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("containment").desc(), "doc_sub", "doc_super")
+    )

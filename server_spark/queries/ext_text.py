@@ -2013,3 +2013,57 @@ def x74_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pmi").desc(), "tok_a", "tok_b"
     ).limit(_X74_TOP)
+
+
+# ---------------------------------------------------------------------------
+# x76 — k-anonymity audit (quasi-identifier group sizes)
+# ---------------------------------------------------------------------------
+
+_X76_K = 5
+_X76_LEN_BUCKET = 100
+
+
+@register(
+    "x76_k_anonymity",
+    rf"""
+    WITH groups AS (
+        SELECT lang, source,
+               CAST(FLOOR(n_chars / {_X76_LEN_BUCKET}) AS BIGINT)
+                   AS len_bucket,
+               COUNT(*) AS group_size
+        FROM documents
+        GROUP BY 1, 2, 3
+    )
+    SELECT lang, source, len_bucket, group_size,
+           group_size < {_X76_K} AS at_risk
+    FROM groups
+    ORDER BY lang, source, len_bucket
+    """,
+    doc="EXT x76 — K-ANONYMITY audit (Sweeney 2002) over the corpus "
+    "metadata: every quasi-identifier combination (lang, source, "
+    "length bucket) with fewer than k=5 members marks documents a "
+    "release would expose to re-identification by metadata joining — "
+    "the data-governance gate that runs BESIDE the x26 PII scrub "
+    "(x26 redacts direct identifiers; this catches the indirect ones "
+    "a scrub can't see). Shape: one map-side-combinable hash-agg "
+    "over a 3-column pruned scan; at 100 TB the follow-up "
+    "(suppress/generalize the at-risk rows) is a broadcast semi-join "
+    "of the tiny at-risk group list back against the corpus.",
+    tags=("ext", "textstats", "governance"),
+    late=True,
+)
+def x76_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    groups = (
+        _docs(spark, sf_dir)
+        .groupBy(
+            "lang", "source",
+            F.floor(F.col("n_chars") / _X76_LEN_BUCKET)
+            .cast("bigint")
+            .alias("len_bucket"),
+        )
+        .agg(F.count("*").alias("group_size"))
+    )
+    return groups.select(
+        "lang", "source", "len_bucket", "group_size",
+        (F.col("group_size") < _X76_K).alias("at_risk"),
+    ).orderBy("lang", "source", "len_bucket")
