@@ -1850,7 +1850,13 @@ def x73_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 state = state - pivot
                 state = state[state > 0]
         yield pd.DataFrame(
-            {"token": state.index, "est": state.astype("int64").values}
+            {
+                # empty-state guard: an empty Series has an int64
+                # RangeIndex, which Arrow rejects against the string
+                # column type — force object dtype either way
+                "token": state.index.to_numpy(dtype=object),
+                "est": state.astype("int64").to_numpy(),
+            }
         )
 
     summaries = toks.mapInPandas(mg_summaries, schema="token string, est long")

@@ -274,3 +274,60 @@ def _float_rows_close(a: list[tuple], b: list[tuple]) -> bool:
             elif va != vb:
                 return False
     return True
+
+
+# ---------------------------------------------------------------------------
+# The canonicalization itself: r4 (Spark) vs r4sql (DuckDB) must agree
+# EXACTLY — every oracle pair in the registry leans on this.
+# ---------------------------------------------------------------------------
+
+
+def test_fuzz_r4_canonicalization_agrees(spark):
+    from pyspark.sql import functions as F
+
+    from server_spark.parity import r4
+
+    rng = random.Random(424242)
+    vals = []
+    # adversarial: exact half-boundary neighborhoods at round-4, the
+    # documented Spark-vs-DuckDB ROUND disagreement case, and the
+    # magnitudes where the old non-string-routed form diverged
+    # (DuckDB's scaled-double DECIMAL conversions, |v| >= ~3e10)
+    for base in (0.00005, 1730.94675, 2.5e-5, 99999.99995):
+        for k in range(-3, 4):
+            vals.append(base + k * 1e-9)
+    vals += [
+        1730.9467499999998,
+        307794418252.46313,
+        -530120450460.8,
+        4335052857815.997,
+        -15484872424894.498,
+    ]
+    # broad magnitudes, both signs — the full contract range
+    for _ in range(2000):
+        mag = 10 ** rng.uniform(-8, 14)
+        vals.append(rng.choice((-1, 1)) * rng.random() * mag)
+
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, v double"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in sdf.select("i", r4(F.col("v")).alias("c")).collect()
+    }
+
+    con = duckdb.connect()
+    con.register(
+        "vals",
+        __import__("pandas").DataFrame({"i": range(len(vals)), "v": vals}),
+    )
+    want = dict(
+        con.execute(f"SELECT i, {r4sql('v')} AS c FROM vals").fetchall()
+    )
+
+    diverged = {
+        i: (got[i], want[i], vals[i])
+        for i in got
+        if got[i] != want[i]
+    }
+    assert not diverged, f"r4 canonicalization diverged: {diverged}"
