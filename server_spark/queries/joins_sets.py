@@ -1000,3 +1000,54 @@ def j12_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("time_left")
     )
+
+
+# ---------------------------------------------------------------------------
+# A23 — sketch ALGEBRA: owner-set overlap across tiers via HLL
+# inclusion-exclusion (no exact distinct shuffle, mergeable inputs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a23_sketch_overlap",
+    None,  # HLL estimates are engine-specific — rows-only; the
+    # inclusion-exclusion error bound is pinned by pytest against the
+    # exact overlap (tests/test_extensions.py)
+    doc="A23 — sketch-algebra OVERLAP estimation: for every pair of "
+    "time_left tiers, the estimated number of owners active in BOTH, "
+    "via HLL inclusion-exclusion |A∩B| ≈ est(A)+est(B)−est(A∪B) — "
+    "answered entirely from the a17 gold's stored per-tier sketches "
+    "(union is hll_union, one tiny pairwise cross of K sketch rows), "
+    "so the cross-tier overlap dashboard never rescans history. "
+    "Intersection error grows with |A∪B|·ε (not |A∩B|·ε) — the "
+    "documented HLL caveat: fine for 'do these tiers share most "
+    "sellers', wrong tool for tiny intersections of huge sets (exact "
+    "bitmap golds — a22 — cover that case for integer keys). "
+    "Negative estimates from error cancellation clamp to 0.",
+    tags=("agg", "sketch", "rows-only"),
+    late=True,
+)
+def a23_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    live = auctions(spark, sf_dir)
+    sketches = live.groupBy("time_left").agg(
+        F.hll_sketch_agg("owner", F.lit(12)).alias("sk")
+    ).transform(barrier)  # K rows (one per tier), reused three ways
+    a = sketches.select(
+        F.col("time_left").alias("tier_a"), F.col("sk").alias("sk_a")
+    )
+    b = sketches.select(
+        F.col("time_left").alias("tier_b"), F.col("sk").alias("sk_b")
+    )
+    pairs = a.join(b, F.col("tier_a") < F.col("tier_b"))
+    est_a = F.hll_sketch_estimate("sk_a")
+    est_b = F.hll_sketch_estimate("sk_b")
+    est_u = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    return pairs.select(
+        "tier_a", "tier_b",
+        est_a.alias("est_owners_a"),
+        est_b.alias("est_owners_b"),
+        est_u.alias("est_owners_union"),
+        F.greatest(
+            F.lit(0).cast("long"), est_a + est_b - est_u
+        ).alias("est_owners_both"),
+    ).orderBy("tier_a", "tier_b")

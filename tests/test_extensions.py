@@ -602,3 +602,28 @@ def test_a20_pagerank_matches_reference(spark, sf_dir):
     want = {v: round(r[v] * n, 4) for v in nodes}
     assert got == want
     assert abs(sum(r.values()) - 1.0) < 1e-9
+
+
+def test_a23_sketch_overlap_error_bound(spark, sf_dir):
+    """a23: HLL inclusion-exclusion overlap estimates land within the
+    union-scaled error envelope of the exact per-pair overlaps."""
+    import server_spark.queries.joins_sets as js
+
+    got = {
+        (r["tier_a"], r["tier_b"]): r
+        for r in js.a23_sketch_overlap(spark, sf_dir).collect()
+    }
+    live = js.auctions(spark, sf_dir).select("time_left", "owner").distinct()
+    sets: dict[str, set] = {}
+    for r in live.collect():
+        sets.setdefault(r["time_left"], set()).add(r["owner"])
+    assert got, "no tier pairs"
+    for (ta, tb), row in got.items():
+        exact_both = len(sets[ta] & sets[tb])
+        union = len(sets[ta] | sets[tb])
+        # lg_k=12 → relative standard error ~1.6%; the intersection
+        # inherits ~3x union-scaled error terms. 5 sigma + slack.
+        tol = max(10, int(0.08 * union))
+        assert abs(row["est_owners_both"] - exact_both) <= tol, (
+            (ta, tb, row["est_owners_both"], exact_both, union)
+        )

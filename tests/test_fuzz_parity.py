@@ -331,3 +331,36 @@ def test_fuzz_r4_canonicalization_agrees(spark):
         if got[i] != want[i]
     }
     assert not diverged, f"r4 canonicalization diverged: {diverged}"
+
+
+# ---------------------------------------------------------------------------
+# Set-operation grammar: UNION / EXCEPT / INTERSECT, distinct and ALL
+# forms — bag semantics (multiplicity handling) is a classic place for
+# engines to disagree.
+# ---------------------------------------------------------------------------
+
+SETOPS = (
+    "UNION", "UNION ALL", "EXCEPT", "EXCEPT ALL",
+    "INTERSECT", "INTERSECT ALL",
+)
+
+
+def gen_setop_sql(seed: int) -> str:
+    rng = random.Random(30_000 + seed)
+    op = rng.choice(SETOPS)
+    cols = "event_type, user_id % 4 AS ub"
+    left = f"SELECT {cols} FROM events WHERE ({_atom(rng)})"
+    right = f"SELECT {cols} FROM events WHERE ({_atom(rng)})"
+    return (
+        f"SELECT * FROM (({left}) {op} ({right})) t "
+        f"ORDER BY 1, 2"
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_setop_sql_agrees(engines, seed):
+    spark, con = engines
+    sql = gen_setop_sql(seed)
+    got = sorted(tuple(r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want, f"set-op diverged for: {sql}"
