@@ -364,3 +364,49 @@ def test_fuzz_setop_sql_agrees(engines, seed):
     got = sorted(tuple(r) for r in spark.sql(sql).collect())
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert got == want, f"set-op diverged for: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function grammar: string surgery and domain-safe math — the
+# per-row expression layer every query leans on.
+# ---------------------------------------------------------------------------
+
+SCALAR_EXPRS = (
+    "LENGTH(event_type) AS e1",
+    "UPPER(event_type) AS e2",
+    "SUBSTR(event_type, 2, 3) AS e3",
+    "CONCAT(event_type, '_', CAST(user_id % 7 AS STRING)) AS e4",
+    "TRIM(CONCAT(' ', event_type, ' ')) AS e5",
+    "REPLACE(event_type, 'c', 'K') AS e6",
+    "ABS(user_id - 30) AS e7",
+    "{r4}LN(ABS(value) + 1){r4c} AS e8",
+    "{r4}SQRT(ABS(value)){r4c} AS e9",
+    "{r4}FLOOR(value * 10) / 4{r4c} AS e10",
+    "GREATEST(user_id % 5, 2) AS e11",
+    "COALESCE(NULLIF(event_type, 'error'), 'scrubbed') AS e12",
+)
+
+
+def gen_scalar_sql(seed: int) -> str:
+    rng = random.Random(40_000 + seed)
+    picked = rng.sample(SCALAR_EXPRS, rng.randint(2, 4))
+    rendered = []
+    for e in picked:
+        if "{r4}" in e:
+            expr, alias = e.replace("{r4}", "").split(" AS ")
+            rendered.append(f"{r4sql(expr.replace('{r4c}', ''))} AS {alias}")
+        else:
+            rendered.append(e)
+    return (
+        f"SELECT event_id, {', '.join(rendered)} FROM events "
+        f"WHERE ({_atom(rng)}) ORDER BY event_id LIMIT 200"
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_scalar_sql_agrees(engines, seed):
+    spark, con = engines
+    sql = gen_scalar_sql(seed)
+    got = _canon([tuple(r) for r in spark.sql(sql).collect()])
+    want = _canon(con.execute(sql).fetchall())
+    assert _float_rows_close(got, want), f"scalar diverged for: {sql}"

@@ -605,3 +605,63 @@ def test_rolling_median_and_ewma_invariants(spark, vals):
     if len(set(vals)) == 1:
         assert all(abs(r["rolling_median"] - vals[0]) < 1e-4 for r in med)
         assert all(abs(r["ewma"] - vals[0]) < 1e-4 for r in ew)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries merge-truncate lemma (x73 / hot_items_stream math)
+# ---------------------------------------------------------------------------
+#
+# Both MG implementations (x73's pandas-Series batch fold, the
+# streaming dict fold) are closures pickled by value, so this pins the
+# LEMMA they rely on — per-partition summaries folded by batch
+# value-counts + "subtract the (cap+1)-th largest, drop <=0", then
+# merged by plain addition, (a) never overcount, (b) undercount by at
+# most N/(cap+1), hence (c) candidate sets thresholded with that
+# margin are supersets of the true heavy hitters. The closures
+# themselves are exercised end-to-end by the x73 oracle parity and
+# test_streaming_hot_items.
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _mg_fold(stream: list[int], cap: int, batch: int) -> dict[int, int]:
+    state: Counter = Counter()
+    for i in range(0, len(stream), batch):
+        state.update(stream[i : i + batch])
+        if len(state) > cap:
+            pivot = sorted(state.values(), reverse=True)[cap]
+            state = Counter(
+                {k: v - pivot for k, v in state.items() if v > pivot}
+            )
+    return dict(state)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.lists(st.integers(0, 30), min_size=1, max_size=400),
+    cap=st.integers(2, 12),
+    n_parts=st.integers(1, 5),
+    batch=st.integers(1, 64),
+)
+def test_misra_gries_merge_bound(data, cap, n_parts, batch):
+    true = Counter(data)
+    n = len(data)
+    # partition the stream, fold each partition, merge by addition —
+    # exactly the x73 topology (mapInPandas per partition -> groupBy sum)
+    merged: Counter = Counter()
+    step = max(1, (n + n_parts - 1) // n_parts)
+    for i in range(0, n, step):
+        merged.update(_mg_fold(data[i : i + step], cap, batch))
+    err = n / (cap + 1)
+    for k, true_cnt in true.items():
+        est = merged.get(k, 0)
+        assert est <= true_cnt, (k, est, true_cnt)
+        assert est >= true_cnt - err, (k, est, true_cnt, err)
+    # superset guarantee at any threshold above the error bound
+    thr = err + 1
+    heavy = {k for k, c in true.items() if c >= thr}
+    cands = {k for k, c in merged.items() if c >= thr - err}
+    assert heavy <= cands, (heavy - cands, thr, err)
