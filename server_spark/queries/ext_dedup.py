@@ -967,11 +967,23 @@ def x75_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = shingles.select(F.col("doc_id").alias("doc_sub"), "shingle")
     b = shingles.select(F.col("doc_id").alias("doc_super"), "shingle")
-    inter = (
+    # |A∩B| is symmetric: join/agg the UNDIRECTED a<b pair space once
+    # (half the work of the oracle's directed a<>b form), then emit
+    # both orientations of each intersection row — containment is
+    # direction-specific only through the size join below.
+    undirected = (
         a.join(b, "shingle")
-        .filter(F.col("doc_sub") != F.col("doc_super"))
+        .filter(F.col("doc_sub") < F.col("doc_super"))
         .groupBy("doc_sub", "doc_super")
         .agg(F.count("*").alias("n_common"))
+        .transform(barrier)
+    )
+    inter = undirected.unionByName(
+        undirected.select(
+            F.col("doc_super").alias("doc_sub"),
+            F.col("doc_sub").alias("doc_super"),
+            "n_common",
+        )
     )
     sa = sizes.select(
         F.col("doc_id").alias("doc_sub"), F.col("n_sh").alias("n_sub")
