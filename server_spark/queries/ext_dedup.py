@@ -1009,3 +1009,143 @@ def x75_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("containment").desc(), "doc_sub", "doc_super")
     )
+
+
+# ---------------------------------------------------------------------------
+# x77 — winnowing-GATED near-dup (fingerprint-join candidates with the
+# MOSS guarantee, exact verify)
+# ---------------------------------------------------------------------------
+
+_X77_JACCARD = 0.5
+
+
+@register(
+    "x77_winnowing_neardup",
+    rf"""
+    WITH w AS (
+        SELECT doc_id,
+               generate_subscripts(string_split_regex(LOWER(TRIM(text)), '\s+'), 1) AS pos,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS word
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, pos,
+               word || ' ' || LEAD(word, 1) OVER win || ' ' || LEAD(word, 2) OVER win AS shingle,
+               LEAD(word, 2) OVER win AS last2
+        FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        FROM g WHERE last2 IS NOT NULL
+    ),
+    winmin AS (
+        SELECT doc_id, rn,
+               MIN(h) OVER (
+                   PARTITION BY doc_id ORDER BY rn
+                   ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW
+               ) AS wmin
+        FROM sh
+    ),
+    prints AS (
+        SELECT DISTINCT doc_id, wmin FROM winmin WHERE rn >= {_WINNOW_W}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM prints a JOIN prints b
+          ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+    ),
+    vals AS (SELECT DISTINCT doc_id, h FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM vals GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cands c
+        JOIN vals va ON va.doc_id = c.doc_a
+        JOIN vals vb ON vb.doc_id = c.doc_b AND vb.h = va.h
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           {r4sql("CAST(n_common AS DOUBLE) / "
+                  "(sa.n_sh + sb.n_sh - n_common)")} AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+          >= {_X77_JACCARD}
+    ORDER BY doc_a, doc_b
+    """,
+    doc="EXT x77 — winnowing-GATED near-dup: candidate pairs come from "
+    "a fingerprint equi-join over x67's winnowing prints (expected "
+    f"density 2/(w+1) ≈ {2/(_WINNOW_W+1):.2f} of shingles), then ONLY "
+    "candidates are exact-Jaccard-verified over their distinct hashed "
+    "shingle sets — the third candidate generator beside MinHash "
+    "banding (x8, probabilistic S-curve) and the full inverted index "
+    "(x2, exact but quadratic in posting lists), with winnowing's "
+    "DETERMINISTIC guarantee: any shared run of ≥ w+k−1 words shares "
+    "a print, so long verbatim overlaps can never be missed the way "
+    "an unlucky MinHash draw can miss them. Shape: prints are ~4x "
+    "sparser than shingles so the candidate join's posting lists "
+    "shrink accordingly; verification is candidate-gated (two joins "
+    "keyed on the pair docs' hash sets); same hot-bucket-cap posture "
+    "as x8 applies to pathological boilerplate prints at 100 TB.",
+    tags=("ext", "dedup"),
+    late=True,
+)
+def x77_winnowing_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    grams = _docs(spark, sf_dir).select(
+        "doc_id", ng.split_words("text").alias("_words")
+    ).select(
+        "doc_id",
+        F.posexplode(
+            ng.shingle_array("_words", 3, distinct=False)
+        ).alias("pos", "shingle"),
+    )
+    hashed = grams.select(
+        "doc_id",
+        (F.col("pos") + 1).alias("rn"),
+        mh.md5_value(F.col("shingle")).alias("h"),
+    ).transform(barrier)  # feeds prints AND the verify value sets
+
+    roll = Window.partitionBy("doc_id").orderBy("rn").rowsBetween(
+        -(_WINNOW_W - 1), 0
+    )
+    prints = (
+        hashed.withColumn("wmin", F.min("h").over(roll))
+        .filter(F.col("rn") >= _WINNOW_W)
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    pa = prints.select(F.col("doc_id").alias("doc_a"), "wmin")
+    pb = prints.select(F.col("doc_id").alias("doc_b"), "wmin")
+    cands = (
+        pa.join(pb, "wmin")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    vals = hashed.select("doc_id", "h").distinct().transform(barrier)
+    sizes = vals.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    va = vals.select(F.col("doc_id").alias("doc_a"), "h")
+    vb = vals.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cands.join(va, "doc_a")
+        .join(vb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= _X77_JACCARD)
+        .select("doc_a", "doc_b", "n_common", r4(jac).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
