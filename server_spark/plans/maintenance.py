@@ -684,3 +684,121 @@ def read_item_bitmap_gold(spark, paths):
     return count_distinct_exact(
         spark.read.parquet(data_dir), ["region", "realm_slug"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HEAVY-HITTER summaries (incremental top-item upkeep)
+# ---------------------------------------------------------------------------
+#
+# The fourth mergeable gold beside HLL distinct (approx), bitmaps
+# (exact distinct) and log-histograms (percentiles): a Misra-Gries
+# summary of per-item listing counts. Per-batch EXACT counts (bounded
+# by the batch's distinct items) fold into the standing summary by
+# plain addition, then truncate to capacity by subtracting the
+# (cap+1)-th largest count — the PODS'12 mergeable-summaries step, so
+# the standing estimate undercounts any item by at most
+# N_total/(cap+1) regardless of how history was split into refreshes.
+# Every item with true share above that bound is guaranteed present.
+
+_MG_CAP = 256
+
+
+def _mg_truncate(df: DataFrame, cap: int = _MG_CAP) -> DataFrame:
+    """Keep <=cap rows: subtract the (cap+1)-th largest est, drop the
+    non-positive tail. A no-op when the table is already within cap
+    (pivot is NULL -> coalesce 0)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("est").desc())
+    ranked = df.withColumn("_rk", F.row_number().over(w))
+    pivot = ranked.filter(F.col("_rk") == cap + 1).select(
+        F.col("est").alias("_pivot")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(pivot.groupBy().agg(
+            F.coalesce(F.max("_pivot"), F.lit(0)).alias("_pivot")
+        )))
+        .select("item", (F.col("est") - F.col("_pivot")).alias("est"))
+        .filter(F.col("est") > 0)
+    )
+
+
+def refresh_hot_items_gold(spark, paths, cap: int = _MG_CAP) -> int:
+    """Incrementally maintain the HOT-ITEMS gold (Misra-Gries summary
+    of listing counts) from the medallion commit log — same watermark
+    sidecar + aside-swap durability as the other mergeable golds.
+    Returns batches folded (0 = already current). The summary table
+    additionally carries a `_total` sidecar so readers can compute the
+    undercount bound N/(cap+1)."""
+    import json as _json
+
+    from server_spark.plans.medallion import load_manifest
+
+    gold_dir = os.path.join(paths.root, "gold", "hot_items")
+    wm_file = os.path.join(gold_dir, "_watermark")
+    data_dir = os.path.join(gold_dir, "summary")
+    aside = f"{data_dir}.old"
+
+    manifest = load_manifest(spark, paths)
+    last, total = 0, 0
+    if os.path.exists(wm_file):
+        with open(wm_file) as fh:
+            wm = _json.load(fh)
+            last, total = wm["batch_id"], wm.get("n_rows", 0)
+    new_keys = manifest.filter(F.col("batch_id") > last)
+    n_batches = new_keys.select("batch_id").distinct().count()
+    if n_batches == 0:
+        return 0
+    hi = new_keys.agg(F.max("batch_id")).first()[0]
+
+    fresh = spark.read.parquet(paths.bronze).join(
+        F.broadcast(new_keys.select("region", "realm_slug", "dump_ts")),
+        ["region", "realm_slug", "dump_ts"],
+        "left_semi",
+    )
+    batch_counts = fresh.groupBy("item").agg(F.count("*").alias("est"))
+    n_new = fresh.count()  # bounded: one increment's rows
+
+    if os.path.exists(aside):  # heal a crash between the swap renames
+        if os.path.exists(data_dir):
+            shutil.rmtree(aside)
+        else:
+            os.rename(aside, data_dir)
+    if os.path.exists(data_dir):
+        standing = spark.read.parquet(data_dir)
+        merged = (
+            standing.unionByName(batch_counts)
+            .groupBy("item")
+            .agg(F.sum("est").alias("est"))
+        )
+    else:
+        merged = batch_counts
+    summary = _mg_truncate(merged, cap)
+
+    tmp = f"{data_dir}.tmp.{os.getpid()}"
+    summary.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if os.path.exists(data_dir):
+        os.rename(data_dir, aside)
+    os.replace(tmp, data_dir)
+    if os.path.exists(aside):
+        shutil.rmtree(aside)
+    os.makedirs(gold_dir, exist_ok=True)
+    with open(wm_file, "w") as fh:
+        _json.dump(
+            {"batch_id": int(hi), "n_rows": int(total + n_new)}, fh
+        )
+    return n_batches
+
+
+def read_hot_items_gold(spark, paths):
+    """Standing hot-item estimates plus the guaranteed undercount
+    bound (N_total/(cap+1)) as a column."""
+    import json as _json
+
+    gold_dir = os.path.join(paths.root, "gold", "hot_items")
+    with open(os.path.join(gold_dir, "_watermark")) as fh:
+        total = _json.load(fh).get("n_rows", 0)
+    bound = total // (_MG_CAP + 1)
+    return spark.read.parquet(os.path.join(gold_dir, "summary")).select(
+        "item", "est", F.lit(bound).alias("max_undercount")
+    )

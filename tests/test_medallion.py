@@ -879,3 +879,43 @@ def test_incremental_item_bitmap_gold(spark, tmp_path):
     }
     exact = len(set(batch0) | set(batch1))
     assert got == want == {("eu", "r1"): exact}  # == 6, exactly
+
+
+def test_incremental_hot_items_gold(spark, tmp_path):
+    """Hot-items gold (mergeable Misra-Gries): refreshes fold only new
+    batches, the flooding item survives with an estimate inside the
+    undercount bound, and a no-op refresh does nothing."""
+    import datetime as dt
+
+    from server_spark.plans import maintenance as mt
+    from server_spark.plans import medallion as med
+
+    def dump(ts, items, realm="r1"):
+        return spark.createDataFrame(
+            [("eu", realm, ts, i, it, 500, 1, "own")
+             for i, it in enumerate(items)],
+            "region string, realm_slug string, dump_ts timestamp, "
+            "auc long, item long, buyout long, quantity long, owner string",
+        )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    t1 = t0 + dt.timedelta(hours=1)
+    batch0 = [7] * 40 + list(range(100, 130))      # 70 rows, item 7 hot
+    batch1 = [7] * 25 + list(range(300, 305))      # 30 rows
+
+    paths = med.MedallionPaths(str(tmp_path / "lake"))
+    assert med.ingest_bronze_incremental(spark, dump(t0, batch0), paths) == 1
+    assert mt.refresh_hot_items_gold(spark, paths, cap=16) == 1
+    assert mt.refresh_hot_items_gold(spark, paths, cap=16) == 0
+    assert med.ingest_bronze_incremental(spark, dump(t1, batch1), paths) == 1
+    assert mt.refresh_hot_items_gold(spark, paths, cap=16) == 1
+
+    rows = {r["item"]: r for r in mt.read_hot_items_gold(spark, paths).collect()}
+    assert 7 in rows
+    est, bound = rows[7]["est"], rows[7]["max_undercount"]
+    true = 65
+    assert est <= true
+    assert est >= true - max(bound, 100 // 17 + 1)
+    # exact per-batch counts merged with one truncation: every stored
+    # estimate is a lower bound on its true count
+    assert all(r["est"] <= 65 for r in rows.values())
