@@ -314,3 +314,72 @@ def f13_variant_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("long").alias("k_max"),
         r4(F.sum("value")).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F14 — higher-order array functions (lambda surface over collected lists)
+# ---------------------------------------------------------------------------
+
+_F14_OWNERS = 25
+_F14_BIG = 5000.0
+
+
+@register(
+    "f14_array_hof",
+    auctions_sql(
+        f"""
+        , per_owner AS (
+            SELECT owner, list_sort(list(buyout)) AS prices
+            FROM auctions WHERE owner <= {_F14_OWNERS}
+            GROUP BY owner
+        )
+        SELECT owner,
+               len(prices) AS n_prices,
+               len(list_filter(prices, x -> x > {_F14_BIG})) AS n_big,
+               {r4sql(f"list_sum(list_transform(prices, x -> x * 0.95))")}
+                   AS fee_adjusted_total,
+               {r4sql("list_sum(prices[1:3])")} AS cheapest3_sum
+        FROM per_owner
+        ORDER BY owner
+        """
+    ),
+    doc="F14 — the HIGHER-ORDER-FUNCTION surface as a named query: "
+    "per-owner price lists manipulated with lambda builtins — "
+    "filter(x -> x > t) for threshold counting, transform + aggregate "
+    "for a fee-adjusted total, slice + aggregate for a cheapest-k "
+    "sum — all evaluated INSIDE whole-stage codegen on the JVM, the "
+    "idiomatic Spark replacement for every per-row Python loop the "
+    "reference runs over its aucList arrays (x3/x22/x74 use the same "
+    "primitives inside similarity kernels; this query pins the "
+    "surface itself against DuckDB's list_* lambda family). Arrays "
+    "are sorted before any float fold so both engines reduce in the "
+    "identical order.",
+    tags=("function", "array", "hof"),
+    late=True,
+)
+def f14_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.sources.synthetic import auctions
+
+    per_owner = (
+        auctions(spark, sf_dir)
+        .filter(F.col("owner") <= _F14_OWNERS)
+        .groupBy("owner")
+        .agg(F.array_sort(F.collect_list("buyout")).alias("prices"))
+    )
+    fee_total = F.aggregate(
+        F.transform(F.col("prices"), lambda x: x * 0.95),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cheap3 = F.aggregate(
+        F.slice(F.col("prices"), 1, 3), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return per_owner.select(
+        "owner",
+        F.size("prices").alias("n_prices"),
+        F.size(
+            F.filter(F.col("prices"), lambda x: x > _F14_BIG)
+        ).alias("n_big"),
+        r4(fee_total).alias("fee_adjusted_total"),
+        r4(cheap3).alias("cheapest3_sum"),
+    ).orderBy("owner")
