@@ -1666,3 +1666,85 @@ def t22_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("transitions") * 1.0 / F.sum("transitions").over(wt)
         ).alias("p"),
     ).orderBy("event_type", "next_type")
+
+
+# ---------------------------------------------------------------------------
+# T24 — behavioral sequence similarity (trajectory-similarity analog)
+# ---------------------------------------------------------------------------
+
+_T24_USERS = 40     # blocked pair space: first N users
+_T24_SEQ_LEN = 50   # first K events per user
+_T24_TOP = 25
+
+
+@register(
+    "t24_sequence_similarity",
+    rf"""
+    WITH seqs AS (
+        SELECT user_id,
+               substr(string_agg(substr(event_type, 1, 1), ''
+                                 ORDER BY ts, event_id),
+                      1, {_T24_SEQ_LEN}) AS seq
+        FROM events
+        WHERE user_id < {_T24_USERS}
+        GROUP BY user_id
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           levenshtein(a.seq, b.seq) AS edit_dist,
+           {r4sql("1.0 - levenshtein(a.seq, b.seq) * 1.0 / "
+                  "GREATEST(LENGTH(a.seq), LENGTH(b.seq))")} AS similarity
+    FROM seqs a JOIN seqs b ON a.user_id < b.user_id
+    ORDER BY similarity DESC, user_a, user_b
+    LIMIT {_T24_TOP}
+    """,
+    doc="T24 (EXT analytics) — BEHAVIORAL SEQUENCE similarity: each "
+    "user's event history becomes an ordered type-initial string "
+    "(capped at 50 steps), and user pairs are scored by normalized "
+    "edit distance — the trajectory-similarity workload (REPOSE ICDE "
+    "'21 family) on the engine's own event stream: 'which users "
+    "behave alike' feeds cohorting, bot-ring detection and "
+    "look-alike audiences. Shape: sequence assembly is one user-keyed "
+    "sort-agg (same exchange sessionization pays); the pair space is "
+    "BLOCKED (gated user subset here; at scale, block by an LSH over "
+    "k-gram profiles exactly like x56 blocks on name tokens, or "
+    "band by the x8 machinery over sequence shingles) so the "
+    "quadratic edit-distance zone is per-block, never corpus-wide; "
+    "levenshtein evaluates JVM-side (no UDF).",
+    tags=("ext", "timeseries", "similarity"),
+    late=True,
+)
+def t24_sequence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < _T24_USERS)
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+        )
+    )
+    seqs = (
+        ev.groupBy("user_id")
+        .agg(ordered.alias("evs"))
+        .select(
+            "user_id",
+            F.substring(
+                F.array_join(
+                    F.transform(F.col("evs"), lambda x: x["c"]), ""
+                ),
+                1,
+                _T24_SEQ_LEN,
+            ).alias("seq"),
+        )
+    )
+    a = seqs.select(F.col("user_id").alias("user_a"), F.col("seq").alias("sa"))
+    b = seqs.select(F.col("user_id").alias("user_b"), F.col("seq").alias("sb"))
+    pairs = a.join(b, F.col("user_a") < F.col("user_b"))
+    dist = F.levenshtein("sa", "sb")
+    sim = 1.0 - dist * 1.0 / F.greatest(F.length("sa"), F.length("sb"))
+    return (
+        pairs.select(
+            "user_a", "user_b",
+            dist.alias("edit_dist"),
+            r4(sim).alias("similarity"),
+        )
+        .orderBy(F.col("similarity").desc(), "user_a", "user_b")
+        .limit(_T24_TOP)
+    )
