@@ -1051,3 +1051,70 @@ def a23_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"), est_a + est_b - est_u
         ).alias("est_owners_both"),
     ).orderBy("tier_a", "tier_b")
+
+
+# ---------------------------------------------------------------------------
+# A24 — market concentration (Herfindahl–Hirschman index per item)
+# ---------------------------------------------------------------------------
+
+_A24_MIN_LISTINGS = 20
+
+
+@register(
+    "a24_market_concentration",
+    auctions_sql(
+        f"""
+        , owner_vol AS (
+            SELECT item, owner, SUM(quantity) AS q
+            FROM auctions GROUP BY item, owner
+        ),
+        item_tot AS (
+            SELECT item, SUM(q) AS tot, COUNT(*) AS n_owners
+            FROM owner_vol GROUP BY item
+        )
+        SELECT ov.item AS item, it.n_owners AS n_owners,
+               {r4sql("SUM((ov.q * 1.0 / it.tot) * (ov.q * 1.0 / it.tot))")}
+                   AS hhi,
+               {r4sql("MAX(ov.q) * 1.0 / ANY_VALUE(it.tot)")}
+                   AS top_owner_share
+        FROM owner_vol ov JOIN item_tot it ON ov.item = it.item
+        WHERE it.tot >= {_A24_MIN_LISTINGS}
+        GROUP BY ov.item, it.n_owners
+        ORDER BY hhi DESC, item
+        """
+    ),
+    doc="A24 (EXT analytics) — MARKET CONCENTRATION per item: the "
+    "Herfindahl–Hirschman index Σ share² over seller quantity shares "
+    "plus the top seller's share — the monopoly-detection metric an "
+    "auction-house operator watches (HHI → 1 means one seller "
+    "controls the item; pairs with a19's Pareto view of revenue "
+    "concentration across ITEMS by measuring concentration across "
+    "SELLERS within an item). Shape: two stacked hash-aggs on "
+    "(item, owner) then item — the second rides the first's "
+    "partitioning prefix, and the share arithmetic is pure codegen; "
+    "nothing beyond the one fact scan.",
+    tags=("ext", "agg"),
+    late=True,
+)
+def a24_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    owner_vol = (
+        auctions(spark, sf_dir)
+        .groupBy("item", "owner")
+        .agg(F.sum("quantity").alias("q"))
+    )
+    item_tot = owner_vol.groupBy("item").agg(
+        F.sum("q").alias("tot"), F.count("*").alias("n_owners")
+    )
+    share = F.col("q") * 1.0 / F.col("tot")
+    return (
+        owner_vol.join(item_tot, "item")
+        .filter(F.col("tot") >= _A24_MIN_LISTINGS)
+        .groupBy("item", "n_owners")
+        .agg(
+            r4(F.sum(share * share)).alias("hhi"),
+            r4(F.max("q") * 1.0 / F.any_value("tot")).alias(
+                "top_owner_share"
+            ),
+        )
+        .orderBy(F.col("hhi").desc(), "item")
+    )
