@@ -499,3 +499,64 @@ def test_fuzz_datetime_sql_agrees(engines, seed):
     got = _canon([tuple(r) for r in spark.sql(sql).collect()])
     want = _canon(con.execute(sql).fetchall())
     assert got == want, f"datetime diverged for: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Composite grammar: join -> window -> aggregate in ONE statement —
+# operator interactions (alias scoping, window-over-join, aggregate of
+# window results via subquery) are where engines drift apart.
+# ---------------------------------------------------------------------------
+
+
+def gen_composite_sql(seed: int) -> str:
+    from server_spark.registry import auctions_sql
+
+    rng = random.Random(70_000 + seed)
+    dim_filter = rng.choice(
+        ("p_size <= 25", "p_partkey % 4 = 1", "p_retailprice < 1500")
+    )
+    fact_filter = rng.choice(
+        ("quantity >= 5", "buyout > 1000", "time_left IN ('A', 'R')")
+    )
+    rank_order = rng.choice(
+        ("buyout DESC, auc", "quantity DESC, auc", "auc")
+    )
+    k = rng.randint(2, 5)
+    agg = rng.choice(
+        (
+            "COUNT(*) AS n",
+            f"{r4sql('SUM(buyout)')} AS sb",
+            f"{r4sql('AVG(quantity)')} AS aq",
+        )
+    )
+    return auctions_sql(
+        f"""
+        , joined AS (
+            SELECT a.auc, a.item, a.buyout, a.quantity, a.time_left,
+                   d.p_size
+            FROM auctions a
+            JOIN (SELECT p_partkey, p_size FROM part
+                  WHERE {dim_filter}) d
+              ON a.item = d.p_partkey
+            WHERE {fact_filter}
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY item ORDER BY {rank_order}
+            ) AS rn
+            FROM joined
+        )
+        SELECT time_left, {agg}
+        FROM ranked WHERE rn <= {k}
+        GROUP BY 1 ORDER BY 1
+        """
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_composite_sql_agrees(join_engines, seed):
+    spark, con = join_engines
+    sql = gen_composite_sql(seed)
+    got = _canon([tuple(r) for r in spark.sql(sql).collect()])
+    want = _canon(con.execute(sql).fetchall())
+    assert _float_rows_close(got, want), f"composite diverged for: {sql}"
