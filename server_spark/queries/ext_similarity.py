@@ -1334,3 +1334,110 @@ def x71_label_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.sum(same) / F.lit(_X71_K)).alias("label_precision_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x78 — cluster-balanced sampling (diverse eval/train subset selection)
+# ---------------------------------------------------------------------------
+
+_X78_K = 5  # keep K per cluster
+
+
+@register(
+    "x78_cluster_balanced_sample",
+    rf"""
+    WITH n AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               SQRT(list_inner_product(
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT vec_id AS seed_id, v AS sv, nrm AS snrm
+        FROM n ORDER BY vec_id LIMIT {K_SEED_CLUSTERS}
+    ),
+    scored AS (
+        SELECT n.vec_id, s.seed_id,
+               {r4sql("list_inner_product(n.v, s.sv) / (n.nrm * s.snrm)")}
+                   AS cosv
+        FROM n CROSS JOIN seeds s
+    ),
+    assign AS (
+        SELECT vec_id, seed_id AS cluster_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cosv DESC, seed_id) AS rn
+            FROM scored) WHERE rn = 1
+    ),
+    sized AS (
+        SELECT cluster_id, COUNT(*) OVER (PARTITION BY cluster_id)
+                   AS cluster_size,
+               vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id ORDER BY md5(CAST(vec_id AS
+                   STRING)), vec_id) AS pick
+        FROM assign
+    )
+    SELECT cluster_id, cluster_size, vec_id, pick
+    FROM sized WHERE pick <= {_X78_K}
+    ORDER BY cluster_id, pick
+    """,
+    doc="EXT x78 — CLUSTER-BALANCED SAMPLING: from each embedding "
+    "cluster (x41's deterministic seed assignment), keep the K=5 "
+    "members with the lowest md5(vec_id) — a reproducible uniform "
+    "draw per cluster — so the selected subset covers every mode of "
+    "the embedding space instead of over-representing the dense head "
+    "(the eval-set construction / diversity-curation step the "
+    "SemDeDup-family pipelines run AFTER clustering: dedup removes "
+    "redundancy within modes, this selects evenly ACROSS them; "
+    "uniform random sampling would allocate draws proportional to "
+    "cluster mass and starve rare modes). Shape: the cluster "
+    "assignment is the x41 broadcast + per-vec argmax; the draw is "
+    "one cluster-keyed WindowGroupLimit — no extra shuffle beyond "
+    "the assignment's.",
+    tags=("ext", "similarity", "sample"),
+    late=True,
+)
+def x78_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    dim = cos.EMB_DIM
+    n = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.sqrt(cos.dot_fixed("embedding", "embedding", dim)).alias("nrm"),
+    )
+    seeds = (
+        n.orderBy("vec_id")
+        .limit(K_SEED_CLUSTERS)
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("v").alias("sv"),
+            F.col("nrm").alias("snrm"),
+        )
+    )
+    scored = n.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "seed_id",
+        r4(
+            cos.dot_fixed("v", "sv", dim) / (F.col("nrm") * F.col("snrm"))
+        ).alias("cosv"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("cosv").desc(), "seed_id")
+    assign = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cluster_id"))
+    )
+    wsz = Window.partitionBy("cluster_id")
+    wpick = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        assign.withColumn("cluster_size", F.count("*").over(wsz))
+        .withColumn("pick", F.row_number().over(wpick))
+        .filter(F.col("pick") <= _X78_K)
+        .select("cluster_id", "cluster_size", "vec_id", "pick")
+        .orderBy("cluster_id", "pick")
+    )
