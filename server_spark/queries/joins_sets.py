@@ -1118,3 +1118,163 @@ def a24_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("hhi").desc(), "item")
     )
+
+
+# ---------------------------------------------------------------------------
+# A25 — price co-movement network (pairwise series correlation)
+# ---------------------------------------------------------------------------
+
+_A25_MIN_DAYS = 10
+_A25_MIN_CORR = 0.0   # report the full gated matrix; sign matters
+
+
+@register(
+    "a25_price_correlation",
+    auctions_sql(
+        f"""
+        , daily AS (
+            SELECT item, CAST(dump_ts AS DATE) AS day,
+                   AVG(buyout / quantity) AS p
+            FROM auctions
+            WHERE item <= {_A18_MAX_ITEM} AND buyout > 0
+            GROUP BY 1, 2
+        )
+        SELECT a.item AS item_a, b.item AS item_b,
+               COUNT(*) AS n_days,
+               {r4sql("corr(a.p, b.p)")} AS price_corr
+        FROM daily a JOIN daily b
+          ON a.day = b.day AND a.item < b.item
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_A25_MIN_DAYS}
+           AND ABS(corr(a.p, b.p)) >= {_A25_MIN_CORR}
+        ORDER BY item_a, item_b
+        """
+    ),
+    doc="A25 (EXT analytics) — price CO-MOVEMENT network: pairwise "
+    "Pearson correlation of per-item daily average unit prices over "
+    "their common trading days — the statistical sibling of a18's "
+    "co-listing affinity (a18 asks 'stocked together?', this asks "
+    "'do their PRICES move together?' — substitutes correlate "
+    "positively, crafting inputs track their outputs, and a "
+    "manipulated pair stands out by correlating with nothing). "
+    "Shape: one daily hash-agg, then the pair space keyed on the "
+    "SHARED day (the join explodes per-day, not all-pairs-up-front) "
+    "with corr() as a map-side-combinable moment aggregate; the "
+    "item gate bounds the matrix exactly like a18/a21 — at full "
+    "catalog the same query runs per category or over the a19 "
+    "A-class head, never the raw 10M-item square.",
+    tags=("ext", "agg", "correlation"),
+    late=True,
+)
+def a25_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        auctions(spark, sf_dir)
+        .filter((F.col("item") <= _A18_MAX_ITEM) & (F.col("buyout") > 0))
+        .groupBy("item", F.col("dump_ts").cast("date").alias("day"))
+        .agg(F.avg(F.col("buyout") / F.col("quantity")).alias("p"))
+    )
+    a = daily.select(
+        F.col("item").alias("item_a"), "day", F.col("p").alias("pa")
+    )
+    b = daily.select(
+        F.col("item").alias("item_b"), "day", F.col("p").alias("pb")
+    )
+    return (
+        a.join(b, "day")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.count("*").alias("n_days"),
+            r4(F.corr("pa", "pb")).alias("price_corr"),
+        )
+        .filter(
+            (F.col("n_days") >= _A25_MIN_DAYS)
+            & (F.abs(F.col("price_corr")) >= _A25_MIN_CORR)
+        )
+        .orderBy("item_a", "item_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A26 — Benford first-digit screen (price-manipulation detector)
+# ---------------------------------------------------------------------------
+
+_A26_MIN_N = 200  # listings per owner before the test has power
+
+
+@register(
+    "a26_benford_screen",
+    auctions_sql(
+        f"""
+        , digits AS (
+            SELECT owner,
+                   CAST(regexp_extract(CAST(buyout AS STRING),
+                                       '[1-9]', 0) AS BIGINT) AS d
+            FROM auctions WHERE buyout > 0
+        ),
+        dist AS (
+            SELECT owner, d, COUNT(*) AS obs,
+                   SUM(COUNT(*)) OVER (PARTITION BY owner) AS n
+            FROM digits GROUP BY owner, d
+        ),
+        chi AS (
+            SELECT owner, ANY_VALUE(n) AS n_listings,
+                   SUM(POW(obs - n * LOG10(1.0 + 1.0 / d), 2)
+                       / (n * LOG10(1.0 + 1.0 / d))) AS chi2
+            FROM dist GROUP BY owner
+        )
+        SELECT owner, n_listings, {r4sql("chi2")} AS chi2,
+               chi2 > 15.507 AS flagged
+        FROM chi
+        WHERE n_listings >= {_A26_MIN_N}
+        ORDER BY chi2 DESC, owner
+        """
+    ),
+    doc="A26 (EXT analytics) — BENFORD first-digit screen per seller: "
+    "the chi-square distance between each owner's leading-digit "
+    "distribution of buyout prices and Benford's law (P(d) = "
+    "log10(1+1/d)) — the classic forensic-accounting test, here the "
+    "bot/manipulation screen (organic prices follow Benford closely; "
+    "scripted price ladders and round-number undercutting do not). "
+    "flagged = chi2 over the 0.95 quantile of chi²(8 df). The "
+    "leading digit comes from the price's STRING form (first [1-9] "
+    "of the shortest repr) — deliberately NOT floor(v/10^floor("
+    "log10 v)): libm log10 can land an ulp under an integer at "
+    "powers of ten and flip the digit differently per engine, while "
+    "shortest-repr digits are engine-identical (the r4 lesson). "
+    "Shape: one narrow map, one (owner, digit) hash-agg, one "
+    "owner-partitioned total window over ≤9 rows per owner, one "
+    "final 9-row-per-owner agg — all map-combinable.",
+    tags=("ext", "agg", "fraud"),
+    late=True,
+)
+def a26_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    digits = (
+        auctions(spark, sf_dir)
+        .filter(F.col("buyout") > 0)
+        .select(
+            "owner",
+            F.regexp_extract(
+                F.col("buyout").cast("string"), "[1-9]", 0
+            ).cast("bigint").alias("d"),
+        )
+    )
+    dist = digits.groupBy("owner", "d").agg(F.count("*").alias("obs"))
+    w = Window.partitionBy("owner")
+    dist = dist.withColumn("n", F.sum("obs").over(w))
+    exp = F.col("n") * F.log10(1.0 + 1.0 / F.col("d"))
+    chi = (
+        dist.groupBy("owner")
+        .agg(
+            F.any_value("n").alias("n_listings"),
+            F.sum(F.pow(F.col("obs") - exp, 2) / exp).alias("chi2_raw"),
+        )
+        .filter(F.col("n_listings") >= _A26_MIN_N)
+    )
+    return chi.select(
+        "owner", "n_listings",
+        r4(F.col("chi2_raw")).alias("chi2"),
+        (F.col("chi2_raw") > 15.507).alias("flagged"),
+    ).orderBy(F.col("chi2").desc(), "owner")

@@ -1748,3 +1748,57 @@ def t24_sequence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("similarity").desc(), "user_a", "user_b")
         .limit(_T24_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# W12 — OLS trend estimation per series (the regr_* aggregate surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w12_trend_regression",
+    rf"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP))
+                    / 86400000000 AS BIGINT) AS day_x,
+               SUM(value) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           COUNT(*) AS n_days,
+           {r4sql("regr_slope(v, day_x)")} AS slope,
+           {r4sql("regr_intercept(v, day_x)")} AS intercept,
+           {r4sql("regr_r2(v, day_x)")} AS r2
+    FROM daily
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="W12 — TREND ESTIMATION: per-series OLS regression of daily "
+    "totals against the day index via the SQL regression aggregates "
+    "(regr_slope / regr_intercept / regr_r2) — the dashboard trend "
+    "line and its fit quality in ONE map-side-combinable hash-agg "
+    "(the regr_* family carries its sums/products moments, so it "
+    "partial-aggregates like AVG: no sort, no window, no second "
+    "pass — the textbook reason to prefer it over collecting the "
+    "series and fitting driver-side). x is integral days-since-epoch "
+    "so both engines regress on identical abscissae.",
+    tags=("window", "timeseries", "regression"),
+    late=True,
+)
+def w12_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_date(F.col("ts").cast("date")).alias("day_x"),
+    ).agg(F.sum("value").alias("v"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            r4(F.regr_slope("v", "day_x")).alias("slope"),
+            r4(F.regr_intercept("v", "day_x")).alias("intercept"),
+            r4(F.regr_r2("v", "day_x")).alias("r2"),
+        )
+        .orderBy("event_type")
+    )

@@ -44,6 +44,10 @@ AGG_POOL = (
     f"{r4sql('AVG(value)')} AS av",
     f"{r4sql('MIN(value)')} AS mn",
     f"{r4sql('MAX(value)')} AS mx",
+    f"{r4sql('STDDEV_SAMP(value)')} AS sd",
+    f"{r4sql('VAR_SAMP(value)')} AS vr",
+    f"{r4sql('CORR(value, user_id)')} AS cr",
+    f"{r4sql('REGR_SLOPE(value, user_id)')} AS rs",
 )
 
 KEY_POOL = ("event_type", "user_id % 7", "CAST(ts AS DATE)")
