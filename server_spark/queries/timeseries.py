@@ -1802,3 +1802,171 @@ def w12_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# T25 — common session paths (top user journeys)
+# ---------------------------------------------------------------------------
+
+_T25_TOP = 20
+_T25_MAX_STEPS = 8
+
+
+@register(
+    "t25_common_paths",
+    rf"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         > {SESSION_GAP_MIN} * 60 * 1000000
+                    OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               substr(string_agg(substr(event_type, 1, 1), '>'
+                                 ORDER BY ts, event_id),
+                      1, {2 * _T25_MAX_STEPS - 1}) AS path
+        FROM numbered
+        GROUP BY user_id, session_id
+    )
+    SELECT path, COUNT(*) AS n_sessions,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {_T25_TOP}
+    """,
+    doc="T25 (EXT analytics) — COMMON SESSION PATHS: each 30-min-gap "
+    "session (t4's islands) becomes an ordered journey string of "
+    "type initials (capped at 8 steps), counted corpus-wide — the "
+    "'top user journeys' view behind funnel design and navigation "
+    "audits (t18 checks ONE prescribed funnel; this discovers which "
+    "paths actually happen). Shape: the session numbering rides the "
+    "same user-keyed sort every session query pays, path assembly is "
+    "one per-session sort-agg, and the journey ranking is a "
+    "TakeOrderedAndProject over the (small) distinct-path table.",
+    tags=("ext", "timeseries", "session"),
+    late=True,
+)
+def t25_common_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    flagged = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+                > gap_us
+            )
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("bigint"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                "ts", "event_id",
+                F.substring("event_type", 1, 1).alias("c"),
+            )
+        )
+    )
+    paths = (
+        numbered.groupBy("user_id", "session_id")
+        .agg(ordered.alias("evs"))
+        .select(
+            "user_id",
+            F.substring(
+                F.array_join(
+                    F.transform(F.col("evs"), lambda x: x["c"]), ">"
+                ),
+                1,
+                2 * _T25_MAX_STEPS - 1,
+            ).alias("path"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_T25_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# T26 — time-weighted average (TWAP, the irregular-sampling twin of VWAP)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t26_twap",
+    rf"""
+    WITH stepped AS (
+        SELECT event_type, value,
+               epoch_us(LEAD(ts) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               )) - epoch_us(ts) AS dt_us
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_intervals,
+           {r4sql("SUM(value * dt_us) / SUM(dt_us)")} AS twap,
+           {r4sql("AVG(value)")} AS naive_avg
+    FROM stepped
+    WHERE dt_us IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="T26 (EXT analytics) — TIME-WEIGHTED AVERAGE: each "
+    "observation weighted by how long it remained the latest one "
+    "(lead(ts) − ts), per series — the correct mean under IRREGULAR "
+    "sampling, where the naive row average over-weights bursts "
+    "(a16's VWAP weights by traded volume; TWAP weights by elapsed "
+    "time — the two canonical de-biasings, reported side by side "
+    "with the naive mean so the bias is visible). Shape: one "
+    "series-keyed lead() window riding the standard exchange, one "
+    "hash-agg; microsecond-integer weights so both engines sum "
+    "identical products.",
+    tags=("ext", "timeseries", "twap"),
+    late=True,
+)
+def t26_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "event_type", "value",
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("dt_us"),
+    )
+    return (
+        stepped.filter(F.col("dt_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            r4(F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us")).alias(
+                "twap"
+            ),
+            r4(F.avg("value")).alias("naive_avg"),
+        )
+        .orderBy("event_type")
+    )
