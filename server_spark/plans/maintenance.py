@@ -705,22 +705,23 @@ _MG_CAP = 256
 
 def _mg_truncate(df: DataFrame, cap: int = _MG_CAP) -> DataFrame:
     """Keep <=cap rows: subtract the (cap+1)-th largest est, drop the
-    non-positive tail. A no-op when the table is already within cap
-    (pivot is NULL -> coalesce 0)."""
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("est").desc())
-    ranked = df.withColumn("_rk", F.row_number().over(w))
-    pivot = ranked.filter(F.col("_rk") == cap + 1).select(
-        F.col("est").alias("_pivot")
-    )
-    return (
-        ranked.crossJoin(F.broadcast(pivot.groupBy().agg(
-            F.coalesce(F.max("_pivot"), F.lit(0)).alias("_pivot")
-        )))
-        .select("item", (F.col("est") - F.col("_pivot")).alias("est"))
-        .filter(F.col("est") > 0)
-    )
+    non-positive tail. The pivot comes from a DISTRIBUTED top-(cap+1)
+    (TakeOrderedAndProject — per-partition heaps), never a global
+    row_number window (which would sort the whole merged table in one
+    partition); the collect is bounded at cap+1 rows."""
+    top = [
+        r["est"]
+        for r in df.select("est")
+        .orderBy(F.col("est").desc())
+        .limit(cap + 1)
+        .collect()
+    ]
+    if len(top) <= cap:
+        return df
+    pivot = top[-1]
+    return df.select(
+        "item", (F.col("est") - F.lit(pivot)).alias("est")
+    ).filter(F.col("est") > 0)
 
 
 def refresh_hot_items_gold(spark, paths, cap: int = _MG_CAP) -> int:

@@ -944,7 +944,7 @@ def j12_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m, k = _J12_M, _J12_K
 
-    def _positions(col: F.Column) -> list[F.Column]:
+    def _positions(col):
         return [
             F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)).cast("int")
             for i in range(k)
