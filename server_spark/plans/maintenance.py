@@ -803,3 +803,141 @@ def read_hot_items_gold(spark, paths):
     return spark.read.parquet(os.path.join(gold_dir, "summary")).select(
         "item", "est", F.lit(bound).alias("max_undercount")
     )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten: erase one owner across the medallion
+# ---------------------------------------------------------------------------
+
+_PART_KEYS = ["region", "realm_slug", "dump_date"]
+
+# Gold state dirs that CANNOT unlearn a deletion and must rebuild from
+# the cleaned bronze: HLL sketches and Misra-Gries summaries have no
+# delete operation (mathematically — they are one-way folds), bitmap
+# item sets can't tell whether another owner still lists an item, and
+# the histogram/churn tables bake the owner's rows into their counts.
+_RESET_GOLDS = (
+    "owner_sketches", "item_bitmaps", "price_hist", "hot_items",
+    "churn_incr",
+)
+
+
+def _overwrite_cleaned(spark, table_path: str, cleaned, affected) -> None:
+    """Dynamic-overwrite the affected partitions of ``table_path``
+    with ``cleaned`` rows, then REMOVE any affected partition dir the
+    cleaned relation no longer has rows for (dynamic overwrite only
+    touches partitions present in the written data, so a partition
+    whose every row belonged to the erased owner would otherwise
+    survive untouched — the one edge that would silently defeat the
+    erasure)."""
+    # The surviving-partition set must be computed BEFORE the write:
+    # the cleaned plan's file index points at the pre-write files,
+    # which the overwrite replaces (a post-write collect dies with
+    # FILE_NOT_EXIST on the removed listing).
+    remaining = {
+        tuple(r) for r in cleaned.select(*_PART_KEYS).distinct().collect()
+    }
+    mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            cleaned.repartition(*_PART_KEYS)
+            .write.mode("overwrite")
+            .partitionBy(*_PART_KEYS)
+            .parquet(table_path)
+        )
+    finally:
+        if mode is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+    for key in affected:  # bounded: partitions touched
+        if key not in remaining:
+            d = os.path.join(
+                table_path,
+                f"region={key[0]}",
+                f"realm_slug={key[1]}",
+                f"dump_date={key[2]}",
+            )
+            if os.path.exists(d):
+                shutil.rmtree(d)
+
+
+def forget_owner(spark, paths, owner) -> dict:
+    """GDPR-style ERASURE of one owner across the lake: rewrite only
+    the bronze/silver/gold-price partitions that contain the owner
+    (partition-pruned scans, dynamic overwrite, explicit removal of
+    partitions the owner exclusively populated), rebuild the churn
+    gold if present (its counts bake every owner in), and RESET the
+    incremental sketch/summary golds — HLL and Misra-Gries state
+    cannot unlearn, so their state dirs and watermarks are dropped
+    and the next refresh rebuilds from the now-clean bronze. Returns
+    a report dict; idempotent (a second call is a no-op). At 100 TB
+    the cost is proportional to the partitions the owner appears in,
+    never the table."""
+    from pyspark.sql import functions as F
+
+    bronze = spark.read.parquet(paths.bronze)
+    # Materialize the affected-partition KEYS to driver rows (bounded
+    # by partitions touched) BEFORE any write: a cached DataFrame over
+    # the bronze path would be silently RE-COMPUTED against the
+    # post-delete files by Spark's CacheManager.recacheByPath when the
+    # bronze overwrite lands — becoming empty and turning every
+    # downstream rewrite into a no-op (observed, not hypothetical).
+    affected = [
+        (r["region"], r["realm_slug"], r["dump_date"])
+        for r in bronze.filter(F.col("owner") == owner)
+        .select(*_PART_KEYS)
+        .distinct()
+        .collect()
+    ]
+    report = {"owner": owner, "partitions": len(affected), "golds_reset": []}
+    if not affected:
+        return report
+    aff_df = F.broadcast(
+        spark.createDataFrame(
+            affected, f"{_PART_KEYS[0]} string, {_PART_KEYS[1]} string, "
+            f"{_PART_KEYS[2]} date"
+        )
+    )
+
+    cleaned_bronze = bronze.join(aff_df, _PART_KEYS, "left_semi").filter(
+        F.col("owner") != owner
+    )
+    _overwrite_cleaned(spark, paths.bronze, cleaned_bronze, affected)
+
+    if os.path.exists(paths.silver):
+        silver = spark.read.parquet(paths.silver)
+        cleaned_silver = silver.join(aff_df, _PART_KEYS, "left_semi").filter(
+            F.col("owner") != owner
+        )
+        _overwrite_cleaned(spark, paths.silver, cleaned_silver, affected)
+
+        if os.path.exists(paths.gold_prices):
+            from server_spark.operators import auctions as ops
+
+            slice_ = spark.read.parquet(paths.silver).join(
+                aff_df, _PART_KEYS, "left_semi"
+            )
+            exploded = slice_.select(
+                "region", "realm_slug", "dump_date", "dump_ts", "item",
+                "buyout", "quantity", F.explode("auc_list").alias("auc"),
+            )
+            stats = ops.price_stats(
+                exploded,
+                group_keys=[
+                    "region", "realm_slug", "dump_date", "dump_ts", "item",
+                ],
+            )
+            _overwrite_cleaned(spark, paths.gold_prices, stats, affected)
+
+    if os.path.exists(paths.gold_churn):
+        from server_spark.plans import medallion as med
+
+        med.build_gold_churn(spark, paths)
+        report["golds_reset"].append("churn")
+
+    for name in _RESET_GOLDS:
+        d = os.path.join(paths.root, "gold", name)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+            report["golds_reset"].append(name)
+    return report

@@ -919,3 +919,81 @@ def test_incremental_hot_items_gold(spark, tmp_path):
     # exact per-batch counts merged with one truncation: every stored
     # estimate is a lower bound on its true count
     assert all(r["est"] <= 65 for r in rows.values())
+
+
+def test_forget_owner_erases_everywhere(spark, tmp_path):
+    """forget_owner: after erasure, every layer of the lake equals a
+    lake that never saw the owner — including a partition the owner
+    exclusively populated (the dynamic-overwrite blind spot) and the
+    rebuilt-from-clean-bronze sketch gold."""
+    import datetime as dt
+
+    from server_spark.plans import maintenance as mt
+    from server_spark.plans import medallion as med
+
+    def dump(ts, rows, realm="r1"):
+        return spark.createDataFrame(
+            [("eu", realm, ts, i, it, bo, 1, "N", ow)
+             for i, (it, bo, ow) in enumerate(rows)],
+            "region string, realm_slug string, dump_ts timestamp, "
+            "auc long, item long, buyout long, quantity long, "
+            "time_left string, owner string",
+        )
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    t1 = dt.datetime(2024, 1, 2, 10)
+    mixed = [(100, 500, "alice"), (100, 700, "bob"), (200, 300, "alice")]
+    alice_only = [(300, 900, "alice"), (301, 100, "alice")]
+
+    def build(root, with_alice):
+        paths = med.MedallionPaths(str(root))
+        rows0 = mixed if with_alice else [r for r in mixed if r[2] != "alice"]
+        med.ingest_bronze_incremental(spark, dump(t0, rows0), paths)
+        if with_alice:
+            med.ingest_bronze_incremental(spark, dump(t1, alice_only), paths)
+        med.build_silver(spark, paths)
+        med.build_gold_prices(spark, paths)
+        mt.refresh_owner_sketch_gold(spark, paths)
+        return paths
+
+    full = build(tmp_path / "full", with_alice=True)
+    clean = build(tmp_path / "clean", with_alice=False)
+
+    report = mt.forget_owner(spark, full, "alice")
+    assert report["partitions"] == 2
+    assert "owner_sketches" in report["golds_reset"]
+    # second call is a no-op
+    assert mt.forget_owner(spark, full, "alice")["partitions"] == 0
+
+    def rows(path, cols):
+        try:
+            return sorted(
+                tuple(r) for r in spark.read.parquet(path).select(*cols).collect()
+            )
+        except Exception:  # noqa: BLE001 — wholly-removed table
+            return []
+
+    for sub, cols in (
+        ("bronze/auctions", ["owner", "item", "buyout"]),
+        ("silver/mini_auctions", ["owner", "item", "buyout"]),
+        ("gold/price_history", ["item", "min_buyout_per", "volume"]),
+    ):
+        got = rows(str(tmp_path / "full" / sub), cols)
+        want = rows(str(tmp_path / "clean" / sub), cols)
+        assert got == want, sub
+    # the alice-only day's partition is GONE, not just emptied
+    assert not (tmp_path / "full" / "bronze" / "auctions"
+                / "region=eu" / "realm_slug=r1"
+                / "dump_date=2024-01-02").exists()
+
+    # sketch gold rebuilds from the cleaned bronze to the clean truth
+    assert mt.refresh_owner_sketch_gold(spark, full) >= 1
+    got_est = {
+        (r["region"], r["realm_slug"]): r["distinct_est"]
+        for r in mt.read_owner_sketch_gold(spark, full).collect()
+    }
+    want_est = {
+        (r["region"], r["realm_slug"]): r["distinct_est"]
+        for r in mt.read_owner_sketch_gold(spark, clean).collect()
+    }
+    assert got_est == want_est == {("eu", "r1"): 1}
