@@ -940,4 +940,20 @@ def forget_owner(spark, paths, owner) -> dict:
         if os.path.exists(d):
             shutil.rmtree(d)
             report["golds_reset"].append(name)
+
+    # Compliance audit trail: append-only record of what was erased
+    # and what it touched (the regulator-facing half of the feature).
+    import json as _json
+
+    audit_dir = os.path.join(paths.root, "_audit")
+    os.makedirs(audit_dir, exist_ok=True)
+    with open(os.path.join(audit_dir, "erasures.jsonl"), "a") as fh:
+        fh.write(_json.dumps({
+            "op": "forget_owner",
+            "owner": owner,
+            "partitions": [
+                (k[0], k[1], str(k[2])) for k in affected
+            ],
+            "golds_reset": report["golds_reset"],
+        }) + "\n")
     return report
