@@ -1,0 +1,87 @@
+"""Metamorphic testing over the ENGINE CONFIG space.
+
+The oracle pairs pin Spark against DuckDB under ONE physical
+configuration. This file pins a complementary invariant: a registered
+query's RESULT must not depend on how Catalyst chooses to execute it —
+AQE on or off, dimensions broadcast or shuffled, 7 or 8 shuffle
+partitions. A violation means order-, partition- or plan-dependent
+semantics leaked into a query (the bug class behind non-deterministic
+collect_list ordering, first()-without-order, or float reductions that
+change with partitioning) — exactly what the canonicalization rules
+(array_sort before join, r4 on doubles, total orders with unique
+tiebreaks) exist to prevent. Rows-only sketch paths whose CANDIDATE
+sets are legitimately partition-dependent (MG summaries, xxhash LSH
+fast paths) are out of scope by design — every query here is
+oracle-backed and deterministic by contract.
+
+One representative query per major family, sf0.001 for speed.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from server_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+QUERIES = (
+    "a2_price_stats_median",      # agg + exact median
+    "j4_owners_by_items",         # broadcast semi join + agg
+    "j12_bloom_prejoin",          # hand-built bloom + shuffle semi join
+    "o5_keyset_page",             # distributed top-k pagination
+    "u7_bag_setops",              # EXCEPT ALL / INTERSECT ALL
+    "w3_lag_moving_avg",          # window frames
+    "t21_last_touch_attribution", # ignore-nulls window + agg
+    "x15_neardup_components",     # iterative label propagation
+    "x69_bm25_retrieval",         # lexical scoring pipeline
+    "x74_pmi_cooccurrence",       # array surgery + broadcast unigrams
+    "a21_triangle_count",         # three-way graph self-join
+    "f14_array_hof",              # higher-order array lambdas
+)
+
+VARIANTS = (
+    {"spark.sql.adaptive.enabled": "false"},
+    {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    {"spark.sql.shuffle.partitions": "7"},
+)
+
+
+def _canon_rows(df) -> list[tuple]:
+    rows = []
+    for r in df.collect():
+        rows.append(
+            tuple(
+                round(v, 9) if isinstance(v, float) and math.isfinite(v)
+                else v
+                for v in r
+            )
+        )
+    return sorted(rows, key=repr)
+
+
+@pytest.fixture(scope="module")
+def baseline(spark):
+    qs = registry.queries()
+    return {name: _canon_rows(qs[name](spark, SF)) for name in QUERIES}
+
+
+@pytest.mark.parametrize("variant", range(len(VARIANTS)))
+def test_results_invariant_under_config(spark, baseline, variant):
+    overrides = VARIANTS[variant]
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        qs = registry.queries()
+        for name in QUERIES:
+            got = _canon_rows(qs[name](spark, SF))
+            assert got == baseline[name], (
+                f"{name} changed results under {overrides}"
+            )
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
