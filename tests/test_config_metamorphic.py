@@ -40,6 +40,12 @@ QUERIES = (
     "x74_pmi_cooccurrence",       # array surgery + broadcast unigrams
     "a21_triangle_count",         # three-way graph self-join
     "f14_array_hof",              # higher-order array lambdas
+    "a22_bitmap_distinct",        # bitmap aggregate chain
+    "j9_scd2_user_state",         # SCD2 build (windows + collapse)
+    "u5_cdc_merge",               # MERGE semantics
+    "t14_downsample_tiers",       # tiered retention rollup
+    "x41_semantic_dedup",         # blocked matmul via mapInPandas
+    "x46_maximal_removed_spans",  # gaps-and-islands span merge
 )
 
 VARIANTS = (
