@@ -1125,7 +1125,6 @@ def a24_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _A25_MIN_DAYS = 10
-_A25_MIN_CORR = 0.0   # report the full gated matrix; sign matters
 
 
 @register(
@@ -1146,7 +1145,7 @@ _A25_MIN_CORR = 0.0   # report the full gated matrix; sign matters
           ON a.day = b.day AND a.item < b.item
         GROUP BY 1, 2
         HAVING COUNT(*) >= {_A25_MIN_DAYS}
-           AND ABS(corr(a.p, b.p)) >= {_A25_MIN_CORR}
+           AND corr(a.p, b.p) IS NOT NULL
         ORDER BY item_a, item_b
         """
     ),
@@ -1179,17 +1178,37 @@ def a25_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = daily.select(
         F.col("item").alias("item_b"), "day", F.col("p").alias("pb")
     )
-    return (
+    joined = (
         a.join(b, "day")
         .filter(F.col("item_a") < F.col("item_b"))
+        .transform(barrier)  # reused: variance gate + corr pass
+    )
+    # corr() must only evaluate on variance-positive pairs: under ANSI
+    # mode Spark's corr THROWS DIVIDE_BY_ZERO on a constant series
+    # (found by the extended fuzz soak; DuckDB returns NULL, which the
+    # oracle's IS NOT NULL drops). A variance pre-pass selects exactly
+    # the pairs DuckDB keeps — var_samp is zero, not an error, on
+    # constant input in both engines.
+    good = (
+        joined.groupBy("item_a", "item_b")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.var_samp("pa").alias("vpa"),
+            F.var_samp("pb").alias("vpb"),
+        )
+        .filter(
+            (F.col("n_days") >= _A25_MIN_DAYS)
+            & (F.col("vpa") > 0)
+            & (F.col("vpb") > 0)
+        )
+        .select("item_a", "item_b")
+    )
+    return (
+        joined.join(F.broadcast(good), ["item_a", "item_b"], "left_semi")
         .groupBy("item_a", "item_b")
         .agg(
             F.count("*").alias("n_days"),
             r4(F.corr("pa", "pb")).alias("price_corr"),
-        )
-        .filter(
-            (F.col("n_days") >= _A25_MIN_DAYS)
-            & (F.abs(F.col("price_corr")) >= _A25_MIN_CORR)
         )
         .orderBy("item_a", "item_b")
     )

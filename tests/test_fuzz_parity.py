@@ -115,7 +115,18 @@ def engines(spark):
 def test_fuzz_sql_agrees(engines, seed):
     spark, con = engines
     sql = gen_sql(seed)
-    got = _canon([tuple(r) for r in spark.sql(sql).collect()])
+    try:
+        got = _canon([tuple(r) for r in spark.sql(sql).collect()])
+    except Exception as e:
+        # KNOWN divergence (found by the extended soak, seeds 31/35/...):
+        # under ANSI mode Spark's CORR throws DIVIDE_BY_ZERO when a
+        # group's series is constant (zero variance); DuckDB returns
+        # NULL. Assert the divergence precisely so a Spark behavior
+        # change surfaces here; registry queries pre-filter degenerate
+        # groups (a25's variance gate) so none can hit this.
+        assert "DIVIDE_BY_ZERO" in str(e) and "CORR" in sql.upper(), sql
+        con.execute(sql).fetchall()  # DuckDB must handle it
+        return
     want = _canon(con.execute(sql).fetchall())
     assert len(got) == len(want), f"row count diverged for: {sql}"
     for g, w in zip(got, want):
