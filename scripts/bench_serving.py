@@ -5,14 +5,24 @@ isn't the whole story. This bench models the serving steady state: a
 WARM session with the hot relations cached in executor memory (the
 role the reference's in-process Bolt DBs play), then repeated
 parameterized subject calls, reporting p50/p95 wall latency per
-subject.
+subject. Measurement + gate logic live in
+``server_spark/serving_gate.py`` (shared with tests/test_serving_gate.py,
+the pytest gate that fails on drift-normalized façade regressions).
 
-No gate yet (r6 verdict item 4) — baseline numbers, recorded in
-SCALE.md. Prints ONE JSON line:
+Prints ONE JSON line:
 {"metric": "serving_latency_sec", "subjects": {name: {"p50": s,
-"p95": s, "n": iters}}, "sf": ..., "warm_cache": true}.
+"p95": s, "n": iters}}, "sf": ..., "warm_cache": true}
+and writes it to SERVING_FULL.json at the repo root.
 
-Usage: python scripts/bench_serving.py [--iters N] [sf_dir]
+Usage:
+    python scripts/bench_serving.py [--iters N] [sf_dir]
+    python scripts/bench_serving.py --accept
+        copy SERVING_FULL.json over scripts/serving_baseline.json
+        (the recorded sf0.1 reference numbers)
+    python scripts/bench_serving.py --accept-test-baseline
+        re-measure at the pytest gate's scale (sf0.01, its iters) and
+        overwrite scripts/serving_baseline_sf001.json — run after an
+        INTENDED façade/plan change, commit the refreshed file
 """
 
 from __future__ import annotations
@@ -20,138 +30,62 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from server_spark import api, tables  # noqa: E402
-from server_spark.session import get_spark  # noqa: E402
-from server_spark.sources.synthetic import auctions  # noqa: E402
+REPO = Path(__file__).resolve().parent.parent
+FRESH = REPO / "SERVING_FULL.json"
+BASELINE = REPO / "scripts" / "serving_baseline.json"
+TEST_BASELINE = REPO / "scripts" / "serving_baseline_sf001.json"
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-ITERS = 20
-WARMUP = 3
+# the pytest gate's measurement shape (kept here so --accept-test-baseline
+# and the test can't drift apart)
+TEST_SF_DIR = "/root/testdata/sf0.01"
+TEST_ITERS = 7
+TEST_WARMUP = 2
 
 
-def _percentile(sorted_vals: list[float], q: float) -> float:
-    """Nearest-rank percentile on a pre-sorted sample."""
-    if not sorted_vals:
-        return float("nan")
-    idx = min(len(sorted_vals) - 1, max(0, round(q * (len(sorted_vals) - 1))))
-    return sorted_vals[idx]
+def _measure(sf_dir: str, iters: int, warmup: int = 3) -> dict:
+    from server_spark.serving_gate import run_serving_bench
+    from server_spark.session import get_spark
 
-
-def _subjects(spark, sf_dir):
-    """One callable per served subject, with parameters rotated per
-    iteration (i) so Spark can't serve a memoized identical plan —
-    each call is a fresh request the way a NATS handler would see it."""
+    spark = get_spark("server-spark-serving-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = run_serving_bench(spark, sf_dir, iters=iters, warmup=warmup)
     return {
-        "auctions_page": lambda i: api.query_auctions(
-            spark, sf_dir,
-            api.AuctionsRequest(
-                item_filters=(1 + i % 5, 8, 13),
-                sort_kind=("buyout", "quantity", "item")[i % 3],
-                page=i % 4,
-                count=25,
-            ),
-        ),
-        # the deep-scroll path: cursor mode (O(count) at any depth)
-        "auctions_cursor": lambda i: api.query_auctions(
-            spark, sf_dir,
-            api.AuctionsRequest(
-                item_filters=(1 + i % 5, 8, 13),
-                sort_kind="buyout",
-                count=25,
-                after={
-                    "buyout": 50000.0 - 1000.0 * (i % 7),
-                    "item": 8, "owner": 50, "quantity": 25.0,
-                    "time_left": "N",
-                },
-            ),
-        ),
-        "price_list": lambda i: api.price_list(
-            spark, sf_dir, (1 + i % 7, 21, 34, 55)
-        ),
-        "price_history_slice": lambda i: api.price_list_history(
-            spark, sf_dir, (1 + i % 7, 2, 3),
-            "2024-01-01 00:00:00", "2024-03-01 00:00:00",
-        ),
-        "owners_query": lambda i: api.owners_query(
-            spark, sf_dir, str(1 + i % 9), limit=10
-        ),
-        "items_query": lambda i: api.items_query(
-            spark, sf_dir, "lavender blue", limit=10
-        ),
-        "realm_status": lambda i: api.realm_status(
-            spark, sf_dir, ("AFRICA", "AMERICA", "ASIA")[i % 3]
-        ),
-        "token_history": lambda i: api.token_history(
-            spark, sf_dir, ("AFRICA", "AMERICA", "ASIA")[i % 3]
-        ),
-        "unmet_demand": lambda i: api.unmet_demand_list(
-            spark, sf_dir, owner_cap=10 + i % 3, limit=100
-        ),
+        "metric": "serving_latency_sec",
+        "subjects": results,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "warm_cache": True,
     }
 
 
-def main() -> None:
-    iters = ITERS
+def main() -> int:
     argv = sys.argv[1:]
+    if "--accept" in argv:
+        BASELINE.write_text(FRESH.read_text())
+        print(f"serving baseline refreshed from {FRESH}")
+        return 0
+    if "--accept-test-baseline" in argv:
+        out = _measure(TEST_SF_DIR, TEST_ITERS, TEST_WARMUP)
+        TEST_BASELINE.write_text(json.dumps(out, indent=2) + "\n")
+        print(f"pytest-gate baseline refreshed: {TEST_BASELINE}")
+        return 0
+
+    iters = 20
     if "--iters" in argv:
         k = argv.index("--iters")
         iters = int(argv[k + 1])
         argv = argv[:k] + argv[k + 2:]
     sf_dir = argv[0] if argv else SF_DIR
 
-    spark = get_spark("server-spark-serving-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # Warm the session the way a serving deployment would: the hot
-    # relations live in executor memory (Spark's cache manager matches
-    # re-derived identical plans, so the façade's internal reloads hit
-    # these entries). This is the analog of the reference serving off
-    # its in-process Bolt snapshots rather than re-reading dumps.
-    hot = [
-        auctions(spark, sf_dir),
-        tables.load(spark, sf_dir, "part"),
-        tables.load(spark, sf_dir, "events"),
-        tables.load(spark, sf_dir, "nation"),
-        tables.load(spark, sf_dir, "region"),
-        tables.load(spark, sf_dir, "customer"),
-    ]
-    for df in hot:
-        df.cache().count()
-
-    subjects = _subjects(spark, sf_dir)
-    results = {}
-    for name, call in subjects.items():
-        for i in range(WARMUP):  # amortize codegen/planning warmup
-            call(1000 + i).collect()
-        samples = []
-        for i in range(iters):
-            t0 = time.perf_counter()
-            rows = call(i).collect()
-            samples.append(time.perf_counter() - t0)
-            assert rows is not None
-        samples.sort()
-        results[name] = {
-            "p50": round(_percentile(samples, 0.50), 4),
-            "p95": round(_percentile(samples, 0.95), 4),
-            "n": iters,
-        }
-
-    out = {
-        "metric": "serving_latency_sec",
-        "subjects": results,
-        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
-        "warm_cache": True,
-    }
-    (Path(__file__).resolve().parent / "serving_baseline.json").write_text(
-        json.dumps(out, indent=2) + "\n"
-    )
+    out = _measure(sf_dir, iters)
+    FRESH.write_text(json.dumps(out, indent=2) + "\n")
     print(json.dumps(out))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

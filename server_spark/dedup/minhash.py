@@ -277,6 +277,51 @@ def banded_keys(
     )
 
 
+def bucket_pairs(
+    kv: DataFrame,
+    keys: list[str],
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct ordered candidate pairs (doc_a < doc_b) from a
+    (keys..., id) relation: group ids into buckets per key, drop
+    buckets above ``max_bucket`` (the hot-bucket guard — a bucket of m
+    ids yields m²/2 pairs, so one pathological boilerplate key
+    otherwise dominates the whole job), then emit each bucket's
+    ordered pairs as a narrow array expansion. ONE shuffle total — no
+    kv self-join (which would shuffle the relation twice and re-key
+    it). Shared by the banded-LSH, inverted-index (x75), and
+    winnowing-print (x77) candidate generators."""
+    buckets = kv.groupBy(*keys).agg(F.collect_list(id_col).alias("_ids"))
+    buckets = buckets.filter(F.size("_ids") >= 2)
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
+    # ordered (a < b) pairs per bucket, built narrowly from the sorted
+    # member list: for each position i, pair ids[i] with every later
+    # id. _ids is a projected column (lambda bodies block CSE on
+    # expressions, but column references are free).
+    buckets = buckets.select(F.array_sort("_ids").alias("_ids"))
+    ids = F.col("_ids")
+    n = F.size(ids)
+    pair_arrays = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.slice(ids, (i + 2).cast("int"), (n - i - 1).cast("int")),
+                lambda x: F.struct(
+                    F.element_at(ids, (i + 1).cast("int")).alias("doc_a"),
+                    x.alias("doc_b"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arrays).alias("_p"))
+        .select("_p.doc_a", "_p.doc_b")
+        .distinct()
+    )
+
+
 def md5_banded_candidates(
     shingles: DataFrame | None,
     coeffs: list[tuple[int, int]],
@@ -318,35 +363,8 @@ def md5_banded_candidates(
             vals = md5_vals(shingles, id_col)
         sig = md5_signatures_from_vals(vals, coeffs, id_col)
     kv = banded_keys(sig, k, n_bands, id_col)
-    buckets = kv.groupBy("band_idx", "band_key").agg(
-        F.collect_list(id_col).alias("_ids")
-    )
-    buckets = buckets.filter(F.size("_ids") >= 2)
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("_ids") <= max_bucket)
-    # ordered (a < b) pairs per bucket, built narrowly from the sorted
-    # member list: for each position i, pair ids[i] with every later
-    # id. _ids is a projected column (lambda bodies block CSE on
-    # expressions, but column references are free).
-    buckets = buckets.select(F.array_sort("_ids").alias("_ids"))
-    ids = F.col("_ids")
-    n = F.size(ids)
-    pair_arrays = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.transform(
-                F.slice(ids, (i + 2).cast("int"), (n - i - 1).cast("int")),
-                lambda x: F.struct(
-                    F.element_at(ids, (i + 1).cast("int")).alias("doc_a"),
-                    x.alias("doc_b"),
-                ),
-            ),
-        )
-    )
-    return (
-        buckets.select(F.explode(pair_arrays).alias("_p"))
-        .select("_p.doc_a", "_p.doc_b")
-        .distinct()
+    return bucket_pairs(
+        kv, ["band_idx", "band_key"], id_col=id_col, max_bucket=max_bucket
     )
 
 

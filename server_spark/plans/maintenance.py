@@ -784,9 +784,13 @@ def refresh_hot_items_gold(spark, paths, cap: int = _MG_CAP) -> int:
     if os.path.exists(aside):
         shutil.rmtree(aside)
     os.makedirs(gold_dir, exist_ok=True)
+    # The cap is part of the summary's meaning (the undercount bound is
+    # N/(cap+1)); persist it so readers bound against the capacity the
+    # state was actually built with, not the module default.
     with open(wm_file, "w") as fh:
         _json.dump(
-            {"batch_id": int(hi), "n_rows": int(total + n_new)}, fh
+            {"batch_id": int(hi), "n_rows": int(total + n_new),
+             "cap": int(cap)}, fh
         )
     return n_batches
 
@@ -798,8 +802,10 @@ def read_hot_items_gold(spark, paths):
 
     gold_dir = os.path.join(paths.root, "gold", "hot_items")
     with open(os.path.join(gold_dir, "_watermark")) as fh:
-        total = _json.load(fh).get("n_rows", 0)
-    bound = total // (_MG_CAP + 1)
+        wm = _json.load(fh)
+    # Use the capacity the state was BUILT with (persisted in the
+    # sidecar) — falling back to the default only for pre-cap sidecars.
+    bound = wm.get("n_rows", 0) // (wm.get("cap", _MG_CAP) + 1)
     return spark.read.parquet(os.path.join(gold_dir, "summary")).select(
         "item", "est", F.lit(bound).alias("max_undercount")
     )
@@ -899,15 +905,17 @@ def forget_owner(spark, paths, owner) -> dict:
         )
     )
 
-    cleaned_bronze = bronze.join(aff_df, _PART_KEYS, "left_semi").filter(
-        F.col("owner") != owner
-    )
+    # Null-safe inequality: the wire format allows NULL owners, and a
+    # plain ``owner != x`` filter evaluates to NULL for them — silently
+    # erasing every ANONYMOUS listing that shares a rewritten partition.
+    keep = ~F.col("owner").eqNullSafe(F.lit(owner))
+    cleaned_bronze = bronze.join(aff_df, _PART_KEYS, "left_semi").filter(keep)
     _overwrite_cleaned(spark, paths.bronze, cleaned_bronze, affected)
 
     if os.path.exists(paths.silver):
         silver = spark.read.parquet(paths.silver)
         cleaned_silver = silver.join(aff_df, _PART_KEYS, "left_semi").filter(
-            F.col("owner") != owner
+            keep
         )
         _overwrite_cleaned(spark, paths.silver, cleaned_silver, affected)
 

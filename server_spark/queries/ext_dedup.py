@@ -353,8 +353,12 @@ def x32_cluster_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame
         "component", "node", "n_tokens"
     )
     best = memb.groupBy("component").agg(F.max("n_tokens").alias("mt"))
+    # `best` is per-CLUSTER (grows with the corpus, non-Heaps) — no
+    # broadcast hint; the join shares its key with the groupBy that
+    # built it, so the shuffle path reuses the exchange. AQE still
+    # broadcasts while the table is actually small.
     return (
-        memb.join(F.broadcast(best), "component")
+        memb.join(best, "component")
         .groupBy("component", "mt")
         .agg(
             F.min(
@@ -920,6 +924,14 @@ def x67_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X75_MIN_CONTAIN = 0.8
 _X75_MIN_SH = 5
+# Candidate-generation hot-bucket cap: a shingle shared by more than
+# this many documents is treated as boilerplate and generates NO
+# candidate pairs (a posting list of m docs otherwise yields m²/2 join
+# rows — one viral disclaimer makes the join quadratic). Exact
+# verification still counts the hot shingles, so reported containment
+# values are exact; only pairs whose EVERY shared shingle is hot can
+# be missed (recall-bounded, the standard stop-shingle trade).
+_X75_BUCKET_CAP = 64
 
 
 @register(
@@ -927,12 +939,43 @@ _X75_MIN_SH = 5
     rf"""
     WITH {shingle_ctes()},
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-    inter AS (
+    plist AS (SELECT shingle, COUNT(*) AS pl FROM sh GROUP BY shingle),
+    tagged AS (
+        SELECT sh.doc_id, sh.shingle, plist.pl
+        FROM sh JOIN plist USING (shingle)
+    ),
+    cold AS (
+        SELECT doc_id, shingle FROM tagged WHERE pl <= {_X75_BUCKET_CAP}
+    ),
+    hotp AS (
+        SELECT doc_id, shingle FROM tagged WHERE pl > {_X75_BUCKET_CAP}
+    ),
+    pc AS (
         SELECT a.doc_id AS doc_sub, b.doc_id AS doc_super,
-               COUNT(*) AS n_common
-        FROM sh a JOIN sh b
-          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+               COUNT(*) AS n_cold
+        FROM cold a JOIN cold b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
+    ),
+    ph AS (
+        SELECT p.doc_sub, p.doc_super, COUNT(*) AS n_hot
+        FROM pc p
+        JOIN hotp ha ON ha.doc_id = p.doc_sub
+        JOIN hotp hb ON hb.doc_id = p.doc_super
+                    AND hb.shingle = ha.shingle
+        GROUP BY 1, 2
+    ),
+    inter0 AS (
+        SELECT pc.doc_sub, pc.doc_super,
+               pc.n_cold + COALESCE(ph.n_hot, 0) AS n_common
+        FROM pc LEFT JOIN ph
+          ON pc.doc_sub = ph.doc_sub AND pc.doc_super = ph.doc_super
+    ),
+    inter AS (
+        SELECT doc_sub, doc_super, n_common FROM inter0
+        UNION ALL
+        SELECT doc_super AS doc_sub, doc_sub AS doc_super, n_common
+        FROM inter0
     )
     SELECT doc_sub, doc_super, n_common, sa.n_sh AS n_sub,
            {r4sql("CAST(n_common AS DOUBLE) / sa.n_sh")} AS containment,
@@ -954,29 +997,67 @@ _X75_MIN_SH = 5
     "under any near-dup threshold, yet it is exactly the duplication "
     "a training corpus must catch (the Lee et al. span scrub x43-x46 "
     "attacks the same failure at substring granularity; this is the "
-    "set-level form). Shape: same inverted shingle index as x2 — one "
-    "equi-join on shingle, one hash-agg — with the directed a≠b pair "
-    "orientation; at 100 TB the identical MinHash band gate (x8) "
-    "pre-filters candidates, and hot boilerplate shingles hit the "
-    "same hot-bucket cap the x21 pipeline already applies.",
+    "set-level form). Shape (r8): the intersection splits by posting-"
+    f"list size at {_X75_BUCKET_CAP}. COLD shingles (≤cap) pair-count "
+    "directly in the inverted-index join — k ≤ cap bounds every "
+    "bucket's k² blowup. HOT shingles (shared boilerplate) never "
+    "generate pairs; their exact contribution is added back by a "
+    "candidate-GATED join against the hot posting lists (fan-out = "
+    "pairs × hot-types-per-doc, tiny by definition of hot), so "
+    "reported containment/Jaccard values stay EXACT for every emitted "
+    "pair — only pairs whose EVERY shared shingle is hot are recall-"
+    "bounded away (the stop-shingle trade). The gate is an exact "
+    "count, so both engines agree. The per-doc size joins carry NO "
+    "broadcast hint: `sizes` grows linearly with the corpus (the x62 "
+    "non-Heaps class), so AQE broadcasts while small and falls back "
+    "to a shuffle join at scale.",
     tags=("ext", "dedup"),
     late=True,
 )
 def x75_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = ng.word_shingles(_docs(spark, sf_dir), n=3).transform(barrier)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = shingles.select(F.col("doc_id").alias("doc_sub"), "shingle")
-    b = shingles.select(F.col("doc_id").alias("doc_super"), "shingle")
-    # |A∩B| is symmetric: join/agg the UNDIRECTED a<b pair space once
-    # (half the work of the oracle's directed a<>b form), then emit
-    # both orientations of each intersection row — containment is
-    # direction-specific only through the size join below.
-    undirected = (
-        a.join(b, "shingle")
+
+    # split postings by list size: cold lists pair-count directly (the
+    # x2 join shape with every bucket bounded by the cap), hot lists
+    # are added back candidate-gated below. plist shares the shingle
+    # key with the tag join — exchange reuse, no hint (plist is
+    # Heaps-bounded but tagged is corpus-sized either way).
+    plist = shingles.groupBy("shingle").agg(F.count("*").alias("pl"))
+    tagged = shingles.join(plist, "shingle").transform(barrier)
+    cold = tagged.filter(F.col("pl") <= _X75_BUCKET_CAP)
+    hotp = tagged.filter(F.col("pl") > _X75_BUCKET_CAP).select(
+        "doc_id", "shingle"
+    )
+
+    ca = cold.select(F.col("doc_id").alias("doc_sub"), "shingle")
+    cb = cold.select(F.col("doc_id").alias("doc_super"), "shingle")
+    pc = (
+        ca.join(cb, "shingle")
         .filter(F.col("doc_sub") < F.col("doc_super"))
         .groupBy("doc_sub", "doc_super")
-        .agg(F.count("*").alias("n_common"))
-        .transform(barrier)
+        .agg(F.count("*").alias("n_cold"))
+        .transform(barrier)  # feeds the hot correction AND the union
+    )
+    # exact hot-shingle contribution for already-found pairs: fan-out
+    # is pairs × hot shingle TYPES per doc (tiny by definition of hot)
+    ha = hotp.select(F.col("doc_id").alias("doc_sub"), "shingle")
+    hb = hotp.select(F.col("doc_id").alias("doc_super"), "shingle")
+    ph = (
+        pc.select("doc_sub", "doc_super")
+        .join(ha, "doc_sub")
+        .join(hb, ["doc_super", "shingle"])
+        .groupBy("doc_sub", "doc_super")
+        .agg(F.count("*").alias("n_hot"))
+    )
+    undirected = (
+        pc.join(ph, ["doc_sub", "doc_super"], "left")
+        .select(
+            "doc_sub", "doc_super",
+            (
+                F.col("n_cold") + F.coalesce(F.col("n_hot"), F.lit(0))
+            ).alias("n_common"),
+        )
     )
     inter = undirected.unionByName(
         undirected.select(
@@ -993,8 +1074,8 @@ def x75_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     contain = F.col("n_common").cast("double") / F.col("n_sub")
     return (
-        inter.join(F.broadcast(sa), "doc_sub")
-        .join(F.broadcast(sb), "doc_super")
+        inter.join(sa, "doc_sub")
+        .join(sb, "doc_super")
         .filter(
             (F.col("n_sub") >= _X75_MIN_SH)
             & (contain >= _X75_MIN_CONTAIN)
@@ -1017,6 +1098,13 @@ def x75_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _X77_JACCARD = 0.5
+# Hot-print cap for candidate generation: a winnowing fingerprint
+# shared by more than this many documents (pathological boilerplate)
+# generates no candidate pairs — bounds the k² pair blowup on a shared
+# wmin. Exact count gate ⇒ both engines agree; pairs connected ONLY
+# through hot prints are recall-bounded away (documented trade; the
+# MOSS guarantee holds for runs whose prints stay under the cap).
+_X77_BUCKET_CAP = 64
 
 
 @register(
@@ -1051,9 +1139,16 @@ _X77_JACCARD = 0.5
     prints AS (
         SELECT DISTINCT doc_id, wmin FROM winmin WHERE rn >= {_WINNOW_W}
     ),
+    coldp AS (
+        SELECT doc_id, wmin FROM prints
+        WHERE wmin IN (
+            SELECT wmin FROM prints
+            GROUP BY wmin HAVING COUNT(*) <= {_X77_BUCKET_CAP}
+        )
+    ),
     cands AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM prints a JOIN prints b
+        FROM coldp a JOIN coldp b
           ON a.wmin = b.wmin AND a.doc_id < b.doc_id
     ),
     vals AS (SELECT DISTINCT doc_id, h FROM sh),
@@ -1084,11 +1179,14 @@ _X77_JACCARD = 0.5
     "(x2, exact but quadratic in posting lists), with winnowing's "
     "DETERMINISTIC guarantee: any shared run of ≥ w+k−1 words shares "
     "a print, so long verbatim overlaps can never be missed the way "
-    "an unlucky MinHash draw can miss them. Shape: prints are ~4x "
-    "sparser than shingles so the candidate join's posting lists "
-    "shrink accordingly; verification is candidate-gated (two joins "
-    "keyed on the pair docs' hash sets); same hot-bucket-cap posture "
-    "as x8 applies to pathological boilerplate prints at 100 TB.",
+    "an unlucky MinHash draw can miss them. Shape (r8): prints are "
+    "~4x sparser than shingles, candidate pairs come from ONE bucket "
+    f"groupBy + narrow expansion with a {_X77_BUCKET_CAP}-doc hot-"
+    "print cap (dedup/minhash.bucket_pairs — bounds the k² blowup of "
+    "shared boilerplate prints; exact-count gate so both engines "
+    "agree); verification is candidate-gated (two joins keyed on the "
+    "pair docs' hash sets); the per-doc size joins carry NO broadcast "
+    "hint (linear non-Heaps growth — AQE decides, x62 class).",
     tags=("ext", "dedup"),
     late=True,
 )
@@ -1118,14 +1216,9 @@ def x77_winnowing_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "wmin")
         .distinct()
     )
-    pa = prints.select(F.col("doc_id").alias("doc_a"), "wmin")
-    pb = prints.select(F.col("doc_id").alias("doc_b"), "wmin")
-    cands = (
-        pa.join(pb, "wmin")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    # candidate pairs from the print index with the hot-print cap:
+    # one bucket groupBy + narrow pair expansion (no kv self-join)
+    cands = mh.bucket_pairs(prints, ["wmin"], max_bucket=_X77_BUCKET_CAP)
 
     vals = hashed.select("doc_id", "h").distinct().transform(barrier)
     sizes = vals.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -1142,9 +1235,11 @@ def x77_winnowing_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
+    # sizes is per-doc (linear growth, non-Heaps) — NO broadcast hint;
+    # AQE broadcasts while small, shuffle-joins at scale (x62 class)
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= _X77_JACCARD)
         .select("doc_a", "doc_b", "n_common", r4(jac).alias("jaccard"))
         .orderBy("doc_a", "doc_b")

@@ -666,12 +666,17 @@ LP_TAIL_PCT = 5     # drop the bottom 5% by corpus-LM score
         FROM toks t JOIN freq f ON t.token = f.token CROSS JOIN nt
         GROUP BY t.doc_id
     ),
-    hist AS (SELECT avg_logprob, COUNT(*) AS n FROM lp GROUP BY 1),
-    cum AS (
-        SELECT avg_logprob, n, SUM(n) OVER (ORDER BY avg_logprob) AS c
-        FROM hist
+    gh AS (
+        SELECT CAST(FLOOR(avg_logprob * 100) AS BIGINT) AS g, COUNT(*) AS n
+        FROM lp GROUP BY 1
     ),
+    cumg AS (SELECT g, SUM(n) OVER (ORDER BY g) AS c FROM gh),
     ntot AS (SELECT COUNT(*) AS n_docs FROM lp),
+    cut AS (
+        SELECT MAX(CASE WHEN c * 100 <= t.n_docs * {LP_TAIL_PCT}
+                        THEN g END) AS gcut
+        FROM cumg CROSS JOIN ntot t
+    ),
     {shingle_ctes(distinct=False)},
     rep AS (
         SELECT doc_id,
@@ -687,12 +692,12 @@ LP_TAIL_PCT = 5     # drop the bottom 5% by corpus-LM score
                COALESCE({r4sql("1.0 - CAST(r.n_di AS DOUBLE) / r.n_sh")}, 0.0)
                    AS repetition_ratio,
                l.avg_logprob,
-               (c.c * 100 <= t.n_docs * {LP_TAIL_PCT}) AS in_lp_tail
+               COALESCE(CAST(FLOOR(l.avg_logprob * 100) AS BIGINT)
+                        <= cut.gcut, FALSE) AS in_lp_tail
         FROM documents d
         LEFT JOIN rep r ON d.doc_id = r.doc_id
         JOIN lp l ON d.doc_id = l.doc_id
-        JOIN cum c ON l.avg_logprob = c.avg_logprob
-        CROSS JOIN ntot t
+        CROSS JOIN cut
     )
     SELECT doc_id, n_tokens, repetition_ratio, avg_logprob,
            CASE WHEN n_tokens < 10 THEN 'too_short'
@@ -708,14 +713,16 @@ LP_TAIL_PCT = 5     # drop the bottom 5% by corpus-LM score
     doc="EXT x40 — the MASTER quality gate: every quality signal "
     "composed into one verdict per document — length + alpha rules "
     "(x18), duplicate-3-gram repetition (x25), and a RELATIVE "
-    "corpus-LM floor (x33's score, bottom-5% dropped via the x27 "
-    "histogram-cumulative percentile: the cutoff is exact integer "
-    "arithmetic over distinct ROUNDED scores, a group is dropped "
-    "only if entirely inside the tail). First failed rule is the "
-    "verdict. Spark shape: repetition is a pure NARROW map (gram "
-    "array vs array_distinct — no explode at all); the LM score is "
-    "one explode + broadcast vocab join; the tail rule broadcasts "
-    "the rounded-score histogram back.",
+    "corpus-LM floor (x33's score; bottom-5% dropped on a FIXED "
+    "0.01-wide score grid — exact integer arithmetic over grid "
+    "cells, a cell is dropped only if entirely inside the tail). "
+    "First failed rule is the verdict. Spark shape (r8): repetition "
+    "is a pure NARROW map (gram array vs array_distinct — no explode "
+    "at all); the LM score is one explode + broadcast vocab join; "
+    "the tail rule cumsums a BOUNDED grid histogram (≲4k cells for "
+    "any corpus, the DDSketch log-bucket pattern) and reduces it to "
+    "ONE scalar cutoff row — no per-distinct-score table broadcast, "
+    "no window over an unbounded relation.",
     tags=("ext", "textstats", "quality", "pipeline"),
     late=True,
 )
@@ -742,18 +749,36 @@ def x40_quality_master(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(barrier)  # feeds the histogram AND the doc join
     )
-    hist = lp.groupBy("avg_logprob").agg(F.count("*").alias("n"))
+    # Tail rule on a FIXED 0.01-wide grid (the DDSketch log-bucket
+    # pattern): the grid histogram is BOUNDED by the score range /
+    # 0.01 (≲4k cells for any corpus — avg_logprob ≥ ln(1/total
+    # tokens)), so the cumsum window runs over a bounded table and the
+    # threshold collapses to ONE scalar row instead of a per-distinct-
+    # score table broadcast (which grew near-linearly with the corpus).
+    # FLOOR of the r4-canonical score is engine-identical.
+    gh = lp.groupBy(
+        F.floor(F.col("avg_logprob") * 100).cast("bigint").alias("g")
+    ).agg(F.count("*").alias("n"))
     from server_spark.operators.windows import pinned_single_group
 
     wcum = (
         Window.partitionBy(pinned_single_group("n"))
-        .orderBy("avg_logprob")
+        .orderBy("g")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = hist.select(
-        "avg_logprob", F.sum("n").over(wcum).alias("c")
-    )
+    cumg = gh.select("g", F.sum("n").over(wcum).alias("c"))
     ntot = lp.agg(F.count("*").alias("n_docs"))
+    cut = (
+        cumg.crossJoin(F.broadcast(ntot))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("c") * 100 <= F.col("n_docs") * LP_TAIL_PCT,
+                    F.col("g"),
+                )
+            ).alias("gcut")
+        )
+    )
 
     # narrow-map metrics: tokens, alpha, repetition (gram array vs
     # its distinct form — no explode)
@@ -788,12 +813,17 @@ def x40_quality_master(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("repetition_ratio"),
     )
 
+    # `cut` is ONE row — a scalar broadcast, safe at any corpus size
     m = (
         metrics.join(lp, "doc_id")
-        .join(F.broadcast(cum), "avg_logprob")
-        .crossJoin(F.broadcast(ntot))
+        .crossJoin(F.broadcast(cut))
         .withColumn(
-            "in_lp_tail", F.col("c") * 100 <= F.col("n_docs") * LP_TAIL_PCT
+            "in_lp_tail",
+            F.coalesce(
+                F.floor(F.col("avg_logprob") * 100).cast("bigint")
+                <= F.col("gcut"),
+                F.lit(False),
+            ),
         )
     )
     return m.select(
@@ -1480,7 +1510,7 @@ def x62_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT src.source,
            CAST(MAX(srctot.t) AS BIGINT) AS n_tokens,
            {r4sql("SUM((src.c * 1.0 / srctot.t) * LN((src.c * 1.0 / srctot.t) / (corp.cc * 1.0 / corptot.ct)))")}
-               AS kl_bits
+               AS kl_nats
     FROM src
     JOIN srctot USING (source)
     JOIN corp USING (token)
@@ -1524,7 +1554,9 @@ def x63_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.max("t").cast("bigint").alias("n_tokens"),
-            r4(F.sum(p * F.log(p / q))).alias("kl_bits"),
+            # natural log ⇒ the divergence is in NATS (divide by ln 2
+            # for bits); the column name states the unit it computes
+            r4(F.sum(p * F.log(p / q))).alias("kl_nats"),
         )
     )
 
@@ -2073,3 +2105,146 @@ def x76_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "source", "len_bucket", "group_size",
         (F.col("group_size") < _X76_K).alias("at_risk"),
     ).orderBy("lang", "source", "len_bucket")
+
+
+# ---------------------------------------------------------------------------
+# x85 — held-out perplexity under a train-split unigram LM
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x85_heldout_perplexity",
+    rf"""
+    WITH sp AS (
+        SELECT doc_id, text,
+               substr(md5(CAST(doc_id AS STRING)), 1, 2) < 'cc' AS is_train
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, is_train,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+        FROM sp
+    ),
+    freq AS (
+        SELECT token, COUNT(*) AS c FROM toks WHERE is_train GROUP BY token
+    ),
+    st AS (SELECT SUM(c) AS nt, COUNT(*) AS v FROM freq)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           SUM(CASE WHEN f.c IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           {r4sql("AVG(LN((COALESCE(f.c, 0) + 1.0) / (st.nt + st.v + 1.0)))")}
+               AS avg_logprob,
+           {r4sql("EXP(-AVG(LN((COALESCE(f.c, 0) + 1.0)"
+                  " / (st.nt + st.v + 1.0))))")} AS perplexity
+    FROM toks t
+    LEFT JOIN freq f ON t.token = f.token
+    CROSS JOIN st
+    WHERE NOT t.is_train
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    doc="EXT x85 — HELD-OUT PERPLEXITY: train an add-one-smoothed "
+    "unigram LM on the hash-train split (~80%, x17's md5 rule) and "
+    "score every held-out document — p(w) = (c(w)+1)/(N+V+1), the "
+    "V+1st slot is the OOV bucket. This is the evaluation half x33's "
+    "in-corpus logprob can't provide: scoring the corpus with an LM "
+    "trained ON it underestimates surprise, so mixture tuning and "
+    "quality-floor calibration (DoReMi/DSIR-style loops) read the "
+    "held-out number. n_oov is reported because OOV mass is the first "
+    "thing that moves when a source drifts. Shape: one explode; the "
+    "train vocab is Heaps-bounded (sublinear — broadcast-legal by the "
+    "r8 rule) and totals are a scalar cross join; one per-doc "
+    "hash-agg. Laplace keeps every factor exact-integer until the "
+    "single double division.",
+    tags=("ext", "textstats", "mixing"),
+    late=True,
+)
+def x85_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cc"
+        ).alias("is_train"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("token"),
+    ).transform(barrier)  # feeds the LM AND the held-out scoring
+    freq = (
+        toks.filter(F.col("is_train"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    st = freq.agg(F.sum("c").alias("nt"), F.count("*").alias("v"))
+    lp = F.log(
+        (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+        / (F.col("nt") + F.col("v") + 1.0)
+    )
+    return (
+        toks.filter(~F.col("is_train"))
+        .join(F.broadcast(freq), "token", "left")
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("c").isNull().cast("int")).alias("n_oov"),
+            r4(F.avg(lp)).alias("avg_logprob"),
+            r4(F.exp(-F.avg(lp))).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x87 — language-ID confusion matrix (x5's heuristic evaluated)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x87_langid_confusion",
+    rf"""
+    WITH pred AS ({_X5_SQL}),
+    cells AS (
+        SELECT tagged_lang, guessed_lang, COUNT(*) AS n
+        FROM pred GROUP BY 1, 2
+    ),
+    rows_ AS (
+        SELECT tagged_lang, SUM(n) AS row_n FROM cells GROUP BY 1
+    )
+    SELECT c.tagged_lang, c.guessed_lang, c.n,
+           {r4sql("c.n * 1.0 / r.row_n")} AS row_share,
+           (c.tagged_lang = c.guessed_lang) AS is_correct
+    FROM cells c JOIN rows_ r ON c.tagged_lang = r.tagged_lang
+    ORDER BY c.tagged_lang, c.guessed_lang
+    """,
+    doc="EXT x87 — CONFUSION MATRIX for the x5 language-ID heuristic "
+    "against the tagged lang column: per (true, predicted) cell count "
+    "and row-normalized share (recall on the diagonal) — the "
+    "classifier-evaluation primitive a pipeline runs before trusting "
+    "any model-derived routing column (x5 decides which language "
+    "pipeline a document enters; this measures what that decision "
+    "costs per language). Shape: x5's narrow marker-vote map, then "
+    "two stacked dimension-bounded hash-aggs (|langs|² cells) and a "
+    "row-total join — nothing corpus-sized past the first agg.",
+    tags=("ext", "textstats", "eval"),
+    late=True,
+)
+def x87_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = _docs(spark, sf_dir).select(
+        F.col("lang").alias("tagged_lang"),
+        tx.langid_heuristic().alias("guessed_lang"),
+    )
+    cells = pred.groupBy("tagged_lang", "guessed_lang").agg(
+        F.count("*").alias("n")
+    )
+    totals = cells.groupBy("tagged_lang").agg(F.sum("n").alias("row_n"))
+    return (
+        cells.join(totals, "tagged_lang")
+        .select(
+            "tagged_lang", "guessed_lang", "n",
+            r4(F.col("n") * 1.0 / F.col("row_n")).alias("row_share"),
+            (F.col("tagged_lang") == F.col("guessed_lang")).alias(
+                "is_correct"
+            ),
+        )
+        .orderBy("tagged_lang", "guessed_lang")
+    )

@@ -741,6 +741,57 @@ def a20_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def triangle_counts(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Per-node degree and triangle counts from an undirected,
+    deduplicated edge list (s < t) — the DEGREE-ORDERED enumeration.
+
+    Direct each edge from its LOWER-(degree, id) endpoint to the
+    higher, so a triangle {a ≺ b ≺ c} is enumerated exactly once as
+    the wedge (a→b, a→c) closed by b→c, and the wedge fan-out per
+    node is its ORIENTED out-degree — bounded by O(√m)/arboricity
+    even on a hub-heavy graph, where a raw value orientation (s < t)
+    lets a low-id hub fan out by its full degree. Ties on degree
+    break by id — a total order, so the orientation is well-defined
+    and acyclic. Returns (deg(item, degree), node_tri(item,
+    triangles)); per-node triangle counts are orientation-INVARIANT.
+    """
+    deg = (
+        edges.select(F.col("s").alias("item"))
+        .unionByName(edges.select(F.col("t").alias("item")))
+        .groupBy("item")
+        .agg(F.count("*").alias("degree"))
+        .transform(barrier)  # orients every edge AND labels the output
+    )
+    ds = deg.select(F.col("item").alias("s"), F.col("degree").alias("d_s"))
+    dt = deg.select(F.col("item").alias("t"), F.col("degree").alias("d_t"))
+    s_first = (F.col("d_s") < F.col("d_t")) | (
+        (F.col("d_s") == F.col("d_t")) & (F.col("s") < F.col("t"))
+    )
+    oriented = (
+        edges.join(ds, "s")
+        .join(dt, "t")
+        .select(
+            F.when(s_first, F.col("s")).otherwise(F.col("t")).alias("u"),
+            F.when(s_first, F.col("t")).otherwise(F.col("s")).alias("v"),
+        )
+        .transform(barrier)  # reused 3x: two wedge legs + the closer
+    )
+    o1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    o2 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    o3 = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    # the b→c closing join enforces b ≺ c, so each out-neighbor pair
+    # of `a` is tried once — no self-pair or double-count filter needed
+    tris = o1.join(o2, "a").join(o3, ["b", "c"])
+    node_tri = (
+        tris.select(F.col("a").alias("item"))
+        .unionByName(tris.select(F.col("b").alias("item")))
+        .unionByName(tris.select(F.col("c").alias("item")))
+        .groupBy("item")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return deg, node_tri
+
+
 @register(
     "a21_triangle_count",
     auctions_sql(
@@ -790,14 +841,17 @@ def a20_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "metric behind community detection and spam-subgraph flags, and "
     "(with a20's PageRank and x15's connected components) the third "
     "canonical graph workload, expressed as pure relational algebra: "
-    "triangle enumeration is the classic two-hop equi-join "
-    "edges⋈edges⋈edges with the a<b<c orientation making each "
-    "triangle appear EXACTLY once (no division by 6). Scale shape: "
-    "the frequent-itemset gate bounds the edge list before any join; "
-    "at web scale the same plan runs with the standard "
-    "degree-ordered orientation (orient edges low-degree→high) which "
-    "bounds the two-hop fan-out by the arboricity — the join/agg "
-    "skeleton is unchanged.",
+    "triangle enumeration is the two-hop equi-join edges⋈edges⋈edges "
+    "under the DEGREE-ORDERED orientation (edges directed low-(deg,"
+    "id)→high, r8): each triangle appears exactly once as a wedge at "
+    "its ≺-minimal node closed by an oriented edge, and wedge fan-out "
+    "is bounded by the oriented out-degree — O(√m)/arboricity even "
+    "on hub-heavy graphs, where a value orientation lets a low-id "
+    "hub fan out by its full degree. The oracle keeps the simpler "
+    "a<b<c value orientation: per-node triangle counts are "
+    "orientation-INVARIANT, so both engines agree by construction. "
+    "The frequent-itemset gate additionally bounds the edge list "
+    "before any join.",
     tags=("ext", "join", "graph"),
     late=True,
 )
@@ -817,23 +871,7 @@ def a21_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .transform(barrier)  # reused 5x below: 3 triangle legs + 2 degrees
     )
-    e1 = edges.select(F.col("s").alias("a"), F.col("t").alias("b"))
-    e2 = edges.select(F.col("s").alias("b"), F.col("t").alias("c"))
-    e3 = edges.select(F.col("s").alias("a"), F.col("t").alias("c"))
-    tris = e1.join(e2, "b").join(e3, ["a", "c"])
-    node_tri = (
-        tris.select(F.col("a").alias("item"))
-        .unionByName(tris.select(F.col("b").alias("item")))
-        .unionByName(tris.select(F.col("c").alias("item")))
-        .groupBy("item")
-        .agg(F.count("*").alias("triangles"))
-    )
-    deg = (
-        edges.select(F.col("s").alias("item"))
-        .unionByName(edges.select(F.col("t").alias("item")))
-        .groupBy("item")
-        .agg(F.count("*").alias("degree"))
-    )
+    deg, node_tri = triangle_counts(edges)
     joined = deg.join(node_tri, "item", "left").select(
         "item", "degree",
         F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
@@ -1243,7 +1281,7 @@ _A26_MIN_N = 200  # listings per owner before the test has power
             FROM dist GROUP BY owner
         )
         SELECT owner, n_listings, {r4sql("chi2")} AS chi2,
-               chi2 > 15.507 AS flagged
+               {r4sql("chi2")} > 15.507 AS flagged
         FROM chi
         WHERE n_listings >= {_A26_MIN_N}
         ORDER BY chi2 DESC, owner
@@ -1292,8 +1330,250 @@ def a26_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_listings") >= _A26_MIN_N)
     )
+    # The flag cuts on the r4-CANONICAL chi2, not the raw double: the
+    # boolean must flip identically on both engines for an owner whose
+    # statistic straddles the threshold (the a19 boundary lesson).
     return chi.select(
         "owner", "n_listings",
         r4(F.col("chi2_raw")).alias("chi2"),
-        (F.col("chi2_raw") > 15.507).alias("flagged"),
+        (r4(F.col("chi2_raw")) > 15.507).alias("flagged"),
     ).orderBy(F.col("chi2").desc(), "owner")
+
+
+# ---------------------------------------------------------------------------
+# A27 — Gini coefficient of monthly owner-revenue concentration
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a27_gini_concentration",
+    auctions_sql(
+        f"""
+        , vol AS (
+            SELECT CAST(DATE_TRUNC('month', dump_ts) AS DATE) AS month,
+                   owner,
+                   SUM(CAST(CAST(buyout AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       * CAST(quantity AS BIGINT)) AS v
+            FROM auctions GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT month, owner, v,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY month ORDER BY v, owner
+                   ) AS rnk
+            FROM vol
+        )
+        SELECT month, COUNT(*) AS n_owners,
+               SUM(v) AS total_cents,
+               {r4sql("(2.0 * SUM(rnk * v) - (COUNT(*) + 1) * SUM(v))"
+                      " / (COUNT(*) * SUM(v))")} AS gini
+        FROM ranked
+        GROUP BY month
+        ORDER BY month
+        """
+    ),
+    doc="A27 (EXT analytics) — GINI COEFFICIENT of owner-revenue "
+    "concentration per month: the canonical inequality measure "
+    "(G = (2·Σ rank·x − (n+1)·Σx)/(n·Σx) over ascending-sorted "
+    "revenues), the market-health metric behind 'is this realm's "
+    "economy captured by a few sellers' — complements a24's HHI "
+    "(which weights large shares quadratically; Gini reads the whole "
+    "Lorenz curve). Determinism: revenue is summed in exact CENTS "
+    "(bigint — no float accumulation-order drift), ranks break ties "
+    "by owner, and the only double op is the final r4-canonicalized "
+    "ratio. Shape: one hash-agg to (month, owner), a month-partitioned "
+    "rank window bounded by owners-per-month (dimension-bounded, "
+    "never corpus-bounded), one final hash-agg per month.",
+    tags=("ext", "agg", "analytics"),
+    late=True,
+)
+def a27_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cents = (
+        (F.col("buyout").cast("decimal(18,2)") * 100).cast("bigint")
+        * F.col("quantity").cast("bigint")
+    )
+    vol = (
+        auctions(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("month", "dump_ts").cast("date").alias("month"),
+            "owner",
+        )
+        .agg(F.sum(cents).alias("v"))
+    )
+    w = Window.partitionBy("month").orderBy("v", "owner")
+    ranked = vol.withColumn("rnk", F.row_number().over(w))
+    n, tot = F.count("*"), F.sum("v")
+    return (
+        ranked.groupBy("month")
+        .agg(
+            n.alias("n_owners"),
+            tot.alias("total_cents"),
+            r4(
+                (2.0 * F.sum(F.col("rnk") * F.col("v")) - (n + 1) * tot)
+                / (n * tot)
+            ).alias("gini"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A28 — Zipf exponent of item listing frequencies (power-law fit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a28_zipf_exponent",
+    auctions_sql(
+        f"""
+        , cnt AS (
+            SELECT time_left, item, COUNT(*) AS c
+            FROM auctions GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT time_left, c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY time_left ORDER BY c DESC, item
+                   ) AS rnk
+            FROM cnt
+        )
+        SELECT time_left, COUNT(*) AS n_items,
+               {r4sql("REGR_SLOPE(LN(c), LN(rnk))")} AS zipf_slope,
+               {r4sql("REGR_INTERCEPT(LN(c), LN(rnk))")} AS zipf_intercept,
+               {r4sql("REGR_R2(LN(c), LN(rnk))")} AS fit_r2
+        FROM ranked
+        GROUP BY time_left
+        ORDER BY time_left
+        """
+    ),
+    doc="A28 (EXT analytics) — ZIPF/power-law EXPONENT of item listing "
+    "frequencies per market segment: OLS fit of ln(count) on ln(rank) "
+    "via the NULL-safe regr_* family (w12's machinery pointed at "
+    "rank-frequency structure). The slope is the data-mixing "
+    "diagnostic behind Heaps/Zipf-based vocabulary and dedup sizing "
+    "(this repo's broadcast-legality rule literally cites these "
+    "exponents) — a segment whose |slope| drifts toward 0 is "
+    "flattening (bot-generated uniform listings), one steepening "
+    "past ~1 is concentrating. Shape: one (segment, item) hash-agg; "
+    "the rank window partitions by segment and is bounded by the "
+    "item CATALOG (dimension, not corpus); one regr_* hash-agg.",
+    tags=("ext", "agg", "analytics"),
+    late=True,
+)
+def a28_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cnt = (
+        auctions(spark, sf_dir)
+        .groupBy("time_left", "item")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("time_left").orderBy(F.col("c").desc(), "item")
+    ranked = cnt.withColumn("rnk", F.row_number().over(w))
+    ln_c, ln_r = F.log(F.col("c")), F.log(F.col("rnk"))
+    return (
+        ranked.groupBy("time_left")
+        .agg(
+            F.count("*").alias("n_items"),
+            r4(F.regr_slope(ln_c, ln_r)).alias("zipf_slope"),
+            r4(F.regr_intercept(ln_c, ln_r)).alias("zipf_intercept"),
+            r4(F.regr_r2(ln_c, ln_r)).alias("fit_r2"),
+        )
+        .orderBy("time_left")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A31 — median absolute deviation (robust dispersion) per item
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a31_mad_dispersion",
+    auctions_sql(
+        f"""
+        , priced AS (
+            SELECT item, buyout FROM auctions WHERE buyout > 0
+        ),
+        r1 AS (
+            SELECT item, buyout,
+                   ROW_NUMBER() OVER (PARTITION BY item ORDER BY buyout) AS rn,
+                   COUNT(*)    OVER (PARTITION BY item)                  AS n
+            FROM priced
+        ),
+        med AS (
+            SELECT item, AVG(buyout) AS med
+            FROM r1 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+            GROUP BY item
+        ),
+        dev AS (
+            SELECT r1.item, ABS(r1.buyout - med.med) AS d, med.med, r1.n
+            FROM r1 JOIN med ON r1.item = med.item
+        ),
+        r2 AS (
+            SELECT item, d, med, n,
+                   ROW_NUMBER() OVER (PARTITION BY item ORDER BY d) AS rn
+            FROM dev
+        )
+        SELECT item, MAX(n) AS n_listings,
+               {r4sql("MAX(med)")} AS median_buyout,
+               {r4sql("AVG(d)")} AS mad
+        FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        GROUP BY item
+        ORDER BY item
+        """
+    ),
+    doc="A31 (EXT analytics) — MEDIAN ABSOLUTE DEVIATION of buyout per "
+    "item: the robust dispersion companion to a2 (stddev is wrecked "
+    "by the exact outliers an auction house attracts; MAD is the "
+    "estimator behind the robust z-score t11/t20 would use at "
+    "production). Two rank-median passes — per-item median, then the "
+    "median of absolute deviations from it — each spelled as "
+    "rank-and-average-middles on BOTH engines (the a2 lesson: native "
+    "median() implementations differ in the last ulp). Shape: both "
+    "windows partition by item and the follow-up groupBys reuse that "
+    "hash partitioning; the deviation join is item-keyed against a "
+    "catalog-bounded median table.",
+    tags=("ext", "agg", "analytics"),
+    late=True,
+)
+def a31_mad_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    priced = (
+        auctions(spark, sf_dir)
+        .filter(F.col("buyout") > 0)
+        .select("item", "buyout")
+    )
+    w = Window.partitionBy("item")
+    r1 = priced.select(
+        "item", "buyout",
+        F.row_number().over(w.orderBy("buyout")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+
+    def mids(rn, n):
+        return (rn == F.floor((n + 1) / 2)) | (rn == F.floor((n + 2) / 2))
+
+    med = (
+        r1.filter(mids(F.col("rn"), F.col("n")))
+        .groupBy("item")
+        .agg(F.avg("buyout").alias("med"))
+    )
+    dev = r1.join(med, "item").select(
+        "item", "n", "med",
+        F.abs(F.col("buyout") - F.col("med")).alias("d"),
+    )
+    r2 = dev.withColumn("rn", F.row_number().over(w.orderBy("d")))
+    return (
+        r2.filter(mids(F.col("rn"), F.col("n")))
+        .groupBy("item")
+        .agg(
+            F.max("n").alias("n_listings"),
+            r4(F.max("med")).alias("median_buyout"),
+            r4(F.avg("d")).alias("mad"),
+        )
+        .orderBy("item")
+    )

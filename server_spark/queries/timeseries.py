@@ -1970,3 +1970,199 @@ def t26_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# T27 — single-changepoint detection (AMOC) per daily item price series
+# ---------------------------------------------------------------------------
+
+_T27_MIN_DAYS = 8
+_T27_MAX_ITEM = 60  # bound the reported series set (catalog slice)
+
+
+@register(
+    "t27_changepoint_amoc",
+    auctions_sql(
+        f"""
+        , daily AS (
+            SELECT item, CAST(dump_ts AS DATE) AS day,
+                   SUM(CAST(CAST(buyout AS DECIMAL(18,2)) * 100 AS BIGINT))
+                       AS s_cents,
+                   COUNT(*) AS c
+            FROM auctions WHERE item <= {_T27_MAX_ITEM} AND buyout > 0
+            GROUP BY 1, 2
+        ),
+        pre AS (
+            SELECT item, day, s_cents, c,
+                   SUM(s_cents) OVER w AS cs,
+                   SUM(c)       OVER w AS cc,
+                   SUM(s_cents) OVER (PARTITION BY item) AS ts,
+                   SUM(c)       OVER (PARTITION BY item) AS tc,
+                   COUNT(*)     OVER (PARTITION BY item) AS nd
+            FROM daily
+            WINDOW w AS (
+                PARTITION BY item ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            )
+        ),
+        scored AS (
+            SELECT item, day, nd,
+                   {r4sql("(cc * 1.0 * (tc - cc) / tc) * "
+                          "POW(cs * 1.0 / cc - (ts - cs) * 1.0 / (tc - cc), 2)"
+                          " / 10000.0")} AS gain
+            FROM pre
+            WHERE nd >= {_T27_MIN_DAYS} AND cc < tc
+        ),
+        best AS (
+            SELECT item, day AS change_day, nd AS n_days, gain,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY item ORDER BY gain DESC, day
+                   ) AS rk
+            FROM scored
+        )
+        SELECT item, change_day, n_days, gain
+        FROM best WHERE rk = 1
+        ORDER BY item
+        """
+    ),
+    doc="T27 (EXT timeseries) — At-Most-One-Changepoint detection per "
+    "item: the split day maximizing the between-segment mean-shift "
+    "gain n₁n₂/n·(μ₁−μ₂)² over the daily mean-price series — the "
+    "screening form of binary-segmentation changepoint detection "
+    "(each accepted split recurses on the halves; this query is one "
+    "level, which is also the monitoring alert primitive 'did this "
+    "series shift and when'). Determinism: prefix sums run over exact "
+    "CENTS bigints (no float accumulation-order drift; the only "
+    "double math is per-row from exact integers), the argmax ranks on "
+    "the r4-CANONICAL gain with a day tiebreak, so both engines pick "
+    "the same day even when two raw gains differ below canonical "
+    "precision. Shape: one (item, day) hash-agg, item-partitioned "
+    "cumulative windows (series-bounded, reused exchange), one "
+    "WindowGroupLimit-able rank. Gain reported in gold² units "
+    "(cents²/10⁴).",
+    tags=("ext", "timeseries", "anomaly"),
+    late=True,
+)
+def t27_changepoint_amoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.sources.synthetic import auctions as _auctions
+
+    cents = (F.col("buyout").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (
+        _auctions(spark, sf_dir)
+        .filter((F.col("item") <= _T27_MAX_ITEM) & (F.col("buyout") > 0))
+        .groupBy("item", F.col("dump_ts").cast("date").alias("day"))
+        .agg(F.sum(cents).alias("s_cents"), F.count("*").alias("c"))
+    )
+    wp = Window.partitionBy("item")
+    wcum = wp.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "item", "day",
+        F.sum("s_cents").over(wcum).alias("cs"),
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("s_cents").over(wp).alias("ts"),
+        F.sum("c").over(wp).alias("tc"),
+        F.count("*").over(wp).alias("nd"),
+    ).filter((F.col("nd") >= _T27_MIN_DAYS) & (F.col("cc") < F.col("tc")))
+    m1 = F.col("cs") * 1.0 / F.col("cc")
+    m2 = (F.col("ts") - F.col("cs")) * 1.0 / (F.col("tc") - F.col("cc"))
+    weight = F.col("cc") * 1.0 * (F.col("tc") - F.col("cc")) / F.col("tc")
+    scored = pre.select(
+        "item",
+        F.col("day").alias("change_day"),
+        F.col("nd").alias("n_days"),
+        r4(weight * F.pow(m1 - m2, 2) / 10000.0).alias("gain"),
+    )
+    wrk = Window.partitionBy("item").orderBy(
+        F.col("gain").desc(), "change_day"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+        .orderBy("item")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W13 — day-of-week seasonality index per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w13_dow_seasonality",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    tagged AS (
+        SELECT event_type,
+               DATEDIFF('day', DATE '1970-01-05', day) % 7 AS dow,
+               c
+        FROM daily
+    ),
+    per_dow AS (
+        SELECT event_type, dow,
+               SUM(c) AS n_events, COUNT(*) AS n_days
+        FROM tagged GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT event_type,
+               SUM(n_events) AS tot_events, SUM(n_days) AS tot_days
+        FROM per_dow GROUP BY 1
+    )
+    SELECT p.event_type, p.dow, p.n_events, p.n_days,
+           {IDX} AS seasonal_index
+    FROM per_dow p JOIN base b ON p.event_type = b.event_type
+    ORDER BY p.event_type, p.dow
+    """.format(
+        IDX=r4sql(
+            "(p.n_events * 1.0 / p.n_days)"
+            " / (b.tot_events * 1.0 / b.tot_days)"
+        )
+    ),
+    doc="W13 (EXT window/seasonal) — DAY-OF-WEEK seasonality index per "
+    "event type: mean daily volume on each weekday divided by the "
+    "overall mean daily volume — the multiplicative seasonal factor a "
+    "forecast divides out before trend fitting (w12) and the load "
+    "model capacity planning reads ('weekends run at 0.7×'). Weekday "
+    "derived as days-since-a-known-Monday mod 7 (0=Mon) — pure date "
+    "arithmetic, engine-identical, immune to the locale/convention "
+    "split between engines' dayofweek() (Spark 1=Sun, DuckDB 0=Sun). "
+    "Determinism: integer counts all the way; the one double ratio is "
+    "r4-canonicalized. Shape: two stacked hash-aggs (day, then dow) "
+    "and a 7-rows-per-type join — fully map-combinable, "
+    "dimension-bounded everywhere.",
+    tags=("ext", "window", "timeseries"),
+    late=True,
+)
+def w13_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    tagged = daily.select(
+        "event_type",
+        (F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")) % 7)
+        .alias("dow"),
+        "c",
+    )
+    per_dow = tagged.groupBy("event_type", "dow").agg(
+        F.sum("c").alias("n_events"), F.count("*").alias("n_days")
+    )
+    base = per_dow.groupBy("event_type").agg(
+        F.sum("n_events").alias("tot_events"),
+        F.sum("n_days").alias("tot_days"),
+    )
+    idx = (F.col("n_events") * 1.0 / F.col("n_days")) / (
+        F.col("tot_events") * 1.0 / F.col("tot_days")
+    )
+    return (
+        per_dow.join(base, "event_type")
+        .select(
+            "event_type", "dow", "n_events", "n_days",
+            r4(idx).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "dow")
+    )

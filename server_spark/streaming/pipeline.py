@@ -683,3 +683,95 @@ def hot_items_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def bitmap_distinct_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: tuple[str, ...] = ("region", "realm_slug"),
+    value_col: str = "item",
+):
+    """Streaming twin of ``maintenance.refresh_item_bitmap_gold`` (r7
+    verdict item 7): maintain the EXACT distinct-count bitmap gold
+    across micro-batches with a foreachBatch OR-fold, so incremental
+    streaming upkeep equals the one-shot COUNT(DISTINCT) at every
+    batch boundary (asserted in tests).
+
+    Exactly-once: the checkpoint dedupes files across restarts;
+    foreachBatch is at-least-once WITHIN a batch (a crash between the
+    fold and the checkpoint commit replays the batch), so the fold is
+    additionally gated on the epoch id persisted in the state sidecar
+    — the standard idempotent-foreachBatch recipe. The fold itself is
+    the same mergeable bitmap algebra the batch gold uses (OR is
+    associative + commutative → replay order can't change the state),
+    and the write goes tmp → aside-swap so a crash mid-write leaves a
+    recoverable table. State grows with groups × occupied buckets
+    (~1 bit per present key when dense), never with stream history —
+    the 100 TB posture of every mergeable gold.
+    """
+    import json as _json
+    import os
+    import shutil
+
+    from server_spark.plans.maintenance import (
+        item_bitmaps,
+        merge_item_bitmaps,
+    )
+
+    data_dir = os.path.join(state_dir, "bitmaps")
+    wm_file = os.path.join(state_dir, "_epoch")
+    aside = f"{data_dir}.old"
+    klist = list(keys)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        last = -1
+        if os.path.exists(wm_file):
+            with open(wm_file) as fh:
+                last = _json.load(fh)["batch_id"]
+        if batch_id <= last:  # replayed epoch — fold already applied
+            return
+        batch_bm = item_bitmaps(batch_df, klist, value_col)
+        if os.path.exists(aside):  # heal a crash between swap renames
+            if os.path.exists(data_dir):
+                shutil.rmtree(aside)
+            else:
+                os.rename(aside, data_dir)
+        if os.path.exists(data_dir):
+            merged = merge_item_bitmaps(
+                sess.read.parquet(data_dir), batch_bm, klist
+            )
+        else:
+            merged = batch_bm
+        tmp = f"{data_dir}.tmp.{os.getpid()}"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(data_dir):
+            os.rename(data_dir, aside)
+        os.replace(tmp, data_dir)
+        if os.path.exists(aside):
+            shutil.rmtree(aside)
+        os.makedirs(state_dir, exist_ok=True)
+        with open(wm_file, "w") as fh:
+            _json.dump({"batch_id": int(batch_id)}, fh)
+
+    stream = read_auction_stream(spark, input_dir, max_files=1)
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_bitmap_distinct_state(spark: SparkSession, state_dir: str):
+    """Current per-key EXACT distinct counts off the streaming state."""
+    import os
+
+    from server_spark.plans.maintenance import count_distinct_exact
+
+    return count_distinct_exact(
+        spark.read.parquet(os.path.join(state_dir, "bitmaps")),
+        ["region", "realm_slug"],
+    )

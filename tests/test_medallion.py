@@ -913,6 +913,9 @@ def test_incremental_hot_items_gold(spark, tmp_path):
     rows = {r["item"]: r for r in mt.read_hot_items_gold(spark, paths).collect()}
     assert 7 in rows
     est, bound = rows[7]["est"], rows[7]["max_undercount"]
+    # the bound must use the cap the state was BUILT with (16), not the
+    # module default (256): N_total/(cap+1) = 100//17
+    assert bound == 100 // 17
     true = 65
     assert est <= true
     assert est >= true - max(bound, 100 // 17 + 1)
@@ -942,7 +945,11 @@ def test_forget_owner_erases_everywhere(spark, tmp_path):
 
     t0 = dt.datetime(2024, 1, 1, 10)
     t1 = dt.datetime(2024, 1, 2, 10)
-    mixed = [(100, 500, "alice"), (100, 700, "bob"), (200, 300, "alice")]
+    # The None-owner row is load-bearing: the wire format allows
+    # anonymous listings, and a non-null-safe ``owner != 'alice'``
+    # filter would silently erase it alongside alice.
+    mixed = [(100, 500, "alice"), (100, 700, "bob"), (200, 300, "alice"),
+             (201, 450, None)]
     alice_only = [(300, 900, "alice"), (301, 100, "alice")]
 
     def build(root, with_alice):

@@ -120,6 +120,45 @@ def test_x62_bigram_join_falls_back_to_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x75_containment_pairs",
+        "x77_winnowing_neardup",
+        "x32_cluster_survivors_quality",
+        "x40_quality_master",
+    ],
+)
+def test_no_forced_broadcast_of_linear_tables(spark, name):
+    """r8 scale fix evidenced live (the x62 rule applied registry-wide):
+    x75/x77's per-doc `sizes`, x32's per-cluster `best`, and x40's
+    score-histogram tables all grow LINEARLY with the corpus (non-Heaps)
+    and carry NO broadcast hint — so with the auto-broadcast threshold
+    disabled (simulating 100× growth) the planner takes shuffle joins
+    instead of OOMing executors. x40's only surviving broadcasts are
+    single-row scalars (cross-joined cutoff/totals), which appear as
+    BroadcastNestedLoopJoin, never BroadcastHashJoin."""
+    import contextlib
+    import io
+
+    qs = registry.queries()
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            qs[name](spark, SF).explain("formatted")
+        p = buf.getvalue()
+        assert "BroadcastHashJoin" not in p, (
+            f"{name}: a forced broadcast survived the disabled threshold"
+        )
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, (
+            f"{name}: expected a shuffle join under threshold=-1"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
 def test_pushed_filters_nonempty(fplan):
     """The pushdown rows must show an actual predicate, not an empty
     PushedFilters list."""

@@ -665,3 +665,51 @@ def test_misra_gries_merge_bound(data, cap, n_parts, batch):
     heavy = {k for k, c in true.items() if c >= thr}
     cands = {k for k, c in merged.items() if c >= thr - err}
     assert heavy <= cands, (heavy - cands, thr, err)
+
+
+# ---------------------------------------------------------------------------
+# a21 triangle enumeration: degree-ordered orientation vs brute force
+# ---------------------------------------------------------------------------
+
+# Hub-heavy strategy: node 0 connects to most nodes (the exact shape
+# where a value orientation fans a low-id hub out by its full degree);
+# random extra edges create triangles through the hub.
+_EDGE_LISTS = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=40,
+).map(
+    lambda es: sorted({(min(a, b), max(a, b)) for a, b in es}
+                      | {(0, n) for n in range(1, 8)})
+)
+
+
+@given(edges=_EDGE_LISTS)
+@_SETTINGS
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """triangle_counts (degree-ordered orientation) equals the brute
+    force per-node triangle enumeration on hub-heavy graphs, where a
+    naive value orientation is cheapest to get wrong."""
+    from itertools import combinations
+
+    from server_spark.queries.joins_sets import triangle_counts
+
+    eset = set(edges)
+    nodes = sorted({n for e in edges for n in e})
+    want_tri = dict.fromkeys(nodes, 0)
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= eset:
+            for n in (a, b, c):
+                want_tri[n] += 1
+    want_deg = {
+        n: sum(n in e for e in eset) for n in nodes
+    }
+
+    df = spark.createDataFrame(edges, "s long, t long")
+    deg, node_tri = triangle_counts(df)
+    got_deg = {r["item"]: r["degree"] for r in deg.collect()}
+    got_tri = {r["item"]: r["triangles"] for r in node_tri.collect()}
+    assert got_deg == want_deg
+    assert got_tri == {n: c for n, c in want_tri.items() if c > 0}

@@ -624,3 +624,69 @@ def test_streaming_hot_items(spark, tmp_path):
     assert final["est"] <= 55
     assert final["est"] >= 55 - final["max_undercount"]
     assert final["est"] >= 0.25 * final["n_seen"]
+
+
+def test_bitmap_distinct_stream_incremental_equals_oneshot(spark, tmp_path):
+    """Streaming bitmap gold (r8): the foreachBatch OR-fold over
+    micro-batches equals the one-shot COUNT(DISTINCT) after every
+    drain, across a checkpoint resume, and a replayed epoch (same
+    batch_id) cannot double-fold."""
+    import json
+
+    input_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir, exist_ok=True)
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    t1 = dt.datetime(2024, 1, 1, 11)
+    t2 = dt.datetime(2024, 1, 1, 12)
+    # maxFilesPerTrigger=1 → each dump is its own micro-batch/epoch
+    _write_dump(spark, input_dir, "d0", t0, [(1, 100, 10, 1), (2, 101, 10, 1)])
+    _write_dump(spark, input_dir, "d1", t1, [(3, 101, 10, 1), (4, 102, 10, 1)])
+
+    def oneshot():
+        return (
+            spark.read.schema(AUCTION).parquet(input_dir)
+            .select("region", "realm_slug", "item").distinct().count()
+        )
+
+    q = sp.bitmap_distinct_stream(spark, input_dir, state_dir, ckpt)
+    q.awaitTermination()
+    got = {
+        (r["region"], r["realm_slug"]): r["distinct_exact"]
+        for r in sp.read_bitmap_distinct_state(spark, state_dir).collect()
+    }
+    assert list(got) == [("eu", "r1")]
+    assert got[("eu", "r1")] == oneshot() == 3
+
+    # resume: only the new file folds; incremental == one-shot again
+    _write_dump(spark, input_dir, "d2", t2, [(5, 500, 10, 1), (6, 100, 10, 1)])
+    q2 = sp.bitmap_distinct_stream(spark, input_dir, state_dir, ckpt)
+    q2.awaitTermination()
+    got2 = {
+        (r["region"], r["realm_slug"]): r["distinct_exact"]
+        for r in sp.read_bitmap_distinct_state(spark, state_dir).collect()
+    }
+    assert got2[("eu", "r1")] == oneshot() == 4
+
+    # replayed epoch: re-delivering an ALREADY-FOLDED batch_id is a
+    # no-op (the at-least-once crash window foreachBatch must survive)
+    with open(os.path.join(state_dir, "_epoch")) as fh:
+        last = json.load(fh)["batch_id"]
+    replay = _dump(spark, t1, [(3, 101, 10, 1), (4, 102, 10, 1)])
+    # simulate the replay by calling the sink path directly: fold is
+    # gated on batch_id <= last, so state must not change
+    before = got2[("eu", "r1")]
+    q3 = sp.bitmap_distinct_stream(spark, input_dir, state_dir, str(tmp_path / "ckpt2"))
+    q3.awaitTermination()  # fresh checkpoint replays ALL files as epochs 0..n
+    got3 = {
+        (r["region"], r["realm_slug"]): r["distinct_exact"]
+        for r in sp.read_bitmap_distinct_state(spark, state_dir).collect()
+    }
+    # epochs 0..2 of the fresh checkpoint are <= the stored epoch (2),
+    # so nothing re-folds; counts unchanged (idempotent under replay —
+    # OR-folds would also make a re-fold harmless, but the gate is the
+    # contract)
+    assert got3[("eu", "r1")] == before == 4
+    assert replay.count() == 2  # (strategy sanity, keeps flake-free)
