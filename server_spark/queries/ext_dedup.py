@@ -1244,3 +1244,80 @@ def x77_winnowing_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_common", r4(jac).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# x90 — dup-cluster DENSITY audit (transitivity/over-clustering check)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x90_cluster_density",
+    rf"""
+    WITH RECURSIVE {shingle_ctes()},
+    {_gated_pairs_sql()},
+    {_COMPONENTS_SQL},
+    n AS (SELECT component, COUNT(*) AS n_nodes FROM comp GROUP BY 1),
+    m AS (
+        SELECT c.component, COUNT(*) AS n_edges
+        FROM pairs p JOIN comp c ON p.doc_a = c.node
+        GROUP BY 1
+    )
+    SELECT n.component AS cluster_id, n.n_nodes,
+           COALESCE(m.n_edges, 0) AS n_edges,
+           {r4sql("2.0 * COALESCE(m.n_edges, 0)"
+                  " / (n.n_nodes * (n.n_nodes - 1))")} AS density,
+           (2 * COALESCE(m.n_edges, 0)
+            = n.n_nodes * (n.n_nodes - 1)) AS is_clique
+    FROM n LEFT JOIN m ON n.component = m.component
+    WHERE n.n_nodes >= 2
+    ORDER BY cluster_id
+    """,
+    doc="EXT x90 — dup-cluster DENSITY audit over x15's components: "
+    "per cluster, verified-edge count vs the n·(n−1)/2 a clique would "
+    "have. Connected components CHAIN similarity (A~B~C clusters A "
+    "with C even when A≁C), which is exactly how near-dup dedup "
+    "over-clusters — dropping all-but-one doc from a low-density "
+    "chained cluster deletes documents that are NOT near-dups of the "
+    "survivor. Production dedup reads this audit before choosing "
+    "keep-one-per-cluster (x32) vs edge-local removal; density < 1 "
+    "clusters are the review queue. Shape: reuses x15's LSH-gated "
+    "exact-verified edges and label-propagation components; the audit "
+    "itself is two cluster-keyed hash-aggs and one join — all bounded "
+    "by clusters, not corpus.",
+    tags=("ext", "dedup", "eval"),
+    late=True,
+)
+def x90_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.dedup.components import connected_components
+
+    edges = _gated_edges(_docs(spark, sf_dir)).transform(barrier)
+    comp = connected_components(edges)
+    n = comp.groupBy("component").agg(F.count("*").alias("n_nodes"))
+    m = (
+        edges.join(
+            comp.select(
+                F.col("node").alias("doc_a"), "component"
+            ),
+            "doc_a",
+        )
+        .groupBy("component")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    ne = F.coalesce(F.col("n_edges"), F.lit(0))
+    return (
+        n.join(m, "component", "left")
+        .filter(F.col("n_nodes") >= 2)
+        .select(
+            F.col("component").alias("cluster_id"),
+            "n_nodes",
+            ne.alias("n_edges"),
+            r4(
+                2.0 * ne / (F.col("n_nodes") * (F.col("n_nodes") - 1))
+            ).alias("density"),
+            (2 * ne == F.col("n_nodes") * (F.col("n_nodes") - 1)).alias(
+                "is_clique"
+            ),
+        )
+        .orderBy("cluster_id")
+    )

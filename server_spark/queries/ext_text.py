@@ -2248,3 +2248,93 @@ def x87_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tagged_lang", "guessed_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# x88 — vocabulary coverage curve (tokenizer budget design)
+# ---------------------------------------------------------------------------
+
+_X88_KS = (100, 1000, 10000)
+
+
+@register(
+    "x88_vocab_coverage",
+    rf"""
+    WITH toks AS (
+        SELECT UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+        FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    tot AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM freq),
+    ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS rnk
+        FROM freq
+    ),
+    g AS (
+        SELECT k.k,
+               CAST(SUM(CASE WHEN rnk <= k.k THEN c END) AS BIGINT)
+                   AS covered
+        FROM ranked CROSS JOIN (VALUES {", ".join(f"({k})" for k in _X88_KS)}) AS k(k)
+        GROUP BY k.k
+    )
+    SELECT g.k, LEAST(g.k, t.v) AS n_types, g.covered,
+           {r4sql("g.covered * 1.0 / t.total")} AS coverage
+    FROM g CROSS JOIN tot t
+    ORDER BY g.k
+    """,
+    doc="EXT x88 — VOCABULARY COVERAGE CURVE: the fraction of all "
+    "token occurrences covered by the top-k most frequent types, at "
+    f"k ∈ {_X88_KS} — the budget curve a tokenizer design reads "
+    "before choosing vocab size (x54's BPE merges buy coverage "
+    "exactly where this curve is still steep; a corpus whose curve "
+    "saturates by 10k wastes a 100k vocab). Scale shape: the top-k "
+    "slice comes from a DISTRIBUTED TakeOrderedAndProject limit "
+    f"max(k)={max(_X88_KS)} (per-partition heaps — never a global "
+    "sort/rank over the full Heaps-bounded vocab); the rank window "
+    "then runs over those ≤10k rows only; totals are one scalar "
+    "cross join. The oracle ranks the full vocab (fine single-node).",
+    tags=("ext", "textstats", "tokenizer"),
+    late=True,
+)
+def x88_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("total"), F.count("*").alias("v"))
+    topm = freq.orderBy(F.col("c").desc(), "token").limit(max(_X88_KS))
+    w = Window.orderBy(F.col("c").desc(), "token")  # ≤10k rows, bounded
+    ranked = topm.withColumn("rnk", F.row_number().over(w))
+    sums = ranked.agg(
+        *[
+            F.sum(F.when(F.col("rnk") <= k, F.col("c")))
+            .cast("bigint")
+            .alias(f"s{k}")
+            for k in _X88_KS
+        ]
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.least(F.lit(k).cast("bigint"), F.col("v")).alias(
+                    "n_types"
+                ),
+                F.col(f"s{k}").alias("covered"),
+            )
+            for k in _X88_KS
+        ]
+    )
+    return (
+        sums.crossJoin(F.broadcast(tot))
+        .select(F.explode(entries).alias("e"), "total")
+        .select(
+            F.col("e.k").alias("k"),
+            F.col("e.n_types").alias("n_types"),
+            F.col("e.covered").alias("covered"),
+            r4(F.col("e.covered") * 1.0 / F.col("total")).alias("coverage"),
+        )
+        .orderBy("k")
+    )

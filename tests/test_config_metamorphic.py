@@ -46,6 +46,10 @@ QUERIES = (
     "t14_downsample_tiers",       # tiered retention rollup
     "x41_semantic_dedup",         # blocked matmul via mapInPandas
     "x46_maximal_removed_spans",  # gaps-and-islands span merge
+    "x75_containment_pairs",      # capped inverted index + hot add-back (r8)
+    "a27_gini_concentration",     # rank window + exact-cents agg (r8)
+    "t27_changepoint_amoc",       # prefix-sum windows + canonical argmax (r8)
+    "x85_heldout_perplexity",     # hash split + smoothed LM scoring (r8)
 )
 
 VARIANTS = (

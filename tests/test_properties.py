@@ -713,3 +713,41 @@ def test_triangle_counts_match_bruteforce(spark, edges):
     got_tri = {r["item"]: r["triangles"] for r in node_tri.collect()}
     assert got_deg == want_deg
     assert got_tri == {n: c for n, c in want_tri.items() if c > 0}
+
+
+# ---------------------------------------------------------------------------
+# bucket_pairs: the shared candidate generator (banded LSH, x77 prints)
+# ---------------------------------------------------------------------------
+
+_KV_ROWS = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 12)),  # (key, doc)
+    min_size=1,
+    max_size=60,
+).map(lambda xs: sorted(set(xs)))
+
+
+@given(kv=_KV_ROWS, cap=st.integers(2, 6))
+@_SETTINGS
+def test_bucket_pairs_matches_bruteforce(spark, kv, cap):
+    """bucket_pairs == brute force: all ordered (a < b) pairs sharing a
+    key whose bucket is within the cap; buckets over the cap generate
+    NOTHING (the hot-bucket guard)."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from server_spark.dedup.minhash import bucket_pairs
+
+    groups = defaultdict(set)
+    for k, d in kv:
+        groups[k].add(d)
+    want = set()
+    for ids in groups.values():
+        if len(ids) <= cap:
+            want |= set(combinations(sorted(ids), 2))
+
+    df = spark.createDataFrame(kv, "k long, doc_id long")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in bucket_pairs(df, ["k"], max_bucket=cap).collect()
+    }
+    assert got == want

@@ -6,6 +6,8 @@ from __future__ import annotations
 import datetime as dt
 import os
 
+from pyspark.sql import functions as F
+
 from server_spark.schemas import AUCTION
 from server_spark.streaming import pipeline as sp
 
@@ -690,3 +692,53 @@ def test_bitmap_distinct_stream_incremental_equals_oneshot(spark, tmp_path):
     # contract)
     assert got3[("eu", "r1")] == before == 4
     assert replay.count() == 2  # (strategy sanity, keeps flake-free)
+
+
+def test_price_hist_stream_incremental_equals_oneshot(spark, tmp_path):
+    """Streaming log-histogram gold (r8): per-micro-batch count folds
+    equal one-shot bucketing of all input, and the median read off the
+    streamed state is within the gold's e^w - 1 relative-error bound
+    of the exact median."""
+    import math
+
+    from server_spark.plans.maintenance import _HIST_W, price_histograms
+
+    input_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir, exist_ok=True)
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    t1 = dt.datetime(2024, 1, 1, 11)
+    _write_dump(spark, input_dir, "d0", t0,
+                [(1, 100, 100, 1), (2, 100, 300, 1), (3, 100, 0, 1)])
+    _write_dump(spark, input_dir, "d1", t1,
+                [(4, 100, 500, 1), (5, 100, 900, 1), (6, 100, 1100, 1)])
+
+    q = sp.price_hist_stream(spark, input_dir, state_dir, ckpt)
+    q.awaitTermination()
+
+    # bucket counts: streamed fold == one-shot bucketing of everything
+    oneshot = price_histograms(
+        spark.read.schema(AUCTION).parquet(input_dir)
+        .filter("buyout > 0"),
+        ["region", "realm_slug", "item"],
+        (F.col("buyout") / F.col("quantity")),
+    )
+    want = {
+        tuple(r)[:4]: r["cnt"]
+        for r in oneshot.collect()
+    }
+    got = {
+        tuple(r)[:4]: r["cnt"]
+        for r in spark.read.parquet(os.path.join(state_dir, "hist")).collect()
+    }
+    assert got == want
+
+    # median estimate within the documented relative-error bound
+    est = {
+        r["item"]: r["p50_est"]
+        for r in sp.read_price_median_state(spark, state_dir).collect()
+    }
+    exact_median = 500.0  # values 100,300,500,900,1100 (0 excluded)
+    assert abs(est[100] - exact_median) / exact_median <= math.exp(_HIST_W) - 1
