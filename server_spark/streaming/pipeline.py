@@ -202,6 +202,7 @@ def auction_lifetime_stream(
     posts: DataFrame,
     removals: DataFrame,
     within_hours: int = 2,
+    join_type: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each posted auction matched to the
     removal event that ends it, yielding time-to-sale rows.
@@ -211,9 +212,18 @@ def auction_lifetime_stream(
     so Spark can expire buffered state on BOTH sides once the
     watermark passes the interval — state stays O(in-flight auctions)
     instead of growing with the stream (the requirement for any
-    stream-stream join at 100 TB/day ingest). Inner join + append
-    mode: a row emits as soon as both events have arrived and can
-    never be retracted.
+    stream-stream join at 100 TB/day ingest).
+
+    ``join_type``: "inner" (default) emits a row as soon as both
+    events have arrived; "leftOuter" ADDITIONALLY emits every
+    still-unmatched post with NULL removal columns once the watermark
+    has passed its join interval — the UNSOLD-auction feed (a listing
+    that survived its whole window unsold is a signal row, not an
+    absence), the canonical use of Spark's outer stream-stream join:
+    the NULL row can only emit after state for that post is provably
+    complete, which is why the watermark is mandatory here and not
+    just an optimization. Both modes are append-only (never
+    retracted).
 
     ``posts`` needs (auc, item, buyout, dump_ts); ``removals`` needs
     (auc, removed_ts) — e.g. the anti-join output of consecutive
@@ -232,6 +242,7 @@ def auction_lifetime_stream(
             f"auc = r_auc AND removed_ts >= posted_ts "
             f"AND removed_ts <= posted_ts + INTERVAL {within_hours} HOURS"
         ),
+        join_type,
     )
     return joined.select(
         "auc",

@@ -575,3 +575,69 @@ def test_fuzz_composite_sql_agrees(join_engines, seed):
     got = _canon([tuple(r) for r in spark.sql(sql).collect()])
     want = _canon(con.execute(sql).fetchall())
     assert _float_rows_close(got, want), f"composite diverged for: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# String-function grammar (r8, grammar #9): nested string expressions
+# over the engine-shared function subset. Dialect drift here is subtle
+# (SUBSTR index bases, pad/truncate rules, REPLACE of empty strings,
+# collation of ORDER BY on computed strings) and no registry oracle
+# exercises deep nesting. All-string outputs → EXACT comparison, no
+# float tolerance. Start positions stay ≥ 1 (0/negative bases are a
+# KNOWN dialect split and banned from the repo's shared SQL).
+# ---------------------------------------------------------------------------
+
+
+def _str_expr(rng: random.Random, depth: int) -> str:
+    if depth == 0:
+        return rng.choice(
+            ("event_type", "CAST(user_id AS STRING)", "'xylophone'")
+        )
+    inner = _str_expr(rng, depth - 1)
+    kind = rng.choice(
+        ("upper", "lower", "trim", "reverse", "substr", "replace",
+         "concat", "lpad", "rpad", "left", "right")
+    )
+    if kind == "substr":
+        return f"SUBSTR({inner}, {rng.randint(1, 4)}, {rng.randint(1, 6)})"
+    if kind == "replace":
+        a = rng.choice(("c", "e", "i", "o"))
+        return f"REPLACE({inner}, '{a}', '{rng.choice(('X', 'YY', ''))}')"
+    if kind == "concat":
+        return f"({inner} || '{rng.choice(('_', '-', ''))}' || {_str_expr(rng, 0)})"
+    if kind in ("lpad", "rpad"):
+        return f"{kind.upper()}({inner}, {rng.randint(1, 12)}, '{rng.choice(('*', 'ab'))}')"
+    if kind in ("left", "right"):
+        return f"{kind.upper()}({inner}, {rng.randint(1, 5)})"
+    return f"{kind.upper()}({inner})"
+
+
+def gen_string_sql(seed: int) -> str:
+    rng = random.Random(90_000 + seed)
+    e1 = _str_expr(rng, rng.randint(1, 3))
+    e2 = _str_expr(rng, rng.randint(1, 2))
+    if rng.random() < 0.5:
+        # grouped form: the computed string as a key plus order-
+        # sensitive digests of another expression
+        return (
+            f"SELECT {e1} AS s, COUNT(*) AS n, "
+            f"MIN(MD5({e2})) AS h, MAX(LENGTH({e2})) AS ln "
+            f"FROM events WHERE ({_atom(rng)}) "
+            f"GROUP BY 1 ORDER BY 1, 2"
+        )
+    # scalar form: per-row projection with deterministic total order
+    return (
+        f"SELECT event_id, {e1} AS s, LENGTH({e1}) AS ln, "
+        f"LEVENSHTEIN({e2}, 'purchase') AS lev, "
+        f"INSTR({e1}, 'e') AS pos "
+        f"FROM events WHERE ({_atom(rng)}) ORDER BY event_id LIMIT 150"
+    )
+
+
+@pytest.mark.parametrize("seed", range(18))
+def test_fuzz_string_sql_agrees(engines, seed):
+    spark, con = engines
+    sql = gen_string_sql(seed)
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert got == want, f"string fn diverged for: {sql}"

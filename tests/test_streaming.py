@@ -742,3 +742,64 @@ def test_price_hist_stream_incremental_equals_oneshot(spark, tmp_path):
     }
     exact_median = 500.0  # values 100,300,500,900,1100 (0 excluded)
     assert abs(est[100] - exact_median) / exact_median <= math.exp(_HIST_W) - 1
+
+
+def test_stream_stream_lifetime_left_outer(spark, tmp_path):
+    """Left-outer lifetime join: a sold auction emits its removal row;
+    an UNSOLD one emits with NULL removal columns — but only after the
+    watermark has provably passed its join interval (a later dump
+    advances it), never speculatively."""
+    posts_dir = str(tmp_path / "posts")
+    rm_dir = str(tmp_path / "rm")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    _write_dump(
+        spark, posts_dir, "d0", t0,
+        [(1, 100, 500, 1), (2, 100, 900, 1)],
+    )
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=30))],  # auc 1 sold; auc 2 never
+        "auc long, removed_ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(rm_dir)
+
+    def run():
+        posts = sp.read_auction_stream(spark, posts_dir)
+        rm_stream = spark.readStream.schema(
+            "auc long, removed_ts timestamp"
+        ).parquet(rm_dir)
+        q = sp.run_to_parquet(
+            sp.auction_lifetime_stream(
+                posts, rm_stream, within_hours=2, join_type="leftOuter"
+            ),
+            out_dir, ckpt,
+        )
+        q.awaitTermination()
+        try:
+            return {
+                r["auc"]: r for r in spark.read.parquet(out_dir).collect()
+            }
+        except Exception:  # noqa: BLE001 — no output yet
+            return {}
+
+    # run 1: the match emits; the unsold NULL row CANNOT yet (global
+    # watermark hasn't passed auc 2's interval)
+    rows = run()
+    assert set(rows) == {1}
+    assert rows[1]["seconds_listed"] == 1800
+
+    # advance BOTH watermarks far past t0+2h → auc 2's state is
+    # provably complete → the NULL row emits on resume
+    t_late = t0 + dt.timedelta(hours=10)
+    _write_dump(spark, posts_dir, "d1", t_late, [(9, 300, 100, 1)])
+    spark.createDataFrame(
+        [(9, t_late + dt.timedelta(minutes=1))],
+        "auc long, removed_ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(rm_dir)
+
+    rows = run()
+    assert 2 in rows, "unsold auction never emitted its NULL row"
+    assert rows[2]["removed_ts"] is None
+    assert rows[2]["seconds_listed"] is None
+    assert rows[1]["seconds_listed"] == 1800  # not re-emitted/changed
