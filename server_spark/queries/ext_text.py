@@ -2338,3 +2338,191 @@ def x88_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# x91 — Stupid Backoff bigram scoring of the held-out split
+# ---------------------------------------------------------------------------
+
+_X91_ALPHA = 0.4  # Brants et al. backoff weight
+
+
+@register(
+    "x91_backoff_score",
+    rf"""
+    WITH sp AS (
+        SELECT doc_id, text,
+               substr(md5(CAST(doc_id AS STRING)), 1, 2) < 'cc' AS is_train
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, is_train, pos, token FROM (
+            SELECT doc_id, is_train,
+                   generate_subscripts(l, 1) AS pos,
+                   UNNEST(l) AS token
+            FROM (SELECT doc_id, is_train,
+                         string_split_regex(LOWER(TRIM(text)), '\s+') AS l
+                  FROM sp)
+        ) WHERE token <> ''
+    ),
+    big AS (
+        SELECT doc_id, is_train, w1, w2 FROM (
+            SELECT doc_id, is_train, token AS w1,
+                   LEAD(token) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM toks
+        ) WHERE w2 IS NOT NULL
+    ),
+    uni AS (
+        SELECT token, COUNT(*) AS c FROM toks WHERE is_train GROUP BY token
+    ),
+    st AS (SELECT SUM(c) AS nt, COUNT(*) AS v FROM uni),
+    bc AS (
+        SELECT w1, w2, COUNT(*) AS c2 FROM big WHERE is_train GROUP BY 1, 2
+    )
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           SUM(CASE WHEN bc.c2 IS NULL THEN 1 ELSE 0 END) AS n_backoff,
+           {r4sql(f"AVG(LN(CASE WHEN bc.c2 IS NOT NULL"
+                  f" THEN bc.c2 * 1.0 / u1.c"
+                  f" ELSE {_X91_ALPHA} * (COALESCE(u2.c, 0) + 1.0)"
+                  f" / (st.nt + st.v + 1.0) END))")} AS avg_logscore
+    FROM big b
+    LEFT JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+    LEFT JOIN uni u1 ON b.w1 = u1.token
+    LEFT JOIN uni u2 ON b.w2 = u2.token
+    CROSS JOIN st
+    WHERE NOT b.is_train
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+    doc="EXT x91 — STUPID BACKOFF (Brants et al. 2007) bigram scoring "
+    "of the held-out split under a train-split model: S(w2|w1) = "
+    "c(w1w2)/c(w1) when the bigram was seen in training, else "
+    f"α={_X91_ALPHA} times the add-one unigram (with OOV slot) — the "
+    "web-scale smoothing actually used for trillion-token LMs "
+    "(no discount normalization: scores, not probabilities — exactly "
+    "the right trade for a data-quality gate). The TRAIN/HELD-OUT "
+    "split is what x62's self-trained interpolation cannot give: "
+    "there every scored bigram is seen by construction, here unseen "
+    "bigrams genuinely occur and n_backoff reports how often (the "
+    "drift signal). Shape: one posexplode + doc-keyed bigram window; "
+    "unigram side Heaps-bounded broadcast; the bigram-count join "
+    "carries NO hint (near-linear types — the x62/x74 rule); one "
+    "per-doc hash-agg.",
+    tags=("ext", "textstats", "quality", "mixing"),
+    late=True,
+)
+def x91_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            (
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+                < "cc"
+            ).alias("is_train"),
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("pos", "token"),
+        )
+        .filter(F.col("token") != "")
+        .transform(barrier)  # feeds the LM counts AND the bigram window
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.select(
+            "doc_id", "is_train",
+            F.col("token").alias("w1"),
+            F.lead("token").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .transform(barrier)  # feeds bigram counts AND held-out scoring
+    )
+    uni = (
+        toks.filter(F.col("is_train"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    st = uni.agg(F.sum("c").alias("nt"), F.count("*").alias("v"))
+    bc = (
+        big.filter(F.col("is_train"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("c_w1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c_w2"))
+    score = F.when(
+        F.col("c2").isNotNull(), F.col("c2") * 1.0 / F.col("c_w1")
+    ).otherwise(
+        _X91_ALPHA
+        * (F.coalesce(F.col("c_w2"), F.lit(0)) + 1.0)
+        / (F.col("nt") + F.col("v") + 1.0)
+    )
+    # bc un-hinted (near-linear bigram types); unigram sides broadcast
+    return (
+        big.filter(~F.col("is_train"))
+        .join(bc, ["w1", "w2"], "left")
+        .join(F.broadcast(u1), "w1", "left")
+        .join(F.broadcast(u2), "w2", "left")
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.col("c2").isNull().cast("int")).alias("n_backoff"),
+            r4(F.avg(F.log(score))).alias("avg_logscore"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x93 — tokenizer fertility by language (multilingual tokenizer audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x93_token_fertility",
+    rf"""
+    WITH m AS (
+        SELECT lang,
+               len(string_split_regex(LOWER(TRIM(text)), '\s+')) AS ws,
+               len(regexp_extract_all(LOWER(text), '{tx.TOKEN_REGEX}'))
+                   AS bpe
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS total_words,
+           CAST(SUM(bpe) AS BIGINT) AS total_tokens,
+           {r4sql("SUM(bpe) * 1.0 / SUM(ws)")} AS fertility
+    FROM m GROUP BY lang ORDER BY lang
+    """,
+    doc="EXT x93 — TOKENIZER FERTILITY per language: BPE-ish "
+    "pre-tokenizer tokens per whitespace word (x7's two counters, "
+    "grouped by the lang tag) — the multilingual-tokenizer fairness "
+    "audit: a language whose fertility runs 2× pays twice the "
+    "sequence length for the same content (compute tax + effective "
+    "context shrink), which is why tokenizer papers report fertility "
+    "per language before training. Shape: one narrow map + one "
+    "languages-bounded hash-agg; integer sums, one r4 ratio.",
+    tags=("ext", "textstats", "tokenizer", "eval"),
+    late=True,
+)
+def x93_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("text")
+    m = _docs(spark, sf_dir).select(
+        "lang",
+        F.size(F.split(F.lower(F.trim(t)), r"\s+")).alias("ws"),
+        F.size(
+            F.regexp_extract_all(F.lower(t), F.lit(tx.TOKEN_REGEX), F.lit(0))
+        ).alias("bpe"),
+    )
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws").cast("bigint").alias("total_words"),
+            F.sum("bpe").cast("bigint").alias("total_tokens"),
+            r4(F.sum("bpe") * 1.0 / F.sum("ws")).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
