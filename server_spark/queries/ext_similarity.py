@@ -1441,3 +1441,87 @@ def x78_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_id", "cluster_size", "vec_id", "pick")
         .orderBy("cluster_id", "pick")
     )
+
+
+# ---------------------------------------------------------------------------
+# x95 — 1-NN label accuracy (embedding-quality eval)
+# ---------------------------------------------------------------------------
+
+_X95_STRIDE = 25  # deterministic ~4% query subset: vec_id % 25 == 0
+
+
+@register(
+    "x95_knn_label_accuracy",
+    f"""
+    WITH {_EE_SQL},
+    q AS (SELECT vec_id, i, v FROM ee WHERE vec_id % {_X95_STRIDE} = 0),
+    dots AS (
+        SELECT q.vec_id AS qid, e.vec_id AS vid, SUM(q.v * e.v) AS dot
+        FROM q JOIN ee e USING (i)
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT qid, vid, {r4sql("dot / (nq.nrm * ne.nrm)")} AS score
+        FROM dots
+        JOIN norms nq ON qid = nq.vec_id
+        JOIN norms ne ON vid = ne.vec_id
+        WHERE qid <> vid
+    ),
+    nn AS (
+        SELECT qid, vid FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY score DESC, vid
+            ) AS rnk
+            FROM scored
+        ) WHERE rnk = 1
+    )
+    SELECT ea.label AS true_label,
+           COUNT(*) AS n_queries,
+           CAST(SUM(CASE WHEN ea.label = eb.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           {r4sql("SUM(CASE WHEN ea.label = eb.label THEN 1 ELSE 0 END)"
+                  " * 1.0 / COUNT(*)")} AS accuracy
+    FROM nn
+    JOIN embeddings ea ON nn.qid = ea.vec_id
+    JOIN embeddings eb ON nn.vid = eb.vec_id
+    GROUP BY ea.label
+    ORDER BY ea.label
+    """,
+    doc="EXT x95 — 1-NN LABEL ACCURACY over the embedding table: for a "
+    "deterministic ~4% query subset, the nearest OTHER vector by "
+    "cosine, scored against the label column — the standard "
+    "embedding-quality eval (kNN probe) run before trusting a vector "
+    "space for semantic dedup (x41) or retrieval (x59/x70): a space "
+    "whose 1-NN accuracy is near the label prior carries no signal "
+    "and every downstream near-dup decision is noise. Neighbor "
+    "argmax ranks on the r4-CANONICAL score with vec_id tiebreak "
+    "(both engines pick the same neighbor even when raw dots differ "
+    "in the last ulp — the x3 pattern). Shape: bounded query set "
+    "broadcast against one corpus scan (brute_force_topk k=1), then "
+    "two dimension-table label joins and a labels-bounded hash-agg.",
+    tags=("ext", "similarity", "eval"),
+    late=True,
+)
+def x95_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % _X95_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    nn = cos.brute_force_topk(emb, queries, k=1)
+    la = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    lb = emb.select("vec_id", F.col("label").alias("nn_label"))
+    correct = (F.col("true_label") == F.col("nn_label")).cast("int")
+    return (
+        nn.join(la, "query_id")
+        .join(lb, "vec_id")
+        .groupBy("true_label")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum(correct).cast("bigint").alias("n_correct"),
+            r4(F.sum(correct) * 1.0 / F.count("*")).alias("accuracy"),
+        )
+        .orderBy("true_label")
+    )

@@ -2526,3 +2526,51 @@ def x93_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# x94 — effective source count (mixture diversity diagnostic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x94_effective_sources",
+    rf"""
+    WITH cnt AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n) AS t, COUNT(*) AS k FROM cnt)
+    SELECT MAX(tot.k) AS n_sources,
+           CAST(MAX(tot.t) AS BIGINT) AS n_docs,
+           {r4sql("-SUM((cnt.n * 1.0 / tot.t)"
+                  " * LN(cnt.n * 1.0 / tot.t))")} AS entropy_nats,
+           {r4sql("EXP(-SUM((cnt.n * 1.0 / tot.t)"
+                  " * LN(cnt.n * 1.0 / tot.t)))")} AS effective_sources
+    FROM cnt CROSS JOIN tot
+    """,
+    doc="EXT x94 — EFFECTIVE SOURCE COUNT of the corpus mixture: "
+    "exp(H) over document-count shares (the perplexity/Hill-number "
+    "of the source distribution) — the single scalar a mixture tuner "
+    "watches: 10 declared sources with effective count 2.3 means the "
+    "blend is two sources wearing ten names, and reweighting (x28's "
+    "budgets, x63's KL) has room to work. Shape: one hash-agg to "
+    "source counts (sources-bounded), one scalar cross join.",
+    tags=("ext", "textstats", "mixing"),
+    late=True,
+)
+def x94_effective_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cnt = _docs(spark, sf_dir).groupBy("source").agg(
+        F.count("*").alias("n")
+    )
+    tot = cnt.agg(F.sum("n").alias("t"), F.count("*").alias("k"))
+    p = F.col("n") * 1.0 / F.col("t")
+    ent = -F.sum(p * F.log(p))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("k").alias("n_sources"),
+            F.max("t").cast("bigint").alias("n_docs"),
+            r4(ent).alias("entropy_nats"),
+            r4(F.exp(ent)).alias("effective_sources"),
+        )
+    )

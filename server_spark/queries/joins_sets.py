@@ -1577,3 +1577,74 @@ def a31_mad_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item")
     )
+
+
+# ---------------------------------------------------------------------------
+# A32 — Theil index of owner-revenue inequality (decomposable entropy form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a32_theil_index",
+    auctions_sql(
+        f"""
+        , vol AS (
+            SELECT CAST(DATE_TRUNC('month', dump_ts) AS DATE) AS month,
+                   owner,
+                   SUM(CAST(CAST(buyout AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       * CAST(quantity AS BIGINT)) AS v
+            FROM auctions GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT month, SUM(v) AS t, COUNT(*) AS n FROM vol GROUP BY 1
+        )
+        SELECT vol.month, MAX(tot.n) AS n_owners,
+               {r4sql("SUM((vol.v * 1.0 / tot.t)"
+                      " * LN(vol.v * 1.0 * tot.n / tot.t))")} AS theil_t
+        FROM vol JOIN tot ON vol.month = tot.month
+        GROUP BY vol.month
+        ORDER BY vol.month
+        """
+    ),
+    doc="A32 (EXT analytics) — THEIL T INDEX of monthly owner-revenue "
+    "inequality: T = Σ sᵢ·ln(n·sᵢ) over revenue shares sᵢ — the "
+    "entropy-family companion to a27's Gini with the property Gini "
+    "lacks: EXACT decomposability into between-group + within-group "
+    "terms (sum per-realm Theils weighted by share and the residual "
+    "is the between-realm inequality — the drill-down an analyst "
+    "actually runs). Shape advantage over a27: NO rank window at all "
+    "— two stacked hash-aggs and a month-keyed join, fully "
+    "map-combinable at any scale. Determinism: revenue summed in "
+    "exact cents (bigint), shares are single double divisions from "
+    "exact integers, r4 on the one output double.",
+    tags=("ext", "agg", "analytics"),
+    late=True,
+)
+def a32_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = (
+        (F.col("buyout").cast("decimal(18,2)") * 100).cast("bigint")
+        * F.col("quantity").cast("bigint")
+    )
+    vol = (
+        auctions(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("month", "dump_ts").cast("date").alias("month"),
+            "owner",
+        )
+        .agg(F.sum(cents).alias("v"))
+    )
+    tot = vol.groupBy("month").agg(
+        F.sum("v").alias("t"), F.count("*").alias("n")
+    )
+    share = F.col("v") * 1.0 / F.col("t")
+    return (
+        vol.join(tot, "month")
+        .groupBy("month")
+        .agg(
+            F.max("n").alias("n_owners"),
+            r4(
+                F.sum(share * F.log(F.col("v") * 1.0 * F.col("n") / F.col("t")))
+            ).alias("theil_t"),
+        )
+        .orderBy("month")
+    )
