@@ -1648,3 +1648,92 @@ def a32_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# A33 — k-core decomposition (coreness) of the co-listing graph
+# ---------------------------------------------------------------------------
+
+
+def coreness(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Per-node CORENESS of an undirected, deduplicated (s < t) edge
+    list via iterated h-index propagation (Lü et al. 2016): start at
+    c₀(v) = deg(v); each round set c(v) to the H-operator over its
+    neighbors' current values (the largest h such that ≥ h neighbors
+    have value ≥ h); the fixpoint is exactly the k-core number. The
+    same barrier-per-round + convergence-count skeleton as connected
+    components / PageRank — each round is one adjacency join and one
+    degree-bounded window per node, no global state, so the iteration
+    distributes at any scale (rounds needed ≈ graph's core hierarchy
+    depth, typically ≪ diameter). Returns (item, coreness)."""
+    adj = (
+        edges.select(F.col("s").alias("u"), F.col("t").alias("v"))
+        .unionByName(
+            edges.select(F.col("t").alias("u"), F.col("s").alias("v"))
+        )
+        .transform(barrier)  # reused every round
+    )
+    cur = adj.groupBy("u").agg(F.count("*").cast("long").alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u").orderBy(F.col("cv").desc())
+    for _ in range(max_rounds):
+        cur = barrier(cur)
+        nb = adj.join(
+            cur.select(F.col("u").alias("v"), F.col("c").alias("cv")), "v"
+        ).select("u", "cv")
+        nxt = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .groupBy("u")
+            .agg(F.max(F.least(F.col("rn"), F.col("cv"))).alias("c"))
+        )
+        nxt = barrier(nxt)
+        changed = (
+            cur.join(nxt.select(F.col("u"), F.col("c").alias("c2")), "u")
+            .filter(F.col("c") != F.col("c2"))
+            .count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    return cur.select(F.col("u").alias("item"), F.col("c").alias("coreness"))
+
+
+@register(
+    "a33_kcore_decomposition",
+    None,  # iterative fixpoint — no honest recursive-CTE twin (k-core
+    # peeling is a DELETION fixpoint; recursive CTEs are monotone-
+    # append). Coreness is pinned against brute-force peeling by
+    # hypothesis tests instead (tests/test_properties.py).
+    doc="A33 (EXT analytics, rows-only) — K-CORE DECOMPOSITION of the "
+    "item co-listing graph: each node's coreness (the largest k such "
+    "that it survives in the subgraph where every node keeps ≥ k "
+    "neighbors) — the graph-robustness metric behind influence "
+    "ranking and dense-market detection, and the fourth canonical "
+    "graph workload beside PageRank (a20), components (x15) and "
+    "triangles (a21). Computed by iterated h-index propagation, "
+    "which provably converges to coreness without the sequential "
+    "peeling order a textbook algorithm needs — the property that "
+    "makes it DISTRIBUTABLE: every round is one adjacency join plus "
+    "a degree-bounded per-node window, same barrier skeleton as a20. "
+    "Deterministic: integer h-index lattice descent, no floats, no "
+    "tiebreak sensitivity.",
+    tags=("ext", "graph", "rows-only"),
+    late=True,
+)
+def a33_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        auctions(spark, sf_dir)
+        .filter(F.col("item") <= _A18_MAX_ITEM)
+        .select("owner", "item")
+        .distinct()
+    )
+    a = base.select(F.col("owner"), F.col("item").alias("s"))
+    b = base.select(F.col("owner"), F.col("item").alias("t"))
+    edges = (
+        a.join(b, "owner")
+        .filter(F.col("s") < F.col("t"))
+        .select("s", "t")
+        .distinct()
+    )
+    return coreness(edges).orderBy("item")

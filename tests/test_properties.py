@@ -751,3 +751,40 @@ def test_bucket_pairs_matches_bruteforce(spark, kv, cap):
         for r in bucket_pairs(df, ["k"], max_bucket=cap).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# a33 coreness: h-index iteration vs brute-force peeling
+# ---------------------------------------------------------------------------
+
+
+def _peel_coreness(eset: set) -> dict:
+    """Textbook sequential peel: repeatedly remove the min-degree node,
+    its coreness = max(k seen so far, its degree at removal)."""
+    adj: dict = {}
+    for a, b in eset:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core, k = {}, 0
+    while adj:
+        v = min(adj, key=lambda n: (len(adj[n]), n))
+        k = max(k, len(adj[v]))
+        core[v] = k
+        for n in adj[v]:
+            adj[n].discard(v)
+        del adj[v]
+    return core
+
+
+@given(edges=_EDGE_LISTS)
+@_SETTINGS
+def test_coreness_matches_bruteforce(spark, edges):
+    """coreness (distributed h-index fixpoint) equals sequential
+    peeling on hub-heavy graphs — the orientation-free invariant that
+    makes the iteration trustworthy."""
+    from server_spark.queries.joins_sets import coreness
+
+    want = _peel_coreness(set(edges))
+    df = spark.createDataFrame(edges, "s long, t long")
+    got = {r["item"]: r["coreness"] for r in coreness(df).collect()}
+    assert got == want
