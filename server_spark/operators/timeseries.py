@@ -104,3 +104,66 @@ def retention_filter(df: DataFrame, ts: str, cutoff) -> DataFrame:
     a date partition column and becomes partition pruning, the exact
     analog of the reference deleting expired Bolt keys."""
     return df.filter(F.col(ts) >= cutoff)
+
+
+def km_curve(dur: DataFrame) -> DataFrame:
+    """Kaplan–Meier estimator over a relation of spells.
+
+    Input: one row per subject with ``t`` (integer duration) and
+    ``ev`` (boolean: True = the event fired at t, False = censored at
+    t). Output: one row per duration with at least one EVENT —
+    ``t, n_risk, d, n_censored, survival`` where survival =
+    Π_{tᵢ≤t} (1 − dᵢ/nᵢ) under the standard convention that subjects
+    censored at t are still at-risk for events at t.
+
+    Shape: one t-keyed hash-agg (the only input-sized pass), then an
+    ordered window over the DISTINCT-duration relation — bounded by
+    the observation span, not the subject count, so the single
+    ordered window is a tiny-relation sort (the 100 TB posture; at
+    full scale durations are bucketed to hours/days first, exactly
+    what the t33 caller does). The everyone-dies tail (d == n_risk)
+    is guarded to an exact survival of 0 — ANSI ``LN(0)`` would
+    throw on the Spark side and return -inf on DuckDB.
+    """
+    from pyspark.sql import Window
+
+    km0 = dur.groupBy("t").agg(
+        F.sum(F.col("ev").cast("int")).cast("bigint").alias("d"),
+        F.sum((~F.col("ev")).cast("int")).cast("bigint").alias(
+            "n_censored"
+        ),
+    )
+    total = dur.agg(F.count("*").alias("n_total"))
+    wprev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    winc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    km1 = (
+        km0.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("n_censored")).over(wprev),
+                F.lit(0),
+            ),
+        )
+        .drop("n_total")
+    )
+    factor = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log((F.col("n_risk") - F.col("d")) * 1.0 / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    km2 = km1.select(
+        "t", "d", "n_censored", "n_risk",
+        F.sum(factor).over(winc).alias("s_log"),
+        F.max(
+            (F.col("d") >= F.col("n_risk")).cast("int")
+        ).over(winc).alias("hit_zero"),
+    )
+    return km2.filter(F.col("d") > 0).select(
+        "t", "n_risk", "d", "n_censored",
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.exp(F.col("s_log")))
+        .alias("survival"),
+    )

@@ -824,7 +824,7 @@ _PART_KEYS = ["region", "realm_slug", "dump_date"]
 # the histogram/churn tables bake the owner's rows into their counts.
 _RESET_GOLDS = (
     "owner_sketches", "item_bitmaps", "price_hist", "hot_items",
-    "churn_incr",
+    "churn_incr", "price_moments",
 )
 
 
@@ -965,3 +965,132 @@ def forget_owner(spark, paths, owner) -> dict:
             "golds_reset": report["golds_reset"],
         }) + "\n")
     return report
+
+
+# ---------------------------------------------------------------------------
+# Mergeable MOMENTS gold (count / mean / std via exact-decimal sums)
+# ---------------------------------------------------------------------------
+#
+# Fifth member of the mergeable-gold family (HLL distinct, exact
+# bitmaps, log-histogram percentiles, Misra-Gries hot items): standing
+# per-(region, realm) first/second moments of buyout-per-unit. The
+# stored state is the SUFFICIENT STATISTICS (n, Σx, Σx²) with the sums
+# in DECIMAL(38,6): decimal addition is exact, associative and
+# commutative, so refresh order cannot change the result (no
+# float-accumulation drift between an incremental and a one-shot
+# build — the property the tests assert EXACTLY, not approximately).
+# Welford/Chan merging exists to fight float cancellation in s2−s1²/n;
+# exact decimal sums make that machinery unnecessary for bounded-range
+# prices: the subtraction happens once at READ time on exact inputs,
+# and the only rounding is the final cast to double. State per key is
+# three numbers — O(groups), never O(history).
+
+_MOM_KEYS = ["region", "realm_slug"]
+
+
+def price_moments(df: DataFrame, keys: list[str], value_col) -> DataFrame:
+    """Per-key (n, Σx, Σx²) of ``value_col`` — the stored, mergeable
+    state. One map-combined hash-agg; the DECIMAL(38,6) snap bounds
+    the quantum (1e-6 of a gold) while keeping sums exact."""
+    x = value_col.cast("decimal(38,6)")
+    return df.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum((x * x).cast("decimal(38,6)")).alias("s2"),
+    )
+
+
+def merge_price_moments(
+    base: DataFrame, batch: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Fold a batch's moment rows into the standing table: counts and
+    decimal sums ADD (exact, order-insensitive)."""
+    return (
+        base.unionByName(batch)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s1").alias("s1"),
+            F.sum("s2").alias("s2"),
+        )
+    )
+
+
+def read_moment_stats(moments: DataFrame) -> DataFrame:
+    """mean / population std / coefficient of variation per key, read
+    off the standing sufficient statistics."""
+    n = F.col("n")
+    mean = (F.col("s1") / n).cast("double")
+    var = (F.col("s2") / n).cast("double") - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))  # quantum guard at var≈0
+    return moments.select(
+        *[c for c in moments.columns if c not in ("s1", "s2")],
+        mean.alias("mean_price"),
+        std.alias("std_price"),
+        F.when(mean > 0, std / mean).alias("cv"),
+    )
+
+
+def refresh_price_moments_gold(spark, paths) -> int:
+    """Incrementally maintain the per-(region, realm) moments table
+    from the medallion commit log — same watermark sidecar + crash-
+    healing aside-swap as every other gold. Returns batches folded
+    (0 = current); incremental == one-shot EXACTLY (decimal sums)."""
+    import json as _json
+
+    from server_spark.plans.medallion import load_manifest
+
+    gold_dir = os.path.join(paths.root, "gold", "price_moments")
+    wm_file = os.path.join(gold_dir, "_watermark")
+    data_dir = os.path.join(gold_dir, "data")
+    aside = f"{data_dir}.old"
+
+    manifest = load_manifest(spark, paths)
+    last = 0
+    if os.path.exists(wm_file):
+        with open(wm_file) as fh:
+            last = _json.load(fh)["batch_id"]
+    new_keys = manifest.filter(F.col("batch_id") > last)
+    n_batches = new_keys.select("batch_id").distinct().count()
+    if n_batches == 0:
+        return 0
+    hi = new_keys.agg(F.max("batch_id")).first()[0]
+
+    fresh = spark.read.parquet(paths.bronze).join(
+        F.broadcast(new_keys.select("region", "realm_slug", "dump_ts")),
+        ["region", "realm_slug", "dump_ts"],
+        "left_semi",
+    ).filter(F.col("buyout") > 0)  # A2's zero-buyout exclusion
+    batch_mom = price_moments(
+        fresh, _MOM_KEYS, F.col("buyout") / F.col("quantity")
+    )
+
+    if os.path.exists(aside):  # heal a crash between the swap renames
+        if os.path.exists(data_dir):
+            shutil.rmtree(aside)
+        else:
+            os.rename(aside, data_dir)
+    if os.path.exists(data_dir):
+        merged = merge_price_moments(
+            spark.read.parquet(data_dir), batch_mom, _MOM_KEYS
+        )
+    else:
+        merged = batch_mom
+    tmp = f"{data_dir}.tmp.{os.getpid()}"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if os.path.exists(data_dir):
+        os.rename(data_dir, aside)
+    os.replace(tmp, data_dir)
+    if os.path.exists(aside):
+        shutil.rmtree(aside)
+    os.makedirs(gold_dir, exist_ok=True)
+    with open(wm_file, "w") as fh:
+        _json.dump({"batch_id": int(hi)}, fh)
+    return n_batches
+
+
+def read_price_moments_gold(spark, paths):
+    """Current per-(region, realm) mean/std/cv off the standing
+    sufficient statistics."""
+    data_dir = os.path.join(paths.root, "gold", "price_moments", "data")
+    return read_moment_stats(spark.read.parquet(data_dir))

@@ -2574,3 +2574,101 @@ def x94_effective_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.exp(ent)).alias("effective_sources"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x96 — Cohen's kappa (chance-corrected langid agreement)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x96_cohen_kappa",
+    rf"""
+    WITH pred AS ({_X5_SQL}),
+    cells AS (
+        SELECT tagged_lang, guessed_lang, COUNT(*) AS n
+        FROM pred GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM cells),
+    diag AS (
+        SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS agree
+        FROM cells WHERE tagged_lang = guessed_lang
+    ),
+    marg AS (
+        SELECT CAST(COALESCE(SUM(r.rn * g.cn), 0) AS BIGINT) AS cross_
+        FROM (SELECT tagged_lang AS l, SUM(n) AS rn
+              FROM cells GROUP BY 1) r
+        JOIN (SELECT guessed_lang AS l, SUM(n) AS cn
+              FROM cells GROUP BY 1) g ON r.l = g.l
+    )
+    SELECT t.nt AS n_docs,
+           {r4sql("d.agree * 1.0 / t.nt")} AS p_observed,
+           {r4sql("m.cross_ * 1.0 / (t.nt * t.nt)")} AS p_chance,
+           {r4sql("CASE WHEN m.cross_ = t.nt * t.nt THEN 0.0 "
+                  "ELSE (d.agree * 1.0 / t.nt"
+                  " - m.cross_ * 1.0 / (t.nt * t.nt))"
+                  " / (1.0 - m.cross_ * 1.0 / (t.nt * t.nt)) END")}
+               AS kappa
+    FROM tot t CROSS JOIN diag d CROSS JOIN marg m
+    WHERE t.nt > 0
+    """,
+    doc="EXT x96 — COHEN'S KAPPA between the x5 language-ID heuristic "
+    "and the tagged lang column: chance-corrected agreement "
+    "κ = (p₀−pₑ)/(1−pₑ) with pₑ = Σ_l row_l·col_l/N² — the scalar "
+    "that x87's confusion matrix cannot give: raw accuracy (p₀) is "
+    "inflated when one language dominates (a 90%-English corpus "
+    "scores 0.9 by always guessing English; κ scores it 0). The "
+    "routing-column acceptance gate a pipeline reads before trusting "
+    "a model-derived label against a reference annotation. "
+    "Determinism: every margin product is an exact BIGINT; the three "
+    "divisions are r4-canonical, with the degenerate pₑ=1 case "
+    "(single class on both sides) pinned to κ=0 on both engines. "
+    "Shape: x5's narrow marker-vote map, one |langs|²-bounded "
+    "hash-agg, then scalar algebra on a ≤|langs|-row relation.",
+    tags=("ext", "textstats", "eval"),
+    late=True,
+)
+def x96_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = _docs(spark, sf_dir).select(
+        F.col("lang").alias("tagged_lang"),
+        tx.langid_heuristic().alias("guessed_lang"),
+    )
+    cells = pred.groupBy("tagged_lang", "guessed_lang").agg(
+        F.count("*").alias("n")
+    ).transform(barrier)  # |langs|² rows feed three scalar aggs
+    tot = cells.agg(F.sum("n").cast("bigint").alias("nt"))
+    diag = cells.filter(
+        F.col("tagged_lang") == F.col("guessed_lang")
+    ).agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("agree"))
+    rows_ = cells.groupBy(F.col("tagged_lang").alias("l")).agg(
+        F.sum("n").alias("rn")
+    )
+    cols_ = cells.groupBy(F.col("guessed_lang").alias("l")).agg(
+        F.sum("n").alias("cn")
+    )
+    marg = (
+        rows_.join(cols_, "l")
+        .agg(
+            F.coalesce(F.sum(F.col("rn") * F.col("cn")), F.lit(0))
+            .cast("bigint")
+            .alias("cross_")
+        )
+    )
+    nt = F.col("nt")
+    po = F.col("agree") * 1.0 / nt
+    pe = F.col("cross_") * 1.0 / (nt * nt)
+    return (
+        tot.crossJoin(diag)
+        .crossJoin(marg)
+        .filter(nt > 0)
+        .select(
+            nt.alias("n_docs"),
+            r4(po).alias("p_observed"),
+            r4(pe).alias("p_chance"),
+            r4(
+                F.when(
+                    F.col("cross_") == nt * nt, F.lit(0.0)
+                ).otherwise((po - pe) / (1.0 - pe))
+            ).alias("kappa"),
+        )
+    )

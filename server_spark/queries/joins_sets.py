@@ -1737,3 +1737,135 @@ def a33_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return coreness(edges).orderBy("item")
+
+
+# ---------------------------------------------------------------------------
+# A35 — RFM customer segmentation (rank-quintile scores)
+# ---------------------------------------------------------------------------
+
+_A35_ANCHOR = "2001-09-01"  # just past max(o_orderdate) in the fixture
+
+
+@register(
+    "a35_rfm_segments",
+    f"""
+    WITH cust AS (
+        SELECT o_custkey AS custkey,
+               DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
+                         DATE '{_A35_ANCHOR}') AS recency_days,
+               COUNT(*) AS frequency,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS monetary_cents
+        FROM orders GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n FROM cust),
+    ranked AS (
+        SELECT cust.*, n.n,
+               ROW_NUMBER() OVER (
+                   ORDER BY recency_days DESC, custkey
+               ) AS r_rn,
+               ROW_NUMBER() OVER (
+                   ORDER BY frequency, custkey
+               ) AS f_rn,
+               ROW_NUMBER() OVER (
+                   ORDER BY monetary_cents, custkey
+               ) AS m_rn
+        FROM cust CROSS JOIN n
+    ),
+    scored AS (
+        SELECT custkey, recency_days, frequency, monetary_cents,
+               CAST((r_rn - 1) * 5 // n + 1 AS INTEGER) AS r_score,
+               CAST((f_rn - 1) * 5 // n + 1 AS INTEGER) AS f_score,
+               CAST((m_rn - 1) * 5 // n + 1 AS INTEGER) AS m_score
+        FROM ranked
+    )
+    SELECT custkey, recency_days, frequency,
+           {r4sql("monetary_cents / 100.0")} AS monetary_gold,
+           r_score, f_score, m_score,
+           CASE
+               WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                   THEN 'champion'
+               WHEN f_score >= 4 THEN 'loyal'
+               WHEN m_score >= 4 THEN 'big_spender'
+               WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+               WHEN r_score <= 2 THEN 'hibernating'
+               ELSE 'other'
+           END AS segment
+    FROM scored
+    ORDER BY custkey
+    """,
+    doc="A35 (EXT analytics) — RFM SEGMENTATION: every customer "
+    "scored 1–5 on Recency / Frequency / Monetary rank-quintiles "
+    "and mapped to the standard lifecycle segments (champion, loyal, "
+    "big_spender, at_risk, hibernating) — the marketing-analytics "
+    "workhorse over the orders relation, and the multi-metric "
+    "generalization of a19's single-axis ABC classes. Quintiles are "
+    "RANK-based, score = (rank−1)·5 // n + 1 over a TOTAL order "
+    "(metric, custkey) — exact integer math, engine-identical (NTILE "
+    "would differ from this by its front-loaded remainder; the "
+    "explicit formula is self-documenting and identical on both "
+    "engines). Monetary sums exact cents (no float ordering drift). "
+    "Scale: the three global ranks run through "
+    "operators/ranking.global_row_number — range-partition + local "
+    "rank + tiny offset prefix-sum, never a single-partition window "
+    "(the oracle's plain ROW_NUMBER is the single-node equivalent).",
+    tags=("ext", "agg", "segmentation"),
+    late=True,
+)
+def a35_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.operators.ranking import global_row_number
+
+    orders = tables.load(spark, sf_dir, "orders")
+    cents = (
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    )
+    cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit(_A35_ANCHOR).cast("date"),
+            F.max("o_orderdate").cast("date"),
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(cents).alias("monetary_cents"),
+    ).transform(barrier)  # feeds the scalar count + three rank passes
+    n = cust.agg(F.count("*").alias("n"))
+    ranked = cust.crossJoin(F.broadcast(n))
+    ranked = global_row_number(
+        ranked, [F.col("recency_days").desc(), F.col("custkey")], "r_rn"
+    )
+    ranked = global_row_number(
+        ranked, [F.col("frequency"), F.col("custkey")], "f_rn"
+    )
+    ranked = global_row_number(
+        ranked, [F.col("monetary_cents"), F.col("custkey")], "m_rn"
+    )
+
+    def score(rn: str) -> F.Column:
+        return (
+            F.expr(f"({rn} - 1) * 5 DIV n + 1").cast("int")
+        )
+
+    scored = ranked.select(
+        "custkey", "recency_days", "frequency", "monetary_cents",
+        score("r_rn").alias("r_score"),
+        score("f_rn").alias("f_score"),
+        score("m_rn").alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when(F.col("f_score") >= 4, "loyal")
+        .when(F.col("m_score") >= 4, "big_spender")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when(F.col("r_score") <= 2, "hibernating")
+        .otherwise("other")
+    )
+    return scored.select(
+        "custkey", "recency_days", "frequency",
+        r4(F.col("monetary_cents") / 100.0).alias("monetary_gold"),
+        "r_score", "f_score", "m_score",
+        seg.alias("segment"),
+    ).orderBy("custkey")

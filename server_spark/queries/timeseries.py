@@ -2166,3 +2166,577 @@ def w13_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# T30 — MAD-based robust outliers (modified z-score, Iglewicz–Hoaglin)
+# ---------------------------------------------------------------------------
+
+_T30_CUT = 3.5  # the Iglewicz–Hoaglin recommended cut
+
+
+@register(
+    "t30_robust_outliers",
+    auctions_sql(
+        f"""
+        , priced AS (
+            SELECT auc, item, buyout FROM auctions WHERE buyout > 0
+        ),
+        r1 AS (
+            SELECT auc, item, buyout,
+                   ROW_NUMBER() OVER (PARTITION BY item ORDER BY buyout) AS rn,
+                   COUNT(*)    OVER (PARTITION BY item)                  AS n
+            FROM priced
+        ),
+        med AS (
+            SELECT item, AVG(buyout) AS med
+            FROM r1 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+            GROUP BY item
+        ),
+        dev AS (
+            SELECT r1.auc, r1.item, r1.buyout, med.med,
+                   ABS(r1.buyout - med.med) AS d
+            FROM r1 JOIN med ON r1.item = med.item
+        ),
+        r2 AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY item ORDER BY d) AS rn,
+                   COUNT(*) OVER (PARTITION BY item) AS n
+            FROM dev
+        ),
+        mad AS (
+            SELECT item, AVG(d) AS mad
+            FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+            GROUP BY item
+        )
+        SELECT dev.auc, dev.item, dev.buyout,
+               {r4sql("dev.med")} AS median_buyout,
+               {r4sql("mad.mad")} AS mad,
+               {r4sql("0.6745 * (dev.buyout - dev.med) / mad.mad")}
+                   AS robust_z
+        FROM dev JOIN mad ON dev.item = mad.item
+        WHERE mad.mad > 0
+          AND ABS({r4sql("0.6745 * (dev.buyout - dev.med) / mad.mad")})
+              > {_T30_CUT}
+        ORDER BY dev.item, dev.auc
+        """
+    ),
+    doc="T30 (EXT anomaly) — ROBUST outlier listings via the modified "
+    "z-score 0.6745·(x−median)/MAD with the Iglewicz–Hoaglin 3.5 cut: "
+    "the production form of t11/t20's z-score anomaly flags — mean/"
+    "stddev are themselves dragged by the very outliers being hunted "
+    "(one 1000× typo inflates σ enough to hide every real anomaly), "
+    "while median/MAD have a 50% breakdown point. Composes a31's "
+    "double rank-median (spelled rank-and-average-middles on BOTH "
+    "engines); the threshold cuts on the r4-CANONICAL score so the "
+    "flag set is engine-identical at the boundary (a19/a26 lesson). "
+    "Degenerate groups (MAD = 0: over half the listings identical) "
+    "are excluded — a fixed-price item has no price dispersion to "
+    "score against. Shape: two item-partitioned windows + two "
+    "item-keyed joins, exchange-reusing throughout.",
+    tags=("ext", "timeseries", "anomaly"),
+    late=True,
+)
+def t30_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.sources.synthetic import auctions as _auctions
+
+    priced = (
+        _auctions(spark, sf_dir)
+        .filter(F.col("buyout") > 0)
+        .select("auc", "item", "buyout")
+    )
+    w = Window.partitionBy("item")
+
+    def mids(rn, n):
+        return (rn == F.floor((n + 1) / 2)) | (rn == F.floor((n + 2) / 2))
+
+    r1 = priced.select(
+        "auc", "item", "buyout",
+        F.row_number().over(w.orderBy("buyout")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    med = (
+        r1.filter(mids(F.col("rn"), F.col("n")))
+        .groupBy("item")
+        .agg(F.avg("buyout").alias("med"))
+    )
+    dev = r1.select("auc", "item", "buyout").join(med, "item").withColumn(
+        "d", F.abs(F.col("buyout") - F.col("med"))
+    )
+    r2 = dev.select(
+        "item", "d",
+        F.row_number().over(w.orderBy("d")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    mad = (
+        r2.filter(mids(F.col("rn"), F.col("n")))
+        .groupBy("item")
+        .agg(F.avg("d").alias("mad"))
+    )
+    z = r4(0.6745 * (F.col("buyout") - F.col("med")) / F.col("mad"))
+    return (
+        dev.join(mad, "item")
+        .filter((F.col("mad") > 0) & (F.abs(z) > _T30_CUT))
+        .select(
+            "auc", "item", "buyout",
+            r4(F.col("med")).alias("median_buyout"),
+            r4(F.col("mad")).alias("mad"),
+            z.alias("robust_z"),
+        )
+        .orderBy("item", "auc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A34 — Wald–Wolfowitz runs test on daily price direction (bot screen)
+# ---------------------------------------------------------------------------
+
+_A34_MIN_DAYS = 12
+
+
+@register(
+    "a34_runs_test",
+    auctions_sql(
+        f"""
+        , daily AS (
+            SELECT item, CAST(dump_ts AS DATE) AS day,
+                   SUM(CAST(CAST(buyout AS DECIMAL(18,2)) * 100 AS BIGINT))
+                       AS s_cents,
+                   COUNT(*) AS c
+            FROM auctions WHERE item <= {_T27_MAX_ITEM} AND buyout > 0
+            GROUP BY 1, 2
+        ),
+        delta AS (
+            SELECT item, day,
+                   CASE WHEN s_cents * 1.0 / c
+                             > LAG(s_cents * 1.0 / c) OVER w
+                        THEN 1 ELSE 0 END AS up,
+                   LAG(s_cents) OVER w AS prev
+            FROM daily WINDOW w AS (PARTITION BY item ORDER BY day)
+        ),
+        signs AS (
+            SELECT item, day, up,
+                   LAG(up) OVER (PARTITION BY item ORDER BY day) AS pup
+            FROM delta WHERE prev IS NOT NULL
+        ),
+        agg AS (
+            SELECT item,
+                   COUNT(*) AS n,
+                   CAST(SUM(up) AS BIGINT) AS n_up,
+                   CAST(SUM(CASE WHEN pup IS NULL OR up <> pup
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS runs
+            FROM signs GROUP BY item
+        )
+        SELECT item, n AS n_days, n_up, n - n_up AS n_down, runs,
+               {r4sql("(runs - (2.0 * n_up * (n - n_up) / n + 1))"
+                      " / SQRT(GREATEST(((2.0 * n_up * (n - n_up))"
+                      " * (2.0 * n_up * (n - n_up) - n))"
+                      " / (n * n * (n - 1)), 1e-12))")} AS runs_z
+        FROM agg
+        WHERE n >= {_A34_MIN_DAYS} AND n_up > 0 AND n_up < n
+        ORDER BY item
+        """
+    ),
+    doc="A34 (EXT analytics) — WALD–WOLFOWITZ RUNS TEST on the daily "
+    "price-direction sequence per item: count maximal runs of "
+    "consecutive up/down moves and standardize against the "
+    "random-ordering expectation E[R] = 2n₊n₋/n + 1 — organic prices "
+    "wander (z near 0), scripted undercut ladders alternate or trend "
+    "(|z| large): the sequence-level bot screen complementing a26's "
+    "digit-level Benford screen. Determinism: direction bits come "
+    "from exact-cents daily means (lag over a day-ordered window), "
+    "all counts are integers, and the single z-statistic is one "
+    "r4-canonicalized expression from exact integers (variance "
+    "floored at 1e-12 against the degenerate n=1 denominator). "
+    "Shape: one (item, day) hash-agg and two item-partitioned lag "
+    "windows riding the same exchange, then a catalog-bounded agg.",
+    tags=("ext", "agg", "fraud", "timeseries"),
+    late=True,
+)
+def a34_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.sources.synthetic import auctions as _auctions
+
+    cents = (F.col("buyout").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (
+        _auctions(spark, sf_dir)
+        .filter((F.col("item") <= _T27_MAX_ITEM) & (F.col("buyout") > 0))
+        .groupBy("item", F.col("dump_ts").cast("date").alias("day"))
+        .agg(F.sum(cents).alias("s_cents"), F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("item").orderBy("day")
+    mean = F.col("s_cents") * 1.0 / F.col("c")
+    delta = daily.select(
+        "item", "day",
+        F.when(mean > F.lag(mean).over(w), 1).otherwise(0).alias("up"),
+        F.lag("s_cents").over(w).alias("prev"),
+    )
+    signs = delta.filter(F.col("prev").isNotNull()).select(
+        "item", "day", "up", F.lag("up").over(w).alias("pup")
+    )
+    agg = signs.groupBy("item").agg(
+        F.count("*").alias("n"),
+        F.sum("up").cast("bigint").alias("n_up"),
+        F.sum(
+            (F.col("pup").isNull() | (F.col("up") != F.col("pup"))).cast(
+                "int"
+            )
+        ).cast("bigint").alias("runs"),
+    )
+    n, nu = F.col("n"), F.col("n_up")
+    two_pq = 2.0 * nu * (n - nu)
+    var = F.greatest(
+        (two_pq * (two_pq - n)) / (n * n * (n - 1)), F.lit(1e-12)
+    )
+    return (
+        agg.filter((n >= _A34_MIN_DAYS) & (nu > 0) & (nu < n))
+        .select(
+            "item",
+            n.alias("n_days"),
+            "n_up",
+            (n - nu).alias("n_down"),
+            "runs",
+            r4(
+                (F.col("runs") - (two_pq / n + 1)) / F.sqrt(var)
+            ).alias("runs_z"),
+        )
+        .orderBy("item")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T31 — Theil–Sen robust trend slope (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+_T31_MIN_DAYS = 8
+
+
+@register(
+    "t31_theil_sen",
+    auctions_sql(
+        f"""
+        , daily AS (
+            SELECT item, CAST(dump_ts AS DATE) AS day,
+                   SUM(CAST(CAST(buyout AS DECIMAL(18,2)) * 100 AS BIGINT))
+                       AS s_cents,
+                   COUNT(*) AS c
+            FROM auctions WHERE item <= {_T27_MAX_ITEM} AND buyout > 0
+            GROUP BY 1, 2
+        ),
+        sized AS (
+            SELECT *, COUNT(*) OVER (PARTITION BY item) AS nd FROM daily
+        ),
+        pairs AS (
+            SELECT a.item, a.nd,
+                   (b.s_cents * 1.0 / b.c - a.s_cents * 1.0 / a.c)
+                   / (DATE_DIFF('day', a.day, b.day) * 100.0) AS slope
+            FROM sized a JOIN sized b
+              ON a.item = b.item AND b.day > a.day
+            WHERE a.nd >= {_T31_MIN_DAYS}
+        ),
+        r1 AS (
+            SELECT item, nd, slope,
+                   ROW_NUMBER() OVER (PARTITION BY item ORDER BY slope)
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY item) AS np
+            FROM pairs
+        )
+        SELECT item, MAX(nd) AS n_days, MAX(np) AS n_pairs,
+               {r4sql("AVG(slope)")} AS slope_gold_per_day
+        FROM r1
+        WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+        GROUP BY item
+        ORDER BY item
+        """
+    ),
+    doc="T31 (EXT timeseries) — THEIL–SEN robust trend slope per item: "
+    "the median of all pairwise slopes (mⱼ−mᵢ)/(dⱼ−dᵢ) over the daily "
+    "mean-price series — the robust sibling of w12's OLS regr_slope "
+    "(OLS has breakdown point 0: one fat-finger day drags the fitted "
+    "line; the pairwise-slope median tolerates ~29% contamination, "
+    "the estimator monitoring pipelines fit to dirty market data). "
+    "Determinism: slopes are single IEEE expressions from exact-cents "
+    "integer sums (identical on both engines, so the rank order and "
+    "the rank-and-average-middles median are engine-identical — the "
+    "a31/t30 double-median pattern). Scale shape: the O(d²) pair "
+    "join is per-item and BOUNDED by the series length — at 100 TB "
+    "the series is a date-windowed slice (90-day trend), so d≤90 → "
+    "≤4 005 pairs/item, embarrassingly parallel by item; the catalog "
+    "gate here stands in for that window.",
+    tags=("ext", "timeseries", "robust"),
+    late=True,
+)
+def t31_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.sources.synthetic import auctions as _auctions
+
+    cents = (F.col("buyout").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (
+        _auctions(spark, sf_dir)
+        .filter((F.col("item") <= _T27_MAX_ITEM) & (F.col("buyout") > 0))
+        .groupBy("item", F.col("dump_ts").cast("date").alias("day"))
+        .agg(F.sum(cents).alias("s_cents"), F.count("*").alias("c"))
+        .withColumn("nd", F.count("*").over(Window.partitionBy("item")))
+        .filter(F.col("nd") >= _T31_MIN_DAYS)
+    )
+    a = daily.select(
+        "item", "nd",
+        F.col("day").alias("day_a"),
+        F.col("s_cents").alias("sa"), F.col("c").alias("ca"),
+    )
+    b = daily.select(
+        "item",
+        F.col("day").alias("day_b"),
+        F.col("s_cents").alias("sb"), F.col("c").alias("cb"),
+    )
+    slope = (
+        F.col("sb") * 1.0 / F.col("cb") - F.col("sa") * 1.0 / F.col("ca")
+    ) / (F.datediff("day_b", "day_a") * 100.0)
+    pairs = (
+        a.join(b, "item")
+        .filter(F.col("day_b") > F.col("day_a"))
+        .select("item", "nd", slope.alias("slope"))
+    )
+    wr = Window.partitionBy("item")
+    r1 = pairs.select(
+        "item", "nd", "slope",
+        F.row_number().over(wr.orderBy("slope")).alias("rn"),
+        F.count("*").over(wr).alias("np"),
+    )
+    mid = (F.col("rn") == F.floor((F.col("np") + 1) / 2)) | (
+        F.col("rn") == F.floor((F.col("np") + 2) / 2)
+    )
+    return (
+        r1.filter(mid)
+        .groupBy("item")
+        .agg(
+            F.max("nd").alias("n_days"),
+            F.max("np").alias("n_pairs"),
+            r4(F.avg("slope")).alias("slope_gold_per_day"),
+        )
+        .orderBy("item")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T32 — sample autocorrelation function (lags 1..3) per event series
+# ---------------------------------------------------------------------------
+
+_T32_LAGS = (1, 2, 3)
+
+
+@register(
+    "t32_acf",
+    f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, AVG(value) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY day
+               ) AS rn
+        FROM daily
+    ),
+    stats AS (
+        SELECT event_type, AVG(x) AS xbar, COUNT(*) AS n
+        FROM idx GROUP BY event_type
+    ),
+    devs AS (
+        SELECT i.event_type, i.rn, i.x - s.xbar AS dev, s.n
+        FROM idx i JOIN stats s ON i.event_type = s.event_type
+    ),
+    ss AS (
+        SELECT event_type, SUM(dev * dev) AS ss0, MAX(n) AS n
+        FROM devs GROUP BY event_type
+    )
+    SELECT d1.event_type, k.lag, MAX(ss.n) AS n_days,
+           {r4sql("SUM(d1.dev * d2.dev) / MAX(ss.ss0)")} AS acf
+    FROM devs d1
+    JOIN (VALUES {", ".join(f"({k})" for k in _T32_LAGS)}) AS k(lag)
+      ON TRUE
+    JOIN devs d2
+      ON d2.event_type = d1.event_type AND d2.rn = d1.rn + k.lag
+    JOIN ss ON ss.event_type = d1.event_type
+    WHERE ss.ss0 > 0
+    GROUP BY d1.event_type, k.lag
+    ORDER BY d1.event_type, k.lag
+    """,
+    doc="T32 (EXT timeseries) — sample AUTOCORRELATION FUNCTION at "
+    f"lags {_T32_LAGS} per event-type daily series: "
+    "rₖ = Σ(xₜ−x̄)(xₜ₋ₖ−x̄)/Σ(xₜ−x̄)² — the diagnostic a forecasting "
+    "pipeline reads before model choice (near-1 at lag 1 → momentum/"
+    "random walk, the w10 EWMA regime; spike at lag 7 → weekly "
+    "seasonality, the w13 regime; all-near-0 → white noise, don't "
+    "forecast). Deviations are taken from the FULL-series mean with "
+    "the standard biased normalizer Σdev² so the lag-0 value is "
+    "exactly 1 and rₖ is positive-semidefinite across lags. "
+    "Determinism: both engines compute identical IEEE doubles "
+    "per-row; the only cross-row accumulations are SUMs over "
+    "series-bounded groups canonicalized by r4 (the a25 corr "
+    "precedent). Shape: one (type, day) hash-agg, one series-keyed "
+    "join fan-out of |lags| rows each, series-bounded windows — at "
+    "100 TB series count scales out by key, series LENGTH is "
+    "calendar-bounded.",
+    tags=("ext", "timeseries", "window"),
+    late=True,
+)
+def t32_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.avg("value").alias("x"))
+    )
+    w = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type", "x",
+        F.row_number().over(w.orderBy("day")).alias("rn"),
+    )
+    stats = idx.groupBy("event_type").agg(
+        F.avg("x").alias("xbar"), F.count("*").alias("n")
+    )
+    devs = idx.join(stats, "event_type").select(
+        "event_type", "rn", (F.col("x") - F.col("xbar")).alias("dev"), "n"
+    ).transform(barrier)  # feeds ss AND both sides of the lag join
+    ss = devs.groupBy("event_type").agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("ss0"),
+        F.max("n").alias("n"),
+    )
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in _T32_LAGS])
+    ).alias("lag")
+    d1 = devs.select("event_type", "rn", F.col("dev").alias("dev1"), lags)
+    d2 = devs.select(
+        F.col("event_type").alias("event_type2"),
+        F.col("rn").alias("rn2"),
+        F.col("dev").alias("dev2"),
+    )
+    return (
+        d1.join(
+            d2,
+            (F.col("event_type") == F.col("event_type2"))
+            & (F.col("rn2") == F.col("rn") + F.col("lag")),
+        )
+        .drop("event_type2")
+        .join(ss.filter(F.col("ss0") > 0), "event_type")
+        .groupBy("event_type", "lag")
+        .agg(
+            F.max("n").alias("n_days"),
+            r4(F.sum(F.col("dev1") * F.col("dev2")) / F.max("ss0")).alias(
+                "acf"
+            ),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T33 — Kaplan–Meier time-to-purchase survival curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t33_kaplan_meier",
+    f"""
+    WITH peru AS (
+        SELECT user_id,
+               MIN(ts) AS t0,
+               MAX(ts) AS tlast,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+        FROM events GROUP BY user_id
+    ),
+    dur AS (
+        SELECT user_id,
+               CASE WHEN tp IS NOT NULL
+                    THEN DATE_DIFF('second', t0, tp) // 3600
+                    ELSE DATE_DIFF('second', t0, tlast) // 3600
+               END AS t,
+               (tp IS NOT NULL) AS ev
+        FROM peru
+    ),
+    km0 AS (
+        SELECT t,
+               CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_censored
+        FROM dur GROUP BY t
+    ),
+    km1 AS (
+        SELECT t, d, n_censored,
+               (SELECT COUNT(*) FROM dur)
+               - COALESCE(SUM(d + n_censored) OVER (
+                     ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS n_risk
+        FROM km0
+    ),
+    km2 AS (
+        SELECT t, d, n_censored, n_risk,
+               SUM(CASE WHEN d < n_risk
+                        THEN LN((n_risk - d) * 1.0 / n_risk)
+                        ELSE 0 END) OVER (ORDER BY t) AS s_log,
+               MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t) AS hit_zero
+        FROM km1
+    )
+    SELECT t AS hours_since_first_event, n_risk, d AS n_purchases,
+           n_censored,
+           {{SURV}} AS survival
+    FROM km2
+    WHERE d > 0
+    ORDER BY t
+    """.replace("{SURV}", r4sql(
+        "CASE WHEN hit_zero = 1 THEN 0.0 ELSE EXP(s_log) END"
+    )),
+    doc="T33 (EXT timeseries) — KAPLAN–MEIER estimator of the "
+    "time-to-first-purchase survival curve over per-user event "
+    "histories: S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) with users who never "
+    "purchase RIGHT-CENSORED at their last observed event — the "
+    "censoring-correct form of funnel timing (x-family funnel "
+    "conversion counts WHO converts; this estimates WHEN, without "
+    "the survivorship bias of dropping non-converters or the "
+    "attenuation of treating them as never-converting). Convention: "
+    "censored-at-t users remain at-risk for events at t (standard "
+    "KM). Determinism: durations are integer hours from "
+    "second-boundary diffs (floor(tp)−floor(t₀) on both engines), "
+    "d/n are exact bigints; the product is EXP(Σ LN(·)) over an "
+    "hour-keyed window with the degenerate everyone-dies tail "
+    "guarded to an exact 0 (ANSI LN(0) hazard), r4-canonical. "
+    "Shape: one user-keyed hash-agg (the only corpus-scale pass), "
+    "then hour-bounded rows (≤ observation span) through one "
+    "ordered window — the single-partition window is over ≤720 "
+    "rows by construction, not corpus-sized.",
+    tags=("ext", "timeseries", "survival"),
+    late=True,
+)
+def t33_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    peru = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("tlast"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+    )
+    secs = lambda a, b: (  # noqa: E731 — floor-second boundary diff
+        F.unix_timestamp(b) - F.unix_timestamp(a)
+    )
+    dur = peru.select(
+        F.when(
+            F.col("tp").isNotNull(), secs(F.col("t0"), F.col("tp"))
+        )
+        .otherwise(secs(F.col("t0"), F.col("tlast")))
+        .alias("sec"),
+        F.col("tp").isNotNull().alias("ev"),
+    ).select(F.expr("sec DIV 3600").alias("t"), "ev")
+    # estimator shared with the hypothesis-vs-sequential-reference
+    # property test (tests/test_properties.py)
+    return (
+        ts_ops.km_curve(dur)
+        .select(
+            F.col("t").alias("hours_since_first_event"),
+            "n_risk",
+            F.col("d").alias("n_purchases"),
+            "n_censored",
+            r4(F.col("survival")).alias("survival"),
+        )
+        .orderBy("hours_since_first_event")
+    )

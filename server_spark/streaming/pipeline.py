@@ -850,3 +850,119 @@ def read_bitmap_distinct_state(spark: SparkSession, state_dir: str):
         spark.read.parquet(os.path.join(state_dir, "bitmaps")),
         ["region", "realm_slug"],
     )
+
+
+def cusum_changepoint_stream(
+    stream: DataFrame,
+    k_sigma: float = 0.5,
+    h_sigma: float = 4.0,
+    warmup: int = 8,
+):
+    """Streaming CUSUM changepoint monitor per (region, realm, item) —
+    the ONLINE counterpart of batch t27 (AMOC finds the best historical
+    split; CUSUM flags drift AS IT ARRIVES with O(1) state, the form a
+    monitoring pipeline deploys). Two-sided tabular CUSUM over
+    per-snapshot mean prices: s⁺ = max(0, s⁺ + z − k), s⁻ =
+    max(0, s⁻ − z − k) with z the standardized deviation from the
+    calibrated baseline; an alert row emits when either side crosses
+    h, then the detector REBASELINES to the alert level (restart-at-
+    new-level form) and re-arms — one alert per sustained shift, not
+    one per post-shift snapshot; the dispersion estimate is kept from
+    calibration (a single outlier spike therefore yields an up alert
+    and, on reversion, a down alert — the honest behavior for a
+    monitor). The first ``warmup`` snapshots calibrate baseline
+    mean/std via Welford updates (exact, O(1) state). State per key: 7
+    doubles —
+    bounded regardless of stream length (the 100 TB posture; contrast
+    a windowed re-estimation, whose state grows with history).
+
+    CUSUM's recursion is inherently sequential per key — exactly what
+    the state store is for and precisely what a window function
+    cannot express (each s⁺ depends on the previous post-reset
+    value). Rows-only streaming op: covered by injection tests (shift
+    fires, no-shift stays quiet), not a SQL oracle.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "region string, realm_slug string, item long, dump_ts timestamp, "
+        "mean_price double, baseline double, direction string, "
+        "cusum double, n_seen long"
+    )
+    state_schema = (
+        "n long, mean double, m2 double, sp double, sn double, "
+        "armed boolean"
+    )
+
+    base = (
+        stream.filter(F.col("buyout") > 0)
+        .withWatermark("dump_ts", "2 hours")
+        .select(
+            "region", "realm_slug", "item", "dump_ts",
+            (F.col("buyout") / F.col("quantity")).alias("per"),
+        )
+    )
+
+    def update(key, pdfs, state, _k=k_sigma, _h=h_sigma, _w=warmup):
+        import math
+
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs))
+        snaps = (
+            rows.groupby("dump_ts", as_index=False)["per"].mean()
+            .sort_values("dump_ts")
+        )
+        if state.exists:
+            n, mean, m2, sp, sn, armed = state.get
+        else:
+            n, mean, m2, sp, sn, armed = 0, 0.0, 0.0, 0.0, 0.0, False
+        out = []
+        for r in snaps.itertuples():
+            x = float(r.per)
+            if n < _w:
+                # Welford calibration phase
+                n += 1
+                d = x - mean
+                mean += d / n
+                m2 += d * (x - mean)
+                if n == _w:
+                    armed = True
+                continue
+            sd = math.sqrt(m2 / (n - 1)) if n > 1 else 0.0
+            if sd <= 0:
+                sd = abs(mean) * 0.01 + 1e-9  # degenerate-flat fallback
+            z = (x - mean) / sd
+            sp = max(0.0, sp + z - _k)
+            sn = max(0.0, sn - z - _k)
+            n += 1
+            if armed and (sp > _h or sn > _h):
+                direction = "up" if sp > _h else "down"
+                out.append(
+                    (
+                        key[0], key[1], key[2], r.dump_ts, x,
+                        float(mean), direction,
+                        float(sp if sp > _h else sn), int(n),
+                    )
+                )
+                mean = x      # rebaseline at the new level
+                sp = sn = 0.0  # re-arm for the next shift
+        state.update(
+            (int(n), float(mean), float(m2), float(sp), float(sn),
+             bool(armed))
+        )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "region", "realm_slug", "item", "dump_ts", "mean_price",
+                "baseline", "direction", "cusum", "n_seen",
+            ],
+        )
+
+    return base.groupBy("region", "realm_slug", "item").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

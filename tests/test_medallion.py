@@ -1004,3 +1004,63 @@ def test_forget_owner_erases_everywhere(spark, tmp_path):
         for r in mt.read_owner_sketch_gold(spark, clean).collect()
     }
     assert got_est == want_est == {("eu", "r1"): 1}
+
+
+def test_incremental_price_moments_gold(spark, tmp_path):
+    """Moments-gold maintenance (the quintet's mean/std member):
+    refreshes fold ONLY new manifest batches, a no-op refresh does
+    nothing, and the incrementally maintained sufficient statistics
+    equal a one-shot build EXACTLY (decimal sums — no float-order
+    caveat), with mean/std matching numpy on the raw prices."""
+    import datetime as dt
+    import math
+
+    from server_spark.plans import maintenance as mt
+    from server_spark.plans import medallion as med
+
+    def dump(ts, prices, realm="r1"):
+        return spark.createDataFrame(
+            [("eu", realm, ts, i, 7, float(p), 1.0, "o")
+             for i, p in enumerate(prices)],
+            "region string, realm_slug string, dump_ts timestamp, "
+            "auc long, item long, buyout double, quantity double, "
+            "owner string",
+        )
+
+    t1 = dt.datetime(2024, 1, 1, 10)
+    t2 = dt.datetime(2024, 1, 2, 10)
+    batch1 = [100.0, 200.0, 300.0, 400.0, 0.0]  # 0 excluded (A2 rule)
+    batch2 = [500.0, 600.0, 700.0]
+
+    inc = med.MedallionPaths(str(tmp_path / "inc"))
+    assert med.ingest_bronze_incremental(spark, dump(t1, batch1), inc) == 1
+    assert mt.refresh_price_moments_gold(spark, inc) == 1
+    assert mt.refresh_price_moments_gold(spark, inc) == 0  # no-op
+    assert med.ingest_bronze_incremental(spark, dump(t2, batch2), inc) == 1
+    assert mt.refresh_price_moments_gold(spark, inc) == 1
+
+    full = med.MedallionPaths(str(tmp_path / "full"))
+    assert med.ingest_bronze_incremental(spark, dump(t1, batch1), full) == 1
+    assert med.ingest_bronze_incremental(spark, dump(t2, batch2), full) == 1
+    assert mt.refresh_price_moments_gold(spark, full) == 2
+
+    def state(paths):
+        import os as _os
+
+        d = _os.path.join(paths.root, "gold", "price_moments", "data")
+        return {
+            (r["region"], r["realm_slug"]): (r["n"], r["s1"], r["s2"])
+            for r in spark.read.parquet(d).collect()
+        }
+
+    assert state(inc) == state(full)  # EXACT, not approx
+
+    prices = [p for p in batch1 + batch2 if p > 0]
+    n = len(prices)
+    mean = sum(prices) / n
+    var = sum((p - mean) ** 2 for p in prices) / n
+    [r] = mt.read_price_moments_gold(spark, inc).collect()
+    assert r["n"] == n
+    assert abs(r["mean_price"] - mean) < 1e-6
+    assert abs(r["std_price"] - math.sqrt(var)) < 1e-6
+    assert abs(r["cv"] - math.sqrt(var) / mean) < 1e-9

@@ -788,3 +788,59 @@ def test_coreness_matches_bruteforce(spark, edges):
     df = spark.createDataFrame(edges, "s long, t long")
     got = {r["item"]: r["coreness"] for r in coreness(df).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# t33 Kaplan–Meier: distributed estimator vs sequential reference
+# ---------------------------------------------------------------------------
+
+SPELLS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),   # duration (small so
+        st.booleans(),                           # ties are routine)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _km_reference(spells):
+    """Textbook sequential KM: walk distinct times ascending, censored
+    subjects at t stay at-risk for events at t."""
+    from collections import defaultdict
+
+    d = defaultdict(int)
+    c = defaultdict(int)
+    for t, ev in spells:
+        (d if ev else c)[t] += 1
+    out = []
+    n_risk = len(spells)
+    s = 1.0
+    for t in sorted(set(d) | set(c)):
+        if d[t]:
+            s *= (n_risk - d[t]) / n_risk
+            out.append((t, n_risk, d[t], c[t], s))
+        n_risk -= d[t] + c[t]
+    return out
+
+
+@given(spells=SPELLS)
+@_SETTINGS
+def test_km_curve_matches_sequential_reference(spark, spells):
+    from server_spark.operators import timeseries as ts_ops
+
+    df = spark.createDataFrame(spells, "t long, ev boolean")
+    got = sorted(
+        (
+            (r["t"], r["n_risk"], r["d"], r["n_censored"], r["survival"])
+            for r in ts_ops.km_curve(df).collect()
+        )
+    )
+    want = _km_reference(spells)
+    assert [g[:4] for g in got] == [w[:4] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[4] - w[4]) < 1e-9
+    # structural invariants: survival nonincreasing in (0, 1]
+    survs = [g[4] for g in got]
+    assert all(0.0 <= s <= 1.0 for s in survs)
+    assert all(a >= b - 1e-12 for a, b in zip(survs, survs[1:]))

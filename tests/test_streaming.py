@@ -803,3 +803,58 @@ def test_stream_stream_lifetime_left_outer(spark, tmp_path):
     assert rows[2]["removed_ts"] is None
     assert rows[2]["seconds_listed"] is None
     assert rows[1]["seconds_listed"] == 1800  # not re-emitted/changed
+
+
+def test_cusum_changepoint_stream(spark, tmp_path):
+    """Streaming CUSUM: a level shift after calibration fires exactly
+    one 'up' alert (then re-arms); a flat series never alerts; state
+    survives a checkpoint resume."""
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir, exist_ok=True)
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def snap(i, price_100, price_200):
+        # item 100: shifts later; item 200: flat control
+        _write_dump(
+            spark, input_dir, f"d{i}", t0 + dt.timedelta(hours=i),
+            [(i * 10 + 1, 100, price_100, 1), (i * 10 + 2, 200, price_200, 1)],
+        )
+
+    # calibration: 8 snapshots with mild wiggle (sd > 0)
+    for i, p in enumerate([100, 102, 98, 101, 99, 100, 103, 97]):
+        snap(i, p, 500)
+
+    def run():
+        stream = sp.cusum_changepoint_stream(
+            sp.read_auction_stream(spark, input_dir)
+        )
+        q = sp.run_to_parquet(stream, out_dir, ckpt, mode="append")
+        q.awaitTermination()
+        try:
+            return spark.read.parquet(out_dir).collect()
+        except Exception:  # noqa: BLE001 — no alerts yet
+            return []
+
+    assert run() == []  # calibration only — nothing may fire
+
+    # sustained +50% level shift on item 100; control stays flat
+    for i in range(8, 14):
+        snap(i, 150, 500)
+    rows = run()
+    ups = [r for r in rows if r["item"] == 100]
+    assert len(ups) == 1, f"expected exactly one alert, got {rows}"
+    assert ups[0]["direction"] == "up"
+    assert ups[0]["n_seen"] > 8
+    assert not [r for r in rows if r["item"] == 200], "flat series alerted"
+
+    # resume: a renewed shift after the reset fires again (re-armed)
+    for i in range(14, 20):
+        snap(i, 40, 500)
+    rows = run()
+    downs = [
+        r for r in rows if r["item"] == 100 and r["direction"] == "down"
+    ]
+    assert len(downs) == 1, f"expected one 'down' alert after resume: {rows}"
