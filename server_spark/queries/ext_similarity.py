@@ -1525,3 +1525,118 @@ def x95_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# x97 — PCA top component + ABTT isotropy correction (covariance trick)
+# ---------------------------------------------------------------------------
+
+_X97_K = 2  # components removed by the ABTT correction
+
+
+@register(
+    "x97_pca_abtt",
+    None,  # eigendecomposition — no SQL oracle; pinned vs numpy in tests
+    doc="EXT x97 — PCA over the embedding column via the COVARIANCE "
+    "TRICK, then the All-But-The-Top isotropy correction (Mu & "
+    "Viswanath 2018): embedding spaces concentrate their mass in a "
+    "few dominant directions shared by ALL vectors (frequency/norm "
+    "artifacts); removing the common mean and the top-k principal "
+    "components measurably improves cosine-similarity quality for "
+    "retrieval and semantic dedup — the post-processing step that "
+    "feeds x3/x10/x41's cosine machinery. Scale shape: one "
+    "mapInPandas pass accumulates PER-PARTITION (n, Σx, XᵀX) — d=64 "
+    "so the partial state is d² doubles; the driver combines "
+    "#partitions such states (the ONLY collect, bounded by partition "
+    "count, never rows) and eigendecomposes the d×d covariance "
+    "locally — at 100 TB the reduction stays one pass and the "
+    "driver's work stays 64×64 regardless of corpus size (power "
+    "iteration on the distributed data is only needed once d² itself "
+    "overflows the driver, ~d>10⁴). Eigenvector sign is pinned "
+    "(largest-|coord| positive) so output is deterministic. Output: "
+    "per-vector top-PC scores and pre/post-ABTT norms (the isotropy "
+    "gain each vector sees).",
+    tags=("ext", "similarity", "embedding"),
+)
+def x97_pca_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+
+    def partials(batches):
+        # helpers INSIDE the closure: pickles by value (foreign-cwd
+        # driver rule, .claude/skills/verify gotcha)
+        import numpy as np
+        import pandas as pd
+
+        n, s1, s2 = 0, None, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n += x.shape[0]
+            s1 = x.sum(0) if s1 is None else s1 + x.sum(0)
+            s2 = x.T @ x if s2 is None else s2 + x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {
+                    "n": [n],
+                    "s1": [s1.tolist()],
+                    "s2": [s2.ravel().tolist()],
+                }
+            )
+
+    parts = (
+        emb.select("embedding")
+        .mapInPandas(partials, "n long, s1 array<double>, s2 array<double>")
+        .collect()  # bounded: ≤ one row per partition, d²-sized each
+    )
+    if not parts:  # empty-input guard (driver empty-tables gate)
+        return spark.createDataFrame(
+            [],
+            "vec_id long, pc1_score double, pc2_score double, "
+            "norm_before double, norm_after double",
+        )
+    n = sum(p["n"] for p in parts)
+    s1 = np.sum([np.array(p["s1"]) for p in parts], axis=0)
+    s2 = np.sum(
+        [np.array(p["s2"]).reshape(len(s1), len(s1)) for p in parts], axis=0
+    )
+    mu = s1 / n
+    cov = s2 / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    top = vecs[:, ::-1][:, :_X97_K].T.copy()  # (k, d), descending λ
+    for i in range(top.shape[0]):  # pin the sign per component
+        j = int(np.argmax(np.abs(top[i])))
+        if top[i, j] < 0:
+            top[i] = -top[i]
+    mu_l, top_l = mu.tolist(), top.tolist()
+
+    def project(batches):
+        import numpy as np
+        import pandas as pd
+
+        m = np.array(mu_l)
+        v = np.array(top_l)  # (k, d)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            c = x - m
+            scores = c @ v.T  # (rows, k)
+            resid = c - scores @ v  # ABTT: demean + remove top-k
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "pc1_score": scores[:, 0],
+                    "pc2_score": scores[:, 1],
+                    "norm_before": np.linalg.norm(x, axis=1),
+                    "norm_after": np.linalg.norm(resid, axis=1),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        project,
+        "vec_id long, pc1_score double, pc2_score double, "
+        "norm_before double, norm_after double",
+    ).orderBy("vec_id")

@@ -2672,3 +2672,110 @@ def x96_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kappa"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x98 — pairwise source Jensen–Shannon divergence (mixture geometry)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x98_source_jsd",
+    rf"""
+    WITH toks AS (
+        SELECT source,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+        FROM documents
+    ),
+    src AS (
+        SELECT source, token, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ),
+    srctot AS (SELECT source, SUM(c) AS t FROM src GROUP BY 1),
+    p AS (
+        SELECT src.source, src.token, src.c * 1.0 / srctot.t AS p
+        FROM src JOIN srctot USING (source)
+    ),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               SUM(a.p) AS sh_p, SUM(b.p) AS sh_q,
+               SUM(a.p * LN(2.0 * a.p / (a.p + b.p))) AS t1,
+               SUM(b.p * LN(2.0 * b.p / (a.p + b.p))) AS t2
+        FROM p a JOIN p b
+          ON a.token = b.token AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           {r4sql("0.5 * (t1 + (1.0 - sh_p) * LN(2.0))"
+                  " + 0.5 * (t2 + (1.0 - sh_q) * LN(2.0))")}
+               AS jsd_nats,
+           {r4sql("sh_p")} AS shared_mass_a,
+           {r4sql("sh_q")} AS shared_mass_b
+    FROM shared
+    ORDER BY source_a, source_b
+    """,
+    doc="EXT x98 — PAIRWISE Jensen–Shannon divergence between source "
+    "unigram distributions: the symmetric, √-metrizable, ln2-bounded "
+    "sibling of x63's source-vs-corpus KL — x63 says how far each "
+    "source sits from the blend, JSD gives the GEOMETRY between "
+    "sources (two high-KL sources may be the same direction of drift "
+    "or opposite ones; mixture design needs the pair distances, e.g. "
+    "to collapse near-duplicate crawls before reweighting). "
+    "Disjoint-support mass needs no smoothing under JSD: a token in "
+    "P only contributes p·ln2 (its M-mixture share is p/2), folded "
+    "in CLOSED FORM via the shared-mass complements — the pair join "
+    "only ever touches shared tokens. Shape: per-(source, token) "
+    "probabilities once, then a token-keyed self-join whose fan-out "
+    "per token is bounded by the SOURCE dimension (≤|sources|² rows "
+    "per token, sources being a catalog dimension like languages, "
+    "NOT corpus-scale), one pair-keyed hash-agg.",
+    tags=("ext", "textstats", "mixing"),
+    late=True,
+)
+def x98_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    srctot = src.groupBy("source").agg(F.sum("c").alias("t"))
+    p = (
+        src.join(F.broadcast(srctot), "source")
+        .select(
+            "source", "token", (F.col("c") * 1.0 / F.col("t")).alias("p")
+        )
+        .transform(barrier)  # both sides of the pair join
+    )
+    a = p.select(
+        F.col("source").alias("source_a"), "token", F.col("p").alias("pa")
+    )
+    b = p.select(
+        F.col("source").alias("source_b"), "token", F.col("p").alias("pb")
+    )
+    pa, pb = F.col("pa"), F.col("pb")
+    shared = (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(pa).alias("sh_p"),
+            F.sum(pb).alias("sh_q"),
+            F.sum(pa * F.log(2.0 * pa / (pa + pb))).alias("t1"),
+            F.sum(pb * F.log(2.0 * pb / (pa + pb))).alias("t2"),
+        )
+    )
+    ln2 = F.log(F.lit(2.0))
+    return shared.select(
+        "source_a", "source_b",
+        r4(
+            0.5 * (F.col("t1") + (1.0 - F.col("sh_p")) * ln2)
+            + 0.5 * (F.col("t2") + (1.0 - F.col("sh_q")) * ln2)
+        ).alias("jsd_nats"),
+        r4(F.col("sh_p")).alias("shared_mass_a"),
+        r4(F.col("sh_q")).alias("shared_mass_b"),
+    ).orderBy("source_a", "source_b")

@@ -1869,3 +1869,56 @@ def a35_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_score", "f_score", "m_score",
         seg.alias("segment"),
     ).orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# A36 — isotonic bulk-discount curve (weighted PAVA per item)
+# ---------------------------------------------------------------------------
+
+_A36_MAX_ITEM = 60  # catalog slice, same bound as t27/t31
+
+
+@register(
+    "a36_isotonic_price_curve",
+    None,  # sequential PAVA — no SQL oracle; minimax-reference pinned
+    doc="A36 (EXT analytics) — ISOTONIC bulk-discount curve per item: "
+    "the monotone-NONINCREASING least-squares fit of mean unit price "
+    "on stack quantity (weighted PAVA) — the shape-constrained "
+    "regression for 'bulk lots trade at a per-unit discount': w12's "
+    "OLS forces a straight line and t31's Theil–Sen a constant "
+    "slope, but a discount curve flattens; isotonic assumes ONLY "
+    "monotonicity and is the projection onto that cone. Fitted "
+    "levels feed anomaly screens (a listing priced above the fitted "
+    "curve at its quantity is overpriced for its lot size). Scale "
+    "shape: one map-combined (item, quantity) hash-agg bounds each "
+    "pandas group to the DISTINCT stack sizes (≤ ~200 in any real "
+    "catalog), then applyInPandas runs the O(points) sequential "
+    "merge-stack per item — groups scale out, the sequential part "
+    "is bounded. Exact-cents means keep inputs deterministic. "
+    "Verification: hypothesis test against the independent MINIMAX "
+    "characterization ŷᵢ = max_{j≤i} min_{k≥i} Av(j,k) plus "
+    "monotonicity/mean-preservation invariants "
+    "(tests/test_properties.py).",
+    tags=("ext", "agg", "regression"),
+)
+def a36_isotonic_price_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.operators.isotonic import isotonic_fit
+
+    cents = (F.col("buyout").cast("decimal(18,2)") * 100).cast("bigint")
+    pts = (
+        auctions(spark, sf_dir)
+        .filter((F.col("item") <= _A36_MAX_ITEM) & (F.col("buyout") > 0))
+        .groupBy("item", F.col("quantity").cast("long").alias("qty"))
+        .agg(F.sum(cents).alias("s_cents"), F.count("*").alias("n"))
+        .select(
+            "item", "qty", "n",
+            (F.col("s_cents") / (F.col("n") * 100.0)).alias("mean_gold"),
+        )
+    )
+    return (
+        isotonic_fit(
+            pts, ["item"], "qty", "mean_gold", "n",
+            increasing=False, out_col="fitted_gold",
+        )
+        .orderBy("item", "qty")
+    )

@@ -2740,3 +2740,399 @@ def t33_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hours_since_first_event")
     )
+
+
+# ---------------------------------------------------------------------------
+# T34 — ingest volume-drop monitor (trailing-baseline freshness check)
+# ---------------------------------------------------------------------------
+
+_T34_MIN_PRIOR = 4    # trailing days required before the test arms
+_T34_DROP = 0.8       # alert when volume falls 20% under baseline
+
+
+@register(
+    "t34_volume_anomaly",
+    f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, day, c,
+               AVG(c * 1.0) OVER w AS trailing_avg,
+               COUNT(*) OVER w AS n_prior
+        FROM daily
+        WINDOW w AS (
+            PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+        )
+    )
+    SELECT event_type, day, c AS n_events,
+           {{r4_avg}} AS trailing_avg, n_prior,
+           {{r4_ratio}} AS ratio,
+           ({{r4_ratio}} < {_T34_DROP}) AS alert
+    FROM scored
+    WHERE n_prior >= {_T34_MIN_PRIOR}
+    ORDER BY event_type, day
+    """.replace("{r4_avg}", r4sql("trailing_avg"))
+       .replace("{r4_ratio}", r4sql("c * 1.0 / trailing_avg")),
+    doc="T34 (EXT ops/timeseries) — INGEST VOLUME-DROP monitor: per "
+    "series, score every armed day against the trailing "
+    f"7-day average and flag those under {_T34_DROP}× it (armed only after "
+    f"{_T34_MIN_PRIOR} prior days) — the data-freshness check every "
+    "ingestion pipeline runs before trusting a day's partition "
+    "(a silently-failed dump job looks exactly like a quiet market; "
+    "only the baseline comparison tells them apart — the batch "
+    "sibling of the streaming CUSUM monitor, aimed at COUNT not "
+    "level). Determinism: counts are exact integers, the trailing "
+    "mean is one division per row, and the alert threshold cuts on "
+    "the r4-CANONICAL ratio so the flag set is engine-identical at "
+    "the boundary (a19/t30 lesson). Shape: one (series, day) "
+    "hash-agg, one series-partitioned 8-row sliding frame riding the "
+    "same exchange — series scale out by key, frames are O(1).",
+    tags=("ext", "timeseries", "anomaly", "ops"),
+    late=True,
+)
+def t34_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    scored = daily.select(
+        "event_type", "day", "c",
+        F.avg(F.col("c") * 1.0).over(w).alias("trailing_avg"),
+        F.count("*").over(w).alias("n_prior"),
+    )
+    ratio = r4(F.col("c") * 1.0 / F.col("trailing_avg"))
+    return (
+        scored.filter(F.col("n_prior") >= _T34_MIN_PRIOR)
+        .select(
+            "event_type", "day",
+            F.col("c").alias("n_events"),
+            r4(F.col("trailing_avg")).alias("trailing_avg"),
+            "n_prior",
+            ratio.alias("ratio"),
+            (ratio < _T34_DROP).alias("alert"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T35 — calendar gap-fill with linear interpolation (per-series spine)
+# ---------------------------------------------------------------------------
+
+_T35_BUCKETS = 40  # user-hash buckets: makes (series, day) genuinely sparse
+
+
+@register(
+    "t35_gapfill_interpolate",
+    f"""
+    WITH daily AS (
+        SELECT event_type, user_id % {_T35_BUCKETS} AS bucket,
+               CAST(ts AS DATE) AS day, COUNT(*) AS c
+        FROM events GROUP BY 1, 2, 3
+    ),
+    bounds AS (
+        SELECT event_type, bucket, MIN(day) AS dmin, MAX(day) AS dmax
+        FROM daily GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT event_type, bucket,
+               CAST(UNNEST(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    j AS (
+        SELECT s.event_type, s.bucket, s.day, d.c
+        FROM spine s LEFT JOIN daily d
+          ON s.event_type = d.event_type AND s.bucket = d.bucket
+         AND s.day = d.day
+    ),
+    f AS (
+        SELECT event_type, bucket, day, c,
+               LAST_VALUE(c IGNORE NULLS) OVER wp AS pc,
+               LAST_VALUE(CASE WHEN c IS NOT NULL THEN day END IGNORE NULLS)
+                   OVER wp AS pd,
+               FIRST_VALUE(c IGNORE NULLS) OVER wn AS nc,
+               FIRST_VALUE(CASE WHEN c IS NOT NULL THEN day END IGNORE NULLS)
+                   OVER wn AS nd
+        FROM j
+        WINDOW wp AS (PARTITION BY event_type, bucket ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY event_type, bucket ORDER BY day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bucket, day, c AS n_events,
+           {{FILLED}} AS filled,
+           (c IS NULL) AS is_gap
+    FROM f
+    ORDER BY event_type, bucket, day
+    """.replace("{FILLED}", r4sql(
+        "COALESCE(c * 1.0,"
+        " pc + (nc - pc) * 1.0"
+        "   * DATEDIFF('day', pd, day) / DATEDIFF('day', pd, nd))"
+    )),
+    doc="T35 (EXT timeseries) — CALENDAR GAP-FILL with linear "
+    "interpolation: each (event_type, user-bucket) daily-volume "
+    "series is joined onto its own min..max calendar spine; missing "
+    "days get the straight-line value between the two nearest "
+    "observed days (prev + (next−prev)·Δd/Δspan) — the resampling "
+    "step every downstream window/trend/seasonality query (w3/w12/"
+    "w14) silently assumes: a 7-day moving average over a series "
+    "with holes averages 5 numbers on some days and calls it a "
+    "week. Interior gaps only by construction (the spine is bounded "
+    "by each series' own observed extent, so a prev AND next "
+    "neighbor always exist — no edge-extrapolation policy to "
+    "diverge on). Shape: one (series, day) hash-agg; the spine is "
+    "sequence()-exploded per series (array length = day span, a "
+    "calendar dimension, never row count); fill via two running "
+    "last/first(ignorenulls) frames riding ONE series-partitioned "
+    "sort. Determinism: counts and date arithmetic are exact ints; "
+    "the single interpolation division is r4-canonicalized.",
+    tags=("ext", "timeseries", "resample"),
+    late=True,
+)
+def t35_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            (F.col("user_id") % _T35_BUCKETS).alias("bucket"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    spine = (
+        daily.groupBy("event_type", "bucket")
+        .agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+        .select(
+            "event_type", "bucket",
+            F.explode(
+                F.expr("sequence(dmin, dmax, interval 1 day)")
+            ).alias("day"),
+        )
+    )
+    j = spine.join(daily, ["event_type", "bucket", "day"], "left")
+    wp = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_day = F.when(F.col("c").isNotNull(), F.col("day"))
+    f = j.select(
+        "event_type", "bucket", "day", "c",
+        F.last("c", ignorenulls=True).over(wp).alias("pc"),
+        F.last(known_day, ignorenulls=True).over(wp).alias("pd"),
+        F.first("c", ignorenulls=True).over(wn).alias("nc"),
+        F.first(known_day, ignorenulls=True).over(wn).alias("nd"),
+    )
+    filled = F.coalesce(
+        F.col("c") * 1.0,
+        F.col("pc")
+        + (F.col("nc") - F.col("pc")) * 1.0
+        * F.datediff(F.col("day"), F.col("pd"))
+        / F.datediff(F.col("nd"), F.col("pd")),
+    )
+    return (
+        f.select(
+            "event_type", "bucket", "day",
+            F.col("c").alias("n_events"),
+            r4(filled).alias("filled"),
+            F.col("c").isNull().alias("is_gap"),
+        )
+        .orderBy("event_type", "bucket", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T36 — OHLC candle aggregation (open/high/low/close per series-day)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t36_ohlc_daily",
+    f"""
+    WITH ranked AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type, day,
+           {r4sql("MAX(CASE WHEN rn_a = 1 THEN value END)")} AS open,
+           {r4sql("MAX(value)")} AS high,
+           {r4sql("MIN(value)")} AS low,
+           {r4sql("MAX(CASE WHEN rn_d = 1 THEN value END)")} AS close,
+           COUNT(*) AS n_events
+    FROM ranked
+    GROUP BY 1, 2
+    ORDER BY event_type, day
+    """,
+    doc="T36 (EXT timeseries) — OHLC CANDLE aggregation: per (series, "
+    "day) the first/max/min/last value — the canonical downsampled "
+    "representation a charting or market-data consumer reads instead "
+    "of raw ticks (the reference's pricelist history downsamples to "
+    "exactly this shape). First/last are defined by the TOTAL order "
+    "(ts, event_id) — the unique tiebreak every pagination/window "
+    "query in this repo carries, because ts alone ties under "
+    "concurrent events and first_value would then be "
+    "engine-nondeterministic. Shape: one window rank pair riding a "
+    "single (series, day) sort, then one hash-agg; at scale the "
+    "window partitions by the same key the agg groups on, so the "
+    "exchange is reused (one shuffle). min/max/open/close are "
+    "SELECTIONS of input doubles (no accumulation drift) — r4 only "
+    "canonicalizes representation.",
+    tags=("ext", "timeseries", "window"),
+    late=True,
+)
+def t36_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = F.col("ts").cast("date").alias("day")
+    base = _events(spark, sf_dir).select("event_type", day, "ts", "event_id", "value")
+    wa = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = base.select(
+        "event_type", "day", "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        ranked.groupBy("event_type", "day")
+        .agg(
+            r4(F.max(F.when(F.col("rn_a") == 1, F.col("value")))).alias("open"),
+            r4(F.max("value")).alias("high"),
+            r4(F.min("value")).alias("low"),
+            r4(F.max(F.when(F.col("rn_d") == 1, F.col("value")))).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W14 — additive seasonal decomposition (trend + seasonal + residual)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w14_seasonal_decomposition",
+    f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type, day, c,
+               SUM(c) OVER w7 AS s7, COUNT(*) OVER w7 AS n7
+        FROM daily
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    armed AS (
+        SELECT event_type, day, c, s7 * 1.0 / 7 AS trend,
+               DATEDIFF('day', DATE '1970-01-05', day) % 7 AS dow
+        FROM t WHERE n7 = 7
+    ),
+    dowavg AS (
+        SELECT event_type, dow, AVG(c - trend) AS raw_seas
+        FROM armed GROUP BY 1, 2
+    ),
+    cent AS (
+        SELECT event_type, dow,
+               raw_seas - AVG(raw_seas) OVER (PARTITION BY event_type)
+                   AS seas
+        FROM dowavg
+    )
+    SELECT a.event_type, a.day, a.c AS n_events,
+           {r4sql("a.trend")} AS trend,
+           {r4sql("s.seas")} AS seasonal,
+           {r4sql("a.c - a.trend - s.seas")} AS residual
+    FROM armed a
+    JOIN cent s ON a.event_type = s.event_type AND a.dow = s.dow
+    ORDER BY a.event_type, a.day
+    """,
+    doc="W14 (EXT window/seasonal) — ADDITIVE SEASONAL DECOMPOSITION "
+    "(classical/STL-lite) of the daily-volume series: value = trend "
+    "+ seasonal + residual, with trend = the CENTERED 7-day moving "
+    "average (armed only on full windows — a trailing MA phase-lags "
+    "the trend by 3 days and leaks it into the weekly seasonal), "
+    "seasonal = the per-weekday mean of the detrended series "
+    "RE-CENTERED to sum to zero across the week (otherwise the "
+    "decomposition is unidentifiable — any constant shifts between "
+    "trend and seasonal), weekday from the anchor-Monday datediff%7 "
+    "(w13's engine-portable dow). The residual is what an anomaly "
+    "monitor should actually alarm on — t34 compares raw volume to a "
+    "trailing mean and must therefore tolerate weekly rhythm; after "
+    "removing trend+seasonal the same threshold catches smaller "
+    "real incidents. Production series with calendar holes feed "
+    "t35's gap-fill FIRST (a 7-ROW frame over a holey series spans "
+    ">7 calendar days and the dow means go biased). Shape: one "
+    "(series, day) hash-agg, one series-partitioned 7-row frame, a "
+    "|series|×7-row seasonal dimension joined back — every stage "
+    "keyed by series, map-combinable, no corpus-scale broadcast. "
+    "Determinism: counts exact; trend is an exact int sum over 7 "
+    "divided once; only the dow means accumulate in float, all "
+    "r4-canonicalized at the boundary.",
+    tags=("ext", "window", "timeseries", "seasonal"),
+    late=True,
+)
+def w14_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    armed = (
+        daily.select(
+            "event_type", "day", "c",
+            F.sum("c").over(w7).alias("s7"),
+            F.count("*").over(w7).alias("n7"),
+        )
+        .filter(F.col("n7") == 7)
+        .select(
+            "event_type", "day", "c",
+            (F.col("s7") * 1.0 / 7).alias("trend"),
+            (
+                F.datediff(F.col("day"), F.lit("1970-01-05").cast("date"))
+                % 7
+            ).alias("dow"),
+        )
+    )
+    dowavg = armed.groupBy("event_type", "dow").agg(
+        F.avg(F.col("c") - F.col("trend")).alias("raw_seas")
+    )
+    cent = dowavg.select(
+        "event_type", "dow",
+        (
+            F.col("raw_seas")
+            - F.avg("raw_seas").over(Window.partitionBy("event_type"))
+        ).alias("seas"),
+    )
+    return (
+        armed.join(cent, ["event_type", "dow"])
+        .select(
+            "event_type", "day",
+            F.col("c").alias("n_events"),
+            r4(F.col("trend")).alias("trend"),
+            r4(F.col("seas")).alias("seasonal"),
+            r4(F.col("c") - F.col("trend") - F.col("seas")).alias("residual"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -966,3 +966,49 @@ def cusum_changepoint_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def price_moments_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: tuple[str, ...] = ("region", "realm_slug"),
+):
+    """Streaming twin of ``maintenance.refresh_price_moments_gold``:
+    per-key (n, Σx, Σx²) sufficient statistics folded per micro-batch.
+    The decimal sums are exact and associative+commutative, so replay
+    order cannot change the state and incremental == one-shot holds
+    EXACTLY at every batch boundary (tested) — the strongest member
+    of the mergeable family on that axis (bitmap OR ties it; the
+    histogram only buckets exactly)."""
+    from server_spark.plans.maintenance import (
+        merge_price_moments,
+        price_moments,
+    )
+
+    klist = list(keys)
+
+    def delta(b: DataFrame) -> DataFrame:
+        return price_moments(
+            b.filter(F.col("buyout") > 0),  # A2's zero-buyout exclusion
+            klist,
+            F.col("buyout") / F.col("quantity"),
+        )
+
+    return _mergeable_fold_stream(
+        spark, input_dir, state_dir, checkpoint_dir, "moments",
+        delta,
+        lambda base, d: merge_price_moments(base, d, klist),
+    )
+
+
+def read_price_moments_state(spark: SparkSession, state_dir: str):
+    """mean/std/cv per key off the streaming sufficient statistics."""
+    import os
+
+    from server_spark.plans.maintenance import read_moment_stats
+
+    return read_moment_stats(
+        spark.read.parquet(os.path.join(state_dir, "moments"))
+    )

@@ -704,3 +704,38 @@ def test_x96_kappa_below_accuracy(spark, sf_dir):
     assert 0.0 <= r["p_chance"] <= 1.0
     assert r["kappa"] <= r["p_observed"] + 1e-9
     assert r["kappa"] <= 1.0
+
+
+def test_x97_pca_matches_numpy(spark, sf_dir):
+    """x97's distributed covariance + driver eigh equals a one-shot
+    numpy PCA: pc1 scores match the top eigenvector projection (up to
+    the pinned sign), score variance equals the top eigenvalue, and
+    the ABTT residual norm never exceeds the centered norm."""
+    import numpy as np
+
+    from server_spark import tables
+    from server_spark.registry import queries
+
+    rows = queries()["x97_pca_abtt"](spark, sf_dir).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in tables.load(spark, sf_dir, "embeddings").collect()
+    }
+    X = np.stack([emb[r["vec_id"]] for r in rows])
+    c = X - X.mean(axis=0)
+    cov = (c.T @ c) / len(X)
+    vals, vecs = np.linalg.eigh(cov)
+    v1 = vecs[:, -1]
+    j = int(np.argmax(np.abs(v1)))
+    if v1[j] < 0:
+        v1 = -v1
+    want = c @ v1
+    got = np.array([r["pc1_score"] for r in rows])
+    assert np.allclose(got, want, atol=1e-6)
+    assert abs(got.var() - vals[-1]) < 1e-6 * max(1.0, vals[-1])
+    # ABTT is an orthogonal projection of the CENTERED vector: its
+    # norm can't exceed the centered norm (raw norm CAN grow when a
+    # vector sits opposite the mean — not an invariant).
+    cnorm = np.linalg.norm(c, axis=1)
+    for r, cn in zip(rows, cnorm):
+        assert r["norm_after"] <= cn + 1e-9

@@ -844,3 +844,67 @@ def test_km_curve_matches_sequential_reference(spark, spells):
     survs = [g[4] for g in got]
     assert all(0.0 <= s <= 1.0 for s in survs)
     assert all(a >= b - 1e-12 for a, b in zip(survs, survs[1:]))
+
+
+# ---------------------------------------------------------------------------
+# a36 isotonic fit: PAVA vs the independent minimax characterization
+# ---------------------------------------------------------------------------
+
+ISO_POINTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),  # y (price-ish)
+        st.integers(min_value=1, max_value=9),    # weight
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _minimax_isotonic(y, w, increasing):
+    """Independent O(n³) reference: the isotonic LSQ fit equals
+    ŷᵢ = max_{j≤i} min_{k≥i} weightedAv(y[j..k]) (increasing case;
+    decreasing via negation). Textbook characterization — shares no
+    code with the PAVA merge stack."""
+    if not increasing:
+        return [-v for v in _minimax_isotonic([-v for v in y], w, True)]
+
+    def av(j, k):
+        tw = sum(w[j:k + 1])
+        return sum(yi * wi for yi, wi in zip(y[j:k + 1], w[j:k + 1])) / tw
+
+    n = len(y)
+    return [
+        max(min(av(j, k) for k in range(i, n)) for j in range(i + 1))
+        for i in range(n)
+    ]
+
+
+@given(pts=ISO_POINTS, inc=st.booleans())
+@_SETTINGS
+def test_isotonic_fit_matches_minimax_reference(spark, pts, inc):
+    from server_spark.operators.isotonic import isotonic_fit
+
+    rows = [(1, i, float(y), float(w)) for i, (y, w) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows, "item long, qty long, y double, w double"
+    )
+    got = (
+        isotonic_fit(df, ["item"], "qty", "y", "w", increasing=inc)
+        .orderBy("qty")
+        .collect()
+    )
+    ys = [float(y) for y, _ in pts]
+    ws = [float(w) for _, w in pts]
+    want = _minimax_isotonic(ys, ws, inc)
+    assert all(abs(g["fitted"] - wv) < 1e-8 for g, wv in zip(got, want))
+    fitted = [g["fitted"] for g in got]
+    # monotone in the requested direction + weighted-mean preserving
+    pairs = zip(fitted, fitted[1:])
+    if inc:
+        assert all(a <= b + 1e-12 for a, b in pairs)
+    else:
+        assert all(a >= b - 1e-12 for a, b in pairs)
+    assert abs(
+        sum(f * w for f, w in zip(fitted, ws))
+        - sum(y * w for y, w in zip(ys, ws))
+    ) < 1e-6

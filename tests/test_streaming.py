@@ -858,3 +858,58 @@ def test_cusum_changepoint_stream(spark, tmp_path):
         r for r in rows if r["item"] == 100 and r["direction"] == "down"
     ]
     assert len(downs) == 1, f"expected one 'down' alert after resume: {rows}"
+
+
+def test_price_moments_stream_incremental_equals_oneshot(spark, tmp_path):
+    """Streaming moments gold: the epoch-gated fold of (n, Σx, Σx²)
+    equals a one-shot aggregate EXACTLY (decimal sums) after every
+    drain and across a checkpoint resume; the read-back mean/std
+    match python on the raw prices."""
+    import math
+
+    input_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir, exist_ok=True)
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    t1 = dt.datetime(2024, 1, 1, 11)
+    # (auc, item, buyout, quantity): unit prices 10, 20 (zero excluded)
+    _write_dump(spark, input_dir, "d0", t0,
+                [(1, 100, 10, 1), (2, 101, 40, 2), (3, 102, 0, 1)])
+
+    q = sp.price_moments_stream(spark, input_dir, state_dir, ckpt)
+    q.awaitTermination()
+
+    def read():
+        return {
+            (r["region"], r["realm_slug"]):
+                (r["n"], r["mean_price"], r["std_price"])
+            for r in sp.read_price_moments_state(spark, state_dir).collect()
+        }
+
+    n, mean, std = read()[("eu", "r1")]
+    assert (n, mean) == (2, 15.0)
+    assert abs(std - 5.0) < 1e-9
+
+    # resume: fold only the new file; stats now over 10, 20, 60
+    _write_dump(spark, input_dir, "d1", t1, [(4, 103, 60, 1)])
+    q2 = sp.price_moments_stream(spark, input_dir, state_dir, ckpt)
+    q2.awaitTermination()
+    prices = [10.0, 20.0, 60.0]
+    m = sum(prices) / 3
+    v = sum((p - m) ** 2 for p in prices) / 3
+    n, mean, std = read()[("eu", "r1")]
+    assert n == 3
+    # tolerance = the DECIMAL(38,6) storage quantum propagated through
+    # the read-back algebra, not float noise
+    assert abs(mean - m) < 1e-6
+    assert abs(std - math.sqrt(v)) < 1e-6
+
+    # fresh checkpoint replays all epochs against standing state: the
+    # epoch gate must make that a no-op, not a double-fold
+    q3 = sp.price_moments_stream(
+        spark, input_dir, state_dir, str(tmp_path / "ckpt2")
+    )
+    q3.awaitTermination()
+    assert read()[("eu", "r1")][0] == 3
