@@ -1321,3 +1321,95 @@ def x90_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x99 — eval-set contamination screen (cross-split n-gram overlap)
+# ---------------------------------------------------------------------------
+
+_X99_EVAL_HEX = ("0", "1")  # md5 first hex digit → ~1/8 of docs are "eval"
+_X99_FLAG = 0.5             # contaminated when > half the shingles leak
+
+
+@register(
+    "x99_contamination_screen",
+    rf"""
+    WITH tagged AS (
+        SELECT doc_id, text,
+               substr(md5(CAST(doc_id AS STRING)), 1, 1)
+                   IN ('{_X99_EVAL_HEX[0]}', '{_X99_EVAL_HEX[1]}')
+                   AS is_eval
+        FROM documents
+    ),
+    {shingle_ctes(src="tagged", carry="is_eval")},
+    train AS (SELECT DISTINCT shingle FROM sh WHERE NOT is_eval),
+    hits AS (
+        SELECT e.doc_id,
+               COUNT(*) AS n_shingles,
+               SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_hits
+        FROM sh e LEFT JOIN train t ON e.shingle = t.shingle
+        WHERE e.is_eval
+        GROUP BY 1
+    )
+    SELECT doc_id, n_shingles, n_hits,
+           {{FRAC}} AS leak_frac,
+           ({{FRAC}} > {_X99_FLAG}) AS contaminated
+    FROM hits
+    ORDER BY doc_id
+    """.replace("{FRAC}", r4sql("n_hits * 1.0 / n_shingles")),
+    doc="EXT x99 — EVAL-SET CONTAMINATION screen: deterministically "
+    "split the corpus into train (~7/8) and eval (~1/8) by the md5 "
+    "of the doc id, then score every EVAL document by the fraction "
+    "of its distinct word-3-gram shingles that also occur anywhere "
+    "in the TRAIN split — the decontamination gate every benchmark "
+    "pipeline runs before trusting an eval number (Lee et al.'s "
+    "span dedup at x43 removes repeats WITHIN the training set; "
+    "contamination is the CROSS-split direction, and the fix is "
+    "different too: drop the eval doc, not the training span). "
+    "Scale shape: the train side collapses to DISTINCT shingles "
+    "BEFORE the join, so each eval shingle meets at most ONE train "
+    "row — a membership probe, not the k² posting-list fan-out of a "
+    "pair join (x75's hot-bucket lesson does not arise; at 100 TB "
+    "the train side can further shrink to a bloom/xxhash set, j12's "
+    "pattern). Split hash and shingles are the engine-portable md5/"
+    "word-3-gram primitives every dedup oracle shares. Flag cuts on "
+    "the CANONICAL fraction (a19).",
+    tags=("ext", "dedup", "contamination", "eval"),
+    late=True,
+)
+def x99_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        .isin(*_X99_EVAL_HEX)
+        .alias("is_eval"),
+    )
+    # carry the split tag THROUGH the narrow shingle map instead of
+    # re-joining shingles→docs on doc_id (saves a corpus-scale shuffle)
+    sh_all = docs.select(
+        "doc_id", "is_eval", ng.split_words("text").alias("_words")
+    ).select(
+        "doc_id", "is_eval",
+        F.explode(ng.shingle_array("_words", 3)).alias("shingle"),
+    )
+    train = (
+        sh_all.filter(~F.col("is_eval")).select("shingle").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    frac = r4(F.col("n_hits") * 1.0 / F.col("n_shingles"))
+    return (
+        sh_all.filter(F.col("is_eval"))
+        .join(train, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_hits",
+            frac.alias("leak_frac"),
+            (frac > _X99_FLAG).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

@@ -789,3 +789,66 @@ def x61_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(
         synthetic_media(_docs(spark, sf_dir)), frame_size=64, every_n=4
     )
+
+
+# ---------------------------------------------------------------------------
+# x100 — weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+_X100_K = 50  # sample size
+
+
+@register(
+    "x100_weighted_sample",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               LN((('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT
+                   + 0.5) / 4294967296.0) / n_chars AS raw_key
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars,
+           {r4sql("raw_key * 1000000.0")} AS sort_key
+    FROM keyed
+    ORDER BY {r4sql("raw_key * 1000000.0")} DESC, doc_id
+    LIMIT {_X100_K}
+    """,
+    doc="EXT x100 — WEIGHTED sampling WITHOUT replacement "
+    "(Efraimidis–Spirakis A-ES): each document gets the key "
+    "u^(1/w) with u uniform from its md5 and w = n_chars; the "
+    f"top-{_X100_K} keys ARE a weighted sample without replacement — "
+    "the length-proportional draw a token-budgeted pilot corpus "
+    "wants (uniform doc sampling under-represents long documents' "
+    "tokens; x78's cluster-balanced draw is uniform WITHIN strata, "
+    "this weights globally). One narrow map + a distributed top-K: "
+    "A-ES is THE distributed form of weighted sampling — no "
+    "cumulative-weight prefix scan (the sequential textbook "
+    "algorithm), no coordination; per-partition top-K then a "
+    "driver-side K-merge, exactly Spark's TakeOrderedAndProject. "
+    "Determinism: u is md5-derived (engine-portable hex→int), "
+    "monotone ln(u)/w ordering is equivalent to u^(1/w); selection "
+    "cuts on the r4-CANONICAL scaled key (ties broken by doc_id) so "
+    "both engines pick the identical set even at a boundary (a19/"
+    "x95 argmax lesson; ×10⁶ scaling keeps 4-decimal canonical "
+    "resolution meaningful on keys of magnitude ~1e-3).",
+    tags=("ext", "pipeline", "sample"),
+    late=True,
+)
+def x100_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        + 0.5
+    ) / 4294967296.0
+    sort_key = r4(F.log(u) / F.col("n_chars") * 1000000.0)
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id", "source", "n_chars", sort_key.alias("sort_key")
+        )
+        .orderBy(F.col("sort_key").desc(), "doc_id")
+        .limit(_X100_K)
+    )

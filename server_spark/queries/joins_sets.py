@@ -1922,3 +1922,130 @@ def a36_isotonic_price_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item", "qty")
     )
+
+
+# ---------------------------------------------------------------------------
+# A37 — Mann-Whitney U test (weekend vs weekday value distributions)
+# ---------------------------------------------------------------------------
+
+_A37_Z_CUT = 1.96  # two-sided 5% normal cut
+
+
+@register(
+    "a37_mann_whitney",
+    f"""
+    WITH base AS (
+        SELECT event_type, value AS v,
+               CASE WHEN DATEDIFF('day', DATE '1970-01-05',
+                                  CAST(ts AS DATE)) % 7 >= 5
+                    THEN 1 ELSE 0 END AS wknd
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, v, COUNT(*) AS c, SUM(wknd) AS cw
+        FROM base GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type, v, c, cw,
+               COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum
+        FROM g
+    ),
+    s AS (
+        SELECT event_type,
+               SUM(c) AS n, SUM(cw) AS n1,
+               SUM(cw * (2 * cum + c + 1)) AS r2,
+               SUM(c * c * c - c) AS ties
+        FROM r GROUP BY 1
+    )
+    SELECT event_type,
+           n1 AS n_weekend, n - n1 AS n_weekday,
+           {{U}} AS u_stat,
+           {{Z}} AS z,
+           (ABS({{Z}}) > {_A37_Z_CUT}) AS significant
+    FROM s
+    ORDER BY event_type
+    """.replace(
+        "{U}", r4sql("(r2 - n1 * (n1 + 1)) / 2.0")
+    ).replace(
+        "{Z}", r4sql(
+            "(r2 - n1 * (n1 + 1) - n1 * 1.0 * (n - n1))"
+            " / (2.0 * SQRT((n1 * 1.0 * (n - n1) / 12.0)"
+            "   * ((n + 1.0) - ties * 1.0 / (n * 1.0 * (n - 1)))))"
+        )
+    ),
+    doc="A37 (EXT analytics) — MANN-WHITNEY U rank-sum test per event "
+    "type: do weekend and weekday value distributions differ? The "
+    "nonparametric two-sample location test — t-family comparisons "
+    "assume normality the skewed price-like values don't have; U "
+    "only uses ranks (a34's runs test checks randomness WITHIN one "
+    "sequence, this compares TWO populations). Tie-corrected normal "
+    "approximation with average ranks. Exactness trick: with "
+    "avg_rank = cum_before + (c+1)/2, the DOUBLED rank-sum "
+    "2R₁ = Σ cw·(2·cum+c+1) is an exact BIGINT — rank algebra stays "
+    "integer through the aggregation and floats appear only in the "
+    "final closed-form z (every op correctly rounded from identical "
+    "ints ⇒ engine-identical before the r4 canonical dress; the "
+    "significance flag cuts on the CANONICAL z, a19 pattern). Scale "
+    "shape: ranks come from a cumulative frame over the DISTINCT-"
+    "value relation (one hash-agg, one per-series sort), never a "
+    "per-row global rank; weekend membership is pure date "
+    "arithmetic (w13's anchor-Monday dow).",
+    tags=("ext", "agg", "analytics", "stats"),
+    late=True,
+)
+def a37_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = tables.load(spark, sf_dir, "events")
+    dow = (
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-05").cast("date"))
+        % 7
+    )
+    g = (
+        ev.select(
+            "event_type",
+            F.col("value").alias("v"),
+            (dow >= 5).cast("long").alias("wknd"),
+        )
+        .groupBy("event_type", "v")
+        .agg(F.count("*").alias("c"), F.sum("wknd").alias("cw"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.select(
+        "event_type", "v", "c", "cw",
+        F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("cum"),
+    )
+    s = r.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.sum("cw").alias("n1"),
+        F.sum(F.col("cw") * (2 * F.col("cum") + F.col("c") + 1)).alias("r2"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("ties"),
+    )
+    n, n1, r2, ties = F.col("n"), F.col("n1"), F.col("r2"), F.col("ties")
+    u = r4((r2 - n1 * (n1 + 1)) / 2.0)
+    z = r4(
+        (r2 - n1 * (n1 + 1) - n1 * 1.0 * (n - n1))
+        / (
+            2.0
+            * F.sqrt(
+                (n1 * 1.0 * (n - n1) / 12.0)
+                * ((n + 1.0) - ties * 1.0 / (n * 1.0 * (n - 1)))
+            )
+        )
+    )
+    return s.select(
+        "event_type",
+        n1.alias("n_weekend"),
+        (n - n1).alias("n_weekday"),
+        u.alias("u_stat"),
+        z.alias("z"),
+        (F.abs(z) > _A37_Z_CUT).alias("significant"),
+    ).orderBy("event_type")

@@ -3136,3 +3136,108 @@ def w14_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# T37 — PSI distribution-drift monitor (window A vs window B)
+# ---------------------------------------------------------------------------
+
+_T37_SPLIT = "2024-01-16"  # window A = days before, B = days from
+_T37_BINW = 25.0           # fixed value-grid bin width
+_T37_ALERT = 0.1           # PSI convention: <0.1 stable, >0.25 major
+
+
+@register(
+    "t37_psi_drift",
+    f"""
+    WITH tagged AS (
+        SELECT event_type,
+               CAST(FLOOR(value / {_T37_BINW}) AS BIGINT) AS bin,
+               CASE WHEN CAST(ts AS DATE) < DATE '{_T37_SPLIT}'
+                    THEN 1 ELSE 0 END AS ina
+        FROM events
+    ),
+    b AS (
+        SELECT event_type, bin, SUM(ina) AS ca, SUM(1 - ina) AS cb
+        FROM tagged GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type, bin, ca, cb,
+               SUM(ca) OVER (PARTITION BY event_type) AS na,
+               SUM(cb) OVER (PARTITION BY event_type) AS nb,
+               COUNT(*) OVER (PARTITION BY event_type) AS nbins
+        FROM b
+    ),
+    terms AS (
+        SELECT event_type, na, nb, nbins,
+               ((ca + 0.5) / (na + 0.5 * nbins)
+                - (cb + 0.5) / (nb + 0.5 * nbins))
+               * LN(((ca + 0.5) / (na + 0.5 * nbins))
+                    / ((cb + 0.5) / (nb + 0.5 * nbins))) AS term
+        FROM t
+    )
+    SELECT event_type,
+           MAX(na) AS n_a, MAX(nb) AS n_b, MAX(nbins) AS n_bins,
+           {{PSI}} AS psi,
+           ({{PSI}} > {_T37_ALERT}) AS drifted
+    FROM terms
+    GROUP BY 1
+    ORDER BY event_type
+    """.replace("{PSI}", r4sql("SUM(term)")),
+    doc="T37 (EXT timeseries/ops) — POPULATION STABILITY INDEX drift "
+    "monitor per series: the value distribution of the second half "
+    "of the month scored against the first half on a fixed value "
+    "grid, PSI = Σ (pᴬ−pᴮ)·ln(pᴬ/pᴮ) — the standard "
+    "training-serving-skew / data-drift gate (symmetrized KL over "
+    "binned marginals): t34 catches a VOLUME drop, w14's residual "
+    "catches a level anomaly, PSI catches the failure neither sees "
+    "— same count, same mean, different SHAPE (a stuck-sensor "
+    "spike, a new client version changing the value mix). Bins on a "
+    "FIXED width-{_T37_BINW} grid (the x40 lesson: quantile bins of the "
+    "reference window need a global sort and re-bin every run; a "
+    "fixed grid is one narrow map, mergeable, and comparable across "
+    "runs), add-half smoothing over the UNION of observed bins so "
+    "a bin empty on one side contributes a finite term. Alert cuts "
+    "on the CANONICAL psi (a19). Shape: one (series, bin) hash-agg "
+    "(bin count bounded by the grid, not rows), per-series window "
+    "totals riding the same exchange, one final fold.",
+    tags=("ext", "timeseries", "anomaly", "ops", "drift"),
+    late=True,
+)
+def t37_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    tagged = ev.select(
+        "event_type",
+        F.floor(F.col("value") / _T37_BINW).cast("bigint").alias("bin"),
+        (F.col("ts").cast("date") < F.lit(_T37_SPLIT).cast("date"))
+        .cast("long")
+        .alias("ina"),
+    )
+    b = tagged.groupBy("event_type", "bin").agg(
+        F.sum("ina").alias("ca"), F.sum(1 - F.col("ina")).alias("cb")
+    )
+    wet = Window.partitionBy("event_type")
+    t = b.select(
+        "event_type", "bin", "ca", "cb",
+        F.sum("ca").over(wet).alias("na"),
+        F.sum("cb").over(wet).alias("nb"),
+        F.count("*").over(wet).alias("nbins"),
+    )
+    pa = (F.col("ca") + 0.5) / (F.col("na") + 0.5 * F.col("nbins"))
+    pb = (F.col("cb") + 0.5) / (F.col("nb") + 0.5 * F.col("nbins"))
+    terms = t.select(
+        "event_type", "na", "nb", "nbins",
+        ((pa - pb) * F.log(pa / pb)).alias("term"),
+    )
+    psi = r4(F.sum("term"))
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.max("nbins").alias("n_bins"),
+            psi.alias("psi"),
+            (psi > _T37_ALERT).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )

@@ -739,3 +739,121 @@ def test_x97_pca_matches_numpy(spark, sf_dir):
     cnorm = np.linalg.norm(c, axis=1)
     for r, cn in zip(rows, cnorm):
         assert r["norm_after"] <= cn + 1e-9
+
+
+def test_a37_mann_whitney_vs_python(spark, sf_dir):
+    """a37's U and z against an independent Python rank computation
+    (average ranks, tie-corrected normal approximation)."""
+    import datetime as dt
+    import math
+
+    from server_spark import tables
+    from server_spark.registry import queries
+
+    got = {
+        r["event_type"]: r
+        for r in queries()["a37_mann_whitney"](spark, sf_dir).collect()
+    }
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    monday = dt.date(1970, 1, 5)
+    by_type: dict = {}
+    for r in ev:
+        wknd = (r["ts"].date() - monday).days % 7 >= 5
+        by_type.setdefault(r["event_type"], []).append((r["value"], wknd))
+    for et, vals in by_type.items():
+        ordered = sorted(vals)
+        # average ranks with ties
+        ranks, i = {}, 0
+        while i < len(ordered):
+            j = i
+            while j < len(ordered) and ordered[j][0] == ordered[i][0]:
+                j += 1
+            ranks[ordered[i][0]] = (i + 1 + j) / 2
+            i = j
+        r1 = sum(ranks[v] for v, w in vals if w)
+        n1 = sum(1 for _, w in vals if w)
+        n2 = len(vals) - n1
+        n = len(vals)
+        u1 = r1 - n1 * (n1 + 1) / 2
+        from collections import Counter
+
+        tie = sum(c**3 - c for c in Counter(v for v, _ in vals).values())
+        sigma = math.sqrt(
+            (n1 * n2 / 12) * ((n + 1) - tie / (n * (n - 1)))
+        )
+        z = (u1 - n1 * n2 / 2) / sigma
+        g = got[et]
+        assert (g["n_weekend"], g["n_weekday"]) == (n1, n2)
+        assert abs(g["u_stat"] - u1) < 1e-3
+        assert abs(g["z"] - z) < 1e-3
+        assert g["significant"] == (abs(g["z"]) > 1.96)
+
+
+def test_x100_weighted_sample_vs_python(spark, sf_dir):
+    """x100's selected set equals the independent top-K of
+    u^(1/n_chars) computed driver-side, and long docs are
+    over-represented vs a uniform draw (the point of A-ES)."""
+    import hashlib
+
+    from server_spark import tables
+    from server_spark.registry import queries
+
+    rows = queries()["x100_weighted_sample"](spark, sf_dir).collect()
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    keys = []
+    for d in docs:
+        if d["n_chars"] <= 0:
+            continue
+        h = int(
+            hashlib.md5(str(d["doc_id"]).encode()).hexdigest()[:8], 16
+        )
+        u = (h + 0.5) / 2**32
+        keys.append((u ** (1.0 / d["n_chars"]), d["doc_id"], d["n_chars"]))
+    keys.sort(key=lambda t: (-t[0], t[1]))
+    want = {doc_id for _, doc_id, _ in keys[:50]}
+    got = {r["doc_id"] for r in rows}
+    assert got == want
+    # weighted draw skews long: sampled mean length > corpus mean
+    mean_all = sum(d["n_chars"] for d in docs) / len(docs)
+    mean_sample = sum(r["n_chars"] for r in rows) / len(rows)
+    assert mean_sample > mean_all
+
+
+def test_t35_gapfill_invariants(spark, sf_dir):
+    """Gap-fill: observed days keep their exact count; every
+    interpolated day lies between its two bounding neighbors and the
+    spine has no calendar holes per series."""
+    import datetime as dt
+
+    from server_spark.registry import queries
+
+    rows = queries()["t35_gapfill_interpolate"](spark, sf_dir).collect()
+    by_series: dict = {}
+    for r in rows:
+        by_series.setdefault((r["event_type"], r["bucket"]), []).append(r)
+    assert by_series
+    for series in by_series.values():
+        series.sort(key=lambda r: r["day"])
+        days = [r["day"] for r in series]
+        assert days == [
+            days[0] + dt.timedelta(days=i) for i in range(len(days))
+        ]
+        known = [
+            (i, r["n_events"])
+            for i, r in enumerate(series)
+            if r["n_events"] is not None
+        ]
+        assert known[0][0] == 0 and known[-1][0] == len(series) - 1
+        for r in series:
+            if r["n_events"] is not None:
+                assert not r["is_gap"]
+                assert abs(r["filled"] - r["n_events"]) < 1e-9
+        for (i0, v0), (i1, v1) in zip(known, known[1:]):
+            lo, hi = min(v0, v1), max(v0, v1)
+            for k in range(i0 + 1, i1):
+                assert series[k]["is_gap"]
+                assert lo - 1e-9 <= series[k]["filled"] <= hi + 1e-9
