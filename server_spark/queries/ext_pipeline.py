@@ -852,3 +852,90 @@ def x100_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sort_key").desc(), "doc_id")
         .limit(_X100_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# x101 — mixture-rate solver (token-budget sampling rates per source)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x101_mixture_rates",
+    rf"""
+    WITH avail AS (
+        SELECT source,
+               SUM(len(string_split_regex(LOWER(TRIM(text)), '\s+')))
+                   AS avail_tokens
+        FROM documents GROUP BY 1
+    ),
+    sized AS (
+        SELECT source, avail_tokens, COUNT(*) OVER () AS n_sources
+        FROM avail
+    ),
+    solved AS (
+        SELECT source, avail_tokens, n_sources,
+               MIN(avail_tokens * n_sources) OVER () AS budget_tokens
+        FROM sized
+    )
+    SELECT source, avail_tokens,
+           {r4sql("1.0 / n_sources")} AS target_share,
+           budget_tokens,
+           {r4sql("budget_tokens * 1.0 / (n_sources * avail_tokens)")}
+               AS sample_rate,
+           (avail_tokens * n_sources = budget_tokens) AS is_binding
+    FROM solved
+    ORDER BY source
+    """,
+    doc="EXT x101 — MIXTURE-RATE SOLVER: given the available "
+    "whitespace-token mass per source (x7's counter) and a uniform "
+    "target mixture, the largest single-epoch token budget and the "
+    "per-source sampling rate that realizes it — the arithmetic "
+    "behind every 'train on S sources at weights w' config: budget "
+    "B = min_s(avail_s / share_s) (any larger budget forces the "
+    "binding source past one epoch), rate_s = share_s·B/avail_s ≤ 1 "
+    "with equality exactly at the binding source. x94 measures the "
+    "effective source count of the mixture you HAVE; x101 computes "
+    "the rates for the mixture you WANT (the pair a curriculum "
+    "designer iterates between; x100 then draws the per-source "
+    "sample at the solved rate). Determinism: token counts and the "
+    "uniform-share budget avail·|S| are exact BIGINTs end-to-end — "
+    "min/compare on ints, the two ratios r4-dressed at the "
+    "boundary; the binding flag is an INTEGER equality, no float "
+    "cut needed. Shape: one per-source hash-agg; the solver is a "
+    "|sources|-row window fold (catalog dimension).",
+    tags=("ext", "pipeline", "mixing"),
+    late=True,
+)
+def x101_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    avail = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum(tx.token_count()).alias("avail_tokens"))
+    )
+    wall = Window.partitionBy()
+    sized = avail.select(
+        "source", "avail_tokens",
+        F.count("*").over(wall).alias("n_sources"),
+    )
+    solved = sized.select(
+        "source", "avail_tokens", "n_sources",
+        F.min(F.col("avail_tokens") * F.col("n_sources"))
+        .over(wall)
+        .alias("budget_tokens"),
+    )
+    return solved.select(
+        "source", "avail_tokens",
+        r4(1.0 / F.col("n_sources")).alias("target_share"),
+        "budget_tokens",
+        r4(
+            F.col("budget_tokens")
+            * 1.0
+            / (F.col("n_sources") * F.col("avail_tokens"))
+        ).alias("sample_rate"),
+        (
+            F.col("avail_tokens") * F.col("n_sources")
+            == F.col("budget_tokens")
+        ).alias("is_binding"),
+    ).orderBy("source")

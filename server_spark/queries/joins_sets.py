@@ -2049,3 +2049,211 @@ def a37_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > _A37_Z_CUT).alias("significant"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# A38 — single-pass table profiler (per-column data-quality summary)
+# ---------------------------------------------------------------------------
+
+# exact engine-portable string canonicalization per profiled column:
+# ints via CAST, doubles via the cents-decimal trick (the auc-key
+# pattern), strings as-is — NEVER CAST(double AS STRING) (notation
+# dress differs between engines)
+_A38_COLS = (
+    ("item", "CAST(item AS STRING)"),
+    ("owner", "CAST(owner AS STRING)"),
+    ("quantity",
+     "CAST(CAST(CAST(quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS STRING)"),
+    ("buyout",
+     "CAST(CAST(CAST(buyout AS DECIMAL(18,2)) * 100 AS BIGINT) AS STRING)"),
+    ("time_left", "time_left"),
+)
+
+
+@register(
+    "a38_table_profile",
+    auctions_sql(
+        """
+    , melt AS (
+        """
+        + "\n        UNION ALL ".join(
+            f"SELECT '{name}' AS column_name, {expr} AS val FROM auctions"
+            for name, expr in _A38_COLS
+        )
+        + """
+    ),
+    vc AS (
+        SELECT column_name, val, COUNT(*) AS c
+        FROM melt GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT column_name, val, c,
+               ROW_NUMBER() OVER (PARTITION BY column_name
+                                  ORDER BY c DESC, val ASC) AS rn
+        FROM vc WHERE val IS NOT NULL
+    )
+    SELECT s.column_name, s.n, s.n_null, s.n_distinct,
+           r.val AS top_value, r.c AS top_freq
+    FROM (
+        SELECT column_name,
+               SUM(c) AS n,
+               COALESCE(SUM(CASE WHEN val IS NULL THEN c END), 0) AS n_null,
+               COUNT(CASE WHEN val IS NOT NULL THEN 1 END) AS n_distinct
+        FROM vc GROUP BY 1
+    ) s
+    JOIN ranked r ON s.column_name = r.column_name AND r.rn = 1
+    ORDER BY s.column_name
+    """
+    ),
+    doc="A38 (EXT analytics/ops) — single-pass TABLE PROFILER: per "
+    "column its row count, null count, exact distinct count, and the "
+    "modal value with frequency (deterministic tie-break: highest "
+    "count, then smallest value) — the deequ/great-expectations "
+    "-style profile every ingestion pipeline materializes alongside "
+    "a dataset before anyone queries it. The naive form is one "
+    "aggregation pass PER COLUMN (k scans of a 100 TB table); this "
+    "melts k columns into (column, value) rows in a narrow map — "
+    "one scan — then a (column, value) hash-agg and a tiny "
+    "per-column fold, the same shape regardless of k. Values cross "
+    "the melt through per-type EXACT canonical strings (ints cast, "
+    "doubles through the cents-decimal route, never a raw "
+    "double→string whose notation differs between engines). Top-1 "
+    "is per-column ROW_NUMBER over the value-count relation "
+    "(distinct-bounded), not the raw rows.",
+    tags=("ext", "agg", "analytics", "ops", "profile"),
+    late=True,
+)
+def a38_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    au = auctions(spark, sf_dir)
+    stack_args = ", ".join(
+        f"'{name}', {expr}" for name, expr in _A38_COLS
+    )
+    melt = au.selectExpr(
+        f"stack({len(_A38_COLS)}, {stack_args}) AS (column_name, val)"
+    )
+    vc = melt.groupBy("column_name", "val").agg(F.count("*").alias("c"))
+    vc = vc.transform(barrier)  # feeds both the fold and the top-1 rank
+    stats = vc.groupBy("column_name").agg(
+        F.sum("c").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNull(), F.col("c"))), F.lit(0)
+        ).alias("n_null"),
+        F.count(F.when(F.col("val").isNotNull(), 1)).alias("n_distinct"),
+    )
+    wtop = Window.partitionBy("column_name").orderBy(
+        F.col("c").desc(), F.col("val").asc()
+    )
+    top = (
+        vc.filter(F.col("val").isNotNull())
+        .select(
+            "column_name", "val", "c",
+            F.row_number().over(wtop).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        stats.join(top, "column_name")
+        .select(
+            "column_name", "n", "n_null", "n_distinct",
+            F.col("val").alias("top_value"),
+            F.col("c").alias("top_freq"),
+        )
+        .orderBy("column_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A39 — data-quality expectation suite (per-rule violation counts)
+# ---------------------------------------------------------------------------
+
+_A39_ENUM = ("A", "N", "R")  # valid time_left codes in the fixture
+
+
+@register(
+    "a39_dq_expectations",
+    auctions_sql(
+        f"""
+    SELECT 'item_ref_integrity' AS rule,
+           COUNT(*) AS n_checked,
+           COALESCE(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 END), 0)
+               AS n_violations
+    FROM auctions a LEFT JOIN part p ON a.item = p.p_partkey
+    UNION ALL
+    SELECT 'nonneg_buyout', COUNT(*),
+           COALESCE(SUM(CASE WHEN buyout < 0 THEN 1 END), 0)
+    FROM auctions
+    UNION ALL
+    SELECT 'positive_quantity', COUNT(*),
+           COALESCE(SUM(CASE WHEN quantity < 1 THEN 1 END), 0)
+    FROM auctions
+    UNION ALL
+    SELECT 'timeleft_enum', COUNT(*),
+           COALESCE(SUM(CASE WHEN time_left IS NULL OR time_left NOT IN
+               {_A39_ENUM!r} THEN 1 END), 0)
+    FROM auctions
+    UNION ALL
+    SELECT 'unique_auc', COUNT(*), COUNT(*) - COUNT(DISTINCT auc)
+    FROM auctions
+    ORDER BY rule
+    """.replace("'A', 'N', 'R'", "'A', 'N', 'R'")
+    ),
+    doc="A39 (EXT analytics/ops) — DATA-QUALITY EXPECTATION SUITE: "
+    "the five contract checks an intake pipeline asserts before "
+    "promoting a snapshot to silver — key uniqueness (auc), "
+    "referential integrity (every item resolves in the catalog "
+    "dimension, LEFT-ANTI-shaped), domain bounds (buyout ≥ 0, "
+    "quantity ≥ 1), and enum membership (time_left codes, with NULL "
+    "counted as a violation — NOT IN alone evaluates to NULL and "
+    "silently passes bad rows) — per rule the checked and violating "
+    "row counts, deequ/expectations-style. These are the checks "
+    "medallion's build_silver enforces by construction; here they "
+    "are MEASURED so a report can say which contract broke and by "
+    "how much instead of silently dropping rows. Shape: each rule "
+    "is one map-combined conditional aggregate (the union is k tiny "
+    "result rows, not k scans of a wide plan — column pruning cuts "
+    "each branch to its own columns); the referential check joins "
+    "the catalog dimension (broadcast-sized by Heaps-law catalog "
+    "growth, AQE decides). All counts exact ints.",
+    tags=("ext", "agg", "analytics", "ops", "dq"),
+    late=True,
+)
+def a39_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    au = auctions(spark, sf_dir)
+    part = tables.load(spark, sf_dir, "part")
+
+    def rule(name: str, df: DataFrame, viol) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count("*").alias("n_checked"),
+            F.coalesce(F.sum(F.when(viol, 1)), F.lit(0)).alias(
+                "n_violations"
+            ),
+        )
+
+    ref = au.join(
+        part.select(F.col("p_partkey").alias("item"), F.lit(1).alias("_hit")),
+        "item",
+        "left",
+    )
+    checks = [
+        rule("item_ref_integrity", ref, F.col("_hit").isNull()),
+        rule("nonneg_buyout", au, F.col("buyout") < 0),
+        rule("positive_quantity", au, F.col("quantity") < 1),
+        rule(
+            "timeleft_enum",
+            au,
+            F.col("time_left").isNull()
+            | ~F.col("time_left").isin(*_A39_ENUM),
+        ),
+    ]
+    uniq = au.agg(
+        F.lit("unique_auc").alias("rule"),
+        F.count("*").alias("n_checked"),
+        (F.count("*") - F.countDistinct("auc")).alias("n_violations"),
+    )
+    out = checks[0]
+    for c in checks[1:] + [uniq]:
+        out = out.unionByName(c)
+    return out.orderBy("rule")

@@ -3241,3 +3241,89 @@ def t37_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# T38 — Holt linear-trend forecast (double exponential smoothing)
+# ---------------------------------------------------------------------------
+
+_T38_ALPHA = 0.5   # level smoothing
+_T38_BETA = 0.3    # trend smoothing
+_T38_HORIZON = 3   # days ahead
+
+
+@register(
+    "t38_holt_forecast",
+    None,  # sequential recursion — no SQL oracle; python-pinned in tests
+    doc="T38 (EXT timeseries) — HOLT double exponential smoothing "
+    "forecast of each daily-volume series: level/trend recursion "
+    f"(α={_T38_ALPHA}, β={_T38_BETA}, init l₁=x₁, b₁=x₂−x₁) rolled "
+    f"forward {_T38_HORIZON} days — the forecasting step the "
+    "diagnostic stack feeds: w10's EWMA is Holt with β=0 (no trend "
+    "— it lags any drifting series by construction), w12/t31 fit "
+    "ONE global slope (a month-old trend change still biases "
+    "them), Holt tracks the LOCAL trend with exponential memory. "
+    "t32's ACF picks the model family; this is the family's "
+    "workhorse member. Series with calendar holes feed t35's "
+    "gap-fill first (the recursion assumes unit spacing). Scale "
+    "shape: the PAVA/KM pattern — one (series, day) map-combined "
+    "hash-agg bounds each pandas group to the series' DISTINCT "
+    "days (calendar-bounded, never raw rows), applyInPandas runs "
+    "the O(days) recursion per series, series scale out across "
+    "executors. Deterministic: int daily counts in, one fixed "
+    "fp-op order per series (single-threaded recursion), no "
+    "accumulation-order wobble.",
+    tags=("ext", "timeseries", "forecast"),
+)
+def t38_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    alpha, beta, horizon = _T38_ALPHA, _T38_BETA, _T38_HORIZON
+
+    def fit(pdf):
+        # helpers inlined: closure pickles by value (foreign-cwd rule)
+        import datetime as dt
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        et = pdf["event_type"].iloc[0]
+        xs = pdf["c"].astype("float64").tolist()
+        days = pdf["day"].tolist()
+        if len(xs) < 2:  # trend needs two points; emit nothing
+            return pd.DataFrame(
+                {"event_type": [], "horizon": [], "forecast_day": [],
+                 "forecast": [], "level": [], "trend": []}
+            )
+        level, trend = xs[0], xs[1] - xs[0]
+        for x in xs[1:]:
+            prev = level
+            level = alpha * x + (1 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1 - beta) * trend
+        last = days[-1]
+        return pd.DataFrame(
+            {
+                "event_type": [et] * horizon,
+                "horizon": list(range(1, horizon + 1)),
+                "forecast_day": [
+                    last + dt.timedelta(days=h)
+                    for h in range(1, horizon + 1)
+                ],
+                "forecast": [level + h * trend for h in range(1, horizon + 1)],
+                "level": [level] * horizon,
+                "trend": [trend] * horizon,
+            }
+        )
+
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(
+            fit,
+            "event_type string, horizon int, forecast_day date, "
+            "forecast double, level double, trend double",
+        )
+        .orderBy("event_type", "horizon")
+    )
