@@ -1,0 +1,698 @@
+"""EXT analytics batch 2 — distribution tests, resampling inference,
+multi-objective search, and graph link prediction (a40-a44).
+
+These extend the a3x statistical-ops family (joins_sets.py) with the
+remaining analyses a marketplace-analytics user runs on the reference's
+relations: a two-sample distribution test (KS, complementing a37's
+rank-sum location test), a bootstrap confidence interval (the
+resampling inference primitive), a Pareto skyline (multi-objective
+"best deals" search), Adamic-Adar link prediction over the
+co-ownership graph (complements a18's co-listing affinity and a20/a21's
+graph measures), and mutual information between categorical columns
+(the feature-dependence screen).
+
+Dialect-parity strategy is the house style: keep every statistic in
+EXACT integer arithmetic as deep into the plan as possible (doubled
+rank sums, cents, micro-unit weights, count algebra), let floats
+appear only in final closed forms computed from identical integers,
+and dress outputs with the r4 canonicalizer.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from server_spark.barrier import barrier
+from server_spark.parity import r4, r4sql
+from server_spark.registry import auctions_sql, register
+from server_spark.sources.synthetic import auctions
+from server_spark import tables
+
+# ---------------------------------------------------------------------------
+# A40 — two-sample Kolmogorov-Smirnov test (weekend vs weekday values)
+# ---------------------------------------------------------------------------
+
+# Two-sided 5% asymptotic coefficient c(alpha) for the KS critical
+# value c(a) * sqrt((n1+n2)/(n1*n2)).
+_A40_C = 1.3581
+
+
+@register(
+    "a40_ks_test",
+    f"""
+    WITH base AS (
+        SELECT event_type, value AS v,
+               CASE WHEN DATEDIFF('day', DATE '1970-01-05',
+                                  CAST(ts AS DATE)) % 7 >= 5
+                    THEN 1 ELSE 0 END AS wknd
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, v,
+               SUM(wknd) AS cw, COUNT(*) - SUM(wknd) AS cd
+        FROM base GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type,
+               SUM(cw) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+               SUM(cd) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumd,
+               SUM(cw) OVER (PARTITION BY event_type) AS n1,
+               SUM(cd) OVER (PARTITION BY event_type) AS n2
+        FROM g
+    ),
+    s AS (
+        SELECT event_type, n1, n2,
+               MAX(ABS(cumw * n2 - cumd * n1)) AS dnum
+        FROM r GROUP BY 1, 2, 3
+    )
+    SELECT event_type, n1 AS n_weekend, n2 AS n_weekday,
+           {{D}} AS d_stat,
+           {{C}} AS d_crit,
+           ({{D}} > {{C}}) AS significant
+    FROM s
+    ORDER BY event_type
+    """.replace(
+        "{D}", r4sql("dnum * 1.0 / (n1 * 1.0 * n2)")
+    ).replace(
+        "{C}",
+        r4sql(f"{_A40_C} * SQRT((n1 + n2) * 1.0 / (n1 * 1.0 * n2))"),
+    ),
+    doc="A40 (EXT analytics) — two-sample KOLMOGOROV-SMIRNOV test per "
+    "event type: weekend vs weekday value distributions. Complements "
+    "a37's Mann-Whitney (U detects location shift only; KS detects "
+    "ANY distributional difference — shape, spread, tails). Exactness "
+    "trick: at each distinct value the scaled ECDF gap "
+    "|cumw*n2 - cumd*n1| is an exact BIGINT (cross-multiplied instead "
+    "of divided), so the max gap is integer algebra end to end and "
+    "floats appear only in the final D = dnum/(n1*n2) — a correctly "
+    "rounded division of identical ints, engine-identical before the "
+    "r4 dress. The significance flag compares the r4-canonical D to "
+    "the r4-canonical critical value (a19 boundary pattern). Scale "
+    "shape: ECDFs come from cumulative frames over the DISTINCT-value "
+    "relation (one hash-agg, one sort per event_type series), never a "
+    "per-row global rank.",
+    tags=("ext", "agg", "analytics", "stats"),
+    late=True,
+)
+def a40_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    dow = (
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-05").cast("date"))
+        % 7
+    )
+    g = (
+        ev.select(
+            "event_type",
+            F.col("value").alias("v"),
+            (dow >= 5).cast("long").alias("wknd"),
+        )
+        .groupBy("event_type", "v")
+        .agg(
+            F.sum("wknd").alias("cw"),
+            (F.count("*") - F.sum("wknd")).alias("cd"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    r = g.select(
+        "event_type",
+        F.sum("cw").over(wcum).alias("cumw"),
+        F.sum("cd").over(wcum).alias("cumd"),
+        F.sum("cw").over(wall).alias("n1"),
+        F.sum("cd").over(wall).alias("n2"),
+    )
+    s = r.groupBy("event_type", "n1", "n2").agg(
+        F.max(
+            F.abs(F.col("cumw") * F.col("n2") - F.col("cumd") * F.col("n1"))
+        ).alias("dnum")
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    d = r4(F.col("dnum") * 1.0 / (n1 * 1.0 * n2))
+    crit = r4(F.lit(_A40_C) * F.sqrt((n1 + n2) * 1.0 / (n1 * 1.0 * n2)))
+    return s.select(
+        "event_type",
+        n1.alias("n_weekend"),
+        n2.alias("n_weekday"),
+        d.alias("d_stat"),
+        crit.alias("d_crit"),
+        (d > crit).alias("significant"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# A41 — Poisson bootstrap confidence interval (mean buyout per region)
+# ---------------------------------------------------------------------------
+
+_A41_REPS = 64
+# Poisson(1) inverse-CDF cut points scaled to exact 15-bit units, so
+# the weight draw is an INTEGER comparison (k = md5-uniform in
+# [0, 32768)): P(X<=j) * 2^15 truncated for j = 0..6; the remaining
+# tail mass (~9e-5) collapses to weight 7. 15-bit resolution biases
+# each cut by < 2^-15 — vanishing next to bootstrap noise — and the
+# extraction is pure integer algebra: one md5 per (row, block-of-8)
+# funds EIGHT draws (two 60-bit ints parsed from the 32 hex chars,
+# four 15-bit fields shifted out of each). Hashing and hex-parsing
+# are the hot-path cost at R=64; this layout does 8 md5 + 16 parses
+# per ROW instead of one md5 + parse per (row, replicate) — with the
+# pre-explode repartition and branchless weights, measured 52s -> ~2s
+# at sf0.1.
+_A41_CUTS = (12054, 24109, 30136, 32145, 32648, 32748, 32765)
+_A41_BLOCKS = _A41_REPS // 8
+
+_A41_FACT_SQL = """
+    fact AS (
+        SELECT a.auc,
+               CAST(CAST(a.buyout AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+               r.r_name AS region_name
+        FROM auctions a
+        JOIN supplier s ON a.owner = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    )
+"""
+
+# Branchless inverse CDF: with monotone cut points, the Poisson weight
+# equals the count of cuts at or below the draw — a sum of comparison
+# indicators, which stays in vectorized/codegen arithmetic instead of a
+# 7-deep branch chain (measured ~10% off the fan-out stage).
+_A41_WGT_SQL = " + ".join(
+    f"CAST(k >= {cut} AS BIGINT)" for cut in _A41_CUTS
+)
+
+
+@register(
+    "a41_bootstrap_ci",
+    auctions_sql(
+        f"""
+    , {_A41_FACT_SQL},
+    blk AS (
+        SELECT region_name, cents,
+               UNNEST(generate_series(0, {_A41_BLOCKS - 1})) AS blk,
+               auc
+        FROM fact
+    ),
+    hx AS (
+        SELECT region_name, cents, blk,
+               md5(concat_ws('|', auc, CAST(blk AS VARCHAR))) AS hex
+        FROM blk
+    ),
+    vs AS (
+        SELECT region_name, cents, blk,
+               ('0x' || substr(hex, 1, 15))::BIGINT AS v1,
+               ('0x' || substr(hex, 16, 15))::BIGINT AS v2
+        FROM hx
+    ),
+    draws AS (
+        SELECT region_name, cents,
+               blk * 8 + j AS rep,
+               ((CASE WHEN j < 4 THEN v1 ELSE v2 END)
+                >> ((j % 4) * 15)) & 32767 AS k
+        FROM vs, (SELECT UNNEST(generate_series(0, 7)) AS j)
+    ),
+    w AS (
+        SELECT region_name, rep, cents,
+               ({_A41_WGT_SQL}) AS wgt
+        FROM draws
+    ),
+    pw AS (
+        SELECT region_name, rep,
+               SUM(wgt) AS wsum, SUM(wgt * cents) AS csum
+        FROM w GROUP BY 1, 2
+    ),
+    means AS (
+        SELECT region_name,
+               CAST(csum AS DOUBLE) / (100.0 * wsum) AS m
+        FROM pw
+    ),
+    boot AS (
+        SELECT region_name, STDDEV_SAMP(m) AS se FROM means GROUP BY 1
+    ),
+    pt AS (
+        SELECT region_name, COUNT(*) AS n,
+               CAST(SUM(cents) AS DOUBLE) / (100.0 * COUNT(*)) AS mu
+        FROM fact GROUP BY 1
+    )
+    SELECT p.region_name, p.n,
+           {r4sql('p.mu')} AS mean_buyout,
+           {r4sql('b.se')} AS boot_se,
+           {r4sql('p.mu - 1.96 * b.se')} AS ci_lo,
+           {r4sql('p.mu + 1.96 * b.se')} AS ci_hi
+    FROM pt p JOIN boot b ON p.region_name = b.region_name
+    ORDER BY p.region_name
+    """
+    ),
+    doc="A41 (EXT analytics) — POISSON BOOTSTRAP confidence interval "
+    "for mean buyout per region. The classic bootstrap resamples n "
+    "rows WITH replacement R times — impossible to coordinate across "
+    "a cluster; the Poisson bootstrap (the standard large-scale "
+    "reformulation) gives every (row, replicate) an independent "
+    "Poisson(1) weight, which needs no global coordination and is "
+    "exact as n grows. Determinism: weights come from md5(auc|block) "
+    "draws — each hash funds EIGHT 16-bit replicate uniforms (the "
+    "hash is the hot-path cost, so this is an 8x cut vs one md5 per "
+    "replicate) compared against INTEGER Poisson CDF cut points "
+    "(reproducible across engines, runs, and cluster sizes — no RNG "
+    "state; grid truncation bias < 2^-16). Replicate means stay exact "
+    "(BIGINT cents x integer weights) until one final division; the "
+    "replicate-spread stddev and the +-1.96se normal interval are the "
+    "only float steps, r4-dressed. Scale shape: the explode is R* map "
+    "rows but partial aggregation collapses them to (groups x R) rows "
+    "BEFORE the exchange — the shuffle is R rows per group, not R "
+    "copies of the fact table; dims join by AQE's choice (no forced "
+    "broadcast).",
+    tags=("ext", "agg", "analytics", "stats"),
+    late=True,
+)
+def a41_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    au = auctions(spark, sf_dir)
+    sup = tables.load(spark, sf_dir, "supplier")
+    nat = tables.load(spark, sf_dir, "nation")
+    reg = tables.load(spark, sf_dir, "region")
+    cents = (
+        (F.col("buyout").cast("decimal(18,2)") * 100).cast("bigint")
+    )
+    fact = (
+        au.join(sup, au.owner == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .select(
+            "auc", cents.alias("cents"), F.col("r_name").alias("region_name")
+        )
+    )
+    fact = fact.transform(barrier)  # feeds both the point and boot paths
+    # Decouple fan-out parallelism from input splits: the explode stage
+    # below does 8 md5 + 16 hex-parses per fact row, and a parquet scan
+    # yields few, large partitions locally — without this the CPU-bound
+    # stage runs on a handful of cores (measured 9s -> 2s at local[32]).
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    hx = fact.repartition(nshuf).select(
+        "region_name",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_A41_BLOCKS - 1))).alias("blk"),
+        "auc",
+    ).select(
+        "region_name",
+        "cents",
+        "blk",
+        F.md5(
+            F.concat_ws("|", F.col("auc"), F.col("blk").cast("string"))
+        ).alias("hex"),
+    )
+    vs = hx.select(
+        "region_name",
+        "cents",
+        "blk",
+        F.conv(F.substring("hex", 1, 15), 16, 10).cast("long").alias("v1"),
+        F.conv(F.substring("hex", 16, 15), 16, 10).cast("long").alias("v2"),
+    )
+    draws = vs.select(
+        "region_name",
+        "cents",
+        "v1",
+        "v2",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"),
+    ).select(
+        "region_name",
+        "cents",
+        (F.col("blk") * 8 + F.col("j")).alias("rep"),
+        F.expr(
+            "shiftright(CASE WHEN j < 4 THEN v1 ELSE v2 END, (j % 4) * 15)"
+            " & 32767"
+        ).alias("k"),
+    )
+    wgt = F.lit(0)
+    for cut in _A41_CUTS:
+        wgt = wgt + (F.col("k") >= cut).cast("long")
+    pw = (
+        draws.select("region_name", "rep", "cents", wgt.alias("wgt"))
+        .groupBy("region_name", "rep")
+        .agg(
+            F.sum("wgt").alias("wsum"),
+            F.sum(F.col("wgt") * F.col("cents")).alias("csum"),
+        )
+    )
+    means = pw.select(
+        "region_name",
+        (F.col("csum").cast("double") / (100.0 * F.col("wsum"))).alias("m"),
+    )
+    boot = means.groupBy("region_name").agg(F.stddev_samp("m").alias("se"))
+    pt = fact.groupBy("region_name").agg(
+        F.count("*").alias("n"),
+        (F.sum("cents").cast("double") / (100.0 * F.count("*"))).alias("mu"),
+    )
+    mu, se = F.col("mu"), F.col("se")
+    return (
+        pt.join(boot, "region_name")
+        .select(
+            "region_name",
+            "n",
+            r4(mu).alias("mean_buyout"),
+            r4(se).alias("boot_se"),
+            r4(mu - 1.96 * se).alias("ci_lo"),
+            r4(mu + 1.96 * se).alias("ci_hi"),
+        )
+        .orderBy("region_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A42 — Pareto skyline (cheapest-price / largest-lot frontier)
+# ---------------------------------------------------------------------------
+
+# Fixed price-grid width for the distributed two-level skyline: the
+# bucket table is bounded by (price range / width), a CONSTANT in the
+# data contract, never by corpus size (the x40 fixed-grid lesson).
+_A42_GRID = 65536
+
+
+@register(
+    "a42_skyline",
+    auctions_sql(
+        """
+    , cand AS (
+        SELECT CAST(CAST(buyout AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               MAX(quantity) AS qty
+        FROM auctions WHERE buyout > 0
+        GROUP BY 1
+    )
+    SELECT cents AS buyout_cents, qty AS quantity
+    FROM (
+        SELECT cents, qty,
+               MAX(qty) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prevmax
+        FROM cand
+    )
+    WHERE prevmax IS NULL OR qty > prevmax
+    ORDER BY buyout_cents
+    """
+    ),
+    doc="A42 (EXT analytics) — PARETO SKYLINE of the market: the "
+    "frontier of listings not dominated on (lower price, larger lot) "
+    "— the multi-objective 'best deals' query (a14's bargain finder "
+    "scores one objective; the skyline returns every trade-off-"
+    "optimal point). Exact integer dims (price cents, quantity). "
+    "The oracle runs the textbook single-sorted-window form (keep a "
+    "point iff qty exceeds the running max of all cheaper points); "
+    "the Spark plan is the DISTRIBUTED two-level skyline that avoids "
+    "any corpus-sized single partition: (1) reduce to per-price "
+    "max quantity (hash-agg); (2) bucket prices on a FIXED grid — "
+    "the bucket table is bounded by price-range/width (a data-"
+    "contract constant), so its strictly-lower-bucket running max is "
+    "a bounded-size window, never a corpus-sized single partition; "
+    "(3) per-bucket windows (parallel across buckets) keep a point "
+    "iff its quantity strictly exceeds every strictly-cheaper "
+    "point's max — within-bucket running max OR the lower-bucket "
+    "threshold. Equivalent to the dominance definition because the "
+    "grid is monotone in price.",
+    tags=("ext", "agg", "analytics"),
+    late=True,
+)
+def a42_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    au = auctions(spark, sf_dir)
+    cents = (
+        (F.col("buyout").cast("decimal(18,2)") * 100).cast("bigint")
+    )
+    cand = (
+        au.filter(F.col("buyout") > 0)
+        .groupBy(cents.alias("cents"))
+        .agg(F.max("quantity").alias("qty"))
+        .withColumn("bkt", F.expr(f"cents DIV {_A42_GRID}"))
+    )
+    cand = cand.transform(barrier)  # feeds bucket maxima and the filter
+    # bounded bucket relation: <= price_range / grid rows by contract
+    wlow = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    lower = (
+        cand.groupBy("bkt")
+        .agg(F.max("qty").alias("bqty"))
+        .select("bkt", F.max("bqty").over(wlow).alias("lo_qty"))
+    )
+    win = (
+        Window.partitionBy("bkt")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = (
+        cand.join(lower, "bkt", "left")
+        .withColumn("run_qty", F.max("qty").over(win))
+        .filter(
+            F.col("qty")
+            > F.greatest(
+                F.coalesce(F.col("run_qty"), F.lit(-1.0)),
+                F.coalesce(F.col("lo_qty"), F.lit(-1.0)),
+            )
+        )
+    )
+    return sky.select(
+        F.col("cents").alias("buyout_cents"), F.col("qty").alias("quantity")
+    ).orderBy("buyout_cents")
+
+
+# ---------------------------------------------------------------------------
+# A43 — Adamic-Adar link prediction over the co-ownership graph
+# ---------------------------------------------------------------------------
+
+_A43_MIN_DEG = 2
+_A43_MAX_DEG = 40  # hot-item cap: bounds the per-item pair fan-out at
+# C(cap,2); items above it are boilerplate-grade hubs whose pairs carry
+# ~no AA weight (1/ln n) anyway — the x21 hot-bucket lesson.
+_A43_TOPK = 100
+
+# 1/ln(n) in exact integer MICRO-units, precomputed host-side so the
+# score is a BIGINT sum on both engines — no libm in either plan, and
+# the top-k cut orders on an exact integer (no float-boundary flake).
+_A43_MICRO = {
+    n: int(math.floor(1_000_000.0 / math.log(n)))
+    for n in range(_A43_MIN_DEG, _A43_MAX_DEG + 1)
+}
+
+_A43_CASE = (
+    "CASE n "
+    + " ".join(f"WHEN {n} THEN {w}" for n, w in _A43_MICRO.items())
+    + " END"
+)
+
+
+@register(
+    "a43_adamic_adar",
+    auctions_sql(
+        f"""
+    , io AS (SELECT DISTINCT item, owner FROM auctions),
+    deg AS (
+        SELECT item, COUNT(*) AS n FROM io GROUP BY 1
+        HAVING COUNT(*) BETWEEN {_A43_MIN_DEG} AND {_A43_MAX_DEG}
+    ),
+    gated AS (
+        SELECT io.item, io.owner, d.n
+        FROM io JOIN deg d ON io.item = d.item
+    ),
+    pairs AS (
+        SELECT a.owner AS owner_a, b.owner AS owner_b,
+               {_A43_CASE.replace('CASE n ', 'CASE a.n ')} AS w
+        FROM gated a JOIN gated b
+          ON a.item = b.item AND a.owner < b.owner
+    )
+    SELECT owner_a, owner_b, COUNT(*) AS n_shared,
+           SUM(w) AS aa_micro,
+           {r4sql('SUM(w) / 1000000.0')} AS aa_score
+    FROM pairs GROUP BY 1, 2
+    ORDER BY aa_micro DESC, owner_a, owner_b
+    LIMIT {_A43_TOPK}
+    """
+    ),
+    doc="A43 (EXT analytics) — ADAMIC-ADAR link prediction on the "
+    "owner co-listing graph: for every owner pair sharing items, "
+    "score = sum over shared items of 1/ln(item's owner count) — "
+    "rare shared items say more than ones everyone lists (a18 counts "
+    "co-listings; AA weights them by informativeness; a20/a21 "
+    "measure the realized graph, this predicts MISSING edges). "
+    "Exactness: 1/ln(n) is precomputed host-side into integer micro-"
+    "units for the capped degree domain, so the pair score is a "
+    "BIGINT sum — both engines do pure integer algebra and the "
+    "top-k boundary cuts on an exact integer with a total tiebreak "
+    "(no float-ulp membership flake; no libm divergence risk). "
+    "Scale shape: degree gate caps per-item pair fan-out at "
+    "C(cap,2) (the hot-bucket lesson — a viral item otherwise mints "
+    "k^2 join rows); degree attaches by an equi-join on item (per-"
+    "item table is corpus-linear: NOT broadcast, AQE decides); "
+    "top-k is a distributed TakeOrdered, not a global sort.",
+    tags=("ext", "agg", "analytics", "graph"),
+    late=True,
+)
+def a43_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    au = auctions(spark, sf_dir)
+    io = au.select("item", "owner").distinct().transform(barrier)
+    deg = (
+        io.groupBy("item")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n").between(_A43_MIN_DEG, _A43_MAX_DEG))
+    )
+    gated = io.join(deg, "item")
+    b = gated.select(
+        "item", F.col("owner").alias("owner_b")
+    )
+    w = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _A43_MICRO.items() for x in kv]
+        ),
+        F.col("n").cast("integer"),
+    )
+    pairs = (
+        gated.select("item", F.col("owner").alias("owner_a"), w.alias("w"))
+        .join(b, "item")
+        .filter(F.col("owner_a") < F.col("owner_b"))
+    )
+    return (
+        pairs.groupBy("owner_a", "owner_b")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.sum("w").alias("aa_micro"),
+        )
+        .select(
+            "owner_a",
+            "owner_b",
+            "n_shared",
+            "aa_micro",
+            r4(F.col("aa_micro") / 1_000_000.0).alias("aa_score"),
+        )
+        .orderBy(F.col("aa_micro").desc(), "owner_a", "owner_b")
+        .limit(_A43_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A44 — mutual information between categorical columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a44_mutual_information",
+    auctions_sql(
+        """
+    , fact AS (
+        SELECT a.time_left, r.r_name AS region_name
+        FROM auctions a
+        JOIN supplier s ON a.owner = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    joint AS (
+        SELECT time_left, region_name, COUNT(*) AS c FROM fact GROUP BY 1, 2
+    ),
+    mx AS (SELECT time_left, SUM(c) AS cx FROM joint GROUP BY 1),
+    my AS (SELECT region_name, SUM(c) AS cy FROM joint GROUP BY 1),
+    tot AS (SELECT SUM(c) AS n FROM joint),
+    hx AS (
+        SELECT SUM(-(cx * 1.0 / n) * LN(cx * 1.0 / n)) AS h_x
+        FROM mx, tot
+    ),
+    hy AS (
+        SELECT SUM(-(cy * 1.0 / n) * LN(cy * 1.0 / n)) AS h_y
+        FROM my, tot
+    ),
+    mi AS (
+        SELECT SUM((c * 1.0 / n)
+                   * LN(c * 1.0 * n / (cx * 1.0 * cy))) AS mi_v
+        FROM joint j
+        JOIN mx ON j.time_left = mx.time_left
+        JOIN my ON j.region_name = my.region_name
+        CROSS JOIN tot
+    )
+    SELECT n,
+           {HX} AS h_timeleft_nats,
+           {HY} AS h_region_nats,
+           {MI} AS mi_nats,
+           {NMI} AS nmi
+    FROM tot, hx, hy, mi
+    """.replace("{HX}", r4sql("h_x"))
+        .replace("{HY}", r4sql("h_y"))
+        .replace("{MI}", r4sql("mi_v"))
+        .replace("{NMI}", r4sql("mi_v / SQRT(h_x * h_y)"))
+    ),
+    doc="A44 (EXT analytics) — MUTUAL INFORMATION between two "
+    "categorical columns (time_left x region): the model-free "
+    "dependence screen feature pipelines run before trusting a "
+    "column pair ('does listing duration carry any signal about "
+    "region?'). Reports both marginal entropies, MI, and the "
+    "sqrt-normalized NMI in [0,1]; suffix says the unit (nats — the "
+    "x63 labeling lesson). Shape: ONE scan of the fact join builds "
+    "the joint contingency table (bounded by |X|x|Y|, enum "
+    "cardinalities); marginals, totals, and all entropy sums fold "
+    "from the joint relation, never rescanning the fact. Counts are "
+    "exact BIGINTs; LN appears only in the final closed forms on "
+    "identical integer ratios, r4-dressed.",
+    tags=("ext", "agg", "analytics", "stats"),
+    late=True,
+)
+def a44_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    au = auctions(spark, sf_dir)
+    sup = tables.load(spark, sf_dir, "supplier")
+    nat = tables.load(spark, sf_dir, "nation")
+    reg = tables.load(spark, sf_dir, "region")
+    fact = (
+        au.join(sup, au.owner == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .select("time_left", F.col("r_name").alias("region_name"))
+    )
+    joint = (
+        fact.groupBy("time_left", "region_name")
+        .agg(F.count("*").alias("c"))
+        .transform(barrier)  # tiny (|X| x |Y|), feeds every fold below
+    )
+    mx = joint.groupBy("time_left").agg(F.sum("c").alias("cx"))
+    my = joint.groupBy("region_name").agg(F.sum("c").alias("cy"))
+    tot = joint.agg(F.sum("c").alias("n"))
+    hx = mx.crossJoin(tot).agg(
+        F.sum(
+            -(F.col("cx") * 1.0 / F.col("n"))
+            * F.log(F.col("cx") * 1.0 / F.col("n"))
+        ).alias("h_x")
+    )
+    hy = my.crossJoin(tot).agg(
+        F.sum(
+            -(F.col("cy") * 1.0 / F.col("n"))
+            * F.log(F.col("cy") * 1.0 / F.col("n"))
+        ).alias("h_y")
+    )
+    mi = (
+        joint.join(mx, "time_left")
+        .join(my, "region_name")
+        .crossJoin(tot)
+        .agg(
+            F.sum(
+                (F.col("c") * 1.0 / F.col("n"))
+                * F.log(
+                    F.col("c")
+                    * 1.0
+                    * F.col("n")
+                    / (F.col("cx") * 1.0 * F.col("cy"))
+                )
+            ).alias("mi_v")
+        )
+    )
+    return (
+        tot.crossJoin(hx)
+        .crossJoin(hy)
+        .crossJoin(mi)
+        .select(
+            "n",
+            r4("h_x").alias("h_timeleft_nats"),
+            r4("h_y").alias("h_region_nats"),
+            r4("mi_v").alias("mi_nats"),
+            r4(F.col("mi_v") / F.sqrt(F.col("h_x") * F.col("h_y"))).alias(
+                "nmi"
+            ),
+        )
+    )

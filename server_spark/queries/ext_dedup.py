@@ -1413,3 +1413,114 @@ def x99_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x102 — CCNet-style chunk-hash dedup (keep-first over fixed token chunks)
+# ---------------------------------------------------------------------------
+
+_X102_W = 10  # tokens per chunk
+
+
+@register(
+    "x102_chunk_dedup",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(LOWER(TRIM(text)), '\\s+') AS l
+        FROM documents WHERE text IS NOT NULL
+    ),
+    ch AS (
+        SELECT doc_id, l,
+               UNNEST(generate_series(0,
+                   CAST(CEIL(len(l) / {_X102_W}.0) AS BIGINT) - 1)) AS ci
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id, ci,
+               md5(array_to_string(
+                   list_slice(l, ci * {_X102_W} + 1,
+                              ci * {_X102_W} + {_X102_W}), ' ')) AS h,
+               LEAST({_X102_W}, len(l) - ci * {_X102_W}) AS n_tok
+        FROM ch
+    ),
+    firsts AS (
+        SELECT h, MIN(doc_id * 1000000 + ci) AS first_key
+        FROM chunks GROUP BY h
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           SUM(CASE WHEN c.doc_id * 1000000 + c.ci = f.first_key
+                    THEN 1 ELSE 0 END) AS kept_chunks,
+           COUNT(*) - SUM(CASE WHEN c.doc_id * 1000000 + c.ci = f.first_key
+                               THEN 1 ELSE 0 END) AS removed_chunks,
+           SUM(CASE WHEN c.doc_id * 1000000 + c.ci = f.first_key
+                    THEN c.n_tok ELSE 0 END) AS kept_tokens
+    FROM chunks c JOIN firsts f ON c.h = f.h
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="EXT x102 — CCNet-style CHUNK-HASH dedup: documents are cut "
+    "into fixed-width (10-token) non-overlapping chunks, each chunk "
+    "md5-hashed, and only the globally FIRST occurrence of every "
+    "chunk (min (doc_id, chunk_idx)) is kept — the paragraph-level "
+    "dedup CCNet runs on Common Crawl, where boilerplate repeats at "
+    "sub-document granularity that doc-level dedup (x1/x8) cannot "
+    "see and span dedup (x43) targets only long repeats. Per doc: "
+    "chunk counts kept/removed and surviving token mass. Shape: one "
+    "narrow tokenize map, one explode to ~n_tokens/W chunk rows, one "
+    "hash-agg over chunk hashes (keep-first = exact MIN of an "
+    "integer-encoded (doc, idx) key — deterministic, order-free), "
+    "one equi-join back on the hash (per-hash table is corpus-"
+    "linear: NOT broadcast, AQE decides), one per-doc fold. No "
+    "pairwise comparison anywhere — cost is linear in corpus tokens "
+    "at any scale.",
+    tags=("ext", "dedup"),
+    late=True,
+)
+def x102_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _X102_W
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("l"),
+    )
+    ch = toks.select(
+        "doc_id",
+        "l",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.ceil(F.size("l") / F.lit(float(w))).cast("long") - 1,
+            )
+        ).alias("ci"),
+    )
+    key = F.col("doc_id") * 1_000_000 + F.col("ci")
+    chunks = ch.select(
+        "doc_id",
+        "ci",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("l"), (F.col("ci") * w + 1).cast("int"), w)
+            )
+        ).alias("h"),
+        F.least(F.lit(w).cast("long"), F.size("l") - F.col("ci") * w).alias(
+            "n_tok"
+        ),
+    ).transform(barrier)  # feeds the keep-first agg AND the join back
+    firsts = chunks.groupBy("h").agg(F.min(key).alias("first_key"))
+    kept = key == F.col("first_key")
+    return (
+        chunks.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(kept.cast("long")).alias("kept_chunks"),
+            (F.count("*") - F.sum(kept.cast("long"))).alias(
+                "removed_chunks"
+            ),
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -2779,3 +2779,104 @@ def x98_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("sh_p")).alias("shared_mass_a"),
         r4(F.col("sh_q")).alias("shared_mass_b"),
     ).orderBy("source_a", "source_b")
+
+
+# ---------------------------------------------------------------------------
+# x103 — Fleiss kappa: multi-rater agreement over heuristic quality votes
+# ---------------------------------------------------------------------------
+
+# Three deterministic binary "raters" (the cheap quality heuristics a
+# labeling pipeline runs before paying for model or human labels):
+# document length, token budget, and lexical diversity.
+_X103_MIN_CHARS = 200
+_X103_MIN_TOKS = 40
+_X103_RATERS = 3
+
+_X103_SPLIT = "string_split_regex(LOWER(TRIM(text)), '\\s+')"
+
+
+@register(
+    "x103_fleiss_kappa",
+    f"""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(n_chars >= {_X103_MIN_CHARS} AS BIGINT)
+             + CAST(len({_X103_SPLIT}) >= {_X103_MIN_TOKS} AS BIGINT)
+             + CAST(len(list_distinct({_X103_SPLIT})) * 2
+                    >= len({_X103_SPLIT}) AS BIGINT) AS pos
+        FROM documents
+    ),
+    s AS (
+        SELECT COUNT(*) AS nd,
+               SUM(pos) AS tot_pos,
+               SUM(pos * pos + ({_X103_RATERS} - pos)
+                             * ({_X103_RATERS} - pos)) AS sumsq
+        FROM feats
+    ),
+    calc AS (
+        SELECT nd,
+               (sumsq - {_X103_RATERS} * nd) * 1.0
+                   / ({_X103_RATERS} * ({_X103_RATERS} - 1) * nd) AS p_bar,
+               tot_pos * 1.0 / ({_X103_RATERS} * nd) AS p1
+        FROM s
+    )
+    SELECT nd AS n_docs,
+           {{PB}} AS p_bar,
+           {{PE}} AS p_e,
+           {{K}} AS fleiss_kappa
+    FROM calc
+    """.replace("{PB}", r4sql("p_bar"))
+        .replace("{PE}", r4sql("p1 * p1 + (1 - p1) * (1 - p1)"))
+        .replace(
+            "{K}",
+            r4sql(
+                "(p_bar - (p1 * p1 + (1 - p1) * (1 - p1)))"
+                " / (1 - (p1 * p1 + (1 - p1) * (1 - p1)))"
+            ),
+        ),
+    doc="EXT x103 — FLEISS KAPPA over three deterministic quality "
+    "raters (length >= 200 chars, >= 40 tokens, distinct-token ratio "
+    ">= 1/2): chance-corrected agreement for MORE than two raters — "
+    "x96's Cohen kappa only handles rater pairs, and labeling "
+    "pipelines routinely ensemble 3+ cheap heuristics before "
+    "trusting a consensus label (low kappa = the heuristics measure "
+    "different things; consensus is noise). Exactness: each vote "
+    "count n_i is an exact int; sum(n_i1^2 + n_i0^2) is an exact "
+    "BIGINT so P_bar, P_e, and kappa are closed forms over identical "
+    "integers on both engines (the diversity rater compares "
+    "2*distinct >= total in integers — no ratio floats). Shape: one "
+    "narrow map over the corpus + one scalar fold; rater count is a "
+    "constant, so the per-row work is k comparisons regardless of "
+    "corpus size.",
+    tags=("ext", "textstats", "analytics", "stats"),
+    late=True,
+)
+def x103_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    pos = (
+        (F.col("n_chars") >= _X103_MIN_CHARS).cast("long")
+        + (F.size(toks) >= _X103_MIN_TOKS).cast("long")
+        + (F.size(F.array_distinct(toks)) * 2 >= F.size(toks)).cast("long")
+    )
+    r = F.lit(_X103_RATERS)
+    s = docs.select(pos.alias("pos")).agg(
+        F.count("*").alias("nd"),
+        F.sum("pos").alias("tot_pos"),
+        F.sum(
+            F.col("pos") * F.col("pos")
+            + (r - F.col("pos")) * (r - F.col("pos"))
+        ).alias("sumsq"),
+    )
+    nd = F.col("nd")
+    p_bar = (F.col("sumsq") - _X103_RATERS * nd) * 1.0 / (
+        _X103_RATERS * (_X103_RATERS - 1) * nd
+    )
+    p1 = F.col("tot_pos") * 1.0 / (_X103_RATERS * nd)
+    p_e = p1 * p1 + (1 - p1) * (1 - p1)
+    return s.select(
+        nd.alias("n_docs"),
+        r4(p_bar).alias("p_bar"),
+        r4(p_e).alias("p_e"),
+        r4((p_bar - p_e) / (1 - p_e)).alias("fleiss_kappa"),
+    )

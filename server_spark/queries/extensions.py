@@ -16,6 +16,7 @@ the historical ``queries.extensions`` import surface working.
 from __future__ import annotations
 
 from server_spark.queries import (  # noqa: F401
+    ext_analytics,
     ext_dedup,
     ext_pipeline,
     ext_similarity,

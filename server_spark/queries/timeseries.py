@@ -3327,3 +3327,188 @@ def t38_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "horizon")
     )
+
+
+# ---------------------------------------------------------------------------
+# T39 — Hurst exponent via rescaled-range (R/S) analysis
+# ---------------------------------------------------------------------------
+
+_T39_SIZES = (32, 64, 128)  # block lengths in hours
+_T39_ANCHOR = "2024-01-01 00:00:00"
+
+
+@register(
+    "t39_hurst_exponent",
+    f"""
+    WITH hourly AS (
+        SELECT event_type,
+               DATEDIFF('hour', TIMESTAMP '{_T39_ANCHOR}',
+                        date_trunc('hour', ts)) AS h,
+               COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, MIN(h) AS hmin, MAX(h) AS hmax
+        FROM hourly GROUP BY 1
+    ),
+    grid AS (
+        SELECT event_type, hmin,
+               UNNEST(generate_series(hmin, hmax)) AS h
+        FROM bounds
+    ),
+    dense AS (
+        SELECT g.event_type, g.h - g.hmin AS idx, COALESCE(hh.x, 0) AS x
+        FROM grid g LEFT JOIN hourly hh
+          ON g.event_type = hh.event_type AND g.h = hh.h
+    ),
+    sized AS (
+        SELECT d.event_type, nn.n, d.idx // nn.n AS blk,
+               d.idx % nn.n + 1 AS k, d.x
+        FROM dense d, (SELECT UNNEST([{', '.join(map(str, _T39_SIZES))}])
+                       AS n) nn
+    ),
+    rws AS (
+        SELECT event_type, n, blk, k, x,
+               SUM(x) OVER (PARTITION BY event_type, n, blk ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cumx,
+               SUM(x) OVER (PARTITION BY event_type, n, blk) AS s1,
+               COUNT(*) OVER (PARTITION BY event_type, n, blk) AS cnt
+        FROM sized
+    ),
+    blocks AS (
+        SELECT event_type, n, blk,
+               MAX(n * cumx - k * s1) - MIN(n * cumx - k * s1) AS rn,
+               n * SUM(x * x) - MAX(s1) * MAX(s1) AS s2n
+        FROM rws WHERE cnt = n
+        GROUP BY 1, 2, 3
+    ),
+    rs AS (
+        SELECT event_type, n, AVG(rn / SQRT(s2n)) AS avg_rs
+        FROM blocks WHERE s2n > 0
+        GROUP BY 1, 2
+    ),
+    fit AS (
+        SELECT event_type,
+               (SUM(LN(n) * LN(avg_rs))
+                - SUM(LN(n)) * SUM(LN(avg_rs)) / COUNT(*))
+               / (SUM(LN(n) * LN(n))
+                  - SUM(LN(n)) * SUM(LN(n)) / COUNT(*)) AS hurst,
+               MAX(CASE WHEN n = 32 THEN avg_rs END) AS rs32,
+               MAX(CASE WHEN n = 64 THEN avg_rs END) AS rs64,
+               MAX(CASE WHEN n = 128 THEN avg_rs END) AS rs128
+        FROM rs GROUP BY 1
+    )
+    SELECT event_type,
+           {{R32}} AS rs32, {{R64}} AS rs64, {{R128}} AS rs128,
+           {{H}} AS hurst
+    FROM fit ORDER BY event_type
+    """.replace("{R32}", r4sql("rs32"))
+        .replace("{R64}", r4sql("rs64"))
+        .replace("{R128}", r4sql("rs128"))
+        .replace("{H}", r4sql("hurst")),
+    doc="T39 (EXT analytics) — HURST EXPONENT per event series via "
+    "rescaled-range (R/S) analysis over hourly activity counts: "
+    "H~0.5 means memoryless arrivals, H>0.5 long-range dependence "
+    "(bursts cluster — capacity planning cares), H<0.5 mean "
+    "reversion. Complements t32's ACF (fixed-lag correlation) with "
+    "the scaling-law view across window sizes. Method: dense hourly "
+    "grid (gap hours are true zero counts), split into full blocks "
+    "of 32/64/128 hours; per block the range of cumulative "
+    "deviations over the std; H = OLS slope of ln(avg R/S) on "
+    "ln(block size). Exactness: with integer counts, n*z_k = "
+    "n*cumsum - k*blocksum and n^2*S^2 = n*sum(x^2) - sum(x)^2 are "
+    "exact BIGINTs, so R/S = Rn/sqrt(s2n) is computed from identical "
+    "integers on both engines; floats enter only at the final "
+    "closed forms, r4-dressed. Scale shape: the grid explode is "
+    "bounded by the TIME SPAN (not corpus size); all windows "
+    "partition by (series, size, block) — parallel, bounded frames; "
+    "the per-(series,size) fold and 3-point regression are tiny.",
+    tags=("ext", "timeseries", "analytics", "stats"),
+    late=True,
+)
+def t39_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(
+                f"timestampdiff(HOUR, timestamp'{_T39_ANCHOR}',"
+                " date_trunc('hour', ts))"
+            ).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("x"))
+    ).transform(barrier)  # feeds bounds and the grid join
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("hmin"), F.max("h").alias("hmax")
+    )
+    grid = bounds.select(
+        "event_type",
+        "hmin",
+        F.explode(F.sequence(F.col("hmin"), F.col("hmax"))).alias("h"),
+    )
+    dense = (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            (F.col("h") - F.col("hmin")).alias("idx"),
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        )
+    )
+    sizes = F.explode(
+        F.array(*[F.lit(n) for n in _T39_SIZES])
+    ).alias("n")
+    sized = dense.select(
+        "event_type", "idx", "x", sizes
+    ).select(
+        "event_type",
+        "n",
+        F.expr("idx DIV n").alias("blk"),
+        (F.col("idx") % F.col("n") + 1).alias("k"),
+        "x",
+    )
+    part = Window.partitionBy("event_type", "n", "blk")
+    wcum = part.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rws = sized.select(
+        "event_type", "n", "blk", "k", "x",
+        F.sum("x").over(wcum).alias("cumx"),
+        F.sum("x").over(part).alias("s1"),
+        F.count("*").over(part).alias("cnt"),
+    )
+    nz = F.col("n") * F.col("cumx") - F.col("k") * F.col("s1")
+    blocks = (
+        rws.filter(F.col("cnt") == F.col("n"))
+        .groupBy("event_type", "n", "blk")
+        .agg(
+            (F.max(nz) - F.min(nz)).alias("rn"),
+            (
+                F.first("n") * F.sum(F.col("x") * F.col("x"))
+                - F.max("s1") * F.max("s1")
+            ).alias("s2n"),
+        )
+    )
+    rs = (
+        blocks.filter(F.col("s2n") > 0)
+        .groupBy("event_type", "n")
+        .agg(F.avg(F.col("rn") / F.sqrt(F.col("s2n"))).alias("avg_rs"))
+    )
+    lx, ly = F.log("n"), F.log("avg_rs")
+    fit = rs.groupBy("event_type").agg(
+        (
+            (F.sum(lx * ly) - F.sum(lx) * F.sum(ly) / F.count("*"))
+            / (F.sum(lx * lx) - F.sum(lx) * F.sum(lx) / F.count("*"))
+        ).alias("hurst"),
+        F.max(F.when(F.col("n") == 32, F.col("avg_rs"))).alias("rs32"),
+        F.max(F.when(F.col("n") == 64, F.col("avg_rs"))).alias("rs64"),
+        F.max(F.when(F.col("n") == 128, F.col("avg_rs"))).alias("rs128"),
+    )
+    return fit.select(
+        "event_type",
+        r4("rs32").alias("rs32"),
+        r4("rs64").alias("rs64"),
+        r4("rs128").alias("rs128"),
+        r4("hurst").alias("hurst"),
+    ).orderBy("event_type")
