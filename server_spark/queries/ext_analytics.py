@@ -375,6 +375,44 @@ def a41_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # data contract, never by corpus size (the x40 fixed-grid lesson).
 _A42_GRID = 65536
 
+def skyline_frontier(cand: DataFrame, grid: int = _A42_GRID) -> DataFrame:
+    """Two-level distributed 2-D skyline over ``(cents, qty)`` rows.
+
+    ``cand`` must hold one row per distinct ``cents`` with the max
+    ``qty`` for that price. Returns the Pareto frontier (minimize
+    cents, maximize qty). Exposed separately so the property suite can
+    drive it against brute-force dominance on adversarial inputs.
+    """
+    cand = cand.withColumn("bkt", F.expr(f"cents DIV {grid}"))
+    cand = cand.transform(barrier)  # feeds bucket maxima and the filter
+    # bounded bucket relation: <= price_range / grid rows by contract
+    wlow = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    lower = (
+        cand.groupBy("bkt")
+        .agg(F.max("qty").alias("bqty"))
+        .select("bkt", F.max("bqty").over(wlow).alias("lo_qty"))
+    )
+    win = (
+        Window.partitionBy("bkt")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = (
+        cand.join(lower, "bkt", "left")
+        .withColumn("run_qty", F.max("qty").over(win))
+        .filter(
+            F.col("qty")
+            > F.greatest(
+                F.coalesce(F.col("run_qty"), F.lit(-1.0)),
+                F.coalesce(F.col("lo_qty"), F.lit(-1.0)),
+            )
+        )
+    )
+    return sky.select(
+        F.col("cents").alias("buyout_cents"), F.col("qty").alias("quantity")
+    ).orderBy("buyout_cents")
+
+
 
 @register(
     "a42_skyline",
@@ -419,6 +457,8 @@ _A42_GRID = 65536
     tags=("ext", "agg", "analytics"),
     late=True,
 )
+
+
 def a42_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     au = auctions(spark, sf_dir)
     cents = (
@@ -428,35 +468,8 @@ def a42_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         au.filter(F.col("buyout") > 0)
         .groupBy(cents.alias("cents"))
         .agg(F.max("quantity").alias("qty"))
-        .withColumn("bkt", F.expr(f"cents DIV {_A42_GRID}"))
     )
-    cand = cand.transform(barrier)  # feeds bucket maxima and the filter
-    # bounded bucket relation: <= price_range / grid rows by contract
-    wlow = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    lower = (
-        cand.groupBy("bkt")
-        .agg(F.max("qty").alias("bqty"))
-        .select("bkt", F.max("bqty").over(wlow).alias("lo_qty"))
-    )
-    win = (
-        Window.partitionBy("bkt")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    sky = (
-        cand.join(lower, "bkt", "left")
-        .withColumn("run_qty", F.max("qty").over(win))
-        .filter(
-            F.col("qty")
-            > F.greatest(
-                F.coalesce(F.col("run_qty"), F.lit(-1.0)),
-                F.coalesce(F.col("lo_qty"), F.lit(-1.0)),
-            )
-        )
-    )
-    return sky.select(
-        F.col("cents").alias("buyout_cents"), F.col("qty").alias("quantity")
-    ).orderBy("buyout_cents")
+    return skyline_frontier(cand)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,389 @@
+"""Independent-reference tests for the r8 analytics batch (a40-a44,
+t39, x102, x103).
+
+Every oracle-backed query already runs against its DuckDB twin in
+test_parity; these tests add a THIRD, hand-written Python
+implementation (or a brute-force/property check) so a shared
+misreading of the statistic can't pass parity by matching itself.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter, defaultdict
+from datetime import date
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import SF_SMOKE
+
+_SETTINGS = settings(max_examples=25, deadline=None)
+
+
+def _r4(v: float) -> float:
+    # mirror of parity.r4 for test-side comparison (4-decimal snap)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(v))).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+    )
+
+
+def _events() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+
+
+def _docs_pd() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# a40 — KS test vs direct Python ECDF computation
+# ---------------------------------------------------------------------------
+
+
+def test_a40_ks_matches_python(spark):
+    from server_spark.registry import queries
+
+    got = {
+        r["event_type"]: r
+        for r in queries()["a40_ks_test"](spark, SF_SMOKE).collect()
+    }
+
+    ev = _events()
+    anchor = date(1970, 1, 5)
+    for etype, grp in ev.groupby("event_type"):
+        wknd = grp["ts"].dt.date.map(
+            lambda d: (d - anchor).days % 7 >= 5
+        )
+        w = sorted(grp.loc[wknd, "value"])
+        d_ = sorted(grp.loc[~wknd, "value"])
+        n1, n2 = len(w), len(d_)
+        values = sorted(set(w) | set(d_))
+        cw = cd = 0
+        iw = idx = 0
+        dnum = 0
+        wi = di = 0
+        for v in values:
+            while wi < n1 and w[wi] <= v:
+                cw += 1
+                wi += 1
+            while di < n2 and d_[di] <= v:
+                cd += 1
+                di += 1
+            dnum = max(dnum, abs(cw * n2 - cd * n1))
+        row = got[etype]
+        assert row["n_weekend"] == n1 and row["n_weekday"] == n2
+        assert row["d_stat"] == pytest.approx(
+            _r4(dnum / (n1 * n2)), abs=1e-9
+        )
+        crit = _r4(1.3581 * math.sqrt((n1 + n2) / (n1 * n2)))
+        assert row["significant"] == (row["d_stat"] > crit)
+
+
+# ---------------------------------------------------------------------------
+# a41 — bootstrap CI: determinism + statistical sanity
+# ---------------------------------------------------------------------------
+
+
+def test_a41_bootstrap_deterministic_and_sane(spark):
+    from server_spark.registry import queries
+
+    fn = queries()["a41_bootstrap_ci"]
+    first = [tuple(r) for r in fn(spark, SF_SMOKE).collect()]
+    second = [tuple(r) for r in fn(spark, SF_SMOKE).collect()]
+    assert first == second  # hash draws, no RNG state
+
+    # mean inside its own CI; SE within a loose factor of the
+    # theoretical sd/sqrt(n) (Poisson bootstrap approximates it)
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    sup = pd.read_parquet(f"{SF_SMOKE}/supplier.parquet")
+    nat = pd.read_parquet(f"{SF_SMOKE}/nation.parquet")
+    reg = pd.read_parquet(f"{SF_SMOKE}/region.parquet")
+    m = (
+        li.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    for row in fn(spark, SF_SMOKE).collect():
+        assert row["ci_lo"] <= row["mean_buyout"] <= row["ci_hi"]
+        assert row["boot_se"] > 0
+        g = m[m["r_name"] == row["region_name"]]["l_extendedprice"]
+        theo = g.std(ddof=1) / math.sqrt(len(g))
+        assert 0.2 * theo < row["boot_se"] < 5 * theo
+
+
+# ---------------------------------------------------------------------------
+# a42 — skyline vs brute-force dominance (hypothesis, tiny grid)
+# ---------------------------------------------------------------------------
+
+_PTS = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(1, 12)),  # (cents, qty)
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(pts=_PTS)
+@_SETTINGS
+def test_a42_skyline_matches_bruteforce(spark, pts):
+    from server_spark.queries.ext_analytics import skyline_frontier
+
+    best: dict[int, int] = {}
+    for c, q in pts:
+        best[c] = max(best.get(c, 0), q)
+    cand = [(c, float(q)) for c, q in best.items()]
+    want = sorted(
+        (c, q)
+        for c, q in cand
+        if not any(c2 < c and q2 >= q for c2, q2 in cand)
+    )
+    df = spark.createDataFrame(cand, "cents long, qty double")
+    # grid=7 forces many buckets and bucket-boundary cases
+    got = [
+        (r["buyout_cents"], r["quantity"])
+        for r in skyline_frontier(df, grid=7).collect()
+    ]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# a43 — Adamic-Adar vs direct Python computation
+# ---------------------------------------------------------------------------
+
+
+def test_a43_adamic_adar_matches_python(spark):
+    from server_spark.queries.ext_analytics import _A43_MICRO
+    from server_spark.registry import queries
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    io = set(zip(li["l_partkey"], li["l_suppkey"]))
+    owners = defaultdict(set)
+    for item, owner in io:
+        owners[item].add(owner)
+    scores: Counter = Counter()
+    shared: Counter = Counter()
+    for item, os_ in owners.items():
+        n = len(os_)
+        if not 2 <= n <= 40:
+            continue
+        os_sorted = sorted(os_)
+        for i in range(len(os_sorted)):
+            for j in range(i + 1, len(os_sorted)):
+                key = (os_sorted[i], os_sorted[j])
+                scores[key] += _A43_MICRO[n]
+                shared[key] += 1
+    want = sorted(
+        ((a, b, shared[(a, b)], s) for (a, b), s in scores.items()),
+        key=lambda t: (-t[3], t[0], t[1]),
+    )[:100]
+    got = [
+        (r["owner_a"], r["owner_b"], r["n_shared"], r["aa_micro"])
+        for r in queries()["a43_adamic_adar"](spark, SF_SMOKE).collect()
+    ]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# a44 — mutual information vs direct Python computation
+# ---------------------------------------------------------------------------
+
+
+def test_a44_mutual_information_matches_python(spark):
+    from server_spark.registry import queries
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    sup = pd.read_parquet(f"{SF_SMOKE}/supplier.parquet")
+    nat = pd.read_parquet(f"{SF_SMOKE}/nation.parquet")
+    reg = pd.read_parquet(f"{SF_SMOKE}/region.parquet")
+    m = (
+        li.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    joint = Counter(zip(m["l_returnflag"], m["r_name"]))
+    n = sum(joint.values())
+    cx: Counter = Counter()
+    cy: Counter = Counter()
+    for (x, y), c in joint.items():
+        cx[x] += c
+        cy[y] += c
+    hx = -sum(c / n * math.log(c / n) for c in cx.values())
+    hy = -sum(c / n * math.log(c / n) for c in cy.values())
+    mi = sum(
+        c / n * math.log(c * n / (cx[x] * cy[y]))
+        for (x, y), c in joint.items()
+    )
+    row = queries()["a44_mutual_information"](spark, SF_SMOKE).collect()[0]
+    assert row["n"] == n
+    assert row["h_timeleft_nats"] == pytest.approx(hx, abs=2e-4)
+    assert row["h_region_nats"] == pytest.approx(hy, abs=2e-4)
+    assert row["mi_nats"] == pytest.approx(mi, abs=2e-4)
+    assert row["nmi"] == pytest.approx(mi / math.sqrt(hx * hy), abs=2e-4)
+    assert 0 <= row["nmi"] <= 1
+
+
+# ---------------------------------------------------------------------------
+# x102 — chunk dedup vs direct Python reimplementation
+# ---------------------------------------------------------------------------
+
+
+def test_x102_chunk_dedup_matches_python(spark):
+    from server_spark.registry import queries
+
+    docs = _docs_pd()
+    chunks = []  # (hash, doc_id, ci, n_tok)
+    for _, row in docs.iterrows():
+        toks = re.split(r"\s+", str(row["text"]).strip().lower())
+        for ci in range(math.ceil(len(toks) / 10)):
+            seg = toks[ci * 10:(ci + 1) * 10]
+            h = hashlib.md5(" ".join(seg).encode()).hexdigest()
+            chunks.append((h, int(row["doc_id"]), ci, len(seg)))
+    first: dict[str, int] = {}
+    for h, d, ci, _ in chunks:
+        key = d * 1_000_000 + ci
+        first[h] = min(first.get(h, key), key)
+    want: dict[int, list[int]] = defaultdict(lambda: [0, 0, 0])
+    for h, d, ci, nt in chunks:
+        stats = want[d]
+        stats[0] += 1
+        if d * 1_000_000 + ci == first[h]:
+            stats[1] += 1
+            stats[2] += nt
+    got = queries()["x102_chunk_dedup"](spark, SF_SMOKE).collect()
+    assert len(got) == len(want)
+    for r in got:
+        n, kept, ktok = want[r["doc_id"]]
+        assert (r["n_chunks"], r["kept_chunks"], r["removed_chunks"],
+                r["kept_tokens"]) == (n, kept, n - kept, ktok)
+
+
+# ---------------------------------------------------------------------------
+# x103 — Fleiss kappa vs direct Python computation
+# ---------------------------------------------------------------------------
+
+
+def test_x103_fleiss_matches_python(spark):
+    from server_spark.registry import queries
+
+    docs = _docs_pd()
+    sumsq = tot = 0
+    nd = len(docs)
+    for _, row in docs.iterrows():
+        toks = re.split(r"\s+", str(row["text"]).strip().lower())
+        pos = (
+            int(row["n_chars"] >= 200)
+            + int(len(toks) >= 40)
+            + int(2 * len(set(toks)) >= len(toks))
+        )
+        tot += pos
+        sumsq += pos * pos + (3 - pos) * (3 - pos)
+    p_bar = (sumsq - 3 * nd) / (6 * nd)
+    p1 = tot / (3 * nd)
+    p_e = p1 * p1 + (1 - p1) * (1 - p1)
+    kappa = (p_bar - p_e) / (1 - p_e)
+    row = queries()["x103_fleiss_kappa"](spark, SF_SMOKE).collect()[0]
+    assert row["n_docs"] == nd
+    assert row["p_bar"] == pytest.approx(p_bar, abs=2e-4)
+    assert row["p_e"] == pytest.approx(p_e, abs=2e-4)
+    assert row["fleiss_kappa"] == pytest.approx(kappa, abs=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# t39 — Hurst exponent vs direct Python R/S reference
+# ---------------------------------------------------------------------------
+
+
+def _python_rs(xs: list[int], sizes=(32, 64, 128)):
+    """Reference R/S curve + fitted Hurst for one dense series."""
+    pts = []
+    for n in sizes:
+        rss = []
+        for b in range(len(xs) // n):
+            blk = xs[b * n:(b + 1) * n]
+            s1 = sum(blk)
+            cum = 0
+            nzs = []
+            for k, x in enumerate(blk, start=1):
+                cum += x
+                nzs.append(n * cum - k * s1)
+            rn = max(nzs) - min(nzs)
+            s2n = n * sum(x * x for x in blk) - s1 * s1
+            if s2n > 0:
+                rss.append(rn / math.sqrt(s2n))
+        if rss:
+            pts.append((math.log(n), math.log(sum(rss) / len(rss))))
+    m = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    return (sxy - sx * sy / m) / (sxx - sx * sx / m)
+
+
+def test_t39_hurst_matches_python_reference(spark):
+    from server_spark.registry import queries
+
+    ev = _events()
+    anchor = pd.Timestamp("2024-01-01 00:00:00")
+    got = {
+        r["event_type"]: r
+        for r in queries()["t39_hurst_exponent"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    for etype, grp in ev.groupby("event_type"):
+        hours = (
+            (grp["ts"].dt.floor("h") - anchor) // pd.Timedelta(hours=1)
+        ).astype(int)
+        counts = Counter(hours)
+        hmin, hmax = min(counts), max(counts)
+        xs = [counts.get(h, 0) for h in range(hmin, hmax + 1)]
+        assert got[etype]["hurst"] == pytest.approx(
+            _python_rs(xs), abs=2e-4
+        )
+
+
+def test_t39_hurst_flags_persistence(spark, tmp_path):
+    """White-noise counts give H near 1/2; a strongly trending series
+    gives H near 1 — the query must separate the two regimes."""
+    import numpy as np
+
+    from server_spark.registry import queries
+
+    rng = np.random.RandomState(7)
+    hours = 768
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    # iid series: one event row per unit of count
+    for h in range(hours):
+        for _ in range(int(rng.poisson(4))):
+            rows.append(("iid", base + pd.Timedelta(hours=h)))
+    # persistent series: slow sinusoidal intensity (long memory proxy)
+    for h in range(hours):
+        lam = 6 + 5 * math.sin(2 * math.pi * h / 256)
+        for _ in range(max(0, int(round(lam)))):
+            rows.append(("persist", base + pd.Timedelta(hours=h)))
+    ev = pd.DataFrame(rows, columns=["event_type", "ts"])
+    ev["event_id"] = range(len(ev))
+    ev["user_id"] = 1
+    ev["value"] = 1.0
+    ev["props"] = "{}"
+    td = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(td)
+    ev[["event_id", "ts", "user_id", "event_type", "value", "props"]
+       ].to_parquet(os.path.join(td, "events.parquet"), index=False)
+    got = {
+        r["event_type"]: r["hurst"]
+        for r in queries()["t39_hurst_exponent"](spark, td).collect()
+    }
+    assert 0.3 < got["iid"] < 0.65
+    assert got["persist"] > 0.75
+    assert got["persist"] > got["iid"] + 0.15
