@@ -709,3 +709,194 @@ def a44_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A45 — trimmed and winsorized means (robust location estimates)
+# ---------------------------------------------------------------------------
+
+_A45_TRIM = 0.1  # two-sided trim fraction
+
+
+@register(
+    "a45_trimmed_mean",
+    auctions_sql(
+        f"""
+    , c AS (
+        SELECT time_left,
+               CAST(CAST(buyout AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM auctions
+    ),
+    r AS (
+        SELECT time_left, cents,
+               ROW_NUMBER() OVER (PARTITION BY time_left
+                                  ORDER BY cents) AS rn,
+               COUNT(*) OVER (PARTITION BY time_left) AS n
+        FROM c
+    ),
+    kept AS (
+        SELECT time_left, n,
+               CAST(FLOOR(n * {_A45_TRIM}) AS BIGINT) AS t,
+               SUM(cents) AS ksum,
+               COUNT(*) AS kn,
+               MIN(cents) AS klo,
+               MAX(cents) AS khi
+        FROM r
+        WHERE rn > CAST(FLOOR(n * {_A45_TRIM}) AS BIGINT)
+          AND rn <= n - CAST(FLOOR(n * {_A45_TRIM}) AS BIGINT)
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT time_left, SUM(cents) AS allsum FROM c GROUP BY 1)
+    SELECT k.time_left, k.n, k.t AS trim_k,
+           {{M}} AS mean_buyout,
+           {{TM}} AS trimmed_mean,
+           {{WM}} AS winsorized_mean
+    FROM kept k JOIN tot ON k.time_left = tot.time_left
+    ORDER BY k.time_left
+    """.replace("{M}", r4sql("allsum / (100.0 * n)"))
+        .replace("{TM}", r4sql("ksum / (100.0 * kn)"))
+        .replace(
+            "{WM}",
+            r4sql("(ksum + t * klo + t * khi) / (100.0 * n)"),
+        )
+    ),
+    doc="A45 (EXT analytics) — TRIMMED and WINSORIZED means of buyout "
+    "per time_left: the robust location estimates between the mean "
+    "(a2, outlier-dragged) and the median (outlier-blind) — trim "
+    "drops the extreme 10% per tail, winsorize clamps them to the "
+    "cut values. Complements a31's MAD (robust SPREAD). Exactness: "
+    "everything is BIGINT cents; with ties the kept-range SUM is "
+    "tie-assignment-invariant (equal values are interchangeable), so "
+    "ROW_NUMBER needs no tiebreak for the aggregate to be "
+    "deterministic; floats appear only in the three final divisions. "
+    "Scale shape: one per-group sort (the exact-order-statistic "
+    "cost, same hazard class as a2's exact median — the approx "
+    "variant at scale is approx_percentile cuts + conditional "
+    "aggregation); the winsorized form needs NO second pass — "
+    "boundary values fall out of the kept-range MIN/MAX.",
+    tags=("ext", "agg", "analytics", "stats"),
+    late=True,
+)
+def a45_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    au = auctions(spark, sf_dir)
+    c = au.select(
+        "time_left",
+        (F.col("buyout").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    part = Window.partitionBy("time_left")
+    r = c.select(
+        "time_left",
+        "cents",
+        F.row_number().over(part.orderBy("cents")).alias("rn"),
+        F.count("*").over(part).alias("n"),
+    )
+    t = F.floor(F.col("n") * _A45_TRIM).cast("bigint")
+    kept = (
+        r.filter((F.col("rn") > t) & (F.col("rn") <= F.col("n") - t))
+        .groupBy("time_left", "n")
+        .agg(
+            F.floor(F.first("n") * _A45_TRIM).cast("bigint").alias("t"),
+            F.sum("cents").alias("ksum"),
+            F.count("*").alias("kn"),
+            F.min("cents").alias("klo"),
+            F.max("cents").alias("khi"),
+        )
+    )
+    tot = c.groupBy("time_left").agg(F.sum("cents").alias("allsum"))
+    return (
+        kept.join(tot, "time_left")
+        .select(
+            "time_left",
+            "n",
+            F.col("t").alias("trim_k"),
+            r4(F.col("allsum") / (100.0 * F.col("n"))).alias(
+                "mean_buyout"
+            ),
+            r4(F.col("ksum") / (100.0 * F.col("kn"))).alias(
+                "trimmed_mean"
+            ),
+            r4(
+                (
+                    F.col("ksum")
+                    + F.col("t") * F.col("klo")
+                    + F.col("t") * F.col("khi")
+                )
+                / (100.0 * F.col("n"))
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("time_left")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A46 — l-diversity audit over the ownership quasi-identifier groups
+# ---------------------------------------------------------------------------
+
+_A46_L = 3
+
+
+@register(
+    "a46_l_diversity",
+    auctions_sql(
+        f"""
+    , g AS (
+        SELECT item, time_left, owner, COUNT(*) AS c
+        FROM auctions GROUP BY 1, 2, 3
+    ),
+    grp AS (
+        SELECT item, time_left,
+               SUM(c) AS group_size,
+               COUNT(*) AS distinct_owners,
+               SUM(c * LN(c)) AS sclogc,
+               SUM(c) * LN(SUM(c)) AS nlogn
+        FROM g GROUP BY 1, 2
+    )
+    SELECT item, time_left, group_size, distinct_owners,
+           {{EL}} AS entropy_l,
+           distinct_owners < {_A46_L} AS at_risk
+    FROM grp
+    ORDER BY item, time_left
+    """.replace(
+            "{EL}", r4sql("EXP((nlogn - sclogc) / group_size)")
+        )
+    ),
+    doc="A46 (EXT analytics/governance) — L-DIVERSITY audit "
+    "(Machanavajjhala et al. 2007) over the (item, time_left) "
+    "quasi-identifier groups with OWNER as the sensitive attribute: "
+    "x76's k-anonymity only counts group SIZE — a group of 100 rows "
+    "all owned by one seller still re-identifies them; l-diversity "
+    "requires >= l distinct sensitive values, and entropy-l "
+    "(exp of the owner-distribution entropy, the effective owner "
+    "count) catches near-degenerate groups a distinct count "
+    "misses. Exactness: entropy folds from exact counts via "
+    "sum(c*ln c) and n*ln n (identical-integer closed form, ln only "
+    "at the end, r4-dressed). Shape: two stacked hash-aggs over the "
+    "pruned 3-column scan — map-combinable, no window, no join.",
+    tags=("ext", "agg", "analytics", "governance"),
+    late=True,
+)
+def a46_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    au = auctions(spark, sf_dir)
+    g = au.groupBy("item", "time_left", "owner").agg(
+        F.count("*").alias("c")
+    )
+    grp = g.groupBy("item", "time_left").agg(
+        F.sum("c").alias("group_size"),
+        F.count("*").alias("distinct_owners"),
+        F.sum(F.col("c") * F.log("c")).alias("sclogc"),
+        (F.sum("c") * F.log(F.sum("c"))).alias("nlogn"),
+    )
+    return grp.select(
+        "item",
+        "time_left",
+        "group_size",
+        "distinct_owners",
+        r4(
+            F.exp(
+                (F.col("nlogn") - F.col("sclogc")) / F.col("group_size")
+            )
+        ).alias("entropy_l"),
+        (F.col("distinct_owners") < _A46_L).alias("at_risk"),
+    ).orderBy("item", "time_left")

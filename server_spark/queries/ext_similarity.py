@@ -1640,3 +1640,130 @@ def x97_pca_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id long, pc1_score double, pc2_score double, "
         "norm_before double, norm_after double",
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# x104 — Matryoshka truncation eval: recall@k of prefix-dim cosine search
+# ---------------------------------------------------------------------------
+
+_X104_DIMS = (8, 16, 32, 64)  # prefix lengths; 64 = full (recall 1.0)
+
+
+@register(
+    "x104_matryoshka_recall",
+    f"""
+    WITH ee AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    dimt AS (SELECT UNNEST([{', '.join(map(str, _X104_DIMS))}]) AS dim),
+    tn AS (
+        SELECT vec_id, dim, SQRT(SUM(v * v)) AS nrm
+        FROM ee, dimt WHERE i <= dim GROUP BY 1, 2
+    ),
+    q AS (SELECT vec_id, i, v FROM ee WHERE vec_id < {N_QUERY_VECS}),
+    dots AS (
+        SELECT q.vec_id AS qid, e.vec_id AS vid, dim,
+               SUM(q.v * e.v) AS dot
+        FROM q JOIN ee e USING (i), dimt
+        WHERE i <= dim
+        GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT qid, vid, d.dim,
+               {r4sql("dot / (nq.nrm * ne.nrm)")} AS score
+        FROM dots d
+        JOIN tn nq ON d.qid = nq.vec_id AND d.dim = nq.dim
+        JOIN tn ne ON d.vid = ne.vec_id AND d.dim = ne.dim
+        WHERE qid <> vid
+    ),
+    topk AS (
+        SELECT qid, vid, dim FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY qid, dim ORDER BY score DESC, vid
+            ) AS rnk FROM scored
+        ) WHERE rnk <= {TOPK}
+    ),
+    base AS (SELECT qid, vid FROM topk WHERE dim = {_X104_DIMS[-1]})
+    SELECT t.dim,
+           {r4sql(f"COUNT(b.vid) * 1.0 / ({TOPK} * {N_QUERY_VECS})")}
+               AS recall_at_{TOPK}
+    FROM topk t LEFT JOIN base b ON t.qid = b.qid AND t.vid = b.vid
+    GROUP BY t.dim
+    ORDER BY t.dim
+    """,
+    doc="EXT x104 — MATRYOSHKA truncation evaluation: recall@10 of "
+    "cosine top-k computed on PREFIX dimensions (8/16/32) of the "
+    "embedding against the full-dimension (64) ranking — the "
+    "measurement behind Matryoshka representation learning "
+    "(Kusupati et al. 2022) deployments, where serving stores a "
+    "short prefix (8x cheaper index) and re-ranks with the tail only "
+    "for candidates. x22 quantizes VALUES; this truncates "
+    "DIMENSIONS; both are index-shrink dials and this query reports "
+    "what each prefix costs in retrieval fidelity. Shape: dims are a "
+    "constant explode (x4 corpus rows); query set is bounded and "
+    "broadcast; per-(query, dim) ranking on canonically-rounded "
+    "scores with id tiebreak (x3 pattern); the recall join is "
+    "top-k-bounded rows only. Full-dim row must report recall 1.0 — "
+    "a built-in self-check.",
+    tags=("ext", "similarity", "eval"),
+    late=True,
+)
+def x104_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    dims = F.explode(
+        F.array(*[F.lit(d) for d in _X104_DIMS])
+    ).alias("dim")
+    corpus = emb.select("vec_id", "embedding", dims).select(
+        "vec_id",
+        "dim",
+        F.expr("slice(embedding, 1, dim)").alias("tvec"),
+    )
+    corpus = corpus.withColumn("_cn", cos.norm("tvec"))
+    qs = (
+        corpus.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("dim"),
+            F.col("tvec").alias("qvec"),
+            F.col("_cn").alias("_qn"),
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), "dim")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("vid"),
+            "dim",
+            r4(
+                cos.dot("tvec", "qvec") / (F.col("_cn") * F.col("_qn"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid", "dim").orderBy(
+        F.col("score").desc(), F.col("vid").asc()
+    )
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select("qid", "vid", "dim")
+    ).transform(barrier)  # feeds the baseline and the recall join
+    base = topk.filter(F.col("dim") == _X104_DIMS[-1]).select(
+        "qid", F.col("vid").alias("bvid")
+    )
+    return (
+        topk.join(
+            base,
+            (topk.qid == base.qid) & (topk.vid == base.bvid),
+            "left",
+        )
+        .groupBy("dim")
+        .agg(
+            r4(
+                F.count("bvid") * 1.0 / (TOPK * N_QUERY_VECS)
+            ).alias(f"recall_at_{TOPK}")
+        )
+        .orderBy("dim")
+    )

@@ -387,3 +387,91 @@ def test_t39_hurst_flags_persistence(spark, tmp_path):
     assert 0.3 < got["iid"] < 0.65
     assert got["persist"] > 0.75
     assert got["persist"] > got["iid"] + 0.15
+
+
+# ---------------------------------------------------------------------------
+# x104 — matryoshka recall invariants
+# ---------------------------------------------------------------------------
+
+
+def test_x104_matryoshka_invariants(spark):
+    from server_spark.registry import queries
+
+    rows = queries()["x104_matryoshka_recall"](spark, SF_SMOKE).collect()
+    by_dim = {r["dim"]: r["recall_at_10"] for r in rows}
+    assert by_dim[64] == 1.0  # full prefix reproduces the baseline
+    assert all(0.0 <= v <= 1.0 for v in by_dim.values())
+    # longer prefixes can only see more of the true geometry
+    dims = sorted(by_dim)
+    assert all(
+        by_dim[a] <= by_dim[b] + 1e-9 for a, b in zip(dims, dims[1:])
+    )
+
+
+# ---------------------------------------------------------------------------
+# a45 — trimmed/winsorized means vs direct Python computation
+# ---------------------------------------------------------------------------
+
+
+def test_a45_trimmed_mean_matches_python(spark):
+    from server_spark.registry import queries
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    got = {
+        r["time_left"]: r
+        for r in queries()["a45_trimmed_mean"](spark, SF_SMOKE).collect()
+    }
+    from decimal import Decimal
+
+    for tl, grp in li.groupby("l_returnflag"):
+        cents = sorted(
+            int(Decimal(repr(float(v))).quantize(Decimal("0.01")) * 100)
+            for v in grp["l_extendedprice"]
+        )
+        n = len(cents)
+        t = int(math.floor(n * 0.1))
+        kept = cents[t:n - t]
+        row = got[tl]
+        assert row["n"] == n and row["trim_k"] == t
+        assert row["mean_buyout"] == pytest.approx(
+            sum(cents) / (100 * n), abs=1e-4
+        )
+        assert row["trimmed_mean"] == pytest.approx(
+            sum(kept) / (100 * len(kept)), abs=1e-4
+        )
+        wins = sum(kept) + t * kept[0] + t * kept[-1]
+        assert row["winsorized_mean"] == pytest.approx(
+            wins / (100 * n), abs=1e-4
+        )
+        # robustness ordering sanity: trimmed between min/max of kept
+        assert kept[0] / 100 <= row["trimmed_mean"] <= kept[-1] / 100
+
+
+# ---------------------------------------------------------------------------
+# a46 — l-diversity vs direct Python computation
+# ---------------------------------------------------------------------------
+
+
+def test_a46_l_diversity_matches_python(spark):
+    from server_spark.registry import queries
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    got = {
+        (r["item"], r["time_left"]): r
+        for r in queries()["a46_l_diversity"](spark, SF_SMOKE).collect()
+    }
+    groups = li.groupby(["l_partkey", "l_returnflag"])["l_suppkey"]
+    assert len(got) == groups.ngroups
+    for (item, tl), owners in groups:
+        row = got[(item, tl)]
+        counts = Counter(owners)
+        nsz = sum(counts.values())
+        ent = -sum(c / nsz * math.log(c / nsz) for c in counts.values())
+        assert row["group_size"] == nsz
+        assert row["distinct_owners"] == len(counts)
+        assert row["entropy_l"] == pytest.approx(
+            math.exp(ent), abs=2e-4
+        )
+        assert row["at_risk"] == (len(counts) < 3)
+        # entropy-l never exceeds the distinct count
+        assert row["entropy_l"] <= len(counts) + 1e-6
