@@ -127,6 +127,11 @@ def test_x62_bigram_join_falls_back_to_shuffle(spark):
         "x77_winnowing_neardup",
         "x32_cluster_survivors_quality",
         "x40_quality_master",
+        # r8 analytics batch, same rule applied at design time:
+        # a43's per-item degree table and x102's per-chunk-hash
+        # keep-first table are corpus-linear and unhinted
+        "a43_adamic_adar",
+        "x102_chunk_dedup",
     ],
 )
 def test_no_forced_broadcast_of_linear_tables(spark, name):
@@ -179,3 +184,18 @@ def test_scans_prune_columns(fplan):
             assert len(cols) <= 8, (
                 f"{name}: scan reads {len(cols)} columns — pruning lost"
             )
+
+
+def test_a41_fanout_stage_is_repartitioned(fplan):
+    """a41's bootstrap explode is CPU-bound (8 md5 + 16 hex parses per
+    fact row); the plan must decouple that stage's parallelism from
+    input splits with an explicit round-robin repartition BEFORE the
+    Generate — dropping it silently reverts the measured 9s -> 2s fix
+    and, on a cluster, concentrates the fan-out on however few tasks
+    the scan produced."""
+    p = fplan("a41_bootstrap_ci")
+    assert "Generate" in p, "bootstrap explode disappeared from the plan"
+    assert "RoundRobinPartitioning" in p, (
+        "pre-explode repartition missing: fan-out runs at scan "
+        "parallelism"
+    )
