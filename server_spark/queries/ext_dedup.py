@@ -489,7 +489,15 @@ _X8B_SQL = rf"""
     late=True,
 )
 def x8b_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    shingles = ng.word_shingles(_docs(spark, sf_dir), n=3)
+    return _md5_minhash_pairs(_docs(spark, sf_dir), _MH_MIN_EST)
+
+
+def _md5_minhash_pairs(docs: DataFrame, min_est: float) -> DataFrame:
+    """x8b's engine-portable MinHash+LSH pipeline as a reusable step:
+    banded candidates + signature-fraction estimate >= ``min_est``.
+    Shared by x8b and the x106 pipeline eval (which cuts at the
+    corpus near-dup threshold instead of the looser estimate gate)."""
+    shingles = ng.word_shingles(docs, n=3)
     # ONE min-agg shuffle for all 32 signatures, packed into an array
     # so downstream carries a single column instead of 32.
     # Both the banded self-join branches and the per-side signature
@@ -536,7 +544,7 @@ def x8b_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = matches.cast("double") / _MH_NUM
     return (
         cand.select("doc_a", "doc_b", r4(est).alias("jaccard_est"))
-        .filter(F.col("jaccard_est") >= _MH_MIN_EST)
+        .filter(F.col("jaccard_est") >= min_est)
     )
 
 
@@ -1523,4 +1531,121 @@ def x102_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x106 — MinHash pipeline eval: precision/recall vs exact-Jaccard truth
+# ---------------------------------------------------------------------------
+
+_X106_EST_SQL = rf"""
+    est AS (
+        SELECT doc_a, doc_b
+        FROM cand
+        JOIN sigs a ON doc_a = a.doc_id
+        JOIN sigs b ON doc_b = b.doc_id
+        WHERE {r4sql(f"CAST(({_X8B_MATCHES_SQL}) AS DOUBLE) / {_MH_NUM}")}
+              >= {JACCARD_MIN}
+    )"""
+
+
+@register(
+    "x106_minhash_eval",
+    rf"""
+    WITH {shingle_ctes()},
+    {mh.md5_banded_candidates_sql(_MH_AB, _MH_BANDS)},
+    {_X106_EST_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+              >= {JACCARD_MIN}
+    ),
+    conf AS (
+        SELECT COALESCE(SUM(CASE WHEN t.doc_a IS NOT NULL
+                                  AND e.doc_a IS NOT NULL THEN 1 END), 0)
+                   AS tp,
+               COALESCE(SUM(CASE WHEN t.doc_a IS NULL THEN 1 END), 0)
+                   AS fp,
+               COALESCE(SUM(CASE WHEN e.doc_a IS NULL THEN 1 END), 0)
+                   AS fn
+        FROM truth t FULL OUTER JOIN est e
+          ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
+    )
+    SELECT tp, fp, fn,
+           {r4sql("CASE WHEN tp + fp > 0"
+                  " THEN tp * 1.0 / (tp + fp) ELSE 0 END")} AS prec,
+           {r4sql("CASE WHEN tp + fn > 0"
+                  " THEN tp * 1.0 / (tp + fn) ELSE 0 END")} AS recall,
+           {r4sql("CASE WHEN 2 * tp + fp + fn > 0"
+                  " THEN 2.0 * tp / (2 * tp + fp + fn) ELSE 0 END")} AS f1
+    FROM conf
+    """,
+    doc="EXT x106 — DEDUP PIPELINE EVALUATION: precision/recall/F1 of "
+    "the MinHash+LSH near-dup decision (x8b's banded candidates + "
+    "32-hash estimate, cut at the corpus threshold) against the "
+    "EXACT n-gram Jaccard truth (x2) at the same threshold — the "
+    "measurement a curation team runs before trusting the sketch "
+    "path at a scale where the exact path is unaffordable: recall "
+    "loss = banding misses + estimator noise below the cut, "
+    "precision loss = estimator noise above it. Both legs reuse the "
+    "SAME shingle relation (one tokenize pass feeds signatures and "
+    "the inverted index); the confusion fold is a FULL OUTER join of "
+    "two pair sets bounded by the near-dup count, not the corpus. "
+    "At 100 TB this runs on a SAMPLE (the estimate's quality is "
+    "corpus-size-free), while the decision pipeline itself stays "
+    "sketch-only — the exact leg exists precisely to be run small.",
+    tags=("ext", "dedup", "eval"),
+    late=True,
+)
+def x106_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    est = _md5_minhash_pairs(docs, JACCARD_MIN).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_est")
+    )
+    truth = ng.jaccard_pairs(docs, n=3, threshold=JACCARD_MIN).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_truth")
+    )
+    j = truth.join(est, ["doc_a", "doc_b"], "full")
+    conf = j.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("in_truth").isNotNull()
+                    & F.col("in_est").isNotNull(),
+                    1,
+                )
+            ),
+            F.lit(0),
+        ).alias("tp"),
+        F.coalesce(
+            F.sum(F.when(F.col("in_truth").isNull(), 1)), F.lit(0)
+        ).alias("fp"),
+        F.coalesce(
+            F.sum(F.when(F.col("in_est").isNull(), 1)), F.lit(0)
+        ).alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return conf.select(
+        "tp",
+        "fp",
+        "fn",
+        r4(
+            F.when(tp + fp > 0, tp * 1.0 / (tp + fp)).otherwise(0.0)
+        ).alias("prec"),
+        r4(
+            F.when(tp + fn > 0, tp * 1.0 / (tp + fn)).otherwise(0.0)
+        ).alias("recall"),
+        r4(
+            F.when(
+                2 * tp + fp + fn > 0, 2.0 * tp / (2 * tp + fp + fn)
+            ).otherwise(0.0)
+        ).alias("f1"),
     )

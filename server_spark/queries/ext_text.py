@@ -2880,3 +2880,91 @@ def x103_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(p_e).alias("p_e"),
         r4((p_bar - p_e) / (1 - p_e)).alias("fleiss_kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x105 — source-pair vocabulary overlap matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x105_source_overlap",
+    rf"""
+    WITH vt AS (
+        SELECT DISTINCT source, tok FROM (
+            SELECT source,
+                   UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+'))
+                       AS tok
+            FROM documents
+        )
+    ),
+    sz AS (SELECT source, COUNT(*) AS n FROM vt GROUP BY 1),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               COUNT(*) AS common_vocab
+        FROM vt a JOIN vt b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, common_vocab,
+           {r4sql("common_vocab * 1.0 / (na.n + nb.n - common_vocab)")}
+               AS vocab_jaccard,
+           {r4sql("common_vocab * 1.0 / LEAST(na.n, nb.n)")}
+               AS vocab_containment
+    FROM inter
+    JOIN sz na ON src_a = na.source
+    JOIN sz nb ON src_b = nb.source
+    ORDER BY src_a, src_b
+    """,
+    doc="EXT x105 — SOURCE-PAIR VOCABULARY OVERLAP matrix: Jaccard "
+    "and containment of the distinct-token sets of every source "
+    "pair — the set-theoretic companion to x98's distributional JSD "
+    "(two sources can share every token yet weight them oppositely; "
+    "JSD sees that, this sees disjoint jargon) and the source-level "
+    "input to 'do we even need both crawls?' curation calls. Pairs "
+    "with zero shared vocabulary are absent by construction (inner "
+    "join). Scale shape: the per-source vocabulary is Heaps-bounded; "
+    "in the token self-join each token's posting list is bounded by "
+    "the SOURCE COUNT (one row per source per token after the "
+    "distinct), so the join fan-out is |sources|^2 per token worst "
+    "case with |sources| a catalog constant — never corpus-quadratic. "
+    "All counts exact ints; ratios r4-dressed.",
+    tags=("ext", "textstats", "analytics"),
+    late=True,
+)
+def x105_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    vt = docs.select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    ).distinct()
+    vt = vt.transform(barrier)  # feeds sizes and both join branches
+    sz = vt.groupBy("source").agg(F.count("*").alias("n"))
+    b = vt.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        vt.select(F.col("source").alias("src_a"), "tok")
+        .join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("common_vocab"))
+    )
+    na = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    nb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    cv = F.col("common_vocab")
+    return (
+        inter.join(na, "src_a")
+        .join(nb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "common_vocab",
+            r4(cv * 1.0 / (F.col("n_a") + F.col("n_b") - cv)).alias(
+                "vocab_jaccard"
+            ),
+            r4(cv * 1.0 / F.least("n_a", "n_b")).alias(
+                "vocab_containment"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )

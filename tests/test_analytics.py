@@ -475,3 +475,73 @@ def test_a46_l_diversity_matches_python(spark):
         assert row["at_risk"] == (len(counts) < 3)
         # entropy-l never exceeds the distinct count
         assert row["entropy_l"] <= len(counts) + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# x105 — source vocabulary overlap vs direct Python computation
+# ---------------------------------------------------------------------------
+
+
+def test_x105_source_overlap_matches_python(spark):
+    from server_spark.registry import queries
+
+    docs = _docs_pd()
+    vocab: dict[str, set] = defaultdict(set)
+    for _, row in docs.iterrows():
+        toks = re.split(r"\s+", str(row["text"]).strip().lower())
+        vocab[row["source"]].update(toks)
+    got = {
+        (r["src_a"], r["src_b"]): r
+        for r in queries()["x105_source_overlap"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    srcs = sorted(vocab)
+    n_expected = 0
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            common = len(vocab[a] & vocab[b])
+            if common == 0:
+                assert (a, b) not in got
+                continue
+            n_expected += 1
+            row = got[(a, b)]
+            assert row["common_vocab"] == common
+            union = len(vocab[a] | vocab[b])
+            assert row["vocab_jaccard"] == pytest.approx(
+                common / union, abs=1e-4
+            )
+            assert row["vocab_containment"] == pytest.approx(
+                common / min(len(vocab[a]), len(vocab[b])), abs=1e-4
+            )
+    assert len(got) == n_expected
+
+
+# ---------------------------------------------------------------------------
+# x106 — minhash eval confusion counts consistent with its two legs
+# ---------------------------------------------------------------------------
+
+
+def test_x106_confusion_consistent_with_legs(spark):
+    from server_spark.queries.ext_common import JACCARD_MIN, _docs
+    from server_spark.queries.ext_dedup import _md5_minhash_pairs
+    from server_spark.dedup import ngram as ng
+    from server_spark.registry import queries
+
+    row = queries()["x106_minhash_eval"](spark, SF_SMOKE).collect()[0]
+    docs = _docs(spark, SF_SMOKE)
+    n_truth = ng.jaccard_pairs(docs, n=3, threshold=JACCARD_MIN).count()
+    n_est = _md5_minhash_pairs(docs, JACCARD_MIN).count()
+    assert row["tp"] + row["fn"] == n_truth
+    assert row["tp"] + row["fp"] == n_est
+    assert 0.0 <= row["prec"] <= 1.0 and 0.0 <= row["recall"] <= 1.0
+    # harmonic-mean identity from the raw counts
+    tp, fp, fn = row["tp"], row["fp"], row["fn"]
+    if 2 * tp + fp + fn:
+        assert row["f1"] == pytest.approx(
+            2 * tp / (2 * tp + fp + fn), abs=1e-4
+        )
+    # 32 hashes at a 0.2 threshold: the sketch must find most of the
+    # truth set at smoke scale (catches banding/signature regressions)
+    if n_truth:
+        assert row["recall"] >= 0.6
