@@ -900,3 +900,218 @@ def a46_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("entropy_l"),
         (F.col("distinct_owners") < _A46_L).alias("at_risk"),
     ).orderBy("item", "time_left")
+
+
+# ---------------------------------------------------------------------------
+# A47 — chi-squared independence test + Cramer's V (contingency table)
+# ---------------------------------------------------------------------------
+
+# 95% chi-squared quantiles for df = 1..12 (host-side literals — no
+# CDF machinery in either engine).
+_A47_CRIT = {
+    1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070, 6: 12.592,
+    7: 14.067, 8: 15.507, 9: 16.919, 10: 18.307, 11: 19.675, 12: 21.026,
+}
+
+# CAST to DOUBLE: DuckDB types a bare 15.507 literal as DECIMAL(5,3),
+# which would hash differently from Spark's double column.
+_A47_CRIT_CASE = (
+    "CAST(CASE df "
+    + " ".join(f"WHEN {d} THEN {c}" for d, c in _A47_CRIT.items())
+    + " END AS DOUBLE)"
+)
+
+
+@register(
+    "a47_chi2_independence",
+    auctions_sql(
+        f"""
+    , fact AS (
+        SELECT a.time_left, r.r_name AS region_name
+        FROM auctions a
+        JOIN supplier s ON a.owner = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    joint AS (
+        SELECT time_left, region_name, COUNT(*) AS o FROM fact GROUP BY 1, 2
+    ),
+    mx AS (SELECT time_left, SUM(o) AS rx FROM joint GROUP BY 1),
+    my AS (SELECT region_name, SUM(o) AS cy FROM joint GROUP BY 1),
+    tot AS (
+        SELECT SUM(o) AS n,
+               (SELECT COUNT(*) FROM mx) AS nr,
+               (SELECT COUNT(*) FROM my) AS nc
+        FROM joint
+    ),
+    s AS (
+        SELECT SUM(o * 1.0 * o / (rx * 1.0 * cy)) AS ssum
+        FROM joint j
+        JOIN mx ON j.time_left = mx.time_left
+        JOIN my ON j.region_name = my.region_name
+    ),
+    calc AS (
+        SELECT n, (nr - 1) * (nc - 1) AS df,
+               n * ssum - n AS chi2_raw,
+               LEAST(nr - 1, nc - 1) AS mindim
+        FROM tot, s
+    )
+    SELECT n, df,
+           {{CHI}} AS chi2,
+           {_A47_CRIT_CASE} AS crit_95,
+           ({{CHI}} > {_A47_CRIT_CASE}) AS dependent,
+           {{V}} AS cramers_v
+    FROM calc
+    """.replace("{CHI}", r4sql("chi2_raw"))
+        .replace("{V}", r4sql("SQRT(chi2_raw / (n * mindim))"))
+    ),
+    doc="A47 (EXT analytics) — CHI-SQUARED INDEPENDENCE test + "
+    "CRAMER'S V over the (time_left x region) contingency table: a44 "
+    "reports HOW MUCH information the columns share (MI); this "
+    "reports whether the dependence is STATISTICALLY significant "
+    "(chi2 vs the 95% quantile at the table's df) and its effect "
+    "size on a [0,1] scale — the pair of questions every "
+    "feature-dependence screen must answer together, since at 100 TB "
+    "row counts everything is 'significant' and only V says whether "
+    "it matters. Exactness: chi2 folds via the identity "
+    "sum((o-e)^2/e) = n*sum(o^2/(rx*cy)) - n from exact integers; "
+    "the df-indexed critical value is a host-side literal CASE (no "
+    "CDF in either engine); the flag cuts on the r4-canonical chi2 "
+    "(a19 pattern). Shape: one fact scan -> bounded joint table -> "
+    "tiny folds, same as a44.",
+    tags=("ext", "agg", "analytics", "stats"),
+    late=True,
+)
+def a47_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    au = auctions(spark, sf_dir)
+    sup = tables.load(spark, sf_dir, "supplier")
+    nat = tables.load(spark, sf_dir, "nation")
+    reg = tables.load(spark, sf_dir, "region")
+    fact = (
+        au.join(sup, au.owner == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .select("time_left", F.col("r_name").alias("region_name"))
+    )
+    joint = (
+        fact.groupBy("time_left", "region_name")
+        .agg(F.count("*").alias("o"))
+        .transform(barrier)
+    )
+    mx = joint.groupBy("time_left").agg(F.sum("o").alias("rx"))
+    my = joint.groupBy("region_name").agg(F.sum("o").alias("cy"))
+    tot = joint.agg(F.sum("o").alias("n")).crossJoin(
+        mx.agg(F.count("*").alias("nr"))
+    ).crossJoin(my.agg(F.count("*").alias("nc")))
+    s = (
+        joint.join(mx, "time_left")
+        .join(my, "region_name")
+        .agg(
+            F.sum(
+                F.col("o") * 1.0 * F.col("o")
+                / (F.col("rx") * 1.0 * F.col("cy"))
+            ).alias("ssum")
+        )
+    )
+    calc = tot.crossJoin(s).select(
+        "n",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("df"),
+        (F.col("n") * F.col("ssum") - F.col("n")).alias("chi2_raw"),
+        F.least(F.col("nr") - 1, F.col("nc") - 1).alias("mindim"),
+    )
+    crit = F.lit(None).cast("double")
+    for d, c in reversed(list(_A47_CRIT.items())):
+        crit = F.when(F.col("df") == d, c).otherwise(crit)
+    chi = r4(F.col("chi2_raw"))
+    return calc.select(
+        "n",
+        "df",
+        chi.alias("chi2"),
+        crit.alias("crit_95"),
+        (chi > crit).alias("dependent"),
+        r4(F.sqrt(F.col("chi2_raw") / (F.col("n") * F.col("mindim")))).alias(
+            "cramers_v"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W15 — weighted median unit price (lot-size-weighted order statistic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w15_weighted_median",
+    auctions_sql(
+        """
+    , b AS (
+        SELECT item, buyout / quantity AS v,
+               CAST(CAST(quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+        FROM auctions WHERE quantity > 0 AND buyout > 0
+    ),
+    g AS (SELECT item, v, SUM(w) AS w FROM b GROUP BY 1, 2),
+    c AS (
+        SELECT item, v,
+               SUM(w) OVER (PARTITION BY item ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cumw,
+               SUM(w) OVER (PARTITION BY item) AS totw
+        FROM g
+    )
+    SELECT item,
+           {TQ} AS total_quantity,
+           {WM} AS weighted_median_per_unit
+    FROM c
+    WHERE 2 * cumw >= totw
+    GROUP BY item, totw
+    ORDER BY item
+    """.replace("{TQ}", r4sql("totw / 100.0"))
+        .replace("{WM}", r4sql("MIN(v)"))
+    ),
+    doc="W15 (EXT window/agg) — WEIGHTED MEDIAN unit price per item, "
+    "weighted by lot size: a2's median treats a 1-unit and a "
+    "200-unit listing as equal votes, so thin decoy listings drag "
+    "the 'typical price a buyer actually pays'. The weighted median "
+    "(lower form: least v with cumulative weight >= half the total) "
+    "is the standard fix. Exactness: weights are exact BIGINT "
+    "quantity-cents, the half-total cut 2*cumw >= totw is pure "
+    "integer algebra, and the selected v is a MIN over "
+    "engine-identical doubles (one correctly rounded division per "
+    "distinct value) — no interpolation, no float accumulation. "
+    "Shape: per-item cumulative frames over the distinct-value "
+    "relation (hash-agg first, so ties collapse before the window); "
+    "the exact-order-statistic cost class of a2, with the same "
+    "approx_percentile escape hatch at scale.",
+    tags=("ext", "window", "agg", "analytics"),
+    late=True,
+)
+def w15_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    au = auctions(spark, sf_dir)
+    b = au.filter((F.col("quantity") > 0) & (F.col("buyout") > 0)).select(
+        "item",
+        (F.col("buyout") / F.col("quantity")).alias("v"),
+        (F.col("quantity").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("w"),
+    )
+    g = b.groupBy("item", "v").agg(F.sum("w").alias("w"))
+    part = Window.partitionBy("item")
+    c = g.select(
+        "item",
+        "v",
+        F.sum("w")
+        .over(part.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cumw"),
+        F.sum("w").over(part).alias("totw"),
+    )
+    return (
+        c.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("item", "totw")
+        .agg(F.min("v").alias("_wm"))
+        .select(
+            "item",
+            r4(F.col("totw") / 100.0).alias("total_quantity"),
+            r4("_wm").alias("weighted_median_per_unit"),
+        )
+        .orderBy("item")
+    )

@@ -3512,3 +3512,157 @@ def t39_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4("rs128").alias("rs128"),
         r4("hurst").alias("hurst"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# T40 — periodogram: dominant-cycle detection per event series
+# ---------------------------------------------------------------------------
+
+_T40_PERIODS = tuple(range(2, 11))  # candidate cycle lengths in days
+
+
+@register(
+    "t40_periodogram",
+    f"""
+    WITH daily AS (
+        SELECT event_type,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+               COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    centered AS (
+        SELECT event_type, t,
+               x - AVG(x) OVER (PARTITION BY event_type) AS rv
+        FROM daily
+    ),
+    pw AS (
+        SELECT event_type, p.p,
+               POWER(SUM(rv * COS(2 * PI() * t / p.p)), 2)
+             + POWER(SUM(rv * SIN(2 * PI() * t / p.p)), 2) AS num,
+               SUM(rv * rv) AS den
+        FROM centered,
+             (SELECT UNNEST([{', '.join(map(str, _T40_PERIODS))}]) AS p) p
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, p, {{PW}} AS power
+        FROM pw WHERE den > 0
+    ),
+    ranked AS (
+        SELECT event_type, p, power,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY power DESC, p ASC) AS rnk
+        FROM scored
+    )
+    SELECT r.event_type, r.p AS best_period, r.power AS best_power,
+           w.power AS weekly_power
+    FROM ranked r
+    JOIN scored w ON r.event_type = w.event_type AND w.p = 7
+    WHERE r.rnk = 1
+    ORDER BY r.event_type
+    """.replace("{PW}", r4sql("num / den")),
+    doc="T40 (EXT timeseries) — PERIODOGRAM over the daily activity "
+    "series: projects each mean-centered series onto sin/cos at "
+    "candidate periods (2-10 days) and reports the dominant cycle "
+    "and its normalized spectral power, plus the weekly (p=7) power "
+    "for reference. w13 MEASURES day-of-week averages assuming the "
+    "week; w14 decomposes assuming the week; t32's ACF shows lag "
+    "correlation — the periodogram is the step before all three: "
+    "WHICH period dominates, without assuming one. Determinism: the "
+    "centered residuals are identical doubles on both engines (exact "
+    "count minus exact-ratio mean), trig is evaluated on identical "
+    "(2*pi*t/p) doubles, the period argmax ranks on the r4-CANONICAL "
+    "power with a period tiebreak (a19 boundary pattern). Shape: the "
+    "candidate-period explode is a CONSTANT fan-out of the bounded "
+    "daily relation (one row per series-day); one hash-agg per "
+    "(series, period); no window over anything corpus-sized.",
+    tags=("ext", "timeseries", "analytics", "stats"),
+    late=True,
+)
+def t40_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _math
+
+    ev = tables.load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("t"),
+        )
+        .groupBy("event_type", "t")
+        .agg(F.count("*").alias("x"))
+    )
+    centered = daily.select(
+        "event_type",
+        "t",
+        (
+            F.col("x") - F.avg("x").over(Window.partitionBy("event_type"))
+        ).alias("rv"),
+    )
+    pw = (
+        centered.select(
+            "event_type",
+            "t",
+            "rv",
+            F.explode(
+                F.array(*[F.lit(p) for p in _T40_PERIODS])
+            ).alias("p"),
+        )
+        .groupBy("event_type", "p")
+        .agg(
+            (
+                F.pow(
+                    F.sum(
+                        F.col("rv")
+                        * F.cos(
+                            2 * _math.pi * F.col("t") / F.col("p")
+                        )
+                    ),
+                    2,
+                )
+                + F.pow(
+                    F.sum(
+                        F.col("rv")
+                        * F.sin(
+                            2 * _math.pi * F.col("t") / F.col("p")
+                        )
+                    ),
+                    2,
+                )
+            ).alias("num"),
+            F.sum(F.col("rv") * F.col("rv")).alias("den"),
+        )
+    )
+    scored = (
+        pw.filter(F.col("den") > 0)
+        .select(
+            "event_type", "p", r4(F.col("num") / F.col("den")).alias("power")
+        )
+        .transform(barrier)  # feeds the argmax rank and the p=7 lookup
+    )
+    ranked = scored.select(
+        "event_type",
+        "p",
+        "power",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("power").desc(), F.col("p").asc()
+            )
+        )
+        .alias("rnk"),
+    ).filter(F.col("rnk") == 1)
+    weekly = scored.filter(F.col("p") == 7).select(
+        "event_type", F.col("power").alias("weekly_power")
+    )
+    return (
+        ranked.join(weekly, "event_type")
+        .select(
+            "event_type",
+            F.col("p").alias("best_period"),
+            F.col("power").alias("best_power"),
+            "weekly_power",
+        )
+        .orderBy("event_type")
+    )

@@ -545,3 +545,155 @@ def test_x106_confusion_consistent_with_legs(spark):
     # truth set at smoke scale (catches banding/signature regressions)
     if n_truth:
         assert row["recall"] >= 0.6
+
+
+# ---------------------------------------------------------------------------
+# a47 — chi-squared independence vs direct Python computation
+# ---------------------------------------------------------------------------
+
+
+def test_a47_chi2_matches_python(spark):
+    from server_spark.registry import queries
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    sup = pd.read_parquet(f"{SF_SMOKE}/supplier.parquet")
+    nat = pd.read_parquet(f"{SF_SMOKE}/nation.parquet")
+    reg = pd.read_parquet(f"{SF_SMOKE}/region.parquet")
+    m = (
+        li.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    joint = Counter(zip(m["l_returnflag"], m["r_name"]))
+    n = sum(joint.values())
+    rx: Counter = Counter()
+    cy: Counter = Counter()
+    for (x, y), c in joint.items():
+        rx[x] += c
+        cy[y] += c
+    chi2 = sum(
+        (c - rx[x] * cy[y] / n) ** 2 / (rx[x] * cy[y] / n)
+        for (x, y), c in joint.items()
+    )
+    df = (len(rx) - 1) * (len(cy) - 1)
+    v = math.sqrt(chi2 / (n * min(len(rx) - 1, len(cy) - 1)))
+    row = queries()["a47_chi2_independence"](spark, SF_SMOKE).collect()[0]
+    assert row["n"] == n and row["df"] == df
+    assert row["chi2"] == pytest.approx(chi2, abs=2e-3)
+    assert row["cramers_v"] == pytest.approx(v, abs=2e-4)
+    assert row["dependent"] == (row["chi2"] > row["crit_95"])
+
+
+# ---------------------------------------------------------------------------
+# w15 — weighted median vs direct Python computation
+# ---------------------------------------------------------------------------
+
+
+def test_w15_weighted_median_matches_python(spark):
+    from decimal import Decimal
+
+    from server_spark.registry import queries
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    li = li[(li["l_quantity"] > 0) & (li["l_extendedprice"] > 0)]
+    got = {
+        r["item"]: r
+        for r in queries()["w15_weighted_median"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert len(got) == li["l_partkey"].nunique()
+    for item, grp in li.groupby("l_partkey"):
+        pairs = defaultdict(int)
+        for _, row in grp.iterrows():
+            v = float(row["l_extendedprice"]) / float(row["l_quantity"])
+            w = int(
+                Decimal(repr(float(row["l_quantity"]))).quantize(
+                    Decimal("0.01")
+                )
+                * 100
+            )
+            pairs[v] += w
+        totw = sum(pairs.values())
+        cum = 0
+        wmed = None
+        for v in sorted(pairs):
+            cum += pairs[v]
+            if 2 * cum >= totw:
+                wmed = v
+                break
+        r = got[item]
+        assert r["total_quantity"] == pytest.approx(totw / 100, abs=1e-4)
+        assert r["weighted_median_per_unit"] == pytest.approx(
+            wmed, abs=2e-4
+        )
+
+
+# ---------------------------------------------------------------------------
+# t40 — periodogram vs Python reference + planted-cycle regime test
+# ---------------------------------------------------------------------------
+
+
+def _python_periodogram(xs_by_t: dict[int, int], periods=range(2, 11)):
+    ts = sorted(xs_by_t)
+    mean = sum(xs_by_t.values()) / len(ts)
+    rv = {t: xs_by_t[t] - mean for t in ts}
+    den = sum(r * r for r in rv.values())
+    out = {}
+    for p in periods:
+        c = sum(rv[t] * math.cos(2 * math.pi * t / p) for t in ts)
+        s = sum(rv[t] * math.sin(2 * math.pi * t / p) for t in ts)
+        out[p] = (c * c + s * s) / den
+    return out
+
+
+def test_t40_periodogram_matches_python(spark):
+    from server_spark.registry import queries
+
+    ev = _events()
+    anchor = date(2024, 1, 1)
+    got = {
+        r["event_type"]: r
+        for r in queries()["t40_periodogram"](spark, SF_SMOKE).collect()
+    }
+    for etype, grp in ev.groupby("event_type"):
+        days = Counter(
+            (d - anchor).days for d in grp["ts"].dt.date
+        )
+        powers = _python_periodogram(days)
+        best = min(
+            powers, key=lambda p: (-_r4(powers[p]), p)
+        )
+        row = got[etype]
+        assert row["best_period"] == best
+        assert row["best_power"] == pytest.approx(
+            powers[best], abs=2e-4
+        )
+        assert row["weekly_power"] == pytest.approx(
+            powers[7], abs=2e-4
+        )
+
+
+def test_t40_periodogram_finds_planted_cycle(spark, tmp_path):
+    import os
+
+    from server_spark.registry import queries
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for d in range(56):
+        lam = 10 + 8 * math.sin(2 * math.pi * d / 7)
+        for _ in range(max(1, int(round(lam)))):
+            rows.append(("cyclic", base + pd.Timedelta(days=d)))
+    ev = pd.DataFrame(rows, columns=["event_type", "ts"])
+    ev["event_id"] = range(len(ev))
+    ev["user_id"] = 1
+    ev["value"] = 1.0
+    ev["props"] = "{}"
+    td = str(tmp_path / "sf")
+    os.makedirs(td)
+    ev[["event_id", "ts", "user_id", "event_type", "value", "props"]
+       ].to_parquet(os.path.join(td, "events.parquet"), index=False)
+    row = queries()["t40_periodogram"](spark, td).collect()[0]
+    assert row["best_period"] == 7
+    assert row["best_power"] == row["weekly_power"]
