@@ -50,6 +50,11 @@ QUERIES = (
     "a27_gini_concentration",     # rank window + exact-cents agg (r8)
     "t27_changepoint_amoc",       # prefix-sum windows + canonical argmax (r8)
     "x85_heldout_perplexity",     # hash split + smoothed LM scoring (r8)
+    "a41_bootstrap_ci",           # hash-draw resampling explode (r8 s2)
+    "a42_skyline",                # two-level grid frontier (r8 s2)
+    "x102_chunk_dedup",           # global keep-first via min-key (r8 s2)
+    "w15_weighted_median",        # integer half-total weighted cut (r8 s2)
+    "t40_periodogram",            # trig sums + canonical argmax (r8 s2)
 )
 
 VARIANTS = (
