@@ -3666,3 +3666,132 @@ def t40_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# T41 — normalized spectral entropy (forecastability measure)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t41_spectral_entropy",
+    f"""
+    WITH daily AS (
+        SELECT event_type,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+               COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    centered AS (
+        SELECT event_type, t,
+               x - AVG(x) OVER (PARTITION BY event_type) AS rv
+        FROM daily
+    ),
+    pw AS (
+        SELECT event_type, p.p,
+               POWER(SUM(rv * COS(2 * PI() * t / p.p)), 2)
+             + POWER(SUM(rv * SIN(2 * PI() * t / p.p)), 2) AS num
+        FROM centered,
+             (SELECT UNNEST([{', '.join(map(str, _T40_PERIODS))}]) AS p) p
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, SUM(num) AS total FROM pw GROUP BY 1
+    ),
+    ent AS (
+        SELECT pw.event_type,
+               -SUM((num / total) * LN(num / total))
+                   / LN({len(_T40_PERIODS)}) AS h
+        FROM pw JOIN tot ON pw.event_type = tot.event_type
+        WHERE num > 0 AND total > 0
+        GROUP BY 1
+    )
+    SELECT event_type,
+           {{H}} AS spectral_entropy,
+           {{FC}} AS forecastability
+    FROM ent ORDER BY event_type
+    """.replace("{H}", r4sql("h"))
+        .replace("{FC}", r4sql("1 - h")),
+    doc="T41 (EXT timeseries) — NORMALIZED SPECTRAL ENTROPY per event "
+    "series: the entropy of the periodogram's power distribution "
+    "across candidate periods, scaled to [0,1] (tsfeatures/M4-style "
+    "'forecastability': ~1 means power is spread evenly — white "
+    "noise, nothing to forecast; ~0 means one cycle carries "
+    "everything). t40 names the WINNING period; this says whether "
+    "winning MEANS anything — a capacity planner reads both before "
+    "trusting a seasonal model. Determinism: same identical-double "
+    "residual/trig pipeline as t40; the entropy fold is over a "
+    "CONSTANT number of period rows, r4-dressed at the end. Shape "
+    "identical to t40: constant fan-out of the bounded daily "
+    "relation, one hash-agg per (series, period), tiny folds.",
+    tags=("ext", "timeseries", "analytics", "stats"),
+    late=True,
+)
+def t41_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _math
+
+    ev = tables.load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("t"),
+        )
+        .groupBy("event_type", "t")
+        .agg(F.count("*").alias("x"))
+    )
+    centered = daily.select(
+        "event_type",
+        "t",
+        (
+            F.col("x") - F.avg("x").over(Window.partitionBy("event_type"))
+        ).alias("rv"),
+    )
+    pw = (
+        centered.select(
+            "event_type",
+            "t",
+            "rv",
+            F.explode(
+                F.array(*[F.lit(p) for p in _T40_PERIODS])
+            ).alias("p"),
+        )
+        .groupBy("event_type", "p")
+        .agg(
+            (
+                F.pow(
+                    F.sum(
+                        F.col("rv")
+                        * F.cos(2 * _math.pi * F.col("t") / F.col("p"))
+                    ),
+                    2,
+                )
+                + F.pow(
+                    F.sum(
+                        F.col("rv")
+                        * F.sin(2 * _math.pi * F.col("t") / F.col("p"))
+                    ),
+                    2,
+                )
+            ).alias("num"),
+        )
+    ).transform(barrier)
+    tot = pw.groupBy("event_type").agg(F.sum("num").alias("total"))
+    frac = F.col("num") / F.col("total")
+    ent = (
+        pw.join(tot, "event_type")
+        .filter((F.col("num") > 0) & (F.col("total") > 0))
+        .groupBy("event_type")
+        .agg(
+            (
+                -F.sum(frac * F.log(frac))
+                / _math.log(len(_T40_PERIODS))
+            ).alias("h")
+        )
+    )
+    return ent.select(
+        "event_type",
+        r4("h").alias("spectral_entropy"),
+        r4(1 - F.col("h")).alias("forecastability"),
+    ).orderBy("event_type")

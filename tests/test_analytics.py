@@ -697,3 +697,63 @@ def test_t40_periodogram_finds_planted_cycle(spark, tmp_path):
     row = queries()["t40_periodogram"](spark, td).collect()[0]
     assert row["best_period"] == 7
     assert row["best_power"] == row["weekly_power"]
+
+
+# ---------------------------------------------------------------------------
+# t41 — spectral entropy vs Python reference + regime contrast
+# ---------------------------------------------------------------------------
+
+
+def test_t41_spectral_entropy_matches_python(spark):
+    from server_spark.registry import queries
+
+    ev = _events()
+    anchor = date(2024, 1, 1)
+    got = {
+        r["event_type"]: r
+        for r in queries()["t41_spectral_entropy"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    for etype, grp in ev.groupby("event_type"):
+        days = Counter((d - anchor).days for d in grp["ts"].dt.date)
+        powers = _python_periodogram(days)
+        tot = sum(powers.values())
+        fr = [p / tot for p in powers.values() if p > 0]
+        h = -sum(f * math.log(f) for f in fr) / math.log(len(powers))
+        row = got[etype]
+        assert row["spectral_entropy"] == pytest.approx(h, abs=2e-4)
+        assert row["forecastability"] == pytest.approx(1 - h, abs=2e-4)
+        assert 0.0 <= row["spectral_entropy"] <= 1.0 + 1e-9
+
+
+def test_t41_planted_cycle_lowers_entropy(spark, tmp_path):
+    import os
+
+    from server_spark.registry import queries
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    rngstate = 12345
+    for d in range(56):
+        lam = 10 + 8 * math.sin(2 * math.pi * d / 7)
+        for _ in range(max(1, int(round(lam)))):
+            rows.append(("cyclic", base + pd.Timedelta(days=d)))
+        # arithmetic noise series: deterministic pseudo-random counts
+        rngstate = (rngstate * 1103515245 + 12345) % (2 ** 31)
+        for _ in range(5 + rngstate % 11):
+            rows.append(("noisy", base + pd.Timedelta(days=d)))
+    ev = pd.DataFrame(rows, columns=["event_type", "ts"])
+    ev["event_id"] = range(len(ev))
+    ev["user_id"] = 1
+    ev["value"] = 1.0
+    ev["props"] = "{}"
+    td = str(tmp_path / "sf")
+    os.makedirs(td)
+    ev[["event_id", "ts", "user_id", "event_type", "value", "props"]
+       ].to_parquet(os.path.join(td, "events.parquet"), index=False)
+    got = {
+        r["event_type"]: r["spectral_entropy"]
+        for r in queries()["t41_spectral_entropy"](spark, td).collect()
+    }
+    assert got["cyclic"] < got["noisy"] - 0.1  # cycle concentrates power
