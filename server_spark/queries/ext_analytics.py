@@ -48,7 +48,7 @@ _A40_C = 1.3581
                CASE WHEN DATEDIFF('day', DATE '1970-01-05',
                                   CAST(ts AS DATE)) % 7 >= 5
                     THEN 1 ELSE 0 END AS wknd
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     g AS (
         SELECT event_type, v,
@@ -106,7 +106,11 @@ def a40_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 7
     )
     g = (
-        ev.select(
+        # NULL values are meaningless to an ECDF and engines disagree
+        # on NULL placement in window ORDER BY (Spark NULLS FIRST,
+        # DuckDB NULLS LAST) — exclude them explicitly on both sides.
+        ev.filter(F.col("value").isNotNull())
+        .select(
             "event_type",
             F.col("value").alias("v"),
             (dow >= 5).cast("long").alias("wknd"),
@@ -725,7 +729,7 @@ _A45_TRIM = 0.1  # two-sided trim fraction
     , c AS (
         SELECT time_left,
                CAST(CAST(buyout AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        FROM auctions
+        FROM auctions WHERE buyout IS NOT NULL
     ),
     r AS (
         SELECT time_left, cents,
@@ -779,7 +783,9 @@ _A45_TRIM = 0.1  # two-sided trim fraction
 )
 def a45_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     au = auctions(spark, sf_dir)
-    c = au.select(
+    # NULL buyouts would land in the rank window where engines disagree
+    # on NULL placement — exclude explicitly on both sides.
+    c = au.filter(F.col("buyout").isNotNull()).select(
         "time_left",
         (F.col("buyout").cast("decimal(18,2)") * 100)
         .cast("bigint")
