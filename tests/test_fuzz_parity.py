@@ -399,6 +399,11 @@ SCALAR_EXPRS = (
     "{r4}FLOOR(value * 10) / 4{r4c} AS e10",
     "GREATEST(user_id % 5, 2) AS e11",
     "COALESCE(NULLIF(event_type, 'error'), 'scrubbed') AS e12",
+    # trig entered the registry with t40/t41 (periodogram family) —
+    # pin its cross-engine identity on integer-derived arguments
+    "{r4}COS(2 * PI() * (user_id % 13) / 7){r4c} AS e13",
+    "{r4}SIN(2 * PI() * (user_id % 13) / 7){r4c} AS e14",
+    "{r4}ATAN(value){r4c} AS e15",
 )
 
 
