@@ -1649,3 +1649,119 @@ def x106_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0.0)
         ).alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x107 — LSH estimator calibration: signature estimate vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x107_lsh_calibration",
+    rf"""
+    WITH {shingle_ctes()},
+    {mh.md5_banded_candidates_sql(_MH_AB, _MH_BANDS)},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    pa AS (
+        SELECT c.doc_a, c.doc_b, s.shingle
+        FROM cand c JOIN sh s ON c.doc_a = s.doc_id
+    ),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+        FROM pa p JOIN sh s
+          ON p.doc_b = s.doc_id AND p.shingle = s.shingle
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                   / (sa.n_sh + sb.n_sh - COALESCE(i.n_common, 0))
+                   AS exact_j,
+               CAST(({_X8B_MATCHES_SQL}) AS DOUBLE) / {_MH_NUM} AS est_j
+        FROM cand c
+        LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        JOIN sizes sa ON c.doc_a = sa.doc_id
+        JOIN sizes sb ON c.doc_b = sb.doc_id
+        JOIN sigs a ON c.doc_a = a.doc_id
+        JOIN sigs b ON c.doc_b = b.doc_id
+    )
+    SELECT LEAST(CAST(FLOOR(exact_j * 10) AS BIGINT), 9) AS j_bin,
+           COUNT(*) AS n_pairs,
+           {r4sql("AVG(exact_j)")} AS mean_exact,
+           {r4sql("AVG(est_j)")} AS mean_est,
+           {r4sql("AVG(est_j - exact_j)")} AS mean_bias
+    FROM scored
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="EXT x107 — LSH ESTIMATOR CALIBRATION curve: over the banded "
+    "candidate pairs, the 32-hash signature estimate vs the EXACT "
+    "Jaccard, folded into 0.1-wide exact-similarity bins with the "
+    "mean bias per bin — x106 scores the binary DECISION at one "
+    "threshold; this shows the whole estimator, which is how a "
+    "curation team picks the threshold and the signature budget in "
+    "the first place (32 hashes -> sd ~= sqrt(j(1-j)/32) ~= 0.09 at "
+    "j=0.5; a per-bin |bias| beyond that indicates banding selection "
+    "effects, visible in the low bins where candidates are "
+    "band-collision survivors). Scale shape: the exact leg is "
+    "computed ONLY on candidate pairs (cand x per-doc shingles "
+    "equi-join — candidate-bounded, never the corpus-quadratic "
+    "inverted self-join); bin floor is exact on identical doubles.",
+    tags=("ext", "dedup", "eval"),
+    late=True,
+)
+def x107_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    shingles = ng.word_shingles(docs, n=3)
+    sigs = mh.md5_signatures(shingles, _MH_AB).transform(barrier)
+    kv = mh.banded_keys(sigs, _MH_NUM, _MH_BANDS)
+    cand = mh.bucket_pairs(kv, ["band_idx", "band_key"]).transform(barrier)
+    sh = shingles.transform(barrier)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pa = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+    )
+    inter = (
+        pa.join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    siga = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sigb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda p, q: p == q), lambda m: m
+        )
+    )
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    scored = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select(
+            (nc.cast("double") / (F.col("na") + F.col("nb") - nc)).alias(
+                "exact_j"
+            ),
+            (matches.cast("double") / _MH_NUM).alias("est_j"),
+        )
+    )
+    return (
+        scored.groupBy(
+            F.least(
+                F.floor(F.col("exact_j") * 10).cast("bigint"), F.lit(9)
+            ).alias("j_bin")
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            r4(F.avg("exact_j")).alias("mean_exact"),
+            r4(F.avg("est_j")).alias("mean_est"),
+            r4(F.avg(F.col("est_j") - F.col("exact_j"))).alias("mean_bias"),
+        )
+        .orderBy("j_bin")
+    )

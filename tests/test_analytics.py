@@ -757,3 +757,29 @@ def test_t41_planted_cycle_lowers_entropy(spark, tmp_path):
         for r in queries()["t41_spectral_entropy"](spark, td).collect()
     }
     assert got["cyclic"] < got["noisy"] - 0.1  # cycle concentrates power
+
+
+# ---------------------------------------------------------------------------
+# x107 — LSH calibration invariants
+# ---------------------------------------------------------------------------
+
+
+def test_x107_lsh_calibration_invariants(spark):
+    from server_spark.registry import queries
+
+    rows = queries()["x107_lsh_calibration"](spark, SF_SMOKE).collect()
+    assert rows, "banding produced no candidate pairs at smoke scale"
+    for r in rows:
+        assert 0 <= r["j_bin"] <= 9
+        assert r["n_pairs"] > 0
+        assert 0.0 <= r["mean_est"] <= 1.0
+        assert 0.0 <= r["mean_exact"] <= 1.0
+        assert r["mean_bias"] == pytest.approx(
+            r["mean_est"] - r["mean_exact"], abs=2e-4
+        )
+    # the most-similar populated bin must be near-unbiased: 32-hash
+    # estimator sd at j~0.95 is ~0.04; selection effects live in the
+    # LOW bins, not here
+    top = max(rows, key=lambda r: r["j_bin"])
+    if top["n_pairs"] >= 10:
+        assert abs(top["mean_bias"]) < 0.05
