@@ -3795,3 +3795,132 @@ def t41_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4("h").alias("spectral_entropy"),
         r4(1 - F.col("h")).alias("forecastability"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# T42 — dynamic time warping similarity between event series
+# ---------------------------------------------------------------------------
+
+_T42_BAND = 7  # Sakoe-Chiba band half-width (days)
+
+
+@register(
+    "t42_dtw_similarity",
+    None,  # DTW's recursive alignment is not honestly SQL-expressible
+    doc="T42 (EXT timeseries) — DYNAMIC TIME WARPING distance between "
+    "every pair of event-type daily series (z-normalized), with the "
+    "lock-step Euclidean distance for contrast: DTW aligns shapes "
+    "that are shifted or locally stretched (a promo that starts two "
+    "days later on one series reads as similar under DTW, dissimilar "
+    "under Euclidean), the standard elastic measure for grouping "
+    "series before pooled forecasting. t24 edit-distances SYMBOL "
+    "sequences; this warps REAL-VALUED series. Implementation note "
+    "(the custom-operator recipe): the recursion is genuinely "
+    "inexpressible in relational operators, so it runs as an "
+    "Arrow-batched pandas UDF over the PAIRED series rows — numpy "
+    "inside, one row per pair, helpers defined inside the closure "
+    "(pickle-by-value, foreign-cwd safe). Scale shape: per-series "
+    "arrays are bounded by the TIME SPAN; the pair relation is "
+    "series-count-quadratic (catalog-bounded here; at thousands of "
+    "series, LSH/feature-block the pairs first — x8's banding "
+    "pattern); the Sakoe-Chiba band caps per-pair cost at O(n*w).",
+    tags=("ext", "timeseries", "similarity"),
+    late=True,
+)
+def t42_dtw_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ev = tables.load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("t"),
+        )
+        .groupBy("event_type", "t")
+        .agg(F.count("*").alias("x"))
+    )
+    ser = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("t"), F.col("x")))
+        ).alias("pts")
+    ).select(
+        "event_type",
+        F.transform("pts", lambda p: p.t).alias("ts"),
+        F.transform("pts", lambda p: p.x.cast("double")).alias("xs"),
+    )
+    a = ser.select(
+        F.col("event_type").alias("ev_a"),
+        F.col("ts").alias("ts_a"),
+        F.col("xs").alias("xs_a"),
+    )
+    b = ser.select(
+        F.col("event_type").alias("ev_b"),
+        F.col("ts").alias("ts_b"),
+        F.col("xs").alias("xs_b"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("ev_a") < F.col("ev_b"))
+
+    band = _T42_BAND
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pandas_udf's hint parser rejects the strings — the
+    # hint-less form defaults to a scalar pandas UDF (bpe.py pattern)
+    @pandas_udf("struct<dtw: double, euclid: double>")
+    def dtw_pair(ts_a, xs_a, ts_b, xs_b):
+        # All helpers INSIDE the closure: pandas UDFs pickle by value;
+        # module-level references crash workers launched from a
+        # foreign cwd (verify-skill gotcha).
+        import numpy as np
+
+        def dense(ts, xs):
+            t = np.asarray(ts, dtype=np.int64)
+            x = np.asarray(xs, dtype=np.float64)
+            lo, hi = t.min(), t.max()
+            out = np.zeros(hi - lo + 1)
+            out[t - lo] = x
+            return out
+
+        def znorm(v):
+            sd = v.std()
+            return (v - v.mean()) / sd if sd > 0 else v - v.mean()
+
+        def banded_dtw(p, q, w):
+            n, m = len(p), len(q)
+            w = max(w, abs(n - m))  # band must cover the diagonal
+            inf = float("inf")
+            prev = np.full(m + 1, inf)
+            prev[0] = 0.0
+            for i in range(1, n + 1):
+                cur = np.full(m + 1, inf)
+                jlo = max(1, i - w)
+                jhi = min(m, i + w)
+                for j in range(jlo, jhi + 1):
+                    cost = abs(p[i - 1] - q[j - 1])
+                    cur[j] = cost + min(
+                        prev[j], cur[j - 1], prev[j - 1]
+                    )
+                prev = cur
+            return prev[m]
+
+        dtws, eucs = [], []
+        for ta, xa, tb, xb in zip(ts_a, xs_a, ts_b, xs_b):
+            p, q = znorm(dense(ta, xa)), znorm(dense(tb, xb))
+            dtws.append(banded_dtw(p, q, band))
+            k = min(len(p), len(q))
+            eucs.append(float(np.sqrt(((p[:k] - q[:k]) ** 2).sum())))
+        return pd.DataFrame({"dtw": dtws, "euclid": eucs})
+
+    scored = pairs.select(
+        "ev_a",
+        "ev_b",
+        dtw_pair("ts_a", "xs_a", "ts_b", "xs_b").alias("d"),
+    ).select(
+        "ev_a",
+        "ev_b",
+        F.round("d.dtw", 4).alias("dtw_dist"),
+        F.round("d.euclid", 4).alias("euclid_dist"),
+    )
+    return scored.orderBy("ev_a", "ev_b")

@@ -783,3 +783,97 @@ def test_x107_lsh_calibration_invariants(spark):
     top = max(rows, key=lambda r: r["j_bin"])
     if top["n_pairs"] >= 10:
         assert abs(top["mean_bias"]) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# t42 — DTW vs an independent full-matrix reference implementation
+# ---------------------------------------------------------------------------
+
+
+def _full_dtw(p, q, w):
+    """O(n*m) memo-table DTW with the same band semantics, written
+    independently of the query's rolling-row implementation."""
+    n, m = len(p), len(q)
+    w = max(w, abs(n - m))
+    inf = float("inf")
+    D = [[inf] * (m + 1) for _ in range(n + 1)]
+    D[0][0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(1, i - w), min(m, i + w) + 1):
+            cost = abs(p[i - 1] - q[j - 1])
+            D[i][j] = cost + min(
+                D[i - 1][j], D[i][j - 1], D[i - 1][j - 1]
+            )
+    return D[n][m]
+
+
+def test_t42_dtw_matches_reference(spark):
+    import numpy as np
+
+    from server_spark.queries.timeseries import _T42_BAND
+    from server_spark.registry import queries
+
+    ev = _events()
+    anchor = date(2024, 1, 1)
+    dense = {}
+    for etype, grp in ev.groupby("event_type"):
+        days = Counter((d - anchor).days for d in grp["ts"].dt.date)
+        lo, hi = min(days), max(days)
+        v = np.array([days.get(t, 0) for t in range(lo, hi + 1)], float)
+        sd = v.std()
+        dense[etype] = (v - v.mean()) / sd if sd > 0 else v - v.mean()
+    got = {
+        (r["ev_a"], r["ev_b"]): r
+        for r in queries()["t42_dtw_similarity"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    names = sorted(dense)
+    assert len(got) == len(names) * (len(names) - 1) // 2
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            row = got[(a, b)]
+            want = _full_dtw(dense[a], dense[b], _T42_BAND)
+            assert row["dtw_dist"] == pytest.approx(want, abs=2e-4)
+            k = min(len(dense[a]), len(dense[b]))
+            euc = float(
+                np.sqrt(((dense[a][:k] - dense[b][:k]) ** 2).sum())
+            )
+            assert row["euclid_dist"] == pytest.approx(euc, abs=2e-4)
+            # warping can only reduce L1 path cost vs any alignment,
+            # and a series is identical to itself
+            assert row["dtw_dist"] >= 0
+
+
+def test_t42_dtw_shift_invariance(spark, tmp_path):
+    """A copy of a series shifted by 2 days must be much closer under
+    DTW than under lock-step Euclidean — the reason DTW exists."""
+    import os
+
+    from server_spark.registry import queries
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for d in range(40):
+        # same date span for both series (each series' dense grid is
+        # anchored at its own min day, so a pure translation would
+        # cancel out) — the phase of the pattern shifts, not the span
+        lam = 10 + 8 * math.sin(2 * math.pi * d / 10)
+        lam_s = 10 + 8 * math.sin(2 * math.pi * (d - 2) / 10)
+        for _ in range(max(1, int(round(lam)))):
+            rows.append(("orig", base + pd.Timedelta(days=d)))
+        for _ in range(max(1, int(round(lam_s)))):
+            rows.append(("shifted", base + pd.Timedelta(days=d)))
+    ev = pd.DataFrame(rows, columns=["event_type", "ts"])
+    ev["event_id"] = range(len(ev))
+    ev["user_id"] = 1
+    ev["value"] = 1.0
+    ev["props"] = "{}"
+    td = str(tmp_path / "sf")
+    os.makedirs(td)
+    ev[["event_id", "ts", "user_id", "event_type", "value", "props"]
+       ].to_parquet(os.path.join(td, "events.parquet"), index=False)
+    row = queries()["t42_dtw_similarity"](spark, td).collect()[0]
+    # warping absorbs the 2-day phase shift; lock-step distance can't
+    # (measured ~0.36x — count rounding and edges keep it nonzero)
+    assert row["dtw_dist"] < 0.5 * row["euclid_dist"]
