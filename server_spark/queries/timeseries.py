@@ -3924,3 +3924,103 @@ def t42_dtw_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("d.euclid", 4).alias("euclid_dist"),
     )
     return scored.orderBy("ev_a", "ev_b")
+
+
+# ---------------------------------------------------------------------------
+# T43 — Holt-Winters triple exponential smoothing (additive weekly)
+# ---------------------------------------------------------------------------
+
+_T43_ALPHA, _T43_BETA, _T43_GAMMA = 0.3, 0.1, 0.2
+_T43_SEASON = 7  # weekly cycle in days
+_T43_HORIZON = 7
+
+
+@register(
+    "t43_holt_winters",
+    None,  # per-step smoothing recursion: not honestly SQL-expressible
+    doc="T43 (EXT timeseries) — HOLT-WINTERS additive triple "
+    "exponential smoothing per event series: level + trend (t38's "
+    "Holt) PLUS a 7-day additive seasonal state, forecasting one "
+    "week ahead with the seasonal shape reapplied — the classic "
+    "operational forecast for weekly-cyclic volumes (t40 detects the "
+    "cycle, w14 decomposes it descriptively, THIS extrapolates it). "
+    "Seeding is the textbook form: level = mean of the first season, "
+    "trend = (mean of season 2 - mean of season 1)/m, seasonal = "
+    "first-season deviations from its mean. Runs as applyInPandas "
+    "per series (the t38 recursion pattern — state is O(m) per "
+    "series, series fan out across executors; helpers inside the "
+    "closure for foreign-cwd pickling). Emits nothing for series "
+    "shorter than two full seasons rather than fabricating "
+    "seasonality.",
+    tags=("ext", "timeseries", "analytics", "forecast"),
+    late=True,
+)
+def t43_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        tables.load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    alpha, beta, gamma = _T43_ALPHA, _T43_BETA, _T43_GAMMA
+    m, horizon = _T43_SEASON, _T43_HORIZON
+
+    def fit(pdf):
+        # helpers inlined: closure pickles by value (foreign-cwd rule)
+        import datetime as dt
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        et = pdf["event_type"].iloc[0]
+        xs = pdf["c"].astype("float64").tolist()
+        days = pdf["day"].tolist()
+        empty = pd.DataFrame(
+            {"event_type": [], "horizon": [], "forecast_day": [],
+             "forecast": [], "level": [], "trend": [],
+             "seasonal": []}
+        )
+        if len(xs) < 2 * m:  # need two full seasons to seed
+            return empty
+        s1 = xs[:m]
+        s2 = xs[m:2 * m]
+        mean1 = sum(s1) / m
+        mean2 = sum(s2) / m
+        level = mean1
+        trend = (mean2 - mean1) / m
+        season = [v - mean1 for v in s1]
+        for t, x in enumerate(xs):
+            si = t % m
+            prev_level = level
+            level = alpha * (x - season[si]) + (1 - alpha) * (
+                level + trend
+            )
+            trend = beta * (level - prev_level) + (1 - beta) * trend
+            season[si] = gamma * (x - level) + (1 - gamma) * season[si]
+        last = days[-1]
+        n = len(xs)
+        rows = []
+        for h in range(1, horizon + 1):
+            si = (n + h - 1) % m
+            rows.append(
+                {
+                    "event_type": et,
+                    "horizon": h,
+                    "forecast_day": last + dt.timedelta(days=h),
+                    "forecast": level + h * trend + season[si],
+                    "level": level,
+                    "trend": trend,
+                    "seasonal": season[si],
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(
+            fit,
+            "event_type string, horizon int, forecast_day date, "
+            "forecast double, level double, trend double, "
+            "seasonal double",
+        )
+        .orderBy("event_type", "horizon")
+    )
