@@ -4024,3 +4024,135 @@ def t43_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "horizon")
     )
+
+
+# ---------------------------------------------------------------------------
+# T44 — Markov stationary distribution via matrix squaring
+# ---------------------------------------------------------------------------
+
+_T44_SQUARINGS = 6  # P^(2^6) = P^64
+
+
+def _t44_square_sql(src: str, dst: str) -> str:
+    # MATERIALIZED: each squaring references its input TWICE; DuckDB
+    # inlines plain CTEs, so without it the base window scan re-expands
+    # 2^6 times (measured ~20s -> ~2s at sf0.01). Oracle-only syntax —
+    # this SQL never runs on Spark.
+    return (
+        f"{dst} AS MATERIALIZED (SELECT a.s, b.t, SUM(a.p * b.p) AS p "
+        f"FROM {src} a JOIN {src} b ON a.t = b.s GROUP BY 1, 2)"
+    )
+
+
+@register(
+    "t44_markov_stationary",
+    rf"""
+    WITH steps AS (
+        SELECT event_type AS s,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS t
+        FROM events
+    ),
+    counts AS (
+        SELECT s, t, COUNT(*) AS c FROM steps
+        WHERE t IS NOT NULL GROUP BY 1, 2
+    ),
+    p1 AS (
+        SELECT s, t, c * 1.0 / SUM(c) OVER (PARTITION BY s) AS p
+        FROM counts
+    ),
+    {', '.join(_t44_square_sql(f'p{2 ** i}', f'p{2 ** (i + 1)}')
+               for i in range(_T44_SQUARINGS))},
+    ns AS (SELECT COUNT(DISTINCT s) AS n FROM p1),
+    vfinal AS (
+        SELECT t AS state, SUM(p / ns.n) AS pi
+        FROM p{2 ** _T44_SQUARINGS} CROSS JOIN ns
+        GROUP BY t, ns.n
+    ),
+    emp AS (
+        SELECT event_type AS state,
+               COUNT(*) * 1.0 / (SELECT COUNT(*) FROM events) AS share
+        FROM events GROUP BY 1
+    )
+    SELECT v.state,
+           {r4sql('v.pi')} AS stationary_prob,
+           {r4sql('e.share')} AS empirical_share
+    FROM vfinal v JOIN emp e ON v.state = e.state
+    ORDER BY v.state
+    """,
+    doc="T44 (EXT analytics) — STATIONARY DISTRIBUTION of the t22 "
+    "Markov chain: the long-run fraction of time a user's behavior "
+    "spends in each event type, computed as uniform * P^64 via SIX "
+    "MATRIX SQUARINGS (each squaring is one self-join + hash-agg on "
+    "the state-bounded transition relation), reported beside the "
+    "empirical occupancy so drift between modeled and observed "
+    "behavior is one subtraction away. The distinctive part: unlike "
+    "a20's PageRank (rows-only, convergence-guarded barrier loop), "
+    "the squaring unroll is FINITE and associativity-identical on "
+    "both engines, so this iterative fixpoint is fully "
+    "ORACLE-VERIFIED — the oracle runs the same six squarings as "
+    "CTEs. Shape: everything after the one lead() window pass is "
+    "bounded by the state-count squared (enum cardinality), "
+    "independent of corpus size. Assumes the chain's state graph "
+    "has no dangling states (every observed type also transitions "
+    "out — true for any enum-typed activity stream with per-user "
+    "sequences longer than one).",
+    tags=("ext", "timeseries", "markov", "graph"),
+    late=True,
+)
+def t44_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    counts = steps.groupBy("s", "t").agg(F.count("*").alias("c"))
+    p = counts.select(
+        "s",
+        "t",
+        (
+            F.col("c") * 1.0
+            / F.sum("c").over(Window.partitionBy("s"))
+        ).alias("p"),
+    ).transform(barrier)
+    for _ in range(_T44_SQUARINGS):
+        a = p.select(
+            F.col("s"), F.col("t").alias("mid"), F.col("p").alias("pa")
+        )
+        b = p.select(
+            F.col("s").alias("mid"), F.col("t"), F.col("p").alias("pb")
+        )
+        p = (
+            a.join(b, "mid")
+            .groupBy("s", "t")
+            .agg(F.sum(F.col("pa") * F.col("pb")).alias("p"))
+        ).transform(barrier)
+    # scalars stay IN-PLAN (broadcast one-row tables), the s2 rule —
+    # no driver-side .count() round trips
+    ns = p.agg(F.countDistinct("s").alias("n"))
+    vfinal = (
+        p.crossJoin(F.broadcast(ns))
+        .groupBy(F.col("t").alias("state"), F.col("n"))
+        .agg(F.sum(F.col("p") / F.col("n")).alias("pi"))
+        .drop("n")
+    )
+    tot = ev.agg(F.count("*").alias("total"))
+    emp = (
+        ev.groupBy(F.col("event_type").alias("state"))
+        .agg(F.count("*").alias("c"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "state", (F.col("c") * 1.0 / F.col("total")).alias("share")
+        )
+    )
+    return (
+        vfinal.join(emp, "state")
+        .select(
+            "state",
+            r4("pi").alias("stationary_prob"),
+            r4("share").alias("empirical_share"),
+        )
+        .orderBy("state")
+    )

@@ -952,3 +952,43 @@ def test_t43_tracks_planted_weekly_shape(spark, tmp_path):
     # onto the shape cyclically); just check forecast spread mirrors
     # the planted 5x weekend spike
     assert max(got.values()) > 2.5 * max(1e-9, min(got.values()))
+
+
+# ---------------------------------------------------------------------------
+# t44 — stationary distribution vs numpy power iteration
+# ---------------------------------------------------------------------------
+
+
+def test_t44_stationary_matches_numpy(spark):
+    import numpy as np
+
+    from server_spark.registry import queries
+
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    states = sorted(ev["event_type"].unique())
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    C = np.zeros((n, n))
+    for _, grp in ev.groupby("user_id"):
+        seq = grp["event_type"].tolist()
+        for a, b in zip(seq, seq[1:]):
+            C[idx[a], idx[b]] += 1
+    P = C / C.sum(axis=1, keepdims=True)
+    v = np.full(n, 1.0 / n) @ np.linalg.matrix_power(P, 64)
+    got = {
+        r["state"]: r
+        for r in queries()["t44_markov_stationary"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    total = len(ev)
+    for s in states:
+        assert got[s]["stationary_prob"] == pytest.approx(
+            v[idx[s]], abs=2e-4
+        )
+        assert got[s]["empirical_share"] == pytest.approx(
+            (ev["event_type"] == s).sum() / total, abs=2e-4
+        )
+    assert sum(r["stationary_prob"] for r in got.values()) == (
+        pytest.approx(1.0, abs=5e-4)
+    )
