@@ -1767,3 +1767,75 @@ def x104_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# x108 — embedding quantization QA via orthogonal Procrustes alignment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x108_embedding_alignment",
+    None,  # SVD alignment — no SQL oracle; pinned vs numpy in tests
+    doc="EXT x108 — QUANTIZATION QA by ORTHOGONAL PROCRUSTES: aligns "
+    "the raw embedding space against its int8 quantize-dequantize "
+    "image (x22's per-vector symmetric scheme) and reports the "
+    "best-rotation residual — the number that says whether a cheaper "
+    "index is 'the same space up to noise' (rotation ~ I, small "
+    "residual) or has systematic geometric drift (rotation far from "
+    "I or a residual beyond the quantization noise floor). The same "
+    "operator (similarity/procrustes.py) answers the bigger "
+    "migration question — old model vs re-embedded corpus — given "
+    "any paired spaces. Scale shape: one mapInPandas pass folds "
+    "per-partition (n, sums, AᵀB, square norms); the driver combines "
+    "partition-bounded partials and runs a d×d SVD; the residual is "
+    "CLOSED-FORM from the same sums, no second pass.",
+    tags=("ext", "similarity", "embedding", "eval"),
+    late=True,
+)
+def x108_embedding_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.similarity.procrustes import procrustes_align
+
+    emb = _emb(spark, sf_dir)
+    # x22's symmetric int8 scheme, inline: scale = max|x|/127 (floored
+    # at 1e-12), q = round-half-away(x/scale), deq = q * scale
+    scale = F.greatest(
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        )
+        / 127,
+        F.lit(1e-12),
+    )
+    pairs = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("a"),
+        F.transform(
+            "embedding",
+            lambda x: (
+                F.when(
+                    x < 0,
+                    -F.floor(F.abs(x.cast("double")) / scale + 0.5),
+                ).otherwise(
+                    F.floor(x.cast("double") / scale + 0.5)
+                )
+                * scale
+            ),
+        ).alias("b"),
+    )
+    res = procrustes_align(pairs)
+    import numpy as np
+
+    r = np.array(res.rotation) if res.rotation else np.eye(1)
+    rot_dev = float(np.linalg.norm(r - np.eye(r.shape[0]))) if res.n else 0.0
+    return spark.createDataFrame(
+        [
+            (
+                res.n,
+                round(res.residual_rel, 6),
+                round(res.trace_alignment, 6),
+                round(rot_dev, 6),
+            )
+        ],
+        "n long, residual_rel double, trace_alignment double, "
+        "rotation_dev_from_identity double",
+    )

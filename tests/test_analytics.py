@@ -992,3 +992,66 @@ def test_t44_stationary_matches_numpy(spark):
     assert sum(r["stationary_prob"] for r in got.values()) == (
         pytest.approx(1.0, abs=5e-4)
     )
+
+
+# ---------------------------------------------------------------------------
+# x108 / procrustes operator — numpy reference + planted-rotation recovery
+# ---------------------------------------------------------------------------
+
+
+def test_procrustes_matches_numpy_reference(spark):
+    import numpy as np
+
+    from server_spark.similarity.procrustes import procrustes_align
+
+    rng = np.random.RandomState(3)
+    a = rng.randn(120, 16)
+    b = a @ np.linalg.qr(rng.randn(16, 16))[0] + 0.01 * rng.randn(120, 16)
+    pairs = spark.createDataFrame(
+        [(x.tolist(), y.tolist()) for x, y in zip(a, b)],
+        "a array<double>, b array<double>",
+    ).repartition(5)  # exercise multi-partition partial combination
+    got = procrustes_align(pairs)
+    # independent reference: full-matrix centered SVD in one numpy go
+    ac = a - a.mean(0)
+    bc = b - b.mean(0)
+    u, _s, vt = np.linalg.svd(ac.T @ bc)
+    r_ref = u @ vt
+    resid_ref = float(((ac @ r_ref - bc) ** 2).sum() / (bc ** 2).sum())
+    assert got.n == 120
+    assert got.residual_rel == pytest.approx(resid_ref, rel=1e-6)
+    assert np.allclose(np.array(got.rotation), r_ref, atol=1e-8)
+
+
+def test_procrustes_recovers_planted_rotation(spark):
+    import numpy as np
+
+    from server_spark.similarity.procrustes import procrustes_align
+
+    rng = np.random.RandomState(11)
+    a = rng.randn(200, 12)
+    r_true = np.linalg.qr(rng.randn(12, 12))[0]
+    b = a @ r_true  # pure rotation, no noise
+    pairs = spark.createDataFrame(
+        [(x.tolist(), y.tolist()) for x, y in zip(a, b)],
+        "a array<double>, b array<double>",
+    ).repartition(4)
+    got = procrustes_align(pairs)
+    assert got.residual_rel < 1e-12  # exact recovery
+    assert np.allclose(np.array(got.rotation), r_true, atol=1e-8)
+    # orthogonality of the fitted rotation
+    r = np.array(got.rotation)
+    assert np.allclose(r.T @ r, np.eye(12), atol=1e-8)
+
+
+def test_x108_quantization_alignment_invariants(spark):
+    from server_spark.registry import queries
+
+    row = queries()["x108_embedding_alignment"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    assert row["n"] > 0
+    # int8 quantization is element-wise: same space up to tiny noise
+    assert row["residual_rel"] < 1e-3
+    assert row["trace_alignment"] > 0.999
+    assert row["rotation_dev_from_identity"] < 0.1
