@@ -1765,3 +1765,87 @@ def x107_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("j_bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# x109 — per-source dedup-rate report (internal + cross-source)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x109_dedup_rate_by_source",
+    """
+    WITH h AS (
+        SELECT source, md5(LOWER(TRIM(text))) AS hh FROM documents
+    ),
+    per AS (
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(DISTINCT hh) AS n_unique
+        FROM h GROUP BY 1
+    ),
+    multi AS (
+        SELECT hh FROM (
+            SELECT hh, COUNT(DISTINCT source) AS ns FROM h GROUP BY 1
+        ) WHERE ns > 1
+    ),
+    x AS (
+        SELECT source, COUNT(DISTINCT h.hh) AS n_cross
+        FROM h JOIN multi USING (hh) GROUP BY 1
+    )
+    SELECT p.source, p.n_docs, p.n_unique,
+           {RATE} AS internal_dup_rate,
+           COALESCE(x.n_cross, 0) AS n_cross_source_hashes
+    FROM per p LEFT JOIN x ON p.source = x.source
+    ORDER BY p.source
+    """.replace(
+        "{RATE}", r4sql("1 - p.n_unique * 1.0 / p.n_docs")
+    ),
+    doc="EXT x109 — DEDUP-RATE REPORT per source: internal duplicate "
+    "rate (1 - unique/total canonical-text hashes) plus how many of "
+    "each source's distinct texts also appear in OTHER sources — the "
+    "per-supplier accountability view of what x1 (exact dedup) and "
+    "x24 (cross-source contamination) measure corpus-wide, and the "
+    "first table a curation review asks for ('which crawl is padding "
+    "us with boilerplate, and whose content is it?'). Shape: one "
+    "narrow hash map, two hash-aggs, and a multi-source-hash semi "
+    "join whose right side is bounded by the duplicated-hash count "
+    "(NOT broadcast-hinted — duplicate mass is corpus-linear in the "
+    "worst case, the x62 rule).",
+    tags=("ext", "dedup", "analytics", "report"),
+    late=True,
+)
+def x109_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    h = docs.select(
+        "source", F.md5(F.lower(F.trim(F.col("text")))).alias("hh")
+    ).transform(barrier)
+    per = h.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("hh").alias("n_unique"),
+    )
+    multi = (
+        h.groupBy("hh")
+        .agg(F.countDistinct("source").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("hh")
+    )
+    x = (
+        h.join(multi, "hh")
+        .groupBy("source")
+        .agg(F.countDistinct("hh").alias("n_cross"))
+    )
+    return (
+        per.join(x, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            r4(1 - F.col("n_unique") * 1.0 / F.col("n_docs")).alias(
+                "internal_dup_rate"
+            ),
+            F.coalesce(F.col("n_cross"), F.lit(0)).alias(
+                "n_cross_source_hashes"
+            ),
+        )
+        .orderBy("source")
+    )

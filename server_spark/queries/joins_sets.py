@@ -2257,3 +2257,85 @@ def a39_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:] + [uniq]:
         out = out.unionByName(c)
     return out.orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# J13 — as-of join with a staleness tolerance
+# ---------------------------------------------------------------------------
+
+_J13_TOL_DAYS = 3
+
+
+@register(
+    "j13_asof_tolerance",
+    f"""
+    SELECT c.event_id, c.user_id, c.ts,
+           CASE WHEN p.ts >= c.ts - INTERVAL {_J13_TOL_DAYS} DAY
+                THEN p.value END AS recent_purchase_value,
+           (p.ts IS NOT NULL
+            AND p.ts < c.ts - INTERVAL {_J13_TOL_DAYS} DAY) AS is_stale
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+    doc="J13 — as-of join WITH STALENESS TOLERANCE: each click aligned "
+    "to the user's most recent purchase ONLY if it happened within "
+    "the last 3 days; older matches surface as is_stale=true with a "
+    "NULL value instead of silently serving ancient data — the "
+    "don't-serve-stale-prices semantics a serving layer needs on top "
+    "of j6's unbounded lookback. Spark form: the same single-shuffle "
+    "union+window as operators/joins.asof_align, but the window "
+    "carries a (match_ts, value) STRUCT through last(ignorenulls) so "
+    "the staleness gate is one timestamp comparison after the "
+    "window — still no range join, no second shuffle. Ties at equal "
+    "ts stay visible via the kind-ordered sort (asof <= semantics).",
+    tags=("join", "asof"),
+    late=True,
+)
+def j13_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = tables.load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+        .withColumn("_kind", F.lit(1))
+        .withColumn(
+            "_sv",
+            F.lit(None).cast("struct<rts:timestamp,v:double>"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(0).alias("_kind"),
+        F.struct(
+            F.col("ts").alias("rts"),
+            F.col("value").cast("double").alias("v"),
+        ).alias("_sv"),
+    )
+    unioned = clicks.unionByName(purchases, allowMissingColumns=True)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("_kind").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    picked = F.last("_sv", ignorenulls=True).over(w)
+    cutoff = F.col("ts") - F.expr(f"INTERVAL {_J13_TOL_DAYS} DAYS")
+    return (
+        unioned.withColumn("_m", picked)
+        .filter(F.col("_kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(F.col("_m.rts") >= cutoff, F.col("_m.v")).alias(
+                "recent_purchase_value"
+            ),
+            (
+                F.col("_m").isNotNull() & (F.col("_m.rts") < cutoff)
+            ).alias("is_stale"),
+        )
+    )
