@@ -2968,3 +2968,84 @@ def x105_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# x110 — vocabulary tail health: hapax rate per source
+# ---------------------------------------------------------------------------
+
+_X110_RARE = 2  # "rare" = appearing at most this many times in a source
+
+
+@register(
+    "x110_hapax_rate",
+    rf"""
+    WITH tok AS (
+        SELECT source,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS w
+        FROM documents
+    ),
+    tf AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    s AS (
+        SELECT source,
+               COUNT(*) AS vocab,
+               SUM(c) AS n_tokens,
+               SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+               SUM(CASE WHEN c <= {_X110_RARE} THEN 1 ELSE 0 END)
+                   AS rare_types
+        FROM tf GROUP BY 1
+    )
+    SELECT source, n_tokens, vocab, hapax,
+           {{HR}} AS hapax_rate,
+           {{RR}} AS rare_type_rate,
+           {{TTR}} AS type_token_ratio
+    FROM s
+    ORDER BY source
+    """.replace("{HR}", r4sql("hapax * 1.0 / vocab"))
+        .replace("{RR}", r4sql("rare_types * 1.0 / vocab"))
+        .replace("{TTR}", r4sql("vocab * 1.0 / n_tokens")),
+    doc="EXT x110 — VOCABULARY TAIL HEALTH per source: hapax-legomenon "
+    "rate (types seen exactly once over total types), rare-type rate "
+    "(<=2 occurrences), and type-token ratio — the Zipf-tail "
+    "diagnostics that catch two opposite corpus defects a mean "
+    "quality score misses: machine-generated/templated text "
+    "(abnormally LOW hapax rate — the generator reuses its "
+    "vocabulary) and OCR noise/mojibake (abnormally HIGH — every "
+    "error mints a new 'type'). Pairs with a28's Zipf exponent "
+    "(slope of the head) by measuring the tail mass directly. "
+    "Shape: one tokenize explode, one (source, word) hash-agg "
+    "(Heaps-bounded), one per-source fold — all counts exact ints, "
+    "ratios r4-dressed.",
+    tags=("ext", "textstats", "quality"),
+    late=True,
+)
+def x110_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("w"),
+    )
+    tf = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
+    s = tf.groupBy("source").agg(
+        F.count("*").alias("vocab"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("hapax"),
+        F.sum(
+            F.when(F.col("c") <= _X110_RARE, 1).otherwise(0)
+        ).alias("rare_types"),
+    )
+    return s.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "hapax",
+        r4(F.col("hapax") * 1.0 / F.col("vocab")).alias("hapax_rate"),
+        r4(F.col("rare_types") * 1.0 / F.col("vocab")).alias(
+            "rare_type_rate"
+        ),
+        r4(F.col("vocab") * 1.0 / F.col("n_tokens")).alias(
+            "type_token_ratio"
+        ),
+    ).orderBy("source")

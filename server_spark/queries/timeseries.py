@@ -4156,3 +4156,132 @@ def t44_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+# ---------------------------------------------------------------------------
+# T45 — burstiness: index of dispersion + negative-binomial moment fit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t45_dispersion",
+    f"""
+    WITH hourly AS (
+        SELECT event_type,
+               DATEDIFF('hour', TIMESTAMP '{_T39_ANCHOR}',
+                        date_trunc('hour', ts)) AS h,
+               COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, MIN(h) AS hmin, MAX(h) AS hmax
+        FROM hourly GROUP BY 1
+    ),
+    grid AS (
+        SELECT event_type, hmin,
+               UNNEST(generate_series(hmin, hmax)) AS h
+        FROM bounds
+    ),
+    dense AS (
+        SELECT g.event_type, COALESCE(hh.x, 0) AS x
+        FROM grid g LEFT JOIN hourly hh
+          ON g.event_type = hh.event_type AND g.h = hh.h
+    ),
+    s AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(x) AS s1, SUM(x * x) AS s2
+        FROM dense GROUP BY 1
+    ),
+    mo AS (
+        SELECT event_type, n,
+               s1 * 1.0 / n AS mean_x,
+               (n * s2 - s1 * s1) * 1.0 / (n * 1.0 * (n - 1)) AS var_x
+        FROM s WHERE n > 1
+    )
+    SELECT event_type, n AS n_hours,
+           {{M}} AS mean_per_hour,
+           {{F}} AS fano,
+           ({{F}} > 1.5) AS overdispersed,
+           {{R}} AS nb_r,
+           {{P}} AS nb_p
+    FROM mo
+    ORDER BY event_type
+    """.replace("{M}", r4sql("mean_x"))
+        .replace("{F}", r4sql("var_x / mean_x"))
+        .replace(
+            "{R}",
+            r4sql(
+                "CASE WHEN var_x > mean_x"
+                " THEN mean_x * mean_x / (var_x - mean_x) END"
+            ),
+        )
+        .replace(
+            "{P}",
+            r4sql("CASE WHEN var_x > mean_x THEN mean_x / var_x END"),
+        ),
+    doc="T45 (EXT timeseries) — BURSTINESS per event series: the Fano "
+    "factor (index of dispersion, variance/mean of hourly counts "
+    "over the dense grid) with an overdispersion flag, plus the "
+    "method-of-moments NEGATIVE-BINOMIAL fit (r = m^2/(v-m), "
+    "p = m/v, defined only when genuinely overdispersed) — Poisson "
+    "arrivals give Fano ~ 1; bots and flash-crowds push it far "
+    "above, and the NB parameters feed capacity simulation directly. "
+    "Complements t39 (Hurst asks if bursts CLUSTER over time; Fano "
+    "asks how LUMPY the marginal is). Exactness: with integer "
+    "counts, n*s2 - s1^2 makes the sample variance a ratio of exact "
+    "BIGINTs; every output is a closed form over identical integers, "
+    "r4-dressed, and the flag cuts on the canonical Fano (a19 "
+    "pattern). Shape: dense grid bounded by the time span; one "
+    "hash-agg per series.",
+    tags=("ext", "timeseries", "analytics", "stats"),
+    late=True,
+)
+def t45_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(
+                f"timestampdiff(HOUR, timestamp'{_T39_ANCHOR}',"
+                " date_trunc('hour', ts))"
+            ).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("x"))
+    ).transform(barrier)
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("hmin"), F.max("h").alias("hmax")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.col("hmin"), F.col("hmax"))).alias("h"),
+    )
+    dense = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    s = dense.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    mean_x = s1 * 1.0 / n
+    var_x = (n * s2 - s1 * s1) * 1.0 / (n * 1.0 * (n - 1))
+    fano = r4(var_x / mean_x)
+    return (
+        s.filter(n > 1)
+        .select(
+            "event_type",
+            n.alias("n_hours"),
+            r4(mean_x).alias("mean_per_hour"),
+            fano.alias("fano"),
+            (fano > 1.5).alias("overdispersed"),
+            r4(
+                F.when(
+                    var_x > mean_x, mean_x * mean_x / (var_x - mean_x)
+                )
+            ).alias("nb_r"),
+            r4(F.when(var_x > mean_x, mean_x / var_x)).alias("nb_p"),
+        )
+        .orderBy("event_type")
+    )

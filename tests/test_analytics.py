@@ -1135,3 +1135,76 @@ def test_x109_dedup_rates_match_python(spark):
         assert row["n_cross_source_hashes"] == len(
             set(grp["hh"]) & multi
         )
+
+
+# ---------------------------------------------------------------------------
+# t45 — dispersion vs direct Python computation
+# ---------------------------------------------------------------------------
+
+
+def test_t45_dispersion_matches_python(spark):
+    from server_spark.registry import queries
+
+    ev = _events()
+    got = {
+        r["event_type"]: r
+        for r in queries()["t45_dispersion"](spark, SF_SMOKE).collect()
+    }
+    for etype, grp in ev.groupby("event_type"):
+        hours = (
+            (grp["ts"].dt.floor("h") - pd.Timestamp("2024-01-01"))
+            // pd.Timedelta(hours=1)
+        ).astype(int)
+        counts = Counter(hours)
+        lo, hi = min(counts), max(counts)
+        xs = [counts.get(h, 0) for h in range(lo, hi + 1)]
+        n = len(xs)
+        mean = sum(xs) / n
+        var = sum((x - mean) ** 2 for x in xs) / (n - 1)
+        row = got[etype]
+        assert row["n_hours"] == n
+        assert row["mean_per_hour"] == pytest.approx(mean, abs=2e-4)
+        assert row["fano"] == pytest.approx(var / mean, abs=2e-4)
+        assert row["overdispersed"] == (row["fano"] > 1.5)
+        if var > mean:
+            assert row["nb_r"] == pytest.approx(
+                mean * mean / (var - mean), abs=2e-3
+            )
+            assert row["nb_p"] == pytest.approx(mean / var, abs=2e-4)
+        else:
+            assert row["nb_r"] is None and row["nb_p"] is None
+
+
+# ---------------------------------------------------------------------------
+# x110 — hapax rates vs direct Python computation
+# ---------------------------------------------------------------------------
+
+
+def test_x110_hapax_matches_python(spark):
+    from server_spark.registry import queries
+
+    docs = _docs_pd()
+    got = {
+        r["source"]: r
+        for r in queries()["x110_hapax_rate"](spark, SF_SMOKE).collect()
+    }
+    for src, grp in docs.groupby("source"):
+        tf = Counter()
+        for t in grp["text"]:
+            tf.update(re.split(r"\s+", str(t).strip().lower()))
+        vocab = len(tf)
+        hapax = sum(1 for c in tf.values() if c == 1)
+        rare = sum(1 for c in tf.values() if c <= 2)
+        ntok = sum(tf.values())
+        row = got[src]
+        assert row["vocab"] == vocab and row["n_tokens"] == ntok
+        assert row["hapax"] == hapax
+        assert row["hapax_rate"] == pytest.approx(
+            hapax / vocab, abs=1e-4
+        )
+        assert row["rare_type_rate"] == pytest.approx(
+            rare / vocab, abs=1e-4
+        )
+        assert row["type_token_ratio"] == pytest.approx(
+            vocab / ntok, abs=1e-4
+        )
