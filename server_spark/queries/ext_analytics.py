@@ -1121,3 +1121,136 @@ def w15_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item")
     )
+
+
+# ---------------------------------------------------------------------------
+# A50 — Spearman rank correlation (tie-corrected, integer-exact ranks)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a50_spearman",
+    auctions_sql(
+        """
+    , base AS (
+        SELECT time_left AS g,
+               CAST(CAST(quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+               CAST(CAST(buyout AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        FROM auctions WHERE quantity IS NOT NULL AND buyout IS NOT NULL
+    ),
+    joint AS (SELECT g, x, y, COUNT(*) AS c FROM base GROUP BY 1, 2, 3),
+    mx AS (
+        SELECT g, x,
+               2 * COALESCE(SUM(cx) OVER (PARTITION BY g ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cx + 1 AS rx2
+        FROM (SELECT g, x, SUM(c) AS cx FROM joint GROUP BY 1, 2)
+    ),
+    my AS (
+        SELECT g, y,
+               2 * COALESCE(SUM(cy) OVER (PARTITION BY g ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cy + 1 AS ry2
+        FROM (SELECT g, y, SUM(c) AS cy FROM joint GROUP BY 1, 2)
+    ),
+    s AS (
+        SELECT j.g,
+               SUM(j.c) AS n,
+               SUM(j.c * mx.rx2) AS sx,
+               SUM(j.c * my.ry2) AS sy,
+               SUM(j.c * mx.rx2 * mx.rx2) AS sxx,
+               SUM(j.c * my.ry2 * my.ry2) AS syy,
+               SUM(j.c * mx.rx2 * my.ry2) AS sxy
+        FROM joint j
+        JOIN mx ON j.g = mx.g AND j.x = mx.x
+        JOIN my ON j.g = my.g AND j.y = my.y
+        GROUP BY 1
+    )
+    SELECT g AS time_left, n,
+           {RHO} AS spearman_rho
+    FROM s
+    ORDER BY time_left
+    """.replace(
+            "{RHO}",
+            r4sql(
+                "(n * 1.0 * sxy - sx * 1.0 * sy)"
+                " / SQRT((n * 1.0 * sxx - sx * 1.0 * sx)"
+                "      * (n * 1.0 * syy - sy * 1.0 * sy))"
+            ),
+        )
+    ),
+    doc="A50 (EXT analytics) — SPEARMAN rank correlation between lot "
+    "size and buyout per time_left: the monotone-association measure "
+    "for skewed marketplace quantities where Pearson (w12's "
+    "regression family) is dragged by price outliers — tie-corrected "
+    "via average ranks, i.e. Pearson over the rank transforms. "
+    "Exactness: DOUBLED average ranks (2r = 2·cum_before + c + 1) "
+    "are exact BIGINTs, so every accumulated moment (sx, sxx, sxy, "
+    "...) is integer algebra; the closed-form rho promotes to double "
+    "only at the end, where both engines multiply/subtract the SAME "
+    "integers (correctly rounded identically). Shape: one (g,x,y) "
+    "hash-agg; marginal ranks come from cumulative frames over the "
+    "DISTINCT-value relations (the a37/a40 pattern); rank tables "
+    "join back on value keys — corpus-linear sides, unhinted.",
+    tags=("ext", "agg", "analytics", "stats"),
+    late=True,
+)
+def a50_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    au = auctions(spark, sf_dir)
+    base = au.filter(
+        F.col("quantity").isNotNull() & F.col("buyout").isNotNull()
+    ).select(
+        F.col("time_left").alias("g"),
+        (F.col("quantity").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x"),
+        (F.col("buyout").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    joint = base.groupBy("g", "x", "y").agg(F.count("*").alias("c"))
+    joint = joint.transform(barrier)  # feeds both marginals + the fold
+
+    def marginal(col: str, out: str) -> DataFrame:
+        m = joint.groupBy("g", col).agg(F.sum("c").alias("cv"))
+        w = (
+            Window.partitionBy("g")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return m.select(
+            "g",
+            col,
+            (
+                2 * F.coalesce(F.sum("cv").over(w), F.lit(0))
+                + F.col("cv")
+                + 1
+            ).alias(out),
+        )
+
+    mx = marginal("x", "rx2")
+    my = marginal("y", "ry2")
+    s = (
+        joint.join(mx, ["g", "x"])
+        .join(my, ["g", "y"])
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.col("rx2")).alias("sx"),
+            F.sum(F.col("c") * F.col("ry2")).alias("sy"),
+            F.sum(F.col("c") * F.col("rx2") * F.col("rx2")).alias("sxx"),
+            F.sum(F.col("c") * F.col("ry2") * F.col("ry2")).alias("syy"),
+            F.sum(F.col("c") * F.col("rx2") * F.col("ry2")).alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    rho = r4(
+        (n * 1.0 * F.col("sxy") - F.col("sx") * 1.0 * F.col("sy"))
+        / F.sqrt(
+            (n * 1.0 * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx"))
+            * (n * 1.0 * F.col("syy") - F.col("sy") * 1.0 * F.col("sy"))
+        )
+    )
+    return s.select(
+        F.col("g").alias("time_left"), "n", rho.alias("spearman_rho")
+    ).orderBy("time_left")

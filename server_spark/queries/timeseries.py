@@ -4285,3 +4285,230 @@ def t45_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# T46 — Ljung-Box portmanteau whiteness test (on the t32 ACF lags)
+# ---------------------------------------------------------------------------
+
+_T46_LAGS = (1, 2, 3)
+_T46_CRIT = 7.815  # chi-squared 95% quantile at df = 3
+
+
+@register(
+    "t46_ljung_box",
+    f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, AVG(value) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY day
+               ) AS rn
+        FROM daily
+    ),
+    stats AS (
+        SELECT event_type, AVG(x) AS xbar, COUNT(*) AS n
+        FROM idx GROUP BY event_type
+    ),
+    devs AS (
+        SELECT i.event_type, i.rn, i.x - s.xbar AS dev, s.n
+        FROM idx i JOIN stats s ON i.event_type = s.event_type
+    ),
+    ss AS (
+        SELECT event_type, SUM(dev * dev) AS ss0, MAX(n) AS n
+        FROM devs GROUP BY event_type
+    ),
+    acfs AS (
+        SELECT d1.event_type, k.lag,
+               SUM(d1.dev * d2.dev) / MAX(ss.ss0) AS r,
+               MAX(ss.n) AS n
+        FROM devs d1
+        JOIN (VALUES {", ".join(f"({k})" for k in _T46_LAGS)}) AS k(lag)
+          ON TRUE
+        JOIN devs d2
+          ON d2.event_type = d1.event_type AND d2.rn = d1.rn + k.lag
+        JOIN ss ON ss.event_type = d1.event_type
+        WHERE ss.ss0 > 0
+        GROUP BY d1.event_type, k.lag
+    ),
+    q AS (
+        SELECT event_type, MAX(n) AS n_days,
+               MAX(n) * (MAX(n) + 2.0)
+                   * SUM(r * r / (n - lag)) AS q_raw
+        FROM acfs GROUP BY event_type
+        HAVING COUNT(*) = {len(_T46_LAGS)}
+    )
+    SELECT event_type, n_days,
+           {{Q}} AS lb_q,
+           ({{Q}} > {_T46_CRIT}) AS autocorrelated
+    FROM q
+    ORDER BY event_type
+    """.replace("{Q}", r4sql("q_raw")),
+    doc="T46 (EXT timeseries) — LJUNG-BOX portmanteau test over the "
+    "t32 ACF lags (1-3): Q = n(n+2)·Σ r_k²/(n-k) against the "
+    "chi-squared 95% cut at df=3 — t32 reports the individual "
+    "autocorrelations, this answers the single yes/no question a "
+    "forecasting pipeline actually gates on ('is the residual/series "
+    "distinguishable from white noise at all?') with multiple lags "
+    "combined correctly instead of three eyeballed bars. Same "
+    "single-shuffle lag-join shape as t32 (a self-join on rn+k over "
+    "the bounded daily relation); the flag cuts on the r4-canonical "
+    "Q (a19 pattern). Series missing any lag (too short) are "
+    "excluded rather than scored on partial sums.",
+    tags=("ext", "timeseries", "analytics", "stats"),
+    late=True,
+)
+def t46_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.avg("value").alias("x"))
+    )
+    idx = daily.select(
+        "event_type",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("rn"),
+    )
+    stats = idx.groupBy("event_type").agg(
+        F.avg("x").alias("xbar"), F.count("*").alias("n")
+    )
+    devs = idx.join(stats, "event_type").select(
+        "event_type", "rn", (F.col("x") - F.col("xbar")).alias("dev"), "n"
+    ).transform(barrier)
+    ss = devs.groupBy("event_type").agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("ss0"),
+        F.max("n").alias("n"),
+    )
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in _T46_LAGS])
+    ).alias("lag")
+    d1 = devs.select("event_type", "rn", F.col("dev").alias("dev1"), lags)
+    d2 = devs.select(
+        "event_type", F.col("rn").alias("rn2"), F.col("dev").alias("dev2")
+    )
+    acfs = (
+        d1.join(
+            d2,
+            (d1.event_type == d2.event_type)
+            & (F.col("rn2") == F.col("rn") + F.col("lag")),
+        )
+        .drop(d2.event_type)
+        .join(ss.filter(F.col("ss0") > 0), "event_type")
+        .groupBy("event_type", "lag")
+        .agg(
+            (
+                F.sum(F.col("dev1") * F.col("dev2")) / F.max("ss0")
+            ).alias("r"),
+            F.max("n").alias("n"),
+        )
+    )
+    q = (
+        acfs.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_days"),
+            (
+                F.max("n")
+                * (F.max("n") + 2.0)
+                * F.sum(
+                    F.col("r") * F.col("r") / (F.col("n") - F.col("lag"))
+                )
+            ).alias("q_raw"),
+            F.count("*").alias("nlags"),
+        )
+        .filter(F.col("nlags") == len(_T46_LAGS))
+    )
+    lb = r4(F.col("q_raw"))
+    return q.select(
+        "event_type",
+        "n_days",
+        lb.alias("lb_q"),
+        (lb > _T46_CRIT).alias("autocorrelated"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# T47 — circadian concentration (circular statistics over hour-of-day)
+# ---------------------------------------------------------------------------
+
+_T47_CONC = 0.1  # resultant-length cut for the "has a daily rhythm" flag
+
+
+@register(
+    "t47_circadian",
+    f"""
+    WITH hh AS (
+        SELECT event_type, EXTRACT(HOUR FROM ts) AS hr, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type,
+               SUM(c) AS n,
+               SUM(c * COS(2 * PI() * hr / 24)) AS cc,
+               SUM(c * SIN(2 * PI() * hr / 24)) AS ss
+        FROM hh GROUP BY 1
+    )
+    SELECT event_type, n,
+           {{R}} AS resultant_r,
+           {{PH}} AS peak_hour,
+           ({{R}} > {_T47_CONC}) AS concentrated
+    FROM s
+    ORDER BY event_type
+    """.replace("{R}", r4sql("SQRT(cc * cc + ss * ss) / n"))
+        .replace(
+            "{PH}",
+            r4sql(
+                "((ATAN2(ss, cc) / (2 * PI())) * 24 + 24) % 24"
+            ),
+        ),
+    doc="T47 (EXT timeseries) — CIRCADIAN CONCENTRATION via circular "
+    "statistics: hour-of-day is an angle, not a number — averaging "
+    "23:00 and 01:00 as integers says noon; mapping hours onto the "
+    "unit circle and folding the mean resultant vector says midnight "
+    "with high concentration. Reports the mean resultant length "
+    "R in [0,1] (0 = uniform around the clock, 1 = single-hour "
+    "spike), the mean direction as the PEAK HOUR, and a rhythm flag "
+    "on the canonical R (a19 pattern) — what w13's day-of-week "
+    "table is to weeks, this is to the 24h clock, with the wrap "
+    "handled correctly. Shape: one (series, hour) hash-agg (24 rows "
+    "per series), trig on the 24 exact integer hours only, folds "
+    "bounded by the clock. Uses the fuzz-pinned COS/SIN/ATAN "
+    "cross-engine identity (scalar grammar e13-e15).",
+    tags=("ext", "timeseries", "analytics", "stats"),
+    late=True,
+)
+def t47_circadian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _math
+
+    ev = tables.load(spark, sf_dir, "events")
+    hh = (
+        ev.select("event_type", F.hour("ts").alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("c"))
+    )
+    two_pi = 2 * _math.pi
+    s = hh.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.cos(two_pi * F.col("hr") / 24)).alias("cc"),
+        F.sum(F.col("c") * F.sin(two_pi * F.col("hr") / 24)).alias("ss"),
+    )
+    rr = r4(
+        F.sqrt(F.col("cc") * F.col("cc") + F.col("ss") * F.col("ss"))
+        / F.col("n")
+    )
+    peak = r4(
+        (
+            (F.atan2(F.col("ss"), F.col("cc")) / two_pi) * 24 + 24
+        ) % 24
+    )
+    return s.select(
+        "event_type",
+        "n",
+        rr.alias("resultant_r"),
+        peak.alias("peak_hour"),
+        (rr > _T47_CONC).alias("concentrated"),
+    ).orderBy("event_type")

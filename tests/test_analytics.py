@@ -1208,3 +1208,151 @@ def test_x110_hapax_matches_python(spark):
         assert row["type_token_ratio"] == pytest.approx(
             vocab / ntok, abs=1e-4
         )
+
+
+# ---------------------------------------------------------------------------
+# a50 — Spearman vs scipy-free Python computation
+# ---------------------------------------------------------------------------
+
+
+def test_a50_spearman_matches_python(spark):
+    from decimal import Decimal
+
+    from server_spark.registry import queries
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    got = {
+        r["time_left"]: r
+        for r in queries()["a50_spearman"](spark, SF_SMOKE).collect()
+    }
+
+    def cents(v):
+        return int(
+            Decimal(repr(float(v))).quantize(Decimal("0.01")) * 100
+        )
+
+    def avg_ranks(vals):
+        order = sorted(vals)
+        ranks = {}
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and order[j] == order[i]:
+                j += 1
+            ranks[order[i]] = (i + 1 + j) / 2  # average of ranks i+1..j
+            i = j
+        return ranks
+
+    for tl, grp in li.groupby("l_returnflag"):
+        xs = [cents(v) for v in grp["l_quantity"]]
+        ys = [cents(v) for v in grp["l_extendedprice"]]
+        rx = avg_ranks(xs)
+        ry = avg_ranks(ys)
+        a = [rx[v] for v in xs]
+        b = [ry[v] for v in ys]
+        n = len(a)
+        ma = sum(a) / n
+        mb = sum(b) / n
+        num = sum((p - ma) * (q - mb) for p, q in zip(a, b))
+        den = math.sqrt(
+            sum((p - ma) ** 2 for p in a) * sum((q - mb) ** 2 for q in b)
+        )
+        row = got[tl]
+        assert row["n"] == n
+        assert row["spearman_rho"] == pytest.approx(num / den, abs=2e-4)
+        assert -1 <= row["spearman_rho"] <= 1
+
+
+# ---------------------------------------------------------------------------
+# t46 — Ljung-Box vs direct Python computation
+# ---------------------------------------------------------------------------
+
+
+def test_t46_ljung_box_matches_python(spark):
+    from server_spark.registry import queries
+
+    ev = _events()
+    got = {
+        r["event_type"]: r
+        for r in queries()["t46_ljung_box"](spark, SF_SMOKE).collect()
+    }
+    for etype, grp in ev.groupby("event_type"):
+        daily = grp.groupby(grp["ts"].dt.date)["value"].mean()
+        xs = daily.sort_index().tolist()
+        n = len(xs)
+        xbar = sum(xs) / n
+        ss0 = sum((x - xbar) ** 2 for x in xs)
+        q = 0.0
+        for k in (1, 2, 3):
+            rk = (
+                sum(
+                    (xs[t] - xbar) * (xs[t + k] - xbar)
+                    for t in range(n - k)
+                )
+                / ss0
+            )
+            q += rk * rk / (n - k)
+        q *= n * (n + 2)
+        row = got[etype]
+        assert row["n_days"] == n
+        assert row["lb_q"] == pytest.approx(q, abs=2e-3)
+        assert row["autocorrelated"] == (row["lb_q"] > 7.815)
+
+
+# ---------------------------------------------------------------------------
+# t47 — circadian stats vs Python + planted-rhythm regime test
+# ---------------------------------------------------------------------------
+
+
+def test_t47_circadian_matches_python(spark):
+    from server_spark.registry import queries
+
+    ev = _events()
+    got = {
+        r["event_type"]: r
+        for r in queries()["t47_circadian"](spark, SF_SMOKE).collect()
+    }
+    for etype, grp in ev.groupby("event_type"):
+        hrs = grp["ts"].dt.hour
+        n = len(hrs)
+        cc = sum(math.cos(2 * math.pi * h / 24) for h in hrs)
+        ss = sum(math.sin(2 * math.pi * h / 24) for h in hrs)
+        row = got[etype]
+        assert row["n"] == n
+        assert row["resultant_r"] == pytest.approx(
+            math.sqrt(cc * cc + ss * ss) / n, abs=2e-4
+        )
+        peak = (math.atan2(ss, cc) / (2 * math.pi)) * 24 % 24
+        assert row["peak_hour"] == pytest.approx(peak, abs=2e-3)
+
+
+def test_t47_planted_rhythm(spark, tmp_path):
+    import os
+
+    from server_spark.registry import queries
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for d in range(20):
+        for _ in range(30):  # nightly spike at 23:00
+            rows.append(("nightly", base + pd.Timedelta(days=d, hours=23)))
+        for h in range(24):  # uniform background
+            rows.append(("flat", base + pd.Timedelta(days=d, hours=h)))
+    ev = pd.DataFrame(rows, columns=["event_type", "ts"])
+    ev["event_id"] = range(len(ev))
+    ev["user_id"] = 1
+    ev["value"] = 1.0
+    ev["props"] = "{}"
+    td = str(tmp_path / "sf")
+    os.makedirs(td)
+    ev[["event_id", "ts", "user_id", "event_type", "value", "props"]
+       ].to_parquet(os.path.join(td, "events.parquet"), index=False)
+    got = {
+        r["event_type"]: r
+        for r in queries()["t47_circadian"](spark, td).collect()
+    }
+    assert got["nightly"]["resultant_r"] > 0.95
+    assert got["nightly"]["peak_hour"] == pytest.approx(23.0, abs=0.01)
+    assert got["nightly"]["concentrated"] is True
+    assert got["flat"]["resultant_r"] < 0.01
+    assert got["flat"]["concentrated"] is False
