@@ -55,6 +55,9 @@ QUERIES = (
     "x102_chunk_dedup",           # global keep-first via min-key (r8 s2)
     "w15_weighted_median",        # integer half-total weighted cut (r8 s2)
     "t40_periodogram",            # trig sums + canonical argmax (r8 s2)
+    "t44_markov_stationary",      # six barriered matrix squarings (r8 s2)
+    "a50_spearman",               # doubled-rank moments, 2 marginal joins
+    "j13_asof_tolerance",         # struct-carrying asof window (r8 s2)
 )
 
 VARIANTS = (
