@@ -92,6 +92,7 @@ def compact_partitions(
     root: str,
     target_bytes: int = 256 * 1024 * 1024,
     min_files: int = 4,
+    verify: bool = False,
 ) -> int:
     """Rewrite every leaf partition holding ≥ ``min_files`` data files
     into ceil(bytes/target) files. Returns partitions rewritten.
@@ -110,12 +111,65 @@ def compact_partitions(
         df = spark.read.parquet(part_dir)
         tmp = _scratch(part_dir, _TMP_PREFIX)
         df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+        if verify:
+            # verify BEFORE the swap: a bad rewrite (codec bug, lost
+            # task output) must never replace good data
+            before = df.count()
+            after = spark.read.parquet(tmp).count()
+            if after != before:
+                shutil.rmtree(tmp)
+                raise RuntimeError(
+                    f"compaction verification failed for {part_dir}: "
+                    f"{before} rows -> {after}"
+                )
         old = _scratch(part_dir, _OLD_PREFIX)
         os.rename(part_dir, old)
         os.rename(tmp, part_dir)
         shutil.rmtree(old)
         rewritten += 1
     return rewritten
+
+
+def schema_drift(spark: SparkSession, table_root: str) -> list[dict]:
+    """Audit schema drift across a table's parquet file footers.
+
+    Returns one dict per column NOT present with one consistent type
+    in every file: ``{column, n_files_present, n_files_total,
+    types}`` — added and removed columns show partial presence;
+    retypes show more than one type. Companion to medallion's
+    ``mergeSchema`` read: see the drift BEFORE paying the
+    footer-merge cost, and gate promotions on it.
+    """
+    import pyarrow.parquet as pq
+
+    files = []
+    for dirpath, _dirnames, filenames in os.walk(table_root):
+        files.extend(
+            os.path.join(dirpath, f)
+            for f in filenames
+            if f.endswith(".parquet")
+        )
+    seen: dict[str, dict] = {}
+    for fp in files:
+        schema = pq.read_schema(fp)
+        for name, typ in zip(schema.names, schema.types):
+            ent = seen.setdefault(name, {"n": 0, "types": set()})
+            ent["n"] += 1
+            ent["types"].add(str(typ))
+    total = len(files)
+    out = []
+    for name in sorted(seen):
+        ent = seen[name]
+        if ent["n"] != total or len(ent["types"]) > 1:
+            out.append(
+                {
+                    "column": name,
+                    "n_files_present": ent["n"],
+                    "n_files_total": total,
+                    "types": sorted(ent["types"]),
+                }
+            )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1,4 +1,4 @@
-"""plans/compaction: small-file compaction + schema-drift audit."""
+"""maintenance: compaction verify flag + schema-drift audit."""
 
 from __future__ import annotations
 
@@ -7,7 +7,7 @@ import os
 import pandas as pd
 import pytest
 
-from server_spark.plans.compaction import (
+from server_spark.plans.maintenance import (
     compact_partitions,
     schema_drift,
 )
@@ -35,9 +35,7 @@ def _n_files(d: str) -> int:
     return len([f for f in os.listdir(d) if f.endswith(".parquet")])
 
 
-def test_compaction_rewrites_only_fragmented_partitions(
-    spark, fragmented_table
-):
+def test_verified_compaction_preserves_content(spark, fragmented_table):
     root = fragmented_table
     assert _n_files(os.path.join(root, "region=eu")) == 8
     before = {
@@ -46,13 +44,9 @@ def test_compaction_rewrites_only_fragmented_partitions(
             "id", "v", "region"
         ).collect()
     }
-    reports = compact_partitions(
-        spark, root, max_files=4, verify_hash=True
-    )
-    assert [r["partition"] for r in reports] == ["region=eu"]
-    assert reports[0]["files_before"] == 8
-    assert reports[0]["files_after"] == 1  # tiny bytes -> one file
-    assert reports[0]["rows"] == 800
+    n = compact_partitions(spark, root, min_files=4, verify=True)
+    assert n == 1  # only the fragmented partition is rewritten
+    assert _n_files(os.path.join(root, "region=eu")) == 1
     assert _n_files(os.path.join(root, "region=us")) == 1
     after = {
         tuple(r)
@@ -60,9 +54,9 @@ def test_compaction_rewrites_only_fragmented_partitions(
             "id", "v", "region"
         ).collect()
     }
-    assert after == before  # content preserved exactly
-    # idempotent second pass: nothing left over the threshold
-    assert compact_partitions(spark, root, max_files=4) == []
+    assert after == before
+    # idempotent second pass
+    assert compact_partitions(spark, root, min_files=4, verify=True) == 0
 
 
 def test_schema_drift_reports_added_and_retyped_columns(
@@ -82,8 +76,7 @@ def test_schema_drift_reports_added_and_retyped_columns(
     assert drift["c"]["n_files_present"] == 1
     assert drift["c"]["n_files_total"] == 2
     assert len(drift["b"]["types"]) == 2
-    # stable column 'a' is NOT reported
-    assert "a" not in drift
+    assert "a" not in drift  # stable column is silent
 
 
 def test_schema_drift_clean_table_is_silent(spark, fragmented_table):
