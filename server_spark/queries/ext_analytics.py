@@ -1172,10 +1172,17 @@ def w15_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY time_left
     """.replace(
             "{RHO}",
+            # explicit DOUBLE casts, not "* 1.0": DuckDB types a 1.0
+            # literal as DECIMAL(2,1), keeps the whole expression in
+            # DECIMAL(38), and the moment products overflow it at
+            # sf0.1 (caught by the full sf0.1 parity sweep)
             r4sql(
-                "(n * 1.0 * sxy - sx * 1.0 * sy)"
-                " / SQRT((n * 1.0 * sxx - sx * 1.0 * sx)"
-                "      * (n * 1.0 * syy - sy * 1.0 * sy))"
+                "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+                " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+                " / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+                "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+                "      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+                "         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
             ),
         )
     ),
