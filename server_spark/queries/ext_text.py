@@ -3049,3 +3049,112 @@ def x110_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_token_ratio"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# x111 — conditional bigram entropy (text predictability per source)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x111_conditional_entropy",
+    rf"""
+    WITH w AS (
+        SELECT source, doc_id,
+               generate_subscripts(
+                   string_split_regex(LOWER(TRIM(text)), '\s+'), 1) AS pos,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS word
+        FROM documents
+    ),
+    bg AS (
+        SELECT source, word AS w1,
+               LEAD(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM w
+    ),
+    cb AS (
+        SELECT source, w1, w2, COUNT(*) AS c
+        FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    c1 AS (SELECT source, w1, SUM(c) AS c FROM cb GROUP BY 1, 2),
+    tot AS (SELECT source, SUM(c) AS n FROM cb GROUP BY 1),
+    hj AS (
+        SELECT cb.source,
+               -SUM((cb.c * 1.0 / t.n) * LN(cb.c * 1.0 / t.n)) AS h_joint
+        FROM cb JOIN tot t ON cb.source = t.source GROUP BY 1
+    ),
+    hc AS (
+        SELECT c1.source,
+               -SUM((c1.c * 1.0 / t.n) * LN(c1.c * 1.0 / t.n)) AS h_ctx
+        FROM c1 JOIN tot t ON c1.source = t.source GROUP BY 1
+    )
+    SELECT t.source, t.n AS n_bigrams,
+           {{HC}} AS cond_entropy_nats,
+           {{HX}} AS context_entropy_nats,
+           {{PPL}} AS bigram_ppl
+    FROM tot t
+    JOIN hj ON t.source = hj.source
+    JOIN hc ON t.source = hc.source
+    ORDER BY t.source
+    """.replace("{HC}", r4sql("hj.h_joint - hc.h_ctx"))
+        .replace("{HX}", r4sql("hc.h_ctx"))
+        .replace("{PPL}", r4sql("EXP(hj.h_joint - hc.h_ctx)")),
+    doc="EXT x111 — CONDITIONAL BIGRAM ENTROPY per source: "
+    "H(next word | current word) = H(bigram) - H(context), with its "
+    "exp as the bigram perplexity — the model-free text-"
+    "predictability number that separates templated/boilerplate "
+    "sources (low: the next word is nearly determined) from diverse "
+    "prose (high) WITHOUT training the x62/x91 language models whose "
+    "scores it sanity-checks; x110 measures the vocabulary tail, "
+    "this measures the transition structure over it. Exactness: "
+    "both entropies fold from exact bigram/context counts against "
+    "the same total (identical integer ratios, LN at the end, "
+    "r4-dressed). Shape: one tokenize explode, a per-doc LEAD window "
+    "(partitioned by doc — fully parallel), Heaps-bounded bigram "
+    "and context hash-aggs, tiny per-source folds.",
+    tags=("ext", "textstats", "analytics"),
+    late=True,
+)
+def x111_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = docs.select(
+        "source",
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("pos", "word"),
+    )
+    bg = w.select(
+        "source",
+        F.col("word").alias("w1"),
+        F.lead("word")
+        .over(Window.partitionBy("doc_id").orderBy("pos"))
+        .alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    cb = bg.groupBy("source", "w1", "w2").agg(F.count("*").alias("c"))
+    cb = cb.transform(barrier)  # feeds contexts, totals, and H(joint)
+    c1 = cb.groupBy("source", "w1").agg(F.sum("c").alias("c"))
+    tot = cb.groupBy("source").agg(F.sum("c").alias("n"))
+
+    def entropy(df: DataFrame, out: str) -> DataFrame:
+        p = F.col("c") * 1.0 / F.col("n")
+        return (
+            df.join(tot, "source")
+            .groupBy("source")
+            .agg((-F.sum(p * F.log(p))).alias(out))
+        )
+
+    hj = entropy(cb, "h_joint")
+    hc = entropy(c1, "h_ctx")
+    cond = F.col("h_joint") - F.col("h_ctx")
+    return (
+        tot.join(hj, "source")
+        .join(hc, "source")
+        .select(
+            "source",
+            F.col("n").alias("n_bigrams"),
+            r4(cond).alias("cond_entropy_nats"),
+            r4("h_ctx").alias("context_entropy_nats"),
+            r4(F.exp(cond)).alias("bigram_ppl"),
+        )
+        .orderBy("source")
+    )

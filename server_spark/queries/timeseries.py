@@ -4512,3 +4512,92 @@ def t47_circadian(spark: SparkSession, sf_dir: str) -> DataFrame:
         peak.alias("peak_hour"),
         (rr > _T47_CONC).alias("concentrated"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# T48 — maximum drawdown per item price series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t48_max_drawdown",
+    auctions_sql(
+        """
+    , daily AS (
+        SELECT item, CAST(dump_ts AS DATE) AS day,
+               SUM(CAST(CAST(buyout AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS csum,
+               COUNT(*) AS c
+        FROM auctions WHERE buyout > 0
+        GROUP BY 1, 2
+    ),
+    px AS (
+        SELECT item, day, CAST(csum AS DOUBLE) / (100.0 * c) AS price
+        FROM daily
+    ),
+    dd AS (
+        SELECT item, day, price,
+               MAX(price) OVER (PARTITION BY item ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS peak
+        FROM px
+    )
+    SELECT item, COUNT(*) AS n_days,
+           {MDD} AS max_drawdown
+    FROM dd
+    GROUP BY item
+    HAVING COUNT(*) >= 5
+    ORDER BY item
+    """.replace("{MDD}", r4sql("MAX(1 - price / peak)"))
+    ),
+    doc="T48 (EXT timeseries) — MAXIMUM DRAWDOWN per item's daily mean "
+    "price series: the largest peak-to-trough relative drop, the "
+    "risk statistic a pricing/market-making strategy reads beside "
+    "the w10/w12 trend measures (volatility says how much prices "
+    "wiggle; drawdown says the worst realized loss a buy-at-peak "
+    "position took). Exactness: daily mean price is an exact-cents "
+    "ratio (identical doubles both engines); the running peak is a "
+    "cumulative MAX over identical values; the drawdown fold is "
+    "1 - price/peak maxed per item, r4-dressed. Short series "
+    "(<5 days) are excluded — a 2-point 'drawdown' is noise. Shape: "
+    "one (item, day) hash-agg, per-item cumulative windows "
+    "(parallel across items, frames bounded by the date span).",
+    tags=("ext", "timeseries", "analytics", "finance"),
+    late=True,
+)
+def t48_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.sources.synthetic import auctions as _auctions
+
+    au = _auctions(spark, sf_dir)
+    cents = (F.col("buyout").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (
+        au.filter(F.col("buyout") > 0)
+        .groupBy("item", F.col("dump_ts").cast("date").alias("day"))
+        .agg(F.sum(cents).alias("csum"), F.count("*").alias("c"))
+    )
+    px = daily.select(
+        "item",
+        "day",
+        (F.col("csum").cast("double") / (100.0 * F.col("c"))).alias(
+            "price"
+        ),
+    )
+    w = (
+        Window.partitionBy("item")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = px.select(
+        "item", "price", F.max("price").over(w).alias("peak")
+    )
+    return (
+        dd.groupBy("item")
+        .agg(
+            F.count("*").alias("n_days"),
+            r4(F.max(1 - F.col("price") / F.col("peak"))).alias(
+                "max_drawdown"
+            ),
+        )
+        .filter(F.col("n_days") >= 5)
+        .orderBy("item")
+    )

@@ -1356,3 +1356,89 @@ def test_t47_planted_rhythm(spark, tmp_path):
     assert got["nightly"]["concentrated"] is True
     assert got["flat"]["resultant_r"] < 0.01
     assert got["flat"]["concentrated"] is False
+
+
+# ---------------------------------------------------------------------------
+# t48 — max drawdown vs direct Python computation
+# ---------------------------------------------------------------------------
+
+
+def test_t48_max_drawdown_matches_python(spark):
+    from decimal import Decimal
+
+    from server_spark.registry import queries
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    li = li[li["l_extendedprice"] > 0]
+    got = {
+        r["item"]: r
+        for r in queries()["t48_max_drawdown"](spark, SF_SMOKE).collect()
+    }
+
+    def cents(v):
+        return int(
+            Decimal(repr(float(v))).quantize(Decimal("0.01")) * 100
+        )
+
+    n_checked = 0
+    for item, grp in li.groupby("l_partkey"):
+        daily = defaultdict(lambda: [0, 0])
+        for _, row in grp.iterrows():
+            d = pd.Timestamp(row["l_shipdate"]).date()
+            daily[d][0] += cents(row["l_extendedprice"])
+            daily[d][1] += 1
+        prices = [
+            daily[d][0] / (100 * daily[d][1]) for d in sorted(daily)
+        ]
+        if len(prices) < 5:
+            assert item not in got
+            continue
+        peak = mdd = 0.0
+        for p in prices:
+            peak = max(peak, p)
+            mdd = max(mdd, 1 - p / peak)
+        row = got[item]
+        assert row["n_days"] == len(prices)
+        assert row["max_drawdown"] == pytest.approx(mdd, abs=2e-4)
+        assert 0 <= row["max_drawdown"] < 1
+        n_checked += 1
+    assert n_checked > 0
+
+
+# ---------------------------------------------------------------------------
+# x111 — conditional entropy vs Python + templated-vs-diverse contrast
+# ---------------------------------------------------------------------------
+
+
+def test_x111_conditional_entropy_matches_python(spark):
+    from server_spark.registry import queries
+
+    docs = _docs_pd()
+    got = {
+        r["source"]: r
+        for r in queries()["x111_conditional_entropy"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    for src, grp in docs.groupby("source"):
+        cb = Counter()
+        for t in grp["text"]:
+            toks = re.split(r"\s+", str(t).strip().lower())
+            cb.update(zip(toks, toks[1:]))
+        n = sum(cb.values())
+        c1 = Counter()
+        for (w1, _w2), c in cb.items():
+            c1[w1] += c
+        hj = -sum(c / n * math.log(c / n) for c in cb.values())
+        hc = -sum(c / n * math.log(c / n) for c in c1.values())
+        row = got[src]
+        assert row["n_bigrams"] == n
+        assert row["cond_entropy_nats"] == pytest.approx(
+            hj - hc, abs=2e-4
+        )
+        assert row["bigram_ppl"] == pytest.approx(
+            math.exp(hj - hc), rel=1e-3
+        )
+        # conditioning can only reduce entropy
+        assert row["cond_entropy_nats"] <= row["context_entropy_nats"] + 5
+        assert row["cond_entropy_nats"] >= -1e-9
