@@ -1261,3 +1261,119 @@ def a50_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         F.col("g").alias("time_left"), "n", rho.alias("spearman_rho")
     ).orderBy("time_left")
+
+
+# ---------------------------------------------------------------------------
+# A51 — tail risk: exact VaR / CVaR of unit prices per time_left
+# ---------------------------------------------------------------------------
+
+_A51_Q = 0.95  # tail level
+
+
+@register(
+    "a51_tail_risk",
+    auctions_sql(
+        """
+    , c AS (
+        SELECT time_left AS g,
+               CAST(CAST(buyout AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM auctions WHERE buyout IS NOT NULL
+    ),
+    d AS (SELECT g, v, COUNT(*) AS cnt FROM c GROUP BY 1, 2),
+    cum AS (
+        SELECT g, v, cnt,
+               SUM(cnt) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cumc,
+               SUM(cnt) OVER (PARTITION BY g) AS n
+        FROM d
+    ),
+    var_ AS (
+        SELECT g, MAX(n) AS n, MIN(v) AS var_c
+        FROM cum WHERE cumc >= (19 * n + 19) // 20
+        GROUP BY g
+    ),
+    tail AS (
+        SELECT d.g, SUM(d.cnt) AS n_tail,
+               SUM(d.cnt * d.v) AS tail_sum
+        FROM d JOIN var_ ON d.g = var_.g AND d.v >= var_.var_c
+        GROUP BY 1
+    )
+    SELECT var_.g AS time_left, var_.n,
+           {VAR} AS var_95,
+           {CVAR} AS cvar_95,
+           t.n_tail
+    FROM var_ JOIN tail t ON var_.g = t.g
+    ORDER BY time_left
+    """.replace("{VAR}", r4sql("var_c / 100.0"))
+        .replace(
+            "{CVAR}",
+            r4sql("CAST(tail_sum AS DOUBLE) / (100.0 * n_tail)"),
+        )
+    ),
+    doc="A51 (EXT analytics) — TAIL RISK of buyout prices per "
+    "time_left: exact 95% Value-at-Risk (the order statistic at "
+    "ceil(0.95n), lower form) and the Conditional VaR / expected "
+    "shortfall (exact mean of everything at or beyond it) — the pair "
+    "a buyer-side budget model reads where a2's median reads the "
+    "center (VaR says where the expensive tail starts; CVaR says how "
+    "bad it is once you're in it). Exactness: the rank cut is pure "
+    "integer algebra (cumc >= (19n+19) DIV 20 over the distinct-"
+    "value cumulative frame — the a40 pattern), VaR is a MIN over "
+    "exact cents, and CVaR is an exact-cents tail sum over one "
+    "value-gated join; floats only in the two final divisions. Tail "
+    "membership is VALUE-based (every row >= the VaR value), so ties "
+    "at the boundary are deterministic on both engines. Same "
+    "exact-order-statistic cost class as a2, same approx escape.",
+    tags=("ext", "agg", "analytics", "stats", "finance"),
+    late=True,
+)
+def a51_tail_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    au = auctions(spark, sf_dir)
+    c = au.filter(F.col("buyout").isNotNull()).select(
+        F.col("time_left").alias("g"),
+        (F.col("buyout").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("v"),
+    )
+    d = c.groupBy("g", "v").agg(F.count("*").alias("cnt"))
+    d = d.transform(barrier)  # feeds the rank cut and the tail join
+    part = Window.partitionBy("g")
+    cum = d.select(
+        "g",
+        "v",
+        "cnt",
+        F.sum("cnt")
+        .over(part.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cumc"),
+        F.sum("cnt").over(part).alias("n"),
+    )
+    k = F.expr("(19 * n + 19) DIV 20")
+    var_ = (
+        cum.filter(F.col("cumc") >= k)
+        .groupBy("g")
+        .agg(F.max("n").alias("n"), F.min("v").alias("var_c"))
+    )
+    tail = (
+        d.join(var_.select("g", "var_c"), "g")
+        .filter(F.col("v") >= F.col("var_c"))
+        .groupBy("g")
+        .agg(
+            F.sum("cnt").alias("n_tail"),
+            F.sum(F.col("cnt") * F.col("v")).alias("tail_sum"),
+        )
+    )
+    return (
+        var_.join(tail, "g")
+        .select(
+            F.col("g").alias("time_left"),
+            "n",
+            r4(F.col("var_c") / 100.0).alias("var_95"),
+            r4(
+                F.col("tail_sum").cast("double")
+                / (100.0 * F.col("n_tail"))
+            ).alias("cvar_95"),
+            "n_tail",
+        )
+        .orderBy("time_left")
+    )

@@ -4601,3 +4601,109 @@ def t48_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_days") >= 5)
         .orderBy("item")
     )
+
+
+# ---------------------------------------------------------------------------
+# W16 — Bollinger bands with breach flags (rolling local volatility)
+# ---------------------------------------------------------------------------
+
+_W16_WIN = 7  # trailing days
+_W16_K = 2.0  # band width in rolling sigmas
+
+
+@register(
+    "w16_bollinger",
+    auctions_sql(
+        f"""
+    , daily AS (
+        SELECT item, CAST(dump_ts AS DATE) AS day,
+               SUM(CAST(CAST(buyout AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS csum,
+               COUNT(*) AS c
+        FROM auctions WHERE buyout > 0
+        GROUP BY 1, 2
+    ),
+    px AS (
+        SELECT item, day, CAST(csum AS DOUBLE) / (100.0 * c) AS price
+        FROM daily
+    ),
+    roll AS (
+        SELECT item, day, price,
+               AVG(price) OVER w AS mid,
+               STDDEV_SAMP(price) OVER w AS sd,
+               COUNT(*) OVER w AS wn
+        FROM px
+        WINDOW w AS (PARTITION BY item ORDER BY day
+                     ROWS BETWEEN {_W16_WIN - 1} PRECEDING
+                              AND CURRENT ROW)
+    )
+    SELECT item, day,
+           {{P}} AS price, {{M}} AS mid,
+           {{U}} AS upper_band, {{L}} AS lower_band,
+           ({{P}} > {{U}}) AS breach_up,
+           ({{P}} < {{L}}) AS breach_down
+    FROM roll WHERE wn = {_W16_WIN} AND sd IS NOT NULL
+    ORDER BY item, day
+    """.replace("{P}", r4sql("price"))
+        .replace("{M}", r4sql("mid"))
+        .replace("{U}", r4sql(f"mid + {_W16_K} * sd"))
+        .replace("{L}", r4sql(f"mid - {_W16_K} * sd"))
+    ),
+    doc="W16 (EXT window/finance) — BOLLINGER BANDS per item: trailing "
+    f"{_W16_WIN}-day rolling mean +- {_W16_K} rolling sigmas around "
+    "the daily exact-cents mean price, with breach flags on the "
+    "CANONICAL values (a19 pattern) — t20's z-scores standardize "
+    "against the GLOBAL series moments; bands localize volatility so "
+    "a quiet series that suddenly jumps flags even when its global "
+    "variance is large. Only full windows are scored (a 2-day 'band' "
+    "is noise). Shape: one (item, day) hash-agg then per-item "
+    "bounded rolling frames — parallel across items; rolling "
+    "STDDEV's ulp wobble between engines is absorbed by the r4 dress "
+    "on every emitted value AND both flag operands.",
+    tags=("ext", "window", "timeseries", "finance"),
+    late=True,
+)
+def w16_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.sources.synthetic import auctions as _auctions
+
+    au = _auctions(spark, sf_dir)
+    cents = (F.col("buyout").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (
+        au.filter(F.col("buyout") > 0)
+        .groupBy("item", F.col("dump_ts").cast("date").alias("day"))
+        .agg(F.sum(cents).alias("csum"), F.count("*").alias("c"))
+    )
+    px = daily.select(
+        "item",
+        "day",
+        (F.col("csum").cast("double") / (100.0 * F.col("c"))).alias(
+            "price"
+        ),
+    )
+    w = (
+        Window.partitionBy("item")
+        .orderBy("day")
+        .rowsBetween(-(_W16_WIN - 1), Window.currentRow)
+    )
+    roll = px.select(
+        "item",
+        "day",
+        "price",
+        F.avg("price").over(w).alias("mid"),
+        F.stddev_samp("price").over(w).alias("sd"),
+        F.count("*").over(w).alias("wn"),
+    ).filter((F.col("wn") == _W16_WIN) & F.col("sd").isNotNull())
+    p = r4("price")
+    mid = r4("mid")
+    up = r4(F.col("mid") + _W16_K * F.col("sd"))
+    lo = r4(F.col("mid") - _W16_K * F.col("sd"))
+    return roll.select(
+        "item",
+        "day",
+        p.alias("price"),
+        mid.alias("mid"),
+        up.alias("upper_band"),
+        lo.alias("lower_band"),
+        (p > up).alias("breach_up"),
+        (p < lo).alias("breach_down"),
+    ).orderBy("item", "day")

@@ -1442,3 +1442,89 @@ def test_x111_conditional_entropy_matches_python(spark):
         # conditioning can only reduce entropy
         assert row["cond_entropy_nats"] <= row["context_entropy_nats"] + 5
         assert row["cond_entropy_nats"] >= -1e-9
+
+
+# ---------------------------------------------------------------------------
+# a51 — VaR/CVaR vs direct Python computation
+# ---------------------------------------------------------------------------
+
+
+def test_a51_tail_risk_matches_python(spark):
+    from decimal import Decimal
+
+    from server_spark.registry import queries
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    got = {
+        r["time_left"]: r
+        for r in queries()["a51_tail_risk"](spark, SF_SMOKE).collect()
+    }
+    for tl, grp in li.groupby("l_returnflag"):
+        cents = sorted(
+            int(Decimal(repr(float(v))).quantize(Decimal("0.01")) * 100)
+            for v in grp["l_extendedprice"]
+        )
+        n = len(cents)
+        k = (19 * n + 19) // 20
+        var_c = cents[k - 1]  # rank-k order statistic (1-based)
+        tail = [v for v in cents if v >= var_c]
+        row = got[tl]
+        assert row["n"] == n
+        assert row["var_95"] == pytest.approx(var_c / 100, abs=1e-4)
+        assert row["n_tail"] == len(tail)
+        assert row["cvar_95"] == pytest.approx(
+            sum(tail) / (100 * len(tail)), abs=1e-4
+        )
+        # CVaR dominates VaR by construction
+        assert row["cvar_95"] >= row["var_95"] - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# w16 — Bollinger bands vs direct Python computation
+# ---------------------------------------------------------------------------
+
+
+def test_w16_bollinger_matches_python(spark):
+    from decimal import Decimal
+    from statistics import mean, stdev
+
+    from server_spark.registry import queries
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    li = li[li["l_extendedprice"] > 0]
+    got = {
+        (r["item"], r["day"]): r
+        for r in queries()["w16_bollinger"](spark, SF_SMOKE).collect()
+    }
+
+    def cents(v):
+        return int(
+            Decimal(repr(float(v))).quantize(Decimal("0.01")) * 100
+        )
+
+    n_rows = 0
+    for item, grp in li.groupby("l_partkey"):
+        daily = defaultdict(lambda: [0, 0])
+        for _, row in grp.iterrows():
+            d = pd.Timestamp(row["l_shipdate"]).date()
+            daily[d][0] += cents(row["l_extendedprice"])
+            daily[d][1] += 1
+        days = sorted(daily)
+        prices = [daily[d][0] / (100 * daily[d][1]) for d in days]
+        for i in range(6, len(days)):
+            win = prices[i - 6:i + 1]
+            mid = mean(win)
+            sd = stdev(win)
+            row = got[(item, days[i])]
+            assert row["mid"] == pytest.approx(mid, abs=2e-4)
+            assert row["upper_band"] == pytest.approx(
+                mid + 2 * sd, abs=2e-3
+            )
+            assert row["breach_up"] == (
+                row["price"] > row["upper_band"]
+            )
+            assert row["breach_down"] == (
+                row["price"] < row["lower_band"]
+            )
+            n_rows += 1
+    assert n_rows == len(got)
