@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from server_spark import tables
+from server_spark.barrier import barrier
 from server_spark.parity import r4, r4sql
 from server_spark.queries.ext_common import _docs
 from server_spark.registry import auctions_sql, register
@@ -939,3 +940,139 @@ def x101_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.col("budget_tokens")
         ).alias("is_binding"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# x112 — quality-filter attribution (which rule does the work?)
+# ---------------------------------------------------------------------------
+
+# Five INDEPENDENT binary rules (unlike x18's first-fail verdict):
+# attribution needs every rule evaluated on every doc.
+_X112_RULES_SQL = {
+    "too_short": "n_tokens < 40",
+    "too_long": "n_tokens > 300",
+    "low_alpha": "alpha_ratio < 0.55",
+    "repetitive": "2 * n_distinct < n_tokens",
+    "tiny": "n_chars < 200",
+}
+
+
+@register(
+    "x112_filter_attribution",
+    r"""
+    WITH m AS (
+        SELECT doc_id, n_chars,
+               len(string_split_regex(LOWER(TRIM(text)), '\s+'))
+                   AS n_tokens,
+               len(list_distinct(
+                   string_split_regex(LOWER(TRIM(text)), '\s+')))
+                   AS n_distinct,
+               CAST(LENGTH(regexp_replace(LOWER(text), '[^a-z]', '',
+                    'g')) AS DOUBLE) / LENGTH(text) AS alpha_ratio
+        FROM documents
+    ),
+    flags AS (
+        SELECT doc_id,
+               CAST(n_tokens < 40 AS INT) AS f_too_short,
+               CAST(n_tokens > 300 AS INT) AS f_too_long,
+               CAST(alpha_ratio < 0.55 AS INT) AS f_low_alpha,
+               CAST(2 * n_distinct < n_tokens AS INT) AS f_repetitive,
+               CAST(n_chars < 200 AS INT) AS f_tiny,
+               (CAST(n_tokens < 40 AS INT) + CAST(n_tokens > 300 AS INT) + CAST(alpha_ratio < 0.55 AS INT) + CAST(2 * n_distinct < n_tokens AS INT) + CAST(n_chars < 200 AS INT)) AS n_fail
+        FROM m
+    )
+    SELECT 'too_short' AS rule, SUM(f_too_short) AS n_failing,
+           SUM(CASE WHEN f_too_short = 1 AND n_fail = 1 THEN 1 ELSE 0 END) AS n_unique_failing,
+           COUNT(*) AS n_docs,
+           CAST(CAST(ROUND(CAST(CAST((SUM(f_too_short) * 1.0 / COUNT(*)) AS STRING) AS DECIMAL(38,10)), 4) AS STRING) AS DOUBLE) AS fail_share
+    FROM flags
+    UNION ALL
+    SELECT 'too_long' AS rule, SUM(f_too_long) AS n_failing,
+           SUM(CASE WHEN f_too_long = 1 AND n_fail = 1 THEN 1 ELSE 0 END) AS n_unique_failing,
+           COUNT(*) AS n_docs,
+           CAST(CAST(ROUND(CAST(CAST((SUM(f_too_long) * 1.0 / COUNT(*)) AS STRING) AS DECIMAL(38,10)), 4) AS STRING) AS DOUBLE) AS fail_share
+    FROM flags
+    UNION ALL
+    SELECT 'low_alpha' AS rule, SUM(f_low_alpha) AS n_failing,
+           SUM(CASE WHEN f_low_alpha = 1 AND n_fail = 1 THEN 1 ELSE 0 END) AS n_unique_failing,
+           COUNT(*) AS n_docs,
+           CAST(CAST(ROUND(CAST(CAST((SUM(f_low_alpha) * 1.0 / COUNT(*)) AS STRING) AS DECIMAL(38,10)), 4) AS STRING) AS DOUBLE) AS fail_share
+    FROM flags
+    UNION ALL
+    SELECT 'repetitive' AS rule, SUM(f_repetitive) AS n_failing,
+           SUM(CASE WHEN f_repetitive = 1 AND n_fail = 1 THEN 1 ELSE 0 END) AS n_unique_failing,
+           COUNT(*) AS n_docs,
+           CAST(CAST(ROUND(CAST(CAST((SUM(f_repetitive) * 1.0 / COUNT(*)) AS STRING) AS DECIMAL(38,10)), 4) AS STRING) AS DOUBLE) AS fail_share
+    FROM flags
+    UNION ALL
+    SELECT 'tiny' AS rule, SUM(f_tiny) AS n_failing,
+           SUM(CASE WHEN f_tiny = 1 AND n_fail = 1 THEN 1 ELSE 0 END) AS n_unique_failing,
+           COUNT(*) AS n_docs,
+           CAST(CAST(ROUND(CAST(CAST((SUM(f_tiny) * 1.0 / COUNT(*)) AS STRING) AS DECIMAL(38,10)), 4) AS STRING) AS DOUBLE) AS fail_share
+    FROM flags
+    ORDER BY rule
+    """,
+    doc="EXT x112 — FILTER ATTRIBUTION over five independent quality "
+    "rules: per rule, how many docs fail it at all and how many fail "
+    "it UNIQUELY (no other rule would catch them) — the ablation "
+    "view behind every filter-stack review: a rule with zero unique "
+    "failures is redundant (drop it, nothing changes); a rule whose "
+    "failures are mostly unique is carrying real coverage, and "
+    "'recoverable' = its unique count is exactly how many docs "
+    "come back if the rule is relaxed. x18 applies the stack "
+    "(first-fail verdicts); this EVALUATES it (every rule on every "
+    "doc). Shape: one narrow metric map, one flags projection, and "
+    "k tiny conditional-aggregate branches over it — column pruning "
+    "keeps each branch to its own flag; all counts exact ints.",
+    tags=("ext", "textstats", "filter", "eval"),
+    late=True,
+)
+def x112_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    alpha_ratio = (
+        F.length(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z]", "")
+        ).cast("double")
+        / F.length(F.col("text"))
+    )
+    m = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        alpha_ratio.alias("alpha_ratio"),
+    )
+    rules = {
+        "too_short": F.col("n_tokens") < 40,
+        "too_long": F.col("n_tokens") > 300,
+        "low_alpha": F.col("alpha_ratio") < 0.55,
+        "repetitive": 2 * F.col("n_distinct") < F.col("n_tokens"),
+        "tiny": F.col("n_chars") < 200,
+    }
+    flags = m.select(
+        "doc_id",
+        *[cond.cast("int").alias(f"f_{name}") for name, cond in rules.items()],
+    ).withColumn(
+        "n_fail", sum(F.col(f"f_{n}") for n in rules)
+    ).transform(barrier)  # one metric pass feeds every rule branch
+    out = None
+    for name in rules:
+        branch = flags.agg(
+            F.lit(name).alias("rule"),
+            F.sum(F.col(f"f_{name}")).alias("n_failing"),
+            F.sum(
+                F.when(
+                    (F.col(f"f_{name}") == 1) & (F.col("n_fail") == 1), 1
+                ).otherwise(0)
+            ).alias("n_unique_failing"),
+            F.count("*").alias("n_docs"),
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out.select(
+        "rule",
+        "n_failing",
+        "n_unique_failing",
+        "n_docs",
+        r4(F.col("n_failing") * 1.0 / F.col("n_docs")).alias("fail_share"),
+    ).orderBy("rule")

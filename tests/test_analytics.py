@@ -1528,3 +1528,54 @@ def test_w16_bollinger_matches_python(spark):
             )
             n_rows += 1
     assert n_rows == len(got)
+
+
+# ---------------------------------------------------------------------------
+# x112 — filter attribution vs direct Python computation
+# ---------------------------------------------------------------------------
+
+
+def test_x112_filter_attribution_matches_python(spark):
+    from server_spark.registry import queries
+
+    docs = _docs_pd()
+    fails = []
+    for _, row in docs.iterrows():
+        toks = re.split(r"\s+", str(row["text"]).strip().lower())
+        alpha = len(re.sub(r"[^a-z]", "", str(row["text"]).lower())) / len(
+            str(row["text"])
+        )
+        fails.append(
+            {
+                "too_short": len(toks) < 40,
+                "too_long": len(toks) > 300,
+                "low_alpha": alpha < 0.55,
+                "repetitive": 2 * len(set(toks)) < len(toks),
+                "tiny": row["n_chars"] < 200,
+            }
+        )
+    got = {
+        r["rule"]: r
+        for r in queries()["x112_filter_attribution"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(got) == set(fails[0])
+    for rule in fails[0]:
+        n_fail = sum(1 for f in fails if f[rule])
+        n_unique = sum(
+            1
+            for f in fails
+            if f[rule] and sum(f.values()) == 1
+        )
+        row = got[rule]
+        assert row["n_docs"] == len(fails)
+        assert row["n_failing"] == n_fail
+        assert row["n_unique_failing"] == n_unique
+        assert row["n_unique_failing"] <= row["n_failing"]
+        assert row["fail_share"] == pytest.approx(
+            n_fail / len(fails), abs=1e-4
+        )
+    # the fixture must exercise the interesting case: at least one
+    # rule fails docs, and unique counts differ from raw counts
+    assert any(r["n_failing"] > 0 for r in got.values())
