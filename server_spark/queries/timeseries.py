@@ -4707,3 +4707,119 @@ def w16_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         (p > up).alias("breach_up"),
         (p < lo).alias("breach_down"),
     ).orderBy("item", "day")
+
+
+# ---------------------------------------------------------------------------
+# T49 — price staleness: unchanged-price runs per item
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t49_price_staleness",
+    auctions_sql(
+        """
+    , daily AS (
+        SELECT item, CAST(dump_ts AS DATE) AS day,
+               SUM(CAST(CAST(buyout AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS csum,
+               COUNT(*) AS c
+        FROM auctions WHERE buyout > 0
+        GROUP BY 1, 2
+    ),
+    chg AS (
+        SELECT item, day, csum, c,
+               CASE WHEN LAG(csum) OVER w IS NULL
+                      OR csum * LAG(c) OVER w <> LAG(csum) OVER w * c
+                    THEN 1 ELSE 0 END AS is_change
+        FROM daily
+        WINDOW w AS (PARTITION BY item ORDER BY day)
+    ),
+    runs AS (
+        SELECT item, day,
+               SUM(is_change) OVER (PARTITION BY item ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_id
+        FROM chg
+    ),
+    rl AS (
+        SELECT item, run_id, COUNT(*) AS run_len
+        FROM runs GROUP BY 1, 2
+    )
+    SELECT item,
+           SUM(run_len) AS n_days,
+           COUNT(*) AS n_price_levels,
+           SUM(run_len) - COUNT(*) AS stale_days,
+           MAX(run_len) AS longest_run,
+           {SF} AS stale_frac
+    FROM rl
+    GROUP BY item
+    HAVING SUM(run_len) >= 5
+    ORDER BY item
+    """.replace(
+            "{SF}",
+            r4sql("(SUM(run_len) - COUNT(*)) * 1.0 / SUM(run_len)"),
+        )
+    ),
+    doc="T49 (EXT timeseries/ops) — PRICE STALENESS per item: "
+    "gaps-and-islands over consecutive snapshot days with an "
+    "UNCHANGED mean price — run count, stale-day fraction, and the "
+    "longest frozen stretch; the data-freshness complement to t34's "
+    "volume-drop monitor (volume says the feed died; staleness says "
+    "the feed is alive but nobody is repricing — or an upstream "
+    "cache is serving yesterday's dump). Exactness trick: 'price "
+    "unchanged' compares the daily mean WITHOUT division — "
+    "csum1*c2 = csum2*c1 cross-multiplied in exact BIGINT cents, so "
+    "run boundaries cannot flake on float ulps. Shape: one "
+    "(item, day) hash-agg, per-item lag + cumulative-change windows "
+    "(parallel across items), one run-length fold.",
+    tags=("ext", "timeseries", "analytics", "ops"),
+    late=True,
+)
+def t49_price_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.sources.synthetic import auctions as _auctions
+
+    au = _auctions(spark, sf_dir)
+    cents = (F.col("buyout").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (
+        au.filter(F.col("buyout") > 0)
+        .groupBy("item", F.col("dump_ts").cast("date").alias("day"))
+        .agg(F.sum(cents).alias("csum"), F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("item").orderBy("day")
+    lag_csum = F.lag("csum").over(w)
+    lag_c = F.lag("c").over(w)
+    chg = daily.select(
+        "item",
+        "day",
+        F.when(
+            lag_csum.isNull()
+            | (F.col("csum") * lag_c != lag_csum * F.col("c")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_change"),
+    )
+    runs = chg.select(
+        "item",
+        "day",
+        F.sum("is_change")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_id"),
+    )
+    rl = runs.groupBy("item", "run_id").agg(F.count("*").alias("run_len"))
+    return (
+        rl.groupBy("item")
+        .agg(
+            F.sum("run_len").alias("n_days"),
+            F.count("*").alias("n_price_levels"),
+            (F.sum("run_len") - F.count("*")).alias("stale_days"),
+            F.max("run_len").alias("longest_run"),
+            r4(
+                (F.sum("run_len") - F.count("*"))
+                * 1.0
+                / F.sum("run_len")
+            ).alias("stale_frac"),
+        )
+        .filter(F.col("n_days") >= 5)
+        .orderBy("item")
+    )

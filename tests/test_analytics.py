@@ -1579,3 +1579,58 @@ def test_x112_filter_attribution_matches_python(spark):
     # the fixture must exercise the interesting case: at least one
     # rule fails docs, and unique counts differ from raw counts
     assert any(r["n_failing"] > 0 for r in got.values())
+
+
+# ---------------------------------------------------------------------------
+# t49 — price staleness vs direct Python run-length computation
+# ---------------------------------------------------------------------------
+
+
+def test_t49_staleness_matches_python(spark):
+    from decimal import Decimal
+    from fractions import Fraction
+
+    from server_spark.registry import queries
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    li = li[li["l_extendedprice"] > 0]
+    got = {
+        r["item"]: r
+        for r in queries()["t49_price_staleness"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+
+    def cents(v):
+        return int(
+            Decimal(repr(float(v))).quantize(Decimal("0.01")) * 100
+        )
+
+    n_checked = 0
+    for item, grp in li.groupby("l_partkey"):
+        daily = defaultdict(lambda: [0, 0])
+        for _, row in grp.iterrows():
+            d = pd.Timestamp(row["l_shipdate"]).date()
+            daily[d][0] += cents(row["l_extendedprice"])
+            daily[d][1] += 1
+        days = sorted(daily)
+        if len(days) < 5:
+            assert item not in got
+            continue
+        prices = [Fraction(daily[d][0], daily[d][1]) for d in days]
+        runs = [1]
+        for a, b in zip(prices, prices[1:]):
+            if a == b:
+                runs[-1] += 1
+            else:
+                runs.append(1)
+        row = got[item]
+        assert row["n_days"] == len(days)
+        assert row["n_price_levels"] == len(runs)
+        assert row["stale_days"] == len(days) - len(runs)
+        assert row["longest_run"] == max(runs)
+        assert row["stale_frac"] == pytest.approx(
+            (len(days) - len(runs)) / len(days), abs=1e-4
+        )
+        n_checked += 1
+    assert n_checked > 0
