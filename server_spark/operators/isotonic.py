@@ -40,8 +40,8 @@ def isotonic_fit(
     inc = increasing
 
     def fit(pdf):
-        # helper logic inlined so the closure pickles by value
-        # (foreign-cwd driver rule)
+        # helper logic inlined so the closure pickles by value and the
+        # UDF works regardless of the driver's working directory
         pdf = pdf.sort_values(x, kind="mergesort").reset_index(drop=True)
         blocks = []
         for yi, wi in zip(pdf[y], pdf[w]):

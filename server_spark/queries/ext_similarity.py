@@ -1564,8 +1564,8 @@ def x97_pca_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
 
     def partials(batches):
-        # helpers INSIDE the closure: pickles by value (foreign-cwd
-        # driver rule, .claude/skills/verify gotcha)
+        # helpers INSIDE the closure so they pickle by value and the
+        # UDF works regardless of the driver's working directory
         import numpy as np
         import pandas as pd
 
