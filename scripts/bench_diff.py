@@ -12,10 +12,25 @@ named in SCALE.md's ``## Bench waivers`` section with a cause.
 Usage:
     python scripts/bench_diff.py              # gate (exit 1 on unwaived)
     python scripts/bench_diff.py --report     # table only, never fails
+    python scripts/bench_diff.py --since BENCH_r08.json
+                                              # gate vs a PRIOR ROUND's
+                                              # driver artifact
 
 End-of-round ritual: run bench.py, run this gate, fix or waive, then
 refresh the baseline with ``--accept`` (which copies BENCH_FULL.json
 over bench_baseline.json) as part of the snapshot commit.
+
+``--since`` exists because a mid-round ``--accept`` bakes the round's
+own regressions into the baseline, so the default gate can no longer
+see them (this is how the r8 de-hint/cap trade on x75/x77 reached the
+judge as archaeology instead of a waived gate). Pointing ``--since``
+at the previous round's ``BENCH_r{N}.json`` diffs the fresh run
+against numbers frozen BEFORE the round started, drift-normalized;
+deliberate trades then surface as failing entries that must be waived
+in SCALE.md's ``## Bench waivers`` with a cause. Driver artifacts that
+wrap the bench JSON line inside a ``tail`` string are parsed
+transparently; the driver's truncated per-query map (top-N slowest)
+still covers exactly the queries where a regression matters.
 """
 
 from __future__ import annotations
@@ -102,13 +117,35 @@ def diff(
     return regs, added, removed
 
 
+def load_queries(path: Path) -> dict[str, float]:
+    """Per-query seconds from a bench artifact: a plain bench JSON
+    (``{"queries": {...}}``) or a driver round artifact whose bench
+    line is embedded in a ``tail`` log string."""
+    doc = json.loads(path.read_text())
+    if "queries" in doc:
+        return doc["queries"]
+    if "tail" in doc:
+        m = re.search(r'\{"metric".*\}', doc["tail"])
+        if m:
+            return json.loads(m.group(0))["queries"]
+    raise SystemExit(f"{path}: no per-query map found")
+
+
 def main(argv: list[str]) -> int:
     report_only = "--report" in argv
     if "--accept" in argv:
         BASELINE.write_text(FRESH.read_text())
         print(f"baseline refreshed from {FRESH}")
         return 0
-    base = json.loads(BASELINE.read_text())["queries"]
+    if "--since" in argv:
+        since_path = Path(argv[argv.index("--since") + 1])
+        if not since_path.is_absolute():
+            since_path = REPO / since_path
+        base = load_queries(since_path)
+        print(f"comparing against {since_path.name} "
+              f"({len(base)} queries)")
+    else:
+        base = json.loads(BASELINE.read_text())["queries"]
     fresh = json.loads(FRESH.read_text())["queries"]
     regs, added, removed = diff(base, fresh)
     waived = waivers()
@@ -121,7 +158,12 @@ def main(argv: list[str]) -> int:
             f"{ratio:5.2f}x(norm)  {name}: {b:.2f}s -> {f:.2f}s  [{tag}]"
         )
     if added:
-        print(f"new queries (no baseline): {', '.join(added)}")
+        if "--since" in argv:
+            # driver artifacts keep only the top-N slowest queries, so
+            # most of the registry is "new" vs them — just count it
+            print(f"queries without a prior-round number: {len(added)}")
+        else:
+            print(f"new queries (no baseline): {', '.join(added)}")
     if removed:
         print(f"dropped queries: {', '.join(removed)}")
     total_b = sum(base.values())

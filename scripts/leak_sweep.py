@@ -25,6 +25,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PATTERNS = [
     (r"\.claude\b", "AI-harness dotdir"),
     (r"skills/(verify|commit|pr)\b", "harness skill path"),
+    (r"(verify|commit|pr)[-_ ]skill", "harness skill reference"),
     (r"claude[-_ ]code", "harness product name"),
     (r"anthropic", "vendor-internal reference"),
     (r"s3://(?!public|example|bucket)", "non-public bucket"),

@@ -262,11 +262,11 @@ _A41_WGT_SQL = " + ".join(
     "reformulation) gives every (row, replicate) an independent "
     "Poisson(1) weight, which needs no global coordination and is "
     "exact as n grows. Determinism: weights come from md5(auc|block) "
-    "draws — each hash funds EIGHT 16-bit replicate uniforms (the "
+    "draws — each hash funds EIGHT 15-bit replicate uniforms (the "
     "hash is the hot-path cost, so this is an 8x cut vs one md5 per "
     "replicate) compared against INTEGER Poisson CDF cut points "
     "(reproducible across engines, runs, and cluster sizes — no RNG "
-    "state; grid truncation bias < 2^-16). Replicate means stay exact "
+    "state; grid truncation bias < 2^-15). Replicate means stay exact "
     "(BIGINT cents x integer weights) until one final division; the "
     "replicate-spread stddev and the +-1.96se normal interval are the "
     "only float steps, r4-dressed. Scale shape: the explode is R* map "

@@ -970,6 +970,7 @@ _X112_RULES_SQL = {
                CAST(LENGTH(regexp_replace(LOWER(text), '[^a-z]', '',
                     'g')) AS DOUBLE) / LENGTH(text) AS alpha_ratio
         FROM documents
+        WHERE text IS NOT NULL AND LENGTH(text) > 0
     ),
     flags AS (
         SELECT doc_id,
@@ -1036,7 +1037,13 @@ def x112_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / F.length(F.col("text"))
     )
-    m = docs.select(
+    # NULL/empty text guard on BOTH engines: Spark's x/0 yields NULL
+    # (the rule would silently drop out of n_fail) while DuckDB's
+    # float 0/0 is version-dependent — excluding the rows up front
+    # keeps the attribution well-defined and the parity exact
+    m = docs.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
         "doc_id",
         "n_chars",
         F.size(toks).alias("n_tokens"),

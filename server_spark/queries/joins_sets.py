@@ -2269,16 +2269,26 @@ _J13_TOL_DAYS = 3
 @register(
     "j13_asof_tolerance",
     f"""
-    SELECT c.event_id, c.user_id, c.ts,
-           CASE WHEN p.ts >= c.ts - INTERVAL {_J13_TOL_DAYS} DAY
-                THEN p.value END AS recent_purchase_value,
-           (p.ts IS NOT NULL
-            AND p.ts < c.ts - INTERVAL {_J13_TOL_DAYS} DAY) AS is_stale
-    FROM (SELECT event_id, user_id, ts FROM events
-          WHERE event_type = 'click') c
-    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
-                    WHERE event_type = 'purchase') p
-        ON c.user_id = p.user_id AND p.ts <= c.ts
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase'),
+    ranked AS (
+        SELECT c.event_id, c.user_id, c.ts,
+               p.ts AS pts, p.value AS pval,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.event_id
+                   ORDER BY p.ts DESC, p.event_id DESC
+               ) AS rn
+        FROM c LEFT JOIN p
+            ON c.user_id = p.user_id AND p.ts <= c.ts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN pts >= ts - INTERVAL {_J13_TOL_DAYS} DAY
+                THEN pval END AS recent_purchase_value,
+           (pts IS NOT NULL
+            AND pts < ts - INTERVAL {_J13_TOL_DAYS} DAY) AS is_stale
+    FROM ranked WHERE rn = 1
     """,
     doc="J13 — as-of join WITH STALENESS TOLERANCE: each click aligned "
     "to the user's most recent purchase ONLY if it happened within "
@@ -2290,7 +2300,12 @@ _J13_TOL_DAYS = 3
     "carries a (match_ts, value) STRUCT through last(ignorenulls) so "
     "the staleness gate is one timestamp comparison after the "
     "window — still no range join, no second shuffle. Ties at equal "
-    "ts stay visible via the kind-ordered sort (asof <= semantics).",
+    "ts stay visible via the kind-ordered sort (asof <= semantics); "
+    "among purchases tying at the same ts the window breaks ties by "
+    "event_id (highest wins) so the pick is deterministic — the "
+    "oracle expresses the identical rule as an explicit "
+    "argmax(ts, event_id) ranked join because DuckDB's ASOF cannot "
+    "state a tiebreak.",
     tags=("join", "asof"),
     late=True,
 )
@@ -2302,6 +2317,7 @@ def j13_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click")
         .select("event_id", "user_id", "ts")
         .withColumn("_kind", F.lit(1))
+        .withColumn("_tie", F.col("event_id"))
         .withColumn(
             "_sv",
             F.lit(None).cast("struct<rts:timestamp,v:double>"),
@@ -2311,15 +2327,20 @@ def j13_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id"),
         F.col("ts"),
         F.lit(0).alias("_kind"),
+        F.col("event_id").alias("_tie"),
         F.struct(
             F.col("ts").alias("rts"),
             F.col("value").cast("double").alias("v"),
         ).alias("_sv"),
     )
     unioned = clicks.unionByName(purchases, allowMissingColumns=True)
+    # total order: ts, then purchases-before-clicks at equal ts (asof
+    # <= semantics), then event_id — so two purchases at the same ts
+    # resolve deterministically (highest event_id wins via last())
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("_kind").asc())
+        .orderBy(F.col("ts").asc(), F.col("_kind").asc(),
+                 F.col("_tie").asc())
         .rowsBetween(W.unboundedPreceding, 0)
     )
     picked = F.last("_sv", ignorenulls=True).over(w)

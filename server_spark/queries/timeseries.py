@@ -3817,7 +3817,10 @@ _T42_BAND = 7  # Sakoe-Chiba band half-width (days)
     "sequences; this warps REAL-VALUED series. Implementation note "
     "(the custom-operator recipe): the recursion is genuinely "
     "inexpressible in relational operators, so it runs as an "
-    "Arrow-batched pandas UDF over the PAIRED series rows — numpy "
+    "Arrow-batched pandas UDF over the PAIRED series rows; both "
+    "series of a pair are densified (zeros) over the UNION calendar "
+    "span before z-norm so DTW and Euclidean compare the same "
+    "calendar-aligned vectors — numpy "
     "inside, one row per pair, helpers defined inside the closure "
     "(pickle-by-value, foreign-cwd safe). Scale shape: per-series "
     "arrays are bounded by the TIME SPAN; the pair relation is "
@@ -3872,13 +3875,16 @@ def t42_dtw_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     def dtw_pair(ts_a, xs_a, ts_b, xs_b):
         # All helpers INSIDE the closure: pandas UDFs pickle by value;
         # module-level references crash workers launched from a
-        # foreign cwd (verify-skill gotcha).
+        # different working directory than the driver's.
         import numpy as np
 
-        def dense(ts, xs):
+        def dense(ts, xs, lo, hi):
+            # both series of a pair are densified over the UNION
+            # calendar span [lo, hi] so DTW and lock-step Euclidean
+            # compare the same calendar-aligned vectors (per-series
+            # anchoring would compare misaligned days)
             t = np.asarray(ts, dtype=np.int64)
             x = np.asarray(xs, dtype=np.float64)
-            lo, hi = t.min(), t.max()
             out = np.zeros(hi - lo + 1)
             out[t - lo] = x
             return out
@@ -3907,10 +3913,12 @@ def t42_dtw_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         dtws, eucs = [], []
         for ta, xa, tb, xb in zip(ts_a, xs_a, ts_b, xs_b):
-            p, q = znorm(dense(ta, xa)), znorm(dense(tb, xb))
+            lo = min(min(ta), min(tb))
+            hi = max(max(ta), max(tb))
+            p = znorm(dense(ta, xa, lo, hi))
+            q = znorm(dense(tb, xb, lo, hi))
             dtws.append(banded_dtw(p, q, band))
-            k = min(len(p), len(q))
-            eucs.append(float(np.sqrt(((p[:k] - q[:k]) ** 2).sum())))
+            eucs.append(float(np.sqrt(((p - q) ** 2).sum())))
         return pd.DataFrame({"dtw": dtws, "euclid": eucs})
 
     scored = pairs.select(
@@ -3946,7 +3954,10 @@ _T43_HORIZON = 7
     "cycle, w14 decomposes it descriptively, THIS extrapolates it). "
     "Seeding is the textbook form: level = mean of the first season, "
     "trend = (mean of season 2 - mean of season 1)/m, seasonal = "
-    "first-season deviations from its mean. Runs as applyInPandas "
+    "first-season deviations from its mean. The daily series is "
+    "densified over [min(day), max(day)] with zero counts before "
+    "fitting (t39/t45 grid pattern) so missing calendar days cannot "
+    "shift the row-indexed seasonal phase. Runs as applyInPandas "
     "per series (the t38 recursion pattern — state is O(m) per "
     "series, series fan out across executors; helpers inside the "
     "closure for foreign-cwd pickling). Emits nothing for series "
@@ -3972,8 +3983,18 @@ def t43_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         pdf = pdf.sort_values("day").reset_index(drop=True)
         et = pdf["event_type"].iloc[0]
-        xs = pdf["c"].astype("float64").tolist()
-        days = pdf["day"].tolist()
+        # densify over [min(day), max(day)] with zero counts: the
+        # seasonal state is indexed by row position, so a missing
+        # calendar day would shift the weekly phase for the rest of
+        # the series and desynchronize forecast_day (calendar) from
+        # the seasonal slot (row-based)
+        obs = dict(zip(pdf["day"], pdf["c"].astype("float64")))
+        days = [
+            d.date() for d in pd.date_range(
+                pdf["day"].iloc[0], pdf["day"].iloc[-1], freq="D"
+            )
+        ]
+        xs = [obs.get(d, 0.0) for d in days]
         empty = pd.DataFrame(
             {"event_type": [], "horizon": [], "forecast_day": [],
              "forecast": [], "level": [], "trend": [],

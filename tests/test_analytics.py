@@ -13,7 +13,7 @@ import hashlib
 import math
 import re
 from collections import Counter, defaultdict
-from datetime import date
+from datetime import date, timedelta
 
 import pandas as pd
 import pytest
@@ -815,30 +815,41 @@ def test_t42_dtw_matches_reference(spark):
 
     ev = _events()
     anchor = date(2024, 1, 1)
-    dense = {}
+    counts = {}
     for etype, grp in ev.groupby("event_type"):
-        days = Counter((d - anchor).days for d in grp["ts"].dt.date)
-        lo, hi = min(days), max(days)
-        v = np.array([days.get(t, 0) for t in range(lo, hi + 1)], float)
+        counts[etype] = Counter(
+            (d - anchor).days for d in grp["ts"].dt.date
+        )
+
+    def _znorm(v):
         sd = v.std()
-        dense[etype] = (v - v.mean()) / sd if sd > 0 else v - v.mean()
+        return (v - v.mean()) / sd if sd > 0 else v - v.mean()
+
     got = {
         (r["ev_a"], r["ev_b"]): r
         for r in queries()["t42_dtw_similarity"](
             spark, SF_SMOKE
         ).collect()
     }
-    names = sorted(dense)
+    names = sorted(counts)
     assert len(got) == len(names) * (len(names) - 1) // 2
     for i, a in enumerate(names):
         for b in names[i + 1:]:
             row = got[(a, b)]
-            want = _full_dtw(dense[a], dense[b], _T42_BAND)
+            # union-grid densification (mirrors the query): both
+            # series share one calendar span so DTW and Euclidean
+            # compare aligned vectors
+            lo = min(min(counts[a]), min(counts[b]))
+            hi = max(max(counts[a]), max(counts[b]))
+            va = _znorm(np.array(
+                [counts[a].get(t, 0) for t in range(lo, hi + 1)], float
+            ))
+            vb = _znorm(np.array(
+                [counts[b].get(t, 0) for t in range(lo, hi + 1)], float
+            ))
+            want = _full_dtw(va, vb, _T42_BAND)
             assert row["dtw_dist"] == pytest.approx(want, abs=2e-4)
-            k = min(len(dense[a]), len(dense[b]))
-            euc = float(
-                np.sqrt(((dense[a][:k] - dense[b][:k]) ** 2).sum())
-            )
+            euc = float(np.sqrt(((va - vb) ** 2).sum()))
             assert row["euclid_dist"] == pytest.approx(euc, abs=2e-4)
             # warping can only reduce L1 path cost vs any alignment,
             # and a series is identical to itself
@@ -855,9 +866,8 @@ def test_t42_dtw_shift_invariance(spark, tmp_path):
     base = pd.Timestamp("2024-01-01 00:00:00")
     rows = []
     for d in range(40):
-        # same date span for both series (each series' dense grid is
-        # anchored at its own min day, so a pure translation would
-        # cancel out) — the phase of the pattern shifts, not the span
+        # same date span for both series — the phase of the pattern
+        # shifts, not the span, so the union grid equals each span
         lam = 10 + 8 * math.sin(2 * math.pi * d / 10)
         lam_s = 10 + 8 * math.sin(2 * math.pi * (d - 2) / 10)
         for _ in range(max(1, int(round(lam)))):
@@ -911,7 +921,14 @@ def test_t43_holt_winters_matches_reference(spark):
         by_et[r["event_type"]][r["horizon"]] = r["forecast"]
     for etype, grp in ev.groupby("event_type"):
         days = Counter(grp["ts"].dt.date)
-        xs = [days[d] for d in sorted(days)]
+        # calendar-dense grid, zeros for missing days (mirrors the
+        # query's densification — a skipped day must not shift the
+        # weekly seasonal phase)
+        lo, hi = min(days), max(days)
+        xs = [
+            float(days.get(lo + timedelta(days=i), 0))
+            for i in range((hi - lo).days + 1)
+        ]
         if len(xs) < 14:
             assert etype not in by_et
             continue
