@@ -282,6 +282,9 @@ def bucket_pairs(
     keys: list[str],
     id_col: str = "doc_id",
     max_bucket: int | None = None,
+    payload: tuple[str, ...] = (),
+    pair_filter=None,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Distinct ordered candidate pairs (doc_a < doc_b) from a
     (keys..., id) relation: group ids into buckets per key, drop
@@ -291,15 +294,38 @@ def bucket_pairs(
     ordered pairs as a narrow array expansion. ONE shuffle total — no
     kv self-join (which would shuffle the relation twice and re-key
     it). Shared by the banded-LSH, inverted-index (x75), and
-    winnowing-print (x77) candidate generators."""
-    buckets = kv.groupBy(*keys).agg(F.collect_list(id_col).alias("_ids"))
+    winnowing-print (x77) candidate generators.
+
+    ``payload`` names extra per-id kv columns (functionally dependent
+    on the id, e.g. the doc's distinct-shingle count) to carry through
+    pair expansion as ``<col>_a`` / ``<col>_b`` — this is how verify
+    stages get size-ratio prefilters WITHOUT re-joining a per-doc
+    table onto the pair relation (two shuffles saved).
+
+    ``pair_filter`` (a Column predicate over the emitted pair columns)
+    is applied BEFORE the dedup ``distinct()`` so a selective
+    prefilter also shrinks the distinct's shuffle, not just the
+    downstream verify.
+
+    ``count_col``: when set, return each pair ONCE with the NUMBER of
+    buckets it co-occurred in under that column name (the inverted-
+    index intersection count, x75's n_cold) instead of distinct pairs
+    — same shuffle, a count agg instead of a dedup agg."""
+    if payload:
+        rec = F.struct(F.col(id_col).alias("_id"), *payload)
+        buckets = kv.groupBy(*keys).agg(F.collect_list(rec).alias("_ids"))
+    else:
+        buckets = kv.groupBy(*keys).agg(F.collect_list(id_col).alias("_ids"))
     buckets = buckets.filter(F.size("_ids") >= 2)
     if max_bucket is not None:
         buckets = buckets.filter(F.size("_ids") <= max_bucket)
     # ordered (a < b) pairs per bucket, built narrowly from the sorted
     # member list: for each position i, pair ids[i] with every later
     # id. _ids is a projected column (lambda bodies block CSE on
-    # expressions, but column references are free).
+    # expressions, but column references are free). With payload the
+    # members are structs whose FIRST field is the id, so array_sort's
+    # field-order comparison still sorts by id (ids are unique per
+    # bucket — later fields never tie-break).
     buckets = buckets.select(F.array_sort("_ids").alias("_ids"))
     ids = F.col("_ids")
     n = F.size(ids)
@@ -309,17 +335,31 @@ def bucket_pairs(
             lambda i: F.transform(
                 F.slice(ids, (i + 2).cast("int"), (n - i - 1).cast("int")),
                 lambda x: F.struct(
-                    F.element_at(ids, (i + 1).cast("int")).alias("doc_a"),
-                    x.alias("doc_b"),
+                    F.element_at(ids, (i + 1).cast("int")).alias("_a"),
+                    x.alias("_b"),
                 ),
             ),
         )
     )
-    return (
-        buckets.select(F.explode(pair_arrays).alias("_p"))
-        .select("_p.doc_a", "_p.doc_b")
-        .distinct()
-    )
+    pairs = buckets.select(F.explode(pair_arrays).alias("_p"))
+    if payload:
+        pairs = pairs.select(
+            F.col("_p._a._id").alias("doc_a"),
+            F.col("_p._b._id").alias("doc_b"),
+            *[F.col(f"_p._a.{c}").alias(f"{c}_a") for c in payload],
+            *[F.col(f"_p._b.{c}").alias(f"{c}_b") for c in payload],
+        )
+    else:
+        pairs = pairs.select(
+            F.col("_p._a").alias("doc_a"), F.col("_p._b").alias("doc_b")
+        )
+    if pair_filter is not None:
+        pairs = pairs.filter(pair_filter)
+    if count_col is not None:
+        return pairs.groupBy(*pairs.columns).agg(
+            F.count("*").alias(count_col)
+        )
+    return pairs.distinct()
 
 
 def md5_banded_candidates(

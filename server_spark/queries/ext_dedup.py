@@ -1005,26 +1005,45 @@ _X75_BUCKET_CAP = 64
     "under any near-dup threshold, yet it is exactly the duplication "
     "a training corpus must catch (the Lee et al. span scrub x43-x46 "
     "attacks the same failure at substring granularity; this is the "
-    "set-level form). Shape (r8): the intersection splits by posting-"
+    "set-level form). Shape (r9): the intersection splits by posting-"
     f"list size at {_X75_BUCKET_CAP}. COLD shingles (≤cap) pair-count "
-    "directly in the inverted-index join — k ≤ cap bounds every "
-    "bucket's k² blowup. HOT shingles (shared boilerplate) never "
-    "generate pairs; their exact contribution is added back by a "
-    "candidate-GATED join against the hot posting lists (fan-out = "
-    "pairs × hot-types-per-doc, tiny by definition of hot), so "
-    "reported containment/Jaccard values stay EXACT for every emitted "
-    "pair — only pairs whose EVERY shared shingle is hot are recall-"
-    "bounded away (the stop-shingle trade). The gate is an exact "
-    "count, so both engines agree. The per-doc size joins carry NO "
-    "broadcast hint: `sizes` grows linearly with the corpus (the x62 "
-    "non-Heaps class), so AQE broadcasts while small and falls back "
-    "to a shuffle join at scale.",
+    "through the shared grouped kernel (dedup/minhash.bucket_pairs "
+    "count mode): ONE groupBy collects ≤cap member lists, a narrow "
+    "ordered-pair expansion + count agg replaces the posting-list "
+    "self-join that shuffled the corpus relation twice. HOT shingles "
+    "(shared boilerplate) never generate pairs; their exact "
+    "contribution is added back by a candidate-GATED join against "
+    "the hot posting lists (fan-out = pairs × hot-types-per-doc, "
+    "tiny by definition of hot), so reported containment/Jaccard "
+    "values stay EXACT for every emitted pair — only pairs whose "
+    "EVERY shared shingle is hot are recall-bounded away (the stop-"
+    "shingle trade). The gate is an exact count, so both engines "
+    "agree. Per-doc distinct-shingle sizes are computed at explode "
+    "time from the array length and ride the pair expansion as "
+    "payload — no sizes relation, no size joins anywhere.",
     tags=("ext", "dedup"),
     late=True,
 )
 def x75_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    shingles = ng.word_shingles(_docs(spark, sf_dir), n=3).transform(barrier)
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # per-doc distinct-shingle COUNT computed at explode time from the
+    # shingle array's size — no sizes relation, no size shuffle, no
+    # size joins anywhere downstream (r9 perf pass: the count rides
+    # the explode and the pair expansion as payload)
+    # the array is BARRIERED before size()+explode() reference it:
+    # two references to a lambda-bearing projection block CSE and
+    # Catalyst re-inlines the n-gram assembly per reference (measured
+    # 12.5s vs 1.5s at sf0.1) — from the materialized column both
+    # reads are free
+    arrs = _docs(spark, sf_dir).select(
+        "doc_id", ng.split_words("text").alias("_words")
+    ).select(
+        "doc_id", ng.shingle_array("_words", 3).alias("_sh")
+    ).transform(barrier)
+    shingles = arrs.select(
+        "doc_id",
+        F.size("_sh").alias("n"),
+        F.explode("_sh").alias("shingle"),
+    )
 
     # split postings by list size: cold lists pair-count directly (the
     # x2 join shape with every bucket bounded by the cap), hot lists
@@ -1038,15 +1057,20 @@ def x75_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "shingle"
     )
 
-    ca = cold.select(F.col("doc_id").alias("doc_sub"), "shingle")
-    cb = cold.select(F.col("doc_id").alias("doc_super"), "shingle")
-    pc = (
-        ca.join(cb, "shingle")
-        .filter(F.col("doc_sub") < F.col("doc_super"))
-        .groupBy("doc_sub", "doc_super")
-        .agg(F.count("*").alias("n_cold"))
-        .transform(barrier)  # feeds the hot correction AND the union
-    )
+    # cold intersection counts via the grouped kernel: ONE groupBy
+    # (collect ≤cap member lists), narrow ordered-pair expansion,
+    # count agg per pair — replaces the r8 posting-list self-join
+    # that shuffled the corpus relation twice; per-doc sizes ride as
+    # payload so no re-join is ever needed
+    pc = mh.bucket_pairs(
+        cold.select("doc_id", "n", "shingle"),
+        ["shingle"],
+        payload=("n",),
+        count_col="n_cold",
+    ).withColumnsRenamed(
+        {"doc_a": "doc_sub", "doc_b": "doc_super",
+         "n_a": "n_sub", "n_b": "n_sup"}
+    ).transform(barrier)  # feeds the hot correction AND the union
     # exact hot-shingle contribution for already-found pairs: fan-out
     # is pairs × hot shingle TYPES per doc (tiny by definition of hot)
     ha = hotp.select(F.col("doc_id").alias("doc_sub"), "shingle")
@@ -1061,7 +1085,7 @@ def x75_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     undirected = (
         pc.join(ph, ["doc_sub", "doc_super"], "left")
         .select(
-            "doc_sub", "doc_super",
+            "doc_sub", "doc_super", "n_sub", "n_sup",
             (
                 F.col("n_cold") + F.coalesce(F.col("n_hot"), F.lit(0))
             ).alias("n_common"),
@@ -1071,20 +1095,14 @@ def x75_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         undirected.select(
             F.col("doc_super").alias("doc_sub"),
             F.col("doc_sub").alias("doc_super"),
+            F.col("n_sup").alias("n_sub"),
+            F.col("n_sub").alias("n_sup"),
             "n_common",
         )
     )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_sub"), F.col("n_sh").alias("n_sub")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_super"), F.col("n_sh").alias("n_sup")
-    )
     contain = F.col("n_common").cast("double") / F.col("n_sub")
     return (
-        inter.join(sa, "doc_sub")
-        .join(sb, "doc_super")
-        .filter(
+        inter.filter(
             (F.col("n_sub") >= _X75_MIN_SH)
             & (contain >= _X75_MIN_CONTAIN)
         )
@@ -1187,13 +1205,17 @@ _X77_BUCKET_CAP = 64
     "(x2, exact but quadratic in posting lists), with winnowing's "
     "DETERMINISTIC guarantee: any shared run of ≥ w+k−1 words shares "
     "a print, so long verbatim overlaps can never be missed the way "
-    "an unlucky MinHash draw can miss them. Shape (r8): prints are "
-    "~4x sparser than shingles, candidate pairs come from ONE bucket "
-    f"groupBy + narrow expansion with a {_X77_BUCKET_CAP}-doc hot-"
-    "print cap (dedup/minhash.bucket_pairs — bounds the k² blowup of "
-    "shared boilerplate prints; exact-count gate so both engines "
-    "agree); verification is candidate-gated (two joins keyed on the "
-    "pair docs' hash sets); the per-doc size joins carry NO broadcast "
+    "an unlucky MinHash draw can miss them. Shape (r9): ONE doc-keyed "
+    "pass (window + groupBy sharing the exchange) yields each doc's "
+    "distinct hash SET and winnowing print set as arrays; candidate "
+    "pairs come from ONE bucket groupBy + narrow expansion with a "
+    f"{_X77_BUCKET_CAP}-doc hot-print cap (dedup/minhash.bucket_pairs "
+    "— bounds the k² blowup of shared boilerplate prints; exact-count "
+    "gate so both engines agree) with per-doc set sizes riding the "
+    "expansion as payload, funding an exact size-ratio prune "
+    "(J <= min/max) BEFORE the distinct; verification is two array "
+    "joins + array_intersect per surviving pair — no exploded value "
+    "join, no size re-joins. The per-doc table carries NO broadcast "
     "hint (linear non-Heaps growth — AQE decides, x62 class).",
     tags=("ext", "dedup"),
     late=True,
@@ -1213,42 +1235,80 @@ def x77_winnowing_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("pos") + 1).alias("rn"),
         mh.md5_value(F.col("shingle")).alias("h"),
-    ).transform(barrier)  # feeds prints AND the verify value sets
-
+    )
     roll = Window.partitionBy("doc_id").orderBy("rn").rowsBetween(
         -(_WINNOW_W - 1), 0
     )
-    prints = (
+    # ONE doc-keyed pass produces BOTH per-doc artifacts (r9 perf
+    # pass, was: separate prints relation + exploded (doc_id, h) vals
+    # re-joined per candidate then two more size joins): the window
+    # already hash-partitions by doc_id, so the groupBy that follows
+    # reuses that exchange — distinct hash set and winnowing print
+    # set come out of the same shuffle as one array row per doc.
+    per_doc = (
         hashed.withColumn("wmin", F.min("h").over(roll))
-        .filter(F.col("rn") >= _WINNOW_W)
-        .select("doc_id", "wmin")
-        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.collect_set("h").alias("hs"),
+            F.collect_set(
+                F.when(F.col("rn") >= _WINNOW_W, F.col("wmin"))
+            ).alias("prints"),
+        )
+        .transform(barrier)  # feeds candidates AND both verify sides
     )
     # candidate pairs from the print index with the hot-print cap:
-    # one bucket groupBy + narrow pair expansion (no kv self-join)
-    cands = mh.bucket_pairs(prints, ["wmin"], max_bucket=_X77_BUCKET_CAP)
+    # one bucket groupBy + narrow pair expansion (no kv self-join).
+    # Each doc's distinct-set SIZE rides through the expansion as
+    # payload, funding the size-ratio prefilter below without any
+    # size re-join onto the pair relation.
+    kv = per_doc.select(
+        "doc_id", F.size("hs").alias("n"), F.explode("prints").alias("wmin")
+    )
+    # exact size-ratio bound: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+    # pairs whose sizes differ by more than the threshold can never
+    # verify — pruned inside the pair expansion, BEFORE the distinct
+    # shuffle and before the hash arrays are shuffled to them
+    # (semantics-preserving, the oracle needs no mirror)
+    cands = mh.bucket_pairs(
+        kv,
+        ["wmin"],
+        max_bucket=_X77_BUCKET_CAP,
+        payload=("n",),
+        pair_filter=(
+            F.least("n_a", "n_b")
+            >= _X77_JACCARD * F.greatest("n_a", "n_b")
+        ),
+    )
 
-    vals = hashed.select("doc_id", "h").distinct().transform(barrier)
-    sizes = vals.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    va = vals.select(F.col("doc_id").alias("doc_a"), "h")
-    vb = vals.select(F.col("doc_id").alias("doc_b"), "h")
-    inter = (
-        cands.join(va, "doc_a")
-        .join(vb, ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    # verify candidates against the per-doc hash SETS carried as
+    # arrays: n_common = |hs_a ∩ hs_b| via array_intersect (hash-set
+    # build, O(|a|+|b|) per pair), sizes read off the payload — no
+    # exploded value join, no groupBy over pair×shingle rows, no
+    # size re-joins. Arrays are bounded by DOC LENGTH (not corpus),
+    # so per-pair memory is bounded at any scale.
+    sa = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    sb = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+    )
+    # per_doc is corpus-linear (non-Heaps) — NO broadcast hint; AQE
+    # broadcasts while small, shuffle-joins at scale (x62 class)
+    paired = cands.join(sa, "doc_a").join(sb, "doc_b")
+    n_common = F.size(F.array_intersect("hs_a", "hs_b"))
+    scored = paired.select(
+        "doc_a",
+        "doc_b",
+        n_common.alias("n_common"),
+        (F.col("n_a") + F.col("n_b")).alias("n_union_plus"),
+    )
     jac = F.col("n_common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_common")
+        F.col("n_union_plus") - F.col("n_common")
     )
-    # sizes is per-doc (linear growth, non-Heaps) — NO broadcast hint;
-    # AQE broadcasts while small, shuffle-joins at scale (x62 class)
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= _X77_JACCARD)
+        scored.filter(jac >= _X77_JACCARD)
         .select("doc_a", "doc_b", "n_common", r4(jac).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
