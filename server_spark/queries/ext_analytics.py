@@ -1195,10 +1195,13 @@ def w15_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "are exact BIGINTs, so every accumulated moment (sx, sxx, sxy, "
     "...) is integer algebra; the closed-form rho promotes to double "
     "only at the end, where both engines multiply/subtract the SAME "
-    "integers (correctly rounded identically). Shape: one (g,x,y) "
-    "hash-agg; marginal ranks come from cumulative frames over the "
-    "DISTINCT-value relations (the a37/a40 pattern); rank tables "
-    "join back on value keys — corpus-linear sides, unhinted.",
+    "integers (correctly rounded identically). Shape (r9): one "
+    "(g,x,y) hash-agg; marginal ranks come from the TWO-PHASE grouped "
+    "prefix sum (operators/ranking.grouped_cum_before — range-"
+    "partition, parallel local prefix, broadcast offset shift) so no "
+    "single window task ever holds a whole group's distinct-value "
+    "relation (4 groups × 10⁷+ distinct cent-prices at 100 TB); rank "
+    "tables join back on value keys — corpus-linear sides, unhinted.",
     tags=("ext", "agg", "analytics", "stats"),
     late=True,
 )
@@ -1219,20 +1222,22 @@ def a50_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     joint = joint.transform(barrier)  # feeds both marginals + the fold
 
     def marginal(col: str, out: str) -> DataFrame:
+        # two-phase grouped prefix sum (r9, verdict item 5): the naive
+        # `SUM(cv) OVER (PARTITION BY g ORDER BY v)` puts each group's
+        # entire distinct-value relation in ONE window task — with 4
+        # groups and 10⁷+ distinct cent-prices per group at 100 TB
+        # that is a single-task bottleneck. grouped_cum_before range-
+        # partitions (g, v), prefix-sums in parallel, and shifts by
+        # broadcast per-partition offsets; results are exact integers
+        # either way so parity is untouched.
+        from server_spark.operators.ranking import grouped_cum_before
+
         m = joint.groupBy("g", col).agg(F.sum("c").alias("cv"))
-        w = (
-            Window.partitionBy("g")
-            .orderBy(col)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        return m.select(
+        ranked = grouped_cum_before(m, ["g"], col, "cv", "cb")
+        return ranked.select(
             "g",
             col,
-            (
-                2 * F.coalesce(F.sum("cv").over(w), F.lit(0))
-                + F.col("cv")
-                + 1
-            ).alias(out),
+            (2 * F.col("cb") + F.col("cv") + 1).alias(out),
         )
 
     mx = marginal("x", "rx2")
