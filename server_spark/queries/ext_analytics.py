@@ -1382,3 +1382,166 @@ def a51_tail_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("time_left")
     )
+
+
+# ---------------------------------------------------------------------------
+# A52 — Benjamini-Hochberg FDR screen over per-item price deviations
+# ---------------------------------------------------------------------------
+
+_A52_ALPHA = 0.05
+_A52_MIN_N = 30
+
+
+@register(
+    "a52_bh_fdr_screen",
+    auctions_sql(
+        f"""
+    , c AS (
+        SELECT item,
+               CAST(CAST(buyout AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM auctions WHERE buyout IS NOT NULL
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(v) AS BIGINT) AS s1g,
+               CAST(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS DOUBLE)
+                   AS s2g
+        FROM c
+    ),
+    per AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s1
+        FROM c GROUP BY item HAVING COUNT(*) >= {_A52_MIN_N}
+    ),
+    z AS (
+        SELECT per.item, per.n,
+               (CAST(per.s1 AS DOUBLE) / per.n
+                - CAST(g.s1g AS DOUBLE) / g.ng)
+               * SQRT(CAST(per.n AS DOUBLE))
+               / SQRT((g.s2g - CAST(g.s1g AS DOUBLE) * g.s1g / g.ng)
+                      / (g.ng - 1)) AS zval
+        FROM per CROSS JOIN g
+    ),
+    p AS (
+        SELECT item, n, zval,
+               LEAST(CAST(1.0 AS DOUBLE),
+                     2.0 * EXP(-zval * zval / 2.0)) AS pval
+        FROM z
+    ),
+    ranked AS (
+        SELECT item, n, zval, pval,
+               ROW_NUMBER() OVER (ORDER BY pval, item) AS rk,
+               COUNT(*) OVER () AS m
+        FROM p
+    ),
+    kmax AS (
+        SELECT COALESCE(MAX(CASE WHEN pval <= {_A52_ALPHA} * rk / m
+                                 THEN rk END), 0) AS k
+        FROM ranked
+    )
+    SELECT r.item, r.n, {{Z}} AS z, {{P}} AS p_bound,
+           r.rk AS p_rank, r.m AS n_tested,
+           {{T}} AS bh_threshold,
+           (r.rk <= kmax.k) AS flagged
+    FROM ranked r CROSS JOIN kmax
+    ORDER BY r.rk
+    """.replace("{Z}", r4sql("r.zval"))
+        .replace("{P}", r4sql("r.pval"))
+        .replace("{T}", r4sql(f"{_A52_ALPHA} * r.rk / r.m"))
+    ),
+    doc="A52 (EXT analytics) — BENJAMINI-HOCHBERG FDR screen over "
+    "per-item mean-price deviations: every multi-hypothesis anomaly "
+    "scan (a11/t11/t20 flag items one at a time) eventually floods "
+    "review queues with false positives; BH is the standard control "
+    "— sort p-values, find the largest k with p_(k) <= alpha*k/m, "
+    "flag ranks <= k, bounding the EXPECTED false-discovery share at "
+    "alpha. P-values here are conservative Chernoff tail bounds "
+    "p = min(1, 2*exp(-z^2/2)) of the CLT z-score of the item's mean "
+    "cent-price vs the global mean (conservative p-values keep BH "
+    "valid; no erf needed, so both engines compute the IDENTICAL "
+    "IEEE expression). Exactness: all moments are integer cent sums, "
+    "so z is derived from the same integers on both engines and the "
+    "rank order (pval, item) is total. Shape: one fact-table "
+    "hash-agg; everything after is CATALOG-bounded (items), so the "
+    "single-task rank window is bounded by the dimension, not the "
+    "corpus — the documented exception to the two-phase rank rule.",
+    tags=("ext", "agg", "analytics", "stats"),
+    late=True,
+)
+def a52_bh_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    au = auctions(spark, sf_dir)
+    c = au.filter(F.col("buyout").isNotNull()).select(
+        "item",
+        (F.col("buyout").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("v"),
+    )
+    g = c.agg(
+        F.count("*").alias("ng"),
+        F.sum("v").alias("s1g"),
+        F.sum(F.col("v").cast("double") * F.col("v").cast("double"))
+        .alias("s2g"),
+    )
+    per = (
+        c.groupBy("item")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s1"))
+        .filter(F.col("n") >= _A52_MIN_N)
+    )
+    zval = (
+        (
+            F.col("s1").cast("double") / F.col("n")
+            - F.col("s1g").cast("double") / F.col("ng")
+        )
+        * F.sqrt(F.col("n").cast("double"))
+        / F.sqrt(
+            (
+                F.col("s2g")
+                - F.col("s1g").cast("double") * F.col("s1g") / F.col("ng")
+            )
+            / (F.col("ng") - 1)
+        )
+    )
+    p = per.crossJoin(F.broadcast(g)).select(
+        "item",
+        "n",
+        zval.alias("zval"),
+        F.least(
+            F.lit(1.0), 2.0 * F.exp(-zval * zval / 2.0)
+        ).alias("pval"),
+    )
+    # items are catalog-bounded (a dimension): the global rank window
+    # is bounded by the catalog, not the fact table — documented
+    # exception to the two-phase rank rule (cf. a50)
+    wr = Window.orderBy("pval", "item")
+    ranked = p.select(
+        "item", "n", "zval", "pval",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(
+            Window.partitionBy(F.lit(1))
+        ).alias("m"),
+    ).transform(barrier)  # feeds kmax AND the final projection
+    kmax = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("pval") <= _A52_ALPHA * F.col("rk") / F.col("m"),
+                    F.col("rk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .select(
+            "item",
+            "n",
+            r4(F.col("zval")).alias("z"),
+            r4(F.col("pval")).alias("p_bound"),
+            F.col("rk").alias("p_rank"),
+            F.col("m").alias("n_tested"),
+            r4(_A52_ALPHA * F.col("rk") / F.col("m")).alias("bh_threshold"),
+            (F.col("rk") <= F.col("k")).alias("flagged"),
+        )
+        .orderBy("p_rank")
+    )

@@ -1909,3 +1909,181 @@ def x109_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# x117 — content-defined chunking (CDC) dedup profile
+# ---------------------------------------------------------------------------
+
+_X117_W = 4        # rolling gram width that decides boundaries
+_X117_DIVISOR = 16  # boundary when gram-hash % divisor == 0 (E[len]≈16)
+
+
+@register(
+    "x117_cdc_chunks",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, source, pos, token FROM (
+            SELECT doc_id, source,
+                   generate_subscripts(l, 1) AS pos,
+                   UNNEST(l) AS token
+            FROM (SELECT doc_id, source,
+                         string_split_regex(LOWER(TRIM(text)), '\s+') AS l
+                  FROM documents)
+        ) WHERE token <> ''
+    ),
+    gram AS (
+        SELECT doc_id, source, pos, token,
+               CASE WHEN LAG(token, {_X117_W - 1}) OVER win IS NOT NULL
+                    AND ({mh.md5_value_sql(
+                        "LAG(token, 3) OVER win || ' ' || "
+                        "LAG(token, 2) OVER win || ' ' || "
+                        "LAG(token, 1) OVER win || ' ' || token"
+                    )}) % {_X117_DIVISOR} = 0
+                    THEN 1 ELSE 0 END AS is_boundary
+        FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    idx AS (
+        SELECT doc_id, source, pos, token,
+               COALESCE(SUM(is_boundary) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS chunk_idx
+        FROM gram
+    ),
+    chunks AS (
+        SELECT doc_id, source, chunk_idx,
+               COUNT(*) AS n_tokens,
+               md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash
+        FROM idx GROUP BY 1, 2, 3
+    ),
+    spread AS (
+        SELECT chunk_hash, COUNT(DISTINCT source) AS n_sources
+        FROM chunks GROUP BY 1
+    )
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT c.chunk_hash) AS BIGINT) AS n_chunk_types,
+           {r4sql("1.0 - CAST(COUNT(DISTINCT c.chunk_hash) AS DOUBLE)"
+                  " / COUNT(*)")} AS dup_chunk_share,
+           {r4sql("AVG(CAST(c.n_tokens AS DOUBLE))")} AS mean_chunk_tokens,
+           {r4sql("CAST(SUM(CASE WHEN s.n_sources > 1 THEN 1 ELSE 0 END)"
+                  " AS DOUBLE) / COUNT(*)")} AS cross_source_share
+    FROM chunks c JOIN spread s ON c.chunk_hash = s.chunk_hash
+    GROUP BY c.source
+    ORDER BY c.source
+    """,
+    doc="EXT x117 — CONTENT-DEFINED CHUNKING dedup profile: chunk "
+    "boundaries fall where the rolling 4-gram hash ≡ 0 (mod "
+    f"{_X117_DIVISOR}), the Rabin/gear-CDC trick that makes chunk "
+    "identity SHIFT-INVARIANT — insert a sentence at the top of a "
+    "mirrored document and x102's fixed-size chunks all change, but "
+    "CDC boundaries re-synchronize after one chunk, so the mirror "
+    "still dedups (this is how backup systems and corpus near-dedup "
+    "at chunk granularity both work). Per source: chunk count, "
+    "distinct chunk types, the internal duplicate share, mean chunk "
+    "length (E[len] = divisor, a health check on the boundary hash), "
+    "and the share of chunks whose content also appears in ANOTHER "
+    "source (the cross-source syndication signal x105 measures at "
+    "doc level). Shape: one doc-keyed window pass stamps boundaries "
+    "(the winnowing substrate), a per-doc cumsum indexes chunks, one "
+    "hash-agg builds chunk hashes (ORDER BY pos inside the agg keeps "
+    "both engines' concatenation identical), and the spread join is "
+    "keyed on Heaps-bounded chunk types — no pair expansion "
+    "anywhere, dedup signal WITHOUT candidate generation.",
+    tags=("ext", "dedup", "textstats"),
+    late=True,
+)
+def x117_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("pos", "token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ",
+        F.lag("token", 3).over(win),
+        F.lag("token", 2).over(win),
+        F.lag("token", 1).over(win),
+        F.col("token"),
+    )
+    stamped = toks.select(
+        "doc_id",
+        "source",
+        "pos",
+        "token",
+        F.when(
+            F.lag("token", _X117_W - 1).over(win).isNotNull()
+            & (mh.md5_value(gram) % _X117_DIVISOR == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_boundary"),
+    )
+    cum = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    idx = stamped.select(
+        "doc_id",
+        "source",
+        "pos",
+        "token",
+        F.coalesce(F.sum("is_boundary").over(cum), F.lit(0)).alias(
+            "chunk_idx"
+        ),
+    )
+    chunks = (
+        idx.groupBy("doc_id", "source", "chunk_idx")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "token"))
+                        ),
+                        lambda s: s.token,
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        )
+        .transform(barrier)  # feeds the spread join AND the rollup
+    )
+    spread = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct("source").alias("n_sources")
+    )
+    # chunk types are Heaps-bounded (content-keyed) — but the spread
+    # relation still grows with distinct content, so no forced hint
+    return (
+        chunks.join(spread, "chunk_hash")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("chunk_hash").alias("n_chunk_types"),
+            r4(
+                1.0
+                - F.countDistinct("chunk_hash").cast("double")
+                / F.count("*")
+            ).alias("dup_chunk_share"),
+            r4(F.avg(F.col("n_tokens").cast("double"))).alias(
+                "mean_chunk_tokens"
+            ),
+            r4(
+                F.sum(
+                    F.when(F.col("n_sources") > 1, 1).otherwise(0)
+                ).cast("double")
+                / F.count("*")
+            ).alias("cross_source_share"),
+        )
+        .orderBy("source")
+    )

@@ -1083,3 +1083,98 @@ def x112_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         r4(F.col("n_failing") * 1.0 / F.col("n_docs")).alias("fail_share"),
     ).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# x115 — packing-efficiency eval over x20's greedy packer
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x115_packing_efficiency",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+               len(string_split_regex(LOWER(TRIM(text)), '\s+')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST((SUM(n_tokens) OVER w - n_tokens) // {PACK_BUDGET}
+                    AS BIGINT) AS pack_id,
+               CAST((SUM(n_tokens) OVER w - n_tokens) % {PACK_BUDGET}
+                    AS BIGINT) AS pack_offset
+        FROM toks
+        WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    complete AS (
+        SELECT p.* FROM packed p
+        JOIN (SELECT shard, MAX(pack_id) AS last_pack
+              FROM packed GROUP BY shard) lp
+          ON p.shard = lp.shard AND p.pack_id < lp.last_pack
+    )
+    SELECT shard,
+           CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {r4sql("CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT pack_id)")}
+               AS avg_docs_per_pack,
+           CAST(SUM(CASE WHEN pack_offset + n_tokens > {PACK_BUDGET}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing,
+           {r4sql("CAST(SUM(CASE WHEN pack_offset + n_tokens > "
+                  f"{PACK_BUDGET} THEN 1 ELSE 0 END) AS DOUBLE)"
+                  " / COUNT(*)")} AS crossing_share,
+           {r4sql("CAST(SUM(GREATEST(CAST(0 AS BIGINT), "
+                  f"pack_offset + n_tokens - {PACK_BUDGET}))"
+                  " AS DOUBLE) / SUM(n_tokens)")} AS frag_token_share
+    FROM complete
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    doc="EXT x115 — PACKING-EFFICIENCY eval over x20's greedy packer: "
+    "per md5 shard, how many complete training sequences the packer "
+    "minted, how many documents each holds, what share of documents "
+    "CROSS a pack boundary (their attention context is split — the "
+    "quality cost of contiguous packing vs best-fit), and the "
+    "fragmented-token share (tokens landing past their pack's "
+    "boundary). x20 PRODUCES the layout; this EVALUATES it — the "
+    "review a data team runs before choosing budget size or switching "
+    "to first-fit-decreasing (the doc-per-pack and crossing numbers "
+    "are exactly the two sides of that trade). Each shard's LAST, "
+    "still-open pack is excluded so rates describe finished "
+    "sequences only. Shape: x20's per-shard running-sum window (never "
+    "a global sort), one max-per-shard join bounded by 16 shards, one "
+    "hash-agg; all counts exact integers.",
+    tags=("ext", "packing", "eval"),
+    late=True,
+)
+def x115_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = x20_sequence_packing(spark, sf_dir)
+    last = packed.groupBy("shard").agg(F.max("pack_id").alias("last_pack"))
+    complete = packed.join(F.broadcast(last), "shard").filter(
+        F.col("pack_id") < F.col("last_pack")
+    )
+    over = F.col("pack_offset") + F.col("n_tokens") - PACK_BUDGET
+    crossing = (over > 0).cast("int")
+    return (
+        complete.groupBy("shard")
+        .agg(
+            F.countDistinct("pack_id").alias("n_packs"),
+            F.count("*").alias("n_docs"),
+            r4(
+                F.count("*").cast("double")
+                / F.countDistinct("pack_id")
+            ).alias("avg_docs_per_pack"),
+            F.sum(crossing).cast("bigint").alias("n_crossing"),
+            r4(
+                F.sum(crossing).cast("double") / F.count("*")
+            ).alias("crossing_share"),
+            r4(
+                F.sum(F.greatest(F.lit(0).cast("bigint"), over))
+                .cast("double")
+                / F.sum("n_tokens")
+            ).alias("frag_token_share"),
+        )
+        .orderBy("shard")
+    )

@@ -1839,3 +1839,122 @@ def x108_embedding_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n long, residual_rel double, trace_alignment double, "
         "rotation_dev_from_identity double",
     )
+
+
+# ---------------------------------------------------------------------------
+# x116 — label silhouette (centroid form) over the embedding space
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x116_label_silhouette",
+    rf"""
+    WITH e AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS clabel, dim, AVG(v) AS c
+        FROM e GROUP BY 1, 2
+    ),
+    d2 AS (
+        SELECT e.vec_id, e.label, cent.clabel,
+               SUM((e.v - cent.c) * (e.v - cent.c)) AS dsq
+        FROM e JOIN cent ON e.dim = cent.dim
+        GROUP BY 1, 2, 3
+    ),
+    ab AS (
+        SELECT vec_id, label,
+               SQRT(MAX(CASE WHEN label = clabel THEN dsq END)) AS a,
+               SQRT(MIN(CASE WHEN label <> clabel THEN dsq END)) AS b
+        FROM d2 GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT vec_id, label,
+               (b - a) / GREATEST(a, b) AS sil
+        FROM ab
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           {r4sql("AVG(sil)")} AS mean_silhouette,
+           {r4sql("AVG(CASE WHEN sil < 0 THEN 1.0 ELSE 0.0 END)")}
+               AS misplaced_share
+    FROM s
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="EXT x116 — LABEL SILHOUETTE (centroid form) over the "
+    "embedding table: per label, the mean of s = (b - a)/max(a, b) "
+    "where a is a vector's Euclidean distance to its OWN label "
+    "centroid and b the distance to the nearest OTHER centroid — the "
+    "standard embedding-quality read a labeling/clustering pipeline "
+    "reviews before trusting the labels for supervised sampling "
+    "(x95's kNN accuracy asks the same question via neighbors; this "
+    "asks it via cluster geometry, O(n·k) not O(n²)); misplaced_share "
+    "(s < 0: closer to a foreign centroid) is the review queue. The "
+    "centroid simplification of full silhouette is the deployable "
+    "form at corpus scale — exact pairwise silhouette is quadratic. "
+    "Shape: centroids are one labels×dims hash-agg (BOUNDED: k·d "
+    "cells); per-vector distances come from one join against that "
+    "bounded table and one hash-agg; Spark keeps vectors as arrays "
+    "and folds zip_with squares — no n×d×k explode; labels are "
+    "dimension-bounded so the centroid side broadcasts legally.",
+    tags=("ext", "similarity", "eval"),
+    late=True,
+)
+def x116_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).filter(F.col("label").isNotNull())
+    # centroids: explode once (n·d rows), bounded k·d output
+    cent = (
+        emb.select(
+            F.col("label").alias("clabel"),
+            F.posexplode("embedding").alias("dim", "v"),
+        )
+        .groupBy("clabel", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("clabel")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "c"))
+            ).alias("_dc")
+        )
+        .select(
+            "clabel",
+            F.transform("_dc", lambda s: s.c).alias("cvec"),
+        )
+    )
+    # per (vector, centroid) squared distance via a narrow array fold
+    # against the broadcast k-row centroid table — no n×d×k explode
+    paired = emb.crossJoin(F.broadcast(cent))
+    dsq = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "cvec",
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    d2 = paired.select("vec_id", "label", "clabel", dsq.alias("dsq"))
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.sqrt(
+            F.max(F.when(F.col("label") == F.col("clabel"), F.col("dsq")))
+        ).alias("a"),
+        F.sqrt(
+            F.min(F.when(F.col("label") != F.col("clabel"), F.col("dsq")))
+        ).alias("b"),
+    )
+    sil = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    return (
+        ab.select("label", sil.alias("sil"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            r4(F.avg("sil")).alias("mean_silhouette"),
+            r4(
+                F.avg(F.when(F.col("sil") < 0, 1.0).otherwise(0.0))
+            ).alias("misplaced_share"),
+        )
+        .orderBy("label")
+    )

@@ -3158,3 +3158,116 @@ def x111_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# x113 — interpolated Kneser-Ney bigram LM score per document
+# ---------------------------------------------------------------------------
+
+_X113_D = 0.75  # absolute discount
+
+
+@register(
+    "x113_kneser_ney_score",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, pos, token FROM (
+            SELECT doc_id,
+                   generate_subscripts(l, 1) AS pos,
+                   UNNEST(l) AS token
+            FROM (SELECT doc_id,
+                         string_split_regex(LOWER(TRIM(text)), '\s+') AS l
+                  FROM documents)
+        ) WHERE token <> ''
+    ),
+    big AS (
+        SELECT doc_id, w1, w2 FROM (
+            SELECT doc_id, token AS w1,
+                   LEAD(token) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM toks
+        ) WHERE w2 IS NOT NULL
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+    w1s AS (
+        SELECT w1, SUM(c2) AS c1, COUNT(*) AS fanout
+        FROM bc GROUP BY w1
+    ),
+    w2s AS (SELECT w2, COUNT(*) AS fanin FROM bc GROUP BY w2),
+    tt AS (SELECT COUNT(*) AS n_types FROM bc)
+    SELECT big.doc_id, COUNT(*) AS n_bigrams,
+           {r4sql(
+               f"AVG(LN((bc.c2 - {_X113_D}) / w1s.c1"
+               f" + {_X113_D} * w1s.fanout / w1s.c1"
+               f"   * w2s.fanin / tt.n_types))"
+           )} AS avg_kn_logprob
+    FROM big
+    JOIN bc USING (w1, w2)
+    JOIN w1s ON big.w1 = w1s.w1
+    JOIN w2s ON big.w2 = w2s.w2
+    CROSS JOIN tt
+    GROUP BY big.doc_id
+    """,
+    doc="EXT x113 — interpolated KNESER-NEY bigram score per document: "
+    "P(w2|w1) = (c(w1,w2)-D)/c(w1) + D*N1+(w1,.)/c(w1) * Pcont(w2), "
+    "with the continuation probability Pcont(w2) = N1+(.,w2) / "
+    "|bigram types| — the smoothing that made KenLM the standard "
+    "corpus-quality gate: unlike x62's Jelinek-Mercer interpolation "
+    "(frequency-weighted unigram backoff), KN backs off to how many "
+    "CONTEXTS a word completes, so boilerplate tokens that are "
+    "frequent but context-locked ('www' after only 3 predecessors) "
+    "stop inflating the backoff mass. Every doc bigram has c2 >= 1 "
+    "in the self-trained model, so (c2-D) > 0 and no zero-prob guard "
+    "is needed. Shape: x62's substrate — one doc-keyed shuffle for "
+    "the bigram window; per-w1 stats (c1, fanout) and per-w2 fanin "
+    "are VOCAB-bounded (Heaps) and broadcast; the bigram-type join "
+    "carries NO hint (near-linear growth, AQE decides); scoring is "
+    "one hash-agg.",
+    tags=("ext", "textstats", "quality"),
+    late=True,
+)
+def x113_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("pos", "token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.select(
+            "doc_id",
+            F.col("token").alias("w1"),
+            F.lead("token").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .transform(barrier)  # feeds type counts AND the scoring join
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    bc = bc.transform(barrier)  # feeds w1/w2 stats AND the score join
+    w1s = bc.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count("*").alias("fanout")
+    )
+    w2s = bc.groupBy("w2").agg(F.count("*").alias("fanin"))
+    tt = bc.agg(F.count("*").alias("n_types"))
+    d = _X113_D
+    p_kn = (
+        (F.col("c2") - d) / F.col("c1")
+        + d * F.col("fanout") / F.col("c1")
+        * F.col("fanin") / F.col("n_types")
+    )
+    return (
+        big.join(bc, ["w1", "w2"])
+        .join(F.broadcast(w1s), "w1")
+        .join(F.broadcast(w2s), "w2")
+        .crossJoin(F.broadcast(tt))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            r4(F.avg(F.log(p_kn))).alias("avg_kn_logprob"),
+        )
+    )

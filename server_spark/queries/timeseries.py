@@ -4844,3 +4844,153 @@ def t49_price_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_days") >= 5)
         .orderBy("item")
     )
+
+
+# ---------------------------------------------------------------------------
+# T50 — forecast backtest: seasonal-naive MASE / sMAPE per series
+# ---------------------------------------------------------------------------
+
+_T50_SEASON = 7      # weekly cycle, matches t43's m
+_T50_TEST_FRAC = 0.2  # holdout share (last fifth of the dense grid)
+_T50_MIN_DAYS = 21   # need 2 seasons of train + a non-empty test
+
+
+@register(
+    "t50_forecast_backtest",
+    f"""
+    WITH daily AS (
+        SELECT event_type,
+               DATEDIFF('day', TIMESTAMP '{_T39_ANCHOR}',
+                        date_trunc('day', ts)) AS d,
+               COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, MIN(d) AS dmin, MAX(d) AS dmax
+        FROM daily GROUP BY 1
+    ),
+    grid AS (
+        SELECT event_type, dmin,
+               UNNEST(generate_series(dmin, dmax)) AS d
+        FROM bounds
+    ),
+    dense AS (
+        SELECT g.event_type, g.d - g.dmin AS t,
+               COALESCE(dd.x, 0) AS x,
+               g.dmax - g.dmin + 1 AS n
+        FROM (SELECT gg.*, b.dmax FROM grid gg
+              JOIN bounds b USING (event_type)) g
+        LEFT JOIN daily dd
+          ON g.event_type = dd.event_type AND g.d = dd.d
+    ),
+    lagged AS (
+        SELECT event_type, t, x, n,
+               CAST(GREATEST(1, FLOOR({_T50_TEST_FRAC} * n)) AS BIGINT)
+                   AS n_test,
+               LAG(x, {_T50_SEASON}) OVER (
+                   PARTITION BY event_type ORDER BY t) AS x_lag
+        FROM dense
+    ),
+    err AS (
+        SELECT event_type, n, n_test,
+               AVG(CASE WHEN t >= n - n_test
+                        THEN ABS(x - x_lag) END) AS mae_test,
+               AVG(CASE WHEN t < n - n_test
+                        THEN ABS(x - x_lag) END) AS mae_train,
+               AVG(CASE WHEN t >= n - n_test THEN
+                     CASE WHEN x = 0 AND x_lag = 0 THEN 0.0
+                          ELSE 2.0 * ABS(x - x_lag) / (ABS(x) + ABS(x_lag))
+                     END END) AS smape
+        FROM lagged WHERE x_lag IS NOT NULL
+        GROUP BY 1, 2, 3
+    )
+    SELECT event_type, n AS n_days, n_test,
+           {{MASE}} AS mase,
+           {{SMAPE}} AS smape_pct
+    FROM err
+    WHERE n >= {_T50_MIN_DAYS} AND mae_train > 0
+    ORDER BY event_type
+    """.replace("{MASE}", r4sql("mae_test / mae_train"))
+        .replace("{SMAPE}", r4sql("100.0 * smape")),
+    doc="T50 (EXT timeseries) — FORECAST BACKTEST: per event series, "
+    "the seasonal-naive predictor (y[d] := y[d-7]) is scored on the "
+    "last 20% of the calendar-dense daily grid with the two standard "
+    "scale-free metrics — MASE (test MAE over the predictor's own "
+    "IN-SAMPLE MAE, Hyndman-Koehler: < 1 beats the in-sample "
+    "baseline, comparable ACROSS series of different volumes, no "
+    "divide-by-zero on intermittent series) and sMAPE (bounded "
+    "0-200%, the 0/0 term defined as 0 for zero-demand days). This "
+    "is the EVAL that decides whether t38/t43's fitted forecasts are "
+    "worth deploying per series — a fitted model must beat MASE ~1 "
+    "to justify its state. Shape: t39/t45's dense-grid pattern (one "
+    "hash-agg to daily counts, per-series explode of the bounded "
+    "calendar span, one lag window per series), then one hash-agg of "
+    "conditional absolute errors; everything is per-series bounded "
+    "and the output is catalog-sized.",
+    tags=("ext", "timeseries", "forecast", "eval"),
+    late=True,
+)
+def t50_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(
+                f"datediff(date_trunc('day', ts),"
+                f" timestamp'{_T39_ANCHOR}')"
+            ).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count("*").alias("x"))
+    ).transform(barrier)
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("dmin"), F.max("d").alias("dmax")
+    )
+    grid = bounds.select(
+        "event_type",
+        "dmin",
+        (F.col("dmax") - F.col("dmin") + 1).alias("n"),
+        F.explode(F.sequence(F.col("dmin"), F.col("dmax"))).alias("d"),
+    )
+    dense = grid.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        (F.col("d") - F.col("dmin")).alias("t"),
+        F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        "n",
+    )
+    w = Window.partitionBy("event_type").orderBy("t")
+    lagged = dense.select(
+        "event_type",
+        "t",
+        "x",
+        "n",
+        F.greatest(
+            F.lit(1), F.floor(_T50_TEST_FRAC * F.col("n"))
+        ).cast("bigint").alias("n_test"),
+        F.lag("x", _T50_SEASON).over(w).alias("x_lag"),
+    ).filter(F.col("x_lag").isNotNull())
+    is_test = F.col("t") >= F.col("n") - F.col("n_test")
+    abs_err = F.abs(F.col("x") - F.col("x_lag"))
+    smape_term = F.when(
+        (F.col("x") == 0) & (F.col("x_lag") == 0), F.lit(0.0)
+    ).otherwise(
+        2.0 * abs_err / (F.abs(F.col("x")) + F.abs(F.col("x_lag")))
+    )
+    err = lagged.groupBy("event_type", "n", "n_test").agg(
+        F.avg(F.when(is_test, abs_err)).alias("mae_test"),
+        F.avg(F.when(~is_test, abs_err)).alias("mae_train"),
+        F.avg(F.when(is_test, smape_term)).alias("smape"),
+    )
+    return (
+        err.filter(
+            (F.col("n") >= _T50_MIN_DAYS) & (F.col("mae_train") > 0)
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "n_test",
+            r4(F.col("mae_test") / F.col("mae_train")).alias("mase"),
+            r4(100.0 * F.col("smape")).alias("smape_pct"),
+        )
+        .orderBy("event_type")
+    )

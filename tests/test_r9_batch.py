@@ -1,0 +1,425 @@
+"""Independent verification for the round-9 query batch (x113, t50,
+a52, x115, x116, x117) — reference implementations and planted-signal
+tests beyond the DuckDB oracle parity they all also carry."""
+
+from __future__ import annotations
+
+import math
+import os
+from collections import Counter, defaultdict
+
+import pandas as pd
+import pytest
+
+from server_spark.registry import queries
+from tests.conftest import SF_SMOKE
+
+
+def _docs_pd() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# x113 — Kneser-Ney vs an independent Python reference
+# ---------------------------------------------------------------------------
+
+
+def test_x113_kneser_ney_matches_python(spark):
+    D = 0.75
+    docs = _docs_pd()
+    bigrams_by_doc = {}
+    bc: Counter = Counter()
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = [t for t in str(text).lower().strip().split() if t]
+        bgs = list(zip(toks, toks[1:]))
+        if bgs:
+            bigrams_by_doc[doc_id] = bgs
+            bc.update(bgs)
+    c1: Counter = Counter()
+    fanout: Counter = Counter()
+    fanin: Counter = Counter()
+    for (w1, w2), c in bc.items():
+        c1[w1] += c
+        fanout[w1] += 1
+        fanin[w2] += 1
+    n_types = len(bc)
+
+    def p_kn(w1, w2):
+        return (bc[(w1, w2)] - D) / c1[w1] + D * fanout[w1] / c1[w1] * (
+            fanin[w2] / n_types
+        )
+
+    got = {
+        r["doc_id"]: r
+        for r in queries()["x113_kneser_ney_score"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(got) == set(bigrams_by_doc)
+    for doc_id, bgs in bigrams_by_doc.items():
+        want = sum(math.log(p_kn(w1, w2)) for w1, w2 in bgs) / len(bgs)
+        assert got[doc_id]["n_bigrams"] == len(bgs)
+        assert got[doc_id]["avg_kn_logprob"] == pytest.approx(
+            want, abs=2e-4
+        )
+        # probabilities, hence negative average log
+        assert got[doc_id]["avg_kn_logprob"] < 0
+
+
+def test_x113_kn_distributes_probability_mass(spark):
+    """For any observed context w1, the KN conditional over OBSERVED
+    continuations must not exceed 1 (the discount holds back exactly
+    the backoff mass)."""
+    docs = _docs_pd()
+    D = 0.75
+    bc: Counter = Counter()
+    for text in docs["text"]:
+        toks = [t for t in str(text).lower().strip().split() if t]
+        bc.update(zip(toks, toks[1:]))
+    c1: Counter = Counter()
+    fanout: Counter = Counter()
+    fanin: Counter = Counter()
+    for (w1, w2), c in bc.items():
+        c1[w1] += c
+        fanout[w1] += 1
+        fanin[w2] += 1
+    n_types = len(bc)
+    by_w1 = defaultdict(list)
+    for (w1, w2), c in bc.items():
+        by_w1[w1].append(w2)
+    for w1 in list(by_w1)[:50]:
+        mass = sum(
+            (bc[(w1, w2)] - D) / c1[w1]
+            + D * fanout[w1] / c1[w1] * fanin[w2] / n_types
+            for w2 in by_w1[w1]
+        )
+        assert mass <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# t50 — forecast backtest on a planted perfectly-weekly series
+# ---------------------------------------------------------------------------
+
+
+def test_t50_seasonal_naive_wins_on_planted_cycle(spark, tmp_path):
+    """On a weekly-periodic series the seasonal-naive predictor is
+    perfect on the holdout: test MAE = 0 ⇒ MASE = 0 and sMAPE = 0.
+    One small train-window anomaly keeps the in-sample MAE positive
+    (a perfectly periodic series has denominator 0 and is correctly
+    EXCLUDED — that exclusion is asserted too)."""
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    shape = [4, 4, 4, 4, 4, 20, 20]
+    rows = []
+    for d in range(49):
+        # +1 anomaly on day 10 only (train region: test is days 40-48)
+        for _ in range(shape[d % 7] + (1 if d == 10 else 0)):
+            rows.append(("wk", base + pd.Timedelta(days=d)))
+        for _ in range(shape[d % 7]):
+            rows.append(("pure", base + pd.Timedelta(days=d)))
+    # an aperiodic contrast series: strictly growing counts — the
+    # lag-7 predictor is wrong on every day, so MASE ~ 1 (in-sample
+    # errors are as bad as test errors for a linear trend)
+    for d in range(49):
+        for _ in range(d + 1):
+            rows.append(("trend", base + pd.Timedelta(days=d)))
+    ev = pd.DataFrame(rows, columns=["event_type", "ts"])
+    ev["event_id"] = range(len(ev))
+    ev["user_id"] = 1
+    ev["value"] = 1.0
+    ev["props"] = "{}"
+    td = str(tmp_path / "sf")
+    os.makedirs(td)
+    ev[["event_id", "ts", "user_id", "event_type", "value", "props"]
+       ].to_parquet(os.path.join(td, "events.parquet"), index=False)
+    got = {
+        r["event_type"]: r
+        for r in queries()["t50_forecast_backtest"](spark, td).collect()
+    }
+    assert got["wk"]["mase"] == 0.0
+    assert got["wk"]["smape_pct"] == 0.0
+    # the EXACTLY periodic series has in-sample seasonal-naive MAE 0
+    # (MASE undefined) and must be excluded, not emitted as inf/NaN
+    assert "pure" not in got
+    # constant +1/day trend: every lag-7 error is exactly 7, train
+    # and test alike → MASE exactly 1
+    assert got["trend"]["mase"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_t50_matches_python_reference(spark):
+    got = {
+        r["event_type"]: r
+        for r in queries()["t50_forecast_backtest"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    anchor = pd.Timestamp("2024-01-01")
+    for etype, grp in ev.groupby("event_type"):
+        days = Counter((pd.Timestamp(d).normalize() - anchor).days
+                       for d in grp["ts"])
+        lo, hi = min(days), max(days)
+        xs = [days.get(d, 0) for d in range(lo, hi + 1)]
+        n = len(xs)
+        if n < 21:
+            assert etype not in got
+            continue
+        n_test = max(1, math.floor(0.2 * n))
+        test_err, train_err, smape = [], [], []
+        for t in range(7, n):
+            e = abs(xs[t] - xs[t - 7])
+            if t >= n - n_test:
+                test_err.append(e)
+                s = xs[t] + xs[t - 7]
+                smape.append(0.0 if s == 0 else 2.0 * e / s)
+            else:
+                train_err.append(e)
+        if not train_err or sum(train_err) == 0:
+            assert etype not in got
+            continue
+        mase = (sum(test_err) / len(test_err)) / (
+            sum(train_err) / len(train_err)
+        )
+        assert got[etype]["mase"] == pytest.approx(mase, abs=2e-4)
+        assert got[etype]["smape_pct"] == pytest.approx(
+            100.0 * sum(smape) / len(smape), abs=2e-4
+        )
+
+
+# ---------------------------------------------------------------------------
+# a52 — BH procedure invariants
+# ---------------------------------------------------------------------------
+
+
+def test_a52_bh_invariants(spark):
+    rows = queries()["a52_bh_fdr_screen"](spark, SF_SMOKE).collect()
+    assert rows, "no items passed the n >= 30 gate at smoke scale"
+    m = rows[0]["n_tested"]
+    assert all(r["n_tested"] == m for r in rows)
+    assert sorted(r["p_rank"] for r in rows) == list(range(1, m + 1))
+    # p is non-decreasing in rank; thresholds are alpha*k/m
+    by_rank = sorted(rows, key=lambda r: r["p_rank"])
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert a["p_bound"] <= b["p_bound"] + 1e-12
+    for r in by_rank:
+        assert r["bh_threshold"] == pytest.approx(
+            0.05 * r["p_rank"] / m, abs=1e-4
+        )
+    # flagged = exactly ranks 1..k (step-up property)
+    flagged = [r["p_rank"] for r in rows if r["flagged"]]
+    if flagged:
+        k = max(flagged)
+        assert sorted(flagged) == list(range(1, k + 1))
+        # the k-th passes its own threshold
+        kth = next(r for r in by_rank if r["p_rank"] == k)
+        assert kth["p_bound"] <= 0.05 * k / m + 1e-9
+        # nothing past k passes a threshold that would extend k
+        for r in by_rank[k:]:
+            assert r["p_bound"] > 0.05 * r["p_rank"] / m - 1e-12
+
+
+# ---------------------------------------------------------------------------
+# x115 — packing-efficiency vs a pandas re-pack
+# ---------------------------------------------------------------------------
+
+
+def test_x115_matches_pandas_repack(spark):
+    import hashlib
+
+    BUDGET = 2048
+    docs = _docs_pd()
+    docs = docs.assign(
+        shard=[
+            hashlib.md5(str(i).encode()).hexdigest()[0]
+            for i in docs["doc_id"]
+        ],
+        n_tokens=[
+            len([t for t in str(x).lower().strip().split() if t])
+            for x in docs["text"]
+        ],
+    )
+    want = {}
+    for shard, grp in docs.sort_values("doc_id").groupby("shard"):
+        start = grp["n_tokens"].cumsum() - grp["n_tokens"]
+        pack_id = (start // BUDGET).astype(int)
+        offset = (start % BUDGET).astype(int)
+        last = pack_id.max()
+        sel = pack_id < last
+        if not sel.any():
+            continue
+        nt = grp["n_tokens"][sel]
+        off = offset[sel]
+        crossing = (off + nt > BUDGET)
+        over = (off + nt - BUDGET).clip(lower=0)
+        want[shard] = {
+            "n_packs": pack_id[sel].nunique(),
+            "n_docs": int(sel.sum()),
+            "n_crossing": int(crossing.sum()),
+            "frag": float(over.sum() / nt.sum()),
+        }
+    got = {
+        r["shard"]: r
+        for r in queries()["x115_packing_efficiency"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for shard, w in want.items():
+        g = got[shard]
+        assert g["n_packs"] == w["n_packs"]
+        assert g["n_docs"] == w["n_docs"]
+        assert g["n_crossing"] == w["n_crossing"]
+        assert g["frag_token_share"] == pytest.approx(
+            w["frag"], abs=2e-4
+        )
+        assert 0.0 <= g["crossing_share"] <= 1.0
+        assert g["avg_docs_per_pack"] >= 1.0
+
+
+# ---------------------------------------------------------------------------
+# x116 — silhouette invariants + planted separable clusters
+# ---------------------------------------------------------------------------
+
+
+def test_x116_silhouette_bounds(spark):
+    rows = queries()["x116_label_silhouette"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
+        assert 0.0 <= r["misplaced_share"] <= 1.0
+
+
+def test_x116_separable_clusters_score_high(spark, tmp_path):
+    """Three orthogonal point clouds → near-perfect silhouette and
+    zero misplacement."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    vecs, labels = [], []
+    for label, axis in [(0, 0), (1, 20), (2, 40)]:
+        for _ in range(30):
+            v = rng.normal(0, 0.05, 64)
+            v[axis] += 10.0
+            vecs.append(v.astype("float32"))
+            labels.append(label)
+    td = str(tmp_path / "sf")
+    os.makedirs(td)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(td, "embeddings.parquet"))
+    rows = queries()["x116_label_silhouette"](spark, td).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["mean_silhouette"] > 0.95
+        assert r["misplaced_share"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# x117 — CDC shift-invariance (the property fixed-size chunking lacks)
+# ---------------------------------------------------------------------------
+
+
+def _cdc_chunks(tokens, w=4, divisor=16):
+    import hashlib
+
+    bounds = []
+    for i in range(len(tokens)):
+        if i >= w - 1:
+            gram = " ".join(tokens[i - w + 1 : i + 1])
+            h = int(hashlib.md5(gram.encode()).hexdigest()[:8], 16)
+            bounds.append(h % divisor == 0)
+        else:
+            bounds.append(False)
+    chunks, cur = [], []
+    for tok, b in zip(tokens, bounds):
+        cur.append(tok)
+        if b:
+            chunks.append(" ".join(cur))
+            cur = []
+    if cur:
+        chunks.append(" ".join(cur))
+    return chunks
+
+
+def test_x117_cdc_is_shift_invariant(spark, tmp_path):
+    """Insert a sentence at the top of a mirrored document: CDC chunk
+    hashes re-synchronize, so most chunks still dedup — and the query
+    reports the duplication."""
+    body = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+        "psi omega one two three four five six seven eight nine ten "
+        "eleven twelve thirteen fourteen fifteen sixteen seventeen "
+        "eighteen nineteen twenty alpha2 beta2 gamma2 delta2 "
+        "epsilon2 zeta2 eta2 theta2 iota2 kappa2 lambda2 mu2 nu2 "
+        "xi2 omicron2 pi2 rho2 sigma2 tau2 upsilon2"
+    )
+    shifted = "breaking news prefix inserted here " + body
+    # python reference: shifted copy shares most chunk strings
+    c1 = set(_cdc_chunks(body.split()))
+    c2 = set(_cdc_chunks(shifted.split()))
+    shared = len(c1 & c2)
+    assert shared >= max(1, len(c1) - 2), (
+        "CDC must re-synchronize after the insertion point"
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [body, shifted, "unrelated totally different words"],
+            "lang": ["en"] * 3,
+            "source": ["a", "b", "c"],
+            "n_chars": [len(body), len(shifted), 33],
+        }
+    )
+    td = str(tmp_path / "sf")
+    os.makedirs(td)
+    docs.to_parquet(os.path.join(td, "documents.parquet"), index=False)
+    rows = {
+        r["source"]: r
+        for r in queries()["x117_cdc_chunks"](spark, td).collect()
+    }
+    # source b (the shifted mirror) shares chunks with source a
+    assert rows["a"]["cross_source_share"] > 0
+    assert rows["b"]["cross_source_share"] > 0
+    assert rows["c"]["cross_source_share"] == 0.0
+
+
+def test_x117_matches_python_reference(spark):
+    docs = _docs_pd()
+    chunk_rows = []
+    for doc_id, source, text in zip(
+        docs["doc_id"], docs["source"], docs["text"]
+    ):
+        toks = [t for t in str(text).lower().strip().split() if t]
+        for ch in _cdc_chunks(toks):
+            chunk_rows.append((source, ch))
+    by_source = defaultdict(list)
+    for source, ch in chunk_rows:
+        by_source[source].append(ch)
+    spread = defaultdict(set)
+    for source, ch in chunk_rows:
+        spread[ch].add(source)
+    got = {
+        r["source"]: r
+        for r in queries()["x117_cdc_chunks"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(by_source)
+    for source, chunks in by_source.items():
+        g = got[source]
+        assert g["n_chunks"] == len(chunks)
+        assert g["n_chunk_types"] == len(set(chunks))
+        cross = sum(1 for ch in chunks if len(spread[ch]) > 1)
+        assert g["cross_source_share"] == pytest.approx(
+            cross / len(chunks), abs=2e-4
+        )
+        assert g["mean_chunk_tokens"] == pytest.approx(
+            sum(len(c.split()) for c in chunks) / len(chunks), abs=2e-4
+        )
