@@ -33,14 +33,23 @@ def global_row_number(
 ) -> DataFrame:
     """``df`` + a 1-based global rank column over ``order_cols``,
     computed with range partitioning instead of a global sort."""
+    from server_spark.barrier import barrier
+
     ranged = (
         df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions
         else df.repartitionByRange(*order_cols)
     )
     # Stamp the range-partition id in the stage right after the range
-    # exchange: pid order == global key order by construction.
-    staged = ranged.withColumn("_pid", F.spark_partition_id())
+    # exchange: pid order == global key order by construction. The
+    # stamped relation is BARRIERED because two branches consume it
+    # (local ranks + per-partition counts): without materialization,
+    # AQE may coalesce the range exchange DIFFERENTLY per consumer
+    # (each branch is its own stage shape), and spark_partition_id()
+    # then disagrees between the branches — offsets join against the
+    # wrong pids and ranks silently shift (caught by the config-
+    # metamorphic suite on the sibling grouped_cum_before).
+    staged = barrier(ranged.withColumn("_pid", F.spark_partition_id()))
 
     # Per-partition row counts → exclusive prefix sum. This relation
     # has one row per partition; the unpartitioned window here is a
@@ -94,13 +103,20 @@ def grouped_cum_before(
     ``df`` must have UNIQUE (group_cols, order_col) rows (aggregate
     first) so a value's weight can never straddle a range boundary.
     """
+    from server_spark.barrier import barrier
+
     keys = [*group_cols, order_col]
     ranged = (
         df.repartitionByRange(num_partitions, *keys)
         if num_partitions
         else df.repartitionByRange(*keys)
     )
-    staged = ranged.withColumn("_pid", F.spark_partition_id())
+    # barriered for the same reason as global_row_number: the offsets
+    # branch and the local-prefix branch must observe the SAME
+    # partition ids, and AQE may otherwise coalesce the range exchange
+    # differently per consumer (observed: a50 under AQE-on returned a
+    # wrong rho at sf0.001 — offsets joined against shifted pids)
+    staged = barrier(ranged.withColumn("_pid", F.spark_partition_id()))
     # per-(group, pid) totals → exclusive prefix over pid order within
     # the group; pid order == order_col order by range construction
     counts = staged.groupBy(*group_cols, "_pid").agg(

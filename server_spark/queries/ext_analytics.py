@@ -1545,3 +1545,218 @@ def a52_bh_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# A53 — price elasticity per item (log-log OLS over monthly aggregates)
+# ---------------------------------------------------------------------------
+
+_A53_MIN_MONTHS = 12
+
+
+@register(
+    "a53_price_elasticity",
+    auctions_sql(
+        f"""
+    , m AS (
+        SELECT item, date_trunc('month', dump_ts) AS mon,
+               CAST(SUM(CAST(CAST(buyout AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS sb,
+               CAST(SUM(CAST(CAST(quantity AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS sq
+        FROM auctions
+        WHERE buyout IS NOT NULL AND quantity IS NOT NULL
+        GROUP BY 1, 2
+        HAVING SUM(quantity) > 0 AND SUM(buyout) > 0
+    ),
+    pts AS (
+        SELECT item,
+               LN(CAST(sb AS DOUBLE) / sq) AS lp,
+               LN(CAST(sq AS DOUBLE) / 100.0) AS lq
+        FROM m
+    ),
+    s AS (
+        SELECT item, COUNT(*) AS n,
+               SUM(lp) AS sx, SUM(lq) AS sy,
+               SUM(lp * lp) AS sxx, SUM(lq * lq) AS syy,
+               SUM(lp * lq) AS sxy
+        FROM pts GROUP BY item
+        HAVING COUNT(*) >= {_A53_MIN_MONTHS}
+    )
+    SELECT item, n AS n_months,
+           {{B}} AS elasticity,
+           {{R2}} AS r2
+    FROM s
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    ORDER BY item
+    """.replace(
+            "{B}", r4sql("(n * sxy - sx * sy) / (n * sxx - sx * sx)")
+        ).replace(
+            "{R2}",
+            r4sql(
+                "((n * sxy - sx * sy) * (n * sxy - sx * sy))"
+                " / ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+            ),
+        )
+    ),
+    doc="A53 (EXT analytics) — PRICE ELASTICITY per item: the OLS "
+    "slope of ln(monthly quantity) on ln(monthly mean unit price) — "
+    "the classic log-log demand-curve read (slope ≈ %Δq per %Δp; "
+    "< −1 elastic, the repricing lever a marketplace team actually "
+    "pulls; w12 fits TIME trends, this fits the PRICE response). "
+    "Exactness: monthly sums are integer cents (sb) and integer "
+    "centi-units (sq), so both engines take LN of the SAME exact "
+    "ratios; the OLS moment sums run over month-bounded points "
+    "(≤ 84 per item) and land in r4. Degenerate items (constant "
+    "price or constant volume → zero variance) are excluded by the "
+    "positive-variance gate, not emitted as NaN. Shape: one "
+    "fact-table hash-agg to (item, month), one item-keyed hash-agg "
+    "of OLS moments — output is catalog-bounded.",
+    tags=("ext", "agg", "analytics", "stats"),
+    late=True,
+)
+def a53_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    au = auctions(spark, sf_dir)
+    cents = (F.col("buyout").cast("decimal(18,2)") * 100).cast("bigint")
+    centi_q = (F.col("quantity").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    m = (
+        au.filter(
+            F.col("buyout").isNotNull() & F.col("quantity").isNotNull()
+        )
+        .groupBy("item", F.date_trunc("month", "dump_ts").alias("mon"))
+        .agg(
+            F.sum(cents).alias("sb"),
+            F.sum(centi_q).alias("sq"),
+            F.sum("quantity").alias("rawq"),
+            F.sum("buyout").alias("rawb"),
+        )
+        .filter((F.col("rawq") > 0) & (F.col("rawb") > 0))
+    )
+    lp = F.log(F.col("sb").cast("double") / F.col("sq"))
+    lq = F.log(F.col("sq").cast("double") / 100.0)
+    pts = m.select("item", lp.alias("lp"), lq.alias("lq"))
+    s = (
+        pts.groupBy("item")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("lp").alias("sx"),
+            F.sum("lq").alias("sy"),
+            F.sum(F.col("lp") * F.col("lp")).alias("sxx"),
+            F.sum(F.col("lq") * F.col("lq")).alias("syy"),
+            F.sum(F.col("lp") * F.col("lq")).alias("sxy"),
+        )
+        .filter(F.col("n") >= _A53_MIN_MONTHS)
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    return (
+        s.filter((vx > 0) & (vy > 0))
+        .select(
+            "item",
+            n.alias("n_months"),
+            r4(cov / vx).alias("elasticity"),
+            r4(cov * cov / (vx * vy)).alias("r2"),
+        )
+        .orderBy("item")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A54 — Lorenz deciles of seller revenue (completes the a27 Gini read)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a54_lorenz_deciles",
+    auctions_sql(
+        """
+    , per AS (
+        SELECT owner,
+               CAST(SUM(CAST(CAST(buyout AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS w
+        FROM auctions WHERE buyout IS NOT NULL
+        GROUP BY owner
+    ),
+    deci AS (
+        SELECT owner, w,
+               NTILE(10) OVER (ORDER BY w, owner) AS decile
+        FROM per
+    ),
+    agg AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_owners,
+               CAST(SUM(w) AS BIGINT) AS wealth
+        FROM deci GROUP BY decile
+    ),
+    tot AS (SELECT CAST(SUM(wealth) AS BIGINT) AS t FROM agg)
+    SELECT decile, n_owners,
+           {S} AS share,
+           {C} AS cum_share
+    FROM (
+        SELECT decile, n_owners, wealth,
+               SUM(wealth) OVER (ORDER BY decile
+                   ROWS UNBOUNDED PRECEDING) AS cw
+        FROM agg
+    ) CROSS JOIN tot
+    ORDER BY decile
+    """.replace("{S}", r4sql("CAST(wealth AS DOUBLE) / t"))
+        .replace("{C}", r4sql("CAST(cw AS DOUBLE) / t"))
+    ),
+    doc="A54 (EXT analytics) — LORENZ CURVE deciles of seller revenue: "
+    "owners sorted by total cent-revenue, split into ten "
+    "equal-population bins, each bin's share and cumulative share of "
+    "total revenue — the curve whose area deficit a27's Gini "
+    "summarizes to one number; the deciles are what a marketplace "
+    "review actually reads ('the top 10% of sellers hold X%'). "
+    "Deterministic: NTILE over the total order (wealth, owner); all "
+    "wealth sums are exact BIGINT cents, shares r4 at the end. "
+    "Shape: one fact hash-agg to owners, one owner-bounded window "
+    "(sellers are a dimension — the documented a52 exception), one "
+    "10-row rollup.",
+    tags=("ext", "agg", "analytics"),
+    late=True,
+)
+def a54_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    au = auctions(spark, sf_dir)
+    cents = (F.col("buyout").cast("decimal(18,2)") * 100).cast("bigint")
+    per = (
+        au.filter(F.col("buyout").isNotNull())
+        .groupBy("owner")
+        .agg(F.sum(cents).alias("w"))
+    )
+    # owners are catalog-bounded (a dimension): single-task windows
+    # here are bounded by the dimension, not the fact table
+    deci = per.select(
+        "w", F.ntile(10).over(Window.orderBy("w", "owner")).alias("decile")
+    )
+    agg = deci.groupBy("decile").agg(
+        F.count("*").alias("n_owners"), F.sum("w").alias("wealth")
+    )
+    tot = agg.agg(F.sum("wealth").alias("t"))
+    cum = agg.select(
+        "decile",
+        "n_owners",
+        "wealth",
+        F.sum("wealth")
+        .over(
+            Window.orderBy("decile").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("cw"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_owners",
+            r4(F.col("wealth").cast("double") / F.col("t")).alias("share"),
+            r4(F.col("cw").cast("double") / F.col("t")).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )

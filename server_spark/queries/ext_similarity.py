@@ -1958,3 +1958,113 @@ def x116_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# x118 — embedding isotropy / effective dimensionality health check
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x118_embedding_isotropy",
+    rf"""
+    WITH e AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    per_dim AS (
+        SELECT dim, COUNT(*) AS n, AVG(v) AS mu,
+               SUM(v * v) AS s2, SUM(v) AS s1
+        FROM e GROUP BY dim
+    ),
+    dimstats AS (
+        SELECT dim, n, mu,
+               (s2 - s1 * s1 / n) / (n - 1) AS var_d
+        FROM per_dim
+    ),
+    norms AS (
+        SELECT vec_id, SUM(v * v) AS sqn FROM e GROUP BY vec_id
+    ),
+    agg AS (
+        SELECT (SELECT MAX(n) FROM dimstats) AS n_vecs,
+               (SELECT COUNT(*) FROM dimstats) AS n_dims,
+               (SELECT SUM(mu * mu) FROM dimstats) AS mu_sq,
+               (SELECT AVG(sqn) FROM norms) AS mean_sqnorm,
+               (SELECT SUM(var_d) FROM dimstats) AS var_sum,
+               (SELECT SUM(var_d * var_d) FROM dimstats) AS var_sq,
+               (SELECT MAX(var_d) FROM dimstats) AS var_max
+    )
+    SELECT CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(n_dims AS BIGINT) AS n_dims,
+           {r4sql("SQRT(mu_sq)")} AS centroid_norm,
+           {r4sql("SQRT(mean_sqnorm)")} AS rms_norm,
+           {r4sql("1.0 - mu_sq / mean_sqnorm")} AS isotropy,
+           {r4sql("var_max / var_sum")} AS top_dim_var_share,
+           {r4sql("var_sum * var_sum / var_sq")} AS participation_ratio
+    FROM agg
+    """,
+    doc="EXT x118 — embedding ISOTROPY health check, the one-row "
+    "report an embedding pipeline reads before trusting cosine "
+    "similarity: anisotropic spaces (all vectors crowded into a "
+    "narrow cone — the common pathology of contextual encoders) make "
+    "every cosine large and kill retrieval contrast. Metrics: "
+    "centroid_norm vs rms_norm and isotropy = 1 − ‖μ‖²/E‖v‖² (≈1 "
+    "means centered/spread, →0 means cone-collapsed; the fix is "
+    "x97's ABTT mean-removal, and THIS is the query that says "
+    "whether to run it), top_dim_var_share (one rogue dimension "
+    "carrying the variance — the x27 trim signal), and the "
+    "variance participation ratio (Σλ)²/Σλ² as the effective "
+    "dimensionality proxy without an eigensolve. Shape: one n·d "
+    "explode into two hash-aggs (per-dim moments: d rows; per-vec "
+    "norms: n rows) and a scalar fold — no pairwise anything, "
+    "exact one-pass moments.",
+    tags=("ext", "similarity", "eval"),
+    late=True,
+)
+def x118_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select("vec_id", "dim", F.col("v").cast("double").alias("v"))
+    e = e.transform(barrier)  # feeds per-dim moments AND per-vec norms
+    per_dim = e.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.avg("v").alias("mu"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.sum("v").alias("s1"),
+    )
+    dimstats = per_dim.select(
+        "dim",
+        "n",
+        "mu",
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("var_d"),
+    )
+    norms = e.groupBy("vec_id").agg(
+        F.sum(F.col("v") * F.col("v")).alias("sqn")
+    )
+    dim_agg = dimstats.agg(
+        F.max("n").alias("n_vecs"),
+        F.count("*").alias("n_dims"),
+        F.sum(F.col("mu") * F.col("mu")).alias("mu_sq"),
+        F.sum("var_d").alias("var_sum"),
+        F.sum(F.col("var_d") * F.col("var_d")).alias("var_sq"),
+        F.max("var_d").alias("var_max"),
+    )
+    norm_agg = norms.agg(F.avg("sqn").alias("mean_sqnorm"))
+    return dim_agg.crossJoin(norm_agg).select(
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.col("n_dims").cast("bigint").alias("n_dims"),
+        r4(F.sqrt(F.col("mu_sq"))).alias("centroid_norm"),
+        r4(F.sqrt(F.col("mean_sqnorm"))).alias("rms_norm"),
+        r4(1.0 - F.col("mu_sq") / F.col("mean_sqnorm")).alias("isotropy"),
+        r4(F.col("var_max") / F.col("var_sum")).alias(
+            "top_dim_var_share"
+        ),
+        r4(
+            F.col("var_sum") * F.col("var_sum") / F.col("var_sq")
+        ).alias("participation_ratio"),
+    )

@@ -3271,3 +3271,162 @@ def x113_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.avg(F.log(p_kn))).alias("avg_kn_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x119 — stylometric Burrows' Delta between sources
+# ---------------------------------------------------------------------------
+
+_X119_TOP_K = 30  # most-frequent corpus tokens used as the style basis
+
+
+@register(
+    "x119_stylometric_delta",
+    rf"""
+    WITH toks AS (
+        SELECT source, token FROM (
+            SELECT source,
+                   UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+'))
+                       AS token
+            FROM documents
+        ) WHERE token <> ''
+    ),
+    fw AS (
+        SELECT token FROM (
+            SELECT token, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token)
+                       AS rk
+            FROM toks GROUP BY token
+        ) WHERE rk <= {_X119_TOP_K}
+    ),
+    stot AS (SELECT source, COUNT(*) AS n FROM toks GROUP BY source),
+    freq AS (
+        SELECT s.source, f.token,
+               CAST(COALESCE(c.c, 0) AS DOUBLE) / s.n AS rel
+        FROM stot s CROSS JOIN fw f
+        LEFT JOIN (
+            SELECT source, token, COUNT(*) AS c
+            FROM toks JOIN fw USING (token)
+            GROUP BY source, token
+        ) c ON c.source = s.source AND c.token = f.token
+    ),
+    wstats AS (
+        SELECT token, AVG(rel) AS mu,
+               CASE WHEN COUNT(*) > 1 THEN
+                   SQRT((SUM(rel * rel) - SUM(rel) * SUM(rel) / COUNT(*))
+                        / (COUNT(*) - 1))
+               END AS sd
+        FROM freq GROUP BY token
+    ),
+    z AS (
+        SELECT f.source, f.token, (f.rel - w.mu) / w.sd AS z
+        FROM freq f JOIN wstats w ON f.token = w.token
+        WHERE w.sd > 0
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_markers,
+           {r4sql("AVG(ABS(a.z - b.z))")} AS burrows_delta
+    FROM z a JOIN z b
+      ON a.token = b.token AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+    """,
+    doc="EXT x119 — STYLOMETRIC Burrows' Delta between sources: "
+    f"relative frequencies of the {_X119_TOP_K} most frequent corpus "
+    "tokens (function words — style carriers, not topic carriers), "
+    "z-scored per token ACROSS sources, Delta(a,b) = mean |z_a − "
+    "z_b| — the century-old authorship-attribution measure, "
+    "repurposed as the corpus-QA probe for SOURCE STYLE DRIFT: two "
+    "crawls of the same site should sit near 0; a 'web' source "
+    "whose delta to 'wiki' suddenly halves after a pipeline change "
+    "means template contamination has blended them (x105 measures "
+    "shared VOCABULARY, x98 topic JSD — this isolates STYLE, which "
+    "survives topic shift). Constant-across-sources markers (sd = 0) "
+    "carry no signal and are excluded; n_markers records the basis "
+    "actually used. Deterministic: top-K by (count DESC, token) is a "
+    "total order. Shape: one token hash-agg for the corpus top-K "
+    "(vocab-bounded), one source×marker matrix (sources × K cells — "
+    "tiny), z-scoring and the pair join all run on that bounded "
+    "matrix; the corpus is scanned once.",
+    tags=("ext", "textstats", "eval"),
+    late=True,
+)
+def x119_stylometric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .transform(barrier)  # feeds top-K, totals AND marker counts
+    )
+    wfw = Window.orderBy(F.col("c").desc(), "token")
+    fw = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .select("token", F.row_number().over(wfw).alias("rk"))
+        .filter(F.col("rk") <= _X119_TOP_K)
+        .select("token")
+    )
+    stot = toks.groupBy("source").agg(F.count("*").alias("n"))
+    counts = (
+        toks.join(F.broadcast(fw), "token")
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    freq = (
+        stot.crossJoin(F.broadcast(fw))
+        .join(counts, ["source", "token"], "left")
+        .select(
+            "source",
+            "token",
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("n")
+            ).alias("rel"),
+        )
+        .transform(barrier)  # feeds marker stats AND both z sides
+    )
+    wstats = freq.groupBy("token").agg(
+        F.avg("rel").alias("mu"),
+        F.when(
+            F.count("*") > 1,
+            F.sqrt(
+                (
+                    F.sum(F.col("rel") * F.col("rel"))
+                    - F.sum("rel") * F.sum("rel") / F.count("*")
+                )
+                / (F.count("*") - 1)
+            ),
+        ).alias("sd"),
+    )
+    z = (
+        freq.join(F.broadcast(wstats), "token")
+        .filter(F.col("sd") > 0)
+        .select(
+            "source",
+            "token",
+            ((F.col("rel") - F.col("mu")) / F.col("sd")).alias("z"),
+        )
+    )
+    za = z.select(
+        F.col("source").alias("source_a"), "token", F.col("z").alias("za")
+    )
+    zb = z.select(
+        F.col("source").alias("source_b"), "token", F.col("z").alias("zb")
+    )
+    return (
+        za.join(zb, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_markers"),
+            r4(F.avg(F.abs(F.col("za") - F.col("zb")))).alias(
+                "burrows_delta"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )

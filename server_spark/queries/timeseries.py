@@ -4994,3 +4994,167 @@ def t50_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# T51 — effective sample size from the initial-positive ACF sum
+# ---------------------------------------------------------------------------
+
+_T51_MAX_LAG = 14
+
+
+@register(
+    "t51_effective_sample_size",
+    f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, AVG(value) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY day
+               ) AS rn
+        FROM daily
+    ),
+    stats AS (
+        SELECT event_type, AVG(x) AS xbar, COUNT(*) AS n
+        FROM idx GROUP BY event_type
+    ),
+    devs AS (
+        SELECT i.event_type, i.rn, i.x - s.xbar AS dev, s.n
+        FROM idx i JOIN stats s ON i.event_type = s.event_type
+    ),
+    ss AS (
+        SELECT event_type, SUM(dev * dev) AS ss0, MAX(n) AS n
+        FROM devs GROUP BY event_type
+    ),
+    rho AS (
+        SELECT d1.event_type, k.lag,
+               CAST(CAST(ROUND(CAST(CAST(
+                   (SUM(d1.dev * d2.dev) / MAX(ss.ss0))
+                   AS STRING) AS DECIMAL(38,10)), 4) AS STRING) AS DOUBLE)
+                   AS r
+        FROM devs d1
+        JOIN (VALUES {", ".join(f"({k})" for k in range(1, _T51_MAX_LAG + 1))})
+            AS k(lag) ON TRUE
+        JOIN devs d2
+          ON d2.event_type = d1.event_type AND d2.rn = d1.rn + k.lag
+        JOIN ss ON ss.event_type = d1.event_type
+        WHERE ss.ss0 > 0
+        GROUP BY d1.event_type, k.lag
+    ),
+    cut AS (
+        SELECT event_type,
+               COALESCE(MIN(CASE WHEN r <= 0 THEN lag END),
+                        {_T51_MAX_LAG + 1}) AS first_nonpos
+        FROM rho GROUP BY event_type
+    ),
+    tau AS (
+        SELECT rho.event_type,
+               SUM(CASE WHEN rho.lag < cut.first_nonpos
+                        THEN rho.r ELSE 0 END) AS sum_rho,
+               MAX(cut.first_nonpos) - 1 AS k_used
+        FROM rho JOIN cut ON rho.event_type = cut.event_type
+        GROUP BY rho.event_type
+    )
+    SELECT t.event_type, ss.n AS n_days, t.k_used,
+           {{SR}} AS sum_rho,
+           {{ESS}} AS ess,
+           {{EF}} AS ess_ratio
+    FROM tau t JOIN ss ON t.event_type = ss.event_type
+    ORDER BY t.event_type
+    """.replace("{SR}", r4sql("t.sum_rho"))
+        .replace("{ESS}", r4sql("ss.n / (1.0 + 2.0 * t.sum_rho)"))
+        .replace("{EF}", r4sql("1.0 / (1.0 + 2.0 * t.sum_rho)")),
+    doc="T51 (EXT timeseries) — EFFECTIVE SAMPLE SIZE of each daily "
+    "value series: ESS = n / (1 + 2·Σρ_k) with the ACF sum truncated "
+    "at the first non-positive autocorrelation (Geyer's initial-"
+    "positive-sequence rule, the MCMC-diagnostics standard) — the "
+    "number that tells an A/B or anomaly pipeline how many of its n "
+    "daily observations are actually independent: momentum-heavy "
+    "price series (t32's near-1 lag-1 regime) can carry 10× less "
+    "evidence than their row count suggests, and every CI the a41 "
+    "bootstrap hands out assumes the ESS, not n. Truncation compares "
+    "the r4-CANONICAL ρ against 0 so the cutoff lag is identical on "
+    "both engines (raw-sum sign near 0 could flip in the last ulp). "
+    "Shape: t32's substrate — one (type, day) hash-agg, a "
+    "|lags|-bounded join fan-out, series-keyed hash-aggs; output is "
+    "catalog-bounded.",
+    tags=("ext", "timeseries", "stats"),
+    late=True,
+)
+def t51_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.avg("value").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type", "x", F.row_number().over(w).alias("rn")
+    ).transform(barrier)  # feeds stats AND both lag sides
+    stats = idx.groupBy("event_type").agg(
+        F.avg("x").alias("xbar"), F.count("*").alias("n")
+    )
+    devs = idx.join(stats, "event_type").select(
+        "event_type", "rn", (F.col("x") - F.col("xbar")).alias("dev"), "n"
+    ).transform(barrier)
+    ss = devs.groupBy("event_type").agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("ss0"),
+        F.max("n").alias("n"),
+    )
+    lags = spark.range(1, _T51_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    d2 = devs.select(
+        F.col("event_type").alias("_et2"),
+        F.col("rn").alias("rn2"),
+        F.col("dev").alias("dev2"),
+    )
+    rho = (
+        devs.crossJoin(F.broadcast(lags))
+        .join(
+            d2,
+            (F.col("event_type") == F.col("_et2"))
+            & (F.col("rn2") == F.col("rn") + F.col("lag")),
+        )
+        .drop("_et2")
+        .join(ss, "event_type")
+        .filter(F.col("ss0") > 0)
+        .groupBy("event_type", "lag")
+        .agg(
+            r4(
+                F.sum(F.col("dev") * F.col("dev2")) / F.max("ss0")
+            ).alias("r")
+        )
+    ).transform(barrier)  # feeds the cutoff AND the tau sum
+    cut = rho.groupBy("event_type").agg(
+        F.coalesce(
+            F.min(F.when(F.col("r") <= 0, F.col("lag"))),
+            F.lit(_T51_MAX_LAG + 1),
+        ).alias("first_nonpos")
+    )
+    tau = (
+        rho.join(cut, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("lag") < F.col("first_nonpos"), F.col("r")
+                ).otherwise(0.0)
+            ).alias("sum_rho"),
+            (F.max("first_nonpos") - 1).alias("k_used"),
+        )
+    )
+    return (
+        tau.join(ss, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "k_used",
+            r4(F.col("sum_rho")).alias("sum_rho"),
+            r4(F.col("n") / (1.0 + 2.0 * F.col("sum_rho"))).alias("ess"),
+            r4(1.0 / (1.0 + 2.0 * F.col("sum_rho"))).alias("ess_ratio"),
+        )
+        .orderBy("event_type")
+    )

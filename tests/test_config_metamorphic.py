@@ -58,6 +58,7 @@ QUERIES = (
     "t44_markov_stationary",      # six barriered matrix squarings (r8 s2)
     "a50_spearman",               # doubled-rank moments, 2 marginal joins
     "j13_asof_tolerance",         # struct-carrying asof window (r8 s2)
+    "x31_length_batching",        # two-phase global rank (pid barrier, r9)
 )
 
 VARIANTS = (

@@ -423,3 +423,236 @@ def test_x117_matches_python_reference(spark):
         assert g["mean_chunk_tokens"] == pytest.approx(
             sum(len(c.split()) for c in chunks) / len(chunks), abs=2e-4
         )
+
+
+# ---------------------------------------------------------------------------
+# a53 — elasticity vs a pandas OLS reference
+# ---------------------------------------------------------------------------
+
+
+def test_a53_matches_pandas_ols(spark):
+    import numpy as np
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    li = li[li["l_extendedprice"].notna() & li["l_quantity"].notna()]
+    li = li.assign(
+        item=li["l_partkey"],
+        mon=pd.to_datetime(li["l_shipdate"]).dt.to_period("M"),
+        cents=(li["l_extendedprice"].round(2) * 100).round().astype("int64"),
+        cq=(li["l_quantity"].round(2) * 100).round().astype("int64"),
+    )
+    got = {
+        r["item"]: r
+        for r in queries()["a53_price_elasticity"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    n_checked = 0
+    for item, grp in li.groupby("item"):
+        m = grp.groupby("mon").agg(
+            sb=("cents", "sum"), sq=("cq", "sum"),
+            rawq=("l_quantity", "sum"), rawb=("l_extendedprice", "sum"),
+        )
+        m = m[(m["rawq"] > 0) & (m["rawb"] > 0)]
+        if len(m) < 12:
+            assert item not in got
+            continue
+        lp = np.log(m["sb"].to_numpy(float) / m["sq"].to_numpy(float))
+        lq = np.log(m["sq"].to_numpy(float) / 100.0)
+        n = len(m)
+        vx = n * (lp * lp).sum() - lp.sum() ** 2
+        vy = n * (lq * lq).sum() - lq.sum() ** 2
+        cov = n * (lp * lq).sum() - lp.sum() * lq.sum()
+        if vx <= 0 or vy <= 0:
+            assert item not in got
+            continue
+        assert got[item]["n_months"] == n
+        assert got[item]["elasticity"] == pytest.approx(
+            cov / vx, abs=2e-4
+        )
+        assert got[item]["r2"] == pytest.approx(
+            cov * cov / (vx * vy), abs=2e-4
+        )
+        n_checked += 1
+    assert n_checked > 0, "no item passed the 12-month gate at smoke"
+
+
+# ---------------------------------------------------------------------------
+# a54 — Lorenz invariants
+# ---------------------------------------------------------------------------
+
+
+def test_a54_lorenz_invariants(spark):
+    rows = sorted(
+        queries()["a54_lorenz_deciles"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    # shares sum to 1, cumulative shares monotone and end at 1,
+    # and the Lorenz curve is convex: decile shares non-decreasing
+    assert sum(r["share"] for r in rows) == pytest.approx(1.0, abs=5e-4)
+    cums = [r["cum_share"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(cums, cums[1:]))
+    assert cums[-1] == pytest.approx(1.0, abs=1e-4)
+    shares = [r["share"] for r in rows]
+    assert all(a <= b + 1e-4 for a, b in zip(shares, shares[1:]))
+
+
+# ---------------------------------------------------------------------------
+# t51 — ESS vs a python reference with the same truncation rule
+# ---------------------------------------------------------------------------
+
+
+def test_t51_matches_python_reference(spark):
+    from tests.test_analytics import _r4 as r4py
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    got = {
+        r["event_type"]: r
+        for r in queries()["t51_effective_sample_size"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    for etype, grp in ev.groupby("event_type"):
+        daily = (
+            grp.assign(day=grp["ts"].dt.date)
+            .groupby("day")["value"].mean()
+            .sort_index()
+            .to_numpy()
+        )
+        n = len(daily)
+        dev = daily - daily.mean()
+        ss0 = float((dev * dev).sum())
+        if ss0 <= 0:
+            assert etype not in got
+            continue
+        rhos = []
+        for k in range(1, 15):
+            if k >= n:
+                break
+            rhos.append(r4py(float((dev[:-k] * dev[k:]).sum()) / ss0))
+        first_nonpos = next(
+            (i + 1 for i, r in enumerate(rhos) if r <= 0), 15
+        )
+        sum_rho = sum(rhos[: first_nonpos - 1])
+        g = got[etype]
+        assert g["n_days"] == n
+        assert g["k_used"] == first_nonpos - 1
+        assert g["sum_rho"] == pytest.approx(sum_rho, abs=2e-4)
+        assert g["ess"] == pytest.approx(
+            n / (1 + 2 * sum_rho), abs=2e-3
+        )
+        assert 0 < g["ess"] <= n + 1e-6 or g["ess"] > n  # finite
+        assert g["ess_ratio"] > 0
+
+
+# ---------------------------------------------------------------------------
+# x118 — isotropy vs numpy; planted cone collapse
+# ---------------------------------------------------------------------------
+
+
+def test_x118_matches_numpy(spark):
+    import numpy as np
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    X = np.stack(
+        [np.asarray(v, dtype=float) for v in emb["embedding"]]
+    )
+    mu = X.mean(axis=0)
+    var_d = X.var(axis=0, ddof=1)
+    mean_sqnorm = float((X * X).sum(axis=1).mean())
+    row = queries()["x118_embedding_isotropy"](spark, SF_SMOKE).collect()[0]
+    assert row["n_vecs"] == len(X) and row["n_dims"] == X.shape[1]
+    assert row["centroid_norm"] == pytest.approx(
+        float(np.linalg.norm(mu)), abs=2e-4
+    )
+    assert row["isotropy"] == pytest.approx(
+        1.0 - float(mu @ mu) / mean_sqnorm, abs=2e-4
+    )
+    assert row["top_dim_var_share"] == pytest.approx(
+        float(var_d.max() / var_d.sum()), abs=2e-4
+    )
+    assert row["participation_ratio"] == pytest.approx(
+        float(var_d.sum() ** 2 / (var_d * var_d).sum()), abs=2e-3
+    )
+
+
+def test_x118_cone_collapse_reads_low(spark, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(3)
+    base = np.ones(64) * 5.0
+    vecs = [
+        (base + rng.normal(0, 0.01, 64)).astype("float32")
+        for _ in range(40)
+    ]
+    td = str(tmp_path / "sf")
+    os.makedirs(td)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(40), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * 40, pa.int32()),
+            }
+        ),
+        os.path.join(td, "embeddings.parquet"),
+    )
+    row = queries()["x118_embedding_isotropy"](spark, td).collect()[0]
+    # everything sits on one cone tip: the mean carries ~all the mass
+    assert row["isotropy"] < 0.01
+
+
+# ---------------------------------------------------------------------------
+# x119 — Burrows' Delta vs python reference
+# ---------------------------------------------------------------------------
+
+
+def test_x119_matches_python_reference(spark):
+    import itertools
+    import math as _m
+
+    docs = _docs_pd()
+    tok_rows = []
+    for source, text in zip(docs["source"], docs["text"]):
+        for t in str(text).lower().strip().split():
+            if t:
+                tok_rows.append((source, t))
+    corpus = Counter(t for _, t in tok_rows)
+    top = sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    markers = [t for t, _ in top]
+    stot = Counter(s for s, _ in tok_rows)
+    cnt = Counter(tok_rows)
+    sources = sorted(stot)
+    rel = {
+        (s, t): cnt[(s, t)] / stot[s] for s in sources for t in markers
+    }
+    z = {}
+    n_markers = 0
+    for t in markers:
+        vals = [rel[(s, t)] for s in sources]
+        m = sum(vals) / len(vals)
+        var = sum((v - m) ** 2 for v in vals) / (len(vals) - 1)
+        sd = _m.sqrt(var)
+        if sd > 0:
+            n_markers += 1
+            for s in sources:
+                z[(s, t)] = (rel[(s, t)] - m) / sd
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in queries()["x119_stylometric_delta"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert len(got) == len(sources) * (len(sources) - 1) // 2
+    for a, b in itertools.combinations(sources, 2):
+        ts = [t for t in markers if (a, t) in z]
+        want = sum(abs(z[(a, t)] - z[(b, t)]) for t in ts) / len(ts)
+        g = got[(a, b)]
+        assert g["n_markers"] == n_markers
+        assert g["burrows_delta"] == pytest.approx(want, abs=2e-4)
+        assert g["burrows_delta"] >= 0
