@@ -1915,8 +1915,10 @@ def x109_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x117 — content-defined chunking (CDC) dedup profile
 # ---------------------------------------------------------------------------
 
-_X117_W = 4        # rolling gram width that decides boundaries
-_X117_DIVISOR = 16  # boundary when gram-hash % divisor == 0 (E[len]≈16)
+# single source of truth: server_spark/dedup/cdc.py (shared with the
+# streaming fold so incremental == one-shot holds exactly)
+from server_spark.dedup.cdc import CDC_DIVISOR as _X117_DIVISOR  # noqa: E402
+from server_spark.dedup.cdc import CDC_W as _X117_W  # noqa: E402
 
 
 @register(
@@ -1995,70 +1997,11 @@ _X117_DIVISOR = 16  # boundary when gram-hash % divisor == 0 (E[len]≈16)
     late=True,
 )
 def x117_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from server_spark.dedup.cdc import cdc_chunk_table
 
-    toks = (
-        _docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            "source",
-            F.posexplode(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-            ).alias("pos", "token"),
-        )
-        .filter(F.col("token") != "")
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    gram = F.concat_ws(
-        " ",
-        F.lag("token", 3).over(win),
-        F.lag("token", 2).over(win),
-        F.lag("token", 1).over(win),
-        F.col("token"),
-    )
-    stamped = toks.select(
-        "doc_id",
-        "source",
-        "pos",
-        "token",
-        F.when(
-            F.lag("token", _X117_W - 1).over(win).isNotNull()
-            & (mh.md5_value(gram) % _X117_DIVISOR == 0),
-            1,
-        )
-        .otherwise(0)
-        .alias("is_boundary"),
-    )
-    cum = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    idx = stamped.select(
-        "doc_id",
-        "source",
-        "pos",
-        "token",
-        F.coalesce(F.sum("is_boundary").over(cum), F.lit(0)).alias(
-            "chunk_idx"
-        ),
-    )
-    chunks = (
-        idx.groupBy("doc_id", "source", "chunk_idx")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "token"))
-                        ),
-                        lambda s: s.token,
-                    ),
-                    " ",
-                )
-            ).alias("chunk_hash"),
-        )
-        .transform(barrier)  # feeds the spread join AND the rollup
-    )
+    chunks = cdc_chunk_table(_docs(spark, sf_dir)).transform(
+        barrier
+    )  # feeds the spread join AND the rollup
     spread = chunks.groupBy("chunk_hash").agg(
         F.countDistinct("source").alias("n_sources")
     )

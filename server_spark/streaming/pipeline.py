@@ -1012,3 +1012,82 @@ def read_price_moments_state(spark: SparkSession, state_dir: str):
     return read_moment_stats(
         spark.read.parquet(os.path.join(state_dir, "moments"))
     )
+
+
+def cdc_profile_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming twin of x117_cdc_chunks: documents land as JSON files
+    (the x38/incremental_dedup intake), each micro-batch's CDC chunk
+    relation folds into a standing (chunk_hash, source) state whose
+    counts ADD — associative + commutative, so replay order can't
+    change the state (the mergeable-gold contract; epoch-gated
+    foreachBatch like the bitmap/histogram golds). State grows with
+    chunk TYPES × sources (Heaps-bounded), never with stream history.
+    ``read_cdc_profile_state`` reproduces x117's per-source profile
+    off the folded state — incremental == one-shot at every batch
+    boundary (tested)."""
+    import json as _json
+    import os
+    import shutil
+
+    from server_spark.dedup.cdc import cdc_state_delta, merge_cdc_state
+
+    data_dir = os.path.join(state_dir, "cdc")
+    wm_file = os.path.join(state_dir, "_epoch")
+    aside = f"{data_dir}.old"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        last = -1
+        if os.path.exists(wm_file):
+            with open(wm_file) as fh:
+                last = _json.load(fh)["batch_id"]
+        if batch_id <= last:  # replayed epoch — fold already applied
+            return
+        delta = cdc_state_delta(batch_df)
+        if os.path.exists(aside):  # heal a crash between swap renames
+            if os.path.exists(data_dir):
+                shutil.rmtree(aside)
+            else:
+                os.rename(aside, data_dir)
+        if os.path.exists(data_dir):
+            merged = merge_cdc_state(sess.read.parquet(data_dir), delta)
+        else:
+            merged = delta
+        tmp = f"{data_dir}.tmp.{os.getpid()}"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(data_dir):
+            os.rename(data_dir, aside)
+        os.replace(tmp, data_dir)
+        if os.path.exists(aside):
+            shutil.rmtree(aside)
+        os.makedirs(state_dir, exist_ok=True)
+        with open(wm_file, "w") as fh:
+            _json.dump({"batch_id": int(batch_id)}, fh)
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING, source STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(input_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cdc_profile_state(spark: SparkSession, state_dir: str):
+    """x117's per-source CDC profile off the streamed state."""
+    import os
+
+    from server_spark.dedup.cdc import cdc_profile_from_state
+
+    return cdc_profile_from_state(
+        spark.read.parquet(os.path.join(state_dir, "cdc"))
+    )

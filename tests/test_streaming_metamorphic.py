@@ -146,3 +146,91 @@ def test_rocksdb_combo_engaged(spark, tmp_path):
     for root, _dirs, files in os.walk(state_root):
         artifacts += [f for f in files if f.endswith((".zip", ".changelog"))]
     assert artifacts, "no RocksDB snapshot/changelog artifacts found"
+
+
+# ---------------------------------------------------------------------------
+# CDC chunk-profile streaming fold: incremental == one-shot
+# ---------------------------------------------------------------------------
+
+# long enough that CDC boundaries fire (E[chunk] = 16 tokens), so the
+# shifted mirror in batch 1 re-synchronizes onto shared chunk hashes
+_BODY = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+    "psi omega one two three four five six seven eight nine ten "
+    "eleven twelve thirteen fourteen fifteen sixteen seventeen "
+    "eighteen nineteen twenty alpha2 beta2 gamma2 delta2 "
+    "epsilon2 zeta2 eta2 theta2 iota2 kappa2 lambda2 mu2 nu2 "
+    "xi2 omicron2 pi2 rho2 sigma2 tau2 upsilon2"
+)
+DOCS_B0 = [
+    (1, _BODY, "web"),
+    (2, _BODY, "wiki"),
+]
+DOCS_B1 = [
+    (3, "completely different words about spark dataframes shuffles "
+        "exchanges partitions codegen catalyst tungsten arrow", "web"),
+    (4, "breaking news prefix inserted here " + _BODY, "news"),
+]
+
+
+def _write_doc_json(spark, input_dir, name, rows):
+    import json
+
+    os.makedirs(input_dir, exist_ok=True)
+    with open(os.path.join(input_dir, f"{name}.json"), "w") as fh:
+        for doc_id, text, source in rows:
+            fh.write(json.dumps(
+                {"doc_id": doc_id, "text": text, "source": source}
+            ) + "\n")
+
+
+def test_cdc_profile_stream_incremental_equals_oneshot(spark, tmp_path):
+    """The epoch-gated CDC fold over micro-batches equals the batch
+    x117 profile over all documents seen so far, at every boundary
+    and across a checkpoint resume."""
+    input_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def oneshot(all_rows):
+        import pandas as pd
+
+        docs = pd.DataFrame(
+            all_rows, columns=["doc_id", "text", "source"]
+        )
+        docs["lang"] = "en"
+        docs["n_chars"] = docs["text"].str.len()
+        td = str(tmp_path / f"oneshot_{len(all_rows)}")
+        os.makedirs(td, exist_ok=True)
+        docs.to_parquet(os.path.join(td, "documents.parquet"),
+                        index=False)
+        from server_spark.registry import queries
+
+        return sorted(
+            tuple(r)
+            for r in queries()["x117_cdc_chunks"](spark, td).collect()
+        )
+
+    _write_doc_json(spark, input_dir, "b0", DOCS_B0)
+    q = sp.cdc_profile_stream(spark, input_dir, state_dir, ckpt)
+    q.awaitTermination()
+    got = sorted(
+        tuple(r)
+        for r in sp.read_cdc_profile_state(spark, state_dir).collect()
+    )
+    assert got == oneshot(DOCS_B0)
+
+    # resume from checkpoint: only the new file folds
+    _write_doc_json(spark, input_dir, "b1", DOCS_B1)
+    q2 = sp.cdc_profile_stream(spark, input_dir, state_dir, ckpt)
+    q2.awaitTermination()
+    got2 = sorted(
+        tuple(r)
+        for r in sp.read_cdc_profile_state(spark, state_dir).collect()
+    )
+    assert got2 == oneshot(DOCS_B0 + DOCS_B1)
+    # the shifted mirror in batch 1 (doc 4) re-synchronized onto doc
+    # 1/2's chunks: 'news' shares content cross-source
+    by_source = {r[0]: r for r in got2}
+    assert by_source["news"][5] > 0  # cross_source_share
