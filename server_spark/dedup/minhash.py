@@ -245,17 +245,25 @@ def md5_sigs_sql(coeffs: list[tuple[int, int]]) -> str:
 
 
 def banded_keys(
-    sig: DataFrame, k: int, n_bands: int, id_col: str = "doc_id"
+    sig: DataFrame,
+    k: int,
+    n_bands: int,
+    id_col: str = "doc_id",
+    extra: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, band_idx, band_key) rows from an (id, sig array) relation.
-    r = k // n_bands; r = 1 keys are the raw longs (posexplode),
-    r > 1 keys concatenate the band's components."""
+    """(id, [extra...,] band_idx, band_key) rows from an (id, sig
+    array) relation. r = k // n_bands; r = 1 keys are the raw longs
+    (posexplode), r > 1 keys concatenate the band's components.
+    ``extra`` names sig columns carried through unchanged (e.g. the
+    doc's token-set size for downstream size-ratio pruning)."""
     rows = k // n_bands
     if rows == 1:
         # r=1 fast path: band key IS the signature component — long
         # join keys via posexplode, no struct/string assembly
         return sig.select(
-            F.col(id_col), F.posexplode("sig").alias("band_idx", "band_key")
+            F.col(id_col),
+            *extra,
+            F.posexplode("sig").alias("band_idx", "band_key"),
         )
     band_entries = F.array(
         *[
@@ -272,9 +280,9 @@ def banded_keys(
             for b in range(n_bands)
         ]
     )
-    return sig.select(F.col(id_col), F.explode(band_entries).alias("be")).select(
-        id_col, "be.band_idx", "be.band_key"
-    )
+    return sig.select(
+        F.col(id_col), *extra, F.explode(band_entries).alias("be")
+    ).select(id_col, *extra, "be.band_idx", "be.band_key")
 
 
 def bucket_pairs(
@@ -370,6 +378,7 @@ def md5_banded_candidates(
     max_bucket: int | None = None,
     vals: DataFrame | None = None,
     val_arrays: DataFrame | None = None,
+    size_ratio_threshold: float | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b) from md5-minhash banding.
 
@@ -392,6 +401,29 @@ def md5_banded_candidates(
     operators/joins.salted_join for the manual salting alternative.
     """
     k = len(coeffs)
+    if val_arrays is not None and size_ratio_threshold is not None:
+        # array-native path + size-ratio prune: the token-set SIZE
+        # rides the banding and the pair expansion as payload, and
+        # pairs whose sizes violate J <= min/max are dropped BEFORE
+        # the distinct shuffle and the verify joins — exact bound,
+        # zero recall cost at the declared threshold
+        sig = val_arrays.select(
+            F.col(id_col),
+            F.size("vs").alias("_n"),
+            md5_sig_array("vs", coeffs).alias("sig"),
+        )
+        kv = banded_keys(sig, k, n_bands, id_col, extra=("_n",))
+        return bucket_pairs(
+            kv,
+            ["band_idx", "band_key"],
+            id_col=id_col,
+            max_bucket=max_bucket,
+            payload=("_n",),
+            pair_filter=(
+                F.least("_n_a", "_n_b")
+                >= size_ratio_threshold * F.greatest("_n_a", "_n_b")
+            ),
+        ).select("doc_a", "doc_b")
     if val_arrays is not None:
         # array-native path: signatures as narrow array folds — no
         # aggregation shuffle at all

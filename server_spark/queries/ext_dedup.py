@@ -124,8 +124,15 @@ def _gated_edges(docs: DataFrame) -> DataFrame:
     the signature/banding branch and both verify joins).
     """
     vsets = mh.md5_val_arrays(docs, n=3).transform(barrier)
+    # the size-ratio prune (J <= min/max, exact at the 0.7 gate) drops
+    # candidates before the distinct shuffle and the verify joins —
+    # semantics-preserving, so the SQL twin needs no mirror
     cands = mh.md5_banded_candidates(
-        None, _MH_AB, n_bands=_GATE_BANDS, val_arrays=vsets
+        None,
+        _MH_AB,
+        n_bands=_GATE_BANDS,
+        val_arrays=vsets,
+        size_ratio_threshold=_GATE_JACCARD,
     )
     return ng.jaccard_verify_arrays(
         vsets, cands, threshold=_GATE_JACCARD
