@@ -1760,3 +1760,124 @@ def a54_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# A55 — matched-sample price index (Laspeyres / Paasche / Fisher)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a55_price_index",
+    auctions_sql(
+        """
+    , m AS (
+        SELECT item, date_trunc('month', dump_ts) AS mon,
+               CAST(SUM(CAST(CAST(buyout AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS sb,
+               CAST(SUM(CAST(CAST(quantity AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS sq
+        FROM auctions
+        WHERE buyout IS NOT NULL AND quantity IS NOT NULL
+        GROUP BY 1, 2 HAVING SUM(quantity) > 0
+    ),
+    base AS (SELECT MIN(mon) AS mon0 FROM m),
+    p0 AS (
+        SELECT m.item,
+               CAST(m.sb AS DOUBLE) / m.sq AS p0,
+               CAST(m.sq AS DOUBLE) / 100.0 AS q0
+        FROM m JOIN base ON m.mon = base.mon0
+    ),
+    paired AS (
+        SELECT m.mon, m.item,
+               CAST(m.sb AS DOUBLE) / m.sq AS pt,
+               CAST(m.sq AS DOUBLE) / 100.0 AS qt,
+               p0.p0, p0.q0
+        FROM m JOIN p0 ON m.item = p0.item
+    ),
+    idx AS (
+        SELECT mon, CAST(COUNT(*) AS BIGINT) AS n_items,
+               SUM(pt * q0) / SUM(p0 * q0) AS laspeyres,
+               SUM(pt * qt) / SUM(p0 * qt) AS paasche
+        FROM paired GROUP BY mon
+    )
+    SELECT CAST(mon AS DATE) AS month, n_items,
+           {L} AS laspeyres, {P} AS paasche, {F} AS fisher
+    FROM idx
+    ORDER BY month
+    """.replace("{L}", r4sql("laspeyres"))
+        .replace("{P}", r4sql("paasche"))
+        .replace("{F}", r4sql("SQRT(laspeyres * paasche)"))
+    ),
+    doc="A55 (EXT analytics) — MATCHED-SAMPLE PRICE INDEX per month: "
+    "Laspeyres (base-month basket weights — 'what the old basket "
+    "costs now'), Paasche (current-month weights), and their "
+    "geometric mean, the Fisher ideal index — THE standard way to "
+    "turn per-item price chaos into one inflation series (a2 tracks "
+    "each item separately; a53 fits per-item elasticities; this "
+    "aggregates the whole market into an index a dashboard plots). "
+    "Matched-sample: only items priced in BOTH the base month and "
+    "month t enter month t's index — the standard treatment of entry/"
+    "exit; n_items records the match width. Exactness: unit prices "
+    "are exact integer-cent ratios and quantities exact centi-units, "
+    "so both engines multiply identical doubles; index ratios land "
+    "in r4. Shape: one fact hash-agg to (item, month), a broadcast "
+    "scalar base month, one basket join keyed on the item dimension, "
+    "one month-keyed hash-agg — output is calendar-bounded.",
+    tags=("ext", "agg", "analytics"),
+    late=True,
+)
+def a55_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    au = auctions(spark, sf_dir)
+    cents = (F.col("buyout").cast("decimal(18,2)") * 100).cast("bigint")
+    centi_q = (F.col("quantity").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    m = (
+        au.filter(
+            F.col("buyout").isNotNull() & F.col("quantity").isNotNull()
+        )
+        .groupBy("item", F.date_trunc("month", "dump_ts").alias("mon"))
+        .agg(
+            F.sum(cents).alias("sb"),
+            F.sum(centi_q).alias("sq"),
+            F.sum("quantity").alias("rawq"),
+        )
+        .filter(F.col("rawq") > 0)
+        .transform(barrier)  # feeds the base basket AND every month
+    )
+    base = m.agg(F.min("mon").alias("mon0"))
+    p0 = (
+        m.join(F.broadcast(base), m["mon"] == F.col("mon0"))
+        .select(
+            "item",
+            (F.col("sb").cast("double") / F.col("sq")).alias("p0"),
+            (F.col("sq").cast("double") / 100.0).alias("q0"),
+        )
+    )
+    paired = m.join(p0, "item").select(
+        "mon",
+        "item",
+        (F.col("sb").cast("double") / F.col("sq")).alias("pt"),
+        (F.col("sq").cast("double") / 100.0).alias("qt"),
+        "p0",
+        "q0",
+    )
+    idx = paired.groupBy("mon").agg(
+        F.count("*").alias("n_items"),
+        (
+            F.sum(F.col("pt") * F.col("q0"))
+            / F.sum(F.col("p0") * F.col("q0"))
+        ).alias("laspeyres"),
+        (
+            F.sum(F.col("pt") * F.col("qt"))
+            / F.sum(F.col("p0") * F.col("qt"))
+        ).alias("paasche"),
+    )
+    return idx.select(
+        F.col("mon").cast("date").alias("month"),
+        "n_items",
+        r4(F.col("laspeyres")).alias("laspeyres"),
+        r4(F.col("paasche")).alias("paasche"),
+        r4(F.sqrt(F.col("laspeyres") * F.col("paasche"))).alias("fisher"),
+    ).orderBy("month")

@@ -5158,3 +5158,170 @@ def t51_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# T52 — SAX symbolization + motif counts per event series
+# ---------------------------------------------------------------------------
+
+_T52_SEG = 7    # PAA segment length (days) — weekly granule
+_T52_GRAM = 3   # motif = this many consecutive segment letters
+# breakpoints for a 4-letter alphabet under N(0,1): quartiles
+_T52_BP = (-0.6745, 0.0, 0.6745)
+
+
+@register(
+    "t52_sax_motifs",
+    f"""
+    WITH daily AS (
+        SELECT event_type,
+               DATEDIFF('day', TIMESTAMP '{_T39_ANCHOR}',
+                        date_trunc('day', ts)) AS d,
+               COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, MIN(d) AS dmin, MAX(d) AS dmax
+        FROM daily GROUP BY 1
+    ),
+    grid AS (
+        SELECT event_type, dmin,
+               UNNEST(generate_series(dmin, dmax)) AS d
+        FROM bounds
+    ),
+    dense AS (
+        SELECT g.event_type, g.d - g.dmin AS t,
+               CAST(COALESCE(dd.x, 0) AS DOUBLE) AS x
+        FROM grid g LEFT JOIN daily dd
+          ON g.event_type = dd.event_type AND g.d = dd.d
+    ),
+    stats AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(x) AS s1, SUM(x * x) AS s2
+        FROM dense GROUP BY 1 HAVING COUNT(*) >= {2 * _T52_SEG}
+    ),
+    z AS (
+        SELECT d.event_type, d.t // {_T52_SEG} AS seg,
+               (d.x - s.s1 / s.n)
+               / SQRT((s.n * s.s2 - s.s1 * s.s1) / (s.n * (s.n - 1.0)))
+                   AS z
+        FROM dense d JOIN stats s ON d.event_type = s.event_type
+        WHERE s.n * s.s2 - s.s1 * s.s1 > 0
+          AND d.t < (s.n // {_T52_SEG}) * {_T52_SEG}
+    ),
+    paa AS (
+        SELECT event_type, seg, AVG(z) AS zbar FROM z GROUP BY 1, 2
+    ),
+    lett AS (
+        SELECT event_type, seg,
+               CASE WHEN zbar < {_T52_BP[0]} THEN 'a'
+                    WHEN zbar < {_T52_BP[1]} THEN 'b'
+                    WHEN zbar < {_T52_BP[2]} THEN 'c'
+                    ELSE 'd' END AS l
+        FROM paa
+    ),
+    words AS (
+        SELECT event_type,
+               l || LEAD(l, 1) OVER win || LEAD(l, 2) OVER win AS motif
+        FROM lett WINDOW win AS (PARTITION BY event_type ORDER BY seg)
+    )
+    SELECT event_type, motif, CAST(COUNT(*) AS BIGINT) AS n
+    FROM words WHERE motif IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY event_type, motif
+    """,
+    doc="T52 (EXT timeseries) — SAX symbolization: each daily series "
+    "z-normalized, PAA-compressed into weekly segment means, mapped "
+    f"to a 4-letter alphabet at the N(0,1) quartile breakpoints "
+    "(Lin/Keogh SAX — equiprobable letters for Gaussian-ish series), "
+    "then counted as sliding 3-letter MOTIFS — the symbolic index "
+    "that makes subsequence matching, motif discovery and anomaly "
+    "grammars cheap where t42's DTW is per-pair-quadratic: repeated "
+    "'dba' motifs = recurring spike-crash weeks, a motif seen once "
+    "is a candidate discord. Exactness: z-scores derive from exact "
+    "integer daily counts (one fixed formula both engines evaluate "
+    "identically), letters are threshold CASEs on those identical "
+    "doubles, truncation to whole segments is integer arithmetic. "
+    "Shape: the t39/t45 dense-grid substrate, one series-keyed PAA "
+    "hash-agg, one lead window over segment rows (calendar-bounded), "
+    "one motif hash-agg.",
+    tags=("ext", "timeseries", "similarity"),
+    late=True,
+)
+def t52_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(
+                f"datediff(date_trunc('day', ts),"
+                f" timestamp'{_T39_ANCHOR}')"
+            ).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count("*").alias("x"))
+    ).transform(barrier)
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("dmin"), F.max("d").alias("dmax")
+    )
+    grid = bounds.select(
+        "event_type",
+        "dmin",
+        F.explode(F.sequence(F.col("dmin"), F.col("dmax"))).alias("d"),
+    )
+    dense = grid.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        (F.col("d") - F.col("dmin")).alias("t"),
+        F.coalesce(F.col("x"), F.lit(0)).cast("double").alias("x"),
+    ).transform(barrier)  # feeds stats AND the z map
+    stats = (
+        dense.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("s1"),
+            F.sum(F.col("x") * F.col("x")).alias("s2"),
+        )
+        .filter(F.col("n") >= 2 * _T52_SEG)
+    )
+    nn, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    var_num = nn * s2 - s1 * s1
+    z = (
+        dense.join(F.broadcast(stats), "event_type")
+        .filter(
+            (var_num > 0)
+            & (
+                F.col("t")
+                < F.floor(nn / _T52_SEG) * _T52_SEG
+            )
+        )
+        .select(
+            "event_type",
+            F.floor(F.col("t") / _T52_SEG).alias("seg"),
+            (
+                (F.col("x") - s1 / nn)
+                / F.sqrt(var_num / (nn * (nn - 1.0)))
+            ).alias("z"),
+        )
+    )
+    paa = z.groupBy("event_type", "seg").agg(F.avg("z").alias("zbar"))
+    lett = paa.select(
+        "event_type",
+        "seg",
+        F.when(F.col("zbar") < _T52_BP[0], "a")
+        .when(F.col("zbar") < _T52_BP[1], "b")
+        .when(F.col("zbar") < _T52_BP[2], "c")
+        .otherwise("d")
+        .alias("l"),
+    )
+    w = Window.partitionBy("event_type").orderBy("seg")
+    words = lett.select(
+        "event_type",
+        F.concat(
+            F.col("l"), F.lead("l", 1).over(w), F.lead("l", 2).over(w)
+        ).alias("motif"),
+    ).filter(F.col("motif").isNotNull())
+    return (
+        words.groupBy("event_type", "motif")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "motif")
+    )

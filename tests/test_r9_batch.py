@@ -656,3 +656,134 @@ def test_x119_matches_python_reference(spark):
         assert g["n_markers"] == n_markers
         assert g["burrows_delta"] == pytest.approx(want, abs=2e-4)
         assert g["burrows_delta"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# a55 — price index vs pandas reference
+# ---------------------------------------------------------------------------
+
+
+def test_a55_matches_pandas_reference(spark):
+    import numpy as np
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    li = li[li["l_extendedprice"].notna() & li["l_quantity"].notna()]
+    li = li.assign(
+        item=li["l_partkey"],
+        mon=pd.to_datetime(li["l_shipdate"]).dt.to_period("M"),
+        cents=(li["l_extendedprice"].round(2) * 100).round().astype("int64"),
+        cq=(li["l_quantity"].round(2) * 100).round().astype("int64"),
+    )
+    m = li.groupby(["item", "mon"]).agg(
+        sb=("cents", "sum"), sq=("cq", "sum"), rawq=("l_quantity", "sum")
+    )
+    m = m[m["rawq"] > 0].reset_index()
+    mon0 = m["mon"].min()
+    base = m[m["mon"] == mon0].set_index("item")
+    p0 = base["sb"].astype(float) / base["sq"]
+    q0 = base["sq"].astype(float) / 100.0
+    got = {
+        pd.Period(r["month"], freq="M"): r
+        for r in queries()["a55_price_index"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(m["mon"].unique())
+    for mon, grp in m.groupby("mon"):
+        paired = grp[grp["item"].isin(base.index)]
+        pt = paired["sb"].astype(float) / paired["sq"]
+        qt = paired["sq"].astype(float) / 100.0
+        pp0 = p0.loc[paired["item"]].to_numpy()
+        qq0 = q0.loc[paired["item"]].to_numpy()
+        lasp = float((pt.to_numpy() * qq0).sum() / (pp0 * qq0).sum())
+        paas = float(
+            (pt.to_numpy() * qt.to_numpy()).sum()
+            / (pp0 * qt.to_numpy()).sum()
+        )
+        g = got[mon]
+        assert g["n_items"] == len(paired)
+        assert g["laspeyres"] == pytest.approx(lasp, abs=2e-4)
+        assert g["paasche"] == pytest.approx(paas, abs=2e-4)
+        assert g["fisher"] == pytest.approx(
+            math.sqrt(lasp * paas), abs=2e-4
+        )
+    # base month indexes to exactly 1 by construction
+    b = got[mon0]
+    assert b["laspeyres"] == pytest.approx(1.0, abs=1e-9)
+    assert b["paasche"] == pytest.approx(1.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# t52 — SAX invariants + planted motif
+# ---------------------------------------------------------------------------
+
+
+def test_t52_sax_planted_spike_motif(spark, tmp_path):
+    """A series that alternates quiet weeks and one huge spike week
+    must produce 'd' letters exactly at the spike weeks — and the
+    motif counts must reflect the planted period."""
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for d in range(70):  # 10 whole weeks
+        week = d // 7
+        lam = 100 if week % 5 == 2 else 3  # spike weeks 2 and 7
+        for _ in range(lam):
+            rows.append(("s", base + pd.Timedelta(days=d)))
+    ev = pd.DataFrame(rows, columns=["event_type", "ts"])
+    ev["event_id"] = range(len(ev))
+    ev["user_id"] = 1
+    ev["value"] = 1.0
+    ev["props"] = "{}"
+    td = str(tmp_path / "sf")
+    os.makedirs(td)
+    ev[["event_id", "ts", "user_id", "event_type", "value", "props"]
+       ].to_parquet(os.path.join(td, "events.parquet"), index=False)
+    rows_out = queries()["t52_sax_motifs"](spark, td).collect()
+    motifs = {r["motif"]: r["n"] for r in rows_out}
+    # 10 segments -> 8 motifs; letters: quiet='b' (slightly below
+    # mean), spike='d' -> expected letter string bbdbbbbdbb
+    assert sum(motifs.values()) == 8
+    assert motifs.get("bbd", 0) == 2  # approaching each spike
+    assert motifs.get("dbb", 0) == 2  # leaving each spike
+    assert all(set(m) <= set("abcd") for m in motifs)
+
+
+def test_t52_matches_python_reference(spark):
+    import numpy as np
+
+    got = defaultdict(dict)
+    for r in queries()["t52_sax_motifs"](spark, SF_SMOKE).collect():
+        got[r["event_type"]][r["motif"]] = r["n"]
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    anchor = pd.Timestamp("2024-01-01")
+    for etype, grp in ev.groupby("event_type"):
+        days = Counter(
+            (pd.Timestamp(d).normalize() - anchor).days for d in grp["ts"]
+        )
+        lo, hi = min(days), max(days)
+        xs = np.array(
+            [days.get(d, 0) for d in range(lo, hi + 1)], dtype=float
+        )
+        n = len(xs)
+        if n < 14:
+            assert etype not in got
+            continue
+        s1, s2 = xs.sum(), (xs * xs).sum()
+        var_num = n * s2 - s1 * s1
+        if var_num <= 0:
+            assert etype not in got
+            continue
+        sd = math.sqrt(var_num / (n * (n - 1.0)))
+        z = (xs - s1 / n) / sd
+        n_seg = n // 7
+        letters = []
+        for s in range(n_seg):
+            zb = z[s * 7 : (s + 1) * 7].mean()
+            letters.append(
+                "a" if zb < -0.6745 else
+                "b" if zb < 0.0 else
+                "c" if zb < 0.6745 else "d"
+            )
+        want = Counter(
+            "".join(letters[i : i + 3])
+            for i in range(len(letters) - 2)
+        )
+        assert got[etype] == dict(want)
