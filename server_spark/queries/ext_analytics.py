@@ -1233,7 +1233,13 @@ def a50_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         from server_spark.operators.ranking import grouped_cum_before
 
         m = joint.groupBy("g", col).agg(F.sum("c").alias("cv"))
-        ranked = grouped_cum_before(m, ["g"], col, "cv", "cb")
+        # 8 range slices per marginal: each holds ~(distinct values /
+        # 8) rows — plenty of parallelism for the prefix windows while
+        # keeping the two extra exchanges' fixed cost low; at 100 TB
+        # raise via spark.sql.shuffle.partitions-sized num_partitions
+        ranked = grouped_cum_before(
+            m, ["g"], col, "cv", "cb", num_partitions=8
+        )
         return ranked.select(
             "g",
             col,
