@@ -68,7 +68,7 @@ def main() -> int:
 
     agg = lambda df: df.agg(  # noqa: E731
         F.count("*").alias("n"),
-        F.sum(F.col("cb") * F.col("v")).alias("chk"),
+        F.expr("bit_xor(xxhash64(g, v, cb))").alias("chk"),
     ).collect()[0]
 
     (r_naive, t_naive) = timed(lambda: agg(naive))
