@@ -2037,3 +2037,124 @@ def x117_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# x121 — eval-set decontamination at CDC-chunk granularity
+# ---------------------------------------------------------------------------
+
+_X121_FLAG_SHARE = 0.2  # test doc flagged when >20% of chunks hit train
+
+
+@register(
+    "x121_chunk_decontaminate",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, source, pos, token FROM (
+            SELECT doc_id, source,
+                   generate_subscripts(l, 1) AS pos,
+                   UNNEST(l) AS token
+            FROM (SELECT doc_id, source,
+                         string_split_regex(LOWER(TRIM(text)), '\s+') AS l
+                  FROM documents)
+        ) WHERE token <> ''
+    ),
+    gram AS (
+        SELECT doc_id, source, pos, token,
+               CASE WHEN LAG(token, {_X117_W - 1}) OVER win IS NOT NULL
+                    AND ({mh.md5_value_sql(
+                        "LAG(token, 3) OVER win || ' ' || "
+                        "LAG(token, 2) OVER win || ' ' || "
+                        "LAG(token, 1) OVER win || ' ' || token"
+                    )}) % {_X117_DIVISOR} = 0
+                    THEN 1 ELSE 0 END AS is_boundary
+        FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    idx AS (
+        SELECT doc_id, source, pos, token,
+               COALESCE(SUM(is_boundary) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS chunk_idx
+        FROM gram
+    ),
+    chunks AS (
+        SELECT doc_id, source, chunk_idx,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hb,
+               md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash
+        FROM idx GROUP BY 1, 2, 3
+    ),
+    train_set AS (
+        SELECT DISTINCT chunk_hash FROM chunks WHERE hb < 'cd'
+    ),
+    test AS (SELECT * FROM chunks WHERE hb >= 'e6'),
+    hits AS (
+        SELECT t.doc_id, t.source,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN tr.chunk_hash IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        FROM test t LEFT JOIN train_set tr
+          ON t.chunk_hash = tr.chunk_hash
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, source, n_chunks, n_hit,
+           {r4sql("CAST(n_hit AS DOUBLE) / n_chunks")} AS hit_share,
+           (CAST(n_hit AS DOUBLE) / n_chunks > {_X121_FLAG_SHARE})
+               AS flagged
+    FROM hits
+    WHERE n_hit > 0
+    ORDER BY hit_share DESC, doc_id
+    """,
+    doc="EXT x121 — eval-set DECONTAMINATION at CDC-CHUNK granularity: "
+    "every test-split document's content-defined chunks (x117's "
+    "gear-CDC boundaries) are membership-checked against the TRAIN "
+    "split's distinct chunk set; docs with hits come back with their "
+    "contaminated-chunk share and a review flag. This closes the gap "
+    "the existing screens leave: x29 hashes WHOLE docs (misses "
+    "partial copies), x99 n-gram-overlaps at fixed offsets (breaks "
+    "under insertions) — CDC chunk identity is SHIFT-INVARIANT, so a "
+    "training document quoted with a new preamble inside a test doc "
+    "still hits (the x117 re-sync property, tested there). Split "
+    "assignment is x17's md5-prefix rule, so the screen composes "
+    "with the actual split the pipeline ships. Shape: one chunk "
+    "pass (doc-keyed windows), a semi-style LEFT JOIN against the "
+    "Heaps-bounded train chunk set (no hint — chunk types grow with "
+    "content), one doc-keyed hash-agg; output is review-queue-sized.",
+    tags=("ext", "dedup", "eval"),
+    late=True,
+)
+def x121_chunk_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.dedup.cdc import cdc_chunk_table
+
+    docs = _docs(spark, sf_dir)
+    chunks = cdc_chunk_table(docs).withColumn(
+        "hb", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    ).transform(barrier)  # feeds the train set AND the test probe
+    train_set = (
+        chunks.filter(F.col("hb") < "cd").select("chunk_hash").distinct()
+        .withColumn("_in_train", F.lit(1))
+    )
+    test = chunks.filter(F.col("hb") >= "e6")
+    hits = (
+        test.join(train_set, "chunk_hash", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("_in_train").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_hit"),
+        )
+    )
+    share = F.col("n_hit").cast("double") / F.col("n_chunks")
+    return (
+        hits.filter(F.col("n_hit") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_chunks",
+            "n_hit",
+            r4(share).alias("hit_share"),
+            (share > _X121_FLAG_SHARE).alias("flagged"),
+        )
+        .orderBy(F.col("hit_share").desc(), "doc_id")
+    )

@@ -2360,3 +2360,135 @@ def j13_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_stale"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T53 — max concurrent live listings per item (sweep line)
+# ---------------------------------------------------------------------------
+
+# listing lifetime by time_left class (the reference's auction duration
+# buckets): hours each listing stays live after its dump snapshot
+_T53_HOURS = {"A": 48, "N": 12, "R": 24}
+
+
+@register(
+    "t53_max_concurrent",
+    auctions_sql(
+        f"""
+    , iv AS (
+        SELECT auc, item, dump_ts AS t0,
+               dump_ts + INTERVAL 1 HOUR * (CASE time_left
+                   WHEN 'A' THEN {_T53_HOURS['A']}
+                   WHEN 'N' THEN {_T53_HOURS['N']}
+                   ELSE {_T53_HOURS['R']} END) AS t1
+        FROM auctions
+    ),
+    ev AS (
+        SELECT item, t0 AS ts, 1 AS delta, auc FROM iv
+        UNION ALL
+        SELECT item, t1 AS ts, -1 AS delta, auc FROM iv
+    ),
+    run AS (
+        SELECT item, ts,
+               SUM(delta) OVER (
+                   PARTITION BY item
+                   ORDER BY ts, delta, auc
+                   ROWS UNBOUNDED PRECEDING
+               ) AS live
+        FROM ev
+    ),
+    mx AS (
+        SELECT item, MAX(live) AS max_concurrent FROM run GROUP BY item
+    )
+    SELECT r.item,
+           CAST(m.max_concurrent AS BIGINT) AS max_concurrent,
+           MIN(r.ts) AS first_peak_ts,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n_items
+    FROM run r JOIN mx m
+      ON r.item = m.item AND r.live = m.max_concurrent
+    GROUP BY r.item, m.max_concurrent
+    ORDER BY max_concurrent DESC, r.item
+    LIMIT 50
+    """
+    ),
+    doc="T53 (EXT timeseries/join) — MAX CONCURRENT live listings per "
+    "item via the classic SWEEP LINE: every listing contributes a +1 "
+    "event at its snapshot and a −1 at snapshot + its time_left "
+    "class's lifetime; the running sum per item is the live count, "
+    "its max the peak concurrency, and the first timestamp attaining "
+    "it the when — the supply-pressure read (t15 interval-JOINS two "
+    "relations; this profiles ONE relation's self-overlap, the "
+    "'how deep is the order book' question). Deterministic: ties at "
+    "equal ts order (delta, auc) — expiries processed before "
+    "arrivals, so back-to-back relist chains do not double-count. "
+    "Shape: a 2× narrow union, ONE item-keyed window (items fan out "
+    "across executors, per-item sequences are listing-bounded), one "
+    "max join; top-50 emitted with a total order.",
+    tags=("ext", "timeseries", "window", "join"),
+    late=True,
+)
+def t53_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    au = tables.auctions(spark, sf_dir) if hasattr(tables, "auctions") else None
+    if au is None:
+        from server_spark.sources.synthetic import auctions as _auc
+
+        au = _auc(spark, sf_dir)
+    dur = (
+        F.when(F.col("time_left") == "A", _T53_HOURS["A"])
+        .when(F.col("time_left") == "N", _T53_HOURS["N"])
+        .otherwise(_T53_HOURS["R"])
+    )
+    iv = au.select(
+        "auc",
+        "item",
+        F.col("dump_ts").alias("t0"),
+        (
+            F.col("dump_ts")
+            + dur * F.expr("INTERVAL 1 HOUR")
+        ).alias("t1"),
+    )
+    ev = iv.select(
+        "item", F.col("t0").alias("ts"), F.lit(1).alias("delta"), "auc"
+    ).unionByName(
+        iv.select(
+            "item", F.col("t1").alias("ts"), F.lit(-1).alias("delta"),
+            "auc",
+        )
+    )
+    w = (
+        W.partitionBy("item")
+        .orderBy("ts", "delta", "auc")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    run = ev.select(
+        "item", "ts", F.sum("delta").over(w).alias("live")
+    ).transform(barrier)  # feeds the per-item max AND the peak lookup
+    mx = run.groupBy("item").agg(F.max("live").alias("max_concurrent"))
+    peaks = (
+        run.join(
+            mx,
+            (run["item"] == mx["item"])
+            & (run["live"] == mx["max_concurrent"]),
+        )
+        .drop(mx["item"])
+        .groupBy("item", "max_concurrent")
+        .agg(F.min("ts").alias("first_peak_ts"))
+    )
+    from pyspark.sql import Window as W2
+
+    # unpartitioned count window over the CATALOG-bounded peaks
+    # relation (one row per item) — in-plan, no driver action
+    return (
+        peaks.select(
+            "item",
+            F.col("max_concurrent").cast("bigint").alias("max_concurrent"),
+            "first_peak_ts",
+            F.count("*").over(
+                W2.partitionBy(F.lit(1))
+            ).cast("bigint").alias("n_items"),
+        )
+        .orderBy(F.col("max_concurrent").desc(), "item")
+        .limit(50)
+    )

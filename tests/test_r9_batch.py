@@ -787,3 +787,105 @@ def test_t52_matches_python_reference(spark):
             for i in range(len(letters) - 2)
         )
         assert got[etype] == dict(want)
+
+
+# ---------------------------------------------------------------------------
+# t53 — sweep line vs python reference
+# ---------------------------------------------------------------------------
+
+
+def test_t53_matches_python_sweep(spark):
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    hours = {"A": 48, "N": 12, "R": 24}
+    by_item = defaultdict(list)
+    for r in li.itertuples():
+        t0 = pd.Timestamp(r.l_shipdate)
+        t1 = t0 + pd.Timedelta(hours=hours[r.l_returnflag])
+        # auc tiebreak mirrors the query's md5 row id ordering
+        import hashlib
+
+        cents = int(round(round(float(r.l_extendedprice), 2) * 100))
+        auc = hashlib.md5(
+            f"{r.l_orderkey}|{r.l_linenumber}|{r.l_partkey}|"
+            f"{r.l_suppkey}|{cents}".encode()
+        ).hexdigest()
+        by_item[r.l_partkey].append((t0, 1, auc))
+        by_item[r.l_partkey].append((t1, -1, auc))
+    want = {}
+    for item, evs in by_item.items():
+        evs.sort()
+        live = peak = 0
+        peak_ts = None
+        for ts, delta, _ in evs:
+            live += delta
+            if live > peak:
+                peak, peak_ts = live, ts
+        want[item] = (peak, peak_ts)
+    rows = queries()["t53_max_concurrent"](spark, SF_SMOKE).collect()
+    assert len(rows) == 50
+    # query returns the top-50 by (max_concurrent desc, item)
+    expect_order = sorted(
+        want.items(), key=lambda kv: (-kv[1][0], kv[0])
+    )[:50]
+    for r, (item, (peak, peak_ts)) in zip(rows, expect_order):
+        assert r["item"] == item
+        assert r["max_concurrent"] == peak
+        assert pd.Timestamp(r["first_peak_ts"]) == peak_ts
+        assert r["n_items"] == len(want)
+
+
+# ---------------------------------------------------------------------------
+# x121 — planted contamination is caught across an insertion shift
+# ---------------------------------------------------------------------------
+
+
+def test_x121_catches_shifted_contamination(spark, tmp_path):
+    import hashlib
+
+    body = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+        "psi omega one two three four five six seven eight nine ten "
+        "eleven twelve thirteen fourteen fifteen sixteen seventeen "
+        "eighteen nineteen twenty alpha2 beta2 gamma2 delta2 "
+        "epsilon2 zeta2 eta2 theta2 iota2 kappa2 lambda2 mu2 nu2 "
+        "xi2 omicron2 pi2 rho2 sigma2 tau2 upsilon2"
+    )
+
+    def split_of(doc_id):
+        hb = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+        return "train" if hb < "cd" else ("val" if hb < "e6" else "test")
+
+    # find ids landing in train and test deterministically
+    train_id = next(i for i in range(1, 500) if split_of(i) == "train")
+    test_id = next(i for i in range(1, 500) if split_of(i) == "test")
+    clean_id = next(
+        i for i in range(test_id + 1, 900) if split_of(i) == "test"
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": [train_id, test_id, clean_id],
+            "text": [
+                body,
+                "inserted preamble shifts everything " + body,
+                "totally unrelated clean content with fresh words only",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["a", "b", "c"],
+            "n_chars": [1, 1, 1],
+        }
+    )
+    td = str(tmp_path / "sf")
+    os.makedirs(td)
+    docs.to_parquet(os.path.join(td, "documents.parquet"), index=False)
+    rows = {
+        r["doc_id"]: r
+        for r in queries()["x121_chunk_decontaminate"](
+            spark, td
+        ).collect()
+    }
+    # the shifted mirror in the test split hits the train chunk set
+    assert test_id in rows and rows[test_id]["flagged"]
+    assert rows[test_id]["hit_share"] > 0.5
+    # the clean test doc produces no row (n_hit = 0 filtered)
+    assert clean_id not in rows
