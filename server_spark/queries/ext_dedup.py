@@ -2158,3 +2158,99 @@ def x121_chunk_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("hit_share").desc(), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x122 — dup-cluster PROVENANCE: source mix inside each near-dup cluster
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x122_cluster_provenance",
+    rf"""
+    WITH RECURSIVE {shingle_ctes()},
+    {_gated_pairs_sql()},
+    {_COMPONENTS_SQL},
+    mem AS (
+        SELECT c.component, c.node AS doc_id, d.source
+        FROM comp c JOIN documents d ON c.node = d.doc_id
+    ),
+    per_src AS (
+        SELECT component, source, COUNT(*) AS c
+        FROM mem GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT component, SUM(c) AS n FROM per_src GROUP BY 1
+    ),
+    ent AS (
+        SELECT p.component,
+               MAX(t.n) AS n_docs,
+               COUNT(*) AS n_sources,
+               -SUM((CAST(p.c AS DOUBLE) / t.n)
+                    * LN(CAST(p.c AS DOUBLE) / t.n)) AS h,
+               MAX(CAST(p.c AS DOUBLE) / t.n) AS top_share
+        FROM per_src p JOIN tot t ON p.component = t.component
+        GROUP BY p.component
+    )
+    SELECT component AS cluster_id,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           {r4sql("h")} AS source_entropy_nats,
+           {r4sql("top_share")} AS majority_share,
+           (n_sources > 1) AS cross_source
+    FROM ent
+    WHERE n_docs >= 2
+    ORDER BY cluster_id
+    """,
+    doc="EXT x122 — dup-cluster PROVENANCE audit over x15's "
+    "components: per near-dup cluster, how its members distribute "
+    "across sources — member count, distinct sources, the source-mix "
+    "entropy and the majority source's share. This is the question a "
+    "corpus owner asks BEFORE dedup policy: intra-source clusters "
+    "(entropy ~0) are reposts/boilerplate the source itself mints — "
+    "drop freely; cross-source clusters are SYNDICATION, where "
+    "keep-one-per-cluster silently biases the source mix x28/x39 "
+    "budgeted (the surviving copy's source gets the tokens). x90 "
+    "audits cluster GEOMETRY (density); this audits cluster "
+    "COMPOSITION. Shape: reuses the LSH-gated exact-verified edges "
+    "and label-propagation components; the audit itself is one "
+    "member join against the doc dimension plus two cluster-keyed "
+    "hash-aggs — bounded by clusters, not corpus.",
+    tags=("ext", "dedup", "eval"),
+    late=True,
+)
+def x122_cluster_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.dedup.components import connected_components
+
+    docs = _docs(spark, sf_dir)
+    comp = connected_components(_gated_edges(docs))
+    mem = comp.join(
+        docs.select(F.col("doc_id").alias("node"), "source"), "node"
+    )
+    per_src = mem.groupBy("component", "source").agg(
+        F.count("*").alias("c")
+    )
+    tot = per_src.groupBy("component").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    ent = (
+        per_src.join(tot, "component")
+        .groupBy("component")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.count("*").alias("n_sources"),
+            (-F.sum(p * F.log(p))).alias("h"),
+            F.max(p).alias("top_share"),
+        )
+    )
+    return (
+        ent.filter(F.col("n_docs") >= 2)
+        .select(
+            F.col("component").alias("cluster_id"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_sources").cast("bigint").alias("n_sources"),
+            r4(F.col("h")).alias("source_entropy_nats"),
+            r4(F.col("top_share")).alias("majority_share"),
+            (F.col("n_sources") > 1).alias("cross_source"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1091,3 +1091,72 @@ def read_cdc_profile_state(spark: SparkSession, state_dir: str):
     return cdc_profile_from_state(
         spark.read.parquet(os.path.join(state_dir, "cdc"))
     )
+
+
+def decontaminate_stream(
+    spark: SparkSession,
+    input_dir: str,
+    train_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    flag_share: float = 0.2,
+):
+    """Streaming twin of x121: EVAL documents land as JSON files and
+    are decontamination-screened AS THEY ARRIVE against the standing
+    train corpus's CDC chunk set (shift-invariant — a quoted training
+    passage with a new preamble still hits, the x117 re-sync
+    property). The train chunk set is reduced ONCE (Heaps-bounded; at
+    scale a maintained bronze-side table) and joined into every
+    micro-batch — stream-static join, no state store; per-doc verdict
+    rows append to the sink. The arriving docs are chunked
+    EXECUTOR-SIDE inside the micro-batch plan (foreachBatch), so the
+    screen scales as a map over arrival partitions."""
+    from server_spark.dedup.cdc import cdc_chunk_table
+
+    train_set = (
+        cdc_chunk_table(
+            train_docs.select(
+                "doc_id", F.lit("train").alias("source"), "text"
+            )
+        )
+        .select("chunk_hash")
+        .distinct()
+        .withColumn("_in_train", F.lit(1))
+    )
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        chunks = cdc_chunk_table(batch_df)
+        hits = (
+            chunks.join(train_set, "chunk_hash", "left")
+            .groupBy("doc_id", "source")
+            .agg(
+                F.count("*").alias("n_chunks"),
+                F.sum(
+                    F.when(F.col("_in_train").isNotNull(), 1).otherwise(0)
+                ).cast("bigint").alias("n_hit"),
+            )
+        )
+        share = F.col("n_hit").cast("double") / F.col("n_chunks")
+        out = hits.select(
+            "doc_id",
+            "source",
+            "n_chunks",
+            "n_hit",
+            share.alias("hit_share"),
+            (share > flag_share).alias("flagged"),
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING, source STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(input_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -234,3 +234,37 @@ def test_cdc_profile_stream_incremental_equals_oneshot(spark, tmp_path):
     # 1/2's chunks: 'news' shares content cross-source
     by_source = {r[0]: r for r in got2}
     assert by_source["news"][5] > 0  # cross_source_share
+
+
+def test_decontaminate_stream_flags_shifted_mirror(spark, tmp_path):
+    """Streaming decontamination: an arriving eval doc that quotes a
+    train doc behind a fresh preamble is flagged (shift-invariant),
+    a clean doc passes with zero hits, and verdicts accumulate across
+    micro-batches / checkpoint resume."""
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    train = spark.createDataFrame(
+        [(100, _BODY)], "doc_id long, text string"
+    )
+    _write_doc_json(
+        spark, input_dir, "b0",
+        [(1, "inserted preamble shifts everything " + _BODY, "eval")],
+    )
+    q = sp.decontaminate_stream(spark, input_dir, train, out_dir, ckpt)
+    q.awaitTermination()
+    _write_doc_json(
+        spark, input_dir, "b1",
+        [(2, "totally unrelated clean content with fresh words only",
+          "eval")],
+    )
+    q2 = sp.decontaminate_stream(spark, input_dir, train, out_dir, ckpt)
+    q2.awaitTermination()
+
+    rows = {
+        r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[1]["flagged"] and rows[1]["hit_share"] > 0.5
+    assert not rows[2]["flagged"] and rows[2]["n_hit"] == 0
