@@ -95,30 +95,51 @@ def jaccard_pairs(
         return jaccard_verify(
             word_shingles(docs, n, id_col), candidates, threshold, id_col
         )
-    # The shingle relation feeds BOTH self-join branches AND the two
-    # size lookups — four references, and Catalyst plans zero
-    # ReusedExchange across them (verified on the executed plan), so
-    # without materialization the explode+window pipeline (and its
-    # whole upstream, e.g. x21's quality+dedup stages) runs 4×.
-    sh = word_shingles(docs, n, id_col).transform(barrier)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # Per-doc set sizes are computed at EXPLODE time from the shingle
+    # array's length (no sizes relation, no size joins — the r9 x75
+    # pattern; the array is barriered first because size()+explode()
+    # double-reference a lambda-bearing projection and CSE won't save
+    # it). The materialization also covers the two self-join branches
+    # (Catalyst plans zero ReusedExchange across them).
+    arrs = docs.select(
+        F.col(id_col), split_words("text").alias("_words")
+    ).select(
+        F.col(id_col), shingle_array("_words", n).alias("_sh")
+    ).transform(barrier)
+    sh = arrs.select(
+        F.col(id_col),
+        F.size("_sh").alias("n_sh"),
+        F.explode("_sh").alias("shingle"),
+    )
 
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    a = sh.select(
+        F.col(id_col).alias("doc_a"), F.col("n_sh").alias("sh_a"), "shingle"
+    )
+    b = sh.select(
+        F.col(id_col).alias("doc_b"), F.col("n_sh").alias("sh_b"), "shingle"
+    )
+    # exact size-ratio bound INSIDE the join predicate: J <= min/max,
+    # so pairs whose set sizes differ beyond the threshold are pruned
+    # BEFORE the pair-count groupBy shuffle (semantics-preserving —
+    # they could never reach the threshold)
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        a.join(
+            b,
+            (a["shingle"] == b["shingle"])
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.least("sh_a", "sh_b")
+                >= threshold * F.greatest("sh_a", "sh_b")
+            ),
+        )
+        .drop(b["shingle"])
+        .groupBy("doc_a", "doc_b", "sh_a", "sh_b")
         .agg(F.count("*").alias("n_common"))
     )
-    scored = (
-        inter.join(sizes.withColumnsRenamed({id_col: "doc_a", "n_sh": "sh_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({id_col: "doc_b", "n_sh": "sh_b"}), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common")
-            / (F.col("sh_a") + F.col("sh_b") - F.col("n_common")),
-        )
+    scored = inter.withColumn(
+        "jaccard",
+        F.col("n_common")
+        / (F.col("sh_a") + F.col("sh_b") - F.col("n_common")),
     )
     return scored.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "n_common", "jaccard"
