@@ -646,3 +646,62 @@ def test_fuzz_string_sql_agrees(engines, seed):
     got = [tuple(r) for r in spark.sql(sql).collect()]
     want = [tuple(r) for r in con.execute(sql).fetchall()]
     assert got == want, f"string fn diverged for: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Rank-distribution grammar (r9, grammar #10): NTILE / PERCENT_RANK /
+# CUME_DIST plus threshold-CASE letter mapping and LEAST/GREATEST
+# chains — the construct classes the r9 batch leans on (a54's decile
+# NTILE, t52's quartile-breakpoint CASE, a52's size-ratio bounds).
+# Dialect drift risks: NTILE remainder distribution, PERCENT_RANK's
+# (r-1)/(n-1) vs CUME_DIST's r/n on ties, CASE fallthrough on NULL.
+# Ordering keys always end in the unique event_id so ties can't make
+# either engine's answer ambiguous.
+# ---------------------------------------------------------------------------
+
+
+def gen_rankdist_sql(seed: int) -> str:
+    rng = random.Random(100_000 + seed)
+    k = rng.choice((3, 4, 7, 10))
+    key = rng.choice(
+        ("value", "user_id % 97", "LENGTH(event_type) * 1000 + user_id % 50")
+    )
+    part = rng.choice(("", "PARTITION BY event_type "))
+    bp1, bp2 = sorted(rng.sample((-2, -1, 0, 1, 2), 2))
+    letter = (
+        f"CASE WHEN ({key}) < {bp1} THEN 'a' "
+        f"WHEN ({key}) < {bp2} THEN 'b' ELSE 'c' END"
+    )
+    bound = (
+        f"(LEAST(user_id % 13, {rng.randint(1, 12)}) * 100 >= "
+        f"{rng.randint(1, 9)} * GREATEST(user_id % 7, 1))"
+    )
+    if rng.random() < 0.5:
+        # per-row distribution ranks with a deterministic total order
+        return (
+            f"SELECT event_id, "
+            f"NTILE({k}) OVER (ORDER BY {key}, event_id) AS nt, "
+            f"{r4sql(f'PERCENT_RANK() OVER ({part}ORDER BY {key}, event_id)')} AS pr, "
+            f"{r4sql(f'CUME_DIST() OVER ({part}ORDER BY {key}, event_id)')} AS cd, "
+            f"{letter} AS lt, "
+            f"CAST({bound} AS INT) AS bk "
+            f"FROM events WHERE ({_atom(rng)}) "
+            f"ORDER BY event_id LIMIT 200"
+        )
+    # grouped form: tile populations + per-letter counts must agree
+    return (
+        f"SELECT nt, lt, COUNT(*) AS n, COUNT(DISTINCT uid) AS du "
+        f"FROM (SELECT user_id AS uid, "
+        f"NTILE({k}) OVER (ORDER BY {key}, event_id) AS nt, "
+        f"{letter} AS lt FROM events WHERE ({_atom(rng)})) "
+        f"GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
+@pytest.mark.parametrize("seed", range(16))
+def test_fuzz_rankdist_sql_agrees(engines, seed):
+    spark, con = engines
+    sql = gen_rankdist_sql(seed)
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert got == want, f"rank-distribution fn diverged for: {sql}"
