@@ -2254,3 +2254,207 @@ def x122_cluster_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x123 — word-order-robust near-dup profile (sorted-window shingles)
+# ---------------------------------------------------------------------------
+
+_X123_J = 0.5
+_X123_CAP = 64
+
+
+@register(
+    "x123_reorder_robust_dedup",
+    rf"""
+    WITH w AS (
+        SELECT doc_id, pos, word FROM (
+            SELECT doc_id,
+                   generate_subscripts(l, 1) AS pos,
+                   UNNEST(l) AS word
+            FROM (SELECT doc_id,
+                         string_split_regex(LOWER(TRIM(text)), '\s+') AS l
+                  FROM documents)
+        ) WHERE word <> ''
+    ),
+    g AS (
+        SELECT doc_id, pos, word AS w1,
+               LEAD(word, 1) OVER win AS w2,
+               LEAD(word, 2) OVER win AS w3
+        FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (
+        SELECT doc_id,
+               {mh.md5_value_sql("w1 || ' ' || w2 || ' ' || w3")} AS ho,
+               {mh.md5_value_sql(
+                   "array_to_string(list_sort([w1, w2, w3]), ' ')"
+               )} AS hs
+        FROM g WHERE w3 IS NOT NULL
+    ),
+    so AS (SELECT DISTINCT doc_id, ho FROM sh),
+    ss AS (SELECT DISTINCT doc_id, hs FROM sh),
+    sizes AS (
+        SELECT o.doc_id, o.no, s.ns FROM
+            (SELECT doc_id, COUNT(*) AS no FROM so GROUP BY 1) o
+        JOIN
+            (SELECT doc_id, COUNT(*) AS ns FROM ss GROUP BY 1) s
+        USING (doc_id)
+    ),
+    cold AS (
+        SELECT ss.doc_id, ss.hs FROM ss
+        WHERE hs IN (
+            SELECT hs FROM ss GROUP BY hs HAVING COUNT(*) <= {_X123_CAP}
+        )
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM cold a JOIN cold b ON a.hs = b.hs AND a.doc_id < b.doc_id
+    ),
+    gated AS (
+        SELECT c.doc_a, c.doc_b, sa.ns AS ns_a, sb.ns AS ns_b,
+               sa.no AS no_a, sb.no AS no_b
+        FROM cands c
+        JOIN sizes sa ON c.doc_a = sa.doc_id
+        JOIN sizes sb ON c.doc_b = sb.doc_id
+        WHERE LEAST(sa.ns, sb.ns) >= {_X123_J} * GREATEST(sa.ns, sb.ns)
+    ),
+    is_ AS (
+        SELECT g.doc_a, g.doc_b, COUNT(*) AS cs
+        FROM gated g
+        JOIN ss a ON a.doc_id = g.doc_a
+        JOIN ss b ON b.doc_id = g.doc_b AND b.hs = a.hs
+        GROUP BY 1, 2
+    ),
+    io AS (
+        SELECT g.doc_a, g.doc_b, COUNT(*) AS co
+        FROM gated g
+        JOIN so a ON a.doc_id = g.doc_a
+        JOIN so b ON b.doc_id = g.doc_b AND b.ho = a.ho
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT g.doc_a, g.doc_b,
+               CAST(is_.cs AS DOUBLE)
+                   / (g.ns_a + g.ns_b - is_.cs) AS js,
+               CAST(COALESCE(io.co, 0) AS DOUBLE)
+                   / (g.no_a + g.no_b - COALESCE(io.co, 0)) AS jo
+        FROM gated g
+        JOIN is_ ON g.doc_a = is_.doc_a AND g.doc_b = is_.doc_b
+        LEFT JOIN io ON g.doc_a = io.doc_a AND g.doc_b = io.doc_b
+    )
+    SELECT doc_a, doc_b,
+           {r4sql("js")} AS sorted_jaccard,
+           {r4sql("jo")} AS ordered_jaccard,
+           (js >= {_X123_J} AND jo < {_X123_J}) AS reordered_only
+    FROM scored
+    WHERE js >= {_X123_J}
+    ORDER BY doc_a, doc_b
+    """,
+    doc="EXT x123 — WORD-ORDER-ROBUST near-dup: shingles are 3-word "
+    "windows SORTED before hashing, so a LOCAL transposition changes "
+    "only the ~2 windows containing exactly one swapped word (vs all "
+    "~4 covering windows for ordered shingles) — sparse word swaps "
+    "and in-window reorders ('cheap flights Paris' / 'flights cheap "
+    "Paris'), the light-edit duplication class ordered-shingle "
+    "detectors (x2/x8/x77) score at half the similarity. (Dense "
+    "reshuffles change window CONTENT too — that class needs x41's "
+    "embedding tier; the planted test documents the exact boundary.) "
+    "Each surviving pair reports BOTH Jaccards; "
+    "reordered_only=true marks pairs the ordered index would have "
+    "lost — the measured recall gap, not an argument. Flags compare "
+    "raw-count ratios to the threshold (exact integers), so both "
+    "engines classify identically. Shape: the x75/x77 machinery — "
+    "one doc-keyed window pass builds BOTH hashed sets per doc, "
+    f"capped ({_X123_CAP}) posting lists generate candidates from "
+    "the SORTED index, a size-ratio gate prunes before verify, and "
+    "verification is candidate-gated set intersection for both "
+    "variants.",
+    tags=("ext", "dedup"),
+    late=True,
+)
+def x123_reorder_robust_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("pos", "word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    g = toks.select(
+        "doc_id",
+        F.col("word").alias("w1"),
+        F.lead("word", 1).over(win).alias("w2"),
+        F.lead("word", 2).over(win).alias("w3"),
+    ).filter(F.col("w3").isNotNull())
+    sh = g.select(
+        "doc_id",
+        mh.md5_value(F.concat_ws(" ", "w1", "w2", "w3")).alias("ho"),
+        mh.md5_value(
+            F.array_join(F.array_sort(F.array("w1", "w2", "w3")), " ")
+        ).alias("hs"),
+    )
+    # ONE doc-keyed pass emits both per-doc hashed sets as arrays
+    # (the x77 r9 shape — the window above already partitions by
+    # doc_id, so this groupBy reuses the exchange)
+    per_doc = (
+        sh.groupBy("doc_id")
+        .agg(
+            F.collect_set("ho").alias("os"),
+            F.collect_set("hs").alias("ss"),
+        )
+        .transform(barrier)  # feeds candidates AND both verify sides
+    )
+    kv = per_doc.select(
+        "doc_id",
+        F.size("ss").alias("ns"),
+        F.explode("ss").alias("hs"),
+    )
+    cands = mh.bucket_pairs(
+        kv,
+        ["hs"],
+        max_bucket=_X123_CAP,
+        payload=("ns",),
+        pair_filter=(
+            F.least("ns_a", "ns_b") >= _X123_J * F.greatest("ns_a", "ns_b")
+        ),
+    )
+    sa = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ss").alias("ss_a"),
+        F.col("os").alias("os_a"),
+    )
+    sb = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ss").alias("ss_b"),
+        F.col("os").alias("os_b"),
+    )
+    paired = cands.join(sa, "doc_a").join(sb, "doc_b")
+    cs = F.size(F.array_intersect("ss_a", "ss_b"))
+    co = F.size(F.array_intersect("os_a", "os_b"))
+    scored = paired.select(
+        "doc_a",
+        "doc_b",
+        cs.alias("cs"),
+        co.alias("co"),
+        (F.size("ss_a") + F.size("ss_b")).alias("nsp"),
+        (F.size("os_a") + F.size("os_b")).alias("nop"),
+    )
+    js = F.col("cs").cast("double") / (F.col("nsp") - F.col("cs"))
+    jo = F.col("co").cast("double") / (F.col("nop") - F.col("co"))
+    return (
+        scored.filter(js >= _X123_J)
+        .select(
+            "doc_a",
+            "doc_b",
+            r4(js).alias("sorted_jaccard"),
+            r4(jo).alias("ordered_jaccard"),
+            ((js >= _X123_J) & (jo < _X123_J)).alias("reordered_only"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -5325,3 +5325,108 @@ def t52_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("event_type", "motif")
     )
+
+
+# ---------------------------------------------------------------------------
+# T54 — inter-arrival renewal statistics per event series
+# ---------------------------------------------------------------------------
+
+_T54_MIN_GAPS = 30
+
+
+@register(
+    "t54_interarrival_stats",
+    f"""
+    WITH arr AS (
+        SELECT event_type, ts,
+               LAG(ts) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS prev_ts
+        FROM events
+    ),
+    gaps AS (
+        SELECT event_type,
+               CAST(DATEDIFF('second', prev_ts, ts) AS DOUBLE) AS g
+        FROM arr WHERE prev_ts IS NOT NULL
+    ),
+    s AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(g) AS s1, SUM(g * g) AS s2,
+               SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS n_zero
+        FROM gaps GROUP BY 1 HAVING COUNT(*) >= {_T54_MIN_GAPS}
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+           CAST(n_zero AS BIGINT) AS n_simultaneous,
+           {{M}} AS mean_gap_s,
+           {{CV}} AS cv,
+           ({{CV}} > 1.5) AS bursty,
+           ({{CV}} < 0.5) AS regular
+    FROM s
+    WHERE n * s2 - s1 * s1 >= 0 AND s1 > 0
+    ORDER BY event_type
+    """.replace("{M}", r4sql("s1 / n"))
+        .replace(
+            "{CV}",
+            r4sql(
+                "SQRT((n * s2 - s1 * s1) / (n * (n - 1.0))) / (s1 / n)"
+            ),
+        ),
+    doc="T54 (EXT timeseries) — INTER-ARRIVAL renewal statistics per "
+    "event stream: mean gap and the coefficient of variation of gaps "
+    "— the one-number process-regime classifier (CV ≈ 1 ⇒ "
+    "memoryless/Poisson, the t45 NB-fit's null; CV >> 1 ⇒ BURSTY "
+    "arrivals, where rate-based alerting (t34) false-fires and "
+    "Poisson CIs are garbage; CV << 1 ⇒ scheduled/regular traffic, "
+    "likely a bot or a cron). n_simultaneous counts zero gaps "
+    "(same-timestamp arrivals — the tie class j13/t53 handle "
+    "explicitly). Deterministic: arrivals totally ordered by (ts, "
+    "event_id); gap moments are sums of identical per-row doubles, "
+    "r4 at the end; the CV > / < flags read the r4-canonical value "
+    "so both engines classify identically. Shape: one series-keyed "
+    "lag window (series fan out), one hash-agg — catalog-bounded "
+    "output.",
+    tags=("ext", "timeseries", "stats"),
+    late=True,
+)
+def t54_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            "ts",
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "event_type",
+            (
+                F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+            ).cast("double").alias("g"),
+        )
+    )
+    s = (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("g").alias("s1"),
+            F.sum(F.col("g") * F.col("g")).alias("s2"),
+            F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("n_zero"),
+        )
+        .filter(F.col("n") >= _T54_MIN_GAPS)
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    cv = r4(F.sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))) / (s1 / n))
+    return (
+        s.filter((n * s2 - s1 * s1 >= 0) & (s1 > 0))
+        .select(
+            "event_type",
+            n.cast("bigint").alias("n_gaps"),
+            F.col("n_zero").cast("bigint").alias("n_simultaneous"),
+            r4(s1 / n).alias("mean_gap_s"),
+            cv.alias("cv"),
+            (cv > 1.5).alias("bursty"),
+            (cv < 0.5).alias("regular"),
+        )
+        .orderBy("event_type")
+    )

@@ -889,3 +889,113 @@ def test_x121_catches_shifted_contamination(spark, tmp_path):
     assert rows[test_id]["hit_share"] > 0.5
     # the clean test doc produces no row (n_hit = 0 filtered)
     assert clean_id not in rows
+
+
+# ---------------------------------------------------------------------------
+# t54 — inter-arrival stats vs python; planted regimes
+# ---------------------------------------------------------------------------
+
+
+def test_t54_matches_python_and_classifies_regimes(spark, tmp_path):
+    import numpy as np
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    # regular: exactly one event every 60s (CV = 0)
+    for i in range(100):
+        rows.append(("cron", base + pd.Timedelta(seconds=60 * i)))
+    # bursty: 10 bursts of 10 events 1s apart, bursts 1h apart
+    for b in range(10):
+        for i in range(10):
+            rows.append(
+                ("burst", base + pd.Timedelta(hours=b, seconds=i))
+            )
+    ev = pd.DataFrame(rows, columns=["event_type", "ts"])
+    ev["event_id"] = range(len(ev))
+    ev["user_id"] = 1
+    ev["value"] = 1.0
+    ev["props"] = "{}"
+    td = str(tmp_path / "sf")
+    os.makedirs(td)
+    ev[["event_id", "ts", "user_id", "event_type", "value", "props"]
+       ].to_parquet(os.path.join(td, "events.parquet"), index=False)
+    got = {
+        r["event_type"]: r
+        for r in queries()["t54_interarrival_stats"](spark, td).collect()
+    }
+    assert got["cron"]["regular"] and not got["cron"]["bursty"]
+    assert got["cron"]["cv"] == 0.0
+    assert got["cron"]["mean_gap_s"] == 60.0
+    assert got["burst"]["bursty"] and not got["burst"]["regular"]
+    # python reference on the bursty gaps
+    ts = sorted(t for e, t in rows if e == "burst")
+    gaps = np.diff([t.value // 10**9 for t in ts]).astype(float)
+    cv = gaps.std(ddof=1) / gaps.mean()
+    assert got["burst"]["cv"] == pytest.approx(cv, abs=2e-4)
+    assert got["burst"]["n_gaps"] == len(gaps)
+
+
+# ---------------------------------------------------------------------------
+# x123 — planted word-reorder duplicate is caught; verbatim dup scores 1
+# ---------------------------------------------------------------------------
+
+
+def test_x123_catches_reordered_duplicate(spark, tmp_path):
+    words = [f"w{i}" for i in range(60)]
+    body = " ".join(words)
+    # SPARSE adjacent swaps (every 10th position): each swap changes
+    # all ~4 ordered windows covering it but only the ~2 windows
+    # containing exactly one swapped word keep different CONTENT —
+    # so the sorted-shingle Jaccard stays high while ordered drops
+    sw = words[:]
+    for i in (9, 19, 29, 39, 49):
+        sw[i], sw[i + 1] = sw[i + 1], sw[i]
+    swapped = " ".join(sw)
+
+    def shingles(ws, ordered):
+        out = set()
+        for i in range(len(ws) - 2):
+            win = ws[i : i + 3]
+            out.add(" ".join(win if ordered else sorted(win)))
+        return out
+
+    def jac(a, b):
+        return len(a & b) / len(a | b)
+
+    js_ref = jac(shingles(words, False), shingles(sw, False))
+    jo_ref = jac(shingles(words, True), shingles(sw, True))
+    assert js_ref >= 0.5 > jo_ref, "test construction sanity"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [body, swapped, body, "totally different words here"],
+            "lang": ["en"] * 4,
+            "source": ["a"] * 4,
+            "n_chars": [1] * 4,
+        }
+    )
+    td = str(tmp_path / "sf")
+    os.makedirs(td)
+    docs.to_parquet(os.path.join(td, "documents.parquet"), index=False)
+    rows = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in queries()["x123_reorder_robust_dedup"](
+            spark, td
+        ).collect()
+    }
+    # verbatim pair (1,3): both jaccards 1, NOT reordered_only
+    assert rows[(1, 3)]["sorted_jaccard"] == 1.0
+    assert rows[(1, 3)]["ordered_jaccard"] == 1.0
+    assert not rows[(1, 3)]["reordered_only"]
+    # swapped pair: high sorted, low ordered -> the ordered index
+    # would have missed it
+    for pair in ((1, 2), (2, 3)):
+        assert pair in rows, "reordered duplicate not caught"
+        assert rows[pair]["sorted_jaccard"] == pytest.approx(
+            js_ref, abs=2e-4
+        )
+        assert rows[pair]["ordered_jaccard"] == pytest.approx(
+            jo_ref, abs=2e-4
+        )
+        assert rows[pair]["reordered_only"]
+    assert (1, 4) not in rows and (3, 4) not in rows
