@@ -2261,7 +2261,14 @@ def x122_cluster_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _X123_J = 0.5
-_X123_CAP = 64
+# banding shape for the 0.5 threshold: k=16 hashes, 8 bands × r=2 —
+# P(candidate | J) = 1 − (1 − J²)^8: 0.90 at the 0.5 boundary, 0.997
+# at 0.7, ~1 for verbatim dups. The earlier full inverted index over
+# sorted shingles was quadratic under boilerplate windows (2.9M
+# candidate pairs at sf0.1, measured); banding is the same trade x8
+# makes, mirrored md5-exactly in the oracle so parity is unaffected.
+_X123_AB = mh.md5_coeffs(16, seed=4321)
+_X123_BANDS = 8
 
 
 @register(
@@ -2285,14 +2292,20 @@ _X123_CAP = 64
     ),
     sh AS (
         SELECT doc_id,
-               {mh.md5_value_sql("w1 || ' ' || w2 || ' ' || w3")} AS ho,
-               {mh.md5_value_sql(
-                   "array_to_string(list_sort([w1, w2, w3]), ' ')"
-               )} AS hs
+               array_to_string(list_sort([w1, w2, w3]), ' ') AS shingle,
+               w1 || ' ' || w2 || ' ' || w3 AS oshingle
         FROM g WHERE w3 IS NOT NULL
     ),
-    so AS (SELECT DISTINCT doc_id, ho FROM sh),
-    ss AS (SELECT DISTINCT doc_id, hs FROM sh),
+    so AS (
+        SELECT DISTINCT doc_id,
+               {mh.md5_value_sql("oshingle")} AS ho
+        FROM sh
+    ),
+    ss AS (
+        SELECT DISTINCT doc_id,
+               {mh.md5_value_sql("shingle")} AS hs
+        FROM sh
+    ),
     sizes AS (
         SELECT o.doc_id, o.no, s.ns FROM
             (SELECT doc_id, COUNT(*) AS no FROM so GROUP BY 1) o
@@ -2300,20 +2313,11 @@ _X123_CAP = 64
             (SELECT doc_id, COUNT(*) AS ns FROM ss GROUP BY 1) s
         USING (doc_id)
     ),
-    cold AS (
-        SELECT ss.doc_id, ss.hs FROM ss
-        WHERE hs IN (
-            SELECT hs FROM ss GROUP BY hs HAVING COUNT(*) <= {_X123_CAP}
-        )
-    ),
-    cands AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM cold a JOIN cold b ON a.hs = b.hs AND a.doc_id < b.doc_id
-    ),
+    {mh.md5_banded_candidates_sql(_X123_AB, _X123_BANDS)},
     gated AS (
         SELECT c.doc_a, c.doc_b, sa.ns AS ns_a, sb.ns AS ns_b,
                sa.no AS no_a, sb.no AS no_b
-        FROM cands c
+        FROM cand c
         JOIN sizes sa ON c.doc_a = sa.doc_id
         JOIN sizes sb ON c.doc_b = sb.doc_id
         WHERE LEAST(sa.ns, sb.ns) >= {_X123_J} * GREATEST(sa.ns, sb.ns)
@@ -2363,11 +2367,14 @@ _X123_CAP = 64
     "reordered_only=true marks pairs the ordered index would have "
     "lost — the measured recall gap, not an argument. Flags compare "
     "raw-count ratios to the threshold (exact integers), so both "
-    "engines classify identically. Shape: the x75/x77 machinery — "
-    "one doc-keyed window pass builds BOTH hashed sets per doc, "
-    f"capped ({_X123_CAP}) posting lists generate candidates from "
-    "the SORTED index, a size-ratio gate prunes before verify, and "
-    "verification is candidate-gated set intersection for both "
+    "engines classify identically. Shape (r9, measured): the full "
+    "sorted-shingle inverted index went quadratic under boilerplate "
+    "windows (2.9M candidates at sf0.1), so candidates come from "
+    f"md5-MinHash banding over the SORTED sets ({len(_X123_AB)} "
+    f"hashes × {_X123_BANDS} bands, r=2 — recall 0.90 at the J=0.5 "
+    "boundary, 0.997 at 0.7, mirrored md5-exactly in the oracle so "
+    "parity is unaffected), a size-ratio gate prunes before verify, "
+    "and verification is candidate-gated set intersection for both "
     "variants.",
     tags=("ext", "dedup"),
     late=True,
@@ -2410,19 +2417,12 @@ def x123_reorder_robust_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(barrier)  # feeds candidates AND both verify sides
     )
-    kv = per_doc.select(
-        "doc_id",
-        F.size("ss").alias("ns"),
-        F.explode("ss").alias("hs"),
-    )
-    cands = mh.bucket_pairs(
-        kv,
-        ["hs"],
-        max_bucket=_X123_CAP,
-        payload=("ns",),
-        pair_filter=(
-            F.least("ns_a", "ns_b") >= _X123_J * F.greatest("ns_a", "ns_b")
-        ),
+    cands = mh.md5_banded_candidates(
+        None,
+        _X123_AB,
+        n_bands=_X123_BANDS,
+        val_arrays=per_doc.select("doc_id", F.col("ss").alias("vs")),
+        size_ratio_threshold=_X123_J,
     )
     sa = per_doc.select(
         F.col("doc_id").alias("doc_a"),
