@@ -59,6 +59,10 @@ QUERIES = (
     "a50_spearman",               # doubled-rank moments, 2 marginal joins
     "j13_asof_tolerance",         # struct-carrying asof window (r8 s2)
     "x31_length_batching",        # two-phase global rank (pid barrier, r9)
+    "a52_bh_fdr_screen",          # global p-rank window + step-up (r9)
+    "t53_max_concurrent",         # sweep-line running sum + tie rule (r9)
+    "x117_cdc_chunks",            # CDC windows + ordered string_agg (r9)
+    "x123_reorder_robust_dedup",  # banded candidates + dual verify (r9)
 )
 
 VARIANTS = (
