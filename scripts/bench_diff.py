@@ -125,9 +125,17 @@ def load_queries(path: Path) -> dict[str, float]:
     if "queries" in doc:
         return doc["queries"]
     if "tail" in doc:
-        m = re.search(r'\{"metric".*\}', doc["tail"])
-        if m:
-            return json.loads(m.group(0))["queries"]
+        # decode from the FIRST '{"metric"' with a raw_decode so any
+        # trailing log framing after the JSON object can't break it
+        start = doc["tail"].find('{"metric"')
+        if start >= 0:
+            try:
+                obj, _end = json.JSONDecoder().raw_decode(
+                    doc["tail"][start:]
+                )
+                return obj["queries"]
+            except (json.JSONDecodeError, KeyError):
+                pass
     raise SystemExit(f"{path}: no per-query map found")
 
 
@@ -138,7 +146,12 @@ def main(argv: list[str]) -> int:
         print(f"baseline refreshed from {FRESH}")
         return 0
     if "--since" in argv:
-        since_path = Path(argv[argv.index("--since") + 1])
+        idx = argv.index("--since")
+        if idx + 1 >= len(argv) or argv[idx + 1].startswith("--"):
+            raise SystemExit(
+                "usage: bench_diff.py --since <BENCH_rN.json>"
+            )
+        since_path = Path(argv[idx + 1])
         if not since_path.is_absolute():
             since_path = REPO / since_path
         base = load_queries(since_path)

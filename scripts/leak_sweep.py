@@ -30,14 +30,18 @@ PATTERNS = [
     (r"anthropic", "vendor-internal reference"),
     (r"s3://(?!public|example|bucket)", "non-public bucket"),
     (r"gs://(?!public|example|bucket)", "non-public bucket"),
-    (r"go/[a-z]{2,}", "internal shortlink"),
+    (r"\bgo/[a-z]{2,}\b", "internal shortlink"),
 ]
 
-# Files allowed to mention the patterns (this script and its test, which
-# must spell them out to grep for them).
+# Files allowed to mention the patterns: this script and its test
+# (which must spell them out to grep for them) and the DRIVER-WRITTEN
+# round artifacts (VERDICT/ADVICE quote violations when adjudicating
+# them — they are the external judge's words, not repo source).
 ALLOW = {
     os.path.join("scripts", "leak_sweep.py"),
     os.path.join("tests", "test_leak_sweep.py"),
+    "VERDICT.md",
+    "ADVICE.md",
 }
 
 SCAN_DIRS = ("server_spark", "scripts", "tests")
@@ -55,6 +59,13 @@ def iter_sources():
     for f in SCAN_FILES:
         p = os.path.join(REPO, f)
         if os.path.exists(p):
+            yield p
+    # root-level docs: SCALE.md / COVERAGE.md / round notes are where
+    # process narration is most likely to mention tooling paths — the
+    # exact r8 failure class this gate exists for
+    for f in os.listdir(REPO):
+        p = os.path.join(REPO, f)
+        if os.path.isfile(p) and f.endswith((".md", ".txt")):
             yield p
 
 

@@ -141,3 +141,53 @@ def cdc_profile_from_state(state: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def cdc_chunks_sql() -> str:
+    """DuckDB CTE chain ``toks, gram, idx, chunks`` over `documents`,
+    mirroring :func:`cdc_chunk_table` — the SINGLE source of the
+    oracle-side chunking rule (W, divisor, word split, ordered
+    string_agg), shared by x117's profile and x121's decontamination
+    twins so the rule can never drift between them. ``chunks`` ends
+    with (doc_id, source, chunk_idx, n_tokens, hb, chunk_hash); hb is
+    the x17 split hash prefix, harmless for consumers that ignore it.
+    """
+    from server_spark.dedup.minhash import md5_value_sql
+
+    gram_hash = md5_value_sql(
+        "LAG(token, 3) OVER win || ' ' || "
+        "LAG(token, 2) OVER win || ' ' || "
+        "LAG(token, 1) OVER win || ' ' || token"
+    )
+    return rf"""toks AS (
+        SELECT doc_id, source, pos, token FROM (
+            SELECT doc_id, source,
+                   generate_subscripts(l, 1) AS pos,
+                   UNNEST(l) AS token
+            FROM (SELECT doc_id, source,
+                         string_split_regex(LOWER(TRIM(text)), '\s+') AS l
+                  FROM documents)
+        ) WHERE token <> ''
+    ),
+    gram AS (
+        SELECT doc_id, source, pos, token,
+               CASE WHEN LAG(token, {CDC_W - 1}) OVER win IS NOT NULL
+                    AND ({gram_hash}) % {CDC_DIVISOR} = 0
+                    THEN 1 ELSE 0 END AS is_boundary
+        FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    idx AS (
+        SELECT doc_id, source, pos, token,
+               COALESCE(SUM(is_boundary) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS chunk_idx
+        FROM gram
+    ),
+    chunks AS (
+        SELECT doc_id, source, chunk_idx,
+               COUNT(*) AS n_tokens,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hb,
+               md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash
+        FROM idx GROUP BY 1, 2, 3
+    )"""

@@ -1926,46 +1926,13 @@ def x109_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming fold so incremental == one-shot holds exactly)
 from server_spark.dedup.cdc import CDC_DIVISOR as _X117_DIVISOR  # noqa: E402
 from server_spark.dedup.cdc import CDC_W as _X117_W  # noqa: E402
+from server_spark.dedup.cdc import cdc_chunks_sql  # noqa: E402
 
 
 @register(
     "x117_cdc_chunks",
     rf"""
-    WITH toks AS (
-        SELECT doc_id, source, pos, token FROM (
-            SELECT doc_id, source,
-                   generate_subscripts(l, 1) AS pos,
-                   UNNEST(l) AS token
-            FROM (SELECT doc_id, source,
-                         string_split_regex(LOWER(TRIM(text)), '\s+') AS l
-                  FROM documents)
-        ) WHERE token <> ''
-    ),
-    gram AS (
-        SELECT doc_id, source, pos, token,
-               CASE WHEN LAG(token, {_X117_W - 1}) OVER win IS NOT NULL
-                    AND ({mh.md5_value_sql(
-                        "LAG(token, 3) OVER win || ' ' || "
-                        "LAG(token, 2) OVER win || ' ' || "
-                        "LAG(token, 1) OVER win || ' ' || token"
-                    )}) % {_X117_DIVISOR} = 0
-                    THEN 1 ELSE 0 END AS is_boundary
-        FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
-    ),
-    idx AS (
-        SELECT doc_id, source, pos, token,
-               COALESCE(SUM(is_boundary) OVER (
-                   PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) AS chunk_idx
-        FROM gram
-    ),
-    chunks AS (
-        SELECT doc_id, source, chunk_idx,
-               COUNT(*) AS n_tokens,
-               md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash
-        FROM idx GROUP BY 1, 2, 3
-    ),
+    WITH {cdc_chunks_sql()},
     spread AS (
         SELECT chunk_hash, COUNT(DISTINCT source) AS n_sources
         FROM chunks GROUP BY 1
@@ -2049,41 +2016,7 @@ _X121_FLAG_SHARE = 0.2  # test doc flagged when >20% of chunks hit train
 @register(
     "x121_chunk_decontaminate",
     rf"""
-    WITH toks AS (
-        SELECT doc_id, source, pos, token FROM (
-            SELECT doc_id, source,
-                   generate_subscripts(l, 1) AS pos,
-                   UNNEST(l) AS token
-            FROM (SELECT doc_id, source,
-                         string_split_regex(LOWER(TRIM(text)), '\s+') AS l
-                  FROM documents)
-        ) WHERE token <> ''
-    ),
-    gram AS (
-        SELECT doc_id, source, pos, token,
-               CASE WHEN LAG(token, {_X117_W - 1}) OVER win IS NOT NULL
-                    AND ({mh.md5_value_sql(
-                        "LAG(token, 3) OVER win || ' ' || "
-                        "LAG(token, 2) OVER win || ' ' || "
-                        "LAG(token, 1) OVER win || ' ' || token"
-                    )}) % {_X117_DIVISOR} = 0
-                    THEN 1 ELSE 0 END AS is_boundary
-        FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
-    ),
-    idx AS (
-        SELECT doc_id, source, pos, token,
-               COALESCE(SUM(is_boundary) OVER (
-                   PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) AS chunk_idx
-        FROM gram
-    ),
-    chunks AS (
-        SELECT doc_id, source, chunk_idx,
-               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hb,
-               md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash
-        FROM idx GROUP BY 1, 2, 3
-    ),
+    WITH {cdc_chunks_sql()},
     train_set AS (
         SELECT DISTINCT chunk_hash FROM chunks WHERE hb < 'cd'
     ),

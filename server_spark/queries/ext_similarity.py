@@ -1854,6 +1854,7 @@ def x108_embedding_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                generate_subscripts(embedding, 1) AS dim,
                CAST(UNNEST(embedding) AS DOUBLE) AS v
         FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
     ),
     cent AS (
         SELECT label AS clabel, dim, AVG(v) AS c
@@ -1973,6 +1974,7 @@ def x116_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
                generate_subscripts(embedding, 1) AS dim,
                CAST(UNNEST(embedding) AS DOUBLE) AS v
         FROM embeddings
+        WHERE embedding IS NOT NULL
     ),
     per_dim AS (
         SELECT dim, COUNT(*) AS n, AVG(v) AS mu,

@@ -2430,11 +2430,9 @@ _T53_HOURS = {"A": 48, "N": 12, "R": 24}
 def t53_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    au = tables.auctions(spark, sf_dir) if hasattr(tables, "auctions") else None
-    if au is None:
-        from server_spark.sources.synthetic import auctions as _auc
+    from server_spark.sources.synthetic import auctions as _auc
 
-        au = _auc(spark, sf_dir)
+    au = _auc(spark, sf_dir)
     dur = (
         F.when(F.col("time_left") == "A", _T53_HOURS["A"])
         .when(F.col("time_left") == "N", _T53_HOURS["N"])

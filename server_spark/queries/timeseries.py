@@ -4846,6 +4846,77 @@ def t49_price_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Shared calendar-dense daily substrate (t50 backtest, t52 SAX; the
+# same grid rule t39/t43/t45 apply inline) — ONE definition of the
+# densification so the missing-day/phase-shift bug class (fixed in
+# t43 this round) cannot re-enter one copy at a time.
+# ---------------------------------------------------------------------------
+
+
+def _dense_daily_ctes() -> str:
+    """DuckDB CTE chain ``daily, bounds, grid, dense`` over `events`:
+    per event_type, the calendar-dense daily count series as
+    (event_type, t, x, n) with t the 0-based day offset from the
+    series' own min day, x the (zero-filled) count, n the span."""
+    return f"""daily AS (
+        SELECT event_type,
+               DATEDIFF('day', TIMESTAMP '{_T39_ANCHOR}',
+                        date_trunc('day', ts)) AS d,
+               COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, MIN(d) AS dmin, MAX(d) AS dmax
+        FROM daily GROUP BY 1
+    ),
+    grid AS (
+        SELECT event_type, dmin, dmax,
+               UNNEST(generate_series(dmin, dmax)) AS d
+        FROM bounds
+    ),
+    dense AS (
+        SELECT g.event_type, g.d - g.dmin AS t,
+               COALESCE(dd.x, 0) AS x,
+               g.dmax - g.dmin + 1 AS n
+        FROM grid g LEFT JOIN daily dd
+          ON g.event_type = dd.event_type AND g.d = dd.d
+    )"""
+
+
+def _dense_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_dense_daily_ctes` — barriered (the grid
+    feeds multiple consumers in both t50 and t52)."""
+    ev = tables.load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(
+                f"datediff(date_trunc('day', ts),"
+                f" timestamp'{_T39_ANCHOR}')"
+            ).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count("*").alias("x"))
+    ).transform(barrier)
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("dmin"), F.max("d").alias("dmax")
+    )
+    grid = bounds.select(
+        "event_type",
+        "dmin",
+        (F.col("dmax") - F.col("dmin") + 1).alias("n"),
+        F.explode(F.sequence(F.col("dmin"), F.col("dmax"))).alias("d"),
+    )
+    return grid.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        (F.col("d") - F.col("dmin")).alias("t"),
+        F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        "n",
+    ).transform(barrier)
+
+
 # ---------------------------------------------------------------------------
 # T50 — forecast backtest: seasonal-naive MASE / sMAPE per series
 # ---------------------------------------------------------------------------
@@ -4858,31 +4929,7 @@ _T50_MIN_DAYS = 21   # need 2 seasons of train + a non-empty test
 @register(
     "t50_forecast_backtest",
     f"""
-    WITH daily AS (
-        SELECT event_type,
-               DATEDIFF('day', TIMESTAMP '{_T39_ANCHOR}',
-                        date_trunc('day', ts)) AS d,
-               COUNT(*) AS x
-        FROM events GROUP BY 1, 2
-    ),
-    bounds AS (
-        SELECT event_type, MIN(d) AS dmin, MAX(d) AS dmax
-        FROM daily GROUP BY 1
-    ),
-    grid AS (
-        SELECT event_type, dmin,
-               UNNEST(generate_series(dmin, dmax)) AS d
-        FROM bounds
-    ),
-    dense AS (
-        SELECT g.event_type, g.d - g.dmin AS t,
-               COALESCE(dd.x, 0) AS x,
-               g.dmax - g.dmin + 1 AS n
-        FROM (SELECT gg.*, b.dmax FROM grid gg
-              JOIN bounds b USING (event_type)) g
-        LEFT JOIN daily dd
-          ON g.event_type = dd.event_type AND g.d = dd.d
-    ),
+    WITH {_dense_daily_ctes()},
     lagged AS (
         SELECT event_type, t, x, n,
                CAST(GREATEST(1, FLOOR({_T50_TEST_FRAC} * n)) AS BIGINT)
@@ -4931,33 +4978,7 @@ _T50_MIN_DAYS = 21   # need 2 seasons of train + a non-empty test
     late=True,
 )
 def t50_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = tables.load(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            "event_type",
-            F.expr(
-                f"datediff(date_trunc('day', ts),"
-                f" timestamp'{_T39_ANCHOR}')"
-            ).alias("d"),
-        )
-        .groupBy("event_type", "d")
-        .agg(F.count("*").alias("x"))
-    ).transform(barrier)
-    bounds = daily.groupBy("event_type").agg(
-        F.min("d").alias("dmin"), F.max("d").alias("dmax")
-    )
-    grid = bounds.select(
-        "event_type",
-        "dmin",
-        (F.col("dmax") - F.col("dmin") + 1).alias("n"),
-        F.explode(F.sequence(F.col("dmin"), F.col("dmax"))).alias("d"),
-    )
-    dense = grid.join(daily, ["event_type", "d"], "left").select(
-        "event_type",
-        (F.col("d") - F.col("dmin")).alias("t"),
-        F.coalesce(F.col("x"), F.lit(0)).alias("x"),
-        "n",
-    )
+    dense = _dense_daily(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("t")
     lagged = dense.select(
         "event_type",
@@ -5047,7 +5068,7 @@ _T51_MAX_LAG = 14
     cut AS (
         SELECT event_type,
                COALESCE(MIN(CASE WHEN r <= 0 THEN lag END),
-                        {_T51_MAX_LAG + 1}) AS first_nonpos
+                        MAX(lag) + 1) AS first_nonpos
         FROM rho GROUP BY event_type
     ),
     tau AS (
@@ -5128,10 +5149,13 @@ def t51_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r")
         )
     ).transform(barrier)  # feeds the cutoff AND the tau sum
+    # all-positive default = the series' own max AVAILABLE lag + 1
+    # (not the global max): a 10-day series has only lags 1..9, and
+    # k_used must report how many terms were actually summed
     cut = rho.groupBy("event_type").agg(
         F.coalesce(
             F.min(F.when(F.col("r") <= 0, F.col("lag"))),
-            F.lit(_T51_MAX_LAG + 1),
+            F.max("lag") + 1,
         ).alias("first_nonpos")
     )
     tau = (
@@ -5173,36 +5197,16 @@ _T52_BP = (-0.6745, 0.0, 0.6745)
 @register(
     "t52_sax_motifs",
     f"""
-    WITH daily AS (
-        SELECT event_type,
-               DATEDIFF('day', TIMESTAMP '{_T39_ANCHOR}',
-                        date_trunc('day', ts)) AS d,
-               COUNT(*) AS x
-        FROM events GROUP BY 1, 2
-    ),
-    bounds AS (
-        SELECT event_type, MIN(d) AS dmin, MAX(d) AS dmax
-        FROM daily GROUP BY 1
-    ),
-    grid AS (
-        SELECT event_type, dmin,
-               UNNEST(generate_series(dmin, dmax)) AS d
-        FROM bounds
-    ),
-    dense AS (
-        SELECT g.event_type, g.d - g.dmin AS t,
-               CAST(COALESCE(dd.x, 0) AS DOUBLE) AS x
-        FROM grid g LEFT JOIN daily dd
-          ON g.event_type = dd.event_type AND g.d = dd.d
-    ),
+    WITH {_dense_daily_ctes()},
     stats AS (
         SELECT event_type, COUNT(*) AS n,
-               SUM(x) AS s1, SUM(x * x) AS s2
+               SUM(CAST(x AS DOUBLE)) AS s1,
+               SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS s2
         FROM dense GROUP BY 1 HAVING COUNT(*) >= {2 * _T52_SEG}
     ),
     z AS (
         SELECT d.event_type, d.t // {_T52_SEG} AS seg,
-               (d.x - s.s1 / s.n)
+               (CAST(d.x AS DOUBLE) - s.s1 / s.n)
                / SQRT((s.n * s.s2 - s.s1 * s.s1) / (s.n * (s.n - 1.0)))
                    AS z
         FROM dense d JOIN stats s ON d.event_type = s.event_type
@@ -5249,31 +5253,9 @@ _T52_BP = (-0.6745, 0.0, 0.6745)
     late=True,
 )
 def t52_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = tables.load(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            "event_type",
-            F.expr(
-                f"datediff(date_trunc('day', ts),"
-                f" timestamp'{_T39_ANCHOR}')"
-            ).alias("d"),
-        )
-        .groupBy("event_type", "d")
-        .agg(F.count("*").alias("x"))
-    ).transform(barrier)
-    bounds = daily.groupBy("event_type").agg(
-        F.min("d").alias("dmin"), F.max("d").alias("dmax")
+    dense = _dense_daily(spark, sf_dir).select(
+        "event_type", "t", F.col("x").cast("double").alias("x")
     )
-    grid = bounds.select(
-        "event_type",
-        "dmin",
-        F.explode(F.sequence(F.col("dmin"), F.col("dmax"))).alias("d"),
-    )
-    dense = grid.join(daily, ["event_type", "d"], "left").select(
-        "event_type",
-        (F.col("d") - F.col("dmin")).alias("t"),
-        F.coalesce(F.col("x"), F.lit(0)).cast("double").alias("x"),
-    ).transform(barrier)  # feeds stats AND the z map
     stats = (
         dense.groupBy("event_type")
         .agg(

@@ -696,32 +696,16 @@ def hot_items_stream(
     )
 
 
-def _mergeable_fold_stream(
-    spark: SparkSession,
-    input_dir: str,
-    state_dir: str,
-    checkpoint_dir: str,
-    subdir: str,
-    delta_fn,
-    merge_fn,
-):
-    """Generic epoch-gated foreachBatch FOLD of a mergeable summary —
-    the streaming form of the medallion's mergeable golds (bitmaps,
-    log-histograms, sketches: any algebra whose merge is associative +
-    commutative, so replay order can't change the state).
-
-    Exactly-once: the checkpoint dedupes files across restarts;
-    foreachBatch is at-least-once WITHIN a batch (a crash between the
-    fold and the checkpoint commit replays the batch), so the fold is
-    additionally gated on the epoch id persisted in the state sidecar
-    — the standard idempotent-foreachBatch recipe. The write goes
-    tmp → aside-swap so a crash mid-write leaves a recoverable table.
-    State grows with groups × occupied buckets, never with stream
-    history — the 100 TB posture of every mergeable gold.
-
-    ``delta_fn(batch_df)`` → the batch's summary table;
-    ``merge_fn(standing_df, delta_df)`` → the folded table.
-    """
+def _epoch_gated_fold_sink(state_dir: str, subdir: str, delta_fn, merge_fn):
+    """THE idempotent-foreachBatch fold recipe, shared by every
+    mergeable streaming gold (bitmap/histogram/CDC): the checkpoint
+    dedupes files across restarts; foreachBatch is at-least-once
+    WITHIN a batch (a crash between the fold and the checkpoint
+    commit replays the batch), so the fold is additionally gated on
+    the epoch id persisted in the state sidecar. The state write goes
+    tmp → aside-swap with crash healing so a failure mid-write leaves
+    a recoverable table. One implementation — a hardening fix here
+    reaches every fold pipeline at once."""
     import json as _json
     import os
     import shutil
@@ -759,6 +743,29 @@ def _mergeable_fold_stream(
         with open(wm_file, "w") as fh:
             _json.dump({"batch_id": int(batch_id)}, fh)
 
+    return sink
+
+
+def _mergeable_fold_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    subdir: str,
+    delta_fn,
+    merge_fn,
+):
+    """Generic epoch-gated foreachBatch FOLD of a mergeable summary —
+    the streaming form of the medallion's mergeable golds (bitmaps,
+    log-histograms, sketches: any algebra whose merge is associative +
+    commutative, so replay order can't change the state). State grows
+    with groups × occupied buckets, never with stream history — the
+    100 TB posture of every mergeable gold.
+
+    ``delta_fn(batch_df)`` → the batch's summary table;
+    ``merge_fn(standing_df, delta_df)`` → the folded table.
+    """
+    sink = _epoch_gated_fold_sink(state_dir, subdir, delta_fn, merge_fn)
     stream = read_auction_stream(spark, input_dir, max_files=1)
     return (
         stream.writeStream.foreachBatch(sink)
@@ -1030,45 +1037,11 @@ def cdc_profile_stream(
     ``read_cdc_profile_state`` reproduces x117's per-source profile
     off the folded state — incremental == one-shot at every batch
     boundary (tested)."""
-    import json as _json
-    import os
-    import shutil
-
     from server_spark.dedup.cdc import cdc_state_delta, merge_cdc_state
 
-    data_dir = os.path.join(state_dir, "cdc")
-    wm_file = os.path.join(state_dir, "_epoch")
-    aside = f"{data_dir}.old"
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        last = -1
-        if os.path.exists(wm_file):
-            with open(wm_file) as fh:
-                last = _json.load(fh)["batch_id"]
-        if batch_id <= last:  # replayed epoch — fold already applied
-            return
-        delta = cdc_state_delta(batch_df)
-        if os.path.exists(aside):  # heal a crash between swap renames
-            if os.path.exists(data_dir):
-                shutil.rmtree(aside)
-            else:
-                os.rename(aside, data_dir)
-        if os.path.exists(data_dir):
-            merged = merge_cdc_state(sess.read.parquet(data_dir), delta)
-        else:
-            merged = delta
-        tmp = f"{data_dir}.tmp.{os.getpid()}"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        if os.path.exists(data_dir):
-            os.rename(data_dir, aside)
-        os.replace(tmp, data_dir)
-        if os.path.exists(aside):
-            shutil.rmtree(aside)
-        os.makedirs(state_dir, exist_ok=True)
-        with open(wm_file, "w") as fh:
-            _json.dump({"batch_id": int(batch_id)}, fh)
-
+    sink = _epoch_gated_fold_sink(
+        state_dir, "cdc", cdc_state_delta, merge_cdc_state
+    )
     stream = (
         spark.readStream.schema("doc_id LONG, text STRING, source STRING")
         .option("maxFilesPerTrigger", 1)
@@ -1111,9 +1084,13 @@ def decontaminate_stream(
     rows append to the sink. The arriving docs are chunked
     EXECUTOR-SIDE inside the micro-batch plan (foreachBatch), so the
     screen scales as a map over arrival partitions."""
+    from server_spark.barrier import barrier
     from server_spark.dedup.cdc import cdc_chunk_table
 
-    train_set = (
+    # BARRIERED: every micro-batch's join re-references this relation;
+    # without materialization the whole train-corpus chunking pipeline
+    # (explode + two window passes + distinct) re-runs once per batch
+    train_set = barrier(
         cdc_chunk_table(
             train_docs.select(
                 "doc_id", F.lit("train").alias("source"), "text"

@@ -531,8 +531,11 @@ def test_t51_matches_python_reference(spark):
             if k >= n:
                 break
             rhos.append(r4py(float((dev[:-k] * dev[k:]).sum()) / ss0))
+        # all-positive default = max AVAILABLE lag + 1 (short series
+        # must not claim 14 terms were summed)
         first_nonpos = next(
-            (i + 1 for i, r in enumerate(rhos) if r <= 0), 15
+            (i + 1 for i, r in enumerate(rhos) if r <= 0),
+            len(rhos) + 1,
         )
         sum_rho = sum(rhos[: first_nonpos - 1])
         g = got[etype]
@@ -999,3 +1002,29 @@ def test_x123_catches_reordered_duplicate(spark, tmp_path):
         )
         assert rows[pair]["reordered_only"]
     assert (1, 4) not in rows and (3, 4) not in rows
+
+
+def test_t51_short_series_reports_available_lags(spark, tmp_path):
+    """A 10-day series has only lags 1..9; if every rho is positive,
+    k_used must report 9 (terms actually summed), not the global
+    14-lag ceiling."""
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for d in range(10):  # strong trend -> all-positive ACF
+        for i in range(d + 1):
+            rows.append(("tr", base + pd.Timedelta(days=d), 10.0 * d))
+    ev = pd.DataFrame(rows, columns=["event_type", "ts", "value"])
+    ev["event_id"] = range(len(ev))
+    ev["user_id"] = 1
+    ev["props"] = "{}"
+    td = str(tmp_path / "sf")
+    os.makedirs(td)
+    ev[["event_id", "ts", "user_id", "event_type", "value", "props"]
+       ].to_parquet(os.path.join(td, "events.parquet"), index=False)
+    got = {
+        r["event_type"]: r
+        for r in queries()["t51_effective_sample_size"](spark, td).collect()
+    }
+    r = got["tr"]
+    assert r["n_days"] == 10
+    assert r["k_used"] <= 9, "k_used exceeded the available lags"
