@@ -113,6 +113,30 @@ STRATUM_N = 50        # docs kept per language stratum
 PACK_BUDGET = 2048    # token budget per packed training sequence
 
 
+def packing_ctes() -> str:
+    """SINGLE SOURCE OF TRUTH for x20's oracle-side packing rule
+    (tokenizer, shard prefix, budget math), shared by the x20 producer
+    and the x115 efficiency eval — mirroring the cdc_chunks_sql /
+    _dense_daily_ctes pattern, so a change to the packing rule can
+    never silently drift one oracle away from the other."""
+    return rf"""toks AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+               len(string_split_regex(LOWER(TRIM(text)), '\s+')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST((SUM(n_tokens) OVER w - n_tokens) // {PACK_BUDGET}
+                    AS BIGINT) AS pack_id,
+               CAST((SUM(n_tokens) OVER w - n_tokens) % {PACK_BUDGET}
+                    AS BIGINT) AS pack_offset
+        FROM toks
+        WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING)
+    )"""
+
+
 @register(
     "x19_stratified_sample",
     f"""
@@ -146,21 +170,9 @@ def x19_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x20_sequence_packing",
-    rf"""
-    WITH toks AS (
-        SELECT doc_id,
-               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
-               len(string_split_regex(LOWER(TRIM(text)), '\s+')) AS n_tokens
-        FROM documents
-    )
-    SELECT doc_id, shard, n_tokens,
-           CAST((SUM(n_tokens) OVER w - n_tokens) // {PACK_BUDGET} AS BIGINT)
-               AS pack_id,
-           CAST((SUM(n_tokens) OVER w - n_tokens) % {PACK_BUDGET} AS BIGINT)
-               AS pack_offset
-    FROM toks
-    WINDOW w AS (PARTITION BY shard ORDER BY doc_id
-                 ROWS UNBOUNDED PRECEDING)
+    f"""
+    WITH {packing_ctes()}
+    SELECT doc_id, shard, n_tokens, pack_id, pack_offset FROM packed
     """,
     doc="EXT x20 — sequence PACKING: greedy concat of documents into "
     "~token-budget training sequences via a running token count "
@@ -1093,22 +1105,7 @@ def x112_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x115_packing_efficiency",
     rf"""
-    WITH toks AS (
-        SELECT doc_id,
-               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
-               len(string_split_regex(LOWER(TRIM(text)), '\s+')) AS n_tokens
-        FROM documents
-    ),
-    packed AS (
-        SELECT doc_id, shard, n_tokens,
-               CAST((SUM(n_tokens) OVER w - n_tokens) // {PACK_BUDGET}
-                    AS BIGINT) AS pack_id,
-               CAST((SUM(n_tokens) OVER w - n_tokens) % {PACK_BUDGET}
-                    AS BIGINT) AS pack_offset
-        FROM toks
-        WINDOW w AS (PARTITION BY shard ORDER BY doc_id
-                     ROWS UNBOUNDED PRECEDING)
-    ),
+    WITH {packing_ctes()},
     complete AS (
         SELECT p.* FROM packed p
         JOIN (SELECT shard, MAX(pack_id) AS last_pack

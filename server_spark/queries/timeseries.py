@@ -3864,7 +3864,15 @@ def t42_dtw_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("ts_b"),
         F.col("xs").alias("xs_b"),
     )
-    pairs = a.crossJoin(b).filter(F.col("ev_a") < F.col("ev_b"))
+    # PRECONDITION (structural, not incidental): this all-pairs
+    # crossJoin is safe ONLY because the pairing key is `event_type`,
+    # a bounded enum (~5 values → ≤10 pairs regardless of row count).
+    # Do NOT copy this shape onto a high-cardinality key (per-item /
+    # per-user series) — that is quadratic; use a blocking key first
+    # (t24_blocked_edit_distance pattern). The broadcast marks the
+    # enum side small so the plan is a BroadcastNestedLoopJoin over a
+    # handful of rows, never a shuffled cartesian.
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("ev_a") < F.col("ev_b"))
 
     band = _T42_BAND
 

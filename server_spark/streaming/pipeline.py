@@ -1124,7 +1124,18 @@ def decontaminate_stream(
             share.alias("hit_share"),
             (share > flag_share).alias("flagged"),
         )
-        out.write.mode("append").parquet(out_dir)
+        # IDEMPOTENT append: foreachBatch is at-least-once within a
+        # batch (see _epoch_gated_fold_sink) — a crash between this
+        # write and the checkpoint commit replays the batch. Keying
+        # the write on batch_id (partition-style subdir, overwrite
+        # mode) makes a replay overwrite its own prior output instead
+        # of duplicating verdict rows; readers of out_dir see
+        # batch_id as a provenance partition column.
+        import os
+
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={int(_batch_id)}")
+        )
 
     stream = (
         spark.readStream.schema("doc_id LONG, text STRING, source STRING")
