@@ -30,6 +30,29 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hash_sample(
+    df: DataFrame, mod: int | None, col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic 1/mod hash-sample on an id column (md5-prefix
+    arithmetic — reproducible across runs, engines and cluster sizes,
+    unlike rng `.sample()`). ``mod=None``/``1`` is a no-op.
+
+    This is the scale valve for SUPER-LINEAR *eval* queries (x106/
+    x107 and any eval whose truth leg is all-pairs): the decision
+    pipeline itself stays sketch-only at any size, but an exact-truth
+    leg joins shingle inventories pairwise and must therefore run on
+    a bounded sample at 100 TB. Estimator-quality metrics (precision/
+    recall/bias curves) are corpus-size-free, so a hash-sample is
+    statistically sufficient; see SCALE.md 'Sampling super-linear
+    evals'."""
+    if not mod or mod <= 1:
+        return df
+    bucket = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return df.filter(bucket % mod == 0)
+
+
 def shingle_ctes(
     src: str = "documents", carry: str = "", distinct: bool = True
 ) -> str:

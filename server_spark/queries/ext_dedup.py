@@ -29,7 +29,12 @@ from server_spark.dedup import minhash as mh
 from server_spark.dedup import ngram as ng
 from server_spark.dedup import simhash as sh
 from server_spark.parity import r4, r4sql
-from server_spark.queries.ext_common import JACCARD_MIN, _docs, shingle_ctes
+from server_spark.queries.ext_common import (
+    JACCARD_MIN,
+    _docs,
+    hash_sample,
+    shingle_ctes,
+)
 from server_spark.registry import register
 from server_spark.textstats import analysis as tx
 
@@ -1672,8 +1677,16 @@ _X106_EST_SQL = rf"""
     tags=("ext", "dedup", "eval"),
     late=True,
 )
-def x106_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+def x106_minhash_eval(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None = None
+) -> DataFrame:
+    # ``sample_mod``: the 100 TB valve. The truth leg (inverted-index
+    # self-join) is super-linear in corpus size; at scale call with
+    # e.g. sample_mod=1000 for a deterministic 0.1% doc sample — the
+    # precision/recall estimate is corpus-size-free, the cost isn't.
+    # Both legs see the SAME sampled corpus, so the confusion matrix
+    # stays internally consistent (see SCALE.md).
+    docs = hash_sample(_docs(spark, sf_dir), sample_mod)
     est = _md5_minhash_pairs(docs, JACCARD_MIN).select(
         "doc_a", "doc_b", F.lit(1).alias("in_est")
     )
@@ -1776,8 +1789,12 @@ def x106_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "dedup", "eval"),
     late=True,
 )
-def x107_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+def x107_lsh_calibration(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None = None
+) -> DataFrame:
+    # Candidate-bounded exact leg, but still an eval — same sampling
+    # valve as x106 for very large corpora (see SCALE.md).
+    docs = hash_sample(_docs(spark, sf_dir), sample_mod)
     shingles = ng.word_shingles(docs, n=3)
     sigs = mh.md5_signatures(shingles, _MH_AB).transform(barrier)
     kv = mh.banded_keys(sigs, _MH_NUM, _MH_BANDS)

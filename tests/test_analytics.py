@@ -547,6 +547,33 @@ def test_x106_confusion_consistent_with_legs(spark):
         assert row["recall"] >= 0.6
 
 
+def test_x106_hash_sample_agrees_with_full_on_subset(spark, tmp_path):
+    """The sample_mod valve is exact restriction, not approximation:
+    x106 at sample_mod=m equals the full eval run over a corpus that
+    was pre-filtered to the same deterministic hash-sample. (That is
+    the property that makes the 100 TB sampled eval trustworthy —
+    sampling happens before BOTH legs, so the confusion matrix is the
+    true matrix of the sampled corpus.)"""
+    from server_spark.queries.ext_common import _docs, hash_sample
+    from server_spark.queries.ext_dedup import (
+        x106_minhash_eval,
+        x107_lsh_calibration,
+    )
+
+    mod = 2
+    sampled_docs = hash_sample(_docs(spark, SF_SMOKE), mod)
+    assert 0 < sampled_docs.count() < _docs(spark, SF_SMOKE).count()
+    sampled_docs.toPandas().to_parquet(tmp_path / "documents.parquet")
+
+    direct = x106_minhash_eval(spark, SF_SMOKE, sample_mod=mod).collect()
+    prefiltered = x106_minhash_eval(spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in prefiltered]
+
+    d7 = x107_lsh_calibration(spark, SF_SMOKE, sample_mod=mod).collect()
+    p7 = x107_lsh_calibration(spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in d7] == [tuple(r) for r in p7]
+
+
 # ---------------------------------------------------------------------------
 # a47 — chi-squared independence vs direct Python computation
 # ---------------------------------------------------------------------------
