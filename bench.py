@@ -120,6 +120,47 @@ def main() -> None:
             samples.append(round(time.perf_counter() - t0, 3))
         timings[name] = sorted(samples)[1]  # median of 3
 
+    # Contended-run protocol (--recheck, VERDICT r9 item 6): the r9
+    # close ledger hand-adjudicated one contended run where 10 queries
+    # "regressed" purely from sandbox contention, using fresh-session
+    # isolated medians. Automated here: with --recheck, every query
+    # moving >1.15x vs the committed baseline is re-timed in a FRESH
+    # subprocess session (scripts/time_query.py, warmup + 3 repeats)
+    # and the isolated MEDIAN becomes its number of record; the raw
+    # in-bench samples are kept in the artifact under "raw_flagged"
+    # for the record. Off by default — the driver's verbatim
+    # `python bench.py` stays one pass; round-close runs add the flag.
+    recheck: dict[str, float] = {}
+    raw_flagged: dict[str, float] = {}
+    if "--recheck" in sys.argv:
+        movers = [
+            n
+            for n, t in timings.items()
+            if base.get(n, 0) >= 0.2 and t / base[n] > 1.15
+        ]
+        if movers:
+            import re
+            import subprocess
+
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    str(Path(__file__).resolve().parent / "scripts" / "time_query.py"),
+                    "-n", "3", "--sf", SF_DIR, *movers,
+                ],
+                capture_output=True,
+                text=True,
+            )
+            for m in re.finditer(
+                r"^(\w+): min=[\d.]+s median=([\d.]+)s",
+                proc.stdout,
+                re.M,
+            ):
+                name, med = m.group(1), float(m.group(2))
+                raw_flagged[name] = timings[name]
+                recheck[name] = med
+                timings[name] = med
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # The driver stores only the TAIL (~2 KB) of stdout; a JSON line
     # carrying all ~106 per-query timings (~4 KB) gets its head cut
@@ -144,6 +185,12 @@ def main() -> None:
         "sampling": "1-pass; flagged outliers = median-of-3",
         "remeasured": sorted(flagged),
     }
+    if recheck:
+        # isolated-median numbers of record + the raw in-bench samples
+        # ("value"/"queries" above already reflect the medians — the
+        # recheck pass ran before the artifact was assembled)
+        full["recheck_isolated_median"] = recheck
+        full["raw_flagged"] = raw_flagged
     (Path(__file__).resolve().parent / "BENCH_FULL.json").write_text(
         json.dumps(full, indent=1) + "\n"
     )
