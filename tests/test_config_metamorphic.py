@@ -91,6 +91,44 @@ def baseline(spark):
     return {name: _canon_rows(qs[name](spark, SF)) for name in QUERIES}
 
 
+# ANN family (rows-only): determinism here is a CLAIMED contract —
+# seeded k-means over a bounded hash-ordered training sample +
+# index-identity caches — not an oracle-checked one, so it gets its
+# own invariance axis (VERDICT r9 item 7). Top-k results (ids AND
+# scores) must be identical under every config variant; a violation
+# means the index fit or the candidate scan leaked partition order.
+ANN_QUERIES = (
+    "x41b_semantic_dedup_scaled",  # IVF-blocked near-dup pairs
+    "x47_pq_adc_topk",             # PQ codebook + ADC scan
+    "x52_ivfpq_refine_topk",       # IVF+PQ coarse scan + exact refine
+)
+
+
+@pytest.fixture(scope="module")
+def ann_baseline(spark):
+    qs = registry.queries()
+    return {name: _canon_rows(qs[name](spark, SF)) for name in ANN_QUERIES}
+
+
+@pytest.mark.parametrize("variant", range(len(VARIANTS)))
+def test_ann_results_invariant_under_config(spark, ann_baseline, variant):
+    overrides = VARIANTS[variant]
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        qs = registry.queries()
+        for name in ANN_QUERIES:
+            got = _canon_rows(qs[name](spark, SF))
+            assert got == ann_baseline[name], (
+                f"{name} changed results under {overrides}"
+            )
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
 @pytest.mark.parametrize("variant", range(len(VARIANTS)))
 def test_results_invariant_under_config(spark, baseline, variant):
     overrides = VARIANTS[variant]
