@@ -3430,3 +3430,53 @@ def x119_stylometric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# x124 — HTML/markup → clean-text extraction (trafilatura/jusText shape)
+# ---------------------------------------------------------------------------
+
+from server_spark.functions.markup import (  # noqa: E402
+    extract_clean_text,
+    extract_sql_ctes,
+    synthetic_page,
+    synthetic_page_sql,
+)
+
+
+@register(
+    "x124_markup_extract",
+    f"""
+    WITH pages AS (
+        SELECT doc_id, {synthetic_page_sql()} AS html FROM documents
+    ),
+    {extract_sql_ctes()}
+    SELECT doc_id, clean_text, n_lines, n_kept, total_words,
+           kept_words, boilerplate_word_share
+    FROM extracted
+    """,
+    doc="EXT x124 — HTML→CLEAN-TEXT extraction, the first transform "
+    "of a real pretraining pipeline (trafilatura/jusText shape): "
+    "drop script/style blocks, break the page at block-level closing "
+    "tags, strip remaining tags, decode entities, then keep only "
+    "lines with >=5 words and link density under 0.2 (integer "
+    "compare: links*5 < words) — nav bars, share buttons and footers "
+    "are short and link-dense; body prose is long and link-free. "
+    "Input pages are a deterministic HTML wrapping of documents.text "
+    "that PLANTS every boilerplate class (nav/h1/share/footer/"
+    "script/style + an &amp; entity in the body), built from one "
+    "parts table shared by both dialects. Output includes the exact "
+    "extracted STRING (hash-checked), line/word counts and the "
+    "boilerplate word share. Shape: builtins-only narrow map "
+    "(regexp_replace + split + HOF transform/filter/aggregate) — "
+    "whole-stage codegen, no Python workers, no shuffle; at 100 TB "
+    "this runs at scan speed as the head of the ingest funnel.",
+    tags=("ext", "textstats", "markup"),
+    late=True,
+)
+def x124_markup_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        synthetic_page(F.col("doc_id"), F.col("text")).alias("html"),
+    )
+    return extract_clean_text(pages).drop("html")
