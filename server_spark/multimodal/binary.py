@@ -5,12 +5,14 @@ Images/audio/video are opaque ``BinaryType`` columns plus typed
 metadata. The Spark-side plumbing — schema, Arrow batching, partition
 sizing, one-to-many frame explosion — is real and tested. Container
 HEADER parsing (format sniff + pixel dimensions for PNG/JPEG/GIF/BMP,
-RIFF/WAVE detection) is ALSO real, in pure stdlib: dimensions live in
-the first bytes of the container, no codec needed. Only the pixel
-DECODE itself (and real resampling) is stubbed — that genuinely needs
-PIL/libjpeg, absent from this container; ``resize_media`` /
-``sample_frames`` keep the exact mapInPandas contract a real decoder
-drops into (batch in → batch out, bounded memory per batch).
+RIFF/WAVE detection) is real in pure stdlib, and as of r10 the pixel
+DECODE + resample is ALSO real for PNG and BMP (multimodal/image.py:
+zlib inflate + scanline-filter reconstruction, BGR row walk,
+nearest-neighbor thumbnails — no PIL required), joining the r9 real
+audio leg (multimodal/audio.py). Only JPEG entropy decode remains
+env-blocked (needs libjpeg); those payloads take the quarantine
+fallback inside the same mapInPandas contract (batch in → batch out,
+bounded memory per batch).
 
 Scale notes: binary payloads make rows wide — keep
 ``spark.sql.files.maxPartitionBytes`` low enough that a task's Arrow
@@ -180,6 +182,7 @@ RESIZED = T.StructType(
         T.StructField("thumb", T.BinaryType()),
         T.StructField("out_width", T.IntegerType()),
         T.StructField("out_height", T.IntegerType()),
+        T.StructField("thumb_format", T.StringType()),
     ]
 )
 
@@ -191,15 +194,32 @@ def resize_media(
     id_col: str = "media_id",
     bin_col: str = "payload",
 ) -> DataFrame:
-    """Thumbnail/resize pass: the exact Arrow contract a real
-    resampler drops into (batch in → batch of fixed-size thumbnails
-    out, memory bounded by batch × thumb size). The resample itself is
-    STUBBED — no codec libs here — as a deterministic byte fold of the
-    payload into out_width×out_height bytes, so output SIZE, schema,
-    and determinism are all real and testable."""
+    """Thumbnail/resize pass over Arrow batches (batch in → batch of
+    fixed-size thumbnails out, memory bounded by batch × thumb size).
+
+    The resample is REAL for PNG and BMP payloads (multimodal/image:
+    stdlib-zlib inflate + scanline-filter reconstruction / BGR row
+    walk, nearest-neighbor resample, deterministic 24-bit BMP
+    re-encode → ``thumb_format='bmp'``). Payloads no decoder handles
+    (JPEG — env-blocked without libjpeg — plus GIF/unknown/corrupt)
+    take the quarantine-preserving fallback: a deterministic byte
+    fold to out_width×out_height bytes, ``thumb_format='fold'``, so
+    every surviving row still yields a fixed-size deterministic
+    thumbnail and a downstream filter can route on thumb_format."""
     target = out_width * out_height
+    from server_spark.multimodal.image import IMAGE_SRC
+
+    img_src = IMAGE_SRC  # captured by value; exec'd executor-side
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ns: dict = {}
+        exec(img_src, ns)
+        decode_image, nn_resize, encode_bmp = (
+            ns["decode_image"],
+            ns["nn_resize"],
+            ns["encode_bmp"],
+        )
+
         def fold(b: bytes, n: int) -> bytes:
             # deterministic stand-in: cycle + XOR-fold payload to n bytes
             if not b:
@@ -211,14 +231,25 @@ def resize_media(
 
         for pdf in it:
             keep = pdf[pdf[bin_col].notna()]
+            thumbs, fmts = [], []
+            for b in keep[bin_col]:
+                decoded = decode_image(bytes(b))
+                if decoded is not None:
+                    _fmt, img = decoded
+                    thumbs.append(
+                        encode_bmp(nn_resize(img, out_width, out_height))
+                    )
+                    fmts.append("bmp")
+                else:
+                    thumbs.append(fold(bytes(b), target))
+                    fmts.append("fold")
             yield pd.DataFrame(
                 {
                     "media_id": keep[id_col].astype("int64"),
-                    "thumb": [
-                        fold(bytes(b), target) for b in keep[bin_col]
-                    ],
+                    "thumb": thumbs,
                     "out_width": out_width,
                     "out_height": out_height,
+                    "thumb_format": fmts,
                 }
             )
 

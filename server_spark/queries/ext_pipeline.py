@@ -771,19 +771,70 @@ def x56_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x60_media_resize",
-    None,  # binary thumbnails — engine-side stub resample, rows-only
-    doc="EXT x60 — multimodal resize/thumbnail pass: Arrow-batched "
-    "mapInPandas producing fixed-size thumbnails per media row "
-    "(resample stubbed — no codec libs in this container; batch "
-    "shape, output sizing, null quarantine and determinism real and "
-    "tested in tests/test_binaryfile.py).",
+    None,  # binary thumbnails — rows-only (no honest SQL twin)
+    doc="EXT x60 — multimodal resize/thumbnail pass, REAL for PNG/BMP "
+    "(r10): per-doc payloads are minted INSIDE the executors as "
+    "deterministic test-pattern images — one third PNG (cycling all "
+    "five scanline filter types), one third BMP, one third "
+    "undecodable text bytes — then FULLY pixel-decoded back by "
+    "multimodal/image.py (stdlib zlib inflate + filter "
+    "reconstruction / BGR row walk, no PIL), nearest-neighbor "
+    "resampled and re-encoded as deterministic 24-bit BMP "
+    "thumbnails. Undecodable payloads take the quarantine fold path "
+    "(thumb_format='fold') — the decode-or-quarantine posture a "
+    "100 TB media scan needs. Shape: two narrow mapInPandas passes "
+    "(mint, resize), Arrow-batched, no shuffle.",
     tags=("ext", "multimodal", "rows-only"),
     late=True,
 )
 def x60_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from server_spark.multimodal.binary import resize_media, synthetic_media
+    from server_spark.multimodal.binary import resize_media
+    from server_spark.multimodal.image import IMAGE_SRC
 
-    return resize_media(synthetic_media(_docs(spark, sf_dir)), 16, 16)
+    img_src = IMAGE_SRC  # by value — workers may not import server_spark
+
+    def mint(it):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(img_src, ns)
+        synth, enc_png, enc_bmp = (
+            ns["synthetic_image"],
+            ns["encode_png"],
+            ns["encode_bmp"],
+        )
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                mid = int(did)
+                img = synth(mid)
+                if mid % 3 == 0:
+                    payloads.append(
+                        enc_png(
+                            img,
+                            row_filters=[
+                                (y + mid) % 5
+                                for y in range(img.shape[0])
+                            ],
+                        )
+                    )
+                elif mid % 3 == 1:
+                    payloads.append(enc_bmp(img))
+                else:  # undecodable → quarantine/fold leg
+                    payloads.append(str(text).encode("utf-8"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(mint, "media_id long, payload binary")
+    )
+    return resize_media(media, 16, 16)
 
 
 @register(
