@@ -140,12 +140,15 @@ def extract_sql_ctes(
     pages: str = "pages",
     min_words: int = MIN_WORDS,
     links_per_word: int = LINKS_PER_WORD,
+    carry: str = "",
 ) -> str:
     """DuckDB twin of extract_clean_text over a relation ``pages``
     with (doc_id, html): CTE chain ending in ``extracted`` with the
     same columns and identical values (single source of truth for the
     rules' constants — regex/entity tables are spliced from the SAME
-    module constants the Spark side uses)."""
+    module constants the Spark side uses). ``carry`` propagates extra
+    grouping columns (e.g. ``source``) through to ``extracted``."""
+    cy = f", {carry}" if carry else ""
     ent = "raw_txt"
     for e, ch in _ENTITIES:
         ch_sql = ch.replace("'", "''")
@@ -157,7 +160,7 @@ def extract_sql_ctes(
         f"AS DOUBLE) / SUM(w) ELSE 0.0 END"
     )
     return rf"""blocks AS (
-        SELECT doc_id,
+        SELECT doc_id{cy},
                string_split(
                    regexp_replace(
                        regexp_replace(
@@ -169,27 +172,27 @@ def extract_sql_ctes(
         FROM {pages}
     ),
     lin AS (
-        SELECT doc_id,
+        SELECT doc_id{cy},
                generate_subscripts(lines, 1) AS pos,
                UNNEST(lines) AS raw
         FROM blocks
     ),
     sc0 AS (
-        SELECT doc_id, pos,
+        SELECT doc_id{cy}, pos,
                TRIM(regexp_replace({ent}, '\s+', ' ', 'g')) AS txt,
                len(string_split(raw, '<a ')) - 1 AS k
-        FROM (SELECT doc_id, pos, raw,
+        FROM (SELECT doc_id{cy}, pos, raw,
                      regexp_replace(raw, '<[^>]+>', ' ', 'g') AS raw_txt
               FROM lin)
     ),
     sc AS (
-        SELECT doc_id, pos, txt, k,
+        SELECT doc_id{cy}, pos, txt, k,
                CASE WHEN txt = '' THEN 0
                     ELSE len(string_split(txt, ' ')) END AS w
         FROM sc0
     ),
     extracted AS (
-        SELECT doc_id,
+        SELECT doc_id{cy},
                COALESCE(string_agg(txt, chr(10) ORDER BY pos)
                             FILTER (WHERE {kept_pred}),
                         '') AS clean_text,
@@ -200,7 +203,7 @@ def extract_sql_ctes(
                     AS BIGINT) AS kept_words,
                {share} AS boilerplate_word_share
         FROM sc
-        GROUP BY doc_id
+        GROUP BY doc_id{cy}
     )"""
 
 
@@ -233,12 +236,23 @@ _PAGE_PARTS: tuple[tuple[str, str], ...] = (
     (
         "lit",
         '</p></div><p class="share"><a href="#t">Tweet</a> '
-        '<a href="#f">Share</a> <a href="#l">Post</a></p>'
+        '<a href="#f">Share</a> <a href="#l">Post</a> '
+        '<a href="/doc/',
+    ),
+    ("rel_id", ""),
+    (
+        "lit",
+        '">Related</a></p>'
         "<footer>(c) 2024 Example Corp - All rights reserved. "
         '<a href="/privacy">Privacy</a> <a href="/terms">Terms</a> '
         '<a href="/contact">Contact</a></footer></body></html>',
     ),
 )
+
+
+# The share bar carries a per-doc outlink (/doc/<doc_id % REL_MOD>) so
+# link-graph queries over the synthetic corpus see non-uniform targets.
+REL_MOD = 50
 
 
 def synthetic_page(doc_id: Column, text: Column) -> Column:
@@ -249,6 +263,8 @@ def synthetic_page(doc_id: Column, text: Column) -> Column:
             parts.append(F.lit(lit))
         elif kind == "doc_id":
             parts.append(doc_id.cast("string"))
+        elif kind == "rel_id":
+            parts.append((doc_id % REL_MOD).cast("string"))
         else:
             parts.append(text)
     return F.concat(*parts)
@@ -262,6 +278,8 @@ def synthetic_page_sql(doc_id: str = "doc_id", text: str = "text") -> str:
             parts.append("'" + lit.replace("'", "''") + "'")
         elif kind == "doc_id":
             parts.append(f"CAST({doc_id} AS VARCHAR)")
+        elif kind == "rel_id":
+            parts.append(f"CAST({doc_id} % {REL_MOD} AS VARCHAR)")
         else:
             parts.append(text)
     return " || ".join(parts)

@@ -1305,3 +1305,115 @@ def x120_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("freq_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# x125 — REAL image decode + per-leg pixel-stat rollup (PNG/BMP, no stub)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x125_image_features",
+    None,  # binary pixel decode — rows-only (no honest SQL twin)
+    doc="EXT x125 — REAL multimodal image pass, the pixel twin of "
+    "x120's audio leg: deterministic PNG (all five scanline filter "
+    "types) and BMP test patterns are minted per doc INSIDE the "
+    "executors, then FULLY pixel-decoded back by multimodal/image.py "
+    "(stdlib zlib inflate + filter reconstruction / BGR row walk — "
+    "no PIL) into per-image channel statistics (mean R/G/B, "
+    "brightness, gray contrast), rolled up per payload leg "
+    "(png / bmp / undecodable-text) — the brightness/contrast "
+    "screen an image corpus applies before expensive captioning, "
+    "plus the decode-failure rate that drives quarantine routing. "
+    "Tests assert the MATH (gradient channel means in closed form), "
+    "not just plumbing shape. Shape: one mapInPandas to mint+decode "
+    "(Arrow batches, bounded memory), one tiny hash-agg.",
+    tags=("ext", "multimodal", "rows-only"),
+    late=True,
+)
+def x125_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.multimodal.image import IMAGE_SRC
+
+    img_src = IMAGE_SRC  # by value — workers may not import server_spark
+
+    FEATURES = (
+        "media_id long, leg string, ok boolean, fmt string, "
+        "width int, height int, mean_r double, mean_g double, "
+        "mean_b double, brightness double, contrast double"
+    )
+
+    def mint_decode(it):
+        import numpy as np
+        import pandas as pd
+
+        ns: dict = {}
+        exec(img_src, ns)
+        synth, enc_png, enc_bmp, decode_image = (
+            ns["synthetic_image"],
+            ns["encode_png"],
+            ns["encode_bmp"],
+            ns["decode_image"],
+        )
+
+        def one(mid: int, text: str) -> dict:
+            img = synth(mid)
+            if mid % 3 == 0:
+                leg, payload = "png", enc_png(
+                    img,
+                    row_filters=[(y + mid) % 5 for y in range(img.shape[0])],
+                )
+            elif mid % 3 == 1:
+                leg, payload = "bmp", enc_bmp(img)
+            else:
+                leg, payload = "text", str(text).encode("utf-8")
+            decoded = decode_image(payload)
+            if decoded is None:
+                return {
+                    "media_id": mid, "leg": leg, "ok": False,
+                    "fmt": None, "width": None, "height": None,
+                    "mean_r": None, "mean_g": None, "mean_b": None,
+                    "brightness": None, "contrast": None,
+                }
+            fmt, px = decoded
+            f = px.astype(np.float64)
+            gray = f.mean(axis=2)
+            return {
+                "media_id": mid,
+                "leg": leg,
+                "ok": True,
+                "fmt": fmt,
+                "width": int(px.shape[1]),
+                "height": int(px.shape[0]),
+                "mean_r": float(f[:, :, 0].mean()),
+                "mean_g": float(f[:, :, 1].mean()),
+                "mean_b": float(f[:, :, 2].mean()),
+                "brightness": float(f.mean()),
+                "contrast": float(gray.std()),
+            }
+
+        cols = [c.split(" ")[0] for c in FEATURES.split(", ")]
+        for pdf in it:
+            rows = [
+                one(int(i), t)
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    feats = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(mint_decode, FEATURES)
+    )
+    return (
+        feats.groupBy("leg")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_failed"),
+            r4(F.avg("mean_r")).alias("avg_r"),
+            r4(F.avg("mean_g")).alias("avg_g"),
+            r4(F.avg("mean_b")).alias("avg_b"),
+            r4(F.avg("brightness")).alias("avg_brightness"),
+            r4(F.avg("contrast")).alias("avg_contrast"),
+        )
+        .orderBy("leg")
+    )

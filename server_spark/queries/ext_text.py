@@ -3480,3 +3480,117 @@ def x124_markup_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthetic_page(F.col("doc_id"), F.col("text")).alias("html"),
     )
     return extract_clean_text(pages).drop("html")
+
+
+# ---------------------------------------------------------------------------
+# x126 — outlink extraction / link-graph degree stats over markup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x126_outlink_stats",
+    f"""
+    WITH pages AS (
+        SELECT doc_id, {synthetic_page_sql()} AS html FROM documents
+    ),
+    links AS (
+        SELECT doc_id,
+               UNNEST(regexp_extract_all(html, 'href="([^"]+)"', 1))
+                   AS href
+        FROM pages
+    )
+    SELECT href,
+           CAST(COUNT(*) AS BIGINT) AS n_refs,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM links
+    GROUP BY href
+    """,
+    doc="EXT x126 — OUTLINK extraction + link-graph degree stats: all "
+    "href targets pulled from the raw markup (regexp_extract_all — "
+    "the crawl-frontier/domain-weighting input a web-scale corpus "
+    "builds before curation: in-degree is the classic page-quality "
+    "prior, and per-target doc counts drive domain caps). The "
+    "synthetic pages carry both fixed chrome links and a per-doc "
+    "/doc/<id%50> outlink, so degrees are non-uniform and the "
+    "distinct-doc vs total-ref distinction is exercised. Shape: one "
+    "narrow map (extract_all) + explode + hash-agg on the href key — "
+    "at 100 TB the explode stays inside the scan task and the agg "
+    "shuffles only (href, partial counts), the map-side-combine "
+    "ideal.",
+    tags=("ext", "markup", "graph"),
+    late=True,
+)
+def x126_outlink_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        synthetic_page(F.col("doc_id"), F.col("text")).alias("html"),
+    )
+    links = pages.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("html", F.lit(r'href="([^"]+)"'), 1)
+        ).alias("href"),
+    )
+    return links.groupBy("href").agg(
+        F.count("*").alias("n_refs"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x127 — per-source boilerplate profile (extraction → curation rollup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x127_boilerplate_profile",
+    f"""
+    WITH pages AS (
+        SELECT doc_id, source, {synthetic_page_sql()} AS html
+        FROM documents
+    ),
+    {extract_sql_ctes(carry="source")}
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_kept = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_empty,
+           CAST(SUM(kept_words) AS BIGINT) AS kept_words,
+           CAST(SUM(total_words) AS BIGINT) AS total_words,
+           {r4sql("CAST(SUM(total_words) - SUM(kept_words) AS DOUBLE)"
+                  " / SUM(total_words)")} AS boiler_word_share
+    FROM extracted
+    GROUP BY source
+    """,
+    doc="EXT x127 — per-SOURCE boilerplate profile: x124's extraction "
+    "rolled up by corpus source — docs, empty-extraction count, "
+    "kept/total words and the boilerplate word share — the review a "
+    "curation team runs to decide which sources need a different "
+    "extraction recipe or get dropped (a source whose pages are "
+    "mostly chrome yields few tokens per fetched byte). The share "
+    "is derived from INTEGER word sums (one division at the end), "
+    "so cross-engine float summation order cannot move it. Shape: "
+    "extraction is a narrow map with `source` carried through, then "
+    "one hash-agg on a low-cardinality key — no join (the carry "
+    "avoids re-reading documents), no window.",
+    tags=("ext", "markup", "textstats"),
+    late=True,
+)
+def x127_boilerplate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        synthetic_page(F.col("doc_id"), F.col("text")).alias("html"),
+    )
+    ext = extract_clean_text(pages)
+    return ext.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("n_kept") == 0).cast("int"))
+        .cast("bigint")
+        .alias("n_empty"),
+        F.sum("kept_words").alias("kept_words"),
+        F.sum("total_words").alias("total_words"),
+        r4(
+            (F.sum("total_words") - F.sum("kept_words")).cast("double")
+            / F.sum("total_words")
+        ).alias("boiler_word_share"),
+    )

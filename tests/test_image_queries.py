@@ -1,0 +1,75 @@
+"""x125 image-feature rollup (math-asserted) + markup-family query
+properties beyond the oracle (x126 outlinks, x127 profile)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from server_spark.registry import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_x125_channel_means_match_closed_form(spark):
+    """The decoded channel means must equal the synthetic pattern's
+    math — proof the PIPELINE (mint → PNG/BMP encode → decode →
+    stats) preserves pixels, not just shapes. synthetic_image: R is
+    a pure x-gradient, G a pure y-gradient (id-independent), B is
+    (x*y + 37*id) % 256."""
+    rows = {
+        r["leg"]: r for r in queries()["x125_image_features"](spark, SF).collect()
+    }
+    assert set(rows) == {"png", "bmp", "text"}
+
+    h, w = 16, 24
+    exp_r = np.mean([(x * 255) // (w - 1) for x in range(w)])
+    exp_g = np.mean([(y * 255) // (h - 1) for y in range(h)])
+    for leg in ("png", "bmp"):
+        assert rows[leg]["n_failed"] == 0
+        assert rows[leg]["avg_r"] == pytest.approx(exp_r, abs=1e-3)
+        assert rows[leg]["avg_g"] == pytest.approx(exp_g, abs=1e-3)
+        assert 0 < rows[leg]["avg_contrast"] < 128
+
+    # the B channel varies per id: check the exact per-leg average
+    def exp_b(mids):
+        vals = []
+        for m in mids:
+            xy = np.outer(np.arange(h), np.arange(w))
+            vals.append(((xy + 37 * m) % 256).mean())
+        return float(np.mean(vals))
+
+    png_ids = [i for i in range(500) if i % 3 == 0]
+    assert rows["png"]["avg_b"] == pytest.approx(exp_b(png_ids), abs=1e-3)
+    assert rows["png"]["n_images"] == len(png_ids)
+
+    # undecodable leg: all quarantined, no stats
+    assert rows["text"]["n_failed"] == rows["text"]["n_images"]
+    assert rows["text"]["avg_r"] is None
+
+
+def test_x126_outlink_degrees(spark):
+    got = {
+        r["href"]: r for r in queries()["x126_outlink_stats"](spark, SF).collect()
+    }
+    # fixed chrome links appear once per page
+    for chrome in ("/", "/tags", "/login", "/privacy", "/terms",
+                   "/contact", "#t", "#f", "#l"):
+        assert got[chrome]["n_refs"] == 500
+        assert got[chrome]["n_docs"] == 500
+    # per-doc outlinks: 500 docs over 50 targets → 10 each
+    assert got["/doc/0"]["n_refs"] == 10
+    assert sum(
+        r["n_refs"] for h, r in got.items() if h.startswith("/doc/")
+    ) == 500
+
+
+def test_x127_profile_consistent_with_x124(spark):
+    prof = queries()["x127_boilerplate_profile"](spark, SF).collect()
+    per_doc = queries()["x124_markup_extract"](spark, SF)
+    totals = per_doc.groupBy().sum("kept_words", "total_words").collect()[0]
+    assert sum(r["n_docs"] for r in prof) == 500
+    assert sum(r["kept_words"] for r in prof) == totals[0]
+    assert sum(r["total_words"] for r in prof) == totals[1]
+    for r in prof:
+        assert 0.0 < r["boiler_word_share"] < 1.0
