@@ -1417,3 +1417,109 @@ def x125_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("leg")
     )
+
+
+# ---------------------------------------------------------------------------
+# x128 — perceptual-hash (dHash) image near-dup, banded on Hamming space
+# ---------------------------------------------------------------------------
+
+_X128_BASES = 20     # distinct base images minted across the corpus
+_X128_HAMMING = 10   # near-dup threshold (of 64 dHash bits)
+
+
+@register(
+    "x128_image_phash_neardup",
+    None,  # pixel decode + Hamming LSH — rows-only (no honest SQL twin)
+    doc="EXT x128 — IMAGE near-duplicate detection via perceptual "
+    "hash (dHash), now possible because the pixel decode is real: "
+    "per doc, a seeded pseudo-random base image (doc_id % 20) with a "
+    "per-doc integer brightness scale is minted and PNG-encoded "
+    "executor-side, pixel-DECODED back (multimodal/image.py), "
+    "gray-downsampled to 9x8 and dHashed (adjacent-pixel gradient "
+    "sign bits — invariant to monotone brightness changes up to "
+    "rounding, which is the point of a perceptual hash: byte-level "
+    "sha CANNOT find these dups). Candidate pairs come from 4x16-bit "
+    "HASH BANDS through the shared bucket_pairs kernel (a<=3-bit "
+    "corruption leaves >=1 band intact by pigeonhole — Hamming-space "
+    "LSH, never an all-pairs crossJoin), then exact bit_count(xor) "
+    "verification at the threshold. The per-image transform chain "
+    "is exactly what image corpora dedup on at 100 TB scale; shape: "
+    "one mapInPandas (mint+decode+hash), band explode, ONE bucket "
+    "shuffle, JVM-side bit_count verify.",
+    tags=("ext", "multimodal", "dedup", "rows-only"),
+    late=True,
+)
+def x128_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.dedup import minhash as mh
+    from server_spark.multimodal.image import IMAGE_SRC
+
+    img_src = IMAGE_SRC
+
+    def mint_hash(it):
+        import numpy as np
+        import pandas as pd
+
+        ns: dict = {}
+        exec(img_src, ns)
+        enc_png, decode_image, nn_resize = (
+            ns["encode_png"],
+            ns["decode_image"],
+            ns["nn_resize"],
+        )
+
+        def dhash(mid: int) -> int:
+            base = int(mid) % _X128_BASES
+            rng = np.random.RandomState(base)  # seeded → deterministic
+            img = rng.randint(0, 256, size=(16, 24, 3), dtype=np.int32)
+            # brightness class keyed mod 7 (coprime to the base mod
+            # 20, so every base class spans all brightness variants —
+            # mod 5 would be CONSTANT within a base class and the
+            # "variants" would be byte-identical)
+            scale = 100 - 4 * (int(mid) % 7)
+            img = ((img * scale) // 100).clip(0, 255).astype(np.uint8)
+            png = enc_png(img, row_filters=[int(mid) % 5] * 16)
+            _fmt, px = decode_image(png)  # the REAL decode round-trip
+            gray = px.astype(np.float64).mean(axis=2)
+            g = nn_resize(gray[:, :, None], 9, 8)[:, :, 0]
+            bits = (g[:, :-1] > g[:, 1:]).flatten()  # 8x8 gradient signs
+            h = 0
+            for b in bits:
+                h = (h << 1) | int(b)
+            return h - (1 << 64) if h >= (1 << 63) else h  # two's compl.
+
+        for pdf in it:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"media_id": ids, "dhash": [dhash(i) for i in ids]}
+            )
+
+    hashes = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(mint_hash, "media_id long, dhash long")
+    )
+    bands = hashes.select(
+        "media_id",
+        "dhash",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band_idx"),
+    ).select(
+        "media_id",
+        "dhash",
+        "band_idx",
+        # shiftrightunsigned's numBits arg must be a literal int in
+        # the Python API — expr() takes the per-row band offset
+        F.expr("shiftrightunsigned(dhash, band_idx * 16) & 65535")
+        .alias("band_key"),
+    )
+    pairs = mh.bucket_pairs(
+        bands,
+        ["band_idx", "band_key"],
+        id_col="media_id",
+        payload=("dhash",),
+    )
+    dist = F.bit_count(F.col("dhash_a").bitwiseXOR(F.col("dhash_b")))
+    return pairs.select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        dist.alias("hamming"),
+    ).filter(F.col("hamming") <= _X128_HAMMING)

@@ -1148,3 +1148,40 @@ def decontaminate_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def markup_extract_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming twin of x124: raw HTML pages land as JSON files
+    (doc_id, html) and are markup-extracted AS THEY ARRIVE — the
+    ingest-time placement a real pretraining pipeline uses (extract
+    once at fetch, store clean text + boilerplate stats in bronze,
+    never re-parse markup downstream).
+
+    The extraction is a STATELESS narrow map (functions/markup.py,
+    builtins-only), so this is the simplest — and strongest — sink in
+    the module: a direct streaming parquet sink, whose file-sink
+    manifest log gives EXACTLY-ONCE output (no foreachBatch
+    at-least-once caveat, no state store, no watermark). At scale it
+    runs as a map over arrival partitions; the batch and stream paths
+    share one implementation, so stream output == batch output by
+    construction (pinned by test)."""
+    from server_spark.functions.markup import extract_clean_text
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, html STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(input_dir)
+    )
+    return (
+        extract_clean_text(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -64,6 +64,45 @@ def test_x126_outlink_degrees(spark):
     ) == 500
 
 
+def test_x128_phash_finds_exactly_the_brightness_variants(spark):
+    """Perceptual near-dup ground truth is fully known: doc i's image
+    is base (i%20) under a per-doc brightness scale. The banded
+    dHash pipeline must find EVERY within-base pair (recall 1.0 —
+    brightness scaling preserves gradient signs up to rounding) and
+    NO cross-base pair (precision 1.0 — random bases differ in ~32
+    of 64 bits). Also pins the reason perceptual hashing exists:
+    variant PAYLOAD bytes differ (sha-distinct) while the dHash
+    matches within threshold."""
+    rows = queries()["x128_image_phash_neardup"](spark, SF).collect()
+    got = {(r["media_a"], r["media_b"]) for r in rows}
+    want = {
+        (a, b)
+        for a in range(500)
+        for b in range(a + 1, 500)
+        if a % 20 == b % 20
+    }
+    assert got == want
+    assert all(r["hamming"] <= 10 for r in rows)
+
+    # byte-level hashing could NOT find these: same base, different
+    # brightness scale → different payload bytes
+    import numpy as np
+
+    from server_spark.multimodal.image import encode_png
+
+    def payload(mid):
+        rng = np.random.RandomState(mid % 20)
+        img = rng.randint(0, 256, size=(16, 24, 3), dtype=np.int32)
+        img = ((img * (100 - 4 * (mid % 7))) // 100).clip(0, 255)
+        return encode_png(
+            img.astype(np.uint8), row_filters=[mid % 5] * 16
+        )
+
+    # same base (1 ≡ 21 mod 20), different brightness (1 ≢ 21 mod 7)
+    assert payload(1) != payload(21)
+    assert (1, 21) in got
+
+
 def test_x127_profile_consistent_with_x124(spark):
     prof = queries()["x127_boilerplate_profile"](spark, SF).collect()
     per_doc = queries()["x124_markup_extract"](spark, SF)
