@@ -829,9 +829,16 @@ def x60_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # Hash-repartition BEFORE the Python-heavy mint/decode stages:
+    # the local documents file is one input split, which would pin
+    # all per-image work to a single task. One narrow shuffle of the
+    # pruned (doc_id, text) columns buys full-core parallelism; at
+    # 100 TB, where input splits already provide parallelism, this is
+    # the same knob used to match Python-stage width to cluster cores.
     media = (
         _docs(spark, sf_dir)
         .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
         .mapInPandas(mint, "media_id long, payload binary")
     )
     return resize_media(media, 16, 16)
@@ -1399,9 +1406,12 @@ def x125_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pd.DataFrame(rows, columns=cols)
 
+    # repartition: decouple the Python decode stage from input-split
+    # granularity (see x60's note — one local file = one task otherwise)
     feats = (
         _docs(spark, sf_dir)
         .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
         .mapInPandas(mint_decode, FEATURES)
     )
     return (
@@ -1477,7 +1487,11 @@ def x128_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # "variants" would be byte-identical)
             scale = 100 - 4 * (int(mid) % 7)
             img = ((img * scale) // 100).clip(0, 255).astype(np.uint8)
-            png = enc_png(img, row_filters=[int(mid) % 5] * 16)
+            # filter 0 mint: decode stays fully vectorized (inflate +
+            # frombuffer). The sequential-filter reconstruction
+            # branches are stressed by x60/x125 and the round-trip
+            # tests; THIS query's subject is the hash pipeline.
+            png = enc_png(img)
             _fmt, px = decode_image(png)  # the REAL decode round-trip
             gray = px.astype(np.float64).mean(axis=2)
             g = nn_resize(gray[:, :, None], 9, 8)[:, :, 0]
@@ -1493,9 +1507,12 @@ def x128_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": ids, "dhash": [dhash(i) for i in ids]}
             )
 
+    # repartition: decouple the Python mint+decode stage from
+    # input-split granularity (see x60's note)
     hashes = (
         _docs(spark, sf_dir)
         .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
         .mapInPandas(mint_hash, "media_id long, dhash long")
     )
     bands = hashes.select(

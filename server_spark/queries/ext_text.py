@@ -3475,9 +3475,19 @@ from server_spark.functions.markup import (  # noqa: E402
     late=True,
 )
 def x124_markup_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = _docs(spark, sf_dir).select(
-        "doc_id",
-        synthetic_page(F.col("doc_id"), F.col("text")).alias("html"),
+    # repartition: the heavy per-row regex chain would otherwise run
+    # in as many tasks as the (single, local) input split — one
+    # narrow shuffle of the pruned columns buys full-core width; at
+    # 100 TB the same knob matches stage width to cluster cores when
+    # input files are coarse.
+    pages = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .select(
+            "doc_id",
+            synthetic_page(F.col("doc_id"), F.col("text")).alias("html"),
+        )
     )
     return extract_clean_text(pages).drop("html")
 
@@ -3576,10 +3586,16 @@ def x126_outlink_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     late=True,
 )
 def x127_boilerplate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = _docs(spark, sf_dir).select(
-        "doc_id",
-        "source",
-        synthetic_page(F.col("doc_id"), F.col("text")).alias("html"),
+    # repartition before the regex-heavy extraction (see x124's note)
+    pages = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", "text")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .select(
+            "doc_id",
+            "source",
+            synthetic_page(F.col("doc_id"), F.col("text")).alias("html"),
+        )
     )
     ext = extract_clean_text(pages)
     return ext.groupBy("source").agg(

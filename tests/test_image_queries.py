@@ -94,9 +94,7 @@ def test_x128_phash_finds_exactly_the_brightness_variants(spark):
         rng = np.random.RandomState(mid % 20)
         img = rng.randint(0, 256, size=(16, 24, 3), dtype=np.int32)
         img = ((img * (100 - 4 * (mid % 7))) // 100).clip(0, 255)
-        return encode_png(
-            img.astype(np.uint8), row_filters=[mid % 5] * 16
-        )
+        return encode_png(img.astype(np.uint8))
 
     # same base (1 ≡ 21 mod 20), different brightness (1 ≢ 21 mod 7)
     assert payload(1) != payload(21)
