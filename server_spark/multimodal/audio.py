@@ -40,6 +40,49 @@ AUDIO_FEATURES = T.StructType(
 ENVELOPE_FRAMES = 8
 
 
+def parse_pcm16(b: bytes):
+    """RIFF chunk walk (stdlib+numpy only): WAV bytes → (rate,
+    channels, float64 samples in [-1, 1) shaped (n, channels)), or
+    None for non-PCM16/compressed/truncated payloads — the quarantine
+    signal. Module-level single implementation; executor closures
+    materialize it from ``AUDIO_SRC`` (the image.py/binary.py
+    source-capture pattern) so workers never import server_spark."""
+    import numpy as np
+
+    if b is None or len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16 or channels < 1 or rate <= 0:
+        return None  # only uncompressed PCM16 supported
+    usable = len(data) - (len(data) % (2 * channels))
+    if usable <= 0:
+        return None
+    x = np.frombuffer(data[:usable], dtype="<i2").astype(
+        np.float64
+    ) / 32768.0
+    return rate, channels, x.reshape(-1, channels)
+
+
+import inspect as _inspect  # noqa: E402
+
+AUDIO_SRC = _inspect.getsource(parse_pcm16)
+
+
 def decode_wav_features(media: DataFrame) -> DataFrame:
     """(media_id, content: binary) → decoded per-clip audio features.
 
@@ -49,40 +92,14 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
     exception — one poison blob must not fail a 100 TB scan task).
     """
     frames = ENVELOPE_FRAMES
+    audio_src = AUDIO_SRC  # by value for the executor closure
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        def parse(b: bytes):
-            # RIFF chunk walk (stdlib-only): returns (rate, channels,
-            # int16 sample array) or None
-            if b is None or len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
-                return None
-            pos, fmt, data = 12, None, None
-            while pos + 8 <= len(b):
-                cid = b[pos : pos + 4]
-                size = int.from_bytes(b[pos + 4 : pos + 8], "little")
-                body = b[pos + 8 : pos + 8 + size]
-                if cid == b"fmt " and len(body) >= 16:
-                    fmt = body
-                elif cid == b"data":
-                    data = body
-                pos += 8 + size + (size % 2)  # chunks are word-aligned
-            if fmt is None or data is None:
-                return None
-            audio_format = int.from_bytes(fmt[0:2], "little")
-            channels = int.from_bytes(fmt[2:4], "little")
-            rate = int.from_bytes(fmt[4:8], "little")
-            bits = int.from_bytes(fmt[14:16], "little")
-            if audio_format != 1 or bits != 16 or channels < 1 or rate <= 0:
-                return None  # only uncompressed PCM16 supported
-            usable = len(data) - (len(data) % (2 * channels))
-            if usable <= 0:
-                return None
-            x = np.frombuffer(data[:usable], dtype="<i2").astype(
-                np.float64
-            ) / 32768.0
-            return rate, channels, x.reshape(-1, channels)
+        ns: dict = {}
+        exec(audio_src, ns)
+        parse = ns["parse_pcm16"]
 
         def features(media_id, b):
             null = {

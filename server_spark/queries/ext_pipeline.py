@@ -1540,3 +1540,134 @@ def x128_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").alias("media_b"),
         dist.alias("hamming"),
     ).filter(F.col("hamming") <= _X128_HAMMING)
+
+
+# ---------------------------------------------------------------------------
+# x129 — audio fingerprint (envelope dHash) near-dup, banded on Hamming
+# ---------------------------------------------------------------------------
+
+_X129_BASES = 20     # distinct base clips minted across the corpus
+_X129_FRAMES = 64    # RMS envelope frames → 63 delta-sign bits
+_X129_HAMMING = 10
+
+
+@register(
+    "x129_audio_fingerprint_neardup",
+    None,  # PCM decode + Hamming LSH — rows-only (no honest SQL twin)
+    doc="EXT x129 — AUDIO near-duplicate detection via an envelope "
+    "fingerprint, the acoustic twin of x128's image dHash: per doc, "
+    "an amplitude-modulated sine clip (modulation rate and carrier "
+    "keyed off doc_id % 20, per-doc GAIN keyed off doc_id % 7) is "
+    "minted as real PCM16 WAV bytes executor-side, RIFF-decoded back "
+    "(multimodal/audio.parse_pcm16 — the same single-source chunk "
+    "walk x120 uses), folded to a 64-frame RMS envelope, and hashed "
+    "as the 63 envelope delta-sign bits — GAIN-INVARIANT by "
+    "construction (scaling preserves RMS ordering; exactly the dup "
+    "class — re-encoded/re-leveled copies — that byte hashing "
+    "cannot see). Candidates via 4x16-bit hash bands through the "
+    "shared bucket_pairs kernel, exact bit_count(xor) verify. "
+    "Shape: one mapInPandas (mint+decode+hash), band explode, one "
+    "bucket shuffle, JVM-side verify.",
+    tags=("ext", "multimodal", "dedup", "rows-only"),
+    late=True,
+)
+def x129_audio_fingerprint_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from server_spark.dedup import minhash as mh
+    from server_spark.multimodal.audio import AUDIO_SRC
+
+    audio_src = AUDIO_SRC
+    frames, bases = _X129_FRAMES, _X129_BASES
+
+    def mint_hash(it):
+        import numpy as np
+        import pandas as pd
+
+        ns: dict = {}
+        exec(audio_src, ns)
+        parse = ns["parse_pcm16"]
+
+        def wav_bytes(mono: "np.ndarray", rate: int) -> bytes:
+            pcm = (mono * 32767).astype("<i2").tobytes()
+            return (
+                b"RIFF" + (36 + len(pcm)).to_bytes(4, "little")
+                + b"WAVE" + b"fmt " + (16).to_bytes(4, "little")
+                + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+                + rate.to_bytes(4, "little")
+                + (rate * 2).to_bytes(4, "little")
+                + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+                + b"data" + len(pcm).to_bytes(4, "little") + pcm
+            )
+
+        def fingerprint(mid: int) -> int:
+            base = int(mid) % bases
+            rate, secs = 8000, 0.25
+            t = np.arange(int(secs * rate)) / rate
+            carrier = 440.0 + 10.0 * base
+            fm = 2.0 + base  # unique modulation cycles per base
+            gain = 0.25 + 0.1 * (int(mid) % 7)  # per-doc level
+            # per-doc noise floor: variants of a base are NEAR dups
+            # (a few envelope bits flip at modulation extrema), not
+            # fingerprint-identical — the regime the Hamming
+            # threshold exists for
+            noise = 0.004 * np.random.RandomState(int(mid)).standard_normal(
+                len(t)
+            )
+            mono = (
+                gain
+                * (0.5 + 0.45 * np.sin(2 * np.pi * fm * t + 0.3 * base))
+                * np.sin(2 * np.pi * carrier * t)
+                + noise
+            ).clip(-0.999, 0.999)
+            parsed = parse(wav_bytes(mono, rate))  # REAL decode round-trip
+            _rate, _ch, x = parsed
+            mono2 = x.mean(axis=1)
+            edges = np.linspace(0, len(mono2), frames + 1).astype(int)
+            env = np.array([
+                np.sqrt((mono2[a:b] ** 2).mean()) if b > a else 0.0
+                for a, b in zip(edges[:-1], edges[1:])
+            ])
+            bits = env[1:] > env[:-1]
+            h = 0
+            for bit in bits:
+                h = (h << 1) | int(bit)
+            return h  # 63 bits — always fits a signed long
+
+        for pdf in it:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"media_id": ids, "fp": [fingerprint(i) for i in ids]}
+            )
+
+    # repartition: decouple the Python mint+decode stage from
+    # input-split granularity (see x60's note)
+    hashes = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .mapInPandas(mint_hash, "media_id long, fp long")
+    )
+    bands = hashes.select(
+        "media_id",
+        "fp",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band_idx"),
+    ).select(
+        "media_id",
+        "fp",
+        "band_idx",
+        F.expr("shiftrightunsigned(fp, band_idx * 16) & 65535")
+        .alias("band_key"),
+    )
+    pairs = mh.bucket_pairs(
+        bands,
+        ["band_idx", "band_key"],
+        id_col="media_id",
+        payload=("fp",),
+    )
+    dist = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return pairs.select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        dist.alias("hamming"),
+    ).filter(F.col("hamming") <= _X129_HAMMING)

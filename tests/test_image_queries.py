@@ -101,6 +101,29 @@ def test_x128_phash_finds_exactly_the_brightness_variants(spark):
     assert (1, 21) in got
 
 
+def test_x129_audio_fingerprint_separates_bases(spark):
+    """Acoustic near-dup ground truth is fully known: doc i's clip is
+    AM-base (i%20) under a per-doc gain and a small per-doc noise
+    floor. The envelope fingerprint must: (a) emit ZERO cross-base
+    pairs (precision 1.0 — distinct modulation rates give ~random
+    bit patterns); (b) find nearly every within-base pair (tiny
+    banding miss rate is authentic LSH behavior, bounded here);
+    (c) exhibit gain-invariance — many variant pairs at Hamming 0
+    despite byte-distinct PCM payloads."""
+    rows = queries()["x129_audio_fingerprint_neardup"](spark, SF).collect()
+    got = {(r["media_a"], r["media_b"]) for r in rows}
+    want = {
+        (a, b)
+        for a in range(500)
+        for b in range(a + 1, 500)
+        if a % 20 == b % 20
+    }
+    assert got <= want                      # precision 1.0
+    assert len(got) >= 0.995 * len(want)    # recall (banding misses only)
+    assert all(r["hamming"] <= 10 for r in rows)
+    assert sum(1 for r in rows if r["hamming"] == 0) > 1000  # gain-invariant core
+
+
 def test_x127_profile_consistent_with_x124(spark):
     prof = queries()["x127_boilerplate_profile"](spark, SF).collect()
     per_doc = queries()["x124_markup_extract"](spark, SF)
