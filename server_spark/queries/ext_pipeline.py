@@ -1671,3 +1671,112 @@ def x129_audio_fingerprint_neardup(
         F.col("doc_b").alias("media_b"),
         dist.alias("hamming"),
     ).filter(F.col("hamming") <= _X129_HAMMING)
+
+
+# ---------------------------------------------------------------------------
+# x130 — REAL video demux + scene-change detection (Y4M, no stub)
+# ---------------------------------------------------------------------------
+
+_X130_FRAMES = 8
+_X130_CUT_THRESHOLD = 20.0
+
+
+@register(
+    "x130_scene_detect",
+    None,  # binary video demux — rows-only (no honest SQL twin)
+    doc="EXT x130 — REAL multimodal video pass, closing the last "
+    "stubbed modality: per-doc YUV4MPEG2 clips (8 mono frames of a "
+    "drifting gradient, with a hard scene cut planted at a "
+    "doc-keyed frame for even doc_ids) are minted executor-side, "
+    "then FULLY demuxed back by multimodal/video.parse_y4m (stream "
+    "header parse + FRAME walk + luma planes — Y4M is the ffmpeg "
+    "toolchain's uncompressed interchange format, stdlib-parseable "
+    "like PCM WAV and PNG/BMP; only entropy-coded video needs a "
+    "codec). Per clip: frame count, scene-cut count, first cut "
+    "frame and motion-energy stats from true per-frame luma "
+    "|delta| — the shot-segmentation / keyframe-selection pass a "
+    "video corpus runs before sampling frames for captioning. "
+    "Undecodable payloads (every 5th doc mints text bytes) take the "
+    "quarantine row. Tests assert planted cuts are found at the "
+    "exact frame. Shape: one mapInPandas (mint+demux+features), "
+    "no shuffle until the final tiny rollup ordering.",
+    tags=("ext", "multimodal", "rows-only"),
+    late=True,
+)
+def x130_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.multimodal.video import VIDEO_SRC
+
+    video_src = VIDEO_SRC
+    n_frames, thresh = _X130_FRAMES, _X130_CUT_THRESHOLD
+
+    SCHEMA = (
+        "media_id long, ok boolean, n_frames int, n_cuts int, "
+        "first_cut int, max_energy double, mean_energy double"
+    )
+
+    def mint_demux(it):
+        import numpy as np
+        import pandas as pd
+
+        ns: dict = {}
+        exec(video_src, ns)
+        parse_y4m, encode_y4m_mono, scene_cuts = (
+            ns["parse_y4m"],
+            ns["encode_y4m_mono"],
+            ns["scene_cuts"],
+        )
+        h, w = 16, 24
+        yy, xx = np.mgrid[0:h, 0:w]
+
+        def payload(mid: int, text: str) -> bytes:
+            if mid % 5 == 4:  # undecodable leg
+                return str(text).encode("utf-8")
+            cut_at = 1 + (mid % 6) if mid % 2 == 0 else None
+            frames = []
+            for i in range(n_frames):
+                base = ((xx * 8 + yy * 4 + i * 2 + mid) % 256).astype(
+                    np.uint8
+                )  # drifting gradient: small inter-frame |delta|
+                if cut_at is not None and i >= cut_at:
+                    base = 255 - base  # hard scene change
+                frames.append(base)
+            return encode_y4m_mono(frames)
+
+        def features(mid: int, text: str) -> dict:
+            parsed = parse_y4m(payload(mid, text))
+            if parsed is None:
+                return {
+                    "media_id": mid, "ok": False, "n_frames": None,
+                    "n_cuts": None, "first_cut": None,
+                    "max_energy": None, "mean_energy": None,
+                }
+            _w, _h, frames = parsed
+            feats = scene_cuts(frames, threshold=thresh)
+            cuts = [i for i, _m, _e, is_cut in feats if is_cut]
+            energies = [e for _i, _m, e, _c in feats[1:]]
+            return {
+                "media_id": mid,
+                "ok": True,
+                "n_frames": len(frames),
+                "n_cuts": len(cuts),
+                "first_cut": cuts[0] if cuts else -1,
+                "max_energy": float(max(energies)),
+                "mean_energy": float(np.mean(energies)),
+            }
+
+        cols = [c.split(" ")[0] for c in SCHEMA.split(", ")]
+        for pdf in it:
+            rows = [
+                features(int(i), t)
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    # repartition: decouple the Python mint+demux stage from
+    # input-split granularity (see x60's note)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .mapInPandas(mint_demux, SCHEMA)
+    )
