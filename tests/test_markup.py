@@ -162,6 +162,55 @@ def test_markup_extract_stream_equals_batch(spark, tmp_path):
     assert len(got) == 3
 
 
+@pytest.mark.parametrize(
+    "min_words,links_per_word", [(3, 3), (5, 5), (8, 10), (1, 2)]
+)
+def test_extraction_rules_differential_vs_duckdb(
+    spark, min_words, links_per_word
+):
+    """DIFFERENTIAL sweep of the extraction rule parameters: the
+    Spark HOF pipeline and the generated DuckDB twin must agree on
+    every column — including the exact clean_text string — for rule
+    configurations beyond the one registered default. Guards the
+    shared-constants contract of functions/markup.py (a drift between
+    the two implementations that happens to cancel at (5, 5) is
+    caught by the other corners)."""
+    import duckdb
+
+    from server_spark.functions.markup import (
+        extract_sql_ctes,
+        synthetic_page,
+        synthetic_page_sql,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter("doc_id < 120")
+    pages = docs.select(
+        "doc_id",
+        synthetic_page(docs["doc_id"], docs["text"]).alias("html"),
+    )
+    got = extract_clean_text(
+        pages, min_words=min_words, links_per_word=links_per_word
+    ).drop("html")
+    got_rows = sorted(tuple(r) for r in got.collect())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet' WHERE doc_id < 120"
+    )
+    sql = f"""
+    WITH pages AS (
+        SELECT doc_id, {synthetic_page_sql()} AS html FROM documents
+    ),
+    {extract_sql_ctes(min_words=min_words, links_per_word=links_per_word)}
+    SELECT * FROM extracted
+    """
+    want_rows = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got_rows == want_rows
+
+
 def test_synthetic_page_wraps_text(spark):
     df = spark.createDataFrame(
         [(7, "some body words here now okay")],
