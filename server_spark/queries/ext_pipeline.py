@@ -1780,3 +1780,108 @@ def x130_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
         .mapInPandas(mint_demux, SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# x131 — keyframe thumbnail extraction (video demux → image encode)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x131_keyframe_thumbs",
+    None,  # binary demux + image encode — rows-only
+    doc="EXT x131 — KEYFRAME thumbnail extraction, the cross-modality "
+    "composition a video corpus runs before captioning: demux each "
+    "clip (multimodal/video.parse_y4m — same real Y4M walk as "
+    "x130), pick the shot-representative frames (frame 0 plus every "
+    "scene-cut frame, x130's detector), then route the chosen luma "
+    "planes through the IMAGE leg (nn_resize + deterministic BMP "
+    "encode from multimodal/image.py) into fixed-size thumbnail "
+    "blobs. One-to-many INSIDE the Arrow batch (clip row → keyframe "
+    "rows), memory bounded by one clip; the modality legs compose "
+    "via their shared source-capture contracts, not a driver "
+    "round-trip. Tests pin thumbnail bytes against a driver-side "
+    "recompute and the keyframe set against x130's planted cuts.",
+    tags=("ext", "multimodal", "rows-only"),
+    late=True,
+)
+def x131_keyframe_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.multimodal.image import IMAGE_SRC
+    from server_spark.multimodal.video import VIDEO_SRC
+
+    video_src, img_src = VIDEO_SRC, IMAGE_SRC
+    n_frames, thresh = _X130_FRAMES, _X130_CUT_THRESHOLD
+
+    SCHEMA = (
+        "media_id long, frame_no int, is_cut boolean, thumb binary, "
+        "out_width int, out_height int"
+    )
+
+    def extract(it):
+        import numpy as np
+        import pandas as pd
+
+        vns: dict = {}
+        exec(video_src, vns)
+        ins: dict = {}
+        exec(img_src, ins)
+        parse_y4m, encode_y4m_mono, scene_cuts = (
+            vns["parse_y4m"], vns["encode_y4m_mono"], vns["scene_cuts"]
+        )
+        nn_resize, encode_bmp = ins["nn_resize"], ins["encode_bmp"]
+        h, w = 16, 24
+        yy, xx = np.mgrid[0:h, 0:w]
+
+        def clip(mid: int) -> bytes:
+            # same mint rule as x130 (sans the undecodable leg)
+            cut_at = 1 + (mid % 6) if mid % 2 == 0 else None
+            frames = []
+            for i in range(n_frames):
+                base = ((xx * 8 + yy * 4 + i * 2 + mid) % 256).astype(
+                    np.uint8
+                )
+                if cut_at is not None and i >= cut_at:
+                    base = 255 - base
+                frames.append(base)
+            return encode_y4m_mono(frames)
+
+        for pdf in it:
+            out = []
+            for mid in (int(i) for i in pdf["doc_id"]):
+                parsed = parse_y4m(clip(mid))
+                if parsed is None:
+                    continue
+                _w, _h, frames = parsed
+                feats = scene_cuts(frames, threshold=thresh)
+                keyframes = [0] + [
+                    i for i, _m, _e, is_cut in feats if is_cut
+                ]
+                for fno in keyframes:
+                    luma = frames[fno][:, :, None]  # (h, w, 1) → RGB
+                    rgb = np.repeat(luma, 3, axis=2)
+                    out.append(
+                        (
+                            mid,
+                            fno,
+                            fno != 0,
+                            encode_bmp(nn_resize(rgb, 8, 8)),
+                            8,
+                            8,
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "frame_no", "is_cut", "thumb",
+                    "out_width", "out_height",
+                ],
+            )
+
+    # repartition: decouple the Python demux/encode stage from
+    # input-split granularity (see x60's note)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .mapInPandas(extract, SCHEMA)
+    )

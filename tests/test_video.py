@@ -77,6 +77,37 @@ def test_exec_source_roundtrip():
     assert (ns["parse_y4m"](enc)[2][0] == frames[0]).all()
 
 
+def test_x131_keyframe_thumbs_match_recompute(spark):
+    """Keyframes = frame 0 + planted cut frame; thumbnail bytes must
+    equal a driver-side recompute through the same video→image path
+    (pixel-exact cross-modality composition)."""
+    from server_spark.multimodal.image import encode_bmp, nn_resize
+
+    rows = queries()["x131_keyframe_thumbs"](spark, SF).collect()
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id) == 500
+    for mid, rs in by_id.items():
+        frames = sorted(r["frame_no"] for r in rs)
+        if mid % 2 == 0:
+            assert frames == [0, 1 + (mid % 6)], mid
+        else:
+            assert frames == [0], mid
+
+    # pixel-exact: recompute one even doc's cut-frame thumbnail
+    mid = 2
+    cut = 1 + (mid % 6)
+    yy, xx = np.mgrid[0:16, 0:24]
+    base = ((xx * 8 + yy * 4 + cut * 2 + mid) % 256).astype(np.uint8)
+    luma = (255 - base)[:, :, None]
+    expect = encode_bmp(nn_resize(np.repeat(luma, 3, axis=2), 8, 8))
+    got = next(
+        r for r in by_id[mid] if r["frame_no"] == cut
+    )
+    assert bytes(got["thumb"]) == expect and got["is_cut"]
+
+
 def test_x130_finds_planted_cuts_exactly(spark):
     got = {
         r["media_id"]: r
