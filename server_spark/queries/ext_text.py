@@ -3610,3 +3610,81 @@ def x127_boilerplate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("total_words")
         ).alias("boiler_word_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x132 — outlink policy screen (URL-pattern curation gate)
+# ---------------------------------------------------------------------------
+
+# Path patterns a curation policy downweights: auth/account chrome and
+# tracking fragments tell you a link is site furniture, not content.
+_X132_DENY = ("/login", "/signup", "/account", "#")
+
+
+@register(
+    "x132_link_policy_screen",
+    f"""
+    WITH pages AS (
+        SELECT doc_id, {synthetic_page_sql()} AS html FROM documents
+    ),
+    links AS (
+        SELECT doc_id,
+               UNNEST(regexp_extract_all(html, 'href="([^"]+)"', 1))
+                   AS href
+        FROM pages
+    ),
+    flagged AS (
+        SELECT doc_id, href,
+               ({" OR ".join(f"href LIKE '{p}%'" for p in _X132_DENY)})
+                   AS denied
+        FROM links
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_links,
+           CAST(SUM(CASE WHEN denied THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_denied,
+           {r4sql("CAST(SUM(CASE WHEN denied THEN 1 ELSE 0 END) AS DOUBLE)"
+                  " / COUNT(*)")} AS denied_share,
+           CAST(SUM(CASE WHEN href LIKE '/doc/%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_content
+    FROM flagged
+    GROUP BY doc_id
+    """,
+    doc="EXT x132 — OUTLINK POLICY screen, the RefinedWeb-style URL "
+    "curation gate run on x126's extraction: per document, how many "
+    "outlinks exist, how many hit the deny patterns (auth/account "
+    "chrome, fragment-only links), the denied share, and how many "
+    "point at content (/doc/...) — the per-page furniture-vs-content "
+    "signal that feeds crawl prioritization and page-quality priors. "
+    "Integer counts + one final division (r4-canonical), LIKE "
+    "prefix patterns identical in both dialects. Shape: narrow map "
+    "+ explode + one hash-agg on doc_id — scan-speed at any corpus "
+    "size.",
+    tags=("ext", "markup", "filter"),
+    late=True,
+)
+def x132_link_policy_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        synthetic_page(F.col("doc_id"), F.col("text")).alias("html"),
+    )
+    links = pages.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("html", F.lit(r'href="([^"]+)"'), 1)
+        ).alias("href"),
+    )
+    denied = None
+    for p in _X132_DENY:
+        cond = F.col("href").startswith(p)
+        denied = cond if denied is None else (denied | cond)
+    return links.groupBy("doc_id").agg(
+        F.count("*").alias("n_links"),
+        F.sum(denied.cast("int")).cast("bigint").alias("n_denied"),
+        r4(
+            F.sum(denied.cast("int")).cast("double") / F.count("*")
+        ).alias("denied_share"),
+        F.sum(F.col("href").startswith("/doc/").cast("int"))
+        .cast("bigint")
+        .alias("n_content"),
+    )
