@@ -111,9 +111,28 @@ def scene_cuts(frames, threshold: float = 20.0):
     return out
 
 
+def synthetic_clip_frames(mid: int, n_frames: int = 8, h: int = 16, w: int = 24):
+    """Deterministic per-id test clip: a drifting gradient with a hard
+    scene cut planted at frame 1 + (mid % 6) for even ids (odd ids cut
+    nowhere). SINGLE SOURCE for the mint rule shared by x130 (scene
+    detection) and x131 (keyframe thumbnails) — the packing_ctes
+    lesson: two inlined copies of a planted-structure rule drift."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    cut_at = 1 + (mid % 6) if mid % 2 == 0 else None
+    frames = []
+    for i in range(n_frames):
+        base = ((xx * 8 + yy * 4 + i * 2 + mid) % 256).astype(np.uint8)
+        if cut_at is not None and i >= cut_at:
+            base = 255 - base  # hard scene change
+        frames.append(base)
+    return frames
+
+
 import inspect as _inspect  # noqa: E402
 
 VIDEO_SRC = "\n".join(
     _inspect.getsource(f)
-    for f in (parse_y4m, encode_y4m_mono, scene_cuts)
+    for f in (parse_y4m, encode_y4m_mono, scene_cuts, synthetic_clip_frames)
 )

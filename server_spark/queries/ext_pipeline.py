@@ -1720,27 +1720,17 @@ def x130_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         ns: dict = {}
         exec(video_src, ns)
-        parse_y4m, encode_y4m_mono, scene_cuts = (
+        parse_y4m, encode_y4m_mono, scene_cuts, synth_clip = (
             ns["parse_y4m"],
             ns["encode_y4m_mono"],
             ns["scene_cuts"],
+            ns["synthetic_clip_frames"],
         )
-        h, w = 16, 24
-        yy, xx = np.mgrid[0:h, 0:w]
 
         def payload(mid: int, text: str) -> bytes:
             if mid % 5 == 4:  # undecodable leg
                 return str(text).encode("utf-8")
-            cut_at = 1 + (mid % 6) if mid % 2 == 0 else None
-            frames = []
-            for i in range(n_frames):
-                base = ((xx * 8 + yy * 4 + i * 2 + mid) % 256).astype(
-                    np.uint8
-                )  # drifting gradient: small inter-frame |delta|
-                if cut_at is not None and i >= cut_at:
-                    base = 255 - base  # hard scene change
-                frames.append(base)
-            return encode_y4m_mono(frames)
+            return encode_y4m_mono(synth_clip(mid, n_frames))
 
         def features(mid: int, text: str) -> dict:
             parsed = parse_y4m(payload(mid, text))
@@ -1825,25 +1815,16 @@ def x131_keyframe_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
         exec(video_src, vns)
         ins: dict = {}
         exec(img_src, ins)
-        parse_y4m, encode_y4m_mono, scene_cuts = (
-            vns["parse_y4m"], vns["encode_y4m_mono"], vns["scene_cuts"]
+        parse_y4m, encode_y4m_mono, scene_cuts, synth_clip = (
+            vns["parse_y4m"], vns["encode_y4m_mono"], vns["scene_cuts"],
+            vns["synthetic_clip_frames"],
         )
         nn_resize, encode_bmp = ins["nn_resize"], ins["encode_bmp"]
-        h, w = 16, 24
-        yy, xx = np.mgrid[0:h, 0:w]
 
         def clip(mid: int) -> bytes:
-            # same mint rule as x130 (sans the undecodable leg)
-            cut_at = 1 + (mid % 6) if mid % 2 == 0 else None
-            frames = []
-            for i in range(n_frames):
-                base = ((xx * 8 + yy * 4 + i * 2 + mid) % 256).astype(
-                    np.uint8
-                )
-                if cut_at is not None and i >= cut_at:
-                    base = 255 - base
-                frames.append(base)
-            return encode_y4m_mono(frames)
+            # same mint rule as x130 (sans the undecodable leg) — ONE
+            # implementation, shipped in VIDEO_SRC
+            return encode_y4m_mono(synth_clip(mid, n_frames))
 
         for pdf in it:
             out = []
