@@ -64,7 +64,14 @@ def _decode_entities(c: Column) -> Column:
 
 def page_lines(html: Column) -> Column:
     """html string → array of candidate lines (tags still present;
-    block closers became newlines). Steps 1-2 of the rules."""
+    block closers became newlines). Steps 1-2 of the rules.
+
+    NULL html is treated as the empty page (coalesce) — without it
+    the whole expression chain goes NULL and Spark's size(NULL) = -1
+    poisons the counts, while DuckDB's UNNEST(NULL) silently DROPS
+    the document: a cross-engine divergence on exactly the malformed
+    rows a real ingest produces."""
+    html = F.coalesce(html, F.lit(""))
     no_script = F.regexp_replace(html, r"(?s)<script.*?</script>", " ")
     no_style = F.regexp_replace(no_script, r"(?s)<style.*?</style>", " ")
     return F.split(F.regexp_replace(no_style, _BLOCK_CLOSERS, "\n"), "\n")
@@ -164,7 +171,7 @@ def extract_sql_ctes(
                string_split(
                    regexp_replace(
                        regexp_replace(
-                           regexp_replace(html,
+                           regexp_replace(COALESCE(html, ''),
                                '(?s)<script.*?</script>', ' ', 'g'),
                            '(?s)<style.*?</style>', ' ', 'g'),
                        '{_BLOCK_CLOSERS}', chr(10), 'g'),
@@ -266,7 +273,9 @@ def synthetic_page(doc_id: Column, text: Column) -> Column:
         elif kind == "rel_id":
             parts.append((doc_id % REL_MOD).cast("string"))
         else:
-            parts.append(text)
+            # NULL text → empty body (concat would otherwise NULL the
+            # whole page; see page_lines' null note)
+            parts.append(F.coalesce(text, F.lit("")))
     return F.concat(*parts)
 
 
@@ -281,5 +290,5 @@ def synthetic_page_sql(doc_id: str = "doc_id", text: str = "text") -> str:
         elif kind == "rel_id":
             parts.append(f"CAST({doc_id} % {REL_MOD} AS VARCHAR)")
         else:
-            parts.append(text)
+            parts.append(f"COALESCE({text}, '')")
     return " || ".join(parts)

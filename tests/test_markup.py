@@ -211,6 +211,55 @@ def test_extraction_rules_differential_vs_duckdb(
     assert got_rows == want_rows
 
 
+def test_null_text_and_html_parity(spark):
+    """NULL text/html must behave as the empty page on BOTH engines —
+    the Spark chain would otherwise emit size(NULL) = -1 counts while
+    DuckDB's UNNEST(NULL) drops the row (engine divergence on
+    malformed ingest rows)."""
+    import duckdb
+
+    from server_spark.functions.markup import (
+        extract_sql_ctes,
+        synthetic_page,
+        synthetic_page_sql,
+    )
+
+    # direct: NULL html → empty-page row, not garbage
+    row = _one(spark, None)
+    assert row["clean_text"] == "" and row["n_kept"] == 0
+    assert row["n_lines"] == 0 and row["total_words"] == 0
+
+    docs = spark.createDataFrame(
+        [(1, "plenty of body words to keep here"), (2, None)],
+        "doc_id long, text string",
+    )
+    pages = docs.select(
+        "doc_id",
+        synthetic_page(docs["doc_id"], docs["text"]).alias("html"),
+    )
+    got = sorted(
+        tuple(r)
+        for r in extract_clean_text(pages).drop("html").collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'plenty of body words to keep here'), "
+        "(2, NULL)) AS t(doc_id, text)"
+    )
+    sql = f"""
+    WITH pages AS (
+        SELECT doc_id, {synthetic_page_sql()} AS html FROM documents
+    ),
+    {extract_sql_ctes()}
+    SELECT * FROM extracted
+    """
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
+    assert len(got) == 2  # the null-text doc is present, not dropped
+
+
 def test_synthetic_page_wraps_text(spark):
     df = spark.createDataFrame(
         [(7, "some body words here now okay")],
