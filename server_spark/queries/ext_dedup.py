@@ -2408,3 +2408,206 @@ def x123_reorder_robust_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# x133 — train/test SPLIT LEAKAGE via near-duplicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x133_split_leakage",
+    rf"""
+    WITH {shingle_ctes()},
+    {mh.md5_banded_candidates_sql(_MH_AB, _MH_BANDS)},
+    {_X106_EST_SQL},
+    splits AS (
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                         THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                         THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    labeled AS (
+        SELECT LEAST(sa.split, sb.split) AS split_lo,
+               GREATEST(sa.split, sb.split) AS split_hi
+        FROM est e
+        JOIN splits sa ON e.doc_a = sa.doc_id
+        JOIN splits sb ON e.doc_b = sb.doc_id
+    )
+    SELECT split_lo, split_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           (split_lo <> split_hi) AS crosses_split
+    FROM labeled
+    GROUP BY split_lo, split_hi
+    """,
+    doc="EXT x133 — SPLIT-LEAKAGE audit: near-duplicate pairs (x8b's "
+    "banded MinHash estimate at the corpus threshold) classified by "
+    "which x17 train/val/test splits their members fall in — a "
+    "cross-split near-dup IS evaluation leakage the exact-substring "
+    "decontamination (x121) cannot see (paraphrase/boilerplate "
+    "overlap survives chunk hashing but inflates eval scores all the "
+    "same). The audit every corpus release runs BEFORE freezing a "
+    "benchmark split; the standard remedy — split by dup-CLUSTER "
+    "instead of by doc — is exactly x15's components, so this query "
+    "is also the acceptance test for that fix. Shape: the one-scan "
+    "banded candidate pipeline + two broadcast-sized split joins + a "
+    "9-row hash-agg; split membership is md5-derived (engine-"
+    "portable), pair orientation canonicalized LEAST/GREATEST so "
+    "both engines land identical group keys.",
+    tags=("ext", "dedup", "split", "eval"),
+    late=True,
+)
+def x133_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    est = _md5_minhash_pairs(docs, JACCARD_MIN)
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    splits = docs.select(
+        "doc_id",
+        F.when(h2 < "cd", "train")
+        .when(h2 < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    labeled = est.join(sa, "doc_a").join(sb, "doc_b").select(
+        F.least("split_a", "split_b").alias("split_lo"),
+        F.greatest("split_a", "split_b").alias("split_hi"),
+    )
+    return labeled.groupBy("split_lo", "split_hi").agg(
+        F.count("*").alias("n_pairs"),
+        (F.col("split_lo") != F.col("split_hi")).alias("crosses_split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x134 — cluster-respecting split REMEDY (leakage-free by construction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x134_cluster_split",
+    rf"""
+    WITH RECURSIVE {shingle_ctes()},
+    {mh.md5_banded_candidates_sql(_MH_AB, _MH_BANDS)},
+    {_X106_EST_SQL},
+    pairs AS (SELECT doc_a, doc_b FROM est),
+    {_COMPONENTS_SQL},
+    splits AS (
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                         THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                         THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    assigned AS (
+        SELECT s.doc_id,
+               COALESCE(cs.split, s.split) AS new_split,
+               s.split AS own_split
+        FROM splits s
+        LEFT JOIN comp c ON s.doc_id = c.node
+        LEFT JOIN splits cs ON cs.doc_id = c.component
+    ),
+    leaks AS (
+        SELECT a.new_split AS split, COUNT(*) AS n
+        FROM pairs p
+        JOIN assigned a ON p.doc_a = a.doc_id
+        JOIN assigned b ON p.doc_b = b.doc_id
+                       AND a.new_split <> b.new_split
+        GROUP BY 1
+    )
+    SELECT a.new_split AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN a.new_split <> a.own_split
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+           CAST(COALESCE(MIN(l.n), 0) AS BIGINT) AS cross_pairs_after
+    FROM assigned a LEFT JOIN leaks l ON l.split = a.new_split
+    GROUP BY a.new_split
+    """,
+    doc="EXT x134 — the REMEDY for x133's finding: split by near-dup "
+    "CLUSTER, not by document. Every doc in an x15-style component "
+    "(connected components over the same banded-MinHash pair "
+    "estimate x133 audits) inherits the split of the cluster's "
+    "min-id representative; singletons keep their own md5 split. "
+    "Output per split: docs, how many MOVED relative to the naive "
+    "per-doc split, and — the acceptance criterion carried IN the "
+    "hash-checked result — the count of near-dup pairs still "
+    "crossing splits, zero by construction (each pair's endpoints "
+    "share a component, hence a representative, hence a split). "
+    "x133 finds the leak, this closes it, the oracle proves both "
+    "engines agree it is closed. Shape: one candidate pipeline + "
+    "label-propagation components + two split joins against "
+    "broadcast-sized relations; the recursive-CTE twin replays the "
+    "components exactly.",
+    tags=("ext", "dedup", "split", "eval"),
+    late=True,
+)
+def x134_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.dedup.components import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = _md5_minhash_pairs(docs, JACCARD_MIN).transform(barrier)
+    comp = connected_components(pairs)
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    splits = docs.select(
+        "doc_id",
+        F.when(h2 < "cd", "train")
+        .when(h2 < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    rep_split = splits.select(
+        F.col("doc_id").alias("component"),
+        F.col("split").alias("rep_split"),
+    )
+    assigned = (
+        splits.join(
+            comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+        )
+        .join(rep_split, "component", "left")
+        .select(
+            "doc_id",
+            F.coalesce("rep_split", "split").alias("new_split"),
+            F.col("split").alias("own_split"),
+        )
+    )
+    a = assigned.select(
+        F.col("doc_id").alias("doc_a"), F.col("new_split").alias("ns_a")
+    )
+    b = assigned.select(
+        F.col("doc_id").alias("doc_b"), F.col("new_split").alias("ns_b")
+    )
+    leaks = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("ns_a") != F.col("ns_b"))
+        .groupBy(F.col("ns_a").alias("new_split"))
+        .agg(F.count("*").alias("n_leak"))
+    )
+    return (
+        assigned.groupBy("new_split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (F.col("new_split") != F.col("own_split")).cast("int")
+            ).cast("bigint").alias("n_moved"),
+        )
+        .join(leaks, "new_split", "left")
+        .select(
+            F.col("new_split").alias("split"),
+            "n_docs",
+            "n_moved",
+            F.coalesce("n_leak", F.lit(0)).cast("bigint").alias(
+                "cross_pairs_after"
+            ),
+        )
+    )

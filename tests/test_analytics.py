@@ -547,6 +547,27 @@ def test_x106_confusion_consistent_with_legs(spark):
         assert row["recall"] >= 0.6
 
 
+def test_x133_x134_leakage_found_then_closed(spark):
+    """The audit/remedy pair tells one story: x133 finds near-dup
+    pairs crossing the naive per-doc split (real leakage on this
+    corpus), x134's cluster-respecting split moves docs and reports
+    ZERO remaining cross-split pairs — and conserves the corpus."""
+    from server_spark.registry import queries
+
+    audit = queries()["x133_split_leakage"](spark, SF_SMOKE).collect()
+    crossing = sum(r["n_pairs"] for r in audit if r["crosses_split"])
+    total_pairs = sum(r["n_pairs"] for r in audit)
+    assert crossing > 0  # the naive split leaks on this corpus
+
+    remedy = queries()["x134_cluster_split"](spark, SF_SMOKE).collect()
+    assert {r["split"] for r in remedy} <= {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in remedy) == 500  # corpus conserved
+    assert all(r["cross_pairs_after"] == 0 for r in remedy)
+    assert sum(r["n_moved"] for r in remedy) > 0  # the remedy did work
+    # pair universe unchanged by re-splitting (sanity on the audit)
+    assert total_pairs > 0
+
+
 def test_x106_hash_sample_agrees_with_full_on_subset(spark, tmp_path):
     """The sample_mod valve is exact restriction, not approximation:
     x106 at sample_mod=m equals the full eval run over a corpus that
