@@ -908,3 +908,113 @@ def test_isotonic_fit_matches_minimax_reference(spark, pts, inc):
         sum(f * w for f, w in zip(fitted, ws))
         - sum(y * w for y, w in zip(ys, ws))
     ) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Native codec round-trips (r10): PNG / BMP / Y4M on ARBITRARY pixels
+# ---------------------------------------------------------------------------
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays as np_arrays
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    img=np_arrays(
+        np.uint8,
+        st.tuples(
+            st.integers(1, 9), st.integers(1, 9), st.just(3)
+        ),
+    ),
+    data=st.data(),
+)
+def test_png_roundtrip_any_pixels_any_filters(img, data):
+    """decode(encode(img, any per-row filter mix)) == img for ANY
+    uint8 RGB image — the strongest statement of the five filter
+    reconstructions' correctness (golden fixtures only sample the
+    space; hypothesis drives the adversarial corners: 1-px rows,
+    saturated values, repeated rows)."""
+    from server_spark.multimodal.image import decode_png, encode_png
+
+    h = img.shape[0]
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h)
+    )
+    dec = decode_png(encode_png(img, row_filters=filters))
+    assert dec is not None and (dec == img).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    img=np_arrays(
+        np.uint8,
+        st.tuples(
+            st.integers(1, 9), st.integers(1, 9), st.just(3)
+        ),
+    )
+)
+def test_bmp_roundtrip_any_pixels(img):
+    from server_spark.multimodal.image import decode_bmp, encode_bmp
+
+    dec = decode_bmp(encode_bmp(img))
+    assert dec is not None and (dec == img).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    frames=st.lists(
+        np_arrays(np.uint8, st.shared(
+            st.tuples(st.integers(1, 8), st.integers(1, 8)),
+            key="wh",
+        )),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_y4m_roundtrip_any_frames(frames):
+    from server_spark.multimodal.video import encode_y4m_mono, parse_y4m
+
+    parsed = parse_y4m(encode_y4m_mono(frames))
+    assert parsed is not None
+    _w, _h, got = parsed
+    assert len(got) == len(frames)
+    for a, b in zip(frames, got):
+        assert (a == b).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rate=st.sampled_from([8000, 16000, 44100]),
+    channels=st.integers(1, 2),
+    n=st.integers(1, 400),
+    seed=st.integers(0, 10**6),
+)
+def test_wav_roundtrip_any_samples(rate, channels, n, seed):
+    """parse(synthesize(x)) recovers the PCM16-quantized samples for
+    arbitrary lengths/rates/channel counts (incl. odd data sizes that
+    exercise RIFF word alignment)."""
+    import numpy as np
+
+    from server_spark.multimodal.audio import parse_pcm16
+
+    rng = np.random.RandomState(seed)
+    mono = rng.uniform(-0.99, 0.99, n)
+    pcm = (mono * 32767).astype("<i2")
+    frames_b = np.repeat(pcm[:, None], channels, axis=1).tobytes()
+    byte_rate = rate * channels * 2
+    wav = (
+        b"RIFF" + (36 + len(frames_b)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(frames_b).to_bytes(4, "little") + frames_b
+    )
+    parsed = parse_pcm16(wav)
+    assert parsed is not None
+    got_rate, got_ch, x = parsed
+    assert (got_rate, got_ch) == (rate, channels)
+    expect = pcm.astype(np.float64) / 32768.0
+    assert np.allclose(x[:, 0], expect)
