@@ -171,9 +171,9 @@ def decode_bmp(b: bytes):
 
 
 def decode_image(b: bytes):
-    """(format, rgb array) for PNG/BMP payloads, else None. JPEG/GIF/
-    anything else is the quarantine path by design (env-blocked or
-    out of scope)."""
+    """(format, rgb array) for PNG/BMP/GIF payloads (GIF: first
+    frame), else None. Only JPEG — entropy decode, genuinely needs
+    libjpeg — remains the quarantine path by design."""
     if b is None:
         return None
     bb = bytes(b)
@@ -183,6 +183,9 @@ def decode_image(b: bytes):
     img = decode_bmp(bb)
     if img is not None:
         return ("bmp", img)
+    gif = decode_gif(bb)
+    if gif is not None:
+        return ("gif", gif[2][0])
     return None
 
 
@@ -312,6 +315,251 @@ def synthetic_image(media_id: int) -> "np.ndarray":
     ).astype(np.uint8)
 
 
+def lzw_decode(data: bytes, min_code_size: int):
+    """GIF-variant LZW decode: LSB-first bit packing, CLEAR/END
+    control codes, code width grows when the string table fills the
+    current code space (cap 12 bits, deferred-clear tolerated).
+    Returns the decoded index bytes, or None on a corrupt stream."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width0 = min_code_size + 1
+    stream = int.from_bytes(data, "little")
+    nbits = 8 * len(data)
+    literals = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(literals)
+    width, pos, prev = width0, 0, None
+    out = bytearray()
+    while pos + width <= nbits:
+        code = (stream >> pos) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            table = list(literals)
+            width, prev = width0, None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+        else:
+            return None
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encode (real string-table compressor with
+    width growth and 4096-reset) — the fixture generator whose output
+    the decoder round-trips; width timing mirrors lzw_decode."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width0 = min_code_size + 1
+    out = 0
+    nbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal out, nbits
+        out |= code << nbits
+        nbits += w
+
+    table = {bytes([i]): i for i in range(clear)}
+    width, next_code = width0, end + 1
+    emit(clear, width)
+    buf = b""
+    for k in bytes(indices):
+        cand = buf + bytes([k])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            width, next_code = width0, end + 1
+        buf = bytes([k])
+    if buf:
+        emit(table[buf], width)
+    emit(end, width)
+    return out.to_bytes((nbits + 7) // 8, "little")
+
+
+def decode_gif(b: bytes):
+    """GIF87a/89a → (w, h, [uint8 RGB frames (h, w, 3)]), or None.
+
+    REAL decode: logical-screen parse, global/local color tables,
+    sub-block reassembly, LZW decompression (lzw_decode), Adam-style
+    4-pass de-interlace, and frame compositing onto the logical
+    screen honoring disposal methods 0/1 (leave) and 2 (restore
+    background) plus GCE transparency masks (transparent pixels keep
+    the underlying canvas — alpha itself is dropped, the PNG/BMP
+    convention). Malformed streams return None (quarantine)."""
+    import numpy as np
+
+    bb = bytes(b)
+    if len(bb) < 13 or bb[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w = int.from_bytes(bb[6:8], "little")
+    h = int.from_bytes(bb[8:10], "little")
+    packed, bg = bb[10], bb[11]
+    if w <= 0 or h <= 0:
+        return None
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 7) + 1)
+        if pos + 3 * n > len(bb):
+            return None
+        gct = np.frombuffer(bb[pos:pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w, 3), np.uint8)
+    if gct is not None and bg < len(gct):
+        canvas[:] = gct[bg]
+    frames = []
+    disposal, transp = 0, None
+    while pos < len(bb):
+        blk = bb[pos]
+        pos += 1
+        if blk == 0x3B:  # trailer
+            break
+        if blk == 0x21:  # extension: capture GCE, skip the rest
+            if pos >= len(bb):
+                return None
+            label = bb[pos]
+            pos += 1
+            first = True
+            while pos < len(bb):
+                sz = bb[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                if label == 0xF9 and first and sz >= 4:
+                    gpacked = bb[pos]
+                    disposal = (gpacked >> 2) & 7
+                    transp = bb[pos + 3] if gpacked & 1 else None
+                first = False
+                pos += sz
+            continue
+        if blk != 0x2C:  # not an image descriptor → corrupt
+            return None
+        if pos + 9 > len(bb):
+            return None
+        left = int.from_bytes(bb[pos:pos + 2], "little")
+        top = int.from_bytes(bb[pos + 2:pos + 4], "little")
+        fw = int.from_bytes(bb[pos + 4:pos + 6], "little")
+        fh = int.from_bytes(bb[pos + 6:pos + 8], "little")
+        ipacked = bb[pos + 8]
+        pos += 9
+        lct = gct
+        if ipacked & 0x80:
+            n = 2 ** ((ipacked & 7) + 1)
+            if pos + 3 * n > len(bb):
+                return None
+            lct = np.frombuffer(
+                bb[pos:pos + 3 * n], dtype=np.uint8
+            ).reshape(-1, 3)
+            pos += 3 * n
+        if lct is None or fw <= 0 or fh <= 0:
+            return None
+        if left + fw > w or top + fh > h:
+            return None
+        if pos >= len(bb):
+            return None
+        mcs = bb[pos]
+        pos += 1
+        if not 2 <= mcs <= 8:
+            return None
+        data = bytearray()
+        while pos < len(bb):
+            sz = bb[pos]
+            pos += 1
+            if sz == 0:
+                break
+            data += bb[pos:pos + sz]
+            pos += sz
+        idx = lzw_decode(bytes(data), mcs)
+        if idx is None or len(idx) < fw * fh:
+            return None
+        arr = np.frombuffer(idx[:fw * fh], dtype=np.uint8).reshape(fh, fw)
+        if ipacked & 0x40:  # de-interlace (4 passes)
+            order = (
+                list(range(0, fh, 8))
+                + list(range(4, fh, 8))
+                + list(range(2, fh, 4))
+                + list(range(1, fh, 2))
+            )
+            out_rows = np.empty_like(arr)
+            out_rows[order] = arr
+            arr = out_rows
+        if int(arr.max(initial=0)) >= len(lct):
+            return None
+        region = canvas[top:top + fh, left:left + fw]
+        rgb = lct[arr]
+        if transp is not None:
+            mask = arr != transp
+            region[mask] = rgb[mask]
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        if disposal == 2:
+            bgcol = (
+                gct[bg]
+                if gct is not None and bg < len(gct)
+                else np.zeros(3, np.uint8)
+            )
+            canvas[top:top + fh, left:left + fw] = bgcol
+        disposal, transp = 0, None
+    if not frames:
+        return None
+    return w, h, frames
+
+
+def encode_gif(frames_idx, palette, min_code_size: int = 8) -> bytes:
+    """Index-array frames + RGB palette → animated GIF89a bytes
+    (real LZW compression via lzw_encode, 255-byte sub-blocks,
+    disposal=1). Fixture generator for the decode tests and the
+    synthetic media mints."""
+    import numpy as np
+
+    pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    bits = max(1, (len(pal) - 1).bit_length())
+    size = 1 << bits
+    table = np.zeros((size, 3), np.uint8)
+    table[: len(pal)] = pal
+    h, w = frames_idx[0].shape
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT flag+size, bg, aspect
+    out += table.tobytes()
+    for fr in frames_idx:
+        out += bytes([0x21, 0xF9, 4, 0x04, 0, 0, 0, 0])  # GCE disposal=1
+        out += b"\x2c" + bytes(4)  # left=top=0
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes([0])  # no LCT, not interlaced
+        out += bytes([min_code_size])
+        data = lzw_encode(fr.astype(np.uint8).tobytes(), min_code_size)
+        for off in range(0, len(data), 255):
+            chunk = data[off:off + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += bytes([0])
+    out += b"\x3b"
+    return bytes(out)
+
+
 # Source text of everything the executor closures need, captured once
 # at import time (binary.py's _SNIFF_SRC pattern): ONE implementation,
 # shipped by value, workers never import server_spark.
@@ -323,6 +571,10 @@ IMAGE_SRC = "\n".join(
         paeth,
         decode_png,
         decode_bmp,
+        lzw_decode,
+        lzw_encode,
+        decode_gif,
+        encode_gif,
         decode_image,
         nn_resize,
         encode_bmp,

@@ -1866,3 +1866,98 @@ def x131_keyframe_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
         .mapInPandas(extract, SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# x135 — scene detection over REAL compressed video containers (GIF)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x135_gif_motion",
+    None,  # LZW container decode — rows-only (no honest SQL twin)
+    doc="EXT x135 — x130's scene detection re-run over a REAL "
+    "COMPRESSED container: the same synthetic clips (shared "
+    "synthetic_clip_frames mint) are packed as animated GIF89a "
+    "(real LZW compression, multimodal/image.encode_gif), then "
+    "fully decoded back — GIF-variant LZW with code-width growth "
+    "and 4096-reset, color-table mapping, frame compositing "
+    "(multimodal/image.decode_gif, anchored against real-world "
+    "encoder output and the canonical 43-byte tracking pixel) — "
+    "and the luma |delta| features recomputed. The point is "
+    "FORMAT-INDEPENDENCE of the temporal features: the planted cut "
+    "frame must match the uncompressed Y4M path bit-for-bit "
+    "(pinned by test), proving the decode stack, not just the "
+    "plumbing. Only entropy-coded video (H.264) remains "
+    "env-blocked. Shape: one mapInPandas (mint+decode+features).",
+    tags=("ext", "multimodal", "rows-only"),
+    late=True,
+)
+def x135_gif_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.multimodal.image import IMAGE_SRC
+    from server_spark.multimodal.video import VIDEO_SRC
+
+    img_src, video_src = IMAGE_SRC, VIDEO_SRC
+    n_frames, thresh = _X130_FRAMES, _X130_CUT_THRESHOLD
+
+    SCHEMA = (
+        "media_id long, ok boolean, n_frames int, n_cuts int, "
+        "first_cut int, max_energy double, mean_energy double"
+    )
+
+    def mint_decode(it):
+        import numpy as np
+        import pandas as pd
+
+        ins: dict = {}
+        exec(img_src, ins)
+        vns: dict = {}
+        exec(video_src, vns)
+        encode_gif, decode_gif = ins["encode_gif"], ins["decode_gif"]
+        scene_cuts, synth_clip = vns["scene_cuts"], vns["synthetic_clip_frames"]
+        gray_pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+
+        def features(mid: int, text: str) -> dict:
+            if mid % 5 == 4:  # undecodable leg (same split as x130)
+                payload = str(text).encode("utf-8")
+            else:
+                payload = encode_gif(synth_clip(mid, n_frames), gray_pal)
+            decoded = decode_gif(payload)
+            if decoded is None:
+                return {
+                    "media_id": mid, "ok": False, "n_frames": None,
+                    "n_cuts": None, "first_cut": None,
+                    "max_energy": None, "mean_energy": None,
+                }
+            _w, _h, rgb_frames = decoded
+            # gray palette → luma is any channel
+            frames = [fr[:, :, 0] for fr in rgb_frames]
+            feats = scene_cuts(frames, threshold=thresh)
+            cuts = [i for i, _m, _e, is_cut in feats if is_cut]
+            energies = [e for _i, _m, e, _c in feats[1:]]
+            return {
+                "media_id": mid,
+                "ok": True,
+                "n_frames": len(frames),
+                "n_cuts": len(cuts),
+                "first_cut": cuts[0] if cuts else -1,
+                "max_energy": float(max(energies)),
+                "mean_energy": float(np.mean(energies)),
+            }
+
+        cols = [c.split(" ")[0] for c in SCHEMA.split(", ")]
+        for pdf in it:
+            rows = [
+                features(int(i), t)
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    # repartition: decouple the Python mint+decode stage from
+    # input-split granularity (see x60's note)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .mapInPandas(mint_decode, SCHEMA)
+    )

@@ -77,6 +77,23 @@ def test_exec_source_roundtrip():
     assert (ns["parse_y4m"](enc)[2][0] == frames[0]).all()
 
 
+def test_x135_gif_path_matches_y4m_path_exactly(spark):
+    """Format independence of the temporal features: the SAME clips
+    routed through real LZW-compressed GIF (x135) and uncompressed
+    Y4M (x130) must yield IDENTICAL feature rows — any disagreement
+    means the GIF decode stack altered pixels."""
+    y4m = {
+        r["media_id"]: tuple(r)
+        for r in queries()["x130_scene_detect"](spark, SF).collect()
+    }
+    gif = {
+        r["media_id"]: tuple(r)
+        for r in queries()["x135_gif_motion"](spark, SF).collect()
+    }
+    assert set(y4m) == set(gif) and len(y4m) == 500
+    assert y4m == gif
+
+
 def test_x131_keyframe_thumbs_match_recompute(spark):
     """Keyframes = frame 0 + planted cut frame; thumbnail bytes must
     equal a driver-side recompute through the same video→image path
