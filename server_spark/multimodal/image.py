@@ -1,13 +1,16 @@
 """REAL image pixel decode for multimodal columns — no PIL needed.
 
-PNG and BMP do not require a codec library: PNG is stdlib-zlib
-inflate + per-scanline filter reconstruction (None/Sub/Up/Average/
-Paeth, RFC 2083 §6), BMP is an uncompressed BGR row walk. Following
-the audio leg's pattern (multimodal/audio.py — stdlib+numpy decode
-with physics-asserted tests), the image leg is now END-TO-END real
-for those two formats: bytes in, pixels out, real nearest-neighbor
-thumbnails re-encoded as deterministic 24-bit BMPs. Only JPEG remains
-quarantined (entropy decode genuinely needs libjpeg, absent here).
+None of the mainstream image formats require a codec library: PNG is
+stdlib-zlib inflate + per-scanline filter reconstruction (None/Sub/
+Up/Average/Paeth, RFC 2083 §6), BMP is an uncompressed BGR row walk,
+GIF is LZW + palette compositing (in this module), and baseline JPEG
+is Huffman + zigzag/dequant + an 8x8 inverse DCT (multimodal/
+jpeg.py). Following the audio leg's pattern (multimodal/audio.py —
+stdlib+numpy decode with physics-asserted tests), the image leg is
+END-TO-END real: bytes in, pixels out, real nearest-neighbor
+thumbnails re-encoded as deterministic 24-bit BMPs. The quarantine
+path now holds only genuinely exotic inputs (progressive/arithmetic
+JPEG, 12-bit, CMYK, corrupt containers).
 
 Supported PNG subset (everything our encoder mints, and the common
 web case): bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
@@ -171,9 +174,11 @@ def decode_bmp(b: bytes):
 
 
 def decode_image(b: bytes):
-    """(format, rgb array) for PNG/BMP/GIF payloads (GIF: first
-    frame), else None. Only JPEG — entropy decode, genuinely needs
-    libjpeg — remains the quarantine path by design."""
+    """(format, rgb array) for PNG/BMP/GIF/baseline-JPEG payloads
+    (GIF: first frame), else None. The quarantine path now holds only
+    genuinely exotic inputs (progressive/arithmetic JPEG, 12-bit,
+    CMYK, truncated/corrupt containers) — every mainstream format
+    decodes for real with stdlib+numpy."""
     if b is None:
         return None
     bb = bytes(b)
@@ -186,6 +191,10 @@ def decode_image(b: bytes):
     gif = decode_gif(bb)
     if gif is not None:
         return ("gif", gif[2][0])
+    if bb[:2] == b"\xff\xd8":
+        img = decode_jpeg(bb)
+        if img is not None:
+            return ("jpeg", img)
     return None
 
 
@@ -565,7 +574,13 @@ def encode_gif(frames_idx, palette, min_code_size: int = 8) -> bytes:
 # shipped by value, workers never import server_spark.
 import inspect as _inspect  # noqa: E402
 
-IMAGE_SRC = "\n".join(
+from server_spark.multimodal.jpeg import (  # noqa: E402
+    JPEG_SRC,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+IMAGE_SRC = JPEG_SRC + "\n" + "\n".join(
     _inspect.getsource(f)
     for f in (
         paeth,

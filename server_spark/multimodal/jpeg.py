@@ -1,0 +1,519 @@
+"""Baseline JPEG decode (and a fixture encoder) in pure stdlib+numpy.
+
+The r5-r9 rounds treated JPEG as env-blocked ("needs libjpeg"). That
+is true of a FAST decoder; a CORRECT one needs no library: baseline
+JFIF is marker parsing + canonical Huffman + run-length/zigzag +
+dequantization + an 8x8 inverse DCT (one orthonormal matrix multiply)
++ chroma upsampling + YCbCr→RGB — all expressible in numpy. This
+module implements exactly the baseline sequential subset (SOF0/SOF1,
+8-bit, Huffman, 1 or 3 components, restart intervals, any integer
+sampling factors); progressive (SOF2), arithmetic coding, 12-bit and
+CMYK return None — the quarantine signal, now scoped to genuinely
+exotic inputs rather than a whole format.
+
+Correctness anchors (tests): real-world files produced by real
+encoders (grayscale 2x2 and a 16x16 4:2:0 photo icon from the Python
+distribution's own test data — shapes and channel statistics), plus
+encoder↔decoder round-trips with tolerance bounds (DCT quantization
+is lossy; the loop must reproduce smooth images within a few code
+values) and exactness on DC-only (constant) blocks.
+
+Python-loop Huffman decode is slow-path by design — decode of a
+thumbnail-sized fixture is microseconds-to-milliseconds and runs
+inside Arrow-batched executors; a production deployment swaps in a
+codec library behind the same quarantine contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def jpeg_zigzag():
+    """The 8x8 zigzag scan as flat natural-order indices (generated,
+    not transcribed — diagonal walk with alternating direction)."""
+    out = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(max(0, s - 7), min(8, s + 1))]
+        if s % 2 == 0:
+            diag = diag[::-1]
+        out += [r * 8 + c for r, c in diag]
+    return out
+
+
+def jpeg_dct_matrix():
+    """Orthonormal DCT-II basis M (M @ X @ M.T = JPEG forward DCT;
+    M.T @ C @ M = inverse): M[u,x] = k(u) cos((2x+1)u*pi/16) with
+    k(0)=sqrt(1/8), k(u)=1/2 — algebraically identical to the
+    standard's 1/4*C(u)C(v) normalization."""
+    import numpy as np
+
+    x = np.arange(8)
+    M = np.cos((2 * x[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16)
+    M[0] *= np.sqrt(1.0 / 8.0)
+    M[1:] *= 0.5
+    return M
+
+
+def jpeg_huffman_table(counts, symbols):
+    """BITS/HUFFVAL → {(length, code): symbol} canonical table."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def decode_jpeg(b: bytes):
+    """Baseline JPEG bytes → uint8 RGB array (h, w, 3), or None."""
+    import numpy as np
+
+    bb = bytes(b)
+    if len(bb) < 4 or bb[:2] != b"\xff\xd8":
+        return None
+    qt: dict = {}
+    huff: dict = {}
+    sof = None
+    scomp = None
+    restart_interval = 0
+    scan = None
+    i = 2
+    while i + 2 <= len(bb):
+        if bb[i] != 0xFF:
+            return None
+        m = bb[i + 1]
+        if m == 0xD8 or m == 0x01 or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > len(bb):
+            return None
+        ln = int.from_bytes(bb[i + 2:i + 4], "big")
+        seg = bb[i + 4:i + 2 + ln]
+        if m == 0xDB:  # DQT (quant tables kept in zigzag order)
+            p = 0
+            while p + 1 <= len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq == 0:
+                    if p + 64 > len(seg):
+                        return None
+                    qt[tq] = np.frombuffer(
+                        seg[p:p + 64], np.uint8
+                    ).astype(np.int32)
+                    p += 64
+                else:
+                    if p + 128 > len(seg):
+                        return None
+                    qt[tq] = np.frombuffer(
+                        seg[p:p + 128], ">u2"
+                    ).astype(np.int32)
+                    p += 128
+        elif m in (0xC0, 0xC1):  # baseline / extended sequential
+            if len(seg) < 6 or seg[0] != 8:
+                return None
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            if nc not in (1, 3) or len(seg) < 6 + 3 * nc or not w or not h:
+                return None
+            comps = []
+            for k in range(nc):
+                cid = seg[6 + 3 * k]
+                hv = seg[7 + 3 * k]
+                comps.append((cid, hv >> 4, hv & 15, seg[8 + 3 * k]))
+            if any(ci[1] < 1 or ci[2] < 1 for ci in comps):
+                return None
+            sof = (w, h, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive / arithmetic / lossless
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if p + 16 > len(seg):
+                    return None
+                counts = list(seg[p:p + 16])
+                p += 16
+                nsym = sum(counts)
+                if p + nsym > len(seg):
+                    return None
+                huff[(tc, th)] = jpeg_huffman_table(
+                    counts, list(seg[p:p + nsym])
+                )
+                p += nsym
+        elif m == 0xDD:
+            if len(seg) < 2:
+                return None
+            restart_interval = int.from_bytes(seg[:2], "big")
+        elif m == 0xDA:  # SOS → entropy-coded data follows
+            if not seg:
+                return None
+            ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3:
+                return None
+            scomp = {
+                seg[1 + 2 * k]: (seg[2 + 2 * k] >> 4, seg[2 + 2 * k] & 15)
+                for k in range(ns)
+            }
+            scan = bb[i + 2 + ln:]
+            break
+        i += 2 + ln
+    if sof is None or scan is None or scomp is None:
+        return None
+
+    # de-stuff the scan and split on restart markers
+    segs, cur, j = [], bytearray(), 0
+    while j < len(scan):
+        byte = scan[j]
+        if byte == 0xFF:
+            nxt = scan[j + 1] if j + 1 < len(scan) else None
+            if nxt == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            break  # EOI or any other marker ends the scan
+        cur.append(byte)
+        j += 1
+    segs.append(bytes(cur))
+
+    w, h, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    n_mcu = mcux * mcuy
+    planes = {
+        cid: np.zeros((mcuy * vi * 8, mcux * hi * 8), np.float64)
+        for cid, hi, vi, _tq in comps
+    }
+    M = jpeg_dct_matrix()
+    zz = np.array(jpeg_zigzag())
+    for cid, *_rest in comps:
+        if cid not in scomp:
+            return None
+    ri = restart_interval or n_mcu
+    mcu_index = 0
+    for segbytes in segs:
+        stream = int.from_bytes(segbytes, "big")
+        nbits = len(segbytes) * 8
+        pos = 0
+
+        def read_bits(n):
+            nonlocal pos
+            if n == 0:
+                return 0
+            if pos + n > nbits:
+                return None
+            v = (stream >> (nbits - pos - n)) & ((1 << n) - 1)
+            pos += n
+            return v
+
+        def huff_decode(table):
+            nonlocal pos
+            code = 0
+            for ln2 in range(1, 17):
+                bit = read_bits(1)
+                if bit is None:
+                    return None
+                code = (code << 1) | bit
+                if (ln2, code) in table:
+                    return table[(ln2, code)]
+            return None
+
+        preds = {cid: 0 for cid, *_ in comps}
+        done_in_seg = 0
+        while mcu_index < n_mcu and done_in_seg < ri:
+            my, mx = divmod(mcu_index, mcux)
+            for cid, hi, vi, tq in comps:
+                if tq not in qt:
+                    return None
+                qtab = qt[tq]
+                dsel, asel = scomp[cid]
+                dctab = huff.get((0, dsel))
+                actab = huff.get((1, asel))
+                if dctab is None or actab is None:
+                    return None
+                for by in range(vi):
+                    for bx in range(hi):
+                        coef = np.zeros(64, np.int64)
+                        s = huff_decode(dctab)
+                        if s is None or s > 15:
+                            return None
+                        if s:
+                            v = read_bits(s)
+                            if v is None:
+                                return None
+                            diff = (
+                                v
+                                if v >= (1 << (s - 1))
+                                else v - (1 << s) + 1
+                            )
+                        else:
+                            diff = 0
+                        preds[cid] += diff
+                        coef[0] = preds[cid]
+                        k = 1
+                        while k < 64:
+                            sym = huff_decode(actab)
+                            if sym is None:
+                                return None
+                            if sym == 0:
+                                break  # EOB
+                            run, size = sym >> 4, sym & 15
+                            if size == 0:
+                                if run != 15:
+                                    return None
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                return None
+                            v = read_bits(size)
+                            if v is None:
+                                return None
+                            coef[k] = (
+                                v
+                                if v >= (1 << (size - 1))
+                                else v - (1 << size) + 1
+                            )
+                            k += 1
+                        block = np.zeros(64, np.float64)
+                        block[zz] = coef * qtab
+                        spatial = M.T @ block.reshape(8, 8) @ M
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = spatial
+            mcu_index += 1
+            done_in_seg += 1
+    if mcu_index < n_mcu:
+        return None  # truncated scan
+
+    out_planes = []
+    for cid, hi, vi, _tq in comps:
+        pl = planes[cid] + 128.0
+        pl = np.repeat(np.repeat(pl, vmax // vi, axis=0), hmax // hi, axis=1)
+        out_planes.append(pl[:h, :w])
+    if len(out_planes) == 1:
+        g = np.clip(out_planes[0], 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, bl], axis=2), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg(
+    img, quant: int = 8, subsample: bool = False, restart: int = 0
+) -> bytes:
+    """uint8 RGB (h, w, 3) → baseline JFIF bytes. Fixture encoder:
+    flat quantization tables (value ``quant``), simple canonical
+    Huffman tables (12 DC symbols at 4 bits, 162 AC symbols at 8
+    bits — valid per the spec, exercised generically by the
+    decoder's DHT builder), optional 4:2:0 chroma subsampling,
+    optional DRI/RSTn restart markers every ``restart`` MCUs."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.float64)
+    h, w = img.shape[0], img.shape[1]
+    y = (
+        0.299 * img[:, :, 0]
+        + 0.587 * img[:, :, 1]
+        + 0.114 * img[:, :, 2]
+    )
+    cb = (
+        -0.168736 * img[:, :, 0]
+        - 0.331264 * img[:, :, 1]
+        + 0.5 * img[:, :, 2]
+        + 128.0
+    )
+    cr = (
+        0.5 * img[:, :, 0]
+        - 0.418688 * img[:, :, 1]
+        - 0.081312 * img[:, :, 2]
+        + 128.0
+    )
+    hy, vy = (2, 2) if subsample else (1, 1)
+    hmax, vmax = hy, vy
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    def pad(plane, ph, pw):
+        out = np.zeros((ph, pw), np.float64)
+        out[: plane.shape[0], : plane.shape[1]] = plane
+        if plane.shape[0] < ph:
+            out[plane.shape[0]:, : plane.shape[1]] = plane[-1:]
+        if plane.shape[1] < pw:
+            out[:, plane.shape[1]:] = out[:, plane.shape[1] - 1:plane.shape[1]]
+        return out
+
+    if subsample:
+        # box-mean 2x2 downsample (pad odd dims by edge replication)
+        cbp = pad(cb, h + h % 2, w + w % 2)
+        crp = pad(cr, h + h % 2, w + w % 2)
+        cb = (
+            cbp[0::2, 0::2] + cbp[1::2, 0::2]
+            + cbp[0::2, 1::2] + cbp[1::2, 1::2]
+        ) / 4.0
+        cr = (
+            crp[0::2, 0::2] + crp[1::2, 0::2]
+            + crp[0::2, 1::2] + crp[1::2, 1::2]
+        ) / 4.0
+    plane_specs = [
+        (1, hy, vy, 0, pad(y, mcuy * vy * 8, mcux * hy * 8)),
+        (2, 1, 1, 1, pad(cb, mcuy * 8, mcux * 8)),
+        (3, 1, 1, 1, pad(cr, mcuy * 8, mcux * 8)),
+    ]
+
+    M = jpeg_dct_matrix()
+    zz = np.array(jpeg_zigzag())
+    qtab = np.full(64, int(quant), np.int32)
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dc_syms = list(range(12))
+    ac_counts = [0] * 7 + [162] + [0] * 8
+    ac_syms = [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ] + [0x00, 0xF0]
+    enc_dc = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(dc_counts[ln - 1]):
+            enc_dc[dc_syms[k]] = (ln, code)
+            k += 1
+            code += 1
+        code <<= 1
+    enc_ac = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(ac_counts[ln - 1]):
+            enc_ac[ac_syms[k]] = (ln, code)
+            k += 1
+            code += 1
+        code <<= 1
+
+    bits = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code_val, nb):
+        nonlocal acc, nacc
+        acc = (acc << nb) | code_val
+        nacc += nb
+        while nacc >= 8:
+            nacc -= 8
+            bits.append((acc >> nacc) & 0xFF)
+
+    def emit_value(v):
+        if v == 0:
+            return 0, 0
+        size = int(abs(v)).bit_length()
+        val = v if v > 0 else v + (1 << size) - 1
+        return size, val
+
+    rst_points = []  # byte offsets (into `bits`) where RSTn go
+    preds = {1: 0, 2: 0, 3: 0}
+    for mcu_index in range(mcux * mcuy):
+        if restart and mcu_index and mcu_index % restart == 0:
+            # byte-align (pad 1s), remember the split, reset predictors
+            if nacc:
+                emit((1 << (8 - nacc)) - 1, 8 - nacc)
+            rst_points.append(len(bits))
+            preds = {1: 0, 2: 0, 3: 0}
+        my, mx = divmod(mcu_index, mcux)
+        for cid, hi, vi, _tq, plane in plane_specs:
+            for by in range(vi):
+                for bx in range(hi):
+                    y0 = (my * vi + by) * 8
+                    x0 = (mx * hi + bx) * 8
+                    block = plane[y0:y0 + 8, x0:x0 + 8] - 128.0
+                    coefs = M @ block @ M.T
+                    q = np.round(coefs.flatten()[zz] / qtab).astype(int)
+                    diff = int(q[0]) - preds[cid]
+                    preds[cid] = int(q[0])
+                    size, val = emit_value(diff)
+                    ln, c = enc_dc[size]
+                    emit(c, ln)
+                    if size:
+                        emit(val, size)
+                    run = 0
+                    for kk in range(1, 64):
+                        v = int(q[kk])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run >= 16:
+                            ln, c = enc_ac[0xF0]
+                            emit(c, ln)
+                            run -= 16
+                        size, val = emit_value(v)
+                        ln, c = enc_ac[(run << 4) | size]
+                        emit(c, ln)
+                        emit(val, size)
+                        run = 0
+                    if run:
+                        ln, c = enc_ac[0x00]
+                        emit(c, ln)
+    if nacc:
+        emit((1 << (8 - nacc)) - 1, 8 - nacc)  # pad with 1s
+    stuffed = bytearray()
+    rst_set = set(rst_points)
+    rst_n = 0
+    for off, byte in enumerate(bits):
+        if off in rst_set:
+            stuffed += bytes([0xFF, 0xD0 + (rst_n % 8)])
+            rst_n += 1
+        stuffed.append(byte)
+        if byte == 0xFF:
+            stuffed.append(0x00)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")
+    zz_q = bytes(int(v) for v in qtab)
+    out += seg(0xDB, bytes([0x00]) + zz_q)
+    out += seg(0xDB, bytes([0x01]) + zz_q)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    sof += bytes([1, (hy << 4) | vy, 0])
+    sof += bytes([2, 0x11, 1])
+    sof += bytes([3, 0x11, 1])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00] + dc_counts) + bytes(dc_syms))
+    out += seg(0xC4, bytes([0x10] + ac_counts) + bytes(ac_syms))
+    out += seg(0xC4, bytes([0x01] + dc_counts) + bytes(dc_syms))
+    out += seg(0xC4, bytes([0x11] + ac_counts) + bytes(ac_syms))
+    if restart:
+        out += seg(0xDD, restart.to_bytes(2, "big"))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += seg(0xDA, sos)
+    out += stuffed
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+import inspect as _inspect  # noqa: E402
+
+JPEG_SRC = "\n".join(
+    _inspect.getsource(f)
+    for f in (
+        jpeg_zigzag,
+        jpeg_dct_matrix,
+        jpeg_huffman_table,
+        decode_jpeg,
+        encode_jpeg,
+    )
+)

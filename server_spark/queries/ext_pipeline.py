@@ -1961,3 +1961,86 @@ def x135_gif_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
         .mapInPandas(mint_decode, SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# x136 — JPEG compression-quality screen (blockiness over REAL decode)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x136_jpeg_blockiness",
+    None,  # entropy-coded decode — rows-only (no honest SQL twin)
+    doc="EXT x136 — JPEG COMPRESSION-QUALITY screen, possible because "
+    "baseline JPEG now decodes for real (multimodal/jpeg.py: pure "
+    "numpy Huffman + dequant + IDCT + 4:2:0 upsample, anchored "
+    "against real-encoder artifacts): per doc, a JPEG is minted at "
+    "a doc-keyed quantization level (half the corpus lightly "
+    "quantized, half over-compressed), FULLY decoded back, and "
+    "scored with the classic no-reference blockiness estimator — "
+    "mean |gradient| across 8-aligned block boundaries over the "
+    "interior mean. Over-compressed images show boundary "
+    "discontinuities (flattened DCT blocks); an image corpus drops "
+    "or downweights them before training. The metric needs no "
+    "pristine reference — exactly the field condition. Shape: one "
+    "mapInPandas (mint+decode+score), tiny class rollup.",
+    tags=("ext", "multimodal", "filter", "rows-only"),
+    late=True,
+)
+def x136_jpeg_blockiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.multimodal.image import IMAGE_SRC
+
+    img_src = IMAGE_SRC
+
+    SCHEMA = (
+        "media_id long, ok boolean, quality_class string, "
+        "blockiness double, mean_luma double"
+    )
+
+    def mint_score(it):
+        import numpy as np
+        import pandas as pd
+
+        ns: dict = {}
+        exec(img_src, ns)
+        synth, enc, dec = (
+            ns["synthetic_image"], ns["encode_jpeg"], ns["decode_jpeg"]
+        )
+
+        def score(mid: int) -> dict:
+            img = synth(mid)
+            hi_q = mid % 2 == 0
+            payload = enc(img, quant=2 if hi_q else 40)
+            decoded = dec(payload)
+            cls = "light" if hi_q else "crushed"
+            if decoded is None:
+                return {
+                    "media_id": mid, "ok": False, "quality_class": cls,
+                    "blockiness": None, "mean_luma": None,
+                }
+            gray = decoded.astype(np.float64).mean(axis=2)
+            d = np.abs(np.diff(gray, axis=1))
+            cols = np.arange(d.shape[1])
+            at_b = d[:, (cols % 8) == 7].mean()
+            interior = d[:, (cols % 8) != 7].mean()
+            return {
+                "media_id": mid,
+                "ok": True,
+                "quality_class": cls,
+                "blockiness": float(at_b / (interior + 1e-9)),
+                "mean_luma": float(gray.mean()),
+            }
+
+        cols = [c.split(" ")[0] for c in SCHEMA.split(", ")]
+        for pdf in it:
+            rows = [score(int(i)) for i in pdf["doc_id"]]
+            yield pd.DataFrame(rows, columns=cols)
+
+    # repartition: decouple the Python mint+decode stage from
+    # input-split granularity (see x60's note)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .mapInPandas(mint_score, SCHEMA)
+    )

@@ -124,6 +124,22 @@ def test_x129_audio_fingerprint_separates_bases(spark):
     assert sum(1 for r in rows if r["hamming"] == 0) > 1000  # gain-invariant core
 
 
+def test_x136_blockiness_separates_quality_classes(spark):
+    """The no-reference blockiness score must separate the planted
+    quality classes: every doc decodes (real baseline JPEG decode),
+    and the over-compressed class scores strictly higher per class
+    mean with a clear margin."""
+    rows = queries()["x136_jpeg_blockiness"](spark, SF).collect()
+    assert len(rows) == 500 and all(r["ok"] for r in rows)
+    by_cls: dict[str, list[float]] = {}
+    for r in rows:
+        by_cls.setdefault(r["quality_class"], []).append(r["blockiness"])
+    assert len(by_cls["light"]) == 250 and len(by_cls["crushed"]) == 250
+    light = float(np.mean(by_cls["light"]))
+    crushed = float(np.mean(by_cls["crushed"]))
+    assert crushed > light * 1.2
+
+
 def test_x127_profile_consistent_with_x124(spark):
     prof = queries()["x127_boilerplate_profile"](spark, SF).collect()
     per_doc = queries()["x124_markup_extract"](spark, SF)

