@@ -772,18 +772,17 @@ def x56_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x60_media_resize",
     None,  # binary thumbnails — rows-only (no honest SQL twin)
-    doc="EXT x60 — multimodal resize/thumbnail pass, REAL for PNG/BMP "
-    "(r10): per-doc payloads are minted INSIDE the executors as "
-    "deterministic test-pattern images — one third PNG (cycling all "
-    "five scanline filter types), one third BMP, one third "
-    "undecodable text bytes — then FULLY pixel-decoded back by "
-    "multimodal/image.py (stdlib zlib inflate + filter "
-    "reconstruction / BGR row walk, no PIL), nearest-neighbor "
-    "resampled and re-encoded as deterministic 24-bit BMP "
-    "thumbnails. Undecodable payloads take the quarantine fold path "
-    "(thumb_format='fold') — the decode-or-quarantine posture a "
-    "100 TB media scan needs. Shape: two narrow mapInPandas passes "
-    "(mint, resize), Arrow-batched, no shuffle.",
+    doc="EXT x60 — multimodal resize/thumbnail pass, REAL for every "
+    "mainstream format (r10): per-doc payloads are minted INSIDE the "
+    "executors as deterministic test-pattern images across five legs "
+    "— PNG (cycling all five scanline filter types), BMP, GIF (real "
+    "LZW), baseline JPEG (numpy Huffman+IDCT), and undecodable text "
+    "bytes — then FULLY pixel-decoded back by multimodal/image.py "
+    "(no PIL anywhere), nearest-neighbor resampled and re-encoded as "
+    "deterministic 24-bit BMP thumbnails. Undecodable payloads take "
+    "the quarantine fold path (thumb_format='fold') — the "
+    "decode-or-quarantine posture a 100 TB media scan needs. Shape: "
+    "two narrow mapInPandas passes (mint, resize), Arrow-batched.",
     tags=("ext", "multimodal", "rows-only"),
     late=True,
 )
@@ -796,19 +795,25 @@ def x60_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     def mint(it):
         import pandas as pd
 
+        import numpy as np
+
         ns: dict = {}
         exec(img_src, ns)
-        synth, enc_png, enc_bmp = (
+        synth, enc_png, enc_bmp, enc_gif, enc_jpg = (
             ns["synthetic_image"],
             ns["encode_png"],
             ns["encode_bmp"],
+            ns["encode_gif"],
+            ns["encode_jpeg"],
         )
+        gray_pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
         for pdf in it:
             payloads = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 mid = int(did)
                 img = synth(mid)
-                if mid % 3 == 0:
+                leg = mid % 5
+                if leg == 0:
                     payloads.append(
                         enc_png(
                             img,
@@ -818,8 +823,12 @@ def x60_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ],
                         )
                     )
-                elif mid % 3 == 1:
+                elif leg == 1:
                     payloads.append(enc_bmp(img))
+                elif leg == 2:  # GIF: gray palette over the B channel
+                    payloads.append(enc_gif([img[:, :, 2]], gray_pal))
+                elif leg == 3:
+                    payloads.append(enc_jpg(img, quant=4))
                 else:  # undecodable → quarantine/fold leg
                     payloads.append(str(text).encode("utf-8"))
             yield pd.DataFrame(

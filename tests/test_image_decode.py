@@ -187,7 +187,7 @@ def test_resize_media_real_thumbnails_checksum_pinned(spark):
     assert len(got[2]["thumb"]) == 64  # fold output is w*h bytes
 
 
-def test_x60_mints_and_decodes_all_three_legs(spark):
+def test_x60_mints_and_decodes_all_five_legs(spark):
     from server_spark.registry import queries
 
     rows = queries()["x60_media_resize"](spark, "/root/testdata/sf0.001")
@@ -196,12 +196,27 @@ def test_x60_mints_and_decodes_all_three_legs(spark):
     by_fmt: dict[str, int] = {}
     for r in got.values():
         by_fmt[r["thumb_format"]] = by_fmt.get(r["thumb_format"], 0) + 1
-    # doc_id % 3: 0 → png, 1 → bmp (both decode to 'bmp' thumbs),
-    # 2 → text bytes (fold)
-    assert by_fmt["bmp"] == sum(1 for i in got if i % 3 in (0, 1))
-    assert by_fmt["fold"] == sum(1 for i in got if i % 3 == 2)
-    # spot-check one PNG-leg thumbnail pixel-exact against driver-side
-    # recompute (mint used row_filters keyed off doc_id)
-    mid = next(i for i in sorted(got) if i % 3 == 0)
-    expect = encode_bmp(nn_resize(synthetic_image(mid), 16, 16))
-    assert bytes(got[mid]["thumb"]) == expect
+    # doc_id % 5: 0 png, 1 bmp, 2 gif, 3 jpeg (all decode → 'bmp'
+    # thumbs), 4 text bytes (quarantine fold)
+    assert by_fmt["bmp"] == sum(1 for i in got if i % 5 != 4)
+    assert by_fmt["fold"] == sum(1 for i in got if i % 5 == 4)
+    # pixel-exact spot checks per lossless leg, driver-side recompute
+    mid_png = next(i for i in sorted(got) if i % 5 == 0)
+    assert bytes(got[mid_png]["thumb"]) == encode_bmp(
+        nn_resize(synthetic_image(mid_png), 16, 16)
+    )
+    mid_gif = next(i for i in sorted(got) if i % 5 == 2)
+    gray = synthetic_image(mid_gif)[:, :, 2]
+    assert bytes(got[mid_gif]["thumb"]) == encode_bmp(
+        nn_resize(np.repeat(gray[:, :, None], 3, axis=2), 16, 16)
+    )
+    # jpeg is lossy: decode the thumb back and bound the error
+    from server_spark.multimodal.image import decode_bmp
+    from server_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    mid_j = next(i for i in sorted(got) if i % 5 == 3)
+    thumb = decode_bmp(bytes(got[mid_j]["thumb"]))
+    expect = nn_resize(
+        decode_jpeg(encode_jpeg(synthetic_image(mid_j), quant=4)), 16, 16
+    )
+    assert (thumb == expect).all()
