@@ -142,6 +142,15 @@ def main() -> None:
             import re
             import subprocess
 
+            # TRULY isolated: the parent session's JVM (32 executor
+            # threads, pending GC) otherwise contends with the
+            # subprocess and the "isolated" median lands WORSE than
+            # the in-bench sample it was meant to adjudicate
+            # (observed: x9 1.72s in-bench → 2.77s in a recheck that
+            # overlapped the live JVM → 1.55s genuinely isolated).
+            # All timed work is done at this point.
+            spark.stop()
+
             proc = subprocess.run(
                 [
                     sys.executable,
