@@ -2611,3 +2611,126 @@ def x134_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x137 — dedup-aware source mixing budget (x28 recomputed post-dedup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x137_dedup_aware_mix",
+    rf"""
+    WITH RECURSIVE {shingle_ctes()},
+    {mh.md5_banded_candidates_sql(_MH_AB, _MH_BANDS)},
+    {_X106_EST_SQL},
+    pairs AS (SELECT doc_a, doc_b FROM est),
+    {_COMPONENTS_SQL},
+    toks AS (
+        SELECT doc_id, source,
+               len(string_split_regex(LOWER(TRIM(text)), '\s+'))
+                   AS n_tokens
+        FROM documents
+    ),
+    kept AS (
+        SELECT t.* FROM toks t
+        LEFT JOIN comp c ON t.doc_id = c.node
+        WHERE c.node IS NULL OR c.component = t.doc_id
+    ),
+    before_s AS (
+        SELECT source, COUNT(*) AS n_docs_before,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_before
+        FROM toks GROUP BY source
+    ),
+    after_s AS (
+        SELECT source, COUNT(*) AS n_docs_after,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_after
+        FROM kept GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(tokens_after) AS DOUBLE) AS total_after,
+               COUNT(*) AS n_sources
+        FROM after_s
+    )
+    SELECT b.source,
+           b.n_docs_before, a.n_docs_after,
+           b.tokens_before, a.tokens_after,
+           {r4sql("1.0 - CAST(a.tokens_after AS DOUBLE)"
+                  " / b.tokens_before")} AS removed_token_share,
+           {r4sql("LEAST(CAST(2.0 AS DOUBLE),"
+                  " (t.total_after / t.n_sources) / a.tokens_after)")}
+               AS mix_weight_after
+    FROM before_s b
+    JOIN after_s a ON b.source = a.source
+    CROSS JOIN tot t
+    """,
+    doc="EXT x137 — DEDUP-AWARE source mixing budget, closing the "
+    "loop x122 warned about: keep-one-per-cluster dedup silently "
+    "shifts the source mix (the surviving copy's source inherits the "
+    "tokens), so mixing weights computed on the RAW corpus (x28) are "
+    "wrong after dedup. This recomputes per-source docs/tokens with "
+    "near-dup clusters collapsed to their min-id representative "
+    "(same est-pair components as x133/x134), reports each source's "
+    "removed-token share, and re-derives x28's capped uniform-target "
+    "mix weight on the post-dedup counts — the numbers a corpus "
+    "assembly actually trains on. Shape: the shared one-scan "
+    "candidate pipeline + components + two hash-aggs on source (a "
+    "bounded key); the anti-join for survivors is a broadcast of the "
+    "cluster membership (bounded by dup-cluster members, not the "
+    "corpus).",
+    tags=("ext", "dedup", "pipeline"),
+    late=True,
+)
+def x137_dedup_aware_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.dedup.components import connected_components
+    from server_spark.textstats import analysis as tx
+
+    docs = _docs(spark, sf_dir)
+    pairs = _md5_minhash_pairs(docs, JACCARD_MIN).transform(barrier)
+    comp = connected_components(pairs)
+    toks = docs.select("doc_id", "source", tx.token_count().alias("n_tokens"))
+    kept = (
+        toks.join(
+            comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+        )
+        .filter(
+            F.col("component").isNull()
+            | (F.col("component") == F.col("doc_id"))
+        )
+        .drop("component")
+    )
+    before_s = toks.groupBy("source").agg(
+        F.count("*").alias("n_docs_before"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_before"),
+    )
+    after_s = kept.groupBy("source").agg(
+        F.count("*").alias("n_docs_after"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_after"),
+    )
+    tot = after_s.agg(
+        F.sum("tokens_after").cast("double").alias("total_after"),
+        F.count("*").alias("n_sources"),
+    )
+    return (
+        before_s.join(after_s, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs_before",
+            "n_docs_after",
+            "tokens_before",
+            "tokens_after",
+            r4(
+                1.0
+                - F.col("tokens_after").cast("double")
+                / F.col("tokens_before")
+            ).alias("removed_token_share"),
+            r4(
+                F.least(
+                    F.lit(2.0),
+                    (F.col("total_after") / F.col("n_sources"))
+                    / F.col("tokens_after"),
+                )
+            ).alias("mix_weight_after"),
+        )
+    )

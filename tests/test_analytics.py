@@ -568,6 +568,37 @@ def test_x133_x134_leakage_found_then_closed(spark):
     assert total_pairs > 0
 
 
+def test_x137_budget_reflects_cluster_survivors(spark):
+    """Post-dedup budgets must be consistent with the same component
+    structure x134 uses: total docs after = 500 − (cluster members −
+    clusters), every source keeps at least one doc, removed share in
+    [0, 1), and the capped mix weight obeys x28's formula on the
+    AFTER counts."""
+    from server_spark.dedup.components import connected_components
+    from server_spark.queries.ext_common import _docs
+    from server_spark.queries.ext_dedup import _md5_minhash_pairs
+    from server_spark.registry import queries
+
+    rows = queries()["x137_dedup_aware_mix"](spark, SF_SMOKE).collect()
+    docs = _docs(spark, SF_SMOKE)
+    comp = connected_components(
+        _md5_minhash_pairs(docs, 0.2)
+    ).collect()
+    members = len(comp)
+    clusters = len({r["component"] for r in comp})
+    assert sum(r["n_docs_before"] for r in rows) == 500
+    assert sum(r["n_docs_after"] for r in rows) == 500 - members + clusters
+    total_after = sum(r["tokens_after"] for r in rows)
+    n_sources = len(rows)
+    for r in rows:
+        assert 0 <= r["removed_token_share"] < 1
+        assert r["n_docs_after"] >= 1
+        expect = min(2.0, (total_after / n_sources) / r["tokens_after"])
+        assert r["mix_weight_after"] == pytest.approx(expect, abs=1e-3)
+    # dedup must actually have removed something on this corpus
+    assert members > clusters
+
+
 def test_x106_hash_sample_agrees_with_full_on_subset(spark, tmp_path):
     """The sample_mod valve is exact restriction, not approximation:
     x106 at sample_mod=m equals the full eval run over a corpus that
