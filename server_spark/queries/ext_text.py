@@ -3688,3 +3688,73 @@ def x132_link_policy_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_content"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x138 — extraction → quality-gate funnel (end-to-end ingest composition)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x138_extraction_funnel",
+    f"""
+    WITH pages AS (
+        SELECT doc_id, source, {synthetic_page_sql()} AS html
+        FROM documents
+    ),
+    {extract_sql_ctes(carry="source")},
+    gated AS (
+        SELECT doc_id, source, kept_words,
+               CASE WHEN n_kept = 0 THEN 'no_content'
+                    WHEN kept_words < 10 THEN 'too_short'
+                    WHEN boilerplate_word_share > 0.9 THEN 'mostly_chrome'
+                    ELSE 'keep' END AS verdict
+        FROM extracted
+    )
+    SELECT source, verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(kept_words) AS BIGINT) AS clean_tokens
+    FROM gated
+    GROUP BY source, verdict
+    """,
+    doc="EXT x138 — the INGEST FUNNEL end-to-end: raw page → markup "
+    "extraction (x124's rules, source carried through) → quality "
+    "gate on the EXTRACTED text (no-content / too-short / "
+    "mostly-chrome / keep, x18's first-failed-rule shape) → "
+    "per-source verdict counts and surviving clean-token volume. "
+    "This is the number a corpus team actually reports per crawl "
+    "batch: how many fetched pages became usable training tokens, "
+    "by source and drop reason — and it PROVES the extraction and "
+    "gating operators compose in one plan (single narrow map chain "
+    "+ one hash-agg; the oracle composes the same CTEs). Gate "
+    "thresholds are integer/ratio compares on r4-canonical values, "
+    "so both engines agree exactly.",
+    tags=("ext", "markup", "filter", "pipeline"),
+    late=True,
+)
+def x138_extraction_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", "text")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .select(
+            "doc_id",
+            "source",
+            synthetic_page(F.col("doc_id"), F.col("text")).alias("html"),
+        )
+    )
+    ext = extract_clean_text(pages)
+    gated = ext.select(
+        "doc_id",
+        "source",
+        "kept_words",
+        F.when(F.col("n_kept") == 0, "no_content")
+        .when(F.col("kept_words") < 10, "too_short")
+        .when(F.col("boilerplate_word_share") > 0.9, "mostly_chrome")
+        .otherwise("keep")
+        .alias("verdict"),
+    )
+    return gated.groupBy("source", "verdict").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("kept_words").cast("bigint").alias("clean_tokens"),
+    )
