@@ -169,6 +169,16 @@ def main() -> None:
                 raw_flagged[name] = timings[name]
                 recheck[name] = med
                 timings[name] = med
+            # a failed/partial recheck must FAIL LOUDLY, not silently
+            # ship the contended in-bench numbers as the record (a
+            # missing recheck key is indistinguishable from "no
+            # movers" in the artifact otherwise)
+            missing = [n for n in movers if n not in recheck]
+            if proc.returncode != 0 or missing:
+                raise SystemExit(
+                    f"--recheck failed (rc={proc.returncode}, "
+                    f"unmeasured movers={missing}):\n{proc.stderr[-2000:]}"
+                )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # The driver stores only the TAIL (~2 KB) of stdout; a JSON line

@@ -214,6 +214,29 @@ def extract_sql_ctes(
     )"""
 
 
+# Outlink extraction — ONE pattern shared by the degree stats (x126)
+# and the policy screen (x132): tightening the href rule in one query
+# but not the other would make the screen count a different link
+# universe than the graph it claims to build on.
+HREF_PATTERN = r'href="([^"]+)"'
+
+
+def outlinks(html: Column) -> Column:
+    """Spark: array of href targets extracted from raw markup."""
+    return F.regexp_extract_all(html, F.lit(HREF_PATTERN), 1)
+
+
+def links_sql(pages: str = "pages") -> str:
+    """DuckDB twin: CTE ``links`` = (doc_id, href) exploded over a
+    relation ``pages`` with (doc_id, html)."""
+    return f"""links AS (
+        SELECT doc_id,
+               UNNEST(regexp_extract_all(html, '{HREF_PATTERN}', 1))
+                   AS href
+        FROM {pages}
+    )"""
+
+
 # ---------------------------------------------------------------------------
 # Synthetic page: deterministic HTML wrapping of documents.text, built
 # from ONE parts table so the Spark column and the SQL twin cannot

@@ -199,11 +199,11 @@ def resize_media(
     """Thumbnail/resize pass over Arrow batches (batch in → batch of
     fixed-size thumbnails out, memory bounded by batch × thumb size).
 
-    The resample is REAL for PNG and BMP payloads (multimodal/image:
-    stdlib-zlib inflate + scanline-filter reconstruction / BGR row
-    walk, nearest-neighbor resample, deterministic 24-bit BMP
-    re-encode → ``thumb_format='bmp'``). Payloads no decoder handles
-    (JPEG — env-blocked without libjpeg — plus GIF/unknown/corrupt)
+    The resample is REAL for PNG, BMP, GIF (first frame) and baseline
+    JPEG payloads (multimodal/image + multimodal/jpeg: no codec
+    library anywhere; nearest-neighbor resample, deterministic 24-bit
+    BMP re-encode → ``thumb_format='bmp'``). Payloads no decoder
+    handles (progressive/arithmetic JPEG, unknown/corrupt containers)
     take the quarantine-preserving fallback: a deterministic byte
     fold to out_width×out_height bytes, ``thumb_format='fold'``, so
     every surviving row still yields a fixed-size deterministic

@@ -79,12 +79,17 @@ def decode_png(b: bytes):
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if depth != 8 or interlace != 0 or channels is None or w <= 0 or h <= 0:
         return None
+    if w * h > (1 << 26):
+        return None  # header-dims bound
+    stride = w * channels
+    need = h * (stride + 1)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # cap the inflate at exactly the pixel budget: a deflate bomb
+        # in a small-dims container cannot balloon memory
+        raw = zlib.decompressobj().decompress(b"".join(idat), need)
     except Exception:
         return None
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
+    if len(raw) < need:
         return None
     out = np.zeros((h, stride), dtype=np.int32)
     zero = np.zeros(stride, dtype=np.int32)
@@ -178,23 +183,28 @@ def decode_image(b: bytes):
     (GIF: first frame), else None. The quarantine path now holds only
     genuinely exotic inputs (progressive/arithmetic JPEG, 12-bit,
     CMYK, truncated/corrupt containers) — every mainstream format
-    decodes for real with stdlib+numpy."""
+    decodes for real with stdlib+numpy.
+
+    THE quarantine dispatch: every decoder is additionally wrapped in
+    a blanket except → None, because the hand-rolled parsers cannot
+    prove every raise path absent on adversarial bytes, and the
+    contract here is 'one poison blob must not fail a 100 TB scan
+    task' — a wrong quarantine is recoverable, a killed task is not."""
     if b is None:
         return None
     bb = bytes(b)
-    img = decode_png(bb)
-    if img is not None:
-        return ("png", img)
-    img = decode_bmp(bb)
-    if img is not None:
-        return ("bmp", img)
-    gif = decode_gif(bb)
-    if gif is not None:
-        return ("gif", gif[2][0])
-    if bb[:2] == b"\xff\xd8":
-        img = decode_jpeg(bb)
+    for fmt, dec in (
+        ("png", decode_png),
+        ("bmp", decode_bmp),
+        ("gif", lambda x: (decode_gif(x) or [None, None, [None]])[2][0]),
+        ("jpeg", decode_jpeg),
+    ):
+        try:
+            img = dec(bb)
+        except Exception:
+            img = None
         if img is not None:
-            return ("jpeg", img)
+            return (fmt, img)
     return None
 
 
@@ -425,8 +435,8 @@ def decode_gif(b: bytes):
     w = int.from_bytes(bb[6:8], "little")
     h = int.from_bytes(bb[8:10], "little")
     packed, bg = bb[10], bb[11]
-    if w <= 0 or h <= 0:
-        return None
+    if w <= 0 or h <= 0 or w * h > (1 << 26):
+        return None  # dims bound BEFORE the canvas allocation
     pos = 13
     gct = None
     if packed & 0x80:

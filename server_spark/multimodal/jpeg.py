@@ -121,6 +121,9 @@ def decode_jpeg(b: bytes):
             nc = seg[5]
             if nc not in (1, 3) or len(seg) < 6 + 3 * nc or not w or not h:
                 return None
+            if w * h > (1 << 26):
+                return None  # header-declared dims bound (anti-DoS):
+                # a 13-byte blob must not demand a 100 GB plane
             comps = []
             for k in range(nc):
                 cid = seg[6 + 3 * k]
@@ -191,6 +194,11 @@ def decode_jpeg(b: bytes):
     w, h, comps = sof
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    # every component's sampling factor must divide the max (the
+    # integer-ratio upsample below assumes it); spec-legal exotic
+    # ratios like 3:2 quarantine rather than mis-broadcast
+    if any(hmax % c[1] or vmax % c[2] for c in comps):
+        return None
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     n_mcu = mcux * mcuy

