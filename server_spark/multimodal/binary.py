@@ -6,15 +6,17 @@ metadata. The Spark-side plumbing — schema, Arrow batching, partition
 sizing, one-to-many frame explosion — is real and tested. Container
 HEADER parsing (format sniff + pixel dimensions for PNG/JPEG/GIF/BMP,
 RIFF/WAVE detection) is real in pure stdlib, and as of r10 the pixel
-DECODE + resample is ALSO real for PNG, BMP and GIF
+DECODE + resample is ALSO real for PNG, BMP, GIF and JPEG
 (multimodal/image.py: zlib inflate + scanline-filter reconstruction,
 BGR row walk, GIF-variant LZW + frame compositing, nearest-neighbor
-thumbnails — no PIL required), joining the r9 real audio leg
+thumbnails — no PIL required; multimodal/jpeg.py: native Huffman +
+IDCT decode, no libjpeg required), joining the r9 real audio leg
 (multimodal/audio.py) and the r10 Y4M video demux
-(multimodal/video.py). Only JPEG entropy decode remains env-blocked
-(needs libjpeg); those payloads take the quarantine fallback inside
-the same mapInPandas contract (batch in → batch out, bounded memory
-per batch).
+(multimodal/video.py). Only genuinely exotic JPEG variants
+(progressive, arithmetic coding, 12-bit, CMYK) take the quarantine
+fallback
+inside the same mapInPandas contract (batch in → batch out, bounded
+memory per batch).
 
 Scale notes: binary payloads make rows wide — keep
 ``spark.sql.files.maxPartitionBytes`` low enough that a task's Arrow

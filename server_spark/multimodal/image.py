@@ -95,6 +95,12 @@ def decode_png(b: bytes):
     zero = np.zeros(stride, dtype=np.int32)
     bpp = channels
     p = 0
+    # Average/Paeth reconstruction is inherently left-sequential →
+    # Python loop. Budget the total loop work (bytes) so a huge
+    # adversarial Paeth-everywhere PNG quarantines in bounded time
+    # instead of stalling an executor task for hours; None/Up/Sub are
+    # fully vectorized and keep the whole 2^26-pixel header bound.
+    loop_budget = 1 << 24
     for y in range(h):
         f = raw[p]
         line = np.frombuffer(
@@ -106,27 +112,41 @@ def decode_png(b: bytes):
             cur = line
         elif f == 2:  # Up (vectorized — no left dependency)
             cur = (line + prev) & 0xFF
-        elif f == 1:  # Sub (left-sequential)
-            cur = line.copy()
-            for x in range(bpp, stride):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
-        elif f == 3:  # Average
-            cur = line.copy()
+        elif f == 1:  # Sub: cur[x] = line[x] + cur[x-bpp], i.e. a
+            # per-channel-lane prefix sum mod 256 — exact, vectorized
+            cur = (
+                np.cumsum(
+                    line.reshape(-1, bpp), axis=0, dtype=np.int64
+                ) & 0xFF
+            ).reshape(stride).astype(np.int32)
+        elif f == 3:  # Average (plain-list loop: numpy scalar
+            # indexing is ~10x slower per element than list access)
+            loop_budget -= stride
+            if loop_budget < 0:
+                return None
+            cl = line.tolist()
+            pl = prev.tolist()
             for x in range(stride):
-                left = cur[x - bpp] if x >= bpp else 0
-                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            cur = line.copy()
+                left = cl[x - bpp] if x >= bpp else 0
+                cl[x] = (cl[x] + ((left + pl[x]) >> 1)) & 0xFF
+            cur = np.array(cl, np.int32)
+        elif f == 4:  # Paeth (plain-list loop, same reason)
+            loop_budget -= stride
+            if loop_budget < 0:
+                return None
+            cl = line.tolist()
+            pl = prev.tolist()
             for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                c = prev[x - bpp] if x >= bpp else 0
-                up = prev[x]
+                a = cl[x - bpp] if x >= bpp else 0
+                c = pl[x - bpp] if x >= bpp else 0
+                up = pl[x]
                 pp = a + up - c
                 pa, pb, pc = abs(pp - a), abs(pp - up), abs(pp - c)
                 pred = a if (pa <= pb and pa <= pc) else (
                     up if pb <= pc else c
                 )
-                cur[x] = (cur[x] + pred) & 0xFF
+                cl[x] = (cl[x] + pred) & 0xFF
+            cur = np.array(cl, np.int32)
         else:
             return None
         out[y] = cur
@@ -201,6 +221,11 @@ def decode_image(b: bytes):
     ):
         try:
             img = dec(bb)
+        except MemoryError:
+            # NOT a format quarantine: the header bounds passed but
+            # decode allocations exhausted executor memory — surface
+            # as a task failure so operators see resource exhaustion
+            raise
         except Exception:
             img = None
         if img is not None:
@@ -334,22 +359,34 @@ def synthetic_image(media_id: int) -> "np.ndarray":
     ).astype(np.uint8)
 
 
-def lzw_decode(data: bytes, min_code_size: int):
+def lzw_decode(data: bytes, min_code_size: int, max_out: int = None):
     """GIF-variant LZW decode: LSB-first bit packing, CLEAR/END
     control codes, code width grows when the string table fills the
     current code space (cap 12 bits, deferred-clear tolerated).
-    Returns the decoded index bytes, or None on a corrupt stream."""
+    Returns the decoded index bytes, or None on a corrupt stream.
+
+    ``max_out`` bounds the decoded size (callers pass the frame's
+    pixel count): an LZW bomb in a small frame stops at the budget
+    instead of ballooning memory. Codes are read with an index-based
+    O(1) extractor — width<=12 plus a 7-bit offset spans at most 3
+    bytes — never a whole-stream bigint (which made every read
+    O(stream-size), quadratic on adversarial payloads)."""
     clear = 1 << min_code_size
     end = clear + 1
     width0 = min_code_size + 1
-    stream = int.from_bytes(data, "little")
     nbits = 8 * len(data)
     literals = [bytes([i]) for i in range(clear)] + [b"", b""]
     table = list(literals)
     width, pos, prev = width0, 0, None
     out = bytearray()
     while pos + width <= nbits:
-        code = (stream >> pos) & ((1 << width) - 1)
+        bi = pos >> 3
+        chunk = data[bi]
+        if bi + 1 < len(data):
+            chunk |= data[bi + 1] << 8
+        if bi + 2 < len(data):
+            chunk |= data[bi + 2] << 16
+        code = (chunk >> (pos & 7)) & ((1 << width) - 1)
         pos += width
         if code == clear:
             table = list(literals)
@@ -368,6 +405,8 @@ def lzw_decode(data: bytes, min_code_size: int):
         else:
             return None
         out += entry
+        if max_out is not None and len(out) >= max_out:
+            return bytes(out[:max_out])
         if prev is not None and len(table) < 4096:
             table.append(prev + entry[:1])
             if len(table) == (1 << width) and width < 12:
@@ -510,7 +549,7 @@ def decode_gif(b: bytes):
                 break
             data += bb[pos:pos + sz]
             pos += sz
-        idx = lzw_decode(bytes(data), mcs)
+        idx = lzw_decode(bytes(data), mcs, max_out=fw * fh)
         if idx is None or len(idx) < fw * fh:
             return None
         arr = np.frombuffer(idx[:fw * fh], dtype=np.uint8).reshape(fh, fw)

@@ -170,6 +170,13 @@ def decode_jpeg(b: bytes):
         i += 2 + ln
     if sof is None or scan is None or scomp is None:
         return None
+    # anti-DoS: entropy-coded bytes proportional to the declared pixel
+    # budget. Worst-case legal baseline entropy is ~12 bytes/px (64
+    # coefs x ~31 bits per block per component at 4:4:4); 24 bytes/px
+    # is a 2x margin. A multi-MB adversarial tail glued to small
+    # declared dims quarantines instead of stalling the task.
+    if len(scan) > 24 * sof[0] * sof[1] + (1 << 16):
+        return None
 
     # de-stuff the scan and split on restart markers
     segs, cur, j = [], bytearray(), 0
@@ -214,18 +221,29 @@ def decode_jpeg(b: bytes):
     ri = restart_interval or n_mcu
     mcu_index = 0
     for segbytes in segs:
-        stream = int.from_bytes(segbytes, "big")
         nbits = len(segbytes) * 8
         pos = 0
 
-        def read_bits(n):
+        # index-based MSB-first reader: O(bits-read) total, never
+        # materializes the stream as a bigint (a whole-stream int made
+        # every read O(stream-size) — quadratic on adversarial tails)
+        def read_bits(n, _seg=segbytes, _nbits=nbits):
             nonlocal pos
             if n == 0:
                 return 0
-            if pos + n > nbits:
+            if pos + n > _nbits:
                 return None
-            v = (stream >> (nbits - pos - n)) & ((1 << n) - 1)
-            pos += n
+            v = 0
+            rem = n
+            while rem:
+                byte = _seg[pos >> 3]
+                avail = 8 - (pos & 7)
+                take = avail if avail < rem else rem
+                v = (v << take) | (
+                    (byte >> (avail - take)) & ((1 << take) - 1)
+                )
+                pos += take
+                rem -= take
             return v
 
         def huff_decode(table):

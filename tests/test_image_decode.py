@@ -278,3 +278,64 @@ def test_adversarial_headers_quarantine_not_crash():
     # valid all-zero image — the point is bounded memory, and the
     # capped inflate returns exactly the budget
     assert dec is None or dec.shape == (2, 2, 3)
+
+
+def test_entropy_decode_bounded_on_adversarial_payloads():
+    """r11 anti-DoS hardening (ADVICE): entropy decoders must be
+    O(payload) with index-based readers, entropy size capped by the
+    declared pixel budget, and the sequential PNG filter loops
+    budget-bounded — a multi-MB poison blob quarantines in bounded
+    time instead of stalling an executor task for hours."""
+    import time
+
+    from server_spark.multimodal.image import lzw_decode, lzw_encode
+    from server_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    # JPEG: small declared dims + multi-MB garbage scan tail → fast None
+    img = np.random.default_rng(0).integers(0, 255, (16, 16, 3), np.uint8)
+    good = encode_jpeg(img)
+    tail = good[:-2] + b"\x55" * (4 << 20) + b"\xff\xd9"
+    t0 = time.time()
+    assert decode_jpeg(tail) is None
+    assert time.time() - t0 < 2.0
+    assert decode_jpeg(good) is not None  # legit path unaffected
+
+    # LZW: expansion bomb stops at the caller's pixel budget
+    bomb = lzw_encode(b"\x00" * 1_000_000, 4)
+    t0 = time.time()
+    out = lzw_decode(bomb, 4, max_out=64)
+    assert len(out) == 64
+    assert time.time() - t0 < 1.0
+    # un-capped decode still round-trips exactly
+    idx = bytes(np.random.default_rng(2).integers(0, 16, 5000, np.uint8))
+    assert lzw_decode(lzw_encode(idx, 4), 4) == idx
+
+    # PNG: Paeth-everywhere megapixel image hits the loop budget and
+    # quarantines in bounded time; mid-size Paeth/Average stay EXACT
+    big = encode_png(np.zeros((4096, 2048, 3), np.uint8),
+                     row_filters=[4] * 4096)
+    t0 = time.time()
+    assert decode_png(big) is None
+    assert time.time() - t0 < 20.0
+    med = np.random.default_rng(3).integers(0, 255, (96, 64, 3), np.uint8)
+    for f in (1, 3, 4):
+        assert (decode_png(encode_png(med, row_filters=[f] * 96)) == med).all()
+
+
+def test_memoryerror_not_swallowed_by_quarantine():
+    """decode_image's blanket quarantine must NOT mask resource
+    exhaustion (ADVICE): MemoryError propagates as a task failure."""
+    import server_spark.multimodal.image as im
+
+    def boom(_b):
+        raise MemoryError("allocations exhausted")
+
+    orig = im.decode_png
+    im.decode_png = boom
+    try:
+        with pytest.raises(MemoryError):
+            im.decode_image(b"\x89PNG\r\n\x1a\n" + bytes(32))
+    finally:
+        im.decode_png = orig
+    # ordinary parse errors still quarantine to None
+    assert im.decode_image(b"\x89PNG\r\n\x1a\n" + bytes(32)) is None
