@@ -49,6 +49,15 @@ def _materialize(df) -> None:
 
 
 def main() -> None:
+    # Host-speed probe BEFORE any Spark work (and again at the end):
+    # the artifact carries the score so bench_diff.py can tell "the
+    # host was 1.5x slower this run" from "a plan regressed" and defer
+    # adjudication instead of relying on manual ledger notes
+    # (SCALE.md r10 contended-window entry; VERDICT r10 item 5).
+    from scripts.calibrate import score as _cal_score
+
+    cal_start = _cal_score()
+
     spark = get_spark("server-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
@@ -180,6 +189,8 @@ def main() -> None:
                     f"unmeasured movers={missing}):\n{proc.stderr[-2000:]}"
                 )
 
+    cal_end = _cal_score()
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # The driver stores only the TAIL (~2 KB) of stdout; a JSON line
     # carrying all ~106 per-query timings (~4 KB) gets its head cut
@@ -203,6 +214,10 @@ def main() -> None:
         # re-run twice and record the MEDIAN of the 3 samples
         "sampling": "1-pass; flagged outliers = median-of-3",
         "remeasured": sorted(flagged),
+        # fixed-workload host-speed probe (scripts/calibrate.py),
+        # seconds at run start/end — bench_diff defers adjudication
+        # when this drifts >1.3x vs the baseline's recorded score
+        "calibration_sec": {"start": cal_start, "end": cal_end},
     }
     if recheck:
         # isolated-median numbers of record + the raw in-bench samples

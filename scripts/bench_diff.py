@@ -117,26 +117,36 @@ def diff(
     return regs, added, removed
 
 
-def load_queries(path: Path) -> dict[str, float]:
-    """Per-query seconds from a bench artifact: a plain bench JSON
-    (``{"queries": {...}}``) or a driver round artifact whose bench
-    line is embedded in a ``tail`` log string."""
+def load_artifact(path: Path) -> tuple[dict[str, float], float | None]:
+    """(per-query seconds, calibration score or None) from a bench
+    artifact: a plain bench JSON (``{"queries": {...}}``) or a driver
+    round artifact whose bench line is embedded in a ``tail`` log
+    string. Calibration is the mean of the artifact's start/end
+    host-speed probes (scripts/calibrate.py) when recorded."""
     doc = json.loads(path.read_text())
-    if "queries" in doc:
-        return doc["queries"]
-    if "tail" in doc:
+    if "queries" not in doc and "tail" in doc:
         # decode from the FIRST '{"metric"' with a raw_decode so any
         # trailing log framing after the JSON object can't break it
         start = doc["tail"].find('{"metric"')
         if start >= 0:
             try:
-                obj, _end = json.JSONDecoder().raw_decode(
+                doc, _end = json.JSONDecoder().raw_decode(
                     doc["tail"][start:]
                 )
-                return obj["queries"]
-            except (json.JSONDecodeError, KeyError):
+            except json.JSONDecodeError:
                 pass
-    raise SystemExit(f"{path}: no per-query map found")
+    if "queries" not in doc:
+        raise SystemExit(f"{path}: no per-query map found")
+    cal = doc.get("calibration_sec")
+    cal_mean = None
+    if isinstance(cal, dict) and cal:
+        vals = [v for v in cal.values() if isinstance(v, (int, float))]
+        cal_mean = sum(vals) / len(vals) if vals else None
+    return doc["queries"], cal_mean
+
+
+def load_queries(path: Path) -> dict[str, float]:
+    return load_artifact(path)[0]
 
 
 def main(argv: list[str]) -> int:
@@ -154,14 +164,28 @@ def main(argv: list[str]) -> int:
         since_path = Path(argv[idx + 1])
         if not since_path.is_absolute():
             since_path = REPO / since_path
-        base = load_queries(since_path)
+        base, base_cal = load_artifact(since_path)
         print(f"comparing against {since_path.name} "
               f"({len(base)} queries)")
     else:
-        base = json.loads(BASELINE.read_text())["queries"]
-    fresh = json.loads(FRESH.read_text())["queries"]
+        base, base_cal = load_artifact(BASELINE)
+    fresh, fresh_cal = load_artifact(FRESH)
     regs, added, removed = diff(base, fresh)
     waived = waivers()
+
+    # Contended-window auto-deferral (VERDICT r10 item 5): when both
+    # artifacts carry a host-calibration score and the fresh run's
+    # host was >CAL_DRIFT_MAX slower, per-query ratios are evidence of
+    # the environment, not the plans — adjudication is deferred (exit
+    # 3, distinct from gate-fail 1) instead of hand-written ledger
+    # notes. A faster host is fine: regressions would be understated,
+    # which is conservative in the safe direction.
+    CAL_DRIFT_MAX = 1.3
+    cal_ratio = None
+    if base_cal and fresh_cal:
+        cal_ratio = fresh_cal / base_cal
+        print(f"host calibration: base={base_cal:.4f}s "
+              f"fresh={fresh_cal:.4f}s ratio={cal_ratio:.2f}x")
 
     print(f"environment drift (median ratio): {median_drift(base, fresh):.2f}x")
     unwaived = [r for r in regs if r[0] not in waived]
@@ -187,6 +211,14 @@ def main(argv: list[str]) -> int:
         f">{THRESHOLD}x, {len(unwaived)} unwaived"
     )
     if unwaived and not report_only:
+        if cal_ratio is not None and cal_ratio > CAL_DRIFT_MAX:
+            print(
+                f"\nADJUDICATION DEFERRED: host ran {cal_ratio:.2f}x "
+                f"slower than the baseline window (> {CAL_DRIFT_MAX}x) "
+                "— re-run bench.py in a clean window before judging "
+                "these as regressions."
+            )
+            return 3
         print(
             "\nGATE FAILED: fix the regression or add a "
             "'## Bench waivers' bullet to SCALE.md naming the cause."

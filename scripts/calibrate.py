@@ -1,0 +1,55 @@
+"""Host CPU-calibration probe for bench adjudication.
+
+Rounds 4/5 and 10 each lost a close cycle to host-level slow windows:
+the shared sandbox's effective speed moved 1.2-2.0x between runs with
+the box otherwise idle, producing phantom per-query "regressions"
+that survived even median drift normalization when the slowdown was
+non-uniform (r10's contended-window ledger, SCALE.md). The manual
+protocol was to probe two reference queries in isolation and write a
+ledger note; this module automates the probe.
+
+``score()`` runs a fixed, data-independent workload — a pinned-seed
+numpy matmul loop (BLAS-threaded: sensitive to the same CPU/memory
+contention Spark executors feel) plus a pure-Python busy loop
+(single-core interpreter speed) — and returns the elapsed seconds
+(lower = faster host). The MIN of several repeats is kept: the min is
+the least-contended sample, so a slow score means even the best
+window during the probe was slow — a host property, not noise.
+
+bench.py records the score in its artifacts; bench_diff.py compares
+fresh vs baseline scores and DEFERS adjudication (exit 3, distinct
+from the gate-fail exit 1) when the host ran >1.3x slower than when
+the baseline was recorded — per-query ratios from such a window are
+not evidence of plan regressions.
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def score(repeats: int = 5) -> float:
+    """Seconds for the fixed calibration workload (min over repeats)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random((384, 384))
+    b = rng.random((384, 384))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        # BLAS leg: 8 matmuls (~0.9 GFLOP) — contended-CPU sensitive
+        c = a
+        for _ in range(8):
+            c = (c @ b) * 1e-2
+        # interpreter leg: fixed Python-loop work
+        s = 0
+        for i in range(200_000):
+            s += i * i
+        best = min(best, time.perf_counter() - t0)
+        del c, s
+    return round(best, 4)
+
+
+if __name__ == "__main__":
+    print(score())

@@ -46,12 +46,19 @@ def _canon_rows(cols, rows):
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    """Fresh in-memory DuckDB with the harness's table views."""
+    """Fresh in-memory DuckDB with the harness's table views.
+
+    The driver's dirs hold one parquet FILE per table; Spark-written
+    datasets (scripts/gen_scale_data.py) are DIRECTORIES of part
+    files — glob those so the same gate runs on generated scales."""
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
 

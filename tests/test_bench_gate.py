@@ -75,3 +75,72 @@ def test_baseline_artifact_is_valid():
     base = json.loads(BASELINE.read_text())
     assert base.get("queries") and len(base["queries"]) >= 50
     assert base.get("materializer") == "xxhash64-all-columns"
+
+
+def test_calibration_deferral_protocol():
+    """r11 (VERDICT r10 item 5): bench artifacts carry a fixed-
+    workload host-calibration score, and bench_diff defers
+    adjudication (exit 3) instead of failing when the fresh run's
+    host was >1.3x slower than the baseline window — the automated
+    replacement for r10's hand-written contended-window ledger."""
+    import subprocess
+
+    from scripts.bench_diff import load_artifact
+
+    # the probe itself: fast, deterministic-workload, returns seconds
+    from scripts.calibrate import score
+
+    s = score(repeats=2)
+    assert 0 < s < 5.0
+
+    # artifact plumbing: load_artifact surfaces calibration when
+    # present (plain and driver-tail forms), None when absent
+    q, cal = load_artifact(FRESH)
+    assert q
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        plain = Path(td) / "plain.json"
+        plain.write_text(json.dumps({
+            "queries": {"a": 1.0},
+            "calibration_sec": {"start": 0.02, "end": 0.04},
+        }))
+        qq, cc = load_artifact(plain)
+        assert qq == {"a": 1.0} and abs(cc - 0.03) < 1e-9
+        tail = Path(td) / "tail.json"
+        tail.write_text(json.dumps({
+            "tail": 'noise {"metric": "t", "queries": {"a": 1.0}, '
+                    '"calibration_sec": {"start": 0.05, "end": 0.05}} after'
+        }))
+        qq, cc = load_artifact(tail)
+        assert qq == {"a": 1.0} and abs(cc - 0.05) < 1e-9
+
+        # end-to-end deferral: a 2x-slower host with a huge "regression"
+        # exits 3 (deferred), NOT 1 (gate fail); same regression with
+        # matching calibration exits 1
+        base_doc = {"queries": {"q_slow": 2.0, "q_a": 1.0, "q_b": 1.0,
+                                "q_c": 1.0},
+                    "calibration_sec": {"start": 0.02, "end": 0.02}}
+        for fresh_cal, expected in (({"start": 0.05, "end": 0.05}, 3),
+                                    ({"start": 0.02, "end": 0.02}, 1)):
+            fresh_doc = {"queries": {"q_slow": 8.0, "q_a": 1.0,
+                                     "q_b": 1.0, "q_c": 1.0},
+                         "calibration_sec": fresh_cal}
+            bdir = Path(td) / f"case{expected}"
+            bdir.mkdir()
+            (bdir / "scripts").mkdir()
+            (bdir / "scripts" / "bench_baseline.json").write_text(
+                json.dumps(base_doc))
+            (bdir / "BENCH_FULL.json").write_text(json.dumps(fresh_doc))
+            # run the real CLI against a scratch repo layout by copying
+            # the script (REPO paths are derived from __file__)
+            script = (bdir / "scripts" / "bench_diff.py")
+            script.write_text(
+                (REPO / "scripts" / "bench_diff.py").read_text())
+            r = subprocess.run([sys.executable, str(script)],
+                               capture_output=True, text=True)
+            assert r.returncode == expected, (
+                f"expected exit {expected}, got {r.returncode}:\n"
+                f"{r.stdout}\n{r.stderr}")
+            if expected == 3:
+                assert "DEFERRED" in r.stdout
