@@ -142,7 +142,7 @@ def gen_all(spark: SparkSession, sf: float, out: str) -> None:
             F.timestamp_seconds(
                 F.unix_timestamp(base_1995)
                 + _mod(F.col("id"), 44, 2404) * 86400
-            ).alias("o_orderdate"),
+            ).cast("timestamp_ntz").alias("o_orderdate"),
             _pick(F.col("id"), 45, PRIOS).alias("o_orderpriority"),
         )
     )
@@ -173,8 +173,10 @@ def gen_all(spark: SparkSession, sf: float, out: str) -> None:
         _pick(lk, 58, ["A", "N", "R"]).alias("l_returnflag"),
         _pick(lk, 59, ["O", "F"]).alias("l_linestatus"),
         F.timestamp_seconds(
-            F.unix_timestamp("o_orderdate") + (F.pmod(lk, F.lit(120)) + 1) * 86400
-        ).alias("l_shipdate"),
+            F.unix_timestamp(
+                F.col("o_orderdate").cast("timestamp")
+            ) + (F.pmod(lk, F.lit(120)) + 1) * 86400
+        ).cast("timestamp_ntz").alias("l_shipdate"),
     )
     w(lineitem, "lineitem")
 
@@ -189,7 +191,7 @@ def gen_all(spark: SparkSession, sf: float, out: str) -> None:
                     F.unix_timestamp(base_2024) * 1_000_000
                     + (_u(ev, 61) * 30.0 * 86400.0 * 1e6).cast("long")
                 )
-            ).alias("ts"),
+            ).cast("timestamp_ntz").alias("ts"),
             _mod(ev, 62, n_users).alias("user_id"),
             _pick(ev, 63, EVENT_TYPES).alias("event_type"),
             F.round(
@@ -271,6 +273,13 @@ def main() -> None:
 
     spark = get_spark("gen-scale-data")
     spark.sparkContext.setLogLevel("ERROR")
+    # match the driver data's physical type (NAIVE timestamp[us],
+    # read back as TimestampNTZType): Spark's default INT96 breaks
+    # readers that pin an INT64-backed schema, and adjusted-to-UTC
+    # micros surface as TIMESTAMPTZ in the DuckDB oracle
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
     gen_all(spark, args.sf, out)
     for t in ["lineitem", "orders", "events", "documents", "embeddings"]:
         n = spark.read.parquet(os.path.join(out, f"{t}.parquet")).count()

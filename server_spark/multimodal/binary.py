@@ -10,10 +10,10 @@ DECODE + resample is ALSO real for PNG, BMP, GIF and JPEG
 (multimodal/image.py: zlib inflate + scanline-filter reconstruction,
 BGR row walk, GIF-variant LZW + frame compositing, nearest-neighbor
 thumbnails — no PIL required; multimodal/jpeg.py: native Huffman +
-IDCT decode, no libjpeg required), joining the r9 real audio leg
-(multimodal/audio.py) and the r10 Y4M video demux
-(multimodal/video.py). Only genuinely exotic JPEG variants
-(progressive, arithmetic coding, 12-bit, CMYK) take the quarantine
+IDCT decode of baseline AND progressive, no libjpeg required),
+joining the r9 real audio leg (multimodal/audio.py) and the r10 Y4M
+video demux (multimodal/video.py). Only genuinely exotic JPEG
+variants (arithmetic coding, 12-bit, CMYK) take the quarantine
 fallback
 inside the same mapInPandas contract (batch in → batch out, bounded
 memory per batch).
@@ -201,11 +201,12 @@ def resize_media(
     """Thumbnail/resize pass over Arrow batches (batch in → batch of
     fixed-size thumbnails out, memory bounded by batch × thumb size).
 
-    The resample is REAL for PNG, BMP, GIF (first frame) and baseline
-    JPEG payloads (multimodal/image + multimodal/jpeg: no codec
-    library anywhere; nearest-neighbor resample, deterministic 24-bit
-    BMP re-encode → ``thumb_format='bmp'``). Payloads no decoder
-    handles (progressive/arithmetic JPEG, unknown/corrupt containers)
+    The resample is REAL for PNG, BMP, GIF (first frame) and JPEG
+    payloads, baseline and progressive alike (multimodal/image +
+    multimodal/jpeg: no codec library anywhere; nearest-neighbor
+    resample, deterministic 24-bit BMP re-encode →
+    ``thumb_format='bmp'``). Payloads no decoder
+    handles (arithmetic-coded JPEG, unknown/corrupt containers)
     take the quarantine-preserving fallback: a deterministic byte
     fold to out_width×out_height bytes, ``thumb_format='fold'``, so
     every surviving row still yields a fixed-size deterministic

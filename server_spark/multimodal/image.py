@@ -3,14 +3,14 @@
 None of the mainstream image formats require a codec library: PNG is
 stdlib-zlib inflate + per-scanline filter reconstruction (None/Sub/
 Up/Average/Paeth, RFC 2083 §6), BMP is an uncompressed BGR row walk,
-GIF is LZW + palette compositing (in this module), and baseline JPEG
-is Huffman + zigzag/dequant + an 8x8 inverse DCT (multimodal/
-jpeg.py). Following the audio leg's pattern (multimodal/audio.py —
+GIF is LZW + palette compositing (in this module), and JPEG —
+baseline AND progressive — is Huffman + zigzag/dequant + an 8x8
+inverse DCT (multimodal/jpeg.py). Following the audio leg's pattern (multimodal/audio.py —
 stdlib+numpy decode with physics-asserted tests), the image leg is
 END-TO-END real: bytes in, pixels out, real nearest-neighbor
 thumbnails re-encoded as deterministic 24-bit BMPs. The quarantine
-path now holds only genuinely exotic inputs (progressive/arithmetic
-JPEG, 12-bit, CMYK, corrupt containers).
+path now holds only genuinely exotic inputs (arithmetic-coded JPEG,
+12-bit, CMYK, corrupt containers).
 
 Supported PNG subset (everything our encoder mints, and the common
 web case): bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
@@ -200,10 +200,11 @@ def decode_bmp(b: bytes):
 
 def decode_image(b: bytes):
     """(format, rgb array) for PNG/BMP/GIF/baseline-JPEG payloads
-    (GIF: first frame), else None. The quarantine path now holds only
-    genuinely exotic inputs (progressive/arithmetic JPEG, 12-bit,
-    CMYK, truncated/corrupt containers) — every mainstream format
-    decodes for real with stdlib+numpy.
+    (GIF: first frame), else None — "jpeg" covers baseline and
+    progressive alike. The quarantine path now holds only genuinely
+    exotic inputs (arithmetic-coded JPEG, 12-bit, CMYK, truncated/
+    corrupt containers) — every mainstream format decodes for real
+    with stdlib+numpy.
 
     THE quarantine dispatch: every decoder is additionally wrapped in
     a blanket except → None, because the hand-rolled parsers cannot

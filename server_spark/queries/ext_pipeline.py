@@ -770,10 +770,13 @@ def x56_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x60_media_resize",
     None,  # binary thumbnails — rows-only (no honest SQL twin)
     doc="EXT x60 — multimodal resize/thumbnail pass, REAL for every "
-    "mainstream format (r10): per-doc payloads are minted INSIDE the "
-    "executors as deterministic test-pattern images across five legs "
+    "mainstream format (r10, +progressive r11): per-doc payloads are "
+    "minted INSIDE the "
+    "executors as deterministic test-pattern images across six legs "
     "— PNG (cycling all five scanline filter types), BMP, GIF (real "
-    "LZW), baseline JPEG (numpy Huffman+IDCT), and undecodable text "
+    "LZW), baseline JPEG (numpy Huffman+IDCT), progressive SOF2 JPEG "
+    "(spectral selection + successive approximation), and "
+    "undecodable text "
     "bytes — then FULLY pixel-decoded back by multimodal/image.py "
     "(no PIL anywhere), nearest-neighbor resampled and re-encoded as "
     "deterministic 24-bit BMP thumbnails. Undecodable payloads take "
@@ -796,12 +799,13 @@ def x60_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         ns: dict = {}
         exec(img_src, ns)
-        synth, enc_png, enc_bmp, enc_gif, enc_jpg = (
+        synth, enc_png, enc_bmp, enc_gif, enc_jpg, enc_jpg_prog = (
             ns["synthetic_image"],
             ns["encode_png"],
             ns["encode_bmp"],
             ns["encode_gif"],
             ns["encode_jpeg"],
+            ns["encode_jpeg_progressive"],
         )
         gray_pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
         for pdf in it:
@@ -809,7 +813,7 @@ def x60_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 mid = int(did)
                 img = synth(mid)
-                leg = mid % 5
+                leg = mid % 6
                 if leg == 0:
                     payloads.append(
                         enc_png(
@@ -826,6 +830,12 @@ def x60_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payloads.append(enc_gif([img[:, :, 2]], gray_pal))
                 elif leg == 3:
                     payloads.append(enc_jpg(img, quant=4))
+                elif leg == 4:  # progressive (SOF2) JPEG — decoded
+                    # for real since r11, same quant as the baseline
+                    # leg so both reconstruct identical coefficients
+                    payloads.append(
+                        enc_jpg_prog(img, quant=4, subsample=(mid % 2 == 0))
+                    )
                 else:  # undecodable → quarantine/fold leg
                     payloads.append(str(text).encode("utf-8"))
             yield pd.DataFrame(

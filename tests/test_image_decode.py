@@ -187,7 +187,7 @@ def test_resize_media_real_thumbnails_checksum_pinned(spark):
     assert len(got[2]["thumb"]) == 64  # fold output is w*h bytes
 
 
-def test_x60_mints_and_decodes_all_five_legs(spark):
+def test_x60_mints_and_decodes_all_six_legs(spark):
     from server_spark.registry import queries
 
     rows = queries()["x60_media_resize"](spark, "/root/testdata/sf0.001")
@@ -196,30 +196,47 @@ def test_x60_mints_and_decodes_all_five_legs(spark):
     by_fmt: dict[str, int] = {}
     for r in got.values():
         by_fmt[r["thumb_format"]] = by_fmt.get(r["thumb_format"], 0) + 1
-    # doc_id % 5: 0 png, 1 bmp, 2 gif, 3 jpeg (all decode → 'bmp'
-    # thumbs), 4 text bytes (quarantine fold)
-    assert by_fmt["bmp"] == sum(1 for i in got if i % 5 != 4)
-    assert by_fmt["fold"] == sum(1 for i in got if i % 5 == 4)
+    # doc_id % 6: 0 png, 1 bmp, 2 gif, 3 baseline jpeg, 4 progressive
+    # jpeg (all decode → 'bmp' thumbs), 5 text bytes (quarantine fold)
+    assert by_fmt["bmp"] == sum(1 for i in got if i % 6 != 5)
+    assert by_fmt["fold"] == sum(1 for i in got if i % 6 == 5)
     # pixel-exact spot checks per lossless leg, driver-side recompute
-    mid_png = next(i for i in sorted(got) if i % 5 == 0)
+    mid_png = next(i for i in sorted(got) if i % 6 == 0)
     assert bytes(got[mid_png]["thumb"]) == encode_bmp(
         nn_resize(synthetic_image(mid_png), 16, 16)
     )
-    mid_gif = next(i for i in sorted(got) if i % 5 == 2)
+    mid_gif = next(i for i in sorted(got) if i % 6 == 2)
     gray = synthetic_image(mid_gif)[:, :, 2]
     assert bytes(got[mid_gif]["thumb"]) == encode_bmp(
         nn_resize(np.repeat(gray[:, :, None], 3, axis=2), 16, 16)
     )
-    # jpeg is lossy: decode the thumb back and bound the error
+    # jpeg is lossy: decode the thumb back and assert pixel equality
+    # with a driver-side recompute
     from server_spark.multimodal.image import decode_bmp
-    from server_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+    from server_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
 
-    mid_j = next(i for i in sorted(got) if i % 5 == 3)
+    mid_j = next(i for i in sorted(got) if i % 6 == 3)
     thumb = decode_bmp(bytes(got[mid_j]["thumb"]))
     expect = nn_resize(
         decode_jpeg(encode_jpeg(synthetic_image(mid_j), quant=4)), 16, 16
     )
     assert (thumb == expect).all()
+    # progressive leg decodes for real (r11) — and reconstructs the
+    # SAME pixels as a baseline encode of the same coefficients
+    mid_p = next(i for i in sorted(got) if i % 6 == 4)
+    thumb_p = decode_bmp(bytes(got[mid_p]["thumb"]))
+    prog = decode_jpeg(encode_jpeg_progressive(
+        synthetic_image(mid_p), quant=4, subsample=(mid_p % 2 == 0)
+    ))
+    assert (thumb_p == nn_resize(prog, 16, 16)).all()
+    base = decode_jpeg(encode_jpeg(
+        synthetic_image(mid_p), quant=4, subsample=(mid_p % 2 == 0)
+    ))
+    assert (prog == base).all()
 
 
 def test_adversarial_headers_quarantine_not_crash():
