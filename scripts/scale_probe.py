@@ -103,14 +103,26 @@ def main() -> None:
     results: dict[str, dict] = {}
     for name in names:
         row: dict = {}
+        err = None
         for key, d in (("small", SMALL), ("big", BIG)):
             samples = []
             for _ in range(args.n):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                _materialize(qs[name](spark, d))
+                try:
+                    _materialize(qs[name](spark, d))
+                except Exception as e:  # scale bugs are FINDINGS, not
+                    # reasons to abort the probe — record and move on
+                    err = f"{key}: {type(e).__name__}: {str(e)[:300]}"
+                    break
                 samples.append(time.perf_counter() - t0)
+            if err:
+                break
             row[key] = round(sorted(samples)[len(samples) // 2], 3)
+        if err:
+            results[name] = {"error": err}
+            print(f"{name}: ERROR {err}", flush=True)
+            continue
         import math
 
         row["ratio"] = round(row["big"] / max(row["small"], 1e-9), 2)
@@ -130,9 +142,13 @@ def main() -> None:
          "repeats": args.n, "results": results},
         indent=1,
     ) + "\n")
-    bends = {n: r for n, r in results.items() if r["exponent"] > 1.25}
+    bends = {
+        n: r for n, r in results.items()
+        if "exponent" in r and r["exponent"] > 1.25
+    }
+    errors = sorted(n for n, r in results.items() if "error" in r)
     print(f"\n{len(results)} probed; super-linear (exp>1.25): "
-          f"{sorted(bends) or 'none'}")
+          f"{sorted(bends) or 'none'}; errors: {errors or 'none'}")
 
 
 if __name__ == "__main__":

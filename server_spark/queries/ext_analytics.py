@@ -1248,17 +1248,24 @@ def a50_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mx = marginal("x", "rx2")
     my = marginal("y", "ry2")
+    # moments in DECIMAL(38,0), not BIGINT: doubled ranks reach 2n per
+    # group, so c*rank^2 sums hit ~n^3 — past 2^63 at a few million
+    # rows (the r11 sf1.0 scale probe caught the ANSI long overflow
+    # live). decimal(38,0) keeps the moments integer-EXACT (the whole
+    # point of the rank fold) with headroom to ~1e38 ≈ n=10^12 rows
+    # per group; the oracle's DuckDB side already sums in HUGEINT.
+    cd = F.col("c").cast("decimal(38,0)")
     s = (
         joint.join(mx, ["g", "x"])
         .join(my, ["g", "y"])
         .groupBy("g")
         .agg(
             F.sum("c").alias("n"),
-            F.sum(F.col("c") * F.col("rx2")).alias("sx"),
-            F.sum(F.col("c") * F.col("ry2")).alias("sy"),
-            F.sum(F.col("c") * F.col("rx2") * F.col("rx2")).alias("sxx"),
-            F.sum(F.col("c") * F.col("ry2") * F.col("ry2")).alias("syy"),
-            F.sum(F.col("c") * F.col("rx2") * F.col("ry2")).alias("sxy"),
+            F.sum(cd * F.col("rx2")).alias("sx"),
+            F.sum(cd * F.col("ry2")).alias("sy"),
+            F.sum(cd * F.col("rx2") * F.col("rx2")).alias("sxx"),
+            F.sum(cd * F.col("ry2") * F.col("ry2")).alias("syy"),
+            F.sum(cd * F.col("rx2") * F.col("ry2")).alias("sxy"),
         )
     )
     n = F.col("n")
