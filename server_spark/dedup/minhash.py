@@ -565,3 +565,97 @@ def minhash_candidates_ml(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
+
+
+def hash_value_neardup_pairs(
+    hashes: DataFrame,
+    hash_col: str,
+    id_col: str = "media_id",
+    n_bands: int = 4,
+    band_bits: int = 16,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """All ordered id pairs (id_a < id_b, plus the Hamming distance of
+    their 64-bit perceptual hashes) within ``max_hamming`` — the
+    shared kernel behind the x128 image-dHash and x129 audio-
+    fingerprint near-dup queries.
+
+    Scale design (r11 — the sf1.0 probe OOM'd the previous doc-level
+    shape): perceptual hashes are MANY-TO-ONE — every re-encode /
+    re-level / brightness variant of one asset lands on the same (or
+    a near) hash value, so identical-hash clusters grow linearly with
+    corpus size while the DISTINCT-value space grows only with
+    content diversity. Banding at the doc level therefore built
+    O(cluster²)-sized pair arrays inside single rows (a JVM-heap
+    death at a few hundred docs per value). This kernel instead:
+
+    1. collapses ids per distinct hash value (one linear groupBy);
+    2. runs the Hamming-band LSH + exact bit_count verify over the
+       DISTINCT VALUES ONLY (bucket_pairs input is diversity-sized,
+       invariant to corpus growth);
+    3. expands value pairs back to id pairs through two streaming
+       explodes (per-row memory bounded by one cluster's member
+       list), and emits same-value pairs (Hamming 0) directly.
+
+    The output SET is identical to the doc-level formulation — same
+    bands, same threshold — it is only built without quadratic
+    single-row state. The exhaustive id-pair expansion remains the
+    query's contract; a 100 TB deployment would usually stop at step
+    2 + cluster membership (linear) rather than materialize every
+    within-cluster pair."""
+    vals = hashes.groupBy(hash_col).agg(
+        F.collect_list(id_col).alias("_members")
+    )
+    mask = (1 << band_bits) - 1
+    bands = vals.select(hash_col).select(
+        hash_col,
+        F.explode(
+            F.array(*[F.lit(i) for i in range(n_bands)])
+        ).alias("band_idx"),
+    ).select(
+        hash_col,
+        "band_idx",
+        F.expr(
+            f"shiftrightunsigned({hash_col}, band_idx * {band_bits}) "
+            f"& {mask}"
+        ).alias("band_key"),
+    )
+    vpairs = (
+        bucket_pairs(bands, ["band_idx", "band_key"], id_col=hash_col)
+        .select(
+            F.col("doc_a").alias("_va"),
+            F.col("doc_b").alias("_vb"),
+            F.bit_count(
+                F.col("doc_a").bitwiseXOR(F.col("doc_b"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    ma = vals.select(
+        F.col(hash_col).alias("_va"), F.col("_members").alias("_ma")
+    )
+    mb = vals.select(
+        F.col(hash_col).alias("_vb"), F.col("_members").alias("_mb")
+    )
+    cross = (
+        vpairs.join(ma, "_va")
+        .join(mb, "_vb")
+        .select("hamming", F.explode("_ma").alias("_ia"), "_mb")
+        .select("hamming", "_ia", F.explode("_mb").alias("_ib"))
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    same = (
+        vals.select(F.explode("_members").alias("_ia"), "_members")
+        .select("_ia", F.explode("_members").alias("_ib"))
+        .filter(F.col("_ia") < F.col("_ib"))
+        .select(
+            F.col("_ia").alias("id_a"),
+            F.col("_ib").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return same.unionByName(cross)

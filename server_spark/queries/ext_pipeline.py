@@ -1465,9 +1465,12 @@ _X128_HAMMING = 10   # near-dup threshold (of 64 dHash bits)
     "sign bits — invariant to monotone brightness changes up to "
     "rounding, which is the point of a perceptual hash: byte-level "
     "sha CANNOT find these dups). Candidate pairs come from 4x16-bit "
-    "HASH BANDS through the shared bucket_pairs kernel (a<=3-bit "
-    "corruption leaves >=1 band intact by pigeonhole — Hamming-space "
-    "LSH, never an all-pairs crossJoin), then exact bit_count(xor) "
+    "HASH BANDS over the DISTINCT hash values (r11: perceptual "
+    "hashes are many-to-one, so value-level banding keeps the LSH "
+    "input diversity-sized while identical-hash clusters expand via "
+    "streaming explodes — never an all-pairs crossJoin, never "
+    "O(cluster^2) single-row arrays; a<=3-bit corruption leaves >=1 "
+    "band intact by pigeonhole), then exact bit_count(xor) "
     "verification at the threshold. The per-image transform chain "
     "is exactly what image corpora dedup on at 100 TB scale; shape: "
     "one mapInPandas (mint+decode+hash), band explode, ONE bucket "
@@ -1531,31 +1534,18 @@ def x128_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
         .mapInPandas(mint_hash, "media_id long, dhash long")
     )
-    bands = hashes.select(
-        "media_id",
-        "dhash",
-        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band_idx"),
+    # value-level banding (r11): identical-dhash clusters grow with
+    # corpus size, so banding doc-level built O(cluster^2) pair arrays
+    # inside single rows — the sf1.0 probe OOM'd the JVM. The shared
+    # kernel bands the DISTINCT values (diversity-sized) and expands
+    # members through streaming explodes; output set unchanged.
+    return mh.hash_value_neardup_pairs(
+        hashes, "dhash", id_col="media_id", max_hamming=_X128_HAMMING
     ).select(
-        "media_id",
-        "dhash",
-        "band_idx",
-        # shiftrightunsigned's numBits arg must be a literal int in
-        # the Python API — expr() takes the per-row band offset
-        F.expr("shiftrightunsigned(dhash, band_idx * 16) & 65535")
-        .alias("band_key"),
+        F.col("id_a").alias("media_a"),
+        F.col("id_b").alias("media_b"),
+        "hamming",
     )
-    pairs = mh.bucket_pairs(
-        bands,
-        ["band_idx", "band_key"],
-        id_col="media_id",
-        payload=("dhash",),
-    )
-    dist = F.bit_count(F.col("dhash_a").bitwiseXOR(F.col("dhash_b")))
-    return pairs.select(
-        F.col("doc_a").alias("media_a"),
-        F.col("doc_b").alias("media_b"),
-        dist.alias("hamming"),
-    ).filter(F.col("hamming") <= _X128_HAMMING)
 
 
 # ---------------------------------------------------------------------------
@@ -1580,8 +1570,9 @@ _X129_HAMMING = 10
     "as the 63 envelope delta-sign bits — GAIN-INVARIANT by "
     "construction (scaling preserves RMS ordering; exactly the dup "
     "class — re-encoded/re-leveled copies — that byte hashing "
-    "cannot see). Candidates via 4x16-bit hash bands through the "
-    "shared bucket_pairs kernel, exact bit_count(xor) verify. "
+    "cannot see). Candidates via 4x16-bit hash bands over the DISTINCT "
+    "fingerprint values (shared hash_value_neardup_pairs kernel, "
+    "r11), exact bit_count(xor) verify. "
     "Shape: one mapInPandas (mint+decode+hash), band explode, one "
     "bucket shuffle, JVM-side verify.",
     tags=("ext", "multimodal", "dedup", "rows-only"),
@@ -1664,29 +1655,16 @@ def x129_audio_fingerprint_neardup(
         .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
         .mapInPandas(mint_hash, "media_id long, fp long")
     )
-    bands = hashes.select(
-        "media_id",
-        "fp",
-        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band_idx"),
+    # value-level banding (r11): see x128 — gain-invariant fingerprints
+    # are many-to-one, so the kernel bands distinct values and expands
+    # members; output set unchanged, single-row state bounded.
+    return mh.hash_value_neardup_pairs(
+        hashes, "fp", id_col="media_id", max_hamming=_X129_HAMMING
     ).select(
-        "media_id",
-        "fp",
-        "band_idx",
-        F.expr("shiftrightunsigned(fp, band_idx * 16) & 65535")
-        .alias("band_key"),
+        F.col("id_a").alias("media_a"),
+        F.col("id_b").alias("media_b"),
+        "hamming",
     )
-    pairs = mh.bucket_pairs(
-        bands,
-        ["band_idx", "band_key"],
-        id_col="media_id",
-        payload=("fp",),
-    )
-    dist = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return pairs.select(
-        F.col("doc_a").alias("media_a"),
-        F.col("doc_b").alias("media_b"),
-        dist.alias("hamming"),
-    ).filter(F.col("hamming") <= _X129_HAMMING)
 
 
 # ---------------------------------------------------------------------------
