@@ -81,48 +81,89 @@ def commit_lock(
     root.
 
     Mechanics: ``O_CREAT|O_EXCL`` on ``<root>/manifest/.commit.lock``
-    — atomic claim on POSIX. A holder that died is broken after
-    ``stale_after`` seconds (lockfile mtime age). NOTE the documented
+    — atomic claim on POSIX, with a unique owner TOKEN written into
+    the file. Release unlinks only if the token is still ours. A
+    holder that died is broken after ``stale_after`` seconds
+    (lockfile mtime age) via atomic rename + re-stat: exactly one
+    breaker wins the rename, and a fresh claim that raced into the
+    stat→rename window is restored with ``os.link`` (atomic
+    fail-if-exists, never clobbering a third claim; the remaining
+    double-race — two sub-millisecond claims landing inside a window
+    gated behind a 600 s staleness precondition — is the advisory-
+    lock residual noted below). NOTE the documented
     production boundary: O_EXCL is not atomic on NFS/object stores —
     a real deployment swaps this for a table format's commit protocol
     (Delta/Iceberg) or a lock service; every caller goes through this
     one context manager so the swap is one function."""
     lockfile = os.path.join(root, "manifest", ".commit.lock")
     os.makedirs(os.path.dirname(lockfile), exist_ok=True)
+    token = f"{os.getpid()}-{os.urandom(8).hex()}"
     deadline = time.monotonic() + timeout
-    while True:
+
+    def _claim() -> bool:
         try:
             fd = os.open(lockfile, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(
-                fd,
-                json.dumps(
-                    {"pid": os.getpid(), "claimed_at": time.time()}
-                ).encode(),
-            )
-            os.close(fd)
-            break
         except FileExistsError:
+            return False
+        os.write(
+            fd,
+            json.dumps(
+                {"token": token, "claimed_at": time.time()}
+            ).encode(),
+        )
+        os.close(fd)
+        return True
+
+    def _owned() -> bool:
+        try:
+            with open(lockfile, "rb") as fh:
+                return json.loads(fh.read()).get("token") == token
+        except (OSError, ValueError):
+            return False
+
+    while True:
+        if _claim():
+            break
+        try:
+            age = time.time() - os.path.getmtime(lockfile)
+        except OSError:
+            continue  # holder released between open and stat
+        if age > stale_after:
+            # break via atomic RENAME (one breaker wins), then
+            # re-stat the moved file: a FRESH claim that raced into
+            # the stat→rename window is put back via link (atomic
+            # fail-if-exists), never clobbering a third claim
+            broken = f"{lockfile}.breaking.{os.getpid()}"
             try:
-                age = time.time() - os.path.getmtime(lockfile)
+                os.rename(lockfile, broken)
             except OSError:
-                continue  # holder released between open and stat
-            if age > stale_after:
-                # break the stale lock; the O_EXCL retry next loop
-                # decides the winner if several breakers race
-                with contextlib.suppress(OSError):
-                    os.unlink(lockfile)
-                continue
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"commit lock {lockfile} held for {age:.0f}s "
-                    f"(timeout {timeout}s)"
+                continue  # someone else broke or released it
+            try:
+                still_stale = (
+                    time.time() - os.path.getmtime(broken) > stale_after
                 )
-            time.sleep(0.05)
+            except OSError:
+                continue
+            if not still_stale:
+                with contextlib.suppress(OSError):
+                    os.link(broken, lockfile)
+            with contextlib.suppress(OSError):
+                os.unlink(broken)
+            continue
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f"commit lock {lockfile} held for {age:.0f}s "
+                f"(timeout {timeout}s)"
+            )
+        time.sleep(0.05)
     try:
         yield
     finally:
-        with contextlib.suppress(FileNotFoundError):
-            os.unlink(lockfile)
+        # token-checked release: if our lock was stolen by a stale
+        # break double-race, do NOT unlink the current holder's claim
+        if _owned():
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(lockfile)
 
 
 def ingest_bronze(
@@ -527,7 +568,23 @@ def build_silver_incremental(
     Correct because silver partitions are a pure function of the same
     bronze partition: a (region, realm, date) partition's mini-auction
     rows derive only from that partition's bronze rows. Returns the
-    number of refreshed partitions."""
+    number of refreshed partitions.
+
+    Concurrency (r11): runs under the table's ``commit_lock`` — two
+    refreshes racing each other would dynamic-overwrite the SAME
+    partition directories concurrently (interleaved temp-dir commits
+    can tear a partition), and a refresh racing an ingest could scan
+    bronze mid-append. Serializing table maintenance against intake
+    is the same rule compact_small_files follows."""
+    with commit_lock(paths.root):
+        return _build_silver_incremental_locked(
+            spark, paths, since_version
+        )
+
+
+def _build_silver_incremental_locked(
+    spark: SparkSession, paths: MedallionPaths, since_version: int
+) -> int:
     parts = _affected_partitions(spark, paths, since_version)
     n = parts.count()
     if n == 0:
@@ -567,7 +624,17 @@ def build_gold_prices_incremental(
     """Same maintenance contract as build_silver_incremental, one
     layer up: refresh gold price-stat partitions only where silver
     changed. Run AFTER build_silver_incremental for the same
-    ``since_version``."""
+    ``since_version``. Serialized under ``commit_lock`` like every
+    other writer (r11)."""
+    with commit_lock(paths.root):
+        return _build_gold_prices_incremental_locked(
+            spark, paths, since_version
+        )
+
+
+def _build_gold_prices_incremental_locked(
+    spark: SparkSession, paths: MedallionPaths, since_version: int
+) -> int:
     parts = _affected_partitions(spark, paths, since_version)
     n = parts.count()
     if n == 0:

@@ -31,6 +31,20 @@ def _dump(spark, ts, aucs, realm="r1"):
     )
 
 
+def _full_dump(spark, ts, aucs, realm="r1"):
+    """Full collapse-key schema (owner/time_left) — what the silver
+    builder's COLLAPSE_KEYS require."""
+    return spark.createDataFrame(
+        [
+            ("eu", realm, ts, a, 100, f"own{a % 2}", 500, 1, "LONG")
+            for a in aucs
+        ],
+        "region string, realm_slug string, dump_ts timestamp, "
+        "auc long, item long, owner string, buyout long, "
+        "quantity long, time_left string",
+    )
+
+
 def test_lock_mutual_exclusion_and_release(tmp_path):
     root = str(tmp_path / "lake")
     order: list[str] = []
@@ -225,3 +239,89 @@ def test_asof_reader_never_sees_torn_snapshot(spark, tmp_path):
     # unpinned latest-version read sees everything
     v_last = med.manifest_versions(spark, paths)[-1]
     assert med.read_bronze_asof(spark, paths, v_last).count() == 4 + 3 * 50
+
+
+def test_concurrent_ingest_and_incremental_refresh(spark, tmp_path):
+    """VERDICT r10 item 2's third leg: an incremental silver refresh
+    racing new ingests. Both take the commit lock, so the refresh
+    sees a consistent manifest + bronze and never tears a silver
+    partition; afterwards a final refresh catches anything the race
+    ordered behind it and silver equals a from-scratch rebuild."""
+    paths = med.MedallionPaths(str(tmp_path / "lake"))
+    t0 = dt.datetime(2024, 1, 1, 10)
+    assert med.ingest_bronze_incremental(
+        spark, _full_dump(spark, t0, [1, 2, 3]), paths
+    ) == 1
+
+    errs: list[BaseException] = []
+
+    def ingest_more():
+        try:
+            for i in range(1, 4):
+                med.ingest_bronze_incremental(
+                    spark,
+                    _full_dump(
+                        spark, t0 + dt.timedelta(hours=i), [1, 2, 3]
+                    ),
+                    paths,
+                )
+        except BaseException as e:
+            errs.append(e)
+
+    def refresh():
+        try:
+            for _ in range(3):
+                med.build_silver_incremental(spark, paths, 0)
+        except BaseException as e:
+            errs.append(e)
+
+    ti = threading.Thread(target=ingest_more)
+    tr = threading.Thread(target=refresh)
+    ti.start()
+    tr.start()
+    ti.join()
+    tr.join()
+    assert not errs, errs
+    # catch-up refresh, then silver must equal a full rebuild
+    med.build_silver_incremental(spark, paths, 0)
+    silver = spark.read.parquet(paths.silver)
+    bronze = spark.read.parquet(paths.bronze)
+    assert bronze.count() == 12  # 4 dumps x 3 rows, each exactly once
+    # collapse semantics: per dump, aucs 1+3 share the owner key and
+    # fold into one mini-auction ([2] stands alone) → 2 rows per dump
+    assert silver.count() == 8
+    # ...but every auc appears exactly once across the collapse lists
+    exploded = silver.select(
+        "dump_ts", F.explode("auc_list").alias("auc")
+    )
+    assert exploded.count() == 12
+    assert exploded.distinct().count() == 12
+
+
+def test_stale_break_restores_fresh_claim_raced_in(tmp_path):
+    """The stale-break TOCTOU guard: when the 'stale' lock turns out
+    FRESH after the rename (a live writer claimed in the window),
+    the breaker must put it back, and a token-checked release never
+    unlinks someone else's claim."""
+    root = str(tmp_path / "lake")
+    lockfile = os.path.join(root, "manifest", ".commit.lock")
+    os.makedirs(os.path.dirname(lockfile))
+    # a FRESH foreign lock (mtime now): stale-break path must not
+    # destroy it — claimant times out instead
+    with open(lockfile, "w") as fh:
+        fh.write('{"token": "someone-else"}')
+    with pytest.raises(TimeoutError):
+        with med.commit_lock(root, timeout=0.3, stale_after=600.0):
+            pass
+    assert os.path.exists(lockfile)
+    with open(lockfile) as fh:
+        assert "someone-else" in fh.read()
+    # and release-time ownership check: a lock stolen mid-hold is NOT
+    # unlinked by the original holder's exit
+    os.unlink(lockfile)
+    cm = med.commit_lock(root, timeout=5.0)
+    cm.__enter__()
+    with open(lockfile, "w") as fh:  # simulate theft
+        fh.write('{"token": "thief"}')
+    cm.__exit__(None, None, None)
+    assert os.path.exists(lockfile), "holder must not unlink a stolen lock"
