@@ -976,7 +976,7 @@ def encode_jpeg(
 
 
 def encode_jpeg_progressive(
-    img, quant: int = 8, subsample: bool = False
+    img, quant: int = 8, subsample: bool = False, restart: int = 0
 ) -> bytes:
     """uint8 RGB (h, w, 3) → progressive (SOF2) JFIF bytes.
 
@@ -986,7 +986,10 @@ def encode_jpeg_progressive(
     per-component AC first passes at Al=1 (spectral selection +
     successive approximation, EOB-run coded), per-component AC
     refinement passes (correction bits, buffered-bit flush order),
-    and a DC refinement scan. Quantized coefficients are IDENTICAL
+    and a DC refinement scan. ``restart`` (DRI/RSTn every N units —
+    MCUs in interleaved scans, blocks in non-interleaved ones, the
+    T.81 rule) exercises the decoder's per-segment predictor/EOB-run
+    resets. Quantized coefficients are IDENTICAL
     to encode_jpeg's for the same (img, quant, subsample), so
     decode(baseline) == decode(progressive) EXACTLY — the round-trip
     equality the tests pin."""
@@ -1088,31 +1091,61 @@ def encode_jpeg_progressive(
         return size, val
 
     def scan_bytes(gen):
-        """Collect (code, nbits) pairs from gen, pad with 1s,
-        byte-stuff 0xFF."""
+        """Collect (code, nbits) pairs from gen — a ``None`` element
+        marks a UNIT boundary (MCU / block) — pad each restart
+        segment with 1s, byte-stuff 0xFF, and join segments with
+        RST0..7 markers (unstuffed, cycling) every ``restart``
+        units."""
+        segments = []
         bits = bytearray()
         acc = 0
         nacc = 0
-        for code_val, nb in gen:
+        units = 0
+        pending_rst = False
+
+        def close_segment():
+            nonlocal acc, nacc, bits
+            if nacc:
+                bits.append(
+                    ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1))
+                    & 0xFF
+                )
+                acc = nacc = 0
+            stuffed = bytearray()
+            for byte in bits:
+                stuffed.append(byte)
+                if byte == 0xFF:
+                    stuffed.append(0x00)
+            segments.append(bytes(stuffed))
+            bits = bytearray()
+
+        for item in gen:
+            if item is None:  # unit boundary
+                units += 1
+                if restart and units % restart == 0:
+                    pending_rst = True
+                continue
+            if pending_rst:
+                close_segment()
+                pending_rst = False
+            code_val, nb = item
             acc = (acc << nb) | code_val
             nacc += nb
             while nacc >= 8:
                 nacc -= 8
                 bits.append((acc >> nacc) & 0xFF)
-        if nacc:
-            bits.append(
-                ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
-            )
-        stuffed = bytearray()
-        for byte in bits:
-            stuffed.append(byte)
-            if byte == 0xFF:
-                stuffed.append(0x00)
-        return bytes(stuffed)
+        close_segment()
+        out = bytearray(segments[0])
+        for i, seg_bytes in enumerate(segments[1:]):
+            out += bytes([0xFF, 0xD0 + (i % 8)])
+            out += seg_bytes
+        return bytes(out)
 
     def dc_first(al):
         preds = {1: 0, 2: 0, 3: 0}
         for mcu in range(mcux * mcuy):
+            if restart and mcu and mcu % restart == 0:
+                preds = {1: 0, 2: 0, 3: 0}  # per-segment reset
             my, mx = divmod(mcu, mcux)
             for cid, hi, vi, _pl in plane_specs:
                 bw = grids[cid][3]
@@ -1127,6 +1160,7 @@ def encode_jpeg_progressive(
                         yield (code, ln2)
                         if size:
                             yield (val, size)
+            yield None  # MCU boundary
 
     def dc_refine(al):
         for mcu in range(mcux * mcuy):
@@ -1137,6 +1171,7 @@ def encode_jpeg_progressive(
                     for bx in range(hi):
                         c = coefs[cid][(my * vi + by) * bw + mx * hi + bx]
                         yield ((int(c[0]) >> al) & 1, 1)
+            yield None  # MCU boundary
 
     def comp_units(cid):
         hi, vi, _bh, bw = grids[cid]
@@ -1168,6 +1203,7 @@ def encode_jpeg_progressive(
             if run:
                 ln2, code = enc_ac[0x00]  # EOB (run length 1)
                 yield (code, ln2)
+            yield None  # block boundary
 
     def ac_refine(cid, ss, se, al):
         for c in comp_units(cid):
@@ -1210,6 +1246,7 @@ def encode_jpeg_progressive(
                 ln2, code = enc_ac[0x00]
                 yield (code, ln2)
                 yield from buffered
+            yield None  # block boundary
 
     def seg(marker, payload):
         return (
@@ -1237,6 +1274,8 @@ def encode_jpeg_progressive(
     out += seg(0xC2, sof)
     out += seg(0xC4, bytes([0x00] + dc_counts) + bytes(dc_syms))
     out += seg(0xC4, bytes([0x11] + ac_counts) + bytes(ac_syms))
+    if restart:
+        out += seg(0xDD, restart.to_bytes(2, "big"))
 
     # scan script: DC first (all comps, Al=1) → per-comp banded AC
     # first passes (Al=1) → per-comp AC refinements (Ah=1→Al=0) →

@@ -196,3 +196,31 @@ def test_progressive_guards_and_grayscale():
     out = ns["decode_jpeg"](good)
     assert out is not None and (out == decode_jpeg(good)).all()
     assert decode_jpeg_progressive(good) is not None
+
+
+def test_progressive_restart_intervals_exact():
+    """DRI/RSTn inside progressive scans: per-segment DC-predictor
+    and EOB-run resets must reproduce the same pixels as the
+    unsegmented stream AND as the baseline encode — covering the
+    decoder's progressive restart path (interleaved DC scans count
+    MCUs, non-interleaved AC scans count blocks, the T.81 rule)."""
+    from server_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    for shape, sub, q, rst in [
+        ((16, 16, 3), False, 8, 1), ((24, 33, 3), True, 8, 2),
+        ((50, 20, 3), True, 8, 3), ((64, 48, 3), False, 4, 5),
+        ((33, 47, 3), False, 16, 4),
+    ]:
+        img = rng.integers(0, 255, shape, np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quant=q, subsample=sub))
+        with_rst = decode_jpeg(
+            encode_jpeg_progressive(img, quant=q, subsample=sub,
+                                    restart=rst)
+        )
+        without = decode_jpeg(
+            encode_jpeg_progressive(img, quant=q, subsample=sub)
+        )
+        assert with_rst is not None
+        assert (with_rst == base).all(), f"{shape} rst={rst} vs baseline"
+        assert (with_rst == without).all(), f"{shape} rst={rst} vs no-rst"
