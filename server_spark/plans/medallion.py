@@ -26,6 +26,7 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import threading
 import time
 from dataclasses import dataclass
 
@@ -84,7 +85,13 @@ def commit_lock(
     — atomic claim on POSIX, with a unique owner TOKEN written into
     the file. Release unlinks only if the token is still ours. A
     holder that died is broken after ``stale_after`` seconds
-    (lockfile mtime age) via atomic rename + re-stat: exactly one
+    WITHOUT a heartbeat: while held, a daemon thread refreshes the
+    lockfile mtime every ``stale_after/4`` seconds, so a LIVE holder
+    whose ingest runs longer than ``stale_after`` (routine at the
+    100 TB posture — one bronze append is multiple Spark jobs) never
+    looks stale; only a holder whose process died (heartbeat stopped)
+    ages past the break threshold. Breaking is via atomic rename +
+    re-stat: exactly one
     breaker wins the rename, and a fresh claim that raced into the
     stat→rename window is restored with ``os.link`` (atomic
     fail-if-exists, never clobbering a third claim; the remaining
@@ -156,9 +163,28 @@ def commit_lock(
                 f"(timeout {timeout}s)"
             )
         time.sleep(0.05)
+    # liveness heartbeat: refresh the lockfile mtime while the
+    # critical section runs, so stale-break only ever evicts a DEAD
+    # holder, never a live long-running one (review finding r11)
+    stop_beat = threading.Event()
+
+    def _beat() -> None:
+        while not stop_beat.wait(stale_after / 4.0):
+            # token check first: if a double-race stole the lock, do
+            # not freshen the thief's claim file
+            if _owned():
+                with contextlib.suppress(OSError):
+                    os.utime(lockfile, None)
+
+    beat = threading.Thread(
+        target=_beat, daemon=True, name="commit-lock-heartbeat"
+    )
+    beat.start()
     try:
         yield
     finally:
+        stop_beat.set()
+        beat.join(timeout=5.0)
         # token-checked release: if our lock was stolen by a stale
         # break double-race, do NOT unlink the current holder's claim
         if _owned():

@@ -325,3 +325,60 @@ def test_stale_break_restores_fresh_claim_raced_in(tmp_path):
         fh.write('{"token": "thief"}')
     cm.__exit__(None, None, None)
     assert os.path.exists(lockfile), "holder must not unlink a stolen lock"
+
+
+def test_live_long_holder_not_evicted_by_stale_break(tmp_path):
+    """Heartbeat liveness (r11 review finding): a LIVE holder running
+    longer than stale_after must keep its lock — the heartbeat thread
+    refreshes the lockfile mtime, so a second writer sees a fresh
+    lock and times out instead of breaking it and re-opening the
+    duplicate-ingest race the lock exists to prevent."""
+    root = str(tmp_path / "lake")
+    lockfile = os.path.join(root, "manifest", ".commit.lock")
+    entered = threading.Event()
+    release = threading.Event()
+    stolen: list[bool] = []
+
+    def long_holder():
+        # stale_after far below the hold time: without a heartbeat
+        # the second writer would break this lock mid-hold
+        with med.commit_lock(root, timeout=5.0, stale_after=0.4):
+            entered.set()
+            release.wait(10.0)
+
+    t = threading.Thread(target=long_holder)
+    t.start()
+    assert entered.wait(5.0)
+    time.sleep(1.2)  # 3x stale_after while the holder is alive
+    # mtime must have been refreshed within the last stale_after
+    assert time.time() - os.path.getmtime(lockfile) < 0.4
+    # a competing writer must TIME OUT, not steal the live lock
+    t0 = time.monotonic()
+    try:
+        with med.commit_lock(root, timeout=0.9, stale_after=0.4):
+            stolen.append(True)
+    except TimeoutError:
+        pass
+    assert not stolen, "live holder's lock was broken despite heartbeat"
+    assert time.monotonic() - t0 >= 0.9
+    release.set()
+    t.join(5.0)
+    assert not os.path.exists(lockfile)
+
+
+def test_dead_holder_still_broken_with_heartbeat_semantics(tmp_path):
+    """A holder whose PROCESS died stops heartbeating: its lockfile
+    mtime ages normally and the stale break still reclaims the table
+    (the heartbeat must not have replaced claim-time staleness with
+    something unbreakable)."""
+    root = str(tmp_path / "lake")
+    lockfile = os.path.join(root, "manifest", ".commit.lock")
+    os.makedirs(os.path.dirname(lockfile))
+    with open(lockfile, "w") as fh:
+        fh.write('{"token": "dead-holder"}')
+    old = time.time() - 5.0
+    os.utime(lockfile, (old, old))
+    with med.commit_lock(root, timeout=5.0, stale_after=1.0):
+        with open(lockfile) as fh:
+            assert "dead-holder" not in fh.read()
+    assert not os.path.exists(lockfile)
