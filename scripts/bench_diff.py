@@ -56,6 +56,12 @@ THRESHOLD = 1.5
 # jitter can produce.
 NOISE_FLOOR_SEC = 1.0
 
+# Host-speed drift (calibration probe ratio) beyond which per-query
+# timings stop being evidence about the plans: slower → defer
+# adjudication; faster → floor diff()'s normalization divisor so a
+# masked uniform regression still fails.
+CAL_DRIFT_MAX = 1.3
+
 
 def waivers() -> dict[str, str]:
     """Parse ``- <query>: <reason>`` bullets under ``## Bench waivers``
@@ -97,11 +103,26 @@ def median_drift(base: dict[str, float], fresh: dict[str, float]) -> float:
 
 
 def diff(
-    base: dict[str, float], fresh: dict[str, float]
+    base: dict[str, float],
+    fresh: dict[str, float],
+    cal_ratio: float | None = None,
 ) -> tuple[list[tuple[str, float, float, float]], list[str], list[str]]:
     """Return (regressions, added, removed); regressions sorted worst
-    first as (name, base_sec, fresh_sec, drift_normalized_ratio)."""
+    first as (name, base_sec, fresh_sec, drift_normalized_ratio).
+
+    Normalization divisor: the median per-query drift — FLOORED at the
+    host-calibration ratio when the fresh host measured much FASTER
+    (review finding r11). The median absorbs any uniform shift, so on
+    a 2x-faster host a uniform 2x plan regression yields raw ratios
+    ~1.0 and a median of ~1.0 — masked. Calibration is plan-
+    independent evidence of host speed: if the host got 2x faster but
+    the queries didn't, normalizing by min(median, cal_ratio) makes
+    the whole-set regression visible. (The slower-host direction is
+    handled by deferral in main(), not here: a slow window inflates
+    ratios, and failing on those would be noise, not signal.)"""
     drift = median_drift(base, fresh)
+    if cal_ratio is not None and cal_ratio < 1.0 / CAL_DRIFT_MAX:
+        drift = min(drift, cal_ratio)
     regs = []
     for name, b in base.items():
         f = fresh.get(name)
@@ -170,22 +191,23 @@ def main(argv: list[str]) -> int:
     else:
         base, base_cal = load_artifact(BASELINE)
     fresh, fresh_cal = load_artifact(FRESH)
-    regs, added, removed = diff(base, fresh)
-    waived = waivers()
 
     # Contended-window auto-deferral (VERDICT r10 item 5): when both
     # artifacts carry a host-calibration score and the fresh run's
     # host was >CAL_DRIFT_MAX slower, per-query ratios are evidence of
     # the environment, not the plans — adjudication is deferred (exit
     # 3, distinct from gate-fail 1) instead of hand-written ledger
-    # notes. A faster host is fine: regressions would be understated,
-    # which is conservative in the safe direction.
-    CAL_DRIFT_MAX = 1.3
+    # notes. A much FASTER host is the opposite hazard: host speedup
+    # absorbed into the median divisor can mask a uniform plan
+    # regression — diff() floors the divisor at cal_ratio for that
+    # case (see its docstring), so masked regressions FAIL the gate.
     cal_ratio = None
     if base_cal and fresh_cal:
         cal_ratio = fresh_cal / base_cal
         print(f"host calibration: base={base_cal:.4f}s "
               f"fresh={fresh_cal:.4f}s ratio={cal_ratio:.2f}x")
+    regs, added, removed = diff(base, fresh, cal_ratio)
+    waived = waivers()
 
     print(f"environment drift (median ratio): {median_drift(base, fresh):.2f}x")
     unwaived = [r for r in regs if r[0] not in waived]

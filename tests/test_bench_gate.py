@@ -144,3 +144,44 @@ def test_calibration_deferral_protocol():
                 f"{r.stdout}\n{r.stderr}")
             if expected == 3:
                 assert "DEFERRED" in r.stdout
+
+
+def test_faster_host_cannot_mask_uniform_regression():
+    """r11 review finding: a fresh run on a much-FASTER host shrinks
+    every raw time, and the median-drift divisor absorbs a UNIFORM
+    plan regression — raw ratios ~1x, median ~1x, gate silently
+    green. With calibration present, diff() floors the divisor at
+    the host-speed ratio, so the masked regression fails (exit 1).
+    A faster host with genuinely-unchanged plans must stay green."""
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        # host got 2.5x faster (cal 0.05 -> 0.02) but every query's
+        # wall time is UNCHANGED => plans uniformly ~2.5x worse
+        base_doc = {"queries": {"q_a": 2.0, "q_b": 3.0, "q_c": 4.0,
+                                "q_d": 5.0},
+                    "calibration_sec": {"start": 0.05, "end": 0.05}}
+        masked = {"queries": {"q_a": 2.0, "q_b": 3.0, "q_c": 4.0,
+                              "q_d": 5.0},
+                  "calibration_sec": {"start": 0.02, "end": 0.02}}
+        # and the healthy case: same 2.5x-faster host, times dropped
+        # in proportion => no regression, exit 0
+        healthy = {"queries": {"q_a": 0.8, "q_b": 1.2, "q_c": 1.6,
+                               "q_d": 2.0},
+                   "calibration_sec": {"start": 0.02, "end": 0.02}}
+        for tag, fresh_doc, expected in (("masked", masked, 1),
+                                         ("healthy", healthy, 0)):
+            bdir = Path(td) / tag
+            (bdir / "scripts").mkdir(parents=True)
+            (bdir / "scripts" / "bench_baseline.json").write_text(
+                json.dumps(base_doc))
+            (bdir / "BENCH_FULL.json").write_text(json.dumps(fresh_doc))
+            script = bdir / "scripts" / "bench_diff.py"
+            script.write_text(
+                (REPO / "scripts" / "bench_diff.py").read_text())
+            r = subprocess.run([sys.executable, str(script)],
+                               capture_output=True, text=True)
+            assert r.returncode == expected, (
+                f"{tag}: expected exit {expected}, got {r.returncode}:"
+                f"\n{r.stdout}\n{r.stderr}")
