@@ -96,11 +96,15 @@ def decode_png(b: bytes):
     bpp = channels
     p = 0
     # Average/Paeth reconstruction is inherently left-sequential →
-    # Python loop. Budget the total loop work (bytes) so a huge
-    # adversarial Paeth-everywhere PNG quarantines in bounded time
-    # instead of stalling an executor task for hours; None/Up/Sub are
-    # fully vectorized and keep the whole 2^26-pixel header bound.
-    loop_budget = 1 << 24
+    # Python loop. Worst-case CPU is LINEAR in declared pixels and
+    # both inputs to that product are already capped above: pixels by
+    # the 2^26 header bound, bytes by the `need`-capped inflate — so a
+    # Paeth-everywhere image at the full pixel bound decodes in tens
+    # of seconds, never hours, and a small poison blob cannot demand
+    # more work than a legitimate image of the same declared size.
+    # (An earlier fixed 16 MiB loop budget quarantined legitimate
+    # multi-megapixel photographic PNGs inside the advertised support
+    # bound — r11 review finding; the pixel cap is the honest bound.)
     for y in range(h):
         f = raw[p]
         line = np.frombuffer(
@@ -121,9 +125,6 @@ def decode_png(b: bytes):
             ).reshape(stride).astype(np.int32)
         elif f == 3:  # Average (plain-list loop: numpy scalar
             # indexing is ~10x slower per element than list access)
-            loop_budget -= stride
-            if loop_budget < 0:
-                return None
             cl = line.tolist()
             pl = prev.tolist()
             for x in range(stride):
@@ -131,9 +132,6 @@ def decode_png(b: bytes):
                 cl[x] = (cl[x] + ((left + pl[x]) >> 1)) & 0xFF
             cur = np.array(cl, np.int32)
         elif f == 4:  # Paeth (plain-list loop, same reason)
-            loop_budget -= stride
-            if loop_budget < 0:
-                return None
             cl = line.tolist()
             pl = prev.tolist()
             for x in range(stride):
