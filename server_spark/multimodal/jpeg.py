@@ -74,6 +74,185 @@ def jpeg_huffman_table(counts, symbols):
     return table
 
 
+def jpeg_parse_dqt(seg: bytes, qt: dict) -> bool:
+    """DQT segment → quant tables (kept in zigzag order) into ``qt``;
+    False on malformed. Shared by the baseline and progressive
+    decoders so a hardening fix lands in both paths at once."""
+    import numpy as np
+
+    p = 0
+    while p + 1 <= len(seg):
+        pq, tq = seg[p] >> 4, seg[p] & 15
+        p += 1
+        if pq == 0:
+            if p + 64 > len(seg):
+                return False
+            qt[tq] = np.frombuffer(seg[p:p + 64], np.uint8).astype(
+                np.int32
+            )
+            p += 64
+        else:
+            if p + 128 > len(seg):
+                return False
+            qt[tq] = np.frombuffer(seg[p:p + 128], ">u2").astype(
+                np.int32
+            )
+            p += 128
+    return True
+
+
+def jpeg_parse_dht(seg: bytes, huff: dict) -> bool:
+    """DHT segment → canonical Huffman tables into ``huff`` keyed
+    (class, slot); False on malformed."""
+    p = 0
+    while p < len(seg):
+        tc, th = seg[p] >> 4, seg[p] & 15
+        p += 1
+        if p + 16 > len(seg):
+            return False
+        counts = list(seg[p:p + 16])
+        p += 16
+        nsym = sum(counts)
+        if p + nsym > len(seg):
+            return False
+        huff[(tc, th)] = jpeg_huffman_table(
+            counts, list(seg[p:p + nsym])
+        )
+        p += nsym
+    return True
+
+
+def jpeg_parse_sof(seg: bytes):
+    """SOF segment → (w, h, [(cid, hi, vi, tq), ...]) or None.
+    Validates the supported subset (8-bit, 1 or 3 components,
+    sampling factors >= 1) and the header-declared dims bound
+    (anti-DoS): a 13-byte blob must not demand a 100 GB plane."""
+    if len(seg) < 6 or seg[0] != 8:
+        return None
+    h = int.from_bytes(seg[1:3], "big")
+    w = int.from_bytes(seg[3:5], "big")
+    nc = seg[5]
+    if nc not in (1, 3) or len(seg) < 6 + 3 * nc or not w or not h:
+        return None
+    if w * h > (1 << 26):
+        return None
+    comps = []
+    for k in range(nc):
+        cid = seg[6 + 3 * k]
+        hv = seg[7 + 3 * k]
+        comps.append((cid, hv >> 4, hv & 15, seg[8 + 3 * k]))
+    if any(ci[1] < 1 or ci[2] < 1 for ci in comps):
+        return None
+    return (w, h, comps)
+
+
+def jpeg_destuff(bb: bytes, start: int, max_bytes: int):
+    """De-stuff entropy-coded data at ``bb[start:]``, splitting on
+    RSTn markers; stops at any other marker (or EOF). Returns
+    (segments, end_index), or None once accumulated entropy bytes
+    exceed ``max_bytes`` — the abort happens WHILE scanning, before
+    an adversarial multi-MB tail is ever copied or bit-read."""
+    segs, cur, j, total = [], bytearray(), start, 0
+    n = len(bb)
+    while j < n:
+        byte = bb[j]
+        if byte == 0xFF:
+            nxt = bb[j + 1] if j + 1 < n else None
+            if nxt == 0x00:
+                total += 1
+                if total > max_bytes:
+                    return None
+                cur.append(0xFF)
+                j += 2
+                continue
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            break  # EOI or any other marker ends the scan
+        total += 1
+        if total > max_bytes:
+            return None
+        cur.append(byte)
+        j += 1
+    segs.append(bytes(cur))
+    return segs, j
+
+
+def jpeg_entropy_budget(w: int, h: int) -> int:
+    """Anti-DoS entropy-size cap: bytes proportional to the declared
+    pixel budget. Worst-case legal baseline entropy is ~12 bytes/px
+    (64 coefs x ~31 bits per block per component at 4:4:4); 24
+    bytes/px is a 2x margin, plus slack for tiny images."""
+    return 24 * w * h + (1 << 16)
+
+
+def jpeg_make_reader(segbytes: bytes):
+    """(read_bits, huff_decode) over one entropy segment — index-based
+    MSB-first reads, O(bits-read) total; never materializes the
+    stream as a bigint (a whole-stream int made every read
+    O(stream-size): quadratic on adversarial tails). Shared by both
+    decode paths."""
+    nbits = len(segbytes) * 8
+    state = [0]
+
+    def read_bits(n):
+        pos = state[0]
+        if n == 0:
+            return 0
+        if pos + n > nbits:
+            return None
+        v = 0
+        rem = n
+        while rem:
+            byte = segbytes[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = avail if avail < rem else rem
+            v = (v << take) | (
+                (byte >> (avail - take)) & ((1 << take) - 1)
+            )
+            pos += take
+            rem -= take
+        state[0] = pos
+        return v
+
+    def huff_decode(table):
+        code = 0
+        for ln2 in range(1, 17):
+            bit = read_bits(1)
+            if bit is None:
+                return None
+            code = (code << 1) | bit
+            if (ln2, code) in table:
+                return table[(ln2, code)]
+        return None
+
+    return read_bits, huff_decode
+
+
+def jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: s-bit magnitude → signed coefficient."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def jpeg_color_tail(out_planes):
+    """Full-res cropped planes → uint8 RGB: grayscale broadcast or
+    the BT.601 YCbCr→RGB used by JFIF. Shared render tail."""
+    import numpy as np
+
+    if len(out_planes) == 1:
+        g = np.clip(out_planes[0], 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, bl], axis=2), 0, 255).astype(
+        np.uint8
+    )
+
+
 def decode_jpeg(b: bytes):
     """Baseline JPEG bytes → uint8 RGB array (h, w, 3), or None."""
     import numpy as np
@@ -99,71 +278,27 @@ def decode_jpeg(b: bytes):
             return None
         ln = int.from_bytes(bb[i + 2:i + 4], "big")
         seg = bb[i + 4:i + 2 + ln]
-        if m == 0xDB:  # DQT (quant tables kept in zigzag order)
-            p = 0
-            while p + 1 <= len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 15
-                p += 1
-                if pq == 0:
-                    if p + 64 > len(seg):
-                        return None
-                    qt[tq] = np.frombuffer(
-                        seg[p:p + 64], np.uint8
-                    ).astype(np.int32)
-                    p += 64
-                else:
-                    if p + 128 > len(seg):
-                        return None
-                    qt[tq] = np.frombuffer(
-                        seg[p:p + 128], ">u2"
-                    ).astype(np.int32)
-                    p += 128
+        if m == 0xDB:  # DQT
+            if not jpeg_parse_dqt(seg, qt):
+                return None
         elif m in (0xC0, 0xC1):  # baseline / extended sequential
-            if len(seg) < 6 or seg[0] != 8:
+            sof = jpeg_parse_sof(seg)
+            if sof is None:
                 return None
-            h = int.from_bytes(seg[1:3], "big")
-            w = int.from_bytes(seg[3:5], "big")
-            nc = seg[5]
-            if nc not in (1, 3) or len(seg) < 6 + 3 * nc or not w or not h:
-                return None
-            if w * h > (1 << 26):
-                return None  # header-declared dims bound (anti-DoS):
-                # a 13-byte blob must not demand a 100 GB plane
-            comps = []
-            for k in range(nc):
-                cid = seg[6 + 3 * k]
-                hv = seg[7 + 3 * k]
-                comps.append((cid, hv >> 4, hv & 15, seg[8 + 3 * k]))
-            if any(ci[1] < 1 or ci[2] < 1 for ci in comps):
-                return None
-            sof = (w, h, comps)
         elif m == 0xC2:  # progressive: full multi-scan decode path
             return decode_jpeg_progressive(bb)
         elif m in (0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # arithmetic / lossless / 12-bit variants
         elif m == 0xC4:  # DHT
-            p = 0
-            while p < len(seg):
-                tc, th = seg[p] >> 4, seg[p] & 15
-                p += 1
-                if p + 16 > len(seg):
-                    return None
-                counts = list(seg[p:p + 16])
-                p += 16
-                nsym = sum(counts)
-                if p + nsym > len(seg):
-                    return None
-                huff[(tc, th)] = jpeg_huffman_table(
-                    counts, list(seg[p:p + nsym])
-                )
-                p += nsym
+            if not jpeg_parse_dht(seg, huff):
+                return None
         elif m == 0xDD:
             if len(seg) < 2:
                 return None
             restart_interval = int.from_bytes(seg[:2], "big")
         elif m == 0xDA:  # SOS → entropy-coded data follows
-            if not seg:
+            if not seg or sof is None:  # spec: SOF precedes SOS
                 return None
             ns = seg[0]
             if len(seg) < 1 + 2 * ns + 3:
@@ -172,38 +307,17 @@ def decode_jpeg(b: bytes):
                 seg[1 + 2 * k]: (seg[2 + 2 * k] >> 4, seg[2 + 2 * k] & 15)
                 for k in range(ns)
             }
-            scan = bb[i + 2 + ln:]
+            # de-stuff with the pixel-proportional entropy budget —
+            # a multi-MB adversarial tail glued to small declared
+            # dims quarantines during the scan, before any copy
+            scan = jpeg_destuff(
+                bb, i + 2 + ln, jpeg_entropy_budget(sof[0], sof[1])
+            )
             break
         i += 2 + ln
     if sof is None or scan is None or scomp is None:
         return None
-    # anti-DoS: entropy-coded bytes proportional to the declared pixel
-    # budget. Worst-case legal baseline entropy is ~12 bytes/px (64
-    # coefs x ~31 bits per block per component at 4:4:4); 24 bytes/px
-    # is a 2x margin. A multi-MB adversarial tail glued to small
-    # declared dims quarantines instead of stalling the task.
-    if len(scan) > 24 * sof[0] * sof[1] + (1 << 16):
-        return None
-
-    # de-stuff the scan and split on restart markers
-    segs, cur, j = [], bytearray(), 0
-    while j < len(scan):
-        byte = scan[j]
-        if byte == 0xFF:
-            nxt = scan[j + 1] if j + 1 < len(scan) else None
-            if nxt == 0x00:
-                cur.append(0xFF)
-                j += 2
-                continue
-            if nxt is not None and 0xD0 <= nxt <= 0xD7:
-                segs.append(bytes(cur))
-                cur = bytearray()
-                j += 2
-                continue
-            break  # EOI or any other marker ends the scan
-        cur.append(byte)
-        j += 1
-    segs.append(bytes(cur))
+    segs, _scan_end = scan
 
     w, h, comps = sof
     hmax = max(c[1] for c in comps)
@@ -228,43 +342,7 @@ def decode_jpeg(b: bytes):
     ri = restart_interval or n_mcu
     mcu_index = 0
     for segbytes in segs:
-        nbits = len(segbytes) * 8
-        pos = 0
-
-        # index-based MSB-first reader: O(bits-read) total, never
-        # materializes the stream as a bigint (a whole-stream int made
-        # every read O(stream-size) — quadratic on adversarial tails)
-        def read_bits(n, _seg=segbytes, _nbits=nbits):
-            nonlocal pos
-            if n == 0:
-                return 0
-            if pos + n > _nbits:
-                return None
-            v = 0
-            rem = n
-            while rem:
-                byte = _seg[pos >> 3]
-                avail = 8 - (pos & 7)
-                take = avail if avail < rem else rem
-                v = (v << take) | (
-                    (byte >> (avail - take)) & ((1 << take) - 1)
-                )
-                pos += take
-                rem -= take
-            return v
-
-        def huff_decode(table):
-            nonlocal pos
-            code = 0
-            for ln2 in range(1, 17):
-                bit = read_bits(1)
-                if bit is None:
-                    return None
-                code = (code << 1) | bit
-                if (ln2, code) in table:
-                    return table[(ln2, code)]
-            return None
-
+        read_bits, huff_decode = jpeg_make_reader(segbytes)
         preds = {cid: 0 for cid, *_ in comps}
         done_in_seg = 0
         while mcu_index < n_mcu and done_in_seg < ri:
@@ -288,11 +366,7 @@ def decode_jpeg(b: bytes):
                             v = read_bits(s)
                             if v is None:
                                 return None
-                            diff = (
-                                v
-                                if v >= (1 << (s - 1))
-                                else v - (1 << s) + 1
-                            )
+                            diff = jpeg_extend(v, s)
                         else:
                             diff = 0
                         preds[cid] += diff
@@ -316,11 +390,7 @@ def decode_jpeg(b: bytes):
                             v = read_bits(size)
                             if v is None:
                                 return None
-                            coef[k] = (
-                                v
-                                if v >= (1 << (size - 1))
-                                else v - (1 << size) + 1
-                            )
+                            coef[k] = jpeg_extend(v, size)
                             k += 1
                         block = np.zeros(64, np.float64)
                         block[zz] = coef * qtab
@@ -338,14 +408,7 @@ def decode_jpeg(b: bytes):
         pl = planes[cid] + 128.0
         pl = np.repeat(np.repeat(pl, vmax // vi, axis=0), hmax // hi, axis=1)
         out_planes.append(pl[:h, :w])
-    if len(out_planes) == 1:
-        g = np.clip(out_planes[0], 0, 255).astype(np.uint8)
-        return np.repeat(g[:, :, None], 3, axis=2)
-    y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    bl = y + 1.772 * (cb - 128.0)
-    return np.clip(np.stack([r, g, bl], axis=2), 0, 255).astype(np.uint8)
+    return jpeg_color_tail(out_planes)
 
 
 def decode_jpeg_progressive(b: bytes):
@@ -389,67 +452,24 @@ def decode_jpeg_progressive(b: bytes):
         ln = int.from_bytes(bb[i + 2:i + 4], "big")
         seg = bb[i + 4:i + 2 + ln]
         if m == 0xDB:
-            p = 0
-            while p + 1 <= len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 15
-                p += 1
-                if pq == 0:
-                    if p + 64 > len(seg):
-                        return None
-                    qt[tq] = np.frombuffer(
-                        seg[p:p + 64], np.uint8
-                    ).astype(np.int32)
-                    p += 64
-                else:
-                    if p + 128 > len(seg):
-                        return None
-                    qt[tq] = np.frombuffer(
-                        seg[p:p + 128], ">u2"
-                    ).astype(np.int32)
-                    p += 128
+            if not jpeg_parse_dqt(seg, qt):
+                return None
         elif m == 0xC2:
-            if len(seg) < 6 or seg[0] != 8:
+            sof = jpeg_parse_sof(seg)
+            if sof is None:
                 return None
-            h = int.from_bytes(seg[1:3], "big")
-            w = int.from_bytes(seg[3:5], "big")
-            nc = seg[5]
-            if nc not in (1, 3) or len(seg) < 6 + 3 * nc or not w or not h:
-                return None
-            if w * h > (1 << 26):
-                return None  # header-declared dims bound (anti-DoS)
-            comps = []
-            for k in range(nc):
-                cid = seg[6 + 3 * k]
-                hv = seg[7 + 3 * k]
-                comps.append((cid, hv >> 4, hv & 15, seg[8 + 3 * k]))
-            if any(ci[1] < 1 or ci[2] < 1 for ci in comps):
-                return None
-            sof = (w, h, comps)
         elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # second frame / non-progressive in this path
         elif m == 0xC4:
-            p = 0
-            while p < len(seg):
-                tc, th = seg[p] >> 4, seg[p] & 15
-                p += 1
-                if p + 16 > len(seg):
-                    return None
-                counts = list(seg[p:p + 16])
-                p += 16
-                nsym = sum(counts)
-                if p + nsym > len(seg):
-                    return None
-                huff[(tc, th)] = jpeg_huffman_table(
-                    counts, list(seg[p:p + nsym])
-                )
-                p += nsym
+            if not jpeg_parse_dht(seg, huff):
+                return None
         elif m == 0xDD:
             if len(seg) < 2:
                 return None
             restart_interval = int.from_bytes(seg[:2], "big")
         elif m == 0xDA:
-            if not seg:
+            if not seg or sof is None:  # spec: SOF precedes SOS
                 return None
             ns = seg[0]
             if len(seg) < 1 + 2 * ns + 3:
@@ -464,28 +484,15 @@ def decode_jpeg_progressive(b: bytes):
             Ah, Al = A >> 4, A & 15
             if Se > 63 or Ss > Se or Al > 13:
                 return None
-            # de-stuff this scan's entropy data (split on RSTn), and
-            # remember where it ended so marker parsing continues —
-            # progressive files carry MANY scans
-            j = i + 2 + ln
-            segs, cur = [], bytearray()
-            while j < len(bb):
-                byte = bb[j]
-                if byte == 0xFF:
-                    nxt = bb[j + 1] if j + 1 < len(bb) else None
-                    if nxt == 0x00:
-                        cur.append(0xFF)
-                        j += 2
-                        continue
-                    if nxt is not None and 0xD0 <= nxt <= 0xD7:
-                        segs.append(bytes(cur))
-                        cur = bytearray()
-                        j += 2
-                        continue
-                    break
-                cur.append(byte)
-                j += 1
-            segs.append(bytes(cur))
+            # de-stuff this scan's entropy data (split on RSTn) under
+            # the REMAINING pixel-proportional budget — progressive
+            # files carry many scans, and the abort must land while
+            # scanning the offending one, not after copying it all
+            budget = jpeg_entropy_budget(sof[0], sof[1])
+            got = jpeg_destuff(bb, i + 2 + ln, budget - total_entropy)
+            if got is None:
+                return None
+            segs, j = got
             total_entropy += sum(len(s) for s in segs)
             # snapshot the tables this scan binds (tables are LIVE
             # state: a later DHT may redefine a slot)
@@ -502,8 +509,6 @@ def decode_jpeg_progressive(b: bytes):
     if sof is None or not scans:
         return None
     w, h, comps = sof
-    if total_entropy > 24 * w * h + (1 << 16):
-        return None  # entropy bytes proportional to pixel budget
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if any(hmax % c[1] or vmax % c[2] for c in comps):
@@ -517,43 +522,6 @@ def decode_jpeg_progressive(b: bytes):
         cid: np.zeros((mcuy * vi * mcux * hi, 64), np.int64)
         for cid, hi, vi, _tq in comps
     }
-
-    def make_reader(segbytes):
-        nbits = len(segbytes) * 8
-        state = [0]
-
-        def read_bits(n):
-            pos = state[0]
-            if n == 0:
-                return 0
-            if pos + n > nbits:
-                return None
-            v = 0
-            rem = n
-            while rem:
-                byte = segbytes[pos >> 3]
-                avail = 8 - (pos & 7)
-                take = avail if avail < rem else rem
-                v = (v << take) | (
-                    (byte >> (avail - take)) & ((1 << take) - 1)
-                )
-                pos += take
-                rem -= take
-            state[0] = pos
-            return v
-
-        def huffd(table):
-            code = 0
-            for ln2 in range(1, 17):
-                bit = read_bits(1)
-                if bit is None:
-                    return None
-                code = (code << 1) | bit
-                if (ln2, code) in table:
-                    return table[(ln2, code)]
-            return None
-
-        return read_bits, huffd
 
     for sc, Ss, Se, Ah, Al, ri, tabs, segs in scans:
         for cid, _d, _a in sc:
@@ -572,14 +540,12 @@ def decode_jpeg_progressive(b: bytes):
             bw1 = -(-(-(-(w * hi) // hmax)) // 8)
             bh1 = -(-(-(-(h * vi) // vmax)) // 8)
             units = bw1 * bh1
-        if Ss > 0 and interleaved:
-            return None
         ri_eff = ri or units
         unit = 0
         for segbytes in segs:
             if unit >= units:
                 break
-            read_bits, huffd = make_reader(segbytes)
+            read_bits, huffd = jpeg_make_reader(segbytes)
             preds = {cid: 0 for cid, _d, _a in sc}
             eobrun = 0
             done = 0
@@ -605,11 +571,7 @@ def decode_jpeg_progressive(b: bytes):
                                         v = read_bits(s)
                                         if v is None:
                                             return None
-                                        diff = (
-                                            v
-                                            if v >= (1 << (s - 1))
-                                            else v - (1 << s) + 1
-                                        )
+                                        diff = jpeg_extend(v, s)
                                     else:
                                         diff = 0
                                     preds[cid] += diff
@@ -637,11 +599,7 @@ def decode_jpeg_progressive(b: bytes):
                                 v = read_bits(s)
                                 if v is None:
                                     return None
-                                diff = (
-                                    v
-                                    if v >= (1 << (s - 1))
-                                    else v - (1 << s) + 1
-                                )
+                                diff = jpeg_extend(v, s)
                             else:
                                 diff = 0
                             preds[cid] += diff
@@ -680,12 +638,7 @@ def decode_jpeg_progressive(b: bytes):
                                 v = read_bits(s)
                                 if v is None:
                                     return None
-                                val = (
-                                    v
-                                    if v >= (1 << (s - 1))
-                                    else v - (1 << s) + 1
-                                )
-                                c[k] = val << Al
+                                c[k] = jpeg_extend(v, s) << Al
                                 k += 1
                     else:  # AC refinement pass
                         actab = tabs.get((1, asel))
@@ -775,14 +728,7 @@ def decode_jpeg_progressive(b: bytes):
             np.repeat(pl, vmax // vi, axis=0), hmax // hi, axis=1
         )
         out_planes.append(pl[:h, :w])
-    if len(out_planes) == 1:
-        g = np.clip(out_planes[0], 0, 255).astype(np.uint8)
-        return np.repeat(g[:, :, None], 3, axis=2)
-    y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    bl = y + 1.772 * (cb - 128.0)
-    return np.clip(np.stack([r, g, bl], axis=2), 0, 255).astype(np.uint8)
+    return jpeg_color_tail(out_planes)
 
 
 def encode_jpeg(
@@ -1301,6 +1247,14 @@ JPEG_SRC = "\n".join(
         jpeg_zigzag,
         jpeg_dct_matrix,
         jpeg_huffman_table,
+        jpeg_parse_dqt,
+        jpeg_parse_dht,
+        jpeg_parse_sof,
+        jpeg_destuff,
+        jpeg_entropy_budget,
+        jpeg_make_reader,
+        jpeg_extend,
+        jpeg_color_tail,
         decode_jpeg_progressive,
         decode_jpeg,
         encode_jpeg,
