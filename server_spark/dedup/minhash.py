@@ -513,22 +513,23 @@ def shingle_vectors(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Sparse shingle-presence vectors for MinHashLSH."""
+    """Sparse shingle-presence vectors for MinHashLSH.
+
+    Shingling goes through the ONE shared n-gram kernel
+    (:func:`server_spark.dedup.ngram.shingle_array`) — an earlier
+    inline copy diverged on docs shorter than ``n`` words, emitting a
+    malformed sub-n shingle where the native minhash path drops the
+    doc (r11 review finding). Distinct grams + ``binary=True`` TF is
+    exactly shingle-set presence."""
     from pyspark.ml.feature import HashingTF
 
-    words = docs.select(
-        F.col(id_col),
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("words"),
-    )
+    from server_spark.dedup import ngram as ng
+
     # word n-grams as array column (JVM-side transform; no Python UDF)
-    shingles = words.select(
-        id_col,
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size("words") - n, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at("words", (i + j + 1).cast("int")) for j in range(n)]
-            ),
-        ).alias("shingles"),
+    shingles = docs.select(
+        F.col(id_col), ng.split_words(text_col).alias("_words")
+    ).select(
+        id_col, ng.shingle_array("_words", n).alias("shingles")
     ).filter(F.size("shingles") > 0)
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=num_features,
@@ -575,10 +576,23 @@ def hash_value_neardup_pairs(
     band_bits: int = 16,
     max_hamming: int = 10,
 ) -> DataFrame:
-    """All ordered id pairs (id_a < id_b, plus the Hamming distance of
-    their 64-bit perceptual hashes) within ``max_hamming`` — the
-    shared kernel behind the x128 image-dHash and x129 audio-
-    fingerprint near-dup queries.
+    """Ordered id pairs (id_a < id_b, plus the Hamming distance of
+    their 64-bit perceptual hashes) with distance <= ``max_hamming``,
+    found via Hamming-band LSH — the shared kernel behind the x128
+    image-dHash and x129 audio-fingerprint near-dup queries.
+
+    RECALL CONTRACT (pigeonhole bound): a pair is GUARANTEED to be
+    found only when its hashes differ in <= ``n_bands - 1`` bits —
+    with fewer differing bits than bands, at least one band must
+    match exactly. Pairs differing in ``n_bands`` .. ``max_hamming``
+    bits are found only if their flips happen to cluster into few
+    bands; flips spread across every band are missed. That is the
+    standard banded-LSH trade: raising ``n_bands`` toward
+    ``max_hamming + 1`` makes recall exhaustive but shrinks bands
+    (``64 / n_bands`` bits → exponentially more bucket collisions
+    and candidate pairs). The defaults (4x16-bit bands) guarantee
+    Hamming <= 3 — the re-encode/resample variants perceptual hashing
+    is used for — while ``max_hamming`` only bounds the exact verify.
 
     Scale design (r11 — the sf1.0 probe OOM'd the previous doc-level
     shape): perceptual hashes are MANY-TO-ONE — every re-encode /

@@ -75,12 +75,20 @@ def hamming_pairs(
 
 def banded_hamming_pairs(
     fingerprints: DataFrame, max_distance: int, n_bands: int = 4,
-    id_col: str = "doc_id",
+    id_col: str = "doc_id", max_bucket: int | None = None,
 ) -> DataFrame:
     """Scale path: band the 64-bit fingerprint into ``n_bands`` chunks;
     any pair within ``max_distance < n_bands`` Hamming bits must agree
-    exactly on at least one chunk (pigeonhole), so candidates come from
-    ``n_bands`` equi-joins instead of a cross-join."""
+    exactly on at least one chunk (pigeonhole). Candidates come from
+    the shared :func:`server_spark.dedup.minhash.bucket_pairs` kernel
+    — ONE shuffle (bucket per (band, chunk) + narrow pair expansion),
+    not the kv self-join this used before r11, which shuffled the
+    banded relation twice and had no hot-bucket guard (one degenerate
+    chunk value, e.g. the all-zero band of short docs, exploded into
+    m²/2 join rows). The fingerprint rides the expansion as payload,
+    so the exact bit_count verify needs no re-join."""
+    from server_spark.dedup.minhash import bucket_pairs
+
     width = 64 // n_bands
     banded = fingerprints.select(
         F.col(id_col),
@@ -99,20 +107,18 @@ def banded_hamming_pairs(
             )
         ).alias("bc"),
     ).select(id_col, "simhash", "bc.band", "bc.chunk")
-    a = banded.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("ha"), "band", "chunk"
-    )
-    b = banded.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("hb"), "band", "chunk"
-    )
-    cands = (
-        a.join(b, ["band", "chunk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "hb")
-        .distinct()
+    pairs = bucket_pairs(
+        banded,
+        ["band", "chunk"],
+        id_col=id_col,
+        payload=("simhash",),
+        max_bucket=max_bucket,
     )
     return (
-        cands.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
+        )
         .filter(F.col("hamming") <= max_distance)
         .select("doc_a", "doc_b", "hamming")
     )

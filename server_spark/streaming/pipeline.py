@@ -287,13 +287,20 @@ def incremental_dedup_stream(
     (a static relation; at scale a maintained bronze-side table) and
     joined into every micro-batch — a stream-static broadcast hash
     join, no state store needed because the corpus side is the state.
-    The near-dup path (banded minhash candidates, x38's batch×base
-    shape) runs the same way in foreachBatch in production; kept to
-    the exact tier here so the streaming test stays sub-second.
+    The hash set is BARRIERED (checkpointed) so the scan + sha2 +
+    distinct over the standing corpus runs once, not once per
+    micro-batch — stream-static joins re-resolve the static plan
+    every batch, and per-batch ingest latency must not scale with
+    corpus size (r11 review finding; same fix as
+    decontaminate_stream's train side). The near-dup path (banded
+    minhash candidates, x38's batch×base shape) runs the same way in
+    foreachBatch in production; kept to the exact tier here so the
+    streaming test stays sub-second.
     """
+    from server_spark.barrier import barrier
     from server_spark.dedup import exact as ex
 
-    base_hashes = (
+    base_hashes = barrier(
         base_docs.select(ex.text_hash().alias("h"))
         .distinct()
         .withColumn("_in_base", F.lit(1))
@@ -702,8 +709,17 @@ def _epoch_gated_fold_sink(state_dir: str, subdir: str, delta_fn, merge_fn):
     dedupes files across restarts; foreachBatch is at-least-once
     WITHIN a batch (a crash between the fold and the checkpoint
     commit replays the batch), so the fold is additionally gated on
-    the epoch id persisted in the state sidecar. The state write goes
-    tmp → aside-swap with crash healing so a failure mid-write leaves
+    the epoch id persisted WITH the state. The epoch marker lives
+    INSIDE the swapped state directory (``<subdir>/_epoch`` — the
+    leading underscore keeps it invisible to the parquet reader, like
+    ``_SUCCESS``), so state and epoch commit in ONE atomic rename: a
+    crash anywhere leaves either the old state+old epoch or the new
+    state+new epoch, never a folded state whose epoch says "not yet"
+    (which would double-apply the delta on replay — r11 review
+    finding; a shared ``state_dir/_epoch`` sidecar also made two fold
+    streams over one state_dir clobber each other's gate, and its
+    in-place rewrite could be torn by a crash). The swap itself goes
+    tmp → aside-swap with crash healing so a failure mid-swap leaves
     a recoverable table. One implementation — a hardening fix here
     reaches every fold pipeline at once."""
     import json as _json
@@ -711,37 +727,41 @@ def _epoch_gated_fold_sink(state_dir: str, subdir: str, delta_fn, merge_fn):
     import shutil
 
     data_dir = os.path.join(state_dir, subdir)
-    wm_file = os.path.join(state_dir, "_epoch")
     aside = f"{data_dir}.old"
+
+    def _epoch_of(d: str) -> int:
+        f = os.path.join(d, "_epoch")
+        try:
+            with open(f) as fh:
+                return int(_json.load(fh)["batch_id"])
+        except (OSError, ValueError, KeyError):
+            return -1
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        last = -1
-        if os.path.exists(wm_file):
-            with open(wm_file) as fh:
-                last = _json.load(fh)["batch_id"]
-        if batch_id <= last:  # replayed epoch — fold already applied
-            return
-        delta = delta_fn(batch_df)
         if os.path.exists(aside):  # heal a crash between swap renames
             if os.path.exists(data_dir):
                 shutil.rmtree(aside)
             else:
                 os.rename(aside, data_dir)
+        last = _epoch_of(data_dir)
+        if batch_id <= last:  # replayed epoch — fold already applied
+            return
+        delta = delta_fn(batch_df)
         if os.path.exists(data_dir):
             merged = merge_fn(sess.read.parquet(data_dir), delta)
         else:
             merged = delta
         tmp = f"{data_dir}.tmp.{os.getpid()}"
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # epoch rides inside the directory that is about to be swapped
+        with open(os.path.join(tmp, "_epoch"), "w") as fh:
+            _json.dump({"batch_id": int(batch_id)}, fh)
         if os.path.exists(data_dir):
             os.rename(data_dir, aside)
         os.replace(tmp, data_dir)
         if os.path.exists(aside):
             shutil.rmtree(aside)
-        os.makedirs(state_dir, exist_ok=True)
-        with open(wm_file, "w") as fh:
-            _json.dump({"batch_id": int(batch_id)}, fh)
 
     return sink
 
@@ -936,7 +956,12 @@ def cusum_changepoint_stream(
                 if n == _w:
                     armed = True
                 continue
-            sd = math.sqrt(m2 / (n - 1)) if n > 1 else 0.0
+            # dispersion is FROZEN at calibration: m2 stops updating
+            # after warmup, so it must be divided by the calibration
+            # count, not the ever-growing n (which decayed sd toward 0
+            # and made the monitor trigger-happy on long streams —
+            # r11 review finding)
+            sd = math.sqrt(m2 / (_w - 1)) if _w > 1 else 0.0
             if sd <= 0:
                 sd = abs(mean) * 0.01 + 1e-9  # degenerate-flat fallback
             z = (x - mean) / sd

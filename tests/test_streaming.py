@@ -674,7 +674,8 @@ def test_bitmap_distinct_stream_incremental_equals_oneshot(spark, tmp_path):
 
     # replayed epoch: re-delivering an ALREADY-FOLDED batch_id is a
     # no-op (the at-least-once crash window foreachBatch must survive)
-    with open(os.path.join(state_dir, "_epoch")) as fh:
+    # epoch marker commits atomically INSIDE the swapped state dir
+    with open(os.path.join(state_dir, "bitmaps", "_epoch")) as fh:
         last = json.load(fh)["batch_id"]
     replay = _dump(spark, t1, [(3, 101, 10, 1), (4, 102, 10, 1)])
     # simulate the replay by calling the sink path directly: fold is
@@ -860,6 +861,49 @@ def test_cusum_changepoint_stream(spark, tmp_path):
     assert len(downs) == 1, f"expected one 'down' alert after resume: {rows}"
 
 
+def test_cusum_dispersion_frozen_on_long_quiet_stream(spark, tmp_path):
+    """r11 review finding: sd was computed as sqrt(m2/(n-1)) with the
+    calibration-frozen m2 but the ever-growing snapshot count n, so on
+    a long stable stream sd decayed toward 0, z inflated, and the
+    monitor fired on sub-threshold wiggle. Dispersion must stay at its
+    calibration value: hundreds of quiet snapshots (a 0.5-sigma ripple,
+    below the k=0.5 design threshold) must produce ZERO alerts."""
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir, exist_ok=True)
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = []
+    # calibration: sd ~ 2 around mean 100
+    cal = [100, 102, 98, 101, 99, 100, 103, 97]
+    for i, pr in enumerate(cal):
+        rows.append((i + 1, 100, pr, 1, t0 + dt.timedelta(hours=i)))
+    # 300 post-warmup snapshots riding +1 above baseline (~0.5 sigma,
+    # below the k*sigma design threshold: a correct tabular CUSUM
+    # accumulates z - k ~= 0 and never crosses h)
+    for i in range(8, 308):
+        rows.append((i + 1, 100, 101, 1, t0 + dt.timedelta(hours=i)))
+    data = [
+        (auc, item, "o", "r1", 9, buyout, qty, "LONG", "eu", "r1", ts)
+        for auc, item, buyout, qty, ts in rows
+    ]
+    spark.createDataFrame(data, AUCTION).coalesce(1).write.mode(
+        "append"
+    ).parquet(input_dir)
+
+    stream = sp.cusum_changepoint_stream(
+        sp.read_auction_stream(spark, input_dir)
+    )
+    q = sp.run_to_parquet(stream, out_dir, ckpt, mode="append")
+    q.awaitTermination()
+    try:
+        alerts = spark.read.parquet(out_dir).collect()
+    except Exception:  # noqa: BLE001 — no alerts: no files
+        alerts = []
+    assert alerts == [], f"quiet stream alerted: {alerts}"
+
+
 def test_price_moments_stream_incremental_equals_oneshot(spark, tmp_path):
     """Streaming moments gold: the epoch-gated fold of (n, Σx, Σx²)
     equals a one-shot aggregate EXACTLY (decimal sums) after every
@@ -913,6 +957,44 @@ def test_price_moments_stream_incremental_equals_oneshot(spark, tmp_path):
     )
     q3.awaitTermination()
     assert read()[("eu", "r1")][0] == 3
+
+
+def test_colocated_fold_streams_share_state_dir(spark, tmp_path):
+    """r11 review finding: the epoch gate used one state_dir-level
+    sidecar, so a SECOND fold stream pointed at the same state_dir
+    (the layout the read_* helpers are designed around) saw the first
+    stream's epoch and silently skipped every fold. The marker now
+    rides inside each fold's own subdir — both streams must fold."""
+    input_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    os.makedirs(input_dir, exist_ok=True)
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    t1 = dt.datetime(2024, 1, 1, 11)
+    _write_dump(spark, input_dir, "d0", t0,
+                [(1, 100, 100, 1), (2, 101, 300, 1)])
+    _write_dump(spark, input_dir, "d1", t1,
+                [(3, 101, 500, 1), (4, 102, 900, 1)])
+
+    q = sp.bitmap_distinct_stream(
+        spark, input_dir, state_dir, str(tmp_path / "ck_bm"))
+    q.awaitTermination()
+    q2 = sp.price_hist_stream(
+        spark, input_dir, state_dir, str(tmp_path / "ck_hist"))
+    q2.awaitTermination()
+
+    got_bm = {
+        (r["region"], r["realm_slug"]): r["distinct_exact"]
+        for r in sp.read_bitmap_distinct_state(spark, state_dir).collect()
+    }
+    assert got_bm[("eu", "r1")] == 3  # items 100,101,102
+    # the second stream MUST have created and folded its own state
+    assert os.path.exists(os.path.join(state_dir, "hist"))
+    est = sp.read_price_median_state(spark, state_dir).collect()
+    assert len(est) > 0
+    # and each fold carries its own epoch marker
+    assert os.path.exists(os.path.join(state_dir, "bitmaps", "_epoch"))
+    assert os.path.exists(os.path.join(state_dir, "hist", "_epoch"))
 
 
 def test_tws_env_block_is_pinned():
