@@ -221,6 +221,68 @@ def estimate_distinct(sketches: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def _heal_gold_aside(data_dir: str) -> None:
+    """Heal a crash between the two swap renames: the standing table
+    was set aside but its replacement never landed — restore it rather
+    than treating this as a first refresh."""
+    aside = f"{data_dir}.old"
+    if os.path.exists(aside):
+        if os.path.exists(data_dir):
+            shutil.rmtree(aside)
+        else:
+            os.rename(aside, data_dir)
+
+
+def _gold_watermark(data_dir: str) -> dict:
+    """Heal, then return the watermark dict persisted INSIDE the
+    standing table directory ({} when the table does not exist).
+
+    The watermark rides in the table dir (underscore-prefixed, hidden
+    from the parquet reader like ``_SUCCESS``) so table and watermark
+    commit in ONE atomic rename — a sidecar written after the swap
+    left a crash window where the fold had landed but the watermark
+    said "not yet", double-applying the batch on the next refresh
+    (r11 review finding; additive golds — histogram counts, moment
+    sums, hot-item counts — silently doubled; HLL/bitmap golds only
+    survived by union idempotence). A table that exists WITHOUT a
+    readable watermark raises: folding onto state of unknown epoch
+    risks exactly that double-count."""
+    import json as _json
+
+    _heal_gold_aside(data_dir)
+    if not os.path.exists(data_dir):
+        return {}
+    wm_file = os.path.join(data_dir, "_watermark")
+    try:
+        with open(wm_file) as fh:
+            return _json.load(fh)
+    except (OSError, ValueError) as exc:
+        raise RuntimeError(
+            f"gold table {data_dir} exists but its _watermark is "
+            f"unreadable ({exc}); refusing to fold onto state of "
+            "unknown epoch — restore or rebuild the gold"
+        ) from exc
+
+
+def _commit_gold_swap(merged: DataFrame, data_dir: str, wm: dict) -> None:
+    """Write ``merged`` + its watermark to a temp dir, then swap it in
+    via the aside two-rename: a crash anywhere leaves either the old
+    table+old watermark or the new table+new watermark, never a fold
+    without its epoch. Groups-sized golds only (wholesale rewrite)."""
+    import json as _json
+
+    aside = f"{data_dir}.old"
+    tmp = f"{data_dir}.tmp.{os.getpid()}"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_watermark"), "w") as fh:
+        _json.dump(wm, fh)
+    if os.path.exists(data_dir):
+        os.rename(data_dir, aside)
+    os.replace(tmp, data_dir)
+    if os.path.exists(aside):
+        shutil.rmtree(aside)
+
+
 def refresh_owner_sketch_gold(spark, paths) -> int:
     """Incrementally maintain a gold table of per-(region, realm)
     DISTINCT-OWNER sketches from the medallion commit log.
@@ -245,14 +307,11 @@ def refresh_owner_sketch_gold(spark, paths) -> int:
     from server_spark.plans.medallion import load_manifest
 
     gold_dir = os.path.join(paths.root, "gold", "owner_sketches")
-    wm_file = os.path.join(gold_dir, "_watermark")
+    data_dir = os.path.join(gold_dir, "sketches")
     keys = ["region", "realm_slug"]
 
     manifest = load_manifest(spark, paths)
-    last = 0
-    if os.path.exists(wm_file):
-        with open(wm_file) as fh:
-            last = _json.load(fh)["batch_id"]
+    last = _gold_watermark(data_dir).get("batch_id", 0)
     new_keys = manifest.filter(F.col("batch_id") > last)
     n_batches = new_keys.select("batch_id").distinct().count()
     if n_batches == 0:
@@ -266,16 +325,6 @@ def refresh_owner_sketch_gold(spark, paths) -> int:
     )
     batch_sketches = distinct_sketches(fresh_rows, keys, "owner")
 
-    data_dir = os.path.join(gold_dir, "sketches")
-    aside = f"{data_dir}.old"
-    # Heal a crash that happened between the two swap renames below:
-    # the standing table was set aside but its replacement never
-    # landed — restore it rather than treating this as a first refresh.
-    if os.path.exists(aside):
-        if os.path.exists(data_dir):
-            shutil.rmtree(aside)
-        else:
-            os.rename(aside, data_dir)
     # "First refresh" is ONLY the table not existing. Any read failure
     # on an existing table (corrupt file, transient IO) must propagate
     # loudly — swallowing it here would overwrite the sketch table with
@@ -285,20 +334,7 @@ def refresh_owner_sketch_gold(spark, paths) -> int:
         merged = merge_distinct_sketches(standing, batch_sketches, keys)
     else:
         merged = batch_sketches
-    # groups-sized table: rewrite via temp + two-rename swap. The old
-    # table is set ASIDE (not deleted) before the replacement lands, so
-    # a crash anywhere leaves either the old or the new table
-    # recoverable — never neither.
-    tmp = f"{data_dir}.tmp.{os.getpid()}"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    if os.path.exists(data_dir):
-        os.rename(data_dir, aside)
-    os.replace(tmp, data_dir)
-    if os.path.exists(aside):
-        shutil.rmtree(aside)
-    os.makedirs(gold_dir, exist_ok=True)
-    with open(wm_file, "w") as fh:
-        _json.dump({"batch_id": int(hi)}, fh)
+    _commit_gold_swap(merged, data_dir, {"batch_id": int(hi)})
     return n_batches
 
 
@@ -369,10 +405,31 @@ def refresh_churn_gold(spark, paths) -> int:
     ).withColumn("prev_ts", F.lag("dump_ts").over(w)).withColumn(
         "prev_batch", F.lag("batch_id").over(w)
     )
+    # NB: unlike the additive mergeable golds, churn REPLACES the
+    # affected (region, realm, dump_ts) rows with a deterministic
+    # recompute, so a crash between the data write and the sidecar
+    # watermark merely redoes the same replacement on the next refresh
+    # — the gold_dir-level sidecar is safe here.
     pairs = timeline.filter(
         F.col("prev_ts").isNotNull()
         & ((F.col("batch_id") > last) | (F.col("prev_batch") > last))
     ).select("region", "realm_slug", "dump_ts", "prev_ts").cache()
+    try:
+        return _refresh_churn_inner(
+            spark, paths, gold_dir, wm_file, data_dir, pairs, hi
+        )
+    finally:
+        # a long-lived session (scheduler calling this every few
+        # minutes) must not accumulate one pinned cached relation per
+        # refresh (r11 review finding)
+        pairs.unpersist()
+
+
+def _refresh_churn_inner(
+    spark, paths, gold_dir, wm_file, data_dir, pairs, hi
+) -> int:
+    import json as _json
+
     n_pairs = pairs.count()
     if n_pairs == 0:  # e.g. the very first dump of a fresh lake
         os.makedirs(gold_dir, exist_ok=True)
@@ -558,16 +615,11 @@ def refresh_price_hist_gold(spark, paths) -> int:
     from server_spark.plans.medallion import load_manifest
 
     gold_dir = os.path.join(paths.root, "gold", "price_hist")
-    wm_file = os.path.join(gold_dir, "_watermark")
     data_dir = os.path.join(gold_dir, "hist")
-    aside = f"{data_dir}.old"
     keys = ["region", "realm_slug", "item"]
 
     manifest = load_manifest(spark, paths)
-    last = 0
-    if os.path.exists(wm_file):
-        with open(wm_file) as fh:
-            last = _json.load(fh)["batch_id"]
+    last = _gold_watermark(data_dir).get("batch_id", 0)
     new_keys = manifest.filter(F.col("batch_id") > last)
     n_batches = new_keys.select("batch_id").distinct().count()
     if n_batches == 0:
@@ -583,27 +635,13 @@ def refresh_price_hist_gold(spark, paths) -> int:
         fresh, keys, F.col("buyout") / F.col("quantity")
     )
 
-    if os.path.exists(aside):  # heal a crash between the swap renames
-        if os.path.exists(data_dir):
-            shutil.rmtree(aside)
-        else:
-            os.rename(aside, data_dir)
     if os.path.exists(data_dir):
         merged = merge_price_histograms(
             spark.read.parquet(data_dir), batch_hist, keys
         )
     else:
         merged = batch_hist
-    tmp = f"{data_dir}.tmp.{os.getpid()}"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    if os.path.exists(data_dir):
-        os.rename(data_dir, aside)
-    os.replace(tmp, data_dir)
-    if os.path.exists(aside):
-        shutil.rmtree(aside)
-    os.makedirs(gold_dir, exist_ok=True)
-    with open(wm_file, "w") as fh:
-        _json.dump({"batch_id": int(hi)}, fh)
+    _commit_gold_swap(merged, data_dir, {"batch_id": int(hi)})
     return n_batches
 
 
@@ -683,16 +721,11 @@ def refresh_item_bitmap_gold(spark, paths) -> int:
     from server_spark.plans.medallion import load_manifest
 
     gold_dir = os.path.join(paths.root, "gold", "item_bitmaps")
-    wm_file = os.path.join(gold_dir, "_watermark")
     data_dir = os.path.join(gold_dir, "bitmaps")
-    aside = f"{data_dir}.old"
     keys = ["region", "realm_slug"]
 
     manifest = load_manifest(spark, paths)
-    last = 0
-    if os.path.exists(wm_file):
-        with open(wm_file) as fh:
-            last = _json.load(fh)["batch_id"]
+    last = _gold_watermark(data_dir).get("batch_id", 0)
     new_keys = manifest.filter(F.col("batch_id") > last)
     n_batches = new_keys.select("batch_id").distinct().count()
     if n_batches == 0:
@@ -706,11 +739,6 @@ def refresh_item_bitmap_gold(spark, paths) -> int:
     )
     batch_bm = item_bitmaps(fresh, keys, "item")
 
-    if os.path.exists(aside):  # heal a crash between the swap renames
-        if os.path.exists(data_dir):
-            shutil.rmtree(aside)
-        else:
-            os.rename(aside, data_dir)
     # First refresh is ONLY the table not existing (read failures on an
     # existing table must propagate — same contract as the sketch gold).
     if os.path.exists(data_dir):
@@ -719,16 +747,7 @@ def refresh_item_bitmap_gold(spark, paths) -> int:
         )
     else:
         merged = batch_bm
-    tmp = f"{data_dir}.tmp.{os.getpid()}"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    if os.path.exists(data_dir):
-        os.rename(data_dir, aside)
-    os.replace(tmp, data_dir)
-    if os.path.exists(aside):
-        shutil.rmtree(aside)
-    os.makedirs(gold_dir, exist_ok=True)
-    with open(wm_file, "w") as fh:
-        _json.dump({"batch_id": int(hi)}, fh)
+    _commit_gold_swap(merged, data_dir, {"batch_id": int(hi)})
     return n_batches
 
 
@@ -790,16 +809,11 @@ def refresh_hot_items_gold(spark, paths, cap: int = _MG_CAP) -> int:
     from server_spark.plans.medallion import load_manifest
 
     gold_dir = os.path.join(paths.root, "gold", "hot_items")
-    wm_file = os.path.join(gold_dir, "_watermark")
     data_dir = os.path.join(gold_dir, "summary")
-    aside = f"{data_dir}.old"
 
     manifest = load_manifest(spark, paths)
-    last, total = 0, 0
-    if os.path.exists(wm_file):
-        with open(wm_file) as fh:
-            wm = _json.load(fh)
-            last, total = wm["batch_id"], wm.get("n_rows", 0)
+    wm = _gold_watermark(data_dir)
+    last, total = wm.get("batch_id", 0), wm.get("n_rows", 0)
     new_keys = manifest.filter(F.col("batch_id") > last)
     n_batches = new_keys.select("batch_id").distinct().count()
     if n_batches == 0:
@@ -814,11 +828,6 @@ def refresh_hot_items_gold(spark, paths, cap: int = _MG_CAP) -> int:
     batch_counts = fresh.groupBy("item").agg(F.count("*").alias("est"))
     n_new = fresh.count()  # bounded: one increment's rows
 
-    if os.path.exists(aside):  # heal a crash between the swap renames
-        if os.path.exists(data_dir):
-            shutil.rmtree(aside)
-        else:
-            os.rename(aside, data_dir)
     if os.path.exists(data_dir):
         standing = spark.read.parquet(data_dir)
         merged = (
@@ -830,22 +839,14 @@ def refresh_hot_items_gold(spark, paths, cap: int = _MG_CAP) -> int:
         merged = batch_counts
     summary = _mg_truncate(merged, cap)
 
-    tmp = f"{data_dir}.tmp.{os.getpid()}"
-    summary.coalesce(1).write.mode("overwrite").parquet(tmp)
-    if os.path.exists(data_dir):
-        os.rename(data_dir, aside)
-    os.replace(tmp, data_dir)
-    if os.path.exists(aside):
-        shutil.rmtree(aside)
-    os.makedirs(gold_dir, exist_ok=True)
     # The cap is part of the summary's meaning (the undercount bound is
     # N/(cap+1)); persist it so readers bound against the capacity the
     # state was actually built with, not the module default.
-    with open(wm_file, "w") as fh:
-        _json.dump(
-            {"batch_id": int(hi), "n_rows": int(total + n_new),
-             "cap": int(cap)}, fh
-        )
+    _commit_gold_swap(
+        summary, data_dir,
+        {"batch_id": int(hi), "n_rows": int(total + n_new),
+         "cap": int(cap)},
+    )
     return n_batches
 
 
@@ -854,13 +855,12 @@ def read_hot_items_gold(spark, paths):
     bound (N_total/(cap+1)) as a column."""
     import json as _json
 
-    gold_dir = os.path.join(paths.root, "gold", "hot_items")
-    with open(os.path.join(gold_dir, "_watermark")) as fh:
-        wm = _json.load(fh)
+    data_dir = os.path.join(paths.root, "gold", "hot_items", "summary")
+    wm = _gold_watermark(data_dir)
     # Use the capacity the state was BUILT with (persisted in the
-    # sidecar) — falling back to the default only for pre-cap sidecars.
+    # in-table watermark) — default only for pre-cap watermarks.
     bound = wm.get("n_rows", 0) // (wm.get("cap", _MG_CAP) + 1)
-    return spark.read.parquet(os.path.join(gold_dir, "summary")).select(
+    return spark.read.parquet(data_dir).select(
         "item", "est", F.lit(bound).alias("max_undercount")
     )
 
@@ -1095,15 +1095,10 @@ def refresh_price_moments_gold(spark, paths) -> int:
     from server_spark.plans.medallion import load_manifest
 
     gold_dir = os.path.join(paths.root, "gold", "price_moments")
-    wm_file = os.path.join(gold_dir, "_watermark")
     data_dir = os.path.join(gold_dir, "data")
-    aside = f"{data_dir}.old"
 
     manifest = load_manifest(spark, paths)
-    last = 0
-    if os.path.exists(wm_file):
-        with open(wm_file) as fh:
-            last = _json.load(fh)["batch_id"]
+    last = _gold_watermark(data_dir).get("batch_id", 0)
     new_keys = manifest.filter(F.col("batch_id") > last)
     n_batches = new_keys.select("batch_id").distinct().count()
     if n_batches == 0:
@@ -1119,27 +1114,13 @@ def refresh_price_moments_gold(spark, paths) -> int:
         fresh, _MOM_KEYS, F.col("buyout") / F.col("quantity")
     )
 
-    if os.path.exists(aside):  # heal a crash between the swap renames
-        if os.path.exists(data_dir):
-            shutil.rmtree(aside)
-        else:
-            os.rename(aside, data_dir)
     if os.path.exists(data_dir):
         merged = merge_price_moments(
             spark.read.parquet(data_dir), batch_mom, _MOM_KEYS
         )
     else:
         merged = batch_mom
-    tmp = f"{data_dir}.tmp.{os.getpid()}"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    if os.path.exists(data_dir):
-        os.rename(data_dir, aside)
-    os.replace(tmp, data_dir)
-    if os.path.exists(aside):
-        shutil.rmtree(aside)
-    os.makedirs(gold_dir, exist_ok=True)
-    with open(wm_file, "w") as fh:
-        _json.dump({"batch_id": int(hi)}, fh)
+    _commit_gold_swap(merged, data_dir, {"batch_id": int(hi)})
     return n_batches
 
 

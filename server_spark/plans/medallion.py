@@ -213,19 +213,35 @@ def ingest_bronze(
 
 def load_manifest(spark: SparkSession, paths: MedallionPaths) -> DataFrame:
     """The ingested-dump log (AuctionManifest analog, SURVEY.md §1.1):
-    one row per archived dump key. Empty-but-typed when nothing has
-    been ingested yet."""
-    try:
-        m = spark.read.parquet(paths.manifest)
-        if "batch_id" not in m.columns:  # pre-versioning manifests
-            m = m.withColumn("batch_id", F.lit(0).cast("long"))
-        return m
-    except Exception:
+    one row per archived dump key. Empty-but-typed ONLY when the
+    manifest has never been written; any failure reading an EXISTING
+    manifest (corrupt footer, transient IO) must propagate loudly — an
+    empty fallback there would silently reset versioning: the next
+    ingest re-mints historical batch_ids and re-appends seen dumps,
+    and every watermarked gold skips the re-minted batches forever
+    (r11 review finding)."""
+    def _has_data_files(d: str) -> bool:
+        for root, dirs, files in os.walk(d):
+            # skip hidden/temporary subtrees (_temporary from an
+            # interrupted very-first write is "never written", not
+            # "corrupt")
+            dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+            if any(not f.startswith(("_", ".")) for f in files):
+                return True
+        return False
+
+    if not os.path.exists(paths.manifest) or not _has_data_files(
+        paths.manifest
+    ):
         return spark.createDataFrame(
             [],
             "region string, realm_slug string, dump_ts timestamp, "
             "n_rows long, batch_id long",
         )
+    m = spark.read.parquet(paths.manifest)
+    if "batch_id" not in m.columns:  # pre-versioning manifests
+        m = m.withColumn("batch_id", F.lit(0).cast("long"))
+    return m
 
 
 def ingest_bronze_incremental(
@@ -267,6 +283,18 @@ def _ingest_bronze_locked(
     seen = manifest.select(*keys)
     incoming = raw.groupBy(*keys).agg(F.count("*").alias("n_rows"))
     new_keys = incoming.join(F.broadcast(seen), keys, "left_anti").cache()
+    try:
+        return _ingest_gated(spark, raw, paths, keys, manifest, new_keys)
+    finally:
+        # a scheduler-driven session must not pin one dead cached
+        # relation per ingest call (r11 review finding)
+        new_keys.unpersist()
+
+
+def _ingest_gated(
+    spark: SparkSession, raw, paths: MedallionPaths, keys, manifest,
+    new_keys,
+) -> int:
     n_new = new_keys.count()
     if n_new == 0:
         return 0
@@ -298,14 +326,20 @@ def _ingest_bronze_locked(
         append_keys.count()
     else:
         append_keys = new_keys
-    fresh = raw.join(F.broadcast(append_keys.select(*keys)), keys, "left_semi")
-    (
-        fresh.withColumn("dump_date", F.to_date("dump_ts"))
-        .repartition("region", "realm_slug", "dump_date")
-        .write.mode("append")
-        .partitionBy("region", "realm_slug", "dump_date")
-        .parquet(paths.bronze)
-    )
+    try:
+        fresh = raw.join(
+            F.broadcast(append_keys.select(*keys)), keys, "left_semi"
+        )
+        (
+            fresh.withColumn("dump_date", F.to_date("dump_ts"))
+            .repartition("region", "realm_slug", "dump_date")
+            .write.mode("append")
+            .partitionBy("region", "realm_slug", "dump_date")
+            .parquet(paths.bronze)
+        )
+    finally:
+        if append_keys is not new_keys:
+            append_keys.unpersist()
     # monotonic ingest version: every dump key committed by this call
     # shares one batch_id — the manifest doubles as a commit log, so
     # readers get snapshot-AS-OF semantics (read_bronze_asof) from
@@ -525,40 +559,62 @@ def compact_small_files(
     import math
     import shutil
 
+    # One swap implementation for the whole repo: the scratch naming
+    # (DOT-prefixed, invisible to Spark's file index and partition
+    # parser) and crash healing live in plans.maintenance. An earlier
+    # inline copy here used a non-hidden '<partition>.compact.tmp'
+    # scratch with no recovery — an interrupted run left a dir Spark
+    # listed as data (duplicate rows / broken partition values) and a
+    # window where the partition existed only in tmp (r11 review
+    # finding). Local import: maintenance imports medallion's
+    # load_manifest function-locally, so this cannot cycle.
+    from server_spark.plans.maintenance import (
+        _OLD_PREFIX,
+        _TMP_PREFIX,
+        _heal_interrupted,
+        _scratch,
+    )
+
     if lock_root is not None:
         with commit_lock(lock_root):
             return compact_small_files(
                 spark, table_dir, target_bytes, lock_root=None
             )
 
+    _heal_interrupted(table_dir)
     compacted = skipped = 0
+    # collect candidates BEFORE mutating: renaming a directory out
+    # from under an in-flight os.walk is undefined enough to avoid
+    candidates: list[tuple[str, int, int]] = []
     for dirpath, dirnames, filenames in os.walk(table_dir):
+        dirnames[:] = [
+            d for d in dirnames if not d.startswith(("_", "."))
+        ]
         data_files = [
             f
             for f in filenames
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         ]
-        if len(data_files) <= 1:
-            if data_files:
-                skipped += 1
+        if not data_files:
             continue
         total = sum(
             os.path.getsize(os.path.join(dirpath, f)) for f in data_files
         )
-        if total / len(data_files) >= target_bytes:
+        candidates.append((dirpath, len(data_files), total))
+    for dirpath, n_files, total in candidates:
+        if n_files <= 1 or total / n_files >= target_bytes:
             skipped += 1
             continue
         n_out = max(1, math.ceil(total / target_bytes))
         df = spark.read.parquet(dirpath)
-        tmp = dirpath + ".compact.tmp"
+        tmp = _scratch(dirpath, _TMP_PREFIX)
         df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-        # atomic-ish swap: new data in place before old files vanish
-        for f in data_files:
-            os.remove(os.path.join(dirpath, f))
-        for f in os.listdir(tmp):
-            if f.endswith(".parquet"):
-                shutil.move(os.path.join(tmp, f), os.path.join(dirpath, f))
-        shutil.rmtree(tmp, ignore_errors=True)
+        # two-rename swap: a crash anywhere leaves either the old or
+        # the new partition recoverable by _heal_interrupted
+        old = _scratch(dirpath, _OLD_PREFIX)
+        os.rename(dirpath, old)
+        os.rename(tmp, dirpath)
+        shutil.rmtree(old)
         compacted += 1
     return {"compacted_partitions": compacted, "skipped_partitions": skipped}
 

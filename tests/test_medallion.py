@@ -496,6 +496,68 @@ def test_streaming_intake_feeds_incremental_maintenance(spark, tmp_path):
     assert mt.refresh_price_hist_gold(spark, paths) == 0
 
 
+def test_additive_gold_watermark_commits_atomically_with_data(spark, tmp_path):
+    """r11 review finding: additive golds (histogram counts) wrote the
+    watermark sidecar AFTER the data swap, so a crash between the two
+    double-folded the batch on the next refresh. The watermark now
+    rides INSIDE the swapped table dir: (1) it must exist there and
+    survive the aside-crash heal with no double-count; (2) a standing
+    table whose watermark is unreadable must raise, not refold."""
+    import datetime as dt
+    import json
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from server_spark.plans import maintenance as mt
+    from server_spark.plans import medallion as med
+
+    def dump(ts, prices):
+        return spark.createDataFrame(
+            [("eu", "r1", ts, i, 100, p, 1, "o")
+             for i, p in enumerate(prices)],
+            "region string, realm_slug string, dump_ts timestamp, "
+            "auc long, item long, buyout long, quantity long, owner string",
+        )
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    paths = med.MedallionPaths(str(tmp_path / "lake"))
+    med.ingest_bronze_incremental(spark, dump(t0, [100, 300, 500]), paths)
+    assert mt.refresh_price_hist_gold(spark, paths) == 1
+    data_dir = os.path.join(paths.root, "gold", "price_hist", "hist")
+    wm_file = os.path.join(data_dir, "_watermark")
+    assert json.load(open(wm_file))["batch_id"] == 1
+
+    def counts():
+        return {
+            tuple(r)[:4]: r["cnt"]
+            for r in spark.read.parquet(data_dir).collect()
+        }
+
+    base = counts()
+    # crash between the swap renames: standing table (with its
+    # watermark inside) sits at .old only; heal must restore BOTH, so
+    # the next refresh folds ONLY the new batch — no double-count
+    os.rename(data_dir, data_dir + ".old")
+    t1 = t0 + dt.timedelta(hours=1)
+    med.ingest_bronze_incremental(spark, dump(t1, [700]), paths)
+    assert mt.refresh_price_hist_gold(spark, paths) == 1
+    after = counts()
+    assert sum(after.values()) == sum(base.values()) + 1  # exactly one new row
+    # re-running is a no-op (watermark advanced atomically with data)
+    assert mt.refresh_price_hist_gold(spark, paths) == 0
+    assert counts() == after
+
+    # unreadable watermark on an existing table: refuse to fold
+    os.remove(wm_file)
+    t2 = t0 + dt.timedelta(hours=2)
+    med.ingest_bronze_incremental(spark, dump(t2, [900]), paths)
+    with _pytest.raises(RuntimeError, match="unknown epoch"):
+        mt.refresh_price_hist_gold(spark, paths)
+    shutil.rmtree(paths.root)
+
+
 def test_crash_between_bronze_and_manifest_is_recoverable(spark, tmp_path):
     """Regression (r5 advice): bronze is appended before the manifest
     commit. Simulate a crash in that window — bronze holds a dump's
