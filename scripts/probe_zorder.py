@@ -27,7 +27,7 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
-    from server_spark.plans.zorder import (
+    from server_spark.plans.layout import (
         files_touched,
         write_keysorted,
         write_zordered,

@@ -113,13 +113,21 @@ def salted_join(
     right side shuffles n_salts× its size — use for big-big joins
     with a skewed left; for small right sides just broadcast.
 
-    The salt only affects row DISTRIBUTION, never matching — any
-    per-row value works; a uniform int avoids hashing whole rows.
+    The salt only affects row DISTRIBUTION, never matching — but it
+    must be DETERMINISTIC per row: monotonically_increasing_id would
+    re-salt rows when a fetch failure recomputes some map tasks
+    (upstream-shuffle row order is not stable across recomputation),
+    and a shuffle key that changes on retry duplicates or drops join
+    rows (the SPARK-23207 nondeterministic-repartition hazard; r11
+    review finding). xxhash64 over the row's columns is stable across
+    retries; content-identical rows co-locating is fine — skew means
+    same KEY, differing payloads, which the hash spreads.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
     salted_l = left.withColumn(
-        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+        "_salt",
+        F.pmod(F.xxhash64(*left.columns), F.lit(n_salts)).cast("int"),
     )
     salts = F.explode(
         F.array(*[F.lit(i) for i in range(n_salts)])

@@ -42,24 +42,36 @@ def _bucketize(c: Column, cmin: float, cmax: float, bits: int) -> Column:
     )
 
 
+def morton2(a: Column, b: Column, bits: int = ZBITS) -> Column:
+    """Interleave the low ``bits`` bits of two long columns: a's bit i
+    lands at position 2i+1, b's at 2i. Pure shift/and/or terms —
+    2*bits ors, unrolled at plan-build time so codegen sees one flat
+    expression (no UDF). This is THE Morton kernel; zorder_key
+    composes it with min-max bucketization (an earlier twin module,
+    plans/zorder.py, carried an independent copy — r11 review
+    finding; consolidated here so a bit-layout change lands once)."""
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        code = code.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return code
+
+
 def zorder_key(
     x: Column, y: Column, bounds: tuple[float, float, float, float],
     bits: int = ZBITS,
 ) -> Column:
-    """Interleaved Morton key of two bucketized columns: bit i of x
-    lands at position 2i+1, bit i of y at 2i. Pure shift/and/or terms
-    — 2*bits ors, unrolled here so codegen sees one flat expression."""
+    """Interleaved Morton key of two bucketized columns — see
+    :func:`morton2` for the bit layout."""
     xmin, xmax, ymin, ymax = bounds
-    bx = _bucketize(x, xmin, xmax, bits)
-    by = _bucketize(y, ymin, ymax, bits)
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(bx, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(by, i).bitwiseAND(F.lit(1)), 2 * i)
-        )
-    return z
+    return morton2(
+        _bucketize(x, xmin, xmax, bits),
+        _bucketize(y, ymin, ymax, bits),
+        bits,
+    )
 
 
 def write_zordered(
@@ -93,6 +105,40 @@ def write_zordered(
         .parquet(path)
     )
     return bounds
+
+
+def write_keysorted(
+    df: DataFrame, path: str, col: str, n_files: int = 16
+) -> None:
+    """The single-key baseline layout: range-partition + sort on ONE
+    column (what a naive gold write does) — the control arm for the
+    file-skipping probes."""
+    (
+        df.repartitionByRange(n_files, col)
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def files_touched(spark, path: str, predicate) -> tuple[int, int]:
+    """(files contributing rows under ``predicate``, total files) —
+    the end-to-end file-skipping measurement: with one file per range
+    slice, the distinct input_file_name() count under a filter IS the
+    number of files whose envelope intersects the predicate.
+    Complements :func:`files_surviving`, which answers the same
+    question from footer stats alone."""
+    df = spark.read.parquet(path)
+    total = (
+        df.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    touched = (
+        df.filter(predicate)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    return touched, total
 
 
 def file_envelopes(path: str, col_x: str, col_y: str) -> list[dict]:

@@ -195,10 +195,18 @@ def adc_topk(
                 denom = bqn[qi] * np.where(rnrm > 0, rnrm, np.inf)
                 s = dots / denom
                 mask = ids != bqids[qi]
-                # partial top-k inside the partition bounds the shuffle
+                # partial top-k inside the partition bounds the shuffle.
+                # Keep EVERY row tied with the k-th score (not an
+                # arbitrary argpartition cut): ties at the boundary must
+                # reach the global window, which resolves them
+                # deterministically by (score desc, id) — otherwise the
+                # result depends on physical partitioning (r11 review
+                # finding). Emission stays O(k + ties).
                 cand = np.nonzero(mask)[0]
                 if len(cand) > k:
-                    cand = cand[np.argpartition(-s[cand], k)[:k]]
+                    part = np.argpartition(-s[cand], k - 1)
+                    kth = s[cand][part[k - 1]]
+                    cand = cand[s[cand] >= kth]
                 out_q.append(np.full(len(cand), bqids[qi], dtype=np.int64))
                 out_i.append(ids[cand].astype(np.int64))
                 out_s.append(s[cand])

@@ -50,14 +50,18 @@ def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
     n_space = F.length(F.regexp_replace(t, r"[^\s]", ""))
     n_tokens = token_count(text_col)
+    # try_divide, not `/`: under Spark 4's default ANSI mode a single
+    # empty document (0 chars / 0 tokens) would throw DIVIDE_BY_ZERO
+    # and abort the whole scan (r11 review finding) — empty docs get
+    # NULL ratios and flow on to the filters, which drop them anyway
     return docs.withColumns(
         {
             "n_chars_m": n_chars.cast("long"),
             "n_tokens": n_tokens.cast("long"),
-            "avg_token_len": (n_chars - n_space) / n_tokens,
-            "alpha_ratio": n_alpha / n_chars,
-            "digit_ratio": n_digit / n_chars,
-            "space_ratio": n_space / n_chars,
+            "avg_token_len": F.try_divide(n_chars - n_space, n_tokens),
+            "alpha_ratio": F.try_divide(n_alpha, n_chars),
+            "digit_ratio": F.try_divide(n_digit, n_chars),
+            "space_ratio": F.try_divide(n_space, n_chars),
         }
     )
 

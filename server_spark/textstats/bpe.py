@@ -209,7 +209,10 @@ def encode_with_merges(
             ids, toks, ns = [], [], []
             for did, text in zip(pdf[id_col], pdf["_t"]):
                 t: list[str] = []
-                for w in text.split():
+                # NULL text (lower(trim(NULL)) stays NULL → Arrow hands
+                # None) tokenizes to [] — the same rows word_freqs
+                # tolerates must not crash encoding (r11 review finding)
+                for w in (text.split() if isinstance(text, str) else []):
                     t.extend(bpe_word(w))
                 ids.append(did)
                 toks.append(t)

@@ -148,3 +148,35 @@ def test_per_merge_job_trainer_is_demoted_to_cross_check():
             f"operator module {info.name} calls the per-merge-job "
             "trainer"
         )
+
+
+def test_encode_tolerates_null_and_empty_text(spark):
+    """r11 review finding: NULL text reached the Arrow batch as None
+    and text.split() crashed the task — the same rows word_freqs
+    tolerates must encode to zero tokens, not kill the job."""
+    from server_spark.textstats.bpe import encode_with_merges, train_bpe_fast
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "low lower lowest")],
+        "doc_id long, text string",
+    )
+    rules = train_bpe_fast(docs, n_merges=4)
+    got = {r["doc_id"]: r["n_tokens"]
+           for r in encode_with_merges(docs, rules).collect()}
+    assert got[1] == 0 and got[2] == 0 and got[3] > 0
+
+
+def test_quality_metrics_tolerates_empty_docs(spark):
+    """r11 review finding: under Spark 4's default ANSI mode an
+    empty-string document made every ratio 0/0 and the whole scan
+    threw DIVIDE_BY_ZERO; try_divide yields NULL ratios instead."""
+    from server_spark.textstats.analysis import quality_metrics
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "some real text"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_metrics(docs).collect()}
+    assert rows[1]["alpha_ratio"] is None
+    assert rows[3]["alpha_ratio"] is None
+    assert rows[2]["alpha_ratio"] is not None and rows[2]["n_tokens"] == 3

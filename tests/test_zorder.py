@@ -1,4 +1,4 @@
-"""Z-order clustering (plans/zorder.py): morton-code correctness and
+"""Z-order clustering (plans/layout.py): morton-code correctness and
 the file-skipping property the layout exists for. The quantitative
 measurement lives in scripts/probe_zorder.py (sf0.1, JSON); these
 assertions pin the qualitative shape at smoke scale."""
@@ -10,7 +10,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from server_spark.plans.zorder import (
+from server_spark.plans.layout import (
     files_touched,
     morton2,
     write_keysorted,
