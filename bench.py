@@ -191,7 +191,13 @@ def main() -> None:
 
     cal_end = _cal_score()
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # parse a trailing "sf<number>" path component; anything else
+    # falls back to the raw dir string — a ValueError at the very end
+    # of the run would discard every timing (r11 review finding)
+    import re as _re
+
+    _m = _re.search(r"sf(\d+(?:\.\d+)?)[a-z]*/?$", SF_DIR.rstrip("/"))
+    sf = _m.group(1) if _m else ""
     # The driver stores only the TAIL (~2 KB) of stdout; a JSON line
     # carrying all ~106 per-query timings (~4 KB) gets its head cut
     # and fails to parse (observed: BENCH_r02.json "parsed": null).

@@ -21,6 +21,18 @@ def main() -> int:
     from server_spark.parity_check import run_parity
     from server_spark.session import get_spark
 
+    if only:
+        # a typo'd name must be a loud error, not a silently-empty
+        # run that exits 0 and reads as green (r11 review finding)
+        from __spark_entry__ import queries
+
+        unknown = only - set(queries())
+        if unknown:
+            raise SystemExit(
+                f"unknown query name(s): {sorted(unknown)} — "
+                "not in the __spark_entry__ registry"
+            )
+
     spark = get_spark("parity-check")
     _passed, _rows_only, failed = run_parity(spark, sf_dir, only=only)
     return 1 if failed else 0

@@ -139,7 +139,11 @@ def owners_query(
     rendered = owners.select(
         F.col("owner"), F.col("owner").cast("string").alias("_o")
     )
-    hits = rendered.filter(F.col("_o").contains(query.lower()))
+    # lower BOTH sides: lowering only the query made any letter in it
+    # unmatchable the moment owners carry names (r11 review finding)
+    hits = rendered.filter(
+        F.lower(F.col("_o")).contains(query.lower())
+    )
     return (
         hits.orderBy(F.length("_o"), "owner").select("owner").limit(limit)
     )
@@ -205,13 +209,17 @@ def realm_modification_dates(
         F.col("c_custkey").alias("user_id"),
         F.col("c_nationkey").alias("realm_id"),
     )
-    dim = cust.join(
-        F.broadcast(_realm_dim(spark, sf_dir)), "realm_id"
-    )
+    # broadcast ONLY the realm dim (nation x region, ~25 rows) — the
+    # customer-joined map is customer-SCALE, and broadcasting it OOMs
+    # at the posture this module claims (r11 review finding). The
+    # customer join stays a shuffle join for AQE to plan; the region
+    # filter shrinks the dim BEFORE it touches customer.
+    realms = _realm_dim(spark, sf_dir)
     if region_name is not None:
-        dim = dim.filter(F.col("region_name") == region_name)
+        realms = realms.filter(F.col("region_name") == region_name)
+    dim = cust.join(F.broadcast(realms), "realm_id")
     return (
-        ev.join(F.broadcast(dim), "user_id")
+        ev.join(dim, "user_id")
         .groupBy("region_name", "realm_id", "realm_name")
         .agg(
             F.max("ts").alias("last_modified"),

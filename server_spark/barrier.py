@@ -50,7 +50,23 @@ def disable_reliable_barriers(spark: SparkSession) -> None:
 
 
 def reliable_enabled(spark: SparkSession) -> bool:
-    return spark.conf.get(RELIABLE_CONF, "false") == "true"
+    """True when reliable checkpoints are wanted AND possible.
+
+    Checks the session conf OR the SparkContext's checkpoint dir: the
+    dir is CONTEXT-scoped while the conf flag is SESSION-scoped, so a
+    DataFrame built on a sibling session (spark.newSession(), a
+    thread-local session) of a context where enable_reliable_barriers
+    ran would read "false" from its own conf and silently downgrade to
+    a non-fault-tolerant localCheckpoint (r11 review finding). The
+    checkpoint dir's presence is the context-level truth; the conf
+    flag remains as the per-session opt-out switch
+    (disable_reliable_barriers sets it to "false" explicitly)."""
+    flag = spark.conf.get(RELIABLE_CONF, None)
+    if flag is not None:
+        return flag == "true"
+    return (
+        spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+    )
 
 
 def barrier(df: DataFrame, eager: bool = True) -> DataFrame:

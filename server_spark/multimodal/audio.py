@@ -55,6 +55,12 @@ def parse_pcm16(b: bytes):
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > len(b):
+            # declared chunk size overruns the payload: a TRUNCATED
+            # upload. Slicing would silently clamp and report ok=True
+            # with ~half the real duration (r11 review finding) —
+            # quarantine instead, per the module contract.
+            return None
         body = b[pos + 8 : pos + 8 + size]
         if cid == b"fmt " and len(body) >= 16:
             fmt = body

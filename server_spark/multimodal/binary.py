@@ -69,11 +69,16 @@ def _sniff_header(b: bytes) -> dict:
             "height": int.from_bytes(b[8:10], "little"),
         }
     if n >= 26 and b[:2] == b"BM":
-        return {
-            "format": "bmp",
-            "width": int.from_bytes(b[18:22], "little", signed=True),
-            "height": abs(int.from_bytes(b[22:26], "little", signed=True)),
-        }
+        # width is unsigned per the format; height's sign only encodes
+        # row order (negative = top-down). A non-positive width means
+        # a corrupt header — report unknown, matching decode_bmp's
+        # rejection, instead of emitting a negative width into
+        # MEDIA_META (r11 review finding).
+        bw = int.from_bytes(b[18:22], "little", signed=True)
+        bh = abs(int.from_bytes(b[22:26], "little", signed=True))
+        if bw > 0 and bh > 0:
+            return {"format": "bmp", "width": bw, "height": bh}
+        return {"format": "unknown", "width": None, "height": None}
     if n >= 4 and b[:2] == b"\xff\xd8":
         # JPEG: walk the marker stream to the first SOF frame header
         sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,

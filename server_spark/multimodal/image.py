@@ -462,7 +462,9 @@ def decode_gif(b: bytes):
     sub-block reassembly, LZW decompression (lzw_decode), Adam-style
     4-pass de-interlace, and frame compositing onto the logical
     screen honoring disposal methods 0/1 (leave) and 2 (restore
-    background) plus GCE transparency masks (transparent pixels keep
+    background; 3 = restore-to-previous quarantines, since no
+    prior-canvas buffer is kept) plus GCE transparency masks
+    (transparent pixels keep
     the underlying canvas — alpha itself is dropped, the PNG/BMP
     convention). Malformed streams return None (quarantine)."""
     import numpy as np
@@ -507,6 +509,14 @@ def decode_gif(b: bytes):
                 if label == 0xF9 and first and sz >= 4:
                     gpacked = bb[pos]
                     disposal = (gpacked >> 2) & 7
+                    if disposal >= 3:
+                        # restore-to-previous (3) needs a saved prior
+                        # canvas this decoder doesn't keep; treating
+                        # it as "leave" rendered later frames on a
+                        # stale canvas — silently wrong pixels (r11
+                        # review finding). 4..7 are undefined by the
+                        # spec. Both quarantine.
+                        return None
                     transp = bb[pos + 3] if gpacked & 1 else None
                 first = False
                 pos += sz

@@ -160,7 +160,21 @@ def gate(
     base: dict, fresh: dict, threshold: float = THRESHOLD
 ) -> tuple[list[tuple[str, float, float, float]], float]:
     """Drift-normalized regression check. Returns (regressions, drift);
-    each regression is (subject, base_p50, fresh_p50, norm_ratio)."""
+    each regression is (subject, base_p50, fresh_p50, norm_ratio).
+
+    Raises on a base/fresh subject-set mismatch: a renamed or dropped
+    serving subject would otherwise escape the gate silently — the
+    fresh run simply wouldn't carry the key and no ratio would be
+    computed (r11 review finding). Retiring a subject must be an
+    explicit baseline edit, not an accident."""
+    missing = sorted(set(base) - set(fresh))
+    added = sorted(set(fresh) - set(base))
+    if missing or added:
+        raise ValueError(
+            f"serving-gate subject sets differ: missing from fresh "
+            f"{missing}, new in fresh {added} — refresh the baseline "
+            "explicitly if the subject list changed"
+        )
     drift = median_drift(base, fresh)
     regs = []
     for name, b in base.items():

@@ -145,3 +145,50 @@ def test_gif_roundtrip_property(frames):
     assert len(dec) == len(frames)
     for fi, df in zip(frames, dec):
         assert (df == pal[fi]).all()
+
+
+def test_gif_disposal_restore_to_previous_quarantines():
+    """r11 review finding: disposal=3 (restore-to-previous) needs a
+    prior-canvas buffer this decoder doesn't keep; treating it as
+    'leave' rendered later frames on a stale canvas. It must
+    quarantine (None), and the common disposal=1 path still decodes."""
+    import numpy as np
+
+    from server_spark.multimodal.image import decode_gif, encode_gif
+
+    frames = [np.zeros((4, 4), np.uint8), np.ones((4, 4), np.uint8)]
+    pal = [(0, 0, 0), (255, 255, 255)]
+    good = encode_gif(frames, pal)
+    assert decode_gif(good) is not None
+    # flip the encoder's GCE disposal bits (byte after 0x21 0xF9 0x04
+    # block start) from 1 to 3 on every GCE
+    b = bytearray(good)
+    i = 0
+    patched = 0
+    while True:
+        j = b.find(b"\x21\xf9\x04", i)
+        if j < 0:
+            break
+        packed = b[j + 3]
+        b[j + 3] = (packed & ~0x1C) | (3 << 2)
+        patched += 1
+        i = j + 4
+    assert patched >= 1
+    assert decode_gif(bytes(b)) is None
+
+
+def test_bmp_sniff_rejects_negative_width():
+    """r11 review finding: a corrupt BMP header with negative width
+    must sniff as unknown (decode_bmp rejects the same payload), not
+    emit a negative width into MEDIA_META."""
+    from server_spark.multimodal.binary import _sniff_header
+    from server_spark.multimodal.image import encode_bmp
+
+    import numpy as np
+
+    good = encode_bmp(np.zeros((2, 2, 3), np.uint8))
+    meta = _sniff_header(good)
+    assert meta["format"] == "bmp" and meta["width"] == 2
+    bad = bytearray(good)
+    bad[18:22] = (-100).to_bytes(4, "little", signed=True)
+    assert _sniff_header(bytes(bad))["format"] == "unknown"

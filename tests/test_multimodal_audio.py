@@ -103,3 +103,15 @@ def test_sql_composability(spark):
         .count()
     )
     assert kept == 4
+
+
+def test_truncated_wav_quarantines():
+    """r11 review finding: a data chunk whose declared size overruns
+    the payload (a truncated upload) must return None, not ok=True
+    with roughly half the real duration."""
+    from server_spark.multimodal.audio import parse_pcm16, synthetic_wav
+
+    full = synthetic_wav(1, seconds=0.1)
+    assert parse_pcm16(full) is not None
+    cut = full[: len(full) // 2]
+    assert parse_pcm16(cut) is None

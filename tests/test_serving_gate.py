@@ -55,3 +55,21 @@ def test_serving_latency_gate(spark):
     # every baseline subject must still exist (a deleted subject is a
     # silent coverage loss, not a pass)
     assert set(base) <= set(fresh)
+
+
+def test_gate_raises_on_subject_set_mismatch():
+    """r11 review finding: a renamed/dropped subject silently escaped
+    the gate (fresh missing the key -> no ratio computed). Subject-set
+    drift must be a loud error demanding an explicit baseline edit."""
+    import pytest
+
+    from server_spark.serving_gate import gate
+
+    base = {"a": {"p50": 1.0}, "b": {"p50": 1.0}}
+    fresh_missing = {"a": {"p50": 1.0}}
+    with pytest.raises(ValueError, match="subject sets differ"):
+        gate(base, fresh_missing)
+    fresh_added = {"a": {"p50": 1.0}, "b": {"p50": 1.0},
+                   "c": {"p50": 1.0}}
+    with pytest.raises(ValueError, match="subject sets differ"):
+        gate(base, fresh_added)
