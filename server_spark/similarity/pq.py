@@ -196,17 +196,23 @@ def adc_topk(
                 s = dots / denom
                 mask = ids != bqids[qi]
                 # partial top-k inside the partition bounds the shuffle.
-                # Keep EVERY row tied with the k-th score (not an
-                # arbitrary argpartition cut): ties at the boundary must
-                # reach the global window, which resolves them
-                # deterministically by (score desc, id) — otherwise the
-                # result depends on physical partitioning (r11 review
-                # finding). Emission stays O(k + ties).
+                # The cut follows the SAME total order the global
+                # window ranks by — (score desc, id asc) — so ties at
+                # the k-th score are resolved by id here too, not by
+                # an arbitrary argpartition pick that made results
+                # depend on physical partitioning (r11 review
+                # finding). Emission stays exactly k: strict winners,
+                # then the smallest-id rows of the boundary tie class.
                 cand = np.nonzero(mask)[0]
                 if len(cand) > k:
-                    part = np.argpartition(-s[cand], k - 1)
-                    kth = s[cand][part[k - 1]]
-                    cand = cand[s[cand] >= kth]
+                    sc = s[cand]
+                    part = np.argpartition(-sc, k - 1)
+                    kth = sc[part[k - 1]]
+                    strict = cand[sc > kth]
+                    tied = cand[sc == kth]
+                    need = k - len(strict)
+                    fill = tied[np.argsort(ids[tied])[:need]]
+                    cand = np.concatenate([strict, fill])
                 out_q.append(np.full(len(cand), bqids[qi], dtype=np.int64))
                 out_i.append(ids[cand].astype(np.int64))
                 out_s.append(s[cand])
