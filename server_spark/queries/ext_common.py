@@ -95,3 +95,18 @@ def hash_split_col() -> "F.Column":
     return (
         F.when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test")
     )
+
+
+# Boolean train-membership form of the SAME rule, for queries that
+# only need train vs held-out (x85 perplexity, x91 backoff). An
+# inline copy in those queries drifted to 'cc' — docs in ['cc','cd')
+# were train members under x17 but scored as held-out (r11 review
+# finding); deriving from one constant keeps the boundary honest.
+IS_TRAIN_SQL = "substr(md5(CAST(doc_id AS STRING)), 1, 2) < 'cd'"
+
+
+def is_train_col() -> "F.Column":
+    """Spark twin of IS_TRAIN_SQL over a doc_id column."""
+    return (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd"
+    )

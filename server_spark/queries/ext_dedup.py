@@ -232,7 +232,7 @@ _X21_SQL = rf"""
         SELECT doc_id, text FROM documents
         WHERE len(string_split_regex(LOWER(TRIM(text)), '\s+')) BETWEEN 10 AND 5000
           AND CAST(LENGTH(regexp_replace(LOWER(text), '[^a-z]', '', 'g'))
-                   AS DOUBLE) / LENGTH(text) >= 0.55
+                   AS DOUBLE) / NULLIF(LENGTH(text), 0) >= 0.55
     ),
     exact AS (
         SELECT MIN(doc_id) AS doc_id, ANY_VALUE(text) AS text
@@ -279,9 +279,12 @@ def x21_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     t = F.col("text")
     n_tokens = tx.token_count()
-    alpha_ratio = (
-        F.length(F.regexp_replace(F.lower(t), r"[^a-z]", "")).cast("double")
-        / F.length(t)
+    # try_divide ↔ NULLIF in the oracle: an empty doc must be DROPPED
+    # by the gate (NULL >= 0.55 is false on both engines), not abort
+    # the whole corpus build under ANSI mode
+    alpha_ratio = F.try_divide(
+        F.length(F.regexp_replace(F.lower(t), r"[^a-z]", "")).cast("double"),
+        F.length(t),
     )
     kept = docs.filter(
         n_tokens.between(10, 5000) & (alpha_ratio >= 0.55)
@@ -2629,15 +2632,19 @@ def x134_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM after_s
     )
     SELECT b.source,
-           b.n_docs_before, a.n_docs_after,
-           b.tokens_before, a.tokens_after,
-           {r4sql("1.0 - CAST(a.tokens_after AS DOUBLE)"
-                  " / b.tokens_before")} AS removed_token_share,
-           {r4sql("LEAST(CAST(2.0 AS DOUBLE),"
-                  " (t.total_after / t.n_sources) / a.tokens_after)")}
-               AS mix_weight_after
+           b.n_docs_before,
+           CAST(COALESCE(a.n_docs_after, 0) AS BIGINT) AS n_docs_after,
+           b.tokens_before,
+           CAST(COALESCE(a.tokens_after, 0) AS BIGINT) AS tokens_after,
+           {r4sql("1.0 - CAST(COALESCE(a.tokens_after, 0) AS DOUBLE)"
+                  " / NULLIF(b.tokens_before, 0)")} AS removed_token_share,
+           CASE WHEN COALESCE(a.tokens_after, 0) > 0
+                THEN {r4sql("LEAST(CAST(2.0 AS DOUBLE),"
+                            " (t.total_after / t.n_sources)"
+                            " / a.tokens_after)")}
+                ELSE 0.0 END AS mix_weight_after
     FROM before_s b
-    JOIN after_s a ON b.source = a.source
+    LEFT JOIN after_s a ON b.source = a.source
     CROSS JOIN tot t
     """,
     doc="EXT x137 — DEDUP-AWARE source mixing budget, closing the "
@@ -2687,26 +2694,40 @@ def x137_dedup_aware_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tokens_after").cast("double").alias("total_after"),
         F.count("*").alias("n_sources"),
     )
+    # LEFT join + zero-fill: a source whose EVERY document was removed
+    # by dedup (100% syndicated copies of another source) is the single
+    # most important row in this accountability report — an inner join
+    # silently dropped it (r11 review finding). Its removed share reads
+    # 1.0 and its mix weight is pinned 0.0 (nothing left to sample) on
+    # both engines.
+    ta = F.coalesce(F.col("tokens_after"), F.lit(0).cast("bigint"))
     return (
-        before_s.join(after_s, "source")
+        before_s.join(after_s, "source", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "source",
             "n_docs_before",
-            "n_docs_after",
+            F.coalesce(F.col("n_docs_after"), F.lit(0).cast("bigint"))
+            .alias("n_docs_after"),
             "tokens_before",
-            "tokens_after",
+            ta.alias("tokens_after"),
             r4(
                 1.0
-                - F.col("tokens_after").cast("double")
-                / F.col("tokens_before")
-            ).alias("removed_token_share"),
-            r4(
-                F.least(
-                    F.lit(2.0),
-                    (F.col("total_after") / F.col("n_sources"))
-                    / F.col("tokens_after"),
+                - F.try_divide(
+                    ta.cast("double"), F.col("tokens_before")
                 )
-            ).alias("mix_weight_after"),
+            ).alias("removed_token_share"),
+            F.when(
+                ta > 0,
+                r4(
+                    F.least(
+                        F.lit(2.0),
+                        (F.col("total_after") / F.col("n_sources"))
+                        / F.col("tokens_after"),
+                    )
+                ),
+            )
+            .otherwise(0.0)
+            .alias("mix_weight_after"),
         )
     )

@@ -56,7 +56,7 @@ def x17_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                len(string_split_regex(LOWER(TRIM(text)), '\s+')) AS n_tokens,
                CAST(LENGTH(regexp_replace(LOWER(text), '[^a-z]', '', 'g'))
-                    AS DOUBLE) / LENGTH(text) AS alpha_ratio
+                    AS DOUBLE) / NULLIF(LENGTH(text), 0) AS alpha_ratio
         FROM documents
     )
     SELECT doc_id, n_tokens, alpha_ratio,
@@ -78,9 +78,12 @@ def x17_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x18_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     n_tokens = tx.token_count()
-    alpha_ratio = (
-        F.length(F.regexp_replace(F.lower(t), r"[^a-z]", "")).cast("double")
-        / F.length(t)
+    # try_divide ↔ NULLIF in the oracle: an empty doc yields NULL
+    # alpha_ratio (verdict falls through to 'keep'-chain NULL handling)
+    # instead of aborting the scan under ANSI mode
+    alpha_ratio = F.try_divide(
+        F.length(F.regexp_replace(F.lower(t), r"[^a-z]", "")).cast("double"),
+        F.length(t),
     )
     m = _docs(spark, sf_dir).select(
         "doc_id", n_tokens.alias("n_tokens"), alpha_ratio.alias("alpha_ratio")

@@ -11,7 +11,12 @@ from pyspark.sql import functions as F
 from server_spark.barrier import barrier
 
 from server_spark.parity import r4, r4sql
-from server_spark.queries.ext_common import _docs, shingle_ctes
+from server_spark.queries.ext_common import (
+    IS_TRAIN_SQL,
+    _docs,
+    is_train_col,
+    shingle_ctes,
+)
 from server_spark.registry import register
 from server_spark.textstats import analysis as tx
 from server_spark.textstats import pii
@@ -28,9 +33,9 @@ from server_spark.textstats import pii
            LENGTH(text) AS n_chars_m,
            len(string_split_regex(LOWER(TRIM(text)), '\s+')) AS n_tokens,
            CAST(LENGTH(regexp_replace(text, '[^\s]', '', 'g'))
-                AS DOUBLE) / LENGTH(text) AS space_ratio,
+                AS DOUBLE) / NULLIF(LENGTH(text), 0) AS space_ratio,
            CAST(LENGTH(regexp_replace(LOWER(text), '[^a-z]', '', 'g'))
-                AS DOUBLE) / LENGTH(text) AS alpha_ratio
+                AS DOUBLE) / NULLIF(LENGTH(text), 0) AS alpha_ratio
     FROM documents
     """,
     doc="EXT x4 — per-document quality features (length, token count, "
@@ -43,12 +48,15 @@ def x4_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars = F.length(t)
     n_space = F.length(F.regexp_replace(t, r"[^\s]", ""))
     n_alpha = F.length(F.regexp_replace(F.lower(t), r"[^a-z]", ""))
+    # try_divide ↔ NULLIF(...,0) in the oracle: one empty document
+    # must yield NULL ratios, not abort the scan under Spark 4's
+    # default ANSI mode (same class as the quality_metrics r11 fix)
     return _docs(spark, sf_dir).select(
         "doc_id",
         n_chars.alias("n_chars_m"),
         tx.token_count().alias("n_tokens"),
-        (n_space.cast("double") / n_chars).alias("space_ratio"),
-        (n_alpha.cast("double") / n_chars).alias("alpha_ratio"),
+        F.try_divide(n_space.cast("double"), n_chars).alias("space_ratio"),
+        F.try_divide(n_alpha.cast("double"), n_chars).alias("alpha_ratio"),
     )
 
 
@@ -688,7 +696,7 @@ LP_TAIL_PCT = 5     # drop the bottom 5% by corpus-LM score
         SELECT d.doc_id,
                len(string_split_regex(LOWER(TRIM(d.text)), '\s+')) AS n_tokens,
                CAST(LENGTH(regexp_replace(LOWER(d.text), '[^a-z]', '', 'g'))
-                    AS DOUBLE) / LENGTH(d.text) AS alpha_ratio,
+                    AS DOUBLE) / NULLIF(LENGTH(d.text), 0) AS alpha_ratio,
                COALESCE({r4sql("1.0 - CAST(r.n_di AS DOUBLE) / r.n_sh")}, 0.0)
                    AS repetition_ratio,
                l.avg_logprob,
@@ -781,33 +789,33 @@ def x40_quality_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # narrow-map metrics: tokens, alpha, repetition (gram array vs
-    # its distinct form — no explode)
+    # its distinct form — no explode). Shingles come from the ONE
+    # shared n-gram kernel (an inline copy here re-opened the
+    # short-doc drift class shingle_vectors already closed — r11
+    # review finding), and both divisions are try_divide so a
+    # sub-3-word or empty doc yields the coalesced default instead of
+    # aborting the gate under ANSI mode.
+    from server_spark.dedup.ngram import shingle_array
+
     words = docs.select("doc_id", "text", split_words("text").alias("_w"))
     n = F.size("_w")
-    grams = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(0), n - 3),
-            lambda i: F.concat_ws(
-                " ",
-                *[F.element_at("_w", (i + j + 1).cast("int")) for j in range(3)],
-            ),
-        ),
-    ).otherwise(F.slice(F.col("_w"), 1, 0))
+    grams = shingle_array("_w", 3, distinct=False)
     metrics = words.select(
         "doc_id",
         n.alias("n_tokens"),
-        (
+        F.try_divide(
             F.length(F.regexp_replace(F.lower("text"), r"[^a-z]", "")).cast(
                 "double"
-            )
-            / F.length("text")
+            ),
+            F.length("text"),
         ).alias("alpha_ratio"),
         F.coalesce(
             r4(
                 1.0
-                - F.size(F.array_distinct(grams)).cast("double")
-                / F.size(grams)
+                - F.try_divide(
+                    F.size(F.array_distinct(grams)).cast("double"),
+                    F.size(grams),
+                )
             ),
             F.lit(0.0),
         ).alias("repetition_ratio"),
@@ -2117,7 +2125,7 @@ def x76_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rf"""
     WITH sp AS (
         SELECT doc_id, text,
-               substr(md5(CAST(doc_id AS STRING)), 1, 2) < 'cc' AS is_train
+               {IS_TRAIN_SQL} AS is_train
         FROM documents
     ),
     toks AS (
@@ -2162,9 +2170,7 @@ def x76_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x85_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs(spark, sf_dir).select(
         "doc_id",
-        (
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cc"
-        ).alias("is_train"),
+        is_train_col().alias("is_train"),
         F.explode(
             F.split(F.lower(F.trim(F.col("text"))), r"\s+")
         ).alias("token"),
@@ -2352,7 +2358,7 @@ _X91_ALPHA = 0.4  # Brants et al. backoff weight
     rf"""
     WITH sp AS (
         SELECT doc_id, text,
-               substr(md5(CAST(doc_id AS STRING)), 1, 2) < 'cc' AS is_train
+               {IS_TRAIN_SQL} AS is_train
         FROM documents
     ),
     toks AS (
@@ -2417,10 +2423,7 @@ def x91_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir)
         .select(
             "doc_id",
-            (
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-                < "cc"
-            ).alias("is_train"),
+            is_train_col().alias("is_train"),
             F.posexplode(
                 F.split(F.lower(F.trim(F.col("text"))), r"\s+")
             ).alias("pos", "token"),
@@ -2830,8 +2833,10 @@ _X103_SPLIT = "string_split_regex(LOWER(TRIM(text)), '\\s+')"
         .replace(
             "{K}",
             r4sql(
-                "(p_bar - (p1 * p1 + (1 - p1) * (1 - p1)))"
+                "CASE WHEN (p1 * p1 + (1 - p1) * (1 - p1)) < 1.0"
+                " THEN (p_bar - (p1 * p1 + (1 - p1) * (1 - p1)))"
                 " / (1 - (p1 * p1 + (1 - p1) * (1 - p1)))"
+                " ELSE 0.0 END"
             ),
         ),
     doc="EXT x103 — FLEISS KAPPA over three deterministic quality "
@@ -2878,7 +2883,13 @@ def x103_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.alias("n_docs"),
         r4(p_bar).alias("p_bar"),
         r4(p_e).alias("p_e"),
-        r4((p_bar - p_e) / (1 - p_e)).alias("fleiss_kappa"),
+        # degenerate p_e = 1 (all raters unanimous on every doc) is
+        # pinned to kappa = 0 on both engines — same guard as x96's
+        # Cohen kappa; unguarded it divides by zero (r11 review
+        # finding)
+        r4(
+            F.when(p_e < 1.0, (p_bar - p_e) / (1 - p_e)).otherwise(0.0)
+        ).alias("fleiss_kappa"),
     )
 
 
@@ -3363,12 +3374,17 @@ def x119_stylometric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
         .transform(barrier)  # feeds top-K, totals AND marker counts
     )
-    wfw = Window.orderBy(F.col("c").desc(), "token")
+    # top-K via orderBy().limit() — TakeOrderedAndProject runs
+    # per-partition heaps + a K-row driver merge, never funnelling the
+    # whole Heaps-bounded vocab into ONE global-window task (r11
+    # review finding; same pattern as x23/x36/x58/x88). (c desc,
+    # token) is a total order over distinct tokens, so the K-set is
+    # identical to the row_number form.
     fw = (
         toks.groupBy("token")
         .agg(F.count("*").alias("c"))
-        .select("token", F.row_number().over(wfw).alias("rk"))
-        .filter(F.col("rk") <= _X119_TOP_K)
+        .orderBy(F.col("c").desc(), "token")
+        .limit(_X119_TOP_K)
         .select("token")
     )
     stot = toks.groupBy("source").agg(F.count("*").alias("n"))
