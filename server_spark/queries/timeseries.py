@@ -2521,11 +2521,13 @@ def t31_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _T32_LAGS = (1, 2, 3)
 
-
-@register(
-    "t32_acf",
-    f"""
-    WITH daily AS (
+# ONE definition of the ACF substrate (daily mean series → indexed →
+# mean-centered deviations → per-series Σdev²), shared by t32 (ACF),
+# t46 (Ljung-Box), and t51 (effective sample size) in BOTH dialects —
+# the _dense_daily lesson applied to this family: three inline copies
+# of the centering/lag-join machinery drifted one-at-a-time risk (r11
+# review finding).
+_ACF_CTES = """daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day, AVG(value) AS x
         FROM events GROUP BY 1, 2
     ),
@@ -2547,7 +2549,77 @@ _T32_LAGS = (1, 2, 3)
     ss AS (
         SELECT event_type, SUM(dev * dev) AS ss0, MAX(n) AS n
         FROM devs GROUP BY event_type
+    )"""
+
+
+def _acf_substrate(spark: SparkSession, sf_dir: str):
+    """Spark twin of _ACF_CTES: (devs, ss) — devs is barriered (it
+    feeds ss AND both sides of every lag join)."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.avg("value").alias("x"))
     )
+    idx = daily.select(
+        "event_type",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("rn"),
+    )
+    stats = idx.groupBy("event_type").agg(
+        F.avg("x").alias("xbar"), F.count("*").alias("n")
+    )
+    devs = (
+        idx.join(stats, "event_type")
+        .select(
+            "event_type",
+            "rn",
+            (F.col("x") - F.col("xbar")).alias("dev"),
+            "n",
+        )
+        .transform(barrier)
+    )
+    ss = devs.groupBy("event_type").agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("ss0"),
+        F.max("n").alias("n"),
+    )
+    return devs, ss
+
+
+def _acf_r_raw(devs, ss, lags) -> DataFrame:
+    """(event_type, lag, r_raw, n): the raw autocorrelation ratio at
+    each requested lag — a constant |lags| fan-out of the bounded
+    devs relation joined on rn+lag, one shuffle."""
+    lagc = F.explode(F.array(*[F.lit(k) for k in lags])).alias("lag")
+    d1 = devs.select("event_type", "rn", F.col("dev").alias("dev1"), lagc)
+    d2 = devs.select(
+        F.col("event_type").alias("_et2"),
+        F.col("rn").alias("rn2"),
+        F.col("dev").alias("dev2"),
+    )
+    return (
+        d1.join(
+            d2,
+            (F.col("event_type") == F.col("_et2"))
+            & (F.col("rn2") == F.col("rn") + F.col("lag")),
+        )
+        .drop("_et2")
+        .join(ss.filter(F.col("ss0") > 0), "event_type")
+        .groupBy("event_type", "lag")
+        .agg(
+            (F.sum(F.col("dev1") * F.col("dev2")) / F.max("ss0")).alias(
+                "r_raw"
+            ),
+            F.max("n").alias("n"),
+        )
+    )
+
+
+@register(
+    "t32_acf",
+    f"""
+    WITH {_ACF_CTES}
     SELECT d1.event_type, k.lag, MAX(ss.n) AS n_days,
            {r4sql("SUM(d1.dev * d2.dev) / MAX(ss.ss0)")} AS acf
     FROM devs d1
@@ -2580,49 +2652,14 @@ _T32_LAGS = (1, 2, 3)
     late=True,
 )
 def t32_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = (
-        _events(spark, sf_dir)
-        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(F.avg("value").alias("x"))
-    )
-    w = Window.partitionBy("event_type")
-    idx = daily.select(
-        "event_type", "x",
-        F.row_number().over(w.orderBy("day")).alias("rn"),
-    )
-    stats = idx.groupBy("event_type").agg(
-        F.avg("x").alias("xbar"), F.count("*").alias("n")
-    )
-    devs = idx.join(stats, "event_type").select(
-        "event_type", "rn", (F.col("x") - F.col("xbar")).alias("dev"), "n"
-    ).transform(barrier)  # feeds ss AND both sides of the lag join
-    ss = devs.groupBy("event_type").agg(
-        F.sum(F.col("dev") * F.col("dev")).alias("ss0"),
-        F.max("n").alias("n"),
-    )
-    lags = F.explode(
-        F.array(*[F.lit(k) for k in _T32_LAGS])
-    ).alias("lag")
-    d1 = devs.select("event_type", "rn", F.col("dev").alias("dev1"), lags)
-    d2 = devs.select(
-        F.col("event_type").alias("event_type2"),
-        F.col("rn").alias("rn2"),
-        F.col("dev").alias("dev2"),
-    )
+    devs, ss = _acf_substrate(spark, sf_dir)
     return (
-        d1.join(
-            d2,
-            (F.col("event_type") == F.col("event_type2"))
-            & (F.col("rn2") == F.col("rn") + F.col("lag")),
-        )
-        .drop("event_type2")
-        .join(ss.filter(F.col("ss0") > 0), "event_type")
-        .groupBy("event_type", "lag")
-        .agg(
-            F.max("n").alias("n_days"),
-            r4(F.sum(F.col("dev1") * F.col("dev2")) / F.max("ss0")).alias(
-                "acf"
-            ),
+        _acf_r_raw(devs, ss, _T32_LAGS)
+        .select(
+            "event_type",
+            "lag",
+            F.col("n").alias("n_days"),
+            r4(F.col("r_raw")).alias("acf"),
         )
         .orderBy("event_type", "lag")
     )
@@ -3520,11 +3557,12 @@ def t39_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _T40_PERIODS = tuple(range(2, 11))  # candidate cycle lengths in days
 
-
-@register(
-    "t40_periodogram",
-    f"""
-    WITH daily AS (
+# ONE definition of the spectral substrate (daily activity counts →
+# mean-centered residuals → sin/cos power projections per candidate
+# period), shared by t40 (dominant cycle) and t41 (spectral entropy)
+# in BOTH dialects — a power/centering fix must land in both at once
+# (r11 review finding; the _dense_daily lesson).
+_SPECTRAL_CTES = f"""daily AS (
         SELECT event_type,
                DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
                COUNT(*) AS x
@@ -3543,7 +3581,70 @@ _T40_PERIODS = tuple(range(2, 11))  # candidate cycle lengths in days
         FROM centered,
              (SELECT UNNEST([{', '.join(map(str, _T40_PERIODS))}]) AS p) p
         GROUP BY 1, 2
-    ),
+    )"""
+
+
+def _spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SPECTRAL_CTES: (event_type, p, num, den) — the
+    squared sin/cos projections of each mean-centered daily activity
+    series at every candidate period. Constant |periods| fan-out of
+    the bounded daily relation; one hash-agg per (series, period)."""
+    import math as _math
+
+    daily = (
+        _events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("t"),
+        )
+        .groupBy("event_type", "t")
+        .agg(F.count("*").alias("x"))
+    )
+    centered = daily.select(
+        "event_type",
+        "t",
+        (
+            F.col("x") - F.avg("x").over(Window.partitionBy("event_type"))
+        ).alias("rv"),
+    )
+    return (
+        centered.select(
+            "event_type",
+            "t",
+            "rv",
+            F.explode(
+                F.array(*[F.lit(p) for p in _T40_PERIODS])
+            ).alias("p"),
+        )
+        .groupBy("event_type", "p")
+        .agg(
+            (
+                F.pow(
+                    F.sum(
+                        F.col("rv")
+                        * F.cos(2 * _math.pi * F.col("t") / F.col("p"))
+                    ),
+                    2,
+                )
+                + F.pow(
+                    F.sum(
+                        F.col("rv")
+                        * F.sin(2 * _math.pi * F.col("t") / F.col("p"))
+                    ),
+                    2,
+                )
+            ).alias("num"),
+            F.sum(F.col("rv") * F.col("rv")).alias("den"),
+        )
+    )
+
+
+@register(
+    "t40_periodogram",
+    f"""
+    WITH {_SPECTRAL_CTES},
     scored AS (
         SELECT event_type, p, {{PW}} AS power
         FROM pw WHERE den > 0
@@ -3580,60 +3681,7 @@ _T40_PERIODS = tuple(range(2, 11))  # candidate cycle lengths in days
     late=True,
 )
 def t40_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math as _math
-
-    ev = tables.load(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            "event_type",
-            F.datediff(
-                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-            ).alias("t"),
-        )
-        .groupBy("event_type", "t")
-        .agg(F.count("*").alias("x"))
-    )
-    centered = daily.select(
-        "event_type",
-        "t",
-        (
-            F.col("x") - F.avg("x").over(Window.partitionBy("event_type"))
-        ).alias("rv"),
-    )
-    pw = (
-        centered.select(
-            "event_type",
-            "t",
-            "rv",
-            F.explode(
-                F.array(*[F.lit(p) for p in _T40_PERIODS])
-            ).alias("p"),
-        )
-        .groupBy("event_type", "p")
-        .agg(
-            (
-                F.pow(
-                    F.sum(
-                        F.col("rv")
-                        * F.cos(
-                            2 * _math.pi * F.col("t") / F.col("p")
-                        )
-                    ),
-                    2,
-                )
-                + F.pow(
-                    F.sum(
-                        F.col("rv")
-                        * F.sin(
-                            2 * _math.pi * F.col("t") / F.col("p")
-                        )
-                    ),
-                    2,
-                )
-            ).alias("num"),
-            F.sum(F.col("rv") * F.col("rv")).alias("den"),
-        )
-    )
+    pw = _spectral_power(spark, sf_dir)
     scored = (
         pw.filter(F.col("den") > 0)
         .select(
@@ -3676,25 +3724,7 @@ def t40_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t41_spectral_entropy",
     f"""
-    WITH daily AS (
-        SELECT event_type,
-               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
-               COUNT(*) AS x
-        FROM events GROUP BY 1, 2
-    ),
-    centered AS (
-        SELECT event_type, t,
-               x - AVG(x) OVER (PARTITION BY event_type) AS rv
-        FROM daily
-    ),
-    pw AS (
-        SELECT event_type, p.p,
-               POWER(SUM(rv * COS(2 * PI() * t / p.p)), 2)
-             + POWER(SUM(rv * SIN(2 * PI() * t / p.p)), 2) AS num
-        FROM centered,
-             (SELECT UNNEST([{', '.join(map(str, _T40_PERIODS))}]) AS p) p
-        GROUP BY 1, 2
-    ),
+    WITH {_SPECTRAL_CTES},
     tot AS (
         SELECT event_type, SUM(num) AS total FROM pw GROUP BY 1
     ),
@@ -3730,53 +3760,11 @@ def t40_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t41_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math as _math
 
-    ev = tables.load(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            "event_type",
-            F.datediff(
-                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-            ).alias("t"),
-        )
-        .groupBy("event_type", "t")
-        .agg(F.count("*").alias("x"))
-    )
-    centered = daily.select(
-        "event_type",
-        "t",
-        (
-            F.col("x") - F.avg("x").over(Window.partitionBy("event_type"))
-        ).alias("rv"),
-    )
     pw = (
-        centered.select(
-            "event_type",
-            "t",
-            "rv",
-            F.explode(
-                F.array(*[F.lit(p) for p in _T40_PERIODS])
-            ).alias("p"),
-        )
-        .groupBy("event_type", "p")
-        .agg(
-            (
-                F.pow(
-                    F.sum(
-                        F.col("rv")
-                        * F.cos(2 * _math.pi * F.col("t") / F.col("p"))
-                    ),
-                    2,
-                )
-                + F.pow(
-                    F.sum(
-                        F.col("rv")
-                        * F.sin(2 * _math.pi * F.col("t") / F.col("p"))
-                    ),
-                    2,
-                )
-            ).alias("num"),
-        )
-    ).transform(barrier)
+        _spectral_power(spark, sf_dir)
+        .select("event_type", "p", "num")
+        .transform(barrier)  # feeds the total AND the entropy fold
+    )
     tot = pw.groupBy("event_type").agg(F.sum("num").alias("total"))
     frac = F.col("num") / F.col("total")
     ent = (
@@ -4327,29 +4315,7 @@ _T46_CRIT = 7.815  # chi-squared 95% quantile at df = 3
 @register(
     "t46_ljung_box",
     f"""
-    WITH daily AS (
-        SELECT event_type, CAST(ts AS DATE) AS day, AVG(value) AS x
-        FROM events GROUP BY 1, 2
-    ),
-    idx AS (
-        SELECT event_type, x,
-               ROW_NUMBER() OVER (
-                   PARTITION BY event_type ORDER BY day
-               ) AS rn
-        FROM daily
-    ),
-    stats AS (
-        SELECT event_type, AVG(x) AS xbar, COUNT(*) AS n
-        FROM idx GROUP BY event_type
-    ),
-    devs AS (
-        SELECT i.event_type, i.rn, i.x - s.xbar AS dev, s.n
-        FROM idx i JOIN stats s ON i.event_type = s.event_type
-    ),
-    ss AS (
-        SELECT event_type, SUM(dev * dev) AS ss0, MAX(n) AS n
-        FROM devs GROUP BY event_type
-    ),
+    WITH {_ACF_CTES},
     acfs AS (
         SELECT d1.event_type, k.lag,
                SUM(d1.dev * d2.dev) / MAX(ss.ss0) AS r,
@@ -4391,51 +4357,8 @@ _T46_CRIT = 7.815  # chi-squared 95% quantile at df = 3
     late=True,
 )
 def t46_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = tables.load(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(F.avg("value").alias("x"))
-    )
-    idx = daily.select(
-        "event_type",
-        "x",
-        F.row_number()
-        .over(Window.partitionBy("event_type").orderBy("day"))
-        .alias("rn"),
-    )
-    stats = idx.groupBy("event_type").agg(
-        F.avg("x").alias("xbar"), F.count("*").alias("n")
-    )
-    devs = idx.join(stats, "event_type").select(
-        "event_type", "rn", (F.col("x") - F.col("xbar")).alias("dev"), "n"
-    ).transform(barrier)
-    ss = devs.groupBy("event_type").agg(
-        F.sum(F.col("dev") * F.col("dev")).alias("ss0"),
-        F.max("n").alias("n"),
-    )
-    lags = F.explode(
-        F.array(*[F.lit(k) for k in _T46_LAGS])
-    ).alias("lag")
-    d1 = devs.select("event_type", "rn", F.col("dev").alias("dev1"), lags)
-    d2 = devs.select(
-        "event_type", F.col("rn").alias("rn2"), F.col("dev").alias("dev2")
-    )
-    acfs = (
-        d1.join(
-            d2,
-            (d1.event_type == d2.event_type)
-            & (F.col("rn2") == F.col("rn") + F.col("lag")),
-        )
-        .drop(d2.event_type)
-        .join(ss.filter(F.col("ss0") > 0), "event_type")
-        .groupBy("event_type", "lag")
-        .agg(
-            (
-                F.sum(F.col("dev1") * F.col("dev2")) / F.max("ss0")
-            ).alias("r"),
-            F.max("n").alias("n"),
-        )
-    )
+    devs, ss = _acf_substrate(spark, sf_dir)
+    acfs = _acf_r_raw(devs, ss, _T46_LAGS).withColumnRenamed("r_raw", "r")
     q = (
         acfs.groupBy("event_type")
         .agg(
@@ -5035,29 +4958,7 @@ _T51_MAX_LAG = 14
 @register(
     "t51_effective_sample_size",
     f"""
-    WITH daily AS (
-        SELECT event_type, CAST(ts AS DATE) AS day, AVG(value) AS x
-        FROM events GROUP BY 1, 2
-    ),
-    idx AS (
-        SELECT event_type, x,
-               ROW_NUMBER() OVER (
-                   PARTITION BY event_type ORDER BY day
-               ) AS rn
-        FROM daily
-    ),
-    stats AS (
-        SELECT event_type, AVG(x) AS xbar, COUNT(*) AS n
-        FROM idx GROUP BY event_type
-    ),
-    devs AS (
-        SELECT i.event_type, i.rn, i.x - s.xbar AS dev, s.n
-        FROM idx i JOIN stats s ON i.event_type = s.event_type
-    ),
-    ss AS (
-        SELECT event_type, SUM(dev * dev) AS ss0, MAX(n) AS n
-        FROM devs GROUP BY event_type
-    ),
+    WITH {_ACF_CTES},
     rho AS (
         SELECT d1.event_type, k.lag,
                CAST(CAST(ROUND(CAST(CAST(
@@ -5114,49 +5015,14 @@ _T51_MAX_LAG = 14
     late=True,
 )
 def t51_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = tables.load(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.avg("value").alias("x"))
-    w = Window.partitionBy("event_type").orderBy("day")
-    idx = daily.select(
-        "event_type", "x", F.row_number().over(w).alias("rn")
-    ).transform(barrier)  # feeds stats AND both lag sides
-    stats = idx.groupBy("event_type").agg(
-        F.avg("x").alias("xbar"), F.count("*").alias("n")
-    )
-    devs = idx.join(stats, "event_type").select(
-        "event_type", "rn", (F.col("x") - F.col("xbar")).alias("dev"), "n"
-    ).transform(barrier)
-    ss = devs.groupBy("event_type").agg(
-        F.sum(F.col("dev") * F.col("dev")).alias("ss0"),
-        F.max("n").alias("n"),
-    )
-    lags = spark.range(1, _T51_MAX_LAG + 1).select(
-        F.col("id").cast("int").alias("lag")
-    )
-    d2 = devs.select(
-        F.col("event_type").alias("_et2"),
-        F.col("rn").alias("rn2"),
-        F.col("dev").alias("dev2"),
-    )
+    devs, ss = _acf_substrate(spark, sf_dir)
     rho = (
-        devs.crossJoin(F.broadcast(lags))
-        .join(
-            d2,
-            (F.col("event_type") == F.col("_et2"))
-            & (F.col("rn2") == F.col("rn") + F.col("lag")),
-        )
-        .drop("_et2")
-        .join(ss, "event_type")
-        .filter(F.col("ss0") > 0)
-        .groupBy("event_type", "lag")
-        .agg(
-            r4(
-                F.sum(F.col("dev") * F.col("dev2")) / F.max("ss0")
-            ).alias("r")
-        )
-    ).transform(barrier)  # feeds the cutoff AND the tau sum
+        _acf_r_raw(devs, ss, tuple(range(1, _T51_MAX_LAG + 1)))
+        # truncation compares the r4-CANONICAL rho against 0 so the
+        # cutoff lag is identical on both engines
+        .select("event_type", "lag", r4(F.col("r_raw")).alias("r"))
+        .transform(barrier)  # feeds the cutoff AND the tau sum
+    )
     # all-positive default = the series' own max AVAILABLE lag + 1
     # (not the global max): a 10-day series has only lags 1..9, and
     # k_used must report how many terms were actually summed
