@@ -65,6 +65,16 @@ def asof_align(
     Union-and-window form: one shuffle on ``on``, no n² range join.
     ``kind`` breaks equal-ts ties so right rows at exactly left.ts are
     visible in BOTH directions (ASOF `<=` / `>=` semantics).
+
+    Determinism among RIGHT rows tied on (on, ts): the window
+    additionally orders by the value, so backward picks the largest
+    and forward the smallest tied value — a fixed rule instead of
+    physical-partition order, which changed across retries and
+    partitionings (r11 review finding; j13 solved the same tie with
+    an explicit _tie column). NB native ASOF engines (the DuckDB
+    oracle) leave this tie unspecified too — at-tie parity is a
+    property of the DATA (unique (on, ts) per right side), not of
+    either engine.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -79,7 +89,9 @@ def asof_align(
         .withColumn("_kind", F.lit(0 if direction == "backward" else 2))
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
-    base = Window.partitionBy(on).orderBy(F.col(ts).asc(), F.col("_kind").asc())
+    base = Window.partitionBy(on).orderBy(
+        F.col(ts).asc(), F.col("_kind").asc(), F.col("_v").asc()
+    )
     if direction == "backward":
         w = base.rowsBetween(Window.unboundedPreceding, 0)
         picked = F.last("_v", ignorenulls=True).over(w)

@@ -654,9 +654,10 @@ WSAMPLE_N = 100
     SELECT doc_id, lang, n_chars, rnk FROM (
         SELECT doc_id, lang, n_chars,
                ROW_NUMBER() OVER (
-                   ORDER BY LN(uval) / n_chars DESC, doc_id
+                   ORDER BY {r4sql("LN(uval) / n_chars * 1000000.0")}
+                                DESC, doc_id
                ) AS rnk
-        FROM u
+        FROM u WHERE n_chars > 0
     ) WHERE rnk <= {WSAMPLE_N}
     """,
     doc="EXT x50 — weighted sampling without replacement "
@@ -684,8 +685,20 @@ def x50_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(4294967296.0),
         F.lit(1e-12),
     )
-    keyed = _docs(spark, sf_dir).select(
-        "doc_id", "lang", "n_chars", (F.log(u) / F.col("n_chars")).alias("_k")
+    # cut on the r4-CANONICAL scaled key with the doc_id tiebreak —
+    # the raw libm ln-key differs between engines in the last ulp and
+    # could order ranks 100/101 oppositely at the cut (x100's
+    # a19/x95 argmax lesson, back-ported; r11 review finding). The
+    # n_chars > 0 guard mirrors x100's.
+    keyed = (
+        _docs(spark, sf_dir)
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            r4(F.log(u) / F.col("n_chars") * 1000000.0).alias("_k"),
+        )
     )
     top = keyed.orderBy(F.desc("_k"), F.col("doc_id")).limit(WSAMPLE_N)
     return top.select(

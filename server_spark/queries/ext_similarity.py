@@ -553,20 +553,28 @@ _X42_SQL = rf"""
         JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
         GROUP BY 1, 2
     )
+    -- counts joins are LEFT + zero-filled: a doc under 3 words has
+    -- no shingle rows, and an inner join silently dropped every
+    -- candidate pair touching it while the Spark side kept the pair
+    -- (r11 review finding). A pair with no shingles on either side
+    -- gets NULL jaccard (0/0 via NULLIF) and confirmed falls back to
+    -- the exact-hash leg on both engines.
     SELECT p.doc_a, p.doc_b, p.cos_score,
            COALESCE(c.n_common, 0) AS n_common,
            {r4sql("COALESCE(c.n_common, 0)"
-                  " / (ca.n_sh + cb.n_sh - COALESCE(c.n_common, 0))")}
+                  " / NULLIF(COALESCE(ca.n_sh, 0) + COALESCE(cb.n_sh, 0)"
+                  " - COALESCE(c.n_common, 0), 0)")}
                AS jaccard,
            ha.h = hb.h AS is_exact,
-           (ha.h = hb.h OR
+           (ha.h = hb.h OR COALESCE(
             CAST(COALESCE(c.n_common, 0) AS DOUBLE)
-              / (ca.n_sh + cb.n_sh - COALESCE(c.n_common, 0))
-              >= {JACCARD_MIN}) AS confirmed
+              / NULLIF(COALESCE(ca.n_sh, 0) + COALESCE(cb.n_sh, 0)
+                       - COALESCE(c.n_common, 0), 0)
+              >= {JACCARD_MIN}, FALSE)) AS confirmed
     FROM cpairs p
     LEFT JOIN common c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
-    JOIN counts ca ON p.doc_a = ca.doc_id
-    JOIN counts cb ON p.doc_b = cb.doc_id
+    LEFT JOIN counts ca ON p.doc_a = ca.doc_id
+    LEFT JOIN counts cb ON p.doc_b = cb.doc_id
     JOIN hashes ha ON p.doc_a = ha.doc_id
     JOIN hashes hb ON p.doc_b = hb.doc_id
 """
@@ -627,8 +635,12 @@ def x42_crossmodal_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = pairs.join(a, "doc_a").join(b, "doc_b").withColumn(
         "n_common", F.size(F.array_intersect("set_a", "set_b"))
     )
-    jac_exact = F.col("n_common") / (
-        F.col("sh_a") + F.col("sh_b") - F.col("n_common")
+    # try_divide: a pair of two sub-3-word docs has 0 shingles on both
+    # sides — 0/0 must yield NULL jaccard (confirmed falls back to the
+    # exact-hash leg), not throw under ANSI (r11 review finding)
+    jac_exact = F.try_divide(
+        F.col("n_common"),
+        F.col("sh_a") + F.col("sh_b") - F.col("n_common"),
     )
     return j.select(
         "doc_a",
@@ -639,7 +651,7 @@ def x42_crossmodal_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("h_a") == F.col("h_b")).alias("is_exact"),
         (
             (F.col("h_a") == F.col("h_b"))
-            | (jac_exact >= F.lit(JACCARD_MIN))
+            | F.coalesce(jac_exact >= F.lit(JACCARD_MIN), F.lit(False))
         ).alias("confirmed"),
     )
 

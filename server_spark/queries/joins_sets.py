@@ -2197,7 +2197,7 @@ _A39_ENUM = ("A", "N", "R")  # valid time_left codes in the fixture
     SELECT 'unique_auc', COUNT(*), COUNT(*) - COUNT(DISTINCT auc)
     FROM auctions
     ORDER BY rule
-    """.replace("'A', 'N', 'R'", "'A', 'N', 'R'")
+    """
     ),
     doc="A39 (EXT analytics/ops) — DATA-QUALITY EXPECTATION SUITE: "
     "the five contract checks an intake pipeline asserts before "

@@ -56,7 +56,7 @@ def j2b_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t4b_native_session_window",
     f"""
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                -- >= : session_window merges only gaps STRICTLY inside
                -- the 30-min horizon (window end is exclusive), so an
                -- exactly-30:00 gap starts a new session on both sides
@@ -68,8 +68,12 @@ def j2b_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
         SELECT user_id, ts,
+               -- same (ts, event_id) tiebreak as the flag pass: with
+               -- ts-only ordering a tied-timestamp pair could place
+               -- the flag-0 row before its flag-1 twin and attach it
+               -- to the previous session (r11 review finding)
                SUM(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )
