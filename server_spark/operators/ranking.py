@@ -146,3 +146,35 @@ def grouped_cum_before(
         .withColumn(out_col, F.col("_off") + F.col("_local"))
         .drop("_pid", "_local", "_off")
     )
+
+
+def ranked_with_count(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str | Column,
+    rn: str = "rn",
+    n: str = "n",
+) -> DataFrame:
+    """Append a per-group rank and group size in ONE window
+    partitioning — the substrate of the exact rank-and-average-middles
+    median (a2/a2d/a14/a31). The follow-up groupBy on the same keys
+    reuses the hash partitioning: single shuffle, no self-join."""
+    w = Window.partitionBy(*group_cols)
+    return df.select(
+        "*",
+        F.row_number().over(w.orderBy(order_col)).alias(rn),
+        F.count("*").over(w).alias(n),
+    )
+
+
+def mid_ranks(rn: str | Column = "rn", n: str | Column = "n") -> Column:
+    """The middle-rank predicate of the exact median: ranks
+    floor((n+1)/2) and floor((n+2)/2) — one row for odd n, the two
+    middles for even n, so avg(when(mid_ranks(), value)) IS the
+    median. ONE spelling shared by every exact-median query (a2, a2d,
+    a14, a31) and mirrored verbatim in their oracle SQL (r11 review
+    finding: four inline copies of the rule risked drifting one at a
+    time in a codebase whose premise is one shared median contract)."""
+    rn = F.col(rn) if isinstance(rn, str) else rn
+    n = F.col(n) if isinstance(n, str) else n
+    return (rn == F.floor((n + 1) / 2)) | (rn == F.floor((n + 2) / 2))

@@ -25,18 +25,19 @@ ITEM_SET = (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)
 
 # Deterministic total order for sorted/paginated auction queries: the
 # full collapse key is unique per mini-auction row (SURVEY.md §4.3.2).
-_MINI_ORDER_SQL = "buyout_per DESC, item, owner, buyout, quantity, time_left"
+# DERIVED from the one cursor-key definition in operators/auctions —
+# o1/o2's window pagination and o5's keyset pagination must follow the
+# SAME order or pages skip/repeat between the two forms; a hand-spelled
+# copy here would silently go stale if COLLAPSE_KEYS or the tiebreak
+# suffix changed (r11 review finding).
+_MINI_ORDER_SQL = ", ".join(
+    f"{name} DESC" if desc else name
+    for name, desc in ops._cursor_key("buyout_per", True)
+)
 
 
 def _mini_order() -> list:
-    return [
-        F.col("buyout_per").desc(),
-        F.col("item").asc(),
-        F.col("owner").asc(),
-        F.col("buyout").asc(),
-        F.col("quantity").asc(),
-        F.col("time_left").asc(),
-    ]
+    return ops.sort_columns("buyout_per", True)
 
 
 # ---------------------------------------------------------------------------
@@ -194,22 +195,15 @@ def a2_price_stats_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     # follow-up groupBy(item) reuses that hash partitioning (no second
     # exchange, no self-join). The median is avg() over only the
     # middle-ranked row(s) — avg ignores the CASE's nulls.
+    from server_spark.operators.ranking import mid_ranks, ranked_with_count
+
     priced = (
         auctions(spark, sf_dir)
         .filter(F.col("buyout") > 0)
         .select("item", (F.col("buyout") / F.col("quantity")).alias("per"), "quantity")
     )
-    w = Window.partitionBy("item")
-    ranked = priced.select(
-        "item",
-        "per",
-        "quantity",
-        F.row_number().over(w.orderBy("per")).alias("rn"),
-        F.count("*").over(w).alias("n"),
-    )
-    is_mid = (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (
-        F.col("rn") == F.floor((F.col("n") + 2) / 2)
-    )
+    ranked = ranked_with_count(priced, ["item"], "per")
+    is_mid = mid_ranks()
     return ranked.groupBy("item").agg(
         r4(F.min("per")).alias("min_buyout_per"),
         r4(F.max("per")).alias("max_buyout_per"),
@@ -275,17 +269,10 @@ def a2d_price_stats_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("quantity").cast("decimal(18,4)").alias("quantity"),
         )
     )
-    w = Window.partitionBy("item")
-    ranked = priced.select(
-        "item",
-        "per",
-        "quantity",
-        F.row_number().over(w.orderBy("per")).alias("rn"),
-        F.count("*").over(w).alias("n"),
-    )
-    is_mid = (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (
-        F.col("rn") == F.floor((F.col("n") + 2) / 2)
-    )
+    from server_spark.operators.ranking import mid_ranks, ranked_with_count
+
+    ranked = ranked_with_count(priced, ["item"], "per")
+    is_mid = mid_ranks()
     d = lambda c: c.cast("decimal(18,4)")  # noqa: E731
     return ranked.groupBy("item").agg(
         d(F.min("per")).alias("min_buyout_per"),
@@ -665,23 +652,16 @@ _BARGAIN_FRAC = 0.5
     late=True,
 )
 def a14_bargain_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from server_spark.operators.ranking import mid_ranks, ranked_with_count
+
     priced = (
         auctions(spark, sf_dir)
         .filter(F.col("buyout") > 0)
         .select("auc", "item", (F.col("buyout") / F.col("quantity")).alias("per"))
     )
-    w = Window.partitionBy("item")
-    ranked = priced.select(
-        "item",
-        "per",
-        F.row_number().over(w.orderBy("per")).alias("rn"),
-        F.count("*").over(w).alias("n"),
-    )
-    is_mid = (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (
-        F.col("rn") == F.floor((F.col("n") + 2) / 2)
-    )
+    ranked = ranked_with_count(priced.select("item", "per"), ["item"], "per")
     med = ranked.groupBy("item").agg(
-        F.avg(F.when(is_mid, F.col("per"))).alias("median_per")
+        F.avg(F.when(mid_ranks(), F.col("per"))).alias("median_per")
     )
     ratio = F.col("per") / F.col("median_per")
     return (

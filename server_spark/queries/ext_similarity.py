@@ -23,6 +23,19 @@ from server_spark.queries.ext_common import (
 from server_spark.registry import register
 from server_spark.similarity import cosine as cos
 
+def _query_vecs(emb):
+    """The query set every similarity query shares: the first
+    N_QUERY_VECS corpus vectors projected as (query_id, query_vec).
+    ONE definition (r11 review finding: the three-line block was
+    inlined at ~eight sites, so changing the query-set contract —
+    e.g. hash-sampled queries instead of an id prefix — would mean
+    touching every one)."""
+    return emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # x3 — brute-force cosine top-k (similarity search baseline)
 # ---------------------------------------------------------------------------
@@ -71,9 +84,7 @@ _X3_SQL = f"""
 )
 def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
+    queries = _query_vecs(emb)
     return cos.brute_force_topk(emb, queries, k=TOPK)
 
 
@@ -246,9 +257,7 @@ def _seeded_tables(
 )
 def x11_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
+    queries = _query_vecs(emb)
     return cos.lsh_topk(emb, queries, _seeded_tables(), k=TOPK, dim=64)
 
 
@@ -265,9 +274,7 @@ def x14_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from server_spark.similarity.ivf import ivf_topk
 
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
+    queries = _query_vecs(emb)
     return ivf_topk(
         emb, queries, k=TOPK, n_clusters=16, n_probe=4, cache_key=sf_dir
     )
@@ -681,9 +688,7 @@ def x47_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from server_spark.similarity.pq import pq_topk
 
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
+    queries = _query_vecs(emb)
     return pq_topk(emb, queries, k=TOPK, cache_key=sf_dir)
 
 
@@ -713,9 +718,7 @@ def x49_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from server_spark.similarity.pq import ivfpq_topk
 
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
+    queries = _query_vecs(emb)
     return ivfpq_topk(
         emb, queries, k=TOPK, n_clusters=16, n_probe=4, cache_key=sf_dir
     )
@@ -785,9 +788,7 @@ def x52_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from server_spark.similarity.pq import ivfpq_refine_topk
 
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
+    queries = _query_vecs(emb)
     return ivfpq_refine_topk(
         emb, queries, k=TOPK, refine=4, n_clusters=16, n_probe=4,
         cache_key=sf_dir,
@@ -1068,9 +1069,7 @@ def x68_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from server_spark.dedup import ngram as ng
 
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
+    queries = _query_vecs(emb)
     sem = cos.brute_force_topk(emb, queries, k=RRF_POOL).select(
         "query_id", F.col("vec_id").alias("doc_id"), F.col("rnk").alias("sem_rnk")
     )
@@ -1321,9 +1320,7 @@ _X71_SQL = f"""
 )
 def x71_label_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
+    queries = _query_vecs(emb)
     ranked = cos.brute_force_topk(emb, queries, k=_X71_K).select(
         "query_id", F.col("vec_id").alias("doc_id")
     )

@@ -571,6 +571,37 @@ def a17_sketch_distinct_owners(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _A18_MAX_ITEM = 40   # frequent-itemset gate: catalog subset first
+
+
+def _colisting_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated distinct (owner, item) incidence relation — THE shared
+    substrate of the co-listing graph family (a18 affinity, a20
+    pagerank, a21 triangles, a33 k-core). One definition (r11 review
+    finding: four inline copies meant a gate change could silently
+    make the graph queries measure different graphs)."""
+    return (
+        auctions(spark, sf_dir)
+        .filter(F.col("item") <= _A18_MAX_ITEM)
+        .select("owner", "item")
+        .distinct()
+    )
+
+
+def _colisting_edges(
+    base: DataFrame, directed: bool = False, count_col: str | None = None
+) -> DataFrame:
+    """Co-listing edges (s, t) from the incidence relation: one
+    owner-keyed self-join. ``directed`` keeps both orientations
+    (s != t); undirected dedups to s < t. ``count_col`` returns
+    per-pair co-listing counts instead of the distinct edge set."""
+    a = base.select("owner", F.col("item").alias("s"))
+    b = base.select("owner", F.col("item").alias("t"))
+    j = a.join(b, "owner").filter(
+        F.col("s") != F.col("t") if directed else F.col("s") < F.col("t")
+    )
+    if count_col is not None:
+        return j.groupBy("s", "t").agg(F.count("*").alias(count_col))
+    return j.select("s", "t").distinct()
 _A18_TOP = 50
 
 
@@ -615,22 +646,15 @@ _A18_TOP = 50
     late=True,
 )
 def a18_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = (
-        auctions(spark, sf_dir)
-        .filter(F.col("item") <= _A18_MAX_ITEM)
-        .select("owner", "item")
-        .distinct()
-        .transform(barrier)  # feeds totals, per-item counts AND the pair join
+    base = _colisting_base(spark, sf_dir).transform(
+        barrier  # feeds totals, per-item counts AND the pair join
     )
     n = base.agg(F.countDistinct("owner").alias("n_owners"))
     per_item = base.groupBy("item").agg(F.count("*").alias("cnt"))
-    a = base.select(F.col("owner"), F.col("item").alias("item_a"))
-    b = base.select(F.col("owner"), F.col("item").alias("item_b"))
-    pairs = (
-        a.join(b, "owner")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count("*").alias("both_cnt"))
+    pairs = _colisting_edges(base, count_col="both_cnt").select(
+        F.col("s").alias("item_a"),
+        F.col("t").alias("item_b"),
+        "both_cnt",
     )
     scored = (
         pairs.join(
@@ -688,19 +712,10 @@ _PR_DAMP = 0.85
     late=True,
 )
 def a20_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = (
-        auctions(spark, sf_dir)
-        .filter(F.col("item") <= _A18_MAX_ITEM)
-        .select("owner", "item")
-        .distinct()
-    )
-    a = base.select(F.col("owner"), F.col("item").alias("src"))
-    b = base.select(F.col("owner"), F.col("item").alias("dst"))
+    base = _colisting_base(spark, sf_dir)
     edges = (
-        a.join(b, "owner")
-        .filter(F.col("src") != F.col("dst"))  # both directions kept
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("w"))
+        _colisting_edges(base, directed=True, count_col="w")
+        .select(F.col("s").alias("src"), F.col("t").alias("dst"), "w")
         .transform(barrier)  # reused every iteration
     )
     wdeg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
@@ -856,20 +871,8 @@ def triangle_counts(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     late=True,
 )
 def a21_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = (
-        auctions(spark, sf_dir)
-        .filter(F.col("item") <= _A18_MAX_ITEM)
-        .select("owner", "item")
-        .distinct()
-    )
-    a = base.select(F.col("owner"), F.col("item").alias("s"))
-    b = base.select(F.col("owner"), F.col("item").alias("t"))
-    edges = (
-        a.join(b, "owner")
-        .filter(F.col("s") < F.col("t"))
-        .select("s", "t")
-        .distinct()
-        .transform(barrier)  # reused 5x below: 3 triangle legs + 2 degrees
+    edges = _colisting_edges(_colisting_base(spark, sf_dir)).transform(
+        barrier  # reused 5x below: 3 triangle legs + 2 degrees
     )
     deg, node_tri = triangle_counts(edges)
     joined = deg.join(node_tri, "item", "left").select(
@@ -1542,23 +1545,17 @@ def a28_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a31_mad_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from server_spark.operators.ranking import mid_ranks, ranked_with_count
+
     priced = (
         auctions(spark, sf_dir)
         .filter(F.col("buyout") > 0)
         .select("item", "buyout")
     )
     w = Window.partitionBy("item")
-    r1 = priced.select(
-        "item", "buyout",
-        F.row_number().over(w.orderBy("buyout")).alias("rn"),
-        F.count("*").over(w).alias("n"),
-    )
-
-    def mids(rn, n):
-        return (rn == F.floor((n + 1) / 2)) | (rn == F.floor((n + 2) / 2))
-
+    r1 = ranked_with_count(priced, ["item"], "buyout")
     med = (
-        r1.filter(mids(F.col("rn"), F.col("n")))
+        r1.filter(mid_ranks())
         .groupBy("item")
         .agg(F.avg("buyout").alias("med"))
     )
@@ -1568,7 +1565,7 @@ def a31_mad_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r2 = dev.withColumn("rn", F.row_number().over(w.orderBy("d")))
     return (
-        r2.filter(mids(F.col("rn"), F.col("n")))
+        r2.filter(mid_ranks())
         .groupBy("item")
         .agg(
             F.max("n").alias("n_listings"),
@@ -1722,20 +1719,7 @@ def coreness(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     late=True,
 )
 def a33_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = (
-        auctions(spark, sf_dir)
-        .filter(F.col("item") <= _A18_MAX_ITEM)
-        .select("owner", "item")
-        .distinct()
-    )
-    a = base.select(F.col("owner"), F.col("item").alias("s"))
-    b = base.select(F.col("owner"), F.col("item").alias("t"))
-    edges = (
-        a.join(b, "owner")
-        .filter(F.col("s") < F.col("t"))
-        .select("s", "t")
-        .distinct()
-    )
+    edges = _colisting_edges(_colisting_base(spark, sf_dir))
     return coreness(edges).orderBy("item")
 
 
