@@ -22,7 +22,10 @@ import os  # noqa: E402
 _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
-if _REPO not in os.environ.get("PYTHONPATH", ""):
+# compare path ENTRIES, not substrings: PYTHONPATH=/root/repository
+# contains '/root/repo' as a substring and would wrongly suppress the
+# append, leaving Python workers unable to import server_spark
+if _REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
     os.environ["PYTHONPATH"] = (
         _REPO + os.pathsep + os.environ["PYTHONPATH"]
         if os.environ.get("PYTHONPATH")

@@ -58,6 +58,8 @@ def connected_components(
         .select("node", F.least("node", "_mn").alias("component"))
         .transform(barrier)
     )
+    changed = -1  # bound before the loop: max_iter <= 0 must reach the
+    # non-convergence RuntimeError below, not an UnboundLocalError
     for _ in range(max_iter):
         nbr_min = (
             sym.select(F.col("node").alias("n"), "nbr")

@@ -77,6 +77,7 @@ def jaccard_pairs(
     threshold: float = 0.2,
     id_col: str = "doc_id",
     candidates: DataFrame | None = None,
+    text_col: str = "text",
 ) -> DataFrame:
     """All document pairs (a < b) with shingle-Jaccard ≥ threshold.
 
@@ -93,7 +94,10 @@ def jaccard_pairs(
         # verification path references the shingle relation once — no
         # materialization needed
         return jaccard_verify(
-            word_shingles(docs, n, id_col), candidates, threshold, id_col
+            word_shingles(docs, n, id_col, text_col),
+            candidates,
+            threshold,
+            id_col,
         )
     # Per-doc set sizes are computed at EXPLODE time from the shingle
     # array's length (no sizes relation, no size joins — the r9 x75
@@ -102,7 +106,7 @@ def jaccard_pairs(
     # it). The materialization also covers the two self-join branches
     # (Catalyst plans zero ReusedExchange across them).
     arrs = docs.select(
-        F.col(id_col), split_words("text").alias("_words")
+        F.col(id_col), split_words(text_col).alias("_words")
     ).select(
         F.col(id_col), shingle_array("_words", n).alias("_sh")
     ).transform(barrier)

@@ -73,7 +73,11 @@ def watermark_dedup(
 
 
 def sessionize(
-    df: DataFrame, key: str, ts: str, gap_minutes: int
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_minutes: int,
+    tiebreak: str | None = "event_id",
 ) -> DataFrame:
     """T4 — session windows via gaps-and-islands: a new session starts
     when the gap from the previous event exceeds ``gap_minutes``.
@@ -81,8 +85,14 @@ def sessionize(
     Expressed with lag + cumulative sum (identical SQL exists for the
     DuckDB oracle); Spark's native ``session_window`` gives the same
     buckets but isn't oracle-expressible verbatim.
+
+    ``tiebreak`` orders rows tied on ``ts`` deterministically; it is
+    part of the API (r11 review finding: a hardcoded 'event_id' made
+    the generic operator fail at plan time on any schema without that
+    column). Pass None only when (key, ts) is known unique.
     """
-    w = Window.partitionBy(key).orderBy(ts, "event_id")
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
     gap = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w)
     new_session = F.when(
         gap.isNull() | (gap > gap_minutes * 60), F.lit(1)

@@ -192,7 +192,14 @@ def neardup_pairs_blocked(
     e = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        (F.col(id_col) % n_blocks).alias("blk"),
+        # hash before pmod (the _grouped sibling's rule): raw id %
+        # n_blocks correlates with id patterns — a strided/parity id
+        # set empties half the residues and doubles real block sizes,
+        # worst case packing the whole corpus into ONE block and
+        # voiding the two-blocks-in-memory bound (r11 review finding).
+        # The output pair set is invariant to packing: the block grid
+        # covers all pairs under any assignment.
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
     )
     # packed feeds BOTH sides of the grid self-join — materialize once
     # (Catalyst does not ReusedExchange across the branches; without
@@ -380,6 +387,8 @@ def _with_signatures(
 
     def gen(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # zero-row Arrow batch (ivf/pq guard)
+                continue
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             sigs = [((mat @ p.T) >= 0) @ w for p, w in zip(planes, weights)]
             pdf = pdf.copy()

@@ -442,6 +442,12 @@ def ivfpq_topk(
         idx = build_index(
             embeddings, n_clusters, seed, id_col, vec_col
         )
+    if idx.dim == 0:  # empty index → empty result, schema stable
+        # (ivf.search's guard — without it the per-query cents @ qv
+        # below raises a numpy shape error on the driver, r11 review)
+        return queries.sparkSession.createDataFrame(
+            [], f"{qid_col} long, {id_col} long, score_adc double, rnk int"
+        )
     codebooks, encoded = _ivfpq_encoded(
         idx, m, ksub, seed, cache_key, id_col
     )

@@ -25,7 +25,13 @@ TOKEN_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
 def words(text_col: str = "text") -> Column:
-    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    """Lowercased whitespace word array — THE one word-split rule,
+    delegated to dedup.ngram.split_words so the tokenization contract
+    cannot drift between the text-stats and dedup families (r11
+    review finding)."""
+    from server_spark.dedup.ngram import split_words
+
+    return split_words(text_col)
 
 
 def token_count(text_col: str = "text") -> Column:
@@ -89,7 +95,11 @@ def langid_heuristic(text_col: str = "text") -> Column:
 
 
 def fingerprint(text_col: str = "text") -> Column:
-    """Content fingerprint: md5 of the normalized text (the cheap
-    stand-in for a rolling hash; same value computable in the oracle)."""
-    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    return F.md5(normalized)
+    """Content fingerprint: md5 of the canonical normalized text (the
+    cheap stand-in for a rolling hash; same value computable in the
+    oracle). Normalization is dedup.exact.normalized_text — the ONE
+    canonical-normalization contract; an inline copy here could drift
+    from x1's sha2 grouping (r11 review finding)."""
+    from server_spark.dedup.exact import normalized_text
+
+    return F.md5(normalized_text(text_col))

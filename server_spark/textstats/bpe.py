@@ -188,6 +188,7 @@ def encode_with_merges(
     src = docs.select(id_col, F.lower(F.trim(F.col(text_col))).alias("_t"))
 
     def encode(batches):
+        import re as _re
         def bpe_word(word: str) -> list[str]:
             syms = list(word) + [END_MARK]
             for left, right in rules:
@@ -211,8 +212,19 @@ def encode_with_merges(
                 t: list[str] = []
                 # NULL text (lower(trim(NULL)) stays NULL → Arrow hands
                 # None) tokenizes to [] — the same rows word_freqs
-                # tolerates must not crash encoding (r11 review finding)
-                for w in (text.split() if isinstance(text, str) else []):
+                # tolerates must not crash encoding (r11 review
+                # finding). Word boundaries use ASCII-\s regex split,
+                # the SAME rule the JVM-side trainer's split(r"\s+")
+                # applies (Java \s is ASCII-only; Python str.split()
+                # also breaks on Unicode spaces like U+00A0, so it
+                # would split words the trainer counted as one — r11
+                # review finding).
+                words = (
+                    [w for w in _re.split(r"\s+", text, flags=_re.A) if w]
+                    if isinstance(text, str)
+                    else []
+                )
+                for w in words:
                     t.extend(bpe_word(w))
                 ids.append(did)
                 toks.append(t)
