@@ -27,6 +27,15 @@ from server_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Hard budget for the ONE stdout JSON line: the driver records only
+# the last ~2 KB of stdout, so anything past that window loses its
+# HEAD — including the opening '{"metric"' — and the round artifact
+# records "parsed": null (observed twice: BENCH_r02 with the full
+# 106-query map, BENCH_r11 when an 80-name "remeasured" list alone
+# was ~2.4 KB). compact_line() is built to stay under this and
+# test_bench_gate pins it with a 300-query worst case.
+COMPACT_LINE_MAX_BYTES = 1500
+
 # Headline set: the reference's spine + one per operator family.
 HEADLINE = [
     "a1_miniauction_collapse",
@@ -234,6 +243,19 @@ def main() -> None:
     (Path(__file__).resolve().parent / "BENCH_FULL.json").write_text(
         json.dumps(full, indent=1) + "\n"
     )
+    print(compact_line(full, timings))
+
+
+def compact_line(full: dict, timings: dict[str, float]) -> str:
+    """The ONE stdout JSON line, bounded to COMPACT_LINE_MAX_BYTES.
+
+    Every unbounded field of the full artifact is replaced by a
+    bounded summary: the per-query map keeps only headline + the 12
+    slowest, the remeasured/recheck NAME LISTS become counts (the r11
+    regression: 80 flagged names overflowed the driver's 2 KB stdout
+    tail and truncated the line's head — VERDICT r11 item 1). The
+    complete versions of all of these live in BENCH_FULL.json, which
+    this run writes beside the script before printing."""
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:12]
     )
@@ -241,8 +263,25 @@ def main() -> None:
     compact["queries"] = {
         n: timings[n] for n in HEADLINE if n in timings
     } | slowest
+    # bounded stand-ins for the unbounded-name-list fields
+    compact["n_remeasured"] = len(compact.pop("remeasured", []))
+    if compact.pop("recheck_isolated_median", None) is not None:
+        compact["n_rechecked"] = len(full["recheck_isolated_median"])
+    compact.pop("raw_flagged", None)
     compact["queries_note"] = "headline+12 slowest; full map in BENCH_FULL.json"
-    print(json.dumps(compact))
+    line = json.dumps(compact)
+    # Belt over suspenders: if a future field regrows the line past
+    # the capture window, degrade the query map rather than ship an
+    # unparseable artifact (the tail cut removes the HEAD of the
+    # line, so a too-long line is strictly worse than a shorter map).
+    while len(line.encode()) > COMPACT_LINE_MAX_BYTES and compact["queries"]:
+        drop = min(compact["queries"], key=compact["queries"].get)
+        del compact["queries"][drop]
+        compact["queries_note"] = (
+            "TRIMMED to fit stdout window; full map in BENCH_FULL.json"
+        )
+        line = json.dumps(compact)
+    return line
 
 
 if __name__ == "__main__":

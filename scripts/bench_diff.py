@@ -111,17 +111,29 @@ def diff(
     first as (name, base_sec, fresh_sec, drift_normalized_ratio).
 
     Normalization divisor: the median per-query drift — FLOORED at the
-    host-calibration ratio when the fresh host measured much FASTER
-    (review finding r11). The median absorbs any uniform shift, so on
-    a 2x-faster host a uniform 2x plan regression yields raw ratios
-    ~1.0 and a median of ~1.0 — masked. Calibration is plan-
-    independent evidence of host speed: if the host got 2x faster but
-    the queries didn't, normalizing by min(median, cal_ratio) makes
-    the whole-set regression visible. (The slower-host direction is
-    handled by deferral in main(), not here: a slow window inflates
-    ratios, and failing on those would be noise, not signal.)"""
+    host-calibration ratio WHENEVER the probe says the host did not
+    get slower (cal_ratio < 1.0; VERDICT r11 item 2 widened this from
+    the original < 1/1.3 band). The median absorbs any uniform shift,
+    so on a 2x-faster host a uniform 2x plan regression yields raw
+    ratios ~1.0 and a median of ~1.0 — masked. Calibration is plan-
+    independent evidence of host speed: if the host got faster (or
+    stayed flat) but the queries got uniformly slower, normalizing by
+    min(median, cal_ratio) makes the whole-set regression visible.
+
+    Detection boundary (documented per VERDICT r11 item 2): with the
+    floor at cal_ratio, a uniform plan regression of magnitude M in a
+    window with calibration ratio C fails the gate iff M/C > THRESHOLD
+    — e.g. the r11 artifact pair (C=0.91, observed median 1.13) leaves
+    uniform regressions up to ~1.37x (=1.5*0.91) undetectable, and a
+    genuinely flat host (C=1.0) leaves exactly THRESHOLD. Uniform
+    regressions BELOW that, and any regression in a window where the
+    probe itself ran slower (C>=1.0 → median divisor, by design: a
+    slow window inflates ratios and failing on them is noise), remain
+    the re-baseline ritual's job. The probe is CPU-only; a JVM/IO-only
+    contention episode moves queries without moving C, which is why
+    the floor uses min() rather than replacing the median outright."""
     drift = median_drift(base, fresh)
-    if cal_ratio is not None and cal_ratio < 1.0 / CAL_DRIFT_MAX:
+    if cal_ratio is not None and cal_ratio < 1.0:
         drift = min(drift, cal_ratio)
     regs = []
     for name, b in base.items():
@@ -138,12 +150,61 @@ def diff(
     return regs, added, removed
 
 
+class BenchArtifactError(RuntimeError):
+    """A bench artifact with no recoverable per-query map. Raised (not
+    SystemExit — VERDICT r11 item 1b) so the pytest gate can skip with
+    a named warning instead of hard-erroring the whole suite when one
+    malformed driver artifact lands in the tree."""
+
+
+def _same_round_full_map(path: Path) -> dict | None:
+    """Recover a driver round artifact's numbers from the committed
+    BENCH_FULL.json of the SAME round. The driver's per-round commit
+    writes BENCH_r{N}.json and the BENCH_FULL.json produced by the
+    same bench run side by side (verified: commit 29d9675 for r11), so
+    ``git show <commit-that-added-BENCH_rN>:BENCH_FULL.json`` is the
+    identical numbers with none of the stdout-tail truncation risk.
+    Returns the parsed full doc, or None when git/the blob is
+    unavailable (not a round artifact, uncommitted, no git)."""
+    if not re.fullmatch(r"BENCH_r\d+\.json", path.name):
+        return None
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "-C", str(REPO), "log", "-n1", "--format=%H",
+             "--", path.name],
+            capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        if not commit:
+            return None
+        blob = subprocess.run(
+            ["git", "-C", str(REPO), "show", f"{commit}:BENCH_FULL.json"],
+            capture_output=True, text=True, timeout=30,
+        )
+        if blob.returncode != 0:
+            return None
+        doc = json.loads(blob.stdout)
+    except (OSError, subprocess.SubprocessError, json.JSONDecodeError):
+        return None
+    if "queries" not in doc:
+        return None
+    print(f"note: {path.name} had no parseable query map; recovered "
+          f"the same round's committed BENCH_FULL.json ({commit[:9]})")
+    return doc
+
+
 def load_artifact(path: Path) -> tuple[dict[str, float], float | None]:
     """(per-query seconds, calibration score or None) from a bench
     artifact: a plain bench JSON (``{"queries": {...}}``) or a driver
     round artifact whose bench line is embedded in a ``tail`` log
     string. Calibration is the mean of the artifact's start/end
-    host-speed probes (scripts/calibrate.py) when recorded."""
+    host-speed probes (scripts/calibrate.py) when recorded.
+
+    A round artifact whose embedded line is unparseable (head cut by
+    the driver's ~2 KB stdout-tail capture — the r11 failure) falls
+    back to the committed BENCH_FULL.json of the same round; only when
+    that too is unavailable does it raise BenchArtifactError."""
     doc = json.loads(path.read_text())
     if "queries" not in doc and "tail" in doc:
         # decode from the FIRST '{"metric"' with a raw_decode so any
@@ -157,7 +218,11 @@ def load_artifact(path: Path) -> tuple[dict[str, float], float | None]:
             except json.JSONDecodeError:
                 pass
     if "queries" not in doc:
-        raise SystemExit(f"{path}: no per-query map found")
+        recovered = _same_round_full_map(path)
+        if recovered is not None:
+            doc = recovered
+        else:
+            raise BenchArtifactError(f"{path}: no per-query map found")
     cal = doc.get("calibration_sec")
     cal_mean = None
     if isinstance(cal, dict) and cal:
@@ -185,7 +250,14 @@ def main(argv: list[str]) -> int:
         since_path = Path(argv[idx + 1])
         if not since_path.is_absolute():
             since_path = REPO / since_path
-        base, base_cal = load_artifact(since_path)
+        try:
+            base, base_cal = load_artifact(since_path)
+        except BenchArtifactError as e:
+            # one malformed driver artifact must not wedge the gate
+            # (VERDICT r11 item 1b) — name the problem, exit distinct
+            # from both pass (0) and gate-fail (1)
+            print(f"SINCE-GATE SKIPPED: {e}")
+            return 2
         print(f"comparing against {since_path.name} "
               f"({len(base)} queries)")
     else:

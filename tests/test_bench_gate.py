@@ -16,25 +16,42 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+import pytest  # noqa: E402
+
 from scripts.bench_diff import (  # noqa: E402
     BASELINE,
     FRESH,
+    BenchArtifactError,
     diff,
+    load_artifact,
     load_queries,
     waivers,
 )
 
 
 def test_no_unwaived_bench_regressions():
-    base = json.loads(BASELINE.read_text())["queries"]
-    fresh = json.loads(FRESH.read_text())["queries"]
-    regs, _, _ = diff(base, fresh)
+    # cal-aware, mirroring the CLI gate exactly (r12): the pytest gate
+    # and `python scripts/bench_diff.py` must not disagree about the
+    # same pair of artifacts, or one of them is theater — including
+    # the contended-window deferral (CLI exit 3 → pytest skip)
+    from scripts.bench_diff import CAL_DRIFT_MAX
+
+    base, base_cal = load_artifact(BASELINE)
+    fresh, fresh_cal = load_artifact(FRESH)
+    cal_ratio = fresh_cal / base_cal if base_cal and fresh_cal else None
+    regs, _, _ = diff(base, fresh, cal_ratio)
     waived = waivers()
     unwaived = [
         f"{name}: {b:.2f}s -> {f:.2f}s ({ratio:.2f}x)"
         for name, b, f, ratio in regs
         if name not in waived
     ]
+    if unwaived and cal_ratio is not None and cal_ratio > CAL_DRIFT_MAX:
+        pytest.skip(
+            f"adjudication deferred: host ran {cal_ratio:.2f}x slower "
+            f"than the baseline window; re-run bench.py in a clean "
+            f"window (pending: {'; '.join(unwaived)})"
+        )
     assert not unwaived, (
         "per-query bench regressions >1.5x without a SCALE.md "
         "'## Bench waivers' entry:\n" + "\n".join(unwaived)
@@ -53,15 +70,35 @@ def test_no_unwaived_regressions_since_last_driver_round():
     an --accept can never again be the only evidence."""
     rounds = sorted(REPO.glob("BENCH_r[0-9][0-9].json"))
     assert rounds, "no driver round artifacts found"
-    base = load_queries(rounds[-1])
-    fresh = json.loads(FRESH.read_text())["queries"]
-    regs, _, _ = diff(base, fresh)
+    try:
+        base, base_cal = load_artifact(rounds[-1])
+    except BenchArtifactError as e:
+        # one malformed driver artifact must not wedge the suite
+        # (VERDICT r11 item 1b) — skip loudly, never SystemExit
+        pytest.skip(f"since-gate skipped, artifact unrecoverable: {e}")
+    fresh_doc = json.loads(FRESH.read_text())
+    fresh = fresh_doc["queries"]
+    cal = fresh_doc.get("calibration_sec") or {}
+    fresh_cal_vals = [v for v in cal.values() if isinstance(v, (int, float))]
+    cal_ratio = (
+        (sum(fresh_cal_vals) / len(fresh_cal_vals)) / base_cal
+        if base_cal and fresh_cal_vals else None
+    )
+    regs, _, _ = diff(base, fresh, cal_ratio)
     waived = waivers()
     unwaived = [
         f"{name}: {b:.2f}s -> {f:.2f}s ({ratio:.2f}x norm)"
         for name, b, f, ratio in regs
         if name not in waived
     ]
+    from scripts.bench_diff import CAL_DRIFT_MAX
+
+    if unwaived and cal_ratio is not None and cal_ratio > CAL_DRIFT_MAX:
+        pytest.skip(
+            f"adjudication deferred: host ran {cal_ratio:.2f}x slower "
+            f"than the {rounds[-1].name} window; re-run bench.py in a "
+            f"clean window (pending: {'; '.join(unwaived)})"
+        )
     assert not unwaived, (
         f"regressions >1.5x vs {rounds[-1].name} (pre-round frozen "
         "numbers) without a SCALE.md '## Bench waivers' entry:\n"
@@ -185,3 +222,106 @@ def test_faster_host_cannot_mask_uniform_regression():
             assert r.returncode == expected, (
                 f"{tag}: expected exit {expected}, got {r.returncode}:"
                 f"\n{r.stdout}\n{r.stderr}")
+
+
+def test_compact_line_bounded_with_300_flagged_queries():
+    """VERDICT r11 item 1a: the r11 driver artifact was unparseable
+    because bench.py's stdout line carried an unbounded 80-name
+    "remeasured" list (~2.4 KB of names) and the driver keeps only the
+    last ~2 KB of stdout — the line's HEAD (including '{"metric"') was
+    cut. compact_line() must stay under COMPACT_LINE_MAX_BYTES even in
+    the worst case: a 300-query registry with EVERY query flagged for
+    re-measure and a full recheck map."""
+    import bench
+
+    names = [f"x{i:03d}_some_quite_long_query_name" for i in range(300)]
+    timings = {n: 1.0 + i / 1000 for i, n in enumerate(names)}
+    full = {
+        "metric": "total_query_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": timings,
+        "sf": 0.1,
+        "materializer": "xxhash64-all-columns",
+        "sampling": "1-pass; flagged outliers = median-of-3",
+        "remeasured": sorted(names),
+        "calibration_sec": {"start": 0.02, "end": 0.0198},
+        "recheck_isolated_median": timings,
+        "raw_flagged": timings,
+    }
+    line = bench.compact_line(full, timings)
+    assert len(line.encode()) < bench.COMPACT_LINE_MAX_BYTES, len(line)
+    doc = json.loads(line)
+    # the bounded stand-ins replace every unbounded name list
+    assert doc["n_remeasured"] == 300
+    assert doc["n_rechecked"] == 300
+    assert "remeasured" not in doc
+    assert "recheck_isolated_median" not in doc
+    assert "raw_flagged" not in doc
+    # headline totals and per-query spine survive
+    assert doc["metric"] == "total_query_time"
+    assert doc["n_queries"] == 300
+    assert doc["queries"]
+
+
+def test_truncated_round_artifact_recovers_from_committed_full_map():
+    """VERDICT r11 item 1b, live vector: BENCH_r11.json in this tree
+    IS the truncated artifact ("parsed": null, tail head-cut). The
+    loader must recover the same round's numbers from the committed
+    BENCH_FULL.json in the driver's round commit instead of dying."""
+    r11 = REPO / "BENCH_r11.json"
+    if not r11.exists():
+        pytest.skip("BENCH_r11.json not in tree")
+    doc = json.loads(r11.read_text())
+    if doc.get("parsed") is not None or "queries" in doc:
+        pytest.skip("r11 artifact is parseable here; nothing to recover")
+    queries, cal = load_artifact(r11)
+    assert len(queries) >= 250, len(queries)
+    assert cal and 0 < cal < 1.0
+    # spot-check a known r11 number survives the recovery path
+    assert "a1_miniauction_collapse" in queries
+
+
+def test_unrecoverable_artifact_raises_named_error_not_systemexit(tmp_path):
+    """An artifact with no query map AND no committed same-round
+    BENCH_FULL.json must raise BenchArtifactError (catchable, skips
+    the gate) — never SystemExit from inside a pytest run."""
+    bad = tmp_path / "BENCH_r99.json"
+    bad.write_text(json.dumps({"tail": "…head was cut…}", "parsed": None}))
+    with pytest.raises(BenchArtifactError):
+        load_artifact(bad)
+    # and a plain non-round file with no map behaves the same
+    plain = tmp_path / "not_a_round.json"
+    plain.write_text(json.dumps({"nope": 1}))
+    with pytest.raises(BenchArtifactError):
+        load_artifact(plain)
+
+
+def test_calibration_floor_covers_the_gray_zone():
+    """VERDICT r11 item 2, pinned on the r11 artifact pair: cal ratio
+    0.91x (host FASTER) while the query median drifted 1.13x (slower).
+    The old floor only engaged below cal < 1/1.3 ≈ 0.77, so the whole
+    0.77–1.0 band normalized by the query-derived median and a uniform
+    ~1.2–1.4x plan regression could hide there. The floor now engages
+    whenever cal < 1.0.
+
+    Detection boundary (documented in diff()'s docstring): uniform
+    regressions fail iff M/C > 1.5 — at C=0.91 that's M > ~1.37x, so
+    the r11-observed uniform 1.13x stays green (environment) while a
+    uniform 1.40x in the same window now fails (was masked before)."""
+    base = {f"q{i}": 2.0 for i in range(10)}
+    cal_ratio = 0.91  # r11: 0.0199 fresh vs ~0.0219 baseline window
+
+    # r11-as-observed: uniform 1.13x — normalized 1.13/0.91=1.24 < 1.5
+    fresh_ok = {n: 2.0 * 1.13 for n in base}
+    regs, _, _ = diff(base, fresh_ok, cal_ratio)
+    assert not regs
+
+    # the gray-zone hazard: uniform 1.40x with the same cal — the
+    # median divisor alone would normalize every ratio to 1.0 (masked)
+    fresh_bad = {n: 2.0 * 1.40 for n in base}
+    regs, _, _ = diff(base, fresh_bad, None)
+    assert not regs, "median-only normalization masks it (by design)"
+    regs, _, _ = diff(base, fresh_bad, cal_ratio)
+    assert len(regs) == 10, "cal floor must unmask the uniform 1.4x"
