@@ -64,9 +64,17 @@ def reliable_enabled(spark: SparkSession) -> bool:
     flag = spark.conf.get(RELIABLE_CONF, None)
     if flag is not None:
         return flag == "true"
-    return (
-        spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
-    )
+    # The context probe reaches through a private JVM handle that a
+    # Spark Connect session does not have (no _jsc on the client side;
+    # sparkContext access itself raises there) — answer False instead
+    # of throwing, since without a reachable context there is no
+    # checkpoint dir to use anyway (r12 advisor finding).
+    try:
+        return (
+            spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+        )
+    except Exception:
+        return False
 
 
 def barrier(df: DataFrame, eager: bool = True) -> DataFrame:

@@ -134,12 +134,44 @@ def salted_join(
     review finding). xxhash64 over the row's columns is stable across
     retries; content-identical rows co-locating is fine — skew means
     same KEY, differing payloads, which the hash spreads.
+
+    Two documented limits of the content-hash salt (r12 advisor
+    finding):
+
+    - Columns whose type xxhash64 cannot hash (MapType anywhere in
+      the type tree) are EXCLUDED from the salt input rather than
+      raising AnalysisException; the key itself is always hashable
+      (it's an equi-join key) so a usable salt always exists, merely
+      with less payload entropy when unhashable columns dominate.
+    - Rows that are EXACT duplicates across every hashable column
+      land on one salt and are not spread. That is the price of
+      retry-stability: any per-row discriminator that distinguishes
+      identical rows (row index, partition id under a round-robin
+      upstream) changes on recomputation and re-raises the
+      SPARK-23207 duplicate/drop hazard this design exists to avoid.
+      Exact-duplicate skew should be collapsed upstream (count +
+      re-expand, or dedup) before the join.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
+
+    def _hashable(dt) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _hashable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_hashable(f.dataType) for f in dt.fields)
+        return True
+
+    salt_cols = [
+        f.name for f in left.schema.fields if _hashable(f.dataType)
+    ] or [key]
     salted_l = left.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(*left.columns), F.lit(n_salts)).cast("int"),
+        F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)).cast("int"),
     )
     salts = F.explode(
         F.array(*[F.lit(i) for i in range(n_salts)])

@@ -246,13 +246,40 @@ def _gold_watermark(data_dir: str) -> dict:
     sums, hot-item counts — silently doubled; HLL/bitmap golds only
     survived by union idempotence). A table that exists WITHOUT a
     readable watermark raises: folding onto state of unknown epoch
-    risks exactly that double-count."""
+    risks exactly that double-count.
+
+    Migration (r12, advisor finding): golds written BEFORE r11 kept
+    the watermark as a gold_dir-level sidecar (one level above
+    data_dir). A table that predates the in-table format must not
+    hard-fail its first post-upgrade refresh — when the in-table file
+    is absent but the legacy sidecar exists, its value is migrated
+    into the table dir once (write-tmp + rename, then remove the
+    legacy file so a stale copy can never shadow a future epoch) and
+    returned. Only a table with NEITHER raises."""
     import json as _json
 
     _heal_gold_aside(data_dir)
     if not os.path.exists(data_dir):
         return {}
     wm_file = os.path.join(data_dir, "_watermark")
+    legacy = os.path.join(os.path.dirname(data_dir), "_watermark")
+    if not os.path.exists(wm_file) and os.path.exists(legacy):
+        try:
+            with open(legacy) as fh:
+                wm = _json.load(fh)
+            tmp = f"{wm_file}.tmp.{os.getpid()}"
+            with open(tmp, "w") as fh:
+                _json.dump(wm, fh)
+            os.replace(tmp, wm_file)
+            os.remove(legacy)
+            return wm
+        except (OSError, ValueError) as exc:
+            raise RuntimeError(
+                f"gold table {data_dir} has no in-table _watermark and "
+                f"its legacy sidecar {legacy} failed to migrate "
+                f"({exc}); refusing to fold onto state of unknown "
+                "epoch — restore or rebuild the gold"
+            ) from exc
     try:
         with open(wm_file) as fh:
             return _json.load(fh)

@@ -735,7 +735,28 @@ def _epoch_gated_fold_sink(state_dir: str, subdir: str, delta_fn, merge_fn):
             with open(f) as fh:
                 return int(_json.load(fh)["batch_id"])
         except (OSError, ValueError, KeyError):
-            return -1
+            pass
+        # Legacy (pre-r11) format: ONE shared ``state_dir/_epoch``
+        # sidecar. State folded under that format has real state but
+        # no in-dir marker — reading it as epoch -1 would let an
+        # at-least-once replay of the last committed batch double-
+        # apply its fold exactly once after the upgrade (r12 advisor
+        # finding). Consult the legacy sidecar READ-ONLY and only
+        # when this subdir's state actually exists: the file was
+        # shared across fold streams, so deleting or migrating it
+        # here would reset the OTHER subdirs' gates, and when the
+        # state dir is absent the sidecar belongs to a sibling
+        # stream, not to this genuinely-first fold. The next fold
+        # writes the in-dir marker atomically with the swap, after
+        # which the legacy file is never consulted for this subdir.
+        if os.path.isdir(d):
+            legacy = os.path.join(state_dir, "_epoch")
+            try:
+                with open(legacy) as fh:
+                    return int(_json.load(fh)["batch_id"])
+            except (OSError, ValueError, KeyError):
+                pass
+        return -1
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession

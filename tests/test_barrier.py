@@ -70,3 +70,26 @@ def test_operator_pipeline_under_reliable_barriers(spark, reliable):
     disable_reliable_barriers(spark)
     loc = x21_corpus_build(spark, SF_SMOKE).count()
     assert rel == loc and rel > 0
+
+
+def test_reliable_enabled_answers_false_without_jvm_context():
+    """r12 advisor finding: the context-level fallback reaches through
+    spark.sparkContext._jsc — a private JVM handle that a Spark
+    Connect session does not expose (sparkContext access raises
+    there). The probe must answer False, not throw: no reachable
+    context means no checkpoint dir to use anyway."""
+
+    class _NoFlagConf:
+        def get(self, key, default=None):
+            return default
+
+    class _ConnectishSession:
+        conf = _NoFlagConf()
+
+        @property
+        def sparkContext(self):
+            raise Exception(
+                "sparkContext is not supported in Spark Connect"
+            )
+
+    assert reliable_enabled(_ConnectishSession()) is False

@@ -382,3 +382,203 @@ def test_dead_holder_still_broken_with_heartbeat_semantics(tmp_path):
         with open(lockfile) as fh:
             assert "dead-holder" not in fh.read()
     assert not os.path.exists(lockfile)
+
+
+def test_multiprocess_lock_no_lost_or_duplicate_increments(tmp_path):
+    """VERDICT r11 item 4: the r11 race tests interleaved THREADS; the
+    lock's claim primitive (O_CREAT|O_EXCL) is a cross-process
+    contract, so exercise it across real processes. Four worker
+    processes each run five gate→mutate→commit critical sections over
+    a shared sequence file; exclusion holds iff the final log carries
+    every value 1..20 exactly once (a lost update repeats a value, a
+    torn read skips one)."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "lake")
+    os.makedirs(root, exist_ok=True)
+    seq = os.path.join(root, "seq")
+    log = os.path.join(root, "log")
+    with open(seq, "w") as fh:
+        fh.write("0")
+
+    worker = f"""
+import os, sys, time
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from server_spark.plans.medallion import commit_lock
+for _ in range(5):
+    with commit_lock({root!r}, timeout=120.0):
+        with open({seq!r}) as fh:
+            v = int(fh.read()) + 1
+        time.sleep(0.01)  # widen the lost-update window
+        with open({log!r}, "a") as fh:
+            fh.write(f"{{os.getpid()}} {{v}}\\n")
+        with open({seq!r}, "w") as fh:
+            fh.write(str(v))
+"""
+    procs = [
+        subprocess.Popen([sys.executable, "-c", worker],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for _ in range(4)
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()
+
+    with open(log) as fh:
+        values = [int(line.split()[1]) for line in fh]
+    assert sorted(values) == list(range(1, 21)), (
+        "lost/duplicated increment across processes: "
+        f"{sorted(values)}"
+    )
+    pids = {line.split()[0] for line in open(log)}
+    assert len(pids) == 4  # all four processes really ran the section
+
+
+def test_nonatomic_rename_cannot_corrupt_version_history(tmp_path, monkeypatch):
+    """VERDICT r11 item 4: the stale-break path assumes os.rename is
+    atomic. Simulate a filesystem where it is NOT (copy + visible
+    window + unlink-by-name of the source — the naive userspace
+    fallback shape) and hammer a stale lock with competing breakers.
+
+    Finding baked into this test: exclusion itself CAN break there —
+    the delayed unlink-by-name deletes a LIVE claim that reappeared
+    at the lockfile's path, letting a second contender in (observed:
+    3 simultaneous holders). That is the documented lock boundary.
+    What must survive anyway is the COMMIT invariant, and it does
+    because the mint is a conditional-put (_claim_batch_id): every
+    contender runs the claim protocol inside its (possibly broken)
+    critical section, losers detect the collision and retry, and the
+    committed version log ends with no duplicate and no lost id."""
+    import shutil
+
+    real_rename = os.rename
+
+    def sloppy_rename(src, dst, *a, **kw):
+        # only de-atomize the lock-break renames; everything else
+        # keeps real semantics
+        if ".breaking." not in str(dst):
+            return real_rename(src, dst, *a, **kw)
+        shutil.copy2(src, dst)   # copy first (target visible early)
+        time.sleep(0.02)         # the non-atomic window
+        os.unlink(src)           # by NAME — may hit a newer file
+
+    monkeypatch.setattr(os, "rename", sloppy_rename)
+
+    root = str(tmp_path / "lake")
+    lockfile = os.path.join(root, "manifest", ".commit.lock")
+    os.makedirs(os.path.dirname(lockfile), exist_ok=True)
+    # a dead holder's stale claim (mtime in the past, no heartbeat)
+    with open(lockfile, "w") as fh:
+        fh.write('{"token": "dead-holder"}')
+    old = time.time() - 3600
+    os.utime(lockfile, (old, old))
+
+    paths = med.MedallionPaths(root)
+    log = os.path.join(root, "commit_log")
+    committed: list[int] = []
+    collisions = {"n": 0}
+    guard = threading.Lock()
+
+    def contend(i: int) -> None:
+        done = False
+        while not done:
+            with med.commit_lock(root, timeout=60.0, stale_after=0.5):
+                # the mint protocol: compute next id, conditional-put
+                # claim, commit only on success — a broken critical
+                # section surfaces as a failed claim, never as two
+                # writers committing one version
+                bid = med._max_claimed_id(paths) + 1
+                time.sleep(0.03)  # widen the double-mint window
+                if med._claim_batch_id(paths, bid):
+                    with open(log, "a") as fh:
+                        fh.write(f"{i} {bid}\n")
+                    done = True
+                else:
+                    with guard:
+                        collisions["n"] += 1
+
+    threads = [threading.Thread(target=contend, args=(i,))
+               for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    with open(log) as fh:
+        rows = [line.split() for line in fh]
+    with guard:
+        committed = [int(b) for _, b in rows]
+    # no lost commit: every contender landed exactly one version
+    assert sorted(int(w) for w, _ in rows) == [0, 1, 2]
+    # no duplicate version, ever — even if exclusion broke
+    assert len(set(committed)) == 3, (
+        f"duplicate batch_id committed: {committed} "
+        f"(collisions detected: {collisions['n']})"
+    )
+
+
+def test_batch_id_claim_burns_ids_across_crashes(spark, tmp_path):
+    """Conditional-put mint (r12): a claim file without a manifest
+    append (crash between the two) BURNS that version — the next
+    ingest must mint PAST it, never reuse it for a different dump
+    set (an as-of reader pinned to the burned id must not watch its
+    snapshot change meaning)."""
+    t0 = dt.datetime(2024, 1, 1, 10)
+    paths = med.MedallionPaths(str(tmp_path / "lake"))
+    assert med.ingest_bronze_incremental(
+        spark, _dump(spark, t0, [1, 2]), paths) == 1
+    assert med.manifest_versions(spark, paths) == [1]
+
+    # simulate a crashed writer: claim 2 exists, no manifest append
+    assert med._claim_batch_id(paths, 2)
+    t1 = t0 + dt.timedelta(hours=1)
+    assert med.ingest_bronze_incremental(
+        spark, _dump(spark, t1, [3]), paths) == 1
+    assert med.manifest_versions(spark, paths) == [1, 3]  # 2 burned
+
+
+def test_double_mint_raises_loudly_and_retry_completes(spark, tmp_path):
+    """Conditional-put mint (r12): if the lock primitive failed to
+    exclude and another writer claimed the id this ingest computed,
+    the commit must ABORT with ConcurrentCommitError before touching
+    the manifest (version history uncorrupted) — and a plain retry
+    completes the interrupted commit without duplicating bronze rows
+    (the orphan gate)."""
+    t0 = dt.datetime(2024, 1, 1, 10)
+    paths = med.MedallionPaths(str(tmp_path / "lake"))
+    assert med.ingest_bronze_incremental(
+        spark, _dump(spark, t0, [1, 2]), paths) == 1
+
+    # adversarial interleaving: the "other writer" claims id 2 at the
+    # exact moment this ingest computes it — emulate by making the
+    # claim fail once via a pre-existing claim file created after the
+    # max-scan would... simplest faithful shape: patch _claim_batch_id
+    # to lose the race exactly once
+    real_claim = med._claim_batch_id
+    calls = {"n": 0}
+
+    def lose_first(paths_, bid):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            real_claim(paths_, bid)  # the other writer wins it
+            return False
+        return real_claim(paths_, bid)
+
+    t1 = t0 + dt.timedelta(hours=1)
+    d = _dump(spark, t1, [3, 4])
+    import unittest.mock as mock
+
+    with mock.patch.object(med, "_claim_batch_id", lose_first):
+        with pytest.raises(med.ConcurrentCommitError, match="claimed"):
+            med.ingest_bronze_incremental(spark, d, paths)
+
+    # bronze got the rows (append precedes the mint), manifest did not
+    assert med.manifest_versions(spark, paths) == [1]
+    bronze_n = spark.read.parquet(paths.bronze).count()
+    assert bronze_n == 4
+
+    # retry completes the commit: no bronze double-append, manifest
+    # gains the key under a FRESH id past the contended one
+    assert med.ingest_bronze_incremental(spark, d, paths) == 1
+    assert spark.read.parquet(paths.bronze).count() == 4
+    assert med.manifest_versions(spark, paths) == [1, 3]

@@ -1126,3 +1126,90 @@ def test_incremental_price_moments_gold(spark, tmp_path):
     assert abs(r["mean_price"] - mean) < 1e-6
     assert abs(r["std_price"] - math.sqrt(var)) < 1e-6
     assert abs(r["cv"] - math.sqrt(var) / mean) < 1e-9
+
+
+def test_legacy_gold_watermark_sidecar_migrates(spark, tmp_path):
+    """r12 advisor finding: golds written BEFORE r11 kept the
+    watermark one level ABOVE the table dir (gold_dir/_watermark).
+    After the in-table move, such a table must not hard-fail its
+    first refresh: the legacy sidecar's epoch is honored (no
+    double-fold of already-applied batches), migrated into the table
+    dir, and the legacy file removed so it can never shadow a future
+    epoch. A table with NEITHER marker still raises."""
+    import datetime as dt
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from server_spark.plans import maintenance as mt
+    from server_spark.plans import medallion as med
+
+    def dump(ts, prices):
+        return spark.createDataFrame(
+            [("eu", "r1", ts, i, 100, p, 1, "o")
+             for i, p in enumerate(prices)],
+            "region string, realm_slug string, dump_ts timestamp, "
+            "auc long, item long, buyout long, quantity long, owner string",
+        )
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    paths = med.MedallionPaths(str(tmp_path / "lake"))
+    med.ingest_bronze_incremental(spark, dump(t0, [100, 300, 500]), paths)
+    assert mt.refresh_price_hist_gold(spark, paths) == 1
+    data_dir = os.path.join(paths.root, "gold", "price_hist", "hist")
+    wm_file = os.path.join(data_dir, "_watermark")
+    legacy = os.path.join(os.path.dirname(data_dir), "_watermark")
+
+    def total():
+        return sum(
+            r["cnt"] for r in spark.read.parquet(data_dir).collect()
+        )
+
+    base = total()
+    # downgrade to the pre-r11 on-disk format
+    os.rename(wm_file, legacy)
+
+    # a no-op refresh must read the legacy epoch (NOT refold batch 1)
+    assert mt.refresh_price_hist_gold(spark, paths) == 0
+    assert total() == base
+    # ...and the one-time migration happened: in-table marker exists,
+    # legacy sidecar is gone
+    assert json.load(open(wm_file))["batch_id"] == 1
+    assert not os.path.exists(legacy)
+
+    # a genuinely new batch folds exactly once post-migration
+    med.ingest_bronze_incremental(
+        spark, dump(t0 + dt.timedelta(hours=1), [700]), paths
+    )
+    assert mt.refresh_price_hist_gold(spark, paths) == 1
+    assert total() == base + 1
+
+    # neither marker: still refuses to fold onto unknown-epoch state
+    os.remove(wm_file)
+    med.ingest_bronze_incremental(
+        spark, dump(t0 + dt.timedelta(hours=2), [900]), paths
+    )
+    with _pytest.raises(RuntimeError, match="unknown epoch"):
+        mt.refresh_price_hist_gold(spark, paths)
+
+
+def test_medallion_paths_local_fs_only():
+    """r12 advisor finding: every transactional mechanism under a
+    medallion root is POSIX-rename semantics, and load_manifest's
+    "never written" probe is os.walk — an object-store URI would
+    always read "absent" and silently re-mint historical batch_ids.
+    Reject such roots at construction; accept (and normalize)
+    file:// and plain paths."""
+    import pytest as _pytest
+
+    from server_spark.plans import medallion as med
+
+    for bad in ("s3://bucket/lake", "hdfs://nn/lake", "gs://b/lake",
+                "s3a://bucket/lake"):
+        with _pytest.raises(ValueError, match="local-FS only"):
+            med.MedallionPaths(bad)
+    assert med.MedallionPaths("/tmp/lake").root == "/tmp/lake"
+    assert med.MedallionPaths("file:///tmp/lake").root == "/tmp/lake"
+    # windows-style drive letters and relative paths are not schemes
+    assert med.MedallionPaths("lake").root == "lake"

@@ -107,6 +107,34 @@ def test_salted_join_matches_plain_join(spark):
     assert lsalted.count() == lplain.count() == 1000
 
 
+def test_salted_join_tolerates_unhashable_columns(spark):
+    """r12 advisor finding: the retry-stable salt hashes the row's
+    columns, but xxhash64 raises AnalysisException on MapType — such
+    columns must be excluded from the salt input (never from the
+    result), and the join must still match the plain join exactly."""
+    from pyspark.sql import functions as F
+
+    from server_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(1 if i % 10 else 2, i) for i in range(200)], "k int, payload int"
+    ).withColumn("attrs", F.create_map(F.lit("i"), F.col("payload")))
+    right = spark.createDataFrame(
+        [(1, "hot"), (2, "cold")], "k int, label string"
+    )
+    plain = {(r["k"], r["payload"], r["label"])
+             for r in left.join(right, "k").collect()}
+    salted = {(r["k"], r["payload"], r["label"])
+              for r in salted_join(left, right, "k", n_salts=8).collect()}
+    assert salted == plain
+
+    # degenerate case: EVERY payload column unhashable -> salt falls
+    # back to the key alone (no spread, but correct and no crash)
+    only_map = left.select("k", "attrs")
+    got = salted_join(only_map, right, "k", n_salts=4)
+    assert got.count() == only_map.join(right, "k").count()
+
+
 def test_u7_bag_identity(spark, sf_dir):
     """Multiset algebra: |A ∖ B| + |A ∩ B| = |A| per group (EXCEPT ALL
     keeps surplus multiplicity, INTERSECT ALL the shared floor)."""

@@ -997,6 +997,73 @@ def test_colocated_fold_streams_share_state_dir(spark, tmp_path):
     assert os.path.exists(os.path.join(state_dir, "hist", "_epoch"))
 
 
+
+def test_legacy_epoch_sidecar_gates_replay_after_upgrade(spark, tmp_path):
+    """r12 advisor finding: state folded under the pre-r11 format
+    (ONE shared state_dir/_epoch sidecar, no in-dir marker) must not
+    read as epoch -1 after the upgrade — foreachBatch is at-least-once,
+    so a checkpoint replay of the last committed batch would
+    double-apply that fold exactly once. _epoch_of falls back to the
+    legacy sidecar (read-only: the file was SHARED across co-located
+    fold streams, so it is never deleted or migrated here) and the
+    next genuine fold writes the in-dir marker atomically."""
+    import json
+
+    input_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    os.makedirs(input_dir, exist_ok=True)
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    t1 = dt.datetime(2024, 1, 1, 11)
+    _write_dump(spark, input_dir, "d0", t0,
+                [(1, 100, 100, 1), (2, 101, 300, 1)])
+
+    q = sp.price_hist_stream(
+        spark, input_dir, state_dir, str(tmp_path / "ck0"))
+    q.awaitTermination()
+    hist_dir = os.path.join(state_dir, "hist")
+
+    def total():
+        return sum(r["cnt"] for r in spark.read.parquet(hist_dir).collect())
+
+    base = total()
+    assert base == 2
+
+    # downgrade the on-disk state to the pre-r11 format
+    os.rename(os.path.join(hist_dir, "_epoch"),
+              os.path.join(state_dir, "_epoch"))
+
+    # a fresh checkpoint replays d0 as epoch 0 — the legacy sidecar
+    # (epoch 0) must gate it; without the fallback this double-folds
+    q2 = sp.price_hist_stream(
+        spark, input_dir, state_dir, str(tmp_path / "ck1"))
+    q2.awaitTermination()
+    assert total() == base, "replayed epoch double-applied after upgrade"
+
+    # a genuinely new dump folds once and writes the in-dir marker
+    _write_dump(spark, input_dir, "d1", t1,
+                [(3, 101, 500, 1), (4, 102, 900, 1)])
+    q3 = sp.price_hist_stream(
+        spark, input_dir, state_dir, str(tmp_path / "ck2"))
+    q3.awaitTermination()
+    assert total() == base + 2
+    with open(os.path.join(hist_dir, "_epoch")) as fh:
+        assert json.load(fh)["batch_id"] == 1
+    # the shared legacy sidecar is left in place for sibling streams
+    assert os.path.exists(os.path.join(state_dir, "_epoch"))
+
+    # and a SIBLING fold stream over the same state_dir (its own
+    # subdir has real pre-upgrade-shaped absence: no state at all)
+    # must treat the leftover shared sidecar as not-its-gate and fold
+    q4 = sp.bitmap_distinct_stream(
+        spark, input_dir, state_dir, str(tmp_path / "ck_bm"))
+    q4.awaitTermination()
+    got = {
+        (r["region"], r["realm_slug"]): r["distinct_exact"]
+        for r in sp.read_bitmap_distinct_state(spark, state_dir).collect()
+    }
+    assert got[("eu", "r1")] == 3
+
 def test_tws_env_block_is_pinned():
     """r11 (VERDICT r10 item 7): the transformWithStateInPandas twin
     is env-blocked (its Python state server speaks protobuf to the
