@@ -44,7 +44,7 @@ class MedallionPaths:
     under this root — the O_EXCL commit lock, the tmp→aside→rename
     table swaps, the in-table watermark files, and load_manifest's
     os.walk "never written" probe — is POSIX-rename semantics. On an
-    object-store URI (s3://, gs://) the locks would not exclude, the
+    object-store URI (s3://bucket, gs://bucket) the locks would not exclude, the
     swaps would not be atomic, and the manifest probe would always
     read "absent" and silently re-mint historical batch_ids. The
     documented multi-host/object-store path is swapping this layer

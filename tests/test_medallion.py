@@ -1205,7 +1205,7 @@ def test_medallion_paths_local_fs_only():
 
     from server_spark.plans import medallion as med
 
-    for bad in ("s3://bucket/lake", "hdfs://nn/lake", "gs://b/lake",
+    for bad in ("s3://bucket/lake", "hdfs://nn/lake", "gs://bucket/lake",
                 "s3a://bucket/lake"):
         with _pytest.raises(ValueError, match="local-FS only"):
             med.MedallionPaths(bad)
