@@ -196,13 +196,52 @@ def decode_bmp(b: bytes):
     return np.ascontiguousarray(rgb)
 
 
-def decode_image(b: bytes):
+def _injected_jpeg_codec():
+    """Resolve an EXTERNAL JPEG codec from ``SPARK_GRAFT_JPEG_CODEC``
+    ("module:function"), or None when unset — THE codec-swap point
+    (r12, VERDICT r11 item 5): a deployment with libjpeg-class
+    bindings sets the env at launch (spark-submit env reaches Python
+    workers) and arithmetic-coded/12-bit/CMYK inputs decode for real
+    behind the exact quarantine contract the built-in decoder honors
+    (bytes → uint8 RGB (h, w, 3) or None; MemoryError propagates).
+    A CONFIGURED-but-broken spec raises loudly — silently falling
+    back would silently re-quarantine the formats the deployment
+    paid a codec to handle. Resolution is cached per spec value."""
+    import importlib
+    import os
+
+    spec = os.environ.get("SPARK_GRAFT_JPEG_CODEC")
+    if not spec:
+        return None
+    cache = getattr(_injected_jpeg_codec, "_cache", None)
+    if cache is not None and cache[0] == spec:
+        return cache[1]
+    mod, _, fn = spec.partition(":")
+    try:
+        f = getattr(importlib.import_module(mod), fn)
+    except Exception as exc:
+        raise ImportError(
+            f"SPARK_GRAFT_JPEG_CODEC={spec!r} failed to load: {exc}"
+        ) from exc
+    _injected_jpeg_codec._cache = (spec, f)
+    return f
+
+
+def decode_image(b: bytes, jpeg_codec=None):
     """(format, rgb array) for PNG/BMP/GIF/baseline-JPEG payloads
     (GIF: first frame), else None — "jpeg" covers baseline and
     progressive alike. The quarantine path now holds only genuinely
     exotic inputs (arithmetic-coded JPEG, 12-bit, CMYK, truncated/
     corrupt containers) — every mainstream format decodes for real
     with stdlib+numpy.
+
+    ``jpeg_codec`` (or the ``SPARK_GRAFT_JPEG_CODEC`` env hook —
+    see _injected_jpeg_codec) REPLACES the built-in JPEG decoder
+    wholesale: same signature, same quarantine semantics, wider
+    format support. Explicit argument wins over the env hook — the
+    executor-side path for a per-query codec is passing it through
+    the closure, since env changes after JVM launch do not reach
+    already-running Python workers.
 
     THE quarantine dispatch: every decoder is additionally wrapped in
     a blanket except → None, because the hand-rolled parsers cannot
@@ -212,11 +251,12 @@ def decode_image(b: bytes):
     if b is None:
         return None
     bb = bytes(b)
+    jpeg_dec = jpeg_codec or _injected_jpeg_codec() or decode_jpeg
     for fmt, dec in (
         ("png", decode_png),
         ("bmp", decode_bmp),
         ("gif", lambda x: (decode_gif(x) or [None, None, [None]])[2][0]),
-        ("jpeg", decode_jpeg),
+        ("jpeg", jpeg_dec),
     ):
         try:
             img = dec(bb)
@@ -648,6 +688,7 @@ IMAGE_SRC = JPEG_SRC + "\n" + "\n".join(
         lzw_encode,
         decode_gif,
         encode_gif,
+        _injected_jpeg_codec,
         decode_image,
         nn_resize,
         encode_bmp,
