@@ -76,6 +76,13 @@ def main() -> None:
 
     # Warmup: run the first headline query once, discard timing.
     _materialize(qs[names[0]](spark, SF_DIR))
+    # JVM/shuffle calibration leg (r12): timed through the live
+    # session so it drifts WITH the queries — the CPU-only probe can
+    # split from query drift when contention is JVM/IO-side (r11:
+    # probe 0.91x faster, queries 1.13x slower).
+    from scripts.calibrate import jvm_score as _jvm_score
+
+    jvm_start = _jvm_score(spark)
     # Pre-build the IVF index (disk-cached, keyed by sf_dir): index
     # construction is the offline step at scale, so x14's timed run
     # should measure SEARCH, not a cold k-means fit.
@@ -137,6 +144,9 @@ def main() -> None:
             _materialize(qs[name](spark, SF_DIR))
             samples.append(round(time.perf_counter() - t0, 3))
         timings[name] = sorted(samples)[1]  # median of 3
+
+    # end-of-run JVM leg BEFORE --recheck may stop the session
+    jvm_end = _jvm_score(spark)
 
     # Contended-run protocol (--recheck, VERDICT r9 item 6): the r9
     # close ledger hand-adjudicated one contended run where 10 queries
@@ -233,6 +243,10 @@ def main() -> None:
         # seconds at run start/end — bench_diff defers adjudication
         # when this drifts >1.3x vs the baseline's recorded score
         "calibration_sec": {"start": cal_start, "end": cal_end},
+        # JVM/shuffle probe leg (r12) — drifts with the queries;
+        # bench_diff takes the more pessimistic of the two ratios
+        # when both artifacts carry both legs
+        "calibration_jvm_sec": {"start": jvm_start, "end": jvm_end},
     }
     if recheck:
         # isolated-median numbers of record + the raw in-bench samples

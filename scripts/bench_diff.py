@@ -205,6 +205,13 @@ def load_artifact(path: Path) -> tuple[dict[str, float], float | None]:
     the driver's ~2 KB stdout-tail capture — the r11 failure) falls
     back to the committed BENCH_FULL.json of the same round; only when
     that too is unavailable does it raise BenchArtifactError."""
+    doc = load_doc(path)
+    return doc["queries"], _cal_mean(doc, "calibration_sec")
+
+
+def load_doc(path: Path) -> dict:
+    """The parsed artifact document (plain, tail-embedded, or
+    same-round-recovered — see load_artifact)."""
     doc = json.loads(path.read_text())
     if "queries" not in doc and "tail" in doc:
         # decode from the FIRST '{"metric"' with a raw_decode so any
@@ -223,12 +230,32 @@ def load_artifact(path: Path) -> tuple[dict[str, float], float | None]:
             doc = recovered
         else:
             raise BenchArtifactError(f"{path}: no per-query map found")
-    cal = doc.get("calibration_sec")
-    cal_mean = None
+    return doc
+
+
+def _cal_mean(doc: dict, key: str) -> float | None:
+    cal = doc.get(key)
     if isinstance(cal, dict) and cal:
         vals = [v for v in cal.values() if isinstance(v, (int, float))]
-        cal_mean = sum(vals) / len(vals) if vals else None
-    return doc["queries"], cal_mean
+        return sum(vals) / len(vals) if vals else None
+    return None
+
+
+def combined_cal_ratio(base_doc: dict, fresh_doc: dict) -> float | None:
+    """fresh/base host-speed ratio from the probe legs both artifacts
+    carry: the CPU leg (calibration_sec) and, when present on BOTH
+    sides, the JVM/shuffle leg (calibration_jvm_sec, r12). Combined
+    as the MAX (most pessimistic): the host is as slow as its slowest
+    relevant subsystem, so the faster-host floor only engages when
+    EVERY leg agrees the host sped up, and deferral engages when ANY
+    leg saw a >CAL_DRIFT_MAX slowdown — closing the r11 split where
+    the CPU probe ran faster while JVM/IO contention slowed queries."""
+    ratios = []
+    for key in ("calibration_sec", "calibration_jvm_sec"):
+        b, f = _cal_mean(base_doc, key), _cal_mean(fresh_doc, key)
+        if b and f:
+            ratios.append(f / b)
+    return max(ratios) if ratios else None
 
 
 def load_queries(path: Path) -> dict[str, float]:
@@ -251,7 +278,7 @@ def main(argv: list[str]) -> int:
         if not since_path.is_absolute():
             since_path = REPO / since_path
         try:
-            base, base_cal = load_artifact(since_path)
+            base_doc = load_doc(since_path)
         except BenchArtifactError as e:
             # one malformed driver artifact must not wedge the gate
             # (VERDICT r11 item 1b) — name the problem, exit distinct
@@ -259,10 +286,12 @@ def main(argv: list[str]) -> int:
             print(f"SINCE-GATE SKIPPED: {e}")
             return 2
         print(f"comparing against {since_path.name} "
-              f"({len(base)} queries)")
+              f"({len(base_doc['queries'])} queries)")
     else:
-        base, base_cal = load_artifact(BASELINE)
-    fresh, fresh_cal = load_artifact(FRESH)
+        base_doc = load_doc(BASELINE)
+    fresh_doc = load_doc(FRESH)
+    base, base_cal = base_doc["queries"], _cal_mean(base_doc, "calibration_sec")
+    fresh, fresh_cal = fresh_doc["queries"], _cal_mean(fresh_doc, "calibration_sec")
 
     # Contended-window auto-deferral (VERDICT r10 item 5): when both
     # artifacts carry a host-calibration score and the fresh run's
@@ -273,11 +302,16 @@ def main(argv: list[str]) -> int:
     # absorbed into the median divisor can mask a uniform plan
     # regression — diff() floors the divisor at cal_ratio for that
     # case (see its docstring), so masked regressions FAIL the gate.
-    cal_ratio = None
+    cal_ratio = combined_cal_ratio(base_doc, fresh_doc)
     if base_cal and fresh_cal:
-        cal_ratio = fresh_cal / base_cal
+        jvm_note = ""
+        bj = _cal_mean(base_doc, "calibration_jvm_sec")
+        fj = _cal_mean(fresh_doc, "calibration_jvm_sec")
+        if bj and fj:
+            jvm_note = f" jvm={fj / bj:.2f}x"
         print(f"host calibration: base={base_cal:.4f}s "
-              f"fresh={fresh_cal:.4f}s ratio={cal_ratio:.2f}x")
+              f"fresh={fresh_cal:.4f}s cpu={fresh_cal / base_cal:.2f}x"
+              f"{jvm_note} -> effective={cal_ratio:.2f}x")
     regs, added, removed = diff(base, fresh, cal_ratio)
     waived = waivers()
 

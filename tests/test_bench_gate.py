@@ -22,8 +22,10 @@ from scripts.bench_diff import (  # noqa: E402
     BASELINE,
     FRESH,
     BenchArtifactError,
+    combined_cal_ratio,
     diff,
     load_artifact,
+    load_doc,
     load_queries,
     waivers,
 )
@@ -36,9 +38,9 @@ def test_no_unwaived_bench_regressions():
     # the contended-window deferral (CLI exit 3 → pytest skip)
     from scripts.bench_diff import CAL_DRIFT_MAX
 
-    base, base_cal = load_artifact(BASELINE)
-    fresh, fresh_cal = load_artifact(FRESH)
-    cal_ratio = fresh_cal / base_cal if base_cal and fresh_cal else None
+    base_doc, fresh_doc = load_doc(BASELINE), load_doc(FRESH)
+    base, fresh = base_doc["queries"], fresh_doc["queries"]
+    cal_ratio = combined_cal_ratio(base_doc, fresh_doc)
     regs, _, _ = diff(base, fresh, cal_ratio)
     waived = waivers()
     unwaived = [
@@ -71,19 +73,15 @@ def test_no_unwaived_regressions_since_last_driver_round():
     rounds = sorted(REPO.glob("BENCH_r[0-9][0-9].json"))
     assert rounds, "no driver round artifacts found"
     try:
-        base, base_cal = load_artifact(rounds[-1])
+        base_doc = load_doc(rounds[-1])
     except BenchArtifactError as e:
         # one malformed driver artifact must not wedge the suite
         # (VERDICT r11 item 1b) — skip loudly, never SystemExit
         pytest.skip(f"since-gate skipped, artifact unrecoverable: {e}")
-    fresh_doc = json.loads(FRESH.read_text())
+    base = base_doc["queries"]
+    fresh_doc = load_doc(FRESH)
     fresh = fresh_doc["queries"]
-    cal = fresh_doc.get("calibration_sec") or {}
-    fresh_cal_vals = [v for v in cal.values() if isinstance(v, (int, float))]
-    cal_ratio = (
-        (sum(fresh_cal_vals) / len(fresh_cal_vals)) / base_cal
-        if base_cal and fresh_cal_vals else None
-    )
+    cal_ratio = combined_cal_ratio(base_doc, fresh_doc)
     regs, _, _ = diff(base, fresh, cal_ratio)
     waived = waivers()
     unwaived = [
@@ -325,3 +323,28 @@ def test_calibration_floor_covers_the_gray_zone():
     assert not regs, "median-only normalization masks it (by design)"
     regs, _, _ = diff(base, fresh_bad, cal_ratio)
     assert len(regs) == 10, "cal floor must unmask the uniform 1.4x"
+
+
+def test_combined_cal_ratio_takes_the_pessimistic_leg():
+    """r12 (VERDICT r11 item 2 second half): the CPU-only probe can
+    SPLIT from query drift when contention is JVM/IO-side — r11's
+    artifact measured the probe 0.91x (faster) while queries ran
+    1.13x slower. With the JVM/shuffle leg recorded on both sides,
+    the effective ratio is the MAX of the legs: the faster-host floor
+    only engages when every leg agrees, and deferral triggers when
+    any leg saw the slowdown."""
+    base = {"queries": {"q": 1.0},
+            "calibration_sec": {"start": 0.02, "end": 0.02},
+            "calibration_jvm_sec": {"start": 0.40, "end": 0.40}}
+    # the r11 split, as it would have recorded with both legs
+    fresh = {"queries": {"q": 1.13},
+             "calibration_sec": {"start": 0.0182, "end": 0.0182},
+             "calibration_jvm_sec": {"start": 0.452, "end": 0.452}}
+    r = combined_cal_ratio(base, fresh)
+    assert abs(r - 1.13) < 0.01  # jvm leg (1.13) beats cpu leg (0.91)
+    # cpu-only artifacts (pre-r12 baselines) fall back to the cpu leg
+    del base["calibration_jvm_sec"]
+    r = combined_cal_ratio(base, fresh)
+    assert abs(r - 0.91) < 0.01
+    # no calibration at all -> None
+    assert combined_cal_ratio({"queries": {}}, {"queries": {}}) is None
