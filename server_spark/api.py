@@ -153,7 +153,10 @@ def items_query(
     spark: SparkSession, sf_dir: str, query: str, limit: int = 10
 ) -> DataFrame:
     """Fuzzy item-name search (F3 behind the items-query subject):
-    levenshtein rank with the subsequence gate, deterministic ties."""
+    levenshtein rank with deterministic ties — the f3 operator's
+    serving shape. (The reference's exact RankMatchFold, which adds
+    the subsequence gate, is the f3b pandas-UDF twin; this serving
+    path keeps the JVM-side expression for scan-speed ranking.)"""
     items = tables.load(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("item"),
         F.col("p_name").alias("item_name"),
