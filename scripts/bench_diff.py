@@ -171,9 +171,16 @@ def _same_round_full_map(path: Path) -> dict | None:
     import subprocess
 
     try:
+        # --diff-filter=A: the commit that ADDED the round artifact
+        # (the driver writes BENCH_r{N}.json and that run's
+        # BENCH_FULL.json in one commit). A bare -n1 would return the
+        # LAST commit touching the file — a later reformat/amend sweep
+        # would silently pair it with a DIFFERENT round's full map,
+        # and wrong-but-parseable numbers defeat the gate this
+        # recovery protects (r12 review finding).
         commit = subprocess.run(
-            ["git", "-C", str(REPO), "log", "-n1", "--format=%H",
-             "--", path.name],
+            ["git", "-C", str(REPO), "log", "--diff-filter=A", "-n1",
+             "--format=%H", "--", path.name],
             capture_output=True, text=True, timeout=30,
         ).stdout.strip()
         if not commit:
@@ -288,8 +295,19 @@ def main(argv: list[str]) -> int:
         print(f"comparing against {since_path.name} "
               f"({len(base_doc['queries'])} queries)")
     else:
-        base_doc = load_doc(BASELINE)
-    fresh_doc = load_doc(FRESH)
+        try:
+            base_doc = load_doc(BASELINE)
+        except BenchArtifactError as e:
+            # a corrupt pinned baseline is an artifact problem, not a
+            # plan regression — exit 2 (distinct from gate-fail 1),
+            # same contract as the --since branch (r12 review finding)
+            print(f"GATE SKIPPED: {e}")
+            return 2
+    try:
+        fresh_doc = load_doc(FRESH)
+    except BenchArtifactError as e:
+        print(f"GATE SKIPPED: {e}")
+        return 2
     base, base_cal = base_doc["queries"], _cal_mean(base_doc, "calibration_sec")
     fresh, fresh_cal = fresh_doc["queries"], _cal_mean(fresh_doc, "calibration_sec")
 

@@ -68,13 +68,25 @@ def reliable_enabled(spark: SparkSession) -> bool:
     # Spark Connect session does not have (no _jsc on the client side;
     # sparkContext access itself raises there) — answer False instead
     # of throwing, since without a reachable context there is no
-    # checkpoint dir to use anyway (r12 advisor finding).
+    # checkpoint dir to use anyway (r12 advisor finding). Narrowed to
+    # the no-such-surface errors only (r12 review finding): a
+    # TRANSIENT py4j failure during the JVM call must PROPAGATE — on
+    # a classic session where the conf flag is unset and the dir is
+    # the truth, swallowing it would silently downgrade barrier() to
+    # a non-fault-tolerant localCheckpoint, the exact downgrade the
+    # r11 fix closed.
     try:
-        return (
-            spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
-        )
-    except Exception:
+        from pyspark.errors import PySparkException
+    except ImportError:  # very old pyspark — keep the probe usable
+        PySparkException = ()  # type: ignore[assignment]
+    try:
+        ctx = spark.sparkContext
+        jsc = ctx._jsc
+    except (AttributeError, TypeError, PySparkException):
+        return False  # Connect / contextless session: no JVM surface
+    if jsc is None:
         return False
+    return jsc.sc().getCheckpointDir().isDefined()
 
 
 def barrier(df: DataFrame, eager: bool = True) -> DataFrame:

@@ -26,6 +26,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import contextlib
 import math
 import os
 import shutil
@@ -270,9 +271,25 @@ def _gold_watermark(data_dir: str) -> dict:
             tmp = f"{wm_file}.tmp.{os.getpid()}"
             with open(tmp, "w") as fh:
                 _json.dump(wm, fh)
-            os.replace(tmp, wm_file)
-            os.remove(legacy)
-            return wm
+            # link, NOT replace (r12 review finding): two overlapping
+            # refreshes can both reach here, and the slower one's
+            # replace would clobber a watermark the faster one has
+            # since ADVANCED with the stale legacy epoch — re-opening
+            # the double-fold this format exists to close. link fails
+            # if the in-table marker appeared meanwhile; the freshest
+            # value then wins by re-read below.
+            try:
+                os.link(tmp, wm_file)
+            except FileExistsError:
+                pass  # a concurrent migrator/fold beat us — read theirs
+            finally:
+                os.unlink(tmp)
+            # legacy may already be gone if the concurrent migrator
+            # finished first — that is success, not corruption
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(legacy)
+            with open(wm_file) as fh:
+                return _json.load(fh)
         except (OSError, ValueError) as exc:
             raise RuntimeError(
                 f"gold table {data_dir} has no in-table _watermark and "

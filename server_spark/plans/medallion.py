@@ -54,16 +54,33 @@ class MedallionPaths:
     root: str
 
     def __post_init__(self) -> None:
-        m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", self.root)
-        if m and m.group(1) != "file":
+        # Match BOTH URI spellings — "scheme://..." and the
+        # single-slash "scheme:/..." form Spark itself prints for
+        # local paths (r12 review finding: 'file:/tmp/lake' previously
+        # slipped through unnormalized, so the os.* transaction state
+        # landed in a literal './file:/...' directory while Spark
+        # resolved the URI — split-brain). Scheme compare is
+        # case-insensitive (RFC 3986); the 2+-char scheme requirement
+        # keeps Windows drive-letter paths ('C:/lake') out of the
+        # URI branch.
+        m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]+):/", self.root)
+        if m and m.group(1).lower() != "file":
             raise ValueError(
                 f"MedallionPaths is local-FS only (os.rename/O_EXCL "
                 f"transaction machinery); got scheme "
                 f"'{m.group(1)}://' in {self.root!r}. Use a Delta/"
                 "Iceberg-backed deployment for object stores."
             )
-        if m:  # file:// URI — strip to a plain path for the os.* side
-            self.root = self.root[len("file://"):]
+        if m:  # file URI — normalize to a plain path for the os.* side
+            from urllib.parse import unquote, urlparse
+
+            parsed = urlparse(self.root)
+            if parsed.netloc not in ("", "localhost"):
+                raise ValueError(
+                    f"MedallionPaths rejects remote-host file URIs: "
+                    f"{self.root!r} (netloc {parsed.netloc!r})"
+                )
+            self.root = unquote(parsed.path)
 
     @property
     def bronze(self) -> str:
@@ -415,6 +432,7 @@ def _ingest_gated(
         .write.mode("append")
         .parquet(paths.manifest)
     )
+    _prune_claims(paths, below=batch_id)
     return n_new
 
 
@@ -441,6 +459,24 @@ def _max_claimed_id(paths: MedallionPaths) -> int:
     except FileNotFoundError:
         return 0
     return max(ids, default=0)
+
+
+def _prune_claims(paths: MedallionPaths, below: int) -> None:
+    """Remove claim files for versions < ``below`` (r12 review
+    finding: one tiny file per batch forever means every mint pays a
+    linear directory listing). Safe AFTER ``below`` is committed to
+    the manifest parquet: the mint computes max(manifest, claims)+1,
+    and the manifest side alone now carries ≥ ``below`` — a pruned
+    burned id < below can never be re-minted. Claims ABOVE the
+    committed max (a crashed writer's burn that outran us) are kept."""
+    try:
+        names = os.listdir(_claims_dir(paths))
+    except FileNotFoundError:
+        return
+    for n in names:
+        if n.isdigit() and int(n) < below:
+            with contextlib.suppress(OSError):
+                os.unlink(os.path.join(_claims_dir(paths), n))
 
 
 def _claim_batch_id(paths: MedallionPaths, batch_id: int) -> bool:

@@ -749,6 +749,20 @@ def _epoch_gated_fold_sink(state_dir: str, subdir: str, delta_fn, merge_fn):
         # stream, not to this genuinely-first fold. The next fold
         # writes the in-dir marker atomically with the swap, after
         # which the legacy file is never consulted for this subdir.
+        #
+        # Known ambiguity (r12 review): the legacy file was
+        # last-writer-wins across CO-LOCATED streams, so if a sibling
+        # wrote a HIGHER epoch than this subdir ever folded, adopting
+        # it gates out the in-between batches. This is not a
+        # regression — under the old format the shared gate made the
+        # second co-located stream skip EVERY fold (the r11 finding
+        # that motivated the in-dir move), so a legacy state_dir has
+        # at most one stream whose state can be trusted; co-located
+        # legacy deployments should rebuild their secondary golds
+        # (deterministic refold from bronze) rather than upgrade them
+        # in place. Nothing on disk distinguishes the two cases, so
+        # the code takes the replay-safe reading for the one stream
+        # the old format actually served.
         if os.path.isdir(d):
             legacy = os.path.join(state_dir, "_epoch")
             try:

@@ -83,13 +83,52 @@ def test_reliable_enabled_answers_false_without_jvm_context():
         def get(self, key, default=None):
             return default
 
+    from pyspark.errors import PySparkNotImplementedError
+
     class _ConnectishSession:
         conf = _NoFlagConf()
 
         @property
         def sparkContext(self):
-            raise Exception(
-                "sparkContext is not supported in Spark Connect"
+            # the error type a real Connect session raises here
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "sparkContext"},
             )
 
     assert reliable_enabled(_ConnectishSession()) is False
+
+    # a session object with NO sparkContext attribute at all
+    class _Contextless:
+        conf = _NoFlagConf()
+
+    assert reliable_enabled(_Contextless()) is False
+
+
+def test_reliable_enabled_propagates_transient_jvm_errors():
+    """r12 review finding: the Connect-safety net must catch ONLY the
+    no-such-surface errors. A transient py4j failure during the JVM
+    call has to propagate — swallowing it would silently downgrade
+    barrier() to a non-fault-tolerant localCheckpoint on a session
+    where reliable checkpoints were enabled via the context."""
+
+    class _NoFlagConf:
+        def get(self, key, default=None):
+            return default
+
+    class _Py4JHiccup(RuntimeError):
+        pass
+
+    class _FlakyJsc:
+        def sc(self):
+            raise _Py4JHiccup("gateway connection reset")
+
+    class _FlakyContext:
+        _jsc = _FlakyJsc()
+
+    class _FlakySession:
+        conf = _NoFlagConf()
+        sparkContext = _FlakyContext()
+
+    with pytest.raises(_Py4JHiccup):
+        reliable_enabled(_FlakySession())

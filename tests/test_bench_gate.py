@@ -348,3 +348,29 @@ def test_combined_cal_ratio_takes_the_pessimistic_leg():
     assert abs(r - 0.91) < 0.01
     # no calibration at all -> None
     assert combined_cal_ratio({"queries": {}}, {"queries": {}}) is None
+
+
+def test_default_gate_skips_on_corrupt_artifacts(tmp_path):
+    """r12 review finding: only the --since branch caught
+    BenchArtifactError; a corrupt pinned baseline or a truncated
+    fresh BENCH_FULL.json made the DEFAULT gate exit 1 via an
+    unhandled traceback — indistinguishable from a real gate failure.
+    Both now exit 2 ('artifact problem') with a named message."""
+    import subprocess
+
+    good = json.dumps({"queries": {"a": 1.0},
+                       "calibration_sec": {"start": 0.02, "end": 0.02}})
+    bad = json.dumps({"tail": "…head cut…}", "parsed": None})
+    for which in ("baseline", "fresh"):
+        bdir = tmp_path / which
+        (bdir / "scripts").mkdir(parents=True)
+        (bdir / "scripts" / "bench_baseline.json").write_text(
+            bad if which == "baseline" else good)
+        (bdir / "BENCH_FULL.json").write_text(
+            good if which == "baseline" else bad)
+        script = bdir / "scripts" / "bench_diff.py"
+        script.write_text((REPO / "scripts" / "bench_diff.py").read_text())
+        r = subprocess.run([sys.executable, str(script)],
+                           capture_output=True, text=True)
+        assert r.returncode == 2, (which, r.returncode, r.stdout, r.stderr)
+        assert "GATE SKIPPED" in r.stdout

@@ -1213,3 +1213,106 @@ def test_medallion_paths_local_fs_only():
     assert med.MedallionPaths("file:///tmp/lake").root == "/tmp/lake"
     # windows-style drive letters and relative paths are not schemes
     assert med.MedallionPaths("lake").root == "lake"
+
+
+def test_medallion_paths_single_slash_uri_forms():
+    """r12 review finding: Spark itself prints local paths as
+    'file:/tmp/lake' (single slash). That form previously slipped
+    through the scheme guard unnormalized, so the os.* transaction
+    state landed in a literal './file:/...' directory while Spark
+    resolved the URI — split-brain. All URI spellings must either
+    normalize (file) or reject (everything else), case-insensitively;
+    remote-host file URIs are rejected too."""
+    import pytest as _pytest
+
+    from server_spark.plans import medallion as med
+
+    assert med.MedallionPaths("file:/tmp/lake").root == "/tmp/lake"
+    assert med.MedallionPaths("file:///tmp/lake").root == "/tmp/lake"
+    assert med.MedallionPaths("FILE:///tmp/lake").root == "/tmp/lake"
+    for bad in ("s3:/bucket/lake", "S3://bucket/lake",
+                "hdfs:/nn/lake", "gs:/bucket/lake"):
+        with _pytest.raises(ValueError, match="local-FS only"):
+            med.MedallionPaths(bad)
+    with _pytest.raises(ValueError, match="remote-host"):
+        med.MedallionPaths("file://nfshost/export/lake")
+    # drive-letter-style and relative paths stay plain paths
+    assert med.MedallionPaths("C:/lake").root == "C:/lake"
+    assert med.MedallionPaths("lake").root == "lake"
+
+
+def test_claim_files_pruned_after_commit(spark, tmp_path):
+    """r12 review finding: one claim file per batch forever means
+    every mint pays a linear directory listing. After a successful
+    manifest append, claims below the committed id are pruned; burned
+    claims ABOVE it (a crashed writer that outran us) survive so
+    their ids are never re-minted."""
+    import os
+
+    def dump(ts, aucs):
+        return spark.createDataFrame(
+            [("eu", "r1", ts, a, 100, 500, 1) for a in aucs],
+            "region string, realm_slug string, dump_ts timestamp, "
+            "auc long, item long, buyout long, quantity long",
+        )
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    paths = med.MedallionPaths(str(tmp_path / "lake"))
+    for k in range(3):
+        assert med.ingest_bronze_incremental(
+            spark, dump(t0 + dt.timedelta(hours=k), [k]), paths
+        ) == 1
+    claims = sorted(
+        int(n) for n in os.listdir(med._claims_dir(paths)) if n.isdigit()
+    )
+    assert claims == [3], claims  # 1 and 2 pruned after commits
+
+    # a crashed writer burned id 9 (claim, no append): kept by prune,
+    # and the next mint jumps past it
+    assert med._claim_batch_id(paths, 9)
+    assert med.ingest_bronze_incremental(
+        spark, dump(t0 + dt.timedelta(hours=5), [50]), paths
+    ) == 1
+    assert med.manifest_versions(spark, paths) == [1, 2, 3, 10]
+    claims = sorted(
+        int(n) for n in os.listdir(med._claims_dir(paths)) if n.isdigit()
+    )
+    assert claims == [10], claims
+
+
+def test_legacy_watermark_migration_race_cannot_downgrade(
+    spark, tmp_path, monkeypatch
+):
+    """r12 review finding: two overlapping refreshes can both see
+    (no in-table marker, legacy present); if the slower migrator then
+    REPLACED the in-table file, it would clobber a watermark the
+    faster one had already advanced — re-opening the double-fold.
+    The migration links fail-if-exists and re-reads on contention.
+    Simulate the faster writer landing inside the check→link window
+    and assert the newer epoch wins."""
+    import json
+    import os
+
+    from server_spark.plans import maintenance as mt
+
+    gold_dir = tmp_path / "gold" / "price_hist"
+    data_dir = gold_dir / "hist"
+    data_dir.mkdir(parents=True)
+    (gold_dir / "_watermark").write_text(json.dumps({"batch_id": 1}))
+
+    real_link = os.link
+
+    def racing_link(src, dst, *a, **kw):
+        # the concurrent migrator+fold commits epoch 2 first
+        with open(dst, "w") as fh:
+            json.dump({"batch_id": 2}, fh)
+        return real_link(src, dst, *a, **kw)  # -> FileExistsError
+
+    monkeypatch.setattr(mt.os, "link", racing_link)
+    wm = mt._gold_watermark(str(data_dir))
+    assert wm == {"batch_id": 2}, wm  # newer epoch won, not stale 1
+    assert json.load(open(data_dir / "_watermark")) == {"batch_id": 2}
+    # second call (legacy gone, marker in place) is the plain path
+    monkeypatch.setattr(mt.os, "link", real_link)
+    assert mt._gold_watermark(str(data_dir)) == {"batch_id": 2}
+    assert not (gold_dir / "_watermark").exists()
