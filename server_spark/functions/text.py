@@ -92,8 +92,13 @@ def fuzzy_search(df, col: str, needle: str, k: int = 10):
     ranked = df.filter(gate).withColumn(
         "rank", rank_match_fold(needle)(F.col(col))
     )
+    # total order with a unique tiebreak (r12): (rank, value) alone
+    # leaves the LIMIT boundary ambiguous when two rows share both —
+    # every remaining column joins the sort so the page is the same
+    # on every engine/run (the repo's standing pagination rule)
+    others = [c for c in df.columns if c != col]
     return (
         ranked.filter(F.col("rank") >= 0)
-        .orderBy(F.col("rank").asc(), F.col(col).asc())
+        .orderBy(F.col("rank").asc(), F.col(col).asc(), *others)
         .limit(k)
     )

@@ -357,12 +357,38 @@ def x12_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x13_udtf_chunks",
-    None,  # Python UDTF — engine-side table function
+    r"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           w -> w <> '') AS ws
+        FROM documents
+        WHERE text IS NOT NULL
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS chunk_idx,
+               array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS chunk_text,
+               CAST(LEAST(10, len(ws) - i*10) AS INTEGER) AS n_words
+        FROM words,
+             LATERAL (SELECT UNNEST(
+                 range(CAST(ceil(len(ws)/10.0) AS BIGINT))) AS i)
+        WHERE len(ws) > 0
+    )
+    SELECT doc_id, chunk_idx, chunk_text, n_words FROM chunks
+    """,
     doc="D7 — Python UDTF (Spark 3.5+/4 table function): split each "
     "document into fixed 10-word chunks with positions, the "
     "context-window chunking step of a training-data pipeline. "
-    "Rows-only; chunk reassembly asserted in tests.",
-    tags=("ext", "udtf", "rows-only"),
+    "Promoted from rows-only to a full hash oracle (r12): the chunk "
+    "rule is pure word-slicing, so DuckDB reproduces it with list "
+    "slicing + LATERAL range. Split-rule boundary: Python str.split "
+    "is Unicode-whitespace, the oracle's regex \\s is ASCII — "
+    "identical on this corpus (probed: single-space separated, no "
+    "exotic whitespace), and the repo's shared split contract is the "
+    "ASCII rule (textstats).",
+    tags=("ext", "udtf"),
+    late=True,
 )
 def x13_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
@@ -391,10 +417,29 @@ def x13_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "f3b_fuzzy_rank_udf",
-    None,  # pandas_udf re-implementation of RankMatchFold
+    # Promoted from rows-only (r12): RankMatchFold = case-folded
+    # subsequence gate (a LIKE pattern for an ASCII needle) +
+    # Levenshtein rank — and DuckDB ships levenshtein() natively, so
+    # the exact semantics ARE SQL-expressible after all. Integer
+    # distance, unique (rank, name, item) total order.
+    """
+    SELECT item, item_name, rank FROM (
+        SELECT p_partkey AS item, p_name AS item_name,
+               CAST(levenshtein('widget', LOWER(p_name)) AS BIGINT)
+                   AS rank
+        FROM part
+        WHERE LOWER(p_name) LIKE '%w%i%d%g%e%t%'
+          AND LENGTH(p_name) >= 6
+    )
+    ORDER BY rank, item_name, item
+    LIMIT 10
+    """,
     doc="D2 — exact RankMatchFold fuzzy search parity (subsequence "
-    "gate + Levenshtein rank) as an Arrow-batched pandas_udf.",
-    tags=("ext", "search", "rows-only"),
+    "gate + Levenshtein rank) as an Arrow-batched pandas_udf; the "
+    "pandas_udf subsequence check stays the Spark-side authority, "
+    "the oracle replays the semantics relationally.",
+    tags=("ext", "search"),
+    late=True,
 )
 def f3b_fuzzy_rank_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from server_spark.functions.text import fuzzy_search

@@ -885,9 +885,109 @@ MMR_K = 10       # diversified results per query
 MMR_LAMBDA = 0.7  # relevance weight; 1-λ penalizes redundancy
 
 
+# Promoted from rows-only (r12): the greedy argmax IS expressible —
+# a recursive CTE picks one candidate per (query, step) via a
+# windowed argmax over marginal = λ·rel − (1−λ)·max sim-to-chosen
+# (the chosen set rides as a BIGINT[] in the recursion state; the
+# redundancy max is a LEFT JOIN against pair sims gated by
+# list_contains). rel/sims replicate the udf's np.round(·,4) as
+# round_even(x·10⁴, 0)/10⁴ (numpy rounds HALF-EVEN on the scaled
+# binary double — DuckDB's plain ROUND and even round_even(x, 4)
+# disagree with it on e.g. 0.00015); the candidate stage reuses the
+# x3 twin's r4-rounded ranking, so the pools match exactly.
+_X65_SQL = f"""
+WITH RECURSIVE ee AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           CAST(UNNEST(embedding) AS DOUBLE) AS v
+    FROM embeddings
+),
+norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ee GROUP BY vec_id),
+q AS (SELECT vec_id, i, v FROM ee WHERE vec_id < {N_QUERY_VECS}),
+dots AS (
+    SELECT q.vec_id AS qid, e.vec_id AS vid, SUM(q.v * e.v) AS dot
+    FROM q JOIN ee e USING (i)
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT qid AS query_id, vid AS vec_id, {{R4}} AS score
+    FROM dots
+    JOIN norms nq ON qid = nq.vec_id
+    JOIN norms ne ON vid = ne.vec_id
+    WHERE qid <> vid
+),
+cands AS (
+    SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 30
+),
+pool_e AS (
+    SELECT c.query_id, c.vec_id, e.i, e.v
+    FROM cands c JOIN ee e USING (vec_id)
+),
+rels AS (
+    SELECT p.query_id, p.vec_id,
+           round_even((SUM(p.v * qe.v) / (nc.nrm * nq.nrm)) * 10000.0, 0)
+               / 10000.0 AS rel
+    FROM pool_e p
+    JOIN ee qe ON qe.vec_id = p.query_id AND qe.i = p.i
+    JOIN norms nc ON nc.vec_id = p.vec_id
+    JOIN norms nq ON nq.vec_id = p.query_id
+    GROUP BY p.query_id, p.vec_id, nc.nrm, nq.nrm
+),
+sims AS (
+    SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+           round_even((SUM(a.v * b.v) / (na.nrm * nb.nrm)) * 10000.0, 0)
+               / 10000.0 AS s
+    FROM pool_e a
+    JOIN pool_e b ON a.query_id = b.query_id AND a.i = b.i
+    JOIN norms na ON na.vec_id = a.vec_id
+    JOIN norms nb ON nb.vec_id = b.vec_id
+    GROUP BY a.query_id, a.vec_id, b.vec_id, na.nrm, nb.nrm
+),
+rec(query_id, it, chosen) AS (
+    SELECT query_id, CAST(0 AS BIGINT), CAST([] AS BIGINT[])
+    FROM (SELECT DISTINCT query_id FROM cands)
+    UNION ALL
+    SELECT query_id, it + 1, chosen || [vec_id]
+    FROM (
+        SELECT m.query_id, m.it, m.chosen, m.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY m.query_id
+                   ORDER BY m.marginal DESC, m.vec_id ASC) AS pick
+        FROM (
+            SELECT r.query_id, r.it, r.chosen, rl.vec_id,
+                   CAST(0.7 AS DOUBLE) * rl.rel
+                     - (1 - CAST(0.7 AS DOUBLE))
+                       * COALESCE(MAX(s.s), CAST(0 AS DOUBLE)) AS marginal
+            FROM rec r
+            JOIN rels rl ON rl.query_id = r.query_id
+                        AND NOT list_contains(r.chosen, rl.vec_id)
+            LEFT JOIN sims s ON s.query_id = r.query_id
+                            AND s.va = rl.vec_id
+                            AND list_contains(r.chosen, s.vb)
+            WHERE r.it < 10
+            GROUP BY r.query_id, r.it, r.chosen, rl.vec_id, rl.rel
+        ) m
+    ) p WHERE pick = 1
+)
+SELECT u.query_id, u.vec_id, rl.rel AS relevance,
+       CAST(u.mmr_rank AS INTEGER) AS mmr_rank
+FROM (
+    SELECT query_id,
+           unnest(chosen) AS vec_id,
+           unnest(range(1, len(chosen) + 1)) AS mmr_rank
+    FROM rec WHERE it = 10
+) u
+JOIN rels rl ON rl.query_id = u.query_id AND rl.vec_id = u.vec_id
+ORDER BY u.query_id, mmr_rank
+""".replace("{R4}", r4sql("dot / (nq.nrm * ne.nrm)"))
+
+
 @register(
     "x65_mmr_diverse_topk",
-    None,  # rows-only: greedy argmax selection isn't ANSI-SQL
+    _X65_SQL,
     doc="EXT x65 — MAXIMAL MARGINAL RELEVANCE retrieval: per query, "
     "greedy-select k results maximizing λ·sim(q,d) − (1−λ)·max_{s∈S} "
     "sim(d,s) — the standard redundancy-penalized re-rank (Carbonell "
@@ -899,8 +999,8 @@ MMR_LAMBDA = 0.7  # relevance weight; 1-λ penalizes redundancy
     "M×M pairwise work is a constant per group, groups shuffle once "
     "by query_id. Deterministic: ties break on vec_id, scores "
     "4-decimal-canonical; pinned against an in-test reference "
-    "implementation.",
-    tags=("ext", "similarity", "rows-only"),
+    "implementation AND the r12 recursive-CTE oracle.",
+    tags=("ext", "similarity"),
     late=True,
 )
 def x65_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,7 +18,7 @@ from server_spark import tables
 from server_spark.operators import joins
 from server_spark.parity import r4, r4sql
 from server_spark.registry import auctions_sql, register
-from server_spark.sources.synthetic import auctions
+from server_spark.sources.synthetic import AUCTIONS_SQL_CTE, auctions
 
 # Two adjacent "snapshots" for churn/set-op queries (events span
 # 2024-01-01 .. 2024-01-30 at every sf).
@@ -691,10 +691,66 @@ _PR_ITERS = 10
 _PR_DAMP = 0.85
 
 
+# Promoted from rows-only (r12): DuckDB's recursive CTEs accept
+# GROUP BY / windows in the recursive member (probed on 1.0.0), so
+# fixed-iteration propagation IS SQL-expressible — each step is one
+# rank⋈edges aggregation RIGHT-joined back to the node set (dangling
+# nodes keep (1−d)/N), the iteration counter recovered via a window
+# when a node had no inflow rows. Constants are computed in DOUBLE
+# ((1 - 0.85) unfolded — a DECIMAL literal fold differs in the last
+# ulp); both sides canonicalize through r4, absorbing hash-agg
+# summation-order ulps.
+_A20_SQL = auctions_sql(
+    f""",
+    base AS (
+        SELECT DISTINCT owner, item FROM auctions WHERE item <= {_A18_MAX_ITEM}
+    ),
+    edges AS (
+        SELECT a.item AS src, b.item AS dst, COUNT(*) AS w
+        FROM base a JOIN base b
+          ON a.owner = b.owner AND a.item <> b.item
+        GROUP BY 1, 2
+    ),
+    wdeg AS (SELECT src, SUM(w) AS wdeg FROM edges GROUP BY 1),
+    nedges AS (
+        SELECT e.src, e.dst, e.w / d.wdeg AS p
+        FROM edges e JOIN wdeg d USING (src)
+    ),
+    nodes AS (SELECT DISTINCT src AS item FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    rec(it, item, r) AS (
+        SELECT CAST(0 AS BIGINT), item,
+               CAST(1 AS DOUBLE) / (SELECT n FROM nn)
+        FROM nodes
+        UNION ALL
+        SELECT z.it + 1, z.item,
+               (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                   / (SELECT n FROM nn)
+                 + CAST(0.85 AS DOUBLE)
+                   * COALESCE(z.inflow, CAST(0 AS DOUBLE))
+        FROM (
+            SELECT n.item, agg.inflow,
+                   COALESCE(agg.it, MAX(agg.it) OVER ()) AS it
+            FROM nodes n
+            LEFT JOIN (
+                SELECT r.it, e.dst, SUM(r.r * e.p) AS inflow
+                FROM rec r JOIN nedges e ON e.src = r.item
+                WHERE r.it < 10
+                GROUP BY r.it, e.dst
+            ) agg ON agg.dst = n.item
+        ) z
+        WHERE z.it IS NOT NULL
+    )
+    SELECT item, {{RN}} AS rank_norm
+    FROM rec WHERE it = 10
+    ORDER BY rank_norm DESC, item
+    """.replace("{RN}", r4sql("r * (SELECT n FROM nn)"))
+).replace("WITH \nauctions", "WITH RECURSIVE auctions")
+
+
 @register(
     "a20_item_pagerank",
-    None,  # rows-only: fixed-iteration propagation (no honest SQL twin —
-    # aggregates are illegal in a recursive CTE's recursive member)
+    _A20_SQL,
     doc="A20 (EXT analytics) — weighted PAGERANK over the item "
     "co-listing graph (a18's edges, symmetric, weighted by co-seller "
     "count): 10 damped iterations of r ← (1−d)/N + d·Σ r(u)·w/wdeg(u) "
@@ -708,7 +764,7 @@ _PR_DAMP = 0.85
     "Deterministic: fixed iterations, dangling mass redistributed "
     "uniformly, 4-decimal canonical output; pinned against a "
     "plain-Python reference in tests.",
-    tags=("ext", "agg", "graph", "rows-only"),
+    tags=("ext", "agg", "graph"),
     late=True,
 )
 def a20_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1696,13 +1752,54 @@ def coreness(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     return cur.select(F.col("u").alias("item"), F.col("c").alias("coreness"))
 
 
+# Promoted from rows-only (r12): k-core PEELING is a deletion
+# fixpoint (not monotone-append), but the h-index PROPAGATION this
+# query actually runs is a pure iterate-to-fixpoint map — and DuckDB
+# accepts GROUP BY/windows in the recursive member (probed), so the
+# oracle replays the identical integer lattice descent for a fixed 50
+# rounds (monotone nonincreasing: extra rounds past convergence are
+# no-ops, so fixed-count == Spark's early-exit loop). Integer-only —
+# bit-exact, no rounding needed.
+_A33_SQL = auctions_sql(
+    f""",
+    base AS (
+        SELECT DISTINCT owner, item FROM auctions WHERE item <= {_A18_MAX_ITEM}
+    ),
+    eset AS (
+        SELECT DISTINCT a.item AS s, b.item AS t
+        FROM base a JOIN base b
+          ON a.owner = b.owner AND a.item < b.item
+    ),
+    adj AS (
+        SELECT s AS u, t AS v FROM eset
+        UNION ALL
+        SELECT t AS u, s AS v FROM eset
+    ),
+    rec(it, u, c) AS (
+        SELECT CAST(0 AS BIGINT), u, COUNT(*) FROM adj GROUP BY u
+        UNION ALL
+        SELECT z.it + 1, z.u, z.c FROM (
+            SELECT nb.it, nb.u, MAX(LEAST(nb.rn, nb.cv)) AS c
+            FROM (
+                SELECT r.it, a.u, r.c AS cv,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY r.it, a.u ORDER BY r.c DESC
+                       ) AS rn
+                FROM adj a JOIN rec r ON r.u = a.v
+                WHERE r.it < 50
+            ) nb
+            GROUP BY nb.it, nb.u
+        ) z
+    )
+    SELECT u AS item, c AS coreness FROM rec WHERE it = 50 ORDER BY item
+    """
+).replace("WITH \nauctions", "WITH RECURSIVE auctions")
+
+
 @register(
     "a33_kcore_decomposition",
-    None,  # iterative fixpoint — no honest recursive-CTE twin (k-core
-    # peeling is a DELETION fixpoint; recursive CTEs are monotone-
-    # append). Coreness is pinned against brute-force peeling by
-    # hypothesis tests instead (tests/test_properties.py).
-    doc="A33 (EXT analytics, rows-only) — K-CORE DECOMPOSITION of the "
+    _A33_SQL,
+    doc="A33 (EXT analytics) — K-CORE DECOMPOSITION of the "
     "item co-listing graph: each node's coreness (the largest k such "
     "that it survives in the subgraph where every node keeps ≥ k "
     "neighbors) — the graph-robustness metric behind influence "
@@ -1715,7 +1812,7 @@ def coreness(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     "a degree-bounded per-node window, same barrier skeleton as a20. "
     "Deterministic: integer h-index lattice descent, no floats, no "
     "tiebreak sensitivity.",
-    tags=("ext", "graph", "rows-only"),
+    tags=("ext", "graph"),
     late=True,
 )
 def a33_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1862,9 +1959,94 @@ def a35_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 _A36_MAX_ITEM = 60  # catalog slice, same bound as t27/t31
 
 
+_A36_SQL = f"WITH RECURSIVE {AUCTIONS_SQL_CTE.strip()}," + r"""
+    pts AS (
+        SELECT item, CAST(quantity AS BIGINT) AS qty,
+               COUNT(*) AS n,
+               SUM(CAST(CAST(buyout AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 / (COUNT(*) * 100.0) AS mean_gold
+        FROM auctions
+        WHERE item <= 60 AND buyout > 0
+        GROUP BY item, qty
+    ),
+    seq AS (
+        SELECT item, qty, n, mean_gold,
+               ROW_NUMBER() OVER (PARTITION BY item ORDER BY qty) AS i,
+               COUNT(*)    OVER (PARTITION BY item) AS np
+        FROM pts
+    ),
+    -- PAVA as a state machine (r12): each recursive step performs
+    -- EITHER one adjacent-violator merge (top two stack blocks pool
+    -- to their weighted mean, fp ops in the Python loop's exact
+    -- order) OR one push of the next point — precisely the
+    -- applyInPandas stack algorithm, so the fitted doubles match
+    -- BIT-FOR-BIT, not just to tolerance.
+    rec(item, i, stack) AS (
+        SELECT DISTINCT item, CAST(0 AS BIGINT),
+               CAST([] AS STRUCT(v DOUBLE, w DOUBLE, c BIGINT)[])
+        FROM seq
+        UNION ALL
+        SELECT r.item,
+               CASE WHEN len(r.stack) > 1
+                         AND r.stack[len(r.stack)].v
+                             >= r.stack[len(r.stack) - 1].v
+                    THEN r.i ELSE r.i + 1 END,
+               CASE WHEN len(r.stack) > 1
+                         AND r.stack[len(r.stack)].v
+                             >= r.stack[len(r.stack) - 1].v
+                    THEN r.stack[1:len(r.stack) - 2]
+                         || [struct_pack(
+                                v := (r.stack[len(r.stack) - 1].v
+                                        * r.stack[len(r.stack) - 1].w
+                                      + r.stack[len(r.stack)].v
+                                        * r.stack[len(r.stack)].w)
+                                     / (r.stack[len(r.stack) - 1].w
+                                        + r.stack[len(r.stack)].w),
+                                w := r.stack[len(r.stack) - 1].w
+                                     + r.stack[len(r.stack)].w,
+                                c := r.stack[len(r.stack) - 1].c
+                                     + r.stack[len(r.stack)].c)]
+                    ELSE r.stack
+                         || [struct_pack(v := s.mean_gold,
+                                         w := CAST(s.n AS DOUBLE),
+                                         c := CAST(1 AS BIGINT))] END
+        FROM rec r
+        LEFT JOIN seq s ON s.item = r.item AND s.i = r.i + 1
+        WHERE (len(r.stack) > 1
+               AND r.stack[len(r.stack)].v >= r.stack[len(r.stack) - 1].v)
+              OR s.i IS NOT NULL
+    ),
+    fin AS (
+        SELECT r.item, r.stack
+        FROM rec r
+        JOIN (SELECT DISTINCT item, np FROM seq) q
+          ON q.item = r.item AND r.i = q.np
+        WHERE NOT (len(r.stack) > 1
+                   AND r.stack[len(r.stack)].v
+                       >= r.stack[len(r.stack) - 1].v)
+    ),
+    blocks AS (
+        SELECT item,
+               unnest(stack) AS blk,
+               unnest(range(1, len(stack) + 1)) AS bi
+        FROM fin
+    ),
+    spans AS (
+        SELECT item, blk.v AS v,
+               SUM(blk.c) OVER (PARTITION BY item ORDER BY bi) AS hi,
+               SUM(blk.c) OVER (PARTITION BY item ORDER BY bi)
+                 - blk.c + 1 AS lo
+        FROM blocks
+    )
+    SELECT s.item, s.qty, s.n, s.mean_gold, sp.v AS fitted_gold
+    FROM seq s JOIN spans sp
+      ON sp.item = s.item AND s.i BETWEEN sp.lo AND sp.hi
+"""
+
+
 @register(
     "a36_isotonic_price_curve",
-    None,  # sequential PAVA — no SQL oracle; minimax-reference pinned
+    _A36_SQL,
     doc="A36 (EXT analytics) — ISOTONIC bulk-discount curve per item: "
     "the monotone-NONINCREASING least-squares fit of mean unit price "
     "on stack quantity (weighted PAVA) — the shape-constrained "
@@ -1879,11 +2061,15 @@ _A36_MAX_ITEM = 60  # catalog slice, same bound as t27/t31
     "catalog), then applyInPandas runs the O(points) sequential "
     "merge-stack per item — groups scale out, the sequential part "
     "is bounded. Exact-cents means keep inputs deterministic. "
-    "Verification: hypothesis test against the independent MINIMAX "
+    "Promoted from rows-only (r12): the PAVA stack emulated as a "
+    "recursive-CTE state machine (one merge or one push per step, "
+    "Python fp-op order) — bit-exact hash oracle. Also kept: "
+    "hypothesis test against the independent MINIMAX "
     "characterization ŷᵢ = max_{j≤i} min_{k≥i} Av(j,k) plus "
     "monotonicity/mean-preservation invariants "
     "(tests/test_properties.py).",
     tags=("ext", "agg", "regression"),
+    late=True,
 )
 def a36_isotonic_price_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from server_spark.operators.isotonic import isotonic_fit

@@ -3291,10 +3291,55 @@ _T38_HORIZON = 3   # days ahead
 
 @register(
     "t38_holt_forecast",
-    None,  # sequential recursion — no SQL oracle; python-pinned in tests
+    # Sequential recursion IS SQL-expressible (r12): a recursive CTE
+    # stepping one (series, i) state row at a time reproduces the
+    # exact fp-op ORDER of the Python loop — every expression below
+    # is written in the same shape as the Python (incl. (1 - 0.5),
+    # never pre-folded 0.5: IEEE 1-0.3 != literal 0.7 in the last
+    # ulp), so the doubles match BIT-FOR-BIT and the hash gate holds
+    # with no rounding. Promoted from rows-only.
+    """
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT event_type, CAST(c AS DOUBLE) AS x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+               COUNT(*)   OVER (PARTITION BY event_type) AS n,
+               MAX(day)   OVER (PARTITION BY event_type) AS last_day
+        FROM daily
+    ),
+    rec(event_type, i, level, trend) AS (
+        SELECT a.event_type, CAST(1 AS BIGINT), a.x, b.x - a.x
+        FROM seq a JOIN seq b
+          ON b.event_type = a.event_type AND a.i = 1 AND b.i = 2
+        UNION ALL
+        SELECT r.event_type, r.i + 1,
+               0.5 * s.x + (1 - 0.5) * (r.level + r.trend),
+               0.3 * ((0.5 * s.x + (1 - 0.5) * (r.level + r.trend))
+                      - r.level)
+                 + (1 - 0.3) * r.trend
+        FROM rec r JOIN seq s
+          ON s.event_type = r.event_type AND s.i = r.i + 1
+    ),
+    fin AS (
+        SELECT r.event_type, r.level, r.trend, s.last_day
+        FROM rec r
+        JOIN (SELECT DISTINCT event_type, n, last_day FROM seq) s
+          ON s.event_type = r.event_type AND r.i = s.n
+    )
+    SELECT f.event_type,
+           CAST(h AS INTEGER) AS horizon,
+           f.last_day + CAST(h AS INTEGER) AS forecast_day,
+           f.level + h * f.trend AS forecast,
+           f.level, f.trend
+    FROM fin f, LATERAL (SELECT UNNEST([1, 2, 3]) AS h)
+    """,
     doc="T38 (EXT timeseries) — HOLT double exponential smoothing "
     "forecast of each daily-volume series: level/trend recursion "
     f"(α={_T38_ALPHA}, β={_T38_BETA}, init l₁=x₁, b₁=x₂−x₁) rolled "
+    "— bit-exact recursive-CTE oracle (r12, see SQL note above) "
     f"forward {_T38_HORIZON} days — the forecasting step the "
     "diagnostic stack feeds: w10's EWMA is Holt with β=0 (no trend "
     "— it lags any drifting series by construction), w12/t31 fit "
@@ -3311,6 +3356,7 @@ _T38_HORIZON = 3   # days ahead
     "fp-op order per series (single-threaded recursion), no "
     "accumulation-order wobble.",
     tags=("ext", "timeseries", "forecast"),
+    late=True,
 )
 def t38_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
@@ -3792,9 +3838,110 @@ def t41_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T42_BAND = 7  # Sakoe-Chiba band half-width (days)
 
 
+_T42_SQL = """
+WITH RECURSIVE daily AS (
+    SELECT event_type,
+           datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+           COUNT(*) AS x
+    FROM events GROUP BY 1, 2
+),
+ser AS (
+    SELECT event_type,
+           list(t ORDER BY t)                  AS ts,
+           list(CAST(x AS DOUBLE) ORDER BY t)  AS xs
+    FROM daily GROUP BY 1
+),
+rawpairs AS (
+    SELECT a.event_type AS ev_a, b.event_type AS ev_b,
+           a.ts AS ts_a, a.xs AS xs_a, b.ts AS ts_b, b.xs AS xs_b,
+           LEAST(a.ts[1], b.ts[1]) AS lo,
+           GREATEST(a.ts[len(a.ts)], b.ts[len(b.ts)]) AS hi
+    FROM ser a, ser b WHERE a.event_type < b.event_type
+),
+densed AS (
+    SELECT ev_a, ev_b,
+           list_transform(range(lo, hi + 1), g ->
+               CASE WHEN list_position(ts_a, g) = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE xs_a[list_position(ts_a, g)] END) AS pr,
+           list_transform(range(lo, hi + 1), g ->
+               CASE WHEN list_position(ts_b, g) = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE xs_b[list_position(ts_b, g)] END) AS qr
+    FROM rawpairs
+),
+stats AS (
+    SELECT ev_a, ev_b, pr, qr,
+           list_sum(pr) / len(pr) AS mp,
+           list_sum(qr) / len(qr) AS mq
+    FROM densed
+),
+stats2 AS (
+    SELECT *,
+           sqrt(list_sum(list_transform(pr, e -> (e - mp) * (e - mp)))
+                / len(pr)) AS sp,
+           sqrt(list_sum(list_transform(qr, e -> (e - mq) * (e - mq)))
+                / len(qr)) AS sq
+    FROM stats
+),
+znormed AS (
+    SELECT ev_a, ev_b,
+           CASE WHEN sp > 0
+                THEN list_transform(pr, e -> (e - mp) / sp)
+                ELSE list_transform(pr, e -> e - mp) END AS p,
+           CASE WHEN sq > 0
+                THEN list_transform(qr, e -> (e - mq) / sq)
+                ELSE list_transform(qr, e -> e - mq) END AS q
+    FROM stats2
+),
+pd AS (
+    SELECT ev_a, ev_b, p, q, len(p) AS n, len(q) AS m FROM znormed
+),
+rec(ev_a, ev_b, i, prev) AS (
+    SELECT ev_a, ev_b, CAST(0 AS BIGINT),
+           [CAST(0 AS DOUBLE)]
+             || list_transform(range(1, m + 1), j -> 'infinity'::DOUBLE)
+    FROM pd
+    UNION ALL
+    SELECT r.ev_a, r.ev_b, r.i + 1,
+           list_reduce(
+               [['infinity'::DOUBLE]]
+                 || list_transform(range(1, d.m + 1),
+                                   j -> [CAST(j AS DOUBLE)]),
+               (acc, xe) -> acc || [
+                   CASE WHEN CAST(xe[1] AS BIGINT)
+                             BETWEEN GREATEST(1, (r.i + 1) - 7)
+                                 AND LEAST(d.m, (r.i + 1) + 7)
+                        THEN abs(d.p[r.i + 1]
+                                 - d.q[CAST(xe[1] AS BIGINT)])
+                             + LEAST(r.prev[CAST(xe[1] AS BIGINT) + 1],
+                                     acc[len(acc)],
+                                     r.prev[CAST(xe[1] AS BIGINT)])
+                        ELSE 'infinity'::DOUBLE END])
+    FROM rec r
+    JOIN pd d ON d.ev_a = r.ev_a AND d.ev_b = r.ev_b
+    WHERE r.i < d.n
+),
+dtw AS (
+    SELECT r.ev_a, r.ev_b, r.prev[d.m + 1] AS dtw_raw
+    FROM rec r JOIN pd d ON d.ev_a = r.ev_a AND d.ev_b = r.ev_b
+    WHERE r.i = d.n
+),
+euc AS (
+    SELECT ev_a, ev_b,
+           sqrt(list_sum(list_transform(range(1, n + 1),
+               k -> (p[k] - q[k]) * (p[k] - q[k])))) AS euc_raw
+    FROM pd
+)
+SELECT d.ev_a, d.ev_b,
+       {DTW} AS dtw_dist,
+       {EUC} AS euclid_dist
+FROM dtw d JOIN euc e USING (ev_a, ev_b)
+ORDER BY ev_a, ev_b
+""".replace("{DTW}", r4sql("d.dtw_raw")).replace("{EUC}", r4sql("e.euc_raw"))
+
+
 @register(
     "t42_dtw_similarity",
-    None,  # DTW's recursive alignment is not honestly SQL-expressible
+    _T42_SQL,
     doc="T42 (EXT timeseries) — DYNAMIC TIME WARPING distance between "
     "every pair of event-type daily series (z-normalized), with the "
     "lock-step Euclidean distance for contrast: DTW aligns shapes "
@@ -3810,7 +3957,13 @@ _T42_BAND = 7  # Sakoe-Chiba band half-width (days)
     "span before z-norm so DTW and Euclidean compare the same "
     "calendar-aligned vectors — numpy "
     "inside, one row per pair, helpers defined inside the closure "
-    "(pickle-by-value, foreign-cwd safe). Scale shape: per-series "
+    "(pickle-by-value, foreign-cwd safe). Promoted from rows-only "
+    "(r12): the oracle emulates the banded DP row-by-row in a "
+    "recursive CTE (prev row as a LIST, the in-row left-to-right "
+    "fill as a list_reduce fold); DP ops (abs/min/add) are "
+    "fp-exact, z-norm means sum in different orders (numpy pairwise "
+    "vs sequential, ~1e-16), so both sides canonicalize through "
+    "r4. Scale shape: per-series "
     "arrays are bounded by the TIME SPAN; the pair relation is "
     "series-count-quadratic (catalog-bounded here; at thousands of "
     "series, LSH/feature-block the pairs first — x8's banding "
@@ -3924,8 +4077,8 @@ def t42_dtw_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "ev_a",
         "ev_b",
-        F.round("d.dtw", 4).alias("dtw_dist"),
-        F.round("d.euclid", 4).alias("euclid_dist"),
+        r4(F.col("d.dtw")).alias("dtw_dist"),
+        r4(F.col("d.euclid")).alias("euclid_dist"),
     )
     return scored.orderBy("ev_a", "ev_b")
 
@@ -3941,7 +4094,90 @@ _T43_HORIZON = 7
 
 @register(
     "t43_holt_winters",
-    None,  # per-step smoothing recursion: not honestly SQL-expressible
+    # Promoted from rows-only (r12): the t38 recursive-CTE technique
+    # extended with a LIST-typed seasonal state — the slot update is
+    # slice || [new] || slice. Every fp expression is written in the
+    # Python loop's exact shape (incl. (1 - 0.3) unfolded and the
+    # explicit 7-term left-associated seed means), so doubles match
+    # BIT-FOR-BIT with no rounding.
+    """
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+        FROM daily GROUP BY 1
+    ),
+    grid AS (
+        SELECT b.event_type, CAST(g.g AS DATE) AS day
+        FROM bounds b,
+             LATERAL (SELECT UNNEST(generate_series(
+                 CAST(b.d0 AS TIMESTAMP), CAST(b.d1 AS TIMESTAMP),
+                 INTERVAL 1 DAY)) AS g) g
+    ),
+    dense AS (
+        SELECT g.event_type, g.day, CAST(COALESCE(d.c, 0) AS DOUBLE) AS x
+        FROM grid g LEFT JOIN daily d USING (event_type, day)
+    ),
+    seq AS (
+        SELECT event_type, day, x,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY day) AS i,
+               COUNT(*)   OVER (PARTITION BY event_type) AS n,
+               MAX(day)   OVER (PARTITION BY event_type) AS last_day
+        FROM dense
+    ),
+    seed AS (
+        SELECT event_type,
+               list(x ORDER BY i) FILTER (i <= 7)            AS s1,
+               list(x ORDER BY i) FILTER (i > 7 AND i <= 14) AS s2
+        FROM seq
+        WHERE n >= 14
+        GROUP BY event_type
+    ),
+    init AS (
+        SELECT event_type,
+               (s1[1]+s1[2]+s1[3]+s1[4]+s1[5]+s1[6]+s1[7]) / 7 AS mean1,
+               (s2[1]+s2[2]+s2[3]+s2[4]+s2[5]+s2[6]+s2[7]) / 7 AS mean2,
+               s1
+        FROM seed
+    ),
+    rec(event_type, t, level, trend, season) AS (
+        SELECT event_type, CAST(0 AS BIGINT), mean1,
+               (mean2 - mean1) / 7,
+               list_transform(s1, v -> v - mean1)
+        FROM init
+        UNION ALL
+        SELECT r.event_type, r.t + 1,
+               0.3 * (s.x - r.season[(r.t % 7) + 1])
+                 + (1 - 0.3) * (r.level + r.trend),
+               0.1 * ((0.3 * (s.x - r.season[(r.t % 7) + 1])
+                         + (1 - 0.3) * (r.level + r.trend)) - r.level)
+                 + (1 - 0.1) * r.trend,
+               r.season[1:(r.t % 7)]
+                 || [0.2 * (s.x - (0.3 * (s.x - r.season[(r.t % 7) + 1])
+                                     + (1 - 0.3) * (r.level + r.trend)))
+                       + (1 - 0.2) * r.season[(r.t % 7) + 1]]
+                 || r.season[(r.t % 7) + 2:7]
+        FROM rec r JOIN seq s
+          ON s.event_type = r.event_type AND s.i = r.t + 1
+    ),
+    fin AS (
+        SELECT r.event_type, r.level, r.trend, r.season, q.n, q.last_day
+        FROM rec r
+        JOIN (SELECT DISTINCT event_type, n, last_day FROM seq) q
+          ON q.event_type = r.event_type AND r.t = q.n
+    )
+    SELECT f.event_type,
+           CAST(h AS INTEGER) AS horizon,
+           f.last_day + CAST(h AS INTEGER) AS forecast_day,
+           f.level + h * f.trend
+             + f.season[((f.n + h - 1) % 7) + 1] AS forecast,
+           f.level, f.trend,
+           f.season[((f.n + h - 1) % 7) + 1] AS seasonal
+    FROM fin f, LATERAL (SELECT UNNEST([1, 2, 3, 4, 5, 6, 7]) AS h)
+    """,
     doc="T43 (EXT timeseries) — HOLT-WINTERS additive triple "
     "exponential smoothing per event series: level + trend (t38's "
     "Holt) PLUS a 7-day additive seasonal state, forecasting one "
