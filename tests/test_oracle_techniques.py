@@ -1,0 +1,266 @@
+"""Property tests for the r12 recursive-CTE oracle techniques.
+
+The promoted oracles (t38/t43 recurrences, a36 PAVA state machine,
+a33 h-index descent, a20 propagation, x65 greedy argmax) are verified
+by the parity gate — but only against the one sf0.01 dataset. These
+tests pin the TECHNIQUES themselves on randomized inputs: each runs
+the same SQL shape in pure DuckDB against an independent Python
+reference (and, for coreness, against the textbook peeling definition
+too). No Spark session — pure DuckDB + hypothesis, milliseconds per
+case.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _con():
+    return duckdb.connect()
+
+
+# ---------------------------------------------------------------------------
+# PAVA state machine (a36's oracle shape)
+# ---------------------------------------------------------------------------
+
+
+def _pava_reference(points, inc=False):
+    """The operator's stack algorithm (operators/isotonic.py fit),
+    re-stated independently."""
+    blocks = []
+    for y, w in points:
+        blocks.append([float(y), float(w), 1])
+        while len(blocks) > 1:
+            v1, w1, c1 = blocks[-2]
+            v2, w2, c2 = blocks[-1]
+            if (v2 >= v1) == inc and v1 != v2:
+                break
+            blocks.pop()
+            blocks.pop()
+            tw = w1 + w2
+            blocks.append([(v1 * w1 + v2 * w2) / tw, tw, c1 + c2])
+    fitted = []
+    for v, _, c in blocks:
+        fitted.extend([v] * c)
+    return fitted
+
+
+_PAVA_SQL = """
+WITH RECURSIVE seq AS (
+    SELECT grp, x, y, w,
+           ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x) AS i,
+           COUNT(*)    OVER (PARTITION BY grp) AS np
+    FROM pts
+),
+rec(grp, i, stack) AS (
+    SELECT DISTINCT grp, CAST(0 AS BIGINT),
+           CAST([] AS STRUCT(v DOUBLE, w DOUBLE, c BIGINT)[])
+    FROM seq
+    UNION ALL
+    SELECT r.grp,
+           CASE WHEN len(r.stack) > 1
+                     AND r.stack[len(r.stack)].v
+                         >= r.stack[len(r.stack) - 1].v
+                THEN r.i ELSE r.i + 1 END,
+           CASE WHEN len(r.stack) > 1
+                     AND r.stack[len(r.stack)].v
+                         >= r.stack[len(r.stack) - 1].v
+                THEN r.stack[1:len(r.stack) - 2]
+                     || [struct_pack(
+                            v := (r.stack[len(r.stack) - 1].v
+                                    * r.stack[len(r.stack) - 1].w
+                                  + r.stack[len(r.stack)].v
+                                    * r.stack[len(r.stack)].w)
+                                 / (r.stack[len(r.stack) - 1].w
+                                    + r.stack[len(r.stack)].w),
+                            w := r.stack[len(r.stack) - 1].w
+                                 + r.stack[len(r.stack)].w,
+                            c := r.stack[len(r.stack) - 1].c
+                                 + r.stack[len(r.stack)].c)]
+                ELSE r.stack
+                     || [struct_pack(v := s.y,
+                                     w := s.w,
+                                     c := CAST(1 AS BIGINT))] END
+    FROM rec r
+    LEFT JOIN seq s ON s.grp = r.grp AND s.i = r.i + 1
+    WHERE (len(r.stack) > 1
+           AND r.stack[len(r.stack)].v >= r.stack[len(r.stack) - 1].v)
+          OR s.i IS NOT NULL
+),
+fin AS (
+    SELECT r.grp, r.stack
+    FROM rec r
+    JOIN (SELECT DISTINCT grp, np FROM seq) q
+      ON q.grp = r.grp AND r.i = q.np
+    WHERE NOT (len(r.stack) > 1
+               AND r.stack[len(r.stack)].v >= r.stack[len(r.stack) - 1].v)
+),
+blocks AS (
+    SELECT grp, unnest(stack) AS blk,
+           unnest(range(1, len(stack) + 1)) AS bi
+    FROM fin
+),
+spans AS (
+    SELECT grp, blk.v AS v,
+           SUM(blk.c) OVER (PARTITION BY grp ORDER BY bi) AS hi,
+           SUM(blk.c) OVER (PARTITION BY grp ORDER BY bi) - blk.c + 1 AS lo
+    FROM blocks
+)
+SELECT s.grp, s.x, sp.v AS fitted
+FROM seq s JOIN spans sp ON sp.grp = s.grp AND s.i BETWEEN sp.lo AND sp.hi
+ORDER BY s.grp, s.x
+"""
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    ys=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=20,
+    ),
+    ws=st.data(),
+)
+def test_pava_state_machine_matches_stack_reference(ys, ws):
+    weights = [
+        ws.draw(st.floats(min_value=0.5, max_value=100.0)) for _ in ys
+    ]
+    con = _con()
+    con.execute("CREATE TABLE pts (grp INT, x INT, y DOUBLE, w DOUBLE)")
+    for i, (y, w) in enumerate(zip(ys, weights)):
+        con.execute("INSERT INTO pts VALUES (1, ?, ?, ?)", [i, y, w])
+    got = [r[2] for r in con.execute(_PAVA_SQL).fetchall()]
+    want = _pava_reference(list(zip(ys, weights)), inc=False)
+    assert got == want  # bit-exact: identical fp-op order
+
+    # invariants of any correct nonincreasing fit
+    assert all(a >= b for a, b in zip(got, got[1:]))
+    tot_w = sum(weights)
+    assert abs(
+        sum(v * w for v, w in zip(got, weights)) / tot_w
+        - sum(y * w for y, w in zip(ys, weights)) / tot_w
+    ) <= 1e-6 * max(1.0, max(abs(y) for y in ys))
+
+
+# ---------------------------------------------------------------------------
+# Sequential recurrence (t38's oracle shape: Holt level/trend)
+# ---------------------------------------------------------------------------
+
+
+_HOLT_SQL = """
+WITH RECURSIVE seq AS (
+    SELECT i, x FROM xs
+),
+rec(i, level, trend) AS (
+    SELECT CAST(1 AS BIGINT), a.x, b.x - a.x
+    FROM seq a JOIN seq b ON a.i = 1 AND b.i = 2
+    UNION ALL
+    SELECT r.i + 1,
+           0.5 * s.x + (1 - 0.5) * (r.level + r.trend),
+           0.3 * ((0.5 * s.x + (1 - 0.5) * (r.level + r.trend))
+                  - r.level)
+             + (1 - 0.3) * r.trend
+    FROM rec r JOIN seq s ON s.i = r.i + 1
+)
+SELECT level, trend FROM rec
+WHERE i = (SELECT MAX(i) FROM seq)
+"""
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    xs=st.lists(
+        st.floats(min_value=0, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+        min_size=2, max_size=40,
+    )
+)
+def test_holt_recursion_matches_python_loop_bitexact(xs):
+    level, trend = xs[0], xs[1] - xs[0]
+    for x in xs[1:]:
+        prev = level
+        level = 0.5 * x + (1 - 0.5) * (level + trend)
+        trend = 0.3 * (level - prev) + (1 - 0.3) * trend
+    con = _con()
+    con.execute("CREATE TABLE xs (i BIGINT, x DOUBLE)")
+    for i, x in enumerate(xs, 1):
+        con.execute("INSERT INTO xs VALUES (?, ?)", [i, x])
+    got = con.execute(_HOLT_SQL).fetchall()
+    assert len(got) == 1
+    assert got[0][0] == level and got[0][1] == trend  # BIT-exact
+
+
+# ---------------------------------------------------------------------------
+# Integer fixpoint recursion (a33's oracle shape: h-index → coreness)
+# ---------------------------------------------------------------------------
+
+
+def _coreness_peeling(edges):
+    """Textbook definition: repeatedly peel min-degree nodes; a node's
+    coreness is the k at which it is removed."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    core = {}
+    nodes = set(adj)
+    k = 0
+    while nodes:
+        k_nodes = {n for n in nodes if len(adj[n] & nodes) <= k}
+        if not k_nodes:
+            k += 1
+            continue
+        for n in k_nodes:
+            core[n] = k
+        nodes -= k_nodes
+    return core
+
+
+_CORE_SQL = """
+WITH RECURSIVE adj AS (
+    SELECT s AS u, t AS v FROM eset
+    UNION ALL
+    SELECT t AS u, s AS v FROM eset
+),
+rec(it, u, c) AS (
+    SELECT CAST(0 AS BIGINT), u, COUNT(*) FROM adj GROUP BY u
+    UNION ALL
+    SELECT z.it + 1, z.u, z.c FROM (
+        SELECT nb.it, nb.u, MAX(LEAST(nb.rn, nb.cv)) AS c
+        FROM (
+            SELECT r.it, a.u, r.c AS cv,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY r.it, a.u ORDER BY r.c DESC) AS rn
+            FROM adj a JOIN rec r ON r.u = a.v
+            WHERE r.it < 50
+        ) nb
+        GROUP BY nb.it, nb.u
+    ) z
+)
+SELECT u, c FROM rec WHERE it = 50 ORDER BY u
+"""
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    raw=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1, max_size=40,
+    )
+)
+def test_hindex_recursion_equals_textbook_peeling(raw):
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    if not edges:
+        return
+    con = _con()
+    con.execute("CREATE TABLE eset (s BIGINT, t BIGINT)")
+    for s, t in edges:
+        con.execute("INSERT INTO eset VALUES (?, ?)", [s, t])
+    got = dict(con.execute(_CORE_SQL).fetchall())
+    want = _coreness_peeling(edges)
+    assert got == want
