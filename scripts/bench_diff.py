@@ -205,8 +205,9 @@ def load_artifact(path: Path) -> tuple[dict[str, float], float | None]:
     """(per-query seconds, calibration score or None) from a bench
     artifact: a plain bench JSON (``{"queries": {...}}``) or a driver
     round artifact whose bench line is embedded in a ``tail`` log
-    string. Calibration is the mean of the artifact's start/end
-    host-speed probes (scripts/calibrate.py) when recorded.
+    string. Calibration is the MIN of the artifact's start/end
+    host-speed probes (scripts/calibrate.py) when recorded — see
+    _cal_mean for why a contaminated leg must not shift the score.
 
     A round artifact whose embedded line is unparseable (head cut by
     the driver's ~2 KB stdout-tail capture — the r11 failure) falls
@@ -296,6 +297,34 @@ def combined_cal_ratio(base_doc: dict, fresh_doc: dict) -> float | None:
     if len(ratios) == 1 and PROBE_NOISE_BAND <= r < 1.0:
         return 1.0
     return r
+
+
+def _cal_worst(doc: dict, key: str) -> float | None:
+    """MAX of an artifact's probe legs — the WORST window the run saw
+    (contrast _cal_mean's min, the host's capability)."""
+    cal = doc.get(key)
+    if isinstance(cal, dict) and cal:
+        vals = [v for v in cal.values() if isinstance(v, (int, float))]
+        return max(vals) if vals else None
+    return None
+
+
+def deferral_cal_ratio(base_doc: dict, fresh_doc: dict) -> float | None:
+    """The ratio that decides CONTENDED-WINDOW DEFERRAL: the fresh
+    run's WORST probe leg against the baseline's capability (min
+    leg). min-of-legs alone (r12 review finding) silently disabled
+    deferral for a run whose contention subsided before the end leg —
+    first half of the queries 2x slow, end probe clean, gate fails
+    them as plan regressions instead of deferring. Using the worst
+    fresh leg restores that protection; a contaminated START leg
+    (previous JVM's shutdown) then defers a run that might have been
+    fine, which is the safe direction — deferral just says re-run."""
+    ratios = []
+    for key in ("calibration_sec", "calibration_jvm_sec"):
+        b, f = _cal_mean(base_doc, key), _cal_worst(fresh_doc, key)
+        if b and f:
+            ratios.append(f / b)
+    return max(ratios) if ratios else None
 
 
 def load_queries(path: Path) -> dict[str, float]:
@@ -390,12 +419,16 @@ def main(argv: list[str]) -> int:
         f">{THRESHOLD}x, {len(unwaived)} unwaived"
     )
     if unwaived and not report_only:
-        if cal_ratio is not None and cal_ratio > CAL_DRIFT_MAX:
+        # deferral keys off the fresh run's WORST probe window (see
+        # deferral_cal_ratio) — distinct from cal_ratio, which is the
+        # capability comparison the faster-host floor uses
+        defer_ratio = deferral_cal_ratio(base_doc, fresh_doc)
+        if defer_ratio is not None and defer_ratio > CAL_DRIFT_MAX:
             print(
-                f"\nADJUDICATION DEFERRED: host ran {cal_ratio:.2f}x "
-                f"slower than the baseline window (> {CAL_DRIFT_MAX}x) "
-                "— re-run bench.py in a clean window before judging "
-                "these as regressions."
+                f"\nADJUDICATION DEFERRED: the fresh run's worst probe "
+                f"window ran {defer_ratio:.2f}x slower than the "
+                f"baseline host (> {CAL_DRIFT_MAX}x) — re-run bench.py "
+                "in a clean window before judging these as regressions."
             )
             return 3
         print(

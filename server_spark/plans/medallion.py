@@ -63,7 +63,10 @@ class MedallionPaths:
         # case-insensitive (RFC 3986); the 2+-char scheme requirement
         # keeps Windows drive-letter paths ('C:/lake') out of the
         # URI branch.
-        m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]+):/", self.root)
+        # colon alone marks a scheme (RFC 3986 allows scheme:opaque
+        # with no slash — 'file:rel/lake', 's3:bucket' are URIs too);
+        # the 2+-char scheme keeps Windows drive letters out
+        m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]+):", self.root)
         if m and m.group(1).lower() != "file":
             raise ValueError(
                 f"MedallionPaths is local-FS only (os.rename/O_EXCL "

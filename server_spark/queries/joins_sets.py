@@ -17,6 +17,7 @@ from server_spark.barrier import barrier
 from server_spark import tables
 from server_spark.operators import joins
 from server_spark.parity import r4, r4sql
+from server_spark.oracles import hindex_kernel, pava_kernel
 from server_spark.registry import auctions_sql, register
 from server_spark.sources.synthetic import AUCTIONS_SQL_CTE, auctions
 
@@ -1760,40 +1761,32 @@ def coreness(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
 # rounds (monotone nonincreasing: extra rounds past convergence are
 # no-ops, so fixed-count == Spark's early-exit loop). Integer-only —
 # bit-exact, no rounding needed.
-_A33_SQL = auctions_sql(
-    f""",
+# Promoted from rows-only (r12): k-core PEELING is a deletion
+# fixpoint (not monotone-append), but the h-index PROPAGATION this
+# query actually runs is a pure iterate-to-fixpoint map — and DuckDB
+# accepts GROUP BY/windows in the recursive member (probed), so the
+# oracle replays the identical integer lattice descent for a fixed 50
+# rounds (monotone nonincreasing: extra rounds past convergence are
+# no-ops, so fixed-count == Spark's early-exit loop). Integer-only —
+# bit-exact, no rounding needed. The kernel lives in
+# server_spark.oracles, shared with the randomized property tests.
+_A33_SQL = (
+    f"WITH RECURSIVE {AUCTIONS_SQL_CTE.strip()},"
+    + f"""
     base AS (
-        SELECT DISTINCT owner, item FROM auctions WHERE item <= {_A18_MAX_ITEM}
+        SELECT DISTINCT owner, item FROM auctions
+        WHERE item <= {_A18_MAX_ITEM}
     ),
     eset AS (
         SELECT DISTINCT a.item AS s, b.item AS t
         FROM base a JOIN base b
           ON a.owner = b.owner AND a.item < b.item
-    ),
-    adj AS (
-        SELECT s AS u, t AS v FROM eset
-        UNION ALL
-        SELECT t AS u, s AS v FROM eset
-    ),
-    rec(it, u, c) AS (
-        SELECT CAST(0 AS BIGINT), u, COUNT(*) FROM adj GROUP BY u
-        UNION ALL
-        SELECT z.it + 1, z.u, z.c FROM (
-            SELECT nb.it, nb.u, MAX(LEAST(nb.rn, nb.cv)) AS c
-            FROM (
-                SELECT r.it, a.u, r.c AS cv,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY r.it, a.u ORDER BY r.c DESC
-                       ) AS rn
-                FROM adj a JOIN rec r ON r.u = a.v
-                WHERE r.it < 50
-            ) nb
-            GROUP BY nb.it, nb.u
-        ) z
-    )
+    ),"""
+    + hindex_kernel("eset")
+    + """
     SELECT u AS item, c AS coreness FROM rec WHERE it = 50 ORDER BY item
-    """
-).replace("WITH \nauctions", "WITH RECURSIVE auctions")
+"""
+)
 
 
 @register(
@@ -1959,7 +1952,9 @@ def a35_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 _A36_MAX_ITEM = 60  # catalog slice, same bound as t27/t31
 
 
-_A36_SQL = f"WITH RECURSIVE {AUCTIONS_SQL_CTE.strip()}," + r"""
+_A36_SQL = (
+    f"WITH RECURSIVE {AUCTIONS_SQL_CTE.strip()},"
+    + """
     pts AS (
         SELECT item, CAST(quantity AS BIGINT) AS qty,
                COUNT(*) AS n,
@@ -1968,80 +1963,18 @@ _A36_SQL = f"WITH RECURSIVE {AUCTIONS_SQL_CTE.strip()}," + r"""
         FROM auctions
         WHERE item <= 60 AND buyout > 0
         GROUP BY item, qty
-    ),
-    seq AS (
-        SELECT item, qty, n, mean_gold,
-               ROW_NUMBER() OVER (PARTITION BY item ORDER BY qty) AS i,
-               COUNT(*)    OVER (PARTITION BY item) AS np
-        FROM pts
-    ),
-    -- PAVA as a state machine (r12): each recursive step performs
-    -- EITHER one adjacent-violator merge (top two stack blocks pool
-    -- to their weighted mean, fp ops in the Python loop's exact
-    -- order) OR one push of the next point — precisely the
-    -- applyInPandas stack algorithm, so the fitted doubles match
-    -- BIT-FOR-BIT, not just to tolerance.
-    rec(item, i, stack) AS (
-        SELECT DISTINCT item, CAST(0 AS BIGINT),
-               CAST([] AS STRUCT(v DOUBLE, w DOUBLE, c BIGINT)[])
-        FROM seq
-        UNION ALL
-        SELECT r.item,
-               CASE WHEN len(r.stack) > 1
-                         AND r.stack[len(r.stack)].v
-                             >= r.stack[len(r.stack) - 1].v
-                    THEN r.i ELSE r.i + 1 END,
-               CASE WHEN len(r.stack) > 1
-                         AND r.stack[len(r.stack)].v
-                             >= r.stack[len(r.stack) - 1].v
-                    THEN r.stack[1:len(r.stack) - 2]
-                         || [struct_pack(
-                                v := (r.stack[len(r.stack) - 1].v
-                                        * r.stack[len(r.stack) - 1].w
-                                      + r.stack[len(r.stack)].v
-                                        * r.stack[len(r.stack)].w)
-                                     / (r.stack[len(r.stack) - 1].w
-                                        + r.stack[len(r.stack)].w),
-                                w := r.stack[len(r.stack) - 1].w
-                                     + r.stack[len(r.stack)].w,
-                                c := r.stack[len(r.stack) - 1].c
-                                     + r.stack[len(r.stack)].c)]
-                    ELSE r.stack
-                         || [struct_pack(v := s.mean_gold,
-                                         w := CAST(s.n AS DOUBLE),
-                                         c := CAST(1 AS BIGINT))] END
-        FROM rec r
-        LEFT JOIN seq s ON s.item = r.item AND s.i = r.i + 1
-        WHERE (len(r.stack) > 1
-               AND r.stack[len(r.stack)].v >= r.stack[len(r.stack) - 1].v)
-              OR s.i IS NOT NULL
-    ),
-    fin AS (
-        SELECT r.item, r.stack
-        FROM rec r
-        JOIN (SELECT DISTINCT item, np FROM seq) q
-          ON q.item = r.item AND r.i = q.np
-        WHERE NOT (len(r.stack) > 1
-                   AND r.stack[len(r.stack)].v
-                       >= r.stack[len(r.stack) - 1].v)
-    ),
-    blocks AS (
-        SELECT item,
-               unnest(stack) AS blk,
-               unnest(range(1, len(stack) + 1)) AS bi
-        FROM fin
-    ),
-    spans AS (
-        SELECT item, blk.v AS v,
-               SUM(blk.c) OVER (PARTITION BY item ORDER BY bi) AS hi,
-               SUM(blk.c) OVER (PARTITION BY item ORDER BY bi)
-                 - blk.c + 1 AS lo
-        FROM blocks
-    )
+    ),"""
+    # the PAVA state machine lives in server_spark.oracles so the
+    # randomized property tests exercise THE SAME kernel that ships
+    # (r12 review finding: a verbatim copy in the tests would silently
+    # decouple on the first edit)
+    + pava_kernel("pts", "item", "qty", "mean_gold", "n")
+    + """
     SELECT s.item, s.qty, s.n, s.mean_gold, sp.v AS fitted_gold
     FROM seq s JOIN spans sp
       ON sp.item = s.item AND s.i BETWEEN sp.lo AND sp.hi
 """
+)
 
 
 @register(

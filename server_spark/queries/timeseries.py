@@ -15,6 +15,7 @@ from server_spark.barrier import barrier
 
 from server_spark import tables
 from server_spark.operators import timeseries as ts_ops
+from server_spark.oracles import holt_kernel
 from server_spark.parity import r4, r4sql
 from server_spark.registry import auctions_sql, register
 
@@ -3293,11 +3294,10 @@ _T38_HORIZON = 3   # days ahead
     "t38_holt_forecast",
     # Sequential recursion IS SQL-expressible (r12): a recursive CTE
     # stepping one (series, i) state row at a time reproduces the
-    # exact fp-op ORDER of the Python loop — every expression below
-    # is written in the same shape as the Python (incl. (1 - 0.5),
-    # never pre-folded 0.5: IEEE 1-0.3 != literal 0.7 in the last
-    # ulp), so the doubles match BIT-FOR-BIT and the hash gate holds
-    # with no rounding. Promoted from rows-only.
+    # exact fp-op ORDER of the Python loop, so the doubles match
+    # BIT-FOR-BIT and the hash gate holds with no rounding. The
+    # recursion kernel lives in server_spark.oracles, shared with the
+    # randomized property tests.
     """
     WITH RECURSIVE daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
@@ -3309,20 +3309,9 @@ _T38_HORIZON = 3   # days ahead
                COUNT(*)   OVER (PARTITION BY event_type) AS n,
                MAX(day)   OVER (PARTITION BY event_type) AS last_day
         FROM daily
-    ),
-    rec(event_type, i, level, trend) AS (
-        SELECT a.event_type, CAST(1 AS BIGINT), a.x, b.x - a.x
-        FROM seq a JOIN seq b
-          ON b.event_type = a.event_type AND a.i = 1 AND b.i = 2
-        UNION ALL
-        SELECT r.event_type, r.i + 1,
-               0.5 * s.x + (1 - 0.5) * (r.level + r.trend),
-               0.3 * ((0.5 * s.x + (1 - 0.5) * (r.level + r.trend))
-                      - r.level)
-                 + (1 - 0.3) * r.trend
-        FROM rec r JOIN seq s
-          ON s.event_type = r.event_type AND s.i = r.i + 1
-    ),
+    ),"""
+    + holt_kernel("seq", "event_type")
+    + """,
     fin AS (
         SELECT r.event_type, r.level, r.trend, s.last_day
         FROM rec r

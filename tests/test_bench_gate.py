@@ -23,6 +23,7 @@ from scripts.bench_diff import (  # noqa: E402
     FRESH,
     BenchArtifactError,
     combined_cal_ratio,
+    deferral_cal_ratio,
     diff,
     load_artifact,
     load_doc,
@@ -48,11 +49,12 @@ def test_no_unwaived_bench_regressions():
         for name, b, f, ratio in regs
         if name not in waived
     ]
-    if unwaived and cal_ratio is not None and cal_ratio > CAL_DRIFT_MAX:
+    defer_ratio = deferral_cal_ratio(base_doc, fresh_doc)
+    if unwaived and defer_ratio is not None and defer_ratio > CAL_DRIFT_MAX:
         pytest.skip(
-            f"adjudication deferred: host ran {cal_ratio:.2f}x slower "
-            f"than the baseline window; re-run bench.py in a clean "
-            f"window (pending: {'; '.join(unwaived)})"
+            f"adjudication deferred: fresh run's worst probe window "
+            f"{defer_ratio:.2f}x slower than the baseline; re-run "
+            f"bench.py in a clean window (pending: {'; '.join(unwaived)})"
         )
     assert not unwaived, (
         "per-query bench regressions >1.5x without a SCALE.md "
@@ -91,11 +93,13 @@ def test_no_unwaived_regressions_since_last_driver_round():
     ]
     from scripts.bench_diff import CAL_DRIFT_MAX
 
-    if unwaived and cal_ratio is not None and cal_ratio > CAL_DRIFT_MAX:
+    defer_ratio = deferral_cal_ratio(base_doc, fresh_doc)
+    if unwaived and defer_ratio is not None and defer_ratio > CAL_DRIFT_MAX:
         pytest.skip(
-            f"adjudication deferred: host ran {cal_ratio:.2f}x slower "
-            f"than the {rounds[-1].name} window; re-run bench.py in a "
-            f"clean window (pending: {'; '.join(unwaived)})"
+            f"adjudication deferred: fresh run's worst probe window "
+            f"{defer_ratio:.2f}x slower than the {rounds[-1].name} "
+            f"window; re-run bench.py in a clean window "
+            f"(pending: {'; '.join(unwaived)})"
         )
     assert not unwaived, (
         f"regressions >1.5x vs {rounds[-1].name} (pre-round frozen "
@@ -413,3 +417,20 @@ def test_contaminated_probe_leg_does_not_shift_host_score():
              "calibration_sec": {"start": 0.017, "end": 0.0165}}
     r = combined_cal_ratio(doc, clean)
     assert 0.9 < r < 1.1, r  # NOT the ~0.08x a mean would produce
+
+
+def test_deferral_keys_off_worst_fresh_window():
+    """r12 second review pass: min-of-legs fixed baseline poisoning
+    but silently disabled deferral for a run whose contention subsided
+    before the end probe — start leg 2.5x slow (first half of the
+    queries ran inside the burst), end leg clean, min() reads the host
+    as fine and the gate fails environment-slowed queries as plan
+    regressions. Deferral now keys off the fresh run's WORST leg."""
+    base = {"queries": {"q": 1.0},
+            "calibration_sec": {"start": 0.02, "end": 0.02}}
+    fresh = {"queries": {"q": 2.0},
+             "calibration_sec": {"start": 0.05, "end": 0.02}}
+    # capability ratio: min legs -> 1.0 (floor stays inert)
+    assert combined_cal_ratio(base, fresh) == 1.0
+    # deferral ratio: worst fresh leg vs base capability -> 2.5
+    assert abs(deferral_cal_ratio(base, fresh) - 2.5) < 1e-9

@@ -1228,10 +1228,14 @@ def test_medallion_paths_single_slash_uri_forms():
     from server_spark.plans import medallion as med
 
     assert med.MedallionPaths("file:/tmp/lake").root == "/tmp/lake"
+    assert med.MedallionPaths("file:rel/lake").root == "rel/lake"
     assert med.MedallionPaths("file:///tmp/lake").root == "/tmp/lake"
     assert med.MedallionPaths("FILE:///tmp/lake").root == "/tmp/lake"
     for bad in ("s3:/bucket/lake", "S3://bucket/lake",
-                "hdfs:/nn/lake", "gs:/bucket/lake"):
+                "hdfs:/nn/lake", "gs:/bucket/lake",
+                # RFC 3986 scheme:opaque — no slash at all (r12
+                # second review pass)
+                "s3:bucket/lake", "gs:bucket"):
         with _pytest.raises(ValueError, match="local-FS only"):
             med.MedallionPaths(bad)
     with _pytest.raises(ValueError, match="remote-host"):

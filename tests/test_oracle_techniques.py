@@ -48,71 +48,24 @@ def _pava_reference(points, inc=False):
     return fitted
 
 
-_PAVA_SQL = """
-WITH RECURSIVE seq AS (
-    SELECT grp, x, y, w,
-           ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x) AS i,
-           COUNT(*)    OVER (PARTITION BY grp) AS np
-    FROM pts
-),
-rec(grp, i, stack) AS (
-    SELECT DISTINCT grp, CAST(0 AS BIGINT),
-           CAST([] AS STRUCT(v DOUBLE, w DOUBLE, c BIGINT)[])
-    FROM seq
-    UNION ALL
-    SELECT r.grp,
-           CASE WHEN len(r.stack) > 1
-                     AND r.stack[len(r.stack)].v
-                         >= r.stack[len(r.stack) - 1].v
-                THEN r.i ELSE r.i + 1 END,
-           CASE WHEN len(r.stack) > 1
-                     AND r.stack[len(r.stack)].v
-                         >= r.stack[len(r.stack) - 1].v
-                THEN r.stack[1:len(r.stack) - 2]
-                     || [struct_pack(
-                            v := (r.stack[len(r.stack) - 1].v
-                                    * r.stack[len(r.stack) - 1].w
-                                  + r.stack[len(r.stack)].v
-                                    * r.stack[len(r.stack)].w)
-                                 / (r.stack[len(r.stack) - 1].w
-                                    + r.stack[len(r.stack)].w),
-                            w := r.stack[len(r.stack) - 1].w
-                                 + r.stack[len(r.stack)].w,
-                            c := r.stack[len(r.stack) - 1].c
-                                 + r.stack[len(r.stack)].c)]
-                ELSE r.stack
-                     || [struct_pack(v := s.y,
-                                     w := s.w,
-                                     c := CAST(1 AS BIGINT))] END
-    FROM rec r
-    LEFT JOIN seq s ON s.grp = r.grp AND s.i = r.i + 1
-    WHERE (len(r.stack) > 1
-           AND r.stack[len(r.stack)].v >= r.stack[len(r.stack) - 1].v)
-          OR s.i IS NOT NULL
-),
-fin AS (
-    SELECT r.grp, r.stack
-    FROM rec r
-    JOIN (SELECT DISTINCT grp, np FROM seq) q
-      ON q.grp = r.grp AND r.i = q.np
-    WHERE NOT (len(r.stack) > 1
-               AND r.stack[len(r.stack)].v >= r.stack[len(r.stack) - 1].v)
-),
-blocks AS (
-    SELECT grp, unnest(stack) AS blk,
-           unnest(range(1, len(stack) + 1)) AS bi
-    FROM fin
-),
-spans AS (
-    SELECT grp, blk.v AS v,
-           SUM(blk.c) OVER (PARTITION BY grp ORDER BY bi) AS hi,
-           SUM(blk.c) OVER (PARTITION BY grp ORDER BY bi) - blk.c + 1 AS lo
-    FROM blocks
+from server_spark.oracles import (  # noqa: E402
+    hindex_kernel,
+    holt_kernel,
+    pava_kernel,
 )
+
+# The SAME kernels the registered oracles ship (server_spark.oracles)
+# — not copies: an edit to a kernel re-runs under these randomized
+# references automatically (r12 review finding).
+_PAVA_SQL = (
+    "WITH RECURSIVE "
+    + pava_kernel("pts", "grp", "x", "y", "w").lstrip()
+    + """
 SELECT s.grp, s.x, sp.v AS fitted
 FROM seq s JOIN spans sp ON sp.grp = s.grp AND s.i BETWEEN sp.lo AND sp.hi
 ORDER BY s.grp, s.x
 """
+)
 
 
 @settings(max_examples=40, deadline=None)
@@ -150,24 +103,14 @@ def test_pava_state_machine_matches_stack_reference(ys, ws):
 # ---------------------------------------------------------------------------
 
 
-_HOLT_SQL = """
-WITH RECURSIVE seq AS (
-    SELECT i, x FROM xs
-),
-rec(i, level, trend) AS (
-    SELECT CAST(1 AS BIGINT), a.x, b.x - a.x
-    FROM seq a JOIN seq b ON a.i = 1 AND b.i = 2
-    UNION ALL
-    SELECT r.i + 1,
-           0.5 * s.x + (1 - 0.5) * (r.level + r.trend),
-           0.3 * ((0.5 * s.x + (1 - 0.5) * (r.level + r.trend))
-                  - r.level)
-             + (1 - 0.3) * r.trend
-    FROM rec r JOIN seq s ON s.i = r.i + 1
-)
+_HOLT_SQL = (
+    "WITH RECURSIVE seq AS (SELECT 1 AS grp, i, x FROM xs),"
+    + holt_kernel("seq", "grp")
+    + """
 SELECT level, trend FROM rec
 WHERE i = (SELECT MAX(i) FROM seq)
 """
+)
 
 
 @settings(max_examples=40, deadline=None)
@@ -221,29 +164,13 @@ def _coreness_peeling(edges):
     return core
 
 
-_CORE_SQL = """
-WITH RECURSIVE adj AS (
-    SELECT s AS u, t AS v FROM eset
-    UNION ALL
-    SELECT t AS u, s AS v FROM eset
-),
-rec(it, u, c) AS (
-    SELECT CAST(0 AS BIGINT), u, COUNT(*) FROM adj GROUP BY u
-    UNION ALL
-    SELECT z.it + 1, z.u, z.c FROM (
-        SELECT nb.it, nb.u, MAX(LEAST(nb.rn, nb.cv)) AS c
-        FROM (
-            SELECT r.it, a.u, r.c AS cv,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY r.it, a.u ORDER BY r.c DESC) AS rn
-            FROM adj a JOIN rec r ON r.u = a.v
-            WHERE r.it < 50
-        ) nb
-        GROUP BY nb.it, nb.u
-    ) z
-)
+_CORE_SQL = (
+    "WITH RECURSIVE "
+    + hindex_kernel("eset").lstrip()
+    + """
 SELECT u, c FROM rec WHERE it = 50 ORDER BY u
 """
+)
 
 
 @settings(max_examples=30, deadline=None)

@@ -54,7 +54,10 @@ SPINE = [
 
 
 def _ensure_generated(spark, out: str, sf: float) -> None:
-    if os.path.exists(os.path.join(out, "lineitem.parquet", "_SUCCESS")):
+    # completion marker = the LAST table gen_all writes (embeddings):
+    # an interrupted generation that got as far as lineitem must NOT
+    # pass the check and strand the gate on a partial dir (r12 review)
+    if os.path.exists(os.path.join(out, "embeddings.parquet", "_SUCCESS")):
         return
     from scripts.gen_scale_data import gen_all
 
@@ -95,12 +98,19 @@ def test_spine_scales_sublinearly_at_10x():
             cache_key=d,
         )
 
-    _materialize(qs[SPINE[0]](spark, SMALL))  # JVM/codegen warmup
-
     failures = []
     for name in SPINE:
         times = {}
         for key, d in (("small", SMALL), ("big", BIG)):
+            # untimed warmup run per (query, sf): codegen, and — the
+            # r12 review finding — any query-OWN disk-cached index
+            # build (x41b keys its IVF cache as f"{sf_dir}#x41b" with
+            # its own k, so the generic prebuild above does NOT cover
+            # it; a cold sqrt(N)-means fit is itself super-linear and
+            # min-of-2 keeps it whenever the other sample is
+            # contended — a false gate failure on untouched code)
+            spark.catalog.clearCache()
+            _materialize(qs[name](spark, d))
             samples = []
             for _ in range(2):
                 spark.catalog.clearCache()
