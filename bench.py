@@ -289,7 +289,15 @@ def compact_line(full: dict, timings: dict[str, float]) -> str:
     # unparseable artifact (the tail cut removes the HEAD of the
     # line, so a too-long line is strictly worse than a shorter map).
     while len(line.encode()) > COMPACT_LINE_MAX_BYTES and compact["queries"]:
-        drop = min(compact["queries"], key=compact["queries"].get)
+        # Trim the non-headline "slowest" extras first: dropping the
+        # globally fastest entry each pass would evict HEADLINE
+        # queries (often sub-second scans) before the 12-slowest
+        # padding, silently removing the gate's pinned headline
+        # coverage from the stdout artifact (r12 advisor finding).
+        pool = [n for n in compact["queries"] if n not in HEADLINE]
+        if not pool:  # last resort: headline entries, fastest first
+            pool = list(compact["queries"])
+        drop = min(pool, key=compact["queries"].get)
         del compact["queries"][drop]
         compact["queries_note"] = (
             "TRIMMED to fit stdout window; full map in BENCH_FULL.json"

@@ -51,7 +51,7 @@ def score(repeats: int = 5) -> float:
     return round(best, 4)
 
 
-def jvm_score(spark, repeats: int = 3) -> float:
+def jvm_score(spark, repeats: int = 3, warmups: int = 3) -> float:
     """Seconds for a fixed SPARK workload (min over repeats) — the
     JVM/shuffle leg (r12, VERDICT r11 item 2). The CPU probe above
     measures BLAS+interpreter speed only; r11's artifact showed the
@@ -61,10 +61,17 @@ def jvm_score(spark, repeats: int = 3) -> float:
     queries. Recorded separately (``calibration_jvm_sec``) to keep
     the CPU score comparable with pre-r12 baselines; bench_diff uses
     the more pessimistic of the two ratios when both artifacts carry
-    both legs."""
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
+    both legs.
+
+    Warmups (r13): the probe's START-of-run reading was confounded
+    with JVM JIT tiering — even min-of-3 right after session start
+    read 2–4x the end-of-run leg (observed 0.375 vs 0.098 s on an
+    idle host), which the deferral gate misread as a contended
+    window every run. A few UNTIMED executions first let C2 compile
+    the shuffle path so the timed legs measure the WINDOW, not the
+    JIT; the probe's job is window comparison, never absolute
+    speed."""
+    def _probe() -> None:
         (
             spark.range(2_000_000, numPartitions=8)
             .selectExpr("id % 1024 AS k", "id AS v")
@@ -72,6 +79,13 @@ def jvm_score(spark, repeats: int = 3) -> float:
             .sum("v")
             .collect()
         )
+
+    for _ in range(warmups):
+        _probe()
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _probe()
         best = min(best, time.perf_counter() - t0)
     return round(best, 4)
 

@@ -47,6 +47,14 @@ def main() -> int:
         if name not in qs:
             print(f"{name}: NOT REGISTERED")
             continue
+        # r13: without this, a LONG recheck list (bench --recheck ran
+        # 134 movers through one session) accumulates persisted/
+        # checkpointed blocks and late queries read 1.5-1.7x slow —
+        # the exact r5 in-bench contention finding, reproduced inside
+        # the harness meant to adjudicate it (observed: x35 3.63 s as
+        # recheck #~120 vs 2.14 s genuinely isolated). Same protocol
+        # as bench.py: clear the cache between queries.
+        spark.catalog.clearCache()
         mat(qs[name](spark, args.sf))  # warmup
         times = []
         for _ in range(args.n):

@@ -74,6 +74,22 @@ def subsequence_like_pattern(needle: str) -> str:
     return "%" + "%".join(chars) + "%"
 
 
+def _orderable_type(dt) -> bool:
+    """Whether Spark can use a column of this type in ORDER BY:
+    MapType never, containers only when their element/field types
+    are themselves orderable (mirrors Catalyst's
+    ``RowOrdering.isOrderable``)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable_type(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable_type(f.dataType) for f in dt.fields)
+    return True
+
+
 def fuzzy_search(df, col: str, needle: str, k: int = 10):
     """Reference search path with exact fuzzy semantics: rank
     candidates, keep matches, top-k by (rank, value).
@@ -94,9 +110,16 @@ def fuzzy_search(df, col: str, needle: str, k: int = 10):
     )
     # total order with a unique tiebreak (r12): (rank, value) alone
     # leaves the LIMIT boundary ambiguous when two rows share both —
-    # every remaining column joins the sort so the page is the same
-    # on every engine/run (the repo's standing pagination rule)
-    others = [c for c in df.columns if c != col]
+    # remaining ORDERABLE columns join the sort so the page is the
+    # same on every engine/run (the repo's standing pagination rule).
+    # Map-typed columns are excluded (r12 advisor finding): Spark
+    # cannot sort on MapType and a caller carrying one would get an
+    # AnalysisException from the tiebreak itself.
+    others = [
+        f.name
+        for f in df.schema.fields
+        if f.name != col and _orderable_type(f.dataType)
+    ]
     return (
         ranked.filter(F.col("rank") >= 0)
         .orderBy(F.col("rank").asc(), F.col(col).asc(), *others)

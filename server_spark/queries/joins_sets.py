@@ -747,6 +747,14 @@ _A20_SQL = auctions_sql(
     ORDER BY rank_norm DESC, item
     """.replace("{RN}", r4sql("r * (SELECT n FROM nn)"))
 ).replace("WITH \nauctions", "WITH RECURSIVE auctions")
+# The replace above is string surgery on auctions_sql()'s output; any
+# whitespace drift there turns it into a silent no-op and the oracle
+# only fails later at DuckDB runtime (r12 advisor finding). Fail at
+# import instead.
+assert "WITH RECURSIVE" in _A20_SQL, (
+    "a20 oracle surgery no-opped: auctions_sql() header changed; "
+    "update the replace target or add a recursive=True variant"
+)
 
 
 @register(

@@ -268,6 +268,125 @@ def test_compact_line_bounded_with_300_flagged_queries():
     assert doc["queries"]
 
 
+def test_robust_accept_damps_single_window_outliers(tmp_path, monkeypatch):
+    """r13 (VERDICT r12 items 1+3 root cause): --accept snapshotted
+    ONE window, so a lucky 1.06 s sample for a 1.6–1.9 s-band query
+    became an unachievable pinned number (t49), and an unlucky sample
+    would mask future regressions. --accept now takes the per-query
+    median of (fresh, previous baseline, latest round artifact);
+    --accept-raw keeps the verbatim copy for intentional resets."""
+    from scripts import bench_diff as bd
+
+    monkeypatch.setattr(bd, "REPO", tmp_path)
+    monkeypatch.setattr(bd, "BASELINE", tmp_path / "bench_baseline.json")
+    monkeypatch.setattr(bd, "FRESH", tmp_path / "BENCH_FULL.json")
+    (tmp_path / "bench_baseline.json").write_text(json.dumps(
+        {"queries": {"q_lucky": 1.06, "q_norm": 1.00, "q_fast": 2.0}}))
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps(
+        {"queries": {"q_lucky": 1.87, "q_norm": 1.02, "q_fast": 2.1}}))
+    (tmp_path / "BENCH_FULL.json").write_text(json.dumps(
+        {"queries": {"q_lucky": 1.95, "q_norm": 1.00, "q_fast": 0.9,
+                     "q_new": 0.5}}))
+    assert bd.main(["--accept"]) == 0
+    merged = json.loads((tmp_path / "bench_baseline.json").read_text())
+    q = merged["queries"]
+    # the stale-lucky pin moves to the honest cross-window median...
+    assert q["q_lucky"] == 1.87
+    # ...steady queries stay put...
+    assert q["q_norm"] == 1.00
+    # ...a genuine fresh improvement waits one accept (median keeps
+    # the prior band; the gate never FAILS an improvement)...
+    assert q["q_fast"] == 2.0
+    # ...and a query with no history takes its fresh number
+    assert q["q_new"] == 0.5
+    assert merged["value"] == round(sum(q.values()), 3)
+    assert "median" in merged["accept_policy"]
+    # verbatim escape hatch
+    assert bd.main(["--accept-raw"]) == 0
+    raw = json.loads((tmp_path / "bench_baseline.json").read_text())
+    assert raw["queries"]["q_lucky"] == 1.95
+
+
+def test_compact_line_trim_keeps_headline_entries():
+    """r13 advisor finding: the over-budget trim dropped the globally
+    FASTEST query each pass — which is usually a sub-second HEADLINE
+    scan, so the gate's pinned headline coverage silently vanished
+    from the stdout artifact before the '12 slowest' padding did. The
+    trim must evict non-headline extras first and only touch HEADLINE
+    entries as a last resort."""
+    import bench
+
+    # headline queries deliberately FAST (first trim victims under the
+    # old min-of-all rule), extras slow, and enough long-named extras
+    # to force several trim passes
+    names = [f"x{i:03d}_{'pad' * 30}" for i in range(40)]
+    timings = {n: 5.0 + i for i, n in enumerate(names)}
+    head_present = [n for n in bench.HEADLINE][:5]
+    for n in head_present:
+        timings[n] = 0.001  # fastest in the whole map
+    full = {
+        "metric": "total_query_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": timings,
+        "sf": 0.1,
+        "materializer": "xxhash64-all-columns",
+        "calibration_sec": {"start": 0.02, "end": 0.0198},
+    }
+    line = bench.compact_line(full, timings)
+    assert len(line.encode()) < bench.COMPACT_LINE_MAX_BYTES
+    doc = json.loads(line)
+    assert doc["queries_note"].startswith("TRIMMED"), (
+        "test vector too small to force a trim; enlarge the extras"
+    )
+    for n in head_present:
+        assert n in doc["queries"], f"trim evicted headline entry {n}"
+
+
+def test_same_round_recovery_requires_paired_full_map(tmp_path):
+    """r13 advisor finding: _same_round_full_map trusted that the
+    commit adding BENCH_r{N}.json also carried that run's
+    BENCH_FULL.json; if the driver ever commits them separately,
+    `git show` silently serves a PREVIOUS round's full map — wrong-
+    but-parseable numbers. The recovery must verify the adding commit
+    actually touched BENCH_FULL.json and return None otherwise."""
+    import subprocess
+
+    from scripts import bench_diff
+
+    repo = tmp_path / "r"
+    repo.mkdir()
+
+    def git(*a):
+        subprocess.run(["git", "-C", str(repo), *a], check=True,
+                       capture_output=True)
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    # round 1: artifact + full map committed TOGETHER (the contract)
+    (repo / "BENCH_FULL.json").write_text(
+        json.dumps({"queries": {"q": 1.0}, "round": 1}))
+    (repo / "BENCH_r01.json").write_text("not json (truncated)")
+    git("add", "-A")
+    git("commit", "-qm", "round 1")
+    # round 2: artifact committed ALONE — full map still round 1's
+    (repo / "BENCH_r02.json").write_text("not json (truncated)")
+    git("add", "BENCH_r02.json")
+    git("commit", "-qm", "round 2 artifact only")
+    old = bench_diff.REPO
+    bench_diff.REPO = repo
+    try:
+        ok = bench_diff._same_round_full_map(repo / "BENCH_r01.json")
+        assert ok and ok["round"] == 1
+        # the unpaired artifact must NOT silently borrow round 1's map
+        assert bench_diff._same_round_full_map(
+            repo / "BENCH_r02.json") is None
+    finally:
+        bench_diff.REPO = old
+
+
 def test_truncated_round_artifact_recovers_from_committed_full_map():
     """VERDICT r11 item 1b, live vector: BENCH_r11.json in this tree
     IS the truncated artifact ("parsed": null, tail head-cut). The
@@ -426,11 +545,38 @@ def test_deferral_keys_off_worst_fresh_window():
     queries ran inside the burst), end leg clean, min() reads the host
     as fine and the gate fails environment-slowed queries as plan
     regressions. Deferral now keys off the fresh run's WORST leg."""
+    from scripts.bench_diff import PROBE_NOISE_BAND
+
     base = {"queries": {"q": 1.0},
             "calibration_sec": {"start": 0.02, "end": 0.02}}
     fresh = {"queries": {"q": 2.0},
              "calibration_sec": {"start": 0.05, "end": 0.02}}
     # capability ratio: min legs -> 1.0 (floor stays inert)
     assert combined_cal_ratio(base, fresh) == 1.0
-    # deferral ratio: worst fresh leg vs base capability -> 2.5
-    assert abs(deferral_cal_ratio(base, fresh) - 2.5) < 1e-9
+    # deferral ratio: worst fresh leg vs base capability (2.5x raw),
+    # deflated by one probe noise band (r13 advisor fix)
+    assert abs(deferral_cal_ratio(base, fresh) - 2.5 * PROBE_NOISE_BAND) < 1e-9
+
+
+def test_deferral_not_armed_by_probe_jitter():
+    """r13 advisor finding: worst-vs-min pairs extreme picks on both
+    sides, so the probe's own measured ±17% single-leg repeatability
+    (clean-idle scores 0.0168–0.023 s = a 1.37x spread) could alone
+    exceed CAL_DRIFT_MAX=1.3 — converting any real unwaived regression
+    into a repeatable defer. With the noise-band deflation a clean
+    window at the probe's own worst measured spread must NOT defer,
+    while a genuinely contended window (the r12 driver run's 1.85x)
+    still must."""
+    from scripts.bench_diff import CAL_DRIFT_MAX
+
+    base = {"queries": {"q": 1.0},
+            "calibration_sec": {"start": 0.0168, "end": 0.0170}}
+    # clean window, legs spanning the probe's full measured band
+    jitter = {"queries": {"q": 1.0},
+              "calibration_sec": {"start": 0.0230, "end": 0.0168}}
+    assert deferral_cal_ratio(base, jitter) <= CAL_DRIFT_MAX
+    # genuinely contended window (r12 driver artifact's 1.85x)
+    contended = {"queries": {"q": 1.0},
+                 "calibration_sec": {"start": 0.0168 * 1.85,
+                                     "end": 0.0168}}
+    assert deferral_cal_ratio(base, contended) > CAL_DRIFT_MAX

@@ -146,6 +146,23 @@ def test_fuzzy_rank_semantics(spark):
     assert got["Old Widget"] == 4  # levenshtein('widget', 'old widget')
 
 
+def test_fuzzy_search_tolerates_map_columns(spark):
+    """r13 advisor finding: the r12 unique-tiebreak sorted by EVERY
+    remaining column, so a caller whose frame carries a MapType column
+    got an AnalysisException from the tiebreak itself (maps are not
+    orderable in Spark). The tiebreak must restrict itself to
+    orderable columns and still return the right page."""
+    df = spark.createDataFrame(
+        [(1, "Old Widget", {"k": "v"}), (2, "golden gadget", {}),
+         (3, "wide gem", {"a": "b"})],
+        "id long, name string, attrs map<string,string>",
+    )
+    rows = fuzzy_search(df, "name", "widget", k=10).collect()
+    assert [r["name"] for r in rows] == ["Old Widget"]
+    # map column still present in the output, just not a sort key
+    assert rows[0]["attrs"] == {"k": "v"}
+
+
 def test_udtf_chunks_reassemble(spark):
     """x13: concatenating a doc's chunks in order must reproduce the
     whitespace-normalized document."""
