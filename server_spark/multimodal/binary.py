@@ -202,6 +202,7 @@ def resize_media(
     out_height: int = 64,
     id_col: str = "media_id",
     bin_col: str = "payload",
+    jpeg_codec=None,
 ) -> DataFrame:
     """Thumbnail/resize pass over Arrow batches (batch in → batch of
     fixed-size thumbnails out, memory bounded by batch × thumb size).
@@ -215,7 +216,16 @@ def resize_media(
     take the quarantine-preserving fallback: a deterministic byte
     fold to out_width×out_height bytes, ``thumb_format='fold'``, so
     every surviving row still yields a fixed-size deterministic
-    thumbnail and a downstream filter can route on thumb_format."""
+    thumbnail and a downstream filter can route on thumb_format.
+
+    ``jpeg_codec`` (r13): a per-query drop-in JPEG decoder threaded
+    into the executor-side ``decode_image`` call — the CLOSURE path
+    for deployments whose codec can't ride the env hook (env changes
+    after JVM launch never reach running Python workers). Must be
+    self-contained/picklable (e.g. import a ``sc.addPyFile``-shipped
+    module inside the function body); same contract as
+    ``SPARK_GRAFT_JPEG_CODEC``: bytes → uint8 RGB (h, w, 3) or None,
+    replacing the built-in JPEG decoder wholesale."""
     target = out_width * out_height
     from server_spark.multimodal.image import IMAGE_SRC
 
@@ -243,7 +253,7 @@ def resize_media(
             keep = pdf[pdf[bin_col].notna()]
             thumbs, fmts = [], []
             for b in keep[bin_col]:
-                decoded = decode_image(bytes(b))
+                decoded = decode_image(bytes(b), jpeg_codec=jpeg_codec)
                 if decoded is not None:
                     _fmt, img = decoded
                     thumbs.append(

@@ -1,0 +1,168 @@
+"""Pluggable put-if-absent COMMIT BACKEND (VERDICT r12 item 2).
+
+The medallion layer's transactional correctness rests on one
+primitive: an atomic put-if-absent used to claim manifest versions
+(`medallion._claim_batch_id`) and to hold the advisory commit lock.
+On a local filesystem that primitive is ``O_CREAT|O_EXCL``; on object
+storage it is a conditional PUT (S3 ``If-None-Match: *`` — supported
+since 2024-08 — and GCS ``x-goog-if-generation-match: 0``). This
+module makes the primitive INJECTABLE the same way the JPEG codec is
+(``multimodal/image.py _injected_jpeg_codec``): a deployment sets
+``SPARK_GRAFT_COMMIT_BACKEND=module:factory`` at launch and the claim
+machinery becomes multi-driver safe on a bucket without touching any
+caller.
+
+The protocol is deliberately the object-store wire surface and
+nothing more — five verbs every store has:
+
+- ``put_if_absent(path, payload) -> bool`` — atomic create; False iff
+  the object already existed (the ONLY correctness-bearing verb).
+- ``put(path, payload)`` — unconditional overwrite (lock heartbeats).
+- ``read(path) -> bytes | None`` — GET (lock ownership checks).
+- ``list_names(prefix) -> list[str]`` — relative keys under a prefix,
+  recursive (claims listing, manifest never-written probe).
+- ``delete(path)`` — idempotent DELETE (claim pruning, lock release).
+
+NOT in the protocol: rename, mtime, directory semantics. Those are
+POSIX-isms the backend-routed machinery must not rely on — which is
+exactly why the table-swap/compaction layer (two-rename swaps in
+``plans.maintenance``) stays LOCAL-FS ONLY and rejects URI roots
+loudly rather than pretending a bucket can rename.
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+import os
+import tempfile
+import time
+
+
+class LocalFSBackend:
+    """The default: POSIX primitives, identical behavior to the
+    pre-r13 inline os.* code (O_EXCL claim, listdir, unlink)."""
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, payload)
+        finally:
+            os.close(fd)
+        return True
+
+    def put(self, path: str, payload: bytes) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        # write-then-rename so a concurrent read never sees a torn
+        # payload (object-store PUTs are all-or-nothing; match that)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+        try:
+            os.write(fd, payload)
+        finally:
+            os.close(fd)
+        os.replace(tmp, path)
+
+    def read(self, path: str) -> bytes | None:
+        try:
+            with open(path, "rb") as fh:
+                return fh.read()
+        except OSError:
+            return None
+
+    def list_names(self, prefix: str) -> list[str]:
+        out: list[str] = []
+        for root, _dirs, files in os.walk(prefix):
+            rel = os.path.relpath(root, prefix)
+            for f in files:
+                out.append(f if rel == "." else os.path.join(rel, f))
+        return out
+
+    def delete(self, path: str) -> None:
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+
+
+class LinkConditionalPutBackend(LocalFSBackend):
+    """CONTRACT FAKE for tests: a conditional-put backend that does
+    NOT use O_EXCL — it stages the payload to a unique temp object and
+    claims the key with ``os.link`` (atomic fail-if-exists on POSIX),
+    which is the closest local analog of an S3 ``If-None-Match: *``
+    PUT: the object appears fully-written or not at all, and exactly
+    one of N concurrent writers of the same key wins. Running the
+    multi-process mint race over THIS backend proves the claim
+    machinery's correctness comes from the protocol contract, not
+    from the specific O_EXCL primitive the default backend happens to
+    use."""
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, staged = tempfile.mkstemp(dir=os.path.dirname(path))
+        try:
+            os.write(fd, payload)
+        finally:
+            os.close(fd)
+        try:
+            os.link(staged, path)  # atomic: fails iff key exists
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(staged)
+        return True
+
+
+def injected_backend():
+    """Resolve an external backend from ``SPARK_GRAFT_COMMIT_BACKEND``
+    ("module:factory" — the factory is CALLED, returning a backend
+    instance), or None when unset. Same contract as the JPEG codec
+    hook: a configured-but-broken spec raises loudly (silently falling
+    back to local O_EXCL on a bucket deployment would silently lose
+    multi-driver exclusion — the exact failure the backend was
+    deployed to prevent). Resolution is cached per spec value, and the
+    env is read at CALL time: like the codec hook, changing it after
+    launch affects new claims only."""
+    spec = os.environ.get("SPARK_GRAFT_COMMIT_BACKEND")
+    if not spec:
+        return None
+    cache = getattr(injected_backend, "_cache", None)
+    if cache is not None and cache[0] == spec:
+        return cache[1]
+    mod, _, fn = spec.partition(":")
+    try:
+        backend = getattr(importlib.import_module(mod), fn)()
+    except Exception as exc:
+        raise ImportError(
+            f"SPARK_GRAFT_COMMIT_BACKEND={spec!r} failed to load: {exc}"
+        ) from exc
+    for verb in ("put_if_absent", "put", "read", "list_names", "delete"):
+        if not callable(getattr(backend, verb, None)):
+            raise TypeError(
+                f"SPARK_GRAFT_COMMIT_BACKEND={spec!r} resolved to "
+                f"{type(backend).__name__} missing verb {verb!r}"
+            )
+    injected_backend._cache = (spec, backend)
+    return backend
+
+
+_LOCAL = LocalFSBackend()
+
+
+def backend_for(paths) -> LocalFSBackend:
+    """The backend a MedallionPaths root commits through: the
+    explicit ``paths.backend`` when given (wins, same rule as the
+    JPEG codec's explicit argument), else the env-injected one, else
+    local POSIX. MedallionPaths' constructor guarantees a URI root
+    only exists when one of the first two is present, so the local
+    fallback never sees a bucket path."""
+    return getattr(paths, "backend", None) or injected_backend() or _LOCAL
+
+
+def lock_payload(token: str) -> bytes:
+    return json.dumps(
+        {"token": token, "claimed_at": time.time(), "beat_at": time.time()}
+    ).encode()

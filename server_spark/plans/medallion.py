@@ -35,23 +35,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from server_spark.operators import auctions as ops
+from server_spark.plans import commit_backend as cb
 
 
 @dataclass
 class MedallionPaths:
-    """Root of one medallion tree. LOCAL-FILESYSTEM ONLY, enforced at
-    construction (r12 advisor finding): every transactional mechanism
-    under this root — the O_EXCL commit lock, the tmp→aside→rename
-    table swaps, the in-table watermark files, and load_manifest's
-    os.walk "never written" probe — is POSIX-rename semantics. On an
-    object-store URI (s3://bucket, gs://bucket) the locks would not exclude, the
-    swaps would not be atomic, and the manifest probe would always
-    read "absent" and silently re-mint historical batch_ids. The
-    documented multi-host/object-store path is swapping this layer
-    for a table format with a real commit protocol (Delta/Iceberg),
-    not pointing these paths at a bucket."""
+    """Root of one medallion tree. LOCAL-FILESYSTEM by default,
+    enforced at construction (r12 advisor finding): the transactional
+    mechanisms under this root — the O_EXCL commit lock, the
+    tmp→aside→rename table swaps, the in-table watermark files, and
+    load_manifest's "never written" probe — are POSIX-rename
+    semantics. On an object-store URI (s3://bucket, gs://bucket) the
+    locks would not exclude, the swaps would not be atomic, and the
+    manifest probe would always read "absent" and silently re-mint
+    historical batch_ids.
+
+    r13 (VERDICT r12 item 2): an object-store root IS accepted when a
+    COMMIT BACKEND is supplied — either the explicit ``backend`` field
+    (wins, mirroring the JPEG codec's explicit-argument rule) or the
+    ``SPARK_GRAFT_COMMIT_BACKEND`` env hook (see
+    ``plans/commit_backend.py``). With a backend, the correctness-
+    bearing machinery (batch-id claims, the commit lock, the
+    manifest/bronze existence probes) routes through the backend's
+    conditional-PUT/GET/LIST/DELETE verbs; Spark's own parquet IO
+    goes through whatever Hadoop connector serves the scheme. The
+    rename-based maintenance layer (compaction/table swaps) remains
+    local-FS-only and rejects URI roots loudly — buckets cannot
+    rename; that layer's object-store answer stays Delta/Iceberg."""
 
     root: str
+    backend: object | None = None
 
     def __post_init__(self) -> None:
         # Match BOTH URI spellings — "scheme://..." and the
@@ -68,12 +81,18 @@ class MedallionPaths:
         # the 2+-char scheme keeps Windows drive letters out
         m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]+):", self.root)
         if m and m.group(1).lower() != "file":
-            raise ValueError(
-                f"MedallionPaths is local-FS only (os.rename/O_EXCL "
-                f"transaction machinery); got scheme "
-                f"'{m.group(1)}://' in {self.root!r}. Use a Delta/"
-                "Iceberg-backed deployment for object stores."
-            )
+            if self.backend is None and cb.injected_backend() is None:
+                raise ValueError(
+                    f"MedallionPaths is local-FS only without a commit "
+                    f"backend (os.rename/O_EXCL transaction machinery); "
+                    f"got scheme '{m.group(1)}://' in {self.root!r}. "
+                    "Supply backend= or set SPARK_GRAFT_COMMIT_BACKEND "
+                    "(plans/commit_backend.py), or use a Delta/Iceberg-"
+                    "backed deployment."
+                )
+            self.is_uri = True
+            return
+        self.is_uri = False
         if m:  # file URI — normalize to a plain path for the os.* side
             from urllib.parse import unquote, urlparse
 
@@ -112,10 +131,24 @@ def _dynamic_overwrite(spark: SparkSession) -> None:
 
 @contextlib.contextmanager
 def commit_lock(
-    root: str, timeout: float = 120.0, stale_after: float = 600.0
+    root: str,
+    timeout: float = 120.0,
+    stale_after: float = 600.0,
+    backend=None,
 ):
     """Exclusive writer lock for the manifest commit log (r11,
     VERDICT r10 item 2).
+
+    r13: pass ``backend`` (or construct MedallionPaths with one / set
+    SPARK_GRAFT_COMMIT_BACKEND) to hold the lock through a commit
+    backend's PUT/GET/DELETE verbs instead of POSIX O_EXCL — the
+    object-store variant. That path trades the POSIX lock's atomic
+    rename-based stale-break for a read-check-delete break (two
+    breakers can race; best-effort by design — the _claim_batch_id
+    conditional PUT stays the correctness backstop either way, and
+    heartbeats are payload rewrites instead of mtime touches). A URI
+    root with no backend raises rather than silently running O_EXCL
+    against a local path that merely LOOKS like a bucket.
 
     The hand-rolled log gave snapshot/time-travel/idempotency for a
     SINGLE writer; two concurrent ``ingest_bronze_incremental`` calls
@@ -164,6 +197,19 @@ def commit_lock(
     layer converts that into detected retries with an uncorrupted
     version log (tests/test_commit_lock.py)."""
     lockfile = os.path.join(root, "manifest", ".commit.lock")
+    if backend is None and re.match(
+        r"^(?!file:)[a-zA-Z][a-zA-Z0-9+.-]+:", root
+    ):
+        backend = cb.injected_backend()
+        if backend is None:
+            raise ValueError(
+                f"commit_lock on URI root {root!r} needs a commit "
+                "backend (plans/commit_backend.py)"
+            )
+    if backend is not None:
+        with _backend_lock(lockfile, backend, timeout, stale_after):
+            yield
+        return
     os.makedirs(os.path.dirname(lockfile), exist_ok=True)
     token = f"{os.getpid()}-{os.urandom(8).hex()}"
     deadline = time.monotonic() + timeout
@@ -253,6 +299,71 @@ def commit_lock(
                 os.unlink(lockfile)
 
 
+@contextlib.contextmanager
+def _backend_lock(lockfile: str, backend, timeout: float,
+                  stale_after: float):
+    """commit_lock's object-store variant: claim via conditional PUT,
+    heartbeat by rewriting the payload's beat_at (buckets have no
+    mtime to touch), stale-break by read-check-DELETE. The break is
+    best-effort — two breakers can both observe staleness, both
+    delete+claim, and briefly double-hold; unlike the POSIX path
+    there is no atomic rename to win. That residual is accepted
+    because the lock is contention control, not the correctness
+    layer: a double-held critical section double-MINTS, and the
+    _claim_batch_id conditional PUT turns that into one loud
+    ConcurrentCommitError before any manifest append (the exact
+    defense-in-depth contract the r12 non-atomic-rename tests
+    pinned for the POSIX lock)."""
+    token = f"{os.getpid()}-{os.urandom(8).hex()}"
+    deadline = time.monotonic() + timeout
+
+    def _doc() -> dict | None:
+        raw = backend.read(lockfile)
+        if raw is None:
+            return None
+        try:
+            return json.loads(raw)
+        except ValueError:
+            return {}
+
+    def _owned() -> bool:
+        d = _doc()
+        return bool(d) and d.get("token") == token
+
+    while not backend.put_if_absent(lockfile, cb.lock_payload(token)):
+        d = _doc()
+        if d is None:
+            continue  # holder released between claim and read
+        beat = d.get("beat_at") or d.get("claimed_at") or 0
+        if time.time() - beat > stale_after:
+            backend.delete(lockfile)  # best-effort break (see above)
+            continue
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f"commit lock {lockfile} held for "
+                f"{time.time() - beat:.0f}s (timeout {timeout}s)"
+            )
+        time.sleep(0.05)
+    stop_beat = threading.Event()
+
+    def _beat() -> None:
+        while not stop_beat.wait(stale_after / 4.0):
+            if _owned():  # never freshen a thief's claim
+                backend.put(lockfile, cb.lock_payload(token))
+
+    beat = threading.Thread(
+        target=_beat, daemon=True, name="commit-lock-heartbeat"
+    )
+    beat.start()
+    try:
+        yield
+    finally:
+        stop_beat.set()
+        beat.join(timeout=5.0)
+        if _owned():
+            backend.delete(lockfile)
+
+
 def ingest_bronze(
     spark: SparkSession, raw: DataFrame, paths: MedallionPaths
 ) -> None:
@@ -272,6 +383,29 @@ def ingest_bronze(
     )
 
 
+def _lock_backend(paths: MedallionPaths):
+    """The backend the COMMIT LOCK should use for this tree, or None
+    for the battle-tested POSIX O_EXCL path: an explicitly-supplied or
+    env-injected backend wins (so lock and claims always agree on the
+    primitive), plain local roots keep the rename-based lock."""
+    return getattr(paths, "backend", None) or cb.injected_backend()
+
+
+def _table_has_data(paths: MedallionPaths, d: str) -> bool:
+    """The "has this table ever been written" probe, backend-routed
+    (r13): hidden/temporary components (_temporary from an interrupted
+    very-first write, _claims, .commit.lock) are "never written", not
+    "corrupt". On a URI root this is the backend's LIST verb — the
+    os.walk version would always read "absent" on a bucket and
+    silently re-mint historical batch_ids (the r12 constructor gate's
+    reason for existing)."""
+    for name in cb.backend_for(paths).list_names(d):
+        parts = name.replace("\\", "/").split("/")
+        if not any(p.startswith(("_", ".")) for p in parts):
+            return True
+    return False
+
+
 def load_manifest(spark: SparkSession, paths: MedallionPaths) -> DataFrame:
     """The ingested-dump log (AuctionManifest analog, SURVEY.md §1.1):
     one row per archived dump key. Empty-but-typed ONLY when the
@@ -281,19 +415,7 @@ def load_manifest(spark: SparkSession, paths: MedallionPaths) -> DataFrame:
     ingest re-mints historical batch_ids and re-appends seen dumps,
     and every watermarked gold skips the re-minted batches forever
     (r11 review finding)."""
-    def _has_data_files(d: str) -> bool:
-        for root, dirs, files in os.walk(d):
-            # skip hidden/temporary subtrees (_temporary from an
-            # interrupted very-first write is "never written", not
-            # "corrupt")
-            dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
-            if any(not f.startswith(("_", ".")) for f in files):
-                return True
-        return False
-
-    if not os.path.exists(paths.manifest) or not _has_data_files(
-        paths.manifest
-    ):
+    if not _table_has_data(paths, paths.manifest):
         return spark.createDataFrame(
             [],
             "region string, realm_slug string, dump_ts timestamp, "
@@ -333,7 +455,7 @@ def ingest_bronze_incremental(
     manifest version, so a reader racing an in-flight append filters
     the uncommitted keys out."""
     keys = ["region", "realm_slug", "dump_ts"]
-    with commit_lock(paths.root):
+    with commit_lock(paths.root, backend=_lock_backend(paths)):
         return _ingest_bronze_locked(spark, raw, paths, keys)
 
 
@@ -368,11 +490,13 @@ def _ingest_gated(
     # not the table. Orphaned keys (in bronze, missing from the
     # manifest) skip the append but still get their manifest entry
     # below, completing the interrupted commit.
-    # "First ingest" is ONLY bronze not existing on disk; any other
-    # failure (transient IO, corrupt footer) must propagate — an
-    # except-all here would silently disable the gate and reopen the
-    # duplicate-append window it exists to close.
-    if os.path.exists(paths.bronze):
+    # "First ingest" is ONLY bronze holding no committed data files
+    # (backend-routed probe, r13 — hidden/_temporary-only trees count
+    # as never written); any other failure (transient IO, corrupt
+    # footer) must propagate — an except-all here would silently
+    # disable the gate and reopen the duplicate-append window it
+    # exists to close.
+    if _table_has_data(paths, paths.bronze):
         days = [r[0] for r in new_keys.select(
             F.to_date("dump_ts").alias("d")).distinct().collect()]
         bronze_keys = (
@@ -456,11 +580,11 @@ def _max_claimed_id(paths: MedallionPaths) -> int:
     """Highest batch_id ever CLAIMED (≥ highest committed: a crash
     between claim and manifest append burns the id — the next mint
     must skip it, not reuse it for a different dump set)."""
-    try:
-        ids = [int(n) for n in os.listdir(_claims_dir(paths))
-               if n.isdigit()]
-    except FileNotFoundError:
-        return 0
+    ids = [
+        int(n)
+        for n in cb.backend_for(paths).list_names(_claims_dir(paths))
+        if n.isdigit()
+    ]
     return max(ids, default=0)
 
 
@@ -472,36 +596,27 @@ def _prune_claims(paths: MedallionPaths, below: int) -> None:
     and the manifest side alone now carries ≥ ``below`` — a pruned
     burned id < below can never be re-minted. Claims ABOVE the
     committed max (a crashed writer's burn that outran us) are kept."""
-    try:
-        names = os.listdir(_claims_dir(paths))
-    except FileNotFoundError:
-        return
-    for n in names:
+    be = cb.backend_for(paths)
+    for n in be.list_names(_claims_dir(paths)):
         if n.isdigit() and int(n) < below:
-            with contextlib.suppress(OSError):
-                os.unlink(os.path.join(_claims_dir(paths), n))
+            be.delete(os.path.join(_claims_dir(paths), n))
 
 
 def _claim_batch_id(paths: MedallionPaths, batch_id: int) -> bool:
     """Put-if-absent claim of one manifest version — THE conditional-
-    put swap point (VERDICT r11 item 4): on a local FS this is
-    O_CREAT|O_EXCL; an object-store deployment replaces exactly this
-    function with an If-None-Match/etag conditional PUT (S3/GCS both
-    support it) and the mint above becomes multi-host safe without
-    touching any caller."""
-    os.makedirs(_claims_dir(paths), exist_ok=True)
-    try:
-        fd = os.open(
-            os.path.join(_claims_dir(paths), str(batch_id)),
-            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-        )
-    except FileExistsError:
-        return False
-    os.write(fd, json.dumps(
-        {"pid": os.getpid(), "claimed_at": time.time()}
-    ).encode())
-    os.close(fd)
-    return True
+    put swap point (VERDICT r11 item 4, pluggable as of r13/VERDICT
+    r12 item 2): on a local FS the backend's put_if_absent is
+    O_CREAT|O_EXCL; an object-store deployment injects a backend
+    whose put_if_absent is an If-None-Match/generation-match
+    conditional PUT (S3/GCS both support it) and the mint above
+    becomes multi-host safe without touching any caller. The claim
+    contract itself (exactly one winner per id, loser aborts before
+    its manifest append) is proven over a NON-O_EXCL backend in
+    tests/test_commit_backend.py."""
+    return cb.backend_for(paths).put_if_absent(
+        os.path.join(_claims_dir(paths), str(batch_id)),
+        json.dumps({"pid": os.getpid(), "claimed_at": time.time()}).encode(),
+    )
 
 
 def read_bronze(spark: SparkSession, paths: MedallionPaths) -> DataFrame:
@@ -708,6 +823,18 @@ def compact_small_files(
     import math
     import shutil
 
+    # Rename-based machinery: a bucket cannot os.rename, and os.walk
+    # over a URI path silently yields NOTHING — the job would report
+    # "0 compacted, 0 skipped" as if the table were clean (r13, with
+    # the object-store commit backend landing: the compaction layer
+    # stays local-FS-only BY CONTRACT; Delta/Iceberg OPTIMIZE is the
+    # bucket answer).
+    if re.match(r"^(?!file:)[a-zA-Z][a-zA-Z0-9+.-]+:", table_dir):
+        raise ValueError(
+            f"compact_small_files is local-FS only (two-rename swap); "
+            f"got URI table_dir {table_dir!r}"
+        )
+
     # One swap implementation for the whole repo: the scratch naming
     # (DOT-prefixed, invisible to Spark's file index and partition
     # parser) and crash healing live in plans.maintenance. An earlier
@@ -807,7 +934,7 @@ def build_silver_incremental(
     can tear a partition), and a refresh racing an ingest could scan
     bronze mid-append. Serializing table maintenance against intake
     is the same rule compact_small_files follows."""
-    with commit_lock(paths.root):
+    with commit_lock(paths.root, backend=_lock_backend(paths)):
         return _build_silver_incremental_locked(
             spark, paths, since_version
         )
@@ -857,7 +984,7 @@ def build_gold_prices_incremental(
     changed. Run AFTER build_silver_incremental for the same
     ``since_version``. Serialized under ``commit_lock`` like every
     other writer (r11)."""
-    with commit_lock(paths.root):
+    with commit_lock(paths.root, backend=_lock_backend(paths)):
         return _build_gold_prices_incremental_locked(
             spark, paths, since_version
         )

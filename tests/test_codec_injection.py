@@ -173,6 +173,113 @@ def test_env_hook_resolves_caches_and_fails_loudly(tmp_path, monkeypatch):
         decode_image(fix)
 
 
+@pytest.mark.slow
+def test_injected_codec_end_to_end_at_corpus_scale(spark, tmp_path,
+                                                   monkeypatch):
+    """VERDICT r12 item 5: the contract tests inject a toy codec into
+    single-batch calls; this drives the CLOSURE path through the real
+    resize pipeline over the sf0.01 documents corpus at real partition
+    counts (one payload per doc, hash-repartitioned to
+    defaultParallelism like x60) — proving the injection survives
+    Arrow batching, worker reuse, and multi-partition scheduling. It
+    then pins the env-hook boundary the docstrings claim: a
+    MID-SESSION env change does NOT reach already-running Python
+    workers (worker env is fixed at JVM launch), so the same query
+    re-run with a poisoned SPARK_GRAFT_JPEG_CODEC still succeeds on
+    the built-in path."""
+    from pyspark.sql import functions as F
+
+    from server_spark.multimodal.binary import resize_media
+    from server_spark.multimodal.image import IMAGE_SRC
+
+    # a real module shipped to executors (import caches the exec'd
+    # decoder once per worker, unlike a per-call exec closure)
+    mod = tmp_path / "fake_jpeg_codec_r13.py"
+    mod.write_text(
+        "SRC = " + repr(IMAGE_SRC) + "\n"
+        "ns = {}\n"
+        "exec(SRC, ns)\n"
+        "def decode(bb):\n"
+        "    bb = bytes(bb)\n"
+        "    i = bb.find(b'\\xff\\xc9')\n"
+        "    if i < 0:\n"
+        "        return None  # not arithmetic-coded: quarantine\n"
+        "    return ns['decode_jpeg'](bb[:i + 1] + b'\\xc0' + bb[i + 2:])\n"
+    )
+    spark.sparkContext.addPyFile(str(mod))
+
+    def codec(bb):
+        import fake_jpeg_codec_r13
+
+        return fake_jpeg_codec_r13.decode(bb)
+
+    img_src = IMAGE_SRC  # by value — workers may not import server_spark
+
+    def mint(it):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(img_src, ns)
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                mid = int(did)
+                if mid % 3 == 2:  # corrupt leg: stays quarantined
+                    payloads.append(b"garbage-%d" % mid)
+                else:  # arithmetic-coded on the wire (SOF9)
+                    raw = bytearray(
+                        ns["encode_jpeg"](
+                            ns["synthetic_image"](mid)[:16, :16]
+                        )
+                    )
+                    j = raw.find(b"\xff\xc0")
+                    raw[j + 1] = 0xC9
+                    payloads.append(bytes(raw))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"),
+                 "payload": payloads}
+            )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id")
+    media = docs.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    ).mapInPandas(mint, "media_id long, payload binary")
+
+    n_docs = docs.count()
+    n_exotic = docs.filter(F.col("doc_id") % 3 != 2).count()
+
+    counts = {
+        r["thumb_format"]: r["count"]
+        for r in resize_media(media, jpeg_codec=codec)
+        .groupBy("thumb_format").count().collect()
+    }
+    # every arithmetic-coded payload decoded through the shipped
+    # codec; every garbage payload kept quarantine semantics
+    assert counts == {"bmp": n_exotic, "fold": n_docs - n_exotic}
+
+    # without the codec the built-in decoder quarantines everything —
+    # same pipeline, same partitions
+    base = {
+        r["thumb_format"]: r["count"]
+        for r in resize_media(media)
+        .groupBy("thumb_format").count().collect()
+    }
+    assert base == {"fold": n_docs}
+
+    # env-hook boundary: poison the hook MID-SESSION; running workers
+    # never see it (their env froze at JVM launch), so the query still
+    # succeeds on the built-in path instead of dying in resolution
+    monkeypatch.setenv("SPARK_GRAFT_JPEG_CODEC", "no_such_module:fn")
+    poisoned = {
+        r["thumb_format"]: r["count"]
+        for r in resize_media(media)
+        .groupBy("thumb_format").count().collect()
+    }
+    assert poisoned == {"fold": n_docs}
+
+
 def test_mapinpandas_plumbing_with_injected_codec(spark):
     """Executor-side contract: the same Arrow-batched mapInPandas
     shape every media query uses, with the codec injected through the

@@ -2,9 +2,10 @@
 
 The r7/r8/r11 scaling probes were one-shot evidence: generate two
 scale factors, measure, record the exponent table in SCALE.md. This
-test wires a REDUCED probe into the suite — a 5-query spine over the
+test wires a REDUCED probe into the suite — a 6-query spine over the
 super-linear risk classes (hash agg, rank-median, MinHash+LSH
-banding, IVF blocked semantic dedup, iterative component labeling)
+banding, IVF blocked semantic dedup, iterative component labeling,
+and — r13 — the IVFPQ build+probe serving ladder x52)
 at generator sf0.03g vs sf0.3g (10× rows) — so a future
 super-linear bend FAILS A GATE instead of waiting for a judge.
 
@@ -50,6 +51,11 @@ SPINE = [
     "x8_minhash_neardup",           # shingle→minhash→band→bucket join
     "x41b_semantic_dedup_scaled",   # IVF blocked matmul (the N² risk)
     "x15_neardup_components",       # iterative label propagation
+    # r13 (VERDICT r12 item 6): the IVFPQ serving ladder — coarse
+    # probe + ADC + exact refine — so index-build-vs-probe scaling is
+    # gated too (its per-query PQ/IVF caches are warmed by the
+    # untimed per-(query, sf) warmup below, same as x41b's)
+    "x52_ivfpq_refine_topk",
 ]
 
 
