@@ -62,10 +62,6 @@ ROWS_ONLY_REASONS = {
     "x52_ivfpq_refine_topk": (
         "IVFPQ candidates (trained models) + exact refine; refine "
         "layer is exact but candidates are model-dependent"),
-    "x54_bpe_merges": (
-        "trained BPE merge table — greedy argmax over evolving pair "
-        "counts; distributed and single-node trainers are asserted "
-        "identical in tests (the honest cross-check)"),
     "x97_pca_abtt": (
         "eigendecomposition (numpy LAPACK) — no SQL eigensolver; "
         "variance/orthogonality properties pinned in tests"),

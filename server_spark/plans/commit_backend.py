@@ -19,8 +19,12 @@ nothing more — five verbs every store has:
   the object already existed (the ONLY correctness-bearing verb).
 - ``put(path, payload)`` — unconditional overwrite (lock heartbeats).
 - ``read(path) -> bytes | None`` — GET (lock ownership checks).
-- ``list_names(prefix) -> list[str]`` — relative keys under a prefix,
-  recursive (claims listing, manifest never-written probe).
+- ``list_names(prefix) -> iterable[str]`` — relative keys under a
+  prefix, recursive, MAY BE LAZY (claims listing, manifest
+  never-written probe; object-store LIST is paginated, and the
+  never-written probe stops at the first real data key — a backend
+  that materializes the whole listing turns an O(1) existence probe
+  into a full-tree walk on every ingest).
 - ``delete(path)`` — idempotent DELETE (claim pruning, lock release).
 
 NOT in the protocol: rename, mtime, directory semantics. Those are
@@ -73,13 +77,14 @@ class LocalFSBackend:
         except OSError:
             return None
 
-    def list_names(self, prefix: str) -> list[str]:
-        out: list[str] = []
+    def list_names(self, prefix: str):
+        # a GENERATOR: the never-written probe consumes one element of
+        # a huge tree; materializing would walk all of bronze per
+        # ingest (r13 self-review)
         for root, _dirs, files in os.walk(prefix):
             rel = os.path.relpath(root, prefix)
             for f in files:
-                out.append(f if rel == "." else os.path.join(rel, f))
-        return out
+                yield f if rel == "." else os.path.join(rel, f)
 
     def delete(self, path: str) -> None:
         try:

@@ -597,7 +597,9 @@ def _prune_claims(paths: MedallionPaths, below: int) -> None:
     burned id < below can never be re-minted. Claims ABOVE the
     committed max (a crashed writer's burn that outran us) are kept."""
     be = cb.backend_for(paths)
-    for n in be.list_names(_claims_dir(paths)):
+    # materialize before deleting: list_names may lazily walk the very
+    # directory the deletes mutate
+    for n in list(be.list_names(_claims_dir(paths))):
         if n.isdigit() and int(n) < below:
             be.delete(os.path.join(_claims_dir(paths), n))
 

@@ -1182,9 +1182,105 @@ def x46_maximal_removed_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# x54's ORACLE (r13 promotion, VERDICT r12 item 4): the full BPE
+# training loop as ONE recursive CTE. The r12 "no SQL twin" label fell
+# to the same techniques that promoted Holt/PAVA/PageRank: the working
+# table carries each word-type's evolving symbol list; the single
+# recursive reference is unnested to (word, position) rows, the
+# iteration's global argmax pair is broadcast to every row by a
+# whole-partition window (FIRST_VALUE over cnt DESC, pl, pr — no
+# second recursive reference needed), and the greedy left-to-right
+# merge is run-parity arithmetic: matches can only chain when
+# left==right, so a run of matches merges at even offsets (aaaa +
+# (a,a) -> aa aa), and non-chaining matches merge wherever the
+# previous position didn't. Faithful to train_bpe_fast at the gate's
+# sf (31 word types << the 1M MAX_VOCAB_TYPES collect cap; at corpora
+# where the cap binds, the trainer itself is the approximation).
+_X54_SQL = """
+WITH RECURSIVE
+wf AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+               AS word
+        FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+),
+rec(it, word, freq, syms, l, r, n) AS (
+    SELECT 0, word, freq,
+           list_append(regexp_split_to_array(word, ''), '</w>'),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT)
+    FROM wf
+    UNION ALL
+    SELECT it + 1, word, freq,
+           list(CASE WHEN mstart THEN s || br ELSE s END ORDER BY i),
+           bl, br, bn
+    FROM (
+        SELECT *,
+               LAG(mstart) OVER (PARTITION BY it, word ORDER BY i)
+                   AS pstart
+        FROM (
+            SELECT *,
+                   (ismatch AND (ROW_NUMBER() OVER
+                       (PARTITION BY it, word, runid, ismatch
+                        ORDER BY i) - 1) % 2 = 0) AS mstart
+            FROM (
+                SELECT *,
+                       (s = bl AND coalesce(nxt = br, FALSE)) AS ismatch,
+                       SUM(CASE WHEN s = bl
+                                 AND coalesce(nxt = br, FALSE)
+                                THEN 0 ELSE 1 END)
+                         OVER (PARTITION BY it, word ORDER BY i) AS runid
+                FROM (
+                    SELECT *,
+                           FIRST_VALUE(pl) OVER wbest AS bl,
+                           FIRST_VALUE(pr) OVER wbest AS br,
+                           FIRST_VALUE(cnt) OVER wbest AS bn
+                    FROM (
+                        SELECT it, word, freq, i,
+                               syms[i] AS s, syms[i + 1] AS nxt,
+                               CASE WHEN i < len(syms)
+                                    THEN syms[i] END AS pl,
+                               CASE WHEN i < len(syms)
+                                    THEN syms[i + 1] END AS pr,
+                               CASE WHEN i < len(syms) THEN
+                                   SUM(CASE WHEN i < len(syms)
+                                            THEN freq END)
+                                     OVER (PARTITION BY it, syms[i],
+                                           syms[i + 1])
+                               END AS cnt
+                        FROM rec,
+                             LATERAL (SELECT unnest(
+                                 range(1, len(syms) + 1)) AS i)
+                        WHERE it < 12
+                    )
+                    WINDOW wbest AS (
+                        PARTITION BY it
+                        ORDER BY (cnt IS NULL), cnt DESC, pl, pr
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING
+                    )
+                )
+            )
+        )
+    )
+    WHERE NOT coalesce(pstart, FALSE) AND bn >= 2
+    GROUP BY it, word, freq, bl, br, bn
+)
+SELECT CAST(it AS INTEGER) AS merge_rank,
+       l AS left, r AS right, l || r AS merged,
+       n AS pair_count
+FROM (SELECT DISTINCT it, l, r, n FROM rec WHERE it >= 1)
+ORDER BY merge_rank
+"""
+
+
 @register(
     "x54_bpe_merges",
-    None,  # iterative algorithm with a driver-side merge loop — no SQL twin
+    _X54_SQL,
     doc="EXT x54 — BPE tokenizer training (Sennrich et al. 2016) in "
     "the shape that scales: ONE corpus pass builds the word-type "
     "frequency table (explode + hash-agg, Zipf-bounded ≈vocab-sized "
@@ -1199,8 +1295,11 @@ def x46_maximal_removed_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "KMeans bounded-collect posture) — the HuggingFace-tokenizers "
     "split; the fully-distributed loop remains for vocabularies "
     "beyond driver memory. Both pinned against an in-test reference "
-    "implementation and asserted equal (tests/test_bpe.py).",
-    tags=("ext", "textstats", "tokenizer", "rows-only"),
+    "implementation and asserted equal (tests/test_bpe.py); r13: the "
+    "full training loop also hash-verifies against a recursive-CTE "
+    "DuckDB oracle (global argmax broadcast by a whole-partition "
+    "window, greedy merge as run-parity arithmetic — see _X54_SQL).",
+    tags=("ext", "textstats", "tokenizer"),
     late=True,
 )
 def x54_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:

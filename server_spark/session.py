@@ -36,6 +36,23 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+    # Single-threaded BLAS in Python workers (r13, VERDICT r12 item 3,
+    # measured): Spark owns the parallelism — N tasks per host already
+    # saturate the cores, and OpenBLAS spawning its own threads per
+    # worker oversubscribes the box (32 workers x 2 BLAS threads on 32
+    # cores here). That oversubscription was THE source of the
+    # 1.3-1.9x clean-window wander on every numpy-heavy mapInPandas
+    # query: pinning 1 BLAS thread moved x14_ivf_topk's isolated
+    # median 2.24 s -> 1.58 s (back to its r9-r12 band) and cut
+    # x129's run spread from 1.37x to 1.15x. Must be set BEFORE the
+    # JVM launches (workers inherit the JVM's env, frozen at launch);
+    # setdefault so a deployment that wants threaded BLAS (one task
+    # per host, giant matmuls) can still override at launch.
+    if SparkSession.getActiveSession() is None:
+        for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                    "MKL_NUM_THREADS"):
+            os.environ.setdefault(var, "1")
+
     # Driver memory must be fixed BEFORE the JVM gateway launches —
     # setting spark.driver.memory through the builder is a silent
     # no-op once pyspark has spawned the JVM. If we're first (no

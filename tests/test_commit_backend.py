@@ -78,19 +78,19 @@ def test_put_if_absent_exactly_one_winner(tmp_path, backend_cls):
     # the winner's payload is what landed, fully written
     assert be.read(key) == f"writer-{wins[0]}".encode()
     # and the loser's staged temp objects were cleaned up
-    assert be.list_names(str(tmp_path / "claims")) == ["7"]
+    assert list(be.list_names(str(tmp_path / "claims"))) == ["7"]
 
 
 def test_backend_verbs_roundtrip(tmp_path):
     be = cb.LocalFSBackend()
     root = str(tmp_path / "t")
-    assert be.list_names(root) == []  # absent prefix lists empty
+    assert list(be.list_names(root)) == []  # absent prefix lists empty
     assert be.read(os.path.join(root, "x")) is None
     be.put(os.path.join(root, "a", "x"), b"1")
     be.put(os.path.join(root, "a", "x"), b"2")  # overwrite allowed
     assert be.read(os.path.join(root, "a", "x")) == b"2"
     assert be.put_if_absent(os.path.join(root, "a", "x"), b"3") is False
-    names = be.list_names(root)
+    names = list(be.list_names(root))
     assert names == [os.path.join("a", "x")]
     be.delete(os.path.join(root, "a", "x"))
     be.delete(os.path.join(root, "a", "x"))  # idempotent
