@@ -32,9 +32,6 @@ ROWS_ONLY_REASONS = {
     "a23_sketch_overlap": (
         "theta-sketch intersection estimate — same sketch-state "
         "reason as a17; overlap error compounds two sketches"),
-    "a2b_price_stats_approx": (
-        "approx_percentile is Greenwald-Khanna in Spark vs t-digest "
-        "in DuckDB — the approximate answers legitimately differ"),
     "a2d_price_stats_decimal": (
         "Spark decimal division/avg rounds HALF_UP at derived scale "
         "(p+4, s+4); DuckDB promotes decimal avg to DOUBLE — equal "
