@@ -261,6 +261,7 @@ _A2B_SQL = auctions_sql(
     "and picks the same lower-middle element (see _A2B_SQL note); "
     "the sketch-divergence regime only begins past 10k-row groups.",
     tags=("agg", "approx"),
+    late=True,  # oracle-backed as of r13, outside the frozen window
 )
 def a2b_price_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ops.price_stats(auctions(spark, sf_dir), approx=True)

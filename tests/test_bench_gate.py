@@ -307,6 +307,31 @@ def test_robust_accept_damps_single_window_outliers(tmp_path, monkeypatch):
     assert raw["queries"]["q_lucky"] == 1.95
 
 
+def test_robust_accept_degrades_to_fresh_without_history(tmp_path,
+                                                         monkeypatch):
+    """A first-ever accept (no baseline, no round artifacts) and a
+    partial-history accept must not crash or invent numbers — entries
+    lacking a full (fresh, baseline, round) triple take the fresh
+    value verbatim."""
+    from scripts import bench_diff as bd
+
+    monkeypatch.setattr(bd, "REPO", tmp_path)
+    monkeypatch.setattr(bd, "BASELINE", tmp_path / "bench_baseline.json")
+    monkeypatch.setattr(bd, "FRESH", tmp_path / "BENCH_FULL.json")
+    (tmp_path / "BENCH_FULL.json").write_text(json.dumps(
+        {"queries": {"q": 1.5}}))
+    assert bd.main(["--accept"]) == 0
+    merged = json.loads((tmp_path / "bench_baseline.json").read_text())
+    assert merged["queries"] == {"q": 1.5}
+    # second accept: baseline exists, still no round artifact — two
+    # sources is not a triple, fresh wins again
+    (tmp_path / "BENCH_FULL.json").write_text(json.dumps(
+        {"queries": {"q": 9.9}}))
+    assert bd.main(["--accept"]) == 0
+    merged = json.loads((tmp_path / "bench_baseline.json").read_text())
+    assert merged["queries"] == {"q": 9.9}
+
+
 def test_compact_line_trim_keeps_headline_entries():
     """r13 advisor finding: the over-budget trim dropped the globally
     FASTEST query each pass — which is usually a sub-second HEADLINE

@@ -131,7 +131,7 @@ def test_uri_roots_gated_on_backend(monkeypatch):
         "SPARK_GRAFT_COMMIT_BACKEND",
         "server_spark.plans.commit_backend:LinkConditionalPutBackend",
     )
-    assert med.MedallionPaths("gs://b/lake").is_uri
+    assert med.MedallionPaths("gs://bucket/lake").is_uri
     # local roots and file: URIs keep the r12 normalization behavior
     lp = med.MedallionPaths("file:/tmp/lake")
     assert not lp.is_uri and lp.root == "/tmp/lake"
@@ -271,6 +271,23 @@ print("done")
         with open(os.path.join(claims_dir, str(n))) as fh:
             pids.add(json.loads(fh.read())["pid"])
     assert len(pids) == 4  # all four writers really won claims
+
+
+def test_burned_id_skipped_through_backend_on_uri_root():
+    """Crash recovery is backend-independent: a claim with no manifest
+    append (writer died between the two) BURNS that version, and the
+    next mint must skip it — through the backend's LIST verb on a
+    bucket root, where the old os.listdir would have read nothing and
+    silently re-minted the burned id for a different dump set."""
+    be = MemBackend()
+    paths = med.MedallionPaths("s3://bucket/lake", backend=be)
+    assert med._claim_batch_id(paths, 1)
+    assert med._claim_batch_id(paths, 2)  # crashed writer's burn
+    # next mint computes max(manifest=none, claimed)+1 = 3, never 2
+    assert med._max_claimed_id(paths) == 2
+    assert med._claim_batch_id(paths, med._max_claimed_id(paths) + 1)
+    claims = "s3://bucket/lake/manifest/ingested_dumps/_claims"
+    assert set(be.objs) == {f"{claims}/1", f"{claims}/2", f"{claims}/3"}
 
 
 def test_ingest_pipeline_with_injected_backend(spark, tmp_path,
