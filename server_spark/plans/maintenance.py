@@ -29,14 +29,35 @@ from __future__ import annotations
 import contextlib
 import math
 import os
+import re
 import shutil
 
 from pyspark.sql import SparkSession
 
 
+def _require_local(path: str, what: str) -> None:
+    """This whole module is POSIX machinery — rename swaps, os.walk
+    listings, open() watermark sidecars. With object-store roots now
+    reachable through the commit backend (r13, plans/commit_backend),
+    a URI path arriving HERE must fail loudly: os.walk over
+    's3://...' silently yields nothing (a compaction reports the
+    table clean) and os.path.exists reads 'absent' (_gold_watermark
+    would return the never-written epoch and a gold fold would
+    silently DOUBLE-APPLY onto state it could not see). The
+    object-store answer for this layer stays a transactional table
+    format, not these primitives."""
+    if re.match(r"^(?!file:)[a-zA-Z][a-zA-Z0-9+.-]+:", path):
+        raise ValueError(
+            f"{what} is local-FS only (rename/walk/sidecar machinery); "
+            f"got URI path {path!r}. Use Delta/Iceberg-style table "
+            "maintenance on object stores."
+        )
+
+
 def partition_file_stats(root: str) -> dict[str, tuple[int, int]]:
     """{leaf partition dir → (n_data_files, total_bytes)} for a
     (possibly nested) partitioned parquet dataset."""
+    _require_local(root, "partition_file_stats")
     stats: dict[str, tuple[int, int]] = {}
     for dirpath, _dirnames, filenames in os.walk(root):
         data = [
@@ -143,6 +164,7 @@ def schema_drift(spark: SparkSession, table_root: str) -> list[dict]:
     """
     import pyarrow.parquet as pq
 
+    _require_local(table_root, "schema_drift")
     files = []
     for dirpath, _dirnames, filenames in os.walk(table_root):
         files.extend(
@@ -259,6 +281,7 @@ def _gold_watermark(data_dir: str) -> dict:
     returned. Only a table with NEITHER raises."""
     import json as _json
 
+    _require_local(data_dir, "_gold_watermark")
     _heal_gold_aside(data_dir)
     if not os.path.exists(data_dir):
         return {}

@@ -273,6 +273,25 @@ print("done")
     assert len(pids) == 4  # all four writers really won claims
 
 
+def test_maintenance_layer_rejects_uri_paths():
+    """The rename/walk/sidecar maintenance machinery must FAIL LOUDLY
+    on bucket paths, not silently no-op: os.walk over 's3://...'
+    yields nothing (compaction reports the table clean, schema_drift
+    reports no drift) and os.path.exists reads absent (_gold_watermark
+    would return the never-written epoch and a gold fold would
+    double-apply)."""
+    from server_spark.plans import maintenance as mnt
+
+    for fn, args in (
+        (mnt.partition_file_stats, ("s3://bucket/lake/gold",)),
+        (mnt.schema_drift, (None, "s3://bucket/lake/gold")),
+        (mnt._gold_watermark, ("s3://bucket/lake/gold/t",)),
+        (med.compact_small_files, (None, "s3://bucket/lake/gold")),
+    ):
+        with pytest.raises(ValueError, match="local-FS only"):
+            fn(*args)
+
+
 def test_burned_id_skipped_through_backend_on_uri_root():
     """Crash recovery is backend-independent: a claim with no manifest
     append (writer died between the two) BURNS that version, and the
