@@ -402,7 +402,12 @@ def _robust_accept_queries(fresh_doc: dict) -> tuple[dict, int]:
     if rounds:
         try:
             sources.append(load_doc(rounds[-1])["queries"])
-        except BenchArtifactError:
+        except (OSError, ValueError, BenchArtifactError):
+            # same degradation as the BASELINE source above (r13
+            # review: a truncated/non-JSON round artifact raises
+            # JSONDecodeError before BenchArtifactError is reachable,
+            # and the end-of-round --accept must fall back to fewer
+            # sources, not traceback)
             pass
     damped = 0
     out: dict[str, float] = {}

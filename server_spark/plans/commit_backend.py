@@ -39,24 +39,71 @@ from __future__ import annotations
 import importlib
 import json
 import os
+import re
 import tempfile
 import time
 
 
+_URI_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]+):")
+
+
+def local_path(path: str, what: str) -> str:
+    """THE one scheme gate for every POSIX-machinery entry point
+    (r13 review: the check was copy-pasted four ways and already
+    drifting — one variant case-insensitive, the others not, and
+    lowercase ``file:`` URIs slipped through to os.walk/open, which
+    silently no-op on them). Non-file URI schemes raise; ``file:``
+    URIs normalize to the plain path (rejecting remote hosts); plain
+    paths pass through. Case-insensitive per RFC 3986."""
+    m = _URI_RE.match(path)
+    if not m:
+        return path
+    if m.group(1).lower() != "file":
+        raise ValueError(
+            f"{what} is local-FS only (rename/walk/sidecar machinery); "
+            f"got URI path {path!r}. Use a commit-backend/table-format "
+            "deployment for object stores."
+        )
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(path)
+    if parsed.netloc not in ("", "localhost"):
+        raise ValueError(
+            f"{what} rejects remote-host file URIs: {path!r} "
+            f"(netloc {parsed.netloc!r})"
+        )
+    return unquote(parsed.path)
+
+
+def is_uri(path: str) -> bool:
+    """True for any non-file URI scheme (the backend-routed case)."""
+    m = _URI_RE.match(path)
+    return bool(m) and m.group(1).lower() != "file"
+
+
 class LocalFSBackend:
-    """The default: POSIX primitives, identical behavior to the
-    pre-r13 inline os.* code (O_EXCL claim, listdir, unlink)."""
+    """The default: POSIX primitives with object-store EXPOSURE
+    semantics — every object appears fully-written or not at all.
+    put_if_absent stages the payload to a temp file and claims the
+    key with ``os.link`` (atomic fail-if-exists): the r13 review
+    showed the earlier O_EXCL-then-write form exposed a torn (empty)
+    payload between create and write, which the backend lock's
+    staleness reader misread as an infinitely-stale claim and broke
+    a milliseconds-old LIVE lock."""
 
     def put_if_absent(self, path: str, payload: bytes) -> bool:
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
+        fd, staged = tempfile.mkstemp(dir=os.path.dirname(path))
         try:
             os.write(fd, payload)
         finally:
             os.close(fd)
+        try:
+            os.link(staged, path)  # atomic: fails iff key exists
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(staged)
         return True
 
     def put(self, path: str, payload: bytes) -> None:
@@ -80,8 +127,16 @@ class LocalFSBackend:
     def list_names(self, prefix: str):
         # a GENERATOR: the never-written probe consumes one element of
         # a huge tree; materializing would walk all of bronze per
-        # ingest (r13 self-review)
-        for root, _dirs, files in os.walk(prefix):
+        # ingest (r13 self-review). Hidden/temporary SUBTREES are
+        # pruned during the walk (r13 review: a crashed first write's
+        # _temporary tree holds thousands of task files the probe
+        # would otherwise enumerate one-by-one per ingest) — files
+        # directly under the prefix still list even when the prefix
+        # itself is hidden-named (the _claims dir). Object-store
+        # backends can't prune a flat keyspace; the consumers'
+        # hidden-component filters remain the semantic gate there.
+        for root, dirs, files in os.walk(prefix):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             rel = os.path.relpath(root, prefix)
             for f in files:
                 yield f if rel == "." else os.path.join(rel, f)
@@ -94,31 +149,15 @@ class LocalFSBackend:
 
 
 class LinkConditionalPutBackend(LocalFSBackend):
-    """CONTRACT FAKE for tests: a conditional-put backend that does
-    NOT use O_EXCL — it stages the payload to a unique temp object and
-    claims the key with ``os.link`` (atomic fail-if-exists on POSIX),
-    which is the closest local analog of an S3 ``If-None-Match: *``
-    PUT: the object appears fully-written or not at all, and exactly
-    one of N concurrent writers of the same key wins. Running the
-    multi-process mint race over THIS backend proves the claim
-    machinery's correctness comes from the protocol contract, not
-    from the specific O_EXCL primitive the default backend happens to
-    use."""
-
-    def put_if_absent(self, path: str, payload: bytes) -> bool:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        fd, staged = tempfile.mkstemp(dir=os.path.dirname(path))
-        try:
-            os.write(fd, payload)
-        finally:
-            os.close(fd)
-        try:
-            os.link(staged, path)  # atomic: fails iff key exists
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(staged)
-        return True
+    """Historical alias, kept as the tests' named contract fake. It
+    was introduced as the NON-O_EXCL conditional-put backend (stage +
+    os.link, the local analog of an S3 ``If-None-Match: *`` PUT) to
+    prove the claim machinery's correctness comes from the protocol
+    contract rather than the O_EXCL primitive the default backend
+    then used; the r13 review promoted that exact implementation INTO
+    LocalFSBackend (atomic exposure — see its docstring), so this is
+    now an empty subclass. The multi-process mint race still runs
+    over this name."""
 
 
 def injected_backend():

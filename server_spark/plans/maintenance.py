@@ -29,13 +29,12 @@ from __future__ import annotations
 import contextlib
 import math
 import os
-import re
 import shutil
 
 from pyspark.sql import SparkSession
 
 
-def _require_local(path: str, what: str) -> None:
+def _require_local(path: str, what: str) -> str:
     """This whole module is POSIX machinery — rename swaps, os.walk
     listings, open() watermark sidecars. With object-store roots now
     reachable through the commit backend (r13, plans/commit_backend),
@@ -45,19 +44,20 @@ def _require_local(path: str, what: str) -> None:
     would return the never-written epoch and a gold fold would
     silently DOUBLE-APPLY onto state it could not see). The
     object-store answer for this layer stays a transactional table
-    format, not these primitives."""
-    if re.match(r"^(?!file:)[a-zA-Z][a-zA-Z0-9+.-]+:", path):
-        raise ValueError(
-            f"{what} is local-FS only (rename/walk/sidecar machinery); "
-            f"got URI path {path!r}. Use Delta/Iceberg-style table "
-            "maintenance on object stores."
-        )
+    format, not these primitives. Delegates to the repo's ONE scheme
+    gate (plans.commit_backend.local_path), which also NORMALIZES
+    ``file:`` URIs — callers must use the returned path, or a
+    'file:/tmp/...' spelling would sail past the bucket check and
+    still no-op in os.walk (r13 review)."""
+    from server_spark.plans.commit_backend import local_path
+
+    return local_path(path, what)
 
 
 def partition_file_stats(root: str) -> dict[str, tuple[int, int]]:
     """{leaf partition dir → (n_data_files, total_bytes)} for a
     (possibly nested) partitioned parquet dataset."""
-    _require_local(root, "partition_file_stats")
+    root = _require_local(root, "partition_file_stats")
     stats: dict[str, tuple[int, int]] = {}
     for dirpath, _dirnames, filenames in os.walk(root):
         data = [
@@ -164,7 +164,7 @@ def schema_drift(spark: SparkSession, table_root: str) -> list[dict]:
     """
     import pyarrow.parquet as pq
 
-    _require_local(table_root, "schema_drift")
+    table_root = _require_local(table_root, "schema_drift")
     files = []
     for dirpath, _dirnames, filenames in os.walk(table_root):
         files.extend(
@@ -281,7 +281,7 @@ def _gold_watermark(data_dir: str) -> dict:
     returned. Only a table with NEITHER raises."""
     import json as _json
 
-    _require_local(data_dir, "_gold_watermark")
+    data_dir = _require_local(data_dir, "_gold_watermark")
     _heal_gold_aside(data_dir)
     if not os.path.exists(data_dir):
         return {}
@@ -451,7 +451,14 @@ def refresh_churn_gold(spark, paths) -> int:
 
     from server_spark.plans.medallion import load_manifest
 
-    gold_dir = os.path.join(paths.root, "gold", "churn_incr")
+    # r13 review: this refresh keeps its own raw sidecar (gold_dir-
+    # level, see the crash-safety note below) rather than going
+    # through _gold_watermark, so it needs the loud-URI gate itself —
+    # on a bucket root os.path.exists would read absent, last would
+    # reset to 0, and every refresh would silently re-pair the ENTIRE
+    # history while the sidecar landed in a literal './s3:/...' dir.
+    root = _require_local(paths.root, "refresh_churn_gold")
+    gold_dir = os.path.join(root, "gold", "churn_incr")
     wm_file = os.path.join(gold_dir, "_watermark")
     data_dir = os.path.join(gold_dir, "data")
 

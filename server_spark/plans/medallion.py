@@ -26,7 +26,6 @@ from __future__ import annotations
 import contextlib
 import json
 import os
-import re
 import threading
 import time
 from dataclasses import dataclass
@@ -79,13 +78,12 @@ class MedallionPaths:
         # colon alone marks a scheme (RFC 3986 allows scheme:opaque
         # with no slash — 'file:rel/lake', 's3:bucket' are URIs too);
         # the 2+-char scheme keeps Windows drive letters out
-        m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]+):", self.root)
-        if m and m.group(1).lower() != "file":
+        if cb.is_uri(self.root):
             if self.backend is None and cb.injected_backend() is None:
                 raise ValueError(
                     f"MedallionPaths is local-FS only without a commit "
                     f"backend (os.rename/O_EXCL transaction machinery); "
-                    f"got scheme '{m.group(1)}://' in {self.root!r}. "
+                    f"got URI root {self.root!r}. "
                     "Supply backend= or set SPARK_GRAFT_COMMIT_BACKEND "
                     "(plans/commit_backend.py), or use a Delta/Iceberg-"
                     "backed deployment."
@@ -93,16 +91,10 @@ class MedallionPaths:
             self.is_uri = True
             return
         self.is_uri = False
-        if m:  # file URI — normalize to a plain path for the os.* side
-            from urllib.parse import unquote, urlparse
-
-            parsed = urlparse(self.root)
-            if parsed.netloc not in ("", "localhost"):
-                raise ValueError(
-                    f"MedallionPaths rejects remote-host file URIs: "
-                    f"{self.root!r} (netloc {parsed.netloc!r})"
-                )
-            self.root = unquote(parsed.path)
+        # file: URIs normalize to a plain path for the os.* side; the
+        # scheme rule lives in ONE place (cb.local_path, r13 review —
+        # the four hand-rolled copies had already drifted)
+        self.root = cb.local_path(self.root, "MedallionPaths")
 
     @property
     def bronze(self) -> str:
@@ -196,16 +188,23 @@ def commit_lock(
     evicts a live claim) — what they pin instead is that the claim
     layer converts that into detected retries with an uncorrupted
     version log (tests/test_commit_lock.py)."""
+    # r13 review finding: resolve the env-injected backend for EVERY
+    # root, not just URI roots — a deployment with the env hook set
+    # locks local trees through the backend too (ingest/gold callers
+    # already did via _lock_backend), so a direct commit_lock caller
+    # (compaction's lock_root) shares the same lock namespace instead
+    # of silently splitting POSIX-vs-backend and voiding exclusion.
+    backend = backend or cb.injected_backend()
+    if backend is None and cb.is_uri(root):
+        raise ValueError(
+            f"commit_lock on URI root {root!r} needs a commit "
+            "backend (plans/commit_backend.py)"
+        )
+    if backend is None:
+        # normalizes file: URIs so the lockfile can't land in a
+        # literal './file:/...' directory (shared gate, r13 review)
+        root = cb.local_path(root, "commit_lock")
     lockfile = os.path.join(root, "manifest", ".commit.lock")
-    if backend is None and re.match(
-        r"^(?!file:)[a-zA-Z][a-zA-Z0-9+.-]+:", root
-    ):
-        backend = cb.injected_backend()
-        if backend is None:
-            raise ValueError(
-                f"commit_lock on URI root {root!r} needs a commit "
-                "backend (plans/commit_backend.py)"
-            )
     if backend is not None:
         with _backend_lock(lockfile, backend, timeout, stale_after):
             yield
@@ -331,18 +330,24 @@ def _backend_lock(lockfile: str, backend, timeout: float,
         return bool(d) and d.get("token") == token
 
     while not backend.put_if_absent(lockfile, cb.lock_payload(token)):
+        # deadline first, on EVERY path (r13 review: the release-race
+        # and stale-break continues skipped it, so a starved
+        # contender under claim/release churn hot-looped the backend
+        # forever instead of raising the documented TimeoutError)
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f"commit lock {lockfile} contended for more than "
+                f"{timeout}s"
+            )
         d = _doc()
         if d is None:
-            continue  # holder released between claim and read
+            time.sleep(0.01)  # holder released between claim and read
+            continue
         beat = d.get("beat_at") or d.get("claimed_at") or 0
         if time.time() - beat > stale_after:
             backend.delete(lockfile)  # best-effort break (see above)
+            time.sleep(0.01)
             continue
-        if time.monotonic() > deadline:
-            raise TimeoutError(
-                f"commit lock {lockfile} held for "
-                f"{time.time() - beat:.0f}s (timeout {timeout}s)"
-            )
         time.sleep(0.05)
     stop_beat = threading.Event()
 
@@ -601,7 +606,13 @@ def _prune_claims(paths: MedallionPaths, below: int) -> None:
     # directory the deletes mutate
     for n in list(be.list_names(_claims_dir(paths))):
         if n.isdigit() and int(n) < below:
-            be.delete(os.path.join(_claims_dir(paths), n))
+            # housekeeping, not correctness (r13 review: the pre-
+            # backend code suppressed OSError here for the same
+            # reason) — a permission-denied delete of ANOTHER
+            # writer's committed claim must not fail an ingest whose
+            # manifest append already succeeded
+            with contextlib.suppress(OSError):
+                be.delete(os.path.join(_claims_dir(paths), n))
 
 
 def _claim_batch_id(paths: MedallionPaths, batch_id: int) -> bool:
@@ -830,12 +841,8 @@ def compact_small_files(
     # "0 compacted, 0 skipped" as if the table were clean (r13, with
     # the object-store commit backend landing: the compaction layer
     # stays local-FS-only BY CONTRACT; Delta/Iceberg OPTIMIZE is the
-    # bucket answer).
-    if re.match(r"^(?!file:)[a-zA-Z][a-zA-Z0-9+.-]+:", table_dir):
-        raise ValueError(
-            f"compact_small_files is local-FS only (two-rename swap); "
-            f"got URI table_dir {table_dir!r}"
-        )
+    # bucket answer). Shared gate also normalizes file: URIs.
+    table_dir = cb.local_path(table_dir, "compact_small_files")
 
     # One swap implementation for the whole repo: the scratch naming
     # (DOT-prefixed, invisible to Spark's file index and partition

@@ -45,10 +45,17 @@ def get_spark(
     # query: pinning 1 BLAS thread moved x14_ivf_topk's isolated
     # median 2.24 s -> 1.58 s (back to its r9-r12 band) and cut
     # x129's run spread from 1.37x to 1.15x. Must be set BEFORE the
-    # JVM launches (workers inherit the JVM's env, frozen at launch);
+    # JVM GATEWAY launches (workers inherit the JVM's env, frozen at
+    # launch) — gated on the gateway like the driver-memory block
+    # below, NOT on getActiveSession(): after spark.stop() the active
+    # session is None but the gateway JVM persists with its
+    # launch-time env, so a setdefault there would APPEAR to apply
+    # while new workers stayed unpinned (r13 review).
     # setdefault so a deployment that wants threaded BLAS (one task
     # per host, giant matmuls) can still override at launch.
-    if SparkSession.getActiveSession() is None:
+    from pyspark import SparkContext
+
+    if SparkContext._gateway is None:
         for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
                     "MKL_NUM_THREADS"):
             os.environ.setdefault(var, "1")
@@ -58,8 +65,6 @@ def get_spark(
     # no-op once pyspark has spawned the JVM. If we're first (no
     # gateway yet), inject it into PYSPARK_SUBMIT_ARGS, the only
     # channel the gateway launcher reads in local mode.
-    from pyspark import SparkContext
-
     if SparkContext._gateway is None:
         mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
         submit = os.environ.get("PYSPARK_SUBMIT_ARGS", "pyspark-shell")

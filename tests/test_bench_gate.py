@@ -332,6 +332,27 @@ def test_robust_accept_degrades_to_fresh_without_history(tmp_path,
     assert merged["queries"] == {"q": 9.9}
 
 
+def test_robust_accept_survives_malformed_round_artifact(tmp_path,
+                                                         monkeypatch):
+    """r13 review: a truncated round artifact raises JSONDecodeError
+    (a ValueError) before BenchArtifactError is reachable — --accept
+    must degrade to fewer sources, not traceback at the end-of-round
+    ritual."""
+    from scripts import bench_diff as bd
+
+    monkeypatch.setattr(bd, "REPO", tmp_path)
+    monkeypatch.setattr(bd, "BASELINE", tmp_path / "bench_baseline.json")
+    monkeypatch.setattr(bd, "FRESH", tmp_path / "BENCH_FULL.json")
+    (tmp_path / "bench_baseline.json").write_text(json.dumps(
+        {"queries": {"q": 1.0}}))
+    (tmp_path / "BENCH_r07.json").write_text("truncated{{{not json")
+    (tmp_path / "BENCH_FULL.json").write_text(json.dumps(
+        {"queries": {"q": 2.0}}))
+    assert bd.main(["--accept"]) == 0
+    merged = json.loads((tmp_path / "bench_baseline.json").read_text())
+    assert merged["queries"] == {"q": 2.0}  # two sources -> fresh wins
+
+
 def test_compact_line_trim_keeps_headline_entries():
     """r13 advisor finding: the over-budget trim dropped the globally
     FASTEST query each pass — which is usually a sub-second HEADLINE

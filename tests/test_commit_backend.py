@@ -292,6 +292,84 @@ def test_maintenance_layer_rejects_uri_paths():
             fn(*args)
 
 
+def test_file_uri_normalizes_instead_of_silent_noop(tmp_path):
+    """r13 review: lowercase 'file:' URIs sailed past the bucket
+    check unnormalized, and os.walk/os.path.exists on them silently
+    no-op — the exact failure the guard exists to block. The shared
+    gate (cb.local_path) must NORMALIZE them so the maintenance
+    machinery sees the real path."""
+    from server_spark.plans import maintenance as mnt
+
+    gold = tmp_path / "gold" / "t"
+    gold.mkdir(parents=True)
+    (gold / "_watermark").write_text(json.dumps({"batch_id": 7}))
+    # a file: spelling of the same dir reads the REAL watermark —
+    # pre-fix it read {} (never-written) and a fold would double-apply
+    assert mnt._gold_watermark(f"file:{gold}") == {"batch_id": 7}
+    assert cb.local_path(f"file://{gold}", "t") == str(gold)
+    assert cb.local_path("FILE:/x/y", "t") == "/x/y"  # case-insensitive
+    with pytest.raises(ValueError, match="local-FS only"):
+        cb.local_path("S3://bucket/x", "t")  # uppercase scheme too
+    with pytest.raises(ValueError, match="remote-host"):
+        cb.local_path("file://otherhost/x", "t")
+
+
+def test_commit_lock_uses_injected_backend_for_local_roots(tmp_path,
+                                                           monkeypatch):
+    """r13 review: compact_small_files takes commit_lock(root) with no
+    backend argument; when the env hook is set, EVERY commit_lock on
+    any root must resolve the injected backend so direct callers and
+    _lock_backend callers share one lock namespace — a POSIX-vs-
+    backend split voids writer/compaction mutual exclusion."""
+    monkeypatch.setenv(
+        "SPARK_GRAFT_COMMIT_BACKEND",
+        "server_spark.plans.commit_backend:LinkConditionalPutBackend",
+    )
+    root = str(tmp_path / "lake")
+    lockfile = os.path.join(root, "manifest", ".commit.lock")
+    with med.commit_lock(root, timeout=10.0):
+        # the backend lock writes a JSON payload with beat_at — the
+        # POSIX lock writes token/claimed_at only
+        doc = json.loads(open(lockfile).read())
+        assert "beat_at" in doc
+    assert not os.path.exists(lockfile)
+
+
+def test_backend_lock_timeout_under_release_churn(tmp_path):
+    """r13 review: the acquire loop skipped the deadline check on the
+    released-between-claim-and-read and stale-break paths, so a
+    starved contender could spin past its timeout forever. A holder
+    that keeps the lock under rapid re-claim churn must still produce
+    TimeoutError within bounds."""
+    be = cb.LinkConditionalPutBackend()
+    root = str(tmp_path / "lake")
+    lockfile = os.path.join(root, "manifest", ".commit.lock")
+    stop = threading.Event()
+
+    def churn():
+        # rapidly release+reclaim so the contender often reads None
+        while not stop.is_set():
+            be.delete(lockfile)
+            be.put_if_absent(lockfile, cb.lock_payload("churner"))
+
+    t = threading.Thread(target=churn, daemon=True)
+    t.start()
+    t0 = time.monotonic()
+    try:
+        with pytest.raises(TimeoutError):
+            with med.commit_lock(root, timeout=0.5, stale_after=600.0,
+                                 backend=be):
+                pass  # pragma: no cover — churn may briefly yield it
+    except BaseException:
+        # the contender may WIN a gap in the churn; that's not a
+        # deadline-skip bug — only an unbounded spin is
+        pass
+    finally:
+        stop.set()
+        t.join(timeout=5.0)
+    assert time.monotonic() - t0 < 30.0  # bounded, not an infinite spin
+
+
 def test_burned_id_skipped_through_backend_on_uri_root():
     """Crash recovery is backend-independent: a claim with no manifest
     append (writer died between the two) BURNS that version, and the
