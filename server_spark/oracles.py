@@ -168,3 +168,94 @@ _HOLT_KERNEL = """
 
 def holt_kernel(src: str, grp: str) -> str:
     return _HOLT_KERNEL.replace("{SRC}", src).replace("{GRP}", grp)
+
+
+# ---------------------------------------------------------------------------
+# BPE training (Sennrich 2016) as ONE recursive CTE (r13, x54's
+# oracle). Working-table row = one word type's evolving symbol LIST;
+# per iteration the single recursive reference is unnested to
+# positions, the global argmax pair (count DESC, left, right — the
+# trainer's exact tiebreak) reaches every row via a whole-partition
+# window (no second recursive reference), and greedy left-to-right
+# merging is run-parity arithmetic: a match at i can only chain into
+# a match at i+1 when left == right, so runs of matches merge at even
+# offsets (aaaa + (a,a) -> aa aa) and non-chaining matches merge
+# wherever the previous position did not.
+#
+# Expects a CTE named ``wf(word, freq)`` (BIGINT freq) defined before
+# it inside a WITH RECURSIVE; emits ``rec`` and the final SELECT of
+# the merge table (merge_rank, left, right, merged, pair_count) in
+# rank order. Stops early when the best pair's count < 2, matching
+# train_bpe_fast.
+_BPE_KERNEL = """
+rec(it, word, freq, syms, l, r, n) AS (
+    SELECT 0, word, freq,
+           list_append(regexp_split_to_array(word, ''), '</w>'),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT)
+    FROM wf
+    UNION ALL
+    SELECT it + 1, word, freq,
+           list(CASE WHEN mstart THEN s || br ELSE s END ORDER BY i),
+           bl, br, bn
+    FROM (
+        SELECT *,
+               LAG(mstart) OVER (PARTITION BY it, word ORDER BY i)
+                   AS pstart
+        FROM (
+            SELECT *,
+                   (ismatch AND (ROW_NUMBER() OVER
+                       (PARTITION BY it, word, runid, ismatch
+                        ORDER BY i) - 1) % 2 = 0) AS mstart
+            FROM (
+                SELECT *,
+                       (s = bl AND coalesce(nxt = br, FALSE)) AS ismatch,
+                       SUM(CASE WHEN s = bl
+                                 AND coalesce(nxt = br, FALSE)
+                                THEN 0 ELSE 1 END)
+                         OVER (PARTITION BY it, word ORDER BY i) AS runid
+                FROM (
+                    SELECT *,
+                           FIRST_VALUE(pl) OVER wbest AS bl,
+                           FIRST_VALUE(pr) OVER wbest AS br,
+                           FIRST_VALUE(cnt) OVER wbest AS bn
+                    FROM (
+                        SELECT it, word, freq, i,
+                               syms[i] AS s, syms[i + 1] AS nxt,
+                               CASE WHEN i < len(syms)
+                                    THEN syms[i] END AS pl,
+                               CASE WHEN i < len(syms)
+                                    THEN syms[i + 1] END AS pr,
+                               CASE WHEN i < len(syms) THEN
+                                   SUM(CASE WHEN i < len(syms)
+                                            THEN freq END)
+                                     OVER (PARTITION BY it, syms[i],
+                                           syms[i + 1])
+                               END AS cnt
+                        FROM rec,
+                             LATERAL (SELECT unnest(
+                                 range(1, len(syms) + 1)) AS i)
+                        WHERE it < {N_MERGES}
+                    )
+                    WINDOW wbest AS (
+                        PARTITION BY it
+                        ORDER BY (cnt IS NULL), cnt DESC, pl, pr
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING
+                    )
+                )
+            )
+        )
+    )
+    WHERE NOT coalesce(pstart, FALSE) AND bn >= 2
+    GROUP BY it, word, freq, bl, br, bn
+)
+SELECT CAST(it AS INTEGER) AS merge_rank,
+       l AS left, r AS right, l || r AS merged,
+       n AS pair_count
+FROM (SELECT DISTINCT it, l, r, n FROM rec WHERE it >= 1)
+ORDER BY merge_rank"""
+
+
+def bpe_kernel(n_merges: int) -> str:
+    return _BPE_KERNEL.replace("{N_MERGES}", str(int(n_merges)))

@@ -1182,6 +1182,8 @@ def x46_maximal_removed_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+from server_spark.oracles import bpe_kernel as _bpe_kernel
+
 # x54's ORACLE (r13 promotion, VERDICT r12 item 4): the full BPE
 # training loop as ONE recursive CTE. The r12 "no SQL twin" label fell
 # to the same techniques that promoted Holt/PAVA/PageRank: the working
@@ -1208,74 +1210,7 @@ wf AS (
     WHERE word <> ''
     GROUP BY word
 ),
-rec(it, word, freq, syms, l, r, n) AS (
-    SELECT 0, word, freq,
-           list_append(regexp_split_to_array(word, ''), '</w>'),
-           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-           CAST(NULL AS BIGINT)
-    FROM wf
-    UNION ALL
-    SELECT it + 1, word, freq,
-           list(CASE WHEN mstart THEN s || br ELSE s END ORDER BY i),
-           bl, br, bn
-    FROM (
-        SELECT *,
-               LAG(mstart) OVER (PARTITION BY it, word ORDER BY i)
-                   AS pstart
-        FROM (
-            SELECT *,
-                   (ismatch AND (ROW_NUMBER() OVER
-                       (PARTITION BY it, word, runid, ismatch
-                        ORDER BY i) - 1) % 2 = 0) AS mstart
-            FROM (
-                SELECT *,
-                       (s = bl AND coalesce(nxt = br, FALSE)) AS ismatch,
-                       SUM(CASE WHEN s = bl
-                                 AND coalesce(nxt = br, FALSE)
-                                THEN 0 ELSE 1 END)
-                         OVER (PARTITION BY it, word ORDER BY i) AS runid
-                FROM (
-                    SELECT *,
-                           FIRST_VALUE(pl) OVER wbest AS bl,
-                           FIRST_VALUE(pr) OVER wbest AS br,
-                           FIRST_VALUE(cnt) OVER wbest AS bn
-                    FROM (
-                        SELECT it, word, freq, i,
-                               syms[i] AS s, syms[i + 1] AS nxt,
-                               CASE WHEN i < len(syms)
-                                    THEN syms[i] END AS pl,
-                               CASE WHEN i < len(syms)
-                                    THEN syms[i + 1] END AS pr,
-                               CASE WHEN i < len(syms) THEN
-                                   SUM(CASE WHEN i < len(syms)
-                                            THEN freq END)
-                                     OVER (PARTITION BY it, syms[i],
-                                           syms[i + 1])
-                               END AS cnt
-                        FROM rec,
-                             LATERAL (SELECT unnest(
-                                 range(1, len(syms) + 1)) AS i)
-                        WHERE it < 12
-                    )
-                    WINDOW wbest AS (
-                        PARTITION BY it
-                        ORDER BY (cnt IS NULL), cnt DESC, pl, pr
-                        ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND UNBOUNDED FOLLOWING
-                    )
-                )
-            )
-        )
-    )
-    WHERE NOT coalesce(pstart, FALSE) AND bn >= 2
-    GROUP BY it, word, freq, bl, br, bn
-)
-SELECT CAST(it AS INTEGER) AS merge_rank,
-       l AS left, r AS right, l || r AS merged,
-       n AS pair_count
-FROM (SELECT DISTINCT it, l, r, n FROM rec WHERE it >= 1)
-ORDER BY merge_rank
-"""
+""" + _bpe_kernel(12)
 
 
 @register(

@@ -133,3 +133,40 @@ def test_j9_scd2_invariants(spark, sf_dir):
         for a, b in zip(hist, hist[1:]):
             assert a.effective_to == b.effective_from, user
             assert a.state != b.state, user
+
+
+def test_a2b_gk_exact_small_groups_matches_quantile_disc(spark):
+    """The premise of a2b's r13 oracle promotion, pinned in-suite:
+    Spark's approx_percentile (Greenwald-Khanna) is EXACT whenever a
+    group holds fewer rows than its accuracy parameter, and in that
+    regime it picks the same lower-middle element DuckDB's
+    quantile_disc(0.5) does — across odd/even counts, duplicates,
+    singletons, two-element groups and skew. If a Spark upgrade ever
+    changes GK's small-n element choice, this fails before the
+    parity gate does."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    cases = {
+        "odd": [1.0, 2.0, 3.0],
+        "even": [1.0, 2.0, 3.0, 4.0],
+        "dups": [1.0, 1.0, 2.0, 2.0],
+        "two": [5.0, 7.0],
+        "one": [42.0],
+        "six": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        "skew": [1.0, 1.0, 1.0, 9.0],
+        "neg": [-3.0, -1.0, -2.0, -2.0, 0.5],
+    }
+    rows = [(k, v) for k, vals in cases.items() for v in vals]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {
+        r["g"]: r["p"]
+        for r in df.groupBy("g")
+        .agg(F.expr("approx_percentile(x, 0.5, 10000)").alias("p"))
+        .collect()
+    }
+    for k, vals in cases.items():
+        want = duckdb.sql(
+            f"select quantile_disc(x, 0.5) from (select unnest({vals}) x)"
+        ).fetchone()[0]
+        assert got[k] == want, (k, got[k], want)

@@ -191,3 +191,95 @@ def test_hindex_recursion_equals_textbook_peeling(raw):
     got = dict(con.execute(_CORE_SQL).fetchall())
     want = _coreness_peeling(edges)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# BPE recursion (r13, x54's oracle kernel): global argmax via
+# whole-partition window + greedy merge as run-parity arithmetic.
+# ---------------------------------------------------------------------------
+
+from server_spark.oracles import bpe_kernel  # noqa: E402
+
+
+def _bpe_reference(wf: dict[str, int], n_merges: int):
+    """Textbook greedy BPE over a word-frequency table — the exact
+    semantics of textstats.bpe.train_bpe_fast (count-desc, (l, r)
+    lexicographic tiebreak, greedy left-to-right merge, stop when the
+    best pair's count < 2)."""
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in wf.items()}
+    merges = []
+    for it in range(n_merges):
+        pairs: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        (left, right), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append((it + 1, left, right, left + right, n))
+        new_vocab: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            key = tuple(res)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    words=st.lists(
+        # tiny alphabet on purpose: forces count ties (the
+        # lexicographic tiebreak), self-pairs ('aa' — the run-parity
+        # overlap arithmetic), and merged-symbol reuse across rounds
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        min_size=1, max_size=12,
+    ),
+    freqs=st.data(),
+    n_merges=st.integers(min_value=1, max_value=6),
+)
+def test_bpe_recursion_matches_greedy_reference(words, freqs, n_merges):
+    wf = {
+        w: freqs.draw(st.integers(min_value=1, max_value=9))
+        for w in set(words)
+    }
+    values = ", ".join(
+        f"('{w}', CAST({f} AS BIGINT))" for w, f in sorted(wf.items())
+    )
+    sql = (
+        f"WITH RECURSIVE wf(word, freq) AS (VALUES {values}),\n"
+        + bpe_kernel(n_merges)
+    )
+    got = duckdb.sql(sql).fetchall()
+    assert got == _bpe_reference(wf, n_merges)
+
+
+def test_bpe_recursion_run_parity_edge_cases():
+    """The adversarial shapes the run-parity arithmetic exists for:
+    odd/even self-pair runs, a run broken by the end marker, and a
+    tie decided lexicographically."""
+    cases = [
+        ({"aaaa": 3}, 3),          # even run: aa aa
+        ({"aaaaa": 3}, 3),         # odd run: aa aa a
+        ({"abab": 2, "aa": 2}, 4), # non-chaining matches + tie-break
+        ({"a": 5}, 2),             # single symbol + end marker only
+    ]
+    for wf, n in cases:
+        values = ", ".join(
+            f"('{w}', CAST({f} AS BIGINT))" for w, f in sorted(wf.items())
+        )
+        sql = (
+            f"WITH RECURSIVE wf(word, freq) AS (VALUES {values}),\n"
+            + bpe_kernel(n)
+        )
+        assert duckdb.sql(sql).fetchall() == _bpe_reference(wf, n), wf
