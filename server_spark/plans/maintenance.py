@@ -39,7 +39,7 @@ def _require_local(path: str, what: str) -> str:
     listings, open() watermark sidecars. With object-store roots now
     reachable through the commit backend (r13, plans/commit_backend),
     a URI path arriving HERE must fail loudly: os.walk over
-    's3://...' silently yields nothing (a compaction reports the
+    a bucket URI silently yields nothing (a compaction reports the
     table clean) and os.path.exists reads 'absent' (_gold_watermark
     would return the never-written epoch and a gold fold would
     silently DOUBLE-APPLY onto state it could not see). The

@@ -275,7 +275,7 @@ print("done")
 
 def test_maintenance_layer_rejects_uri_paths():
     """The rename/walk/sidecar maintenance machinery must FAIL LOUDLY
-    on bucket paths, not silently no-op: os.walk over 's3://...'
+    on bucket paths, not silently no-op: os.walk over a bucket URI
     yields nothing (compaction reports the table clean, schema_drift
     reports no drift) and os.path.exists reads absent (_gold_watermark
     would return the never-written epoch and a gold fold would
