@@ -41,9 +41,6 @@ ROWS_ONLY_REASONS = {
         "x8b hash-verifies the identical banding pipeline"),
     "x9_simhash_fingerprint": (
         "same hash-primitive reason as x8; value-verified twin x9b"),
-    "x11_lsh_cosine_topk": (
-        "random-hyperplane LSH over float dot products — plane "
-        "assignment flips on summation-order ulps across engines"),
     "x14_ivf_topk": (
         "trained k-means coarse quantizer (float iteration) — "
         "centroid ulps flip assignments; recall pinned vs x3 instead"),

@@ -248,12 +248,75 @@ def _seeded_tables(
     ]
 
 
+# x11's ORACLE (r13 promotion, VERDICT r12 item 4): the r12 label
+# said "plane choice is engine-side state", but the planes are a
+# seeded CONSTANT — so they embed as SQL literals (repr doubles are
+# shortest-roundtrip; DuckDB's correctly-rounded parse reconstructs
+# the identical float64) and the whole pipeline (signatures → bucket
+# equi-join → exact cosine rerank) is plain SQL. Documented residual:
+# the sign gate (dot >= 0) is the one ulp-exact decision — Spark's
+# numpy matmul and DuckDB's SUM may order the 64-term reduction
+# differently, so a plane-dot landing within ~1e-13 of zero could
+# flip a bucket; for N(0,1)-ish embeddings that is ~1e-14 per
+# (vector, plane) ≈ 1e-9 per parity run — accepted, and a flip
+# surfaces loudly as a hash mismatch, never silently.
+def _x11_sql() -> str:
+    planes_values = ", ".join(
+        f"({t}, {p}, {i + 1}, CAST({w!r} AS DOUBLE))"
+        for t, table in enumerate(_seeded_tables())
+        for p, plane in enumerate(table)
+        for i, w in enumerate(plane)
+    )
+    return f"""
+    WITH {_EE_SQL},
+    planes(tbl, pl, i, w) AS (VALUES {planes_values}),
+    pdots AS (
+        SELECT e.vec_id, p.tbl, p.pl, SUM(e.v * p.w) AS d
+        FROM ee e JOIN planes p USING (i)
+        GROUP BY 1, 2, 3
+    ),
+    sig AS (
+        SELECT vec_id, tbl,
+               SUM(CASE WHEN d >= 0 THEN 1 << pl ELSE 0 END) AS bucket
+        FROM pdots GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS qid, e.vec_id AS vid
+        FROM sig q JOIN sig e USING (tbl, bucket)
+        WHERE q.vec_id < {N_QUERY_VECS} AND e.vec_id <> q.vec_id
+    ),
+    dots AS (
+        SELECT c.qid, c.vid, SUM(a.v * b.v) AS dot
+        FROM cand c
+        JOIN ee a ON a.vec_id = c.qid
+        JOIN ee b ON b.vec_id = c.vid AND b.i = a.i
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT qid AS query_id, vid AS vec_id,
+               {r4sql("dot / (nq.nrm * ne.nrm)")} AS score
+        FROM dots
+        JOIN norms nq ON qid = nq.vec_id
+        JOIN norms ne ON vid = ne.vec_id
+    )
+    SELECT query_id, vec_id, score, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, vec_id
+        ) AS rnk FROM scored
+    ) WHERE rnk <= {TOPK}
+    """
+
+
 @register(
     "x11_lsh_cosine_topk",
-    None,  # plane choice is engine-side state
+    _x11_sql(),
     doc="EXT x11 — LSH-bucketed approximate top-k (random hyperplane "
-    "signatures → bucket equi-join): the ANN scale path for x3.",
-    tags=("ext", "similarity", "rows-only"),
+    "signatures → bucket equi-join): the ANN scale path for x3. r13: "
+    "hash-verified against a full-pipeline SQL twin — the seeded "
+    "hyperplanes embed as literals, signatures/bucket-join/exact "
+    "rerank are plain SQL (see _x11_sql's ulp note).",
+    tags=("ext", "similarity"),
+    late=True,
 )
 def x11_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
