@@ -27,6 +27,16 @@ nothing more — five verbs every store has:
   into a full-tree walk on every ingest).
 - ``delete(path)`` — idempotent DELETE (claim pruning, lock release).
 
+One OPTIONAL verb: ``replace_if_match(path, payload, expected) ->
+bool`` — atomic compare-and-swap, True iff the object's current
+payload equalled ``expected`` and was replaced (S3 ``If-Match`` etag
+/ GCS ``if-generation-match`` conditional PUT; the local analog
+compares by value under a per-key advisory lock). When a backend
+provides it, the commit lock's STALE BREAK becomes atomic — exactly
+one of N racing breakers swaps the dead holder's payload for its own
+claim, closing the read-check-delete double-break residual; backends
+without the verb keep the documented best-effort break.
+
 NOT in the protocol: rename, mtime, directory semantics. Those are
 POSIX-isms the backend-routed machinery must not rely on — which is
 exactly why the table-swap/compaction layer (two-rename swaps in
@@ -93,7 +103,7 @@ class LocalFSBackend:
 
     def put_if_absent(self, path: str, payload: bytes) -> bool:
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        fd, staged = tempfile.mkstemp(dir=os.path.dirname(path))
+        fd, staged = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".staged-")
         try:
             os.write(fd, payload)
         finally:
@@ -110,7 +120,7 @@ class LocalFSBackend:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         # write-then-rename so a concurrent read never sees a torn
         # payload (object-store PUTs are all-or-nothing; match that)
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".staged-")
         try:
             os.write(fd, payload)
         finally:
@@ -146,6 +156,28 @@ class LocalFSBackend:
             os.unlink(path)
         except FileNotFoundError:
             pass
+
+    def replace_if_match(self, path: str, payload: bytes,
+                         expected: bytes) -> bool:
+        """Optional CAS verb (see module docstring). POSIX cannot
+        compare-and-swap a file's content atomically, so all CAS
+        writers of one key serialize on a per-key advisory flock
+        guard; the swap itself is an os.replace so readers still
+        never see a torn payload. Host-local by design — the
+        multi-host CAS is the real object store's etag PUT."""
+        import fcntl
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        guard = path + ".cas_guard"
+        gfd = os.open(guard, os.O_CREAT | os.O_WRONLY)
+        try:
+            fcntl.flock(gfd, fcntl.LOCK_EX)
+            if self.read(path) != expected:
+                return False
+            self.put(path, payload)
+            return True
+        finally:
+            os.close(gfd)  # closing drops the flock
 
 
 class LinkConditionalPutBackend(LocalFSBackend):

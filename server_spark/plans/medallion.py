@@ -303,18 +303,22 @@ def _backend_lock(lockfile: str, backend, timeout: float,
                   stale_after: float):
     """commit_lock's object-store variant: claim via conditional PUT,
     heartbeat by rewriting the payload's beat_at (buckets have no
-    mtime to touch), stale-break by read-check-DELETE. The break is
-    best-effort — two breakers can both observe staleness, both
-    delete+claim, and briefly double-hold; unlike the POSIX path
-    there is no atomic rename to win. That residual is accepted
-    because the lock is contention control, not the correctness
-    layer: a double-held critical section double-MINTS, and the
-    _claim_batch_id conditional PUT turns that into one loud
-    ConcurrentCommitError before any manifest append (the exact
-    defense-in-depth contract the r12 non-atomic-rename tests
-    pinned for the POSIX lock)."""
+    mtime to touch). Stale break: when the backend offers the
+    OPTIONAL ``replace_if_match`` CAS verb (S3 If-Match etag PUT),
+    breaking IS acquiring — exactly one of N racing breakers
+    atomically swaps the dead holder's exact payload for its own
+    claim, so the double-break window does not exist. Without the
+    verb the break degrades to read-check-DELETE, which is
+    best-effort: two breakers can both observe staleness, both
+    delete+claim, and briefly double-hold. Either way the lock is
+    contention control, not the correctness layer: a double-held
+    critical section double-MINTS, and the _claim_batch_id
+    conditional PUT turns that into one loud ConcurrentCommitError
+    before any manifest append (the exact defense-in-depth contract
+    the r12 non-atomic-rename tests pinned for the POSIX lock)."""
     token = f"{os.getpid()}-{os.urandom(8).hex()}"
     deadline = time.monotonic() + timeout
+    cas = getattr(backend, "replace_if_match", None)
 
     def _doc() -> dict | None:
         raw = backend.read(lockfile)
@@ -329,25 +333,37 @@ def _backend_lock(lockfile: str, backend, timeout: float,
         d = _doc()
         return bool(d) and d.get("token") == token
 
-    while not backend.put_if_absent(lockfile, cb.lock_payload(token)):
-        # deadline first, on EVERY path (r13 review: the release-race
-        # and stale-break continues skipped it, so a starved
-        # contender under claim/release churn hot-looped the backend
-        # forever instead of raising the documented TimeoutError)
+    def _acquire_once() -> bool:
+        if backend.put_if_absent(lockfile, cb.lock_payload(token)):
+            return True
+        raw = backend.read(lockfile)
+        if raw is None:
+            return False  # holder released between claim and read
+        try:
+            d = json.loads(raw)
+        except ValueError:
+            d = {}
+        beat = d.get("beat_at") or d.get("claimed_at") or 0
+        if time.time() - beat > stale_after:
+            if callable(cas):
+                # atomic break-and-claim: succeeds only against the
+                # EXACT dead payload we judged stale — a concurrent
+                # breaker's win or a late heartbeat changes the bytes
+                # and our CAS cleanly loses
+                return cas(lockfile, cb.lock_payload(token), raw)
+            backend.delete(lockfile)  # best-effort (see docstring)
+        return False
+
+    while not _acquire_once():
+        # deadline on EVERY path (r13 review: the release-race and
+        # stale-break continues skipped it, so a starved contender
+        # under claim/release churn hot-looped the backend forever
+        # instead of raising the documented TimeoutError)
         if time.monotonic() > deadline:
             raise TimeoutError(
                 f"commit lock {lockfile} contended for more than "
                 f"{timeout}s"
             )
-        d = _doc()
-        if d is None:
-            time.sleep(0.01)  # holder released between claim and read
-            continue
-        beat = d.get("beat_at") or d.get("claimed_at") or 0
-        if time.time() - beat > stale_after:
-            backend.delete(lockfile)  # best-effort break (see above)
-            time.sleep(0.01)
-            continue
         time.sleep(0.05)
     stop_beat = threading.Event()
 

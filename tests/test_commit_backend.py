@@ -203,6 +203,67 @@ def test_backend_lock_breaks_dead_holder(tmp_path):
     assert be.read(lockfile) is None
 
 
+def test_replace_if_match_exactly_one_winner(tmp_path):
+    """The optional CAS verb (r13): N concurrent swappers against the
+    same expected payload — exactly one True, and the object ends as
+    the winner's payload (the S3 If-Match etag PUT analog)."""
+    be = cb.LocalFSBackend()
+    key = str(tmp_path / "lock")
+    be.put(key, b"stale-holder")
+    wins = []
+
+    def attempt(i):
+        if be.replace_if_match(key, b"claim-%d" % i, b"stale-holder"):
+            wins.append(i)
+
+    threads = [threading.Thread(target=attempt, args=(i,))
+               for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(wins) == 1
+    assert be.read(key) == b"claim-%d" % wins[0]
+    # wrong expected payload never swaps
+    assert be.replace_if_match(key, b"x", b"stale-holder") is False
+    # absent key never swaps
+    assert be.replace_if_match(key + "2", b"x", b"y") is False
+
+
+def test_stale_break_is_atomic_with_cas_backend(tmp_path):
+    """With a CAS-capable backend, breaking IS acquiring: many
+    contenders racing one stale lock produce exactly one holder at a
+    time (the read-check-delete double-break window does not exist),
+    and every contender eventually gets its turn."""
+    be = cb.LocalFSBackend()  # has replace_if_match
+    root = str(tmp_path / "lake")
+    lockfile = os.path.join(root, "manifest", ".commit.lock")
+    be.put_if_absent(lockfile, json.dumps(
+        {"token": "dead", "beat_at": time.time() - 50.0}).encode())
+    state = {"active": 0, "max_active": 0}
+    guard = threading.Lock()
+
+    def contend(tag):
+        with med.commit_lock(root, timeout=30.0, stale_after=1.0,
+                             backend=be):
+            with guard:
+                state["active"] += 1
+                state["max_active"] = max(state["max_active"],
+                                          state["active"])
+            time.sleep(0.05)
+            with guard:
+                state["active"] -= 1
+
+    threads = [threading.Thread(target=contend, args=(i,))
+               for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert state["max_active"] == 1, state
+    assert be.read(lockfile) is None  # last holder released
+
+
 def test_backend_lock_timeout(tmp_path):
     be = cb.LinkConditionalPutBackend()
     root = str(tmp_path / "lake")
