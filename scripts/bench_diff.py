@@ -401,7 +401,29 @@ def _robust_accept_queries(fresh_doc: dict) -> tuple[dict, int]:
     rounds = sorted(REPO.glob("BENCH_r[0-9][0-9].json"))
     if rounds:
         try:
-            sources.append(load_doc(rounds[-1])["queries"])
+            rq = load_doc(rounds[-1])["queries"]
+            # INDEPENDENT windows only (r13 advisor finding): when the
+            # end-of-round ritual accepts the very bench run that
+            # produced the round artifact, the round source and FRESH
+            # share one window and median-of-three silently becomes
+            # the fresh value for every query the artifact carries —
+            # the outlier damping this function exists for turns into
+            # a no-op. Same-run detection: identical timings on every
+            # common query (float equality survives the JSON
+            # round-trip of one run; two independent 32-thread bench
+            # windows never reproduce hundreds of wall-clock timings
+            # bit-for-bit). A duplicate source is dropped so the
+            # median degrades to the fresh number EXPLICITLY.
+            common = set(rq) & set(fresh_doc["queries"])
+            same_run = bool(common) and all(
+                rq[k] == fresh_doc["queries"][k] for k in common
+            )
+            if same_run:
+                print(f"--accept: {rounds[-1].name} is the same bench "
+                      "window as BENCH_FULL.json — dropped as a median "
+                      "source (independent windows only)")
+            else:
+                sources.append(rq)
         except (OSError, ValueError, BenchArtifactError):
             # same degradation as the BASELINE source above (r13
             # review: a truncated/non-JSON round artifact raises

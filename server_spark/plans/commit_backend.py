@@ -31,11 +31,17 @@ One OPTIONAL verb: ``replace_if_match(path, payload, expected) ->
 bool`` — atomic compare-and-swap, True iff the object's current
 payload equalled ``expected`` and was replaced (S3 ``If-Match`` etag
 / GCS ``if-generation-match`` conditional PUT; the local analog
-compares by value under a per-key advisory lock). When a backend
-provides it, the commit lock's STALE BREAK becomes atomic — exactly
-one of N racing breakers swaps the dead holder's payload for its own
-claim, closing the read-check-delete double-break residual; backends
-without the verb keep the documented best-effort break.
+compares by value under a per-key advisory lock that unconditional
+``put`` also takes — see ``_key_guard``). When a backend provides
+it, every commit-lock transition becomes conditional on exact prior
+bytes: stale BREAK (one of N racing breakers wins), HEARTBEAT (a
+delayed beat can't overwrite a thief), and RELEASE (tombstone swap
+instead of delete) — closing the read-check-then-write residuals;
+backends without the verb keep the documented best-effort forms.
+The verb also carries the versioned-table pointer swap
+(``plans.versioned_table``): compaction/layout rewrites publish a
+new immutable data generation and CAS the table's current-version
+pointer, which is how layout maintenance works on a bucket at all.
 
 NOT in the protocol: rename, mtime, directory semantics. Those are
 POSIX-isms the backend-routed machinery must not rely on — which is
@@ -52,6 +58,7 @@ import os
 import re
 import tempfile
 import time
+from contextlib import contextmanager as _contextlib_contextmanager
 
 
 _URI_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]+):")
@@ -116,7 +123,34 @@ class LocalFSBackend:
             os.unlink(staged)
         return True
 
-    def put(self, path: str, payload: bytes) -> None:
+    @staticmethod
+    @_contextlib_contextmanager
+    def _key_guard(path: str):
+        """Per-key advisory flock serializing every conditional-
+        sensitive writer of one key (CAS and unconditional put). The
+        r13 advisor finding: with only replace_if_match taking the
+        guard, an unconditional put (lock heartbeat) landing between
+        the CAS's read and its os.replace was silently overwritten —
+        the local backend's 'atomic stale break' claim did not hold
+        against a live holder's late heartbeat. Guard files are
+        HIDDEN-named (dot-prefixed basename) so list_names consumers
+        never mistake one for table data (the old ``<key>.cas_guard``
+        sibling of a claims file was listable)."""
+        import fcntl
+
+        head, base = os.path.split(path)
+        os.makedirs(head, exist_ok=True)
+        gfd = os.open(
+            os.path.join(head, f".{base}.cas_guard"),
+            os.O_CREAT | os.O_WRONLY,
+        )
+        try:
+            fcntl.flock(gfd, fcntl.LOCK_EX)
+            yield
+        finally:
+            os.close(gfd)  # closing drops the flock
+
+    def _put_unguarded(self, path: str, payload: bytes) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         # write-then-rename so a concurrent read never sees a torn
         # payload (object-store PUTs are all-or-nothing; match that)
@@ -126,6 +160,10 @@ class LocalFSBackend:
         finally:
             os.close(fd)
         os.replace(tmp, path)
+
+    def put(self, path: str, payload: bytes) -> None:
+        with self._key_guard(path):
+            self._put_unguarded(path, payload)
 
     def read(self, path: str) -> bytes | None:
         try:
@@ -149,6 +187,13 @@ class LocalFSBackend:
             dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             rel = os.path.relpath(root, prefix)
             for f in files:
+                # dot-prefixed FILES are this backend's own
+                # coordination state (.cas_guard flock files, .staged-
+                # temps, .commit.lock) — object-store keys they are
+                # not; listing them would make every put() leave a
+                # phantom sibling in the caller's keyspace
+                if f.startswith("."):
+                    continue
                 yield f if rel == "." else os.path.join(rel, f)
 
     def delete(self, path: str) -> None:
@@ -160,24 +205,17 @@ class LocalFSBackend:
     def replace_if_match(self, path: str, payload: bytes,
                          expected: bytes) -> bool:
         """Optional CAS verb (see module docstring). POSIX cannot
-        compare-and-swap a file's content atomically, so all CAS
-        writers of one key serialize on a per-key advisory flock
-        guard; the swap itself is an os.replace so readers still
-        never see a torn payload. Host-local by design — the
-        multi-host CAS is the real object store's etag PUT."""
-        import fcntl
-
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        guard = path + ".cas_guard"
-        gfd = os.open(guard, os.O_CREAT | os.O_WRONLY)
-        try:
-            fcntl.flock(gfd, fcntl.LOCK_EX)
+        compare-and-swap a file's content atomically, so all
+        conditional-sensitive writers of one key — CAS AND
+        unconditional put, see ``_key_guard`` — serialize on a
+        per-key advisory flock; the swap itself is an os.replace so
+        readers still never see a torn payload. Host-local by design
+        — the multi-host CAS is the real object store's etag PUT."""
+        with self._key_guard(path):
             if self.read(path) != expected:
                 return False
-            self.put(path, payload)
+            self._put_unguarded(path, payload)
             return True
-        finally:
-            os.close(gfd)  # closing drops the flock
 
 
 class LinkConditionalPutBackend(LocalFSBackend):
@@ -233,9 +271,28 @@ def backend_for(paths) -> LocalFSBackend:
     explicit ``paths.backend`` when given (wins, same rule as the
     JPEG codec's explicit argument), else the env-injected one, else
     local POSIX. MedallionPaths' constructor guarantees a URI root
-    only exists when one of the first two is present, so the local
-    fallback never sees a bucket path."""
-    return getattr(paths, "backend", None) or injected_backend() or _LOCAL
+    only exists when one of the first two is present AT CONSTRUCTION
+    — but the env hook is read at CALL time (by design, matching the
+    codec hook), so a process that unsets/loses
+    ``SPARK_GRAFT_COMMIT_BACKEND`` after constructing URI-rooted
+    paths would otherwise fall through to _LOCAL and write claims to
+    a literal ``./s3:/...`` directory, silently voiding multi-driver
+    exclusion (r13 advisor finding). A URI root with no resolvable
+    backend therefore raises here too, not only in the constructor."""
+    backend = getattr(paths, "backend", None) or injected_backend()
+    if backend is not None:
+        return backend
+    root = getattr(paths, "root", "")
+    if isinstance(root, str) and is_uri(root):
+        raise RuntimeError(
+            f"no commit backend resolvable for URI root {root!r}: the "
+            "explicit backend is gone and SPARK_GRAFT_COMMIT_BACKEND "
+            "is unset in this process — refusing the local POSIX "
+            "fallback (its claims would land in a literal local "
+            f"'./{root.split(':', 1)[0]}:/...' directory and exclude "
+            "nothing)"
+        )
+    return _LOCAL
 
 
 def lock_payload(token: str) -> bytes:

@@ -303,22 +303,39 @@ def _backend_lock(lockfile: str, backend, timeout: float,
                   stale_after: float):
     """commit_lock's object-store variant: claim via conditional PUT,
     heartbeat by rewriting the payload's beat_at (buckets have no
-    mtime to touch). Stale break: when the backend offers the
-    OPTIONAL ``replace_if_match`` CAS verb (S3 If-Match etag PUT),
-    breaking IS acquiring — exactly one of N racing breakers
-    atomically swaps the dead holder's exact payload for its own
-    claim, so the double-break window does not exist. Without the
-    verb the break degrades to read-check-DELETE, which is
-    best-effort: two breakers can both observe staleness, both
-    delete+claim, and briefly double-hold. Either way the lock is
-    contention control, not the correctness layer: a double-held
-    critical section double-MINTS, and the _claim_batch_id
-    conditional PUT turns that into one loud ConcurrentCommitError
-    before any manifest append (the exact defense-in-depth contract
-    the r12 non-atomic-rename tests pinned for the POSIX lock)."""
+    mtime to touch). With the OPTIONAL ``replace_if_match`` CAS verb
+    (S3 If-Match etag PUT) EVERY state transition is conditional on
+    the exact prior bytes (r14, closing the r13 advisor findings):
+    stale break swaps the dead holder's exact payload for the
+    breaker's claim (exactly one of N racing breakers wins), the
+    HEARTBEAT swaps our own last payload for a fresher one (a thief's
+    intervening claim changes the bytes, so a delayed beat cleanly
+    loses instead of overwriting the thief), and RELEASE swaps our
+    payload for a ``released`` tombstone that the next contender
+    CAS-claims (a post-ownership-proof DELETE could kill a breaker's
+    fresh claim; the tombstone can't). Consequence: on CAS backends a
+    released lock reads as a tombstone object, not as absent.
+    Without the verb everything degrades to the documented
+    best-effort read-check-then-write forms: two breakers can both
+    delete+claim and briefly double-hold, a delayed heartbeat can
+    overwrite a thief. Either way the lock is contention control,
+    not the correctness layer: a double-held critical section
+    double-MINTS, and the _claim_batch_id conditional PUT turns that
+    into one loud ConcurrentCommitError before any manifest append
+    (the exact defense-in-depth contract the r12 non-atomic-rename
+    tests pinned for the POSIX lock)."""
     token = f"{os.getpid()}-{os.urandom(8).hex()}"
     deadline = time.monotonic() + timeout
     cas = getattr(backend, "replace_if_match", None)
+    # the EXACT bytes we last wrote while holding — every CAS
+    # transition (heartbeat, release) names them as its expected
+    # value, so a thief's claim (different bytes) makes our write
+    # cleanly lose instead of clobbering (r13 advisor finding: the
+    # old _owned()-then-put heartbeat could overwrite a CAS breaker
+    # that stole the lock between the read and the write). Only the
+    # beat thread mutates this after acquisition, and release joins
+    # that thread before its final CAS — no lock needed.
+    held = {"payload": b""}
 
     def _doc() -> dict | None:
         raw = backend.read(lockfile)
@@ -334,7 +351,9 @@ def _backend_lock(lockfile: str, backend, timeout: float,
         return bool(d) and d.get("token") == token
 
     def _acquire_once() -> bool:
-        if backend.put_if_absent(lockfile, cb.lock_payload(token)):
+        mine = cb.lock_payload(token)
+        if backend.put_if_absent(lockfile, mine):
+            held["payload"] = mine
             return True
         raw = backend.read(lockfile)
         if raw is None:
@@ -343,6 +362,20 @@ def _backend_lock(lockfile: str, backend, timeout: float,
             d = json.loads(raw)
         except ValueError:
             d = {}
+        if d.get("released"):
+            # a CAS-capable releaser leaves a TOMBSTONE instead of
+            # deleting (deleting after a CAS-proof of ownership
+            # reopened the window: a contender could break-claim the
+            # tombstone and the delete would kill its fresh claim).
+            # Claiming a tombstone is itself a CAS, so exactly one
+            # contender wins it.
+            if callable(cas):
+                if cas(lockfile, mine, raw):
+                    held["payload"] = mine
+                    return True
+                return False
+            backend.delete(lockfile)  # no-CAS: clear, retry the PUT
+            return False
         beat = d.get("beat_at") or d.get("claimed_at") or 0
         if time.time() - beat > stale_after:
             if callable(cas):
@@ -350,7 +383,10 @@ def _backend_lock(lockfile: str, backend, timeout: float,
                 # EXACT dead payload we judged stale — a concurrent
                 # breaker's win or a late heartbeat changes the bytes
                 # and our CAS cleanly loses
-                return cas(lockfile, cb.lock_payload(token), raw)
+                if cas(lockfile, mine, raw):
+                    held["payload"] = mine
+                    return True
+                return False
             backend.delete(lockfile)  # best-effort (see docstring)
         return False
 
@@ -369,8 +405,16 @@ def _backend_lock(lockfile: str, backend, timeout: float,
 
     def _beat() -> None:
         while not stop_beat.wait(stale_after / 4.0):
-            if _owned():  # never freshen a thief's claim
-                backend.put(lockfile, cb.lock_payload(token))
+            fresh = cb.lock_payload(token)
+            if callable(cas):
+                # conditional on our exact last payload: a thief's
+                # intervening claim changes the bytes and this write
+                # cleanly loses — we stop touching the lock entirely
+                if cas(lockfile, fresh, held["payload"]):
+                    held["payload"] = fresh
+            elif _owned():  # no-CAS fallback: read-then-put residual
+                backend.put(lockfile, fresh)
+                held["payload"] = fresh
 
     beat = threading.Thread(
         target=_beat, daemon=True, name="commit-lock-heartbeat"
@@ -381,7 +425,19 @@ def _backend_lock(lockfile: str, backend, timeout: float,
     finally:
         stop_beat.set()
         beat.join(timeout=5.0)
-        if _owned():
+        if callable(cas):
+            # release = CAS our exact payload → a released TOMBSTONE
+            # (never delete: between a proof-of-ownership and a delete
+            # a breaker could claim, and the delete would kill its
+            # claim). On CAS failure the lock was stolen — leave it.
+            backend.replace_if_match(
+                lockfile,
+                json.dumps(
+                    {"released": True, "released_at": time.time()}
+                ).encode(),
+                held["payload"],
+            )
+        elif _owned():
             backend.delete(lockfile)
 
 

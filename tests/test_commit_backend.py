@@ -185,8 +185,12 @@ def test_backend_lock_mutual_exclusion(tmp_path):
         t.join()
     assert order in (["a-in", "a-out", "b-in", "b-out"],
                      ["b-in", "b-out", "a-in", "a-out"])
-    # released: lock object gone
-    assert be.read(os.path.join(root, "manifest", ".commit.lock")) is None
+    # released: CAS-capable backends leave a tombstone (r14 — release
+    # is a CAS swap, never a delete that could kill a breaker's fresh
+    # claim); the tombstone reads as free to the next contender
+    final = json.loads(be.read(os.path.join(root, "manifest",
+                                            ".commit.lock")))
+    assert final.get("released") is True
 
 
 def test_backend_lock_breaks_dead_holder(tmp_path):
@@ -200,7 +204,7 @@ def test_backend_lock_breaks_dead_holder(tmp_path):
     with med.commit_lock(root, timeout=5.0, stale_after=1.0, backend=be):
         doc = json.loads(be.read(lockfile))
         assert doc["token"] != "dead"
-    assert be.read(lockfile) is None
+    assert json.loads(be.read(lockfile)).get("released") is True
 
 
 def test_replace_if_match_exactly_one_winner(tmp_path):
@@ -261,7 +265,8 @@ def test_stale_break_is_atomic_with_cas_backend(tmp_path):
     for t in threads:
         t.join()
     assert state["max_active"] == 1, state
-    assert be.read(lockfile) is None  # last holder released
+    # last holder's release tombstone (CAS backend — see r14 protocol)
+    assert json.loads(be.read(lockfile)).get("released") is True
 
 
 def test_backend_lock_timeout(tmp_path):
@@ -393,7 +398,8 @@ def test_commit_lock_uses_injected_backend_for_local_roots(tmp_path,
         # POSIX lock writes token/claimed_at only
         doc = json.loads(open(lockfile).read())
         assert "beat_at" in doc
-    assert not os.path.exists(lockfile)
+    # CAS backend → release tombstone, not a deleted lockfile (r14)
+    assert json.loads(open(lockfile).read()).get("released") is True
 
 
 def test_backend_lock_timeout_under_release_churn(tmp_path):
