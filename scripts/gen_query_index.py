@@ -35,7 +35,11 @@ ROWS_ONLY_REASONS = {
     "a2d_price_stats_decimal": (
         "Spark decimal division/avg rounds HALF_UP at derived scale "
         "(p+4, s+4); DuckDB promotes decimal avg to DOUBLE — equal "
-        "values serialize differently at the hash boundary"),
+        "values serialize differently at the hash boundary. r14: "
+        "cross-engine VALUE-verified anyway via a declared-scale "
+        "value oracle (both sides quantized HALF_UP at the scale-4 "
+        "money grid in every local parity pass); only the driver's "
+        "raw-hash gate records it rows-only"),
     "x8_minhash_neardup": (
         "xxhash64 signatures — DuckDB has no xxhash64; the md5 twin "
         "x8b hash-verifies the identical banding pipeline"),
@@ -118,7 +122,12 @@ def main() -> None:
     ]
     n_oracle = 0
     for q in registry.REGISTRY.values():
-        kind = "oracle" if q.oracle else "rows-only"
+        if q.oracle:
+            kind = "oracle"
+        elif q.value_oracle:
+            kind = f"value@{q.value_scale}"
+        else:
+            kind = "rows-only"
         n_oracle += bool(q.oracle)
         lines.append(
             f"| `{q.name}` | {kind} | {', '.join(q.tags)} | "

@@ -45,6 +45,95 @@ def _canon_rows(cols, rows):
     )
 
 
+def _as_decimal(v):
+    from decimal import Decimal
+
+    # repr = shortest round-trip, so binary noise below the declared
+    # scale can't leak into the quantize
+    return Decimal(repr(v)) if isinstance(v, float) else Decimal(v)
+
+
+def _cells_agree_at_scale(a, b, scale: int) -> bool:
+    """The declared-scale VALUE contract (r14, VERDICT r13 item 4):
+    numerics agree when their HALF_UP quantizations at ``scale``
+    digits are equal OR one quantum (10^-scale) apart with the raw
+    values themselves within one quantum. The adjacency allowance is
+    NOT slack on the money amounts — it is the cross-engine
+    double-rounding residual: Spark's exact decimal and DuckDB's
+    binary double legitimately live on different grids, so a value
+    sitting on a half-boundary of the declared grid (…94675) rounds
+    to adjacent cells while the underlying amounts agree to 1e-8; a
+    real error of two grid steps (or a sub-quantum raw difference
+    CLAIMED as a different cell) still fails. Non-numerics compare
+    exactly via the default canon."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    num = (int, float, Decimal)
+    a_num = isinstance(a, num) and not isinstance(a, bool)
+    b_num = isinstance(b, num) and not isinstance(b, bool)
+    if not (a_num and b_num):
+        return _canon_cell(a) == _canon_cell(b)
+    if isinstance(a, float) and math.isnan(a):
+        return isinstance(b, float) and math.isnan(b)
+    if isinstance(b, float) and math.isnan(b):
+        return False
+    da, db = _as_decimal(a), _as_decimal(b)
+    quantum = Decimal(1).scaleb(-scale)
+    qa = da.quantize(quantum, rounding=ROUND_HALF_UP)
+    qb = db.quantize(quantum, rounding=ROUND_HALF_UP)
+    if qa == qb:
+        return True
+    return abs(qa - qb) <= quantum and abs(da - db) <= quantum
+
+
+def _compare_keyed_scaled(
+    s_cols, s_rows, d_cols, d_rows, keys: tuple[str, ...], scale: int
+) -> list[str]:
+    """Row-aligned declared-scale compare: rows pair up on the
+    declared key columns (exact match), every other cell goes through
+    :func:`_cells_agree_at_scale`. Returns problem strings (empty =
+    green). Key alignment exists because a one-quantum difference in
+    a sort-leading value column would misalign a sorted-tuple pairing
+    and produce spurious diffs on every later row."""
+    key_set = {k.lower() for k in keys}
+    s_key_idx = [i for i, c in enumerate(s_cols) if c in key_set]
+    d_pos = {c: i for i, c in enumerate(d_cols)}
+    problems: list[str] = []
+
+    def index(cols, rows, key_idx):
+        out = {}
+        for r in rows:
+            k = tuple(_canon_cell(r[i]) for i in key_idx)
+            if k in out:
+                problems.append(f"duplicate key {k}")
+            out[k] = r
+        return out
+
+    s_map = index(s_cols, s_rows, s_key_idx)
+    d_map = index(d_cols, d_rows,
+                  [i for i, c in enumerate(d_cols) if c in key_set])
+    if set(s_map) != set(d_map):
+        extra_s = list(set(s_map) - set(d_map))[:3]
+        extra_d = list(set(d_map) - set(s_map))[:3]
+        problems.append(
+            f"key sets differ: spark-only={extra_s} duck-only={extra_d}"
+        )
+        return problems
+    for k, sr in s_map.items():
+        dr = d_map[k]
+        for i, c in enumerate(s_cols):
+            if c in key_set:
+                continue
+            if not _cells_agree_at_scale(sr[i], dr[d_pos[c]], scale):
+                problems.append(
+                    f"key {k} col {c}: spark={sr[i]} duck={dr[d_pos[c]]} "
+                    f"(beyond one quantum at scale {scale})"
+                )
+                if len(problems) >= 5:
+                    return problems
+    return problems
+
+
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Fresh in-memory DuckDB with the harness's table views.
 
@@ -73,6 +162,7 @@ def run_parity(
 
     con = duckdb_connection(sf_dir)
     qs, oracles = registry.queries(), registry.oracle_sql()
+    v_oracles = registry.value_oracles()
     failed: list[tuple[str, str]] = []
     passed: list[str] = []
     rows_only: list[str] = []
@@ -94,6 +184,16 @@ def run_parity(
             say(f"FAIL  {name}: spark error: {str(ex)[:300]}")
             continue
         sql = oracles.get(name)
+        scale = v_keys = None
+        if not sql and name in v_oracles:
+            # declared-scale VALUE oracle (r14): full rows+schema+value
+            # compare, rows key-aligned, values quantized at the
+            # declared scale with a one-quantum cross-engine rounding
+            # allowance — the verification for queries whose only
+            # raw-hash blocker is serialization (a2d's decimal-vs-
+            # double money grid). The driver still sees these as
+            # rows-only; THIS gate does not.
+            sql, scale, v_keys = v_oracles[name]
         if not sql:
             rows_only.append(name)
             say(f"rows  {name}: {len(s_rows)} rows (no oracle) "
@@ -112,8 +212,15 @@ def run_parity(
             problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
-        if not problems:
-            cs, cd = _canon_rows(s_cols, s_rows), _canon_rows(d_cols, d_rows)
+        if not problems and scale is not None:
+            problems.extend(
+                _compare_keyed_scaled(
+                    s_cols, s_rows, d_cols, d_rows, v_keys, scale
+                )
+            )
+        elif not problems:
+            cs = _canon_rows(s_cols, s_rows)
+            cd = _canon_rows(d_cols, d_rows)
             if cs != cd:
                 diff = next(
                     (i, a, b) for i, (a, b) in enumerate(zip(cs, cd)) if a != b
@@ -125,7 +232,8 @@ def run_parity(
             say(f"FAIL  {name}: {'; '.join(problems)[:400]}")
         else:
             passed.append(name)
-            say(f"ok    {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+            mark = f"ok@{scale}" if scale is not None else "ok   "
+            say(f"{mark} {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
 
     say(f"\n{len(passed)} ok, {len(rows_only)} rows-only, {len(failed)} failed")
     for name, why in failed:

@@ -27,7 +27,15 @@ nothing more — five verbs every store has:
   into a full-tree walk on every ingest).
 - ``delete(path)`` — idempotent DELETE (claim pruning, lock release).
 
-One OPTIONAL verb: ``replace_if_match(path, payload, expected) ->
+Three OPTIONAL verbs (absent ones degrade to documented fallbacks):
+``io_path(path) -> str`` translates a logical key to the URL Spark's
+Hadoop connector reads/writes (identity when absent — on a real
+bucket the key IS the URL; a test backend maps ``s3://...`` onto a
+local directory so the versioned-table protocol runs end-to-end
+without credentials); ``object_size(path) -> int | None`` surfaces
+the byte size object-store LIST responses carry anyway (compaction
+sizing; absent sizes, file count alone decides); and
+``replace_if_match(path, payload, expected) ->
 bool`` — atomic compare-and-swap, True iff the object's current
 payload equalled ``expected`` and was replaced (S3 ``If-Match`` etag
 / GCS ``if-generation-match`` conditional PUT; the local analog
@@ -44,10 +52,14 @@ new immutable data generation and CAS the table's current-version
 pointer, which is how layout maintenance works on a bucket at all.
 
 NOT in the protocol: rename, mtime, directory semantics. Those are
-POSIX-isms the backend-routed machinery must not rely on — which is
-exactly why the table-swap/compaction layer (two-rename swaps in
-``plans.maintenance``) stays LOCAL-FS ONLY and rejects URI roots
-loudly rather than pretending a bucket can rename.
+POSIX-isms the backend-routed machinery must not rely on — the
+two-rename swap layer in ``plans.maintenance`` therefore stays
+LOCAL-FS ONLY and rejects URI roots loudly rather than pretending a
+bucket can rename. The object-store answer for compaction / Z-order
+/ table swap is ``plans.versioned_table`` (r14): immutable data
+generations plus a current-version pointer swapped via the CAS verb
+— rename-free by construction, so it routes through this protocol
+on any root.
 """
 
 from __future__ import annotations
@@ -201,6 +213,14 @@ class LocalFSBackend:
             os.unlink(path)
         except FileNotFoundError:
             pass
+
+    def object_size(self, path: str) -> int | None:
+        """Optional sizing verb (see module docstring) — a real
+        object store reads this off its LIST page for free."""
+        try:
+            return os.path.getsize(path)
+        except OSError:
+            return None
 
     def replace_if_match(self, path: str, payload: bytes,
                          expected: bytes) -> bool:

@@ -22,6 +22,12 @@ Scale notes:
 - Compaction is idempotent and safe to re-run: a compacted partition
   no longer qualifies as fragmented, and interrupted runs are healed
   on entry.
+- OBJECT-STORE roots: this module's rename/walk machinery rejects
+  URI paths loudly (see ``_require_local``); the bucket-capable
+  compaction/Z-order/table-swap is ``plans.versioned_table`` (r14) —
+  immutable generations + a CAS-swapped version pointer through the
+  commit backend, which also removes the two-rename swap's torn
+  window for concurrent readers.
 """
 
 from __future__ import annotations
@@ -211,6 +217,7 @@ def schema_drift(spark: SparkSession, table_root: str) -> list[dict]:
 # hll_union_agg / hll_sketch_estimate, all JVM aggregates).
 
 from pyspark.sql import DataFrame  # noqa: E402
+
 from pyspark.sql import functions as F  # noqa: E402
 
 
@@ -350,7 +357,29 @@ def _commit_gold_swap(merged: DataFrame, data_dir: str, wm: dict) -> None:
         shutil.rmtree(aside)
 
 
+def _writer_lock(paths):
+    """The medallion tree's commit lock, backend-routed — every gold
+    REFRESH and the erasure path take it (r14, the multi-driver soak's
+    prerequisite): two concurrent refreshes of one gold would both
+    read the standing table, both fold, and race the aside two-rename
+    swap (the second rename fails or a fold is overwritten and its
+    watermark regresses); an erasure racing an ingest could rewrite a
+    partition mid-append. Same serialization rule
+    build_silver_incremental has carried since r11. Function-local
+    import: medallion imports this module's swap helpers the same
+    way, so a module-level import would cycle."""
+    from server_spark.plans.medallion import _lock_backend, commit_lock
+
+    return commit_lock(paths.root, backend=_lock_backend(paths))
+
+
 def refresh_owner_sketch_gold(spark, paths) -> int:
+    """Per-(region, realm) distinct-owner HLL gold refresh; see _refresh_owner_sketch_gold_locked. Serialized under the tree's commit lock (r14)."""
+    with _writer_lock(paths):
+        return _refresh_owner_sketch_gold_locked(spark, paths)
+
+
+def _refresh_owner_sketch_gold_locked(spark, paths) -> int:
     """Incrementally maintain a gold table of per-(region, realm)
     DISTINCT-OWNER sketches from the medallion commit log.
 
@@ -419,6 +448,12 @@ def read_owner_sketch_gold(spark, paths):
 
 
 def refresh_churn_gold(spark, paths) -> int:
+    """Incremental snapshot-churn gold refresh; see _refresh_churn_gold_locked. Serialized under the tree's commit lock (r14)."""
+    with _writer_lock(paths):
+        return _refresh_churn_gold_locked(spark, paths)
+
+
+def _refresh_churn_gold_locked(spark, paths) -> int:
     """Incrementally maintain the snapshot-churn gold table
     (new/removed/persisting auction counts per consecutive snapshot
     pair — J3/U1–U3), folding ONLY the pairs that involve a dump key
@@ -676,6 +711,12 @@ def estimate_percentile(
 
 
 def refresh_price_hist_gold(spark, paths) -> int:
+    """Mergeable price-histogram gold refresh; see _refresh_price_hist_gold_locked. Serialized under the tree's commit lock (r14)."""
+    with _writer_lock(paths):
+        return _refresh_price_hist_gold_locked(spark, paths)
+
+
+def _refresh_price_hist_gold_locked(spark, paths) -> int:
     """Incrementally maintain per-(region, realm, item) BUYOUT-PER-UNIT
     histograms from the medallion commit log — the mergeable-median
     twin of `refresh_owner_sketch_gold` (same watermark sidecar, same
@@ -783,6 +824,12 @@ def count_distinct_exact(bitmaps: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def refresh_item_bitmap_gold(spark, paths) -> int:
+    """Exact distinct-item bitmap gold refresh; see _refresh_item_bitmap_gold_locked. Serialized under the tree's commit lock (r14)."""
+    with _writer_lock(paths):
+        return _refresh_item_bitmap_gold_locked(spark, paths)
+
+
+def _refresh_item_bitmap_gold_locked(spark, paths) -> int:
     """Incrementally maintain a gold table of per-(region, realm)
     EXACT distinct-ITEM bitmaps from the medallion commit log — the
     exact-count twin of ``refresh_owner_sketch_gold`` (same watermark
@@ -872,6 +919,12 @@ def _mg_truncate(df: DataFrame, cap: int = _MG_CAP) -> DataFrame:
 
 
 def refresh_hot_items_gold(spark, paths, cap: int = _MG_CAP) -> int:
+    """Misra-Gries hot-items gold refresh; see _refresh_hot_items_gold_locked. Serialized under the tree's commit lock (r14)."""
+    with _writer_lock(paths):
+        return _refresh_hot_items_gold_locked(spark, paths, cap)
+
+
+def _refresh_hot_items_gold_locked(spark, paths, cap: int = _MG_CAP) -> int:
     """Incrementally maintain the HOT-ITEMS gold (Misra-Gries summary
     of listing counts) from the medallion commit log — same watermark
     sidecar + aside-swap durability as the other mergeable golds.
@@ -996,6 +1049,12 @@ def _overwrite_cleaned(spark, table_path: str, cleaned, affected) -> None:
 
 
 def forget_owner(spark, paths, owner) -> dict:
+    """GDPR-style owner erasure; see _forget_owner_locked. Serialized under the tree's commit lock (r14): an erasure racing an ingest must not rewrite a partition mid-append."""
+    with _writer_lock(paths):
+        return _forget_owner_locked(spark, paths, owner)
+
+
+def _forget_owner_locked(spark, paths, owner) -> dict:
     """GDPR-style ERASURE of one owner across the lake: rewrite only
     the bronze/silver/gold-price partitions that contain the owner
     (partition-pruned scans, dynamic overwrite, explicit removal of
@@ -1160,6 +1219,12 @@ def read_moment_stats(moments: DataFrame) -> DataFrame:
 
 
 def refresh_price_moments_gold(spark, paths) -> int:
+    """Exact-decimal moments gold refresh; see _refresh_price_moments_gold_locked. Serialized under the tree's commit lock (r14)."""
+    with _writer_lock(paths):
+        return _refresh_price_moments_gold_locked(spark, paths)
+
+
+def _refresh_price_moments_gold_locked(spark, paths) -> int:
     """Incrementally maintain the per-(region, realm) moments table
     from the medallion commit log — same watermark sidecar + crash-
     healing aside-swap as every other gold. Returns batches folded

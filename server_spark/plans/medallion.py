@@ -58,9 +58,12 @@ class MedallionPaths:
     manifest/bronze existence probes) routes through the backend's
     conditional-PUT/GET/LIST/DELETE verbs; Spark's own parquet IO
     goes through whatever Hadoop connector serves the scheme. The
-    rename-based maintenance layer (compaction/table swaps) remains
-    local-FS-only and rejects URI roots loudly — buckets cannot
-    rename; that layer's object-store answer stays Delta/Iceberg."""
+    rename-based maintenance layer (compaction/table swaps in
+    ``plans.maintenance``) remains local-FS-only and rejects URI
+    roots loudly — buckets cannot rename; the bucket-capable layout
+    rewrite is ``plans.versioned_table`` (r14): immutable
+    generations + a CAS-swapped version pointer, rename-free by
+    construction."""
 
     root: str
     backend: object | None = None

@@ -34,6 +34,23 @@ class Query:
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
     late: bool = False
+    # VALUE-ORACLE mode (r14, VERDICT r13 item 4): a DuckDB twin
+    # compared rows+schema+VALUES at a DECLARED SCALE instead of the
+    # raw hash — rows aligned on ``value_keys``, every other numeric
+    # quantized HALF_UP to ``value_scale`` digits and accepted when
+    # equal OR within ONE quantum (10^-scale): the two engines
+    # legitimately compute on different grids (Spark exact decimal vs
+    # DuckDB binary double), so a value sitting on a half-boundary of
+    # the declared grid can round to adjacent cells while the money
+    # amounts agree; a real error of >= 2 quanta still fails. For
+    # queries whose ONLY oracle blocker is that serialization (a2d),
+    # this keeps cross-engine VALUE verification without lying to the
+    # driver's raw-hash gate: value_oracle never reaches oracle_sql(),
+    # so the driver still records the rows-only check while our own
+    # parity gate (server_spark/parity_check.py) value-verifies.
+    value_oracle: str | None = None
+    value_scale: int = 4
+    value_keys: tuple[str, ...] = ()
 
 
 REGISTRY: dict[str, Query] = {}
@@ -45,12 +62,29 @@ def register(
     doc: str = "",
     tags: tuple[str, ...] = (),
     late: bool = False,
+    value_oracle: str | None = None,
+    value_scale: int = 4,
+    value_keys: tuple[str, ...] = (),
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
+        if oracle and value_oracle:
+            raise ValueError(
+                f"{name!r}: value_oracle is for queries WITHOUT a "
+                "raw-hash oracle — a hash-green query needs no "
+                "declared-scale fallback"
+            )
+        if value_oracle and not value_keys:
+            raise ValueError(
+                f"{name!r}: value_oracle needs value_keys — without a "
+                "row-alignment key, a one-quantum difference in a "
+                "sort-leading column misaligns the row pairing and "
+                "every later cell diffs spuriously"
+            )
         REGISTRY[name] = Query(
-            name, fn, oracle, doc or (fn.__doc__ or ""), tags, late
+            name, fn, oracle, doc or (fn.__doc__ or ""), tags, late,
+            value_oracle, value_scale, tuple(value_keys),
         )
         return fn
 
@@ -128,6 +162,18 @@ def queries() -> dict[str, QueryFn]:
 def oracle_sql() -> dict[str, str]:
     _ensure_loaded()
     return {q.name: q.oracle for q in _ordered() if q.oracle}
+
+
+def value_oracles() -> dict[str, tuple[str, int, tuple[str, ...]]]:
+    """{name: (sql, scale, keys)} for queries verified by the declared-scale
+    VALUE compare (see Query.value_oracle) — local parity gate only,
+    never exported to the driver."""
+    _ensure_loaded()
+    return {
+        q.name: (q.value_oracle, q.value_scale, q.value_keys)
+        for q in _ordered()
+        if q.value_oracle
+    }
 
 
 _LOADED = False

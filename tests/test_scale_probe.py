@@ -2,10 +2,11 @@
 
 The r7/r8/r11 scaling probes were one-shot evidence: generate two
 scale factors, measure, record the exponent table in SCALE.md. This
-test wires a REDUCED probe into the suite — a 6-query spine over the
+test wires a REDUCED probe into the suite — a 7-query spine over the
 super-linear risk classes (hash agg, rank-median, MinHash+LSH
 banding, IVF blocked semantic dedup, iterative component labeling,
-and — r13 — the IVFPQ build+probe serving ladder x52)
+the IVFPQ build+probe serving ladder x52 — r13 — and the multimodal
+Arrow decode path x60 — r14)
 at generator sf0.03g vs sf0.3g (10× rows) — so a future
 super-linear bend FAILS A GATE instead of waiting for a judge.
 
@@ -56,6 +57,13 @@ SPINE = [
     # gated too (its per-query PQ/IVF caches are warmed by the
     # untimed per-(query, sf) warmup below, same as x41b's)
     "x52_ivfpq_refine_topk",
+    # r14 (VERDICT r13 item 5): one MULTIMODAL leg — the Arrow-batched
+    # mapInPandas decode→resize→re-encode path (mint + codec work per
+    # row, linear by construction but previously ungated; BLAS pinned
+    # per worker since r13, warmed by the same untimed run). A
+    # super-linear bend here means batch shape or per-batch state
+    # regressed, not the codecs.
+    "x60_media_resize",
 ]
 
 
