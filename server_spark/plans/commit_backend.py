@@ -30,7 +30,7 @@ nothing more — five verbs every store has:
 Three OPTIONAL verbs (absent ones degrade to documented fallbacks):
 ``io_path(path) -> str`` translates a logical key to the URL Spark's
 Hadoop connector reads/writes (identity when absent — on a real
-bucket the key IS the URL; a test backend maps ``s3://...`` onto a
+bucket the key IS the URL; a test backend maps ``s3://bucket/...`` onto a
 local directory so the versioned-table protocol runs end-to-end
 without credentials); ``object_size(path) -> int | None`` surfaces
 the byte size object-store LIST responses carry anyway (compaction

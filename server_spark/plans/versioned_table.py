@@ -259,14 +259,26 @@ def publish_table(
 
 
 def append_partitions(
-    spark: SparkSession, t: VersionedTable, df: DataFrame
+    spark: SparkSession, t: VersionedTable, df: DataFrame,
+    retries: int = 5,
 ) -> dict:
     """APPEND rows as a new generation: affected partitions gain the
     generation at the end of their list, untouched partitions are
     untouched — the versioned analog of the medallion's
     append-per-micro-batch sinks (and the source of the small-file
     fragmentation :func:`compact_table` exists to heal). ``df`` must
-    carry the table's partition columns. Returns the pointer doc."""
+    carry the table's partition columns. Returns the pointer doc.
+
+    OPTIMISTIC CONCURRENCY (Delta-style blind-append semantics): the
+    generation is written ONCE; a lost pointer race only invalidates
+    the commit PLAN, not the immutable data, so the retry re-reads
+    the pointer and re-applies "push my generation onto the affected
+    partitions' lists" against the fresh state — appends commute with
+    concurrent appends and compactions, no rewrite, no Spark job.
+    ``retries=0`` keeps the raise-on-first-conflict behavior. A
+    compaction that raced in between does NOT fold this generation
+    (it wasn't visible), so the appended files simply queue for the
+    next compaction — correctness unaffected."""
     doc, raw = _read_pointer(t)
     if doc is None:
         raise FileNotFoundError(f"versioned table {t.root} has no "
@@ -274,12 +286,22 @@ def append_partitions(
     partition_by = tuple(doc.get("meta", {}).get("partition_by") or ())
     gen = _gen_token(doc["version"] + 1)
     _write_gen(t, df, gen, partition_by, one_file_per_partition=False)
-    generations = {p: list(gs) for p, gs in doc["generations"].items()}
-    for part in _list_gen_partitions(t, gen):
-        generations.setdefault(part, []).append(gen)
-    return _commit(
-        t, generations, doc.get("meta", {}), raw, doc["version"]
-    )
+    touched = _list_gen_partitions(t, gen)
+    for attempt in range(retries + 1):
+        generations = {p: list(gs) for p, gs in doc["generations"].items()}
+        for part in touched:
+            generations.setdefault(part, []).append(gen)
+        try:
+            return _commit(
+                t, generations, doc.get("meta", {}), raw, doc["version"]
+            )
+        except ConcurrentSwapError:
+            if attempt == retries:
+                raise
+            time.sleep(0.05 * (attempt + 1))
+            doc, raw = _read_pointer(t)
+            if doc is None:  # table dropped out from under us
+                raise
 
 
 def _grouped_by_gen(

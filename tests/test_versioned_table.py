@@ -324,6 +324,45 @@ def test_local_root_works_with_default_backend(spark, tmp_path):
     )
 
 
+def test_concurrent_appenders_all_land_with_retries(spark, tmp_path):
+    """Optimistic blind-append concurrency (Delta-style): four
+    lock-free appenders race one pointer; losers retry by re-planning
+    against the fresh pointer WITHOUT rewriting their generation —
+    every row lands exactly once and every commit got its own
+    version."""
+    t = _table(tmp_path)
+    vt.publish_table(spark, t, _mk_df(spark, 10), partition_by=("region",))
+    errs: list[Exception] = []
+
+    def appender(i):
+        try:
+            vt.append_partitions(
+                spark, t, _mk_df(spark, 10, extra=1000 * (i + 1)),
+                retries=10,
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=appender, args=(i,))
+               for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    doc = vt.snapshot(t)
+    # 4 appends all committed (lost races burn log numbers, so the
+    # final version is AT LEAST publish+4; the row check below proves
+    # none was lost and none landed twice)
+    assert doc["version"] >= 5
+    expected = _mk_df(spark, 10)
+    for i in range(4):
+        expected = expected.unionByName(
+            _mk_df(spark, 10, extra=1000 * (i + 1))
+        )
+    assert _collect(vt.read_table(spark, t)) == _collect(expected)
+
+
 def test_pointer_corruption_is_loud(tmp_path):
     t = _table(tmp_path)
     t.be.put("s3://bucket/lake/events/_current", b"{not json")
