@@ -261,6 +261,7 @@ def publish_table(
 def append_partitions(
     spark: SparkSession, t: VersionedTable, df: DataFrame,
     retries: int = 5,
+    epoch: tuple[str, int] | None = None,
 ) -> dict:
     """APPEND rows as a new generation: affected partitions gain the
     generation at the end of their list, untouched partitions are
@@ -278,22 +279,42 @@ def append_partitions(
     ``retries=0`` keeps the raise-on-first-conflict behavior. A
     compaction that raced in between does NOT fold this generation
     (it wasn't visible), so the appended files simply queue for the
-    next compaction — correctness unaffected."""
+    next compaction — correctness unaffected.
+
+    ``epoch=(sink_id, batch_id)`` is the EXACTLY-ONCE gate for
+    streaming sinks (:func:`versioned_stream_sink`): the committed
+    pointer meta records the highest batch id per sink, ATOMICALLY
+    with the generation list (one CAS — the pointer-swap analog of
+    the epoch-inside-the-swapped-state-dir recipe every rename-based
+    streaming gold here uses). An append whose epoch the fresh
+    pointer already covers returns WITHOUT committing — on replay
+    after a crash between commit and checkpoint, or when a
+    concurrent sink instance won the race; the written generation is
+    then an unreferenced orphan for vacuum."""
     doc, raw = _read_pointer(t)
     if doc is None:
         raise FileNotFoundError(f"versioned table {t.root} has no "
                                 "published version")
+    if epoch is not None and _epoch_covered(doc, epoch):
+        return doc  # checkpoint replay — nothing to write
     partition_by = tuple(doc.get("meta", {}).get("partition_by") or ())
     gen = _gen_token(doc["version"] + 1)
     _write_gen(t, df, gen, partition_by, one_file_per_partition=False)
     touched = _list_gen_partitions(t, gen)
     for attempt in range(retries + 1):
+        if epoch is not None and _epoch_covered(doc, epoch):
+            return doc  # a concurrent sink instance committed it
         generations = {p: list(gs) for p, gs in doc["generations"].items()}
         for part in touched:
             generations.setdefault(part, []).append(gen)
+        meta = dict(doc.get("meta", {}))
+        if epoch is not None:
+            epochs = dict(meta.get("stream_epochs", {}))
+            epochs[epoch[0]] = epoch[1]
+            meta["stream_epochs"] = epochs
         try:
             return _commit(
-                t, generations, doc.get("meta", {}), raw, doc["version"]
+                t, generations, meta, raw, doc["version"]
             )
         except ConcurrentSwapError:
             if attempt == retries:
@@ -302,6 +323,53 @@ def append_partitions(
             doc, raw = _read_pointer(t)
             if doc is None:  # table dropped out from under us
                 raise
+
+
+def _epoch_covered(doc: dict, epoch: tuple[str, int]) -> bool:
+    sink_id, batch_id = epoch
+    return (
+        doc.get("meta", {}).get("stream_epochs", {}).get(sink_id, -1)
+        >= batch_id
+    )
+
+
+def versioned_stream_sink(
+    t: VersionedTable,
+    partition_by: tuple[str, ...] = (),
+    sink_id: str = "stream",
+):
+    """EXACTLY-ONCE Structured Streaming sink into a versioned table:
+    a ``foreachBatch`` function that appends each micro-batch as one
+    immutable generation, gated on the batch epoch recorded IN THE
+    POINTER META — epoch and generation list commit in the SAME CAS,
+    so a crash between the append-commit and the stream checkpoint
+    replays the batch into the gate, never into the data (the
+    pointer-swap analog of ``streaming.pipeline``'s
+    epoch-inside-the-swapped-dir recipe; foreachBatch is
+    at-least-once by contract). The first batch auto-publishes the
+    table with ``partition_by``; distinct ``sink_id``s let several
+    streams feed one table with independent gates. Micro-batch
+    small-file buildup is the normal versioned-table fragmentation —
+    heal it on a cadence with :func:`compact_table`, which a pinned
+    reader never notices."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        doc, _ = _read_pointer(t)
+        if doc is None:
+            try:
+                publish_table(
+                    spark, t, batch_df, partition_by,
+                    meta={"stream_epochs": {sink_id: batch_id}},
+                )
+                return
+            except ConcurrentSwapError:
+                pass  # another instance initialized — fall through
+        append_partitions(
+            spark, t, batch_df, epoch=(sink_id, batch_id)
+        )
+
+    return sink
 
 
 def _grouped_by_gen(
@@ -434,23 +502,25 @@ def compact_table(
 
     partition_by = tuple(doc.get("meta", {}).get("partition_by") or ())
     gen = _gen_token(doc["version"] + 1)
-    dirty_df = _read_at(spark, t, doc, parts=dirty)
+    base_df = _read_at(spark, t, doc, parts=dirty)
+    # row count for maxRecordsPerFile sizing comes off the SCAN
+    # (footer row counts), never off the repartitioned plan — a count
+    # there would execute the shuffle once just to size it
+    n_rows = base_df.count() if (sized and dirty_bytes) else 0
     if partition_by:
-        dirty_df = dirty_df.repartition(*[F.col(c) for c in partition_by])
+        dirty_df = base_df.repartition(*[F.col(c) for c in partition_by])
     else:
-        dirty_df = dirty_df.repartition(
+        dirty_df = base_df.repartition(
             max(1, round(dirty_bytes / target_bytes)) if sized else 1
         )
     writer = dirty_df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    if sized and dirty_bytes:
-        n_rows = dirty_df.count()
-        if n_rows:
-            per_row = max(dirty_bytes / n_rows, 1e-9)
-            writer = writer.option(
-                "maxRecordsPerFile", max(int(target_bytes / per_row), 1)
-            )
+    if n_rows:
+        per_row = max(dirty_bytes / n_rows, 1e-9)
+        writer = writer.option(
+            "maxRecordsPerFile", max(int(target_bytes / per_row), 1)
+        )
     writer.parquet(t.io(t._join(_DATA_DIR, gen)))
 
     generations = {p: list(gs) for p, gs in doc["generations"].items()}
