@@ -132,10 +132,13 @@ def paginate(
     """O2 — `Limit(count, page)` as a deterministic window slice.
 
     `row_number` over the given total order, then filter to the page
-    range. Spark plans this as a single global-sort window; for serving
-    at scale you'd push the sort into a TakeOrderedAndProject by
-    filtering `rn <= (page+1)*count` first (Catalyst already rewrites
-    the rank-filter pattern into a top-k when the window is global).
+    range. Spark plans this as a single global-sort window —
+    deliberate for deterministic pages over a COLLAPSED,
+    realm-bounded relation (bounded rows by construction); composing
+    this over an UNBOUNDED relation single-partitions the sort, so
+    use :func:`paginate_keyset` there instead (cursor predicate +
+    TakeOrderedAndProject, the serving-scale form, oracle-checked as
+    `o5_keyset_page`).
     """
     w = Window.orderBy(*order)
     lo, hi = page * count, (page + 1) * count

@@ -95,23 +95,30 @@ def _compare_keyed_scaled(
     green). Key alignment exists because a one-quantum difference in
     a sort-leading value column would misalign a sorted-tuple pairing
     and produce spurious diffs on every later row."""
-    key_set = {k.lower() for k in keys}
-    s_key_idx = [i for i, c in enumerate(s_cols) if c in key_set]
+    # key tuples built in the DECLARED key order on BOTH sides (r14
+    # review: each side's own column order would misalign a multi-key
+    # compare whose engines emit the key columns in different orders)
+    key_order = [k.lower() for k in keys]
+    key_set = set(key_order)
+    s_pos = {c: i for i, c in enumerate(s_cols)}
     d_pos = {c: i for i, c in enumerate(d_cols)}
     problems: list[str] = []
+    missing = [k for k in key_order if k not in s_pos or k not in d_pos]
+    if missing:
+        return [f"declared value_keys absent from result: {missing}"]
 
-    def index(cols, rows, key_idx):
+    def index(rows, pos):
+        idx = [pos[k] for k in key_order]
         out = {}
         for r in rows:
-            k = tuple(_canon_cell(r[i]) for i in key_idx)
+            k = tuple(_canon_cell(r[i]) for i in idx)
             if k in out:
                 problems.append(f"duplicate key {k}")
             out[k] = r
         return out
 
-    s_map = index(s_cols, s_rows, s_key_idx)
-    d_map = index(d_cols, d_rows,
-                  [i for i, c in enumerate(d_cols) if c in key_set])
+    s_map = index(s_rows, s_pos)
+    d_map = index(d_rows, d_pos)
     if set(s_map) != set(d_map):
         extra_s = list(set(s_map) - set(d_map))[:3]
         extra_d = list(set(d_map) - set(s_map))[:3]

@@ -373,13 +373,27 @@ def _writer_lock(paths):
     return commit_lock(paths.root, backend=_lock_backend(paths))
 
 
+def _serialized_writer(fn):
+    """Decorator: run the whole function body under the tree's commit
+    lock (``_writer_lock``). Declared ON the refresh/erasure function
+    itself — the r14 review killed the seven hand-written three-line
+    wrapper shims this replaces: a new gold refresh added without its
+    wrapper would silently run unlocked, re-opening the concurrent-
+    refresh swap race the lock exists to close. The decorated
+    function's (spark, paths, ...) signature is preserved."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, paths, *args, **kwargs):
+        with _writer_lock(paths):
+            return fn(spark, paths, *args, **kwargs)
+
+    return wrapper
+
+
+
+@_serialized_writer
 def refresh_owner_sketch_gold(spark, paths) -> int:
-    """Per-(region, realm) distinct-owner HLL gold refresh; see _refresh_owner_sketch_gold_locked. Serialized under the tree's commit lock (r14)."""
-    with _writer_lock(paths):
-        return _refresh_owner_sketch_gold_locked(spark, paths)
-
-
-def _refresh_owner_sketch_gold_locked(spark, paths) -> int:
     """Incrementally maintain a gold table of per-(region, realm)
     DISTINCT-OWNER sketches from the medallion commit log.
 
@@ -447,13 +461,8 @@ def read_owner_sketch_gold(spark, paths):
 # ---------------------------------------------------------------------------
 
 
+@_serialized_writer
 def refresh_churn_gold(spark, paths) -> int:
-    """Incremental snapshot-churn gold refresh; see _refresh_churn_gold_locked. Serialized under the tree's commit lock (r14)."""
-    with _writer_lock(paths):
-        return _refresh_churn_gold_locked(spark, paths)
-
-
-def _refresh_churn_gold_locked(spark, paths) -> int:
     """Incrementally maintain the snapshot-churn gold table
     (new/removed/persisting auction counts per consecutive snapshot
     pair — J3/U1–U3), folding ONLY the pairs that involve a dump key
@@ -710,13 +719,8 @@ def estimate_percentile(
     return hit.select(*keys, mid.alias(f"p{int(q * 100)}_est"))
 
 
+@_serialized_writer
 def refresh_price_hist_gold(spark, paths) -> int:
-    """Mergeable price-histogram gold refresh; see _refresh_price_hist_gold_locked. Serialized under the tree's commit lock (r14)."""
-    with _writer_lock(paths):
-        return _refresh_price_hist_gold_locked(spark, paths)
-
-
-def _refresh_price_hist_gold_locked(spark, paths) -> int:
     """Incrementally maintain per-(region, realm, item) BUYOUT-PER-UNIT
     histograms from the medallion commit log — the mergeable-median
     twin of `refresh_owner_sketch_gold` (same watermark sidecar, same
@@ -823,13 +827,8 @@ def count_distinct_exact(bitmaps: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+@_serialized_writer
 def refresh_item_bitmap_gold(spark, paths) -> int:
-    """Exact distinct-item bitmap gold refresh; see _refresh_item_bitmap_gold_locked. Serialized under the tree's commit lock (r14)."""
-    with _writer_lock(paths):
-        return _refresh_item_bitmap_gold_locked(spark, paths)
-
-
-def _refresh_item_bitmap_gold_locked(spark, paths) -> int:
     """Incrementally maintain a gold table of per-(region, realm)
     EXACT distinct-ITEM bitmaps from the medallion commit log — the
     exact-count twin of ``refresh_owner_sketch_gold`` (same watermark
@@ -918,13 +917,8 @@ def _mg_truncate(df: DataFrame, cap: int = _MG_CAP) -> DataFrame:
     ).filter(F.col("est") > 0)
 
 
+@_serialized_writer
 def refresh_hot_items_gold(spark, paths, cap: int = _MG_CAP) -> int:
-    """Misra-Gries hot-items gold refresh; see _refresh_hot_items_gold_locked. Serialized under the tree's commit lock (r14)."""
-    with _writer_lock(paths):
-        return _refresh_hot_items_gold_locked(spark, paths, cap)
-
-
-def _refresh_hot_items_gold_locked(spark, paths, cap: int = _MG_CAP) -> int:
     """Incrementally maintain the HOT-ITEMS gold (Misra-Gries summary
     of listing counts) from the medallion commit log — same watermark
     sidecar + aside-swap durability as the other mergeable golds.
@@ -1048,13 +1042,8 @@ def _overwrite_cleaned(spark, table_path: str, cleaned, affected) -> None:
                 shutil.rmtree(d)
 
 
+@_serialized_writer
 def forget_owner(spark, paths, owner) -> dict:
-    """GDPR-style owner erasure; see _forget_owner_locked. Serialized under the tree's commit lock (r14): an erasure racing an ingest must not rewrite a partition mid-append."""
-    with _writer_lock(paths):
-        return _forget_owner_locked(spark, paths, owner)
-
-
-def _forget_owner_locked(spark, paths, owner) -> dict:
     """GDPR-style ERASURE of one owner across the lake: rewrite only
     the bronze/silver/gold-price partitions that contain the owner
     (partition-pruned scans, dynamic overwrite, explicit removal of
@@ -1218,13 +1207,8 @@ def read_moment_stats(moments: DataFrame) -> DataFrame:
     )
 
 
+@_serialized_writer
 def refresh_price_moments_gold(spark, paths) -> int:
-    """Exact-decimal moments gold refresh; see _refresh_price_moments_gold_locked. Serialized under the tree's commit lock (r14)."""
-    with _writer_lock(paths):
-        return _refresh_price_moments_gold_locked(spark, paths)
-
-
-def _refresh_price_moments_gold_locked(spark, paths) -> int:
     """Incrementally maintain the per-(region, realm) moments table
     from the medallion commit log — same watermark sidecar + crash-
     healing aside-swap as every other gold. Returns batches folded

@@ -330,14 +330,16 @@ def _backend_lock(lockfile: str, backend, timeout: float,
     token = f"{os.getpid()}-{os.urandom(8).hex()}"
     deadline = time.monotonic() + timeout
     cas = getattr(backend, "replace_if_match", None)
-    # the EXACT bytes we last wrote while holding — every CAS
-    # transition (heartbeat, release) names them as its expected
-    # value, so a thief's claim (different bytes) makes our write
-    # cleanly lose instead of clobbering (r13 advisor finding: the
-    # old _owned()-then-put heartbeat could overwrite a CAS breaker
-    # that stole the lock between the read and the write). Only the
-    # beat thread mutates this after acquisition, and release joins
-    # that thread before its final CAS — no lock needed.
+    # the EXACT bytes we last wrote while holding — the HEARTBEAT
+    # names them as its CAS expected value, so a thief's claim
+    # (different bytes) makes a delayed beat cleanly lose instead of
+    # clobbering (r13 advisor finding: the old _owned()-then-put
+    # heartbeat could overwrite a CAS breaker that stole the lock
+    # between the read and the write). Only the beat thread mutates
+    # this after acquisition; RELEASE deliberately does NOT read it —
+    # it re-reads the store and token-checks (r14 review: a timed-out
+    # join can leave a beat CAS in flight, so held may be stale at
+    # release time).
     held = {"payload": b""}
 
     def _doc() -> dict | None:
@@ -429,17 +431,33 @@ def _backend_lock(lockfile: str, backend, timeout: float,
         stop_beat.set()
         beat.join(timeout=5.0)
         if callable(cas):
-            # release = CAS our exact payload → a released TOMBSTONE
-            # (never delete: between a proof-of-ownership and a delete
-            # a breaker could claim, and the delete would kill its
-            # claim). On CAS failure the lock was stolen — leave it.
-            backend.replace_if_match(
-                lockfile,
-                json.dumps(
-                    {"released": True, "released_at": time.time()}
-                ).encode(),
-                held["payload"],
-            )
+            # release = CAS → a released TOMBSTONE (never delete:
+            # between a proof-of-ownership and a delete a breaker
+            # could claim, and the delete would kill its claim). The
+            # expected value is a FRESH READ checked for our token,
+            # not held["payload"]: a timed-out join can leave the
+            # beat thread's CAS still in flight (r14 review — a
+            # stalled store call outliving the 5 s join), and a beat
+            # landing between our read and CAS just makes one retry.
+            # Tombstoning failure leaves a live-looking claim that
+            # ages out via stale break — bounded retries, not a loop.
+            for _ in range(4):
+                raw = backend.read(lockfile)
+                if raw is None:
+                    break
+                try:
+                    if json.loads(raw).get("token") != token:
+                        break  # stolen — not ours to release
+                except ValueError:
+                    break
+                if backend.replace_if_match(
+                    lockfile,
+                    json.dumps(
+                        {"released": True, "released_at": time.time()}
+                    ).encode(),
+                    raw,
+                ):
+                    break
         elif _owned():
             backend.delete(lockfile)
 

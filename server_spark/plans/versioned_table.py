@@ -164,20 +164,38 @@ def _commit(
     the serialization point; the pointer CAS then can only fail if a
     NO-CAS writer moved the pointer without a log claim we could see
     — either way the losing commit raises before the pointer moves.
+
+    Hot-path cost (r14 review): the uncontended commit is ONE
+    conditional PUT at ``prev_version + 1`` — no log LIST. Only when
+    that number is already claimed (contention, or burned claims
+    above the pointer) does the commit pay one LIST to skip past the
+    burn set; without this, a year-old streaming table's every
+    append would re-LIST its whole commit log.
     """
-    version = max(prev_version, _max_logged_version(t)) + 1
-    doc = {
-        "version": version,
-        "generations": generations,
-        "meta": meta,
-        "committed_at": time.time(),
-    }
-    payload = json.dumps(doc, sort_keys=True).encode()
-    if not t.be.put_if_absent(t._join(_LOG_DIR, str(version)), payload):
+
+    def _attempt(version: int) -> tuple[dict, bytes] | None:
+        doc = {
+            "version": version,
+            "generations": generations,
+            "meta": meta,
+            "committed_at": time.time(),
+        }
+        payload = json.dumps(doc, sort_keys=True).encode()
+        if t.be.put_if_absent(t._join(_LOG_DIR, str(version)), payload):
+            return doc, payload
+        return None
+
+    version = prev_version + 1
+    claimed = _attempt(version)
+    if claimed is None:
+        version = max(prev_version, _max_logged_version(t)) + 1
+        claimed = _attempt(version)
+    if claimed is None:
         raise ConcurrentSwapError(
             f"version {version} of {t.root} was claimed by another "
             "writer — re-read the table and retry"
         )
+    doc, payload = claimed
     pointer = t._join(_POINTER)
     if expected_raw is None:
         ok = t.be.put_if_absent(pointer, payload)
@@ -241,12 +259,23 @@ def publish_table(
     df: DataFrame,
     partition_by: tuple[str, ...] = (),
     meta: dict | None = None,
+    only_if_absent: bool = False,
 ) -> dict:
     """Full publish (initial load or atomic whole-TABLE SWAP): write
     ``df`` as a fresh generation, then point `_current` at it. The
     replaced version's files are untouched — pinned readers keep
-    them until vacuum. Returns the committed pointer doc."""
+    them until vacuum. Returns the committed pointer doc.
+
+    ``only_if_absent=True`` pins the commit to the NEVER-PUBLISHED
+    state the caller observed: the pointer lands via put-if-absent
+    regardless of what a re-read would show, so a first commit that
+    raced in since the caller's check raises ConcurrentSwapError
+    instead of being silently table-swapped over (r14 review — the
+    stream sink's init path could clobber a concurrent instance's
+    first batch without this)."""
     prev, raw = _read_pointer(t)
+    if only_if_absent:
+        prev, raw = None, None
     prev_version = prev["version"] if prev else 0
     gen = _gen_token(prev_version + 1)
     _write_gen(t, df, gen, partition_by, one_file_per_partition=False)
@@ -358,9 +387,14 @@ def versioned_stream_sink(
         doc, _ = _read_pointer(t)
         if doc is None:
             try:
+                # only_if_absent pins the init to the None we just
+                # observed — a first commit racing in between lands
+                # us in ConcurrentSwapError and the append path,
+                # never in a table swap over the other instance
                 publish_table(
                     spark, t, batch_df, partition_by,
                     meta={"stream_epochs": {sink_id: batch_id}},
+                    only_if_absent=True,
                 )
                 return
             except ConcurrentSwapError:
@@ -571,6 +605,15 @@ def rewrite_zordered(
     row = full.agg(
         F.min(col_x), F.max(col_x), F.min(col_y), F.max(col_y)
     ).first()
+    if row is None or any(v is None for v in row):
+        # empty table or an all-NULL clustering column: there is no
+        # grid to cluster on — a clear error beats float(None)'s
+        # TypeError from deep inside the maintenance path
+        raise ValueError(
+            f"rewrite_zordered({t.root}): no non-null values for "
+            f"({col_x}, {col_y}) — empty table or all-NULL column; "
+            "nothing to cluster"
+        )
     bounds = (float(row[0]), float(row[1]), float(row[2]), float(row[3]))
     z = zorder_key(F.col(col_x), F.col(col_y), bounds, bits)
     gen = _gen_token(doc["version"] + 1)
@@ -619,16 +662,35 @@ def read_table_asof(
 
 def vacuum(t: VersionedTable, keep_versions: int = 2) -> dict:
     """Reclaim generations referenced ONLY by versions older than the
-    newest ``keep_versions`` log entries. Generations referenced by
-    NO log entry are left alone — they may be an in-flight writer's
-    uncommitted output (its commit will reference them, or lose its
-    race and leave them for a later, coarser sweep). Run on a cadence
-    longer than the longest pinned reader: a snapshot older than
-    ``keep_versions`` commits can lose files to this — the same
-    contract as Delta's VACUUM retention window."""
-    vs = versions(t)
-    kept_vs = set(vs[-keep_versions:]) if keep_versions else set()
+    newest ``keep_versions`` COMMITTED log entries. Generations
+    referenced by NO log entry are left alone — they may be an
+    in-flight writer's uncommitted output (its commit will reference
+    them, or lose its race and leave them for a later, coarser
+    sweep). Run on a cadence longer than the longest pinned reader: a
+    snapshot older than ``keep_versions`` commits can lose files to
+    this — the same contract as Delta's VACUUM retention window.
+
+    Anchoring rules (r14 review — the first cut anchored on the raw
+    newest log entries and a pair of BURNED claims could crowd the
+    retention window and delete the LIVE version's files):
+    - the CURRENT pointer's generations are ALWAYS kept, whatever the
+      log says;
+    - log entries ABOVE the current pointer version are in-flight or
+      burned claims — never a reason to drop anything, and never
+      counted against ``keep_versions``;
+    - burned entries at-or-below the current version are
+      indistinguishable from committed ones by design, so they count
+      toward the window and their generation references are KEPT —
+      over-retention, the safe direction."""
+    doc, _ = _read_pointer(t)
+    current_version = doc["version"] if doc else 0
     keep_gens: set[str] = set()
+    if doc:
+        keep_gens.update(
+            g for gs in doc["generations"].values() for g in gs
+        )
+    vs = [v for v in versions(t) if v <= current_version]
+    kept_vs = set(vs[-keep_versions:]) if keep_versions else set()
     drop_gens: set[str] = set()
     for v in vs:
         raw = t.be.read(t._join(_LOG_DIR, str(v)))

@@ -435,6 +435,92 @@ def test_versioned_stream_sink_real_availablenow_stream(spark, tmp_path):
     )
 
 
+def test_vacuum_survives_burned_claims_above_pointer(spark, tmp_path):
+    """r14 review (data-loss class): burned log claims ABOVE the
+    current pointer must never crowd the retention window — the
+    first cut anchored on the raw newest log entries, so two crashed
+    compaction claims could push the LIVE version out of the window
+    and vacuum deleted files the current pointer still references."""
+    t = _table(tmp_path)
+    vt.publish_table(spark, t, _mk_df(spark, 20), partition_by=("region",))
+    vt.append_partitions(spark, t, _mk_df(spark, 20, extra=100))
+    rows = _collect(vt.read_table(spark, t))
+    doc = vt.snapshot(t)
+    assert doc["version"] == 2
+    # two crashed/lost maintenance claims above the pointer: their
+    # docs reference only never-published generations
+    for v in (3, 4):
+        t.be.put_if_absent(
+            f"s3://bucket/lake/events/_versions/{v}",
+            json.dumps({"version": v,
+                        "generations": {"region=eu": [f"g-burn{v}"]},
+                        "meta": {}}).encode(),
+        )
+    rep = vt.vacuum(t, keep_versions=2)
+    # nothing the live pointer references may be dropped
+    assert _collect(vt.read_table(spark, t)) == rows
+    assert rep["versions_kept"] == [1, 2]  # burns not counted
+
+
+def test_publish_only_if_absent_never_clobbers_a_first_commit(
+    spark, tmp_path
+):
+    """r14 review: the stream sink observes pointer=None, then a
+    concurrent instance commits v1 before publish_table's own read —
+    only_if_absent pins the commit to the observed absence, so the
+    race raises instead of table-swapping over the first commit."""
+    t = _table(tmp_path)
+    first = _mk_df(spark, 8)
+    vt.publish_table(spark, t, first, partition_by=("region",))
+    with pytest.raises(vt.ConcurrentSwapError):
+        vt.publish_table(
+            spark, t, _mk_df(spark, 8, extra=100),
+            partition_by=("region",), only_if_absent=True,
+        )
+    assert _collect(vt.read_table(spark, t)) == _collect(first)
+    # the sink wrapper converts exactly that race into an append
+    sink = vt.versioned_stream_sink(t, ("region",), sink_id="b")
+    sink(_mk_df(spark, 8, extra=100), 0)
+    assert vt.read_table(spark, t).count() == 16
+
+
+def test_commit_hot_path_skips_log_list(spark, tmp_path):
+    """r14 review: the uncontended commit must cost ONE conditional
+    PUT at prev+1 — a full _versions/ LIST per append would grow
+    linearly with table age on a streaming sink."""
+    t = _table(tmp_path)
+    calls = []
+    inner_list = t.backend.list_names
+
+    def counting_list(prefix):
+        if "_versions" in prefix:
+            calls.append(prefix)
+        return inner_list(prefix)
+
+    t.backend.list_names = counting_list
+    vt.publish_table(spark, t, _mk_df(spark, 6), partition_by=("region",))
+    vt.append_partitions(spark, t, _mk_df(spark, 6, extra=10))
+    vt.append_partitions(spark, t, _mk_df(spark, 6, extra=20))
+    assert calls == []  # no log LIST on any uncontended commit
+    # contended path (stale plan) falls back to the LIST exactly once
+    doc, raw = vt._read_pointer(t)
+    vt.append_partitions(spark, t, _mk_df(spark, 6, extra=30))
+    with pytest.raises(vt.ConcurrentSwapError):
+        vt._commit(t, {p: list(g) for p, g in doc["generations"].items()},
+                   doc["meta"], raw, doc["version"])
+    assert len(calls) == 1
+
+
+def test_zorder_empty_or_allnull_is_loud(spark, tmp_path):
+    t = _table(tmp_path)
+    df = spark.createDataFrame(
+        [("eu", None, None)], "region string, k long, v double"
+    )
+    vt.publish_table(spark, t, df, partition_by=("region",))
+    with pytest.raises(ValueError, match="all-NULL|no non-null"):
+        vt.rewrite_zordered(spark, t, "k", "v")
+
+
 def test_pointer_corruption_is_loud(tmp_path):
     t = _table(tmp_path)
     t.be.put("s3://bucket/lake/events/_current", b"{not json")
