@@ -521,6 +521,62 @@ def test_zorder_empty_or_allnull_is_loud(spark, tmp_path):
         vt.rewrite_zordered(spark, t, "k", "v")
 
 
+def test_compaction_cost_scales_with_dirty_subset(spark, tmp_path):
+    """The 100 TB posture claim, asserted: with one fragmented
+    partition among many clean ones, compaction's rewrite touches
+    ONLY the dirty partition's files (backend reads prove it) and the
+    clean partitions' generation entries are carried over verbatim —
+    never re-read, never re-written."""
+    t = _table(tmp_path)
+    df = spark.createDataFrame(
+        [(f"r{i}", j, float(j)) for i in range(8) for j in range(10)],
+        "region string, k long, v double",
+    ).repartition("region")  # one file per partition at publish
+    vt.publish_table(spark, t, df, partition_by=("region",))
+    # fragment exactly one partition with four appends
+    for e in range(4):
+        vt.append_partitions(
+            spark, t,
+            spark.createDataFrame(
+                [("r3", 100 + e, float(e))],
+                "region string, k long, v double",
+            ),
+        )
+    before = vt.snapshot(t)
+    clean_entries = {
+        p: gs for p, gs in before["generations"].items() if p != "region=r3"
+    }
+
+    read_files: list[str] = []
+    inner_io = t.backend.io_path
+
+    def spying_io(path):
+        local = inner_io(path)
+        read_files.append(path)
+        return local
+
+    t.backend.io_path = spying_io
+    rep = vt.compact_table(spark, t, min_files=3)
+    t.backend.io_path = inner_io
+    assert rep["compacted_partitions"] == 1
+    assert rep["skipped_partitions"] == 7
+    # every data path Spark was handed belongs to the dirty partition
+    # or the new generation's output — no clean partition was read
+    data_paths = [p for p in read_files if "/data/" in p]
+    assert data_paths, "compaction went through io_path"
+    for p in data_paths:
+        # dirty partition reads name region=r3; the only other data
+        # path is the new generation's output ROOT (no partition
+        # component — Spark appends region=... itself on write)
+        assert "region=r3" in p or "region=" not in p, p
+    # clean partitions' generation lists carried over verbatim
+    after = vt.snapshot(t)
+    assert {
+        p: gs for p, gs in after["generations"].items() if p != "region=r3"
+    } == clean_entries
+    assert len(after["generations"]["region=r3"]) == 1
+
+
 def test_pointer_corruption_is_loud(tmp_path):
     t = _table(tmp_path)
     t.be.put("s3://bucket/lake/events/_current", b"{not json")
