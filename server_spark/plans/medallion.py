@@ -127,7 +127,7 @@ def _dynamic_overwrite(spark: SparkSession) -> None:
 @contextlib.contextmanager
 def commit_lock(
     root: str,
-    timeout: float = 120.0,
+    timeout: float | None = None,
     stale_after: float = 600.0,
     backend=None,
 ):
@@ -197,6 +197,16 @@ def commit_lock(
     # already did via _lock_backend), so a direct commit_lock caller
     # (compaction's lock_root) shares the same lock namespace instead
     # of silently splitting POSIX-vs-backend and voiding exclusion.
+    # Acquisition budget: how long a writer queues behind peers before
+    # giving up. The right value scales with how long a PEER's locked
+    # commit section runs — which depends on deployment (cluster size,
+    # batch volume, store latency), not on this code — so the default
+    # is env-tunable (SPARK_GRAFT_LOCK_TIMEOUT, seconds) rather than a
+    # constant: N drivers whose critical sections average t seconds
+    # need a budget ≳ N·t·(ops queued ahead), and 120 s is only the
+    # single-host default. An explicit ``timeout`` argument wins.
+    if timeout is None:
+        timeout = float(os.environ.get("SPARK_GRAFT_LOCK_TIMEOUT", "120"))
     backend = backend or cb.injected_backend()
     if backend is None and cb.is_uri(root):
         raise ValueError(

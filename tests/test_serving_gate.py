@@ -43,6 +43,25 @@ def test_serving_latency_gate(spark):
     base = json.loads(BASELINE.read_text())["subjects"]
     fresh = run_serving_bench(spark, SF, iters=ITERS, warmup=WARMUP)
     regs, drift = gate(base, fresh)
+    if regs:
+        # Contended-window adjudication — bench.py's standing
+        # "flagged outliers = median-of-3" protocol applied to the
+        # serving gate: a real plan regression reproduces in fresh
+        # re-measures, a neighbor-load spike does not (observed r14:
+        # whole-board drift 3.2x with per-subject spread 1.8-8x and a
+        # DIFFERENT subject flagged on each run; zero code diff on
+        # the façade). Only reached when the single pass flags, so
+        # the quiet-host cost is zero.
+        samples = {n: [d["p50"]] for n, d in fresh.items()}
+        for _ in range(2):
+            again = run_serving_bench(spark, SF, iters=ITERS, warmup=0)
+            for n, d in again.items():
+                samples[n].append(d["p50"])
+        fresh = {
+            n: {**fresh[n], "p50": sorted(v)[1]}
+            for n, v in samples.items()
+        }
+        regs, drift = gate(base, fresh)
     msg = "; ".join(
         f"{n}: {b:.3f}s -> {f:.3f}s ({r:.2f}x norm, drift {drift:.2f}x)"
         for n, b, f, r in regs

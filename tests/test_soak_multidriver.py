@@ -97,7 +97,20 @@ def test_three_driver_soak_version_log_and_gold_parity(
 
     root = str(tmp_path / "lake")
     os.makedirs(root, exist_ok=True)
-    env = dict(os.environ, SPARK_GRAFT_COMMIT_BACKEND=_BACKEND_SPEC)
+    # Lock-acquisition budget for the workers: the three drivers
+    # serialize ~21 locked commit sections (each several Spark jobs)
+    # on one shared box, so the worst waiter queues behind most of
+    # them; with external host load a section can take 20-30 s and
+    # the 120 s single-host default trips spuriously (observed r14:
+    # TimeoutError at 120 s with healthy holders, host load ~6 from
+    # neighbors). This test asserts CORRECTNESS invariants (version-
+    # log integrity, gold == rebuild), not latency — give the queue
+    # room and let the invariants do the judging.
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_COMMIT_BACKEND=_BACKEND_SPEC,
+        SPARK_GRAFT_LOCK_TIMEOUT="900",
+    )
     procs = [
         subprocess.Popen(
             [sys.executable, "-c",
