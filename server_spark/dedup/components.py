@@ -61,24 +61,45 @@ def connected_components(
     changed = -1  # bound before the loop: max_iter <= 0 must reach the
     # non-convergence RuntimeError below, not an UnboundLocalError
     for _ in range(max_iter):
-        nbr_min = (
+        # One propagation round as ONE join + ONE aggregation (r14
+        # optimization pass, guide §2.4): neighbor labels flow through
+        # the edge join as before, but instead of a second labels-side
+        # join to merge/compare, the node's OWN label rides the same
+        # aggregation as a tagged "self message" — min over
+        # (self ∪ neighbor messages) IS least(old, min-neighbor), and
+        # the self row's value doubles as the old label for the
+        # convergence flag. Replaces join+agg+join (5 exchanges) with
+        # join+union+agg (4) and drops a blocking operator from every
+        # round; labels are bit-identical (exact min over the same
+        # multiset).
+        msgs = (
             sym.select(F.col("node").alias("n"), "nbr")
             .join(
                 labels.select(F.col("node").alias("_ln"), "component"),
                 F.col("nbr") == F.col("_ln"),
             )
-            .groupBy("n")
-            .agg(F.min("component").alias("nbr_component"))
+            .select(
+                F.col("n").alias("node"),
+                "component",
+                F.lit(False).alias("_self"),
+            )
         )
         new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.n, "left")
+            labels.select("node", "component", F.lit(True).alias("_self"))
+            .unionAll(msgs)
+            .groupBy("node")
+            .agg(
+                F.min("component").alias("component"),
+                # exactly one self row per node (labels is keyed), so
+                # this min is just that row's value: the OLD label
+                F.min(F.when(F.col("_self"), F.col("component"))).alias(
+                    "_old"
+                ),
+            )
             .select(
                 "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
-                (F.col("nbr_component") < F.col("component")).alias("_chg"),
+                "component",
+                (F.col("component") < F.col("_old")).alias("_chg"),
             )
             .transform(barrier)
         )

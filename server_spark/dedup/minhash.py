@@ -253,7 +253,19 @@ def banded_keys(
 ) -> DataFrame:
     """(id, [extra...,] band_idx, band_key) rows from an (id, sig
     array) relation. r = k // n_bands; r = 1 keys are the raw longs
-    (posexplode), r > 1 keys concatenate the band's components.
+    (posexplode), r > 1 keys PACK adjacent component pairs into longs
+    (r14, guide §2.3 "shuffle fewer bytes / narrower types"): every
+    md5-family signature component lies in [0, MD5_P), so
+    ``c_even * MD5_P + c_odd`` is injective and fits a long
+    (MD5_P² ≈ 1.6e13 < 2^63) — the band key becomes one long (r = 2)
+    or a struct of ⌈r/2⌉ longs (r = 4) instead of a pipe-joined
+    string (~31 UTF-8 bytes at r = 4 vs 16 fixed-width bytes, and
+    fixed-width hash/compare instead of byte-string work in every
+    banding exchange). Candidate sets are bit-identical: packing is
+    injective on the component tuples, so key equality ⇔
+    component-tuple equality, exactly as with the string form.
+    Callers must feed md5-family signatures (components < MD5_P);
+    the xxhash64 production path has its own banding.
     ``extra`` names sig columns carried through unchanged (e.g. the
     doc's token-set size for downstream size-ratio pruning)."""
     rows = k // n_bands
@@ -265,17 +277,26 @@ def banded_keys(
             *extra,
             F.posexplode("sig").alias("band_idx", "band_key"),
         )
+
+    def _packed(b: int) -> Column:
+        comps = [F.col("sig")[b * rows + j] for j in range(rows)]
+        packed = [
+            comps[i] * MD5_P + comps[i + 1]
+            if i + 1 < rows
+            else comps[i]
+            for i in range(0, rows, 2)
+        ]
+        if len(packed) == 1:
+            return packed[0]
+        return F.struct(
+            *[p.alias(f"k{i}") for i, p in enumerate(packed)]
+        )
+
     band_entries = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.slice("sig", b * rows + 1, rows),
-                        lambda x: x.cast("string"),
-                    ),
-                ).alias("band_key"),
+                _packed(b).alias("band_key"),
             )
             for b in range(n_bands)
         ]

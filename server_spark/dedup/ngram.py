@@ -78,6 +78,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     candidates: DataFrame | None = None,
     text_col: str = "text",
+    arrs: DataFrame | None = None,
 ) -> DataFrame:
     """All document pairs (a < b) with shingle-Jaccard ≥ threshold.
 
@@ -89,6 +90,13 @@ def jaccard_pairs(
     self-join never happens, so a hot shingle costs nothing beyond
     its docs' set sizes. That bucket-then-verify composition is the
     100 TB shape.
+
+    ``arrs``: an ALREADY-MATERIALIZED per-doc distinct shingle-array
+    relation (id_col, ``_sh``), exactly ``docs → split_words →
+    shingle_array`` — callers that also feed a signature pipeline from
+    the same tokenization (x106's two legs) pass it so the corpus is
+    tokenized ONCE instead of once per leg (r14, guide §1.2 "don't
+    compute things twice"). The caller owns the barrier.
     """
     if candidates is not None:
         # verification path references the shingle relation once — no
@@ -105,11 +113,12 @@ def jaccard_pairs(
     # double-reference a lambda-bearing projection and CSE won't save
     # it). The materialization also covers the two self-join branches
     # (Catalyst plans zero ReusedExchange across them).
-    arrs = docs.select(
-        F.col(id_col), split_words(text_col).alias("_words")
-    ).select(
-        F.col(id_col), shingle_array("_words", n).alias("_sh")
-    ).transform(barrier)
+    if arrs is None:
+        arrs = docs.select(
+            F.col(id_col), split_words(text_col).alias("_words")
+        ).select(
+            F.col(id_col), shingle_array("_words", n).alias("_sh")
+        ).transform(barrier)
     sh = arrs.select(
         F.col(id_col),
         F.size("_sh").alias("n_sh"),

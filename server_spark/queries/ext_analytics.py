@@ -1221,33 +1221,55 @@ def a50_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     joint = base.groupBy("g", "x", "y").agg(F.count("*").alias("c"))
     joint = joint.transform(barrier)  # feeds both marginals + the fold
 
-    def marginal(col: str, out: str) -> DataFrame:
-        # two-phase grouped prefix sum (r9, verdict item 5): the naive
-        # `SUM(cv) OVER (PARTITION BY g ORDER BY v)` puts each group's
-        # entire distinct-value relation in ONE window task — with 4
-        # groups and 10⁷+ distinct cent-prices per group at 100 TB
-        # that is a single-task bottleneck. grouped_cum_before range-
-        # partitions (g, v), prefix-sums in parallel, and shifts by
-        # broadcast per-partition offsets; results are exact integers
-        # either way so parity is untouched.
-        from server_spark.operators.ranking import grouped_cum_before
+    # two-phase grouped prefix sum (r9, verdict item 5): the naive
+    # `SUM(cv) OVER (PARTITION BY g ORDER BY v)` puts each group's
+    # entire distinct-value relation in ONE window task — with 4
+    # groups and 10⁷+ distinct cent-prices per group at 100 TB
+    # that is a single-task bottleneck. grouped_cum_before range-
+    # partitions, prefix-sums in parallel, and shifts by broadcast
+    # per-partition offsets; results are exact integers either way so
+    # parity is untouched.
+    #
+    # r14 optimization pass (guide §2.4 "remove shuffles outright"):
+    # BOTH marginals ride ONE grouped_cum_before call — the x- and
+    # y-rank relations are unioned with a marginal tag `_m` and the
+    # prefix sum runs per (_m, g) group, which is exactly the two
+    # per-marginal prefix sums on the same integers. This halves the
+    # fixed machinery: one range exchange instead of two, one staged
+    # barrier instead of two, one offsets window + broadcast join
+    # instead of two (before: 7 hash exchanges / 4 broadcasts in the
+    # final plan plus 3 construction-time barrier jobs; after: 5 / 3
+    # and 2). Ranks are bit-identical (same exact integer algebra per
+    # group; `_m` only separates the groups).
+    from server_spark.operators.ranking import grouped_cum_before
 
-        m = joint.groupBy("g", col).agg(F.sum("c").alias("cv"))
-        # 8 range slices per marginal: each holds ~(distinct values /
-        # 8) rows — plenty of parallelism for the prefix windows while
-        # keeping the two extra exchanges' fixed cost low; at 100 TB
-        # raise via spark.sql.shuffle.partitions-sized num_partitions
-        ranked = grouped_cum_before(
-            m, ["g"], col, "cv", "cb", num_partitions=8
+    mboth = (
+        joint.groupBy("g", "x")
+        .agg(F.sum("c").alias("cv"))
+        .select(F.lit(0).alias("_m"), "g", F.col("x").alias("v"), "cv")
+        .unionAll(
+            joint.groupBy("g", "y")
+            .agg(F.sum("c").alias("cv"))
+            .select(F.lit(1).alias("_m"), "g", F.col("y").alias("v"), "cv")
         )
-        return ranked.select(
-            "g",
-            col,
-            (2 * F.col("cb") + F.col("cv") + 1).alias(out),
-        )
-
-    mx = marginal("x", "rx2")
-    my = marginal("y", "ry2")
+    )
+    # 16 range slices for the union (the old shape used 8 per
+    # marginal — same per-slice volume); at 100 TB raise via
+    # spark.sql.shuffle.partitions-sized num_partitions
+    ranked = grouped_cum_before(
+        mboth, ["_m", "g"], "v", "cv", "cb", num_partitions=16
+    ).select(
+        "_m", "g", "v", (2 * F.col("cb") + F.col("cv") + 1).alias("r2")
+    )
+    # the two marginal branches below each re-read `ranked`; barrier
+    # it so the union+window runs once, not once per branch
+    ranked = ranked.transform(barrier)
+    mx = ranked.filter(F.col("_m") == 0).select(
+        "g", F.col("v").alias("x"), F.col("r2").alias("rx2")
+    )
+    my = ranked.filter(F.col("_m") == 1).select(
+        "g", F.col("v").alias("y"), F.col("r2").alias("ry2")
+    )
     # moments in DECIMAL(38,0), not BIGINT: doubled ranks reach 2n per
     # group, so c*rank^2 sums hit ~n^3 — past 2^63 at a few million
     # rows (the r11 sf1.0 scale probe caught the ANSI long overflow

@@ -509,26 +509,40 @@ def x8b_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _md5_minhash_pairs(_docs(spark, sf_dir), _MH_MIN_EST)
 
 
-def _md5_minhash_pairs(docs: DataFrame, min_est: float) -> DataFrame:
+def _md5_minhash_pairs(
+    docs: DataFrame, min_est: float, shingles: DataFrame | None = None
+) -> DataFrame:
     """x8b's engine-portable MinHash+LSH pipeline as a reusable step:
     banded candidates + signature-fraction estimate >= ``min_est``.
     Shared by x8b and the x106 pipeline eval (which cuts at the
-    corpus near-dup threshold instead of the looser estimate gate)."""
-    shingles = ng.word_shingles(docs, n=3)
+    corpus near-dup threshold instead of the looser estimate gate).
+
+    ``shingles``: a pre-built (doc_id, shingle) relation — x106 passes
+    one derived from its SHARED materialized tokenization so the est
+    and truth legs tokenize the corpus once, not once each (r14)."""
+    if shingles is None:
+        shingles = ng.word_shingles(docs, n=3)
     # ONE min-agg shuffle for all 32 signatures, packed into an array
     # so downstream carries a single column instead of 32.
     # Both the banded self-join branches and the per-side signature
     # lookups reference this — materialize once.
     sigs = mh.md5_signatures(shingles, _MH_AB).transform(barrier)
+    # r14 (guide §2.3): packed numeric band keys — adjacent component
+    # pairs as c_even*MD5_P + c_odd longs (injective, < 2^63), same
+    # scheme as mh.banded_keys; candidate set identical to the string
+    # form, ~half the key bytes through the banding exchange and
+    # fixed-width compares instead of UTF-8 string work.
     band_structs = [
         F.struct(
             F.lit(band).alias("band_idx"),
-            F.concat_ws(
-                "|",
-                F.transform(
-                    F.slice("sig", band * _MH_ROWS + 1, _MH_ROWS),
-                    lambda x: x.cast("string"),
-                ),
+            F.struct(
+                *[
+                    (
+                        F.col("sig")[band * _MH_ROWS + i] * mh.MD5_P
+                        + F.col("sig")[band * _MH_ROWS + i + 1]
+                    ).alias(f"k{i // 2}")
+                    for i in range(0, _MH_ROWS, 2)
+                ]
             ).alias("band_key"),
         )
         for band in range(_MH_BANDS)
@@ -1692,12 +1706,26 @@ def x106_minhash_eval(
     # Both legs see the SAME sampled corpus, so the confusion matrix
     # stays internally consistent (see SCALE.md).
     docs = hash_sample(_docs(spark, sf_dir), sample_mod)
-    est = _md5_minhash_pairs(docs, JACCARD_MIN).select(
+    # r14 (guide §1.2): tokenize the corpus ONCE for both legs. The
+    # est leg (signatures) and the truth leg (inverted-index
+    # self-join) each used to materialize their own tokenization —
+    # two full split+shingle passes over every document, the most
+    # expensive narrow map in the query. One barriered per-doc
+    # shingle-array relation now feeds both: the est leg explodes it
+    # into (doc_id, shingle) rows, the truth leg consumes the arrays
+    # directly. Same algebra on both legs, results identical.
+    arrs = (
+        docs.select("doc_id", ng.split_words("text").alias("_words"))
+        .select("doc_id", ng.shingle_array("_words", 3).alias("_sh"))
+        .transform(barrier)
+    )
+    shingles = arrs.select("doc_id", F.explode("_sh").alias("shingle"))
+    est = _md5_minhash_pairs(docs, JACCARD_MIN, shingles=shingles).select(
         "doc_a", "doc_b", F.lit(1).alias("in_est")
     )
-    truth = ng.jaccard_pairs(docs, n=3, threshold=JACCARD_MIN).select(
-        "doc_a", "doc_b", F.lit(1).alias("in_truth")
-    )
+    truth = ng.jaccard_pairs(
+        docs, n=3, threshold=JACCARD_MIN, arrs=arrs
+    ).select("doc_a", "doc_b", F.lit(1).alias("in_truth"))
     j = truth.join(est, ["doc_a", "doc_b"], "full")
     conf = j.agg(
         F.coalesce(
@@ -1800,11 +1828,15 @@ def x107_lsh_calibration(
     # Candidate-bounded exact leg, but still an eval — same sampling
     # valve as x106 for very large corpora (see SCALE.md).
     docs = hash_sample(_docs(spark, sf_dir), sample_mod)
-    shingles = ng.word_shingles(docs, n=3)
-    sigs = mh.md5_signatures(shingles, _MH_AB).transform(barrier)
+    # r14 (guide §1.2): tokenize once. The signature barrier and the
+    # shingle barrier each used to recompute the split+shingle map
+    # from raw text; barriering the shingle relation FIRST and
+    # deriving signatures from the materialized rows halves the
+    # tokenize work (plans and results unchanged — same relation).
+    sh = ng.word_shingles(docs, n=3).transform(barrier)
+    sigs = mh.md5_signatures(sh, _MH_AB).transform(barrier)
     kv = mh.banded_keys(sigs, _MH_NUM, _MH_BANDS)
     cand = mh.bucket_pairs(kv, ["band_idx", "band_key"]).transform(barrier)
-    sh = shingles.transform(barrier)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pa = cand.join(
         sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"

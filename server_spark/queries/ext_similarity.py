@@ -487,8 +487,6 @@ _X41_SQL = rf"""
     late=True,
 )
 def x41_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     dim = cos.EMB_DIM
     n = _emb(spark, sf_dir).select(
         "vec_id",
@@ -506,16 +504,40 @@ def x41_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = n.crossJoin(F.broadcast(seeds)).select(
         "vec_id",
+        "v",
         "seed_id",
         r4(
             cos.dot_fixed("v", "sv", dim) / (F.col("nrm") * F.col("snrm"))
         ).alias("cosv"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cosv").desc(), "seed_id")
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("seed_id").alias("cluster_id"))
+    # r14 (guide §2.3 "aggregate before you shuffle"): argmax per
+    # vector as max(struct(cosv, -seed_id)) instead of a row_number
+    # window — struct max uses the SAME total order as the window's
+    # (cosv DESC, seed_id ASC), including NaN-greatest, so the picked
+    # seed is identical row for row; the exchange carries one
+    # partially-aggregated row per vector instead of K, and the
+    # embedding rides the same aggregation (every row of a vec_id
+    # carries the same v, so first() is deterministic-by-value), which
+    # also deletes the assign⋈n join-back and its two exchanges.
+    # Measured (sf0.1, interleaved A/B): min 4.36→3.84 s. Two
+    # alternatives measured WORSE and were discarded: the same
+    # max(struct) WITHOUT the embedding carry on x78 (3.1→6.2 s,
+    # double SortAggregate), and a literal-seed narrow fold with the
+    # K=8 seeds collected and inlined (17.6 s — the 8×64-term
+    # expression tree falls out of whole-stage codegen).
+    clustered = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cosv"), (-F.col("seed_id")).alias("ns")
+                )
+            ).alias("m"),
+            F.first("v").alias("embedding"),
+        )
+        .select(
+            "vec_id", "embedding", (-F.col("m.ns")).alias("cluster_id")
+        )
     )
     # Within-cluster scoring through the grouped blocked matmul (the
     # same kernel as x41b/x10): the row-exploding pair self-join never
@@ -523,9 +545,6 @@ def x41_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (x10's hash-green record is the proof), so the oracle twin above
     # stays bit-identical while the plan drops from N²/K joined rows
     # to block-packed matmuls.
-    clustered = assign.join(n, "vec_id").select(
-        "vec_id", F.col("v").alias("embedding"), "cluster_id"
-    )
     return cos.neardup_pairs_blocked_grouped(
         clustered, threshold=NEARDUP_COS, group_col="cluster_id"
     ).select("cluster_id", "vec_a", "vec_b", "score")
@@ -1596,6 +1615,12 @@ def x78_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.dot_fixed("v", "sv", dim) / (F.col("nrm") * F.col("snrm"))
         ).alias("cosv"),
     )
+    # r14 NOTE: this argmax window was A/B'd against two restructures
+    # (max(struct) groupBy: 3.1→6.2 s, planned as a double non-codegen
+    # SortAggregate; literal-seed narrow fold: 7.9 s, expression tree
+    # too large for codegen) — the window form measured FASTEST here
+    # and is kept. x41's variant wins only because it also carries the
+    # embedding and deletes a join-back this query does not have.
     wa = Window.partitionBy("vec_id").orderBy(F.col("cosv").desc(), "seed_id")
     assign = (
         scored.withColumn("rn", F.row_number().over(wa))

@@ -2571,17 +2571,27 @@ def t53_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "delta", "auc")
         .rowsBetween(W.unboundedPreceding, 0)
     )
+    # r14 (guide §2.4): the per-item max rides a SECOND window over
+    # the SAME item partitioning instead of a groupBy + join-back —
+    # the barrier (whose checkpoint scan loses the partitioning info
+    # and forced the max agg and the join into fresh exchanges), one
+    # aggregation, and one join all drop out; the filter live == max
+    # over the windowed column selects exactly the rows the join
+    # selected. groupBy (item, max_concurrent) then reuses the item
+    # hash partitioning (subset clustering), so the whole peak
+    # computation runs on ONE exchange.
     run = ev.select(
-        "item", "ts", F.sum("delta").over(w).alias("live")
-    ).transform(barrier)  # feeds the per-item max AND the peak lookup
-    mx = run.groupBy("item").agg(F.max("live").alias("max_concurrent"))
+        "item",
+        "ts",
+        F.sum("delta").over(w).alias("live"),
+    ).select(
+        "item",
+        "ts",
+        "live",
+        F.max("live").over(W.partitionBy("item")).alias("max_concurrent"),
+    )
     peaks = (
-        run.join(
-            mx,
-            (run["item"] == mx["item"])
-            & (run["live"] == mx["max_concurrent"]),
-        )
-        .drop(mx["item"])
+        run.filter(F.col("live") == F.col("max_concurrent"))
         .groupBy("item", "max_concurrent")
         .agg(F.min("ts").alias("first_peak_ts"))
     )
