@@ -207,8 +207,12 @@ def md5_val_arrays(
     zero shuffles. The shared input of array-native signature
     building and candidate verification."""
     from server_spark.dedup.ngram import shingle_array, split_words
+    from server_spark.tables import fan_out
 
-    return docs.select(
+    # fan_out: per-shingle md5 + array_distinct is the heavy narrow
+    # stage and usually sits directly on the scan (r14); inputs
+    # already behind a shuffle/barrier pass through untouched
+    return fan_out(docs).select(
         F.col(id_col), split_words(text_col).alias("_words")
     ).select(
         F.col(id_col),

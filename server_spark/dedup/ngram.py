@@ -114,6 +114,11 @@ def jaccard_pairs(
     # it). The materialization also covers the two self-join branches
     # (Catalyst plans zero ReusedExchange across them).
     if arrs is None:
+        # fan_out: the shingle+md5 narrow map below is the expensive
+        # stage and sits directly on the scan (r14, tables.fan_out)
+        from server_spark.tables import fan_out
+
+        docs = fan_out(docs)
         arrs = docs.select(
             F.col(id_col), split_words(text_col).alias("_words")
         ).select(

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from server_spark.barrier import barrier
 
 from server_spark.dedup.ngram import split_words
+from server_spark.tables import fan_out
 
 SPAN_WORDS = 6
 SPAN_MIN_DOCS = 2
@@ -66,7 +67,15 @@ def span_positions(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, pos, span) rows — one per rolling word-n-gram occurrence."""
+    """(id, pos, span) rows — one per rolling word-n-gram occurrence.
+
+    Deliberately NOT fan_out'd (r14, measured): every consumer
+    aggregates or joins these rows by span immediately, and the
+    map-side combine of that shuffle does MORE collapsing when the
+    narrow span map runs on fewer, larger partitions — x43 measured
+    1.24 → 2.62 s with a fan-out exchange inserted here.
+    _words_and_cov (the scrub family), whose downstream re-reads the
+    words relation twice, IS fan_out'd."""
     with_arr = docs.select(
         F.col(id_col), split_words(text_col).alias("_w")
     )
@@ -110,7 +119,7 @@ def _words_and_cov(
     one (id, pos, word) row per word and ``cov`` is the DISTINCT set of
     (cov_doc, cpos) word positions covered by a NON-CANONICAL
     occurrence of a cross-doc repeated span — i.e. the removal set."""
-    with_arr = docs.select(
+    with_arr = fan_out(docs).select(
         F.col(id_col), split_words(text_col).alias("_w")
     )
     words = with_arr.select(

@@ -123,7 +123,10 @@ def p4_positive_buyout(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a1_miniauction_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # auc is already a string id — array_join directly (no per-element
     # cast pass over the collected lists)
-    return auctions(spark, sf_dir).groupBy(*ops.COLLAPSE_KEYS).agg(
+    # fanned: the per-row md5 id + the map-side collect_list partials
+    # are this query's whole cost and otherwise run on the scan's few
+    # cores (r14, measured 4.5 → 1.7 s isolated at sf0.1)
+    return auctions(spark, sf_dir, fanned=True).groupBy(*ops.COLLAPSE_KEYS).agg(
         F.array_join(F.array_sort(F.collect_list("auc")), ",").alias("auc_ids"),
         F.count("*").alias("auc_count"),
     )

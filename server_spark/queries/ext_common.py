@@ -16,6 +16,9 @@ NEARDUP_COS = 0.35        # embedding near-dup threshold (max ≈ 0.51)
 JACCARD_MIN = 0.2         # n-gram near-dup threshold
 
 
+from server_spark.tables import fan_out  # noqa: F401  (re-export)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.load(spark, sf_dir, "documents")
 

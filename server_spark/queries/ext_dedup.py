@@ -30,6 +30,7 @@ from server_spark.dedup import ngram as ng
 from server_spark.dedup import simhash as sh
 from server_spark.parity import r4, r4sql
 from server_spark.queries.ext_common import (
+    fan_out,
     HASH_SPLIT_SQL,
     JACCARD_MIN,
     _docs,
@@ -813,16 +814,21 @@ def x38_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_batch = F.col("doc_id") % 10 == 0
 
     hx = docs.select("doc_id", ex.text_hash().alias("h"))
+    # ONE hash-keyed groupBy replaces the batch×base self-join + the
+    # per-batch-doc re-group (r14, guide §2.4): each doc holds exactly
+    # one h row, so a hash group's min BASE id and its BATCH members
+    # come out of the same shuffle — was 2 join exchanges + 1 groupBy
+    # exchange over the hash relation, now 1. collect_list drops the
+    # CASE's nulls, and exploding the batch list emits each batch doc
+    # at most once, so no re-aggregation is needed.
     exact_m = (
-        hx.filter(is_batch)
-        .join(
-            hx.filter(~is_batch).select(
-                F.col("doc_id").alias("base_id"), "h"
-            ),
-            "h",
+        hx.groupBy("h")
+        .agg(
+            F.min(F.when(~is_batch, F.col("doc_id"))).alias("exact_base"),
+            F.collect_list(F.when(is_batch, F.col("doc_id"))).alias("_bm"),
         )
-        .groupBy("doc_id")
-        .agg(F.min("base_id").alias("exact_base"))
+        .filter(F.col("exact_base").isNotNull())
+        .select(F.explode("_bm").alias("doc_id"), "exact_base")
     )
 
     vsets = mh.md5_val_arrays(docs, n=3).transform(barrier)
@@ -841,18 +847,29 @@ def x38_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     scored = ng.jaccard_verify_arrays(vsets, cand, threshold=_GATE_JACCARD)
-    near_best = scored.groupBy("doc_a").agg(F.max("jaccard").alias("bj"))
+    # argmax base per batch doc as ONE max(struct) agg (the x41 r14
+    # form): max jaccard, min doc_b on ties (the negated id rides the
+    # struct), replacing groupBy(max) + join-back + re-group. Tie
+    # semantics identical: equal exact-ratio doubles compare equal,
+    # so the struct max picks max(-doc_b) = min doc_b among them.
     near_pick = (
-        scored.join(near_best, "doc_a")
-        .filter(F.col("jaccard") == F.col("bj"))
-        .groupBy("doc_a", "bj")
-        .agg(F.min("doc_b").alias("near_base"))
+        scored.groupBy("doc_a")
+        .agg(
+            F.max(
+                F.struct("jaccard", (-F.col("doc_b")).alias("_nb"))
+            ).alias("_m")
+        )
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("_m.jaccard").alias("bj"),
+            (-F.col("_m._nb")).alias("near_base"),
+        )
     )
     return (
         docs.filter(is_batch)
         .select("doc_id")
         .join(exact_m, "doc_id", "left")
-        .join(near_pick.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left")
+        .join(near_pick, "doc_id", "left")
         .select(
             "doc_id",
             F.when(F.col("exact_base").isNotNull(), "exact_dup")
@@ -929,7 +946,7 @@ _WINNOW_W = 4  # guarantee window: any match ≥ w+k-1 words shares a print
 def x67_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    grams = _docs(spark, sf_dir).select(
+    grams = fan_out(_docs(spark, sf_dir)).select(
         "doc_id", ng.split_words("text").alias("_words")
     ).select(
         "doc_id",
@@ -1065,7 +1082,7 @@ def x75_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst re-inlines the n-gram assembly per reference (measured
     # 12.5s vs 1.5s at sf0.1) — from the materialized column both
     # reads are free
-    arrs = _docs(spark, sf_dir).select(
+    arrs = fan_out(_docs(spark, sf_dir)).select(
         "doc_id", ng.split_words("text").alias("_words")
     ).select(
         "doc_id", ng.shingle_array("_words", 3).alias("_sh")
@@ -1254,7 +1271,7 @@ _X77_BUCKET_CAP = 64
 def x77_winnowing_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    grams = _docs(spark, sf_dir).select(
+    grams = fan_out(_docs(spark, sf_dir)).select(
         "doc_id", ng.split_words("text").alias("_words")
     ).select(
         "doc_id",
@@ -1486,7 +1503,7 @@ def x99_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # carry the split tag THROUGH the narrow shingle map instead of
     # re-joining shingles→docs on doc_id (saves a corpus-scale shuffle)
-    sh_all = docs.select(
+    sh_all = fan_out(docs).select(
         "doc_id", "is_eval", ng.split_words("text").alias("_words")
     ).select(
         "doc_id", "is_eval",
@@ -1715,7 +1732,8 @@ def x106_minhash_eval(
     # into (doc_id, shingle) rows, the truth leg consumes the arrays
     # directly. Same algebra on both legs, results identical.
     arrs = (
-        docs.select("doc_id", ng.split_words("text").alias("_words"))
+        fan_out(docs)
+        .select("doc_id", ng.split_words("text").alias("_words"))
         .select("doc_id", ng.shingle_array("_words", 3).alias("_sh"))
         .transform(barrier)
     )

@@ -12,6 +12,7 @@ from server_spark.barrier import barrier
 
 from server_spark.parity import r4, r4sql
 from server_spark.queries.ext_common import (
+    fan_out,
     IS_TRAIN_SQL,
     _docs,
     is_train_col,
@@ -252,7 +253,7 @@ def x25_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB shape.
     from server_spark.dedup.ngram import shingle_array, split_words
 
-    arr = _docs(spark, sf_dir).select(
+    arr = fan_out(_docs(spark, sf_dir)).select(
         "doc_id", split_words("text").alias("_w")
     )
     shingled = arr.select(
@@ -797,7 +798,9 @@ def x40_quality_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aborting the gate under ANSI mode.
     from server_spark.dedup.ngram import shingle_array
 
-    words = docs.select("doc_id", "text", split_words("text").alias("_w"))
+    words = fan_out(docs).select(
+        "doc_id", "text", split_words("text").alias("_w")
+    )
     n = F.size("_w")
     grams = shingle_array("_w", 3, distinct=False)
     metrics = words.select(

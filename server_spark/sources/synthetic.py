@@ -52,9 +52,23 @@ auctions AS (
 """
 
 
-def auctions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load ``lineitem`` projected into the canonical auction shape."""
+def auctions(
+    spark: SparkSession, sf_dir: str, fanned: bool = False
+) -> DataFrame:
+    """Load ``lineitem`` projected into the canonical auction shape.
+
+    ``fanned=True`` fan_outs the raw scan UNDER the md5 projection
+    (r14, tables.fan_out, keyed on the order/line id so narrow
+    consumers stay pruned): heavy consumers (a1's collect_list over
+    the md5 row-ids) otherwise run the id hashing and their map-side
+    partial agg on however few cores the scan planned. OPT-IN because
+    the exchange is pure tax for the many sub-second scans/filters
+    over this relation (measured +0.2-1.4 s on p2/a4/a5-class
+    queries vs −2.7 s on a1).
+    """
     li = tables.load(spark, sf_dir, "lineitem")
+    if fanned:
+        li = tables.fan_out(li, "l_orderkey", "l_linenumber")
     cents = (
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
     )

@@ -92,6 +92,48 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def fan_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Scale-adaptive scan fan-out (r14, guide §2.2/§6 'input split
+    size'): when the planner gives the upstream scan FEWER partitions
+    than the session's default parallelism — small files / a single
+    parquet row group, exactly the local test-data case — a narrow
+    CPU-heavy map above it (shingling, per-shingle md5, signature
+    folds) runs on a handful of cores while the rest idle. Round-robin
+    repartition to the default parallelism first: the relation is tiny
+    precisely when this branch fires, so the extra exchange moves KBs
+    to buy cores for the expensive narrow stage. At cluster scale a
+    big table plans orders of magnitude more splits than cores and
+    this is a NO-OP (no exchange added, no .rdd job — partition count
+    is a planning-time answer) — the knob stays scale-adaptive rather
+    than a local[32] constant. Apply at kernels whose heavy narrow
+    compute sits DIRECTLY on a scan; relations already behind a
+    shuffle or barrier carry >= the session parallelism and pass
+    through untouched."""
+    if df.isStreaming:  # .rdd is undefined on streaming frames
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        # hash-repartition on a deterministic hash, NOT round-robin:
+        # keyless repartition(n) local-sorts its input first
+        # (spark.sql.execution.sortBeforeRepartition, needed for retry
+        # determinism) and that sort runs on the very scan task this
+        # helper exists to relieve — measured +0.3-1.4 s on cheap
+        # consumers. xxhash64 is deterministic under task retry (guide
+        # §2.5 — never rand()) and effectively unique per row, so the
+        # spread is uniform with no hot partition. ``cols`` names a
+        # high-cardinality key subset to hash instead of the whole row
+        # — hashing every column forces the scan to READ every column,
+        # which un-prunes narrow consumers (measured: +1.4 s on a
+        # 3-column aggregate over a 7-column table).
+        key = (
+            [F.col(c) for c in cols]
+            if cols
+            else [F.xxhash64(*df.columns)]
+        )
+        return df.repartition(target, *key)
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table as a DataFrame with its fixed schema."""
     if name not in TABLE_SCHEMAS:

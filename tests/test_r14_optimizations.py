@@ -118,3 +118,121 @@ def test_jaccard_pairs_prebuilt_arrs_identical(spark):
     assert sorted(map(tuple, default.collect())) == sorted(
         map(tuple, via_arrs.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# tables.fan_out — scale-adaptive scan fan-out (guide §2.2/§6)
+# ---------------------------------------------------------------------------
+
+
+def test_fan_out_fires_on_underpartitioned_input(spark):
+    from server_spark.tables import fan_out
+
+    docs = _toy_docs(spark).coalesce(1)
+    target = spark.sparkContext.defaultParallelism
+    fanned = fan_out(docs)
+    assert fanned.rdd.getNumPartitions() == target
+    # row set is untouched (repartition only moves rows)
+    assert sorted(map(tuple, fanned.collect())) == sorted(
+        map(tuple, docs.collect())
+    )
+
+
+def test_fan_out_noop_when_already_parallel(spark):
+    from server_spark.tables import fan_out
+
+    target = spark.sparkContext.defaultParallelism
+    docs = _toy_docs(spark).repartition(target + 1)
+    # already >= default parallelism -> IDENTITY, no exchange added
+    assert fan_out(docs) is docs
+
+
+def test_fan_out_key_columns_preserve_rows(spark):
+    from server_spark.tables import fan_out
+
+    docs = _toy_docs(spark).coalesce(1)
+    fanned = fan_out(docs, "doc_id")
+    assert fanned.rdd.getNumPartitions() == (
+        spark.sparkContext.defaultParallelism
+    )
+    assert sorted(map(tuple, fanned.collect())) == sorted(
+        map(tuple, docs.collect())
+    )
+
+
+# ---------------------------------------------------------------------------
+# x38 — single-shuffle exact-match group + max(struct) argmax pick
+# ---------------------------------------------------------------------------
+
+
+def test_x38_argmax_struct_matches_joinback_reference(spark):
+    # scored-like relation with ties on the max jaccard: the struct
+    # form must pick max jaccard then MIN doc_b, exactly like the old
+    # groupBy(max) + join-back + min re-group
+    rows = [
+        (10, 3, 0.9), (10, 1, 0.9), (10, 2, 0.4),
+        (20, 7, 0.8),
+        (30, 5, 0.7), (30, 4, 0.7), (30, 9, 0.7),
+    ]
+    scored = spark.createDataFrame(rows, ["doc_a", "doc_b", "jaccard"])
+    got = (
+        scored.groupBy("doc_a")
+        .agg(
+            F.max(
+                F.struct("jaccard", (-F.col("doc_b")).alias("_nb"))
+            ).alias("_m")
+        )
+        .select(
+            "doc_a",
+            F.col("_m.jaccard").alias("bj"),
+            (-F.col("_m._nb")).alias("near_base"),
+        )
+    )
+    best = scored.groupBy("doc_a").agg(F.max("jaccard").alias("bj"))
+    ref = (
+        scored.join(best, "doc_a")
+        .filter(F.col("jaccard") == F.col("bj"))
+        .groupBy("doc_a", "bj")
+        .agg(F.min("doc_b").alias("near_base"))
+        .select("doc_a", "bj", "near_base")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+
+
+def test_x38_exact_group_matches_join_reference(spark):
+    # one-groupBy exact-dup pick == the old batch x base hash join +
+    # per-batch-doc min re-group, on a corpus with dup hashes across
+    # and within the batch/base split
+    rows = [
+        (10, "aa"), (11, "aa"), (20, "aa"),   # 10,20 batch; 11 base
+        (30, "bb"), (12, "bb"),
+        (40, "cc"),                            # batch-only hash
+        (13, "dd"),                            # base-only hash
+    ]
+    hx = spark.createDataFrame(rows, ["doc_id", "h"])
+    is_batch = F.col("doc_id") % 10 == 0
+    got = (
+        hx.groupBy("h")
+        .agg(
+            F.min(F.when(~is_batch, F.col("doc_id"))).alias("exact_base"),
+            F.collect_list(F.when(is_batch, F.col("doc_id"))).alias("_bm"),
+        )
+        .filter(F.col("exact_base").isNotNull())
+        .select(F.explode("_bm").alias("doc_id"), "exact_base")
+    )
+    ref = (
+        hx.filter(is_batch)
+        .join(
+            hx.filter(~is_batch).select(
+                F.col("doc_id").alias("base_id"), "h"
+            ),
+            "h",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("base_id").alias("exact_base"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
