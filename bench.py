@@ -230,6 +230,14 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": timings,
         "sf": float(sf) if sf else SF_DIR,
+        # r15: core count the run executed with. The driver also runs
+        # the bench at a LOWER core count (BENCH_r14_c8.json); its r14
+        # commit overwrote BENCH_FULL.json with that 8-core map, and
+        # the bench gate then flagged the core-scaling Python queries
+        # (x135/x136, mapInPandas) as fake 2x "regressions" against the
+        # 32-core baseline. Recording cpus lets bench_diff DEFER
+        # adjudication across mismatched-core artifacts instead.
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         # r2+: full-column xxhash64 materialization (r1 used count(),
         # which let Catalyst prune timed expressions — totals are not
         # comparable across that change)

@@ -369,6 +369,22 @@ def deferral_cal_ratio(base_doc: dict, fresh_doc: dict) -> float | None:
     return max(ratios) if ratios else None
 
 
+def cpus_mismatch(base_doc: dict, fresh_doc: dict) -> tuple[int, int] | None:
+    """(base_cpus, fresh_cpus) when BOTH artifacts record a core count
+    and they differ, else None. r15: the r14 driver commit overwrote
+    BENCH_FULL.json with its 8-CORE scaling run's full map; against the
+    32-core baseline the gate then flagged the core-scaling mapInPandas
+    queries (x135 1.29→2.45 s, x136 1.28→3.08 s) as plan regressions.
+    Per-query ratios across different core counts measure SCALING, not
+    plans — adjudication must defer, same contract as a contended
+    window. Artifacts predating the "cpus" field (≤r14) return None
+    (no evidence either way)."""
+    b, f = base_doc.get("cpus"), fresh_doc.get("cpus")
+    if isinstance(b, int) and isinstance(f, int) and b != f:
+        return (b, f)
+    return None
+
+
 def load_queries(path: Path) -> dict[str, float]:
     return load_artifact(path)[0]
 
@@ -497,6 +513,15 @@ def main(argv: list[str]) -> int:
     except BenchArtifactError as e:
         print(f"GATE SKIPPED: {e}")
         return 2
+    mm = cpus_mismatch(base_doc, fresh_doc)
+    if mm is not None:
+        print(
+            f"ADJUDICATION DEFERRED: core-count mismatch — baseline ran "
+            f"at {mm[0]} cpus, fresh at {mm[1]}; per-query ratios across "
+            "core counts measure scaling, not plans. Re-run bench.py at "
+            "the baseline's core count."
+        )
+        return 3
     base, base_cal = base_doc["queries"], _cal_mean(base_doc, "calibration_sec")
     fresh, fresh_cal = fresh_doc["queries"], _cal_mean(fresh_doc, "calibration_sec")
 

@@ -821,6 +821,16 @@ def x38_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange over the hash relation, now 1. collect_list drops the
     # CASE's nulls, and exploding the batch list emits each batch doc
     # at most once, so no re-aggregation is needed.
+    # Memory bound (r15, advisor finding): the collect_list buffers
+    # every BATCH doc id sharing one content hash in a single group's
+    # aggregation buffer — 8 bytes per id, so even a pathological
+    # corpus-scale boilerplate hash (10⁸ batch dups of one page) is
+    # ~800 MB in ONE task, and typical hot hashes are orders of
+    # magnitude smaller. The old join form held the same ids as BxC
+    # join OUTPUT rows instead (strictly more state at every B>1), so
+    # this is a bound improvement, but it IS per-group: a deployment
+    # certifying unbounded duplicate multiplicity should pre-aggregate
+    # the batch side per (h, bucket) first. See SCALE.md.
     exact_m = (
         hx.groupBy("h")
         .agg(

@@ -1735,12 +1735,22 @@ def coreness(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         )
         .transform(barrier)  # reused every round
     )
-    cur = adj.groupBy("u").agg(F.count("*").cast("long").alias("c"))
+    cur = barrier(adj.groupBy("u").agg(F.count("*").cast("long").alias("c")))
     from pyspark.sql import Window
 
+    # r15 job-count pass (guide §5, VERDICT r14 item 7): the loop body
+    # ran THREE actions per round — a re-barrier of the ALREADY-
+    # barriered `cur` (each round's nxt is checkpointed; re-
+    # checkpointing it is a pure extra job + block copy) and a
+    # cur⋈nxt join-count for convergence. The h-index descent from
+    # c₀=deg is per-node MONOTONE NONINCREASING (H is monotone in its
+    # inputs and H ≤ neighbor count, so c₁ ≤ c₀ and induction carries),
+    # hence Σc is strictly decreasing until the fixpoint and
+    # "Σc unchanged" ⇔ "no node changed" — an exact-integer test with
+    # NO join, same rounds, same fixpoint, bit-identical output.
+    cur_sum = cur.agg(F.sum("c")).collect()[0][0]
     w = Window.partitionBy("u").orderBy(F.col("cv").desc())
     for _ in range(max_rounds):
-        cur = barrier(cur)
         nb = adj.join(
             cur.select(F.col("u").alias("v"), F.col("c").alias("cv")), "v"
         ).select("u", "cv")
@@ -1750,14 +1760,11 @@ def coreness(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
             .agg(F.max(F.least(F.col("rn"), F.col("cv"))).alias("c"))
         )
         nxt = barrier(nxt)
-        changed = (
-            cur.join(nxt.select(F.col("u"), F.col("c").alias("c2")), "u")
-            .filter(F.col("c") != F.col("c2"))
-            .count()
-        )
+        new_sum = nxt.agg(F.sum("c")).collect()[0][0]
         cur = nxt
-        if changed == 0:
+        if new_sum == cur_sum:
             break
+        cur_sum = new_sum
     return cur.select(F.col("u").alias("item"), F.col("c").alias("coreness"))
 
 

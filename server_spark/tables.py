@@ -98,18 +98,29 @@ def fan_out(df: DataFrame, *cols: str) -> DataFrame:
     than the session's default parallelism — small files / a single
     parquet row group, exactly the local test-data case — a narrow
     CPU-heavy map above it (shingling, per-shingle md5, signature
-    folds) runs on a handful of cores while the rest idle. Round-robin
-    repartition to the default parallelism first: the relation is tiny
-    precisely when this branch fires, so the extra exchange moves KBs
-    to buy cores for the expensive narrow stage. At cluster scale a
-    big table plans orders of magnitude more splits than cores and
-    this is a NO-OP (no exchange added, no .rdd job — partition count
-    is a planning-time answer) — the knob stays scale-adaptive rather
-    than a local[32] constant. Apply at kernels whose heavy narrow
-    compute sits DIRECTLY on a scan; relations already behind a
-    shuffle or barrier carry >= the session parallelism and pass
-    through untouched."""
+    folds) runs on a handful of cores while the rest idle. Hash-
+    repartition (xxhash64 / named key columns) to the default
+    parallelism first: the relation is tiny precisely when this branch
+    fires, so the extra exchange moves KBs to buy cores for the
+    expensive narrow stage. At cluster scale a big table plans orders
+    of magnitude more splits than cores and this is a NO-OP (no
+    exchange added) — the knob stays scale-adaptive rather than a
+    local[32] constant. Apply at kernels whose heavy narrow compute
+    sits DIRECTLY on a scan; relations already behind a shuffle or
+    barrier pass through untouched.
+
+    Exchange-bearing inputs pass through WITHOUT the partition-count
+    probe (r15, advisor finding): under AQE, ``df.rdd`` materializes
+    the final physical plan, which EXECUTES every upstream shuffle
+    stage at plan-build time — work a later action does not reuse
+    (separate QueryExecution), i.e. silent double execution. The probe
+    is only meaningful (and only free) on exchange-free plans — bare
+    scans, barriered/local relations — which is also the only shape
+    this helper targets; a plan that already contains an exchange is
+    already parallelized by that exchange's partitioning."""
     if df.isStreaming:  # .rdd is undefined on streaming frames
+        return df
+    if "Exchange" in df._jdf.queryExecution().sparkPlan().toString():
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

