@@ -78,7 +78,7 @@ def _fold(joint, mx, my):
     ).orderBy("time_left")
 
 
-def _fused(spark, sf_dir, np, ranked_barrier):
+def _fused(spark, sf_dir, np, ranked_barrier, mboth_barrier=False):
     from server_spark.barrier import barrier
     from server_spark.operators.ranking import grouped_cum_before
 
@@ -93,6 +93,8 @@ def _fused(spark, sf_dir, np, ranked_barrier):
             .select(F.lit(1).alias("_m"), "g", F.col("y").alias("v"), "cv")
         )
     )
+    if mboth_barrier:
+        mboth = mboth.transform(barrier)
     ranked = grouped_cum_before(
         mboth, ["_m", "g"], "v", "cv", "cb", num_partitions=np
     ).select(
@@ -126,12 +128,84 @@ def _twopass(spark, sf_dir, np=8):
     return _fold(joint, marginal("x", "rx2"), marginal("y", "ry2"))
 
 
+def _fused_marginal_moments(spark, sf_dir, np, ranked_barrier=True):
+    """sx/sxx (sy/syy) folded on the MARGINAL relations: over joint,
+    sx = Σ c·rx2 = Σ_x rx2·Σ_y c = Σ_marginal cv·rx2 — identical exact
+    integers, but 1 decimal product per joint row (sxy) instead of 5."""
+    from server_spark.barrier import barrier
+    from server_spark.operators.ranking import grouped_cum_before
+    from server_spark.parity import r4
+
+    joint = _base_joint(spark, sf_dir)
+    mboth = (
+        joint.groupBy("g", "x")
+        .agg(F.sum("c").alias("cv"))
+        .select(F.lit(0).alias("_m"), "g", F.col("x").alias("v"), "cv")
+        .unionAll(
+            joint.groupBy("g", "y")
+            .agg(F.sum("c").alias("cv"))
+            .select(F.lit(1).alias("_m"), "g", F.col("y").alias("v"), "cv")
+        )
+    )
+    ranked = grouped_cum_before(
+        mboth, ["_m", "g"], "v", "cv", "cb", num_partitions=np
+    ).select(
+        "_m", "g", "v", "cv",
+        (2 * F.col("cb") + F.col("cv") + 1).alias("r2"),
+    )
+    if ranked_barrier:
+        ranked = ranked.transform(barrier)
+    cvd = F.col("cv").cast("decimal(38,0)")
+    mom = ranked.groupBy("_m", "g").agg(
+        F.sum(cvd * F.col("r2")).alias("s1"),
+        F.sum(cvd * F.col("r2") * F.col("r2")).alias("s2"),
+    )
+    momx = mom.filter(F.col("_m") == 0).select(
+        "g", F.col("s1").alias("sx"), F.col("s2").alias("sxx")
+    )
+    momy = mom.filter(F.col("_m") == 1).select(
+        "g", F.col("s1").alias("sy"), F.col("s2").alias("syy")
+    )
+    mx = ranked.filter(F.col("_m") == 0).select(
+        "g", F.col("v").alias("x"), F.col("r2").alias("rx2")
+    )
+    my = ranked.filter(F.col("_m") == 1).select(
+        "g", F.col("v").alias("y"), F.col("r2").alias("ry2")
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    jnt = (
+        joint.join(mx, ["g", "x"])
+        .join(my, ["g", "y"])
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(cd * F.col("rx2") * F.col("ry2")).alias("sxy"),
+        )
+    )
+    s = jnt.join(momx, "g").join(momy, "g")
+    n = F.col("n")
+    rho = r4(
+        (n * 1.0 * F.col("sxy") - F.col("sx") * 1.0 * F.col("sy"))
+        / F.sqrt(
+            (n * 1.0 * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx"))
+            * (n * 1.0 * F.col("syy") - F.col("sy") * 1.0 * F.col("sy"))
+        )
+    )
+    return s.select(
+        F.col("g").alias("time_left"), "n", rho.alias("spearman_rho")
+    ).orderBy("time_left")
+
+
 VARIANTS = {
     "A": lambda s, d: _fused(s, d, 16, True),
     "B": lambda s, d: _twopass(s, d, 8),
     "C": lambda s, d: _fused(s, d, 16, False),
     "D": lambda s, d: _fused(s, d, 8, True),
     "E": lambda s, d: _fused(s, d, 8, False),
+    "F": lambda s, d: _fused(s, d, 8, False, mboth_barrier=True),
+    "G": lambda s, d: _fused(s, d, 4, False),
+    "H": lambda s, d: _fused_marginal_moments(s, d, 8, True),
+    "I": lambda s, d: _fused_marginal_moments(s, d, 8, False),
 }
 
 

@@ -227,7 +227,22 @@ def md5_sig_array(
     coeffs: list[tuple[int, int]],
 ) -> Column:
     """array<long> minhash signature from a token-value array — k
-    array_min(transform(...)) folds, all codegen, no aggregation."""
+    array_min(transform(...)) folds, all codegen, no aggregation.
+
+    Assembled as ONE F.expr when the input is a plain column name
+    (r15): the Column-operator form costs ~8 py4j round trips per
+    coefficient of driver time; the parsed tree (SQL lambda ⇔ Python
+    lambda) is identical."""
+    if isinstance(arr_col, str) and arr_col.isidentifier():
+        return F.expr(
+            "array("
+            + ", ".join(
+                f"array_min(transform({arr_col},"
+                f" v -> (({a} * v) + {b}) % {MD5_P}))"
+                for a, b in coeffs
+            )
+            + ")"
+        )
     col = F.col(arr_col) if isinstance(arr_col, str) else arr_col
     return F.array(
         *[

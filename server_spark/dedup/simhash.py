@@ -14,8 +14,6 @@ fingerprint; near-identical docs → small Hamming distance).
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -28,30 +26,35 @@ def simhash64(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
-    # per (doc, bit): contribution ±1 depending on the token-hash bit
+    # per (doc, bit): contribution ±1 depending on the token-hash bit.
+    # All three 64-wide expression blocks are assembled as SQL strings
+    # (one F.expr parse each), not nested Column operators — the
+    # operator form costs ~5 py4j round trips per node and these loops
+    # alone were ~2 s of DRIVER time per x9 build (r15; see
+    # cosine.dot_fixed). Parsed trees are identical (CASE WHEN ⇔
+    # when/otherwise, & ⇔ bitwiseAND, left-assoc |).
     contribs = tokens.select(
         id_col,
         *[
-            (
-                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-                .alias(f"b{i}")
+            F.expr(
+                f"CASE WHEN (shiftright(h, {i}) & 1) = 1 "
+                f"THEN 1 ELSE -1 END AS b{i}"
             )
             for i in range(64)
         ],
     )
     sums = contribs.groupBy(id_col).agg(
-        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(64)]
+        *[F.expr(f"sum(b{i}) AS b{i}") for i in range(64)]
     )
-    fingerprint = reduce(
-        lambda acc, i: acc.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i)).otherwise(0)
-            if i < 63
-            # bit 63 would overflow a signed long via (1<<63); use shiftleft
-            else F.when(F.col("b63") > 0, F.shiftleft(F.lit(1).cast("long"), 63)).otherwise(0)
-        ),
-        range(64),
-        F.lit(0).cast("long"),
+    bit_terms = [
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        if i < 63
+        # bit 63 would overflow a signed long via (1<<63); use shiftleft
+        else "(CASE WHEN b63 > 0 THEN shiftleft(CAST(1 AS BIGINT), 63) ELSE 0 END)"
+        for i in range(64)
+    ]
+    fingerprint = F.expr(
+        "CAST(0 AS BIGINT) | " + " | ".join(bit_terms)
     )
     return sums.select(F.col(id_col), fingerprint.alias("simhash"))
 

@@ -278,7 +278,16 @@ _A41_WGT_SQL = " + ".join(
     late=True,
 )
 def a41_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    au = auctions(spark, sf_dir)
+    # r15 (guide §2.2): FANNED loader — the dim joins all broadcast,
+    # so the whole fact build (md5 row-ids + three joins + the
+    # checkpoint write) sat on the SCAN task; fan_out parallelizes it
+    # and is identity at cluster scale. Interleaved medians: 3.15 →
+    # 2.39 s. Dropping the fact barrier as well measured 2.05 s
+    # locally but the executed plan shows the lineitem scan + fan-out
+    # exchange duplicated 4x (AQE reuses only the broadcast
+    # exchanges, not the shuffle) — a 4x corpus re-scan at 100 TB for
+    # a 0.3 s local win, rejected; the barrier stays.
+    au = auctions(spark, sf_dir, fanned=True)
     sup = tables.load(spark, sf_dir, "supplier")
     nat = tables.load(spark, sf_dir, "nation")
     reg = tables.load(spark, sf_dir, "region")
@@ -555,6 +564,15 @@ def a43_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n").between(_A43_MIN_DEG, _A43_MAX_DEG))
     )
+    # r15 (guide §2.4/§5): `gated` feeds BOTH sides of the pair join,
+    # so without a cut the deg aggregation (exchange + agg over io +
+    # broadcast build) ran TWICE — once per join side. Checkpointing
+    # the TINY degree table (items with 2..40 distinct owners) dedupes
+    # it for one small job: 3.67→3.09 s interleaved medians.
+    # Checkpointing `gated` itself (io-sized) measured far WORSE
+    # (6.5 s — it defeats AQE's broadcast of the pair join's build
+    # side); A/B ledger in OPTIMIZATION_r15.md.
+    deg = deg.transform(barrier)
     gated = io.join(deg, "item")
     b = gated.select(
         "item", F.col("owner").alias("owner_b")

@@ -461,17 +461,27 @@ def x9b_simhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("lo"),
     )
 
-    def bit(i: int):
+    # SQL-string assembly (one parse per 64-wide block) instead of
+    # ~8·64 py4j Column calls — driver-time only, identical trees and
+    # identical oracle hash (the r15 dot_fixed note).
+    def bit_sql(i: int) -> str:
         src, sh = ("hi", 31 - i) if i < 32 else ("lo", 63 - i)
-        return F.shiftright(F.col(src), sh).bitwiseAND(1)
+        return f"(shiftright({src}, {sh}) & 1)"
 
     sums = halves.groupBy("doc_id").agg(
-        *[F.sum(2 * bit(i) - 1).alias(f"s{i}") for i in range(64)]
+        *[
+            F.expr(f"sum((2 * {bit_sql(i)}) - 1) AS s{i}")
+            for i in range(64)
+        ]
     )
-    bits = [
-        F.when(F.col(f"s{i}") > 0, "1").otherwise("0") for i in range(64)
-    ]
-    return sums.select("doc_id", F.concat(*bits).alias("fingerprint_bits"))
+    fingerprint = F.expr(
+        "concat("
+        + ", ".join(
+            f"CASE WHEN s{i} > 0 THEN '1' ELSE '0' END" for i in range(64)
+        )
+        + ")"
+    )
+    return sums.select("doc_id", fingerprint.alias("fingerprint_bits"))
 
 
 # ---------------------------------------------------------------------------
@@ -1105,13 +1115,28 @@ def x75_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # split postings by list size: cold lists pair-count directly (the
     # x2 join shape with every bucket bounded by the cap), hot lists
-    # are added back candidate-gated below. plist shares the shingle
-    # key with the tag join — exchange reuse, no hint (plist is
-    # Heaps-bounded but tagged is corpus-sized either way).
+    # are added back candidate-gated below.
+    # r15 (guide §2.3/§2.4): the split used to JOIN the Heaps-bounded
+    # plist back onto the corpus-sized exploded shingle relation and
+    # CHECKPOINT the joined result — one corpus-wide shuffle plus a
+    # corpus-sized materialization, only to route each row hot or
+    # cold. The HOT KEY SET (posting lists > cap, i.e. pathological
+    # boilerplate) is tiny BY DEFINITION of hot, so it broadcasts:
+    # cold = anti-join, hotp = semi-join, both map-side when hot
+    # broadcasts, no tagged relation at all. Row sets identical
+    # (shingle ∉ hot ⇔ pl ≤ cap). Interleaved medians 3.15 → 2.92 s
+    # locally; at 100 TB this removes a full shuffle + checkpoint of
+    # the exploded corpus. NO broadcast hint (the x62 rule, pinned by
+    # test_no_forced_broadcast_of_linear_tables): hot is typically
+    # tiny but its WORST case is corpus_tokens/cap — AQE broadcasts
+    # it while small and falls back to shuffle joins if a pathological
+    # corpus ever grows it past the threshold.
     plist = shingles.groupBy("shingle").agg(F.count("*").alias("pl"))
-    tagged = shingles.join(plist, "shingle").transform(barrier)
-    cold = tagged.filter(F.col("pl") <= _X75_BUCKET_CAP)
-    hotp = tagged.filter(F.col("pl") > _X75_BUCKET_CAP).select(
+    hot = plist.filter(F.col("pl") > _X75_BUCKET_CAP).select(
+        "shingle"
+    ).transform(barrier)  # tiny; feeds both split joins
+    cold = shingles.join(hot, "shingle", "left_anti")
+    hotp = shingles.join(hot, "shingle", "left_semi").select(
         "doc_id", "shingle"
     )
 

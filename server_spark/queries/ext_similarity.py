@@ -389,12 +389,17 @@ def x35_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").alias("e")
     )
+    # one F.expr string, not 64 nested Column ops: the operator form
+    # costs ~4·dim py4j round trips of driver time per call (the
+    # dot_fixed r15 note); the parsed tree is identical.
     cent = emb.groupBy("label").agg(
-        F.array(
-            *[
-                F.avg(F.element_at("e", i + 1).cast("double"))
+        F.expr(
+            "array("
+            + ", ".join(
+                f"avg(CAST(element_at(e, {i + 1}) AS DOUBLE))"
                 for i in range(dim)
-            ]
+            )
+            + ")"
         ).alias("c")
     )
     # norms computed ONCE per row on each side BEFORE the join: besides

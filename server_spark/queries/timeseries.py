@@ -2260,6 +2260,15 @@ def t30_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("item")
         .agg(F.avg("buyout").alias("med"))
     )
+    # r15 (guide §2.4/§5): `dev` is consumed twice (the MAD branch and
+    # the final join), and without a cut the whole med subtree —
+    # scan → exchange(item) → two windows → two aggs — was DUPLICATED
+    # into both consumers (plan showed 4 scans / the med build twice).
+    # Checkpointing the TINY per-item median relation dedupes it at
+    # the cost of one small job; checkpointing `dev` itself (corpus-
+    # sized) measured WORSE (2.57→3.00 s) while this form measured
+    # 2.57→2.37 s (interleaved medians, 8/8 runs lower).
+    med = med.transform(barrier)
     dev = r1.select("auc", "item", "buyout").join(med, "item").withColumn(
         "d", F.abs(F.col("buyout") - F.col("med"))
     )

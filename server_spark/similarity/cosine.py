@@ -50,12 +50,40 @@ def cosine(a: str | Column, b: str | Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+_IDENT = __import__("re").compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
 def dot_fixed(a: str | Column, b: str | Column, dim: int) -> Column:
     """Σ aᵢ·bᵢ as an unrolled ``dim``-term expression. Unlike the
     `aggregate` fold (interpreted per element), this stays inside
     whole-stage codegen — ~20× faster on all-pairs scoring. Left-assoc
     addition in index order ⇒ bit-identical to the sequential fold and
-    to the oracle's ordered SUM."""
+    to the oracle's ordered SUM.
+
+    r15 (guide §7.3 — driver/planning time is serial overhead at any
+    scale): the tree is assembled as ONE ``F.expr`` SQL string when
+    both inputs are plain column names. The Column-operator form made
+    ~6·dim py4j round trips (element_at, cast, *, + each cross the
+    gateway) — measured 0.79 s PER CALL at dim=64, which dominated the
+    build time of every similarity query (x35 calls it three times,
+    x41 twice). The SQL parser produces the IDENTICAL Catalyst tree:
+    ``+`` is left-associative in the grammar, terms stay in index
+    order, and the casts are spelled the same — verified equal sums
+    and hash-green parity. Column inputs (or exotic names) keep the
+    operator form."""
+    if (
+        isinstance(a, str)
+        and isinstance(b, str)
+        and _IDENT.fullmatch(a)
+        and _IDENT.fullmatch(b)
+    ):
+        return F.expr(
+            " + ".join(
+                f"(CAST(element_at({a}, {i + 1}) AS DOUBLE)"
+                f" * CAST(element_at({b}, {i + 1}) AS DOUBLE))"
+                for i in range(dim)
+            )
+        )
     terms = [
         F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
         for i in range(dim)
