@@ -102,6 +102,28 @@ def barrier(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+def lazy_barrier(df: DataFrame) -> DataFrame:
+    """``barrier(df, eager=False)`` — lineage cut + single shared RDD
+    NOW, materialization deferred to the next action.
+
+    r15 job-count pass (guide §5): an EAGER barrier adds a serial job
+    per call purely to materialize before the consumers run. What the
+    query paths actually need from barrier() is (a) the lineage cut
+    (LogicalRDD — plans stay shallow, Catalyst can't re-inline a
+    lambda-bearing projection per reference) and (b) ONE shared RDD so
+    multi-consumer subtrees compute once and AQE/partition-id
+    decisions are pinned to a single physical-plan instance. A lazy
+    checkpoint provides both — the RDD is created immediately, its
+    partition structure is fixed, the first action materializes and
+    caches it, and size estimates for join planning are preserved
+    (probed: identical sizeInBytes and BroadcastHashJoin selection
+    either way). Iterative kernels whose convergence probe collect()s
+    each round get the same blocks one job earlier than eager would.
+    Eager remains available for call sites that need materialization
+    as a side effect BEFORE a non-Spark decision."""
+    return barrier(df, eager=False)
+
+
 def _maybe_enable_from_env(spark: SparkSession) -> None:
     """Called by the session factory: honor SPARK_GRAFT_CHECKPOINT_DIR."""
     ckdir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")

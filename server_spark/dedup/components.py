@@ -52,11 +52,15 @@ def connected_components(
 
     # Init folds the first propagation round in: label = min(self,
     # neighbors) straight off the edge list (one agg, no join).
-    labels = (
+    # eager=False (r15, guide §5 job-count pass): the first round's
+    # convergence count materializes this checkpoint as part of its
+    # own job — an eager barrier here was a whole extra job that
+    # computed nothing the next action wouldn't.
+    labels = barrier(
         sym.groupBy("node")
         .agg(F.min("nbr").alias("_mn"))
-        .select("node", F.least("node", "_mn").alias("component"))
-        .transform(barrier)
+        .select("node", F.least("node", "_mn").alias("component")),
+        eager=False,
     )
     changed = -1  # bound before the loop: max_iter <= 0 must reach the
     # non-convergence RuntimeError below, not an UnboundLocalError
@@ -101,8 +105,13 @@ def connected_components(
                 "component",
                 (F.col("component") < F.col("_old")).alias("_chg"),
             )
-            .transform(barrier)
         )
+        # LAZY checkpoint + count in ONE action (r15): the convergence
+        # count's full-partition scan materializes the checkpoint
+        # blocks, so each round runs one job instead of two (eager
+        # ckpt job + count job). Same blocks, same lineage cut, same
+        # labels.
+        new_labels = barrier(new_labels, eager=False)
         changed = new_labels.filter(F.col("_chg")).count()
         labels = new_labels.drop("_chg")
         if changed == 0:

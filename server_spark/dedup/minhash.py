@@ -22,7 +22,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from server_spark.barrier import barrier
+from server_spark.barrier import barrier, lazy_barrier
 
 from server_spark.dedup.ngram import word_shingles
 
@@ -79,7 +79,7 @@ def minhash_candidates(
     # materialize the shingle+min-agg pipeline once.
     sig = minhash_signatures(
         docs, n=n, num_hashes=num_hashes, seed=seed, id_col=id_col
-    ).transform(barrier)
+    ).transform(lazy_barrier)
 
     band_entries = F.array(
         *[

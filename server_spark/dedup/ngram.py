@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from server_spark.barrier import barrier
+from server_spark.barrier import barrier, lazy_barrier
 
 
 def split_words(text_col: str | Column = "text") -> Column:
@@ -123,7 +123,7 @@ def jaccard_pairs(
             F.col(id_col), split_words(text_col).alias("_words")
         ).select(
             F.col(id_col), shingle_array("_words", n).alias("_sh")
-        ).transform(barrier)
+        ).transform(lazy_barrier)
     sh = arrs.select(
         F.col(id_col),
         F.size("_sh").alias("n_sh"),
@@ -235,7 +235,7 @@ def jaccard_verify(
     # collect_set aggregation once
     sets = shingles.groupBy(id_col).agg(
         F.collect_set(token_col).alias("sh_set"),
-    ).withColumn("n_sh", F.size("sh_set")).transform(barrier)
+    ).withColumn("n_sh", F.size("sh_set")).transform(lazy_barrier)
     scored = (
         candidates.select("doc_a", "doc_b")
         .join(

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from server_spark.barrier import barrier
+from server_spark.barrier import barrier, lazy_barrier
 
 from server_spark.dedup.ngram import split_words
 from server_spark.tables import fan_out
@@ -136,7 +136,7 @@ def _words_and_cov(
             F.col("s.pos").alias("pos"),
             F.col("s.span").alias("span"),
         )
-        .transform(barrier)  # feeds the inventory AND the occ join
+        .transform(lazy_barrier)  # feeds the inventory AND the occ join
     )
     inv = (
         sp.groupBy("span")
@@ -311,7 +311,7 @@ def incremental_span_scrub(
             F.col("s.pos").alias("pos"),
             F.col("s.span").alias("span"),
         )
-        .transform(barrier)  # feeds the base join AND the batch-repeat path
+        .transform(lazy_barrier)  # feeds the base join AND the batch-repeat path
     )
     hit_base = sp.join(base_inv, "span", "left_semi").select(id_col, "pos")
     fresh = sp.join(base_inv, "span", "left_anti")

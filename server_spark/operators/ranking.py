@@ -49,7 +49,14 @@ def global_row_number(
     # then disagrees between the branches — offsets join against the
     # wrong pids and ranks silently shift (caught by the config-
     # metamorphic suite on the sibling grouped_cum_before).
-    staged = barrier(ranged.withColumn("_pid", F.spark_partition_id()))
+    # eager=False (r15, guide §5 job-count pass): pid consistency only
+    # needs both branches to read ONE RDD — the lazy checkpoint pins a
+    # single physical-plan instance (one AQE decision, fixed partition
+    # structure) exactly like the eager one, and the final action
+    # materializes it without the extra serial job per call.
+    staged = barrier(
+        ranged.withColumn("_pid", F.spark_partition_id()), eager=False
+    )
 
     # Per-partition row counts → exclusive prefix sum. This relation
     # has one row per partition; the unpartitioned window here is a
@@ -115,8 +122,12 @@ def grouped_cum_before(
     # branch and the local-prefix branch must observe the SAME
     # partition ids, and AQE may otherwise coalesce the range exchange
     # differently per consumer (observed: a50 under AQE-on returned a
-    # wrong rho at sf0.001 — offsets joined against shifted pids)
-    staged = barrier(ranged.withColumn("_pid", F.spark_partition_id()))
+    # wrong rho at sf0.001 — offsets joined against shifted pids).
+    # eager=False: one shared RDD gives the same pid pinning without
+    # the extra serial materialization job (see global_row_number).
+    staged = barrier(
+        ranged.withColumn("_pid", F.spark_partition_id()), eager=False
+    )
     # per-(group, pid) totals → exclusive prefix over pid order within
     # the group; pid order == order_col order by range construction
     counts = staged.groupBy(*group_cols, "_pid").agg(

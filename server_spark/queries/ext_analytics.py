@@ -25,7 +25,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from server_spark.barrier import barrier
+from server_spark.barrier import barrier, lazy_barrier
 from server_spark.parity import r4, r4sql
 from server_spark.registry import auctions_sql, register
 from server_spark.sources.synthetic import auctions
@@ -302,7 +302,7 @@ def a41_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "auc", cents.alias("cents"), F.col("r_name").alias("region_name")
         )
     )
-    fact = fact.transform(barrier)  # feeds both the point and boot paths
+    fact = fact.transform(lazy_barrier)  # feeds both the point and boot paths
     # Decouple fan-out parallelism from input splits: the explode stage
     # below does 8 md5 + 16 hex-parses per fact row, and a parquet scan
     # yields few, large partitions locally — without this the CPU-bound
@@ -397,7 +397,7 @@ def skyline_frontier(cand: DataFrame, grid: int = _A42_GRID) -> DataFrame:
     drive it against brute-force dominance on adversarial inputs.
     """
     cand = cand.withColumn("bkt", F.expr(f"cents DIV {grid}"))
-    cand = cand.transform(barrier)  # feeds bucket maxima and the filter
+    cand = cand.transform(lazy_barrier)  # feeds bucket maxima and the filter
     # bounded bucket relation: <= price_range / grid rows by contract
     wlow = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     lower = (
@@ -558,7 +558,7 @@ _A43_CASE = (
 )
 def a43_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     au = auctions(spark, sf_dir)
-    io = au.select("item", "owner").distinct().transform(barrier)
+    io = au.select("item", "owner").distinct().transform(lazy_barrier)
     deg = (
         io.groupBy("item")
         .agg(F.count("*").alias("n"))
@@ -572,7 +572,7 @@ def a43_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Checkpointing `gated` itself (io-sized) measured far WORSE
     # (6.5 s — it defeats AQE's broadcast of the pair join's build
     # side); A/B ledger in OPTIMIZATION_r15.md.
-    deg = deg.transform(barrier)
+    deg = deg.transform(lazy_barrier)
     gated = io.join(deg, "item")
     b = gated.select(
         "item", F.col("owner").alias("owner_b")
@@ -684,7 +684,7 @@ def a44_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     joint = (
         fact.groupBy("time_left", "region_name")
         .agg(F.count("*").alias("c"))
-        .transform(barrier)  # tiny (|X| x |Y|), feeds every fold below
+        .transform(lazy_barrier)  # tiny (|X| x |Y|), feeds every fold below
     )
     mx = joint.groupBy("time_left").agg(F.sum("c").alias("cx"))
     my = joint.groupBy("region_name").agg(F.sum("c").alias("cy"))
@@ -1020,7 +1020,7 @@ def a47_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     joint = (
         fact.groupBy("time_left", "region_name")
         .agg(F.count("*").alias("o"))
-        .transform(barrier)
+        .transform(lazy_barrier)
     )
     mx = joint.groupBy("time_left").agg(F.sum("o").alias("rx"))
     my = joint.groupBy("region_name").agg(F.sum("o").alias("cy"))
@@ -1237,7 +1237,7 @@ def a50_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     joint = base.groupBy("g", "x", "y").agg(F.count("*").alias("c"))
-    joint = joint.transform(barrier)  # feeds both marginals + the fold
+    joint = joint.transform(lazy_barrier)  # feeds both marginals + the fold
 
     # two-phase grouped prefix sum (r9, verdict item 5): the naive
     # `SUM(cv) OVER (PARTITION BY g ORDER BY v)` puts each group's
@@ -1281,7 +1281,7 @@ def a50_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the two marginal branches below each re-read `ranked`; barrier
     # it so the union+window runs once, not once per branch
-    ranked = ranked.transform(barrier)
+    ranked = ranked.transform(lazy_barrier)
     mx = ranked.filter(F.col("_m") == 0).select(
         "g", F.col("v").alias("x"), F.col("r2").alias("rx2")
     )
@@ -1395,7 +1395,7 @@ def a51_tail_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v"),
     )
     d = c.groupBy("g", "v").agg(F.count("*").alias("cnt"))
-    d = d.transform(barrier)  # feeds the rank cut and the tail join
+    d = d.transform(lazy_barrier)  # feeds the rank cut and the tail join
     part = Window.partitionBy("g")
     cum = d.select(
         "g",
@@ -1572,7 +1572,7 @@ def a52_bh_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(
             Window.partitionBy(F.lit(1))
         ).alias("m"),
-    ).transform(barrier)  # feeds kmax AND the final projection
+    ).transform(lazy_barrier)  # feeds kmax AND the final projection
     kmax = ranked.agg(
         F.coalesce(
             F.max(
@@ -1897,7 +1897,7 @@ def a55_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("quantity").alias("rawq"),
         )
         .filter(F.col("rawq") > 0)
-        .transform(barrier)  # feeds the base basket AND every month
+        .transform(lazy_barrier)  # feeds the base basket AND every month
     )
     base = m.agg(F.min("mon").alias("mon0"))
     p0 = (

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from server_spark.barrier import barrier
+from server_spark.barrier import barrier, lazy_barrier
 
 from server_spark.dedup import exact as ex
 from server_spark.dedup import minhash as mh
@@ -131,7 +131,7 @@ def _gated_edges(docs: DataFrame) -> DataFrame:
     token-set relation is the single shared materialization (feeds
     the signature/banding branch and both verify joins).
     """
-    vsets = mh.md5_val_arrays(docs, n=3).transform(barrier)
+    vsets = mh.md5_val_arrays(docs, n=3).transform(lazy_barrier)
     # the size-ratio prune (J <= min/max, exact at the 0.7 gate) drops
     # candidates before the distinct shuffle and the verify joins —
     # semantics-preserving, so the SQL twin needs no mirror
@@ -302,7 +302,7 @@ def x21_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min_by("doc_id", "doc_id").alias("doc_id"),
              F.min_by("text", "doc_id").alias("text"))
         .select("doc_id", "text")
-        .transform(barrier)
+        .transform(lazy_barrier)
     )
 
     comp = connected_components(_gated_edges(exact))
@@ -537,7 +537,7 @@ def _md5_minhash_pairs(
     # so downstream carries a single column instead of 32.
     # Both the banded self-join branches and the per-side signature
     # lookups reference this — materialize once.
-    sigs = mh.md5_signatures(shingles, _MH_AB).transform(barrier)
+    sigs = mh.md5_signatures(shingles, _MH_AB).transform(lazy_barrier)
     # r14 (guide §2.3): packed numeric band keys — adjacent component
     # pairs as c_even*MD5_P + c_odd longs (injective, < 2^63), same
     # scheme as mh.banded_keys; candidate set identical to the string
@@ -629,7 +629,7 @@ def x24_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFram
         shingles.join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "shingle")
         .distinct()
-        .transform(barrier)
+        .transform(lazy_barrier)
     )
     sizes = srcsh.groupBy("source").agg(F.count("*").alias("n_sh"))
     a = srcsh.select(F.col("source").alias("source_a"), "shingle")
@@ -691,7 +691,7 @@ def x29_eval_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ng.word_shingles(docs, n=3)
         .join(docs.select("doc_id", "source"), "doc_id")
         .crossJoin(F.broadcast(ev))
-        .transform(barrier)
+        .transform(lazy_barrier)
     )
     eval_sh = (
         shingles.filter(F.col("source") == F.col("ev_src"))
@@ -851,9 +851,9 @@ def x38_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("_bm").alias("doc_id"), "exact_base")
     )
 
-    vsets = mh.md5_val_arrays(docs, n=3).transform(barrier)
+    vsets = mh.md5_val_arrays(docs, n=3).transform(lazy_barrier)
     sig = vsets.select("doc_id", mh.md5_sig_array("vs", _MH_AB).alias("sig"))
-    kv = mh.banded_keys(sig, _MH_NUM, _MH_BANDS).transform(barrier)
+    kv = mh.banded_keys(sig, _MH_NUM, _MH_BANDS).transform(lazy_barrier)
     cand = (
         kv.filter(is_batch)
         .select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
@@ -1106,7 +1106,7 @@ def x75_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", ng.split_words("text").alias("_words")
     ).select(
         "doc_id", ng.shingle_array("_words", 3).alias("_sh")
-    ).transform(barrier)
+    ).transform(lazy_barrier)
     shingles = arrs.select(
         "doc_id",
         F.size("_sh").alias("n"),
@@ -1134,7 +1134,7 @@ def x75_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plist = shingles.groupBy("shingle").agg(F.count("*").alias("pl"))
     hot = plist.filter(F.col("pl") > _X75_BUCKET_CAP).select(
         "shingle"
-    ).transform(barrier)  # tiny; feeds both split joins
+    ).transform(lazy_barrier)  # tiny; feeds both split joins
     cold = shingles.join(hot, "shingle", "left_anti")
     hotp = shingles.join(hot, "shingle", "left_semi").select(
         "doc_id", "shingle"
@@ -1153,7 +1153,7 @@ def x75_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnsRenamed(
         {"doc_a": "doc_sub", "doc_b": "doc_super",
          "n_a": "n_sub", "n_b": "n_sup"}
-    ).transform(barrier)  # feeds the hot correction AND the union
+    ).transform(lazy_barrier)  # feeds the hot correction AND the union
     # exact hot-shingle contribution for already-found pairs: fan-out
     # is pairs × hot shingle TYPES per doc (tiny by definition of hot)
     ha = hotp.select(F.col("doc_id").alias("doc_sub"), "shingle")
@@ -1337,7 +1337,7 @@ def x77_winnowing_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("rn") >= _WINNOW_W, F.col("wmin"))
             ).alias("prints"),
         )
-        .transform(barrier)  # feeds candidates AND both verify sides
+        .transform(lazy_barrier)  # feeds candidates AND both verify sides
     )
     # candidate pairs from the print index with the hot-print cap:
     # one bucket groupBy + narrow pair expansion (no kv self-join).
@@ -1442,7 +1442,7 @@ def x77_winnowing_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x90_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     from server_spark.dedup.components import connected_components
 
-    edges = _gated_edges(_docs(spark, sf_dir)).transform(barrier)
+    edges = _gated_edges(_docs(spark, sf_dir)).transform(lazy_barrier)
     comp = connected_components(edges)
     n = comp.groupBy("component").agg(F.count("*").alias("n_nodes"))
     m = (
@@ -1657,7 +1657,7 @@ def x102_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(w).cast("long"), F.size("l") - F.col("ci") * w).alias(
             "n_tok"
         ),
-    ).transform(barrier)  # feeds the keep-first agg AND the join back
+    ).transform(lazy_barrier)  # feeds the keep-first agg AND the join back
     firsts = chunks.groupBy("h").agg(F.min(key).alias("first_key"))
     kept = key == F.col("first_key")
     return (
@@ -1770,7 +1770,7 @@ def x106_minhash_eval(
         fan_out(docs)
         .select("doc_id", ng.split_words("text").alias("_words"))
         .select("doc_id", ng.shingle_array("_words", 3).alias("_sh"))
-        .transform(barrier)
+        .transform(lazy_barrier)
     )
     shingles = arrs.select("doc_id", F.explode("_sh").alias("shingle"))
     est = _md5_minhash_pairs(docs, JACCARD_MIN, shingles=shingles).select(
@@ -1886,10 +1886,10 @@ def x107_lsh_calibration(
     # from raw text; barriering the shingle relation FIRST and
     # deriving signatures from the materialized rows halves the
     # tokenize work (plans and results unchanged — same relation).
-    sh = ng.word_shingles(docs, n=3).transform(barrier)
-    sigs = mh.md5_signatures(sh, _MH_AB).transform(barrier)
+    sh = ng.word_shingles(docs, n=3).transform(lazy_barrier)
+    sigs = mh.md5_signatures(sh, _MH_AB).transform(lazy_barrier)
     kv = mh.banded_keys(sigs, _MH_NUM, _MH_BANDS)
-    cand = mh.bucket_pairs(kv, ["band_idx", "band_key"]).transform(barrier)
+    cand = mh.bucket_pairs(kv, ["band_idx", "band_key"]).transform(lazy_barrier)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pa = cand.join(
         sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
@@ -1992,7 +1992,7 @@ def x109_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     h = docs.select(
         "source", F.md5(F.lower(F.trim(F.col("text")))).alias("hh")
-    ).transform(barrier)
+    ).transform(lazy_barrier)
     per = h.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("hh").alias("n_unique"),
@@ -2169,7 +2169,7 @@ def x121_chunk_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     chunks = cdc_chunk_table(docs).withColumn(
         "hb", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    ).transform(barrier)  # feeds the train set AND the test probe
+    ).transform(lazy_barrier)  # feeds the train set AND the test probe
     train_set = (
         chunks.filter(F.col("hb") < "cd").select("chunk_hash").distinct()
         .withColumn("_in_train", F.lit(1))
@@ -2455,7 +2455,7 @@ def x123_reorder_robust_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_set("ho").alias("os"),
             F.collect_set("hs").alias("ss"),
         )
-        .transform(barrier)  # feeds candidates AND both verify sides
+        .transform(lazy_barrier)  # feeds candidates AND both verify sides
     )
     cands = mh.md5_banded_candidates(
         None,
@@ -2626,7 +2626,7 @@ def x134_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from server_spark.dedup.components import connected_components
 
     docs = _docs(spark, sf_dir)
-    pairs = _md5_minhash_pairs(docs, JACCARD_MIN).transform(barrier)
+    pairs = _md5_minhash_pairs(docs, JACCARD_MIN).transform(lazy_barrier)
     comp = connected_components(pairs)
     splits = docs.select("doc_id", hash_split_col().alias("split"))
     rep_split = splits.select(
@@ -2754,7 +2754,7 @@ def x137_dedup_aware_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from server_spark.textstats import analysis as tx
 
     docs = _docs(spark, sf_dir)
-    pairs = _md5_minhash_pairs(docs, JACCARD_MIN).transform(barrier)
+    pairs = _md5_minhash_pairs(docs, JACCARD_MIN).transform(lazy_barrier)
     comp = connected_components(pairs)
     toks = docs.select("doc_id", "source", tx.token_count().alias("n_tokens"))
     kept = (

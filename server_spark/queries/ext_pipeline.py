@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from server_spark import tables
-from server_spark.barrier import barrier
+from server_spark.barrier import barrier, lazy_barrier
 from server_spark.parity import r4, r4sql
 from server_spark.queries.ext_common import (
     HASH_SPLIT_SQL,
@@ -1209,7 +1209,7 @@ def x112_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[cond.cast("int").alias(f"f_{name}") for name, cond in rules.items()],
     ).withColumn(
         "n_fail", sum(F.col(f"f_{n}") for n in rules)
-    ).transform(barrier)  # one metric pass feeds every rule branch
+    ).transform(lazy_barrier)  # one metric pass feeds every rule branch
     out = None
     for name in rules:
         branch = flags.agg(

@@ -9,7 +9,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from server_spark.barrier import barrier
+from server_spark.barrier import barrier, lazy_barrier
 from server_spark.parity import r4, r4sql
 from server_spark.queries.ext_common import (
     JACCARD_MIN,
@@ -1409,7 +1409,7 @@ def x70_ndcg_lexical_vs_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + 1.0) / 2.0
             ).alias("gain"),
         )
-        .transform(barrier)  # feeds the lexical DCG join AND the ideal list
+        .transform(lazy_barrier)  # feeds the lexical DCG join AND the ideal list
     )
 
     toks = _docs(spark, sf_dir).select(
@@ -1951,7 +1951,7 @@ def x104_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOPK)
         .select("qid", "vid", "dim")
-    ).transform(barrier)  # feeds the baseline and the recall join
+    ).transform(lazy_barrier)  # feeds the baseline and the recall join
     base = topk.filter(F.col("dim") == _X104_DIMS[-1]).select(
         "qid", F.col("vid").alias("bvid")
     )
@@ -2231,7 +2231,7 @@ def x118_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
         "vec_id", F.posexplode("embedding").alias("dim", "v")
     ).select("vec_id", "dim", F.col("v").cast("double").alias("v"))
-    e = e.transform(barrier)  # feeds per-dim moments AND per-vec norms
+    e = e.transform(lazy_barrier)  # feeds per-dim moments AND per-vec norms
     per_dim = e.groupBy("dim").agg(
         F.count("*").alias("n"),
         F.avg("v").alias("mu"),

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from server_spark.barrier import barrier
+from server_spark.barrier import barrier, lazy_barrier
 
 from server_spark.parity import r4, r4sql
 from server_spark.queries.ext_common import (
@@ -426,7 +426,7 @@ def x30_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         toks.groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
-        .transform(barrier)
+        .transform(lazy_barrier)
     )
     dfreq = pairs.groupBy("token").agg(F.count("*").alias("dfq"))
     n = docs.agg(F.count("*").alias("n_docs"))
@@ -499,7 +499,7 @@ def x33_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs(spark, sf_dir).select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
-    ).transform(barrier)  # feeds freq, total AND the scoring join
+    ).transform(lazy_barrier)  # feeds freq, total AND the scoring join
     freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     total = toks.agg(F.count("*").alias("total"))
     return (
@@ -556,7 +556,7 @@ def x34_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from server_spark.dedup import ngram as ng
 
     # referenced by the df aggregation AND the join back
-    sh = ng.word_shingles(_docs(spark, sf_dir), n=3).transform(barrier)
+    sh = ng.word_shingles(_docs(spark, sf_dir), n=3).transform(lazy_barrier)
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     with_df = sh.join(dfreq, "shingle")
     uniq = F.sum((F.col("df") == 1).cast("int"))
@@ -619,7 +619,7 @@ def x36_tokenizer_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
             "pos", "token"
         ),
-    ).transform(barrier)  # feeds the vocab build AND the encode join
+    ).transform(lazy_barrier)  # feeds the vocab build AND the encode join
     counts = toks.groupBy("token").agg(F.count("*").alias("n_occ"))
     order = [F.col("n_occ").desc(), F.col("token")]
     vocab = (
@@ -744,7 +744,7 @@ def x40_quality_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
-    ).transform(barrier)
+    ).transform(lazy_barrier)
     freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     total = toks.agg(F.count("*").alias("total"))
     lp = (
@@ -756,7 +756,7 @@ def x40_quality_master(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg(F.log(F.col("cnt").cast("double") / F.col("total")))
             ).alias("avg_logprob")
         )
-        .transform(barrier)  # feeds the histogram AND the doc join
+        .transform(lazy_barrier)  # feeds the histogram AND the doc join
     )
     # Tail rule on a FIXED 0.01-wide grid (the DDSketch log-bucket
     # pattern): the grid histogram is BOUNDED by the score range /
@@ -1373,7 +1373,7 @@ def x58_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.split(F.lower(F.trim(F.col("text"))), r"\s+")
         ).alias("token"),
-    ).transform(barrier)  # feeds raw freq, target freq AND the join
+    ).transform(lazy_barrier)  # feeds raw freq, target freq AND the join
     raw = toks.groupBy("token").agg(F.count("*").alias("rc"))
     rtot = toks.agg(F.count("*").alias("rt"))
     vocab = raw.agg(F.count("*").alias("v"))
@@ -1483,7 +1483,7 @@ def x62_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos", "token"),
         )
         .filter(F.col("token") != "")
-        .transform(barrier)  # feeds unigrams, total AND the bigram window
+        .transform(lazy_barrier)  # feeds unigrams, total AND the bigram window
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     big = (
@@ -1493,7 +1493,7 @@ def x62_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("token").over(w).alias("w2"),
         )
         .filter(F.col("w2").isNotNull())
-        .transform(barrier)  # feeds bigram counts AND the scoring join
+        .transform(lazy_barrier)  # feeds bigram counts AND the scoring join
     )
     uni = toks.groupBy("token").agg(F.count("*").alias("c"))
     tot = toks.agg(F.count("*").alias("t"))
@@ -1585,7 +1585,7 @@ def x63_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source", "token")
         .agg(F.count("*").alias("c"))
-        .transform(barrier)  # feeds source totals, corpus counts AND scoring
+        .transform(lazy_barrier)  # feeds source totals, corpus counts AND scoring
     )
     srctot = src.groupBy("source").agg(F.sum("c").alias("t"))
     corp = src.groupBy("token").agg(F.sum("c").alias("cc"))
@@ -1807,10 +1807,10 @@ def x69_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
             "token"
         ),
-    ).transform(barrier)  # feeds tf, dl (and through tf: df, qt)
+    ).transform(lazy_barrier)  # feeds tf, dl (and through tf: df, qt)
     tf = toks.groupBy("doc_id", "token").agg(
         F.count("*").alias("tf")
-    ).transform(barrier)  # feeds df, the query sets AND the postings join
+    ).transform(lazy_barrier)  # feeds df, the query sets AND the postings join
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -1904,7 +1904,7 @@ def x73_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.split(F.lower(F.trim(F.col("text"))), r"\s+")
             ).alias("token")
         )
-        .transform(barrier)  # reused: summary scan + exact verify scan
+        .transform(lazy_barrier)  # reused: summary scan + exact verify scan
     )
 
     cap = _X73_CAP
@@ -2037,7 +2037,7 @@ def x74_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("l"),
     )
-    toks = docs.select(F.explode("l").alias("tok")).transform(barrier)
+    toks = docs.select(F.explode("l").alias("tok")).transform(lazy_barrier)
 
     shifted = []
     for off in range(1, _X74_W + 1):
@@ -2063,7 +2063,7 @@ def x74_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_pairs = raw.filter(F.col("tok_x") != F.col("tok_y")).select(
         F.least("tok_x", "tok_y").alias("tok_a"),
         F.greatest("tok_x", "tok_y").alias("tok_b"),
-    ).transform(barrier)
+    ).transform(lazy_barrier)
 
     n_tok = toks.agg(F.count("*").alias("n"))
     n_pairs = raw_pairs.agg(F.count("*").alias("n_pairs"))
@@ -2211,7 +2211,7 @@ def x85_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.split(F.lower(F.trim(F.col("text"))), r"\s+")
         ).alias("token"),
-    ).transform(barrier)  # feeds the LM AND the held-out scoring
+    ).transform(lazy_barrier)  # feeds the LM AND the held-out scoring
     freq = (
         toks.filter(F.col("is_train"))
         .groupBy("token")
@@ -2466,7 +2466,7 @@ def x91_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos", "token"),
         )
         .filter(F.col("token") != "")
-        .transform(barrier)  # feeds the LM counts AND the bigram window
+        .transform(lazy_barrier)  # feeds the LM counts AND the bigram window
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     big = (
@@ -2476,7 +2476,7 @@ def x91_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("token").over(w).alias("w2"),
         )
         .filter(F.col("w2").isNotNull())
-        .transform(barrier)  # feeds bigram counts AND held-out scoring
+        .transform(lazy_barrier)  # feeds bigram counts AND held-out scoring
     )
     uni = (
         toks.filter(F.col("is_train"))
@@ -2675,7 +2675,7 @@ def x96_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = pred.groupBy("tagged_lang", "guessed_lang").agg(
         F.count("*").alias("n")
-    ).transform(barrier)  # |langs|² rows feed three scalar aggs
+    ).transform(lazy_barrier)  # |langs|² rows feed three scalar aggs
     tot = cells.agg(F.sum("n").cast("bigint").alias("nt"))
     diag = cells.filter(
         F.col("tagged_lang") == F.col("guessed_lang")
@@ -2789,7 +2789,7 @@ def x98_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source", "token", (F.col("c") * 1.0 / F.col("t")).alias("p")
         )
-        .transform(barrier)  # both sides of the pair join
+        .transform(lazy_barrier)  # both sides of the pair join
     )
     a = p.select(
         F.col("source").alias("source_a"), "token", F.col("p").alias("pa")
@@ -2987,7 +2987,7 @@ def x105_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.lower(F.trim(F.col("text"))), r"\s+")
         ).alias("tok"),
     ).distinct()
-    vt = vt.transform(barrier)  # feeds sizes and both join branches
+    vt = vt.transform(lazy_barrier)  # feeds sizes and both join branches
     sz = vt.groupBy("source").agg(F.count("*").alias("n"))
     b = vt.select(F.col("source").alias("src_b"), "tok")
     inter = (
@@ -3179,7 +3179,7 @@ def x111_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("w2"),
     ).filter(F.col("w2").isNotNull())
     cb = bg.groupBy("source", "w1", "w2").agg(F.count("*").alias("c"))
-    cb = cb.transform(barrier)  # feeds contexts, totals, and H(joint)
+    cb = cb.transform(lazy_barrier)  # feeds contexts, totals, and H(joint)
     c1 = cb.groupBy("source", "w1").agg(F.sum("c").alias("c"))
     tot = cb.groupBy("source").agg(F.sum("c").alias("n"))
 
@@ -3293,10 +3293,10 @@ def x113_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("token").over(w).alias("w2"),
         )
         .filter(F.col("w2").isNotNull())
-        .transform(barrier)  # feeds type counts AND the scoring join
+        .transform(lazy_barrier)  # feeds type counts AND the scoring join
     )
     bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    bc = bc.transform(barrier)  # feeds w1/w2 stats AND the score join
+    bc = bc.transform(lazy_barrier)  # feeds w1/w2 stats AND the score join
     w1s = bc.groupBy("w1").agg(
         F.sum("c2").alias("c1"), F.count("*").alias("fanout")
     )
@@ -3409,7 +3409,7 @@ def x119_stylometric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token"),
         )
         .filter(F.col("token") != "")
-        .transform(barrier)  # feeds top-K, totals AND marker counts
+        .transform(lazy_barrier)  # feeds top-K, totals AND marker counts
     )
     # top-K via orderBy().limit() — TakeOrderedAndProject runs
     # per-partition heaps + a K-row driver merge, never funnelling the
@@ -3441,7 +3441,7 @@ def x119_stylometric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n")
             ).alias("rel"),
         )
-        .transform(barrier)  # feeds marker stats AND both z sides
+        .transform(lazy_barrier)  # feeds marker stats AND both z sides
     )
     wstats = freq.groupBy("token").agg(
         F.avg("rel").alias("mu"),

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from server_spark.barrier import barrier
+from server_spark.barrier import barrier, lazy_barrier
 
 from server_spark import tables
 from server_spark.operators import joins
@@ -310,8 +310,8 @@ def u1_setop_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each slice is scanned+deduped once and the EXCEPT/INTERSECT
     # branches read the materialized blocks. At cluster scale the same
     # shape holds with `.persist()` + a shared scan.
-    prev = _day_users(spark, sf_dir, DAY_A).transform(barrier)
-    nxt = _day_users(spark, sf_dir, DAY_B).transform(barrier)
+    prev = _day_users(spark, sf_dir, DAY_A).transform(lazy_barrier)
+    nxt = _day_users(spark, sf_dir, DAY_B).transform(lazy_barrier)
     lab = lambda df, s: df.select(  # noqa: E731
         F.lit(s).alias("status"), "user_id"
     )
@@ -781,12 +781,12 @@ def a20_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         _colisting_edges(base, directed=True, count_col="w")
         .select(F.col("s").alias("src"), F.col("t").alias("dst"), "w")
-        .transform(barrier)  # reused every iteration
+        .transform(lazy_barrier)  # reused every iteration
     )
     wdeg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
     norm_edges = edges.join(wdeg, "src").select(
         "src", "dst", (F.col("w") / F.col("wdeg")).alias("p")
-    ).transform(barrier)
+    ).transform(lazy_barrier)
     nodes = edges.select(F.col("src").alias("item")).distinct().transform(
         barrier
     )
@@ -810,7 +810,7 @@ def a20_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
         )
         if i % 3 == 2:  # cut lineage every 3 rounds: plans stay
-            ranks = barrier(ranks)  # shallow without a per-round sync
+            ranks = lazy_barrier(ranks)  # shallow without a per-round sync
     return ranks.select(
         "item", r4(F.col("r") * n).alias("rank_norm")
     ).orderBy(F.col("rank_norm").desc(), "item")
@@ -840,7 +840,7 @@ def triangle_counts(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
         .unionByName(edges.select(F.col("t").alias("item")))
         .groupBy("item")
         .agg(F.count("*").alias("degree"))
-        .transform(barrier)  # orients every edge AND labels the output
+        .transform(lazy_barrier)  # orients every edge AND labels the output
     )
     ds = deg.select(F.col("item").alias("s"), F.col("degree").alias("d_s"))
     dt = deg.select(F.col("item").alias("t"), F.col("degree").alias("d_t"))
@@ -854,7 +854,7 @@ def triangle_counts(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.when(s_first, F.col("s")).otherwise(F.col("t")).alias("u"),
             F.when(s_first, F.col("t")).otherwise(F.col("s")).alias("v"),
         )
-        .transform(barrier)  # reused 3x: two wedge legs + the closer
+        .transform(lazy_barrier)  # reused 3x: two wedge legs + the closer
     )
     o1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
     o2 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -1137,7 +1137,7 @@ def a23_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     live = auctions(spark, sf_dir)
     sketches = live.groupBy("time_left").agg(
         F.hll_sketch_agg("owner", F.lit(12)).alias("sk")
-    ).transform(barrier)  # K rows (one per tier), reused three ways
+    ).transform(lazy_barrier)  # K rows (one per tier), reused three ways
     a = sketches.select(
         F.col("time_left").alias("tier_a"), F.col("sk").alias("sk_a")
     )
@@ -1287,7 +1287,7 @@ def a25_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         a.join(b, "day")
         .filter(F.col("item_a") < F.col("item_b"))
-        .transform(barrier)  # reused: variance gate + corr pass
+        .transform(lazy_barrier)  # reused: variance gate + corr pass
     )
     # corr() must only evaluate on variance-positive pairs: under ANSI
     # mode Spark's corr THROWS DIVIDE_BY_ZERO on a constant series
@@ -1733,9 +1733,14 @@ def coreness(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         .unionByName(
             edges.select(F.col("t").alias("u"), F.col("s").alias("v"))
         )
-        .transform(barrier)  # reused every round
+        .transform(lazy_barrier)  # reused every round
     )
-    cur = barrier(adj.groupBy("u").agg(F.count("*").cast("long").alias("c")))
+    # lazy checkpoint: the Σc collect right below materializes it in
+    # the same job (r15 job-count pass, see connected_components)
+    cur = barrier(
+        adj.groupBy("u").agg(F.count("*").cast("long").alias("c")),
+        eager=False,
+    )
     from pyspark.sql import Window
 
     # r15 job-count pass (guide §5, VERDICT r14 item 7): the loop body
@@ -1759,7 +1764,7 @@ def coreness(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
             .groupBy("u")
             .agg(F.max(F.least(F.col("rn"), F.col("cv"))).alias("c"))
         )
-        nxt = barrier(nxt)
+        nxt = barrier(nxt, eager=False)
         new_sum = nxt.agg(F.sum("c")).collect()[0][0]
         cur = nxt
         if new_sum == cur_sum:
@@ -1915,7 +1920,7 @@ def a35_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recency_days"),
         F.count("*").alias("frequency"),
         F.sum(cents).alias("monetary_cents"),
-    ).transform(barrier)  # feeds the scalar count + three rank passes
+    ).transform(lazy_barrier)  # feeds the scalar count + three rank passes
     n = cust.agg(F.count("*").alias("n"))
     ranked = cust.crossJoin(F.broadcast(n))
     ranked = global_row_number(
@@ -2256,7 +2261,7 @@ def a38_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_A38_COLS)}, {stack_args}) AS (column_name, val)"
     )
     vc = melt.groupBy("column_name", "val").agg(F.count("*").alias("c"))
-    vc = vc.transform(barrier)  # feeds both the fold and the top-1 rank
+    vc = vc.transform(lazy_barrier)  # feeds both the fold and the top-1 rank
     stats = vc.groupBy("column_name").agg(
         F.sum("c").alias("n"),
         F.coalesce(

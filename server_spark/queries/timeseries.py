@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from server_spark.barrier import barrier
+from server_spark.barrier import barrier, lazy_barrier
 
 from server_spark import tables
 from server_spark.operators import timeseries as ts_ops
@@ -827,7 +827,7 @@ def t12_gap_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum("value").cast("double").alias("total"),
         )
-        .transform(barrier)  # feeds bounds, types AND the dense join
+        .transform(lazy_barrier)  # feeds bounds, types AND the dense join
     )
     bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     types = daily.select("event_type").distinct()
@@ -1417,7 +1417,7 @@ def t19_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cast to DATE: Spark date_trunc yields a timestamp, DuckDB a
         # date — the oracle compares the date form
         F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
-    ).transform(barrier)  # feeds cohort sizes AND the activity join
+    ).transform(lazy_barrier)  # feeds cohort sizes AND the activity join
     cohort_size = firsts.groupBy("cohort_week").agg(
         F.count("*").alias("n_cohort")
     )
@@ -2268,7 +2268,7 @@ def t30_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cost of one small job; checkpointing `dev` itself (corpus-
     # sized) measured WORSE (2.57→3.00 s) while this form measured
     # 2.57→2.37 s (interleaved medians, 8/8 runs lower).
-    med = med.transform(barrier)
+    med = med.transform(lazy_barrier)
     dev = r1.select("auc", "item", "buyout").join(med, "item").withColumn(
         "d", F.abs(F.col("buyout") - F.col("med"))
     )
@@ -2588,7 +2588,7 @@ def _acf_substrate(spark: SparkSession, sf_dir: str):
             (F.col("x") - F.col("xbar")).alias("dev"),
             "n",
         )
-        .transform(barrier)
+        .transform(lazy_barrier)
     )
     ss = devs.groupBy("event_type").agg(
         F.sum(F.col("dev") * F.col("dev")).alias("ss0"),
@@ -3520,7 +3520,7 @@ def t39_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "h")
         .agg(F.count("*").alias("x"))
-    ).transform(barrier)  # feeds bounds and the grid join
+    ).transform(lazy_barrier)  # feeds bounds and the grid join
     bounds = hourly.groupBy("event_type").agg(
         F.min("h").alias("hmin"), F.max("h").alias("hmax")
     )
@@ -3731,7 +3731,7 @@ def t40_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type", "p", r4(F.col("num") / F.col("den")).alias("power")
         )
-        .transform(barrier)  # feeds the argmax rank and the p=7 lookup
+        .transform(lazy_barrier)  # feeds the argmax rank and the p=7 lookup
     )
     ranked = scored.select(
         "event_type",
@@ -3807,7 +3807,7 @@ def t41_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pw = (
         _spectral_power(spark, sf_dir)
         .select("event_type", "p", "num")
-        .transform(barrier)  # feeds the total AND the entropy fold
+        .transform(lazy_barrier)  # feeds the total AND the entropy fold
     )
     tot = pw.groupBy("event_type").agg(F.sum("num").alias("total"))
     frac = F.col("num") / F.col("total")
@@ -4367,7 +4367,7 @@ def t44_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c") * 1.0
             / F.sum("c").over(Window.partitionBy("s"))
         ).alias("p"),
-    ).transform(barrier)
+    ).transform(lazy_barrier)
     for _ in range(_T44_SQUARINGS):
         a = p.select(
             F.col("s"), F.col("t").alias("mid"), F.col("p").alias("pa")
@@ -4379,7 +4379,7 @@ def t44_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             a.join(b, "mid")
             .groupBy("s", "t")
             .agg(F.sum(F.col("pa") * F.col("pb")).alias("p"))
-        ).transform(barrier)
+        ).transform(lazy_barrier)
     # scalars stay IN-PLAN (broadcast one-row tables), the s2 rule —
     # no driver-side .count() round trips
     ns = p.agg(F.countDistinct("s").alias("n"))
@@ -4499,7 +4499,7 @@ def t45_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "h")
         .agg(F.count("*").alias("x"))
-    ).transform(barrier)
+    ).transform(lazy_barrier)
     bounds = hourly.groupBy("event_type").agg(
         F.min("h").alias("hmin"), F.max("h").alias("hmax")
     )
@@ -5064,7 +5064,7 @@ def _dense_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "d")
         .agg(F.count("*").alias("x"))
-    ).transform(barrier)
+    ).transform(lazy_barrier)
     bounds = daily.groupBy("event_type").agg(
         F.min("d").alias("dmin"), F.max("d").alias("dmax")
     )
@@ -5079,7 +5079,7 @@ def _dense_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d") - F.col("dmin")).alias("t"),
         F.coalesce(F.col("x"), F.lit(0)).alias("x"),
         "n",
-    ).transform(barrier)
+    ).transform(lazy_barrier)
 
 
 # ---------------------------------------------------------------------------
@@ -5255,7 +5255,7 @@ def t51_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         # truncation compares the r4-CANONICAL rho against 0 so the
         # cutoff lag is identical on both engines
         .select("event_type", "lag", r4(F.col("r_raw")).alias("r"))
-        .transform(barrier)  # feeds the cutoff AND the tau sum
+        .transform(lazy_barrier)  # feeds the cutoff AND the tau sum
     )
     # all-positive default = the series' own max AVAILABLE lag + 1
     # (not the global max): a 10-day series has only lags 1..9, and

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from server_spark.barrier import barrier
+from server_spark.barrier import barrier, lazy_barrier
 
 from server_spark.parity import r4
 
@@ -234,7 +234,7 @@ def neardup_pairs_blocked(
     # this the pack agg runs twice)
     packed = e.groupBy("blk").agg(
         F.collect_list(F.struct("id", "vec")).alias("rows")
-    ).transform(barrier)
+    ).transform(lazy_barrier)
     a = packed.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
     b = packed.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
     grid = a.join(b, F.col("blk_a") <= F.col("blk_b"))
@@ -323,7 +323,7 @@ def neardup_pairs_blocked_grouped(
     # otherwise run twice)
     packed = e.groupBy("grp", "blk").agg(
         F.collect_list(F.struct("id", "vec")).alias("rows")
-    ).transform(barrier)
+    ).transform(lazy_barrier)
     a = packed.select(
         "grp", F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a")
     )

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from server_spark.barrier import barrier
+from server_spark.barrier import barrier, lazy_barrier
 
 END_MARK = "</w>"
 CHECKPOINT_EVERY = 4
@@ -103,7 +103,7 @@ def train_bpe(
             f"{n_merges} > {MAX_JOB_LOOP_MERGES}. Use train_bpe_fast "
             "(identical merges, bounded collect) for real vocabularies."
         )
-    cur = _initial_symbols(word_freqs(docs, text_col)).transform(barrier)
+    cur = _initial_symbols(word_freqs(docs, text_col)).transform(lazy_barrier)
     merges: list[tuple[str, str, int]] = []
     merge_schema = T.StructType(
         [
@@ -164,7 +164,7 @@ def train_bpe(
 
         cur = cur.mapInPandas(apply_merge, merge_schema)
         if (it + 1) % CHECKPOINT_EVERY == 0:
-            cur = cur.transform(barrier)
+            cur = cur.transform(lazy_barrier)
     return merges
 
 
