@@ -345,7 +345,77 @@ def x75(spark, sf_dir, hot_broadcast=False):
     )
 
 
+def a39(spark, sf_dir, fused=False):
+    from server_spark import tables
+    from server_spark.queries.joins_sets import _A39_ENUM
+    from server_spark.sources.synthetic import auctions
+
+    au = auctions(spark, sf_dir)
+    part = tables.load(spark, sf_dir, "part")
+
+    def rule(name, df, viol):
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count("*").alias("n_checked"),
+            F.coalesce(F.sum(F.when(viol, 1)), F.lit(0)).alias(
+                "n_violations"
+            ),
+        )
+
+    ref = au.join(
+        part.select(F.col("p_partkey").alias("item"), F.lit(1).alias("_hit")),
+        "item",
+        "left",
+    )
+    r1 = rule("item_ref_integrity", ref, F.col("_hit").isNull())
+    if not fused:
+        checks = [
+            r1,
+            rule("nonneg_buyout", au, F.col("buyout") < 0),
+            rule("positive_quantity", au, F.col("quantity") < 1),
+            rule(
+                "timeleft_enum",
+                au,
+                F.col("time_left").isNull()
+                | ~F.col("time_left").isin(*_A39_ENUM),
+            ),
+        ]
+        uniq = au.agg(
+            F.lit("unique_auc").alias("rule"),
+            F.count("*").alias("n_checked"),
+            (F.count("*") - F.countDistinct("auc")).alias("n_violations"),
+        )
+        out = checks[0]
+        for c in checks[1:] + [uniq]:
+            out = out.unionByName(c)
+        return out.orderBy("rule")
+
+    def v(cond):
+        return F.coalesce(F.sum(F.when(cond, 1)), F.lit(0))
+
+    one = au.agg(
+        F.count("*").alias("n"),
+        v(F.col("buyout") < 0).alias("v_buy"),
+        v(F.col("quantity") < 1).alias("v_qty"),
+        v(
+            F.col("time_left").isNull()
+            | ~F.col("time_left").isin(*_A39_ENUM)
+        ).alias("v_enum"),
+        (F.count("*") - F.countDistinct("auc")).alias("v_uniq"),
+    )
+    four = one.selectExpr(
+        "stack(4, "
+        "'nonneg_buyout', n, v_buy, "
+        "'positive_quantity', n, v_qty, "
+        "'timeleft_enum', n, v_enum, "
+        "'unique_auc', n, v_uniq) AS (rule, n_checked, n_violations)"
+    )
+    return r1.unionByName(four).orderBy("rule")
+
+
 VARIANTS = {
+    "a39A": lambda s, d: a39(s, d),
+    "a39B": lambda s, d: a39(s, d, fused=True),
     "x75A": lambda s, d: x75(s, d),
     "x75B": lambda s, d: x75(s, d, hot_broadcast=True),
     "t30A": lambda s, d: t30(s, d),

@@ -657,9 +657,15 @@ def hash_value_neardup_pairs(
     query's contract; a 100 TB deployment would usually stop at step
     2 + cluster membership (linear) rather than materialize every
     within-cluster pair."""
+    # r15: `vals` is referenced FOUR times below (bands, both member
+    # sides, the same-value expansion) and carries the caller's whole
+    # upstream — for x128/x129 that upstream is the mapInPandas
+    # mint+decode, which the un-cut plan duplicated per reference
+    # (static plan showed the docs scan 8×). One lazy checkpoint runs
+    # the Python decode once.
     vals = hashes.groupBy(hash_col).agg(
         F.collect_list(id_col).alias("_members")
-    )
+    ).transform(lazy_barrier)
     mask = (1 << band_bits) - 1
     bands = vals.select(hash_col).select(
         hash_col,

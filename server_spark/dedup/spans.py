@@ -115,13 +115,22 @@ def _words_and_cov(
     id_col: str,
     text_col: str,
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared guts of the scrub family: (words, cov) where ``words`` is
-    one (id, pos, word) row per word and ``cov`` is the DISTINCT set of
-    (cov_doc, cpos) word positions covered by a NON-CANONICAL
-    occurrence of a cross-doc repeated span — i.e. the removal set."""
+    """Shared guts of the scrub family: (with_arr, words, cov) where
+    ``with_arr`` is the tokenized (id, _w words-array) relation,
+    ``words`` is one (id, pos, word) row per word and ``cov`` is the
+    DISTINCT set of (cov_doc, cpos) word positions covered by a
+    NON-CANONICAL occurrence of a cross-doc repeated span — i.e. the
+    removal set.
+
+    r15: ``with_arr`` is lazily CHECKPOINTED — it feeds the words
+    explode, the span build, AND (via the returned handle) the
+    caller's n_words projection, and without the cut each consumer
+    re-ran the scan + split_words tokenization (the family's most
+    expensive narrow map ran 3× per query; plans showed the docs
+    parquet scan duplicated accordingly)."""
     with_arr = fan_out(docs).select(
         F.col(id_col), split_words(text_col).alias("_w")
-    )
+    ).transform(lazy_barrier)
     words = with_arr.select(
         F.col(id_col), F.posexplode("_w").alias("pos0", "word")
     ).select(
@@ -158,7 +167,7 @@ def _words_and_cov(
         )
         .distinct()
     )
-    return words, cov
+    return with_arr, words, cov
 
 
 def span_scrub(
@@ -172,7 +181,7 @@ def span_scrub(
     removing every non-canonical occurrence of each repeated span.
     ``clean_hash`` is md5 of the space-joined kept words (md5('') for
     a fully-scrubbed doc)."""
-    words, cov = _words_and_cov(docs, n, min_docs, id_col, text_col)
+    with_arr, words, cov = _words_and_cov(docs, n, min_docs, id_col, text_col)
     kept = words.join(
         cov,
         (words[id_col] == cov["cov_doc"]) & (words["pos"] == cov["cpos"]),
@@ -190,9 +199,12 @@ def span_scrub(
             )
         ).alias("clean_hash"),
     )
-    base = docs.select(
+    # n_words off the SHARED tokenized relation (size of the split
+    # array == size(split_words(text)) by construction) — was a third
+    # scan + tokenize of the corpus
+    base = with_arr.select(
         F.col(id_col),
-        F.size(split_words(text_col)).alias("n_words"),
+        F.size("_w").alias("n_words"),
     )
     return base.join(agg, id_col, "left").select(
         F.col(id_col),
@@ -233,7 +245,7 @@ def maximal_removed_spans(
     Invariant vs the scrub (property-tested): per doc,
     Σ span_len == span_scrub().n_removed.
     """
-    words, cov = _words_and_cov(docs, n, min_docs, id_col, text_col)
+    _arr, words, cov = _words_and_cov(docs, n, min_docs, id_col, text_col)
     wdoc = Window.partitionBy("cov_doc").orderBy("cpos")
     isl = cov.withColumn(
         "isl", F.col("cpos") - F.row_number().over(wdoc)
@@ -291,12 +303,21 @@ def incremental_span_scrub(
     whose shuffle carries the batch side, with the inventory bucketed
     by span hash.
     """
+    # r15: base_inv feeds BOTH the semi- and the anti-join below; un-cut
+    # it re-ran the whole base-side scan + tokenize + span build once
+    # per consumer (plans showed the base scan duplicated). At 100 TB
+    # this relation is the maintained x43 artifact anyway — locally the
+    # lazy checkpoint stands in for that materialized table.
     base_inv = (
-        span_positions(base, n, id_col, text_col).select("span").distinct()
+        span_positions(base, n, id_col, text_col)
+        .select("span")
+        .distinct()
+        .transform(lazy_barrier)
     )
+    # batch side tokenized ONCE (see _words_and_cov's r15 note)
     with_arr = batch.select(
         F.col(id_col), split_words(text_col).alias("_w")
-    )
+    ).transform(lazy_barrier)
     words = with_arr.select(
         F.col(id_col), F.posexplode("_w").alias("pos0", "word")
     ).select(
@@ -355,9 +376,9 @@ def incremental_span_scrub(
             )
         ).alias("clean_hash"),
     )
-    out = batch.select(
+    out = with_arr.select(
         F.col(id_col),
-        F.size(split_words(text_col)).alias("n_words"),
+        F.size("_w").alias("n_words"),
     )
     return out.join(agg, id_col, "left").select(
         F.col(id_col),

@@ -367,9 +367,11 @@ def x32_cluster_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = _docs(spark, sf_dir)
     comp = connected_components(_gated_edges(docs))
     lens = docs.select("doc_id", tx.token_count().alias("n_tokens"))
+    # r15: memb feeds the per-cluster max AND the survivor join — un-cut,
+    # the scan + token_count split ran once per reference
     memb = comp.join(lens, comp.node == lens.doc_id).select(
         "component", "node", "n_tokens"
-    )
+    ).transform(lazy_barrier)
     best = memb.groupBy("component").agg(F.max("n_tokens").alias("mt"))
     # `best` is per-CLUSTER (grows with the corpus, non-Heaps) — no
     # broadcast hint; the join shares its key with the groupBy that
@@ -2267,9 +2269,11 @@ def x122_cluster_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     mem = comp.join(
         docs.select(F.col("doc_id").alias("node"), "source"), "node"
     )
+    # r15: per_src feeds the totals agg AND the entropy join — un-cut,
+    # the comp⋈docs membership join ran once per reference
     per_src = mem.groupBy("component", "source").agg(
         F.count("*").alias("c")
-    )
+    ).transform(lazy_barrier)
     tot = per_src.groupBy("component").agg(F.sum("c").alias("n"))
     p = F.col("c").cast("double") / F.col("n")
     ent = (
@@ -2643,6 +2647,10 @@ def x134_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("rep_split", "split").alias("new_split"),
             F.col("split").alias("own_split"),
         )
+        # r15: three consumers (both leak-join sides + the final mix
+        # agg) — un-cut, the two md5-split scans + component joins ran
+        # once per reference (static plan showed 12 doc scans)
+        .transform(lazy_barrier)
     )
     a = assigned.select(
         F.col("doc_id").alias("doc_a"), F.col("new_split").alias("ns_a")
@@ -2756,7 +2764,12 @@ def x137_dedup_aware_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = _md5_minhash_pairs(docs, JACCARD_MIN).transform(lazy_barrier)
     comp = connected_components(pairs)
-    toks = docs.select("doc_id", "source", tx.token_count().alias("n_tokens"))
+    # r15: toks feeds the kept-filter AND the before-mix aggregate (and
+    # via kept, the after-mix) — un-cut, the scan + token_count split
+    # ran once per reference
+    toks = docs.select(
+        "doc_id", "source", tx.token_count().alias("n_tokens")
+    ).transform(lazy_barrier)
     kept = (
         toks.join(
             comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
