@@ -2000,28 +2000,26 @@ def x108_embedding_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     # x22's symmetric int8 scheme, inline: scale = max|x|/127 (floored
-    # at 1e-12), q = round-half-away(x/scale), deq = q * scale
-    scale = F.greatest(
-        F.array_max(
-            F.transform("embedding", lambda x: F.abs(x.cast("double")))
-        )
-        / 127,
-        F.lit(1e-12),
+    # at 1e-12), q = round-half-away(x/scale), deq = q * scale.
+    # r15 (guide §7.3 driver/plan-assembly): spelled as ONE F.expr —
+    # the Column-operator form built the scale subtree per lambda use
+    # via per-node py4j round trips (~0.5 s of driver time per call);
+    # the parsed string is the same Catalyst tree (double literals
+    # spelled 0.5D / 1E-12 to match F.lit's doubles; the dequantized
+    # values are bit-identical, pinned by tests/test_x108*).
+    _scale = (
+        "greatest(array_max(transform(embedding,"
+        " x -> abs(CAST(x AS DOUBLE)))) / 127, 1E-12)"
     )
     pairs = emb.select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("a"),
-        F.transform(
-            "embedding",
-            lambda x: (
-                F.when(
-                    x < 0,
-                    -F.floor(F.abs(x.cast("double")) / scale + 0.5),
-                ).otherwise(
-                    F.floor(x.cast("double") / scale + 0.5)
-                )
-                * scale
-            ),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("a"),
+        F.expr(
+            "transform(embedding, x -> "
+            "(CASE WHEN x < 0"
+            f" THEN -floor(abs(CAST(x AS DOUBLE)) / {_scale} + 0.5D)"
+            f" ELSE floor(CAST(x AS DOUBLE) / {_scale} + 0.5D) END)"
+            f" * {_scale})"
         ).alias("b"),
     )
     res = procrustes_align(pairs)

@@ -1922,15 +1922,34 @@ def a35_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).alias("monetary_cents"),
     ).transform(lazy_barrier)  # feeds the scalar count + three rank passes
     n = cust.agg(F.count("*").alias("n"))
-    ranked = cust.crossJoin(F.broadcast(n))
-    ranked = global_row_number(
-        ranked, [F.col("recency_days").desc(), F.col("custkey")], "r_rn"
-    )
-    ranked = global_row_number(
-        ranked, [F.col("frequency"), F.col("custkey")], "f_rn"
-    )
-    ranked = global_row_number(
-        ranked, [F.col("monetary_cents"), F.col("custkey")], "m_rn"
+    # r15 (guide §2.3 project-before-exchange + §2.6 overlap): each
+    # rank pass range-exchanges ONLY (sort key, custkey) instead of
+    # serially re-ranging the ever-wider frame, and the three passes
+    # are independent subtrees joined back on the unique custkey —
+    # AQE runs their stages concurrently where the serial form ran
+    # three range exchanges (sample job + shuffle each) back to back.
+    # Rank values are identical (same total orders, same tiebreak);
+    # interleaved A/B: 1.86 -> 1.62 s median (scripts/exp_r15b.py).
+    rr = global_row_number(
+        cust.select("custkey", "recency_days"),
+        [F.col("recency_days").desc(), F.col("custkey")],
+        "r_rn",
+    ).select("custkey", "r_rn")
+    ff = global_row_number(
+        cust.select("custkey", "frequency"),
+        [F.col("frequency"), F.col("custkey")],
+        "f_rn",
+    ).select("custkey", "f_rn")
+    mm = global_row_number(
+        cust.select("custkey", "monetary_cents"),
+        [F.col("monetary_cents"), F.col("custkey")],
+        "m_rn",
+    ).select("custkey", "m_rn")
+    ranked = (
+        cust.crossJoin(F.broadcast(n))
+        .join(rr, "custkey")
+        .join(ff, "custkey")
+        .join(mm, "custkey")
     )
 
     def score(rn: str) -> F.Column:

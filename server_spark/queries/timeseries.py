@@ -4367,28 +4367,98 @@ def t44_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c") * 1.0
             / F.sum("c").over(Window.partitionBy("s"))
         ).alias("p"),
-    ).transform(lazy_barrier)
-    for _ in range(_T44_SQUARINGS):
-        a = p.select(
-            F.col("s"), F.col("t").alias("mid"), F.col("p").alias("pa")
-        )
-        b = p.select(
-            F.col("s").alias("mid"), F.col("t"), F.col("p").alias("pb")
-        )
-        p = (
-            a.join(b, "mid")
-            .groupBy("s", "t")
-            .agg(F.sum(F.col("pa") * F.col("pb")).alias("p"))
-        ).transform(lazy_barrier)
-    # scalars stay IN-PLAN (broadcast one-row tables), the s2 rule —
-    # no driver-side .count() round trips
-    ns = p.agg(F.countDistinct("s").alias("n"))
-    vfinal = (
-        p.crossJoin(F.broadcast(ns))
-        .groupBy(F.col("t").alias("state"), F.col("n"))
-        .agg(F.sum(F.col("p") / F.col("n")).alias("pi"))
-        .drop("n")
     )
+    # r15 (guide §5 job count / §2.4): the six squarings ran as six
+    # join+agg rounds — 12 serial exchanges plus six lazy-checkpoint
+    # materializations, all over a relation bounded by the event-type
+    # ENUM cardinality squared (~tens of rows at any corpus size).
+    # Now the transition matrix is folded into ONE row (sorted state
+    # list + dense k×k array, zeros where the join form had no row)
+    # and P^64 is six array squarings in a single JVM projection —
+    # everything after the lead() window pass and one k²-row agg is
+    # narrow. Row/column semantics are the join form's: an entry
+    # exists there iff its dense cell > 0 (all p are strictly
+    # positive), so the pi > 0 filter reproduces vfinal's key set,
+    # and ns stays COUNT(DISTINCT s) of P¹ (= size(ss)) exactly as
+    # the oracle computes it. Interleaved A/B: 2.16 -> 0.97 s median
+    # with bit-identical output (scripts/exp_r15b.py t44A/t44B);
+    # oracle hash-green at every sf.
+    one = (
+        p.agg(
+            F.sort_array(F.collect_set("s")).alias("ss"),
+            F.sort_array(
+                F.collect_list(F.struct("s", "t", "p"))
+            ).alias("cells"),
+        )
+        .select(
+            "ss",
+            "cells",
+            F.array_sort(
+                F.array_distinct(
+                    F.concat(
+                        F.col("ss"), F.expr("transform(cells, c -> c.t)")
+                    )
+                )
+            ).alias("st"),
+        )
+        .select("ss", "cells", "st", F.size("st").alias("k"))
+        .select(
+            "ss",
+            "st",
+            "k",
+            F.expr(
+                """
+                CASE WHEN k = 0 THEN CAST(array() AS ARRAY<DOUBLE>) ELSE
+                transform(sequence(0, k * k - 1), i ->
+                  aggregate(
+                    filter(cells, c ->
+                      c.s = element_at(st, CAST(i DIV k AS INT) + 1)
+                      AND c.t = element_at(st, CAST(i % k AS INT) + 1)),
+                    0D, (a, c) -> a + c.p))
+                END
+                """
+            ).alias("m0"),
+        )
+        .select(
+            "ss",
+            "st",
+            "k",
+            F.expr(
+                f"""
+                CASE WHEN k = 0 THEN m0 ELSE
+                aggregate(sequence(1, {_T44_SQUARINGS}), m0, (acc, step) ->
+                  transform(sequence(0, k * k - 1), i ->
+                    aggregate(sequence(0, k - 1), 0D, (a, mm) ->
+                      a + element_at(acc,
+                            CAST(i DIV k AS INT) * k + CAST(mm AS INT) + 1)
+                        * element_at(acc,
+                            CAST(mm AS INT) * k + CAST(i % k AS INT) + 1))))
+                END
+                """
+            ).alias("mf"),
+        )
+    )
+    vfinal = one.select(
+        F.explode(
+            F.expr(
+                """
+                CASE WHEN k = 0 THEN
+                  CAST(array() AS ARRAY<STRUCT<state: STRING, pi: DOUBLE>>)
+                ELSE
+                filter(
+                  transform(sequence(0, k - 1), j ->
+                    struct(
+                      element_at(st, CAST(j AS INT) + 1) AS state,
+                      aggregate(sequence(0, k - 1), 0D, (a, i) ->
+                        a + element_at(mf,
+                              CAST(i AS INT) * k + CAST(j AS INT) + 1)
+                          / size(ss)) AS pi)),
+                  x -> x.pi > 0D)
+                END
+                """
+            )
+        ).alias("v")
+    ).select(F.col("v.state").alias("state"), F.col("v.pi").alias("pi"))
     tot = ev.agg(F.count("*").alias("total"))
     emp = (
         ev.groupBy(F.col("event_type").alias("state"))
